@@ -86,9 +86,10 @@ def pack(values: np.ndarray, width: int) -> bytes:
     n = len(v)
     if n == 0 or width == 0:
         return b""
-    be = v.astype(">u8").view(np.uint8).reshape(n, 8)
-    bits = np.unpackbits(be, axis=1)          # (n, 64), MSB first
-    sel = bits[:, 64 - width:]                # low `width` bits
+    nb = (width + 7) // 8  # only expand the bytes that can carry bits
+    be = v.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - nb :]
+    bits = np.unpackbits(np.ascontiguousarray(be), axis=1)  # (n, nb*8)
+    sel = bits[:, nb * 8 - width :]
     return np.packbits(sel.reshape(-1)).tobytes()
 
 
@@ -99,9 +100,13 @@ def unpack(data, count: int, width: int, offset: int = 0) -> np.ndarray:
     nbytes = (count * width + 7) // 8
     b = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=offset)
     bits = np.unpackbits(b)[: count * width].reshape(count, width)
-    full = np.zeros((count, 64), dtype=np.uint8)
-    full[:, 64 - width:] = bits
-    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+    nb = (width + 7) // 8
+    full = np.zeros((count, nb * 8), dtype=np.uint8)
+    full[:, nb * 8 - width :] = bits
+    packed = np.packbits(full, axis=1)  # (count, nb) big-endian bytes
+    out = np.zeros((count, 8), dtype=np.uint8)
+    out[:, 8 - nb :] = packed
+    return out.view(">u8").ravel().astype(np.uint64)
 
 
 def packed_size(count: int, width: int) -> int:
@@ -120,9 +125,10 @@ def pack_rows(values_2d: np.ndarray, width: int) -> np.ndarray:
     if k == 0 or m == 0 or width == 0:
         return np.zeros((k, packed_size(m, width)), dtype=np.uint8)
     v = np.ascontiguousarray(values_2d, dtype=np.uint64)
-    be = v.astype(">u8").view(np.uint8).reshape(k, m, 8)
-    bits = np.unpackbits(be.reshape(k, m * 8), axis=1).reshape(k, m, 64)
-    sel = bits[:, :, 64 - width:].reshape(k, m * width)
+    nb = (width + 7) // 8
+    be = np.ascontiguousarray(v.astype(">u8").view(np.uint8).reshape(k, m, 8)[:, :, 8 - nb :])
+    bits = np.unpackbits(be.reshape(k, m * nb), axis=1).reshape(k, m, nb * 8)
+    sel = bits[:, :, nb * 8 - width :].reshape(k, m * width) if width != nb * 8 else bits.reshape(k, m * width)
     pad = (-sel.shape[1]) % 8
     if pad:
         sel = np.concatenate([sel, np.zeros((k, pad), dtype=np.uint8)], axis=1)
@@ -135,6 +141,10 @@ def unpack_rows(packed_2d: np.ndarray, m: int, width: int) -> np.ndarray:
     if k == 0 or m == 0 or width == 0:
         return np.zeros((k, m), dtype=np.uint64)
     bits = np.unpackbits(np.ascontiguousarray(packed_2d), axis=1)[:, : m * width]
-    full = np.zeros((k, m, 64), dtype=np.uint8)
-    full[:, :, 64 - width:] = bits.reshape(k, m, width)
-    return np.packbits(full.reshape(k, m * 64), axis=1).view(">u8").reshape(k, m).astype(np.uint64)
+    nb = (width + 7) // 8
+    full = np.zeros((k, m, nb * 8), dtype=np.uint8)
+    full[:, :, nb * 8 - width :] = bits.reshape(k, m, width)
+    packed = np.packbits(full.reshape(k, m * nb * 8), axis=1).reshape(k, m, nb)
+    out = np.zeros((k, m, 8), dtype=np.uint8)
+    out[:, :, 8 - nb :] = packed
+    return out.reshape(k, m * 8).view(">u8").reshape(k, m).astype(np.uint64)

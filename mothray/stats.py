@@ -1,0 +1,101 @@
+"""Per-column statistics: partial (per stripe) + merge (stripe -> file).
+
+Mirrors the reference's statistics builders (SURVEY.md §2.6;
+reference: pkg/store/metadata/IntegerStatisticsBuilder.go:31-50,
+DoubleStatisticsBuilder.go [NaN drops stats],
+StringStatisticsBuilder.go:45-57 [values > 64 bytes drop min/max,
+MothWriterOptions.go:9], BooleanStatisticsBuilder.go [trueCount],
+BinaryStatisticsBuilder.go [sum of lengths], merge at
+pkg/store/MothWriter.go:339-353). Computed with pyarrow.compute inside
+the encode task; JSON-serializable so stripe stats ride a parquet
+string column that pruning can read without touching stream blobs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STRING_STATS_LIMIT = 64  # bytes; reference MothWriterOptions.go:9
+
+
+def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict[str, Any]:
+    t = arr.type
+    n = len(arr)
+    nulls = arr.null_count
+    out: dict[str, Any] = {"count": n, "null_count": nulls}
+    if n == nulls:
+        return out
+    if pa.types.is_boolean(t):
+        out["true_count"] = int(pc.sum(arr.cast(pa.int64())).as_py() or 0)
+        return out
+    if pa.types.is_integer(t) or pa.types.is_date(t):
+        mm = pc.min_max(arr)
+        vals = arr.cast(pa.int64()) if not pa.types.is_date(t) else arr.cast(pa.int32()).cast(pa.int64())
+        out["min"] = _plain(mm["min"])
+        out["max"] = _plain(mm["max"])
+        out["sum"] = int(pc.sum(vals).as_py())  # python int: overflow-safe like the reference's guard
+        return out
+    if pa.types.is_floating(t):
+        has_nan = bool(pc.any(pc.is_nan(arr.drop_null())).as_py()) if n > nulls else False
+        if not has_nan:  # NaN drops min/max, reference DoubleStatisticsBuilder
+            mm = pc.min_max(arr)
+            out["min"] = mm["min"].as_py()
+            out["max"] = mm["max"].as_py()
+            s = pc.sum(arr).as_py()
+            if s is not None and math.isfinite(s):
+                out["sum"] = s
+        return out
+    if pa.types.is_timestamp(t):
+        mm = pc.min_max(arr.cast(pa.int64()))
+        out["min"] = mm["min"].as_py()
+        out["max"] = mm["max"].as_py()
+        out["unit"] = t.unit
+        return out
+    if pa.types.is_decimal(t):
+        mm = pc.min_max(arr)
+        out["min"] = str(mm["min"].as_py())
+        out["max"] = str(mm["max"].as_py())
+        return out
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        lens = pc.binary_length(arr)
+        out["sum_lengths"] = int(pc.sum(lens).as_py() or 0)
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        # drop min/max beyond the 64-byte limit like the reference
+        if mn is not None and len(mn.encode()) <= STRING_STATS_LIMIT:
+            out["min"] = mn
+        if mx is not None and len(mx.encode()) <= STRING_STATS_LIMIT:
+            out["max"] = mx
+        return out
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        out["sum_lengths"] = int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+        return out
+    return out  # nested types: counts only
+
+
+def _plain(scalar: pa.Scalar):
+    v = scalar.as_py()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def merge_stats(parts: list[dict[str, Any]]) -> dict[str, Any]:
+    """Merge per-stripe stats into file-level stats (partial -> final,
+    reference MothWriter.go:339-353)."""
+    out: dict[str, Any] = {"count": 0, "null_count": 0}
+    for p in parts:
+        out["count"] += p.get("count", 0)
+        out["null_count"] += p.get("null_count", 0)
+        for key in ("true_count", "sum", "sum_lengths"):
+            if key in p:
+                out[key] = out.get(key, 0) + p[key]
+        if "min" in p:
+            out["min"] = p["min"] if "min" not in out else min(out["min"], p["min"])
+        if "max" in p:
+            out["max"] = p["max"] if "max" not in out else max(out["max"], p["max"])
+    return out

@@ -1,0 +1,198 @@
+"""Stripe assembly: Arrow table slice -> one encoded-stripe row and back.
+
+The Ray-Data analog of the reference's stripe write/read path
+(reference: pkg/store/MothWriter.go:187-266 flushStripe /
+bufferStripeData, pkg/store/StripeReader.go:40-109 ReadStripe). A
+"stripe" here is one output row of a parquet-friendly Arrow schema:
+
+  stripe_key  lineage id ("{partition}-{seq}")
+  n_rows / raw_bytes / enc_bytes
+  meta        JSON: per-column encoding + stream index into `blob`
+  schema_ipc  Arrow schema (IPC) of the original table
+  stats       JSON per-column min/max/sum/null stats (pruning reads
+              ONLY this column - SURVEY.md §2.7)
+  blooms      concatenated per-column bloom bitsets (offsets in meta)
+  blob        all encoded streams, each framed by codecs.frames
+
+Stream blobs are general-compressed per stream with the store-raw rule
+(reference MothOutputBuffer.go:348-371); stats/bloom granularity is the
+stripe (the reference's row-group granularity collapses into stripes
+because Ray blocks are our parallelism unit, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from . import bloom as bloom_mod
+from . import column as column_mod
+from . import stats as stats_mod
+from .codecs import frames
+
+DEFAULT_OPTS = {
+    "compression": "zstd",        # zstd|zlib|lz4|snappy|none (per-stream, store-raw rule)
+    "string_encoding": "auto",    # auto|dict|direct|fsst
+    "stripe_bytes": 64 << 20,     # reference stripeMaxSize, MothWriterOptions.go:13
+    "stripe_rows": 1 << 20,
+    "bloom": True,                # bloom filters for string columns
+    "fsst_enabled": True,
+    "compress_min_bytes": 64,
+}
+
+STRIPE_SCHEMA = pa.schema(
+    [
+        ("stripe_key", pa.string()),
+        ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("meta", pa.string()),
+        ("schema_ipc", pa.binary()),
+        ("stats", pa.string()),
+        ("blooms", pa.binary()),
+        ("blob", pa.binary()),
+    ]
+)
+
+
+def _serialize_schema(schema: pa.Schema) -> bytes:
+    return schema.serialize().to_pybytes()
+
+
+def _deserialize_schema(data: bytes) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(data))
+
+
+def _flatten_column(
+    enc: column_mod.EncodedColumn, blob: list[bytes], pos: list[int], codec: str, min_comp: int
+) -> dict:
+    streams = []
+    for kind, data in enc.streams.items():
+        use_codec = codec if len(data) >= min_comp else "none"
+        framed = frames.compress(data, use_codec)
+        streams.append(
+            {"kind": kind, "off": pos[0], "len": len(framed), "raw": len(data), "codec": use_codec}
+        )
+        blob.append(framed)
+        pos[0] += len(framed)
+    return {
+        "encoding": enc.encoding,
+        "num_values": enc.num_values,
+        "extra": enc.extra,
+        "streams": streams,
+        "children": [_flatten_column(c, blob, pos, codec, min_comp) for c in enc.children],
+    }
+
+
+def _rebuild_column(meta: dict, blob: bytes) -> column_mod.EncodedColumn:
+    streams = {}
+    for s in meta["streams"]:
+        framed = blob[s["off"] : s["off"] + s["len"]]
+        streams[s["kind"]] = frames.decompress(framed, s["codec"], s["raw"])
+    return column_mod.EncodedColumn(
+        encoding=meta["encoding"],
+        num_values=meta["num_values"],
+        streams=streams,
+        children=[_rebuild_column(c, blob) for c in meta["children"]],
+        extra=meta.get("extra", {}),
+    )
+
+
+def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-0") -> dict:
+    """Encode one table slice into one stripe-row dict."""
+    o = {**DEFAULT_OPTS, **(opts or {})}
+    t0 = time.monotonic()
+    tbl = tbl.combine_chunks()
+    blob: list[bytes] = []
+    pos = [0]
+    col_metas = {}
+    col_stats = {}
+    blooms: list[bytes] = []
+    bloom_index = {}
+    bpos = 0
+    for name in tbl.column_names:
+        arr = tbl.column(name)
+        arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # 0-chunk empty table edge
+            arr = pa.array([], type=arr.type)
+        enc = column_mod.encode_array(arr, o)
+        col_metas[name] = _flatten_column(enc, blob, pos, o["compression"], o["compress_min_bytes"])
+        col_stats[name] = stats_mod.column_stats(arr)
+        if o["bloom"] and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            values = arr.drop_null()
+            lengths, data = column_mod._string_parts(values)
+            bf = bloom_mod.build(lengths, np.frombuffer(data, dtype=np.uint8))
+            blooms.append(bf)
+            bloom_index[name] = [bpos, len(bf)]
+            bpos += len(bf)
+    blob_bytes = b"".join(blob)
+    meta = {
+        "columns": col_metas,
+        "blooms": bloom_index,
+        "metrics": {
+            "encode_sec": round(time.monotonic() - t0, 4),
+            "codecs": {n: m["encoding"] for n, m in col_metas.items()},
+            "compression": o["compression"],
+        },
+    }
+    return {
+        "stripe_key": stripe_key,
+        "n_rows": tbl.num_rows,
+        "raw_bytes": tbl.nbytes,
+        "enc_bytes": len(blob_bytes),
+        "meta": json.dumps(meta),
+        "schema_ipc": _serialize_schema(tbl.schema),
+        "stats": json.dumps(col_stats),
+        "blooms": b"".join(blooms),
+        "blob": blob_bytes,
+    }
+
+
+def split_for_stripes(tbl: pa.Table, opts: dict | None = None) -> list[pa.Table]:
+    """Split a batch into stripe-sized slices by row and logical-byte
+    budget (the reference's chunking loop, MothWriter.go:127-137)."""
+    o = {**DEFAULT_OPTS, **(opts or {})}
+    n = tbl.num_rows
+    if n == 0:
+        return []
+    bytes_per_row = max(tbl.nbytes / n, 1)
+    rows_budget = int(min(o["stripe_rows"], max(1024, o["stripe_bytes"] / bytes_per_row)))
+    return [tbl.slice(s, rows_budget) for s in range(0, n, rows_budget)]
+
+
+def encode_batch(tbl: pa.Table, opts: dict | None = None, key_prefix: str = "0") -> pa.Table:
+    """Table batch -> table of stripe rows (>= 1)."""
+    rows = [
+        encode_stripe(part, opts, stripe_key=f"{key_prefix}-{i}")
+        for i, part in enumerate(split_for_stripes(tbl, opts))
+    ]
+    if not rows:
+        return STRIPE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=STRIPE_SCHEMA)
+
+
+def decode_stripe(row: dict, columns: list[str] | None = None) -> pa.Table:
+    """One stripe-row dict -> original table slice (bit-identical)."""
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    names = columns if columns is not None else schema.names
+    arrays = []
+    fields = []
+    for name in names:
+        enc = _rebuild_column(meta["columns"][name], blob)
+        t = schema.field(name).type
+        arrays.append(column_mod.decode_array(enc, t))
+        fields.append(schema.field(name))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def decode_batch(stripes: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Table of stripe rows -> concatenated decoded table."""
+    parts = [decode_stripe(row, columns) for row in stripes.to_pylist()]
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts)

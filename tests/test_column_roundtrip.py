@@ -1,0 +1,185 @@
+"""Column round-trip property tests (SURVEY.md §5.2 item 2, FIXTURES.md
+F3/F4): encode -> decode must be bit-identical (`pa.Array.equals`)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray import column
+
+rng = np.random.default_rng(7)
+
+
+def roundtrip(arr: pa.Array, opts=None):
+    enc = column.encode_array(arr, opts)
+    dec = column.decode_array(enc, arr.type)
+    assert dec.type == arr.type, f"{dec.type} != {arr.type}"
+    assert dec.equals(arr), f"mismatch for {arr.type}: {arr[:10]} vs {dec[:10]}"
+    return enc
+
+
+def with_nulls(values, p=0.2):
+    mask = rng.random(len(values)) < p
+    return pa.array([None if m else v for v, m in zip(values, mask)])
+
+
+# ---------------------------------------------------------------- primitives (F4)
+
+def test_bool():
+    roundtrip(pa.array(rng.integers(0, 2, 1000).astype(bool)))
+    roundtrip(pa.array([True, None, False, None, True]))
+    roundtrip(pa.array([], type=pa.bool_()))
+
+
+@pytest.mark.parametrize("t", [pa.int8(), pa.int16(), pa.int32(), pa.int64()])
+def test_ints(t):
+    info = np.iinfo(t.to_pandas_dtype())
+    v = rng.integers(info.min, int(info.max) + 1, 2000)
+    roundtrip(pa.array(v, type=t))
+    roundtrip(pa.array([info.min, info.max, 0, None], type=t))
+    roundtrip(pa.array([], type=t))
+
+
+@pytest.mark.parametrize("t", [pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()])
+def test_uints(t):
+    info = np.iinfo(t.to_pandas_dtype())
+    v = rng.integers(0, int(info.max) + 1, 500, dtype=np.uint64)
+    roundtrip(pa.array(v, type=t))
+
+
+@pytest.mark.parametrize("t", [pa.float32(), pa.float64()])
+def test_floats(t):
+    v = rng.standard_normal(1000).astype(t.to_pandas_dtype())
+    roundtrip(pa.array(v, type=t))
+    special = pa.array([0.0, -0.0, np.nan, np.inf, -np.inf, None], type=t)
+    enc = column.encode_array(special)
+    dec = column.decode_array(enc, t)
+    for a, b in zip(special.to_pylist(), dec.to_pylist()):
+        assert (a is None and b is None) or (np.isnan(a) and np.isnan(b)) or a == b
+
+
+def test_date32():
+    v = pa.array(rng.integers(-30000, 30000, 1000).astype(np.int32), type=pa.int32()).cast(pa.date32())
+    roundtrip(v)
+
+
+@pytest.mark.parametrize("tz", [None, "UTC"])
+def test_timestamp_us(tz):
+    t = pa.timestamp("us", tz=tz)
+    micros = rng.integers(-(2**50), 2**50, 1000)
+    micros[0:3] = [0, -1, 1]  # pre-epoch edges
+    roundtrip(pa.array(micros, type=pa.int64()).cast(t))
+    roundtrip(pa.array([None, 1692300000123456, None], type=pa.int64()).cast(t))
+
+
+def test_timestamp_ns():
+    t = pa.timestamp("ns")
+    v = rng.integers(-(2**60), 2**60, 500)
+    roundtrip(pa.array(v, type=pa.int64()).cast(t))
+
+
+@pytest.mark.parametrize("prec,scale", [(10, 2), (18, 0), (20, 2), (38, 10)])
+def test_decimal(prec, scale):
+    t = pa.decimal128(prec, scale)
+    import decimal
+
+    decimal.getcontext().prec = 50
+    hi = decimal.Decimal(10**prec - 1).scaleb(-scale)  # max unscaled magnitude
+    vals = [decimal.Decimal(int(x)).scaleb(-scale) for x in rng.integers(-(10**min(prec, 18)) + 1, 10**min(prec, 18), 200)]
+    vals += [hi, -hi, None]
+    roundtrip(pa.array(vals, type=t))
+
+
+# ---------------------------------------------------------------- strings (F3)
+
+def _rand_strings(n, card=None, minlen=0, maxlen=30):
+    pool = None
+    if card:
+        pool = ["".join(chr(rng.integers(97, 123)) for _ in range(rng.integers(minlen, maxlen))) for _ in range(card)]
+    out = []
+    for _ in range(n):
+        if pool is not None:
+            out.append(pool[rng.integers(0, len(pool))])
+        else:
+            out.append("".join(chr(rng.integers(32, 1000)) for _ in range(rng.integers(minlen, maxlen))))
+    return out
+
+
+def test_string_low_card_uses_dict():
+    arr = pa.array(_rand_strings(5000, card=10, minlen=5, maxlen=20))
+    enc = roundtrip(arr)
+    assert enc.encoding == column.ENC_DICT
+    assert enc.total_bytes() < len(b"".join(s.encode() for s in arr.to_pylist())) / 1.25
+
+
+def test_string_high_card_unique_goes_direct():
+    arr = pa.array([f"{i:08x}-{rng.integers(0, 2**32):08x}" for i in range(3000)])
+    enc = roundtrip(arr)
+    assert enc.encoding in (column.ENC_DIRECT, column.ENC_FSST)
+
+
+def test_string_empty_and_null():
+    roundtrip(pa.array(["", None, "a", "", None, "bb"]))
+    roundtrip(pa.array([], type=pa.string()))
+    roundtrip(pa.array([None, None], type=pa.string()))
+
+
+def test_string_unicode_dict_sorted():
+    arr = pa.array(["zèbre", "äpfel", "zèbre", "猫", "äpfel", "á"] * 100)
+    enc = roundtrip(arr)
+    assert enc.encoding == column.ENC_DICT
+
+
+def test_string_nulls_mixed():
+    roundtrip(with_nulls(_rand_strings(2000, card=50)))
+
+
+def test_large_string_and_binary():
+    roundtrip(pa.array(_rand_strings(500), type=pa.large_string()))
+    roundtrip(pa.array([bytes(rng.integers(0, 256, rng.integers(0, 100)).astype(np.uint8)) for _ in range(300)], type=pa.binary()))
+    roundtrip(pa.array([b"", None, b"\x00\xff", None], type=pa.binary()))
+
+
+# ---------------------------------------------------------------- nested (F4)
+
+def test_list():
+    arr = pa.array([[1, 2, 3], None, [], [None, 5], [6]], type=pa.list_(pa.int64()))
+    roundtrip(arr)
+    big = pa.array([rng.integers(0, 100, rng.integers(0, 10)).tolist() for _ in range(500)], type=pa.list_(pa.int64()))
+    roundtrip(big)
+
+
+def test_list_of_strings():
+    roundtrip(pa.array([["a", "bb"], None, [], ["ccc", None]], type=pa.list_(pa.string())))
+
+
+def test_struct():
+    t = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}, {"a": 3, "b": None}], type=t)
+    roundtrip(arr)
+
+
+def test_map():
+    t = pa.map_(pa.int32(), pa.string())
+    arr = pa.array([[(1, "a"), (2, "b")], None, [], [(3, None)]], type=t)
+    roundtrip(arr)
+
+
+def test_list_of_float_embeddings():
+    # embeddings.parquet shape: list<float>
+    arr = pa.array([rng.standard_normal(16).astype(np.float32).tolist() for _ in range(200)], type=pa.list_(pa.float32()))
+    roundtrip(arr)
+
+
+# ---------------------------------------------------------------- real testdata columns
+
+def test_testdata_columns_roundtrip():
+    import pyarrow.parquet as pq
+
+    for name in ["documents", "events", "lineitem", "embeddings", "orders"]:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        for col in tbl.column_names:
+            arr = tbl.column(col).combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+            roundtrip(arr if isinstance(arr, pa.Array) else arr.chunk(0))
