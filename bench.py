@@ -1,0 +1,142 @@
+"""Benchmark harness: headline encode/decode throughput over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) + the synthetic CC-pages
+table, printing ONE JSON line. `--scaling` runs the headline twice in
+fresh processes at num_cpus=8 and 32 and reports scaling efficiency
+(sandbox proxy for the N -> 4N cluster criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CC_ROWS = int(os.environ.get("MOTHRAY_CC_ROWS", "100000"))
+
+
+def _cc_pages_path() -> str:
+    """Deterministic synthetic CC table, cached under /tmp."""
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/mothray_bench/cc_pages_{CC_ROWS}.parquet"
+    if not os.path.exists(path):
+        from mothray import datagen
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tbl = datagen.cc_pages(CC_ROWS, seed=42, html_len=(400, 4000), text_len=(200, 2000))
+        pq.write_table(tbl, path + ".tmp")
+        os.rename(path + ".tmp", path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mothray import pipeline
+
+    cc_path = _cc_pages_path()
+    inputs = {
+        "cc_pages": cc_path,
+        "documents": f"{SF_DIR}/documents.parquet",
+        "events": f"{SF_DIR}/events.parquet",
+        "lineitem": f"{SF_DIR}/lineitem.parquet",
+    }
+    # warm page cache so we measure compute, not first disk read
+    for p in inputs.values():
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    queries: dict[str, float] = {}
+    total_raw = 0
+    total_enc = 0
+    t_all = time.monotonic()
+    for name, path in inputs.items():
+        out_dir = f"/tmp/mothray_bench/enc_{name}_{NUM_CPUS}"
+        subprocess.run(["rm", "-rf", out_dir], check=True)
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(path)
+        enc = pipeline.encode_dataset(ds)
+        enc.write_parquet(out_dir)
+        t_enc = time.monotonic() - t0
+        queries[f"encode_{name}"] = round(t_enc, 3)
+
+        meta = ray.data.read_parquet(out_dir, columns=["raw_bytes", "enc_bytes"]).to_pandas()
+        raw, encb = int(meta["raw_bytes"].sum()), int(meta["enc_bytes"].sum())
+        total_raw += raw
+        total_enc += encb
+
+        t0 = time.monotonic()
+        dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
+        n = dec.count()
+        queries[f"decode_{name}"] = round(time.monotonic() - t0, 3)
+        assert n > 0
+    total_sec = time.monotonic() - t_all
+
+    result = {
+        "metric": "mothray encode+decode wall time (sf bench tables + synthetic cc_pages)",
+        "value": round(total_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "raw_bytes": total_raw,
+        "encoded_bytes": total_enc,
+        "compression_ratio": round(total_raw / max(total_enc, 1), 3),
+        "encode_throughput_mb_s": round(
+            total_raw / 1e6 / max(sum(v for k, v in queries.items() if k.startswith("encode")), 1e-9), 1
+        ),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (num_cpus 8 -> 32, fresh ray sessions)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "throughput_mb_s_8": r_lo["encode_throughput_mb_s"],
+                "throughput_mb_s_32": r_hi["encode_throughput_mb_s"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

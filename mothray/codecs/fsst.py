@@ -1,28 +1,314 @@
 """FSST string compression (Boncz, Neumann, Leis — "FSST: Fast Random
-Access String Compression", VLDB 2020).
+Access String Compression", VLDB 2020). Built from the published paper;
+NOT present in the reference repo (north-star extension,
+BASELINE.json:6).
 
-North-star extension (BASELINE.json north_star): NOT present in the
-reference repo; built from the published paper. A symbol table of up
-to 255 symbols (1..8 bytes each) is trained on a sample; the corpus is
-then encoded as 1-byte codes, with code 255 escaping a literal byte.
+Scheme: a table of up to 255 symbols (1..8 bytes each); the corpus
+becomes a stream of 1-byte codes, code 255 escaping one literal byte.
+Decoding is a table lookup per code — random access, no state.
 
-API:
-  compress(data: bytes)   -> (symbol_table: bytes, encoded: bytes)
-  decompress(table, encoded, raw_size) -> bytes
+Implementation notes (numpy, no native code):
 
-This module currently ships the API with a passthrough implementation
-(empty table => encoded bytes are raw); the trained encoder lands in a
-follow-up commit. Callers must treat `table == b""` as passthrough.
+* Encoding parallelizes ACROSS LANES, the numpy analog of the paper's
+  AVX batch-of-8-strings trick: the buffer splits into K segments, one
+  cursor each; every step advances all active cursors by their greedy
+  longest match at once (8 masked searchsorted probes against the
+  per-length symbol sets). Independently encoded segments concatenate
+  into one decodable stream because every segment ends on a token
+  boundary.
+* Greedy longest match == the paper's parse; the symbol table is
+  trained bottom-up over `N_ITER` iterations: encode a sample, count
+  token and adjacent-token-pair frequencies, keep the 255 highest
+  gain (freq * length) candidates.
+* Decoding is fully vectorized: escape positions fall out of the
+  parity of runs of 0xFF (a run always starts on a token boundary),
+  then one gather/scatter expands all codes.
+
+Table serialization: [n_symbols u8][len u8 x n][symbol bytes].
 """
 
 from __future__ import annotations
 
+import numpy as np
 
-def compress(data: bytes) -> tuple[bytes, bytes]:
-    return b"", data
+_U64 = np.uint64
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+N_ITER = 5
+SAMPLE_BYTES = 1 << 16
+_MASKS = np.array([(1 << (8 * l)) - 1 if l < 8 else 0xFFFFFFFFFFFFFFFF for l in range(9)], dtype=np.uint64)
 
 
-def decompress(table: bytes, encoded: bytes, raw_size: int) -> bytes:
-    if not table:
+# ------------------------------------------------------------------ table
+
+_HASH_BITS = 12
+_HASH_SIZE = 1 << _HASH_BITS
+_HASH_MUL = _U64(0x9E3779B97F4A7C15)
+
+
+def _hash3(w: np.ndarray) -> np.ndarray:
+    """Hash of the low 3 bytes of each u64 window (paper §4.4)."""
+    return ((w & _U64(0xFFFFFF)) * _HASH_MUL) >> _U64(64 - _HASH_BITS)
+
+
+class SymbolTable:
+    """Lookup layout per the paper: a 65536-entry shortCodes table
+    resolves the best symbol of length <= 2 for any 2-byte prefix in
+    one gather; symbols of length >= 3 live in a one-candidate-per-slot
+    hash table keyed on their first 3 bytes (colliding long symbols are
+    dropped at build — legal, they just stop being used)."""
+
+    __slots__ = ("symbols", "short_code", "short_len", "hash_sym", "hash_code", "hash_len",
+                 "byte_code", "byte_ok", "sym_flat", "sym_off", "sym_len")
+
+    def __init__(self, symbols: list[bytes]):
+        self.symbols = symbols[:MAX_SYMBOLS]
+        self.short_code = np.full(65536, ESCAPE, dtype=np.uint8)
+        self.short_len = np.zeros(65536, dtype=np.int8)
+        self.byte_code = np.full(256, ESCAPE, dtype=np.uint8)
+        self.byte_ok = np.zeros(256, dtype=bool)
+        self.hash_sym = np.zeros(_HASH_SIZE, dtype=np.uint64)
+        self.hash_code = np.full(_HASH_SIZE, ESCAPE, dtype=np.uint8)
+        self.hash_len = np.zeros(_HASH_SIZE, dtype=np.int8)
+        one_byte: dict[int, int] = {}
+        for code, s in enumerate(self.symbols):
+            u = int.from_bytes(s.ljust(8, b"\0"), "little") & int(_MASKS[len(s)])
+            if len(s) == 1:
+                one_byte[u] = code
+            elif len(s) == 2:
+                self.short_code[u] = code
+                self.short_len[u] = 2
+            else:
+                idx = (((u & 0xFFFFFF) * 0x9E3779B97F4A7C15) % (1 << 64)) >> (64 - _HASH_BITS)
+                if self.hash_len[idx] == 0 or len(s) > self.hash_len[idx]:
+                    self.hash_sym[idx] = u
+                    self.hash_code[idx] = code
+                    self.hash_len[idx] = len(s)
+        # fill 1-byte symbols into every 2-byte slot still unset
+        for b, code in one_byte.items():
+            self.byte_code[b] = code
+            self.byte_ok[b] = True
+            sel = np.arange(256, dtype=np.int64) * 256 + b  # slots whose low byte == b
+            unset = self.short_len[sel] == 0
+            self.short_code[sel[unset]] = code
+            self.short_len[sel[unset]] = 1
+        # decoder tables
+        lens = np.array([len(s) for s in self.symbols], dtype=np.int64)
+        self.sym_flat = np.frombuffer(b"".join(self.symbols), dtype=np.uint8) if self.symbols else np.empty(0, np.uint8)
+        self.sym_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int64) if len(lens) else np.zeros(1, np.int64)
+        self.sym_len = lens
+
+    def serialize(self) -> bytes:
+        return (
+            bytes([len(self.symbols)])
+            + bytes(len(s) for s in self.symbols)
+            + b"".join(self.symbols)
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "SymbolTable":
+        n = data[0]
+        lens = list(data[1 : 1 + n])
+        out = []
+        pos = 1 + n
+        for l in lens:
+            out.append(bytes(data[pos : pos + l]))
+            pos += l
+        return cls(out)
+
+
+# ------------------------------------------------------------------ encode
+
+def _windows_u64(buf: np.ndarray) -> np.ndarray:
+    """u64 little-endian window at every byte position (padded)."""
+    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    return np.lib.stride_tricks.sliding_window_view(padded, 8).copy().view("<u8").ravel()
+
+
+def _encode_lanes(
+    buf: np.ndarray,
+    table: SymbolTable,
+    n_lanes: int,
+    collect_tokens: bool = False,
+):
+    """Greedy longest-match parse of `buf` split into n_lanes segments.
+
+    Returns (encoded bytes, token_starts, token_lens) — token arrays in
+    parse order per lane, only when collect_tokens (used in training).
+    """
+    n = len(buf)
+    if n == 0:
+        return b"", None, None
+    n_lanes = max(1, min(n_lanes, n))
+    seg = (n + n_lanes - 1) // n_lanes
+    starts = np.arange(n_lanes, dtype=np.int64) * seg
+    ends = np.minimum(starts + seg, n)
+    win = _windows_u64(buf)
+
+    cursors = starts.copy()
+    active = cursors < ends
+    out = np.empty((n_lanes, 2 * seg + 2), dtype=np.uint8)
+    out_pos = np.zeros(n_lanes, dtype=np.int64)
+
+    tok_starts: list[np.ndarray] = []
+    tok_lens: list[np.ndarray] = []
+    tok_lane: list[np.ndarray] = []
+
+    while active.any():
+        idx = np.nonzero(active)[0]
+        cur = cursors[idx]
+        w = win[cur]
+        rem = ends[idx] - cur
+        # one hash probe for symbols of length >= 3
+        hidx = _hash3(w)
+        hlen = table.hash_len[hidx].astype(np.int64)
+        hmatch = (hlen > 0) & (rem >= hlen) & ((w & _MASKS[hlen]) == table.hash_sym[hidx])
+        # shortCodes for length <= 2, byte fallback at lane tails
+        s2 = (w & _U64(0xFFFF)).astype(np.int64)
+        slen = table.short_len[s2].astype(np.int64)
+        sok = (slen > 0) & (rem >= slen)
+        b1 = (w & _U64(0xFF)).astype(np.int64)
+        bok = table.byte_ok[b1]
+        best_len = np.where(hmatch, hlen, np.where(sok, slen, np.where(bok, 1, 0)))
+        best_code = np.where(
+            hmatch,
+            table.hash_code[hidx],
+            np.where(sok, table.short_code[s2], table.byte_code[b1]),
+        ).astype(np.int64)
+
+        is_esc = best_len == 0
+        # emit: code byte (or ESCAPE + literal)
+        p = out_pos[idx]
+        out[idx, p] = np.where(is_esc, ESCAPE, best_code).astype(np.uint8)
+        esc_i = idx[is_esc]
+        out[esc_i, p[is_esc] + 1] = buf[cur[is_esc]]
+        out_pos[idx] = p + 1 + is_esc
+        adv = np.where(is_esc, 1, best_len)
+        if collect_tokens:
+            tok_starts.append(cur)
+            tok_lens.append(adv)
+            tok_lane.append(idx)
+        cursors[idx] = cur + adv
+        active[idx] = cursors[idx] < ends[idx]
+
+    chunks = [out[i, : out_pos[i]] for i in range(n_lanes)]
+    encoded = np.concatenate(chunks).tobytes() if chunks else b""
+    if collect_tokens:
+        return encoded, (tok_starts, tok_lens, tok_lane), (starts, ends)
+    return encoded, None, None
+
+
+def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
+    """Bottom-up symbol table construction (paper §3.3): iterate
+    encode-sample -> count tokens + adjacent pairs -> keep top-gain."""
+    buf = np.frombuffer(sample, dtype=np.uint8) if isinstance(sample, (bytes, bytearray)) else sample
+    buf = buf[:SAMPLE_BYTES]
+    if len(buf) == 0:
+        return SymbolTable([])
+    win = _windows_u64(buf)
+    table = SymbolTable([])
+    n_lanes = max(1, len(buf) // 512)
+    for _ in range(n_iter):
+        _, toks, lanes = _encode_lanes(buf, table, n_lanes, collect_tokens=True)
+        tok_starts, tok_lens, tok_lane = toks
+        lane_starts, lane_ends = lanes
+        # flatten in (lane, step) order to find adjacent pairs per lane
+        all_start = np.concatenate(tok_starts)
+        all_len = np.concatenate(tok_lens)
+        all_lane = np.concatenate(tok_lane)
+        order = np.lexsort((all_start, all_lane))
+        s = all_start[order]
+        ln = all_len[order]
+        la = all_lane[order]
+        # singles
+        key_s = (win[s] & _MASKS[np.minimum(ln, 8)]) if len(s) else np.empty(0, np.uint64)
+        # pairs: adjacent tokens in same lane with combined len <= 8
+        same = (la[1:] == la[:-1])
+        comb = ln[:-1] + ln[1:]
+        ok = same & (comb <= MAX_SYMBOL_LEN)
+        key_p = win[s[:-1][ok]] & _MASKS[comb[ok]]
+        len_p = comb[ok]
+
+        gains: dict[tuple[int, int], int] = {}
+        for keys, lens_arr in ((key_s, np.minimum(ln, 8)), (key_p, len_p)):
+            if len(keys) == 0:
+                continue
+            combo = keys ^ (lens_arr.astype(np.uint64) << _U64(60))
+            uniq, inv, counts = np.unique(combo, return_inverse=True, return_counts=True)
+            first = np.zeros(len(uniq), dtype=np.int64)
+            first[inv[::-1]] = np.arange(len(keys) - 1, -1, -1)
+            for u_i in range(len(uniq)):
+                j = first[u_i]
+                key = (int(keys[j]), int(lens_arr[j]))
+                gains[key] = gains.get(key, 0) + int(counts[u_i]) * int(lens_arr[j])
+        ranked = sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]
+        symbols = [int(k[0]).to_bytes(8, "little")[: k[1]] for k, _ in ranked]
+        table = SymbolTable(symbols)
+    return table
+
+
+# ------------------------------------------------------------------ API
+
+def compress(data: bytes, n_iter: int = N_ITER) -> tuple[bytes, bytes]:
+    """Returns (serialized symbol table, encoded bytes). Empty table
+    means passthrough (callers store raw)."""
+    if len(data) < 64:
+        return b"", data
+    buf = np.frombuffer(data, dtype=np.uint8)
+    table = train(buf, n_iter)
+    if not table.symbols:
+        return b"", data
+    n_lanes = int(np.clip(len(buf) // 1024, 1, 1 << 16))
+    encoded, _, _ = _encode_lanes(buf, table, n_lanes)
+    if len(encoded) >= len(data):
+        return b"", data
+    return table.serialize(), encoded
+
+
+def decompress(table_bytes: bytes, encoded: bytes, raw_size: int) -> bytes:
+    if not table_bytes:
         return encoded
-    raise NotImplementedError("FSST decode requires a symbol table implementation")
+    table = SymbolTable.deserialize(table_bytes)
+    codes = np.frombuffer(encoded, dtype=np.uint8)
+    n = len(codes)
+    if n == 0:
+        return b""
+    is_ff = codes == ESCAPE
+    # runs of 0xFF always start on a token boundary: even offsets within
+    # a run are escape markers, odd offsets are escaped literal bytes
+    esc_marker = np.zeros(n, dtype=bool)
+    ff_pos = np.nonzero(is_ff)[0]
+    if len(ff_pos):
+        starts_flag = np.ones(len(ff_pos), dtype=bool)
+        starts_flag[1:] = np.diff(ff_pos) > 1
+        run_idx = np.cumsum(starts_flag) - 1
+        offset = ff_pos - ff_pos[starts_flag][run_idx]
+        esc_marker[ff_pos[offset % 2 == 0]] = True
+    # literal byte positions: marker + 1
+    lit_pos = np.nonzero(esc_marker)[0] + 1
+    literal = np.zeros(n, dtype=bool)
+    literal[lit_pos[lit_pos < n]] = True
+
+    token_start = ~literal
+    tok_idx = np.nonzero(token_start)[0]
+    tok_codes = codes[tok_idx]
+    tok_is_esc = esc_marker[tok_idx]
+
+    src_flat = np.concatenate([table.sym_flat, codes])
+    base = len(table.sym_flat)
+    sym_start = np.where(tok_is_esc, base + tok_idx + 1, table.sym_off[np.where(tok_is_esc, 0, tok_codes)])
+    sym_len = np.where(tok_is_esc, 1, table.sym_len[np.where(tok_is_esc, 0, tok_codes)])
+
+    total = int(sym_len.sum())
+    # src index sequence via one cumsum: +1 within a token, jump at
+    # token starts (avoids np.repeat over the full output)
+    out_off = np.cumsum(sym_len)[:-1]
+    d = np.ones(total, dtype=np.int64)
+    d[0] = sym_start[0]
+    d[out_off] = sym_start[1:] - sym_start[:-1] - sym_len[:-1] + 1
+    src = np.cumsum(d)
+    out = src_flat[src]
+    if raw_size >= 0 and total != raw_size:
+        raise ValueError(f"FSST decode size mismatch: {total} != {raw_size}")
+    return out.tobytes()

@@ -1,0 +1,236 @@
+"""Ray Data wiring: streaming encode/decode pipelines.
+
+The reference's single-process writer loop (reference:
+pkg/store/MothWriter.go:122-177) becomes a `map_batches` stage over
+zero-copy Arrow blocks; its pull-based reader (MothRecordReader.go:
+184-287) becomes a `map_batches` decode stage. Ray's streaming
+executor supplies what the reference lacks: parallelism over splits,
+backpressure, spilling, retries (SURVEY.md §4.2).
+
+Determinism under retries: stripe keys are content hashes, and every
+codec (sorted dictionaries, seeded FSST tables) is deterministic, so a
+retried task reproduces bit-identical stripes (SURVEY.md §7.4 item 3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from . import stripe as stripe_mod
+
+
+def _batch_key(tbl: pa.Table) -> str:
+    """Deterministic lineage id for a batch: stable across task retries
+    (content-derived, not uuid)."""
+    h = hashlib.sha1()
+    h.update(str(tbl.num_rows).encode())
+    h.update(str(tbl.nbytes).encode())
+    if tbl.num_rows:
+        h.update(json.dumps(tbl.slice(0, 1).to_pylist(), default=str).encode())
+    return h.hexdigest()[:12]
+
+
+class StripeEncoder:
+    """Callable for map_batches: Arrow batch -> stripe rows.
+
+    A plain function would also work (the default plan is stateless,
+    mirroring the reference's per-stripe dictionaries); using a class
+    lets actor pools reuse a shared codec plan / FSST symbol table
+    broadcast via ray.put (SURVEY.md §7.2).
+    """
+
+    def __init__(self, opts: dict | None = None, plan_ref=None):
+        self.opts = dict(opts or {})
+        if plan_ref is not None:
+            import ray
+
+            self.opts["plan"] = ray.get(plan_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return stripe_mod.encode_batch(batch, self.opts, key_prefix=_batch_key(batch))
+
+
+class StripeDecoder:
+    """Callable for map_batches: stripe rows -> original Arrow batches.
+
+    Yields one table per stripe so a block of many stripes never
+    materializes fully decoded (reference's incremental NextPage loop,
+    MothRecordReader.go:184-228, via Ray generator UDF)."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for i in range(batch.num_rows):
+            row = {name: batch.column(name)[i].as_py() for name in batch.column_names}
+            yield stripe_mod.decode_stripe(row, self.columns)
+
+
+def encode_dataset(ds: ray.data.Dataset, opts: dict | None = None) -> ray.data.Dataset:
+    """Dataset of raw rows -> Dataset of encoded stripe rows (streaming)."""
+    return ds.map_batches(
+        StripeEncoder(opts),
+        batch_format="pyarrow",
+        batch_size=None,  # whole blocks; stripe splitting happens inside
+        zero_copy_batch=True,
+    )
+
+
+def decode_dataset(
+    ds: ray.data.Dataset, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Dataset of stripe rows -> Dataset of original rows (streaming).
+
+    `columns` projects at decode time: only the requested columns'
+    streams are decompressed+decoded (reference StripeReader.go:46-49)."""
+    return ds.map_batches(
+        StripeDecoder(columns),
+        batch_format="pyarrow",
+        batch_size=4,  # a few stripes per task; each stripe may be ~64MB raw
+        zero_copy_batch=True,
+    )
+
+
+def prune_stripes(
+    ds: ray.data.Dataset,
+    column: str,
+    min_value=None,
+    max_value=None,
+    needle: str | None = None,
+) -> ray.data.Dataset:
+    """Stats/bloom-based stripe pruning WITHOUT touching stream blobs —
+    the Ray-side analog of row-group skipping (reference
+    StripeReader.selectRowGroups:272-293 + bloom merge :249-270).
+
+    Filters the encoded dataset to stripes whose [min,max] overlaps the
+    predicate range and (if `needle` given) whose bloom filter might
+    contain the needle.
+    """
+    from . import bloom as bloom_mod
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.ones(batch.num_rows, dtype=bool)
+        stats_col = batch.column("stats").to_pylist()
+        for i, sj in enumerate(stats_col):
+            st = json.loads(sj).get(column, {})
+            lo, hi = st.get("min"), st.get("max")
+            if min_value is not None and hi is not None and hi < min_value:
+                mask[i] = False
+            if max_value is not None and lo is not None and lo > max_value:
+                mask[i] = False
+        if needle is not None:
+            metas = batch.column("meta").to_pylist()
+            blooms = batch.column("blooms").to_pylist()
+            for i, (mj, bl) in enumerate(zip(metas, blooms)):
+                if not mask[i]:
+                    continue
+                idx = json.loads(mj).get("blooms", {}).get(column)
+                if idx and bl:
+                    off, ln = idx
+                    if not bloom_mod.might_contain(bl[off : off + ln], [needle])[0]:
+                        mask[i] = False
+        return batch.filter(pa.array(mask))
+
+    # project to metadata columns first? No: the filter needs all columns to
+    # pass through; parquet reader should be given the metadata columns only
+    # upstream when blobs aren't needed.
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- skew / shuffle
+
+def add_host_bucket(
+    ds: ray.data.Dataset,
+    num_buckets: int,
+    url_column: str = "url",
+    hot_hosts: dict[str, int] | None = None,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Adds a `bucket` column = hash(host) % num_buckets, salting hosts
+    listed in `hot_hosts` (host -> fanout) across `fanout` buckets —
+    the north-rule skew control (BASELINE.json north_rule). Broadcast
+    `hot_hosts` comes from a sampling pass (sample_host_frequencies).
+    """
+    hot = hot_hosts or {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = batch.column(url_column)
+        hosts = pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, r"^https?://", ""), r"/.*$", ""
+        )
+        hosts_np = hosts.to_pylist()
+        base = np.array([hash_host(h) for h in hosts_np], dtype=np.uint64)
+        bucket = (base % np.uint64(num_buckets)).astype(np.int32)
+        if hot:
+            # deterministic per-row salt (url hash), so retries re-bucket identically
+            url_salt = np.array([hash_host(u) for u in batch.column(url_column).to_pylist()], dtype=np.uint64)
+            for i, h in enumerate(hosts_np):
+                fan = hot.get(h)
+                if fan:
+                    bucket[i] = int((base[i] + url_salt[i] % np.uint64(fan)) % np.uint64(num_buckets))
+        return batch.append_column("bucket", pa.array(bucket))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_host(host: str) -> int:
+    return int.from_bytes(hashlib.md5(host.encode()).digest()[:8], "little")
+
+
+def sample_host_frequencies(
+    ds: ray.data.Dataset, url_column: str = "url", fraction: float = 0.05, hot_fraction: float = 0.01
+) -> dict[str, int]:
+    """Pass-1 sampling: find hosts that exceed `hot_fraction` of rows;
+    returns {host: fanout} for salting (SURVEY.md §4.2 skew row)."""
+    import pyarrow.compute as pc
+
+    sample = ds.random_sample(fraction, seed=17)
+
+    def hosts_only(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_column)
+        hosts = pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, r"^https?://", ""), r"/.*$", ""
+        )
+        return pa.table({"host": hosts})
+
+    counts = (
+        sample.map_batches(hosts_only, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .to_pandas()
+    )
+    total = counts["count()"].sum()
+    if total == 0:
+        return {}
+    hot = counts[counts["count()"] > total * hot_fraction]
+    return {
+        row["host"]: max(2, int(row["count()"] / (total * hot_fraction)))
+        for _, row in hot.iterrows()
+    }
+
+
+# ---------------------------------------------------------------- convenience
+
+def encode_parquet_to_dir(
+    input_path: str | list[str],
+    out_dir: str,
+    opts: dict | None = None,
+    columns: list[str] | None = None,
+) -> None:
+    """read_parquet -> encode -> write_parquet, fully streaming."""
+    ds = ray.data.read_parquet(input_path, columns=columns)
+    encode_dataset(ds, opts).write_parquet(out_dir)
+
+
+def read_encoded(path: str, metadata_only: bool = False) -> ray.data.Dataset:
+    cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
+    return ray.data.read_parquet(path, columns=cols)

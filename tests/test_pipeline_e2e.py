@@ -1,0 +1,113 @@
+"""End-to-end Ray Data pipeline tests (SURVEY.md §5.2 item 3):
+read_parquet -> encode -> write -> read -> decode -> bit-identical."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mothray import datagen, pipeline, stripe
+
+
+@pytest.fixture(scope="module")
+def cc_table(tmp_path_factory):
+    tbl = datagen.cc_pages(5000, seed=42)
+    path = tmp_path_factory.mktemp("cc") / "cc_pages.parquet"
+    pq.write_table(tbl, path)
+    return tbl, str(path)
+
+
+def _sorted_by_url(tbl: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return tbl.take(pc.sort_indices(tbl.column("url")))
+
+
+def test_cc_pages_e2e_roundtrip(ray_session, cc_table, tmp_path):
+    import ray.data
+
+    tbl, path = cc_table
+    ds = ray.data.read_parquet(path)
+    enc = pipeline.encode_dataset(ds, {"stripe_bytes": 1 << 20})
+    out = str(tmp_path / "encoded")
+    enc.write_parquet(out)
+
+    back = pipeline.read_encoded(out)
+    dec = pipeline.decode_dataset(back)
+    result = pa.concat_tables(
+        [b for b in dec.iter_batches(batch_format="pyarrow", batch_size=None)]
+    ).combine_chunks()
+    assert result.num_rows == tbl.num_rows
+    # order-insensitive bit-identity: sort both by url
+    a = _sorted_by_url(tbl.select(result.column_names))
+    b = _sorted_by_url(result)
+    for col in a.column_names:
+        assert a.column(col).combine_chunks().equals(b.column(col).combine_chunks()), col
+    # per-url byte-identical text: the cross-engine invariant (input_hint)
+    assert a.column("text").equals(b.column("text"))
+
+
+def test_decode_projection(ray_session, cc_table, tmp_path):
+    import ray.data
+
+    tbl, path = cc_table
+    enc = pipeline.encode_dataset(ray.data.read_parquet(path))
+    dec = pipeline.decode_dataset(enc, columns=["url", "lang"])
+    got = dec.schema().names
+    assert got == ["url", "lang"]
+
+
+def test_stats_pruning(ray_session, tmp_path):
+    """FIXTURES.md F5: clustered keys -> disjoint stripe ranges -> stripes
+    skipped via stats without decoding."""
+    import numpy as np
+    import ray.data
+
+    n = 40000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.sort(np.random.default_rng(1).integers(0, 1000, n))),
+            "needle": pa.array([f"v{i//100}" for i in range(n)]),
+        }
+    )
+    enc_tbl = stripe.encode_batch(tbl, {"stripe_bytes": 50_000})
+    assert enc_tbl.num_rows >= 4
+    enc = ray.data.from_arrow(enc_tbl)
+
+    pruned = pipeline.prune_stripes(enc, "k", min_value=990, max_value=None)
+    kept = pruned.count()
+    assert 0 < kept < enc_tbl.num_rows
+    dec = pa.concat_tables(
+        pipeline.decode_dataset(pruned).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ks = dec.column("k").to_pylist()
+    assert max(ks) >= 990
+    expect = [k for k in tbl.column("k").to_pylist() if k >= 990]
+    got = [k for k in ks if k >= 990]
+    assert sorted(got) == sorted(expect)
+
+    # bloom pruning: needle guaranteed absent
+    pruned2 = pipeline.prune_stripes(enc, "needle", needle="definitely-absent-xyz")
+    assert pruned2.count() < enc_tbl.num_rows / 2  # most stripes bloom-skipped
+
+
+def test_host_bucketing_and_salting(ray_session, cc_table):
+    import ray.data
+
+    tbl, path = cc_table
+    ds = ray.data.read_parquet(path)
+    hot = pipeline.sample_host_frequencies(ds, fraction=0.5, hot_fraction=0.02)
+    assert isinstance(hot, dict)
+    bucketed = pipeline.add_host_bucket(ds, num_buckets=8, hot_hosts=hot)
+    pdf = bucketed.groupby("bucket").count().to_pandas()
+    assert pdf["count()"].sum() == tbl.num_rows
+    assert len(pdf) > 1  # rows actually spread across buckets
+
+
+def test_encode_metrics_in_meta(ray_session, cc_table):
+    tbl, _ = cc_table
+    enc = stripe.encode_batch(tbl.slice(0, 1000))
+    meta = json.loads(enc.column("meta")[0].as_py())
+    assert "encode_sec" in meta["metrics"]
+    assert meta["metrics"]["codecs"]["lang"] == "DICT"
