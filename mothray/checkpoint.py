@@ -1,0 +1,154 @@
+"""Resumable encode jobs: per-partition checkpoints with lineage ids,
+byte counts and codec metrics (BASELINE.json north_rule).
+
+The reference has no job-level resume (its checkpoints are intra-file
+seek points, reference pkg/store/Checkpoints.go:10-51 — SURVEY.md
+§2.8); this layer is the Ray-side design from SURVEY.md §4.2: one
+output parquet file per input partition, written atomically
+(tmp+rename), plus a JSON manifest per partition. A restarted job
+lists manifests and encodes only missing partitions.
+
+Partitions are derived deterministically from the input layout (file
+paths + row-group ranges), so a rerun maps the same data to the same
+partition ids. Partition tasks are plain @ray.remote tasks rather than
+a Dataset stage: Dataset blocks have no stable identity across runs,
+and resume requires a stable partition <-> output mapping (documented
+divergence from the everything-is-a-Dataset rule; inside each task the
+encode is the same vectorized stripe path)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+
+from . import stripe as stripe_mod
+
+MANIFEST_DIR = "_manifest"
+TARGET_PARTITION_BYTES = 256 << 20
+
+
+def plan_partitions(
+    input_path: str | list[str], target_bytes: int = TARGET_PARTITION_BYTES
+) -> list[dict]:
+    """Deterministic partition list: row-group clusters of input files,
+    each at most `target_bytes` (compressed). Partition id = index in
+    path-sorted row-group order, so reruns reproduce the mapping."""
+    dataset = pads.dataset(input_path, format="parquet")
+    units = []
+    for frag in sorted(dataset.get_fragments(), key=lambda f: f.path):
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            units.append((frag.path, rg, md.row_group(rg).total_byte_size))
+    parts: list[dict] = []
+    cur: dict | None = None
+    for path, rg, size in units:
+        if cur is None or cur["bytes"] + size > target_bytes:
+            cur = {"part_id": len(parts), "inputs": [], "bytes": 0}
+            parts.append(cur)
+        cur["inputs"].append([path, rg])
+        cur["bytes"] += size
+    return parts
+
+
+def completed_parts(out_dir: str) -> dict[int, dict]:
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    done = {}
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.startswith("part-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                done[m["part_id"]] = m
+    return done
+
+
+@ray.remote
+def _encode_partition(part: dict, out_dir: str, opts: dict | None) -> dict:
+    t0 = time.monotonic()
+    tables = []
+    for path, rg in part["inputs"]:
+        pf = pq.ParquetFile(path)
+        tables.append(pf.read_row_group(rg))
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(tables)
+    pid = part["part_id"]
+    enc = stripe_mod.encode_batch(tbl, opts, key_prefix=f"p{pid:05d}")
+    out_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+    tmp = out_path + ".tmp"
+    pq.write_table(enc, tmp)
+    os.rename(tmp, out_path)
+
+    metrics = [json.loads(m)["metrics"] for m in enc.column("meta").to_pylist()]
+    manifest = {
+        "part_id": pid,
+        "inputs": part["inputs"],
+        "lineage": [k for k in enc.column("stripe_key").to_pylist()],
+        "n_rows": int(tbl.num_rows),
+        "raw_bytes": int(sum(enc.column("raw_bytes").to_pylist())),
+        "enc_bytes": int(sum(enc.column("enc_bytes").to_pylist())),
+        "codecs": metrics[0]["codecs"] if metrics else {},
+        "duration_sec": round(time.monotonic() - t0, 3),
+        "output": os.path.basename(out_path),
+    }
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"part-{pid:05d}.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(mpath + ".tmp", mpath)
+    return manifest
+
+
+def read_job_output(out_dir: str):
+    """Dataset over a job's encoded partitions (explicit file list —
+    the manifest dir lives alongside the parquet parts)."""
+    import ray.data
+
+    files = sorted(
+        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+    )
+    return ray.data.read_parquet(files)
+
+
+def encode_job(
+    input_path: str | list[str],
+    out_dir: str,
+    opts: dict | None = None,
+    target_partition_bytes: int = TARGET_PARTITION_BYTES,
+    max_in_flight: int = 64,
+) -> dict:
+    """Run (or resume) a partition-checkpointed encode job.
+
+    Returns a summary: partitions total/skipped/encoded, bytes, and the
+    merged manifest. Safe to re-run after a crash: finished partitions
+    (manifest present) are skipped."""
+    os.makedirs(out_dir, exist_ok=True)
+    parts = plan_partitions(input_path, target_partition_bytes)
+    done = completed_parts(out_dir)
+    pending = [p for p in parts if p["part_id"] not in done]
+
+    results = list(done.values())
+    refs = []
+    for p in pending:
+        refs.append(_encode_partition.remote(p, out_dir, opts))
+        if len(refs) >= max_in_flight:
+            ready, refs = ray.wait(refs, num_returns=1)
+            results.extend(ray.get(ready))
+    results.extend(ray.get(refs))
+
+    return {
+        "partitions": len(parts),
+        "skipped": len(done),
+        "encoded": len(pending),
+        "n_rows": sum(m["n_rows"] for m in results),
+        "raw_bytes": sum(m["raw_bytes"] for m in results),
+        "enc_bytes": sum(m["enc_bytes"] for m in results),
+        "out_dir": out_dir,
+    }

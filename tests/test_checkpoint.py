@@ -1,0 +1,81 @@
+"""Resume test (SURVEY.md §5.2 item 4): kill after K partitions,
+restart, verify no recompute of done partitions + identical output."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mothray import checkpoint, datagen, pipeline
+
+
+@pytest.fixture(scope="module")
+def multi_rg_input(tmp_path_factory):
+    tbl = datagen.cc_pages(8000, seed=5)
+    path = tmp_path_factory.mktemp("ccin") / "pages.parquet"
+    pq.write_table(tbl, path, row_group_size=500)  # 16 row groups
+    return tbl, str(path)
+
+
+def test_partition_plan_deterministic(multi_rg_input):
+    _, path = multi_rg_input
+    p1 = checkpoint.plan_partitions(path, target_bytes=200_000)
+    p2 = checkpoint.plan_partitions(path, target_bytes=200_000)
+    assert p1 == p2
+    assert len(p1) > 3
+
+
+def test_encode_job_and_resume(ray_session, multi_rg_input, tmp_path):
+    tbl, path = multi_rg_input
+    out = str(tmp_path / "encoded")
+    summary = checkpoint.encode_job(path, out, target_partition_bytes=200_000)
+    assert summary["encoded"] == summary["partitions"] > 3
+    assert summary["n_rows"] == tbl.num_rows
+
+    # decode everything and verify bit-identity
+    import ray.data
+
+    dec = pipeline.decode_dataset(checkpoint.read_job_output(out))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.num_rows == tbl.num_rows
+
+    # simulate a crash that lost two partitions
+    victims = ["part-00001", "part-00003"]
+    for v in victims:
+        os.remove(f"{out}/{v}.parquet")
+        os.remove(f"{out}/{checkpoint.MANIFEST_DIR}/{v}.json")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    }
+
+    summary2 = checkpoint.encode_job(path, out, target_partition_bytes=200_000)
+    assert summary2["encoded"] == 2
+    assert summary2["skipped"] == summary["partitions"] - 2
+    assert summary2["n_rows"] == tbl.num_rows
+    # untouched partitions were NOT recomputed
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m, f
+
+    dec2 = pipeline.decode_dataset(checkpoint.read_job_output(out))
+    got2 = pa.concat_tables(dec2.iter_batches(batch_format="pyarrow", batch_size=None))
+    import pyarrow.compute as pc
+
+    key = pc.sort_indices(got2.column("url"))
+    key1 = pc.sort_indices(got.column("url"))
+    for col in tbl.column_names:
+        assert got2.take(key).column(col).equals(got.take(key1).column(col)), col
+
+
+def test_manifest_lineage_and_metrics(ray_session, multi_rg_input, tmp_path):
+    _, path = multi_rg_input
+    out = str(tmp_path / "enc2")
+    checkpoint.encode_job(path, out, target_partition_bytes=300_000)
+    mdir = os.path.join(out, checkpoint.MANIFEST_DIR)
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in sorted(os.listdir(mdir))]
+    assert all("lineage" in m and m["lineage"] for m in manifests)
+    assert all(m["enc_bytes"] > 0 and m["raw_bytes"] > m["enc_bytes"] for m in manifests)
+    assert all("codecs" in m and m["codecs"].get("lang") for m in manifests)
