@@ -86,12 +86,118 @@ def _prune_orders(sf_dir: str) -> pa.Table:
     )
 
 
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dedup_exact(sf_dir: str):
+    from mothray.ops import dedup
+
+    return dedup.exact_dedup(_docs(sf_dir))
+
+
+def _dedup_minhash(sf_dir: str):
+    from mothray.ops import dedup
+
+    return dedup.minhash_lsh_dedup(_docs(sf_dir))
+
+
+def _dedup_simhash(sf_dir: str):
+    from mothray.ops import dedup
+
+    return dedup.simhash_dedup(_docs(sf_dir))
+
+
+def _text_tokens(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(text.token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "tok_cnt"]
+    )
+
+
+def _text_quality(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(text.quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "char_cnt", "alpha_ratio", "digit_ratio", "space_ratio"]
+    )
+
+
+def _langid(sf_dir: str):
+    from mothray.ops import text
+
+    return text.langid(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+
+
+def _fingerprint(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(text.fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def _ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import ann
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    min_id = pc.min(emb.column("vec_id")).as_py()
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), min_id)).column("embedding")[0].as_py())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.brute_force_topk(ds, q, k=10)
+
+
+def _ann_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import ann
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    min_id = pc.min(emb.column("vec_id")).as_py()
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), min_id)).column("embedding")[0].as_py())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
+
+
+def _top_sources(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _docs(sf_dir)
+        .groupby("source")
+        .aggregate(Count(alias_name="doc_cnt"), Sum("n_chars", alias_name="sum_chars"))
+        .sort("source")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in ("documents", "lineitem", "events", "orders", "embeddings", "part", "customer"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     q["stats_lineitem"] = _stats_lineitem
     q["prune_orders"] = _prune_orders
+    q["dedup_exact_documents"] = _dedup_exact
+    q["dedup_minhash_documents"] = _dedup_minhash
+    q["dedup_simhash_documents"] = _dedup_simhash
+    q["text_tokens_documents"] = _text_tokens
+    q["text_quality_documents"] = _text_quality
+    q["langid_documents"] = _langid
+    q["fingerprint_documents"] = _fingerprint
+    q["ann_topk_embeddings"] = _ann_topk
+    q["ann_ivf_embeddings"] = _ann_ivf
+    q["top_sources_documents"] = _top_sources
     return q
 
 
@@ -108,4 +214,30 @@ def oracle_sql() -> dict[str, str]:
         " FROM lineitem"
     )
     o["prune_orders"] = "SELECT * FROM orders WHERE o_totalprice >= 400000.0"
+    o["dedup_exact_documents"] = (
+        "SELECT * FROM documents WHERE doc_id IN"
+        " (SELECT min(doc_id) FROM documents GROUP BY text)"
+    )
+    o["text_tokens_documents"] = (
+        "SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_cnt FROM documents"
+    )
+    o["text_quality_documents"] = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS char_cnt,"
+        " length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha_ratio,"
+        " length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS digit_ratio,"
+        " (length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)::DOUBLE AS space_ratio"
+        " FROM documents"
+    )
+    o["ann_topk_embeddings"] = (
+        "SELECT vec_id, round(list_cosine_similarity(embedding,"
+        " (SELECT embedding FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))), 6) AS score"
+        " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+    )
+    o["top_sources_documents"] = (
+        "SELECT source, CAST(count(*) AS BIGINT) AS doc_cnt,"
+        " CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY source ORDER BY source"
+    )
+    # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
+    # fingerprint_documents / ann_ivf_embeddings: approximate or non-SQL ops —
+    # rows-only checks by design.
     return o

@@ -1,0 +1,121 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_topk — the exact baseline: per-batch numpy matmul against
+  a broadcast query matrix (ray.put once, gathered per task), partial
+  top-k per batch, tiny final merge on the driver. Scale path: the
+  only data movement is (id, score) pairs — k rows per batch.
+* ivf_topk — IVF-style scale path: a sampled k-means pass fixes
+  centroids (broadcast), vectors shuffle into their nearest-centroid
+  bucket once; a query probes the nprobe closest buckets only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch_col) -> np.ndarray:
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    dim = int(lens[0]) if len(lens) else 0
+    assert (lens == dim).all(), "ragged embeddings"
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, dim)
+
+
+def _cosine_scores(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    norms = np.linalg.norm(mat, axis=1)
+    return (mat @ qn) / np.maximum(norms, 1e-30)
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    round_digits: int | None = 6,
+):
+    """Exact cosine top-k. Returns a k-row pa.Table (vec_id, score)."""
+    import ray
+
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _matrix(batch.column(column)).astype(np.float64)
+        scores = _cosine_scores(mat, q)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        take = min(k, len(scores))
+        part = np.argpartition(-scores, take - 1)[:take] if take else np.empty(0, np.int64)
+        return pa.table({id_column: pa.array(ids[part]), "score": pa.array(scores[part])})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = parts.to_pandas()  # k rows per batch — tiny
+    pdf = pdf.sort_values(["score", id_column], ascending=[False, True]).head(k)
+    if round_digits is not None:
+        pdf["score"] = pdf["score"].round(round_digits)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True))
+
+
+# ------------------------------------------------------------------ IVF
+
+def train_centroids(ds, n_centroids: int = 16, column: str = "embedding", sample_fraction: float = 0.25, iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Sampled mini k-means (pass 1). Deterministic: fixed seed."""
+    sample = ds.random_sample(sample_fraction, seed=seed)
+    mats = [
+        _matrix(b.column(column)).astype(np.float64)
+        for b in sample.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    X = np.concatenate(mats) if mats else np.zeros((1, 8))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    return cent
+
+
+def assign_buckets(ds, centroids: np.ndarray, column: str = "embedding"):
+    """Adds `bucket` = nearest centroid (the one-time IVF shuffle key)."""
+    import ray
+
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(c_ref)
+        mat = _matrix(batch.column(column)).astype(np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column("bucket", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Approximate top-k: search only the nprobe nearest buckets."""
+    cent = train_centroids(ds, n_centroids, column)
+    q = np.asarray(query, dtype=np.float64)
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+    bucketed = assign_buckets(ds, cent, column)
+    probe_set = set(int(b) for b in probe)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch.column("bucket").to_numpy(zero_copy_only=False), list(probe_set))
+        return batch.filter(pa.array(mask))
+
+    candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, column, id_column)

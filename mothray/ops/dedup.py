@@ -1,0 +1,292 @@
+"""Deduplication operators over a documents table.
+
+All stages are vectorized map_batches + one keyed shuffle; nothing
+materializes the corpus on the driver.
+
+* exact_dedup      — 128-bit content hash -> hash-partitioned groupby ->
+                     keep lowest id per group. The hash pre-aggregation
+                     keeps the shuffle payload at (h1, h2, id), not text.
+* minhash_lsh_dedup— 8-byte shingles -> 64 minhash permutations -> 16
+                     bands of 4 -> banded groupby buckets -> connected
+                     candidates collapse to their minimum doc id.
+* simhash_dedup    — 64-bit simhash over token hashes; 4-way band split
+                     (pigeonhole: hamming distance <= 3 implies an exact
+                     match in at least one 16-bit band) -> candidate
+                     buckets -> verify hamming -> drop near-dups.
+* ngram_jaccard    — exact character-n-gram Jaccard verification for a
+                     candidate pair list (used to verify LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import bloom as bloom_mod
+
+_U64 = np.uint64
+_MIX1 = _U64(0xFF51AFD7ED558CCD)
+_MIX2 = _U64(0xC4CEB9FE1A85EC53)
+
+
+def _text_parts(arr: pa.ChunkedArray | pa.Array):
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    from ..column import _string_parts
+
+    values = arr.fill_null("")
+    return _string_parts(values)
+
+
+def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Adds h1/h2 (two independent 64-bit hashes = 128-bit content id)."""
+    lengths, data = _text_parts(batch.column(column))
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h1 = bloom_mod.hash_bytes_columns(lengths, buf)
+    h2 = (h1 ^ (h1 >> _U64(33))) * _MIX1
+    h2 = (h2 ^ (h2 >> _U64(29))) * _MIX2
+    h2 ^= h2 >> _U64(32)
+    return batch.append_column("h1", pa.array(h1.view(np.int64))).append_column(
+        "h2", pa.array(h2.view(np.int64))
+    )
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Keep the lowest-id row per distinct `column` value.
+
+    Scale path: the groupby shuffles only after batches are reduced to
+    per-key minima inside each batch (partial aggregate before the
+    exchange — ray guide 'Aggregation at scale')."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda t: content_hash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        # partial pre-aggregation: one candidate row per key per batch
+        df = batch.to_pandas()
+        out = df.sort_values(id_column).groupby(["h1", "h2"], as_index=False).first()
+        return pa.Table.from_pandas(out, preserve_index=False).select(
+            batch.column_names
+        ).cast(batch.schema.remove_metadata())
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_column)
+
+    dedup = (
+        hashed.map_batches(local_min, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    return dedup.drop_columns(["h1", "h2"])
+
+
+# ------------------------------------------------------------------ minhash
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(seed: int = 1234):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(texts: pa.ChunkedArray | pa.Array, shingle: int = 8) -> np.ndarray:
+    """(n_docs, N_PERM) uint64 minhash matrix, fully vectorized:
+    8-byte shingles come from a sliding u64 view of the concatenated
+    buffer; per-permutation minima via np.minimum.reduceat over doc
+    boundaries."""
+    lengths, data = _text_parts(texts)
+    n_docs = len(lengths)
+    if n_docs == 0:
+        return np.empty((0, N_PERM), dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    padded = np.concatenate([buf, np.zeros(shingle, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    # valid shingle positions per doc: start .. start + max(len - shingle + 1, 1)
+    starts = offs[:-1].astype(np.int64)
+    counts = np.maximum(lengths - shingle + 1, 1).astype(np.int64)
+    seg_starts = np.minimum(starts, len(win) - 1)
+    # positions past a doc's last full shingle (windows crossing into the
+    # next doc) are invalidated so reduceat minima stay doc-exact
+    delta = np.zeros(len(win) + 1, dtype=np.int64)
+    np.add.at(delta, np.minimum(starts, len(win)), 1)
+    np.add.at(delta, np.minimum(starts + counts, len(win)), -1)
+    invalid_idx = np.nonzero(np.cumsum(delta[:-1]) <= 0)[0]
+    a, b = _perm_params()
+    sig = np.empty((n_docs, N_PERM), dtype=np.uint64)
+    hv = (win * _MIX1) ^ (win >> _U64(31))
+    maxu = _U64(0xFFFFFFFFFFFFFFFF)
+    for p in range(N_PERM):
+        y = hv * a[p] + b[p]
+        y[invalid_idx] = maxu
+        sig[:, p] = np.minimum.reduceat(y, seg_starts)
+    return sig
+
+
+def minhash_band_rows(batch: pa.Table, column: str = "text", id_column: str = "doc_id") -> pa.Table:
+    """Explode each doc into (band, band_hash, id) rows for the LSH
+    groupby."""
+    sig = minhash_signatures(batch.column(column))
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    n = len(ids)
+    bands = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+    bh = bands[:, :, 0].copy()
+    for r in range(1, ROWS_PER_BAND):
+        bh = (bh * _MIX1) ^ bands[:, :, r]
+    return pa.table(
+        {
+            "band": pa.array(np.repeat(np.arange(N_BANDS, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+            id_column: pa.array(np.tile(ids, N_BANDS)),
+        }
+    )
+
+
+def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Near-dup removal: docs sharing any LSH band bucket collapse to
+    the bucket's minimum id (single-linkage within buckets; one label-
+    propagation round, which is exact when near-dup groups are bucket-
+    contained — the common case at band similarity ~0.5+)."""
+    import pandas as pd
+
+    band_rows = ds.map_batches(
+        lambda t: minhash_band_rows(t, column, id_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
+        m = group[id_column].min()
+        out = group[group[id_column] != m][[id_column]].copy()
+        out["dup_of"] = np.int64(m)
+        if out.empty:
+            return pd.DataFrame(
+                {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+            )
+        return out
+
+    dup_edges = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_min, batch_format="pandas"
+    )
+    # a doc may appear in many buckets; keep the smallest dup target
+    dup_map = dup_edges.groupby(id_column).min("dup_of").to_pandas()
+    dup_ids = set(dup_map[id_column].tolist())
+
+    import ray
+
+    dup_ref = ray.put(dup_ids)
+
+    def drop_dups(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mask = np.array([i not in dups for i in ids.tolist()])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(drop_dups, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """64-bit simhash per doc over 8-byte shingle hashes (vectorized:
+    per-bit weighted sums via unpackbits + reduceat)."""
+    lengths, data = _text_parts(batch.column(column))
+    n_docs = len(lengths)
+    if n_docs == 0:
+        return batch.append_column("simhash", pa.array([], type=pa.int64()))
+    buf = np.frombuffer(data, dtype=np.uint8)
+    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
+    hv = (win * _MIX1) ^ (win >> _U64(29))
+    bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)  # (n_pos, 64)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    seg_starts = np.minimum(offs[:-1].astype(np.int64), len(hv) - 1)
+    sums = np.add.reduceat(bits, seg_starts, axis=0)  # (n_docs, 64)
+    counts = np.maximum(np.diff(np.concatenate((seg_starts, [len(hv)]))), 1)[:, None]
+    sh_bits = (sums * 2 > counts).astype(np.uint8)
+    sh = np.packbits(sh_bits, axis=1).copy().view(">u8").ravel()
+    return batch.append_column("simhash", pa.array(sh.view(np.int64)))
+
+
+def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hamming: int = 3):
+    """Near-dup removal via simhash banding: split the 64-bit hash into
+    4 16-bit bands; hamming <= 3 guarantees one identical band
+    (pigeonhole); verify hamming inside buckets."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda t: simhash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(4):
+            band = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), b, dtype=np.int32)),
+                        "band_val": pa.array(band),
+                        id_column: pa.array(ids),
+                        "simhash": batch.column("simhash"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    empty = pd.DataFrame(
+        {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+    )
+
+    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return empty.copy()
+        g = group.sort_values(id_column)
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        ids = g[id_column].to_numpy()
+        xor = sh[None, :] ^ sh[:, None]
+        ham = np.unpackbits(xor.view(np.uint8).reshape(len(g), len(g), 8), axis=2).sum(axis=2)
+        near = (ham <= max_hamming) & (ids[None, :] > ids[:, None])
+        out = [(ids[j], ids[i]) for i, j in zip(*np.nonzero(near))]
+        if not out:
+            return empty.copy()
+        return pd.DataFrame(out, columns=[id_column, "dup_of"]).astype("int64")
+
+    edges = hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
+        ["band", "band_val"]
+    ).map_groups(bucket_verify, batch_format="pandas")
+    dup_pdf = edges.groupby(id_column).min("dup_of").to_pandas()
+    dup_ids = set(dup_pdf[id_column].tolist())
+
+    import ray
+
+    dup_ref = ray.put(dup_ids)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mask = np.array([i not in dups for i in ids.tolist()])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ jaccard
+
+def ngram_jaccard(a: str, b: str, n: int = 8) -> float:
+    """Exact character-n-gram Jaccard (verification primitive)."""
+    sa = {a[i : i + n] for i in range(max(len(a) - n + 1, 1))}
+    sb = {b[i : i + n] for i in range(max(len(b) - n + 1, 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)

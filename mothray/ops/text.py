@@ -1,0 +1,117 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting. All
+vectorized per batch (pandas .str / numpy over byte buffers); no
+per-row Python in hot paths except the langid profile scorer, which is
+bounded by its 30-language profile table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import bloom as bloom_mod
+
+_U64 = np.uint64
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """tok_cnt = number of single-space-separated fields, defined as
+    count(' ') + 1 (matches SQL `length(string_split(text, ' '))`)."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+    spaces = pc.count_substring(texts, " ")
+    toks = pc.add(spaces, 1).cast(pa.int64())
+    return batch.append_column("tok_cnt", toks)
+
+
+def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Quality heuristics per doc (all defined over characters so a SQL
+    oracle can reproduce them exactly):
+
+      char_cnt     = length(text)                       (codepoints)
+      alpha_ratio  = [a-zA-Z] chars / max(char_cnt, 1)
+      digit_ratio  = [0-9] chars / max(char_cnt, 1)
+      space_ratio  = ' ' chars / max(char_cnt, 1)
+    """
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+    n = pc.utf8_length(texts).cast(pa.int64())
+    denom = pc.max_element_wise(n, 1).cast(pa.float64())
+    alpha = pc.utf8_length(pc.replace_substring_regex(texts, "[^a-zA-Z]", "")).cast(pa.float64())
+    digit = pc.utf8_length(pc.replace_substring_regex(texts, "[^0-9]", "")).cast(pa.float64())
+    space = pc.count_substring(texts, " ").cast(pa.float64())
+    out = batch.append_column("char_cnt", n)
+    out = out.append_column("alpha_ratio", pc.divide(alpha, denom))
+    out = out.append_column("digit_ratio", pc.divide(digit, denom))
+    out = out.append_column("space_ratio", pc.divide(space, denom))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """64-bit content fingerprint per doc (rolling first/mid/last mix —
+    same deterministic hash family as the bloom layer)."""
+    from ..column import _string_parts
+
+    arr = batch.column(column).combine_chunks().fill_null("")
+    lengths, data = _string_parts(arr)
+    h = bloom_mod.hash_bytes_columns(lengths, np.frombuffer(data, dtype=np.uint8))
+    return batch.append_column("fingerprint", pa.array(h.view(np.int64)))
+
+
+# ------------------------------------------------------------------ langid
+
+# tiny per-language marker vocabularies (top function words); a doc is
+# scored by marker hits per language — an n-gram/stopword heuristic, not
+# a model (nothing external in the sandbox).
+_PROFILES = {
+    "en": "the and of to in is was for that with his are had they this have",
+    "de": "der die und das ist ein nicht mit sich auf für dem werden",
+    "fr": "le la les des une est dans pour que qui sur avec pas être",
+    "es": "el la los las una es en para que por con del como más",
+    "it": "il la che di è per una con del non sono alla come",
+    "pt": "o que do da em um para com não uma os mais das",
+    "nl": "de het een van en in is dat op voor met zijn niet",
+    "ru": "и в не на что с как это по его был она так",
+    "pl": "w i na się nie z że do jest to jak po tak",
+    "tr": "bir ve bu da için ile olarak çok daha sonra gibi",
+    "sv": "och det att i en som är av för på med den inte",
+    "id": "yang dan di untuk dengan ini dari dalam pada adalah tidak",
+    "vi": "của và các là có trong được cho người những một không",
+    "cs": "a se na je v to že s z do by si jako",
+}
+
+
+class LangId:
+    """Stateful stage (actor-pool candidate): profiles are compiled once
+    per actor in __init__ (ray guide: stateful stages = actor pools)."""
+
+    def __init__(self):
+        self.langs = list(_PROFILES)
+        self.vocab: dict[str, np.ndarray] = {}
+        words: dict[str, set[int]] = {w: set() for p in _PROFILES.values() for w in p.split()}
+        for li, (lang, prof) in enumerate(_PROFILES.items()):
+            for w in prof.split():
+                words[w].add(li)
+        self.word_to_langs = words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch.column("text").to_pandas().fillna("")
+        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int32)
+        tokens = texts.str.lower().str.split()
+        for i, toks in enumerate(tokens):
+            for t in toks:
+                for li in self.word_to_langs.get(t, ()):
+                    scores[i, li] += 1
+        best = scores.argmax(axis=1)
+        conf = scores.max(axis=1)
+        pred = np.where(conf > 0, np.array(self.langs)[best], "und")
+        return batch.append_column("lang_pred", pa.array(pd.Series(pred)))
+
+
+def langid(ds):
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, batch_size=4096)

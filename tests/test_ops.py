@@ -1,0 +1,201 @@
+"""Tests for the training-data operators: dedup family, text analysis,
+ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mothray.ops import ann, dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_dedup_oracle(ray_session):
+    import duckdb
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+        }
+    )
+    out = dedup.exact_dedup(ray.data.from_arrow(tbl)).to_pandas().sort_values("doc_id")
+    expect = duckdb.sql(
+        "SELECT doc_id, text FROM tbl WHERE doc_id IN (SELECT min(doc_id) FROM tbl GROUP BY text) ORDER BY doc_id"
+    ).df()
+    assert out["doc_id"].tolist() == expect["doc_id"].tolist()
+    assert out["text"].tolist() == expect["text"].tolist()
+
+
+def test_exact_dedup_documents(ray_session, docs_ds):
+    import duckdb
+
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    expect = duckdb.sql(
+        "SELECT count(*) AS n FROM (SELECT min(doc_id) FROM read_parquet('/root/testdata/sf0.001/documents.parquet') GROUP BY text)"
+    ).df()["n"][0]
+    assert len(out) == expect
+
+
+def test_minhash_signatures_similarity():
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 10
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about databases and compression " * 10
+    sig = dedup.minhash_signatures(pa.array([base, near, far]))
+    sim_near = (sig[0] == sig[1]).mean()
+    sim_far = (sig[0] == sig[2]).mean()
+    assert sim_near > 0.5
+    assert sim_far < 0.2
+
+
+def test_minhash_lsh_dedup(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 20
+    rows = {
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": [
+            base,
+            base.replace("dog", "cat"),  # near-dup of 0
+            "unique document about ray data pipelines and arrow batches " * 20,
+            base,  # exact dup of 0
+            "another distinct text with its own words entirely different " * 20,
+            "short one",
+        ],
+    }
+    out = dedup.minhash_lsh_dedup(ray.data.from_arrow(pa.table(rows))).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    assert 0 in kept
+    assert 1 not in kept and 3 not in kept  # collapsed into doc 0
+    assert 2 in kept and 4 in kept and 5 in kept
+
+
+def test_simhash_dedup(ray_session):
+    import ray.data
+
+    base = "word " * 200 + "ending here now"
+    rows = {
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "text": [base, base, "totally different " * 50, base + "!"],
+    }
+    out = dedup.simhash_dedup(ray.data.from_arrow(pa.table(rows))).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    assert 0 in kept and 2 in kept
+    assert 1 not in kept  # identical simhash
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdefgh" * 10, "abcdefgh" * 10) == 1.0
+    assert dedup.ngram_jaccard("abcdefgh" * 10, "zzzzzzzz" * 10) == 0.0
+
+
+def test_token_count_matches_sql(ray_session, docs_ds):
+    import duckdb
+
+    out = (
+        docs_ds.map_batches(text.token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "tok_cnt"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = duckdb.sql(
+        "SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_cnt"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert out["tok_cnt"].tolist() == expect["tok_cnt"].tolist()
+
+
+def test_quality_matches_sql(ray_session, docs_ds):
+    import duckdb
+
+    out = (
+        docs_ds.map_batches(text.quality_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "char_cnt", "alpha_ratio"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = duckdb.sql(
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS char_cnt,"
+        " length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha_ratio"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert out["char_cnt"].tolist() == expect["char_cnt"].tolist()
+    np.testing.assert_allclose(out["alpha_ratio"], expect["alpha_ratio"], rtol=1e-12)
+
+
+def test_langid_reasonable(ray_session):
+    import ray.data
+
+    rows = pa.table(
+        {
+            "text": [
+                "the cat and the dog are in the house with his friends",
+                "der hund und die katze sind nicht auf dem tisch",
+                "le chat est dans la maison avec les enfants pour une fête",
+                "el perro y el gato en la casa con los niños",
+            ]
+        }
+    )
+    out = text.langid(ray.data.from_arrow(rows)).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "es"]
+
+
+def test_fingerprint_deterministic(ray_session, docs_ds):
+    a = docs_ds.map_batches(text.fingerprint_batch, batch_format="pyarrow").to_pandas()
+    b = docs_ds.map_batches(text.fingerprint_batch, batch_format="pyarrow").to_pandas()
+    pdf = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (pdf["fingerprint_a"] == pdf["fingerprint_b"]).all()
+    # identical text -> identical fingerprint; distinct ones mostly distinct
+    assert a.groupby("text")["fingerprint"].nunique().max() == 1
+
+
+def test_ann_brute_force_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").slice(0, 1)
+    q = np.array(first.column("embedding")[0].as_py())
+    out = ann.brute_force_topk(ds, q, k=5)
+    qs = "[" + ",".join(f"{x:.9g}" for x in q.tolist()) + "]"
+    expect = duckdb.sql(
+        f"SELECT vec_id, round(list_cosine_similarity(embedding, {qs}::FLOAT[]), 6) AS score"
+        " FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        " ORDER BY score DESC, vec_id LIMIT 5"
+    ).df()
+    assert out.column("vec_id").to_pylist() == expect["vec_id"].tolist()
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").slice(0, 1)
+    q = np.array(first.column("embedding")[0].as_py())
+    exact = set(ann.brute_force_topk(ds, q, k=10).column("vec_id").to_pylist())
+    approx = set(ann.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4).column("vec_id").to_pylist())
+    assert len(exact & approx) >= 5  # recall@10 >= 0.5 with half the buckets probed
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    images = [multimodal.make_fake_image(16, 12, seed=i) for i in range(20)]
+    images[3] = None
+    images[7] = b"not an image"
+    tbl = pa.table({"img_id": pa.array(range(20), type=pa.int64()), "image": pa.array(images, type=pa.binary())})
+    out = multimodal.decode_images(ray.data.from_arrow(tbl), concurrency=2, batch_size=8).to_pandas()
+    ok = out[out["width"].notna()]
+    assert len(ok) == 18
+    assert (ok["width"] == 16).all() and (ok["height"] == 12).all()
+    assert out[out["img_id"] == 3]["width"].isna().all()
+    assert len(out.iloc[0]["thumbnail"]) == 64
