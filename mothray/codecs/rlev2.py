@@ -248,21 +248,33 @@ def _emit_patched_rows(
         per_block[r] = bytes(out)
 
     ok_idx = np.nonzero(ok)[0]
+    # flat patch structure once: python small-int work per window only
+    flat_rows, flat_pos = np.nonzero(patch_mask)
+    counts = patch_mask.sum(axis=1)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    flat_vals = reduced[flat_rows, flat_pos]
+    lo_all = bmin[pb_rows]
     for w in np.unique(w95[ok_idx]).tolist():
         rows = ok_idx[w95[ok_idx] == w]
         mask_bits = (_U64(1) << _U64(w)) - _U64(1) if w < 64 else _U64(0xFFFFFFFFFFFFFFFF)
         packed_low = bitpack.pack_rows(reduced[rows] & mask_bits, int(w))
         wcode = bitpack.encode_bit_width(int(w))
         hdr01 = bytes([(2 << 6) | (wcode << 1) | ((m - 1) >> 8), (m - 1) & 0xFF])
+        pvals_w = (flat_vals >> _U64(w)).tolist()
+        pos_l = flat_pos.tolist()
         for i, j in enumerate(rows.tolist()):
             r = int(pb_rows[j])
-            pos = np.nonzero(patch_mask[j])[0]
-            pvals = (reduced[j, pos] >> _U64(w)).astype(np.uint64)
-            pw = bitpack.closest_fixed_bits(int(bitpack.bit_width(pvals).max()))
-            gaps = np.diff(pos, prepend=0).astype(np.int64)
+            s, e = int(cum[j]), int(cum[j + 1])
             ent_gaps: list[int] = []
             ent_vals: list[int] = []
-            for g, pv in zip(gaps.tolist(), pvals.tolist()):
+            prev = 0
+            pmax = 0
+            for t in range(s, e):
+                g = pos_l[t] - prev
+                prev = pos_l[t]
+                pv = pvals_w[t]
+                if pv > pmax:
+                    pmax = pv
                 while g > 255:
                     ent_gaps.append(255)
                     ent_vals.append(0)
@@ -274,21 +286,27 @@ def _emit_patched_rows(
                 _write_direct_pre(zz[r], int(wsort[r, -1]), out)
                 per_block[r] = bytes(out)
                 continue
+            pw = bitpack.closest_fixed_bits(max(1, pmax.bit_length()))
             pgw = bitpack.closest_fixed_bits(max(1, max(ent_gaps).bit_length()))
             combined = bitpack.closest_aligned_bits(pgw + pw)
-            lo = int(bmin[pb_rows[j]])
+            lo = int(lo_all[j])
             mag = abs(lo)
             bw = max(1, (mag.bit_length() + 1 + 7) // 8)
             base_field = (1 << (bw * 8 - 1)) | mag if lo < 0 else mag
-            entries = (np.array(ent_gaps, dtype=np.uint64) << _U64(pw)) | np.array(
-                ent_vals, dtype=np.uint64
-            )
+            # pack the tiny patch list with python ints (<=31 entries),
+            # MSB-first like bitpack.pack
+            acc = 0
+            for g, pv in zip(ent_gaps, ent_vals):
+                acc = (acc << combined) | (g << pw) | pv
+            total_bits = len(ent_gaps) * combined
+            pad = (-total_bits) % 8
+            patch_bytes = (acc << pad).to_bytes((total_bits + pad) // 8, "big")
             per_block[r] = (
                 hdr01
                 + bytes([((bw - 1) << 5) | bitpack.encode_bit_width(pw), ((pgw - 1) << 5) | len(ent_gaps)])
                 + base_field.to_bytes(bw, "big")
                 + packed_low[i].tobytes()
-                + bitpack.pack(entries, combined)
+                + patch_bytes
             )
 
 
@@ -398,11 +416,38 @@ def _try_write_patched(block: np.ndarray, signed: bool, lo: int, out: bytearray)
 
 # ---------------------------------------------------------------- decode
 
+def _scan_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """(unsigned value, new pos) — tiny python scan for header varints."""
+    u = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return u, pos
+
+
+def _unzz_int(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
 def decode(data, count: int, signed: bool = True, offset: int = 0):
-    """Decode `count` values. Returns (int64|uint64 array, bytes consumed)."""
+    """Decode `count` values. Returns (int64|uint64 array, bytes consumed).
+
+    Two passes: a sequential header scan (cheap python per run — run
+    payload sizes are derivable from headers), then bulk decode with
+    runs grouped by (mode, width, length) so same-shape runs unpack in
+    one matrix op (mirror of the encoder's grouped emission)."""
     buf = bytes(data) if not isinstance(data, bytes) else data
     dtype = np.int64 if signed else np.uint64
     out = np.empty(count, dtype=dtype)
+    bview = np.frombuffer(buf, dtype=np.uint8)
+
+    direct_groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    df_groups: dict[int, list[tuple[int, int, int]]] = {}  # run -> (base, d0, dest)
+    dv_groups: dict[tuple[int, int], list[tuple[int, int, int, int]]] = {}
     pos = offset
     filled = 0
     while filled < count:
@@ -412,79 +457,104 @@ def decode(data, count: int, signed: bool = True, offset: int = 0):
             nbytes = ((first >> 3) & 0x7) + 1
             run = (first & 0x7) + 3
             u = int.from_bytes(buf[pos + 1 : pos + 1 + nbytes], "big")
-            val = int(varint.unzigzag(np.array([u], dtype=np.uint64))[0]) if signed else u
-            out[filled : filled + run] = val
+            out[filled : filled + run] = _unzz_int(u) if signed else u
             pos += 1 + nbytes
             filled += run
         elif mode == DIRECT:
             w = bitpack.decode_bit_width((first >> 1) & 0x1F)
             run = (((first & 1) << 8) | buf[pos + 1]) + 1
-            pos += 2
-            u = bitpack.unpack(buf, run, w, pos)
-            pos += bitpack.packed_size(run, w)
-            out[filled : filled + run] = varint.unzigzag(u) if signed else u
+            direct_groups.setdefault((w, run), []).append((pos + 2, filled))
+            pos += 2 + bitpack.packed_size(run, w)
             filled += run
         elif mode == PATCHED_BASE:
-            w = bitpack.decode_bit_width((first >> 1) & 0x1F)
-            run = (((first & 1) << 8) | buf[pos + 1]) + 1
-            b3 = buf[pos + 2]
-            b4 = buf[pos + 3]
-            bw = ((b3 >> 5) & 0x7) + 1
-            pw = bitpack.decode_bit_width(b3 & 0x1F)
-            pgw = ((b4 >> 5) & 0x7) + 1
-            pll = b4 & 0x1F
-            pos += 4
-            base_field = int.from_bytes(buf[pos : pos + bw], "big")
-            sign = base_field >> (bw * 8 - 1)
-            magnitude = base_field & ((1 << (bw * 8 - 1)) - 1)
-            base = -magnitude if sign else magnitude
-            pos += bw
-            vals = bitpack.unpack(buf, run, w, pos)
-            pos += bitpack.packed_size(run, w)
-            combined = bitpack.closest_aligned_bits(pgw + pw)
-            entries = bitpack.unpack(buf, pll, combined, pos)
-            pos += bitpack.packed_size(pll, combined)
-            gaps = (entries >> _U64(pw)).astype(np.int64)
-            pvals = entries & ((_U64(1) << _U64(pw)) - _U64(1)) if pw < 64 else entries
-            cur = 0
-            for g, pv in zip(gaps.tolist(), pvals.tolist()):
-                cur += g
-                if pv != 0:
-                    vals[cur] |= _U64(pv) << _U64(w)
-            res = vals.astype(np.int64) + np.int64(base)  # modular, exact for int64 inputs
-            out[filled : filled + run] = res if signed else res.astype(np.uint64)
+            run, pos = _decode_patched(buf, pos, out, filled, signed)
             filled += run
         else:  # DELTA
             wcode = (first >> 1) & 0x1F
             run = (((first & 1) << 8) | buf[pos + 1]) + 1
             pos += 2
-            if signed:
-                base_arr, c = varint.decode_signed(buf, 1, pos)
-                base = int(base_arr[0])
+            ub, pos = _scan_varint(buf, pos)
+            base = _unzz_int(ub) if signed else (ub - (1 << 64) if ub >= 1 << 63 else ub)
+            ud, pos = _scan_varint(buf, pos)
+            d0 = _unzz_int(ud)
+            if wcode == 0 or run <= 2:
+                df_groups.setdefault(run, []).append((base, d0, filled))
+                if wcode != 0 and run > 2:
+                    pos += bitpack.packed_size(run - 2, bitpack.decode_bit_width(wcode))
             else:
-                base_arr, c = varint.decode_unsigned(buf, 1, pos)
-                base = int(base_arr[0])
-                if base >= 1 << 63:  # reinterpret modularly for int64 math
-                    base -= 1 << 64
-            pos += c
-            d0_arr, c = varint.decode_signed(buf, 1, pos)
-            d0 = int(d0_arr[0])
-            pos += c
-            deltas = np.empty(run, dtype=np.int64)
-            deltas[0] = 0
-            if run > 1:
-                deltas[1] = d0
-            if run > 2:
-                if wcode == 0:
-                    deltas[2:] = d0
-                else:
-                    w = bitpack.decode_bit_width(wcode)
-                    mags = bitpack.unpack(buf, run - 2, w, pos).astype(np.int64)
-                    pos += bitpack.packed_size(run - 2, w)
-                    deltas[2:] = -mags if d0 < 0 else mags
-            vals = np.int64(base) + np.cumsum(deltas, dtype=np.int64)
-            out[filled : filled + run] = vals if signed else vals.astype(np.uint64)
+                w = bitpack.decode_bit_width(wcode)
+                dv_groups.setdefault((w, run), []).append((pos, base, d0, filled))
+                pos += bitpack.packed_size(run - 2, w)
             filled += run
     if filled != count:
         raise ValueError("RLEv2 stream misaligned")
+
+    for (w, run), entries in direct_groups.items():
+        psize = bitpack.packed_size(run, w)
+        offs = np.array([e[0] for e in entries], dtype=np.int64)
+        dests = np.array([e[1] for e in entries], dtype=np.int64)
+        payload = bview[offs[:, None] + np.arange(psize)]
+        vals = bitpack.unpack_rows(payload, run, w)
+        res = varint.unzigzag(vals.ravel()) if signed else vals.ravel()
+        out[(dests[:, None] + np.arange(run)).ravel()] = res
+
+    for run, entries in df_groups.items():
+        bases = np.array([e[0] for e in entries], dtype=np.int64)
+        d0s = np.array([e[1] for e in entries], dtype=np.int64)
+        dests = np.array([e[2] for e in entries], dtype=np.int64)
+        vals = bases[:, None] + d0s[:, None] * np.arange(run, dtype=np.int64)
+        out[(dests[:, None] + np.arange(run)).ravel()] = vals.ravel().astype(dtype)
+
+    for (w, run), entries in dv_groups.items():
+        psize = bitpack.packed_size(run - 2, w)
+        offs = np.array([e[0] for e in entries], dtype=np.int64)
+        bases = np.array([e[1] for e in entries], dtype=np.int64)
+        d0s = np.array([e[2] for e in entries], dtype=np.int64)
+        dests = np.array([e[3] for e in entries], dtype=np.int64)
+        payload = bview[offs[:, None] + np.arange(psize)]
+        mags = bitpack.unpack_rows(payload, run - 2, w).astype(np.int64)
+        deltas = np.empty((len(entries), run), dtype=np.int64)
+        deltas[:, 0] = bases
+        deltas[:, 1] = d0s
+        deltas[:, 2:] = np.where(d0s[:, None] < 0, -mags, mags)
+        vals = np.cumsum(deltas, axis=1, dtype=np.int64)
+        out[(dests[:, None] + np.arange(run)).ravel()] = vals.ravel().astype(dtype)
+
     return out, pos - offset
+
+
+def _decode_patched(buf: bytes, pos: int, out: np.ndarray, filled: int, signed: bool) -> tuple[int, int]:
+    """Decode one PATCHED_BASE run in place; returns (run, new pos)."""
+    first = buf[pos]
+    w = bitpack.decode_bit_width((first >> 1) & 0x1F)
+    run = (((first & 1) << 8) | buf[pos + 1]) + 1
+    b3 = buf[pos + 2]
+    b4 = buf[pos + 3]
+    bw = ((b3 >> 5) & 0x7) + 1
+    pw = bitpack.decode_bit_width(b3 & 0x1F)
+    pgw = ((b4 >> 5) & 0x7) + 1
+    pll = b4 & 0x1F
+    pos += 4
+    base_field = int.from_bytes(buf[pos : pos + bw], "big")
+    sign = base_field >> (bw * 8 - 1)
+    magnitude = base_field & ((1 << (bw * 8 - 1)) - 1)
+    base = -magnitude if sign else magnitude
+    pos += bw
+    vals = bitpack.unpack(buf, run, w, pos)
+    pos += bitpack.packed_size(run, w)
+    combined = bitpack.closest_aligned_bits(pgw + pw)
+    entries = bitpack.unpack(buf, pll, combined, pos)
+    pos += bitpack.packed_size(pll, combined)
+    gaps = (entries >> _U64(pw)).astype(np.int64)
+    pvals = entries & ((_U64(1) << _U64(pw)) - _U64(1)) if pw < 64 else entries
+    cur = 0
+    for g, pv in zip(gaps.tolist(), pvals.tolist()):
+        cur += g
+        if pv != 0:
+            vals[cur] |= _U64(pv) << _U64(w)
+    res = vals.astype(np.int64) + np.int64(base)  # modular, exact for int64 inputs
+    if out.dtype == np.int64:
+        out[filled : filled + run] = res
+    else:
+        out[filled : filled + run] = res.astype(np.uint64)
+    return run, pos
