@@ -28,7 +28,8 @@ def _cc_pages_path() -> str:
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tbl = datagen.cc_pages(CC_ROWS, seed=42, html_len=(400, 4000), text_len=(200, 2000))
-        pq.write_table(tbl, path + ".tmp")
+        # many row groups so the Ray reader splits the file into blocks
+        pq.write_table(tbl, path + ".tmp", row_group_size=4096)
         os.rename(path + ".tmp", path)
     return path
 

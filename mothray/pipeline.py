@@ -48,10 +48,10 @@ class StripeEncoder:
 
     def __init__(self, opts: dict | None = None, plan_ref=None):
         self.opts = dict(opts or {})
-        if plan_ref is not None:
+        if plan_ref is not None:  # broadcast CodecPlan opts (ray.put once)
             import ray
 
-            self.opts["plan"] = ray.get(plan_ref)
+            self.opts = {**self.opts, **ray.get(plan_ref)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return stripe_mod.encode_batch(batch, self.opts, key_prefix=_batch_key(batch))
@@ -79,6 +79,26 @@ def encode_dataset(ds: ray.data.Dataset, opts: dict | None = None) -> ray.data.D
         StripeEncoder(opts),
         batch_format="pyarrow",
         batch_size=None,  # whole blocks; stripe splitting happens inside
+        zero_copy_batch=True,
+    )
+
+
+def encode_dataset_planned(
+    ds: ray.data.Dataset, opts: dict | None = None, sample_fraction: float = 0.05
+) -> ray.data.Dataset:
+    """Two-pass encode: sampling pass fixes the per-column CodecPlan
+    (SURVEY.md §2.5), broadcast via ray.put, then the streaming encode
+    pass skips per-stripe trial encodings."""
+    import ray as ray_api
+
+    from . import plan as plan_mod
+
+    codec_plan = plan_mod.plan_dataset(ds, sample_fraction)
+    plan_ref = ray_api.put(codec_plan.to_opts())
+    return ds.map_batches(
+        StripeEncoder(opts, plan_ref=plan_ref),
+        batch_format="pyarrow",
+        batch_size=None,
         zero_copy_batch=True,
     )
 

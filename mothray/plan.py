@@ -1,0 +1,139 @@
+"""Codec auto-selection from a sampling pass (the macro optimizer).
+
+The reference optimizes codecs ONLINE: every chunk write re-evaluates
+dictionary compression ratios and converts columns to direct encoding
+mid-stripe with buffered-row replay (reference:
+pkg/store/DictionaryCompressionOptimizer.go:128-208, ratio threshold
+1.25 at :10, index width model :214-225). In a streaming Ray pipeline
+that convert-and-replay machinery is replaced by a cheap FIRST PASS
+over a sample (`ds.random_sample` -> map_batches partial stats ->
+driver merge), which fixes a per-column CodecPlan before the encode
+pass (SURVEY.md §2.5 mapping). The same thresholds carry over:
+
+  dictionary   when estimated raw/(dict+index) ratio >= 1.25
+  FSST         when not dict, values are text-ish (avg len >= 8) and
+               byte entropy says compressible (< 6.8 bits/byte)
+  direct       otherwise (plus stream-level store-raw framing)
+
+Integer/timestamp/boolean codecs stay per-run inside RLEv2 (the micro
+selector) — no plan entry needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+DICT_MIN_RATIO = 1.25  # reference DictionaryCompressionOptimizer.go:10
+FSST_MAX_ENTROPY = 6.8
+FSST_MIN_AVG_LEN = 8.0
+
+
+@dataclass
+class CodecPlan:
+    column_plans: dict[str, dict] = field(default_factory=dict)
+    compression: str = "zstd"
+    sampled_rows: int = 0
+
+    def to_opts(self, base: dict | None = None) -> dict:
+        o = dict(base or {})
+        o["column_plans"] = self.column_plans
+        o.setdefault("compression", self.compression)
+        return o
+
+
+def _index_bytes(card: int) -> int:
+    if card <= 256:
+        return 1
+    if card <= 65536:
+        return 2
+    if card <= 1 << 24:
+        return 3
+    return 4
+
+
+def _batch_string_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
+    import pyarrow.compute as pc
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    values = arr.drop_null()
+    n = len(values)
+    if n == 0:
+        return {"n": 0, "bytes": 0, "distinct": 0, "entropy": 0.0}
+    lens = pc.binary_length(values)
+    total = int(pc.sum(lens).as_py() or 0)
+    distinct = len(pc.unique(values))
+    from .column import _string_parts
+
+    _, data = _string_parts(values)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    sample = buf[:: max(len(buf) // 65536, 1)]
+    hist = np.bincount(sample, minlength=256).astype(np.float64)
+    p = hist / max(hist.sum(), 1)
+    nz = p > 0
+    entropy = float(-(p[nz] * np.log2(p[nz])).sum())
+    return {"n": n, "bytes": total, "distinct": distinct, "entropy": entropy}
+
+
+def sample_stats(ds, fraction: float = 0.05, seed: int = 23) -> dict[str, dict]:
+    """Pass 1: per-column cardinality / byte-entropy partials over a
+    sample, merged on the driver (partials are tiny dicts per batch)."""
+    schema = ds.schema()
+    str_cols = [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if pa.types.is_string(t) or pa.types.is_large_string(t)
+    ]
+    if not str_cols:
+        return {}
+    sample = ds.random_sample(fraction, seed=seed) if fraction < 1.0 else ds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json
+
+        out = {c: _batch_string_stats(batch.column(c)) for c in str_cols}
+        return pa.table({"stats": [json.dumps(out)]})
+
+    import json
+
+    merged: dict[str, dict] = {c: {"n": 0, "bytes": 0, "distinct": 0, "entropy": []} for c in str_cols}
+    for b in sample.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for sj in b.column("stats").to_pylist():
+            for c, st in json.loads(sj).items():
+                m = merged[c]
+                m["n"] += st["n"]
+                m["bytes"] += st["bytes"]
+                m["distinct"] = max(m["distinct"], st["distinct"])  # lower bound
+                if st["n"]:
+                    m["entropy"].append(st["entropy"])
+    for c, m in merged.items():
+        m["entropy"] = float(np.mean(m["entropy"])) if m["entropy"] else 0.0
+        m["avg_len"] = m["bytes"] / max(m["n"], 1)
+    return merged
+
+
+def build_plan(stats: dict[str, dict], compression: str = "zstd") -> CodecPlan:
+    plans: dict[str, dict] = {}
+    total_n = 0
+    for col, st in stats.items():
+        n, distinct, avg_len = st["n"], max(st["distinct"], 1), st["avg_len"]
+        total_n += n
+        if n == 0:
+            continue
+        raw = st["bytes"]
+        dict_cost = distinct * avg_len + n * _index_bytes(distinct)
+        if raw / max(dict_cost, 1) >= DICT_MIN_RATIO:
+            plans[col] = {"string_encoding": "dict"}
+        elif avg_len >= FSST_MIN_AVG_LEN and st["entropy"] <= FSST_MAX_ENTROPY:
+            plans[col] = {"string_encoding": "fsst"}
+        else:
+            plans[col] = {"string_encoding": "direct"}
+    return CodecPlan(column_plans=plans, compression=compression, sampled_rows=total_n)
+
+
+def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> CodecPlan:
+    return build_plan(sample_stats(ds, fraction), compression)

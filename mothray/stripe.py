@@ -113,12 +113,14 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     blooms: list[bytes] = []
     bloom_index = {}
     bpos = 0
+    col_plans = o.get("column_plans", {})
     for name in tbl.column_names:
         arr = tbl.column(name)
         arr = arr.chunk(0) if arr.num_chunks == 1 else arr.combine_chunks()
         if isinstance(arr, pa.ChunkedArray):  # 0-chunk empty table edge
             arr = pa.array([], type=arr.type)
-        enc = column_mod.encode_array(arr, o)
+        col_o = {**o, **col_plans[name]} if name in col_plans else o
+        enc = column_mod.encode_array(arr, col_o)
         col_metas[name] = _flatten_column(enc, blob, pos, o["compression"], o["compress_min_bytes"])
         col_stats[name] = stats_mod.column_stats(arr)
         if o["bloom"] and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
