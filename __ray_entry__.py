@@ -140,6 +140,15 @@ def _fingerprint(sf_dir: str):
     )
 
 
+def _dedup_embedding(sf_dir: str):
+    import ray.data
+
+    from mothray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_dedup(ds, threshold=0.995).select_columns(["vec_id", "label"])
+
+
 def _ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -195,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["text_quality_documents"] = _text_quality
     q["langid_documents"] = _langid
     q["fingerprint_documents"] = _fingerprint
+    q["dedup_embedding_cosine"] = _dedup_embedding
     q["ann_topk_embeddings"] = _ann_topk
     q["ann_ivf_embeddings"] = _ann_ivf
     q["top_sources_documents"] = _top_sources

@@ -19,18 +19,26 @@ CC_ROWS = int(os.environ.get("MOTHRAY_CC_ROWS", "100000"))
 
 
 def _cc_pages_path() -> str:
-    """Deterministic synthetic CC table, cached under /tmp."""
+    """Deterministic synthetic CC table, cached under /tmp as a
+    DIRECTORY of files so the read itself parallelizes (one reader
+    task per file — a single big parquet file serializes the read)."""
     import pyarrow.parquet as pq
 
-    path = f"/tmp/mothray_bench/cc_pages_{CC_ROWS}.parquet"
+    path = f"/tmp/mothray_bench/cc_pages_{CC_ROWS}"
     if not os.path.exists(path):
         from mothray import datagen
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tbl = datagen.cc_pages(CC_ROWS, seed=42, html_len=(400, 4000), text_len=(200, 2000))
-        # many row groups so the Ray reader splits the file into blocks
-        pq.write_table(tbl, path + ".tmp", row_group_size=4096)
-        os.rename(path + ".tmp", path)
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        n_files = 16
+        per = (CC_ROWS + n_files - 1) // n_files
+        for i in range(n_files):
+            rows = min(per, CC_ROWS - i * per)
+            if rows <= 0:
+                break
+            tbl = datagen.cc_pages(rows, seed=42 + i, html_len=(400, 4000), text_len=(200, 2000))
+            pq.write_table(tbl, f"{tmp}/shard-{i:03d}.parquet", row_group_size=4096)
+        os.rename(tmp, path)
     return path
 
 
@@ -58,9 +66,13 @@ def run_bench() -> dict:
     }
     # warm page cache so we measure compute, not first disk read
     for p in inputs.values():
-        with open(p, "rb") as f:
-            while f.read(1 << 24):
-                pass
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p)] if os.path.isdir(p) else [p]
+        )
+        for fp in files:
+            with open(fp, "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
     queries: dict[str, float] = {}
     total_raw = 0
@@ -71,7 +83,7 @@ def run_bench() -> dict:
         subprocess.run(["rm", "-rf", out_dir], check=True)
         t0 = time.monotonic()
         ds = ray.data.read_parquet(path)
-        enc = pipeline.encode_dataset(ds)
+        enc = pipeline.encode_dataset_planned(ds, sample_fraction=0.05)
         enc.write_parquet(out_dir)
         t_enc = time.monotonic() - t0
         queries[f"encode_{name}"] = round(t_enc, 3)

@@ -252,13 +252,22 @@ def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
 
 def compress(data: bytes, n_iter: int = N_ITER) -> tuple[bytes, bytes]:
     """Returns (serialized symbol table, encoded bytes). Empty table
-    means passthrough (callers store raw)."""
+    means passthrough (callers store raw). Trains a fresh table — for
+    repeated stripes prefer a shared table from a sampling pass
+    (compress_with_table), the north-star actor-pool design."""
     if len(data) < 64:
         return b"", data
     buf = np.frombuffer(data, dtype=np.uint8)
     table = train(buf, n_iter)
-    if not table.symbols:
+    return compress_with_table(data, table, buf=buf)
+
+
+def compress_with_table(data: bytes, table: SymbolTable, buf: np.ndarray | None = None) -> tuple[bytes, bytes]:
+    """Encode with a pre-trained (e.g. broadcast) symbol table."""
+    if not table.symbols or len(data) < 64:
         return b"", data
+    if buf is None:
+        buf = np.frombuffer(data, dtype=np.uint8)
     n_lanes = int(np.clip(len(buf) // 1024, 1, 1 << 16))
     encoded, _, _ = _encode_lanes(buf, table, n_lanes)
     if len(encoded) >= len(data):

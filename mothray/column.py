@@ -232,7 +232,13 @@ def _encode_strings(values: pa.Array, t, opts: dict) -> EncodedColumn:
             choice = "fsst"
 
     if choice == "fsst" and len(data) >= 64:
-        table, enc_data = fsst_codec.compress(data)
+        shared = opts.get("fsst_table")
+        if shared is not None:  # broadcast table from the sampling pass
+            table, enc_data = fsst_codec.compress_with_table(
+                data, fsst_codec.SymbolTable.deserialize(shared)
+            )
+        else:
+            table, enc_data = fsst_codec.compress(data)
         if len(enc_data) + len(table) < len(data):
             return EncodedColumn(
                 ENC_FSST,

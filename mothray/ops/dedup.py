@@ -281,6 +281,79 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
     return ds.map_batches(drop, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ embeddings
+
+def embedding_dedup(
+    ds,
+    threshold: float = 0.99,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 16,
+    seed: int = 77,
+):
+    """Embedding-cosine near-dup removal: random-hyperplane LSH buckets
+    (sign signature over `n_planes` fixed seeded planes — near-identical
+    vectors collide with prob ~ (1 - theta/pi)^n), exact cosine
+    verification inside buckets, keep the minimum id."""
+    import pandas as pd
+
+    from .ann import _matrix
+
+    state = {}
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch.column(column)).astype(np.float64)
+        if "planes" not in state:
+            rng = np.random.default_rng(seed)
+            state["planes"] = rng.standard_normal((mat.shape[1], n_planes))
+        proj = mat @ state["planes"]
+        bits = (proj > 0).astype(np.uint16)
+        sig = np.zeros(len(mat), dtype=np.int64)
+        for b in range(n_planes):
+            sig |= bits[:, b].astype(np.int64) << b
+        norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "sig": pa.array(sig),
+                "vec": pa.array(list(norm.astype(np.float32))),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+    )
+
+    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return empty.copy()
+        g = group.sort_values(id_column)
+        mat = np.stack(g["vec"].to_numpy())
+        ids = g[id_column].to_numpy()
+        cos = mat @ mat.T
+        near = (cos >= threshold) & (ids[None, :] > ids[:, None])
+        out = [(ids[j], ids[i]) for i, j in zip(*np.nonzero(near))]
+        return pd.DataFrame(out, columns=[id_column, "dup_of"]).astype("int64") if out else empty.copy()
+
+    edges = ds.map_batches(sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
+        bucket_verify, batch_format="pandas"
+    )
+    dup_pdf = edges.groupby(id_column).min("dup_of").to_pandas()
+    dup_ids = set(dup_pdf[id_column].tolist())
+
+    import ray
+
+    dup_ref = ray.put(dup_ids)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        dups = ray.get(dup_ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mask = np.array([i not in dups for i in ids.tolist()])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ jaccard
 
 def ngram_jaccard(a: str, b: str, n: int = 8) -> float:

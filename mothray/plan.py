@@ -77,9 +77,14 @@ def _batch_string_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
     return {"n": n, "bytes": total, "distinct": distinct, "entropy": entropy}
 
 
-def sample_stats(ds, fraction: float = 0.05, seed: int = 23) -> dict[str, dict]:
-    """Pass 1: per-column cardinality / byte-entropy partials over a
-    sample, merged on the driver (partials are tiny dicts per batch)."""
+def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 32768) -> dict[str, dict]:
+    """Pass 1: per-column cardinality / byte-entropy stats over a
+    BOUNDED head sample (`ds.limit` -> streaming early-stop, so only
+    the first blocks are read — at 100 TB the planning pass must not
+    scan the corpus; head bias is acceptable for codec choice and is
+    corrected per stripe by the store-raw / dict-ratio fallbacks).
+
+    `fraction >= 1.0` forces a full scan (tests)."""
     schema = ds.schema()
     str_cols = [
         n
@@ -88,28 +93,21 @@ def sample_stats(ds, fraction: float = 0.05, seed: int = 23) -> dict[str, dict]:
     ]
     if not str_cols:
         return {}
-    sample = ds.random_sample(fraction, seed=seed) if fraction < 1.0 else ds
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import json
-
-        out = {c: _batch_string_stats(batch.column(c)) for c in str_cols}
-        return pa.table({"stats": [json.dumps(out)]})
-
-    import json
+    if fraction >= 1.0:
+        batches = ds.select_columns(str_cols).iter_batches(batch_format="pyarrow", batch_size=None)
+    else:
+        batches = [ds.select_columns(str_cols).take_batch(sample_rows, batch_format="pyarrow")]
 
     merged: dict[str, dict] = {c: {"n": 0, "bytes": 0, "distinct": 0, "entropy": []} for c in str_cols}
-    for b in sample.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        for sj in b.column("stats").to_pylist():
-            for c, st in json.loads(sj).items():
-                m = merged[c]
-                m["n"] += st["n"]
-                m["bytes"] += st["bytes"]
-                m["distinct"] = max(m["distinct"], st["distinct"])  # lower bound
-                if st["n"]:
-                    m["entropy"].append(st["entropy"])
+    for b in batches:
+        for c in str_cols:
+            st = _batch_string_stats(b.column(c))
+            m = merged[c]
+            m["n"] += st["n"]
+            m["bytes"] += st["bytes"]
+            m["distinct"] = max(m["distinct"], st["distinct"])  # lower bound
+            if st["n"]:
+                m["entropy"].append(st["entropy"])
     for c, m in merged.items():
         m["entropy"] = float(np.mean(m["entropy"])) if m["entropy"] else 0.0
         m["avg_len"] = m["bytes"] / max(m["n"], 1)
@@ -136,4 +134,22 @@ def build_plan(stats: dict[str, dict], compression: str = "zstd") -> CodecPlan:
 
 
 def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> CodecPlan:
-    return build_plan(sample_stats(ds, fraction), compression)
+    """Sampling pass -> CodecPlan, including one shared FSST symbol
+    table per FSST column (trained once here, broadcast to every encode
+    task — the reference's shared-writer-state equivalent without a
+    single-process bottleneck, SURVEY.md §7.2)."""
+    p = build_plan(sample_stats(ds, fraction), compression)
+    fsst_cols = [c for c, v in p.column_plans.items() if v["string_encoding"] == "fsst"]
+    if fsst_cols:
+        from .codecs import fsst as fsst_codec
+        from .column import _string_parts
+
+        head = ds.take_batch(2048, batch_format="pyarrow")
+        for c in fsst_cols:
+            arr = head.column(c)
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            _, data = _string_parts(arr.drop_null())
+            table = fsst_codec.train(data)
+            if table.symbols:
+                p.column_plans[c]["fsst_table"] = table.serialize()
+    return p

@@ -199,3 +199,27 @@ def test_multimodal_plumbing(ray_session):
     assert (ok["width"] == 16).all() and (ok["height"] == 12).all()
     assert out[out["img_id"] == 3]["width"].isna().all()
     assert len(out.iloc[0]["thumbnail"]) == 64
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [
+        base,
+        base + rng.standard_normal(16).astype(np.float32) * 0.001,  # near-dup of 0
+        rng.standard_normal(16).astype(np.float32),
+        base,  # exact dup of 0
+        rng.standard_normal(16).astype(np.float32),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(5), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = dedup.embedding_dedup(ray.data.from_arrow(tbl), threshold=0.995).to_pandas()
+    kept = sorted(out["vec_id"].tolist())
+    assert 0 in kept and 2 in kept and 4 in kept
+    assert 1 not in kept and 3 not in kept
