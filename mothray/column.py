@@ -164,6 +164,10 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
                 SECONDARY: rlev2.encode(timestamp.encode_nanos(nanos), signed=False),
             },
         )
+    if pa.types.is_time(t):
+        # reference TimeColumnWriter.go:16-31 (picos->micros LongColumnWriter variant)
+        v = values.cast(pa.int64() if t.bit_width == 64 else pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        return EncodedColumn("RLEV2", len(values), {DATA: rlev2.encode(v, signed=True)})
     if pa.types.is_decimal(t):
         return _encode_decimal(values, t)
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -343,6 +347,11 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
             return pa.array(raw, type=pa.int64()).cast(pa.timestamp("ns", tz=t.tz)).cast(t)
         micros = timestamp.seconds_nanos_to_micros(seconds, nanos)
         return pa.array(micros, type=pa.int64()).cast(pa.timestamp("us", tz=t.tz)).cast(t)
+    if pa.types.is_time(t):
+        v, _ = rlev2.decode(s[DATA], n, signed=True)
+        if t.bit_width == 64:
+            return pa.array(v, type=pa.int64()).cast(t)
+        return pa.array(v.astype(np.int32), type=pa.int32()).cast(t)
     if pa.types.is_decimal(t):
         return _decode_decimal(enc, t, n)
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):

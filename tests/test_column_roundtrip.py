@@ -183,3 +183,11 @@ def test_testdata_columns_roundtrip():
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
             roundtrip(arr if isinstance(arr, pa.Array) else arr.chunk(0))
+
+
+@pytest.mark.parametrize("t", [pa.time32("ms"), pa.time64("us")])
+def test_time_types(t):
+    unit_max = 86_400_000 if t.bit_width == 32 else 86_400_000_000
+    v = rng.integers(0, unit_max, 500)
+    arr = pa.array(v.astype(np.int64) if t.bit_width == 64 else v.astype(np.int32), type=pa.int64() if t.bit_width == 64 else pa.int32()).cast(t)
+    roundtrip(arr)
