@@ -64,6 +64,8 @@ def run_bench() -> dict:
         "events": f"{SF_DIR}/events.parquet",
         "lineitem": f"{SF_DIR}/lineitem.parquet",
     }
+    if os.environ.get("MOTHRAY_BENCH_ONLY_CC"):  # scaling mode: headline only
+        inputs = {"cc_pages": cc_path}
     # warm page cache so we measure compute, not first disk read
     for p in inputs.values():
         files = (
@@ -120,7 +122,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MOTHRAY_BENCH_ONLY_CC="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -38,6 +38,18 @@ def _text_parts(arr: pa.ChunkedArray | pa.Array):
     return _string_parts(values)
 
 
+def _dup_id_set(edges, id_column: str) -> set:
+    """Collect {id -> min dup_of} safely (empty edge sets lose their
+    schema through groupby on some paths)."""
+    try:
+        pdf = edges.groupby(id_column).min("dup_of").to_pandas()
+    except Exception:
+        return set()
+    if id_column not in pdf.columns or len(pdf) == 0:
+        return set()
+    return set(pdf[id_column].tolist())
+
+
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Adds h1/h2 (two independent 64-bit hashes = 128-bit content id)."""
     lengths, data = _text_parts(batch.column(column))
@@ -177,8 +189,7 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id"):
         bucket_min, batch_format="pandas"
     )
     # a doc may appear in many buckets; keep the smallest dup target
-    dup_map = dup_edges.groupby(id_column).min("dup_of").to_pandas()
-    dup_ids = set(dup_map[id_column].tolist())
+    dup_ids = _dup_id_set(dup_edges, id_column)
 
     import ray
 
@@ -265,8 +276,7 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
     edges = hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
         ["band", "band_val"]
     ).map_groups(bucket_verify, batch_format="pandas")
-    dup_pdf = edges.groupby(id_column).min("dup_of").to_pandas()
-    dup_ids = set(dup_pdf[id_column].tolist())
+    dup_ids = _dup_id_set(edges, id_column)
 
     import ray
 
@@ -338,8 +348,7 @@ def embedding_dedup(
     edges = ds.map_batches(sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
         bucket_verify, batch_format="pandas"
     )
-    dup_pdf = edges.groupby(id_column).min("dup_of").to_pandas()
-    dup_ids = set(dup_pdf[id_column].tolist())
+    dup_ids = _dup_id_set(edges, id_column)
 
     import ray
 

@@ -73,12 +73,37 @@ class StripeDecoder:
             yield stripe_mod.decode_stripe(row, self.columns)
 
 
+DEFAULT_ENCODE_BATCH_ROWS = 32768
+_TARGET_TASK_DISK_BYTES = 4 << 20  # per-task input (on-disk); ~3x in memory
+
+
+def _auto_batch_rows(ds: ray.data.Dataset) -> int:
+    """Rows per encode batch from parquet METADATA (no execution):
+    big enough to amortize per-stripe overhead, small enough that a
+    bench-sized input still fans out across the CPUs."""
+    try:
+        size = ds.size_bytes()
+        rows = ds.count()  # metadata-only for parquet sources
+        if size and rows:
+            bpr = max(size / rows, 1)
+            return int(min(max(_TARGET_TASK_DISK_BYTES / bpr, 1024), 262144))
+    except Exception:
+        pass
+    return DEFAULT_ENCODE_BATCH_ROWS
+
+
 def encode_dataset(ds: ray.data.Dataset, opts: dict | None = None) -> ray.data.Dataset:
-    """Dataset of raw rows -> Dataset of encoded stripe rows (streaming)."""
+    """Dataset of raw rows -> Dataset of encoded stripe rows (streaming).
+
+    batch_size coalesces Ray's read blocks into stripe-sized batches
+    (tiny stripes waste dictionary/FSST table overhead and per-task
+    startup); the stripe byte budget inside encode re-splits oversized
+    batches, mirroring the reference's chunking loop."""
+    o = opts or {}
     return ds.map_batches(
         StripeEncoder(opts),
         batch_format="pyarrow",
-        batch_size=None,  # whole blocks; stripe splitting happens inside
+        batch_size=o.get("batch_rows", _auto_batch_rows(ds)),
         zero_copy_batch=True,
     )
 
@@ -95,10 +120,11 @@ def encode_dataset_planned(
 
     codec_plan = plan_mod.plan_dataset(ds, sample_fraction)
     plan_ref = ray_api.put(codec_plan.to_opts())
+    o = opts or {}
     return ds.map_batches(
         StripeEncoder(opts, plan_ref=plan_ref),
         batch_format="pyarrow",
-        batch_size=None,
+        batch_size=o.get("batch_rows", _auto_batch_rows(ds)),
         zero_copy_batch=True,
     )
 

@@ -77,7 +77,23 @@ def _batch_string_stats(arr: pa.ChunkedArray | pa.Array) -> dict:
     return {"n": n, "bytes": total, "distinct": distinct, "entropy": entropy}
 
 
-def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 32768) -> dict[str, dict]:
+_SAMPLE_CACHE_ATTR = "_mothray_head_sample"
+
+
+def _head_sample(ds, cols: list[str], rows: int) -> pa.Table:
+    """One bounded head fetch, cached on the Dataset object so the
+    stats pass and the FSST-training pass share a single execution."""
+    cached = getattr(ds, _SAMPLE_CACHE_ATTR, None)
+    if cached is None or cached.num_rows < min(rows, 1):
+        cached = ds.take_batch(rows, batch_format="pyarrow")
+        try:
+            setattr(ds, _SAMPLE_CACHE_ATTR, cached)
+        except AttributeError:
+            pass
+    return cached.select([c for c in cols if c in cached.column_names])
+
+
+def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 8192) -> dict[str, dict]:
     """Pass 1: per-column cardinality / byte-entropy stats over a
     BOUNDED head sample (`ds.limit` -> streaming early-stop, so only
     the first blocks are read — at 100 TB the planning pass must not
@@ -96,7 +112,7 @@ def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 
     if fraction >= 1.0:
         batches = ds.select_columns(str_cols).iter_batches(batch_format="pyarrow", batch_size=None)
     else:
-        batches = [ds.select_columns(str_cols).take_batch(sample_rows, batch_format="pyarrow")]
+        batches = [_head_sample(ds, str_cols, sample_rows)]
 
     merged: dict[str, dict] = {c: {"n": 0, "bytes": 0, "distinct": 0, "entropy": []} for c in str_cols}
     for b in batches:
@@ -144,7 +160,7 @@ def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> Codec
         from .codecs import fsst as fsst_codec
         from .column import _string_parts
 
-        head = ds.take_batch(2048, batch_format="pyarrow")
+        head = _head_sample(ds, fsst_cols, 8192)
         for c in fsst_cols:
             arr = head.column(c)
             arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
