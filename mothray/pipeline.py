@@ -277,6 +277,24 @@ def encode_parquet_to_dir(
     encode_dataset(ds, opts).write_parquet(out_dir)
 
 
+def verify_roundtrip(original: ray.data.Dataset, decoded: ray.data.Dataset, key: str) -> bool:
+    """The reference's validateFile analog (MothReader.go:176-182):
+    sort both sides by `key` and byte-compare every column. Use on
+    small/test data — materializes both sides."""
+    import pyarrow.compute as pc
+
+    a = pa.concat_tables(original.iter_batches(batch_format="pyarrow", batch_size=None))
+    b = pa.concat_tables(decoded.iter_batches(batch_format="pyarrow", batch_size=None))
+    if a.num_rows != b.num_rows or set(a.column_names) != set(b.column_names):
+        return False
+    a = a.take(pc.sort_indices(a.column(key)))
+    b = b.take(pc.sort_indices(b.column(key)))
+    return all(
+        a.column(c).combine_chunks().equals(b.column(c).combine_chunks())
+        for c in a.column_names
+    )
+
+
 def read_encoded(path: str, metadata_only: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
     return ray.data.read_parquet(path, columns=cols)

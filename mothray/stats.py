@@ -56,9 +56,11 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict[str, Any]:
         out["unit"] = t.unit
         return out
     if pa.types.is_decimal(t):
+        # floats, not strings: stats are advisory (pruning) and string
+        # min/max would merge lexically ("9.9" > "10.0")
         mm = pc.min_max(arr)
-        out["min"] = str(mm["min"].as_py())
-        out["max"] = str(mm["max"].as_py())
+        out["min"] = float(mm["min"].as_py())
+        out["max"] = float(mm["max"].as_py())
         return out
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         lens = pc.binary_length(arr)
