@@ -133,8 +133,15 @@ def run_scaling() -> None:
     hi = int(os.environ.get("MOTHRAY_SCALE_HI", str(4 * lo)))
     trials = int(os.environ.get("MOTHRAY_SCALE_TRIALS", "3"))
 
+    scale_rows = os.environ.get("MOTHRAY_SCALE_ROWS", "250000")
+
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MOTHRAY_BENCH_ONLY_CC="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            MOTHRAY_BENCH_ONLY_CC="1",
+            MOTHRAY_CC_ROWS=scale_rows,  # compute must dominate fixed pipeline costs
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

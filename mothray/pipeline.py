@@ -139,7 +139,7 @@ def decode_dataset(
     return ds.map_batches(
         StripeDecoder(columns),
         batch_format="pyarrow",
-        batch_size=4,  # a few stripes per task; each stripe may be ~64MB raw
+        batch_size=1,  # one stripe per task: max fan-out, bounded memory
         zero_copy_batch=True,
     )
 
