@@ -263,22 +263,86 @@ def compress(data: bytes, n_iter: int = N_ITER) -> tuple[bytes, bytes]:
 
 
 def compress_with_table(data: bytes, table: SymbolTable, buf: np.ndarray | None = None) -> tuple[bytes, bytes]:
-    """Encode with a pre-trained (e.g. broadcast) symbol table."""
+    """Encode with a pre-trained (e.g. broadcast) symbol table.
+
+    Uses the C kernel when a system compiler is available (identical
+    stream format), else the lane-parallel numpy encoder."""
     if not table.symbols or len(data) < 64:
         return b"", data
     if buf is None:
         buf = np.frombuffer(data, dtype=np.uint8)
-    n_lanes = int(np.clip(len(buf) // 1024, 1, 1 << 16))
-    encoded, _, _ = _encode_lanes(buf, table, n_lanes)
+    encoded = _native_encode(buf, table)
+    if encoded is None:
+        n_lanes = int(np.clip(len(buf) // 1024, 1, 1 << 16))
+        encoded, _, _ = _encode_lanes(buf, table, n_lanes)
     if len(encoded) >= len(data):
         return b"", data
     return table.serialize(), encoded
+
+
+def _native_encode(buf: np.ndarray, table: SymbolTable) -> bytes | None:
+    from . import _fsst_native
+
+    lib = _fsst_native.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(buf)
+    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    out = np.empty(2 * n + 8, dtype=np.uint8)
+    byte_ok = table.byte_ok.astype(np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    written = lib.fsst_encode(
+        p(padded), ctypes.c_int64(n),
+        p(table.short_code), p(table.short_len),
+        p(table.hash_sym), p(table.hash_code), p(table.hash_len),
+        p(table.byte_code), p(byte_ok),
+        p(out),
+    )
+    return out[:written].tobytes()
+
+
+def _native_decode(encoded: bytes, table: SymbolTable, raw_size: int) -> bytes | None:
+    from . import _fsst_native
+
+    lib = _fsst_native.get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    codes = np.frombuffer(encoded, dtype=np.uint8)
+    ns = len(table.symbols)
+    sym_off = np.zeros(256, dtype=np.int64)
+    sym_len = np.zeros(256, dtype=np.int64)
+    sym_off[:ns] = table.sym_off[:ns]
+    sym_len[:ns] = table.sym_len[:ns]
+    out = np.empty(max(raw_size, 1), dtype=np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    got = lib.fsst_decode(
+        p(codes), ctypes.c_int64(len(codes)),
+        p(table.sym_flat if len(table.sym_flat) else np.zeros(1, np.uint8)),
+        p(sym_off), p(sym_len),
+        p(out), ctypes.c_int64(raw_size),
+    )
+    if got != raw_size:
+        return None  # fall back to numpy path (which raises precisely)
+    return out[:raw_size].tobytes()
 
 
 def decompress(table_bytes: bytes, encoded: bytes, raw_size: int) -> bytes:
     if not table_bytes:
         return encoded
     table = SymbolTable.deserialize(table_bytes)
+    native = _native_decode(encoded, table, raw_size)
+    if native is not None:
+        return native
     codes = np.frombuffer(encoded, dtype=np.uint8)
     n = len(codes)
     if n == 0:

@@ -232,6 +232,38 @@ def hash_host(host: str) -> int:
     return int.from_bytes(hashlib.md5(host.encode()).digest()[:8], "little")
 
 
+def encode_clustered(
+    ds: ray.data.Dataset,
+    url_column: str = "url",
+    num_buckets: int = 32,
+    opts: dict | None = None,
+    sample_fraction: float = 0.05,
+    hot_fraction: float = 0.02,
+) -> ray.data.Dataset:
+    """The north-rule skew-aware encode: sample host frequencies, salt
+    hot hosts, hash-shuffle rows by url-host bucket, then encode each
+    bucket's rows together (one shuffle; same-host pages share
+    dictionaries/FSST symbols, which is also why the reference sorts
+    its dictionaries — locality buys ratio).
+
+    The shuffle is `groupby(bucket).map_groups(encode)` — Ray's hash
+    exchange. Bucket count bounds the largest partition; salting keeps
+    hot hosts from pinning one bucket."""
+    from . import plan as plan_mod
+
+    hot = sample_host_frequencies(ds, url_column, sample_fraction, hot_fraction)
+    codec_plan = plan_mod.plan_dataset(ds, sample_fraction)
+    opts_all = codec_plan.to_opts(opts)
+    bucketed = add_host_bucket(ds, num_buckets, url_column, hot_hosts=hot)
+
+    def encode_bucket(group: pa.Table) -> pa.Table:
+        bucket_id = group.column("bucket")[0].as_py() if group.num_rows else 0
+        tbl = group.drop_columns(["bucket"])
+        return stripe_mod.encode_batch(tbl, opts_all, key_prefix=f"b{bucket_id:04d}")
+
+    return bucketed.groupby("bucket").map_groups(encode_bucket, batch_format="pyarrow")
+
+
 def sample_host_frequencies(
     ds: ray.data.Dataset, url_column: str = "url", fraction: float = 0.05, hot_fraction: float = 0.01
 ) -> dict[str, int]:

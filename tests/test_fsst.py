@@ -86,3 +86,20 @@ def test_throughput_reasonable():
     _, enc = fsst.compress(data)
     el = time.monotonic() - t0
     assert len(data) / el > 3e6, f"FSST encode too slow: {len(data)/el/1e6:.1f} MB/s"
+
+
+def test_native_numpy_cross_compat():
+    """C kernel and numpy lanes produce mutually decodable streams."""
+    from mothray.codecs import _fsst_native
+
+    data = (b"https://example.com/path/page-" * 3000) + bytes(rng.integers(32, 127, 20000).astype(np.uint8))
+    buf = np.frombuffer(data, np.uint8)
+    tab = fsst.train(buf)
+    if not tab.symbols:
+        pytest.skip("no table trained")
+    enc_np, _, _ = fsst._encode_lanes(buf, tab, max(len(buf) // 1024, 1))
+    assert fsst.decompress(tab.serialize(), enc_np, len(data)) == data
+    if _fsst_native.get_lib() is not None:
+        enc_c = fsst._native_encode(buf, tab)
+        assert fsst.decompress(tab.serialize(), enc_c, len(data)) == data
+        assert fsst._native_decode(enc_np, tab, len(data)) == data

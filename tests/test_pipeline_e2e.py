@@ -111,3 +111,26 @@ def test_encode_metrics_in_meta(ray_session, cc_table):
     meta = json.loads(enc.column("meta")[0].as_py())
     assert "encode_sec" in meta["metrics"]
     assert meta["metrics"]["codecs"]["lang"] == "DICT"
+
+
+def test_encode_clustered_by_host(ray_session, cc_table):
+    """North-rule skew path: salted host-bucket shuffle -> per-bucket
+    encode -> round-trip intact; clustering must not lose rows and the
+    bucket keys show up in stripe lineage."""
+    import ray.data
+
+    tbl, path = cc_table
+    ds = ray.data.read_parquet(path)
+    enc = pipeline.encode_clustered(ds, num_buckets=8)
+    stripes = pa.concat_tables(enc.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert sum(stripes.column("n_rows").to_pylist()) == tbl.num_rows
+    keys = stripes.column("stripe_key").to_pylist()
+    assert all(k.startswith("b") for k in keys)
+    assert len({k.split("-")[0] for k in keys}) > 1  # multiple buckets
+
+    dec = pipeline.decode_dataset(ray.data.from_arrow(stripes))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    a = _sorted_by_url(tbl.select(got.column_names))
+    b = _sorted_by_url(got)
+    for col in a.column_names:
+        assert a.column(col).combine_chunks().equals(b.column(col).combine_chunks()), col
