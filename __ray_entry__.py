@@ -180,6 +180,46 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
 
 
+def _bloom_prune_events(sf_dir: str):
+    """Bloom-filter stripe pruning: sort by event_type so stripes hold
+    few distinct types, skip stripes whose bloom excludes the needle,
+    then exact-filter (SURVEY.md §2.7 bloom row-group skipping)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+
+    needle = "purchase"
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet").sort("event_type")
+    enc = pipeline.encode_dataset(ds, {"stripe_rows": 2048, "batch_rows": 2048})
+    pruned = pipeline.prune_stripes(enc, "event_type", needle=needle)
+    dec = pipeline.decode_dataset(pruned)
+    return dec.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], needle)), batch_format="pyarrow"
+    )
+
+
+def _events_hourly(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    def add_hour(t):
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet")
+        .map_batches(add_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Max("value", alias_name="max_val"),
+            Min("value", alias_name="min_val"),
+        )
+        .sort("hour")
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -193,10 +233,15 @@ def _top_sources(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
-    for table in ("documents", "lineitem", "events", "orders", "embeddings", "part", "customer"):
+    for table in (
+        "documents", "lineitem", "events", "orders", "embeddings",
+        "part", "customer", "supplier", "nation", "region",
+    ):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     q["stats_lineitem"] = _stats_lineitem
     q["prune_orders"] = _prune_orders
+    q["bloom_prune_events"] = _bloom_prune_events
+    q["events_hourly"] = _events_hourly
     q["dedup_exact_documents"] = _dedup_exact
     q["dedup_minhash_documents"] = _dedup_minhash
     q["dedup_simhash_documents"] = _dedup_simhash
@@ -214,8 +259,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     o = {
         f"roundtrip_{t}": f"SELECT * FROM {t}"
-        for t in ("documents", "lineitem", "events", "orders", "embeddings", "part", "customer")
+        for t in (
+            "documents", "lineitem", "events", "orders", "embeddings",
+            "part", "customer", "supplier", "nation", "region",
+        )
     }
+    o["bloom_prune_events"] = "SELECT * FROM events WHERE event_type = 'purchase'"
+    o["events_hourly"] = (
+        "SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS cnt,"
+        " max(value) AS max_val, min(value) AS min_val FROM events GROUP BY 1 ORDER BY hour"
+    )
     o["stats_lineitem"] = (
         "SELECT CAST(count(*) AS BIGINT) AS row_cnt,"
         " min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,"

@@ -101,6 +101,8 @@ _tried = False
 def get_lib():
     """Compile (once, cached) and load the kernel; None if unavailable."""
     global _lib, _tried
+    if os.environ.get("MOTHRAY_FSST_NUMPY"):  # force the numpy path (bench control)
+        return None
     if _tried:
         return _lib
     _tried = True
