@@ -220,6 +220,25 @@ def _events_hourly(sf_dir: str):
     )
 
 
+def _user_sessions(sf_dir: str):
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return window.session_windows(ds, "user_id", "ts", gap_minutes=30)
+
+
+def _user_hourly(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return window.tumbling_window(ds, "ts", "user_id", "hour", [Count(alias_name="cnt")])
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -242,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["prune_orders"] = _prune_orders
     q["bloom_prune_events"] = _bloom_prune_events
     q["events_hourly"] = _events_hourly
+    q["user_sessions_events"] = _user_sessions
+    q["user_hourly_events"] = _user_hourly
     q["dedup_exact_documents"] = _dedup_exact
     q["dedup_minhash_documents"] = _dedup_minhash
     q["dedup_simhash_documents"] = _dedup_simhash
@@ -268,6 +289,21 @@ def oracle_sql() -> dict[str, str]:
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS cnt,"
         " max(value) AS max_val, min(value) AS min_val FROM events GROUP BY 1 ORDER BY hour"
+    )
+    o["user_sessions_events"] = (
+        "WITH d AS (SELECT user_id, ts,"
+        " CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE"
+        " THEN 1 ELSE 0 END AS new_s FROM events),"
+        " s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+        " ROWS UNBOUNDED PRECEDING) AS session_id FROM d)"
+        " SELECT user_id, CAST(session_id AS BIGINT) AS session_id,"
+        " min(ts) AS session_start, max(ts) AS session_end,"
+        " CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, session_id"
+    )
+    o["user_hourly_events"] = (
+        "SELECT user_id, date_trunc('hour', ts) AS window_start,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
     )
     o["stats_lineitem"] = (
         "SELECT CAST(count(*) AS BIGINT) AS row_cnt,"

@@ -1,0 +1,60 @@
+"""Windowed aggregate tests (streaming-shaped workloads over events)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mothray.ops import window
+
+
+def test_session_windows_matches_sql(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = (
+        window.session_windows(ds, "user_id", "ts", gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    expect = duckdb.sql(
+        "WITH d AS (SELECT user_id, ts,"
+        " CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE"
+        " THEN 1 ELSE 0 END AS new_s FROM read_parquet('/root/testdata/sf0.001/events.parquet')),"
+        " s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM d)"
+        " SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(ts) AS session_start,"
+        " max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events FROM s"
+        " GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ).df()
+    assert len(out) == len(expect)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "session_id", "n_events"]],
+        expect[["user_id", "session_id", "n_events"]],
+    )
+    assert (out["session_start"].to_numpy() == expect["session_start"].to_numpy()).all()
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = window.tumbling_window(ds, "ts", None, "hour", [Count(alias_name="cnt")]).to_pandas()
+    assert out["cnt"].sum() == ds.count()
+
+
+def test_sliding_window(ray_session):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ts = pa.array(
+        np.arange(0, 100 * 60 * 1_000_000, 60 * 1_000_000), type=pa.int64()
+    ).cast(pa.timestamp("us"))  # one event per minute for 100 min
+    ds = ray.data.from_arrow(pa.table({"ts": ts}))
+    out = window.sliding_window(ds, "ts", size_minutes=10, slide_minutes=5, aggs=[Count(alias_name="cnt")]).to_pandas()
+    full = out[(out["cnt"] == 10)]
+    assert len(full) >= 15  # interior windows each hold size/slide_rate events
+    assert out["cnt"].sum() == 100 * 2  # each event in exactly size/slide windows
