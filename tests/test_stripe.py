@@ -91,3 +91,32 @@ def test_bloom_in_stripe_meta():
     langs = set(tbl.column("lang").to_pylist())
     bf = blooms[off : off + ln]
     assert bloom.might_contain(bf, list(langs)[:5]).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_stripe_random_mixed_table_roundtrip(seed):
+    """Randomized mixed-type stripe round-trip (SURVEY §5.2 item 2 at
+    stripe granularity): every column bit-identical."""
+    r = np.random.default_rng(seed)
+    n = int(r.integers(1, 4000))
+
+    def nullify(arr, p=0.15):
+        mask = r.random(n) < p
+        return pa.array([None if m else v for v, m in zip(arr, mask)])
+
+    strings = ["".join(chr(r.integers(32, 1200)) for _ in range(r.integers(0, 40))) for _ in range(n)]
+    tbl = pa.table(
+        {
+            "i": nullify(r.integers(-(2**62), 2**62, n).tolist()),
+            "f": pa.array(r.standard_normal(n)),
+            "b": nullify(r.integers(0, 2, n).astype(bool).tolist()),
+            "s": nullify(strings),
+            "ts": pa.array(r.integers(-(2**48), 2**48, n), type=pa.int64()).cast(pa.timestamp("us")),
+            "lst": pa.array([r.integers(0, 100, r.integers(0, 5)).tolist() for _ in range(n)], type=pa.list_(pa.int64())),
+            "bin": pa.array([bytes(r.integers(0, 256, r.integers(0, 60)).astype(np.uint8)) for _ in range(n)], type=pa.binary()),
+        }
+    )
+    enc = stripe.encode_batch(tbl, {"stripe_rows": 1500})
+    dec = stripe.decode_batch(enc)
+    for c in tbl.column_names:
+        assert dec.column(c).combine_chunks().equals(tbl.column(c).combine_chunks()), c
