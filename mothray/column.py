@@ -55,6 +55,8 @@ ENC_FSST = "FSST"
 
 # reference DictionaryCompressionOptimizer.go:10
 DICT_MIN_COMPRESSION_RATIO = 1.25
+# reference dictionaryMaxMemory default, MothWriterOptions.go:16
+DICT_MAX_BYTES = 16 << 20
 
 
 @dataclass
@@ -281,6 +283,8 @@ def _try_dictionary(values: pa.Array, lengths: np.ndarray, data: bytes, force: b
     raw_bytes = len(data)
     est_cost = len(ddata) + n * _index_bytes_per_value(card)
     if not force and (est_cost == 0 or raw_bytes / max(est_cost, 1) < DICT_MIN_COMPRESSION_RATIO):
+        return None
+    if len(ddata) > DICT_MAX_BYTES:  # reference dictionary memory budget
         return None
     # sort dictionary lexically (UTF-8 byte order == codepoint order),
     # remap indices — reference SliceDictionaryColumnWriter.go:313-336

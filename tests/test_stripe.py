@@ -120,3 +120,24 @@ def test_stripe_random_mixed_table_roundtrip(seed):
     dec = stripe.decode_batch(enc)
     for c in tbl.column_names:
         assert dec.column(c).combine_chunks().equals(tbl.column(c).combine_chunks()), c
+
+
+def test_beats_orc_zlib_oracle():
+    """The BASELINE compression gate, pinned as a regression test:
+    total encoded bytes <= pyarrow.orc (ZLIB) on testdata + CC pages."""
+    import io
+
+    import pyarrow.orc as orc
+
+    from mothray import datagen
+
+    for name, tbl in [
+        ("documents", pq.read_table("/root/testdata/sf0.01/documents.parquet")),
+        ("events", pq.read_table("/root/testdata/sf0.01/events.parquet")),
+        ("cc_pages", datagen.cc_pages(4000, seed=3)),
+    ]:
+        enc = stripe.encode_batch(tbl)
+        ours = sum(enc.column("enc_bytes").to_pylist())
+        buf = io.BytesIO()
+        orc.write_table(tbl, buf, compression="zlib")
+        assert ours <= buf.tell(), f"{name}: ours {ours} > orc {buf.tell()}"
