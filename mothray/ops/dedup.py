@@ -110,10 +110,13 @@ def _perm_params(seed: int = 1234):
 
 
 def minhash_signatures(texts: pa.ChunkedArray | pa.Array, shingle: int = 8) -> np.ndarray:
-    """(n_docs, N_PERM) uint64 minhash matrix, fully vectorized:
-    8-byte shingles come from a sliding u64 view of the concatenated
-    buffer; per-permutation minima via np.minimum.reduceat over doc
-    boundaries."""
+    """(n_docs, N_PERM) uint64 minhash matrix via ONE-PERMUTATION
+    HASHING with rotation densification (Shrivastava & Li): each
+    8-byte shingle hash lands in bin = top-6-bits, the per-(doc, bin)
+    minimum is one scatter pass, and empty bins borrow the next
+    non-empty bin's value (circular). One pass over the text instead
+    of N_PERM passes — this is what makes minhash viable at corpus
+    scale; Jaccard estimation properties match k-perm minhash."""
     lengths, data = _text_parts(texts)
     n_docs = len(lengths)
     if n_docs == 0:
@@ -122,24 +125,48 @@ def minhash_signatures(texts: pa.ChunkedArray | pa.Array, shingle: int = 8) -> n
     padded = np.concatenate([buf, np.zeros(shingle, dtype=np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
     offs = np.concatenate(([0], np.cumsum(lengths)))
-    # valid shingle positions per doc: start .. start + max(len - shingle + 1, 1)
     starts = offs[:-1].astype(np.int64)
     counts = np.maximum(lengths - shingle + 1, 1).astype(np.int64)
-    seg_starts = np.minimum(starts, len(win) - 1)
-    # positions past a doc's last full shingle (windows crossing into the
-    # next doc) are invalidated so reduceat minima stay doc-exact
+    # valid shingle positions per doc (windows must not cross doc ends)
     delta = np.zeros(len(win) + 1, dtype=np.int64)
     np.add.at(delta, np.minimum(starts, len(win)), 1)
     np.add.at(delta, np.minimum(starts + counts, len(win)), -1)
-    invalid_idx = np.nonzero(np.cumsum(delta[:-1]) <= 0)[0]
-    a, b = _perm_params()
-    sig = np.empty((n_docs, N_PERM), dtype=np.uint64)
-    hv = (win * _MIX1) ^ (win >> _U64(31))
+    valid = np.cumsum(delta[:-1]) > 0
+    pos = np.nonzero(valid)[0]
+    hv = (win[pos] * _MIX1) ^ (win[pos] >> _U64(31))
+    # doc id per valid position
+    doc_of = np.searchsorted(offs[1:], pos, side="right")
+    bins = (hv >> _U64(64 - 6)).astype(np.int64)  # 64 bins from top bits
+    vals = (hv * _MIX2) ^ (hv >> _U64(29))  # bin-independent value
+
     maxu = _U64(0xFFFFFFFFFFFFFFFF)
-    for p in range(N_PERM):
-        y = hv * a[p] + b[p]
-        y[invalid_idx] = maxu
-        sig[:, p] = np.minimum.reduceat(y, seg_starts)
+    sig = np.full(n_docs * N_PERM, maxu, dtype=np.uint64)
+    # grouped-min WITHOUT np.minimum.at (which is ~1M ops/s): pack
+    # (group key | truncated value) into one u64, sort once, take the
+    # first element of each key group. Values keep 44 bits — plenty
+    # for similarity estimation; ties break deterministically.
+    key = (doc_of * N_PERM + bins).astype(np.uint64)
+    _CHUNK_DOCS = 1 << 14  # key must fit 20 bits -> chunk the doc space
+    for lo in range(0, n_docs, _CHUNK_DOCS):
+        hi = lo + _CHUNK_DOCS
+        m = (doc_of >= lo) & (doc_of < hi) if n_docs > _CHUNK_DOCS else slice(None)
+        k = key[m] - _U64(lo * N_PERM)
+        combined = np.sort((k << _U64(44)) | (vals[m] >> _U64(20)))
+        gkey = (combined >> _U64(44)).astype(np.int64)
+        first = np.ones(len(gkey), dtype=bool)
+        first[1:] = gkey[1:] != gkey[:-1]
+        sig[gkey[first] + lo * N_PERM] = combined[first] & ((_U64(1) << _U64(44)) - _U64(1))
+    sig = sig.reshape(n_docs, N_PERM)
+    # rotation densification: empty bin <- next non-empty (circular)
+    empty = sig == maxu
+    if empty.any():
+        shift = 1
+        while empty.any() and shift < N_PERM:
+            rolled = np.roll(sig, -shift, axis=1)
+            fill = empty & (rolled != maxu)
+            sig[fill] = rolled[fill]
+            empty = sig == maxu
+            shift += 1
     return sig
 
 
