@@ -106,6 +106,41 @@ def _encode_partition(part: dict, out_dir: str, opts: dict | None) -> dict:
     return manifest
 
 
+def _load_or_build_plan(out_dir: str, pending: list[dict], opts: dict | None) -> dict:
+    import base64
+
+    from . import plan as plan_mod
+
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    ppath = os.path.join(mdir, "codec_plan.json")
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            stored = json.load(f)
+        plans = {
+            c: {
+                **v,
+                **({"fsst_table": base64.b64decode(v["fsst_table"])} if "fsst_table" in v else {}),
+            }
+            for c, v in stored["column_plans"].items()
+        }
+        return {**(opts or {}), "column_plans": plans}
+    path0, rg0 = pending[0]["inputs"][0]
+    sample = pq.ParquetFile(path0).read_row_group(rg0)
+    p = plan_mod.plan_from_table(sample)
+    serializable = {
+        c: {
+            **v,
+            **({"fsst_table": base64.b64encode(v["fsst_table"]).decode()} if "fsst_table" in v else {}),
+        }
+        for c, v in p.column_plans.items()
+    }
+    with open(ppath + ".tmp", "w") as f:
+        json.dump({"column_plans": serializable}, f)
+    os.rename(ppath + ".tmp", ppath)
+    return p.to_opts(opts)
+
+
 def read_job_output(out_dir: str):
     """Dataset over a job's encoded partitions (explicit file list —
     the manifest dir lives alongside the parquet parts)."""
@@ -133,6 +168,13 @@ def encode_job(
     parts = plan_partitions(input_path, target_partition_bytes)
     done = completed_parts(out_dir)
     pending = [p for p in parts if p["part_id"] not in done]
+
+    if pending and (opts is None or "column_plans" not in opts):
+        # one shared codec plan (incl. FSST tables) from the first
+        # partition's first row group; persisted alongside the
+        # manifests so a RESUMED run reuses the original plan and
+        # re-encoded partitions come out byte-identical
+        opts = _load_or_build_plan(out_dir, pending, opts)
 
     results = list(done.values())
     refs = []

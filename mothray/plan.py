@@ -149,6 +149,31 @@ def build_plan(stats: dict[str, dict], compression: str = "zstd") -> CodecPlan:
     return CodecPlan(column_plans=plans, compression=compression, sampled_rows=total_n)
 
 
+def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
+    """CodecPlan from an in-hand sample table (e.g. the first row group
+    of a checkpointed job's input) — no Dataset execution needed."""
+    stats = {}
+    for name, t in zip(tbl.column_names, tbl.schema.types):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            st = _batch_string_stats(tbl.column(name))
+            st["avg_len"] = st["bytes"] / max(st["n"], 1)
+            stats[name] = st
+    p = build_plan(stats, compression)
+    fsst_cols = [c for c, v in p.column_plans.items() if v["string_encoding"] == "fsst"]
+    if fsst_cols:
+        from .codecs import fsst as fsst_codec
+        from .column import _string_parts
+
+        for c in fsst_cols:
+            arr = tbl.column(c)
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            _, data = _string_parts(arr.drop_null())
+            table = fsst_codec.train(data)
+            if table.symbols:
+                p.column_plans[c]["fsst_table"] = table.serialize()
+    return p
+
+
 def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> CodecPlan:
     """Sampling pass -> CodecPlan, including one shared FSST symbol
     table per FSST column (trained once here, broadcast to every encode

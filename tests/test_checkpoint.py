@@ -75,7 +75,25 @@ def test_manifest_lineage_and_metrics(ray_session, multi_rg_input, tmp_path):
     out = str(tmp_path / "enc2")
     checkpoint.encode_job(path, out, target_partition_bytes=300_000)
     mdir = os.path.join(out, checkpoint.MANIFEST_DIR)
-    manifests = [json.load(open(os.path.join(mdir, f))) for f in sorted(os.listdir(mdir))]
+    manifests = [
+        json.load(open(os.path.join(mdir, f)))
+        for f in sorted(os.listdir(mdir))
+        if f.startswith("part-")
+    ]
     assert all("lineage" in m and m["lineage"] for m in manifests)
     assert all(m["enc_bytes"] > 0 and m["raw_bytes"] > m["enc_bytes"] for m in manifests)
     assert all("codecs" in m and m["codecs"].get("lang") for m in manifests)
+
+
+def test_resume_byte_identical_parts(ray_session, multi_rg_input, tmp_path):
+    """Re-encoded partitions after a crash are byte-identical to the
+    originals (persisted codec plan + deterministic codecs)."""
+    _, path = multi_rg_input
+    out = str(tmp_path / "enc3")
+    checkpoint.encode_job(path, out, target_partition_bytes=200_000)
+    victim = f"{out}/part-00002.parquet"
+    orig = open(victim, "rb").read()
+    os.remove(victim)
+    os.remove(f"{out}/{checkpoint.MANIFEST_DIR}/part-00002.json")
+    checkpoint.encode_job(path, out, target_partition_bytes=200_000)
+    assert open(victim, "rb").read() == orig
