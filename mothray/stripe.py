@@ -23,7 +23,6 @@ because Ray blocks are our parallelism unit, SURVEY.md §2.8).
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 import pyarrow as pa
@@ -104,7 +103,6 @@ def _rebuild_column(meta: dict, blob: bytes) -> column_mod.EncodedColumn:
 def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-0") -> dict:
     """Encode one table slice into one stripe-row dict."""
     o = {**DEFAULT_OPTS, **(opts or {})}
-    t0 = time.monotonic()
     tbl = tbl.combine_chunks()
     blob: list[bytes] = []
     pos = [0]
@@ -131,11 +129,13 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
             bloom_index[name] = [bpos, len(bf)]
             bpos += len(bf)
     blob_bytes = b"".join(blob)
+    # NOTE: no timings inside the stripe row — stripe bytes must be
+    # deterministic under task retries / job resume (wall-clock metrics
+    # live in the checkpoint manifests instead)
     meta = {
         "columns": col_metas,
         "blooms": bloom_index,
         "metrics": {
-            "encode_sec": round(time.monotonic() - t0, 4),
             "codecs": {n: m["encoding"] for n, m in col_metas.items()},
             "compression": o["compression"],
         },

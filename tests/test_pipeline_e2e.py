@@ -109,7 +109,7 @@ def test_encode_metrics_in_meta(ray_session, cc_table):
     tbl, _ = cc_table
     enc = stripe.encode_batch(tbl.slice(0, 1000))
     meta = json.loads(enc.column("meta")[0].as_py())
-    assert "encode_sec" in meta["metrics"]
+    assert "codecs" in meta["metrics"]
     assert meta["metrics"]["codecs"]["lang"] == "DICT"
 
 
