@@ -1,0 +1,115 @@
+"""CLI: the Ray-Data analog of the reference's demo driver
+(reference: pkg/main/main.go Write/Read + pkg/store/main chunk scan).
+
+  python -m mothray encode  IN_PARQUET... OUT_DIR   [--partition-mb N]
+  python -m mothray decode  ENC_DIR OUT_DIR [--columns a,b]
+  python -m mothray verify  IN_PARQUET ENC_DIR --key COLUMN
+  python -m mothray stats   ENC_DIR
+
+`encode` is the resumable checkpointed job (re-run after a crash to
+finish); `decode` streams stripes back to parquet; `verify` is the
+validateFile analog (bit-identity by key); `stats` prints the merged
+manifest. The CLI owns its Ray session (library code never inits)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mothray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("inputs", nargs="+")
+    e.add_argument("out_dir")
+    e.add_argument("--partition-mb", type=int, default=256)
+
+    d = sub.add_parser("decode")
+    d.add_argument("enc_dir")
+    d.add_argument("out_dir")
+    d.add_argument("--columns", default=None)
+
+    v = sub.add_parser("verify")
+    v.add_argument("input")
+    v.add_argument("enc_dir")
+    v.add_argument("--key", required=True)
+
+    s = sub.add_parser("stats")
+    s.add_argument("enc_dir")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "encode":
+        ray = _ray()
+        from mothray import checkpoint
+
+        inputs = args.inputs if len(args.inputs) > 1 else args.inputs[0]
+        summary = checkpoint.encode_job(
+            inputs, args.out_dir, target_partition_bytes=args.partition_mb << 20
+        )
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "decode":
+        ray = _ray()
+        from mothray import checkpoint, pipeline
+
+        cols = args.columns.split(",") if args.columns else None
+        dec = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir), cols)
+        dec.write_parquet(args.out_dir)
+        print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "verify":
+        ray = _ray()
+        import ray.data
+
+        from mothray import checkpoint, pipeline
+
+        original = ray.data.read_parquet(args.input)
+        decoded = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir))
+        ok = pipeline.verify_roundtrip(original, decoded, args.key)
+        print(json.dumps({"bit_identical": ok}))
+        ray.shutdown()
+        return 0 if ok else 1
+
+    if args.cmd == "stats":
+        from mothray import checkpoint
+
+        done = checkpoint.completed_parts(args.enc_dir)
+        raw = sum(m["raw_bytes"] for m in done.values())
+        enc = sum(m["enc_bytes"] for m in done.values())
+        print(
+            json.dumps(
+                {
+                    "partitions": len(done),
+                    "n_rows": sum(m["n_rows"] for m in done.values()),
+                    "raw_bytes": raw,
+                    "enc_bytes": enc,
+                    "compression_ratio": round(raw / max(enc, 1), 3),
+                    "codecs": next(iter(done.values()))["codecs"] if done else {},
+                }
+            )
+        )
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
