@@ -22,7 +22,7 @@ def _ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", log_to_driver=False)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    try:
+        return _dispatch(args)
+    except FileNotFoundError as e:
+        print(f"error: input not found: {e}", file=sys.stderr)
+        return 2
+    except KeyError as e:
+        print(f"error: unknown column {e} (see `stats` for the schema)", file=sys.stderr)
+        return 2
+
+
+def _dispatch(args) -> int:
     if args.cmd == "encode":
         ray = _ray()
         from mothray import checkpoint
@@ -66,10 +77,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "decode":
+        cols = args.columns.split(",") if args.columns else None
+        if cols:  # validate against the encoded schema before launching
+            import os
+
+            import pyarrow.parquet as pq
+
+            from mothray import stripe as stripe_mod
+
+            files = sorted(
+                os.path.join(args.enc_dir, f)
+                for f in os.listdir(args.enc_dir)
+                if f.endswith(".parquet")
+            )
+            ipc = pq.ParquetFile(files[0]).read_row_group(0, columns=["schema_ipc"])
+            names = stripe_mod._deserialize_schema(ipc.column("schema_ipc")[0].as_py()).names
+            unknown = [c for c in cols if c not in names]
+            if unknown:
+                print(f"error: unknown column(s) {unknown}; encoded columns: {names}", file=sys.stderr)
+                return 2
         ray = _ray()
         from mothray import checkpoint, pipeline
 
-        cols = args.columns.split(",") if args.columns else None
         dec = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir), cols)
         dec.write_parquet(args.out_dir)
         print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
