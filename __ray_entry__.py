@@ -239,6 +239,38 @@ def _user_hourly(sf_dir: str):
     return window.tumbling_window(ds, "ts", "user_id", "hour", [Count(alias_name="cnt")])
 
 
+def _join_orders_customer(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    return join.broadcast_join(orders, cust, on="o_custkey")
+
+
+def _join_partitioned(sf_dir: str):
+    import ray.data
+
+    from mothray.ops import join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    return join.partitioned_join(orders, cust, on="o_custkey", num_buckets=8)
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -263,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = _events_hourly
     q["user_sessions_events"] = _user_sessions
     q["user_hourly_events"] = _user_hourly
+    q["join_orders_customer"] = _join_orders_customer
+    q["join_partitioned_orders"] = _join_partitioned
     q["dedup_exact_documents"] = _dedup_exact
     q["dedup_minhash_documents"] = _dedup_minhash
     q["dedup_simhash_documents"] = _dedup_simhash
@@ -305,6 +339,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, date_trunc('hour', ts) AS window_start,"
         " CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
     )
+    _join_sql = (
+        "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    o["join_orders_customer"] = _join_sql
+    o["join_partitioned_orders"] = _join_sql
     o["stats_lineitem"] = (
         "SELECT CAST(count(*) AS BIGINT) AS row_cnt,"
         " min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,"
