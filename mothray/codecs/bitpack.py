@@ -80,12 +80,29 @@ def _bit_width32(v: np.ndarray) -> np.ndarray:
     return w
 
 
+def _native():
+    from . import _bitpack_native
+
+    return _bitpack_native.get_lib()
+
+
 def pack(values: np.ndarray, width: int) -> bytes:
     """Pack low `width` bits of each uint64 value, MSB-first."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0 or width == 0:
         return b""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        rb = packed_size(n, width)
+        out = np.empty(rb, dtype=np.uint8)
+        lib.pack_rows(
+            v.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(1), ctypes.c_int64(n),
+            ctypes.c_int(width), out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(rb),
+        )
+        return out.tobytes()
     nb = (width + 7) // 8  # only expand the bytes that can carry bits
     be = v.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - nb :]
     bits = np.unpackbits(np.ascontiguousarray(be), axis=1)  # (n, nb*8)
@@ -99,6 +116,17 @@ def unpack(data, count: int, width: int, offset: int = 0) -> np.ndarray:
         return np.zeros(count, dtype=np.uint64)
     nbytes = (count * width + 7) // 8
     b = np.frombuffer(data, dtype=np.uint8, count=nbytes, offset=offset)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        bc = np.ascontiguousarray(b)
+        out = np.empty(count, dtype=np.uint64)
+        lib.unpack_rows(
+            bc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(1), ctypes.c_int64(count),
+            ctypes.c_int(width), ctypes.c_int64(nbytes), out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
     bits = np.unpackbits(b)[: count * width].reshape(count, width)
     nb = (width + 7) // 8
     full = np.zeros((count, nb * 8), dtype=np.uint8)
@@ -125,6 +153,17 @@ def pack_rows(values_2d: np.ndarray, width: int) -> np.ndarray:
     if k == 0 or m == 0 or width == 0:
         return np.zeros((k, packed_size(m, width)), dtype=np.uint8)
     v = np.ascontiguousarray(values_2d, dtype=np.uint64)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        rb = packed_size(m, width)
+        out = np.empty((k, rb), dtype=np.uint8)
+        lib.pack_rows(
+            v.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(k), ctypes.c_int64(m),
+            ctypes.c_int(width), out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(rb),
+        )
+        return out
     nb = (width + 7) // 8
     be = np.ascontiguousarray(v.astype(">u8").view(np.uint8).reshape(k, m, 8)[:, :, 8 - nb :])
     bits = np.unpackbits(be.reshape(k, m * nb), axis=1).reshape(k, m, nb * 8)
@@ -140,6 +179,17 @@ def unpack_rows(packed_2d: np.ndarray, m: int, width: int) -> np.ndarray:
     k = packed_2d.shape[0]
     if k == 0 or m == 0 or width == 0:
         return np.zeros((k, m), dtype=np.uint64)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(packed_2d)
+        out = np.empty((k, m), dtype=np.uint64)
+        lib.unpack_rows(
+            src.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(k), ctypes.c_int64(m),
+            ctypes.c_int(width), ctypes.c_int64(src.shape[1]), out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
     bits = np.unpackbits(np.ascontiguousarray(packed_2d), axis=1)[:, : m * width]
     nb = (width + 7) // 8
     full = np.zeros((k, m, nb * 8), dtype=np.uint8)

@@ -288,6 +288,11 @@ def _emit_patched_rows(
                 continue
             pw = bitpack.closest_fixed_bits(max(1, pmax.bit_length()))
             pgw = bitpack.closest_fixed_bits(max(1, max(ent_gaps).bit_length()))
+            if pgw + pw > 64:  # gap<<pw must fit one entry word
+                out = bytearray()
+                _write_direct_pre(zz[r], int(wsort[r, -1]), out)
+                per_block[r] = bytes(out)
+                continue
             combined = bitpack.closest_aligned_bits(pgw + pw)
             lo = int(lo_all[j])
             mag = abs(lo)
@@ -394,11 +399,9 @@ def _try_write_patched(block: np.ndarray, signed: bool, lo: int, out: bytearray)
         return False
     pll = len(ent_gaps)
     pgw = bitpack.closest_fixed_bits(max(1, max(ent_gaps).bit_length()))
-    if pgw > 8:
+    if pgw > 8 or pgw + pw > 64:  # gap<<pw must fit one entry word
         return False
     combined = bitpack.closest_aligned_bits(pgw + pw)
-    if combined > 64:
-        return False
 
     wcode = bitpack.encode_bit_width(w)
     out.append((2 << 6) | (wcode << 1) | ((n - 1) >> 8))

@@ -189,3 +189,16 @@ def test_frames_roundtrip(codec):
     framed = frames.compress(raw, codec)
     assert framed[0] == frames.RAW
     assert frames.decompress(framed, codec, len(raw)) == raw
+
+
+def test_rlev2_patched_wide_patch_regression():
+    """Regression (hypothesis-found): huge outliers over tiny bases
+    give patch width 64; gap<<pw must not overflow the entry word."""
+    v = np.array([0, 0, 144115188075855872], dtype=np.int64)
+    dec, _ = rlev2.decode(rlev2.encode(v, True), 3, True)
+    np.testing.assert_array_equal(dec, v)
+    r = np.random.default_rng(1)
+    for k in [50, 57, 62]:
+        big = np.where(r.random(2000) < 0.04, 2**k, r.integers(0, 3, 2000)).astype(np.int64)
+        dec, _ = rlev2.decode(rlev2.encode(big, True), len(big), True)
+        np.testing.assert_array_equal(dec, big)
