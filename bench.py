@@ -85,7 +85,18 @@ def run_bench() -> dict:
         subprocess.run(["rm", "-rf", out_dir], check=True)
         t0 = time.monotonic()
         ds = ray.data.read_parquet(path)
-        enc = pipeline.encode_dataset_planned(ds, sample_fraction=0.05)
+        from mothray import plan as plan_mod
+
+        codec_plan = plan_mod.plan_dataset(ds, 0.05)
+        queries[f"plan_{name}"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        plan_ref = ray.put(codec_plan.to_opts())
+        enc = ds.map_batches(
+            pipeline.StripeEncoder(None, plan_ref=plan_ref),
+            batch_format="pyarrow",
+            batch_size=pipeline._auto_batch_rows(ds),
+            zero_copy_batch=True,
+        )
         enc.write_parquet(out_dir)
         t_enc = time.monotonic() - t0
         queries[f"encode_{name}"] = round(t_enc, 3)
