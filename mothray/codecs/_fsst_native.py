@@ -72,6 +72,53 @@ int64_t fsst_encode(const uint8_t *in, int64_t n,
     return o;
 }
 
+/* as fsst_encode, but also records each token's consumed input length
+   (1..8) into tok_lens and the token count into *n_tokens — used by
+   table training to count token/pair frequencies. */
+int64_t fsst_encode_tok(const uint8_t *in, int64_t n,
+                        const uint8_t *short_code, const int8_t *short_len,
+                        const uint64_t *hash_sym, const uint8_t *hash_code,
+                        const int8_t *hash_len,
+                        const uint8_t *byte_code, const uint8_t *byte_ok,
+                        uint8_t *out, uint8_t *tok_lens, int64_t *n_tokens) {
+    static const uint64_t masks[9] = {0ULL, 0xFFULL, 0xFFFFULL, 0xFFFFFFULL,
+        0xFFFFFFFFULL, 0xFFFFFFFFFFULL, 0xFFFFFFFFFFFFULL,
+        0xFFFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFFFULL};
+    int64_t i = 0, o = 0, t = 0;
+    while (i < n) {
+        uint64_t w;
+        memcpy(&w, in + i, 8);
+        int64_t rem = n - i;
+        uint64_t h = hash3(w);
+        int hl = hash_len[h];
+        if (hl > 0 && hl <= rem && (w & masks[hl]) == hash_sym[h]) {
+            out[o++] = hash_code[h];
+            tok_lens[t++] = (uint8_t)hl;
+            i += hl;
+            continue;
+        }
+        uint32_t s2 = (uint32_t)(w & 0xFFFF);
+        int sl = short_len[s2];
+        if (sl > 0 && sl <= rem) {
+            out[o++] = short_code[s2];
+            tok_lens[t++] = (uint8_t)sl;
+            i += sl;
+            continue;
+        }
+        uint32_t b1 = (uint32_t)(w & 0xFF);
+        if (byte_ok[b1]) {
+            out[o++] = byte_code[b1];
+        } else {
+            out[o++] = ESCAPE;
+            out[o++] = (uint8_t)b1;
+        }
+        tok_lens[t++] = 1;
+        i += 1;
+    }
+    *n_tokens = t;
+    return o;
+}
+
 /* decode: codes -> bytes. returns output length, or -1 on overflow. */
 int64_t fsst_decode(const uint8_t *in, int64_t n,
                     const uint8_t *sym_flat, const int64_t *sym_off,
@@ -125,6 +172,7 @@ def get_lib():
                 os.unlink(c_path)
         lib = ctypes.CDLL(so_path)
         lib.fsst_encode.restype = ctypes.c_int64
+        lib.fsst_encode_tok.restype = ctypes.c_int64
         lib.fsst_decode.restype = ctypes.c_int64
         _lib = lib
     except Exception:

@@ -199,6 +199,53 @@ def _encode_lanes(
     return encoded, None, None
 
 
+def _tokens_for_training(buf: np.ndarray, table: SymbolTable):
+    """(starts, lens, lane_ids) of the greedy parse, in parse order —
+    via the C kernel when available (single sequential lane), else the
+    numpy lane encoder."""
+    if not table.symbols:  # empty table: every byte escapes (len-1 tokens)
+        n = len(buf)
+        return (
+            np.arange(n, dtype=np.int64),
+            np.ones(n, dtype=np.int64),
+            np.zeros(n, dtype=np.int64),
+        )
+    from . import _fsst_native
+
+    lib = _fsst_native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        n = len(buf)
+        padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+        out = np.empty(2 * n + 8, dtype=np.uint8)
+        tok_lens = np.empty(n + 1, dtype=np.uint8)
+        n_tok = ctypes.c_int64(0)
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        byte_ok = table.byte_ok.astype(np.uint8)
+        lib.fsst_encode_tok(
+            p(padded), ctypes.c_int64(n),
+            p(table.short_code), p(table.short_len),
+            p(table.hash_sym), p(table.hash_code), p(table.hash_len),
+            p(table.byte_code), p(byte_ok),
+            p(out), p(tok_lens), ctypes.byref(n_tok),
+        )
+        lens = tok_lens[: n_tok.value].astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        return starts, lens, np.zeros(len(lens), dtype=np.int64)
+    n_lanes = max(1, len(buf) // 512)
+    _, toks, _ = _encode_lanes(buf, table, n_lanes, collect_tokens=True)
+    tok_starts, tok_lens_l, tok_lane = toks
+    all_start = np.concatenate(tok_starts)
+    all_len = np.concatenate(tok_lens_l)
+    all_lane = np.concatenate(tok_lane)
+    order = np.lexsort((all_start, all_lane))
+    return all_start[order], all_len[order], all_lane[order]
+
+
 def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
     """Bottom-up symbol table construction (paper §3.3): iterate
     encode-sample -> count tokens + adjacent pairs -> keep top-gain."""
@@ -208,19 +255,8 @@ def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
         return SymbolTable([])
     win = _windows_u64(buf)
     table = SymbolTable([])
-    n_lanes = max(1, len(buf) // 512)
     for _ in range(n_iter):
-        _, toks, lanes = _encode_lanes(buf, table, n_lanes, collect_tokens=True)
-        tok_starts, tok_lens, tok_lane = toks
-        lane_starts, lane_ends = lanes
-        # flatten in (lane, step) order to find adjacent pairs per lane
-        all_start = np.concatenate(tok_starts)
-        all_len = np.concatenate(tok_lens)
-        all_lane = np.concatenate(tok_lane)
-        order = np.lexsort((all_start, all_lane))
-        s = all_start[order]
-        ln = all_len[order]
-        la = all_lane[order]
+        s, ln, la = _tokens_for_training(buf, table)
         # singles
         key_s = (win[s] & _MASKS[np.minimum(ln, 8)]) if len(s) else np.empty(0, np.uint64)
         # pairs: adjacent tokens in same lane with combined len <= 8
