@@ -126,6 +126,14 @@ def _text_quality(sf_dir: str):
     )
 
 
+def _text_regex_tokens(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(
+        text.regex_token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "regex_tok_cnt"])
+
+
 def _langid(sf_dir: str):
     from mothray.ops import text
 
@@ -302,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_simhash_documents"] = _dedup_simhash
     q["text_tokens_documents"] = _text_tokens
     q["text_quality_documents"] = _text_quality
+    q["text_regex_tokens_documents"] = _text_regex_tokens
     q["langid_documents"] = _langid
     q["fingerprint_documents"] = _fingerprint
     q["dedup_embedding_cosine"] = _dedup_embedding
@@ -366,6 +375,10 @@ def oracle_sql() -> dict[str, str]:
         " length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS digit_ratio,"
         " (length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)::DOUBLE AS space_ratio"
         " FROM documents"
+    )
+    o["text_regex_tokens_documents"] = (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tok_cnt FROM documents"
     )
     o["ann_topk_embeddings"] = (
         "SELECT vec_id, round(list_cosine_similarity(embedding,"

@@ -76,6 +76,79 @@ class ImageDecoder:
         return out
 
 
+AUDIO_MAGIC = b"FAKA"
+VIDEO_MAGIC = b"FAKV"
+
+
+def make_fake_audio(n_samples: int, rate: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, n_samples, dtype=np.int64).astype("<i2")
+    return AUDIO_MAGIC + int(rate).to_bytes(4, "little") + pcm.tobytes()
+
+
+def make_fake_video(n_frames: int, w: int, h: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, n_frames * w * h, dtype=np.int64).astype(np.uint8)
+    hdr = VIDEO_MAGIC + int(n_frames).to_bytes(2, "little") + int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    return hdr + frames.tobytes()
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio binary -> (duration_sec, rms) metadata.
+    Real decoders (libsndfile etc.) are absent in this container; the
+    FAKA payload keeps the plumbing (schema/batching/actor) real."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, rms = [], []
+        for payload in batch.column("audio").to_pylist():
+            if payload is None or payload[:4] != AUDIO_MAGIC:
+                durs.append(None)
+                rms.append(None)
+                continue
+            rate = int.from_bytes(payload[4:8], "little")
+            pcm = np.frombuffer(payload, dtype="<i2", offset=8)
+            durs.append(len(pcm) / max(rate, 1))
+            rms.append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+        return batch.append_column("duration_sec", pa.array(durs, type=pa.float64())).append_column(
+            "rms", pa.array(rms, type=pa.float64())
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: video binary -> every k-th frame as thumbnails
+    (list<binary>); stubbed decoder, real batching/memory layout."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sampled = []
+        for payload in batch.column("video").to_pylist():
+            if payload is None or payload[:4] != VIDEO_MAGIC:
+                sampled.append(None)
+                continue
+            nf = int.from_bytes(payload[4:6], "little")
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            frames = np.frombuffer(payload, dtype=np.uint8, offset=10).reshape(nf, h, w)
+            sampled.append([frames[i].tobytes() for i in range(0, nf, self.every)])
+        return batch.append_column("sampled_frames", pa.array(sampled, type=pa.list_(pa.binary())))
+
+
+def audio_features(ds, concurrency: int = 4, batch_size: int = 256):
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow", concurrency=concurrency, batch_size=batch_size)
+
+
+def sample_video_frames(ds, every: int = 2, concurrency: int = 4, batch_size: int = 64):
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,  # video payloads are large: small batches
+    )
+
+
 def decode_images(ds, concurrency: int = 4, batch_size: int = 256):
     """Actor pool sized for binary payloads: small batches so
     batch_size x payload x concurrency fits worker heaps (ray guide,

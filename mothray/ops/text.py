@@ -26,6 +26,19 @@ def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("tok_cnt", toks)
 
 
+_BPE_ISH = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def regex_token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """BPE-ish tokenization (letter runs | short digit runs | single
+    punctuation — the GPT-2 pre-tokenizer shape, ASCII classes so RE2
+    oracles agree): adds `regex_tok_cnt`."""
+    import pyarrow.compute as pc
+
+    counts = pc.count_substring_regex(batch.column(column), _BPE_ISH)
+    return batch.append_column("regex_tok_cnt", counts.cast(pa.int64()))
+
+
 def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Quality heuristics per doc (all defined over characters so a SQL
     oracle can reproduce them exactly):

@@ -223,3 +223,38 @@ def test_embedding_dedup(ray_session):
     kept = sorted(out["vec_id"].tolist())
     assert 0 in kept and 2 in kept and 4 in kept
     assert 1 not in kept and 3 not in kept
+
+
+def test_regex_token_count_matches_sql(ray_session, docs_ds):
+    import duckdb
+
+    out = (
+        docs_ds.map_batches(text.regex_token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "regex_tok_cnt"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = duckdb.sql(
+        "SELECT doc_id, CAST(length(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tok_cnt"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert out["regex_tok_cnt"].tolist() == expect["regex_tok_cnt"].tolist()
+
+
+def test_audio_video_plumbing(ray_session):
+    import ray.data
+
+    audio = [multimodal.make_fake_audio(16000, 8000, seed=i) for i in range(10)]
+    audio[2] = None
+    ta = pa.table({"aid": pa.array(range(10), type=pa.int64()), "audio": pa.array(audio, type=pa.binary())})
+    out = multimodal.audio_features(ray.data.from_arrow(ta), concurrency=2, batch_size=4).to_pandas()
+    ok = out[out["duration_sec"].notna()]
+    assert len(ok) == 9 and np.allclose(ok["duration_sec"], 2.0)
+
+    vids = [multimodal.make_fake_video(6, 8, 4, seed=i) for i in range(6)]
+    tv = pa.table({"vid": pa.array(range(6), type=pa.int64()), "video": pa.array(vids, type=pa.binary())})
+    vout = multimodal.sample_video_frames(ray.data.from_arrow(tv), every=2, concurrency=2, batch_size=3).to_pandas()
+    assert all(len(f) == 3 for f in vout["sampled_frames"])  # 6 frames, every 2nd
+    assert all(len(f[0]) == 32 for f in vout["sampled_frames"])  # 8x4 bytes
