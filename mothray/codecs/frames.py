@@ -44,29 +44,36 @@ def available_codecs() -> list[str]:
     return out
 
 
-def compress(data: bytes, codec: str = "zstd", min_ratio: float = 1.0) -> bytes:
-    """Returns a framed stream: 1 flag byte + payload.
-
-    Keeps the input raw when the codec fails to shrink it by at least
-    `min_ratio` (default: any shrink at all), same rule as the
-    reference's store-raw check.
-    """
+def compress_parts(data, codec: str = "zstd", min_ratio: float = 1.0) -> tuple[int, object]:
+    """(flag byte, payload) — payload is the input object itself when
+    stored raw (NO copy; callers concatenate flag and payload
+    separately). Keeps the input raw when the codec fails to shrink it
+    by at least `min_ratio`, the reference's store-raw rule."""
     if codec in ("none", None) or len(data) == 0:
-        return bytes([RAW]) + data
+        return RAW, data
     if codec == "zlib":
         comp = zlib.compress(data, 6)
     else:
         comp = _codec(codec).compress(data, asbytes=True)
     if len(comp) + 1 < len(data) / max(min_ratio, 1.0):
-        return bytes([COMPRESSED]) + comp
-    return bytes([RAW]) + data
+        return COMPRESSED, comp
+    return RAW, data
 
 
-def decompress(framed: bytes, codec: str, raw_size: int) -> bytes:
+def compress(data: bytes, codec: str = "zstd", min_ratio: float = 1.0) -> bytes:
+    """One-shot framed stream: flag byte + payload (copies; prefer
+    compress_parts on hot paths)."""
+    flag, payload = compress_parts(data, codec, min_ratio)
+    return bytes([flag]) + bytes(payload)
+
+
+def decompress(framed, codec: str, raw_size: int):
+    """Accepts any buffer (memoryview slices stay zero-copy for the
+    raw path). Returns a bytes-like."""
     flag = framed[0]
-    payload = framed[1:]
+    payload = framed[1:] if isinstance(framed, (bytes, memoryview)) else bytes(framed)[1:]
     if flag == RAW:
-        return bytes(payload)
+        return payload
     if codec == "zlib":
         return zlib.decompress(payload)
     return _codec(codec).decompress(payload, decompressed_size=raw_size, asbytes=True)

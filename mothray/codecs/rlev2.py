@@ -443,7 +443,7 @@ def decode(data, count: int, signed: bool = True, offset: int = 0):
     payload sizes are derivable from headers), then bulk decode with
     runs grouped by (mode, width, length) so same-shape runs unpack in
     one matrix op (mirror of the encoder's grouped emission)."""
-    buf = bytes(data) if not isinstance(data, bytes) else data
+    buf = data if isinstance(data, (bytes, memoryview)) else bytes(data)
     dtype = np.int64 if signed else np.uint64
     out = np.empty(count, dtype=dtype)
     bview = np.frombuffer(buf, dtype=np.uint8)

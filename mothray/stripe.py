@@ -71,12 +71,14 @@ def _flatten_column(
     streams = []
     for kind, data in enc.streams.items():
         use_codec = codec if len(data) >= min_comp else "none"
-        framed = frames.compress(data, use_codec)
+        flag, payload = frames.compress_parts(data, use_codec)
+        flen = 1 + len(payload)
         streams.append(
-            {"kind": kind, "off": pos[0], "len": len(framed), "raw": len(data), "codec": use_codec}
+            {"kind": kind, "off": pos[0], "len": flen, "raw": len(data), "codec": use_codec}
         )
-        blob.append(framed)
-        pos[0] += len(framed)
+        blob.append(bytes([flag]))
+        blob.append(payload)  # raw path: the original buffer, uncopied
+        pos[0] += flen
     return {
         "encoding": enc.encoding,
         "num_values": enc.num_values,
@@ -86,10 +88,11 @@ def _flatten_column(
     }
 
 
-def _rebuild_column(meta: dict, blob: bytes) -> column_mod.EncodedColumn:
+def _rebuild_column(meta: dict, blob) -> column_mod.EncodedColumn:
+    view = memoryview(blob)  # zero-copy slices; raw streams never copy
     streams = {}
     for s in meta["streams"]:
-        framed = blob[s["off"] : s["off"] + s["len"]]
+        framed = view[s["off"] : s["off"] + s["len"]]
         streams[s["kind"]] = frames.decompress(framed, s["codec"], s["raw"])
     return column_mod.EncodedColumn(
         encoding=meta["encoding"],
