@@ -37,7 +37,13 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict[str, Any]:
         vals = arr.cast(pa.int64()) if not pa.types.is_date(t) else arr.cast(pa.int32()).cast(pa.int64())
         out["min"] = _plain(mm["min"])
         out["max"] = _plain(mm["max"])
-        out["sum"] = int(pc.sum(vals).as_py())  # python int: overflow-safe like the reference's guard
+        # int64 sums wrap in arrow; the reference drops the sum when it
+        # overflows (IntegerStatisticsBuilder overflow flag) — detect
+        # via a float shadow sum
+        isum = int(pc.sum(vals).as_py())
+        fsum = pc.sum(pc.cast(vals, pa.float64(), safe=False)).as_py() or 0.0
+        if abs(fsum - isum) < max(1.0, abs(fsum)) * 1e-6:
+            out["sum"] = isum
         return out
     if pa.types.is_floating(t):
         has_nan = bool(pc.any(pc.is_nan(arr.drop_null())).as_py()) if n > nulls else False

@@ -164,7 +164,7 @@ def split_for_stripes(tbl: pa.Table, opts: dict | None = None) -> list[pa.Table]
     if n == 0:
         return []
     bytes_per_row = max(tbl.nbytes / n, 1)
-    rows_budget = int(min(o["stripe_rows"], max(1024, o["stripe_bytes"] / bytes_per_row)))
+    rows_budget = int(min(o["stripe_rows"], max(64, o["stripe_bytes"] / bytes_per_row)))
     return [tbl.slice(s, rows_budget) for s in range(0, n, rows_budget)]
 
 

@@ -1,0 +1,156 @@
+"""Explicit reference-parity assertions, one per SURVEY.md §2 behavior,
+each naming its reference citation. These pin the SEMANTICS carried
+over from mothdb-bd/orc-go (not its bytes — our container is Arrow)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray import column, stats, stripe
+from mothray.codecs import frames
+
+
+# --- PresentOutputStream.go:27-55 — PRESENT materializes only when nulls exist
+def test_present_stream_lazy_rule():
+    no_nulls = column.encode_array(pa.array([1, 2, 3], type=pa.int64()))
+    assert column.PRESENT not in no_nulls.streams
+    with_nulls = column.encode_array(pa.array([1, None, 3], type=pa.int64()))
+    assert column.PRESENT in with_nulls.streams
+
+
+# --- SliceDictionaryColumnWriter.go:313-336 — dictionary sorted lexically,
+#     indexes remapped to sorted order
+def test_dictionary_sorted_and_remapped():
+    arr = pa.array(["zz", "aa", "mm", "zz", "aa"] * 100)
+    enc = column.encode_array(arr, {"string_encoding": "dict"})
+    assert enc.encoding == column.ENC_DICT
+    from mothray.codecs import rlev2
+
+    card = enc.extra["dict_size"]
+    dlen, _ = rlev2.decode(enc.streams[column.LENGTH], card, signed=False)
+    ddata = enc.streams[column.DICTIONARY_DATA]
+    offs = np.concatenate(([0], np.cumsum(dlen.astype(np.int64))))
+    entries = [bytes(ddata[offs[i] : offs[i + 1]]) for i in range(card)]
+    assert entries == sorted(entries)  # byte-lexical order
+    idx, _ = rlev2.decode(enc.streams[column.DATA], len(arr), signed=False)
+    assert bytes(entries[int(idx[0])]) == b"zz" and bytes(entries[int(idx[1])]) == b"aa"
+
+
+# --- ColumnWriters stream layouts (SURVEY §2.3 table)
+@pytest.mark.parametrize(
+    "arr,kinds",
+    [
+        (pa.array([True, False] * 50), {"DATA"}),
+        (pa.array(np.arange(100, dtype=np.int64)), {"DATA"}),
+        (pa.array(np.arange(100, dtype=np.int8)), {"DATA"}),
+        (pa.array(np.arange(100).astype(np.float64)), {"DATA"}),
+        (pa.array([b"x", b"yy"] * 50, type=pa.binary()), {"LENGTH", "DATA"}),
+        (
+            pa.array(np.arange(100) * 1_000_000, type=pa.int64()).cast(pa.timestamp("us")),
+            {"DATA", "SECONDARY"},
+        ),
+    ],
+)
+def test_stream_kinds_per_type(arr, kinds):
+    enc = column.encode_array(arr)
+    assert set(enc.streams) == kinds
+
+
+def test_nested_length_stream_recursion():
+    # ListColumnWriter.go:28-80: LENGTH + child writers
+    arr = pa.array([[1, 2], [3]] * 50, type=pa.list_(pa.int64()))
+    enc = column.encode_array(arr)
+    assert set(enc.streams) == {"LENGTH"}
+    assert len(enc.children) == 1 and "DATA" in enc.children[0].streams
+
+
+# --- DictionaryCompressionOptimizer.go:10 — ratio < 1.25 abandons dict
+def test_dict_ratio_threshold():
+    unique = pa.array([f"{i:016x}{i:016x}" for i in range(2000)])
+    enc = column.encode_array(unique, {"string_encoding": "auto", "fsst_enabled": False})
+    assert enc.encoding == column.ENC_DIRECT
+
+
+# --- DictionaryCompressionOptimizer.go:214-225 — index width model
+def test_index_width_model():
+    assert column._index_bytes_per_value(200) == 1
+    assert column._index_bytes_per_value(60000) == 2
+    assert column._index_bytes_per_value(1 << 22) == 3
+    assert column._index_bytes_per_value(1 << 25) == 4
+
+
+# --- MothOutputBuffer.go:358-369 — store-raw rule for incompressible streams
+def test_store_raw_flag():
+    rng = np.random.default_rng(0)
+    incompressible = rng.integers(0, 256, 10000).astype(np.uint8).tobytes()
+    flag, payload = frames.compress_parts(incompressible, "zstd")
+    assert flag == frames.RAW and payload is incompressible  # no copy either
+    compressible = b"abc" * 10000
+    flag, payload = frames.compress_parts(compressible, "zstd")
+    assert flag == frames.COMPRESSED
+
+
+# --- StringStatisticsBuilder.go:111-119 + MothWriterOptions.go:9 —
+#     >64-byte values drop string min/max
+def test_string_stats_limit():
+    short = stats.column_stats(pa.array(["aa", "bb"]))
+    assert short["min"] == "aa" and short["max"] == "bb"
+    long = stats.column_stats(pa.array(["x" * 100, "aa"]))
+    assert "max" not in long and long["min"] == "aa"
+    assert long["sum_lengths"] == 102
+
+
+# --- DoubleStatisticsBuilder.go — NaN drops min/max
+def test_nan_drops_float_stats():
+    st = stats.column_stats(pa.array([1.0, float("nan"), 3.0]))
+    assert "min" not in st and "max" not in st
+    st2 = stats.column_stats(pa.array([1.0, 3.0]))
+    assert st2["min"] == 1.0 and st2["max"] == 3.0
+
+
+# --- BooleanStatisticsBuilder.go — trueCount
+def test_bool_true_count():
+    st = stats.column_stats(pa.array([True, True, False, None]))
+    assert st["true_count"] == 2 and st["null_count"] == 1
+
+
+# --- IntegerStatisticsBuilder.go:31-50,71-83 — sum dropped on overflow
+def test_int_stats_sum_overflow_dropped():
+    big = np.iinfo(np.int64).max
+    st = stats.column_stats(pa.array([big, big], type=pa.int64()))
+    assert "sum" not in st  # overflowed -> dropped, like the reference
+    ok = stats.column_stats(pa.array([big, -big], type=pa.int64()))
+    assert ok["sum"] == 0
+
+
+# --- MothWriter.go:127-137 — chunking by row + logical byte budget
+def test_stripe_byte_budget_splits():
+    tbl = pa.table({"x": pa.array([b"y" * 1000] * 2000, type=pa.binary())})
+    enc = stripe.encode_batch(tbl, {"stripe_bytes": 200_000})
+    assert enc.num_rows >= 8
+    assert all(r <= 2000 for r in enc.column("n_rows").to_pylist())
+
+
+# --- TimestampColumnWriter.go:17 — 2015-01-01 epoch for seconds stream
+def test_timestamp_epoch_2015():
+    from mothray.codecs import rlev2, timestamp as ts_mod
+
+    arr = pa.array([1420070400_000000], type=pa.int64()).cast(pa.timestamp("us"))
+    enc = column.encode_array(arr)
+    secs, _ = rlev2.decode(enc.streams["DATA"], 1, signed=True)
+    assert secs[0] == 0  # 2015-01-01T00:00:00Z == epoch
+
+
+# --- stripe meta carries encodings for the manifest metrics (north rule)
+def test_codec_choices_in_meta():
+    tbl = pa.table(
+        {"s": pa.array(["alpha", "bravo"] * 500), "i": pa.array(np.arange(1000, dtype=np.int64))}
+    )
+    enc = stripe.encode_batch(tbl)
+    codecs = json.loads(enc.column("meta")[0].as_py())["metrics"]["codecs"]
+    assert codecs == {"s": "DICT", "i": "RLEV2"}
+    # 1-char values: index bytes ~= raw bytes, ratio < 1.25 -> direct
+    tiny = stripe.encode_batch(pa.table({"s": pa.array(["a", "b"] * 500)}), {"fsst_enabled": False})
+    assert json.loads(tiny.column("meta")[0].as_py())["metrics"]["codecs"]["s"] == "DIRECT"
