@@ -62,15 +62,26 @@ class StripeDecoder:
 
     Yields one table per stripe so a block of many stripes never
     materializes fully decoded (reference's incremental NextPage loop,
-    MothRecordReader.go:184-228, via Ray generator UDF)."""
+    MothRecordReader.go:184-228, via Ray generator UDF).
 
-    def __init__(self, columns: list[str] | None = None):
+    `rg_predicate=(column, min, max)` decodes only row groups whose
+    stats overlap (reference selectRowGroups:272-293) — skipped groups'
+    streams are never decompressed."""
+
+    def __init__(self, columns: list[str] | None = None, rg_predicate: tuple | None = None):
         self.columns = columns
+        self.rg_predicate = rg_predicate
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for i in range(batch.num_rows):
             row = {name: batch.column(name)[i].as_py() for name in batch.column_names}
-            yield stripe_mod.decode_stripe(row, self.columns)
+            rgs = None
+            if self.rg_predicate is not None:
+                col, lo, hi = self.rg_predicate
+                rgs = stripe_mod.select_row_groups(json.loads(row["meta"]), col, lo, hi)
+                if rgs == []:
+                    continue  # whole stripe skipped
+            yield stripe_mod.decode_stripe(row, self.columns, row_groups=rgs)
 
 
 DEFAULT_ENCODE_BATCH_ROWS = 32768
@@ -130,14 +141,18 @@ def encode_dataset_planned(
 
 
 def decode_dataset(
-    ds: ray.data.Dataset, columns: list[str] | None = None
+    ds: ray.data.Dataset,
+    columns: list[str] | None = None,
+    rg_predicate: tuple | None = None,
 ) -> ray.data.Dataset:
     """Dataset of stripe rows -> Dataset of original rows (streaming).
 
     `columns` projects at decode time: only the requested columns'
-    streams are decompressed+decoded (reference StripeReader.go:46-49)."""
+    streams are decompressed+decoded (reference StripeReader.go:46-49).
+    `rg_predicate=(column, min, max)` additionally skips non-matching
+    row groups inside each stripe."""
     return ds.map_batches(
-        StripeDecoder(columns),
+        StripeDecoder(columns, rg_predicate),
         batch_format="pyarrow",
         batch_size=1,  # one stripe per task: max fan-out, bounded memory
         zero_copy_batch=True,

@@ -37,6 +37,7 @@ DEFAULT_OPTS = {
     "string_encoding": "auto",    # auto|dict|direct|fsst
     "stripe_bytes": 64 << 20,     # reference stripeMaxSize, MothWriterOptions.go:13
     "stripe_rows": 1 << 20,
+    "row_group_rows": 10_000,     # reference rowGroupMaxRowCount, MothWriterOptions.go:15
     "bloom": True,                # bloom filters for string columns
     "fsst_enabled": True,
     "compress_min_bytes": 64,
@@ -103,14 +104,48 @@ def _rebuild_column(meta: dict, blob) -> column_mod.EncodedColumn:
     )
 
 
+def _rg_minmax(arr: pa.Array):
+    """Compact per-row-group [min, max] for pruning; None when the type
+    has no orderable stats (binary/nested) or values exceed the string
+    stats limit."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if len(arr) == arr.null_count:
+        return None
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        mm = pc.min_max(arr)
+        return [mm["min"].as_py(), mm["max"].as_py()]
+    if pa.types.is_timestamp(t):
+        mm = pc.min_max(arr.cast(pa.int64()))
+        return [mm["min"].as_py(), mm["max"].as_py()]
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is not None and len(mn.encode()) <= stats_mod.STRING_STATS_LIMIT and len(mx.encode()) <= stats_mod.STRING_STATS_LIMIT:
+            return [mn, mx]
+    return None
+
+
 def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-0") -> dict:
-    """Encode one table slice into one stripe-row dict."""
+    """Encode one table slice into one stripe-row dict.
+
+    Columns are encoded in ROW GROUPS of `row_group_rows` (reference
+    10k default) with independent stream segments per row group, so the
+    reader can decode only matching row groups (the reference's
+    row-group seek/skip, StripeReader.selectRowGroups:272-293, without
+    needing sub-stream checkpoints — each group's streams are simply
+    separate blob slices)."""
     o = {**DEFAULT_OPTS, **(opts or {})}
     tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    rg_rows = o.get("row_group_rows") or n or 1
+    rg_bounds = list(range(0, n, rg_rows)) or [0]
     blob: list[bytes] = []
     pos = [0]
     col_metas = {}
     col_stats = {}
+    rg_stats: dict[str, list] = {}
     blooms: list[bytes] = []
     bloom_index = {}
     bpos = 0
@@ -121,9 +156,19 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
         if isinstance(arr, pa.ChunkedArray):  # 0-chunk empty table edge
             arr = pa.array([], type=arr.type)
         col_o = {**o, **col_plans[name]} if name in col_plans else o
-        enc = column_mod.encode_array(arr, col_o)
-        col_metas[name] = _flatten_column(enc, blob, pos, o["compression"], o["compress_min_bytes"])
+        rg_trees = []
+        rg_mm = []
+        for s in rg_bounds:
+            piece = arr.slice(s, rg_rows)
+            enc = column_mod.encode_array(piece, col_o)
+            rg_trees.append(
+                _flatten_column(enc, blob, pos, o["compression"], o["compress_min_bytes"])
+            )
+            rg_mm.append(_rg_minmax(piece))
+        col_metas[name] = {"row_groups": rg_trees}
         col_stats[name] = stats_mod.column_stats(arr)
+        if any(m is not None for m in rg_mm):
+            rg_stats[name] = rg_mm
         if o["bloom"] and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             values = arr.drop_null()
             lengths, data = column_mod._string_parts(values)
@@ -138,8 +183,9 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     meta = {
         "columns": col_metas,
         "blooms": bloom_index,
+        "row_groups": {"rows": rg_rows, "count": len(rg_bounds), "stats": rg_stats},
         "metrics": {
-            "codecs": {n: m["encoding"] for n, m in col_metas.items()},
+            "codecs": {n: m["row_groups"][0]["encoding"] for n, m in col_metas.items()},
             "compression": o["compression"],
         },
     }
@@ -179,8 +225,35 @@ def encode_batch(tbl: pa.Table, opts: dict | None = None, key_prefix: str = "0")
     return pa.Table.from_pylist(rows, schema=STRIPE_SCHEMA)
 
 
-def decode_stripe(row: dict, columns: list[str] | None = None) -> pa.Table:
-    """One stripe-row dict -> original table slice (bit-identical)."""
+def select_row_groups(meta: dict, column: str, min_value=None, max_value=None) -> list[int] | None:
+    """Row-group indices whose [min,max] overlaps the predicate — the
+    reference's selectRowGroups. None = no per-rg stats (keep all)."""
+    rg = meta.get("row_groups", {})
+    mm = rg.get("stats", {}).get(column)
+    if not mm:
+        return None
+    keep = []
+    for i, entry in enumerate(mm):
+        if entry is None:
+            keep.append(i)
+            continue
+        lo, hi = entry
+        if min_value is not None and hi is not None and hi < min_value:
+            continue
+        if max_value is not None and lo is not None and lo > max_value:
+            continue
+        keep.append(i)
+    return keep
+
+
+def decode_stripe(
+    row: dict, columns: list[str] | None = None, row_groups: list[int] | None = None
+) -> pa.Table:
+    """One stripe-row dict -> original table slice (bit-identical).
+
+    `row_groups` decodes only the named groups (stats-driven skipping
+    at reference row-group granularity — unselected groups' streams
+    are never decompressed)."""
     schema = _deserialize_schema(row["schema_ipc"])
     meta = json.loads(row["meta"])
     blob = row["blob"]
@@ -188,9 +261,16 @@ def decode_stripe(row: dict, columns: list[str] | None = None) -> pa.Table:
     arrays = []
     fields = []
     for name in names:
-        enc = _rebuild_column(meta["columns"][name], blob)
+        trees = meta["columns"][name]["row_groups"]
+        idx = row_groups if row_groups is not None else range(len(trees))
         t = schema.field(name).type
-        arrays.append(column_mod.decode_array(enc, t))
+        pieces = [
+            column_mod.decode_array(_rebuild_column(trees[i], blob), t) for i in idx
+        ]
+        if not pieces:
+            arrays.append(pa.array([], type=t))
+        else:
+            arrays.append(pa.concat_arrays(pieces) if len(pieces) != 1 else pieces[0])
         fields.append(schema.field(name))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 

@@ -134,3 +134,45 @@ def test_encode_clustered_by_host(ray_session, cc_table):
     b = _sorted_by_url(got)
     for col in a.column_names:
         assert a.column(col).combine_chunks().equals(b.column(col).combine_chunks()), col
+
+
+def test_row_group_pruning(ray_session):
+    """Reference selectRowGroups semantics: decode only row groups whose
+    min/max overlap the predicate; skipped groups never decompress."""
+    import json
+
+    import numpy as np
+    import ray.data
+
+    n = 50000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.sort(np.random.default_rng(2).integers(0, 1000, n))),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    enc_tbl = stripe.encode_batch(tbl, {"row_group_rows": 5000})
+    meta = json.loads(enc_tbl.column("meta")[0].as_py())
+    assert meta["row_groups"]["count"] == 10
+    assert "k" in meta["row_groups"]["stats"]
+
+    # direct selection
+    keep = stripe.select_row_groups(meta, "k", min_value=900)
+    assert 0 < len(keep) < 10
+
+    # pipeline decode with predicate: fewer rows out, all matches present
+    enc = ray.data.from_arrow(enc_tbl)
+    dec = pipeline.decode_dataset(enc, rg_predicate=("k", 900, None))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.num_rows < n
+    expect = [k for k in tbl.column("k").to_pylist() if k >= 900]
+    mine = [k for k in got.column("k").to_pylist() if k >= 900]
+    assert sorted(mine) == sorted(expect)
+
+
+def test_row_group_roundtrip_bit_identical(ray_session, cc_table):
+    tbl, _ = cc_table
+    enc = stripe.encode_batch(tbl, {"row_group_rows": 777})  # odd size, many groups
+    dec = stripe.decode_batch(enc)
+    for c in tbl.column_names:
+        assert dec.column(c).combine_chunks().equals(tbl.column(c).combine_chunks()), c
