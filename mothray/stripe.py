@@ -15,9 +15,12 @@ bufferStripeData, pkg/store/StripeReader.go:40-109 ReadStripe). A
   blob        all encoded streams, each framed by codecs.frames
 
 Stream blobs are general-compressed per stream with the store-raw rule
-(reference MothOutputBuffer.go:348-371); stats/bloom granularity is the
-stripe (the reference's row-group granularity collapses into stripes
-because Ray blocks are our parallelism unit, SURVEY.md §2.8).
+(reference MothOutputBuffer.go:348-371). Inside a stripe, columns are
+encoded in independent row-group segments (10k rows, reference
+MothWriterOptions.go:15) with per-group min/max riding in `meta`, so
+readers skip non-matching groups without decompressing them
+(select_row_groups / decode_stripe(row_groups=...)). Bloom filters
+stay per-stripe.
 """
 
 from __future__ import annotations
