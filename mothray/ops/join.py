@@ -15,7 +15,6 @@ guide's two patterns:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
