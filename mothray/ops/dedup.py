@@ -6,8 +6,8 @@ materializes the corpus on the driver.
 * exact_dedup      — 128-bit content hash -> hash-partitioned groupby ->
                      keep lowest id per group. The hash pre-aggregation
                      keeps the shuffle payload at (h1, h2, id), not text.
-* minhash_lsh_dedup— 8-byte shingles -> 64 minhash permutations -> 16
-                     bands of 4 -> banded groupby buckets -> connected
+* minhash_lsh_dedup— 8-byte shingles -> 64-bin one-permutation minhash
+                     -> 16 bands of 4 -> banded groupby buckets ->
                      candidates collapse to their minimum doc id.
 * simhash_dedup    — 64-bit simhash over token hashes; 4-way band split
                      (pigeonhole: hamming distance <= 3 implies an exact
@@ -98,14 +98,6 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = (1 << 61) - 1
-
-
-def _perm_params(seed: int = 1234):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
-    return a, b
 
 
 def minhash_signatures(texts: pa.ChunkedArray | pa.Array, shingle: int = 8) -> np.ndarray:
