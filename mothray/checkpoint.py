@@ -166,7 +166,23 @@ def encode_job(
     (manifest present) are skipped."""
     os.makedirs(out_dir, exist_ok=True)
     parts = plan_partitions(input_path, target_partition_bytes)
-    done = completed_parts(out_dir)
+    recorded = completed_parts(out_dir)
+    # A manifest only marks its partition done if its recorded inputs
+    # match the freshly planned partition: if input files changed
+    # between runs, partition boundaries shift and stale outputs would
+    # otherwise be silently kept (wrong/duplicated rows).
+    done = {
+        pid: m
+        for pid, m in recorded.items()
+        if pid < len(parts) and m.get("inputs") == parts[pid]["inputs"]
+    }
+    orphans = [pid for pid in recorded if pid >= len(parts)]
+    if orphans:
+        raise RuntimeError(
+            f"encode_job: manifest dir {out_dir!r} has partitions {orphans} beyond "
+            f"the planned {len(parts)} — the input set shrank since the previous "
+            "run; use a fresh out_dir (stale outputs would pollute the result)"
+        )
     pending = [p for p in parts if p["part_id"] not in done]
 
     if pending and (opts is None or "column_plans" not in opts):

@@ -81,6 +81,10 @@ def _encode_super(v: np.ndarray, signed: bool, chunks: list[bytes]) -> None:
     dmax = d.max(axis=1)
     fixed = (dmin == dmax) & ~span_unsafe
     mono = ((dmin >= 0) | (dmax <= 0)) & ~span_unsafe & ~fixed
+    # A decreasing run whose FIRST delta is 0 must not use DELTA: the decoder
+    # infers the sign of all later deltas from d0 (d0<0 ? -mags : mags), so
+    # d0==0 would silently decode the run as increasing.
+    mono &= ~((d[:, 0] == 0) & (dmin < 0))
 
     zz = varint.zigzag(i64) if signed else blocks.astype(np.uint64, copy=False)
     widths = bitpack.bit_width(zz)
@@ -194,7 +198,9 @@ def _encode_block(block: np.ndarray, signed: bool, out: bytearray) -> None:
             return
         mono_inc = bool((d >= 0).all())
         mono_dec = bool((d <= 0).all())
-        if mono_inc or mono_dec:
+        # d0==0 on a decreasing run would decode as increasing (sign of
+        # later deltas comes from d0); force DIRECT for that case.
+        if (mono_inc or mono_dec) and (int(d[0]) != 0 or mono_inc):
             mags = np.abs(d).astype(np.uint64)
             wd = bitpack.closest_fixed_bits(int(bitpack.bit_width(mags[1:]).max())) if n > 2 else 1
             wd = max(wd, 2)  # width code 0 is reserved for fixed delta

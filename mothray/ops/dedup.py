@@ -226,22 +226,39 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
 def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """64-bit simhash per doc over 8-byte shingle hashes (vectorized:
-    per-bit weighted sums via unpackbits + reduceat)."""
+    per-bit weighted sums via unpackbits + reduceat).
+
+    Shingle windows are masked to WITHIN-document positions (same
+    valid-position computation as minhash_signatures) so signatures do
+    not depend on how docs are laid out in the batch. Docs shorter than
+    the shingle get a whole-content hash; empty docs a fixed 0."""
     lengths, data = _text_parts(batch.column(column))
     n_docs = len(lengths)
     if n_docs == 0:
         return batch.append_column("simhash", pa.array([], type=pa.int64()))
     buf = np.frombuffer(data, dtype=np.uint8)
-    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
-    hv = (win * _MIX1) ^ (win >> _U64(29))
-    bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)  # (n_pos, 64)
+    lengths = lengths.astype(np.int64, copy=False)
     offs = np.concatenate(([0], np.cumsum(lengths)))
-    seg_starts = np.minimum(offs[:-1].astype(np.int64), len(hv) - 1)
-    sums = np.add.reduceat(bits, seg_starts, axis=0)  # (n_docs, 64)
-    counts = np.maximum(np.diff(np.concatenate((seg_starts, [len(hv)]))), 1)[:, None]
-    sh_bits = (sums * 2 > counts).astype(np.uint8)
-    sh = np.packbits(sh_bits, axis=1).copy().view(">u8").ravel()
+    starts = offs[:-1]
+    cnts = np.maximum(lengths - 7, 0)  # windows fully inside each doc
+    sh = np.zeros(n_docs, dtype=np.uint64)
+    nz = np.nonzero(cnts)[0]
+    if len(nz):
+        padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+        win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
+        delta = np.zeros(len(win) + 1, dtype=np.int64)
+        np.add.at(delta, np.minimum(starts, len(win)), 1)
+        np.add.at(delta, np.minimum(starts + cnts, len(win)), -1)
+        pos = np.nonzero(np.cumsum(delta[:-1]) > 0)[0]
+        hv = (win[pos] * _MIX1) ^ (win[pos] >> _U64(29))
+        bits = np.unpackbits(hv.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int32)  # (n_pos, 64)
+        seg_starts = np.concatenate(([0], np.cumsum(cnts[nz])))[:-1]
+        sums = np.add.reduceat(bits, seg_starts, axis=0)  # (len(nz), 64)
+        sh_bits = (sums * 2 > cnts[nz, None]).astype(np.uint8)
+        sh[nz] = np.packbits(sh_bits, axis=1).copy().view(">u8").ravel()
+    short = (lengths > 0) & (cnts == 0)
+    if short.any():
+        sh[short] = bloom_mod.hash_bytes_columns(lengths, buf)[short]
     return batch.append_column("simhash", pa.array(sh.view(np.int64)))
 
 

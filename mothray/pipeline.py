@@ -28,12 +28,19 @@ from . import stripe as stripe_mod
 
 def _batch_key(tbl: pa.Table) -> str:
     """Deterministic lineage id for a batch: stable across task retries
-    (content-derived, not uuid)."""
+    (content-derived, not uuid). Hashes up to 16 evenly-spaced rows
+    (incl. first and last) plus shape, so batches that merely share a
+    first row and sizes (common with sorted/duplicated data) do not
+    collide; genuinely identical batches produce identical stripes, so
+    equal keys remain correct."""
     h = hashlib.sha1()
     h.update(str(tbl.num_rows).encode())
     h.update(str(tbl.nbytes).encode())
-    if tbl.num_rows:
-        h.update(json.dumps(tbl.slice(0, 1).to_pylist(), default=str).encode())
+    n = tbl.num_rows
+    if n:
+        idx = np.unique(np.linspace(0, n - 1, num=min(16, n), dtype=np.int64))
+        sample = tbl.take(pa.array(idx))
+        h.update(json.dumps(sample.to_pylist(), default=str).encode())
     return h.hexdigest()[:12]
 
 

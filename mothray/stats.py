@@ -94,16 +94,25 @@ def _plain(scalar: pa.Scalar):
 
 def merge_stats(parts: list[dict[str, Any]]) -> dict[str, Any]:
     """Merge per-stripe stats into file-level stats (partial -> final,
-    reference MothWriter.go:339-353)."""
+    reference MothWriter.go:339-353).
+
+    A stat survives the merge only if EVERY part that has values carries
+    it: a stripe that dropped sum (int64 overflow) or string min/max
+    (>64-byte limit) poisons the merged stat, mirroring the reference's
+    overflow/limit propagation (IntegerStatisticsBuilder overflow flag,
+    StringStatisticsBuilder 64-byte drop)."""
     out: dict[str, Any] = {"count": 0, "null_count": 0}
+    valued = [p for p in parts if p.get("count", 0) > p.get("null_count", 0)]
     for p in parts:
         out["count"] += p.get("count", 0)
         out["null_count"] += p.get("null_count", 0)
-        for key in ("true_count", "sum", "sum_lengths"):
-            if key in p:
-                out[key] = out.get(key, 0) + p[key]
-        if "min" in p:
-            out["min"] = p["min"] if "min" not in out else min(out["min"], p["min"])
-        if "max" in p:
-            out["max"] = p["max"] if "max" not in out else max(out["max"], p["max"])
+    for key in ("true_count", "sum", "sum_lengths"):
+        if valued and all(key in p for p in valued):
+            out[key] = sum(p[key] for p in valued)
+    if valued and all("min" in p for p in valued):
+        out["min"] = min(p["min"] for p in valued)
+    if valued and all("max" in p for p in valued):
+        out["max"] = max(p["max"] for p in valued)
+    if valued and "unit" in valued[0]:
+        out["unit"] = valued[0]["unit"]
     return out

@@ -97,3 +97,33 @@ def test_resume_byte_identical_parts(ray_session, multi_rg_input, tmp_path):
     os.remove(f"{out}/{checkpoint.MANIFEST_DIR}/part-00002.json")
     checkpoint.encode_job(path, out, target_partition_bytes=200_000)
     assert open(victim, "rb").read() == orig
+
+
+def test_resume_reencodes_on_input_change(ray_session, tmp_path):
+    """Manifests whose recorded inputs no longer match the planned
+    partition are re-encoded, not silently kept (advisor finding); a
+    shrunken input set with orphan manifests is an error."""
+    d = tmp_path / "in"
+    d.mkdir()
+    t1 = datagen.cc_pages(2000, seed=1)
+    pq.write_table(t1, d / "a.parquet", row_group_size=500)
+    out = str(tmp_path / "enc")
+    s1 = checkpoint.encode_job(str(d), out, target_partition_bytes=150_000)
+    assert s1["encoded"] == s1["partitions"]
+
+    # add a file that sorts FIRST -> every partition boundary shifts
+    t0 = datagen.cc_pages(1000, seed=2)
+    pq.write_table(t0, d / "0first.parquet", row_group_size=500)
+    s2 = checkpoint.encode_job(str(d), out, target_partition_bytes=150_000)
+    assert s2["skipped"] == 0  # all stale manifests invalidated
+    assert s2["n_rows"] == t0.num_rows + t1.num_rows
+
+    # decoded output matches the new input exactly (no stale/dup rows)
+    dec = pipeline.decode_dataset(checkpoint.read_job_output(out))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.num_rows == t0.num_rows + t1.num_rows
+
+    # shrink the input set -> orphan manifests beyond the plan = error
+    os.remove(d / "a.parquet")
+    with pytest.raises(RuntimeError, match="beyond"):
+        checkpoint.encode_job(str(d), out, target_partition_bytes=150_000)

@@ -191,6 +191,28 @@ def test_frames_roundtrip(codec):
     assert frames.decompress(framed, codec, len(raw)) == raw
 
 
+def test_rlev2_zero_first_delta_decreasing_regression():
+    """Regression (advisor-found): a monotonically-DECREASING run whose
+    first delta is 0 must not be DELTA-encoded — the decoder derives the
+    sign of all later deltas from d0, so d0==0 decoded as increasing."""
+    # 512-block path
+    v = np.array([1000, 1000] + list(range(999, 999 - 510, -1)), dtype=np.int64)
+    dec, _ = rlev2.decode(rlev2.encode(v, True), len(v), True)
+    np.testing.assert_array_equal(dec, v)
+    # tail (_encode_block) path
+    v2 = np.array([100000, 100000] + list(range(99999, 99999 - 98, -1)), dtype=np.int64)
+    dec2, _ = rlev2.decode(rlev2.encode(v2, True), len(v2), True)
+    np.testing.assert_array_equal(dec2, v2)
+    # increasing twin must still round-trip (and may use DELTA)
+    v3 = np.array([1000, 1000] + list(range(1001, 1001 + 510)), dtype=np.int64)
+    dec3, _ = rlev2.decode(rlev2.encode(v3, True), len(v3), True)
+    np.testing.assert_array_equal(dec3, v3)
+    # unsigned decreasing with d0==0
+    v4 = np.array([5000, 5000] + list(range(4999, 4999 - 300, -1)), dtype=np.uint64)
+    dec4, _ = rlev2.decode(rlev2.encode(v4, False), len(v4), False)
+    np.testing.assert_array_equal(dec4, v4)
+
+
 def test_rlev2_patched_wide_patch_regression():
     """Regression (hypothesis-found): huge outliers over tiny bases
     give patch width 64; gap<<pw must not overflow the entry word."""

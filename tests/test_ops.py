@@ -258,3 +258,31 @@ def test_audio_video_plumbing(ray_session):
     vout = multimodal.sample_video_frames(ray.data.from_arrow(tv), every=2, concurrency=2, batch_size=3).to_pandas()
     assert all(len(f) == 3 for f in vout["sampled_frames"])  # 6 frames, every 2nd
     assert all(len(f[0]) == 32 for f in vout["sampled_frames"])  # 8x4 bytes
+
+
+def test_simhash_batch_layout_deterministic():
+    """Signatures must not depend on batch layout (advisor finding:
+    shingle windows crossing doc boundaries made them layout-dependent)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "short",
+        "",
+        "another document with enough bytes to shingle properly " * 3,
+        "tiny",
+    ]
+    ids = list(range(len(texts)))
+    whole = dedup.simhash_batch(pa.table({"doc_id": ids, "text": texts}))
+    sig_whole = whole.column("simhash").to_pylist()
+    # same docs, one per batch
+    sig_split = [
+        dedup.simhash_batch(pa.table({"doc_id": [i], "text": [t]}))
+        .column("simhash")[0]
+        .as_py()
+        for i, t in zip(ids, texts)
+    ]
+    assert sig_whole == sig_split
+    # reordering docs must permute, not change, signatures
+    rev = dedup.simhash_batch(pa.table({"doc_id": ids[::-1], "text": texts[::-1]}))
+    assert rev.column("simhash").to_pylist() == sig_whole[::-1]
+    # empty doc fixed signature
+    assert sig_whole[2] == 0

@@ -154,3 +154,26 @@ def test_codec_choices_in_meta():
     # 1-char values: index bytes ~= raw bytes, ratio < 1.25 -> direct
     tiny = stripe.encode_batch(pa.table({"s": pa.array(["a", "b"] * 500)}), {"fsst_enabled": False})
     assert json.loads(tiny.column("meta")[0].as_py())["metrics"]["codecs"]["s"] == "DIRECT"
+
+
+def test_merge_stats_drops_partial_stats():
+    """A part that dropped a stat (overflow / string-limit) poisons the
+    merged stat instead of being silently ignored (advisor finding)."""
+    from mothray import stats
+
+    full = {"count": 10, "null_count": 0, "min": 1, "max": 5, "sum": 30}
+    dropped_sum = {"count": 10, "null_count": 0, "min": 0, "max": 9}
+    merged = stats.merge_stats([full, dropped_sum])
+    assert "sum" not in merged
+    assert merged["min"] == 0 and merged["max"] == 9
+    # a part with only nulls lacking min/max must NOT poison them
+    all_null = {"count": 3, "null_count": 3}
+    merged2 = stats.merge_stats([full, all_null])
+    assert merged2["sum"] == 30 and merged2["min"] == 1 and merged2["max"] == 5
+    assert merged2["count"] == 13 and merged2["null_count"] == 3
+    # string min/max beyond the 64-byte limit dropped in one part
+    s1 = {"count": 2, "null_count": 0, "sum_lengths": 10, "min": "a", "max": "b"}
+    s2 = {"count": 2, "null_count": 0, "sum_lengths": 200}
+    m3 = stats.merge_stats([s1, s2])
+    assert "min" not in m3 and "max" not in m3
+    assert m3["sum_lengths"] == 210
