@@ -68,8 +68,12 @@ def _stats_lineitem(sf_dir: str) -> pa.Table:
 
 def _prune_orders(sf_dir: str) -> pa.Table:
     """Predicate pushdown on encoded stripes: sort by o_totalprice so
-    stripe min/max ranges are disjoint, prune stripes by stats without
-    decoding, then exact-filter decoded rows (SURVEY.md §2.7)."""
+    stripe min/max ranges are disjoint, write encoded stripes to disk,
+    prune on a METADATA-ONLY read (stats columns, no blobs), fetch only
+    surviving stripes' row groups, then exact-filter decoded rows
+    (SURVEY.md §2.7; blob bytes read ∝ surviving stripes)."""
+    import tempfile
+
     import pyarrow.compute as pc
     import ray.data
 
@@ -78,7 +82,9 @@ def _prune_orders(sf_dir: str) -> pa.Table:
     cutoff = 400000.0
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet").sort("o_totalprice")
     enc = pipeline.encode_dataset(ds, {"stripe_rows": 4096})
-    pruned = pipeline.prune_stripes(enc, "o_totalprice", min_value=cutoff)
+    out = tempfile.mkdtemp(prefix="mothray_prune_orders_")
+    pipeline.write_encoded(enc, out)
+    pruned = pipeline.prune_read(out, "o_totalprice", min_value=cutoff)
     dec = pipeline.decode_dataset(pruned)
     return dec.map_batches(
         lambda t: t.filter(pc.greater_equal(t["o_totalprice"], cutoff)),
@@ -200,7 +206,11 @@ def _bloom_prune_events(sf_dir: str):
     needle = "purchase"
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet").sort("event_type")
     enc = pipeline.encode_dataset(ds, {"stripe_rows": 2048, "batch_rows": 2048})
-    pruned = pipeline.prune_stripes(enc, "event_type", needle=needle)
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mothray_prune_events_")
+    pipeline.write_encoded(enc, out)
+    pruned = pipeline.prune_read(out, "event_type", needle=needle)
     dec = pipeline.decode_dataset(pruned)
     return dec.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], needle)), batch_format="pyarrow"

@@ -73,13 +73,20 @@ def train_centroids(ds, n_centroids: int = 16, column: str = "embedding", sample
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
-        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = _nearest_centroid(X, cent)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
                 cent[c] = X[m].mean(axis=0)
     return cent
+
+
+def _nearest_centroid(X: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x-c||² via the matmul form (-2x·c + ||c||²; the ||x||²
+    term is constant per row) — O(n·k) memory instead of the
+    O(n·k·dim) broadcast temporary."""
+    d = -2.0 * (X @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return d.argmin(axis=1)
 
 
 def assign_buckets(ds, centroids: np.ndarray, column: str = "embedding"):
@@ -91,8 +98,8 @@ def assign_buckets(ds, centroids: np.ndarray, column: str = "embedding"):
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(c_ref)
         mat = _matrix(batch.column(column)).astype(np.float64)
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column("bucket", pa.array(d.argmin(axis=1).astype(np.int32)))
+        buckets = _nearest_centroid(mat, cent).astype(np.int32)
+        return batch.append_column("bucket", pa.array(buckets))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 

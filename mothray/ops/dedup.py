@@ -1,11 +1,13 @@
 """Deduplication operators over a documents table.
 
 All stages are vectorized map_batches + one keyed shuffle; nothing
-materializes the corpus on the driver.
+materializes the corpus on the driver. Every variant funnels its dup
+ids through _anti_join_ids — a distributed hash-shuffle anti-join — so
+the dup set is never collected into a driver-side Python structure.
 
-* exact_dedup      — 128-bit content hash -> hash-partitioned groupby ->
-                     keep lowest id per group. The hash pre-aggregation
-                     keeps the shuffle payload at (h1, h2, id), not text.
+* exact_dedup      — 128-bit content hash -> (h1, h2, id)-only groupby
+                     (text never enters the exchange) -> loser ids ->
+                     anti-join back against the corpus.
 * minhash_lsh_dedup— 8-byte shingles -> 64-bin one-permutation minhash
                      -> 16 bands of 4 -> banded groupby buckets ->
                      candidates collapse to their minimum doc id.
@@ -37,60 +39,145 @@ def _text_parts(arr: pa.ChunkedArray | pa.Array):
     return _string_parts(values)
 
 
-def _dup_id_set(edges, id_column: str) -> set:
-    """Collect {id -> min dup_of} safely (empty edge sets lose their
-    schema through groupby on some paths)."""
+def _auto_partitions(ds, target_bytes: int = 256 << 20) -> int:
+    """Join partition count from the dataset's (metadata) size so one
+    partition stays ~target_bytes regardless of corpus scale."""
     try:
-        pdf = edges.groupby(id_column).min("dup_of").to_pandas()
+        size = ds.size_bytes()
     except Exception:
-        return set()
-    if id_column not in pdf.columns or len(pdf) == 0:
-        return set()
-    return set(pdf[id_column].tolist())
+        size = None
+    if not size:
+        return 32
+    return int(min(max(size // target_bytes + 1, 2), 4096))
+
+
+def _anti_join_ids(ds, dup_ids, id_column: str, num_partitions: int | None = None):
+    """Drop rows of `ds` whose id appears in the `dup_ids` Dataset via a
+    distributed hash-shuffle anti-join (Ray Dataset.join left_anti).
+
+    This replaces the former driver-side dup-id set: the id set stays
+    distributed in the object store end to end, so memory per task is
+    bounded by the join partition size, not by the number of duplicates.
+    `dup_ids` (ids only — tiny rows) is materialized to (a) skip the
+    join entirely when there are no duplicates and (b) let the join
+    size both sides; the corpus side streams.
+
+    Datasets with nested columns (list embeddings etc.) take a manual
+    bucketed path — Acero, which backs Dataset.join, rejects nested
+    non-key columns — with identical semantics: tag sides, one
+    groupby(bucket) exchange, vectorized np.isin filter per bucket."""
+    dup_ids = dup_ids.materialize()
+    if dup_ids.count() == 0:
+        return ds
+    n = num_partitions or _auto_partitions(ds)
+    schema = ds.schema()
+    if not any(pa.types.is_nested(t) for t in schema.types):
+        return ds.join(dup_ids, join_type="left_anti", num_partitions=n, on=(id_column,))
+
+    names, types = list(schema.names), list(schema.types)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            nrows = batch.num_rows
+            ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+            bucket = ((ids.astype(np.uint64) * _MIX1) >> _U64(32)) % _U64(n)
+            arrays = [
+                batch.column(c) if c in batch.column_names else pa.nulls(nrows, type=t)
+                for c, t in zip(names, types)
+            ]
+            arrays += [
+                pa.array(bucket.astype(np.int32)),
+                pa.array(np.full(nrows, side, dtype=np.int8)),
+            ]
+            return pa.table(arrays, names=names + ["__bucket", "__side"])
+
+        return fn
+
+    tagged = ds.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        dup_ids.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        drop = np.unique(ids[side == 1])
+        keep = (side == 0) & ~np.isin(ids, drop)
+        return group.filter(pa.array(keep)).drop_columns(["__bucket", "__side"])
+
+    return tagged.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
+
+
+def _segmented_content_hash(lengths: np.ndarray, buf: np.ndarray, seed) -> np.ndarray:
+    """Full-content 64-bit hash per doc, vectorized: every byte is mixed
+    with its within-doc position, summed per doc (order-sensitive via
+    the position term), finalized with the length."""
+    n = len(lengths)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = lengths.astype(np.int64, copy=False)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    sums = np.zeros(n, dtype=np.uint64)
+    if len(buf):
+        pos = np.arange(len(buf), dtype=np.int64)
+        doc_of = np.searchsorted(offs[1:], pos, side="right")
+        rel = (pos - offs[:-1][doc_of]).astype(np.uint64)
+        terms = bloom_mod._mix(seed ^ (rel << _U64(8)) ^ buf.astype(np.uint64))
+        nz = np.nonzero(lengths)[0]
+        starts = offs[:-1][nz]
+        sums[nz] = np.add.reduceat(terms, starts)
+    return bloom_mod._mix(sums ^ lengths.astype(np.uint64) ^ seed)
 
 
 def content_hash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Adds h1/h2 (two independent 64-bit hashes = 128-bit content id)."""
-    lengths, data = _text_parts(batch.column(column))
-    buf = np.frombuffer(data, dtype=np.uint8)
-    h1 = bloom_mod.hash_bytes_columns(lengths, buf)
-    h2 = (h1 ^ (h1 >> _U64(33))) * _MIX1
-    h2 = (h2 ^ (h2 >> _U64(29))) * _MIX2
-    h2 ^= h2 >> _U64(32)
+    """Adds h1/h2 (two independent 64-bit hashes = 128-bit content id).
+
+    FULL-content hashes — polars xxhash64 (vectorized Rust) when
+    available, else a numpy segmented mix. bloom.hash_bytes_columns is
+    deliberately NOT used here: it samples first/middle/last windows
+    only (fine for advisory blooms, wrong for exact dedup — docs
+    differing only mid-content would collide and be dropped)."""
+    arr = batch.column(column)
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    values = arr.fill_null("")
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(values)
+        h1 = s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+        h2 = s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64, copy=False)
+    except ImportError:
+        lengths, data = _text_parts(batch.column(column))
+        buf = np.frombuffer(data, dtype=np.uint8)
+        h1 = _segmented_content_hash(lengths, buf, _U64(0x9E3779B97F4A7C15))
+        h2 = _segmented_content_hash(lengths, buf, _MIX2)
     return batch.append_column("h1", pa.array(h1.view(np.int64))).append_column(
         "h2", pa.array(h2.view(np.int64))
     )
 
 
-def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id", num_partitions: int | None = None):
     """Keep the lowest-id row per distinct `column` value.
 
-    Scale path: the groupby shuffles only after batches are reduced to
-    per-key minima inside each batch (partial aggregate before the
-    exchange — ray guide 'Aggregation at scale')."""
-    import pandas as pd
+    Scale path: only (h1, h2, id) rows — 24 bytes each — go through the
+    groupby exchange; the text never moves through that shuffle. Groups
+    with more than one id emit their non-minimum ids as a small
+    distributed "loser" set, which is anti-joined back against the
+    corpus (one hash-shuffle join, no driver-side set)."""
+    import pyarrow.compute as pc
 
-    hashed = ds.map_batches(
-        lambda t: content_hash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
-    )
+    def key_rows(batch: pa.Table) -> pa.Table:
+        return content_hash_batch(batch.select([id_column, column]), column).select(
+            ["h1", "h2", id_column]
+        )
 
-    def local_min(batch: pa.Table) -> pa.Table:
-        # partial pre-aggregation: one candidate row per key per batch
-        df = batch.to_pandas()
-        out = df.sort_values(id_column).groupby(["h1", "h2"], as_index=False).first()
-        return pa.Table.from_pandas(out, preserve_index=False).select(
-            batch.column_names
-        ).cast(batch.schema.remove_metadata())
+    keys = ds.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_column)
+    def losers(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        return group.filter(pc.not_equal(ids, pc.min(ids))).select([id_column])
 
-    dedup = (
-        hashed.map_batches(local_min, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .map_groups(keep_first, batch_format="pandas")
-    )
-    return dedup.drop_columns(["h1", "h2"])
+    dup_ids = keys.groupby(["h1", "h2"]).map_groups(losers, batch_format="pyarrow")
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 
 # ------------------------------------------------------------------ minhash
@@ -180,12 +267,17 @@ def minhash_band_rows(batch: pa.Table, column: str = "text", id_column: str = "d
     )
 
 
-def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id", num_partitions: int | None = None):
     """Near-dup removal: docs sharing any LSH band bucket collapse to
     the bucket's minimum id (single-linkage within buckets; one label-
     propagation round, which is exact when near-dup groups are bucket-
-    contained — the common case at band similarity ~0.5+)."""
-    import pandas as pd
+    contained — the common case at band similarity ~0.5+).
+
+    Only (band, band_hash, id) rows move through the LSH shuffle, and
+    the resulting dup-id set stays a distributed Dataset through the
+    final anti-join (see _anti_join_ids) — the driver never holds an
+    O(corpus) structure."""
+    import pyarrow.compute as pc
 
     band_rows = ds.map_batches(
         lambda t: minhash_band_rows(t, column, id_column),
@@ -193,33 +285,14 @@ def minhash_lsh_dedup(ds, column: str = "text", id_column: str = "doc_id"):
         zero_copy_batch=True,
     )
 
-    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
-        m = group[id_column].min()
-        out = group[group[id_column] != m][[id_column]].copy()
-        out["dup_of"] = np.int64(m)
-        if out.empty:
-            return pd.DataFrame(
-                {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
-            )
-        return out
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        return group.filter(pc.not_equal(ids, pc.min(ids))).select([id_column])
 
-    dup_edges = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_min, batch_format="pandas"
+    dup_ids = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_losers, batch_format="pyarrow"
     )
-    # a doc may appear in many buckets; keep the smallest dup target
-    dup_ids = _dup_id_set(dup_edges, id_column)
-
-    import ray
-
-    dup_ref = ray.put(dup_ids)
-
-    def drop_dups(batch: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in dups for i in ids.tolist()])
-        return batch.filter(pa.array(mask))
-
-    return ds.map_batches(drop_dups, batch_format="pyarrow")
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 
 # ------------------------------------------------------------------ simhash
@@ -262,11 +335,26 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sh.view(np.int64)))
 
 
-def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hamming: int = 3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR bit-trick; numpy 1.x has no
+    bitwise_count). Returns uint64 counts, same shape."""
+    x = x - ((x >> _U64(1)) & _U64(0x5555555555555555))
+    x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+    x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    return (x * _U64(0x0101010101010101)) >> _U64(56)
+
+
+def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hamming: int = 3, num_partitions: int | None = None):
     """Near-dup removal via simhash banding: split the 64-bit hash into
     4 16-bit bands; hamming <= 3 guarantees one identical band
-    (pigeonhole); verify hamming inside buckets."""
-    import pandas as pd
+    (pigeonhole); verify hamming inside buckets.
+
+    Hot-bucket safety: identical simhashes collapse without any pairwise
+    work (hamming 0), and the remaining distinct-hash verification runs
+    in fixed-size row chunks so per-task temporaries stay bounded even
+    when one band value captures a huge templated cluster. Dup ids stay
+    a distributed Dataset through the final anti-join."""
+    import pyarrow.compute as pc
 
     hashed = ds.map_batches(
         lambda t: simhash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
@@ -290,40 +378,38 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
             )
         return pa.concat_tables(parts)
 
-    empty = pd.DataFrame(
-        {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
-    )
+    empty = pa.table({id_column: pa.array([], type=pa.int64())})
 
-    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return empty.copy()
-        g = group.sort_values(id_column)
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        ids = g[id_column].to_numpy()
-        xor = sh[None, :] ^ sh[:, None]
-        ham = np.unpackbits(xor.view(np.uint8).reshape(len(g), len(g), 8), axis=2).sum(axis=2)
-        near = (ham <= max_hamming) & (ids[None, :] > ids[:, None])
-        out = [(ids[j], ids[i]) for i, j in zip(*np.nonzero(near))]
-        if not out:
-            return empty.copy()
-        return pd.DataFrame(out, columns=[id_column, "dup_of"]).astype("int64")
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        sh_all = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids_all = group.column(id_column).to_numpy(zero_copy_only=False)
+        # collapse identical hashes first: every id but the min per
+        # distinct hash is a dup (hamming 0) — no pairwise work
+        order = np.lexsort((ids_all, sh_all))
+        sh_s, ids_s = sh_all[order], ids_all[order]
+        first = np.ones(len(sh_s), dtype=bool)
+        first[1:] = sh_s[1:] != sh_s[:-1]
+        losers = [ids_s[~first]]
+        reps_sh, reps_id = sh_s[first], ids_s[first]
+        if len(reps_sh) > 1 and max_hamming > 0:
+            o = np.argsort(reps_id)
+            reps_sh, reps_id = reps_sh[o], reps_id[o]
+            n = len(reps_sh)
+            chunk = max(1, 4_000_000 // n)  # bound xor temp to ~32 MB
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                ham = _popcount64(reps_sh[lo:hi, None] ^ reps_sh[None, :])
+                near = (ham <= _U64(max_hamming)) & (reps_id[None, :] < reps_id[lo:hi, None])
+                losers.append(reps_id[lo:hi][near.any(axis=1)])
+        out = np.concatenate(losers) if losers else np.empty(0, dtype=np.int64)
+        return pa.table({id_column: pa.array(out.astype(np.int64))})
 
-    edges = hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
+    dup_ids = hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
         ["band", "band_val"]
-    ).map_groups(bucket_verify, batch_format="pandas")
-    dup_ids = _dup_id_set(edges, id_column)
-
-    import ray
-
-    dup_ref = ray.put(dup_ids)
-
-    def drop(batch: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in dups for i in ids.tolist()])
-        return batch.filter(pa.array(mask))
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    ).map_groups(bucket_verify, batch_format="pyarrow")
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 
 # ------------------------------------------------------------------ embeddings
@@ -335,13 +421,14 @@ def embedding_dedup(
     id_column: str = "vec_id",
     n_planes: int = 16,
     seed: int = 77,
+    num_partitions: int | None = None,
 ):
     """Embedding-cosine near-dup removal: random-hyperplane LSH buckets
     (sign signature over `n_planes` fixed seeded planes — near-identical
     vectors collide with prob ~ (1 - theta/pi)^n), exact cosine
-    verification inside buckets, keep the minimum id."""
-    import pandas as pd
-
+    verification inside buckets (chunked matmul, bounded temporaries),
+    keep the minimum id. Dup ids stay a distributed Dataset through the
+    final anti-join."""
     from .ann import _matrix
 
     state = {}
@@ -365,37 +452,30 @@ def embedding_dedup(
             }
         )
 
-    empty = pd.DataFrame(
-        {id_column: pd.Series([], dtype="int64"), "dup_of": pd.Series([], dtype="int64")}
+    empty = pa.table({id_column: pa.array([], type=pa.int64())})
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        o = np.argsort(ids)
+        ids = ids[o]
+        mat = np.stack(group.column("vec").to_pylist())[o]
+        n = len(ids)
+        chunk = max(1, 4_000_000 // n)  # bound the cos block to ~32 MB
+        losers = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            cos = mat[lo:hi] @ mat.T
+            near = (cos >= threshold) & (ids[None, :] < ids[lo:hi, None])
+            losers.append(ids[lo:hi][near.any(axis=1)])
+        out = np.concatenate(losers) if losers else np.empty(0, dtype=np.int64)
+        return pa.table({id_column: pa.array(out.astype(np.int64))})
+
+    dup_ids = ds.map_batches(sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
+        bucket_verify, batch_format="pyarrow"
     )
-
-    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return empty.copy()
-        g = group.sort_values(id_column)
-        mat = np.stack(g["vec"].to_numpy())
-        ids = g[id_column].to_numpy()
-        cos = mat @ mat.T
-        near = (cos >= threshold) & (ids[None, :] > ids[:, None])
-        out = [(ids[j], ids[i]) for i, j in zip(*np.nonzero(near))]
-        return pd.DataFrame(out, columns=[id_column, "dup_of"]).astype("int64") if out else empty.copy()
-
-    edges = ds.map_batches(sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
-        bucket_verify, batch_format="pandas"
-    )
-    dup_ids = _dup_id_set(edges, id_column)
-
-    import ray
-
-    dup_ref = ray.put(dup_ids)
-
-    def drop(batch: pa.Table) -> pa.Table:
-        dups = ray.get(dup_ref)
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in dups for i in ids.tolist()])
-        return batch.filter(pa.array(mask))
-
-    return ds.map_batches(drop, batch_format="pyarrow")
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 
 # ------------------------------------------------------------------ jaccard

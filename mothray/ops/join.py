@@ -3,78 +3,77 @@
 The reference has no joins (SURVEY.md §2.9); these follow the ray
 guide's two patterns:
 
-* broadcast_join — small side is `ray.put` ONCE, gathered per task,
-  joined per batch with a vectorized pandas merge. No shuffle; the
+* broadcast_join — small side is `ray.put` ONCE as an Arrow table,
+  gathered per task (zero-copy from the object store), joined per
+  batch with Arrow's native hash join (Acero). No shuffle; the
   default for dimension tables / vocab / blocklists.
-* partitioned_join — both sides large: add `bucket = hash(key) % B`
-  to both, union with a side tag, one groupby(bucket) shuffle, merge
-  inside each bucket group. B bounds per-task memory; skewed keys can
+* partitioned_join — both sides large: Ray Data's hash-shuffle join
+  (Dataset.join). Partition count is derived from the input size
+  (target ~256 MB per partition) so per-task memory stays bounded at
+  any corpus scale instead of a fixed bucket count; skewed keys can
   be salted upstream with add_host_bucket-style fanout.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "outer": "full_outer",
+    "left_outer": "left_outer",
+    "right_outer": "right_outer",
+    "full_outer": "full_outer",
+    "left_semi": "left_semi",
+    "left_anti": "left_anti",
+    "right_semi": "right_semi",
+    "right_anti": "right_anti",
+}
+
+_TARGET_PARTITION_BYTES = 256 << 20
+
+
+def _auto_partitions(*datasets, target_bytes: int = _TARGET_PARTITION_BYTES) -> int:
+    """Partition count from (metadata) sizes of both sides so one join
+    partition holds ~target_bytes — scales with the data instead of a
+    fixed constant that would put ~N/32 bytes in one task at corpus
+    scale."""
+    total = 0
+    for ds in datasets:
+        try:
+            total += ds.size_bytes() or 0
+        except Exception:
+            pass
+    if not total:
+        return 32
+    return int(min(max(total // target_bytes + 1, 2), 4096))
 
 
 def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
-    """Join a Dataset against a small in-memory table (broadcast)."""
+    """Join a Dataset against a small in-memory table (broadcast once
+    via ray.put; per-batch Arrow-native hash join, no pandas hop)."""
     import ray
 
-    small_ref = ray.put(small.to_pandas())
+    small_ref = ray.put(small)
+    join_type = _JOIN_TYPES.get(how, how)
 
     def merge(batch: pa.Table) -> pa.Table:
         right = ray.get(small_ref)
-        out = batch.to_pandas().merge(right, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return batch.join(right, keys=on, join_type=join_type)
 
-    return ds.map_batches(merge, batch_format="pyarrow")
+    return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def partitioned_join(left, right, on: str, num_buckets: int = 32, how: str = "inner"):
-    """Large x large: explicit bucketed hash join (one shuffle)."""
-
-    lschema = left.schema()
-    rschema = right.schema()
-    left_cols = list(lschema.names)
-    right_cols = list(rschema.names)
-    # unified schema so the two sides can union (missing columns ride
-    # as typed nulls; staying in Arrow keeps int columns int)
-    unified = [(n, t) for n, t in zip(lschema.names, lschema.types)]
-    unified += [
-        (n, t) for n, t in zip(rschema.names, rschema.types) if n not in left_cols
-    ]
-
-    def tag_and_bucket(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            keys = batch.column(on).to_numpy(zero_copy_only=False)
-            bucket = (
-                keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(32)
-            ) % np.uint64(num_buckets)
-            arrays = [
-                batch.column(name) if name in batch.column_names else pa.nulls(n, type=t)
-                for name, t in unified
-            ]
-            arrays += [
-                pa.array(bucket.astype(np.int32)),
-                pa.array(np.full(n, side, dtype=np.int8)),
-            ]
-            return pa.table(arrays, names=[n_ for n_, _ in unified] + ["__bucket", "__side"])
-
-        return fn
-
-    l = left.map_batches(tag_and_bucket(0), batch_format="pyarrow")
-    r = right.map_batches(tag_and_bucket(1), batch_format="pyarrow")
-    both = l.union(r)
-
-    def merge_bucket(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lg = group.filter(pc.equal(group["__side"], 0)).select(left_cols)
-        rg = group.filter(pc.equal(group["__side"], 1)).select(right_cols)
-        out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
+def partitioned_join(left, right, on: str, num_buckets: int | None = None, how: str = "inner"):
+    """Large x large: Ray Data hash-shuffle join. `num_buckets` (kept
+    for API compatibility; now = join partitions) defaults to a
+    size-derived count targeting ~256 MB per partition."""
+    n = num_buckets or _auto_partitions(left, right)
+    return left.join(
+        right,
+        join_type=_JOIN_TYPES.get(how, how),
+        num_partitions=n,
+        on=(on,),
+    )

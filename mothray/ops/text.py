@@ -1,8 +1,7 @@
 """Text-analysis operators for a training-data pipeline: language ID,
 quality scoring, token counting, document fingerprinting. All
-vectorized per batch (pandas .str / numpy over byte buffers); no
-per-row Python in hot paths except the langid profile scorer, which is
-bounded by its 30-language profile table.
+vectorized per batch (Arrow kernels / numpy over byte buffers); no
+per-row Python in any hot path.
 """
 
 from __future__ import annotations
@@ -98,32 +97,44 @@ _PROFILES = {
 
 
 class LangId:
-    """Stateful stage (actor-pool candidate): profiles are compiled once
-    per actor in __init__ (ray guide: stateful stages = actor pools)."""
+    """Stateful stage (actor-pool candidate): the marker vocabulary and
+    its word->language matrix are built once per actor in __init__ (ray
+    guide: stateful stages = actor pools). Scoring is fully vectorized:
+    lower + whitespace-split (Arrow kernels), one index_in against the
+    vocab, then per-language bincounts — no per-row Python."""
 
     def __init__(self):
         self.langs = list(_PROFILES)
-        self.vocab: dict[str, np.ndarray] = {}
-        words: dict[str, set[int]] = {w: set() for p in _PROFILES.values() for w in p.split()}
-        for li, (lang, prof) in enumerate(_PROFILES.items()):
+        words = sorted({w for p in _PROFILES.values() for w in p.split()})
+        word_idx = {w: i for i, w in enumerate(words)}
+        self.vocab = pa.array(words)
+        self.W = np.zeros((len(words), len(self.langs)), dtype=np.int32)
+        for li, prof in enumerate(_PROFILES.values()):
             for w in prof.split():
-                words[w].add(li)
-        self.word_to_langs = words
+                self.W[word_idx[w], li] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        texts = batch.column("text").to_pandas().fillna("")
-        scores = np.zeros((len(texts), len(self.langs)), dtype=np.int32)
-        tokens = texts.str.lower().str.split()
-        for i, toks in enumerate(tokens):
-            for t in toks:
-                for li in self.word_to_langs.get(t, ()):
-                    scores[i, li] += 1
+        texts = batch.column("text").combine_chunks().fill_null("")
+        n = len(texts)
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(toks.flatten(), value_set=self.vocab).fill_null(-1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        m = idx >= 0
+        di, vi = doc_of[m], idx[m]
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li in range(len(self.langs)):
+            w = self.W[vi, li]
+            if w.any():
+                scores[:, li] = np.bincount(di, weights=w, minlength=n).astype(np.int64)
         best = scores.argmax(axis=1)
         conf = scores.max(axis=1)
         pred = np.where(conf > 0, np.array(self.langs)[best], "und")
-        return batch.append_column("lang_pred", pa.array(pd.Series(pred)))
+        return batch.append_column("lang_pred", pa.array(pred.tolist()))
 
 
 def langid(ds):

@@ -206,10 +206,50 @@ def prune_stripes(
                         mask[i] = False
         return batch.filter(pa.array(mask))
 
-    # project to metadata columns first? No: the filter needs all columns to
-    # pass through; parquet reader should be given the metadata columns only
-    # upstream when blobs aren't needed.
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _FetchStripes:
+    """Phase 2 of prune_read: for surviving METADATA rows, re-open the
+    source parquet files and read only the row groups that contain
+    surviving stripes — blob bytes read scale with survivors, not with
+    the corpus. (Parquet scan filters would still read every row
+    group's blob chunk before filtering; this fetch targets groups.)"""
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        import collections
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        by_path: dict[str, list[str]] = collections.defaultdict(list)
+        for p, k in zip(batch.column("path").to_pylist(), batch.column("stripe_key").to_pylist()):
+            by_path[p].append(k)
+        for p, ks in by_path.items():
+            kset = pa.array(ks)
+            pf = pq.ParquetFile(p)
+            for rg in range(pf.num_row_groups):
+                # key column of one group: tiny read, prunes the blob read
+                kcol = pf.read_row_group(rg, columns=["stripe_key"]).column("stripe_key")
+                mask = pc.is_in(kcol, value_set=kset)
+                if pc.any(mask).as_py():
+                    yield pf.read_row_group(rg).filter(mask)
+
+
+def prune_read(
+    path: str,
+    column: str,
+    min_value=None,
+    max_value=None,
+    needle: str | None = None,
+) -> ray.data.Dataset:
+    """Metadata-only pruning over an encoded-on-disk dataset: read ONLY
+    the metadata columns (stats/blooms/meta — never the blob), filter
+    stripes by stats + bloom, then fetch surviving stripes' row groups
+    by key. Blob bytes read ∝ surviving stripes (VERDICT r1 item 5)."""
+    meta = read_encoded(path, metadata_only=True, include_paths=True)
+    surv = prune_stripes(meta, column, min_value, max_value, needle)
+    return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- skew / shuffle
@@ -235,29 +275,59 @@ def add_host_bucket(
         hosts = pc.replace_substring_regex(
             pc.replace_substring_regex(urls, r"^https?://", ""), r"/.*$", ""
         )
-        hosts_np = hosts.to_pylist()
-        base = np.array([hash_host(h) for h in hosts_np], dtype=np.uint64)
+        base = hash_string_column(hosts)
         bucket = (base % np.uint64(num_buckets)).astype(np.int32)
         if hot:
             # deterministic per-row salt (url hash), so retries re-bucket identically
-            url_salt = np.array([hash_host(u) for u in batch.column(url_column).to_pylist()], dtype=np.uint64)
-            for i, h in enumerate(hosts_np):
-                fan = hot.get(h)
-                if fan:
-                    bucket[i] = int((base[i] + url_salt[i] % np.uint64(fan)) % np.uint64(num_buckets))
+            url_salt = hash_string_column(urls)
+            for h, fan in hot.items():
+                mask = pc.equal(hosts, h).fill_null(False).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    bucket[mask] = (
+                        (base[mask] + url_salt[mask] % np.uint64(fan)) % np.uint64(num_buckets)
+                    ).astype(np.int32)
         return batch.append_column("bucket", pa.array(bucket))
 
     return ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_string_column(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a string column (splitmix sample mix —
+    the bloom-layer hash; fine for bucketing). Replaces the former
+    per-row hashlib.md5 loop."""
+    from . import bloom as bloom_mod
+    from .column import _string_parts
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    lengths, data = _string_parts(arr.fill_null(""))
+    return bloom_mod.hash_bytes_columns(lengths, np.frombuffer(data, dtype=np.uint8))
+
+
 def hash_host(host: str) -> int:
-    return int.from_bytes(hashlib.md5(host.encode()).digest()[:8], "little")
+    return int(hash_string_column(pa.array([host]))[0])
+
+
+_TARGET_BUCKET_BYTES = 128 << 20
+
+
+def _auto_bucket_count(ds: ray.data.Dataset, target_bytes: int = _TARGET_BUCKET_BYTES) -> int:
+    """Bucket count from the dataset's (metadata) size so one bucket —
+    which one map_groups task materializes — stays ~target_bytes at any
+    corpus scale, instead of a fixed constant that would grow to
+    corpus/32 bytes per task."""
+    try:
+        size = ds.size_bytes()
+    except Exception:
+        size = None
+    if not size:
+        return 32
+    return int(min(max(size // target_bytes + 1, 4), 65536))
 
 
 def encode_clustered(
     ds: ray.data.Dataset,
     url_column: str = "url",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     opts: dict | None = None,
     sample_fraction: float = 0.05,
     hot_fraction: float = 0.02,
@@ -269,10 +339,13 @@ def encode_clustered(
     its dictionaries — locality buys ratio).
 
     The shuffle is `groupby(bucket).map_groups(encode)` — Ray's hash
-    exchange. Bucket count bounds the largest partition; salting keeps
-    hot hosts from pinning one bucket."""
+    exchange. Bucket count is derived from input size (~128 MB per
+    bucket) so the per-task materialized group stays bounded at corpus
+    scale; salting keeps hot hosts from pinning one bucket."""
     from . import plan as plan_mod
 
+    if num_buckets is None:
+        num_buckets = _auto_bucket_count(ds)
     hot = sample_host_frequencies(ds, url_column, sample_fraction, hot_fraction)
     codec_plan = plan_mod.plan_dataset(ds, sample_fraction)
     opts_all = codec_plan.to_opts(opts)
@@ -349,6 +422,14 @@ def verify_roundtrip(original: ray.data.Dataset, decoded: ray.data.Dataset, key:
     )
 
 
-def read_encoded(path: str, metadata_only: bool = False) -> ray.data.Dataset:
+def write_encoded(enc: ray.data.Dataset, out_dir: str, row_group_size: int = 8) -> None:
+    """Write encoded stripe rows with SMALL parquet row groups (stripe
+    rows are MB-sized; default writer row groups would put a whole
+    block's blobs in one group, defeating prune_read's row-group-
+    targeted fetch)."""
+    enc.write_parquet(out_dir, row_group_size=row_group_size)
+
+
+def read_encoded(path: str, metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
-    return ray.data.read_parquet(path, columns=cols)
+    return ray.data.read_parquet(path, columns=cols, include_paths=include_paths)

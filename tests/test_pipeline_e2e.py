@@ -2,6 +2,7 @@
 read_parquet -> encode -> write -> read -> decode -> bit-identical."""
 
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -176,3 +177,50 @@ def test_row_group_roundtrip_bit_identical(ray_session, cc_table):
     dec = stripe.decode_batch(enc)
     for c in tbl.column_names:
         assert dec.column(c).combine_chunks().equals(tbl.column(c).combine_chunks()), c
+
+
+def test_prune_read_metadata_only(ray_session, tmp_path, monkeypatch):
+    """prune_read filters on a metadata-only read and fetches ONLY row
+    groups containing surviving stripes — blob bytes read scale with
+    survivors, not the corpus (VERDICT r1 item 5)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    n = 20000
+    tbl = pa.table({"k": pa.array(range(n), type=pa.int64()), "v": [f"val{i:06d}" for i in range(n)]})
+    ds = ray.data.from_arrow(tbl).sort("k")
+    enc = pipeline.encode_dataset(ds, {"stripe_rows": 1000, "batch_rows": 1000})
+    out = str(tmp_path / "enc")
+    pipeline.write_encoded(enc, out, row_group_size=2)
+
+    cutoff = n - 1500
+    dec = pipeline.decode_dataset(pipeline.prune_read(out, "k", min_value=cutoff))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    ks = sorted(got.column("k").to_pylist())
+    assert set(range(cutoff, n)) <= set(ks)  # no survivor lost
+    assert len(ks) < n // 2  # stripes actually pruned
+
+    # accounting: run the fetch stage directly with counted row-group reads
+    meta = pipeline.read_encoded(out, metadata_only=True, include_paths=True)
+    surv = pa.concat_tables(
+        pipeline.prune_stripes(meta, "k", min_value=cutoff).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    calls = {"full": 0, "meta": 0}
+    orig = pq.ParquetFile.read_row_group
+
+    def counting(self, rg, columns=None, **kw):
+        calls["meta" if columns == ["stripe_key"] else "full"] += 1
+        return orig(self, rg, columns=columns, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", counting)
+    fetched = pa.concat_tables(pipeline._FetchStripes()(surv))
+    total_rg = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_row_groups
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert fetched.num_rows == surv.num_rows
+    assert calls["meta"] == total_rg  # key column scanned everywhere (tiny)
+    assert calls["full"] < total_rg / 2  # blob reads only where survivors live
