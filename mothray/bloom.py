@@ -47,14 +47,23 @@ def hash_bytes_columns(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
     offs = np.concatenate(([0], np.cumsum(lengths)))
     # pad buffer so 8-byte gathers never run off the end
     buf = np.concatenate([data.astype(np.uint8, copy=False), np.zeros(8, dtype=np.uint8)])
-    u64 = np.lib.stride_tricks.sliding_window_view(buf, 8).view("<u8").ravel()
 
     starts = offs[:-1]
     ends = np.maximum(offs[1:] - 8, starts)
     mids = starts + np.maximum((lengths - 8) // 2, 0)
-    first = u64[starts]
-    last = u64[ends]
-    mid = u64[mids]
+
+    def _gather_u64(pos: np.ndarray) -> np.ndarray:
+        # little-endian 8-byte window per position via 8 value-sized
+        # gathers — O(n_values), NOT a window view over the whole
+        # buffer (which would materialize 8x the corpus bytes)
+        acc = buf[pos].astype(np.uint64)
+        for j in range(1, 8):
+            acc |= buf[pos + j].astype(np.uint64) << _U64(8 * j)
+        return acc
+
+    first = _gather_u64(starts)
+    last = _gather_u64(ends)
+    mid = _gather_u64(mids)
     # mask values shorter than 8 bytes down to their real bytes
     short = lengths < 8
     if short.any():

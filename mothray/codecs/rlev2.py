@@ -236,7 +236,9 @@ def _emit_patched_rows(
     tiny patch lists (<=31 entries each) are assembled per window."""
     k = len(pb_rows)
     m = MAX_SCOPE
-    reduced = (i64[pb_rows] - bmin[pb_rows, None]).astype(np.uint64)
+    # subtract in int64 (modular) — int64 minus uint64 would promote to
+    # float64 and silently drop low bits of values beyond 2^53
+    reduced = (i64[pb_rows] - bmin[pb_rows, None].astype(np.int64, copy=False)).astype(np.uint64)
     rw = bitpack.bit_width(reduced)
     rws = np.sort(rw, axis=1)
     w95 = bitpack.closest_fixed_bits_arr(rws[:, (m * 95) // 100 - 1])

@@ -217,8 +217,41 @@ def split_for_stripes(tbl: pa.Table, opts: dict | None = None) -> list[pa.Table]
     return [tbl.slice(s, rows_budget) for s in range(0, n, rows_budget)]
 
 
+def _batch_fsst_tables(tbl: pa.Table, opts: dict | None) -> dict | None:
+    """Train one FSST symbol table per eligible string column per BATCH
+    instead of per stripe/row-group: the table rides in every stripe's
+    DICTIONARY_DATA slot exactly as before (decode unchanged), but the
+    training pass — the dominant string-encode cost — runs once per
+    batch. Columns already carrying a plan (sampling-pass fsst_table)
+    are left alone. Returns augmented column_plans, or None."""
+    from .codecs import fsst as fsst_codec
+
+    o = {**DEFAULT_OPTS, **(opts or {})}
+    if not o.get("fsst_enabled", True) or o.get("string_encoding") not in (None, "auto", "fsst"):
+        return None
+    plans = dict(o.get("column_plans", {}))
+    added = False
+    for name in tbl.column_names:
+        arr = tbl.column(name)
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            continue
+        if name in plans and ("fsst_table" in plans[name] or "string_encoding" in plans[name]):
+            continue
+        values = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        _, data = column_mod._string_parts(values.fill_null(""))
+        if len(data) < 4096:
+            continue
+        table = fsst_codec.train(np.frombuffer(data, dtype=np.uint8))
+        plans[name] = {**plans.get(name, {}), "fsst_table": table.serialize()}
+        added = True
+    return plans if added else None
+
+
 def encode_batch(tbl: pa.Table, opts: dict | None = None, key_prefix: str = "0") -> pa.Table:
     """Table batch -> table of stripe rows (>= 1)."""
+    plans = _batch_fsst_tables(tbl, opts)
+    if plans is not None:
+        opts = {**(opts or {}), "column_plans": plans}
     rows = [
         encode_stripe(part, opts, stripe_key=f"{key_prefix}-{i}")
         for i, part in enumerate(split_for_stripes(tbl, opts))

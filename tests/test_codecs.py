@@ -224,3 +224,21 @@ def test_rlev2_patched_wide_patch_regression():
         big = np.where(r.random(2000) < 0.04, 2**k, r.integers(0, 3, 2000)).astype(np.int64)
         dec, _ = rlev2.decode(rlev2.encode(big, True), len(big), True)
         np.testing.assert_array_equal(dec, big)
+
+
+def test_rlev2_unsigned_patched_large_values_regression():
+    """Regression: unsigned PATCHED_BASE computed (int64 - uint64),
+    which numpy promotes to float64 — outliers beyond 2^53 lost their
+    low bits. Small base + huge outliers must round-trip exactly."""
+    r = np.random.default_rng(3)
+    v = r.integers(0, 100, 512).astype(np.uint64)
+    v[::37] = (np.uint64(1) << np.uint64(62)) + np.uint64(12345)
+    dec, _ = rlev2.decode(rlev2.encode(v, signed=False), len(v), signed=False)
+    np.testing.assert_array_equal(dec, v)
+    for seed in range(20):
+        rr = np.random.default_rng(seed)
+        n = int(rr.integers(3, 1300))
+        u = rr.integers(0, 1 << int(rr.integers(3, 10)), n).astype(np.uint64)
+        u[rr.random(n) < 0.05] = (np.uint64(1) << np.uint64(int(rr.integers(55, 64)))) + np.uint64(7)
+        d, _ = rlev2.decode(rlev2.encode(u, False), n, False)
+        np.testing.assert_array_equal(d, u)
