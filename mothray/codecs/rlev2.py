@@ -45,13 +45,32 @@ DELTA = 3
 _SUPER = MAX_SCOPE * 512  # values per vectorized super-chunk (bounds temp bit matrices)
 
 
+def _native():
+    from . import _rlev2_native
+
+    return _rlev2_native.get_lib()
+
+
 def encode(values: np.ndarray, signed: bool = True) -> bytes:
-    """Vectorized encoder: classifies all 512-value windows of a
-    super-chunk at once (min/max/diff/bit-width stats as (k, 512)
-    matrix ops), then emits same-mode same-width windows with bulk
-    pack_rows calls. Per-window Python is limited to byte assembly."""
+    """RLEv2 encode. Native C sequential encoder when available (bit-
+    identical decisions — see _rlev2_native), else the vectorized numpy
+    path: classify all 512-value windows of a super-chunk at once
+    (min/max/diff/bit-width stats as (k, 512) matrix ops), then emit
+    same-mode same-width windows with bulk pack_rows calls."""
     v = np.ascontiguousarray(values)
     v = v.astype(np.int64, copy=False) if signed else v.astype(np.uint64, copy=False)
+    lib = _native()
+    if lib is not None and len(v):
+        import ctypes
+
+        out = np.empty(len(v) * 9 + 1024, dtype=np.uint8)
+        n = lib.rlev2_encode(
+            v.view(np.uint64).ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(v)),
+            ctypes.c_int(1 if signed else 0),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:n].tobytes()
     chunks: list[bytes] = []
     for s in range(0, len(v), _SUPER):
         _encode_super(v[s : s + _SUPER], signed, chunks)
@@ -455,6 +474,24 @@ def decode(data, count: int, signed: bool = True, offset: int = 0):
     dtype = np.int64 if signed else np.uint64
     out = np.empty(count, dtype=dtype)
     bview = np.frombuffer(buf, dtype=np.uint8)
+
+    lib = _native()
+    if lib is not None and count:
+        import ctypes
+
+        src = bview[offset:]
+        if not src.flags.c_contiguous:
+            src = np.ascontiguousarray(src)
+        consumed = lib.rlev2_decode(
+            src.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(src)),
+            ctypes.c_int64(count),
+            ctypes.c_int(1 if signed else 0),
+            out.view(np.uint64).ctypes.data_as(ctypes.c_void_p),
+        )
+        if consumed < 0:
+            raise ValueError("RLEv2 stream misaligned")
+        return out, int(consumed)
 
     direct_groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
     df_groups: dict[int, list[tuple[int, int, int]]] = {}  # run -> (base, d0, dest)

@@ -242,3 +242,50 @@ def test_rlev2_unsigned_patched_large_values_regression():
         u[rr.random(n) < 0.05] = (np.uint64(1) << np.uint64(int(rr.integers(55, 64)))) + np.uint64(7)
         d, _ = rlev2.decode(rlev2.encode(u, False), n, False)
         np.testing.assert_array_equal(d, u)
+
+
+def test_rlev2_native_bit_identity():
+    """The C encoder must produce byte-identical streams to the numpy
+    encoder (resume byte-identity must not depend on which path ran),
+    and the C decoder must round-trip both."""
+    from mothray.codecs import _rlev2_native
+
+    if _rlev2_native.get_lib() is None:
+        pytest.skip("native rlev2 unavailable")
+
+    def np_encode(v, signed):
+        chunks = []
+        for s in range(0, len(v), rlev2._SUPER):
+            rlev2._encode_super(
+                v[s : s + rlev2._SUPER].astype(np.int64 if signed else np.uint64, copy=False),
+                signed,
+                chunks,
+            )
+        return b"".join(chunks)
+
+    for name, v in F2_CASES.items():
+        for signed in (True, False):
+            arr = v if signed else v.astype(np.uint64)
+            a, b = np_encode(arr, signed), rlev2.encode(arr, signed)
+            assert a == b, (name, signed)
+            dec, c = rlev2.decode(b, len(arr), signed)
+            assert c == len(b)
+            np.testing.assert_array_equal(dec.astype(arr.dtype), arr)
+    for trial in range(150):
+        r = np.random.default_rng(trial)
+        n = int(r.integers(1, 1600))
+        kind = trial % 5
+        if kind == 0:
+            v = r.integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+        elif kind == 1:
+            v = r.integers(0, 100, n).astype(np.int64)
+            v[r.random(n) < 0.04] = 2 ** int(r.integers(30, 62))
+        elif kind == 2:
+            v = np.cumsum(r.integers(-3, 50, n)).astype(np.int64)
+        elif kind == 3:
+            v = np.repeat(r.integers(0, 10, max(n // 20, 1)), 20)[:n].astype(np.int64)
+        else:
+            v = r.integers(0, 2 ** int(r.integers(1, 64)), n).astype(np.int64)
+        for signed in (True, False):
+            arr = v if signed else v.astype(np.uint64)
+            assert np_encode(arr, signed) == rlev2.encode(arr, signed), (trial, signed)
