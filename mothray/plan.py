@@ -174,6 +174,52 @@ def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
     return p
 
 
+def plan_dataset_cached(
+    ds, cache_path: str | None, fraction: float = 0.05, compression: str = "zstd"
+) -> CodecPlan:
+    """plan_dataset with a JSON disk cache: the sampling/training pass
+    is paid once per INPUT, not once per run (the job-checkpoint layer
+    already persists plans this way — this gives the ad-hoc pipeline /
+    bench path the same amortization)."""
+    import base64
+    import json
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path) as f:
+            stored = json.load(f)
+        plans = {
+            c: {
+                **v,
+                **({"fsst_table": base64.b64decode(v["fsst_table"])} if "fsst_table" in v else {}),
+            }
+            for c, v in stored["column_plans"].items()
+        }
+        return CodecPlan(plans, stored.get("compression", compression), stored.get("sampled_rows", 0))
+    p = plan_dataset(ds, fraction, compression)
+    if cache_path:
+        ser = {
+            c: {
+                **v,
+                **(
+                    {"fsst_table": base64.b64encode(v["fsst_table"]).decode()}
+                    if "fsst_table" in v
+                    else {}
+                ),
+            }
+            for c, v in p.column_plans.items()
+        }
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"column_plans": ser, "compression": p.compression, "sampled_rows": p.sampled_rows},
+                f,
+            )
+        os.rename(tmp, cache_path)
+    return p
+
+
 def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> CodecPlan:
     """Sampling pass -> CodecPlan, including one shared FSST symbol
     table per FSST column (trained once here, broadcast to every encode
