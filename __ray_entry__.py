@@ -289,6 +289,26 @@ def _join_partitioned(sf_dir: str):
     return join.partitioned_join(orders, cust, on="o_custkey", num_buckets=8)
 
 
+def _sliding_events(sf_dir: str):
+    """Sliding windows (60-min size, 15-min slide) over events: each row
+    replicated into the 4 windows covering it, then a grouped aggregate
+    (mothray.ops.window.sliding_window; DuckDB oracle replicates via a
+    CROSS JOIN over the slide offsets)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return window.sliding_window(
+        ds,
+        "ts",
+        size_minutes=60,
+        slide_minutes=15,
+        aggs=[Count(alias_name="cnt"), Sum("user_id", alias_name="sum_uid")],
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -327,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk_embeddings"] = _ann_topk
     q["ann_ivf_embeddings"] = _ann_ivf
     q["top_sources_documents"] = _top_sources
+    q["sliding_events"] = _sliding_events
     return q
 
 
@@ -398,6 +419,15 @@ def oracle_sql() -> dict[str, str]:
     o["top_sources_documents"] = (
         "SELECT source, CAST(count(*) AS BIGINT) AS doc_cnt,"
         " CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY source ORDER BY source"
+    )
+    o["sliding_events"] = (
+        "WITH ks AS (SELECT unnest(range(4)) AS k),"
+        " e AS (SELECT epoch_us(ts) AS tsu, user_id FROM events),"
+        " w AS (SELECT ((tsu - k * 900000000) // 900000000) * 900000000 AS ws,"
+        "        tsu, user_id FROM e CROSS JOIN ks)"
+        " SELECT make_timestamp(ws) AS window_start, CAST(count(*) AS BIGINT) AS cnt,"
+        " CAST(sum(user_id) AS BIGINT) AS sum_uid"
+        " FROM w WHERE tsu < ws + 3600000000 GROUP BY 1"
     )
     # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
     # fingerprint_documents / ann_ivf_embeddings: approximate or non-SQL ops —

@@ -84,6 +84,84 @@ def decode_unsigned(data: bytes | np.ndarray, count: int, offset: int = 0):
     return vals, int(ends[-1] + 1)
 
 
+_MAX_BYTES128 = 19  # ceil(128 / 7)
+
+
+def encode_zigzag128(lo: np.ndarray, hi: np.ndarray) -> bytes:
+    """Zigzag + LEB128 for 128-bit values given as little-endian limbs
+    (lo: uint64, hi: int64 two's-complement high half). Byte-compatible
+    with the scalar python-int encoding it replaces; fully vectorized
+    ((n, 19) group matrix + mask select, like encode_unsigned)."""
+    lo = np.ascontiguousarray(lo).astype(np.uint64, copy=False)
+    hi_i = np.ascontiguousarray(hi).astype(np.int64, copy=False)
+    n = len(lo)
+    if n == 0:
+        return b""
+    hiu = hi_i.astype(np.uint64)
+    s = (hi_i >> np.int64(63)).astype(np.uint64)  # sign mask (v >> 127)
+    zlo = ((lo << _U64(1)) ^ s)
+    zhi = (((hiu << _U64(1)) | (lo >> _U64(63))) ^ s)
+
+    groups = np.zeros((n, _MAX_BYTES128), dtype=np.uint8)
+    for k in range(_MAX_BYTES128):
+        sh = 7 * k
+        if sh < 64:
+            g = zlo >> _U64(sh)
+            if sh + 7 > 64:
+                g = g | (zhi << _U64(64 - sh))
+        else:
+            g = zhi >> _U64(sh - 64)
+        groups[:, k] = (g & _U64(0x7F)).astype(np.uint8)
+
+    from . import bitpack
+
+    bl = np.where(zhi != 0, bitpack.bit_width(zhi) + 64, bitpack.bit_width(zlo))
+    nb = np.maximum((bl + 6) // 7, 1)
+    cols = np.arange(_MAX_BYTES128)
+    mask = cols[None, :] < nb[:, None]
+    cont = cols[None, :] < (nb - 1)[:, None]
+    groups[cont] |= 0x80
+    return groups[mask].tobytes()
+
+
+def decode_zigzag128(data, count: int, offset: int = 0):
+    """Inverse of encode_zigzag128. Returns (lo uint64, hi uint64 —
+    two's-complement high limb, consumed bytes)."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64), 0
+    window = count * _MAX_BYTES128
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        n_avail = min(window, len(data) - offset)
+        b = np.frombuffer(data, dtype=np.uint8, count=n_avail, offset=offset)
+    else:
+        b = data[offset : offset + window]
+    term = (b & 0x80) == 0
+    ends = np.nonzero(term)[0]
+    if len(ends) < count:
+        raise ValueError("varint128 stream truncated")
+    ends = ends[:count]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group_len = ends - starts + 1
+    zlo = np.zeros(count, dtype=np.uint64)
+    zhi = np.zeros(count, dtype=np.uint64)
+    for i in range(int(group_len.max())):
+        sel = group_len > i
+        byte = (b[starts[sel] + i].astype(np.uint64)) & _U64(0x7F)
+        sh = 7 * i
+        if sh < 64:
+            zlo[sel] |= byte << _U64(sh)
+            if sh + 7 > 64:
+                zhi[sel] |= byte >> _U64(64 - sh)
+        else:
+            zhi[sel] |= byte << _U64(sh - 64)
+    s = np.where((zlo & _U64(1)) != 0, _U64(0xFFFFFFFFFFFFFFFF), _U64(0))
+    rlo = ((zlo >> _U64(1)) | (zhi << _U64(63))) ^ s
+    rhi = (zhi >> _U64(1)) ^ s
+    return rlo, rhi, int(ends[-1] + 1)
+
+
 def zigzag(values: np.ndarray) -> np.ndarray:
     """int64 -> uint64 zigzag."""
     v = np.ascontiguousarray(values).astype(np.int64, copy=False)

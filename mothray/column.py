@@ -206,19 +206,7 @@ def _encode_decimal(values: pa.Array, t) -> EncodedColumn:
         data = varint.encode_signed(unscaled)
         enc = "DECIMAL64"
     else:
-        vals = [int(h) * (1 << 64) + int(l) for h, l in zip(hi.tolist(), lo.tolist())]
-        out = bytearray()
-        for v in vals:
-            u = (v << 1) ^ (v >> 127) if v >= 0 else ((-v) << 1) - 1  # py-int zigzag
-            while True:
-                b = u & 0x7F
-                u >>= 7
-                if u:
-                    out.append(b | 0x80)
-                else:
-                    out.append(b)
-                    break
-        data = bytes(out)
+        data = varint.encode_zigzag128(lo, hi)  # vectorized 128-bit zigzag LEB128
         enc = "DECIMAL128"
     scale = np.full(n, t.scale, dtype=np.int64)
     return EncodedColumn(enc, n, {DATA: data, SECONDARY: rlev2.encode(scale, signed=True)})
@@ -231,7 +219,9 @@ def _encode_strings(values: pa.Array, t, opts: dict) -> EncodedColumn:
     is_text = pa.types.is_string(t) or pa.types.is_large_string(t)
 
     if choice in ("auto", "dict") and is_text and n > 0:
-        dict_enc = _try_dictionary(values, lengths, data, force=(choice == "dict"))
+        dict_enc = _try_dictionary(
+            values, lengths, data, force=(choice == "dict"), budget=opts.get("_dict_budget")
+        )
         if dict_enc is not None:
             return dict_enc
         if choice == "auto" and opts.get("fsst_enabled", True) and len(data) >= 4096:
@@ -274,7 +264,9 @@ def _index_bytes_per_value(card: int) -> int:
     return 4
 
 
-def _try_dictionary(values: pa.Array, lengths: np.ndarray, data: bytes, force: bool) -> EncodedColumn | None:
+def _try_dictionary(
+    values: pa.Array, lengths: np.ndarray, data: bytes, force: bool, budget: dict | None = None
+) -> EncodedColumn | None:
     n = len(values)
     dict_arr = pc.dictionary_encode(values)
     dictionary = dict_arr.dictionary
@@ -284,8 +276,19 @@ def _try_dictionary(values: pa.Array, lengths: np.ndarray, data: bytes, force: b
     est_cost = len(ddata) + n * _index_bytes_per_value(card)
     if not force and (est_cost == 0 or raw_bytes / max(est_cost, 1) < DICT_MIN_COMPRESSION_RATIO):
         return None
-    if len(ddata) > DICT_MAX_BYTES:  # reference dictionary memory budget
+    if len(ddata) > DICT_MAX_BYTES:  # reference per-dictionary memory cap
         return None
+    if budget is not None:
+        # CROSS-COLUMN budget per encode task (reference
+        # DictionaryCompressionOptimizer.go:166-208: total dictionary
+        # memory is bounded; columns beyond it convert to direct). A
+        # wide schema of mid-cardinality strings can otherwise hold
+        # many dictionaries at once. The sampling-pass plan performs
+        # the ratio-ordered eviction (plan.build_plan); this in-task
+        # counter is the hard backstop for the unplanned path.
+        if budget.get("remaining", DICT_MAX_BYTES) < len(ddata):
+            return None
+        budget["remaining"] = budget.get("remaining", DICT_MAX_BYTES) - len(ddata)
     # sort dictionary lexically (UTF-8 byte order == codepoint order),
     # remap indices — reference SliceDictionaryColumnWriter.go:313-336
     perm = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -388,23 +391,12 @@ def _decode_decimal(enc: EncodedColumn, t, n: int) -> pa.Array:
         raw[:, :8] = lo.view(np.uint8).reshape(n, 8)
         raw[:, 8:] = np.where(lo < 0, 255, 0)[:, None].astype(np.uint8)
         return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw.tobytes())])
-    # DECIMAL128: python varint parse
-    data = s[DATA]
-    vals = []
-    pos = 0
-    for _ in range(n):
-        u = 0
-        shift = 0
-        while True:
-            b = data[pos]
-            pos += 1
-            u |= (b & 0x7F) << shift
-            shift += 7
-            if not b & 0x80:
-                break
-        vals.append((u >> 1) ^ -(u & 1))
-    raw = b"".join(v.to_bytes(16, "little", signed=True) for v in vals)
-    return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw)])
+    # DECIMAL128: vectorized 128-bit zigzag LEB128 into (lo, hi) limbs
+    rlo, rhi, _ = varint.decode_zigzag128(s[DATA], n)
+    raw = np.empty((n, 16), dtype=np.uint8)
+    raw[:, :8] = rlo.view(np.uint8).reshape(n, 8)
+    raw[:, 8:] = rhi.view(np.uint8).reshape(n, 8)
+    return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw.tobytes())])
 
 
 def _build_string_array(t, lengths: np.ndarray, data: bytes, n: int) -> pa.Array:

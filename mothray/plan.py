@@ -130,8 +130,16 @@ def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 
     return merged
 
 
-def build_plan(stats: dict[str, dict], compression: str = "zstd") -> CodecPlan:
+DICT_TOTAL_BUDGET = 16 << 20  # reference dictionaryMaxMemory default
+
+
+def build_plan(
+    stats: dict[str, dict],
+    compression: str = "zstd",
+    dict_total_budget: int = DICT_TOTAL_BUDGET,
+) -> CodecPlan:
     plans: dict[str, dict] = {}
+    dict_cands: list[tuple[float, int, str]] = []  # (ratio, dict_bytes, col)
     total_n = 0
     for col, st in stats.items():
         n, distinct, avg_len = st["n"], max(st["distinct"], 1), st["avg_len"]
@@ -140,12 +148,30 @@ def build_plan(stats: dict[str, dict], compression: str = "zstd") -> CodecPlan:
             continue
         raw = st["bytes"]
         dict_cost = distinct * avg_len + n * _index_bytes(distinct)
-        if raw / max(dict_cost, 1) >= DICT_MIN_RATIO:
+        ratio = raw / max(dict_cost, 1)
+        if ratio >= DICT_MIN_RATIO:
             plans[col] = {"string_encoding": "dict"}
+            dict_cands.append((ratio, int(distinct * avg_len), col))
         elif avg_len >= FSST_MIN_AVG_LEN and st["entropy"] <= FSST_MAX_ENTROPY:
             plans[col] = {"string_encoding": "fsst"}
         else:
             plans[col] = {"string_encoding": "direct"}
+    # Cross-column dictionary memory budget with eviction by projected
+    # ratio (reference DictionaryCompressionOptimizer.go:166-225
+    # selectDictionaryColumnToConvert: when total dictionary memory
+    # exceeds the budget, the column with the LOWEST projected
+    # compression converts to direct encoding first).
+    total_dict = sum(b for _, b, _ in dict_cands)
+    if total_dict > dict_total_budget:
+        for ratio, dbytes, col in sorted(dict_cands):
+            st = stats[col]
+            if st["avg_len"] >= FSST_MIN_AVG_LEN and st["entropy"] <= FSST_MAX_ENTROPY:
+                plans[col] = {"string_encoding": "fsst"}
+            else:
+                plans[col] = {"string_encoding": "direct"}
+            total_dict -= dbytes
+            if total_dict <= dict_total_budget:
+                break
     return CodecPlan(column_plans=plans, compression=compression, sampled_rows=total_n)
 
 

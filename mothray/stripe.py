@@ -140,6 +140,11 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     needing sub-stream checkpoints — each group's streams are simply
     separate blob slices)."""
     o = {**DEFAULT_OPTS, **(opts or {})}
+    # fresh per-stripe cross-column dictionary budget (reference
+    # DictionaryCompressionOptimizer dictionaryMaxMemory; see
+    # column._try_dictionary) — column order is schema order, so
+    # acceptance is deterministic under retries
+    o["_dict_budget"] = {"remaining": o.get("dict_total_budget", column_mod.DICT_MAX_BYTES)}
     tbl = tbl.combine_chunks()
     n = tbl.num_rows
     rg_rows = o.get("row_group_rows") or n or 1

@@ -4,6 +4,8 @@ F3/F4): encode -> decode must be bit-identical (`pa.Array.equals`)."""
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from mothray import column
 
@@ -191,3 +193,25 @@ def test_time_types(t):
     v = rng.integers(0, unit_max, 500)
     arr = pa.array(v.astype(np.int64) if t.bit_width == 64 else v.astype(np.int32), type=pa.int64() if t.bit_width == 64 else pa.int32()).cast(t)
     roundtrip(arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**38 - 1), max_value=10**38 - 1),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_decimal128_precision38_property(xs):
+    """Vectorized DECIMAL128 (zigzag LEB128 over 128-bit limbs) must
+    round-trip the full precision-38 range (VERDICT r1 item 9; the
+    vectorized codec is byte-compatible with the scalar one it
+    replaced)."""
+    import decimal
+
+    arr = pa.array([decimal.Decimal(v).scaleb(-6) for v in xs], type=pa.decimal128(38, 6))
+    enc = column.encode_array(arr, {})
+    assert enc.encoding == "DECIMAL128"
+    dec = column.decode_array(enc, arr.type)
+    assert dec.equals(arr)

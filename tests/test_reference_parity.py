@@ -177,3 +177,46 @@ def test_merge_stats_drops_partial_stats():
     m3 = stats.merge_stats([s1, s2])
     assert "min" not in m3 and "max" not in m3
     assert m3["sum_lengths"] == 210
+
+
+def test_cross_column_dict_budget():
+    """Cross-column dictionary budget (reference
+    DictionaryCompressionOptimizer.go:166-225): when total projected
+    dictionary bytes exceed the budget, the LOWEST-ratio columns
+    convert away from dict first; higher-ratio columns keep theirs."""
+    from mothray import plan as plan_mod
+
+    # 3 columns, each dict-eligible; budget fits only the best two
+    stats = {}
+    for i, (distinct, reps) in enumerate([(10, 1000), (50, 200), (400, 25)]):
+        # ratio decreases as cardinality grows (same raw bytes)
+        stats[f"c{i}"] = {
+            "n": distinct * reps,
+            "bytes": distinct * reps * 20,
+            "distinct": distinct,
+            "entropy": 7.5,  # not fsst-eligible -> evicts to direct
+            "avg_len": 20.0,
+        }
+    p = plan_mod.build_plan(stats, dict_total_budget=(10 + 50) * 20 + 100)
+    assert p.column_plans["c0"]["string_encoding"] == "dict"
+    assert p.column_plans["c1"]["string_encoding"] == "dict"
+    assert p.column_plans["c2"]["string_encoding"] == "direct"  # lowest ratio evicted
+    # without pressure everything stays dict
+    p2 = plan_mod.build_plan(stats)
+    assert all(v["string_encoding"] == "dict" for v in p2.column_plans.values())
+
+    # in-task hard backstop: a tiny budget forces later columns direct
+    import json
+
+    from mothray import stripe
+
+    cols = {f"s{i}": pa.array([f"val{i}_{j % 40:03d}_{'x' * 30}" for j in range(4000)]) for i in range(6)}
+    enc = stripe.encode_batch(pa.table(cols), {"dict_total_budget": 2 * 40 * 40, "fsst_enabled": False})
+    codecs = json.loads(enc.column("meta")[0].as_py())["metrics"]["codecs"]
+    kinds = [codecs[f"s{i}"] for i in range(6)]
+    assert kinds.count("DICT") <= 2 and "DIRECT" in kinds
+    # and the round trip still holds
+    dec = stripe.decode_stripe({n: enc.column(n)[0].as_py() for n in enc.column_names})
+    assert dec.num_rows == 4000
+    for i in range(6):
+        assert dec.column(f"s{i}").combine_chunks().equals(cols[f"s{i}"])
