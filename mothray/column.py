@@ -192,7 +192,41 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
     if pa.types.is_struct(t):
         children = [encode_array(values.field(i), opts) for i in range(t.num_fields)]
         return EncodedColumn("STRUCT", len(values), {}, children)
+    if pa.types.is_union(t):
+        return _encode_union(values, t, opts)
     raise NotImplementedError(f"unsupported type: {t}")
+
+
+def _encode_union(values: pa.Array, t, opts: dict) -> EncodedColumn:
+    """UNION (dense or sparse): tag stream (byte-RLE of the child
+    POSITION per row) + one child per field holding only that tag's
+    values in row order. The reference READS union but its writer
+    panics (reference pkg/store/ColumnReaders.go:39-44 vs
+    ColumnWriters.go:83-86); we close the asymmetry and write it too.
+    Dense offsets are re-derived canonically at decode (the k-th row
+    of tag c maps to child-c index k), so arbitrary input offsets
+    round-trip to logically equal arrays."""
+    n = len(values)
+    codes = values.type_codes.to_numpy(zero_copy_only=False).astype(np.int8)
+    tcodes = np.array(t.type_codes, dtype=np.int8)
+    pos_of = np.zeros(128, dtype=np.uint8)
+    for p, c in enumerate(tcodes.tolist()):
+        pos_of[c] = p
+    positions = pos_of[codes]
+    dense = t.mode == "dense"
+    offs = values.offsets.to_numpy(zero_copy_only=False) if dense else None
+    children = []
+    for p in range(t.num_fields):
+        mask = positions == p
+        child = values.field(p)
+        if dense:
+            gathered = child.take(pa.array(offs[mask]))
+        else:
+            gathered = child.filter(pa.array(mask))
+        children.append(encode_array(gathered, opts))
+    return EncodedColumn(
+        "UNION", n, {DATA: byterle.encode(positions.astype(np.uint8))}, children
+    )
 
 
 def _encode_decimal(values: pa.Array, t) -> EncodedColumn:
@@ -376,6 +410,28 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
         items = decode_array(enc.children[1], t.item_type)
         offs = np.concatenate(([0], np.cumsum(counts.astype(np.int64)))).astype(np.int32)
         return pa.MapArray.from_arrays(pa.array(offs, type=pa.int32()), keys, items).cast(t)
+    if pa.types.is_union(t):
+        positions, _ = byterle.decode(enc.streams[DATA], n)
+        positions = positions.astype(np.int64)
+        tcodes = np.array(t.type_codes, dtype=np.int8)
+        types_arr = pa.array(tcodes[positions], type=pa.int8())
+        names = [t.field(i).name for i in range(t.num_fields)]
+        children = [decode_array(c, t.field(i).type) for i, c in enumerate(enc.children)]
+        if t.mode == "dense":
+            offs = np.zeros(n, dtype=np.int32)
+            for p in range(t.num_fields):
+                m = positions == p
+                offs[m] = np.arange(int(m.sum()), dtype=np.int32)
+            return pa.UnionArray.from_dense(
+                types_arr, pa.array(offs, type=pa.int32()), children, names, tcodes.tolist()
+            )
+        full = []
+        for p, ch in enumerate(children):
+            m = positions == p
+            idx = np.full(n, -1, dtype=np.int64)
+            idx[m] = np.arange(int(m.sum()))
+            full.append(ch.take(pa.array(idx, mask=idx < 0)))
+        return pa.UnionArray.from_sparse(types_arr, full, names, tcodes.tolist())
     if pa.types.is_struct(t):
         fields = [decode_array(c, t.field(i).type) for i, c in enumerate(enc.children)]
         return pa.StructArray.from_arrays(fields, fields=[t.field(i) for i in range(t.num_fields)])

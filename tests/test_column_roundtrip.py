@@ -215,3 +215,42 @@ def test_decimal128_precision38_property(xs):
     assert enc.encoding == "DECIMAL128"
     dec = column.decode_array(enc, arr.type)
     assert dec.equals(arr)
+
+
+def test_union_roundtrip():
+    """UNION encode+decode (dense and sparse). The reference reads
+    union but its writer panics (ColumnReaders.go:39-44 vs
+    ColumnWriters.go:83-86); we write it too. Dense offsets come back
+    canonical — logically equal, not necessarily buffer-equal."""
+    ints = pa.array([5, None, 123456], type=pa.int64())
+    strs = pa.array(["aa", "bb"], type=pa.string())
+    types = pa.array([0, 1, 0, 1, 0], type=pa.int8())
+    offsets = pa.array([0, 0, 1, 1, 2], type=pa.int32())
+    du = pa.UnionArray.from_dense(types, offsets, [ints, strs], ["i", "s"], [0, 1])
+    dec = column.decode_array(column.encode_array(du, {}), du.type)
+    assert dec.to_pylist() == du.to_pylist()
+
+    si = pa.array([1, 2, 3, 4], type=pa.int64())
+    ss = pa.array(["x", "y", "z", "w"], type=pa.string())
+    su = pa.UnionArray.from_sparse(pa.array([0, 1, 1, 0], type=pa.int8()), [si, ss], ["i", "s"], [0, 1])
+    dec2 = column.decode_array(column.encode_array(su, {}), su.type)
+    assert dec2.to_pylist() == su.to_pylist()
+
+    # custom type codes + non-canonical dense offsets
+    du4 = pa.UnionArray.from_dense(
+        pa.array([7, 3, 7], type=pa.int8()),
+        pa.array([1, 0, 0], type=pa.int32()),
+        [pa.array([111], type=pa.int64()), pa.array(["q", "r"], type=pa.string())],
+        ["i", "s"],
+        [3, 7],
+    )
+    dec4 = column.decode_array(column.encode_array(du4, {}), du4.type)
+    assert dec4.to_pylist() == du4.to_pylist()
+
+    # through the stripe layer
+    from mothray import stripe
+
+    tbl = pa.table({"u": du, "k": pa.array(range(5), type=pa.int64())})
+    enc = stripe.encode_batch(tbl)
+    out = stripe.decode_stripe({n: enc.column(n)[0].as_py() for n in enc.column_names})
+    assert out.column("u").to_pylist() == du.to_pylist()
