@@ -379,11 +379,34 @@ static void enc_tail(const uint64_t *v, int64_t n, int sgn, uint8_t *o, int64_t 
     emit_direct(o, p, zzv, n, w100raw);
 }
 
+static void enc_region(const uint64_t *v, int64_t n, int sgn, uint8_t *o, int64_t *p) {
+    int64_t nfull = n / 512;
+    for (int64_t b = 0; b < nfull; b++) enc512(v + b * 512, sgn, o, p);
+    enc_tail(v + nfull * 512, n - nfull * 512, sgn, o, p);
+}
+
+/* Constant runs >= MIN_SPLIT_RUN are carved out of the window stream
+   (mirror of the numpy _segments split; the reference's sequential
+   scanner takes runs as it finds them). */
+#define MIN_SPLIT_RUN 128
+
 int64_t rlev2_encode(const uint64_t *v, int64_t n, int sgn, uint8_t *out) {
     int64_t p = 0;
-    int64_t nfull = n / 512;
-    for (int64_t b = 0; b < nfull; b++) enc512(v + b * 512, sgn, out, &p);
-    enc_tail(v + nfull * 512, n - nfull * 512, sgn, out, &p);
+    int64_t i = 0, mix_start = 0;
+    while (i < n) {
+        int64_t j = i + 1;
+        while (j < n && v[j] == v[i]) j++;
+        if (j - i >= MIN_SPLIT_RUN) {
+            enc_region(v + mix_start, i - mix_start, sgn, out, &p);
+            for (int64_t s = i; s < j; s += 512) {
+                int64_t c = j - s < 512 ? j - s : 512;
+                enc_tail(v + s, c, sgn, out, &p);
+            }
+            mix_start = j;
+        }
+        i = j;
+    }
+    enc_region(v + mix_start, n - mix_start, sgn, out, &p);
     return p;
 }
 

@@ -71,9 +71,51 @@ def encode(values: np.ndarray, signed: bool = True) -> bytes:
             out.ctypes.data_as(ctypes.c_void_p),
         )
         return out[:n].tobytes()
+    return _encode_numpy(v, signed)
+
+
+MIN_SPLIT_RUN = 128  # constant runs at least this long are carved out
+
+
+def _segments(v: np.ndarray) -> list[tuple[int, int, bool]]:
+    """(start, end, is_const) segments: maximal constant runs of length
+    >= MIN_SPLIT_RUN become their own segments (the reference's
+    sequential scanner takes runs as it finds them,
+    LongOutputStreamV2.go:174-239; the fixed-window classifier would
+    otherwise forfeit ratio on constant runs that straddle mixed
+    512-windows). Boundary detection is vectorized; the python loop is
+    over LONG RUNS only."""
+    n = len(v)
+    if n == 0:
+        return []
+    change = np.nonzero(v[1:] != v[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [n]))
+    long = (ends - starts) >= MIN_SPLIT_RUN
+    segs: list[tuple[int, int, bool]] = []
+    cur = 0
+    for s, e in zip(starts[long].tolist(), ends[long].tolist()):
+        if s > cur:
+            segs.append((cur, s, False))
+        segs.append((s, e, True))
+        cur = e
+    if cur < n:
+        segs.append((cur, n, False))
+    return segs
+
+
+def _encode_numpy(v: np.ndarray, signed: bool) -> bytes:
     chunks: list[bytes] = []
-    for s in range(0, len(v), _SUPER):
-        _encode_super(v[s : s + _SUPER], signed, chunks)
+    for a, b, is_const in _segments(v):
+        seg = v[a:b]
+        if is_const:
+            for s in range(0, len(seg), MAX_SCOPE):
+                out = bytearray()
+                _encode_block(seg[s : s + MAX_SCOPE], signed, out)
+                chunks.append(bytes(out))
+        else:
+            for s in range(0, len(seg), _SUPER):
+                _encode_super(seg[s : s + _SUPER], signed, chunks)
     return b"".join(chunks)
 
 
@@ -471,6 +513,8 @@ def decode(data, count: int, signed: bool = True, offset: int = 0):
     runs grouped by (mode, width, length) so same-shape runs unpack in
     one matrix op (mirror of the encoder's grouped emission)."""
     buf = data if isinstance(data, (bytes, memoryview)) else bytes(data)
+    if isinstance(buf, memoryview) and buf.format != "B":
+        buf = buf.cast("B")  # signed-format views break header byte scans
     dtype = np.int64 if signed else np.uint64
     out = np.empty(count, dtype=dtype)
     bview = np.frombuffer(buf, dtype=np.uint8)

@@ -81,7 +81,18 @@ class StripeDecoder:
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for i in range(batch.num_rows):
-            row = {name: batch.column(name)[i].as_py() for name in batch.column_names}
+            # binary payloads ride as zero-copy Arrow buffers (memoryview
+            # slices downstream); .as_py() would copy the whole blob
+            # .cast("B"): pyarrow buffers expose format 'b' (signed), which
+            # would make byte indexing return negatives in codec scans
+            row = {
+                name: (
+                    memoryview(batch.column(name)[i].as_buffer()).cast("B")
+                    if name in ("blob", "blooms")
+                    else batch.column(name)[i].as_py()
+                )
+                for name in batch.column_names
+            }
             rgs = None
             if self.rg_predicate is not None:
                 col, lo, hi = self.rg_predicate

@@ -93,7 +93,9 @@ def _flatten_column(
 
 
 def _rebuild_column(meta: dict, blob) -> column_mod.EncodedColumn:
-    view = memoryview(blob)  # zero-copy slices; raw streams never copy
+    # zero-copy slices; raw streams never copy. cast("B") so byte
+    # indexing yields 0..255 regardless of the source buffer's format
+    view = memoryview(blob).cast("B")
     streams = {}
     for s in meta["streams"]:
         framed = view[s["off"] : s["off"] + s["len"]]

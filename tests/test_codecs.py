@@ -254,14 +254,9 @@ def test_rlev2_native_bit_identity():
         pytest.skip("native rlev2 unavailable")
 
     def np_encode(v, signed):
-        chunks = []
-        for s in range(0, len(v), rlev2._SUPER):
-            rlev2._encode_super(
-                v[s : s + rlev2._SUPER].astype(np.int64 if signed else np.uint64, copy=False),
-                signed,
-                chunks,
-            )
-        return b"".join(chunks)
+        return rlev2._encode_numpy(
+            v.astype(np.int64 if signed else np.uint64, copy=False), signed
+        )
 
     for name, v in F2_CASES.items():
         for signed in (True, False):
@@ -289,3 +284,29 @@ def test_rlev2_native_bit_identity():
         for signed in (True, False):
             arr = v if signed else v.astype(np.uint64)
             assert np_encode(arr, signed) == rlev2.encode(arr, signed), (trial, signed)
+
+
+def test_rlev2_run_splitting_ratio():
+    """Constant runs >= MIN_SPLIT_RUN straddling mixed 512-windows are
+    carved into their own DELTA-fixed runs (reference's sequential
+    run scanner, LongOutputStreamV2.go:174-239): the session-clustered
+    shape must compress materially better than whole-window packing,
+    and everything still round-trips."""
+    r = np.random.default_rng(5)
+    parts = []
+    for s in range(60):  # sessions: ~300 constant ts + noise burst
+        parts.append(np.full(int(r.integers(150, 400)), 1_700_000_000 + s * 3600, dtype=np.int64))
+        parts.append(1_700_000_000 + s * 3600 + r.integers(0, 1800, int(r.integers(20, 90))).astype(np.int64))
+    v = np.concatenate(parts)
+    enc = rlev2.encode(v, True)
+    dec, c = rlev2.decode(enc, len(v), True)
+    assert c == len(enc)
+    np.testing.assert_array_equal(dec, v)
+    # whole-window-only baseline (no splitting): pure super-chunk loop
+    chunks = []
+    for s in range(0, len(v), rlev2._SUPER):
+        rlev2._encode_super(v[s : s + rlev2._SUPER], True, chunks)
+    baseline = b"".join(chunks)
+    dec2, _ = rlev2.decode(baseline, len(v), True)  # old streams still decode
+    np.testing.assert_array_equal(dec2, v)
+    assert len(enc) < 0.8 * len(baseline), (len(enc), len(baseline))

@@ -141,3 +141,26 @@ def test_beats_orc_zlib_oracle():
         buf = io.BytesIO()
         orc.write_table(tbl, buf, compression="zlib")
         assert ours <= buf.tell(), f"{name}: ours {ours} > orc {buf.tell()}"
+
+
+def test_decode_from_signed_format_memoryview():
+    """pyarrow Buffers expose memoryview format 'b' (signed); codec
+    header scans must still read bytes as 0..255 (regression: html
+    LENGTH streams with header bytes >= 0x80 mis-parsed and overran)."""
+    from mothray import datagen
+
+    tbl = datagen.cc_pages(1500, seed=9)
+    enc = stripe.encode_batch(tbl)
+    row = {
+        n: (
+            memoryview(enc.column(n)[0].as_buffer())  # format 'b' on purpose
+            if n in ("blob", "blooms")
+            else enc.column(n)[0].as_py()
+        )
+        for n in enc.column_names
+    }
+    assert row["blob"].format == "b"
+    out = stripe.decode_stripe(row)
+    assert out.num_rows == tbl.num_rows
+    for c in tbl.column_names:
+        assert out.column(c).combine_chunks().equals(tbl.column(c).combine_chunks())
