@@ -116,6 +116,12 @@ def _dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(_docs(sf_dir))
 
 
+def _dedup_jaccard(sf_dir: str):
+    from mothray.ops import dedup
+
+    return dedup.jaccard_dedup(_docs(sf_dir), threshold=0.8)
+
+
 def _text_tokens(sf_dir: str):
     from mothray.ops import text
 
@@ -309,6 +315,66 @@ def _sliding_events(sf_dir: str):
     )
 
 
+def _quantize_embeddings(sf_dir: str):
+    import ray.data
+
+    from mothray.ops import ann
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.quantize_embeddings(ds)
+
+
+def _text_normalize(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(text.normalize_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "norm_text"]
+    )
+
+
+def _multimodal_image(sf_dir: str):
+    """Multimodal plumbing as a driver-visible pipeline: deterministic
+    synthetic image payloads (seeded per doc_id — no media libs in the
+    sandbox, decode kernel stubbed per ops/multimodal.py) attached to
+    documents, then the actor-pool ImageDecoder extracts metadata.
+    Rows-only check: the synthetic pixels are not SQL-expressible."""
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_image(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        imgs = [multimodal.make_fake_image(16 + i % 17, 16 + i % 13, seed=i) for i in ids]
+        return batch.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    out = multimodal.decode_images(
+        ds.map_batches(add_image, batch_format="pyarrow"), concurrency=2, batch_size=128
+    )
+    return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
+
+
+def _multimodal_audio(sf_dir: str):
+    """Audio-feature actor-pool stage over deterministic synthetic PCM
+    payloads (see _multimodal_image). Rows-only check."""
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_audio(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        clips = [multimodal.make_fake_audio(800 + i % 600, 16000, seed=i) for i in ids]
+        return batch.append_column("audio", pa.array(clips, type=pa.binary()))
+
+    out = multimodal.audio_features(
+        ds.map_batches(add_audio, batch_format="pyarrow"), concurrency=2, batch_size=128
+    )
+    return out.select_columns(["doc_id", "duration_sec", "rms"])
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -338,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_exact_documents"] = _dedup_exact
     q["dedup_minhash_documents"] = _dedup_minhash
     q["dedup_simhash_documents"] = _dedup_simhash
+    q["dedup_jaccard_documents"] = _dedup_jaccard
     q["text_tokens_documents"] = _text_tokens
     q["text_quality_documents"] = _text_quality
     q["text_regex_tokens_documents"] = _text_regex_tokens
@@ -348,6 +415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_embeddings"] = _ann_ivf
     q["top_sources_documents"] = _top_sources
     q["sliding_events"] = _sliding_events
+    q["multimodal_image_features"] = _multimodal_image
+    q["multimodal_audio_features"] = _multimodal_audio
+    q["quantize_embeddings"] = _quantize_embeddings
+    q["text_normalize_documents"] = _text_normalize
     return q
 
 
@@ -420,6 +491,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT source, CAST(count(*) AS BIGINT) AS doc_cnt,"
         " CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY source ORDER BY source"
     )
+    o["quantize_embeddings"] = (
+        "SELECT vec_id,"
+        " CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,"
+        " list_transform(embedding, x -> CAST(floor(x * 127.0 /"
+        "   (CASE WHEN list_max(list_transform(embedding, y -> abs(y))) = 0 THEN 1.0"
+        "         ELSE list_max(list_transform(embedding, y -> abs(y))) END) + 0.5) AS TINYINT)) AS q"
+        " FROM embeddings"
+    )
+    o["text_normalize_documents"] = (
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text"
+        " FROM documents"
+    )
     o["sliding_events"] = (
         "WITH ks AS (SELECT unnest(range(4)) AS k),"
         " e AS (SELECT epoch_us(ts) AS tsu, user_id FROM events),"
@@ -430,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         " FROM w WHERE tsu < ws + 3600000000 GROUP BY 1"
     )
     # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
-    # fingerprint_documents / ann_ivf_embeddings: approximate or non-SQL ops —
-    # rows-only checks by design.
+    # fingerprint_documents / ann_ivf_embeddings / dedup_embedding_cosine /
+    # multimodal_image_features / multimodal_audio_features: approximate or
+    # non-SQL ops — rows-only checks by design.
     return o

@@ -5,6 +5,7 @@
   python -m mothray decode  ENC_DIR OUT_DIR [--columns a,b]
   python -m mothray verify  IN_PARQUET ENC_DIR --key COLUMN
   python -m mothray stats   ENC_DIR
+  python -m mothray prune   ENC_DIR OUT_DIR --column C [--min X] [--max Y] [--needle S]
 
 `encode` is the resumable checkpointed job (re-run after a crash to
 finish); `decode` streams stripes back to parquet; `verify` is the
@@ -50,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("stats")
     s.add_argument("enc_dir")
+
+    pr = sub.add_parser("prune")
+    pr.add_argument("enc_dir")
+    pr.add_argument("out_dir")
+    pr.add_argument("--column", required=True)
+    pr.add_argument("--min", dest="min_value", default=None)
+    pr.add_argument("--max", dest="max_value", default=None)
+    pr.add_argument("--needle", default=None)
 
     args = p.parse_args(argv)
 
@@ -117,6 +126,36 @@ def _dispatch(args) -> int:
         print(json.dumps({"bit_identical": ok}))
         ray.shutdown()
         return 0 if ok else 1
+
+    if args.cmd == "prune":
+        # metadata-only stripe pruning (stats + bloom), then decode only
+        # the surviving stripes' row groups (blob reads ∝ survivors)
+        ray = _ray()
+        from mothray import pipeline
+
+        def num(x):
+            if x is None:
+                return None
+            try:
+                return float(x) if "." in str(x) else int(x)
+            except ValueError:
+                return x
+
+        import os
+
+        files = sorted(  # explicit list: job dirs also hold _manifest/
+            os.path.join(args.enc_dir, f)
+            for f in os.listdir(args.enc_dir)
+            if f.endswith(".parquet")
+        )
+        pruned = pipeline.prune_read(
+            files or args.enc_dir, args.column, num(args.min_value), num(args.max_value), args.needle
+        )
+        dec = pipeline.decode_dataset(pruned)
+        dec.write_parquet(args.out_dir)
+        print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "stats":
         from mothray import checkpoint

@@ -82,7 +82,9 @@ def _encode_partition(part: dict, out_dir: str, opts: dict | None) -> dict:
     enc = stripe_mod.encode_batch(tbl, opts, key_prefix=f"p{pid:05d}")
     out_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     tmp = out_path + ".tmp"
-    pq.write_table(enc, tmp)
+    # small parquet row groups: stripe rows are MB-sized and prune_read
+    # fetches at row-group granularity (see pipeline.write_encoded)
+    pq.write_table(enc, tmp, row_group_size=8)
     os.rename(tmp, out_path)
 
     metrics = [json.loads(m)["metrics"] for m in enc.column("meta").to_pylist()]

@@ -17,7 +17,9 @@ bit-identity is the contract, not on-disk ORC interop):
 * Segmentation is fixed 512-value windows (the reference's MAX_SCOPE,
   LongOutputStreamV2.go:14) classified wholesale, instead of the
   reference's sequential variable-length run scanner — this keeps the
-  encoder O(#blocks) numpy ops instead of O(n) Python.
+  encoder O(#blocks) numpy ops instead of O(n) Python. Constant runs
+  >= MIN_SPLIT_RUN are carved out of the window stream first
+  (_segments), recovering the scanner's ratio on run-heavy data.
 * PATCHED_BASE patch gaps: first gap is the absolute patch index; a
   zero patch value is a gap-255 filler (same convention as ORC).
 * Arithmetic is modular int64 (wrap-around) so INT64_MIN/MAX edges

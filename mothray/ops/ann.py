@@ -60,6 +60,28 @@ def brute_force_topk(
     return pa.Table.from_pandas(pdf.reset_index(drop=True))
 
 
+def quantize_embeddings(ds, column: str = "embedding", id_column: str = "vec_id"):
+    """Symmetric int8 quantization per vector (training-data prep for
+    compact ANN indexes): scale = max|x|, q = floor(x*127/scale + 0.5).
+    Fully vectorized per batch; the explicit floor(+0.5) rounding makes
+    the op reproducible in SQL (no half-even ambiguity)."""
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch.column(column)).astype(np.float64)
+        scale = np.abs(mat).max(axis=1) if mat.size else np.zeros(len(batch))
+        denom = np.where(scale == 0, 1.0, scale)
+        q = np.floor(mat * (127.0 / denom)[:, None] + 0.5).astype(np.int8)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "scale": pa.array(scale, type=pa.float64()),
+                "q": pa.array(list(q), type=pa.list_(pa.int8())),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ IVF
 
 def train_centroids(ds, n_centroids: int = 16, column: str = "embedding", sample_fraction: float = 0.25, iters: int = 5, seed: int = 11) -> np.ndarray:

@@ -487,3 +487,83 @@ def ngram_jaccard(a: str, b: str, n: int = 8) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def _shingle_hash_sets(texts, shingle: int = 8) -> list[np.ndarray]:
+    """Per-doc SORTED UNIQUE 8-byte-shingle hashes (vectorized shared
+    pass; same windows/mixes as minhash_signatures) — exact Jaccard
+    between two docs is then a linear merge over two sorted arrays."""
+    lengths, data = _text_parts(texts)
+    lengths = lengths.astype(np.int64, copy=False)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    starts = offs[:-1]
+    cnts = np.maximum(np.where(lengths > 0, lengths - shingle + 1, 0), np.minimum(lengths, 1))
+    padded = np.concatenate([buf, np.zeros(shingle, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(len(buf), 1)].copy().view("<u8").ravel()
+    delta = np.zeros(len(win) + 1, dtype=np.int64)
+    np.add.at(delta, np.minimum(starts, len(win)), 1)
+    np.add.at(delta, np.minimum(starts + cnts, len(win)), -1)
+    pos = np.nonzero(np.cumsum(delta[:-1]) > 0)[0]
+    hv = (win[pos] * _MIX1) ^ (win[pos] >> _U64(31))
+    bounds = np.concatenate(([0], np.cumsum(cnts)))
+    return [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(len(lengths))]
+
+
+JACCARD_SKETCH_K = 256  # bottom-k shingle hashes per doc (2 KB payload)
+
+
+def jaccard_dedup(
+    ds,
+    threshold: float = 0.8,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Near-dup removal with n-gram-Jaccard VERIFICATION of MinHash-LSH
+    candidates: band buckets propose candidates, a bottom-k shingle
+    sketch (k smallest distinct hashes, bounded 2 KB/doc — the text
+    itself never enters the shuffle) confirms via the bottom-k Jaccard
+    estimator (EXACT when a doc has <= k distinct shingles), losers
+    anti-join away. One keyed shuffle carrying (band, hash, id,
+    sketch); same scale shape as minhash_lsh_dedup with the LSH false
+    positives removed."""
+    k = JACCARD_SKETCH_K
+
+    def band_rows_with_sketch(batch: pa.Table) -> pa.Table:
+        rows = minhash_band_rows(batch, column, id_column)
+        sets = _shingle_hash_sets(batch.column(column))
+        sk = pa.array([s[:k] for s in sets], type=pa.list_(pa.uint64()))
+        return rows.append_column("sketch", pa.concat_arrays([sk] * N_BANDS))
+
+    band_rows = ds.map_batches(band_rows_with_sketch, batch_format="pyarrow", zero_copy_batch=True)
+
+    empty = pa.table({id_column: pa.array([], type=pa.int64())})
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return empty
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        o = np.argsort(ids)
+        ids = ids[o]
+        col = group.column("sketch").take(pa.array(o))
+        sets = [np.asarray(s.as_py(), dtype=np.uint64) for s in col]
+        a = sets[0]
+        losers = []
+        for i in range(1, len(ids)):  # single-linkage vs the min-id member
+            b = sets[i]
+            u = np.union1d(a, b)[:k]
+            if len(u) == 0:
+                losers.append(ids[i])
+                continue
+            inter = (np.isin(u, a, assume_unique=True) & np.isin(u, b, assume_unique=True)).sum()
+            if inter / len(u) >= threshold:
+                losers.append(ids[i])
+        if not losers:
+            return empty
+        return pa.table({id_column: pa.array(np.array(losers, dtype=np.int64))})
+
+    dup_ids = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)

@@ -73,6 +73,20 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(h.view(np.int64)))
 
 
+def normalize_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Canonical text normalization (training-data prep): lowercase,
+    collapse whitespace runs to single spaces, trim. Pure Arrow
+    kernels; exactly reproducible in SQL (lower + regexp_replace +
+    trim), so it carries an oracle."""
+    import pyarrow.compute as pc
+
+    t = batch.column(column)
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column("norm_text", t)
+
+
 # ------------------------------------------------------------------ langid
 
 # tiny per-language marker vocabularies (top function words); a doc is

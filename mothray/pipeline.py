@@ -73,11 +73,22 @@ class StripeDecoder:
 
     `rg_predicate=(column, min, max)` decodes only row groups whose
     stats overlap (reference selectRowGroups:272-293) — skipped groups'
-    streams are never decompressed."""
+    streams are never decompressed.
 
-    def __init__(self, columns: list[str] | None = None, rg_predicate: tuple | None = None):
+    `max_rows` caps each yielded table (zero-copy slices) — the
+    reference reader's batch limit (MothReader.go:21-23 max 8196 rows,
+    MothRecordReader.go:218-229 adaptive shrink), so a stripe of very
+    wide rows never lands on downstream stages as one huge block."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        rg_predicate: tuple | None = None,
+        max_rows: int = 8192,
+    ):
         self.columns = columns
         self.rg_predicate = rg_predicate
+        self.max_rows = max_rows
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for i in range(batch.num_rows):
@@ -99,7 +110,12 @@ class StripeDecoder:
                 rgs = stripe_mod.select_row_groups(json.loads(row["meta"]), col, lo, hi)
                 if rgs == []:
                     continue  # whole stripe skipped
-            yield stripe_mod.decode_stripe(row, self.columns, row_groups=rgs)
+            out = stripe_mod.decode_stripe(row, self.columns, row_groups=rgs)
+            if self.max_rows and out.num_rows > self.max_rows:
+                for s in range(0, out.num_rows, self.max_rows):
+                    yield out.slice(s, self.max_rows)
+            else:
+                yield out
 
 
 DEFAULT_ENCODE_BATCH_ROWS = 32768
@@ -162,6 +178,7 @@ def decode_dataset(
     ds: ray.data.Dataset,
     columns: list[str] | None = None,
     rg_predicate: tuple | None = None,
+    max_rows: int = 8192,
 ) -> ray.data.Dataset:
     """Dataset of stripe rows -> Dataset of original rows (streaming).
 
@@ -170,9 +187,14 @@ def decode_dataset(
     `rg_predicate=(column, min, max)` additionally skips non-matching
     row groups inside each stripe."""
     return ds.map_batches(
-        StripeDecoder(columns, rg_predicate),
+        StripeDecoder(columns, rg_predicate, max_rows),
         batch_format="pyarrow",
-        batch_size=1,  # one stripe per task: max fan-out, bounded memory
+        # full read blocks: lets Ray FUSE ReadParquet->decode into one
+        # task (no object-store round trip for the encoded blobs — 2x
+        # wall on the decode leg); the generator still yields one
+        # bounded table per stripe / max_rows slice, so memory stays
+        # capped regardless of block size
+        batch_size=None,
         zero_copy_batch=True,
     )
 
@@ -248,7 +270,7 @@ class _FetchStripes:
 
 
 def prune_read(
-    path: str,
+    path: str | list[str],
     column: str,
     min_value=None,
     max_value=None,
@@ -362,10 +384,22 @@ def encode_clustered(
     opts_all = codec_plan.to_opts(opts)
     bucketed = add_host_bucket(ds, num_buckets, url_column, hot_hosts=hot)
 
+    # per-BUCKET FSST tables: strip the sampling-pass tables so each
+    # bucket trains its own from its (host-clustered) pages — same-host
+    # pages share symbols, which is the point of clustering; the
+    # encoding CHOICE (fsst/dict/direct) still comes from the plan
+    bucket_opts = {
+        **opts_all,
+        "column_plans": {
+            c: {k: v for k, v in p.items() if k != "fsst_table"}
+            for c, p in opts_all.get("column_plans", {}).items()
+        },
+    }
+
     def encode_bucket(group: pa.Table) -> pa.Table:
         bucket_id = group.column("bucket")[0].as_py() if group.num_rows else 0
         tbl = group.drop_columns(["bucket"])
-        return stripe_mod.encode_batch(tbl, opts_all, key_prefix=f"b{bucket_id:04d}")
+        return stripe_mod.encode_batch(tbl, bucket_opts, key_prefix=f"b{bucket_id:04d}")
 
     return bucketed.groupby("bucket").map_groups(encode_bucket, batch_format="pyarrow")
 
@@ -387,18 +421,16 @@ def sample_host_frequencies(
         return pa.table({"host": hosts})
 
     counts = (
-        sample.map_batches(hosts_only, batch_format="pyarrow")
-        .groupby("host")
-        .count()
-        .to_pandas()
-    )
-    total = counts["count()"].sum()
+        sample.map_batches(hosts_only, batch_format="pyarrow").groupby("host").count()
+    ).materialize()  # bounded by distinct hosts, stays in the object store
+    total = counts.sum("count()") or 0
     if total == 0:
         return {}
-    hot = counts[counts["count()"] > total * hot_fraction]
+    cutoff = total * hot_fraction
+    # only the hot hosts (at most 1/hot_fraction rows) reach the driver
+    hot = counts.filter(lambda r: r["count()"] > cutoff).to_pandas()
     return {
-        row["host"]: max(2, int(row["count()"] / (total * hot_fraction)))
-        for _, row in hot.iterrows()
+        row["host"]: max(2, int(row["count()"] / cutoff)) for _, row in hot.iterrows()
     }
 
 
@@ -441,6 +473,6 @@ def write_encoded(enc: ray.data.Dataset, out_dir: str, row_group_size: int = 8) 
     enc.write_parquet(out_dir, row_group_size=row_group_size)
 
 
-def read_encoded(path: str, metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
+def read_encoded(path: str | list[str], metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
     return ray.data.read_parquet(path, columns=cols, include_paths=include_paths)

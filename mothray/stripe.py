@@ -242,8 +242,12 @@ def _batch_fsst_tables(tbl: pa.Table, opts: dict | None) -> dict | None:
         arr = tbl.column(name)
         if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             continue
-        if name in plans and ("fsst_table" in plans[name] or "string_encoding" in plans[name]):
-            continue
+        if name in plans:
+            p = plans[name]
+            if "fsst_table" in p:
+                continue  # sampling-pass table already broadcast
+            if p.get("string_encoding") not in (None, "auto", "fsst"):
+                continue  # planned dict/direct: no table needed
         values = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         _, data = column_mod._string_parts(values.fill_null(""))
         if len(data) < 4096:

@@ -327,3 +327,76 @@ def test_content_hash_full_content():
     buf = np.frombuffer((a + b + a).encode(), dtype=np.uint8)
     f = _segmented_content_hash(ln, buf, _U64(123))
     assert f[0] != f[1] and f[0] == f[2]
+
+
+def test_jaccard_dedup(ray_session):
+    """LSH candidates + bottom-k Jaccard verify: exact dups and high-
+    overlap near-dups drop; low-overlap docs that merely share a band
+    bucket survive (the verify step removes LSH false positives)."""
+    import ray.data
+
+    # NON-repeating base: periodic text collapses to few distinct
+    # shingles and makes small edits look like big Jaccard changes
+    words = [f"token{i:03d}" for i in range(120)]
+    base = " ".join(words)
+    texts = [
+        base,                                  # 0: keeper
+        base,                                  # 1: exact dup -> dropped
+        base.replace("token050", "changed"),   # 2: near dup (1/120 words) -> dropped
+        " ".join(f"other{i:03d}" for i in range(120)),                       # 3
+        " ".join(words[:40]) + " " + " ".join(f"tail{i:03d}" for i in range(90)),  # 4: J ~ 0.3
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    out = dedup.jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.8).to_pandas()
+    kept = sorted(out["doc_id"].tolist())
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept and 2 not in kept
+    assert 4 in kept  # bucketed with base but fails exact verification
+    # bottom-k estimator sanity on the primitive
+    assert dedup.ngram_jaccard(texts[0], texts[1]) == 1.0
+    assert dedup.ngram_jaccard(texts[0], texts[3]) < 0.05
+
+
+def test_quantize_and_normalize_match_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), type=pa.int64()),
+            "embedding": pa.array(
+                [[0.5, -1.0, 0.25], [0.0, 0.0, 0.0], [2.0, 1.0, -2.0],
+                 [0.1, 0.2, 0.3], [-0.7, 0.7, 0.35], [1e-5, -1e-5, 0.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    from mothray.ops import ann, text
+
+    out = ann.quantize_embeddings(ray.data.from_arrow(emb)).to_pandas().sort_values("vec_id")
+    exp = duckdb.sql(
+        "SELECT vec_id, CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,"
+        " list_transform(embedding, x -> CAST(floor(x * 127.0 /"
+        "  (CASE WHEN list_max(list_transform(embedding, y -> abs(y))) = 0 THEN 1.0"
+        "        ELSE list_max(list_transform(embedding, y -> abs(y))) END) + 0.5) AS TINYINT)) AS q"
+        " FROM emb ORDER BY vec_id"
+    ).df()
+    assert out["scale"].tolist() == exp["scale"].tolist()
+    assert [list(x) for x in out["q"]] == [list(x) for x in exp["q"]]
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(3), type=pa.int64()),
+            "text": ["  Hello   WORLD \t x ", "a\n\nb", "already clean"],
+        }
+    )
+    tout = (
+        ray.data.from_arrow(docs)
+        .map_batches(text.normalize_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    texp = duckdb.sql(
+        "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text FROM docs ORDER BY doc_id"
+    ).df()
+    assert tout["norm_text"].tolist() == texp["norm_text"].tolist()
