@@ -198,8 +198,65 @@ def run_scaling() -> None:
     )
 
 
+def run_compute_control() -> None:
+    """Pure-compute scaling control: N worker PROCESSES each encode the
+    same in-memory stripe repeatedly (codec work only — no Ray, no IO,
+    working set small enough to stay cache-resident). Separates "does
+    codec compute scale with cores" (it should, and a cluster adds
+    cores per node) from the single-box memory-bus ceiling that the
+    end-to-end proxy hits once per-byte compute is cheap."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    lo = int(os.environ.get("MOTHRAY_SCALE_LO", "2"))
+    hi = int(os.environ.get("MOTHRAY_SCALE_HI", str(4 * lo)))
+    seconds = float(os.environ.get("MOTHRAY_CONTROL_SECS", "6"))
+
+    def worker(n_done) -> None:
+        from mothray import datagen, stripe
+
+        tbl = datagen.cc_pages(2000, seed=7)  # ~6 MB raw
+        t_end = time.monotonic() + seconds
+        k = 0
+        while time.monotonic() < t_end:
+            stripe.encode_batch(tbl)
+            k += 1
+        n_done.value = k
+
+    def run_level(n: int) -> float:
+        vals = [mp.Value("i", 0) for _ in range(n)]
+        procs = [mp.Process(target=worker, args=(v,)) for v in vals]
+        t0 = time.monotonic()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        wall = time.monotonic() - t0
+        total = sum(v.value for v in vals)
+        return total * 6.07 / wall  # MB/s aggregate (6.07 MB per encode)
+
+    best = {lo: 0.0, hi: 0.0}
+    for _ in range(3):  # interleaved max-of-3 (throughput: higher=better)
+        for n in (lo, hi):
+            best[n] = max(best[n], run_level(n))
+    eff = (best[hi] / max(best[lo], 1e-9)) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"pure-compute codec scaling control ({lo} -> {hi} processes, cache-resident encode)",
+                f"throughput_mb_s_{lo}": round(best[lo], 1),
+                f"throughput_mb_s_{hi}": round(best[hi], 1),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--compute-control" in sys.argv:
+        run_compute_control()
     else:
         print(json.dumps(run_bench()))
