@@ -91,7 +91,7 @@ def run_bench() -> dict:
         out_dir = f"/tmp/mothray_bench/enc_{name}_{NUM_CPUS}"
         subprocess.run(["rm", "-rf", out_dir], check=True)
         t0 = time.monotonic()
-        ds = ray.data.read_parquet(path)
+        ds = pipeline.read_input(path)
         from mothray import plan as plan_mod
 
         mtime = max(

@@ -436,6 +436,25 @@ def sample_host_frequencies(
 
 # ---------------------------------------------------------------- convenience
 
+def read_input(path: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+    """read_parquet with a block count sized to saturate the CPUs: the
+    default (one block per file / large target blocks) starves wide
+    nodes when the input has few files — 16 files cap the encode stage
+    at 16 concurrent tasks regardless of cluster width."""
+    import ray as ray_api
+
+    ds = ray.data.read_parquet(path, columns=columns)
+    try:
+        ncpu = int(ray_api.cluster_resources().get("CPU", 8))
+        size = ds.size_bytes()
+    except Exception:
+        return ds
+    if not size:
+        return ds
+    target = int(min(max(size // (8 << 20), ncpu * 2), ncpu * 16))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=target)
+
+
 def encode_parquet_to_dir(
     input_path: str | list[str],
     out_dir: str,
@@ -443,7 +462,7 @@ def encode_parquet_to_dir(
     columns: list[str] | None = None,
 ) -> None:
     """read_parquet -> encode -> write_parquet, fully streaming."""
-    ds = ray.data.read_parquet(input_path, columns=columns)
+    ds = read_input(input_path, columns=columns)
     encode_dataset(ds, opts).write_parquet(out_dir)
 
 
