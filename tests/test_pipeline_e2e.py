@@ -4,6 +4,8 @@ read_parquet -> encode -> write -> read -> decode -> bit-identical."""
 import json
 import os
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -224,3 +226,26 @@ def test_prune_read_metadata_only(ray_session, tmp_path, monkeypatch):
     assert fetched.num_rows == surv.num_rows
     assert calls["meta"] == total_rg  # key column scanned everywhere (tiny)
     assert calls["full"] < total_rg / 2  # blob reads only where survivors live
+
+
+def test_cli_prune_command(ray_session, tmp_path):
+    """python -m mothray prune: stats-pruned decode of a checkpointed
+    job's output via the metadata-only path."""
+    import pyarrow.compute as pc
+
+    from mothray import __main__ as cli
+
+    n = 6000
+    rnd = np.random.default_rng(4)
+    vals = ["".join(chr(97 + c) for c in rnd.integers(0, 26, 240)) for i in range(n)]
+    tbl = pa.table({"k": pa.array(range(n), type=pa.int64()), "v": vals})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src, row_group_size=1000)  # units for partition splitting
+    enc = str(tmp_path / "enc")
+    assert cli.main(["encode", src, enc, "--partition-mb", "1"]) == 0
+    out = str(tmp_path / "pruned")
+    assert cli.main(["prune", enc, out, "--column", "k", "--min", str(n - 500)]) == 0
+    got = pq.read_table(out)
+    ks = got.column("k").to_pylist()
+    assert set(range(n - 500, n)) <= set(ks)  # no survivor lost
+    assert len(ks) < n  # something pruned
