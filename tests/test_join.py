@@ -5,6 +5,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from mothray.ops import join
+
 
 def _orders_customers_expect():
     return duckdb.sql(
@@ -67,3 +69,47 @@ def test_partitioned_join(ray_session):
     assert out["o_orderkey"].tolist() == expect["o_orderkey"].tolist()
     assert out["o_totalprice"].tolist() == expect["o_totalprice"].tolist()
     assert str(out["o_orderkey"].dtype) == "int64"  # no float corruption through the union
+
+
+def test_partitioned_join_skewed_key(ray_session):
+    """Skewed input: one key holds half the rows. The hash-shuffle join
+    must stay correct (VERDICT r1 item 3 done-criterion) with
+    size-derived partition counts."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    n = 20000
+    rng = np.random.default_rng(8)
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n)).astype(np.int64)
+    lt = pa.table({"k": pa.array(keys), "a": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"k": pa.array(np.arange(500, dtype=np.int64)), "b": [f"v{i}" for i in range(500)]})
+    out = join.partitioned_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt), on="k"
+    ).to_pandas()
+    exp = duckdb.sql("SELECT l.k, l.a, r.b FROM lt l JOIN rt r ON l.k = r.k").df()
+    assert len(out) == len(exp)
+    assert out["a"].sum() == exp["a"].sum()
+    assert sorted(out.columns) == sorted(exp.columns)
+
+
+def test_auto_partitions_scales_with_size():
+    """Partition count grows with input size instead of a constant 32
+    (one task must never hold corpus/32 bytes)."""
+    class FakeDs:
+        def __init__(self, size):
+            self._s = size
+
+        def size_bytes(self):
+            return self._s
+
+    small = join._auto_partitions(FakeDs(1 << 20))
+    mid = join._auto_partitions(FakeDs(64 << 30))
+    huge = join._auto_partitions(FakeDs(100 << 40))  # ~100 TB
+    assert small == 2
+    assert mid == (64 << 30) // (256 << 20) + 1
+    assert huge == 4096  # capped
+    from mothray import pipeline
+
+    assert pipeline._auto_bucket_count(FakeDs(100 << 40)) == 65536
+    assert pipeline._auto_bucket_count(FakeDs(1 << 30)) == (1 << 30) // (128 << 20) + 1
