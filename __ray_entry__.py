@@ -44,16 +44,26 @@ def _stats_lineitem(sf_dir: str) -> pa.Table:
 
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
     enc = pipeline.encode_dataset(ds)
-    parts_qty, parts_key, parts_ship = [], [], []
-    for batch in enc.iter_batches(batch_format="pyarrow", batch_size=None):
-        for sj in batch.column("stats").to_pylist():
-            st = json.loads(sj)
-            parts_qty.append(st["l_quantity"])
-            parts_key.append(st["l_orderkey"])
-            parts_ship.append(st["l_shipdate"])
-    qty = stats.merge_stats(parts_qty)
-    key = stats.merge_stats(parts_key)
-    ship = stats.merge_stats(parts_ship)
+
+    cols = ["l_quantity", "l_orderkey", "l_shipdate"]
+
+    def partial_merge(batch: pa.Table) -> pa.Table:
+        # distributed partial->partial reduction: one merged-stats row
+        # per BATCH of stripe rows leaves each task, so the driver-side
+        # final merge sees O(#blocks) rows, not O(#stripes)
+        per_col = {
+            c: stats.merge_stats([json.loads(sj)[c] for sj in batch.column("stats").to_pylist()])
+            for c in cols
+        }
+        return pa.table({"merged": [json.dumps(per_col)]})
+
+    partials = [
+        json.loads(r["merged"])
+        for r in enc.map_batches(partial_merge, batch_format="pyarrow").take_all()
+    ]
+    qty = stats.merge_stats([p["l_quantity"] for p in partials])
+    key = stats.merge_stats([p["l_orderkey"] for p in partials])
+    ship = stats.merge_stats([p["l_shipdate"] for p in partials])
     return pa.table(
         {
             "row_cnt": [qty["count"]],

@@ -84,9 +84,20 @@ def quantize_embeddings(ds, column: str = "embedding", id_column: str = "vec_id"
 
 # ------------------------------------------------------------------ IVF
 
-def train_centroids(ds, n_centroids: int = 16, column: str = "embedding", sample_fraction: float = 0.25, iters: int = 5, seed: int = 11) -> np.ndarray:
-    """Sampled mini k-means (pass 1). Deterministic: fixed seed."""
-    sample = ds.random_sample(sample_fraction, seed=seed)
+def train_centroids(
+    ds,
+    n_centroids: int = 16,
+    column: str = "embedding",
+    sample_fraction: float = 0.25,
+    iters: int = 5,
+    seed: int = 11,
+    max_sample_rows: int = 65536,
+) -> np.ndarray:
+    """Sampled mini k-means (pass 1). Deterministic: fixed seed. The
+    training sample is BOUNDED (`max_sample_rows`) — a fraction alone
+    would stream O(corpus) vectors onto the driver at scale; k-means
+    quality needs only a fixed-size sample."""
+    sample = ds.random_sample(sample_fraction, seed=seed).limit(max_sample_rows)
     mats = [
         _matrix(b.column(column)).astype(np.float64)
         for b in sample.iter_batches(batch_format="pyarrow", batch_size=None)
