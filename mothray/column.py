@@ -207,14 +207,22 @@ def _encode_union(values: pa.Array, t, opts: dict) -> EncodedColumn:
     of tag c maps to child-c index k), so arbitrary input offsets
     round-trip to logically equal arrays."""
     n = len(values)
-    codes = values.type_codes.to_numpy(zero_copy_only=False).astype(np.int8)
+    # read type codes / offsets from the RAW buffers with the slice
+    # offset applied: the .type_codes/.offsets accessors ignore a
+    # parent slice (pyarrow returns them from position 0), which would
+    # silently encode the wrong rows for any sliced union
+    off = values.offset
+    bufs = values.buffers()
+    codes = np.frombuffer(bufs[1], dtype=np.int8, count=n, offset=off)
     tcodes = np.array(t.type_codes, dtype=np.int8)
     pos_of = np.zeros(128, dtype=np.uint8)
     for p, c in enumerate(tcodes.tolist()):
         pos_of[c] = p
     positions = pos_of[codes]
     dense = t.mode == "dense"
-    offs = values.offsets.to_numpy(zero_copy_only=False) if dense else None
+    # dense: offsets reference the FULL (unsliced) children, which is
+    # exactly what field(p) returns for a sliced dense union
+    offs = np.frombuffer(bufs[2], dtype=np.int32, count=n, offset=4 * off) if dense else None
     children = []
     for p in range(t.num_fields):
         mask = positions == p

@@ -460,7 +460,7 @@ def embedding_dedup(
         ids = group.column(id_column).to_numpy(zero_copy_only=False)
         o = np.argsort(ids)
         ids = ids[o]
-        mat = np.stack(group.column("vec").to_pylist())[o]
+        mat = _matrix(group.column("vec"))[o]  # zero-copy list<float> -> (n, dim)
         n = len(ids)
         chunk = max(1, 4_000_000 // n)  # bound the cos block to ~32 MB
         losers = []

@@ -254,3 +254,27 @@ def test_union_roundtrip():
     enc = stripe.encode_batch(tbl)
     out = stripe.decode_stripe({n: enc.column(n)[0].as_py() for n in enc.column_names})
     assert out.column("u").to_pylist() == du.to_pylist()
+
+
+def test_union_sliced_roundtrip():
+    """Regression: pyarrow's .type_codes/.offsets ignore a parent slice
+    offset, which silently encoded the wrong rows for sliced unions
+    (stripe splitting slices batches)."""
+    ints = pa.array([1, 2, 3], type=pa.int64())
+    strs = pa.array(["a", "b"], type=pa.string())
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0, 1, 0], type=pa.int8()),
+        pa.array([0, 0, 1, 1, 2], type=pa.int32()),
+        [ints, strs], ["i", "s"], [0, 1],
+    )
+    for sl in (u.slice(2, 3), u.slice(1, 2), u.slice(4, 1)):
+        dec = column.decode_array(column.encode_array(sl, {}), sl.type)
+        assert dec.to_pylist() == sl.to_pylist()
+    sp = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1], type=pa.int8()),
+        [pa.array([9, 8, 7, 6], type=pa.int64()), pa.array(["x", "y", "z", "w"])],
+        ["i", "s"], [0, 1],
+    )
+    for sl in (sp.slice(1, 3), sp.slice(2, 1)):
+        dec = column.decode_array(column.encode_array(sl, {}), sl.type)
+        assert dec.to_pylist() == sl.to_pylist()

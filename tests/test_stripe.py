@@ -93,6 +93,21 @@ def test_bloom_in_stripe_meta():
     assert bloom.might_contain(bf, list(langs)[:5]).all()
 
 
+def _random_dense_union(r, n):
+    codes = r.integers(0, 2, n).astype(np.int8)
+    offs = np.zeros(n, dtype=np.int32)
+    for c in (0, 1):
+        m = codes == c
+        offs[m] = np.arange(int(m.sum()), dtype=np.int32)
+    child0 = pa.array(r.integers(-(2**40), 2**40, int((codes == 0).sum())), type=pa.int64())
+    child1 = pa.array(
+        ["".join(chr(r.integers(97, 123)) for _ in range(int(r.integers(0, 12)))) for _ in range(int((codes == 1).sum()))]
+    )
+    return pa.UnionArray.from_dense(
+        pa.array(codes, type=pa.int8()), pa.array(offs, type=pa.int32()), [child0, child1], ["a", "b"], [0, 1]
+    )
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 def test_stripe_random_mixed_table_roundtrip(seed):
     """Randomized mixed-type stripe round-trip (SURVEY §5.2 item 2 at
@@ -114,6 +129,11 @@ def test_stripe_random_mixed_table_roundtrip(seed):
             "ts": pa.array(r.integers(-(2**48), 2**48, n), type=pa.int64()).cast(pa.timestamp("us")),
             "lst": pa.array([r.integers(0, 100, r.integers(0, 5)).tolist() for _ in range(n)], type=pa.list_(pa.int64())),
             "bin": pa.array([bytes(r.integers(0, 256, r.integers(0, 60)).astype(np.uint8)) for _ in range(n)], type=pa.binary()),
+            "dec38": pa.array(
+                [None if r.random() < 0.1 else __import__("decimal").Decimal(int(r.integers(-(2**62), 2**62)) * int(r.integers(1, 2**60))).scaleb(-7) for _ in range(n)],
+                type=pa.decimal128(38, 7),
+            ),
+            "u": _random_dense_union(r, n),
         }
     )
     enc = stripe.encode_batch(tbl, {"stripe_rows": 1500})
