@@ -132,6 +132,12 @@ def _dedup_jaccard(sf_dir: str):
     return dedup.jaccard_dedup(_docs(sf_dir), threshold=0.8)
 
 
+def _dedup_minhash_cc(sf_dir: str):
+    from mothray.ops import dedup
+
+    return dedup.minhash_cc_dedup(_docs(sf_dir))
+
+
 def _text_tokens(sf_dir: str):
     from mothray.ops import text
 
@@ -415,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash_documents"] = _dedup_minhash
     q["dedup_simhash_documents"] = _dedup_simhash
     q["dedup_jaccard_documents"] = _dedup_jaccard
+    q["dedup_minhash_cc_documents"] = _dedup_minhash_cc
     q["text_tokens_documents"] = _text_tokens
     q["text_quality_documents"] = _text_quality
     q["text_regex_tokens_documents"] = _text_regex_tokens

@@ -510,6 +510,89 @@ def _shingle_hash_sets(texts, shingle: int = 8) -> list[np.ndarray]:
     return [np.unique(hv[bounds[i] : bounds[i + 1]]) for i in range(len(lengths))]
 
 
+def minhash_cc_dedup(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+    rounds: int = 6,
+):
+    """TRANSITIVE near-dup removal: connected components over LSH
+    bucket co-membership, so chains like A~B (bucket 1), B~C (bucket 2)
+    collapse to one survivor even when no single bucket holds the whole
+    cluster (single-linkage gap of minhash_lsh_dedup, ROADMAP item 5).
+
+    Distributed bipartite label propagation over the (doc, bucket)
+    edge list: each round a bucket takes the min label of its members
+    and every member takes the min label of its buckets (two
+    groupby-mins + two hash joins, everything stays a distributed
+    Dataset; labels are monotone non-increasing). Converges in the
+    doc-bucket diameter of the component — `rounds`=6 covers chains
+    far beyond real near-dup clusters. Survivors = docs whose final
+    label is themselves."""
+    import pyarrow.compute as pc
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        rows = minhash_band_rows(batch, column, id_column)
+        bkey = (
+            rows.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+            * _MIX1
+            + rows.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                id_column: rows.column(id_column),
+                "bkey": pa.array(bkey.view(np.int64)),
+            }
+        )
+
+    edges = ds.map_batches(edge_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_parts = num_partitions or _auto_partitions(ds)
+
+    def _rename(cols: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(list(cols)).rename_columns(list(cols.values()))
+
+        return fn
+
+    # initial label: min member id per bucket, min bucket-label per doc
+    labels = None
+    for _ in range(rounds):
+        if labels is None:
+            member_lbl = edges.map_batches(
+                _rename({id_column: id_column, "bkey": "bkey"}), batch_format="pyarrow"
+            ).map_batches(
+                lambda t: t.append_column("lbl", t.column(id_column)), batch_format="pyarrow"
+            )
+        else:
+            member_lbl = edges.join(
+                labels.map_batches(_rename({id_column: "l_id", "lbl": "lbl"}), batch_format="pyarrow"),
+                join_type="inner",
+                num_partitions=n_parts,
+                on=(id_column,),
+                right_on=("l_id",),
+            )
+        bucket_lbl = member_lbl.groupby("bkey").min("lbl").map_batches(
+            _rename({"bkey": "b_id", "min(lbl)": "b_lbl"}), batch_format="pyarrow"
+        )
+        joined = edges.join(
+            bucket_lbl, join_type="inner", num_partitions=n_parts, on=("bkey",), right_on=("b_id",)
+        )
+        labels = (
+            joined.groupby(id_column)
+            .min("b_lbl")
+            .map_batches(_rename({id_column: id_column, "min(b_lbl)": "lbl"}), batch_format="pyarrow")
+            .materialize()
+        )
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column(id_column), batch.column("lbl"))
+        return batch.filter(keep).select([id_column])
+
+    dup_ids = labels.map_batches(losers, batch_format="pyarrow")
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
+
+
 JACCARD_SKETCH_K = 256  # bottom-k shingle hashes per doc (2 KB payload)
 
 
