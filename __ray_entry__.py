@@ -340,6 +340,12 @@ def _quantize_embeddings(sf_dir: str):
     return ann.quantize_embeddings(ds)
 
 
+def _token_top_k(sf_dir: str):
+    from mothray.ops import text
+
+    return text.token_top_k(_docs(sf_dir), k=50)
+
+
 def _text_normalize(sf_dir: str):
     from mothray.ops import text
 
@@ -436,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_audio_features"] = _multimodal_audio
     q["quantize_embeddings"] = _quantize_embeddings
     q["text_normalize_documents"] = _text_normalize
+    q["token_top_k_documents"] = _token_top_k
     return q
 
 
@@ -519,6 +526,11 @@ def oracle_sql() -> dict[str, str]:
     o["text_normalize_documents"] = (
         "SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text"
         " FROM documents"
+    )
+    o["token_top_k_documents"] = (
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)"
+        " SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token"
+        " ORDER BY cnt DESC, token LIMIT 50"
     )
     o["sliding_events"] = (
         "WITH ks AS (SELECT unnest(range(4)) AS k),"

@@ -73,6 +73,33 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(h.view(np.int64)))
 
 
+def token_top_k(ds, column: str = "text", k: int = 50):
+    """EXACT distributed top-k tokens by count (vocab / stopword
+    discovery): per-batch partial counts (the combiner — only (token,
+    cnt) pairs enter the exchange, one row per distinct token per
+    batch), a groupby-sum, then a small sort-limit. Tokenization is
+    single-space split of lowercased text, matching SQL
+    string_split(lower(text), ' ') exactly, so the op carries an
+    oracle. Ties break by token ascending (deterministic)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch.column(column).combine_chunks().fill_null("")), " ")
+        flat = toks.flatten()
+        vc = pc.value_counts(flat)
+        return pa.table({"token": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "cnt"]), batch_format="pyarrow"
+        )
+    )
+    return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
 def normalize_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Canonical text normalization (training-data prep): lowercase,
     collapse whitespace runs to single spaces, trim. Pure Arrow

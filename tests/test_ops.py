@@ -442,3 +442,17 @@ def test_minhash_cc_dedup_transitive(ray_session):
     cc = sorted(dedup.minhash_cc_dedup(ds).to_pandas()["doc_id"])
     assert single == [1, 3]  # the single-linkage gap
     assert cc == [1]  # transitive closure collapses the chain
+
+
+def test_token_top_k_matches_sql(ray_session, docs_ds):
+    import duckdb
+
+    out = text.token_top_k(docs_ds, k=20).to_pandas()
+    exp = duckdb.sql(
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"
+        " SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token"
+        " ORDER BY cnt DESC, token LIMIT 20"
+    ).df()
+    assert out["token"].tolist() == exp["token"].tolist()
+    assert out["cnt"].tolist() == exp["cnt"].tolist()
