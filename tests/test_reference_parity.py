@@ -220,3 +220,35 @@ def test_cross_column_dict_budget():
     assert dec.num_rows == 4000
     for i in range(6):
         assert dec.column(f"s{i}").combine_chunks().equals(cols[f"s{i}"])
+
+
+def test_native_and_numpy_stripe_bytes_identical(monkeypatch):
+    """Full-stack invariant: the C kernels (rlev2/bitpack/fsst) must
+    produce byte-identical stripe blobs to the numpy fallbacks, so a
+    resumed job re-encodes identically no matter which path runs.
+    MOTHRAY_NO_NATIVE is honored per call, so both modes run in-process
+    on identical inputs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mothray import datagen, stripe
+
+    tables = {
+        "cc": datagen.cc_pages(3000, seed=11),
+        "lineitem": pq.read_table("/root/testdata/sf0.001/lineitem.parquet"),
+        "events": pq.read_table("/root/testdata/sf0.001/events.parquet"),
+    }
+    for name, tbl in tables.items():
+        monkeypatch.delenv("MOTHRAY_NO_NATIVE", raising=False)
+        native = stripe.encode_batch(tbl, {"stripe_rows": 2048, "row_group_rows": 1000})
+        monkeypatch.setenv("MOTHRAY_NO_NATIVE", "1")
+        fallback = stripe.encode_batch(tbl, {"stripe_rows": 2048, "row_group_rows": 1000})
+        monkeypatch.delenv("MOTHRAY_NO_NATIVE", raising=False)
+        assert native.column("blob").equals(fallback.column("blob")), name
+        assert native.column("meta").equals(fallback.column("meta")), name
+        # and the numpy path can decode the native bytes
+        monkeypatch.setenv("MOTHRAY_NO_NATIVE", "1")
+        dec = stripe.decode_batch(native)
+        monkeypatch.delenv("MOTHRAY_NO_NATIVE", raising=False)
+        assert dec.num_rows == tbl.num_rows, name
