@@ -557,6 +557,7 @@ def minhash_cc_dedup(
 
     # initial label: min member id per bucket, min bucket-label per doc
     labels = None
+    prev_sum = None
     for _ in range(rounds):
         if labels is None:
             member_lbl = edges.map_batches(
@@ -584,6 +585,12 @@ def minhash_cc_dedup(
             .map_batches(_rename({id_column: id_column, "min(b_lbl)": "lbl"}), batch_format="pyarrow")
             .materialize()
         )
+        # labels are monotone non-increasing, so an unchanged sum means
+        # a fixpoint — real near-dup clusters converge in 1-2 rounds
+        cur_sum = labels.sum("lbl")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     def losers(batch: pa.Table) -> pa.Table:
         keep = pc.not_equal(batch.column(id_column), batch.column("lbl"))
