@@ -85,10 +85,12 @@ class StripeDecoder:
         columns: list[str] | None = None,
         rg_predicate: tuple | None = None,
         max_rows: int = 8192,
+        target_schema: pa.Schema | None = None,
     ):
         self.columns = columns
         self.rg_predicate = rg_predicate
         self.max_rows = max_rows
+        self.target_schema = target_schema
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         for i in range(batch.num_rows):
@@ -110,7 +112,9 @@ class StripeDecoder:
                 rgs = stripe_mod.select_row_groups(json.loads(row["meta"]), col, lo, hi)
                 if rgs == []:
                     continue  # whole stripe skipped
-            out = stripe_mod.decode_stripe(row, self.columns, row_groups=rgs)
+            out = stripe_mod.decode_stripe(
+                row, self.columns, row_groups=rgs, target_schema=self.target_schema
+            )
             if self.max_rows and out.num_rows > self.max_rows:
                 for s in range(0, out.num_rows, self.max_rows):
                     yield out.slice(s, self.max_rows)
@@ -179,6 +183,7 @@ def decode_dataset(
     columns: list[str] | None = None,
     rg_predicate: tuple | None = None,
     max_rows: int = 8192,
+    target_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Dataset of stripe rows -> Dataset of original rows (streaming).
 
@@ -187,7 +192,7 @@ def decode_dataset(
     `rg_predicate=(column, min, max)` additionally skips non-matching
     row groups inside each stripe."""
     return ds.map_batches(
-        StripeDecoder(columns, rg_predicate, max_rows),
+        StripeDecoder(columns, rg_predicate, max_rows, target_schema),
         batch_format="pyarrow",
         # full read blocks: lets Ray FUSE ReadParquet->decode into one
         # task (no object-store round trip for the encoded blobs — 2x

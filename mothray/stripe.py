@@ -294,7 +294,10 @@ def select_row_groups(meta: dict, column: str, min_value=None, max_value=None) -
 
 
 def decode_stripe(
-    row: dict, columns: list[str] | None = None, row_groups: list[int] | None = None
+    row: dict,
+    columns: list[str] | None = None,
+    row_groups: list[int] | None = None,
+    target_schema: pa.Schema | None = None,
 ) -> pa.Table:
     """One stripe-row dict -> original table slice (bit-identical).
 
@@ -304,6 +307,37 @@ def decode_stripe(
     schema = _deserialize_schema(row["schema_ipc"])
     meta = json.loads(row["meta"])
     blob = row["blob"]
+    if target_schema is not None:
+        # schema evolution via case-insensitive NAME-based field mapping
+        # (reference NameBasedFieldMapper.go:23-31): the output follows
+        # target_schema; fields absent from the stored schema come back
+        # as typed nulls, stored fields cast to the requested type.
+        # Only the matched stored columns are decoded.
+        stored = {n.lower(): n for n in schema.names}
+        n_rows = row["n_rows"]
+        matched = [
+            stored[f.name.lower()] for f in target_schema if f.name.lower() in stored
+        ]
+        base = decode_stripe(row, matched, row_groups)
+        if matched:
+            out_rows = base.num_rows
+        elif row_groups is None:
+            out_rows = n_rows
+        else:
+            rg = meta["row_groups"]
+            r, c = rg["rows"], rg["count"]
+            out_rows = sum(
+                (n_rows - r * (c - 1)) if i == c - 1 else r for i in row_groups
+            )
+        by_name = {n.lower(): base.column(n) for n in base.column_names}
+        arrays = []
+        for f in target_schema:
+            col = by_name.get(f.name.lower())
+            if col is None:
+                arrays.append(pa.nulls(out_rows, type=f.type))
+            else:
+                arrays.append(col if col.type == f.type else col.cast(f.type))
+        return pa.Table.from_arrays(arrays, schema=target_schema)
     names = columns if columns is not None else schema.names
     arrays = []
     fields = []

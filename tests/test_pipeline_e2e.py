@@ -249,3 +249,35 @@ def test_cli_prune_command(ray_session, tmp_path):
     ks = got.column("k").to_pylist()
     assert set(range(n - 500, n)) <= set(ks)  # no survivor lost
     assert len(ks) < n  # something pruned
+
+
+def test_schema_evolution_name_mapping(ray_session):
+    """Name-based reader schema mapping (reference
+    NameBasedFieldMapper.go:23-31): a target schema selects stored
+    columns case-insensitively, casts widened types, and fills columns
+    the writer never saw with typed nulls."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "Id": pa.array(range(500), type=pa.int32()),
+            "name": [f"n{i}" for i in range(500)],
+            "score": pa.array(np.linspace(0, 1, 500), type=pa.float32()),
+        }
+    )
+    enc = pipeline.encode_dataset(ray.data.from_arrow(tbl), {"stripe_rows": 128})
+    target = pa.schema(
+        [
+            ("id", pa.int64()),        # case-insensitive match + widen int32 -> int64
+            ("score", pa.float64()),   # widen float
+            ("added_later", pa.string()),  # not in the file -> nulls
+        ]
+    )
+    dec = pipeline.decode_dataset(enc, target_schema=target)
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.schema == target
+    assert sorted(got.column("id").to_pylist()) == list(range(500))
+    assert got.column("added_later").null_count == 500
+    import pyarrow.compute as pc
+
+    assert abs(pc.sum(got.column("score")).as_py() - float(np.linspace(0, 1, 500).sum())) < 1e-6
