@@ -308,7 +308,7 @@ def _join_partitioned(sf_dir: str):
         lambda t: t.rename_columns(["o_custkey", "c_name", "c_mktsegment"]),
         batch_format="pyarrow",
     )
-    return join.partitioned_join(orders, cust, on="o_custkey", num_buckets=8)
+    return join.partitioned_join(orders, cust, on="o_custkey")  # auto partition count
 
 
 def _sliding_events(sf_dir: str):

