@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify")
     v.add_argument("input")
     v.add_argument("enc_dir")
-    v.add_argument("--key", required=True)
+    v.add_argument("--key", default=None, help="sort key for exact byte compare; omit for the streaming multiset-hash check")
 
     s = sub.add_parser("stats")
     s.add_argument("enc_dir")
@@ -122,7 +122,10 @@ def _dispatch(args) -> int:
 
         original = ray.data.read_parquet(args.input)
         decoded = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir))
-        ok = pipeline.verify_roundtrip(original, decoded, args.key)
+        if args.key:
+            ok = pipeline.verify_roundtrip(original, decoded, args.key)
+        else:  # streaming: nothing materializes on the driver
+            ok = pipeline.verify_roundtrip_streaming(original, decoded)
         print(json.dumps({"bit_identical": ok}))
         ray.shutdown()
         return 0 if ok else 1

@@ -511,6 +511,34 @@ def write_encoded(enc: ray.data.Dataset, out_dir: str, row_group_size: int = 8) 
     enc.write_parquet(out_dir, row_group_size=row_group_size)
 
 
+def dataset_content_hash(ds: ray.data.Dataset) -> tuple[int, int]:
+    """Order-insensitive content fingerprint: (wrapping sum of per-row
+    xxhash64 row hashes, row count). Computed distributed — one tiny
+    row per batch reaches the driver — so dataset equality checks
+    stream at any scale. Columns are hashed in sorted-name order so
+    column order doesn't matter."""
+
+    def h(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        hv = pl.from_arrow(batch.select(sorted(batch.column_names))).hash_rows(seed=7).to_numpy()
+        s = np.uint64(0) if len(hv) == 0 else np.sum(hv.astype(np.uint64), dtype=np.uint64)
+        return pa.table({"h": pa.array([int(s)], type=pa.uint64()), "n": [batch.num_rows]})
+
+    parts = ds.map_batches(h, batch_format="pyarrow").to_pandas()
+    total = int(np.sum(parts["h"].to_numpy().astype(np.uint64), dtype=np.uint64))
+    return total, int(parts["n"].sum())
+
+
+def verify_roundtrip_streaming(original: ray.data.Dataset, decoded: ray.data.Dataset) -> bool:
+    """Streaming equality check (multiset semantics): order-insensitive
+    row-hash sums on both sides — nothing materializes on the driver,
+    unlike verify_roundtrip's sort-and-compare. Use for large data; a
+    matching fingerprint means equal row multisets up to 64-bit hash
+    collision odds."""
+    return dataset_content_hash(original) == dataset_content_hash(decoded)
+
+
 def read_encoded(path: str | list[str], metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
     return ray.data.read_parquet(path, columns=cols, include_paths=include_paths)

@@ -281,3 +281,27 @@ def test_schema_evolution_name_mapping(ray_session):
     import pyarrow.compute as pc
 
     assert abs(pc.sum(got.column("score")).as_py() - float(np.linspace(0, 1, 500).sum())) < 1e-6
+
+
+def test_streaming_verify(ray_session, tmp_path):
+    """Order-insensitive streaming verify: equal multisets match across
+    different orderings; a single changed value is detected. Nothing
+    materializes on the driver (one fingerprint row per batch)."""
+    import ray.data
+
+    tbl = datagen.cc_pages(3000, seed=3)
+    enc = pipeline.encode_dataset(ray.data.from_arrow(tbl), {"stripe_rows": 512})
+    dec = pipeline.decode_dataset(enc)
+    assert pipeline.verify_roundtrip_streaming(ray.data.from_arrow(tbl), dec)
+    # permuted rows still match (multiset semantics)
+    perm = tbl.take(pa.array(np.random.default_rng(0).permutation(tbl.num_rows)))
+    assert pipeline.verify_roundtrip_streaming(ray.data.from_arrow(perm), dec)
+    # a one-cell corruption is detected
+    bad = tbl.set_column(
+        tbl.column_names.index("lang"),
+        "lang",
+        pa.array(["xx"] + tbl.column("lang").to_pylist()[1:]),
+    )
+    assert not pipeline.verify_roundtrip_streaming(ray.data.from_arrow(bad), dec)
+    # a dropped row is detected even though sums could... (count differs)
+    assert not pipeline.verify_roundtrip_streaming(ray.data.from_arrow(tbl.slice(1)), dec)
