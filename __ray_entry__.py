@@ -95,7 +95,8 @@ def _prune_orders(sf_dir: str) -> pa.Table:
     out = tempfile.mkdtemp(prefix="mothray_prune_orders_")
     pipeline.write_encoded(enc, out)
     pruned = pipeline.prune_read(out, "o_totalprice", min_value=cutoff)
-    dec = pipeline.decode_dataset(pruned)
+    # surviving stripes additionally skip non-matching ROW GROUPS
+    dec = pipeline.decode_dataset(pruned, rg_predicate=("o_totalprice", cutoff, None))
     return dec.map_batches(
         lambda t: t.filter(pc.greater_equal(t["o_totalprice"], cutoff)),
         batch_format="pyarrow",
@@ -233,7 +234,8 @@ def _bloom_prune_events(sf_dir: str):
     out = tempfile.mkdtemp(prefix="mothray_prune_events_")
     pipeline.write_encoded(enc, out)
     pruned = pipeline.prune_read(out, "event_type", needle=needle)
-    dec = pipeline.decode_dataset(pruned)
+    # equality needle doubles as a [needle, needle] row-group range skip
+    dec = pipeline.decode_dataset(pruned, rg_predicate=("event_type", needle, needle))
     return dec.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], needle)), batch_format="pyarrow"
     )
