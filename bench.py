@@ -111,7 +111,9 @@ def run_bench() -> dict:
         enc = ds.map_batches(
             pipeline.StripeEncoder(None, plan_ref=plan_ref),
             batch_format="pyarrow",
-            batch_size=pipeline._auto_batch_rows(ds),
+            # None when read blocks are stripe-sized: fuses the read
+            # into the encode task (no object-store hop for raw rows)
+            batch_size=pipeline._encode_batch_size(ds, None),
             zero_copy_batch=True,
         )
         enc.write_parquet(out_dir)

@@ -51,7 +51,10 @@ def plan_partitions(
         if cur is None or cur["bytes"] + size > target_bytes:
             cur = {"part_id": len(parts), "inputs": [], "bytes": 0}
             parts.append(cur)
-        cur["inputs"].append([path, rg])
+        # the per-row-group byte size is part of the resume identity: a
+        # file regenerated in place with the same row-group COUNT but
+        # different contents must invalidate its partitions (ADVICE r2)
+        cur["inputs"].append([path, rg, int(size)])
         cur["bytes"] += size
     return parts
 
@@ -72,7 +75,7 @@ def completed_parts(out_dir: str) -> dict[int, dict]:
 def _encode_partition(part: dict, out_dir: str, opts: dict | None) -> dict:
     t0 = time.monotonic()
     tables = []
-    for path, rg in part["inputs"]:
+    for path, rg, _size in part["inputs"]:
         pf = pq.ParquetFile(path)
         tables.append(pf.read_row_group(rg))
     import pyarrow as pa
@@ -127,7 +130,7 @@ def _load_or_build_plan(out_dir: str, pending: list[dict], opts: dict | None) ->
             for c, v in stored["column_plans"].items()
         }
         return {**(opts or {}), "column_plans": plans}
-    path0, rg0 = pending[0]["inputs"][0]
+    path0, rg0, _size0 = pending[0]["inputs"][0]
     sample = pq.ParquetFile(path0).read_row_group(rg0)
     p = plan_mod.plan_from_table(sample)
     serializable = {
@@ -170,9 +173,11 @@ def encode_job(
     parts = plan_partitions(input_path, target_partition_bytes)
     recorded = completed_parts(out_dir)
     # A manifest only marks its partition done if its recorded inputs
-    # match the freshly planned partition: if input files changed
-    # between runs, partition boundaries shift and stale outputs would
-    # otherwise be silently kept (wrong/duplicated rows).
+    # — (path, row-group, row-group BYTE SIZE) triples — match the
+    # freshly planned partition: if input files changed between runs,
+    # partition boundaries shift (or a regenerated file's row-group
+    # sizes differ) and stale outputs would otherwise be silently kept
+    # (wrong/duplicated rows).
     done = {
         pid: m
         for pid, m in recorded.items()

@@ -17,6 +17,9 @@ import pyarrow as pa
 
 def _matrix(batch_col) -> np.ndarray:
     arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    if pa.types.is_fixed_size_list(arr.type):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(-1, arr.type.list_size)
     lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
     dim = int(lens[0]) if len(lens) else 0
     assert (lens == dim).all(), "ragged embeddings"

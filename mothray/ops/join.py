@@ -51,17 +51,38 @@ def _auto_partitions(*datasets, target_bytes: int = _TARGET_PARTITION_BYTES) -> 
     return int(min(max(total // target_bytes + 1, 2), 4096))
 
 
+# Join types that are sound when evaluated independently per batch
+# against the full broadcast side: each LEFT row is seen exactly once,
+# so inner/left/left_semi/left_anti compose across batches. Right/full
+# variants would emit unmatched SMALL-side rows once per batch
+# (duplicates) — those must go through partitioned_join.
+_BROADCAST_SOUND = {"inner", "left_outer", "left_semi", "left_anti"}
+
+
 def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
     """Join a Dataset against a small in-memory table (broadcast once
-    via ray.put; per-batch Arrow-native hash join, no pandas hop)."""
+    via ray.put; per-batch Arrow-native hash join, no pandas hop).
+
+    Only per-batch-sound join types are accepted (inner/left/
+    left_semi/left_anti); right/full-outer would duplicate unmatched
+    small-side rows per batch — use partitioned_join for those."""
     import ray
 
-    small_ref = ray.put(small)
     join_type = _JOIN_TYPES.get(how, how)
+    if join_type not in _BROADCAST_SOUND:
+        raise ValueError(
+            f"broadcast_join cannot evaluate {how!r} per batch (unmatched "
+            "small-side rows would be emitted once per batch); use "
+            "partitioned_join for right/full outer/semi/anti variants"
+        )
+    small_ref = ray.put(small)
+    # pyarrow.Table.join spells types with spaces ("left outer"),
+    # Ray's Dataset.join with underscores ("left_outer")
+    pa_join_type = join_type.replace("_", " ")
 
     def merge(batch: pa.Table) -> pa.Table:
         right = ray.get(small_ref)
-        return batch.join(right, keys=on, join_type=join_type)
+        return batch.join(right, keys=on, join_type=pa_join_type)
 
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 

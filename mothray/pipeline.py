@@ -141,18 +141,44 @@ def _auto_batch_rows(ds: ray.data.Dataset) -> int:
     return DEFAULT_ENCODE_BATCH_ROWS
 
 
+def _read_blocks_stripe_sized(ds: ray.data.Dataset) -> bool:
+    """True when the input's PLANNED read blocks are already stripe-
+    sized (>= the per-task target, metadata-only check): batch_size=None
+    then lets Ray FUSE ReadParquet->encode into ONE task — the encoded
+    stripes are produced in the read task with no object-store hop for
+    the raw rows (the decode leg's fusion trick applied to the encode
+    leg; r2 VERDICT item 1 — at corpus scale the former coalesce was
+    one extra full-corpus pass over the memory bus)."""
+    try:
+        size = ds.size_bytes()
+        nblocks = ds._plan.initial_num_blocks()
+        if size and nblocks:
+            return size / nblocks >= _TARGET_TASK_DISK_BYTES
+    except Exception:
+        pass
+    return False
+
+
+def _encode_batch_size(ds: ray.data.Dataset, opts: dict | None):
+    o = opts or {}
+    if "batch_rows" in o:
+        return o["batch_rows"]
+    return None if _read_blocks_stripe_sized(ds) else _auto_batch_rows(ds)
+
+
 def encode_dataset(ds: ray.data.Dataset, opts: dict | None = None) -> ray.data.Dataset:
     """Dataset of raw rows -> Dataset of encoded stripe rows (streaming).
 
+    When read blocks are already stripe-sized (read_input sizes them),
+    batch_size=None fuses ReadParquet->encode into one task; otherwise
     batch_size coalesces Ray's read blocks into stripe-sized batches
     (tiny stripes waste dictionary/FSST table overhead and per-task
-    startup); the stripe byte budget inside encode re-splits oversized
+    startup). The stripe byte budget inside encode re-splits oversized
     batches, mirroring the reference's chunking loop."""
-    o = opts or {}
     return ds.map_batches(
         StripeEncoder(opts),
         batch_format="pyarrow",
-        batch_size=o.get("batch_rows", _auto_batch_rows(ds)),
+        batch_size=_encode_batch_size(ds, opts),
         zero_copy_batch=True,
     )
 
@@ -169,11 +195,10 @@ def encode_dataset_planned(
 
     codec_plan = plan_mod.plan_dataset(ds, sample_fraction)
     plan_ref = ray_api.put(codec_plan.to_opts())
-    o = opts or {}
     return ds.map_batches(
         StripeEncoder(opts, plan_ref=plan_ref),
         batch_format="pyarrow",
-        batch_size=o.get("batch_rows", _auto_batch_rows(ds)),
+        batch_size=_encode_batch_size(ds, opts),
         zero_copy_batch=True,
     )
 

@@ -127,3 +127,28 @@ def test_resume_reencodes_on_input_change(ray_session, tmp_path):
     os.remove(d / "a.parquet")
     with pytest.raises(RuntimeError, match="beyond"):
         checkpoint.encode_job(str(d), out, target_partition_bytes=150_000)
+
+
+def test_resume_invalidates_regenerated_input(ray_session, tmp_path):
+    """Regression (ADVICE r2): an input file regenerated in place with
+    the SAME row-group count used to pass the resume check, silently
+    keeping stale outputs. Row-group byte sizes are now part of the
+    partition identity, so the changed file re-encodes."""
+    path = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "encoded")
+    tbl1 = datagen.cc_pages(1200, seed=21)
+    pq.write_table(tbl1, path, row_group_size=300)  # 4 row groups
+    s1 = checkpoint.encode_job(path, out, target_partition_bytes=100_000)
+    assert s1["encoded"] == s1["partitions"] >= 2
+
+    # regenerate in place: same schema, same row-group COUNT, new data
+    tbl2 = datagen.cc_pages(1200, seed=22)
+    pq.write_table(tbl2, path, row_group_size=300)
+    s2 = checkpoint.encode_job(path, out, target_partition_bytes=100_000)
+    assert s2["skipped"] == 0  # every partition re-encoded
+    assert s2["n_rows"] == tbl2.num_rows
+
+    dec = pipeline.decode_dataset(checkpoint.read_job_output(out))
+    got = pa.concat_tables(dec.iter_batches(batch_format="pyarrow", batch_size=None))
+    # decoded output reflects the NEW file, not stale partitions
+    assert sorted(got.column("url").to_pylist()) == sorted(tbl2.column("url").to_pylist())

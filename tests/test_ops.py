@@ -456,3 +456,131 @@ def test_token_top_k_matches_sql(ray_session, docs_ds):
     ).df()
     assert out["token"].tolist() == exp["token"].tolist()
     assert out["cnt"].tolist() == exp["cnt"].tolist()
+
+
+# ------------------------------------------------------------ round-3 fixes
+
+
+def test_minhash_all_empty_batch():
+    """Regression (ADVICE r2): a batch of only empty/null texts crashed
+    minhash_signatures with an out-of-bounds scatter; now returns the
+    all-sentinel matrix, and the LSH variants run on it."""
+    sig = dedup.minhash_signatures(pa.array(["", None, ""]))
+    assert sig.shape == (3, dedup.N_PERM)
+    assert (sig == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    rows = dedup.minhash_band_rows(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": ["", None, ""]})
+    )
+    assert rows.num_rows == 3 * dedup.N_BANDS
+
+
+def test_minhash_short_docs_layout_deterministic():
+    """Regression (ADVICE r2): docs shorter than the shingle hashed a
+    window crossing into the NEXT doc's bytes — identical short docs got
+    batch-layout-dependent signatures (missed dups)."""
+    texts = ["abc", "zzzzzzzzzzzzzzzzzzzz", "abc", "qqq"]
+    sig = dedup.minhash_signatures(pa.array(texts))
+    assert (sig[0] == sig[2]).all()
+    assert not (sig[0] == sig[3]).all()
+    # layout independence: same doc alone hashes the same
+    assert (sig[0] == dedup.minhash_signatures(pa.array(["abc"]))[0]).all()
+    # the shingle-set path follows the same rule
+    s = dedup._shingle_hash_sets(pa.array(texts))
+    assert np.array_equal(s[0], s[2]) and len(s[0]) == 1
+    assert np.array_equal(s[0], dedup._shingle_hash_sets(pa.array(["abc"]))[0])
+
+
+def test_shingle_width_parameter():
+    """Regression (ADVICE r2): shingle= was accepted but 8-byte windows
+    were hardcoded; now the window width follows the parameter."""
+    s4 = dedup._shingle_hash_sets(pa.array(["abcdefgh"]), shingle=4)
+    s8 = dedup._shingle_hash_sets(pa.array(["abcdefgh"]), shingle=8)
+    assert len(s4[0]) == 5 and len(s8[0]) == 1
+    sig4 = dedup.minhash_signatures(pa.array(["abcdefghij", "abcdefghij", "klm"]), shingle=4)
+    assert (sig4[0] == sig4[1]).all()
+    assert not (sig4[0] == sig4[2]).all()
+
+
+def test_bottomk_jaccard_block_vectorized():
+    """The vectorized bottom-k estimator is EXACT when both docs have
+    <= k distinct shingles, and 1.0 for two empty docs."""
+    k = dedup.JACCARD_SKETCH_K
+    texts = ["ab cd ef gh ij", "ab cd ef gh ij", "ab cd ef xx yy", "zz qq"]
+    sets = dedup._shingle_hash_sets(pa.array(texts))
+    mat = np.zeros((len(sets), k), dtype=np.uint64)
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    for i, s in enumerate(sets):
+        mat[i, : len(s)] = s[:k]
+    est = dedup._bottomk_jaccard_block(mat[0], int(lens[0]), mat[1:], lens[1:], k)
+
+    def exact(a, b):
+        return len(np.intersect1d(a, b)) / max(len(np.union1d(a, b)), 1)
+
+    for j in range(1, 4):
+        assert est[j - 1] == pytest.approx(exact(sets[0], sets[j]), abs=1e-12)
+    empty = dedup._bottomk_jaccard_block(
+        np.zeros(k, np.uint64), 0, np.zeros((2, k), np.uint64), np.array([0, 0]), k
+    )
+    assert (empty == 1.0).all()
+    # chunking changes nothing (hot-bucket memory bound)
+    est_chunked = dedup._bottomk_jaccard_block(
+        mat[0], int(lens[0]), mat[1:], lens[1:], k, chunk_rows=1
+    )
+    assert np.array_equal(est, est_chunked)
+
+
+def test_jaccard_hot_bucket(ray_session):
+    """Hot-bucket fuzz (VERDICT r2 item 3): three 100-member exact-dup
+    clusters put 100 rows in every band bucket; the vectorized verify
+    collapses each cluster to its min id with bounded temporaries."""
+    import ray.data
+
+    base = [" ".join(f"w{c}x{i:03d}" for i in range(60)) for c in range(3)]
+    ids = list(range(300))
+    texts = [base[i % 3] for i in ids]
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+    out = dedup.jaccard_dedup(ray.data.from_arrow(tbl), threshold=0.8).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2]
+
+
+def test_sketch_matrix_no_per_row_python():
+    """bucket_verify consumes sketches via the flattened list buffer;
+    the module must not fall back to per-row .as_py() on sketch columns
+    (VERDICT r2 anti-pattern 1)."""
+    import inspect
+
+    src = inspect.getsource(dedup)
+    assert ".as_py()" not in src
+    lens_in = np.array([3, 0, 2], dtype=np.int64)
+    values = np.array([5, 1, 9, 7, 7], dtype=np.uint64)
+    col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate(([0], np.cumsum(lens_in))), type=pa.int32()),
+        pa.array(values, type=pa.uint64()),
+    )
+    mat, lens = dedup._sketch_matrix(col, 4)
+    assert np.array_equal(lens, lens_in)
+    assert np.array_equal(mat[0, :3], [5, 1, 9]) and mat[0, 3] == 0
+    assert (mat[1] == 0).all()
+    assert np.array_equal(mat[2, :2], [7, 7])
+    # sliced column (non-zero offset) still maps rows correctly
+    mat_s, lens_s = dedup._sketch_matrix(col.slice(1), 4)
+    assert np.array_equal(lens_s, lens_in[1:])
+    assert np.array_equal(mat_s[1, :2], [7, 7])
+
+
+def test_broadcast_join_rejects_per_batch_unsound(ray_session):
+    """Regression (ADVICE r2): right/full-outer in broadcast_join would
+    emit unmatched small-side rows once per batch; those types must be
+    refused (partitioned_join handles them)."""
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    small = pa.table({"k": pa.array([1, 2], type=pa.int64()), "v": ["a", "b"]})
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1, 1, 3], type=pa.int64())}))
+    for how in ("right", "outer", "right_outer", "full_outer", "right_semi", "right_anti"):
+        with pytest.raises(ValueError, match="broadcast_join"):
+            join_ops.broadcast_join(ds, small, on="k", how=how)
+    # the sound types still work
+    got = join_ops.broadcast_join(ds, small, on="k", how="left").to_pandas()
+    assert len(got) == 3
