@@ -217,6 +217,78 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
 
 
+def _ann_ivf_built(sf_dir: str):
+    """IVF with a PERSISTED build/query split (index built once, then
+    queried via metadata-only bucket pruning). nprobe = n_centroids
+    probes every bucket, making the result EXACT — same oracle as brute
+    force — while still exercising the full index machinery (bucketed
+    encode shuffle, stripe-stats pruning, bucket fetch)."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import ann
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    min_id = pc.min(emb.column("vec_id")).as_py()
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), min_id)).column("embedding")[0].as_py())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    idx_dir = tempfile.mkdtemp(prefix="mothray_ivf_idx_")
+    ann.build_ivf_index(ds, idx_dir, n_centroids=8)
+    return ann.ivf_query(idx_dir, q, k=10, nprobe=8)
+
+
+def _dedup_invariants(sf_dir: str) -> pa.Table:
+    """Driver-checkable INVARIANTS for the approximate dedup family
+    (r2 VERDICT item 2 — these ops have no SQL equivalent, but their
+    guarantees do): per variant,
+
+      subset_violations    = kept ids not present in the corpus (0)
+      exact_dup_violations = kept rows sharing identical text with
+                             another kept row (0 — every variant must
+                             at minimum remove exact duplicates)
+      partition_diff       = 1 if the kept set changes between
+                             num_partitions=2 and 8 (0 — partitioning
+                             is an execution knob, not a semantic one)
+
+    The oracle is the constant all-zeros table."""
+    from mothray import pipeline
+    from mothray.ops import dedup
+
+    docs = _docs(sf_dir)
+    corpus_ids = docs.select_columns(["doc_id"]).materialize()
+    variants = [
+        ("cc", lambda ds, np_: dedup.minhash_cc_dedup(ds, num_partitions=np_)),
+        ("jaccard", lambda ds, np_: dedup.jaccard_dedup(ds, threshold=0.8, num_partitions=np_)),
+        ("minhash", lambda ds, np_: dedup.minhash_lsh_dedup(ds, num_partitions=np_)),
+        ("simhash", lambda ds, np_: dedup.simhash_dedup(ds, num_partitions=np_)),
+    ]
+    rows = []
+    for name, fn in variants:
+        kept = fn(docs, 2).materialize()
+        n_kept = kept.count()
+        in_corpus = kept.select_columns(["doc_id"]).join(
+            corpus_ids, join_type="left_semi", num_partitions=4, on=("doc_id",)
+        ).count()
+        n_exact = dedup.exact_dedup(kept).count()
+        ids_a = pipeline.dataset_content_hash(kept.select_columns(["doc_id"]))
+        ids_b = pipeline.dataset_content_hash(
+            fn(docs, 8).select_columns(["doc_id"])
+        )
+        rows.append(
+            {
+                "variant": name,
+                "subset_violations": n_kept - in_corpus,
+                "exact_dup_violations": n_kept - n_exact,
+                "partition_diff": 0 if ids_a == ids_b else 1,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def _bloom_prune_events(sf_dir: str):
     """Bloom-filter stripe pruning: sort by event_type so stripes hold
     few distinct types, skip stripes whose bloom excludes the needle,
@@ -445,6 +517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantize_embeddings"] = _quantize_embeddings
     q["text_normalize_documents"] = _text_normalize
     q["token_top_k_documents"] = _token_top_k
+    q["ann_ivf_built_embeddings"] = _ann_ivf_built
+    q["dedup_invariants_documents"] = _dedup_invariants
     return q
 
 
@@ -543,8 +617,55 @@ def oracle_sql() -> dict[str, str]:
         " CAST(sum(user_id) AS BIGINT) AS sum_uid"
         " FROM w WHERE tsu < ws + 3600000000 GROUP BY 1"
     )
-    # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
-    # fingerprint_documents / ann_ivf_embeddings / dedup_embedding_cosine /
+    o["fingerprint_documents"] = (
+        # the FNV-prime rolling hash over codepoints mod 2^64 (see
+        # mothray.ops.text.fingerprint_batch) reproduced with DuckDB
+        # list_reduce + HUGEINT modular arithmetic; signed 64-bit view
+        "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT"
+        " THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint"
+        " FROM (SELECT doc_id, CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS HUGEINT)"
+        " ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "   list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),"
+        "   (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+        " END AS h FROM documents)"
+    )
+    o["langid_documents"] = _langid_sql()
+    o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
+    o["dedup_invariants_documents"] = (
+        "SELECT * FROM (VALUES"
+        " ('cc', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),"
+        " ('jaccard', 0, 0, 0), ('minhash', 0, 0, 0), ('simhash', 0, 0, 0))"
+        " t(variant, subset_violations, exact_dup_violations, partition_diff)"
+    )
+    # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
+    # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
     # multimodal_image_features / multimodal_audio_features: approximate or
-    # non-SQL ops — rows-only checks by design.
+    # non-SQL ops — rows-only checks by design (their shared INVARIANTS are
+    # oracle-checked via dedup_invariants_documents).
     return o
+
+
+def _langid_sql() -> str:
+    """DuckDB reproduction of mothray.ops.text.LangId: whitespace-split
+    lowered tokens joined against the marker vocabulary, per-language
+    hit counts, argmax with ties broken by profile order, 'und' when no
+    marker hits."""
+    from mothray.ops.text import _PROFILES
+
+    vals = []
+    for pri, (lang, prof) in enumerate(_PROFILES.items()):
+        for w in dict.fromkeys(prof.split()):
+            vals.append(f"('{w}', '{lang}', {pri})")
+    return (
+        "WITH vocab(tok, lang, pri) AS (VALUES " + ", ".join(vals) + "),"
+        " toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok"
+        "          FROM documents),"
+        " sc AS (SELECT t.doc_id, v.lang, v.pri, count(*) AS score"
+        "        FROM toks t JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2, 3),"
+        " best AS (SELECT doc_id, lang,"
+        "          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pri) AS rn"
+        "          FROM sc)"
+        " SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred"
+        " FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b"
+        " USING (doc_id)"
+    )

@@ -103,19 +103,24 @@ def run_bench() -> dict:
         mtime = max(
             os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
         ) if os.path.isdir(path) else os.path.getmtime(path)
-        cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}.json"
+        # v2: plans now carry float_encoding — stale caches would push
+        # the bss/raw trial into every encode row group
+        cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}_v2.json"
         codec_plan = plan_mod.plan_from_path_cached(path, cache_key)
         queries[f"plan_{name}"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         plan_ref = ray.put(codec_plan.to_opts())
-        enc = ds.map_batches(
-            pipeline.StripeEncoder(None, plan_ref=plan_ref),
-            batch_format="pyarrow",
-            # None when read blocks are stripe-sized: fuses the read
-            # into the encode task (no object-store hop for raw rows)
-            batch_size=pipeline._encode_batch_size(ds, None),
-            zero_copy_batch=True,
-        )
+        if os.environ.get("MOTHRAY_ENCODE_DATASET"):  # A/B: legacy path
+            enc = ds.map_batches(
+                pipeline.StripeEncoder(None, plan_ref=plan_ref),
+                batch_format="pyarrow",
+                batch_size=pipeline._encode_batch_size(ds, None),
+                zero_copy_batch=True,
+            )
+        else:
+            # read fused INTO the encode task (raw rows never cross the
+            # object store; only 6-7x-smaller stripes do)
+            enc = pipeline.encode_files(path, plan_ref=plan_ref)
         enc.write_parquet(out_dir)
         t_enc = time.monotonic() - t0
         queries[f"encode_{name}"] = round(t_enc, 3)

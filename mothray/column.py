@@ -109,6 +109,23 @@ def _primitive_np(values: pa.Array, dtype) -> np.ndarray:
     return values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
 
 
+def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
+    """Data-driven bss-vs-raw choice for float columns: trial-compress a
+    bounded sample both ways under the stripe codec and keep the
+    smaller (the reference's compression-ratio-model philosophy,
+    DictionaryCompressionOptimizer.go:128-142, applied to floats)."""
+    if codec == "none":
+        return "raw"
+    from .codecs import frames
+
+    s = v[:max_values]
+    w = s.dtype.itemsize
+    planes = np.ascontiguousarray(s.view(np.uint8).reshape(-1, w).T)
+    _, zb = frames.compress_parts(planes.tobytes(), codec)
+    _, zr = frames.compress_parts(s.tobytes(), codec)
+    return "bss" if len(zb) < len(zr) else "raw"
+
+
 # ------------------------------------------------------------------ encode
 
 def encode_array(arr: pa.Array | pa.ChunkedArray, opts: dict | None = None) -> EncodedColumn:
@@ -147,6 +164,21 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
         return EncodedColumn("RLEV2", len(values), {DATA: rlev2.encode(v, signed=True)})
     if t in (pa.float32(), pa.float64()):
         v = values.to_numpy(zero_copy_only=False)
+        mode = opts.get("float_encoding", "auto")
+        if mode == "auto" and len(v) >= 64:
+            mode = _float_trial(v, opts.get("compression", "zstd"))
+        if mode == "bss" and len(v) >= 64:
+            # BYTE-STREAM-SPLIT (north-star extension like FSST; the
+            # reference writes raw LE, DoubleOutputStream.go:26-28):
+            # transpose the w bytes of each value into w planes —
+            # sign/exponent bytes become near-constant runs, which the
+            # zstd stream framing then compresses far better. Lossless
+            # byte permutation (NaN payloads, -0.0 preserved exactly).
+            # Chosen per run by trial: BSS loses on decimal-quantized
+            # values where zstd exploits whole-value repeats.
+            w = v.dtype.itemsize
+            planes = np.ascontiguousarray(v.view(np.uint8).reshape(-1, w).T)
+            return EncodedColumn("BSS_LE", len(values), {DATA: planes.tobytes()})
         return EncodedColumn("RAW_LE", len(values), {DATA: v.tobytes()})
     if pa.types.is_timestamp(t):
         if t.unit == "ns":
@@ -386,6 +418,11 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
         return pa.array(v.astype(np.int32), type=pa.int32()).cast(t)
     if t in (pa.float32(), pa.float64()):
         dt = np.float32 if t == pa.float32() else np.float64
+        if enc.encoding == "BSS_LE":
+            w = np.dtype(dt).itemsize
+            planes = np.frombuffer(s[DATA], dtype=np.uint8, count=n * w).reshape(w, n)
+            v = np.ascontiguousarray(planes.T).reshape(-1).view(dt)
+            return pa.array(v, type=t)
         return pa.array(np.frombuffer(s[DATA], dtype=dt, count=n), type=t)
     if pa.types.is_timestamp(t):
         seconds, _ = rlev2.decode(s[DATA], n, signed=True)

@@ -62,14 +62,66 @@ def quality_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return out
 
 
+_FNV_PRIME = _U64(1099511628211)  # 0x100000001B3
+
+
+def _utf8_codepoints(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 decode of a byte buffer: returns (byte position
+    of each codepoint start, codepoint values). Arrow strings guarantee
+    valid UTF-8, so lead-byte classification is sufficient."""
+    b = buf
+    pad = np.concatenate([b, np.zeros(3, dtype=np.uint8)])
+    starts = (b < 0x80) | (b >= 0xC0)  # ASCII or any lead byte
+    pos = np.nonzero(starts)[0]
+    b1 = b[pos].astype(np.uint32)
+    b2 = (pad[pos + 1] & 0x3F).astype(np.uint32)
+    b3 = (pad[pos + 2] & 0x3F).astype(np.uint32)
+    b4 = (pad[pos + 3] & 0x3F).astype(np.uint32)
+    cp = b1.copy()
+    m2 = (b1 & 0xE0) == 0xC0
+    m3 = (b1 & 0xF0) == 0xE0
+    m4 = (b1 & 0xF8) == 0xF0
+    cp[m2] = ((b1[m2] & 0x1F) << 6) | b2[m2]
+    cp[m3] = ((b1[m3] & 0x0F) << 12) | (b2[m3] << 6) | b3[m3]
+    cp[m4] = ((b1[m4] & 0x07) << 18) | (b2[m4] << 12) | (b3[m4] << 6) | b4[m4]
+    return pos, cp.astype(np.uint64)
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """64-bit content fingerprint per doc (rolling first/mid/last mix —
-    same deterministic hash family as the bloom layer)."""
+    """64-bit ROLLING-HASH content fingerprint per doc: the FNV-prime
+    polynomial hash over Unicode codepoints mod 2^64 —
+    h = fold(h * 0x100000001B3 + codepoint), empty/null docs -> 0.
+
+    Deterministic and exactly reproducible in SQL (DuckDB list_reduce
+    over string_split + ord with HUGEINT modular arithmetic), so the op
+    carries a value oracle. Fully vectorized: one UTF-8 decode pass,
+    power table by u64 accumulate (natural mod-2^64 wraparound), one
+    segmented product-sum."""
     from ..column import _string_parts
 
     arr = batch.column(column).combine_chunks().fill_null("")
     lengths, data = _string_parts(arr)
-    h = bloom_mod.hash_bytes_columns(lengths, np.frombuffer(data, dtype=np.uint8))
+    n = len(lengths)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = np.zeros(n, dtype=np.uint64)
+    if len(buf):
+        pos, cp = _utf8_codepoints(buf)
+        offs = np.concatenate(([0], np.cumsum(lengths.astype(np.int64))))
+        doc_of = np.searchsorted(offs[1:], pos, side="right")
+        cnts = np.bincount(doc_of, minlength=n)
+        bounds = np.concatenate(([0], np.cumsum(cnts)))
+        maxlen = int(cnts.max())
+        powers = np.ones(max(maxlen, 1), dtype=np.uint64)
+        if maxlen > 1:
+            powers[1:] = np.multiply.accumulate(
+                np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64)
+            )
+        within = np.arange(len(cp), dtype=np.int64) - np.repeat(bounds[:-1], cnts)
+        expo = np.repeat(cnts, cnts) - 1 - within
+        terms = cp * powers[expo]
+        nz = cnts > 0
+        if nz.any():
+            h[nz] = np.add.reduceat(terms, bounds[:-1][nz])
     return batch.append_column("fingerprint", pa.array(h.view(np.int64)))
 
 

@@ -18,7 +18,6 @@ assumed).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,24 +34,47 @@ def tumbling_window(ds, ts_col: str, key_col: str | None, window: str, aggs):
 
 def session_windows(ds, key_col: str, ts_col: str, gap_minutes: int = 30):
     """Per-key gap sessions. Output: key, session_id (1-based per key),
-    session_start, session_end, n_events."""
+    session_start, session_end, n_events.
+
+    Arrow-native map_groups (r2 VERDICT item 7 — no pandas hop): sort
+    the group's timestamps once, session boundaries are the positions
+    where the gap exceeds the threshold, per-session bounds read
+    directly off the boundary indices."""
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy()
-        new_session = np.ones(len(g), dtype=np.int64)
-        new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({key_col: g[key_col].to_numpy(), "session_id": sid, ts_col: g[ts_col].to_numpy()})
-            .groupby([key_col, "session_id"], as_index=False)
-            .agg(session_start=(ts_col, "min"), session_end=(ts_col, "max"), n_events=(ts_col, "count"))
+    def sessions(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field(key_col).type
+        ts_type = group.schema.field(ts_col).type
+        n = group.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=ts_type),
+                    "session_end": pa.array([], type=ts_type),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        ts_arr = group.column(ts_col).combine_chunks()
+        ts = np.sort(ts_arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        new_session = np.ones(n, dtype=bool)
+        new_session[1:] = np.diff(ts) > gap_us
+        starts = np.nonzero(new_session)[0]
+        ends = np.append(starts[1:], n) - 1
+        n_sessions = len(starts)
+        key_val = group.column(key_col)[0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key_val] * n_sessions, type=key_type),
+                "session_id": pa.array(np.arange(1, n_sessions + 1, dtype=np.int64)),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(ts_type),
+                "session_end": pa.array(ts[ends], type=pa.int64()).cast(ts_type),
+                "n_events": pa.array((np.append(starts[1:], n) - starts).astype(np.int64)),
+            }
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
 
 
 def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs, key_col: str | None = None):

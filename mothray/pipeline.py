@@ -144,11 +144,11 @@ def _auto_batch_rows(ds: ray.data.Dataset) -> int:
 def _read_blocks_stripe_sized(ds: ray.data.Dataset) -> bool:
     """True when the input's PLANNED read blocks are already stripe-
     sized (>= the per-task target, metadata-only check): batch_size=None
-    then lets Ray FUSE ReadParquet->encode into ONE task — the encoded
-    stripes are produced in the read task with no object-store hop for
-    the raw rows (the decode leg's fusion trick applied to the encode
-    leg; r2 VERDICT item 1 — at corpus scale the former coalesce was
-    one extra full-corpus pass over the memory bus)."""
+    then lets read blocks flow straight into the encode UDF with no
+    coalescing buffer between the operators. (True read-task fusion is
+    impossible in this Ray version — ReadParquet sets an
+    additional_split_factor > 1 which vetoes operator fusion; use
+    encode_files for the fully-fused path.)"""
     try:
         size = ds.size_bytes()
         nblocks = ds._plan.initial_num_blocks()
@@ -160,9 +160,13 @@ def _read_blocks_stripe_sized(ds: ray.data.Dataset) -> bool:
 
 
 def _encode_batch_size(ds: ray.data.Dataset, opts: dict | None):
+    import os
+
     o = opts or {}
     if "batch_rows" in o:
         return o["batch_rows"]
+    if os.environ.get("MOTHRAY_NO_FUSE"):  # A/B diagnostics
+        return _auto_batch_rows(ds)
     return None if _read_blocks_stripe_sized(ds) else _auto_batch_rows(ds)
 
 
@@ -203,6 +207,88 @@ def encode_dataset_planned(
     )
 
 
+class _ReadEncode:
+    """Work-unit UDF: each input row names a cluster of parquet row
+    groups; the task READS those row groups itself (pyarrow) and
+    encodes them in place. Raw rows never enter the object store —
+    only encoded stripes (~6-7x smaller) move. This is the encode-leg
+    fusion Ray cannot do natively: ReadParquet carries an
+    additional_split_factor > 1 in this Ray version, which disables
+    operator fusion with the downstream map regardless of batch_size
+    (r2 VERDICT item 1: the coalesce was one extra full-corpus pass
+    over the bus at 100 TB)."""
+
+    def __init__(self, opts: dict | None = None, plan_ref=None, columns: list[str] | None = None):
+        self.opts = dict(opts or {})
+        self.columns = columns
+        if plan_ref is not None:
+            import ray
+
+            self.opts = {**self.opts, **ray.get(plan_ref)}
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        import pyarrow.parquet as pq
+
+        for pid, inputs_json in zip(
+            batch.column("part_id").to_pylist(), batch.column("inputs").to_pylist()
+        ):
+            inputs = json.loads(inputs_json)
+            by_path: dict[str, list[int]] = {}
+            for path, rg, _size in inputs:
+                by_path.setdefault(path, []).append(rg)
+            tables = [
+                pq.ParquetFile(path).read_row_groups(rgs, columns=self.columns)
+                for path, rgs in by_path.items()
+            ]
+            tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+            yield stripe_mod.encode_batch(tbl, self.opts, key_prefix=f"p{pid:05d}")
+
+
+def encode_files(
+    input_path: str | list[str],
+    opts: dict | None = None,
+    plan_ref=None,
+    columns: list[str] | None = None,
+    target_bytes: int | None = None,
+) -> ray.data.Dataset:
+    """Parquet files -> Dataset of encoded stripe rows, with the read
+    FUSED into the encode task (see _ReadEncode). The work-unit list is
+    deterministic (checkpoint.plan_partitions row-group clusters), so
+    retries reproduce identical stripes. `target_bytes` sizes one task's
+    read (default: spread the input over ~2 tasks per CPU, floor 4 MB,
+    cap 256 MB — at cluster scale the cap dominates and tasks stay
+    uniform)."""
+    import ray as ray_api
+
+    from . import checkpoint as ckpt
+
+    if target_bytes is None:
+        try:
+            ncpu = int(ray_api.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        import pyarrow.dataset as pads
+
+        total = sum(
+            f.metadata.row_group(i).total_byte_size
+            for f in pads.dataset(input_path, format="parquet").get_fragments()
+            for i in range(f.metadata.num_row_groups)
+        )
+        # ~8 units per CPU: fine enough that stragglers/a noisy core
+        # don't serialize the tail, floored at 4 MB (per-task overhead),
+        # capped at 256 MB (bounds task memory at corpus scale)
+        target_bytes = int(min(max(total // max(ncpu * 8, 1), 4 << 20), 256 << 20))
+    parts = ckpt.plan_partitions(input_path, target_bytes)
+    items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    return units.map_batches(
+        _ReadEncode(opts, plan_ref=plan_ref, columns=columns),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 def decode_dataset(
     ds: ray.data.Dataset,
     columns: list[str] | None = None,
@@ -219,11 +305,11 @@ def decode_dataset(
     return ds.map_batches(
         StripeDecoder(columns, rg_predicate, max_rows, target_schema),
         batch_format="pyarrow",
-        # full read blocks: lets Ray FUSE ReadParquet->decode into one
-        # task (no object-store round trip for the encoded blobs — 2x
-        # wall on the decode leg); the generator still yields one
-        # bounded table per stripe / max_rows slice, so memory stays
-        # capped regardless of block size
+        # full read blocks: no coalescing buffer between ReadParquet
+        # and decode (a fixed batch_size forced one — 2x wall on the
+        # decode leg, r2); the generator still yields one bounded table
+        # per stripe / max_rows slice, so memory stays capped
+        # regardless of block size
         batch_size=None,
         zero_copy_batch=True,
     )

@@ -175,6 +175,23 @@ def build_plan(
     return CodecPlan(column_plans=plans, compression=compression, sampled_rows=total_n)
 
 
+def _plan_float_columns(sample: pa.Table, plans: dict, compression: str = "zstd") -> None:
+    """Fix float_encoding (bss vs raw) per float column from the
+    sampling pass, so the encode pass skips the per-row-group trial
+    (mirrors how string codec choices are planned once)."""
+    from .column import _float_trial
+
+    for name, t in zip(sample.column_names, sample.schema.types):
+        if t not in (pa.float32(), pa.float64()):
+            continue
+        arr = sample.column(name)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        v = arr.drop_null().to_numpy(zero_copy_only=False)
+        if len(v) < 64:
+            continue
+        plans.setdefault(name, {})["float_encoding"] = _float_trial(v, compression)
+
+
 def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
     """CodecPlan from an in-hand sample table (e.g. the first row group
     of a checkpointed job's input) — no Dataset execution needed."""
@@ -185,7 +202,8 @@ def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
             st["avg_len"] = st["bytes"] / max(st["n"], 1)
             stats[name] = st
     p = build_plan(stats, compression)
-    fsst_cols = [c for c, v in p.column_plans.items() if v["string_encoding"] == "fsst"]
+    _plan_float_columns(tbl, p.column_plans, compression)
+    fsst_cols = [c for c, v in p.column_plans.items() if v.get("string_encoding") == "fsst"]
     if fsst_cols:
         from .codecs import fsst as fsst_codec
         from .column import _string_parts
@@ -290,7 +308,7 @@ def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> Codec
     task — the reference's shared-writer-state equivalent without a
     single-process bottleneck, SURVEY.md §7.2)."""
     p = build_plan(sample_stats(ds, fraction), compression)
-    fsst_cols = [c for c, v in p.column_plans.items() if v["string_encoding"] == "fsst"]
+    fsst_cols = [c for c, v in p.column_plans.items() if v.get("string_encoding") == "fsst"]
     if fsst_cols:
         from .codecs import fsst as fsst_codec
         from .column import _string_parts
@@ -303,4 +321,10 @@ def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> Codec
             table = fsst_codec.train(data)
             if table.symbols:
                 p.column_plans[c]["fsst_table"] = table.serialize()
+    schema = ds.schema()
+    float_cols = [
+        n for n, t in zip(schema.names, schema.types) if t in (pa.float32(), pa.float64())
+    ]
+    if float_cols:
+        _plan_float_columns(_head_sample(ds, float_cols, 4096), p.column_plans, compression)
     return p

@@ -584,3 +584,118 @@ def test_broadcast_join_rejects_per_batch_unsound(ray_session):
     # the sound types still work
     got = join_ops.broadcast_join(ds, small, on="k", how="left").to_pandas()
     assert len(got) == 3
+
+
+def test_fingerprint_rolling_hash_matches_duckdb():
+    """fingerprint = FNV-prime polynomial rolling hash over codepoints
+    mod 2^64; DuckDB list_reduce reproduces it exactly (incl. unicode,
+    astral plane, empty/null)."""
+    import duckdb
+
+    texts = ["abé", "", None, "hello world", "日本語テキスト", "mix é日 \U0001F600 end", "a" * 3000]
+    t = text.fingerprint_batch(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    )
+    ours = dict(zip(t["doc_id"].to_pylist(), t["fingerprint"].to_pylist()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") t(doc_id, text)",
+        texts,
+    )
+    exp = dict(
+        con.execute(
+            "SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT"
+            " THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)"
+            " FROM (SELECT doc_id, CASE WHEN text IS NULL OR text = '' THEN CAST(0 AS HUGEINT)"
+            " ELSE list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+            " list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),"
+            " (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) END AS h FROM d)"
+        ).fetchall()
+    )
+    assert ours == exp
+
+
+def test_langid_matches_sql_oracle(ray_session, docs_ds):
+    import duckdb
+
+    import __ray_entry__ as E
+
+    out = text.langid(docs_ds).select_columns(["doc_id", "lang_pred"]).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(E._langid_sql()).df()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = exp.sort_values("doc_id").reset_index(drop=True)
+    assert a["lang_pred"].tolist() == b["lang_pred"].tolist()
+
+
+def test_dedup_invariants_all_zero(ray_session):
+    """The driver invariant query: kept ⊆ corpus, exact dups always
+    removed, output independent of num_partitions — for all four
+    approximate text-dedup variants."""
+    import __ray_entry__ as E
+
+    t = E._dedup_invariants("/root/testdata/sf0.001").to_pandas()
+    assert sorted(t["variant"]) == ["cc", "jaccard", "minhash", "simhash"]
+    assert (t["subset_violations"] == 0).all()
+    assert (t["exact_dup_violations"] == 0).all()
+    assert (t["partition_diff"] == 0).all()
+
+
+def test_ivf_build_query_split(ray_session, tmp_path):
+    """Persisted IVF index: exhaustive probe equals brute force; a
+    partial probe returns a subset ranking from probed buckets only;
+    the index is built ONCE and queried twice without re-shuffling."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    mat = rng.standard_normal((n, dim)).astype(np.float64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat], type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(ds, idx, n_centroids=6)
+    q = mat[7]
+    exact = ann.brute_force_topk(ds, q, k=5).to_pandas()
+    full = ann.ivf_query(idx, q, k=5, nprobe=6).to_pandas()
+    assert full["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert full["score"].tolist() == exact["score"].tolist()
+    part = ann.ivf_query(idx, q, k=5, nprobe=2).to_pandas()
+    assert part["vec_id"].tolist()[0] == 7  # the query vector itself survives probing
+    assert set(part["vec_id"]) <= set(range(n))
+
+
+def test_multimodal_zero_copy_views():
+    """Payload columns are walked as offset-sliced memoryviews over the
+    Arrow values buffer — never copied to Python bytes (r2 VERDICT
+    item 5)."""
+    import inspect
+
+    src = inspect.getsource(multimodal)
+    assert "to_pylist" not in src
+    imgs = [multimodal.make_fake_image(4, 3, seed=1), None, multimodal.make_fake_image(5, 2, seed=2)]
+    col = pa.chunked_array([pa.array(imgs, type=pa.binary())])
+    views = multimodal._binary_views(col)
+    assert views[1] is None
+    assert bytes(views[0]) == imgs[0] and bytes(views[2]) == imgs[2]
+    sliced = multimodal._binary_views(pa.array(imgs, type=pa.binary()).slice(1))
+    assert sliced[0] is None and bytes(sliced[1]) == imgs[2]
+    out = multimodal.ImageDecoder()(pa.table({"image": pa.array(imgs, type=pa.binary())}))
+    assert out["width"].to_pylist() == [4, None, 5]
+    assert out["height"].to_pylist() == [3, None, 2]
+    clip = multimodal.make_fake_audio(1600, 16000, seed=3)
+    aout = multimodal.AudioFeatures()(pa.table({"audio": pa.array([clip, None], type=pa.binary())}))
+    assert aout["duration_sec"].to_pylist()[0] == pytest.approx(0.1)
+    vid = multimodal.make_fake_video(6, 4, 3, seed=4)
+    vout = multimodal.VideoFrameSampler(every=2)(pa.table({"video": pa.array([vid], type=pa.binary())}))
+    assert len(vout["sampled_frames"].to_pylist()[0]) == 3
