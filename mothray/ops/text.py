@@ -166,6 +166,28 @@ def normalize_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("norm_text", t)
 
 
+def html_text_batch(batch: pa.Table, column: str = "html", out: str = "extracted_text") -> pa.Table:
+    """Extract visible text from an HTML binary/string column (the
+    north-rule webtext schema carries both html and text): drop
+    script/style subtrees, strip tags, decode the common entities,
+    collapse whitespace. Pure Arrow regex kernels (RE2), so the exact
+    same chain is reproducible in SQL (DuckDB regexp_replace) — no
+    parser dependency, which is also why it is deliberately a
+    whitespace-text approximation, not a DOM renderer."""
+    import pyarrow.compute as pc
+
+    t = batch.column(column)
+    if pa.types.is_binary(t.type) or pa.types.is_large_binary(t.type):
+        t = t.cast(pa.string())
+    t = pc.replace_substring_regex(t, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    t = pc.replace_substring_regex(t, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    t = pc.replace_substring_regex(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        t = pc.replace_substring(t, ent, rep)
+    t = pc.utf8_trim_whitespace(pc.replace_substring_regex(t, r"\s+", " "))
+    return batch.append_column(out, t)
+
+
 # ------------------------------------------------------------------ langid
 
 # tiny per-language marker vocabularies (top function words); a doc is

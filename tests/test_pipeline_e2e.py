@@ -305,3 +305,36 @@ def test_streaming_verify(ray_session, tmp_path):
     assert not pipeline.verify_roundtrip_streaming(ray.data.from_arrow(bad), dec)
     # a dropped row is detected even though sums could... (count differs)
     assert not pipeline.verify_roundtrip_streaming(ray.data.from_arrow(tbl.slice(1)), dec)
+
+
+def test_encode_files_fused_roundtrip(ray_session, tmp_path):
+    """encode_files reads row groups inside the encode task (no raw-row
+    object-store hop) and must be (a) bit-identical on decode, (b)
+    deterministic across runs (stable work-unit list + content-keyed
+    stripes), (c) equivalent for single- and multi-file inputs."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import datagen
+
+    tbl = datagen.cc_pages(3000, seed=33)
+    single = str(tmp_path / "single.parquet")
+    pq.write_table(tbl, single, row_group_size=500)
+    multi = tmp_path / "multi"
+    multi.mkdir()
+    pq.write_table(tbl.slice(0, 1500), str(multi / "a.parquet"), row_group_size=500)
+    pq.write_table(tbl.slice(1500), str(multi / "b.parquet"), row_group_size=500)
+
+    orig = ray.data.from_arrow(tbl)
+    for path in (single, str(multi)):
+        enc = pipeline.encode_files(path, target_bytes=200_000)
+        dec = pipeline.decode_dataset(enc)
+        assert pipeline.verify_roundtrip(orig, dec, "url")
+
+    # determinism: two executions produce identical stripe keys+bytes
+    def fingerprint(path):
+        enc = pipeline.encode_files(path, target_bytes=200_000).to_pandas()
+        enc = enc.sort_values("stripe_key").reset_index(drop=True)
+        return list(zip(enc["stripe_key"], enc["enc_bytes"], enc["blob"].map(hash)))
+
+    assert fingerprint(single) == fingerprint(single)
