@@ -493,6 +493,71 @@ def _html_extract(sf_dir: str):
     return _docs(sf_dir).map_batches(wrap_and_extract, batch_format="pyarrow")
 
 
+_URL_PRE = "HTTPS://WWW."
+_URL_MID = ".Example.co.uk:443/"
+
+
+def _with_synth_url(batch: pa.Table) -> pa.Table:
+    """Deterministic messy URL per doc (driver tables carry no url
+    column): mixed-case scheme/host, default port, doubled slash,
+    tracking param, fragment — everything url_normalize must fix."""
+    import pyarrow.compute as pc
+
+    did = pc.cast(batch.column("doc_id"), pa.string())
+    url = pc.binary_join_element_wise(
+        _URL_PRE,
+        batch.column("source"),
+        _URL_MID,
+        batch.column("lang"),
+        "//",
+        did,
+        ".html?utm_source=feed&q=",
+        did,
+        "#top",
+        "",
+    )
+    return batch.append_column("url", url)
+
+
+def _url_parse(sf_dir: str):
+    """Parse the synthesized URL; the oracle CONSTRUCTS each expected
+    field independently (not a mirrored regex chain), so this checks
+    the parser itself."""
+    from mothray.ops import url as url_ops
+
+    def run(batch: pa.Table) -> pa.Table:
+        b = url_ops.url_parse_batch(_with_synth_url(batch))
+        b = url_ops.registered_domain_batch(b)
+        return b.select(
+            ["doc_id", "url_scheme", "url_host", "url_port", "url_path", "url_query", "url_fragment", "domain"]
+        )
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _url_normalize(sf_dir: str):
+    """Normalize the synthesized URL; oracle constructs the clean form
+    directly from source/lang/doc_id."""
+    from mothray.ops import url as url_ops
+
+    def run(batch: pa.Table) -> pa.Table:
+        b = url_ops.url_normalize_batch(_with_synth_url(batch))
+        return b.select(["doc_id", "norm_url"])
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
+def _pii_redact(sf_dir: str):
+    """PII redaction over documents.text; the oracle mirrors the same
+    RE2 rule chain (count-then-replace sequencing included) in DuckDB."""
+    from mothray.ops import text
+
+    def run(batch: pa.Table) -> pa.Table:
+        return text.pii_redact_batch(batch).select(["doc_id", "redacted_text", "pii_cnt"])
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -542,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_ivf_built_embeddings"] = _ann_ivf_built
     q["dedup_invariants_documents"] = _dedup_invariants
     q["html_extract_documents"] = _html_extract
+    q["url_parse_documents"] = _url_parse
+    q["url_normalize_documents"] = _url_normalize
+    q["pii_redact_documents"] = _pii_redact
     return q
 
 
@@ -670,6 +738,36 @@ def oracle_sql() -> dict[str, str]:
         "  '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
         "  '&#39;', chr(39)), '&nbsp;', ' '),"
         " '\\s+', ' ', 'g')) AS extracted_text FROM documents"
+    )
+    # url_parse: every field CONSTRUCTED independently from the synth
+    # recipe (not a mirrored regex), so the parser itself is checked
+    o["url_parse_documents"] = (
+        "SELECT doc_id, 'https' AS url_scheme,"
+        " 'www.' || source || '.example.co.uk' AS url_host,"
+        " CAST(443 AS BIGINT) AS url_port,"
+        " '/' || lang || '//' || CAST(doc_id AS VARCHAR) || '.html' AS url_path,"
+        " 'utm_source=feed&q=' || CAST(doc_id AS VARCHAR) AS url_query,"
+        " 'top' AS url_fragment,"
+        " 'example.co.uk' AS domain"
+        " FROM documents"
+    )
+    o["url_normalize_documents"] = (
+        "SELECT doc_id, 'https://www.' || source || '.example.co.uk/' || lang || '/'"
+        " || CAST(doc_id AS VARCHAR) || '.html?q=' || CAST(doc_id AS VARCHAR) AS norm_url"
+        " FROM documents"
+    )
+    _PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _PII_P = r"\+?[0-9]{1,3}[ .-]?\(?[0-9]{2,4}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}"
+    _PII_I = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    o["pii_redact_documents"] = (
+        "SELECT doc_id,"
+        f" regexp_replace(regexp_replace(regexp_replace(text, '{_PII_E}', '<EMAIL>', 'g'),"
+        f" '{_PII_P}', '<PHONE>', 'g'), '{_PII_I}', '<IP>', 'g') AS redacted_text,"
+        f" CAST(len(regexp_extract_all(text, '{_PII_E}'))"
+        f" + len(regexp_extract_all(regexp_replace(text, '{_PII_E}', '<EMAIL>', 'g'), '{_PII_P}'))"
+        f" + len(regexp_extract_all(regexp_replace(regexp_replace(text, '{_PII_E}', '<EMAIL>', 'g'),"
+        f" '{_PII_P}', '<PHONE>', 'g'), '{_PII_I}')) AS BIGINT) AS pii_cnt"
+        " FROM documents"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

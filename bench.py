@@ -121,7 +121,9 @@ def run_bench() -> dict:
             # read fused INTO the encode task (raw rows never cross the
             # object store; only 6-7x-smaller stripes do)
             enc = pipeline.encode_files(path, plan_ref=plan_ref)
-        enc.write_parquet(out_dir)
+        # blob/blooms are codec-compressed already: parquet-level snappy
+        # on them is pure wasted CPU (~10% of the encode leg)
+        enc.write_parquet(out_dir, **pipeline.ENCODED_PARQUET_ARGS)
         t_enc = time.monotonic() - t0
         queries[f"encode_{name}"] = round(t_enc, 3)
 
@@ -131,7 +133,10 @@ def run_bench() -> dict:
         total_enc += encb
 
         t0 = time.monotonic()
-        dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
+        # fused decode: encoded row groups are read INSIDE the decode
+        # task (work-unit planner sets task granularity; a bare
+        # read_parquet planned one tiny task per output file)
+        dec = pipeline.decode_files(out_dir)
         # consume via a FUSED per-batch reducer (Map->Map fuses): the
         # decoded blocks never land in the object store just to be
         # counted — representative of a real pipeline where decode

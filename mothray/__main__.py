@@ -108,7 +108,7 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import checkpoint, pipeline
 
-        dec = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir), cols)
+        dec = pipeline.decode_files(checkpoint.job_output_files(args.enc_dir), cols)
         dec.write_parquet(args.out_dir)
         print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
         ray.shutdown()
@@ -121,7 +121,7 @@ def _dispatch(args) -> int:
         from mothray import checkpoint, pipeline
 
         original = ray.data.read_parquet(args.input)
-        decoded = pipeline.decode_dataset(checkpoint.read_job_output(args.enc_dir))
+        decoded = pipeline.decode_files(checkpoint.job_output_files(args.enc_dir))
         if args.key:
             ok = pipeline.verify_roundtrip(original, decoded, args.key)
         else:  # streaming: nothing materializes on the driver

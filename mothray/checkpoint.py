@@ -86,8 +86,10 @@ def _encode_partition(part: dict, out_dir: str, opts: dict | None) -> dict:
     out_path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
     tmp = out_path + ".tmp"
     # small parquet row groups: stripe rows are MB-sized and prune_read
-    # fetches at row-group granularity (see pipeline.write_encoded)
-    pq.write_table(enc, tmp, row_group_size=8)
+    # fetches at row-group granularity (see pipeline.write_encoded);
+    # blob/blooms are codec-compressed already — parquet snappy on them
+    # is wasted CPU on every write and read
+    pq.write_table(enc, tmp, row_group_size=8, compression={"blob": "NONE", "blooms": "NONE"})
     os.rename(tmp, out_path)
 
     metrics = [json.loads(m)["metrics"] for m in enc.column("meta").to_pylist()]
@@ -146,15 +148,19 @@ def _load_or_build_plan(out_dir: str, pending: list[dict], opts: dict | None) ->
     return p.to_opts(opts)
 
 
-def read_job_output(out_dir: str):
-    """Dataset over a job's encoded partitions (explicit file list —
-    the manifest dir lives alongside the parquet parts)."""
-    import ray.data
-
-    files = sorted(
+def job_output_files(out_dir: str) -> list[str]:
+    """A job's encoded partition files (explicit list — the manifest
+    dir lives alongside the parquet parts)."""
+    return sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
     )
-    return ray.data.read_parquet(files)
+
+
+def read_job_output(out_dir: str):
+    """Dataset over a job's encoded partitions."""
+    import ray.data
+
+    return ray.data.read_parquet(job_output_files(out_dir))
 
 
 def encode_job(

@@ -188,6 +188,35 @@ def html_text_batch(batch: pa.Table, column: str = "html", out: str = "extracted
     return batch.append_column(out, t)
 
 
+# PII patterns, RE2-safe and ASCII-class-only so the DuckDB oracle's
+# regexp_replace chain is character-identical. Deliberately the
+# precision-over-recall shapes used in corpus prep (emails, intl/US
+# phone-ish digit runs, IPv4) — a production pass would add locale packs.
+_PII_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[ .-]?\(?[0-9]{2,4}\)?[ .-]?[0-9]{3,4}[ .-]?[0-9]{3,4}", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table, column: str = "text", out: str = "redacted_text") -> pa.Table:
+    """Redact common PII (emails, phone numbers, IPv4 addresses) with
+    typed placeholder tokens — standard LLM-training-data prep. One RE2
+    pass per rule over the whole column; adds `redacted_text` plus a
+    per-doc `pii_cnt` (matches found, cheap quality/filter signal)."""
+    import pyarrow.compute as pc
+
+    t = batch.column(column)
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    cnt = pa.nulls(len(t), pa.int64()).fill_null(0)
+    for pat, rep in _PII_RULES:
+        cnt = pc.add(cnt, pc.count_substring_regex(t, pat).cast(pa.int64()))
+        t = pc.replace_substring_regex(t, pat, rep)
+    out_t = batch.append_column(out, t)
+    return out_t.append_column("pii_cnt", cnt)
+
+
 # ------------------------------------------------------------------ langid
 
 # tiny per-language marker vocabularies (top function words); a doc is

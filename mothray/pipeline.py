@@ -315,6 +315,84 @@ def decode_dataset(
     )
 
 
+class _ReadDecode:
+    """Work-unit UDF mirroring _ReadEncode for the DECODE leg: each
+    input row names a cluster of parquet row groups of encoded stripe
+    rows; the task reads those row groups itself (pyarrow) and decodes
+    them in place. The encoded bytes never enter the object store, and
+    task granularity is set by the work-unit planner instead of by
+    however many files the writer happened to produce (a plain
+    read_parquet over N encoded files plans N read tasks × split
+    factor, each holding ~1 stripe row — per-task overhead dominated
+    the decode leg's scaling profile)."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        rg_predicate: tuple | None = None,
+        max_rows: int = 8192,
+        target_schema: pa.Schema | None = None,
+    ):
+        self.dec = StripeDecoder(columns, rg_predicate, max_rows, target_schema)
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        import pyarrow.parquet as pq
+
+        for inputs_json in batch.column("inputs").to_pylist():
+            by_path: dict[str, list[int]] = {}
+            for path, rg, _size in json.loads(inputs_json):
+                by_path.setdefault(path, []).append(rg)
+            for path, rgs in by_path.items():
+                # one file's surviving groups at a time: in-task memory
+                # is bounded by the unit target, decoded output by the
+                # decoder's max_rows slicing
+                yield from self.dec(pq.ParquetFile(path).read_row_groups(rgs))
+
+
+def decode_files(
+    input_path: str | list[str],
+    columns: list[str] | None = None,
+    rg_predicate: tuple | None = None,
+    max_rows: int = 8192,
+    target_schema: pa.Schema | None = None,
+    target_bytes: int | None = None,
+) -> ray.data.Dataset:
+    """Encoded parquet files -> Dataset of original rows, with the read
+    FUSED into the decode task (decode-leg analog of encode_files; a
+    downstream map_batches fuses onto this too, so read -> decode ->
+    consume can run as ONE task with nothing crossing the object
+    store). Work units are deterministic row-group clusters."""
+    import ray as ray_api
+
+    from . import checkpoint as ckpt
+
+    if target_bytes is None:
+        try:
+            ncpu = int(ray_api.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        import pyarrow.dataset as pads
+
+        total = sum(
+            f.metadata.row_group(i).total_byte_size
+            for f in pads.dataset(input_path, format="parquet").get_fragments()
+            for i in range(f.metadata.num_row_groups)
+        )
+        # encoded bytes decode to ~5-8x their size, so the unit target is
+        # smaller than the encode leg's: floor 2 MB, cap 32 MB encoded
+        # (~0.2 GB decoded peak per task at worst-case expansion)
+        target_bytes = int(min(max(total // max(ncpu * 8, 1), 2 << 20), 32 << 20))
+    parts = ckpt.plan_partitions(input_path, target_bytes)
+    items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    return units.map_batches(
+        _ReadDecode(columns, rg_predicate, max_rows, target_schema),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
 def prune_stripes(
     ds: ray.data.Dataset,
     column: str,
@@ -593,7 +671,7 @@ def encode_parquet_to_dir(
 ) -> None:
     """read_parquet -> encode -> write_parquet, fully streaming."""
     ds = read_input(input_path, columns=columns)
-    encode_dataset(ds, opts).write_parquet(out_dir)
+    encode_dataset(ds, opts).write_parquet(out_dir, **ENCODED_PARQUET_ARGS)
 
 
 def verify_roundtrip(original: ray.data.Dataset, decoded: ray.data.Dataset, key: str) -> bool:
@@ -614,12 +692,23 @@ def verify_roundtrip(original: ray.data.Dataset, decoded: ray.data.Dataset, key:
     )
 
 
+# stream blobs are already zstd/lz4-framed by the codec stack; parquet
+# re-compressing them (default snappy) burns CPU on both the write and
+# every later read for ~0.2% size. Keep the page-level default for the
+# small JSON meta/stats columns only.
+ENCODED_PARQUET_ARGS = {"compression": {"blob": "NONE", "blooms": "NONE"}}
+
+
 def write_encoded(enc: ray.data.Dataset, out_dir: str, row_group_size: int = 8) -> None:
     """Write encoded stripe rows with SMALL parquet row groups (stripe
     rows are MB-sized; default writer row groups would put a whole
     block's blobs in one group, defeating prune_read's row-group-
-    targeted fetch)."""
-    enc.write_parquet(out_dir, row_group_size=row_group_size)
+    targeted fetch). The constant is deliberate: deriving it from
+    measured stripe bytes would need count()/size_bytes(), which
+    executes the (lazy) encode pipeline a second time — and 8 stripe
+    rows ≈ 8-30 MB keeps both prune fetches and decode_files work
+    units well-grained across stripe sizes."""
+    enc.write_parquet(out_dir, row_group_size=row_group_size, **ENCODED_PARQUET_ARGS)
 
 
 def dataset_content_hash(ds: ray.data.Dataset) -> tuple[int, int]:

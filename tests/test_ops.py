@@ -699,3 +699,102 @@ def test_multimodal_zero_copy_views():
     vid = multimodal.make_fake_video(6, 4, 3, seed=4)
     vout = multimodal.VideoFrameSampler(every=2)(pa.table({"video": pa.array([vid], type=pa.binary())}))
     assert len(vout["sampled_frames"].to_pylist()[0]) == 3
+
+
+def test_url_ops_match_duckdb(ray_session):
+    """url parse/normalize/domain vs the identical DuckDB regex chain."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops import url as url_ops
+
+    urls = [
+        "https://News.Example.co.uk:443/a//b/index.html?utm_source=x&q=1#frag",
+        "http://sub.site.org:80/path/",
+        "https://netnews25.ru/2023/3118314.html",
+        "http://10.1.2.3:8080/x?a=1&fbclid=zz&b=2",
+        "https://one.two.example.com/p?utm_campaign=c",
+        "not a url",
+        "ftp://files.host.net/pub//data.bin",
+    ]
+    tbl = pa.table({"url": pa.array(urls), "row_id": pa.array(range(len(urls)), type=pa.int64())})
+    out = (
+        url_ops.url_pipeline(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    # parse spot checks
+    assert out.loc[0, "url_scheme"] == "https"
+    assert out.loc[0, "url_host"] == "news.example.co.uk"
+    assert out.loc[0, "url_port"] == 443
+    assert out.loc[0, "url_fragment"] == "frag"
+    assert out.loc[3, "url_port"] == 8080
+    assert out.loc[5, "url_scheme"] is None or out.loc[5, "url_scheme"] != out.loc[5, "url_scheme"] or out.isna().loc[5, "url_scheme"]
+    # normalize
+    assert out.loc[0, "norm_url"] == "https://news.example.co.uk/a/b/index.html?q=1"
+    assert out.loc[1, "norm_url"] == "http://sub.site.org/path"
+    assert out.loc[3, "norm_url"] == "http://10.1.2.3:8080/x?a=1&b=2"
+    assert out.loc[4, "norm_url"] == "https://one.two.example.com/p"
+    # registered domain: public-suffix-aware + ip passthrough
+    assert out.loc[0, "domain"] == "example.co.uk"
+    assert out.loc[1, "domain"] == "site.org"
+    assert out.loc[3, "domain"] == "10.1.2.3"
+    assert out.loc[4, "domain"] == "example.com"
+    # DuckDB parity for the host extraction (same regex)
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]*)', 2)) AS h"
+        " FROM tbl ORDER BY row_id"
+    ).fetchdf()
+    got = out["url_host"].fillna("").tolist()
+    assert got == exp["h"].fillna("").tolist()
+
+
+def test_pii_redact(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "mail me at john.doe+x@corp.example.com or call +1 (555) 123-4567",
+                "server at 192.168.0.1 is fine",
+                "nothing here",
+            ],
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(text.pii_redact_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert "<EMAIL>" in out.loc[0, "redacted_text"]
+    assert "<PHONE>" in out.loc[0, "redacted_text"]
+    assert "john.doe" not in out.loc[0, "redacted_text"]
+    assert out.loc[1, "redacted_text"] == "server at <IP> is fine"
+    assert out.loc[2, "redacted_text"] == "nothing here"
+    assert out.loc[2, "pii_cnt"] == 0
+    assert out.loc[0, "pii_cnt"] >= 2
+
+
+def test_decode_files_fused(ray_session, tmp_path):
+    """decode_files == decode_dataset(read_encoded(...)) bit-for-bit,
+    including column projection and rg predicates."""
+    import ray.data
+
+    from mothray import datagen, pipeline
+
+    tbl = datagen.cc_pages(4000, seed=9)
+    enc_ds = pipeline.encode_dataset(ray.data.from_arrow(tbl))
+    out = str(tmp_path / "enc")
+    pipeline.write_encoded(enc_ds, out, row_group_size=2)
+
+    a = pipeline.decode_dataset(pipeline.read_encoded(out))
+    b = pipeline.decode_files(out)
+    assert pipeline.verify_roundtrip(a, b, "url")
+    # projection pushdown parity
+    cols = pipeline.decode_files(out, columns=["url", "lang"]).schema().names
+    assert set(cols) == {"url", "lang"}
