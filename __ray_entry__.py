@@ -558,6 +558,29 @@ def _pii_redact(sf_dir: str):
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
 
 
+def _paragraph_dedup(sf_dir: str):
+    """Sub-document exact dedup: corpus-wide first-occurrence keep per
+    paragraph, docs reassembled. Oracle = window-function SQL."""
+    from mothray.ops import dedup
+
+    return dedup.paragraph_dedup(_docs(sf_dir), sep=". ")
+
+
+def _sample_mixture(sf_dir: str):
+    """Deterministic stratified corpus mixture: per-source keep rates
+    via the FNV hash gate (reproduced exactly in the SQL oracle)."""
+    from mothray.ops import sample
+
+    return sample.hash_sample(
+        _docs(sf_dir),
+        rate=0.1,
+        key_col="doc_id",
+        salt="s1",
+        rate_by_key={"src1": 0.5, "src2": 0.5},
+        strat_col="source",
+    ).select_columns(["doc_id", "source"])
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -610,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["url_parse_documents"] = _url_parse
     q["url_normalize_documents"] = _url_normalize
     q["pii_redact_documents"] = _pii_redact
+    q["paragraph_dedup_documents"] = _paragraph_dedup
+    q["sample_mixture_documents"] = _sample_mixture
     return q
 
 
@@ -768,6 +793,27 @@ def oracle_sql() -> dict[str, str]:
         f" + len(regexp_extract_all(regexp_replace(regexp_replace(text, '{_PII_E}', '<EMAIL>', 'g'),"
         f" '{_PII_P}', '<PHONE>', 'g'), '{_PII_I}')) AS BIGINT) AS pii_cnt"
         " FROM documents"
+    )
+    o["paragraph_dedup_documents"] = (
+        "WITH paras AS ("
+        " SELECT doc_id, unnest(ps) AS para, unnest(generate_series(1, len(ps))) AS idx"
+        " FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents)"
+        "), ranked AS ("
+        " SELECT doc_id, idx, para,"
+        " row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM paras)"
+        " SELECT doc_id, coalesce(string_agg(CASE WHEN rn=1 THEN para END, '. ' ORDER BY idx), '')"
+        " AS kept_text FROM ranked GROUP BY doc_id"
+    )
+    o["sample_mixture_documents"] = (
+        # the same FNV-over-codepoints gate as ops.sample.hash_sample:
+        # keep iff fnv('s1' || str(doc_id)) % 1e6 < rate(source) * 1e6
+        "SELECT doc_id, source FROM ("
+        " SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "  list_transform(string_split('s1' || CAST(doc_id AS VARCHAR), ''),"
+        "   c -> CAST(ord(c) AS HUGEINT))),"
+        "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
+        " FROM documents)"
+        " WHERE h % 1000000 < CASE WHEN source IN ('src1', 'src2') THEN 500000 ELSE 100000 END"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -119,7 +119,10 @@ def run_bench() -> dict:
             )
         else:
             # read fused INTO the encode task (raw rows never cross the
-            # object store; only 6-7x-smaller stripes do)
+            # object store; only 6-7x-smaller stripes do). Unit sizing
+            # lives in encode_files: clamp(total/(8*cpus), 4 MB, 32 MB)
+            # — at scaling-proxy sizes both cpu levels hit the constant
+            # 32 MB cap, so neither level gets an overhead advantage
             enc = pipeline.encode_files(path, plan_ref=plan_ref)
         # blob/blooms are codec-compressed already: parquet-level snappy
         # on them is pure wasted CPU (~10% of the encode leg)
@@ -127,8 +130,19 @@ def run_bench() -> dict:
         t_enc = time.monotonic() - t0
         queries[f"encode_{name}"] = round(t_enc, 3)
 
-        meta = ray.data.read_parquet(out_dir, columns=["raw_bytes", "enc_bytes"]).to_pandas()
-        raw, encb = int(meta["raw_bytes"].sum()), int(meta["enc_bytes"].sum())
+        # byte accounting is bookkeeping, not pipeline: a driver-side
+        # threaded pyarrow scan of two int columns, not a third Ray
+        # dataset execution (which added ~0.5-1 s of serial wall per
+        # table to the scaling measurement)
+        import pyarrow.dataset as pads
+
+        meta = pads.dataset(out_dir, format="parquet").to_table(
+            columns=["raw_bytes", "enc_bytes"]
+        )
+        import pyarrow.compute as pc
+
+        raw = int(pc.sum(meta.column("raw_bytes")).as_py())
+        encb = int(pc.sum(meta.column("enc_bytes")).as_py())
         total_raw += raw
         total_enc += encb
 
@@ -184,7 +198,11 @@ def run_scaling() -> None:
     hi = int(os.environ.get("MOTHRAY_SCALE_HI", str(4 * lo)))
     trials = int(os.environ.get("MOTHRAY_SCALE_TRIALS", "3"))
 
-    scale_rows = os.environ.get("MOTHRAY_SCALE_ROWS", "250000")
+    # 1M rows (~3 GB raw): compute must dominate the ~2 s of fixed
+    # per-session costs (executor startup x2, plan, write commit) that a
+    # real cluster amortizes over far more data — at 250k rows those
+    # fixed costs alone cap measurable efficiency at ~0.55
+    scale_rows = os.environ.get("MOTHRAY_SCALE_ROWS", "1000000")
 
     def run_once(ncpu: int) -> dict:
         env = dict(

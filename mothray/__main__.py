@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("enc_dir")
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("enc_dir")
+    cp.add_argument("out_dir")
+    cp.add_argument("--target-mb", type=int, default=256)
+
     pr = sub.add_parser("prune")
     pr.add_argument("enc_dir")
     pr.add_argument("out_dir")
@@ -157,6 +162,15 @@ def _dispatch(args) -> int:
         dec = pipeline.decode_dataset(pruned)
         dec.write_parquet(args.out_dir)
         print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compact":
+        ray = _ray()
+        from mothray import pipeline
+
+        res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
+        print(json.dumps(res))
         ray.shutdown()
         return 0
 

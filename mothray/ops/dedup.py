@@ -180,6 +180,104 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id", num_partiti
     return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 
+def paragraph_dedup(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    sep: str = ". ",
+    num_partitions: int | None = None,
+):
+    """SUB-document exact dedup (boilerplate removal at corpus scale):
+    split each doc into paragraphs on `sep`, keep only the FIRST
+    occurrence of each distinct paragraph corpus-wide (first = lowest
+    (id, position)), reassemble each doc from its surviving paragraphs.
+    Returns (id_column, kept_text); a doc whose every paragraph lost
+    keeps an empty string (it stays in the output — filtering is the
+    caller's policy decision).
+
+    Scale path mirrors exact_dedup: the paragraph TEXT never enters the
+    winner exchange — only (h1, h2, id, idx) rows (32 bytes) shuffle;
+    losers come back as (id, idx) pairs and are removed with one
+    composite-key hash join; reassembly is a per-doc groupby (groups
+    are single docs — bounded)."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        paras = pc.split_pattern(texts.fill_null(""), sep)
+        paras = paras.combine_chunks() if isinstance(paras, pa.ChunkedArray) else paras
+        offs = paras.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        idx = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, counts)),
+                "para_idx": pa.array(idx),
+                "para": paras.flatten(),
+            }
+        )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        return content_hash_batch(explode(batch), "para").select(
+            ["h1", "h2", id_column, "para_idx"]
+        )
+
+    def losers(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return group.select([id_column, "para_idx"]).slice(0, 0)
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        idx = group.column("para_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, ids))
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[0]] = True
+        return group.filter(pa.array(~keep)).select([id_column, "para_idx"])
+
+    lost = (
+        ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h1", "h2"])
+        .map_groups(losers, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("__lost", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow",
+        )
+        .materialize()  # ids only (tiny); also guards the empty-join case
+    )
+
+    paras = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    if lost.count() > 0:
+        n = num_partitions or _auto_partitions(ds)
+        paras = paras.join(
+            lost, join_type="left_anti", num_partitions=n, on=(id_column, "para_idx")
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        id_arr = group.column(id_column).combine_chunks()
+        if group.num_rows == 0:
+            return pa.table({id_column: id_arr, "kept_text": pa.array([], type=pa.string())})
+        order = np.argsort(group.column("para_idx").to_numpy(zero_copy_only=False))
+        kept = group.column("para").combine_chunks().take(pa.array(order))
+        wrapped = pa.ListArray.from_arrays(
+            pa.array([0, len(kept)], type=pa.int32()), kept
+        )
+        return pa.table({id_column: id_arr.slice(0, 1), "kept_text": pc.binary_join(wrapped, sep)})
+
+    out = paras.groupby(id_column).map_groups(reassemble, batch_format="pyarrow")
+    # docs whose every paragraph lost: restore with empty text (the
+    # id set is the corpus minus the reassembled — both id-only)
+    all_ids = ds.map_batches(
+        lambda t: t.select([id_column]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    survivors = out.map_batches(lambda t: t.select([id_column]), batch_format="pyarrow")
+    gone = _anti_join_ids(all_ids, survivors, id_column, num_partitions)
+    empty_docs = gone.map_batches(
+        lambda t: t.append_column("kept_text", pa.array([""] * t.num_rows, type=pa.string())),
+        batch_format="pyarrow",
+    )
+    return out.union(empty_docs)
+
+
 # ------------------------------------------------------------------ minhash
 
 N_PERM = 64

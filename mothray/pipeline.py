@@ -276,8 +276,12 @@ def encode_files(
         )
         # ~8 units per CPU: fine enough that stragglers/a noisy core
         # don't serialize the tail, floored at 4 MB (per-task overhead),
-        # capped at 256 MB (bounds task memory at corpus scale)
-        target_bytes = int(min(max(total // max(ncpu * 8, 1), 4 << 20), 256 << 20))
+        # capped at 32 MB — the cap is the operative size at corpus
+        # scale and is deliberately small: a 190 MB unit decompresses to
+        # ~600 MB of Arrow in one task (heap churn measurably beat the
+        # saved overhead at every level tested), and a constant cap
+        # keeps units identical across cluster widths
+        target_bytes = int(min(max(total // max(ncpu * 8, 1), 4 << 20), 32 << 20))
     parts = ckpt.plan_partitions(input_path, target_bytes)
     items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
     units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
@@ -379,9 +383,9 @@ def decode_files(
             for i in range(f.metadata.num_row_groups)
         )
         # encoded bytes decode to ~5-8x their size, so the unit target is
-        # smaller than the encode leg's: floor 2 MB, cap 32 MB encoded
-        # (~0.2 GB decoded peak per task at worst-case expansion)
-        target_bytes = int(min(max(total // max(ncpu * 8, 1), 2 << 20), 32 << 20))
+        # smaller than the encode leg's: floor 2 MB, cap 8 MB encoded
+        # (~50 MB decoded peak per task at worst-case expansion)
+        target_bytes = int(min(max(total // max(ncpu * 8, 1), 2 << 20), 8 << 20))
     parts = ckpt.plan_partitions(input_path, target_bytes)
     items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
     units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
@@ -391,6 +395,84 @@ def decode_files(
         batch_size=None,
         zero_copy_batch=True,
     )
+
+
+def compact_encoded(
+    in_dir: str | list[str],
+    out_dir: str,
+    target_mb: int = 256,
+    row_group_size: int = 8,
+) -> dict:
+    """Merge small encoded partition files into ~target_mb outputs
+    WITHOUT re-encoding: stripe rows are self-contained (meta + stats +
+    blob), so compaction is a pure parquet rewrite. At corpus scale a
+    resumable job leaves one file per work unit (possibly thousands of
+    small parts after retries/reruns); readers pay per-file open +
+    scheduling costs, so periodic compaction keeps the file count
+    ∝ data size, not ∝ task history. Decode output is bit-identical.
+
+    Streaming: files are planned into deterministic clusters by size,
+    each task rewrites one cluster (no shuffle, no driver
+    materialization). Returns {files_in, files_out, bytes}."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    sizes = [os.path.getsize(f) for f in files]
+    target = target_mb << 20
+    clusters: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f, s in zip(files, sizes):
+        if cur and cur_bytes + s > target:
+            clusters.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += s
+    if cur:
+        clusters.append(cur)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out = []
+        for cid, paths_json in zip(
+            batch.column("cluster_id").to_pylist(), batch.column("paths").to_pylist()
+        ):
+            paths = json.loads(paths_json)
+            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+            dst = os.path.join(out_dir, f"compact-{cid:05d}.parquet")
+            tmp = dst + ".tmp"
+            pq.write_table(
+                tbl, tmp, row_group_size=row_group_size,
+                compression={"blob": "NONE", "blooms": "NONE"},
+            )
+            os.rename(tmp, dst)
+            out.append((cid, len(paths), int(tbl.num_rows)))
+        return pa.table(
+            {
+                "cluster_id": pa.array([c for c, _, _ in out], type=pa.int64()),
+                "files_in": pa.array([f for _, f, _ in out], type=pa.int64()),
+                "stripes": pa.array([s for _, _, s in out], type=pa.int64()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    items = [
+        {"cluster_id": i, "paths": json.dumps(c)} for i, c in enumerate(clusters)
+    ]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(rewrite, batch_format="pyarrow").to_pandas()
+    return {
+        "files_in": len(files),
+        "files_out": len(clusters),
+        "stripes": int(res["stripes"].sum()) if len(res) else 0,
+        "bytes": sum(sizes),
+    }
 
 
 def prune_stripes(

@@ -798,3 +798,84 @@ def test_decode_files_fused(ray_session, tmp_path):
     # projection pushdown parity
     cols = pipeline.decode_files(out, columns=["url", "lang"]).schema().names
     assert set(cols) == {"url", "lang"}
+
+
+def test_paragraph_dedup_matches_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["aa. bb. cc", "bb. dd", "aa. bb", ""],
+        }
+    )
+    out = (
+        dedup.paragraph_dedup(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "WITH paras AS (SELECT doc_id, unnest(ps) AS para,"
+        " unnest(generate_series(1, len(ps))) AS idx"
+        " FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents)),"
+        " ranked AS (SELECT doc_id, idx, para,"
+        " row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM paras)"
+        " SELECT doc_id, coalesce(string_agg(CASE WHEN rn=1 THEN para END, '. ' ORDER BY idx), '')"
+        " AS kept_text FROM ranked GROUP BY doc_id ORDER BY doc_id"
+    ).fetchdf()
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["kept_text"].tolist() == exp["kept_text"].tolist()
+
+
+def test_paragraph_dedup_no_dups_identity(ray_session):
+    """With all-distinct paragraphs the op is the identity on text."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([10, 20], type=pa.int64()),
+            "text": ["unique one. unique two", "another thing entirely"],
+        }
+    )
+    out = (
+        dedup.paragraph_dedup(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["kept_text"].tolist() == ["unique one. unique two", "another thing entirely"]
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    import ray.data
+
+    from mothray.ops import sample
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    s1 = sample.hash_sample(ds, rate=0.2, salt="x").to_pandas()
+    s2 = sample.hash_sample(ds, rate=0.2, salt="x").to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])  # reproducible
+    assert abs(len(s1) / n - 0.2) < 0.05  # near the target rate
+    s3 = sample.hash_sample(ds, rate=0.2, salt="y").to_pandas()
+    assert sorted(s3["doc_id"]) != sorted(s1["doc_id"])  # independent draw
+    # stratified: 'a' heavily sampled, 'b' lightly
+    mix = sample.hash_sample(
+        ds, rate=0.0, rate_by_key={"a": 0.8, "b": 0.1}, strat_col="source"
+    ).to_pandas()
+    frac_a = (mix["source"] == "a").sum() / (n / 2)
+    frac_b = (mix["source"] == "b").sum() / (n / 2)
+    assert abs(frac_a - 0.8) < 0.08 and abs(frac_b - 0.1) < 0.05
+    # partitioning-independent: same rows at another block count
+    repart = sample.hash_sample(ds.repartition(7), rate=0.2, salt="x").to_pandas()
+    assert sorted(repart["doc_id"]) == sorted(s1["doc_id"])

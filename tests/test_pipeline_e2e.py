@@ -338,3 +338,38 @@ def test_encode_files_fused_roundtrip(ray_session, tmp_path):
         return list(zip(enc["stripe_key"], enc["enc_bytes"], enc["blob"].map(hash)))
 
     assert fingerprint(single) == fingerprint(single)
+
+
+def test_compact_encoded(ray_session, tmp_path):
+    """Compaction merges many small encoded part files into few big
+    ones with bit-identical decode and no re-encoding (blob bytes are
+    byte-equal across the rewrite)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import datagen, pipeline
+
+    tbl = datagen.cc_pages(2000, seed=21)
+    src = tmp_path / "parts"
+    src.mkdir()
+    # simulate a resumable job's many small outputs: one file per slice
+    for i in range(8):
+        enc = pipeline.encode_dataset(ray.data.from_arrow(tbl.slice(i * 250, 250)))
+        pipeline.write_encoded(enc, str(src / f"job{i}"), row_group_size=2)
+    files = [str(p / f) for p in sorted(src.iterdir()) for f in sorted(os.listdir(p))]
+    out = tmp_path / "compacted"
+    res = pipeline.compact_encoded(files, str(out), target_mb=1)
+    assert res["files_in"] == len(files)
+    assert res["files_out"] < res["files_in"]
+    # decode parity: compacted vs original file set
+    a = pipeline.decode_files(files)
+    b = pipeline.decode_files(str(out))
+    assert pipeline.verify_roundtrip(a, b, "url")
+    # stripes survived byte-identical (no re-encode)
+    def blobs(paths):
+        t = pa.concat_tables([pq.read_table(p, columns=["stripe_key", "blob"]) for p in paths])
+        return sorted(zip(t.column("stripe_key").to_pylist(), [b.as_py() for b in t.column("blob")]))
+    out_files = [str(out / f) for f in sorted(os.listdir(out))]
+    assert blobs(files) == blobs(out_files)
