@@ -581,6 +581,66 @@ def _sample_mixture(sf_dir: str):
     ).select_columns(["doc_id", "source"])
 
 
+def _asof_join_events(sf_dir: str):
+    """AS-OF join: each click gets the user's latest purchase value at
+    or before the click. Right side pre-aggregated to unique (user, ts)
+    so the match is deterministic; oracle = DuckDB ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def split(kind, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).select(cols)
+
+        return fn
+
+    clicks = ev.map_batches(split("click", ["event_id", "ts", "user_id"]), batch_format="pyarrow")
+    purchases = (
+        ev.map_batches(split("purchase", ["user_id", "ts", "value"]), batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .max("value")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "ts", "purchase_value"]),
+            batch_format="pyarrow",
+        )
+    )
+    return join_ops.asof_join(clicks, purchases, by="user_id", on="ts")
+
+
+def _range_join_events(sf_dir: str):
+    """RANGE join: every purchase within the hour before each click
+    (time-binned exchange; oracle = DuckDB inequality join)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def split(kind, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), kind)).select(cols)
+
+        return fn
+
+    clicks = ev.map_batches(split("click", ["event_id", "ts", "user_id"]), batch_format="pyarrow")
+    purchases = ev.map_batches(
+        split("purchase", ["user_id", "ts", "value"]), batch_format="pyarrow"
+    )
+    hour_us = 3_600_000_000
+    return join_ops.range_join(
+        clicks, purchases, by="user_id", on="ts", lo_offset_us=-hour_us, hi_offset_us=0
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -635,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pii_redact_documents"] = _pii_redact
     q["paragraph_dedup_documents"] = _paragraph_dedup
     q["sample_mixture_documents"] = _sample_mixture
+    q["asof_join_events"] = _asof_join_events
+    q["range_join_events"] = _range_join_events
     return q
 
 
@@ -814,6 +876,20 @@ def oracle_sql() -> dict[str, str]:
         "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
         " FROM documents)"
         " WHERE h % 1000000 < CASE WHEN source IN ('src1', 'src2') THEN 500000 ELSE 100000 END"
+    )
+    o["asof_join_events"] = (
+        "WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events"
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+        " SELECT c.event_id, c.ts, c.user_id, p.purchase_value"
+        " FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts"
+    )
+    o["range_join_events"] = (
+        "WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),"
+        " p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')"
+        " SELECT c.event_id, c.ts, c.user_id, p.ts AS ts_right, p.value"
+        " FROM clicks c JOIN p ON c.user_id = p.user_id"
+        " AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -98,3 +98,210 @@ def partitioned_join(left, right, on: str, num_buckets: int | None = None, how: 
         num_partitions=n,
         on=(on,),
     )
+
+
+def asof_join(
+    left,
+    right,
+    by: str,
+    on: str = "ts",
+    right_columns: list[str] | None = None,
+    tolerance_us: int | None = None,
+):
+    """AS-OF join (event-time enrichment): for each left row, attach
+    the LATEST right row with right.on <= left.on within the same `by`
+    key (backward direction — DuckDB `ASOF LEFT JOIN` semantics, so the
+    op carries an exact SQL oracle). Left rows with no prior right row
+    keep nulls. `tolerance_us` optionally rejects matches older than
+    the given gap.
+
+    Ray Data has no as-of join; per the brief this is built as a
+    composition: tag sides -> one groupby(by) exchange -> per-key
+    vectorized merge (sort both sides by `on`, one searchsorted). The
+    partitioning assumption it relies on: one key's rows fit in one
+    task (same contract as session windows; salt/split hot keys
+    upstream if a single key exceeds memory).
+
+    Output columns: all left columns + right_columns (default: every
+    right column except `by`/`on`) suffixed '_right' on collision.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    r_schema = right.schema()
+    r_cols = right_columns or [c for c in r_schema.names if c not in (by, on)]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r_names = [c + "_right" if c in l_names else c for c in r_cols]
+
+    # union-compatible frame: left columns + right value columns + side
+    all_names = l_names + r_cols
+    types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    for n, t in zip(r_schema.names, r_schema.types):
+        types.setdefault(n, t)
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            nrows = batch.num_rows
+            arrays = [
+                batch.column(c) if c in batch.column_names else pa.nulls(nrows, type=types[c])
+                for c in all_names
+            ]
+            arrays.append(pa.array(np.full(nrows, side, dtype=np.int8)))
+            return pa.table(arrays, names=all_names + ["__side"])
+
+        return fn
+
+    tagged = left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = group.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        l_tbl = group.take(pa.array(l_idx)).select(l_names)
+        if len(r_idx) == 0:
+            return pa.table(
+                list(l_tbl.columns)
+                + [pa.nulls(len(l_idx), type=types[c]) for c in r_cols],
+                names=l_names + out_r_names,
+            )
+        r_ts = ts[r_idx]
+        r_order = np.argsort(r_ts, kind="stable")
+        r_ts_sorted = r_ts[r_order]
+        # latest right position with r_ts <= l_ts (argsort is stable, so
+        # ties at the same timestamp resolve to the LAST right row in
+        # input order — mirror DuckDB by making the match unique upstream)
+        pos = np.searchsorted(r_ts_sorted, ts[l_idx], side="right") - 1
+        matched = pos >= 0
+        if tolerance_us is not None:
+            gap = ts[l_idx] - r_ts_sorted[np.maximum(pos, 0)]
+            matched &= gap <= tolerance_us
+        # unmatched rows take index 0 (any valid position) and are
+        # nulled by the mask below — Arrow take rejects negatives
+        take_idx = r_idx[r_order][np.maximum(pos, 0)]
+        r_sorted = group.take(pa.array(take_idx, type=pa.int64()))
+        out_cols = list(l_tbl.columns)
+        valid = pa.array(matched)
+        for c in r_cols:
+            col = r_sorted.column(c).combine_chunks()
+            out_cols.append(pc.if_else(valid, col, pa.nulls(len(l_idx), type=types[c])))
+        return pa.table(out_cols, names=l_names + out_r_names)
+
+    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(
+    left,
+    right,
+    by: str,
+    on: str = "ts",
+    lo_offset_us: int = 0,
+    hi_offset_us: int = 0,
+    right_columns: list[str] | None = None,
+):
+    """RANGE join: emit a row for every (left, right) pair with the
+    same `by` key and right.on in [left.on + lo_offset, left.on +
+    hi_offset] (e.g. "purchases in the hour before each click":
+    lo=-3600e6, hi=0). Exactly a SQL inequality join, so it carries a
+    DuckDB oracle.
+
+    Scale shape: rows are BINNED by time (bin width = window span) so
+    only same-bin/adjacent-bin rows ever meet — each left row lands in
+    at most two bins, right rows in one, and the exchange key is
+    (by, bin), which also spreads one hot `by` key's rows over time
+    bins. Inside a bucket the pair generation is vectorized
+    (sort + searchsorted + segmented ranges). Output size is the true
+    match count; pick the window so per-bucket matches stay bounded.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    span = int(hi_offset_us - lo_offset_us)
+    if span < 0:
+        raise ValueError("hi_offset_us must be >= lo_offset_us")
+    w = max(span, 1)
+
+    r_schema = right.schema()
+    r_cols = right_columns or [c for c in r_schema.names if c != by]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r_names = [c + "_right" if c in l_names else c for c in r_cols]
+    all_names = l_names + [c for c in r_cols if c not in l_names]
+    types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    for n, t in zip(r_schema.names, r_schema.types):
+        types.setdefault(n, t)
+
+    def widen(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts = batch.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            nrows = batch.num_rows
+            cols = {
+                c: (batch.column(c) if c in batch.column_names else pa.nulls(nrows, type=types[c]))
+                for c in all_names
+            }
+            if side == 0:
+                # left: replicate into the (<=2) bins its window spans
+                b0 = (ts + lo_offset_us) // w
+                b1 = (ts + hi_offset_us) // w
+                reps = (b1 != b0).astype(np.int64) + 1
+                idx = np.repeat(np.arange(nrows, dtype=np.int64), reps)
+                bins = np.concatenate([b0[:, None], b1[:, None]], axis=1).ravel()
+                keep = np.ones(2 * nrows, dtype=bool)
+                keep[1::2] = b1 != b0
+                bins = bins[keep]
+                t = pa.table(
+                    {c: a.take(pa.array(idx)) for c, a in cols.items()}
+                )
+            else:
+                bins = ts // w
+                t = pa.table(cols)
+            t = t.append_column("__bin", pa.array(bins.astype(np.int64)))
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    tagged = left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = group.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        l_idx = np.nonzero(side == 0)[0]
+        r_idx = np.nonzero(side == 1)[0]
+        empty = pa.table(
+            [pa.chunked_array([[]], type=types[c]) for c in l_names]
+            + [pa.chunked_array([[]], type=types[c]) for c in r_cols],
+            names=l_names + out_r_names,
+        )
+        if len(l_idx) == 0 or len(r_idx) == 0:
+            return empty
+        r_order = r_idx[np.argsort(ts[r_idx], kind="stable")]
+        r_ts = ts[r_order]
+        lo = np.searchsorted(r_ts, ts[l_idx] + lo_offset_us, side="left")
+        hi = np.searchsorted(r_ts, ts[l_idx] + hi_offset_us, side="right")
+        # guard against double-counting ACROSS the two bins a left row
+        # was replicated into: inside this bucket, only right rows whose
+        # bin == this bucket's bin exist, so pairs are naturally unique
+        cnt = hi - lo
+        m = cnt > 0
+        if not m.any():
+            return empty
+        l_take = np.repeat(l_idx[m], cnt[m])
+        starts = lo[m]
+        # segmented ranges: right positions for each left row
+        total = int(cnt[m].sum())
+        seg = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt[m])[:-1])), cnt[m]
+        )
+        r_take = r_order[np.repeat(starts, cnt[m]) + seg]
+        l_tbl = group.take(pa.array(l_take)).select(l_names)
+        r_tbl = group.take(pa.array(r_take)).select(r_cols)
+        return pa.table(list(l_tbl.columns) + list(r_tbl.columns), names=l_names + out_r_names)
+
+    return tagged.groupby([by, "__bin"]).map_groups(merge, batch_format="pyarrow")

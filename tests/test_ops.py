@@ -879,3 +879,96 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     # partitioning-independent: same rows at another block count
     repart = sample.hash_sample(ds.repartition(7), rate=0.2, salt="x").to_pandas()
     assert sorted(repart["doc_id"]) == sorted(s1["doc_id"])
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    left = pa.table(
+        {
+            "lid": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "k": pa.array([10, 10, 10, 20, 30], type=pa.int64()),
+            "ts": pa.array([100, 205, 50, 300, 7], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([10, 10, 20, 20], type=pa.int64()),
+            "ts": pa.array([90, 200, 100, 290], type=pa.int64()),
+            "val": pa.array([1.5, 2.5, 9.0, 11.0]),
+        }
+    )
+    out = (
+        join_ops.asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), by="k", on="ts"
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "SELECT l.lid, l.k, l.ts, r.val FROM l ASOF LEFT JOIN r"
+        " ON l.k = r.k AND l.ts >= r.ts ORDER BY lid"
+    ).fetchdf()
+    assert out["lid"].tolist() == exp["lid"].tolist()
+    import numpy as _np
+
+    _np.testing.assert_array_equal(out["val"].values, exp["val"].values)
+    # tolerance: match at lid=2 (gap 5) survives, lid=1 (gap 10) dropped
+    tol = (
+        join_ops.asof_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), by="k", on="ts", tolerance_us=5
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert _np.isnan(tol.loc[0, "val"]) and tol.loc[1, "val"] == 2.5
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as _np
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    rng = _np.random.default_rng(5)
+    left = pa.table(
+        {
+            "lid": pa.array(range(300), type=pa.int64()),
+            "k": pa.array(rng.integers(0, 10, 300), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 5000, 300), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 10, 400), type=pa.int64()),
+            "ts": pa.array(rng.integers(0, 5000, 400), type=pa.int64()),
+            "val": pa.array(rng.normal(size=400)),
+        }
+    )
+    out = join_ops.range_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        by="k",
+        on="ts",
+        lo_offset_us=-100,
+        hi_offset_us=0,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute(
+        "SELECT l.lid, l.k, l.ts, r.ts AS ts_right, r.val"
+        " FROM l JOIN r ON l.k = r.k AND r.ts BETWEEN l.ts - 100 AND l.ts"
+    ).fetchdf()
+    assert len(out) == len(exp)
+    key = lambda df: sorted(zip(df["lid"], df["ts_right"], df["val"].round(9)))
+    assert key(out) == key(exp)
