@@ -641,6 +641,31 @@ def _range_join_events(sf_dir: str):
     )
 
 
+def _ann_hnsw(sf_dir: str):
+    """Distributed HNSW shards (build per ~256 vectors, fan-out query,
+    merge). Deterministic build (content-keyed seeds); with a beam wide
+    enough to cover each shard the result is exact, so ranked ids carry
+    an oracle (scores stay float32-internal and are not compared)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import ann
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = first.slice(0, 1)
+    q = np.array(qrow.column("embedding")[0].as_py())
+    idx = ann.build_hnsw(ds, shard_rows=256).materialize()
+    top = ann.hnsw_topk(idx, q, k=10, ef=512)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64)),
+            "vec_id": top.column("vec_id"),
+        }
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -697,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_mixture_documents"] = _sample_mixture
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
+    q["ann_hnsw_embeddings"] = _ann_hnsw
     return q
 
 
@@ -890,6 +916,13 @@ def oracle_sql() -> dict[str, str]:
         " SELECT c.event_id, c.ts, c.user_id, p.ts AS ts_right, p.value"
         " FROM clicks c JOIN p ON c.user_id = p.user_id"
         " AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
+    )
+    o["ann_hnsw_embeddings"] = (
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank, vec_id"
+        " FROM (SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[],"
+        " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id ="
+        " (SELECT min(vec_id) FROM embeddings))) AS score"
+        " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -240,3 +240,202 @@ def ivf_topk(
 
     candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, column, id_column)
+
+
+# ------------------------------------------------------------------ HNSW
+
+class HNSWGraph:
+    """Hierarchical Navigable Small World graph (Malkov & Yashunin,
+    IEEE TPAMI 2018 — public paper) over L2-normalized vectors
+    (cosine distance = 1 - dot). Pure numpy + heapq; insertion is a
+    per-vector loop (index BUILD cost, amortized over queries), with
+    the inner distance evaluations batched per neighbor list.
+
+    Deterministic: level draws come from a seeded RNG, so a retried
+    build task reproduces the identical graph."""
+
+    def __init__(self, M: int = 16, ef_construction: int = 64, seed: int = 7):
+        self.M = M
+        self.efc = ef_construction
+        self.mL = 1.0 / np.log(M)
+        self.vecs: np.ndarray | None = None
+        self.links: list[list[list[int]]] = []  # node -> level -> neighbor ids
+        self.entry = -1
+        self.max_level = -1
+        self.rng = np.random.default_rng(seed)
+
+    # -- internals ----------------------------------------------------
+    def _dist(self, q: np.ndarray, idx) -> np.ndarray:
+        return 1.0 - self.vecs[idx] @ q
+
+    def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, level: int):
+        """Greedy beam search on one layer; returns [(dist, id)] sorted
+        ascending, at most ef entries."""
+        import heapq
+
+        d0 = self._dist(q, np.asarray(eps))
+        visited = set(eps)
+        cand = list(zip(d0.tolist(), eps))
+        heapq.heapify(cand)
+        best = [(-d, e) for d, e in cand]
+        heapq.heapify(best)
+        while cand:
+            d, e = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            nbs = [nb for nb in self.links[e][level] if nb not in visited]
+            if not nbs:
+                continue
+            visited.update(nbs)
+            dn = self._dist(q, np.asarray(nbs))
+            for dist, nb in zip(dn.tolist(), nbs):
+                if len(best) < ef or dist < -best[0][0]:
+                    heapq.heappush(cand, (dist, nb))
+                    heapq.heappush(best, (-dist, nb))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-nd, e) for nd, e in best)
+
+    def _prune(self, node: int, level: int, mmax: int) -> None:
+        nbs = self.links[node][level]
+        if len(nbs) <= mmax:
+            return
+        d = self._dist(self.vecs[node], np.asarray(nbs))
+        keep = np.argsort(d, kind="stable")[:mmax]
+        self.links[node][level] = [nbs[i] for i in keep]
+
+    # -- public -------------------------------------------------------
+    def add(self, vecs: np.ndarray) -> None:
+        """Insert a (n, dim) block of L2-NORMALIZED vectors."""
+        start = 0 if self.vecs is None else len(self.vecs)
+        self.vecs = vecs if self.vecs is None else np.vstack([self.vecs, vecs])
+        for i in range(start, len(self.vecs)):
+            level = int(-np.log(max(self.rng.random(), 1e-12)) * self.mL)
+            self.links.append([[] for _ in range(level + 1)])
+            if self.entry < 0:
+                self.entry, self.max_level = i, level
+                continue
+            q = self.vecs[i]
+            ep = [self.entry]
+            for lev in range(self.max_level, level, -1):
+                ep = [self._search_layer(q, ep, 1, lev)[0][1]]
+            for lev in range(min(level, self.max_level), -1, -1):
+                w = self._search_layer(q, ep, self.efc, lev)
+                nbs = [e for _, e in w[: self.M]]
+                self.links[i][lev] = list(nbs)
+                mmax = self.M * 2 if lev == 0 else self.M
+                for nb in nbs:
+                    self.links[nb][lev].append(i)
+                    self._prune(nb, lev, mmax)
+                ep = [e for _, e in w]
+            if level > self.max_level:
+                self.entry, self.max_level = i, level
+
+    def search(self, q: np.ndarray, k: int, ef: int = 64):
+        """Returns (positions, cosine_scores) of the approx top-k."""
+        if self.entry < 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ep = [self.entry]
+        for lev in range(self.max_level, 0, -1):
+            ep = [self._search_layer(q, ep, 1, lev)[0][1]]
+        w = self._search_layer(q, ep, max(ef, k), 0)[:k]
+        pos = np.array([e for _, e in w], dtype=np.int64)
+        dist = np.array([d for d, _ in w])
+        return pos, 1.0 - dist
+
+
+class _HNSWBuilder:
+    """Stateful build stage (actor-pool candidate): one graph per
+    input batch — the shard granularity of the index. Emits one row
+    per shard: (shard_key, n, blob) with the pickled graph + ids."""
+
+    def __init__(self, column: str, id_column: str, M: int, ef_construction: int):
+        self.column, self.id_column = column, id_column
+        self.M, self.efc = M, ef_construction
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        mat = _matrix(batch.column(self.column)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        mat = mat / np.maximum(norms, 1e-30)[:, None]
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        # seed keyed on content so retries rebuild the identical graph
+        seed = (int(np.bitwise_xor.reduce(ids.astype(np.uint64))) & 0x7FFFFFFF) if len(ids) else 7
+        g = HNSWGraph(self.M, self.efc, seed=seed)
+        g.add(mat.astype(np.float32))
+        blob = pickle.dumps({"graph": g, "ids": ids})
+        return pa.table(
+            {
+                "shard_key": pa.array([f"hnsw-{seed:08x}-{len(ids)}"]),
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.binary()),
+            }
+        )
+
+
+def build_hnsw(
+    ds,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    M: int = 16,
+    ef_construction: int = 64,
+    shard_rows: int = 8192,
+    concurrency: int | None = None,
+):
+    """Distributed HNSW: one graph per ~shard_rows vectors (the FAISS
+    shard pattern — graphs build in parallel, queries fan out to every
+    shard and merge, so the index scales horizontally with no global
+    structure). Returns a Dataset of shard rows; persist with
+    write_parquet(..., ENCODED_PARQUET_ARGS) for reuse."""
+    return ds.map_batches(
+        _HNSWBuilder(column, id_column, M, ef_construction),
+        batch_format="pyarrow",
+        batch_size=shard_rows,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def hnsw_topk(
+    index_ds,
+    query: np.ndarray,
+    k: int = 10,
+    ef: int = 64,
+    id_column: str = "vec_id",
+    round_digits: int | None = 6,
+):
+    """Approximate cosine top-k against a built HNSW shard set: the
+    query is broadcast, each shard searches its graph (ef beam), only
+    k (id, score) rows per shard move; tiny driver merge."""
+    import pickle
+
+    import ray
+
+    qn = np.asarray(query, dtype=np.float64)
+    qn = qn / max(np.linalg.norm(qn), 1e-30)
+    q_ref = ray.put(qn.astype(np.float32))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        out_ids, out_scores = [], []
+        for blob in batch.column("blob"):
+            payload = pickle.loads(memoryview(blob.as_buffer()))
+            pos, scores = payload["graph"].search(q, k, ef)
+            out_ids.append(payload["ids"][pos])
+            out_scores.append(scores)
+        if not out_ids:
+            return pa.table({id_column: pa.array([], type=pa.int64()), "score": pa.array([], type=pa.float64())})
+        return pa.table(
+            {
+                id_column: pa.array(np.concatenate(out_ids)),
+                "score": pa.array(np.concatenate(out_scores).astype(np.float64)),
+            }
+        )
+
+    parts = index_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = parts.to_pandas()
+    pdf = pdf.sort_values(["score", id_column], ascending=[False, True]).head(k)
+    if round_digits is not None:
+        pdf["score"] = pdf["score"].round(round_digits)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True))

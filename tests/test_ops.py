@@ -972,3 +972,33 @@ def test_range_join_matches_duckdb(ray_session):
     assert len(out) == len(exp)
     key = lambda df: sorted(zip(df["lid"], df["ts_right"], df["val"].round(9)))
     assert key(out) == key(exp)
+
+
+def test_hnsw_recall_and_determinism(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").slice(0, 1)
+    q = np.array(first.column("embedding")[0].as_py())
+    exact = ann.brute_force_topk(ds, q, k=10).column("vec_id").to_pylist()
+    idx = ann.build_hnsw(ds, shard_rows=256).materialize()
+    got = ann.hnsw_topk(idx, q, k=10, ef=96).column("vec_id").to_pylist()
+    assert len(set(exact) & set(got)) >= 8  # recall@10 >= 0.8
+    # determinism: rebuilding produces the same result set
+    idx2 = ann.build_hnsw(ds, shard_rows=256).materialize()
+    got2 = ann.hnsw_topk(idx2, q, k=10, ef=96).column("vec_id").to_pylist()
+    assert got == got2
+
+
+def test_hnsw_graph_exactish_small():
+    """With ef >= n the beam search degenerates to exact scan."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 16)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1)[:, None]
+    g = ann.HNSWGraph(M=8, ef_construction=64, seed=1)
+    g.add(X)
+    q = X[17]
+    pos, scores = g.search(q, k=5, ef=200)
+    exact = np.argsort(-(X @ q))[:5]
+    assert pos[0] == 17 and scores[0] > 0.999
+    assert set(pos.tolist()) == set(exact.tolist())
