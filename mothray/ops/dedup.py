@@ -196,10 +196,14 @@ def paragraph_dedup(
     caller's policy decision).
 
     Scale path mirrors exact_dedup: the paragraph TEXT never enters the
-    winner exchange — only (h1, h2, id, idx) rows (32 bytes) shuffle;
-    losers come back as (id, idx) pairs and are removed with one
-    composite-key hash join; reassembly is a per-doc groupby (groups
-    are single docs — bounded)."""
+    winner exchange — only (h1, h2, id, idx) rows (32 bytes) shuffle.
+    Losers come back as ONE tiny row per affected doc (the drop
+    positions packed into a string), so the corpus text shuffles at
+    most ONCE (the doc-id join), and the drop+rejoin runs vectorized
+    inside the task that already holds the doc. A first draft shuffled
+    text twice (composite-key anti-join on exploded paragraphs, then a
+    groupby(doc_id) reassembly) — at 100 TB that is two extra
+    full-corpus exchanges."""
     import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -234,48 +238,59 @@ def paragraph_dedup(
         keep[order[0]] = True
         return group.filter(pa.array(~keep)).select([id_column, "para_idx"])
 
+    def pack_drops(group: pa.Table) -> pa.Table:
+        # one row per affected doc: sorted drop positions as a csv
+        # string (a list<int64> column would be cleaner, but the join
+        # below runs through Acero, which rejects nested non-key
+        # columns — same constraint as _anti_join_ids)
+        idx = np.sort(group.column("para_idx").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_column: group.column(id_column).combine_chunks().slice(0, 1),
+                "__drops": pa.array([",".join(map(str, idx.tolist()))]),
+            }
+        )
+
     lost = (
         ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["h1", "h2"])
         .map_groups(losers, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.append_column("__lost", pa.array(np.ones(t.num_rows, dtype=np.int8))),
-            batch_format="pyarrow",
-        )
-        .materialize()  # ids only (tiny); also guards the empty-join case
+        .groupby(id_column)
+        .map_groups(pack_drops, batch_format="pyarrow")
+        .materialize()  # (id, positions-string) — one tiny row per affected doc
     )
 
-    paras = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    docs = ds.map_batches(
+        lambda t: t.select([id_column, column]), batch_format="pyarrow", zero_copy_batch=True
+    )
     if lost.count() > 0:
         n = num_partitions or _auto_partitions(ds)
-        paras = paras.join(
-            lost, join_type="left_anti", num_partitions=n, on=(id_column, "para_idx")
-        )
+        docs = docs.join(lost, join_type="left_outer", num_partitions=n, on=(id_column,))
 
-    def reassemble(group: pa.Table) -> pa.Table:
-        id_arr = group.column(id_column).combine_chunks()
-        if group.num_rows == 0:
-            return pa.table({id_column: id_arr, "kept_text": pa.array([], type=pa.string())})
-        order = np.argsort(group.column("para_idx").to_numpy(zero_copy_only=False))
-        kept = group.column("para").combine_chunks().take(pa.array(order))
-        wrapped = pa.ListArray.from_arrays(
-            pa.array([0, len(kept)], type=pa.int32()), kept
-        )
-        return pa.table({id_column: id_arr.slice(0, 1), "kept_text": pc.binary_join(wrapped, sep)})
+    def drop_and_rejoin(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        ids = batch.column(id_column)
+        if "__drops" not in batch.column_names:
+            return pa.table({id_column: ids, "kept_text": texts.fill_null("")})
+        paras = pc.split_pattern(texts.fill_null(""), sep)
+        paras = paras.combine_chunks() if isinstance(paras, pa.ChunkedArray) else paras
+        offs = paras.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = paras.flatten()
+        keep = np.ones(int(offs[-1]), dtype=bool)
+        drops = batch.column("__drops").to_pylist()  # mostly None; rare strings
+        for row, dstr in enumerate(drops):
+            if dstr:
+                pos = np.array(dstr.split(","), dtype=np.int64)
+                keep[offs[row] + pos] = False
+        new_counts = np.add.reduceat(keep, offs[:-1]) if len(offs) > 1 else np.zeros(0, np.int64)
+        new_counts = new_counts * (np.diff(offs) > 0)  # reduceat quirk on empty segments
+        new_offs = np.concatenate(([0], np.cumsum(new_counts)))
+        kept_flat = flat.filter(pa.array(keep))
+        rebuilt = pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()), kept_flat)
+        return pa.table({id_column: ids, "kept_text": pc.binary_join(rebuilt, sep)})
 
-    out = paras.groupby(id_column).map_groups(reassemble, batch_format="pyarrow")
-    # docs whose every paragraph lost: restore with empty text (the
-    # id set is the corpus minus the reassembled — both id-only)
-    all_ids = ds.map_batches(
-        lambda t: t.select([id_column]), batch_format="pyarrow", zero_copy_batch=True
-    )
-    survivors = out.map_batches(lambda t: t.select([id_column]), batch_format="pyarrow")
-    gone = _anti_join_ids(all_ids, survivors, id_column, num_partitions)
-    empty_docs = gone.map_batches(
-        lambda t: t.append_column("kept_text", pa.array([""] * t.num_rows, type=pa.string())),
-        batch_format="pyarrow",
-    )
-    return out.union(empty_docs)
+    return docs.map_batches(drop_and_rejoin, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ------------------------------------------------------------------ minhash
