@@ -666,6 +666,14 @@ def _ann_hnsw(sf_dir: str):
     )
 
 
+def _entropy(sf_dir: str):
+    from mothray.ops import text
+
+    return _docs(sf_dir).map_batches(text.entropy_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "char_entropy"]
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -723,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
+    q["entropy_documents"] = _entropy
     return q
 
 
@@ -923,6 +932,13 @@ def oracle_sql() -> dict[str, str]:
         " (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id ="
         " (SELECT min(vec_id) FROM embeddings))) AS score"
         " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)"
+    )
+    o["entropy_documents"] = (
+        "SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy"
+        " FROM documents d LEFT JOIN ("
+        " SELECT doc_id, round(entropy(c), 6) AS char_entropy"
+        " FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)"
+        " GROUP BY doc_id) e USING (doc_id)"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -188,6 +188,40 @@ def html_text_batch(batch: pa.Table, column: str = "html", out: str = "extracted
     return batch.append_column(out, t)
 
 
+def entropy_batch(batch: pa.Table, column: str = "text", round_digits: int = 6) -> pa.Table:
+    """Per-doc Shannon entropy (bits) over Unicode codepoints — a
+    cheap gibberish/boilerplate quality signal (low entropy = repeated
+    filler, high = random bytes). Adds `char_entropy`; empty/null docs
+    get 0.0. Matches DuckDB's log2 `entropy()` aggregate (rounded to 6
+    digits on both sides — accumulation order differs at ~1e-15).
+
+    Vectorized: one UTF-8 decode pass, one sort-free unique over
+    (doc, codepoint) packed keys, two bincounts."""
+    from ..column import _string_parts
+
+    arr = batch.column(column).combine_chunks().fill_null("")
+    lengths, data = _string_parts(arr)
+    n = len(lengths)
+    ent = np.zeros(n, dtype=np.float64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf):
+        pos, cp = _utf8_codepoints(buf)
+        offs = np.concatenate(([0], np.cumsum(lengths.astype(np.int64))))
+        doc_of = np.searchsorted(offs[1:], pos, side="right")
+        n_cp = np.bincount(doc_of, minlength=n).astype(np.float64)
+        # pack (doc, codepoint) into one u64 key: cp <= 0x10FFFF < 2^21
+        key = (doc_of.astype(np.uint64) << np.uint64(21)) | cp
+        ukeys, cnts = np.unique(key, return_counts=True)
+        udoc = (ukeys >> np.uint64(21)).astype(np.int64)
+        c = cnts.astype(np.float64)
+        s = np.bincount(udoc, weights=c * np.log2(c), minlength=n)
+        nz = n_cp > 0
+        ent[nz] = np.log2(n_cp[nz]) - s[nz] / n_cp[nz]
+    if round_digits is not None:
+        ent = np.round(ent, round_digits)
+    return batch.append_column("char_entropy", pa.array(ent))
+
+
 # PII patterns, RE2-safe and ASCII-class-only so the DuckDB oracle's
 # regexp_replace chain is character-identical. Deliberately the
 # precision-over-recall shapes used in corpus prep (emails, intl/US

@@ -1002,3 +1002,28 @@ def test_hnsw_graph_exactish_small():
     exact = np.argsort(-(X @ q))[:5]
     assert pos[0] == 17 and scores[0] > 0.999
     assert set(pos.tolist()) == set(exact.tolist())
+
+
+def test_entropy_matches_duckdb(ray_session, docs_ds):
+    import duckdb
+
+    out = (
+        docs_ds.map_batches(text.entropy_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "char_entropy"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy"
+        " FROM read_parquet('/root/testdata/sf0.001/documents.parquet') d LEFT JOIN ("
+        " SELECT doc_id, round(entropy(c), 6) AS char_entropy FROM"
+        " (SELECT doc_id, unnest(string_split(text, '')) AS c"
+        "  FROM read_parquet('/root/testdata/sf0.001/documents.parquet')) GROUP BY doc_id)"
+        " e USING (doc_id) ORDER BY doc_id"
+    ).df()
+    assert out["char_entropy"].tolist() == exp["char_entropy"].tolist()
+    # unicode + empty edge cases
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": ["ééaa", "", None]})
+    e = text.entropy_batch(tbl)["char_entropy"].to_pylist()
+    assert e[0] == 1.0 and e[1] == 0.0 and e[2] == 0.0
