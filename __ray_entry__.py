@@ -674,6 +674,18 @@ def _entropy(sf_dir: str):
     )
 
 
+def _cdc_chunks(sf_dir: str):
+    """Content-defined chunking (gear-hash CDC): deterministic chunk
+    rows for sub-document dedup. Rolling-hash boundaries are not
+    SQL-expressible -> rows-only here; tiling/edit-locality/layout
+    invariants are pytest-enforced (test_cdc_chunking_invariants)."""
+    from mothray.ops import cdc
+
+    return cdc.cdc_chunks(_docs(sf_dir)).select_columns(
+        ["doc_id", "chunk_idx", "length", "chunk_hash"]
+    )
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -732,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
     q["entropy_documents"] = _entropy
+    q["cdc_chunks_documents"] = _cdc_chunks
     return q
 
 

@@ -1027,3 +1027,41 @@ def test_entropy_matches_duckdb(ray_session, docs_ds):
     tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()), "text": ["ééaa", "", None]})
     e = text.entropy_batch(tbl)["char_entropy"].to_pylist()
     assert e[0] == 1.0 and e[1] == 0.0 and e[2] == 0.0
+
+
+def test_cdc_chunking_invariants(ray_session):
+    import ray.data
+
+    from mothray.ops import cdc
+
+    rng = np.random.default_rng(13)
+    base = bytes(rng.integers(32, 127, 6000, dtype=np.uint8)).decode("ascii")
+    edited = base[:1000] + "INSERTED BANNER TEXT " + base[1000:]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [base, edited, base, ""],
+        }
+    )
+    out = cdc.cdc_chunks(ray.data.from_arrow(tbl)).to_pandas()
+    # tiling: per-doc chunk lengths sum to the UTF-8 byte length
+    sums = out.groupby("doc_id")["length"].sum()
+    assert sums[1] == len(base.encode()) and sums[4] == 0
+    # identical docs -> identical chunk hash sequences
+    h1 = out[out.doc_id == 1].sort_values("chunk_idx")["chunk_hash"].tolist()
+    h3 = out[out.doc_id == 3].sort_values("chunk_idx")["chunk_hash"].tolist()
+    assert h1 == h3 and len(h1) > 3
+    # edit locality: the edited doc shares most chunk hashes with base
+    h2 = set(out[out.doc_id == 2]["chunk_hash"])
+    shared = len(set(h1) & h2)
+    assert shared >= len(h1) - 3  # only chunks near the edit differ
+    # batch-layout independence: chunking docs separately matches
+    solo = cdc.cdc_chunk_batch(tbl.slice(1, 1))
+    joint = out[out.doc_id == 2].sort_values("chunk_idx")
+    assert solo.column("chunk_hash").to_pylist() == joint["chunk_hash"].tolist()
+    # min/max bounds respected (except final chunk per doc may be short)
+    nonfinal = out.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id").apply(
+        lambda g: g.iloc[:-1], include_groups=False
+    )
+    if len(nonfinal):
+        assert (nonfinal["length"] >= 64).all() and (nonfinal["length"] <= 2048).all()
