@@ -445,9 +445,13 @@ def _multimodal_image(sf_dir: str):
         imgs = [multimodal.make_fake_image(16 + i % 17, 16 + i % 13, seed=i) for i in ids]
         return batch.append_column("image", pa.array(imgs, type=pa.binary()))
 
-    out = multimodal.decode_images(
-        ds.map_batches(add_image, batch_format="pyarrow"), concurrency=2, batch_size=128
+    # resize -> decode chain: two composed actor-pool stages (the
+    # resized container re-decodes, so width/height become 12x10)
+    resized = multimodal.resize_images(
+        ds.map_batches(add_image, batch_format="pyarrow"),
+        target_w=12, target_h=10, concurrency=2, batch_size=128,
     )
+    out = multimodal.decode_images(resized, concurrency=2, batch_size=128)
     return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
 
 

@@ -182,3 +182,47 @@ def decode_images(ds, concurrency: int = 4, batch_size: int = 256):
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: resize every image to (target_w, target_h)
+    with nearest-neighbor sampling, emitting the SAME container format
+    so the output composes with ImageDecoder (resize -> decode ->
+    features chains). The sampling math is real; only the container is
+    the sandbox's synthetic format (no image libs here) — with PIL
+    present the payload branch would swap, the Ray plumbing would not
+    change. Undecodable/null rows pass through as null."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw, self.th = int(target_w), int(target_h)
+        self._dec = ImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        images = _binary_views(batch.column("image"))
+        out = []
+        header = MAGIC + self.tw.to_bytes(2, "little") + self.th.to_bytes(2, "little")
+        for payload in images:
+            img = self._dec._decode_payload(payload)
+            if img is None:
+                out.append(None)
+                continue
+            h, w = img.shape
+            ys = (np.arange(self.th) * h) // self.th
+            xs = (np.arange(self.tw) * w) // self.tw
+            out.append(header + img[np.ix_(ys, xs)].tobytes())
+        return batch.set_column(
+            batch.column_names.index("image"), "image", pa.array(out, type=pa.binary())
+        )
+
+
+def resize_images(ds, target_w: int = 32, target_h: int = 32, concurrency: int = 4, batch_size: int = 256):
+    """Payload-aware batch size: binary images are MB-scale, so batches
+    stay small enough that batch x concurrency fits a worker heap."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )

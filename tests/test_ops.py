@@ -1065,3 +1065,24 @@ def test_cdc_chunking_invariants(ray_session):
     )
     if len(nonfinal):
         assert (nonfinal["length"] >= 64).all() and (nonfinal["length"] <= 2048).all()
+
+
+def test_image_resize_composes_with_decode(ray_session):
+    import ray.data
+
+    from mothray.ops import multimodal as mm
+
+    images = [mm.make_fake_image(64, 48, seed=i) for i in range(10)]
+    images[4] = None
+    tbl = pa.table({"img_id": pa.array(range(10), type=pa.int64()), "image": pa.array(images, type=pa.binary())})
+    resized = mm.resize_images(ray.data.from_arrow(tbl), target_w=16, target_h=8, concurrency=2)
+    out = mm.decode_images(resized, concurrency=2).to_pandas().sort_values("img_id")
+    ok = out[out["width"].notna()]
+    assert len(ok) == 9
+    assert (ok["width"] == 16).all() and (ok["height"] == 8).all()
+    assert out[out["img_id"] == 4]["width"].isna().all()
+    # nearest-neighbor on a constant image preserves the mean exactly
+    const = pa.table({"img_id": pa.array([0], type=pa.int64()),
+                      "image": pa.array([mm.MAGIC + (5).to_bytes(2, "little") + (4).to_bytes(2, "little") + bytes([77]) * 20], type=pa.binary())})
+    r = mm.decode_images(mm.resize_images(ray.data.from_arrow(const), 3, 3)).to_pandas()
+    assert r.loc[0, "mean_pixel"] == 77.0
