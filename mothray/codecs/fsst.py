@@ -266,20 +266,29 @@ def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
         key_p = win[s[:-1][ok]] & _MASKS[comb[ok]]
         len_p = comb[ok]
 
-        gains: dict[tuple[int, int], int] = {}
-        for keys, lens_arr in ((key_s, np.minimum(ln, 8)), (key_p, len_p)):
-            if len(keys) == 0:
-                continue
-            combo = keys ^ (lens_arr.astype(np.uint64) << _U64(60))
-            uniq, inv, counts = np.unique(combo, return_inverse=True, return_counts=True)
-            first = np.zeros(len(uniq), dtype=np.int64)
-            first[inv[::-1]] = np.arange(len(keys) - 1, -1, -1)
-            for u_i in range(len(uniq)):
-                j = first[u_i]
-                key = (int(keys[j]), int(lens_arr[j]))
-                gains[key] = gains.get(key, 0) + int(counts[u_i]) * int(lens_arr[j])
-        ranked = sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]
-        symbols = [int(k[0]).to_bytes(8, "little")[: k[1]] for k, _ in ranked]
+        # vectorized gain accumulation (a python loop over unique
+        # symbols here was ~70% of no-plan encode wall): dedupe the
+        # (key,len) combos of singles+pairs in one unique pass, sum
+        # count*len per combo with bincount, rank with a stable argsort
+        # (ties break by combo value — deterministic across runs)
+        all_keys = np.concatenate([key_s, key_p]) if len(key_p) else key_s
+        all_lens = (
+            np.concatenate([np.minimum(ln, 8), len_p]) if len(key_p) else np.minimum(ln, 8)
+        )
+        if len(all_keys) == 0:
+            table = SymbolTable([])
+            continue
+        combo = all_keys ^ (all_lens.astype(np.uint64) << _U64(60))
+        uniq, inv, counts_per_occ = np.unique(combo, return_inverse=True, return_counts=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(combo) - 1, -1, -1)
+        rep_keys = all_keys[first]
+        rep_lens = all_lens[first].astype(np.int64)
+        gains_v = counts_per_occ * rep_lens
+        top = np.argsort(-gains_v, kind="stable")[:MAX_SYMBOLS]
+        symbols = [
+            int(rep_keys[j]).to_bytes(8, "little")[: int(rep_lens[j])] for j in top
+        ]
         table = SymbolTable(symbols)
     return table
 
