@@ -190,10 +190,17 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     # NOTE: no timings inside the stripe row — stripe bytes must be
     # deterministic under task retries / job resume (wall-clock metrics
     # live in the checkpoint manifests instead)
+    import zlib
+
     meta = {
         "columns": col_metas,
         "blooms": bloom_index,
         "row_groups": {"rows": rg_rows, "count": len(rg_bounds), "stats": rg_stats},
+        # end-to-end integrity: decode verifies the blob against this
+        # before touching any stream (the reference has no stripe
+        # checksum; bit-flips between writer and reader would surface
+        # as codec garbage or silently wrong values)
+        "blob_crc32": zlib.crc32(blob_bytes),
         "metrics": {
             "codecs": {n: m["row_groups"][0]["encoding"] for n, m in col_metas.items()},
             "compression": o["compression"],
@@ -307,6 +314,17 @@ def decode_stripe(
     schema = _deserialize_schema(row["schema_ipc"])
     meta = json.loads(row["meta"])
     blob = row["blob"]
+    expect_crc = meta.get("blob_crc32")  # absent on pre-checksum stripes
+    if expect_crc is not None:
+        import zlib
+
+        got = zlib.crc32(blob)
+        if got != expect_crc:
+            raise ValueError(
+                f"stripe {row.get('stripe_key')}: blob checksum mismatch "
+                f"(stored {expect_crc:#010x}, computed {got:#010x}) — "
+                "encoded data corrupted between write and read"
+            )
     if target_schema is not None:
         # schema evolution via case-insensitive NAME-based field mapping
         # (reference NameBasedFieldMapper.go:23-31): the output follows

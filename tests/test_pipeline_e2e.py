@@ -373,3 +373,23 @@ def test_compact_encoded(ray_session, tmp_path):
         return sorted(zip(t.column("stripe_key").to_pylist(), [b.as_py() for b in t.column("blob")]))
     out_files = [str(out / f) for f in sorted(os.listdir(out))]
     assert blobs(files) == blobs(out_files)
+
+
+def test_blob_checksum_detects_corruption(ray_session):
+    """A flipped byte anywhere in the stripe blob fails decode loudly
+    instead of surfacing as codec garbage or silently wrong values."""
+    import pytest as _pytest
+
+    from mothray import datagen, stripe
+
+    tbl = datagen.cc_pages(300, seed=4)
+    enc = stripe.encode_batch(tbl)
+    row = {name: enc.column(name)[0].as_py() for name in enc.column_names}
+    assert stripe.decode_stripe(dict(row)).num_rows > 0  # clean decode
+
+    blob = bytearray(row["blob"])
+    blob[len(blob) // 2] ^= 0xFF
+    bad = dict(row)
+    bad["blob"] = bytes(blob)
+    with _pytest.raises(ValueError, match="checksum mismatch"):
+        stripe.decode_stripe(bad)
