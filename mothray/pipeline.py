@@ -229,10 +229,10 @@ class _ReadEncode:
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         import pyarrow.parquet as pq
 
-        for pid, inputs_json in zip(
-            batch.column("part_id").to_pylist(), batch.column("inputs").to_pylist()
-        ):
-            inputs = json.loads(inputs_json)
+        has_slice = "row_start" in batch.column_names
+        for i in range(batch.num_rows):
+            pid = batch.column("part_id")[i].as_py()
+            inputs = json.loads(batch.column("inputs")[i].as_py())
             by_path: dict[str, list[int]] = {}
             for path, rg, _size in inputs:
                 by_path.setdefault(path, []).append(rg)
@@ -241,7 +241,18 @@ class _ReadEncode:
                 for path, rgs in by_path.items()
             ]
             tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-            yield stripe_mod.encode_batch(tbl, self.opts, key_prefix=f"p{pid:05d}")
+            prefix = f"p{pid:05d}"
+            if has_slice:
+                start = batch.column("row_start")[i].as_py()
+                count = batch.column("row_count")[i].as_py()
+                if start is not None:
+                    # sub-row-group work unit (single giant row group):
+                    # this task decompresses the group but encodes only
+                    # its slice — decode cost is shared, encode
+                    # parallelism restored
+                    tbl = tbl.slice(start, count)
+                    prefix = f"p{pid:05d}s{start}"
+            yield stripe_mod.encode_batch(tbl, self.opts, key_prefix=prefix)
 
 
 def encode_files(
@@ -283,7 +294,36 @@ def encode_files(
         # keeps units identical across cluster widths
         target_bytes = int(min(max(total // max(ncpu * 8, 1), 4 << 20), 32 << 20))
     parts = ckpt.plan_partitions(input_path, target_bytes)
-    items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
+    items = []
+    any_slice = False
+    for p in parts:
+        # a unit holding ONE row group far above target (writers that
+        # emit whole files as a single giant row group — common) would
+        # otherwise serialize the whole file into one encode task
+        if len(p["inputs"]) == 1 and p["bytes"] > 2 * target_bytes:
+            import pyarrow.parquet as pq
+
+            path, rg, size = p["inputs"][0]
+            n_rows = pq.ParquetFile(path).metadata.row_group(rg).num_rows
+            k = max(int(-(-size // target_bytes)), 1)
+            per = -(-n_rows // k)
+            for start in range(0, n_rows, per):
+                items.append(
+                    {
+                        "part_id": p["part_id"],
+                        "inputs": json.dumps(p["inputs"]),
+                        "row_start": start,
+                        "row_count": min(per, n_rows - start),
+                    }
+                )
+            any_slice = True
+        else:
+            items.append(
+                {"part_id": p["part_id"], "inputs": json.dumps(p["inputs"]),
+                 "row_start": None, "row_count": None}
+            )
+    if not any_slice:
+        items = [{"part_id": it["part_id"], "inputs": it["inputs"]} for it in items]
     units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
     return units.map_batches(
         _ReadEncode(opts, plan_ref=plan_ref, columns=columns),

@@ -340,6 +340,35 @@ def test_encode_files_fused_roundtrip(ray_session, tmp_path):
     assert fingerprint(single) == fingerprint(single)
 
 
+def test_encode_files_giant_row_group_sliced(ray_session, tmp_path):
+    """A file written as ONE giant row group (common writer default)
+    must not collapse into a single encode task: encode_files slices
+    the oversized unit into row ranges so parallelism is restored,
+    and the roundtrip stays bit-identical."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import datagen
+
+    tbl = datagen.cc_pages(4000, seed=44)
+    path = str(tmp_path / "giant.parquet")
+    pq.write_table(tbl, path)  # single row group
+    assert pq.ParquetFile(path).metadata.num_row_groups == 1
+
+    enc = pipeline.encode_files(path, target_bytes=150_000)
+    enc_tbl = enc.to_pandas()
+    # the giant unit was split into several slice work units
+    assert enc_tbl["stripe_key"].str.contains(r"s\d+").any()
+    assert len(enc_tbl) > 2
+    dec = pipeline.decode_dataset(ray.data.from_pandas(enc_tbl))
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(tbl), dec, "url")
+
+    # slice boundaries are deterministic across runs
+    keys = sorted(enc_tbl["stripe_key"])
+    enc2 = pipeline.encode_files(path, target_bytes=150_000).to_pandas()
+    assert sorted(enc2["stripe_key"]) == keys
+
+
 def test_compact_encoded(ray_session, tmp_path):
     """Compaction merges many small encoded part files into few big
     ones with bit-identical decode and no re-encoding (blob bytes are
