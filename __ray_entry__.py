@@ -701,6 +701,62 @@ def _top_sources(sf_dir: str):
     )
 
 
+def _repetition(sf_dir: str):
+    """Word-level Gopher repetition signals; exact DuckDB oracle via
+    string_split + list-slice n-gram expansion."""
+    from mothray.ops import webtext
+
+    return _docs(sf_dir).map_batches(
+        webtext.repetition_batch, batch_format="pyarrow"
+    ).select_columns(
+        ["doc_id", "words", "dup_word_frac", "top2gram_frac", "top3gram_frac", "dup3gram_frac"]
+    )
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: benchmark = docs 0..19 (stands in for
+    an eval set), corpus = the rest; docs sharing any word 4-gram with
+    the benchmark are dropped. Gram set broadcast once; corpus streams.
+    Oracle: exact string 4-gram join in DuckDB."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mothray.ops import webtext
+
+    bench = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 20)],
+    )
+    corpus = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), 20)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return webtext.decontaminate(corpus, bench, n=4).select_columns(["doc_id", "n_chars"])
+
+
+def _quality_filter(sf_dir: str):
+    """Composite keep-filter a real corpus pipeline would run: length +
+    repetition thresholds over the ROUNDED signals (so the SQL oracle's
+    float64 arithmetic agrees boundary-exactly)."""
+    import pyarrow.compute as pc
+
+    from mothray.ops import webtext
+
+    def run(batch: pa.Table) -> pa.Table:
+        b = webtext.repetition_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("words"), 30),
+                pc.less_equal(b.column("dup_word_frac"), 0.6),
+            ),
+            pc.less_equal(b.column("top2gram_frac"), 0.09),
+        )
+        return b.filter(keep).select(["doc_id", "words", "dup_word_frac", "top2gram_frac"])
+
+    return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -749,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_hnsw_embeddings"] = _ann_hnsw
     q["entropy_documents"] = _entropy
     q["cdc_chunks_documents"] = _cdc_chunks
+    q["repetition_documents"] = _repetition
+    q["decontam_documents"] = _decontaminate
+    q["quality_filter_documents"] = _quality_filter
     return q
 
 
@@ -956,6 +1015,43 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, round(entropy(c), 6) AS char_entropy"
         " FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)"
         " GROUP BY doc_id) e USING (doc_id)"
+    )
+    # word n-grams as list slices: ws[i:i+k-1] (1-based inclusive);
+    # range(1, len-k+2) is empty for docs with < k words
+    _rep_cte = (
+        "WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),"
+        " base AS (SELECT doc_id, len(ws) AS words, len(list_distinct(ws)) AS dw FROM w),"
+        " g2 AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram"
+        "        FROM w, unnest(range(1, len(ws))) t(i)),"
+        " c2 AS (SELECT doc_id, count(*) c FROM g2 GROUP BY doc_id, gram),"
+        " t2 AS (SELECT doc_id, max(c) mc FROM c2 GROUP BY doc_id),"
+        " g3 AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram"
+        "        FROM w, unnest(range(1, len(ws) - 1)) t(i)),"
+        " c3 AS (SELECT doc_id, count(*) c FROM g3 GROUP BY doc_id, gram),"
+        " t3 AS (SELECT doc_id, max(c) mc, sum(c) tot,"
+        "        sum(CASE WHEN c >= 2 THEN c ELSE 0 END) dup FROM c3 GROUP BY doc_id),"
+        " rep AS (SELECT b.doc_id, b.words,"
+        "  round(1.0 - b.dw / b.words, 6) AS dup_word_frac,"
+        "  round(coalesce(t2.mc * 2.0 / b.words, 0), 6) AS top2gram_frac,"
+        "  round(coalesce(t3.mc * 3.0 / b.words, 0), 6) AS top3gram_frac,"
+        "  round(coalesce(t3.dup / t3.tot, 0), 6) AS dup3gram_frac"
+        "  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id))"
+    )
+    o["repetition_documents"] = _rep_cte + " SELECT * FROM rep"
+    o["quality_filter_documents"] = _rep_cte + (
+        " SELECT doc_id, words, dup_word_frac, top2gram_frac FROM rep"
+        " WHERE words >= 30 AND dup_word_frac <= 0.6 AND top2gram_frac <= 0.09"
+    )
+    o["decontam_documents"] = (
+        "WITH bw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id < 20),"
+        " bg AS (SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram"
+        "        FROM bw, unnest(range(1, len(ws) - 2)) t(i)),"
+        " cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id >= 20),"
+        " cg AS (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram"
+        "        FROM cw, unnest(range(1, len(ws) - 2)) t(i)),"
+        " bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))"
+        " SELECT doc_id, n_chars FROM documents"
+        " WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -1,0 +1,194 @@
+"""Webtext corpus-quality operators: repetition signals and benchmark
+decontamination.
+
+Both are standard LLM training-data pipeline stages (Gopher's
+repetition filters, GPT-3-style eval-set decontamination) that the
+reference engine does not provide; they extend the documents-table
+operator family (SURVEY.md §2.9). Everything is vectorized over ONE
+shared word-hash pass:
+
+* word n-grams are hashed as a polynomial over per-word 64-bit content
+  hashes (`_segmented_content_hash` — the same kernel exact_dedup
+  uses), with windows masked to positions fully inside each document,
+  so a batch of N docs costs O(total_words) numpy work and zero
+  Python-per-row.
+* repetition_batch — per-doc duplicate-word fraction, top-2/3-gram
+  fraction, duplicated-3-gram fraction (Rae et al., Gopher §A1.1
+  shapes, word-based because the synthetic corpus has no line
+  structure). Exact DuckDB oracle via string_split + list slicing.
+* decontaminate — drop corpus docs sharing any word n-gram with a
+  (small) benchmark set. The benchmark's gram-hash set is built once
+  on the driver and broadcast via ray.put (eval sets are MB-scale;
+  the corpus side streams and never shuffles). Exact DuckDB oracle:
+  string n-gram equality — equal strings hash equal; distinct grams
+  collide with probability ~2^-64.
+
+Scale notes (100 TB): no exchange anywhere — both ops are pure
+map_batches; decontamination's only shared state is the sorted
+benchmark gram array, put ONCE and binary-searched per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _segmented_content_hash
+
+_U64 = np.uint64
+_WORD_SEED = _U64(0x1B873593C2B2AE35)
+_GRAM_C = _U64(0x100000001B3)  # FNV prime: odd -> bijective u64 multiply
+
+
+def _word_hash_parts(texts: pa.ChunkedArray | pa.Array):
+    """Split on single spaces (mirrors SQL string_split(text, ' '),
+    including empty words from doubled spaces and the [''] result for
+    empty/null docs) and hash every word. Returns (words_per_doc int64,
+    flat word hashes u64) — one vectorized pass, no Python per row."""
+    from ..column import _string_parts
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    words = pc.split_pattern(arr.fill_null(""), " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs - offs[0])
+    w_lengths, data = _string_parts(words.flatten())
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return counts, _segmented_content_hash(w_lengths, buf, _WORD_SEED)
+
+
+def _doc_gram_hashes(word_counts: np.ndarray, word_h: np.ndarray, n: int):
+    """Polynomial hash of every n-word window fully inside a doc.
+    Returns (doc_of, gram_vals) aligned 1-D arrays (doc order)."""
+    total = int(word_counts.sum())
+    offs = np.concatenate(([0], np.cumsum(word_counts)))
+    cnt = np.maximum(word_counts - (n - 1), 0)
+    if total == 0 or not cnt.any():
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    padded = np.concatenate([word_h, np.zeros(n - 1, dtype=np.uint64)])
+    acc = padded[:total].copy()
+    for j in range(1, n):
+        acc = acc * _GRAM_C + padded[j : j + total]
+    # keep only window starts whose n words lie inside one doc
+    delta = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(delta, offs[:-1], 1)
+    np.add.at(delta, np.minimum(offs[:-1] + cnt, total), -1)
+    pos = np.nonzero(np.cumsum(delta[:-1]) > 0)[0]
+    doc_of = np.searchsorted(offs[1:], pos, side="right")
+    return doc_of, acc[pos]
+
+
+def _per_doc_run_stats(doc_of: np.ndarray, vals: np.ndarray, n_docs: int):
+    """Group (doc, value) pairs and return per-doc (total positions,
+    distinct values, max run count, positions in values seen >=2x).
+    One lexsort + run-length pass — no Python loops, no dicts."""
+    total = np.zeros(n_docs, dtype=np.int64)
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    maxc = np.zeros(n_docs, dtype=np.int64)
+    dup_pos = np.zeros(n_docs, dtype=np.int64)
+    if len(doc_of) == 0:
+        return total, distinct, maxc, dup_pos
+    order = np.lexsort((vals, doc_of))
+    d = doc_of[order]
+    v = vals[order]
+    run_start = np.ones(len(d), dtype=bool)
+    run_start[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    starts = np.nonzero(run_start)[0]
+    run_len = np.diff(np.concatenate([starts, [len(d)]]))
+    run_doc = d[starts]
+    np.add.at(total, run_doc, run_len)
+    np.add.at(distinct, run_doc, 1)
+    np.maximum.at(maxc, run_doc, run_len)
+    np.add.at(dup_pos, run_doc, np.where(run_len >= 2, run_len, 0))
+    return total, distinct, maxc, dup_pos
+
+
+def repetition_batch(
+    batch: pa.Table, column: str = "text", round_digits: int = 6
+) -> pa.Table:
+    """Per-doc repetition quality signals (word-level Gopher shapes):
+
+    * words          — word count (string_split semantics)
+    * dup_word_frac  — 1 - distinct_words / words
+    * top2gram_frac  — occurrences of the most frequent word 2-gram
+                       x 2 / words (0 when < 2 words)
+    * top3gram_frac  — same with 3-grams
+    * dup3gram_frac  — fraction of 3-gram positions whose gram occurs
+                       >= 2 times in the doc
+
+    All fractions rounded to `round_digits` so the DuckDB oracle's
+    float64 arithmetic compares stringwise."""
+    n_docs = batch.num_rows
+    counts, word_h = _word_hash_parts(batch.column(column))
+    w_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    w_total, w_distinct, _, _ = _per_doc_run_stats(w_doc, word_h, n_docs)
+    safe_w = np.maximum(w_total, 1)
+    out = {
+        "words": pa.array(w_total),
+        "dup_word_frac": np.round(1.0 - w_distinct / safe_w, round_digits),
+    }
+    for n in (2, 3):
+        g_doc, g_vals = _doc_gram_hashes(counts, word_h, n)
+        g_total, _, g_max, g_dup = _per_doc_run_stats(g_doc, g_vals, n_docs)
+        frac = np.where(g_total > 0, g_max * float(n) / safe_w, 0.0)
+        out[f"top{n}gram_frac"] = np.round(frac, round_digits)
+        if n == 3:
+            dup_frac = np.where(g_total > 0, g_dup / np.maximum(g_total, 1), 0.0)
+            out["dup3gram_frac"] = np.round(dup_frac, round_digits)
+    for name, arr in out.items():
+        batch = batch.append_column(
+            name, arr if isinstance(arr, pa.Array) else pa.array(arr)
+        )
+    return batch
+
+
+def benchmark_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int = 8) -> np.ndarray:
+    """Sorted unique word-n-gram hashes of a benchmark text column —
+    the broadcast side of decontaminate (driver-side: eval sets are
+    small by construction)."""
+    counts, word_h = _word_hash_parts(texts)
+    _, vals = _doc_gram_hashes(counts, word_h, n)
+    return np.unique(vals)
+
+
+def contamination_counts_batch(
+    batch: pa.Table, grams_sorted: np.ndarray, column: str = "text", n: int = 8
+) -> pa.Table:
+    """Append contam_gram_cnt: how many of the doc's n-gram positions
+    match a benchmark gram (binary search against the broadcast set)."""
+    n_docs = batch.num_rows
+    counts, word_h = _word_hash_parts(batch.column(column))
+    doc_of, vals = _doc_gram_hashes(counts, word_h, n)
+    hits = np.zeros(n_docs, dtype=np.int64)
+    if len(vals) and len(grams_sorted):
+        pos = np.searchsorted(grams_sorted, vals)
+        pos = np.minimum(pos, len(grams_sorted) - 1)
+        np.add.at(hits, doc_of[grams_sorted[pos] == vals], 1)
+    return batch.append_column("contam_gram_cnt", pa.array(hits))
+
+
+def decontaminate(
+    ds,
+    benchmark: pa.Table | pa.Array | pa.ChunkedArray,
+    column: str = "text",
+    n: int = 8,
+):
+    """Drop corpus docs sharing any word n-gram with the benchmark
+    texts. The gram-hash set is built once here and ray.put ONCE; each
+    map_batches task binary-searches the shared sorted array — no
+    shuffle, the corpus streams.
+
+    `benchmark`: a small table with `column`, or a string array."""
+    import ray
+
+    texts = benchmark.column(column) if isinstance(benchmark, pa.Table) else benchmark
+    grams_ref = ray.put(benchmark_gram_hashes(texts, n))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        grams = ray.get(grams_ref)
+        flagged = contamination_counts_batch(batch, grams, column, n)
+        clean = pc.equal(flagged.column("contam_gram_cnt"), 0)
+        return batch.filter(clean)
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow", zero_copy_batch=True)

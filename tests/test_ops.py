@@ -1086,3 +1086,73 @@ def test_image_resize_composes_with_decode(ray_session):
                       "image": pa.array([mm.MAGIC + (5).to_bytes(2, "little") + (4).to_bytes(2, "little") + bytes([77]) * 20], type=pa.binary())})
     r = mm.decode_images(mm.resize_images(ray.data.from_arrow(const), 3, 3)).to_pandas()
     assert r.loc[0, "mean_pixel"] == 77.0
+
+
+def test_repetition_signals_match_bruteforce():
+    """repetition_batch vs a per-doc Python reference on edge shapes:
+    empty, null, single word, all-same, no-repeats, doubled spaces,
+    periodic gram patterns."""
+    from collections import Counter
+
+    from mothray.ops import webtext as wt
+
+    docs = [
+        "a b c a b", "", None, "x", "a a a a",
+        "q w e r t y u i", "a b c a b c a b c", "hello  world", "a b",
+        "one two one two one two three",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs))), "text": pa.array(docs, type=pa.string())})
+    out = wt.repetition_batch(tbl).to_pandas()
+
+    for i, t in enumerate(docs):
+        ws = (t or "").split(" ")
+        n = len(ws)
+        assert out["words"][i] == n
+        assert abs(out["dup_word_frac"][i] - round(1 - len(set(ws)) / n, 6)) < 1e-12
+        for k in (2, 3):
+            grams = [" ".join(ws[j : j + k]) for j in range(max(n - k + 1, 0))]
+            exp = round(max(Counter(grams).values()) * k / n, 6) if grams else 0.0
+            assert abs(out[f"top{k}gram_frac"][i] - exp) < 1e-12, (i, k)
+        g3 = Counter(" ".join(ws[j : j + 3]) for j in range(max(n - 2, 0)))
+        dup = sum(v for v in g3.values() if v >= 2)
+        exp = round(dup / sum(g3.values()), 6) if g3 else 0.0
+        assert abs(out["dup3gram_frac"][i] - exp) < 1e-12
+
+    # batch-layout independence: same doc alone or with neighbors
+    solo = wt.repetition_batch(tbl.slice(6, 1)).to_pandas()
+    assert solo["top3gram_frac"][0] == out["top3gram_frac"][6]
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    """Gram flagging matches exact string n-gram intersection, and the
+    Dataset op keeps exactly the clean docs (no shuffle, broadcast set)."""
+    import ray.data
+
+    from mothray.ops import webtext as wt
+
+    bench_texts = ["one two three four five", "alpha beta gamma delta"]
+    corpus = [
+        "zzz one two three four yyy",     # shares 4-gram "one two three four"
+        "nothing shared here at all ok",
+        "alpha beta gamma delta echo",    # shares "alpha beta gamma delta"
+        "one two four three five",        # shuffled words: no 4-gram shared
+        "", None,
+    ]
+    bench = pa.table({"text": pa.array(bench_texts)})
+    tbl = pa.table({"doc_id": pa.array(range(len(corpus))), "text": pa.array(corpus, type=pa.string())})
+
+    grams = wt.benchmark_gram_hashes(bench.column("text"), n=4)
+    cnt = wt.contamination_counts_batch(tbl, grams, n=4).column("contam_gram_cnt").to_pylist()
+
+    def brute(t):
+        bg = set()
+        for b in bench_texts:
+            ws = b.split(" ")
+            bg |= {" ".join(ws[i : i + 4]) for i in range(max(len(ws) - 3, 0))}
+        ws = (t or "").split(" ")
+        return sum(1 for i in range(max(len(ws) - 3, 0)) if " ".join(ws[i : i + 4]) in bg)
+
+    assert cnt == [brute(t) for t in corpus]
+
+    kept = wt.decontaminate(ray.data.from_arrow(tbl), bench, n=4).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 4, 5]
