@@ -295,19 +295,20 @@ def train(sample: bytes | np.ndarray, n_iter: int = N_ITER) -> SymbolTable:
 
 # ------------------------------------------------------------------ API
 
-def compress(data: bytes, n_iter: int = N_ITER) -> tuple[bytes, bytes]:
+def compress(data, n_iter: int = N_ITER) -> tuple[bytes, bytes]:
     """Returns (serialized symbol table, encoded bytes). Empty table
     means passthrough (callers store raw). Trains a fresh table — for
     repeated stripes prefer a shared table from a sampling pass
-    (compress_with_table), the north-star actor-pool design."""
+    (compress_with_table), the north-star actor-pool design.
+    `data`: bytes or a uint8 numpy view (zero-copy callers)."""
     if len(data) < 64:
         return b"", data
-    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
     table = train(buf, n_iter)
     return compress_with_table(data, table, buf=buf)
 
 
-def compress_with_table(data: bytes, table: SymbolTable, buf: np.ndarray | None = None) -> tuple[bytes, bytes]:
+def compress_with_table(data, table: SymbolTable, buf: np.ndarray | None = None) -> tuple[bytes, bytes]:
     """Encode with a pre-trained (e.g. broadcast) symbol table.
 
     Uses the C kernel when a system compiler is available (identical
@@ -315,7 +316,7 @@ def compress_with_table(data: bytes, table: SymbolTable, buf: np.ndarray | None 
     if not table.symbols or len(data) < 64:
         return b"", data
     if buf is None:
-        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, dtype=np.uint8)
     encoded = _native_encode(buf, table)
     if encoded is None:
         n_lanes = int(np.clip(len(buf) // 1024, 1, 1 << 16))

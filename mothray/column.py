@@ -85,11 +85,13 @@ def _validity(arr: pa.Array) -> np.ndarray:
     return pc.is_valid(arr).to_numpy(zero_copy_only=False)
 
 
-def _string_parts(values: pa.Array) -> tuple[np.ndarray, bytes]:
-    """(byte lengths, concatenated bytes) of a non-null string/binary
-    array — zero-copy from the offsets + data buffers."""
+def _string_parts_view(values: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte lengths, concatenated data VIEW) of a non-null
+    string/binary array — zero-copy from the offsets + data buffers.
+    The returned uint8 array aliases Arrow memory; callers must not
+    mutate it and must keep it buffer-protocol-shaped (1-D uint8)."""
     if len(values) == 0:
-        return np.empty(0, dtype=np.int64), b""
+        return np.empty(0, dtype=np.int64), np.empty(0, np.uint8)
     t = values.type
     odt = np.int64 if t in (pa.large_string(), pa.large_binary()) else np.int32
     bufs = values.buffers()
@@ -98,6 +100,13 @@ def _string_parts(values: pa.Array) -> tuple[np.ndarray, bytes]:
     ).astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]] if bufs[2] is not None else np.empty(0, np.uint8)
     lengths = np.diff(offs)
+    return lengths, data
+
+
+def _string_parts(values: pa.Array) -> tuple[np.ndarray, bytes]:
+    """As _string_parts_view but with the data materialized to bytes
+    (for callers that store or ship it; hot encode paths use the view)."""
+    lengths, data = _string_parts_view(values)
     return lengths, data.tobytes()
 
 
@@ -288,7 +297,9 @@ def _encode_decimal(values: pa.Array, t) -> EncodedColumn:
 
 def _encode_strings(values: pa.Array, t, opts: dict) -> EncodedColumn:
     n = len(values)
-    lengths, data = _string_parts(values)
+    # zero-copy view of the concatenated payload: direct/FSST streams
+    # carry it through to the single-pass blob assembly uncopied
+    lengths, data = _string_parts_view(values)
     choice = opts.get("string_encoding", "auto")
     is_text = pa.types.is_string(t) or pa.types.is_large_string(t)
 

@@ -181,12 +181,22 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
             rg_stats[name] = rg_mm
         if o["bloom"] and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             values = arr.drop_null()
-            lengths, data = column_mod._string_parts(values)
-            bf = bloom_mod.build(lengths, np.frombuffer(data, dtype=np.uint8))
+            lengths, data = column_mod._string_parts_view(values)
+            bf = bloom_mod.build(lengths, data)
             blooms.append(bf)
             bloom_index[name] = [bpos, len(bf)]
             bpos += len(bf)
-    blob_bytes = b"".join(blob)
+    # single-pass assembly (r2 VERDICT item): stream payloads may be
+    # zero-copy Arrow views (numpy uint8) — each part is copied exactly
+    # ONCE into the preallocated blob instead of tobytes + join
+    blob_bytes = bytearray(pos[0])
+    mv = memoryview(blob_bytes)
+    off = 0
+    for part in blob:
+        ln = len(part)
+        mv[off : off + ln] = part
+        off += ln
+    del mv
     # NOTE: no timings inside the stripe row — stripe bytes must be
     # deterministic under task retries / job resume (wall-clock metrics
     # live in the checkpoint manifests instead)
@@ -256,10 +266,12 @@ def _batch_fsst_tables(tbl: pa.Table, opts: dict | None) -> dict | None:
             if p.get("string_encoding") not in (None, "auto", "fsst"):
                 continue  # planned dict/direct: no table needed
         values = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        _, data = column_mod._string_parts(values.fill_null(""))
+        if values.null_count:
+            values = values.fill_null("")
+        _, data = column_mod._string_parts_view(values)
         if len(data) < 4096:
             continue
-        table = fsst_codec.train(np.frombuffer(data, dtype=np.uint8))
+        table = fsst_codec.train(data)
         plans[name] = {**plans.get(name, {}), "fsst_table": table.serialize()}
         added = True
     return plans if added else None
