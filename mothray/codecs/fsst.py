@@ -108,6 +108,13 @@ class SymbolTable:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "SymbolTable":
+        # cached: a broadcast plan table is deserialized once per
+        # process instead of once per row group × column × stripe
+        # (ctor builds a 64K short table + hash table each time)
+        data = data if isinstance(data, bytes) else bytes(data)
+        cached = _DESERIALIZE_CACHE.get(data)
+        if cached is not None:
+            return cached
         n = data[0]
         lens = list(data[1 : 1 + n])
         out = []
@@ -115,7 +122,14 @@ class SymbolTable:
         for l in lens:
             out.append(bytes(data[pos : pos + l]))
             pos += l
-        return cls(out)
+        table = cls(out)
+        if len(_DESERIALIZE_CACHE) >= 64:  # plans hold a handful of tables
+            _DESERIALIZE_CACHE.clear()
+        _DESERIALIZE_CACHE[data] = table
+        return table
+
+
+_DESERIALIZE_CACHE: dict[bytes, "SymbolTable"] = {}
 
 
 # ------------------------------------------------------------------ encode
