@@ -757,6 +757,24 @@ def _quality_filter(sf_dir: str):
     return _docs(sf_dir).map_batches(run, batch_format="pyarrow")
 
 
+def _delete_where_orders(sf_dir: str):
+    """Surgical DELETE on an encoded dataset: encode orders, delete a
+    totalprice band (only overlapping stripes re-encode; disjoint files
+    copy byte-identical), decode the survivors. Oracle = the negated
+    BETWEEN filter."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_delete_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    pipeline.delete_where(f"{base}/enc", f"{base}/out", "o_totalprice", 100000.0, 300000.0)
+    return pipeline.decode_files(f"{base}/out")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -808,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_documents"] = _repetition
     q["decontam_documents"] = _decontaminate
     q["quality_filter_documents"] = _quality_filter
+    q["delete_where_orders"] = _delete_where_orders
     return q
 
 
@@ -1052,6 +1071,10 @@ def oracle_sql() -> dict[str, str]:
         " bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))"
         " SELECT doc_id, n_chars FROM documents"
         " WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)"
+    )
+    o["delete_where_orders"] = (
+        "SELECT * FROM orders WHERE o_totalprice IS NULL"
+        " OR NOT (o_totalprice BETWEEN 100000.0 AND 300000.0)"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--max", dest="max_value", default=None)
     pr.add_argument("--needle", default=None)
 
+    dl = sub.add_parser("delete", help="surgical DELETE: drop rows with column in [min,max]; untouched files copy byte-identical")
+    dl.add_argument("enc_dir")
+    dl.add_argument("out_dir")
+    dl.add_argument("--column", required=True)
+    dl.add_argument("--min", dest="min_value", default=None)
+    dl.add_argument("--max", dest="max_value", default=None)
+
     args = p.parse_args(argv)
 
     try:
@@ -162,6 +169,25 @@ def _dispatch(args) -> int:
         dec = pipeline.decode_dataset(pruned)
         dec.write_parquet(args.out_dir)
         print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "delete":
+        ray = _ray()
+        from mothray import pipeline
+
+        def num(x):
+            if x is None:
+                return None
+            try:
+                return float(x) if "." in str(x) else int(x)
+            except ValueError:
+                return x
+
+        res = pipeline.delete_where(
+            args.enc_dir, args.out_dir, args.column, num(args.min_value), num(args.max_value)
+        )
+        print(json.dumps(res))
         ray.shutdown()
         return 0
 

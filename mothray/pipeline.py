@@ -515,6 +515,131 @@ def compact_encoded(
     }
 
 
+def _stripe_overlaps(stats_json: str, column: str, min_value, max_value) -> bool:
+    """Conservative zone-map overlap: a stripe with no stats for the
+    column (binary/nested, or all-null) must be treated as overlapping."""
+    st = json.loads(stats_json).get(column, {})
+    lo, hi = st.get("min"), st.get("max")
+    if lo is None or hi is None:
+        return True
+    if min_value is not None and hi < min_value:
+        return False
+    if max_value is not None and lo > max_value:
+        return False
+    return True
+
+
+def delete_where(
+    in_dir: str | list[str],
+    out_dir: str,
+    column: str,
+    min_value=None,
+    max_value=None,
+) -> dict:
+    """Surgical DELETE on an encoded-on-disk dataset: remove every row
+    with `column` in [min_value, max_value] (inclusive; one-sided when
+    either bound is None; nulls are never deleted — SQL BETWEEN
+    semantics) and write the result as a new encoded dataset.
+
+    Scale shape: the unit of work is one source FILE. Files whose
+    stripes' zone maps all land outside the range are COPIED
+    byte-identical (no decode, no re-encode — at corpus scale a
+    selective delete touches a sliver of stripes and everything else
+    moves at raw I/O speed). Only overlapping stripes are decoded,
+    filtered and re-encoded; sibling stripes in the same file pass
+    through as their original rows. No shuffle anywhere; the file list
+    fans out as deterministic work units (same pattern as
+    compact_encoded). The reference has no delete path (append-only
+    writer, MothDataSink); this extends the engine the way a lakehouse
+    table format would.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_rows = []
+        for fid, path in zip(
+            batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
+        ):
+            dst = os.path.join(out_dir, os.path.basename(path))
+            tmp = dst + ".tmp"
+            # metadata-only probe: never touches the blob column
+            meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+            overlaps = [
+                _stripe_overlaps(sj, column, min_value, max_value)
+                for sj in meta_tbl.column("stats").to_pylist()
+            ]
+            if not any(overlaps):
+                shutil.copyfile(path, tmp)  # byte-identical passthrough
+                os.rename(tmp, dst)
+                out_rows.append((fid, 0, 0))
+                continue
+            full = pq.read_table(path)
+            keep_rows = []
+            stripes_rewritten = 0
+            rows_deleted = 0
+            for i in range(full.num_rows):
+                row = {c: full.column(c)[i].as_py() for c in full.column_names}
+                if not overlaps[i]:
+                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+                    continue
+                dec = stripe_mod.decode_stripe(row)
+                col = dec.column(column)
+                hit = pa.array(np.ones(dec.num_rows, dtype=bool))
+                if min_value is not None:
+                    hit = pc.and_(hit, pc.greater_equal(col, min_value))
+                if max_value is not None:
+                    hit = pc.and_(hit, pc.less_equal(col, max_value))
+                hit = pc.fill_null(hit, False)  # nulls survive
+                n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+                if n_hit == 0:
+                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+                    continue
+                rows_deleted += n_hit
+                stripes_rewritten += 1
+                kept = dec.filter(pc.invert(hit))
+                if kept.num_rows:
+                    keep_rows.append(
+                        stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}d")
+                    )
+            if keep_rows:
+                new_tbl = pa.concat_tables(keep_rows)
+                pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
+                os.rename(tmp, dst)
+            out_rows.append((fid, stripes_rewritten, rows_deleted))
+        return pa.table(
+            {
+                "file_id": pa.array([f for f, _, _ in out_rows], type=pa.int64()),
+                "stripes_rewritten": pa.array([s for _, s, _ in out_rows], type=pa.int64()),
+                "rows_deleted": pa.array([r for _, _, r in out_rows], type=pa.int64()),
+            }
+        )
+
+    items = [{"file_id": i, "path": p} for i, p in enumerate(files)]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    return {
+        "files": len(files),
+        "files_rewritten": int((res["stripes_rewritten"] > 0).sum()) if len(res) else 0,
+        "stripes_rewritten": int(res["stripes_rewritten"].sum()) if len(res) else 0,
+        "rows_deleted": int(res["rows_deleted"].sum()) if len(res) else 0,
+    }
+
+
 def prune_stripes(
     ds: ray.data.Dataset,
     column: str,

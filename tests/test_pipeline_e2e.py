@@ -422,3 +422,55 @@ def test_blob_checksum_detects_corruption(ray_session):
     bad["blob"] = bytes(blob)
     with _pytest.raises(ValueError, match="checksum mismatch"):
         stripe.decode_stripe(bad)
+
+
+def test_delete_where_surgical(ray_session, tmp_path):
+    """delete_where removes exactly the rows in the range, re-encodes
+    only overlapping stripes, copies disjoint files byte-identical,
+    and keeps decode bit-identity for survivors."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import checkpoint, datagen
+
+    tbl = datagen.cc_pages(3000, seed=55)
+    # add a sortable int column with disjoint ranges per file
+    tbl = tbl.append_column("page_id", pa.array(range(3000), type=pa.int64()))
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, 1500), str(src / "a.parquet"), row_group_size=500)
+    pq.write_table(tbl.slice(1500), str(src / "b.parquet"), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job([str(src / "a.parquet"), str(src / "b.parquet")], str(enc),
+                          target_partition_bytes=1 << 20)
+
+    out = tmp_path / "out"
+    res = pipeline.delete_where(str(enc), str(out), "page_id", 100, 200)
+    assert res["rows_deleted"] == 101
+    assert res["stripes_rewritten"] >= 1
+
+    dec = pipeline.decode_files(str(out))
+    expected = tbl.filter(
+        pc.invert(pc.and_(pc.greater_equal(tbl.column("page_id"), 100),
+                          pc.less_equal(tbl.column("page_id"), 200)))
+    )
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(expected), dec, "page_id")
+
+    # files whose stripes are all outside the range must be byte-identical
+    touched = 0
+    for f in sorted(os.listdir(enc)):
+        if not f.endswith(".parquet"):
+            continue
+        a = open(enc / f, "rb").read()
+        b = open(out / f, "rb").read()
+        if a != b:
+            touched += 1
+    assert touched == res["files_rewritten"] >= 1
+    assert touched < sum(1 for f in os.listdir(enc) if f.endswith(".parquet"))
+
+    # one-sided + no-match delete
+    res2 = pipeline.delete_where(str(enc), str(tmp_path / "out2"), "page_id", 999999, None)
+    assert res2["rows_deleted"] == 0 and res2["files_rewritten"] == 0
