@@ -775,6 +775,39 @@ def _delete_where_orders(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _upsert_orders(sf_dir: str):
+    """MERGE into an encoded dataset: rows with o_orderkey <= 100 are
+    replaced by updated copies (+1 totalprice, 'updated' priority);
+    untouched files copy byte-identical. Oracle = anti-filter UNION
+    the same updated projection."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_upsert_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    src = pq.read_table(f"{sf_dir}/orders.parquet")
+    upd = src.filter(pc.less_equal(src.column("o_orderkey"), 100))
+    upd = upd.set_column(
+        upd.column_names.index("o_totalprice"),
+        "o_totalprice",
+        pc.add(upd.column("o_totalprice"), 1.0),
+    )
+    upd = upd.set_column(
+        upd.column_names.index("o_orderpriority"),
+        "o_orderpriority",
+        pa.array(["updated"] * upd.num_rows),
+    )
+    pipeline.upsert_keys(f"{base}/enc", f"{base}/out", upd, key="o_orderkey")
+    return pipeline.decode_files(f"{base}/out")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -827,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontam_documents"] = _decontaminate
     q["quality_filter_documents"] = _quality_filter
     q["delete_where_orders"] = _delete_where_orders
+    q["upsert_orders"] = _upsert_orders
     return q
 
 
@@ -1075,6 +1109,12 @@ def oracle_sql() -> dict[str, str]:
     o["delete_where_orders"] = (
         "SELECT * FROM orders WHERE o_totalprice IS NULL"
         " OR NOT (o_totalprice BETWEEN 100000.0 AND 300000.0)"
+    )
+    o["upsert_orders"] = (
+        "SELECT * FROM orders WHERE o_orderkey > 100"
+        " UNION ALL"
+        " SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice,"
+        " 'updated' AS o_orderpriority) FROM orders WHERE o_orderkey <= 100"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -640,6 +640,123 @@ def delete_where(
     }
 
 
+def upsert_keys(
+    in_dir: str | list[str],
+    out_dir: str,
+    new_rows: pa.Table,
+    key: str,
+) -> dict:
+    """MERGE (upsert) into an encoded-on-disk dataset: rows whose `key`
+    appears in `new_rows` are replaced; keys not present are appended.
+
+    Scale shape mirrors delete_where: the upsert BATCH is assumed small
+    relative to the corpus (the usual merge pattern) — its key set is
+    `ray.put` ONCE and broadcast; each file task checks its stripes'
+    [min,max] zone maps against the sorted key set and copies the file
+    byte-identical when no stripe can contain an upserted key. Only
+    overlapping stripes decode → drop-matching-keys → re-encode. The
+    new rows are encoded as one extra partition file. No shuffle.
+    (A corpus-sized upsert should instead use a distributed anti-join
+    + full re-encode — ops.dedup._anti_join_ids is that path.)
+    """
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    keys_ref = ray.put(new_rows.column(key).combine_chunks())
+
+    def _range_has_keys(keys: pa.Array, lo, hi) -> bool:
+        if lo is None or hi is None:
+            return True  # no stats: conservative
+        m = pc.and_(pc.greater_equal(keys, lo), pc.less_equal(keys, hi))
+        return bool(pc.any(pc.fill_null(m, False)).as_py())
+
+    def process(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        out_rows = []
+        for fid, path in zip(
+            batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
+        ):
+            dst = os.path.join(out_dir, os.path.basename(path))
+            tmp = dst + ".tmp"
+            meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+            overlaps = []
+            for sj in meta_tbl.column("stats").to_pylist():
+                st = json.loads(sj).get(key, {})
+                overlaps.append(_range_has_keys(keys, st.get("min"), st.get("max")))
+            if not any(overlaps):
+                shutil.copyfile(path, tmp)
+                os.rename(tmp, dst)
+                out_rows.append((fid, 0, 0))
+                continue
+            full = pq.read_table(path)
+            keep_rows = []
+            stripes_rewritten = 0
+            rows_replaced = 0
+            for i in range(full.num_rows):
+                row = {c: full.column(c)[i].as_py() for c in full.column_names}
+                if not overlaps[i]:
+                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+                    continue
+                dec = stripe_mod.decode_stripe(row)
+                hit = pc.fill_null(pc.is_in(dec.column(key), value_set=keys), False)
+                n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+                if n_hit == 0:
+                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+                    continue
+                rows_replaced += n_hit
+                stripes_rewritten += 1
+                kept = dec.filter(pc.invert(hit))
+                if kept.num_rows:
+                    keep_rows.append(
+                        stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}u")
+                    )
+            if keep_rows:
+                new_tbl = pa.concat_tables(keep_rows)
+                pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
+                os.rename(tmp, dst)
+            out_rows.append((fid, stripes_rewritten, rows_replaced))
+        return pa.table(
+            {
+                "file_id": pa.array([f for f, _, _ in out_rows], type=pa.int64()),
+                "stripes_rewritten": pa.array([s for _, s, _ in out_rows], type=pa.int64()),
+                "rows_replaced": pa.array([r for _, _, r in out_rows], type=pa.int64()),
+            }
+        )
+
+    items = [{"file_id": i, "path": p} for i, p in enumerate(files)]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+
+    # append the upsert batch as its own encoded partition file
+    import pyarrow.parquet as _pq
+
+    enc_new = stripe_mod.encode_batch(new_rows, key_prefix="upsert")
+    tmp = os.path.join(out_dir, "part-upsert.parquet.tmp")
+    _pq.write_table(enc_new, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
+    os.rename(tmp, os.path.join(out_dir, "part-upsert.parquet"))
+
+    return {
+        "files": len(files),
+        "files_rewritten": int((res["stripes_rewritten"] > 0).sum()) if len(res) else 0,
+        "stripes_rewritten": int(res["stripes_rewritten"].sum()) if len(res) else 0,
+        "rows_replaced": int(res["rows_replaced"].sum()) if len(res) else 0,
+        "rows_upserted": int(new_rows.num_rows),
+    }
+
+
 def prune_stripes(
     ds: ray.data.Dataset,
     column: str,

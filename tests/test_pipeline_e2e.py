@@ -474,3 +474,53 @@ def test_delete_where_surgical(ray_session, tmp_path):
     # one-sided + no-match delete
     res2 = pipeline.delete_where(str(enc), str(tmp_path / "out2"), "page_id", 999999, None)
     assert res2["rows_deleted"] == 0 and res2["files_rewritten"] == 0
+
+
+def test_upsert_keys_surgical(ray_session, tmp_path):
+    """upsert_keys replaces matching-key rows, appends the new batch,
+    copies disjoint files byte-identical, result == anti-join + union."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import checkpoint, datagen
+
+    tbl = datagen.cc_pages(3000, seed=66)
+    tbl = tbl.append_column("page_id", pa.array(range(3000), type=pa.int64()))
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, 1500), str(src / "a.parquet"), row_group_size=500)
+    pq.write_table(tbl.slice(1500), str(src / "b.parquet"), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job([str(src / "a.parquet"), str(src / "b.parquet")], str(enc),
+                          target_partition_bytes=1 << 20)
+
+    # replace ids 50..80, add brand-new ids 90000..90009
+    upd = tbl.filter(pc.and_(pc.greater_equal(tbl.column("page_id"), 50),
+                             pc.less_equal(tbl.column("page_id"), 80)))
+    upd = upd.set_column(upd.column_names.index("lang"), "lang",
+                         pa.array(["xx"] * upd.num_rows))
+    fresh = tbl.slice(0, 10).set_column(
+        tbl.column_names.index("page_id"), "page_id",
+        pa.array(range(90000, 90010), type=pa.int64()))
+    batch = pa.concat_tables([upd, fresh])
+
+    out = tmp_path / "out"
+    res = pipeline.upsert_keys(str(enc), str(out), batch, key="page_id")
+    assert res["rows_replaced"] == 31
+    assert res["rows_upserted"] == 41
+
+    dec = pipeline.decode_files(str(out))
+    keep = pc.invert(pc.is_in(tbl.column("page_id"), value_set=batch.column("page_id").combine_chunks()))
+    expected = pa.concat_tables([tbl.filter(keep), batch])
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(expected), dec, "page_id")
+
+    # untouched files byte-identical
+    changed = sum(
+        1 for f in sorted(os.listdir(enc)) if f.endswith(".parquet")
+        and open(enc / f, "rb").read() != open(out / f, "rb").read()
+    )
+    assert changed == res["files_rewritten"]
+    assert changed < sum(1 for f in os.listdir(enc) if f.endswith(".parquet"))
