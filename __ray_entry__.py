@@ -808,6 +808,47 @@ def _upsert_orders(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _optimize_orders(sf_dir: str):
+    """OPTIMIZE (sort re-encode) an encoded dataset by o_totalprice:
+    content identity is the oracle (SELECT *); the pruning gain the
+    sort buys is pytest-verified (test_optimize_encoded_improves_
+    pruning)."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_opt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    pipeline.optimize_encoded(f"{base}/enc", f"{base}/out", sort_by="o_totalprice")
+    return pipeline.decode_files(f"{base}/out")
+
+
+def _with_column_documents(sf_dir: str):
+    """Derived-column append on an encoded dataset: only the text
+    column decodes, only text_len's streams encode; every existing
+    stream byte is reused verbatim (pytest asserts the blob prefix)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_addcol_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/documents.parquet", f"{base}/enc")
+    pipeline.with_column(
+        f"{base}/enc", f"{base}/out", "text_len",
+        lambda t: pc.utf8_length(t.column("text").combine_chunks()).cast(pa.int64()),
+        input_columns=["text"],
+    )
+    return pipeline.decode_files(f"{base}/out")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -861,6 +902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_filter_documents"] = _quality_filter
     q["delete_where_orders"] = _delete_where_orders
     q["upsert_orders"] = _upsert_orders
+    q["optimize_sort_orders"] = _optimize_orders
+    q["with_column_documents"] = _with_column_documents
     return q
 
 
@@ -1115,6 +1158,10 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL"
         " SELECT * REPLACE (o_totalprice + 1.0 AS o_totalprice,"
         " 'updated' AS o_orderpriority) FROM orders WHERE o_orderkey <= 100"
+    )
+    o["optimize_sort_orders"] = "SELECT * FROM orders"
+    o["with_column_documents"] = (
+        "SELECT *, CAST(length(text) AS BIGINT) AS text_len FROM documents"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
     o["dedup_invariants_documents"] = (

@@ -640,6 +640,96 @@ def delete_where(
     }
 
 
+def with_column(
+    in_dir: str | list[str],
+    out_dir: str,
+    name: str,
+    fn,
+    input_columns: list[str],
+    opts: dict | None = None,
+) -> dict:
+    """Add a DERIVED column to an encoded dataset re-encoding ONLY the
+    new column: per stripe, only `input_columns` are decoded
+    (projection decode — other columns' streams are never touched),
+    `fn(projected_table) -> pa.Array` computes the values, and the new
+    column's streams append after the existing blob
+    (stripe.add_column_to_stripe), leaving every existing stream byte
+    identical. At corpus scale this costs decode(inputs) +
+    encode(new column), not a full-table rewrite. File-level fan-out,
+    no shuffle. `fn` must be deterministic and vectorized."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for fid, path in zip(
+            batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
+        ):
+            full = pq.read_table(path)
+            new_rows = []
+            for i in range(full.num_rows):
+                row = {c: full.column(c)[i].as_py() for c in full.column_names}
+                proj = stripe_mod.decode_stripe(row, columns=input_columns)
+                vals = fn(proj)
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                new_rows.append(stripe_mod.add_column_to_stripe(row, name, vals, opts))
+            dst = os.path.join(out_dir, os.path.basename(path))
+            tmp = dst + ".tmp"
+            pq.write_table(
+                pa.Table.from_pylist(new_rows, schema=stripe_mod.STRIPE_SCHEMA),
+                tmp, row_group_size=8, **ENCODED_PARQUET_ARGS,
+            )
+            os.rename(tmp, dst)
+            out_rows.append((fid, len(new_rows)))
+        return pa.table(
+            {
+                "file_id": pa.array([f for f, _ in out_rows], type=pa.int64()),
+                "stripes": pa.array([s for _, s in out_rows], type=pa.int64()),
+            }
+        )
+
+    items = [{"file_id": i, "path": p} for i, p in enumerate(files)]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    return {"files": len(files), "stripes": int(res["stripes"].sum()) if len(res) else 0}
+
+
+def optimize_encoded(
+    in_dir: str | list[str],
+    out_dir: str,
+    sort_by: str,
+    opts: dict | None = None,
+) -> dict:
+    """OPTIMIZE (cluster-by) an encoded dataset: decode, distributed
+    sort on `sort_by`, re-encode, write. Sorting gives stripes disjoint
+    zone-map ranges, so prune_read / rg_predicate after optimize skip
+    ∝ selectivity instead of scanning everything (Delta/Iceberg
+    OPTIMIZE ... ZORDER analog, single-key form). The sort is Ray
+    Data's range-partitioned shuffle — the ONE all-to-all this op needs
+    (unavoidable: clustering is a global permutation); encode fuses
+    onto the sorted blocks. Returns {stripes, rows}.
+    """
+    dec = decode_files(in_dir)
+    enc = encode_dataset(dec.sort(sort_by), opts)
+    write_encoded(enc, out_dir)
+    meta = read_encoded(out_dir, metadata_only=True)
+    n = meta.count()
+    rows = sum(r["n_rows"] for r in meta.select_columns(["n_rows"]).take_all())
+    return {"stripes": n, "rows": rows}
+
+
 def upsert_keys(
     in_dir: str | list[str],
     out_dir: str,

@@ -392,3 +392,62 @@ def decode_batch(stripes: pa.Table, columns: list[str] | None = None) -> pa.Tabl
     if not parts:
         return pa.table({})
     return pa.concat_tables(parts)
+
+
+def add_column_to_stripe(row: dict, name: str, values, opts: dict | None = None) -> dict:
+    """Append ONE new column to an existing stripe row WITHOUT touching
+    any existing stream: the new column's streams are encoded into a
+    segment appended after the current blob, existing offsets stay
+    valid, and meta/schema/stats gain the new entry. Row-group
+    boundaries mirror the stripe's existing layout so rg-granular
+    pruning works on the added column too. (No bloom filter is built
+    for added columns — blooms are an encode-time feature.)"""
+    import zlib
+
+    o = {**DEFAULT_OPTS, **(opts or {})}
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    meta = json.loads(row["meta"])
+    schema = _deserialize_schema(row["schema_ipc"])
+    if name in meta["columns"]:
+        raise ValueError(f"column {name!r} already present in stripe")
+    n = row["n_rows"]
+    if len(values) != n:
+        raise ValueError(f"values length {len(values)} != stripe rows {n}")
+    rg_rows = meta["row_groups"]["rows"]
+    rg_bounds = list(range(0, n, rg_rows)) or [0]
+    old_blob = row["blob"]
+    parts: list = []
+    pos = [len(old_blob)]
+    rg_trees = []
+    rg_mm = []
+    for s in rg_bounds:
+        piece = values.slice(s, rg_rows)
+        enc = column_mod.encode_array(piece, o)
+        rg_trees.append(_flatten_column(enc, parts, pos, o["compression"], o["compress_min_bytes"]))
+        rg_mm.append(_rg_minmax(piece))
+    new_blob = bytearray(pos[0])
+    mv = memoryview(new_blob)
+    mv[: len(old_blob)] = old_blob
+    off = len(old_blob)
+    for part in parts:
+        ln = len(part)
+        mv[off : off + ln] = part
+        off += ln
+    del mv
+    meta["columns"][name] = {"row_groups": rg_trees}
+    if any(m is not None for m in rg_mm):
+        meta["row_groups"].setdefault("stats", {})[name] = rg_mm
+    meta["blob_crc32"] = zlib.crc32(new_blob)
+    meta.setdefault("metrics", {}).setdefault("codecs", {})[name] = rg_trees[0]["encoding"]
+    col_stats = json.loads(row["stats"])
+    col_stats[name] = stats_mod.column_stats(values)
+    return {
+        **row,
+        "raw_bytes": row["raw_bytes"] + values.nbytes,
+        "enc_bytes": len(new_blob),
+        "meta": json.dumps(meta),
+        "schema_ipc": _serialize_schema(schema.append(pa.field(name, values.type))),
+        "stats": json.dumps(col_stats),
+        "blob": new_blob,
+    }

@@ -524,3 +524,84 @@ def test_upsert_keys_surgical(ray_session, tmp_path):
     )
     assert changed == res["files_rewritten"]
     assert changed < sum(1 for f in os.listdir(enc) if f.endswith(".parquet"))
+
+
+def test_optimize_encoded_improves_pruning(ray_session, tmp_path):
+    """optimize_encoded (distributed sort re-encode) keeps content
+    bit-identical and makes zone maps selective: after optimize, a
+    range predicate prunes most stripes; before, it prunes none."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import checkpoint, datagen
+
+    rng = np.random.default_rng(9)
+    tbl = datagen.cc_pages(4000, seed=77).append_column(
+        "score", pa.array(rng.permutation(4000).astype(np.int64))
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, str(src), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job(str(src), str(enc), target_partition_bytes=200_000)
+
+    # unsorted: every stripe's [min,max] spans ~the full range -> no pruning
+    before = pipeline.prune_read(str(enc), "score", min_value=3900)
+    n_before = before.count()
+
+    out = tmp_path / "opt"
+    res = pipeline.optimize_encoded(str(enc), str(out), sort_by="score",
+                                    opts={"stripe_rows": 500})
+    assert res["rows"] == 4000
+
+    after = pipeline.prune_read(str(out), "score", min_value=3900)
+    n_after = after.count()
+    assert n_after < n_before  # stripes actually skipped
+
+    # content preserved exactly
+    dec = pipeline.decode_files(str(out))
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(tbl), dec, "score")
+
+
+def test_with_column_appends_streams_only(ray_session, tmp_path):
+    """with_column decodes only the input projection, appends the new
+    column's streams after the existing blob (old bytes verbatim), and
+    the result decodes bit-identical to the full recompute."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import checkpoint, datagen
+
+    tbl = datagen.cc_pages(3000, seed=88)
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, str(src), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job(str(src), str(enc), target_partition_bytes=400_000)
+
+    out = tmp_path / "out"
+    res = pipeline.with_column(
+        str(enc), str(out), "text_len",
+        lambda t: pc.utf8_length(t.column("text").combine_chunks()).cast(pa.int64()),
+        input_columns=["text"],
+    )
+    assert res["stripes"] > 0
+
+    dec = pipeline.decode_files(str(out))
+    exp = tbl.append_column("text_len", pc.utf8_length(tbl.column("text")).cast(pa.int64()))
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(exp), dec, "url")
+
+    # old stream bytes reused verbatim: original blob is a prefix
+    import os
+    for f in sorted(os.listdir(enc)):
+        if not f.endswith(".parquet"):
+            continue
+        a = pq.read_table(enc / f, columns=["stripe_key", "blob"])
+        b = pq.read_table(out / f, columns=["stripe_key", "blob"])
+        bm = {k: v for k, v in zip(b.column("stripe_key").to_pylist(), b.column("blob").to_pylist())}
+        for k, blob in zip(a.column("stripe_key").to_pylist(), a.column("blob").to_pylist()):
+            assert bm[k][: len(blob)] == blob
+
+    # projection decode of JUST the derived column works + rg pruning stats exist
+    only = pipeline.decode_files(str(out), columns=["text_len"]).to_pandas()
+    assert sorted(only["text_len"]) == sorted(exp.column("text_len").to_pylist())
