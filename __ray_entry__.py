@@ -849,6 +849,42 @@ def _with_column_documents(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _agg_pushdown_lineitem(sf_dir: str):
+    """Metadata-only aggregates: COUNT/MIN/MAX/SUM/AVG served from the
+    per-stripe stats column of an encoded dataset — no value streams
+    decoded (footer-stats fast path; reference file-stats merge at
+    pkg/store/MothWriter.go:339-353). sum_qty exercises the
+    deterministic float-sum fallback pass (quantities are integral, so
+    the result is exact)."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_agg_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/lineitem.parquet", f"{base}/enc")
+    return pipeline.agg_encoded(
+        f"{base}/enc",
+        {
+            "count_star": ("count_star",),
+            "count_ship": ("count", "l_shipdate"),
+            "min_okey": ("min", "l_orderkey"),
+            "max_okey": ("max", "l_orderkey"),
+            "sum_okey": ("sum", "l_orderkey"),
+            "avg_okey": ("avg", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+            "min_ship": ("min", "l_shipdate"),
+            "max_ship": ("max", "l_shipdate"),
+            "min_rflag": ("min", "l_returnflag"),
+            "max_rflag": ("max", "l_returnflag"),
+            "sum_qty": ("sum", "l_quantity"),
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -904,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["upsert_orders"] = _upsert_orders
     q["optimize_sort_orders"] = _optimize_orders
     q["with_column_documents"] = _with_column_documents
+    q["agg_pushdown_lineitem"] = _agg_pushdown_lineitem
     return q
 
 
@@ -1160,6 +1197,16 @@ def oracle_sql() -> dict[str, str]:
         " 'updated' AS o_orderpriority) FROM orders WHERE o_orderkey <= 100"
     )
     o["optimize_sort_orders"] = "SELECT * FROM orders"
+    o["agg_pushdown_lineitem"] = (
+        "SELECT count(*) AS count_star, count(l_shipdate) AS count_ship,"
+        " min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,"
+        " CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,"
+        " CAST(sum(l_orderkey) AS DOUBLE)/count(l_orderkey) AS avg_okey,"
+        " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,"
+        " min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,"
+        " min(l_returnflag) AS min_rflag, max(l_returnflag) AS max_rflag,"
+        " sum(l_quantity) AS sum_qty FROM lineitem"
+    )
     o["with_column_documents"] = (
         "SELECT *, CAST(length(text) AS BIGINT) AS text_len FROM documents"
     )

@@ -730,6 +730,142 @@ def optimize_encoded(
     return {"stripes": n, "rows": rows}
 
 
+def agg_encoded(in_dir: str | list[str], specs: dict[str, tuple]) -> pa.Table:
+    """SQL-shaped aggregates answered from stripe METADATA only —
+    COUNT(*) / COUNT(col) / MIN / MAX / SUM / AVG read the per-stripe
+    stats JSON column (zero value-stream bytes touched), the footer-
+    stats fast path every columnar engine exposes (reference file
+    stats: pkg/store/MothWriter.go:339-353 merge; here the merge runs
+    distributed — one partial row per metadata batch, O(#blocks) rows
+    to the driver). Stats the writer deliberately dropped (string
+    min/max > 64 bytes per MothWriterOptions.go:9, overflowed int
+    sums, decimal min/max stored as advisory floats, nested types)
+    fall back to ONE projected decode pass over just those columns.
+
+    `specs` maps output column name -> ("count_star",) | (op, column)
+    with op in count/null_count/min/max/sum/avg. Returns a one-row
+    typed pa.Table; SUM/AVG over zero non-null values is NULL (SQL
+    semantics). Known divergence: float columns containing NaN fall
+    back to a decode pass whose min/max skip NaN, where SQL treats
+    NaN as greater than any value."""
+    import pyarrow.compute as pc
+
+    from . import stats as stats_mod
+
+    cols = sorted({s[1] for s in specs.values() if len(s) > 1})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("stats").to_pylist()]
+        merged = {c: stats_mod.merge_stats([r.get(c, {"count": 0, "null_count": 0}) for r in rows]) for c in cols}
+        return pa.table(
+            {
+                "n_rows": pa.array([int(pc.sum(batch.column("n_rows")).as_py() or 0)], type=pa.int64()),
+                "stats": pa.array([json.dumps(merged)]),
+                "schema_ipc": batch.column("schema_ipc").slice(0, 1),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(in_dir, columns=["n_rows", "stats", "schema_ipc"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    total_rows = sum(r["n_rows"] for r in parts)
+    merged = {
+        c: stats_mod.merge_stats([json.loads(r["stats"])[c] for r in parts]) for c in cols
+    }
+    schema = stripe_mod._deserialize_schema(parts[0]["schema_ipc"]) if parts else pa.schema([])
+
+    def typed(value, col: str, st: dict):
+        t = schema.field(col).type if schema.get_field_index(col) >= 0 else None
+        if t is not None and pa.types.is_timestamp(t):
+            return pa.scalar(value, type=pa.timestamp(st.get("unit", t.unit), t.tz))
+        if t is not None and pa.types.is_date(t):
+            import datetime
+
+            return pa.scalar(datetime.date.fromisoformat(value), type=t)
+        return pa.scalar(value, type=t) if t is not None else pa.scalar(value)
+
+    out: dict[str, pa.Scalar] = {}
+    fallback: dict[str, tuple[str, str]] = {}
+    for name, spec in specs.items():
+        op = spec[0]
+        if op == "count_star":
+            out[name] = pa.scalar(total_rows, type=pa.int64())
+            continue
+        col = spec[1]
+        st = merged.get(col, {})
+        cnt = st.get("count", 0) - st.get("null_count", 0)
+        field_t = schema.field(col).type if schema.get_field_index(col) >= 0 else None
+        exact_minmax = field_t is not None and not pa.types.is_decimal(field_t)
+        if op == "count":
+            out[name] = pa.scalar(cnt, type=pa.int64())
+        elif op == "null_count":
+            out[name] = pa.scalar(st.get("null_count", 0), type=pa.int64())
+        elif op in ("min", "max"):
+            if op in st and exact_minmax:
+                out[name] = typed(st[op], col, st)
+            elif cnt == 0:
+                out[name] = pa.scalar(None, type=field_t)
+            else:
+                fallback[name] = (op, col)
+        elif op == "sum":
+            if cnt == 0:
+                out[name] = pa.scalar(None, type=pa.int64() if field_t is None or pa.types.is_integer(field_t) else pa.float64())
+            elif "sum" in st and not pa.types.is_floating(field_t or pa.float64()):
+                out[name] = pa.scalar(st["sum"], type=pa.int64())
+            else:
+                # float sums are order-sensitive; recompute in one
+                # deterministic pass rather than serving the partial-
+                # merge ordering
+                fallback[name] = ("sum", col)
+        elif op == "avg":
+            if cnt == 0:
+                out[name] = pa.scalar(None, type=pa.float64())
+            elif "sum" in st and not pa.types.is_floating(field_t or pa.float64()):
+                out[name] = pa.scalar(float(st["sum"]) / cnt, type=pa.float64())
+            else:
+                fallback[name] = ("avg", col)
+        else:
+            raise ValueError(f"unknown aggregate op {op!r}")
+
+    if fallback:
+        fcols = sorted({c for _, c in fallback.values()})
+        dec = decode_files(in_dir, columns=fcols)
+
+        def fpartial(batch: pa.Table) -> pa.Table:
+            arrs = {}
+            for c in fcols:
+                a = batch.column(c)
+                mm = pc.min_max(a)
+                t = batch.schema.field(c).type
+                arrs[f"{c}__min"] = pa.array([mm["min"].as_py()], type=t)
+                arrs[f"{c}__max"] = pa.array([mm["max"].as_py()], type=t)
+                if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+                    arrs[f"{c}__sum"] = pa.array([pc.sum(a).as_py()], type=pa.float64() if pa.types.is_floating(t) else None)
+            return pa.table(arrs)
+
+        frows = pa.Table.from_pylist(
+            dec.map_batches(fpartial, batch_format="pyarrow").take_all()
+        )
+        for name, (op, col) in fallback.items():
+            st = merged.get(col, {})
+            cnt = st.get("count", 0) - st.get("null_count", 0)
+            t = schema.field(col).type
+            if op in ("min", "max"):
+                red = pc.min_max(pa.array(frows.column(f"{col}__{op}").to_pylist(), type=t))
+                out[name] = red[op]
+            else:
+                vals = [v for v in frows.column(f"{col}__sum").to_pylist() if v is not None]
+                total = sum(vals)
+                if op == "sum":
+                    out[name] = pa.scalar(total, type=pa.float64() if pa.types.is_floating(t) else None)
+                else:
+                    out[name] = pa.scalar(float(total) / cnt, type=pa.float64())
+
+    return pa.table({name: pa.array([out[name].as_py()], type=out[name].type) for name in specs})
+
+
 def upsert_keys(
     in_dir: str | list[str],
     out_dir: str,

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 STRING_STATS_LIMIT = 64  # bytes; reference MothWriterOptions.go:9
 
 
-def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict[str, Any]:
+def column_stats(arr: pa.Array | pa.ChunkedArray, string_limit: int | None = STRING_STATS_LIMIT) -> dict[str, Any]:
     t = arr.type
     n = len(arr)
     nulls = arr.null_count
@@ -74,9 +74,11 @@ def column_stats(arr: pa.Array | pa.ChunkedArray) -> dict[str, Any]:
         mm = pc.min_max(arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
         # drop min/max beyond the 64-byte limit like the reference
-        if mn is not None and len(mn.encode()) <= STRING_STATS_LIMIT:
+        # (string_limit=None lifts the cap — agg_encoded's decode
+        # fallback needs unrestricted min/max)
+        if mn is not None and (string_limit is None or len(mn.encode()) <= string_limit):
             out["min"] = mn
-        if mx is not None and len(mx.encode()) <= STRING_STATS_LIMIT:
+        if mx is not None and (string_limit is None or len(mx.encode()) <= string_limit):
             out["max"] = mx
         return out
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):

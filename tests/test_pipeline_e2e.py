@@ -605,3 +605,61 @@ def test_with_column_appends_streams_only(ray_session, tmp_path):
     # projection decode of JUST the derived column works + rg pruning stats exist
     only = pipeline.decode_files(str(out), columns=["text_len"]).to_pandas()
     assert sorted(only["text_len"]) == sorted(exp.column("text_len").to_pylist())
+
+
+def test_agg_encoded_metadata_only_and_fallback(ray_session, tmp_path):
+    """agg_encoded answers COUNT/MIN/MAX/SUM/AVG from stripe stats
+    alone; stats the writer dropped (string min/max > 64 bytes) and
+    float sums route through the projected decode fallback; SUM/AVG
+    over zero non-null values is NULL (SQL semantics)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mothray import checkpoint
+
+    n = 3000
+    long_s = ["x" * 80 + f"{i:06d}" for i in range(n)]  # > 64-byte stats limit
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), type=pa.int64()),
+            "v": pa.array([float(i % 97) / 8 for i in range(n)]),
+            "s": pa.array(long_s),
+            "maybe": pa.array([None if i % 3 else i for i in range(n)], type=pa.int64()),
+            "void": pa.array([None] * n, type=pa.int64()),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, str(src), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job(str(src), str(enc), target_partition_bytes=120_000)
+
+    res = pipeline.agg_encoded(
+        str(enc),
+        {
+            "count_star": ("count_star",),
+            "count_maybe": ("count", "maybe"),
+            "nulls_maybe": ("null_count", "maybe"),
+            "min_k": ("min", "k"),
+            "max_k": ("max", "k"),
+            "sum_k": ("sum", "k"),
+            "avg_k": ("avg", "k"),
+            "sum_v": ("sum", "v"),
+            "min_s": ("min", "s"),  # fallback: stats dropped long-string min/max
+            "max_s": ("max", "s"),
+            "sum_void": ("sum", "void"),  # SQL NULL
+            "avg_void": ("avg", "void"),
+            "min_void": ("min", "void"),
+        },
+    ).to_pandas()
+    exp = duckdb.sql(
+        "SELECT count(*) count_star, count(maybe) count_maybe,"
+        " count(*)-count(maybe) nulls_maybe, min(k) min_k, max(k) max_k,"
+        " CAST(sum(k) AS BIGINT) sum_k, CAST(sum(k) AS DOUBLE)/count(k) avg_k,"
+        " min(s) min_s, max(s) max_s"
+        f" FROM read_parquet('{src}')"
+    ).df()
+    for c in exp.columns:
+        assert str(res[c].iloc[0]) == str(exp[c].iloc[0]), c
+    assert abs(res["sum_v"].iloc[0] - sum(tbl.column("v").to_pylist())) < 1e-6
+    for c in ("sum_void", "avg_void", "min_void"):
+        assert res[c].isna().iloc[0], c
