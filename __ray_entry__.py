@@ -849,6 +849,25 @@ def _with_column_documents(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _zorder_orders(sf_dir: str):
+    """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
+    is the oracle; the both-column pruning gain is pytest-proven
+    (test_optimize_encoded_zorder_two_columns)."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_zord_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    pipeline.optimize_encoded(
+        f"{base}/enc", f"{base}/out", sort_by=["o_custkey", "o_totalprice"]
+    )
+    return pipeline.decode_files(f"{base}/out")
+
+
 def _agg_pushdown_lineitem(sf_dir: str):
     """Metadata-only aggregates: COUNT/MIN/MAX/SUM/AVG served from the
     per-stripe stats column of an encoded dataset — no value streams
@@ -941,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["optimize_sort_orders"] = _optimize_orders
     q["with_column_documents"] = _with_column_documents
     q["agg_pushdown_lineitem"] = _agg_pushdown_lineitem
+    q["zorder_optimize_orders"] = _zorder_orders
     return q
 
 
@@ -1197,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         " 'updated' AS o_orderpriority) FROM orders WHERE o_orderkey <= 100"
     )
     o["optimize_sort_orders"] = "SELECT * FROM orders"
+    o["zorder_optimize_orders"] = "SELECT * FROM orders"
     o["agg_pushdown_lineitem"] = (
         "SELECT count(*) AS count_star, count(l_shipdate) AS count_ship,"
         " min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,"

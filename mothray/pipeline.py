@@ -706,23 +706,113 @@ def with_column(
     return {"files": len(files), "stripes": int(res["stripes"].sum()) if len(res) else 0}
 
 
+def _order_u64(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Order-preserving uint64 image of a column, for z-order key
+    construction: ints/dates/timestamps shift into unsigned space,
+    floats use the IEEE total-order bit trick, strings/binary map to
+    their big-endian 8-byte prefix (ties beyond 8 bytes collapse —
+    fine for clustering). Nulls sort first (image 0)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    FLIP = np.uint64(1) << np.uint64(63)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        a = arr.cast(pa.large_binary())
+        bufs = a.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64)[a.offset : a.offset + len(a) + 1]
+        data = np.frombuffer(bufs[2] or b"", dtype=np.uint8)
+        starts, lens = offs[:-1], np.diff(offs)
+        out = np.zeros(len(a), dtype=np.uint64)
+        for j in range(8):
+            has = lens > j
+            byte = np.zeros(len(a), dtype=np.uint64)
+            byte[has] = data[starts[has] + j]
+            out = (out << np.uint64(8)) | byte
+        if arr.null_count:
+            out[a.is_null().to_numpy(zero_copy_only=False)] = 0
+        return out
+    if pa.types.is_floating(t):
+        v = arr.cast(pa.float64()).fill_null(float("-inf")).to_numpy(zero_copy_only=False).view(np.int64)
+        v = v ^ ((v >> 63) & np.int64(0x7FFFFFFFFFFFFFFF))
+        return v.view(np.uint64) ^ FLIP
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        arr = arr.cast(pa.int32()).cast(pa.int64()) if pa.types.is_date32(t) else arr.cast(pa.int64())
+    elif pa.types.is_integer(t):
+        arr = arr.cast(pa.int64())
+    else:
+        raise TypeError(f"z-order does not support column type {t}")
+    v = arr.fill_null(np.iinfo(np.int64).min).to_numpy(zero_copy_only=False)
+    return v.view(np.uint64) ^ FLIP
+
+
+def _zorder_key(cols: list[np.ndarray], bounds: list[tuple[int, int]]) -> np.ndarray:
+    """Interleave each column's 16-bit min-max-quantized image into one
+    uint64 Morton key (up to 4 columns). Vectorized: 16 bit-gather
+    passes per column, no per-row Python."""
+    k = len(cols)
+    if not 2 <= k <= 4:
+        raise ValueError("z-order needs 2-4 columns")
+    z = np.zeros(len(cols[0]), dtype=np.uint64)
+    for j, (u, (lo, hi)) in enumerate(zip(cols, bounds)):
+        span = max(float(hi - lo), 1.0)
+        q = ((u - np.uint64(lo)).astype(np.float64) * (65535.0 / span)).clip(0, 65535).astype(np.uint64)
+        for bit in range(16):
+            z |= ((q >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * k + j)
+    return z
+
+
 def optimize_encoded(
     in_dir: str | list[str],
     out_dir: str,
-    sort_by: str,
+    sort_by: str | list[str],
     opts: dict | None = None,
 ) -> dict:
     """OPTIMIZE (cluster-by) an encoded dataset: decode, distributed
-    sort on `sort_by`, re-encode, write. Sorting gives stripes disjoint
+    sort, re-encode, write. One key = linear sort: stripes get disjoint
     zone-map ranges, so prune_read / rg_predicate after optimize skip
-    ∝ selectivity instead of scanning everything (Delta/Iceberg
-    OPTIMIZE ... ZORDER analog, single-key form). The sort is Ray
-    Data's range-partitioned shuffle — the ONE all-to-all this op needs
-    (unavoidable: clustering is a global permutation); encode fuses
-    onto the sorted blocks. Returns {stripes, rows}.
-    """
+    ∝ selectivity instead of scanning everything. Multiple keys (2-4) =
+    Z-ORDER: rows sort by an interleaved-bit Morton key over the
+    min-max-quantized columns, so zone maps stay selective on EVERY
+    listed column at once (Delta/Iceberg OPTIMIZE ... ZORDER analog).
+    Quantization bounds come from agg_encoded — stripe metadata only,
+    no extra decode pass. The sort is Ray Data's range-partitioned
+    shuffle — the ONE all-to-all this op needs (unavoidable: clustering
+    is a global permutation); z-key computation fuses onto the decode
+    tasks and encode fuses onto the sorted blocks. Returns
+    {stripes, rows}."""
+    keys = [sort_by] if isinstance(sort_by, str) else list(sort_by)
     dec = decode_files(in_dir)
-    enc = encode_dataset(dec.sort(sort_by), opts)
+    if len(keys) == 1:
+        ordered = dec.sort(keys[0])
+    else:
+        b = agg_encoded(
+            in_dir,
+            {f"{c}__{op}": (op, c) for c in keys for op in ("min", "max")},
+        )
+        bounds = [
+            (
+                int(_order_u64(b.column(f"{c}__min").combine_chunks())[0]),
+                int(_order_u64(b.column(f"{c}__max").combine_chunks())[0]),
+            )
+            for c in keys
+        ]
+
+        def add_z(batch: pa.Table) -> pa.Table:
+            z = _zorder_key([_order_u64(batch.column(c)) for c in keys], bounds)
+            # uint64, NOT an int64 view: at 4 keys the Morton key uses
+            # bit 63 and a signed view would invert the sort
+            return batch.append_column("__mothray_z", pa.array(z))
+
+        ordered = (
+            dec.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True)
+            .sort("__mothray_z")
+            .map_batches(
+                lambda t: t.drop_columns(["__mothray_z"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    enc = encode_dataset(ordered, opts)
     write_encoded(enc, out_dir)
     meta = read_encoded(out_dir, metadata_only=True)
     n = meta.count()

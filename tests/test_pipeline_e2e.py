@@ -663,3 +663,38 @@ def test_agg_encoded_metadata_only_and_fallback(ray_session, tmp_path):
     assert abs(res["sum_v"].iloc[0] - sum(tbl.column("v").to_pylist())) < 1e-6
     for c in ("sum_void", "avg_void", "min_void"):
         assert res[c].isna().iloc[0], c
+
+
+def test_optimize_encoded_zorder_two_columns(ray_session, tmp_path):
+    """Z-ORDER optimize: after clustering on (x, y), a range predicate
+    on EITHER column alone prunes most stripes (a linear sort can only
+    serve its leading key); content stays bit-identical."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import checkpoint, datagen
+
+    rng = np.random.default_rng(5)
+    n = 8000
+    tbl = datagen.cc_pages(n, seed=55).append_column(
+        "x", pa.array(rng.permutation(n).astype(np.int64))
+    ).append_column("y", pa.array(rng.permutation(n).astype(np.int64)))
+    src = tmp_path / "src.parquet"
+    pq.write_table(tbl, str(src), row_group_size=500)
+    enc = tmp_path / "enc"
+    checkpoint.encode_job(str(src), str(enc), target_partition_bytes=200_000)
+
+    out = tmp_path / "z"
+    res = pipeline.optimize_encoded(str(enc), str(out), sort_by=["x", "y"],
+                                    opts={"stripe_rows": 500})
+    assert res["rows"] == n
+
+    for col in ("x", "y"):
+        before = pipeline.prune_read(str(enc), col, min_value=n - 200).count()
+        after = pipeline.prune_read(str(out), col, min_value=n - 200).count()
+        assert after < before, col
+        assert after < n // 4, col  # most stripes actually skipped
+
+    dec = pipeline.decode_files(str(out))
+    assert pipeline.verify_roundtrip(ray.data.from_arrow(tbl), dec, "x")
