@@ -1156,3 +1156,25 @@ def test_decontaminate_matches_bruteforce(ray_session):
 
     kept = wt.decontaminate(ray.data.from_arrow(tbl), bench, n=4).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 3, 4, 5]
+
+
+def test_hnsw_bulk_build_connectivity_and_determinism():
+    """bulk_build on two far-apart tight clusters: exact-KNN graphs
+    disconnect (each cluster's neighbors stay inside it) — the BFS
+    stitch must make every vector reachable so ef >= n stays an exact
+    scan; two builds from the same seed are identical."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(150, 16)).astype(np.float32) * 0.01 + np.eye(16, dtype=np.float32)[0]
+    b = rng.normal(size=(150, 16)).astype(np.float32) * 0.01 - np.eye(16, dtype=np.float32)[0]
+    X = np.vstack([a, b])
+    X /= np.linalg.norm(X, axis=1)[:, None]
+    g = ann.HNSWGraph(M=8, ef_construction=64, seed=5)
+    g.bulk_build(X)
+    for qi in (0, 170):
+        q = X[qi]
+        pos, _ = g.search(q, k=5, ef=len(X))
+        exact = np.argsort(-(X @ q))[:5]
+        assert set(pos.tolist()) == set(exact.tolist())
+    g2 = ann.HNSWGraph(M=8, ef_construction=64, seed=5)
+    g2.bulk_build(X)
+    assert g2.entry == g.entry and g2.links == g.links
