@@ -849,6 +849,52 @@ def _with_column_documents(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _window_lag_events(sf_dir: str):
+    """Per-key LAG/LEAD (SQL window functions): one groupby shuffle,
+    one in-group sort over a total order (ts, event_id). lag/lead are
+    exact value copies, so they hash-match; running_sum is float-
+    accumulation-order-sensitive and stays pytest-checked
+    (test_lag_lead_matches_duckdb)."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return window.lag_lead(ds, "user_id", "ts", "value", "event_id").drop_columns(
+        ["running_sum"]
+    )
+
+
+def _topk_per_user_events(sf_dir: str):
+    """First-3-per-user (ROW_NUMBER <= k): combiner keeps <= k rows per
+    (batch, group) before the shuffle, so the exchange is bounded by
+    k * groups, not the corpus."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sample.top_k_per_group(ds, "user_id", "ts", 3, tiebreak_col="event_id")
+
+
+def _quantiles_lineitem(sf_dir: str):
+    """Exact distributed quantile_disc via the distinct-value-count
+    combiner (histogram size, not corpus size, reaches the driver)."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    got = sketch.exact_quantiles(ds, "l_quantity", qs)
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value": pa.array([got[q] for q in qs], type=pa.float64()),
+        }
+    )
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -961,6 +1007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["with_column_documents"] = _with_column_documents
     q["agg_pushdown_lineitem"] = _agg_pushdown_lineitem
     q["zorder_optimize_orders"] = _zorder_orders
+    q["window_lag_events"] = _window_lag_events
+    q["topk_per_user_events"] = _topk_per_user_events
+    q["quantiles_lineitem"] = _quantiles_lineitem
     return q
 
 
@@ -1218,6 +1267,20 @@ def oracle_sql() -> dict[str, str]:
     )
     o["optimize_sort_orders"] = "SELECT * FROM orders"
     o["zorder_optimize_orders"] = "SELECT * FROM orders"
+    o["window_lag_events"] = (
+        "SELECT event_id, ts, user_id, value,"
+        " lag(value) OVER w AS lag_value, lead(value) OVER w AS lead_value"
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    o["topk_per_user_events"] = (
+        "SELECT * EXCLUDE rn FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) rn FROM events)"
+        " WHERE rn <= 3"
+    )
+    o["quantiles_lineitem"] = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(l_quantity, {q}) AS value FROM lineitem"
+        for q in (0.25, 0.5, 0.75, 0.99)
+    )
     o["agg_pushdown_lineitem"] = (
         "SELECT count(*) AS count_star, count(l_shipdate) AS count_ship,"
         " min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,"

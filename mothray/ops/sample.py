@@ -86,3 +86,41 @@ def hash_sample(
         return hash_sample_batch(batch, rate, key_col, salt, rate_by_key, strat_col)
 
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_k_per_group(ds, group_col: str, order_col: str, k: int, ascending: bool = True,
+                    tiebreak_col: str | None = None):
+    """First/last k rows per group by (order, tiebreak) — the SQL
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) <= k pattern, and the
+    standard per-host document cap in corpus curation.
+
+    Scale path: a COMBINER runs inside map_batches first (vectorized
+    lexsort + within-group rank, no Python loop), so at most k rows per
+    (batch, group) enter the shuffle; the groupby then finishes the
+    same top-k over the per-batch survivors. The shuffle payload is
+    bounded by k * groups, not the corpus."""
+    import pyarrow.compute as pc
+
+    tb = tiebreak_col or order_col
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = [
+            (group_col, "ascending"),
+            (order_col, "ascending" if ascending else "descending"),
+            (tb, "ascending"),
+        ]
+        idx = pc.sort_indices(batch, sort_keys=keys)
+        g = batch.take(idx)
+        gv = g.column(group_col).to_numpy(zero_copy_only=False)
+        first = np.r_[True, gv[1:] != gv[:-1]]
+        starts = np.flatnonzero(first)
+        rank = np.arange(len(gv)) - np.repeat(starts, np.diff(np.r_[starts, len(gv)]))
+        return g.filter(pa.array(rank < k))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(partial, batch_format="pyarrow")
+    )

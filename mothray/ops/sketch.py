@@ -1,0 +1,177 @@
+"""Distributed quantiles: exact (value-count reduction) and t-digest.
+
+The reference carries a TDigest sketch as writer telemetry
+(reference: pkg/store metadata distribution builders; SURVEY.md §2.6
+row "TDigest/Distribution") but never exposes it as a query operator —
+here both forms are first-class:
+
+* exact_quantiles — COMBINER pattern: each batch reduces to its
+  distinct (value, count) pairs, a single groupby sums counts per
+  value, and the driver walks the (small) sorted value histogram to
+  the target ranks. EXACT for any column whose distinct-value count
+  is bounded (flags, quantities, scores, dates — the common quantile
+  targets); the histogram size, not the corpus size, is what reaches
+  the driver. Matches DuckDB quantile_disc bit-for-bit
+  (rank = max(ceil(q*n), 1), 1-based over the sorted multiset).
+* tdigest_quantiles — Dunning's MERGING t-digest, vectorized: per
+  batch, sort + cumulative-weight scale-function binning builds <=
+  ~delta centroids with NO per-value Python; per-batch digests (tiny
+  (mean, weight) tables) concatenate and re-compress on the driver.
+  Approximate but bounded-memory for unbounded cardinality; accuracy
+  is tightest in the tails (k1 scale function), the property LLM
+  data curation uses for p99 length/score cuts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _duck_rank(q: float, n: int) -> int:
+    return max(int(math.ceil(q * n)), 1)
+
+
+def exact_quantiles(ds, column: str, qs: list[float]) -> dict[float, float]:
+    """Exact quantile_disc over a Dataset column (combiner + one
+    groupby over DISTINCT VALUES; see module docstring)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(column).combine_chunks())
+        return pa.table({column: vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(column)
+        .sum("cnt")
+        .sort(column)
+        .to_pandas()
+    )
+    hist = hist.dropna(subset=[column])
+    counts = hist["sum(cnt)"].to_numpy()
+    values = hist[column].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[q] = None
+            continue
+        r = _duck_rank(q, n)
+        out[q] = values[int(np.searchsorted(cum, r))]
+    return out
+
+
+# ------------------------------------------------------------------ t-digest
+
+_DELTA = 200
+
+
+def _k1(q: np.ndarray, delta: float) -> np.ndarray:
+    return (delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0.0, 1.0) - 1)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Merge sorted weighted points into t-digest centroids: bin by the
+    integer part of k1(q) at each point's cumulative midpoint — fully
+    vectorized (sort + cumsum + bincount)."""
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    total = w.sum()
+    if total <= 0:
+        return np.empty(0), np.empty(0)
+    cum = np.cumsum(w)
+    qmid = (cum - w / 2) / total
+    bins = np.floor(_k1(qmid, delta) - _k1(np.array([0.0]), delta)[0]).astype(np.int64)
+    bins -= bins.min()
+    wsum = np.bincount(bins, weights=w)
+    msum = np.bincount(bins, weights=m * w)
+    keep = wsum > 0
+    return msum[keep] / wsum[keep], wsum[keep]
+
+
+class TDigest:
+    """Mergeable quantile sketch (Dunning & Ertl, public paper /
+    github.com/tdunning/t-digest). Serializes to a (mean, weight)
+    table; merging = concatenate + one _compress pass."""
+
+    def __init__(self, means: np.ndarray | None = None, weights: np.ndarray | None = None,
+                 delta: float = _DELTA, vmin: float = np.inf, vmax: float = -np.inf):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+        self.vmin, self.vmax = vmin, vmax
+
+    @classmethod
+    def from_values(cls, vals: np.ndarray, delta: float = _DELTA) -> "TDigest":
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return cls(delta=delta)
+        m, w = _compress(vals.astype(np.float64), np.ones(len(vals)), delta)
+        return cls(m, w, delta, float(vals.min()), float(vals.max()))
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means) == 0:
+            return self
+        if len(self.means) == 0:
+            return other
+        m, w = _compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+            self.delta,
+        )
+        return TDigest(m, w, self.delta, min(self.vmin, other.vmin), max(self.vmax, other.vmax))
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * total
+        if target <= cum[0]:
+            return self.vmin if q <= 0 else float(
+                self.vmin + (self.means[0] - self.vmin) * (target / cum[0])
+            )
+        if target >= cum[-1]:
+            rem = total - cum[-1]
+            return self.vmax if rem <= 0 or q >= 1 else float(
+                self.means[-1] + (self.vmax - self.means[-1]) * ((target - cum[-1]) / rem)
+            )
+        i = int(np.searchsorted(cum, target)) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + (self.means[i + 1] - self.means[i]) * frac)
+
+
+def tdigest_quantiles(ds, column: str, qs: list[float], delta: float = _DELTA) -> dict[float, float]:
+    """Distributed t-digest: one tiny (mean, weight, min, max) table
+    per batch leaves each task; the driver merge touches centroids,
+    never values."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().cast(pa.float64()).drop_null()
+        d = TDigest.from_values(v.to_numpy(zero_copy_only=False), delta)
+        return pa.table(
+            {
+                "mean": pa.array(d.means, type=pa.float64()),
+                "weight": pa.array(d.weights, type=pa.float64()),
+                "vmin": pa.array(np.full(len(d.means), d.vmin)),
+                "vmax": pa.array(np.full(len(d.means), d.vmax)),
+            }
+        )
+
+    cents = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(cents) == 0:
+        return {q: float("nan") for q in qs}
+    d = TDigest(
+        cents["mean"].to_numpy().copy(),
+        cents["weight"].to_numpy().copy(),
+        delta,
+        float(cents["vmin"].min()),
+        float(cents["vmax"].max()),
+    )
+    m, w = _compress(d.means, d.weights, delta)
+    d = TDigest(m, w, delta, d.vmin, d.vmax)
+    return {q: d.quantile(q) for q in qs}

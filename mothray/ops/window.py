@@ -101,3 +101,36 @@ def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs,
 
     keys = ["window_start"] if key_col is None else [key_col, "window_start"]
     return ds.map_batches(explode, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+
+
+def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str):
+    """Per-key ordered LAG/LEAD/running-sum (the SQL window-function
+    trio). One groupby shuffle collects each key's rows; inside the
+    group ONE sort by (order, tiebreak) — the tiebreak column makes the
+    ordering total, so results are deterministic and SQL-reproducible
+    even when order_col has ties. Output: every input column of the
+    projection plus lag_value / lead_value (null at the edges) and
+    running_sum (sum of value up to and including the row).
+
+    Scale: per-key state only lives inside its group task; skewed keys
+    are the caller's concern (same contract as session_windows)."""
+
+    def wins(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")],
+        )
+        g = group.take(idx)
+        v = g.column(value_col).combine_chunks()
+        null = pa.nulls(1, type=v.type)
+        lag = pa.concat_arrays([null, v.slice(0, len(v) - 1)]) if len(v) else v
+        lead = pa.concat_arrays([v.slice(1), null]) if len(v) else v
+        run = pc.cumulative_sum(pc.cast(v, pa.float64()))
+        return (
+            g.append_column("lag_value", lag)
+            .append_column("lead_value", lead)
+            .append_column("running_sum", run)
+        )
+
+    proj = ds.select_columns(sorted({key_col, order_col, value_col, tiebreak_col}))
+    return proj.groupby(key_col).map_groups(wins, batch_format="pyarrow")

@@ -1178,3 +1178,98 @@ def test_hnsw_bulk_build_connectivity_and_determinism():
     g2 = ann.HNSWGraph(M=8, ef_construction=64, seed=5)
     g2.bulk_build(X)
     assert g2.entry == g.entry and g2.links == g.links
+
+
+def test_lag_lead_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = (
+        window.lag_lead(ds, "user_id", "ts", "value", "event_id")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT event_id, ts, user_id, value,"
+        " lag(value) OVER w AS lag_value, lead(value) OVER w AS lead_value,"
+        " sum(value) OVER (w ROWS UNBOUNDED PRECEDING) AS running_sum"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        " ORDER BY user_id, ts, event_id"
+    ).df()
+    assert len(out) == len(exp)
+    for c in ("lag_value", "lead_value", "running_sum"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        nan_same = np.isnan(a) == np.isnan(b)
+        assert nan_same.all(), c
+        m = ~np.isnan(a)
+        assert np.allclose(a[m], b[m], atol=1e-9), c
+
+
+def test_top_k_per_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = (
+        sample.top_k_per_group(ds, "user_id", "ts", 3, tiebreak_col="event_id")
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT * EXCLUDE rn FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY ts, event_id) rn"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')) WHERE rn <= 3"
+        " ORDER BY user_id, ts, event_id"
+    ).df()
+    assert len(out) == len(exp)
+    assert out["event_id"].tolist() == exp["event_id"].tolist()
+
+
+def test_exact_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = sketch.exact_quantiles(ds, "l_quantity", qs)
+    for q in qs:
+        exp = duckdb.sql(
+            f"SELECT quantile_disc(l_quantity, {q}) FROM"
+            " read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).fetchone()[0]
+        assert got[q] == exp, q
+
+
+def test_tdigest_bounded_error(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    got = sketch.tdigest_quantiles(ds, "l_extendedprice", qs)
+    lo, hi = duckdb.sql(
+        "SELECT min(l_extendedprice), max(l_extendedprice) FROM"
+        " read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    ).fetchone()
+    span = hi - lo
+    for q in qs:
+        exp = duckdb.sql(
+            f"SELECT quantile_cont(l_extendedprice, {q}) FROM"
+            " read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).fetchone()[0]
+        assert abs(got[q] - exp) < 0.02 * span, (q, got[q], exp)
+    # determinism across a rebuild
+    got2 = sketch.tdigest_quantiles(ds, "l_extendedprice", qs)
+    assert got == got2
