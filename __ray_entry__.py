@@ -895,6 +895,71 @@ def _quantiles_lineitem(sf_dir: str):
     )
 
 
+def _ranked_events(sf_dir: str):
+    """Per-key RANK/DENSE_RANK/ROW_NUMBER/NTILE/PERCENT_RANK/CUME_DIST:
+    the ordinal window functions, numpy boundary-flag math over one
+    sorted group. rank family ties on event_type (peers share ranks);
+    row_number/ntile use the (event_type, event_id) total order. The
+    float columns are single IEEE divisions of identical integer
+    operands on both sides, so they hash-match."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return window.ranked(ds, "user_id", "event_type", "event_id", n_tiles=4)
+
+
+def _count_distinct_lineitem(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): per-batch distinct-pair combiner
+    bounds the shuffle by distinct pairs, not rows."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return sketch.count_distinct(ds, "l_partkey", group_col="l_returnflag")
+
+
+def _hll_distinct_lineitem(sf_dir: str):
+    """HyperLogLog approximate distinct (p=14, ~0.8%% stderr): one
+    16 KiB register row per batch reaches the driver. Approximate by
+    nature -> rows-only driver check; the 2%% error bound vs exact is
+    pytest-enforced (test_hll_bounded_error_and_determinism)."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
+    return pa.table(
+        {
+            "column": pa.array(cols),
+            "approx_distinct": pa.array(
+                [sketch.hll_distinct(ds, c) for c in cols], type=pa.int64()
+            ),
+        }
+    )
+
+
+def _percentile_cut_documents(sf_dir: str):
+    """p95 length-tail trim (webtext cleaning): exact distributed
+    quantile cut (pass 1, histogram combiner) + streamed filter
+    (pass 2)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def add_len(b: pa.Table) -> pa.Table:
+        return b.append_column("doc_len", pc.cast(pc.utf8_length(b.column("text")), pa.int64()))
+
+    with_len = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    return sketch.quantile_filter(with_len, "doc_len", 0.95, keep="below")
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1010,6 +1075,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_lag_events"] = _window_lag_events
     q["topk_per_user_events"] = _topk_per_user_events
     q["quantiles_lineitem"] = _quantiles_lineitem
+    q["ranked_events"] = _ranked_events
+    q["count_distinct_lineitem"] = _count_distinct_lineitem
+    q["hll_distinct_lineitem"] = _hll_distinct_lineitem
+    q["percentile_cut_documents"] = _percentile_cut_documents
     return q
 
 
@@ -1280,6 +1349,22 @@ def oracle_sql() -> dict[str, str]:
     o["quantiles_lineitem"] = " UNION ALL ".join(
         f"SELECT {q} AS q, quantile_disc(l_quantity, {q}) AS value FROM lineitem"
         for q in (0.25, 0.5, 0.75, 0.99)
+    )
+    o["ranked_events"] = (
+        "SELECT event_id, event_type, user_id,"
+        " row_number() OVER wt AS row_number, rank() OVER w AS rank,"
+        " dense_rank() OVER w AS dense_rank, ntile(4) OVER wt AS ntile,"
+        " percent_rank() OVER w AS percent_rank, cume_dist() OVER w AS cume_dist"
+        " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_type),"
+        " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
+    )
+    o["percentile_cut_documents"] = (
+        "SELECT *, length(text) AS doc_len FROM documents WHERE length(text) <="
+        " (SELECT quantile_disc(length(text), 0.95) FROM documents)"
+    )
+    o["count_distinct_lineitem"] = (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey"
+        " FROM lineitem GROUP BY l_returnflag"
     )
     o["agg_pushdown_lineitem"] = (
         "SELECT count(*) AS count_star, count(l_shipdate) AS count_ship,"

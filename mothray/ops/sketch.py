@@ -175,3 +175,147 @@ def tdigest_quantiles(ds, column: str, qs: list[float], delta: float = _DELTA) -
     m, w = _compress(d.means, d.weights, delta)
     d = TDigest(m, w, delta, d.vmin, d.vmax)
     return {q: d.quantile(q) for q in qs}
+
+
+# ------------------------------------------------------- distinct counting
+
+def count_distinct(ds, value_col: str, group_col: str | None = None):
+    """EXACT COUNT(DISTINCT value) [GROUP BY group]: per-batch distinct
+    (group, value) pairs (Arrow group_by — vectorized) are the only
+    rows that shuffle, then one groupby counts uniques per group. The
+    exchange is bounded by batches x distinct-pairs-per-batch, not the
+    corpus. Global form returns an int; grouped form a Dataset with
+    column distinct_<value_col>."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [value_col] if group_col is None else [group_col, value_col]
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    dd = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if group_col is None:
+        return dd.groupby(value_col).count().count()
+
+    out_col = f"distinct_{value_col}"
+
+    def finish(group: pa.Table) -> pa.Table:
+        vals = group.column(value_col).combine_chunks()
+        n = len(pc.unique(vals.drop_null()))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                out_col: pa.array([n], type=pa.int64()),
+            }
+        )
+
+    return dd.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+_HLL_P = 14
+_HLL_M = 1 << _HLL_P
+_HLL_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (frexp is exact for
+    values < 2^32, so split hi/lo words)."""
+    hi = (x >> np.uint64(32)).astype(np.float64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    ehi = np.frexp(hi)[1]
+    elo = np.frexp(lo)[1]
+    return np.where(hi > 0, 32 + ehi, elo).astype(np.int64)
+
+
+def _hll_hash_column(arr: pa.Array) -> np.ndarray:
+    """64-bit well-mixed hash per value. Numerics hash their bit
+    pattern through splitmix64; strings/binary go through the FNV
+    fingerprint first. Nulls are dropped (SQL COUNT DISTINCT rule)."""
+    from .. import bloom as bloom_mod
+    from . import text as text_mod
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t):
+        if pa.types.is_floating(t):
+            raw = pc.cast(arr, pa.float64()).to_numpy().view(np.uint64)
+        else:
+            raw = pc.cast(arr, pa.int64(), safe=False).to_numpy().view(np.uint64)
+    else:
+        s = arr if pa.types.is_string(t) or pa.types.is_large_string(t) else pc.cast(arr, pa.string())
+        fp = text_mod.fingerprint_batch(pa.table({"k": s}), "k").column("fingerprint")
+        raw = fp.to_numpy(zero_copy_only=False).view(np.uint64)
+    return bloom_mod._mix(raw ^ _HLL_SEED)
+
+
+class HyperLogLog:
+    """Flajolet et al. HLL with linear-counting small-range correction
+    (public papers; p=14 -> 16 KiB registers, ~0.8% standard error).
+    Mergeable by element-wise register max — the partial each batch
+    emits is the 2^p-byte register array, so corpus size never reaches
+    the driver."""
+
+    def __init__(self, registers: np.ndarray | None = None):
+        self.registers = (
+            registers if registers is not None else np.zeros(_HLL_M, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if len(h):
+            idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+            w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+            rank = (64 - _HLL_P + 1 - _bit_length_u64(w)).astype(np.uint8)
+            np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> int:
+        m = float(_HLL_M)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if raw <= 2.5 * m and zeros:
+            return int(round(m * math.log(m / zeros)))
+        return int(round(raw))
+
+
+def hll_distinct(ds, value_col: str) -> int:
+    """Approximate COUNT(DISTINCT) in one streaming pass: each batch
+    reduces to one 16 KiB register row; the driver max-merges. Use when
+    the distinct set itself is too big to shuffle (URLs/hashes at
+    100 TB) — count_distinct is the exact path for bounded sets."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog().add_hashes(_hll_hash_column(batch.column(value_col)))
+        return pa.table({"regs": pa.array([h.registers.tobytes()], type=pa.binary())})
+
+    acc = HyperLogLog()
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for regs in b.column("regs"):
+            acc = acc.merge(HyperLogLog(np.frombuffer(regs.as_py(), dtype=np.uint8).copy()))
+    return acc.estimate()
+
+
+def quantile_filter(ds, column: str, q: float, keep: str = "below"):
+    """Percentile-cut filter — the standard webtext tail trim (drop
+    docs beyond the p99 of a length/score signal). Pass 1 computes the
+    EXACT quantile_disc cut via the distinct-value-count combiner;
+    pass 2 streams the corpus through a vectorized comparison. Two
+    passes are inherent (the cut must exist before the filter); only
+    the tiny histogram ever reaches the driver."""
+    cut = exact_quantiles(ds, column, [q])[q]
+    if cut is None:
+        return ds
+    op = {"below": "less_equal", "above": "greater_equal"}[keep]
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(getattr(pc, op)(batch.column(column), cut))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)

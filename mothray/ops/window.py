@@ -134,3 +134,49 @@ def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str
 
     proj = ds.select_columns(sorted({key_col, order_col, value_col, tiebreak_col}))
     return proj.groupby(key_col).map_groups(wins, batch_format="pyarrow")
+
+
+def ranked(ds, key_col: str, order_col: str, tiebreak_col: str, n_tiles: int = 4):
+    """Per-key RANK / DENSE_RANK / ROW_NUMBER / NTILE / PERCENT_RANK /
+    CUME_DIST — the ordinal half of the SQL window-function family
+    (lag_lead carries the value half). rank/dense_rank/percent_rank/
+    cume_dist tie on order_col alone (SQL semantics: peers share a
+    rank); row_number and ntile use the total order (order, tiebreak)
+    so they are deterministic under ties. ntile follows SQL: the first
+    (n % tiles) buckets take one extra row.
+
+    Scale: one groupby shuffle; all rank math is numpy over the sorted
+    group (boundary flags + cumsum / repeat), no per-row Python."""
+
+    def ranks(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")],
+        )
+        g = group.take(idx)
+        n = g.num_rows
+        ov = g.column(order_col).to_numpy(zero_copy_only=False)
+        new_peer = np.r_[True, ov[1:] != ov[:-1]]
+        starts = np.flatnonzero(new_peer)               # first row of each peer group
+        sizes = np.diff(np.r_[starts, n])
+        row_number = np.arange(1, n + 1, dtype=np.int64)
+        rank = np.repeat(starts + 1, sizes)             # shared rank = first peer's rn
+        dense_rank = np.cumsum(new_peer).astype(np.int64)
+        ends = np.repeat(starts + sizes, sizes)         # rows with order <= current
+        q, r = divmod(n, n_tiles)
+        tile_sizes = np.full(n_tiles, q, dtype=np.int64)
+        tile_sizes[:r] += 1
+        tile_sizes = tile_sizes[tile_sizes > 0]
+        ntile = np.repeat(np.arange(1, len(tile_sizes) + 1, dtype=np.int64), tile_sizes)
+        pct = (rank - 1) / (n - 1) if n > 1 else np.zeros(n)
+        return (
+            g.append_column("row_number", pa.array(row_number))
+            .append_column("rank", pa.array(rank))
+            .append_column("dense_rank", pa.array(dense_rank))
+            .append_column("ntile", pa.array(ntile))
+            .append_column("percent_rank", pa.array(pct, type=pa.float64()))
+            .append_column("cume_dist", pa.array(ends / n, type=pa.float64()))
+        )
+
+    proj = ds.select_columns(sorted({key_col, order_col, tiebreak_col}))
+    return proj.groupby(key_col).map_groups(ranks, batch_format="pyarrow")

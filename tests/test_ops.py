@@ -1273,3 +1273,108 @@ def test_tdigest_bounded_error(ray_session):
     # determinism across a rebuild
     got2 = sketch.tdigest_quantiles(ds, "l_extendedprice", qs)
     assert got == got2
+
+
+def test_ranked_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = (
+        window.ranked(ds, "user_id", "event_type", "event_id", n_tiles=4)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT event_id, event_type, user_id,"
+        " row_number() OVER wt AS row_number, rank() OVER w AS rank,"
+        " dense_rank() OVER w AS dense_rank, ntile(4) OVER wt AS ntile,"
+        " percent_rank() OVER w AS percent_rank, cume_dist() OVER w AS cume_dist"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " WINDOW w AS (PARTITION BY user_id ORDER BY event_type),"
+        " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
+        " ORDER BY user_id, event_id"
+    ).df()
+    assert len(out) == len(exp)
+    for c in ("row_number", "rank", "dense_rank", "ntile"):
+        assert out[c].tolist() == exp[c].tolist(), c
+    for c in ("percent_rank", "cume_dist"):
+        assert np.allclose(out[c].to_numpy(), exp[c].to_numpy(), atol=1e-12), c
+
+
+def test_count_distinct_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src)
+    out = (
+        sketch.count_distinct(ds, "l_partkey", group_col="l_returnflag")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_l_partkey"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert out["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert out["distinct_l_partkey"].tolist() == exp["distinct_l_partkey"].tolist()
+    # global form
+    n = sketch.count_distinct(ds, "l_suppkey")
+    exp_n = duckdb.sql(f"SELECT count(DISTINCT l_suppkey) FROM read_parquet('{src}')").fetchone()[0]
+    assert n == exp_n
+
+
+def test_hll_bounded_error_and_determinism(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src)
+    for col in ("l_partkey", "l_extendedprice"):
+        est = sketch.hll_distinct(ds, col)
+        exact = duckdb.sql(f"SELECT count(DISTINCT {col}) FROM read_parquet('{src}')").fetchone()[0]
+        assert abs(est - exact) <= max(0.02 * exact, 2), (col, est, exact)
+        assert est == sketch.hll_distinct(ds, col)  # deterministic
+
+
+def test_hll_merge_order_invariance():
+    from mothray.ops import sketch
+
+    rng = np.random.default_rng(7)
+    parts = [
+        sketch.HyperLogLog().add_hashes(
+            sketch._hll_hash_column(pa.array(rng.integers(0, 50_000, 20_000)))
+        )
+        for _ in range(4)
+    ]
+    a = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    b = parts[3].merge(parts[2]).merge(parts[1]).merge(parts[0])
+    assert a.estimate() == b.estimate()
+    assert (a.registers == b.registers).all()
+
+
+def test_quantile_filter_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src)
+    out = sketch.quantile_filter(ds, "l_extendedprice", 0.9, keep="below").to_pandas()
+    exp = duckdb.sql(
+        f"SELECT count(*), sum(l_extendedprice) FROM read_parquet('{src}')"
+        f" WHERE l_extendedprice <= (SELECT quantile_disc(l_extendedprice, 0.9)"
+        f" FROM read_parquet('{src}'))"
+    ).fetchone()
+    assert len(out) == exp[0]
+    assert abs(out["l_extendedprice"].sum() - exp[1]) < 1e-6
