@@ -960,6 +960,19 @@ def _percentile_cut_documents(sf_dir: str):
     return sketch.quantile_filter(with_len, "doc_len", 0.95, keep="below")
 
 
+def _tfidf_documents(sf_dir: str):
+    """Top-3 TF-IDF terms per doc: DF pass (per-doc distinct-term
+    combiner) -> broadcast vocab -> streamed scoring. Selection ranks
+    on integer keys (tf DESC, df ASC, term ASC) so chosen rows are
+    engine-independent; the float weight rides along."""
+    import ray.data
+
+    from mothray.ops import text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return text.tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1079,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["count_distinct_lineitem"] = _count_distinct_lineitem
     q["hll_distinct_lineitem"] = _hll_distinct_lineitem
     q["percentile_cut_documents"] = _percentile_cut_documents
+    q["tfidf_documents"] = _tfidf_documents
     return q
 
 
@@ -1357,6 +1371,19 @@ def oracle_sql() -> dict[str, str]:
         " percent_rank() OVER w AS percent_rank, cume_dist() OVER w AS cume_dist"
         " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_type),"
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
+    )
+    o["tfidf_documents"] = (
+        "WITH toks AS (SELECT doc_id, u.t AS term FROM documents,"
+        " UNNEST(string_split(coalesce(lower(text), ''), ' ')) AS u(t)),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),"
+        " dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,"
+        " row_number() OVER (PARTITION BY tf.doc_id"
+        " ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank,"
+        " round(tf.tf * ln(n.n / dfx.df), 6) AS tfidf"
+        " FROM tf JOIN dfx USING (term), n)"
+        " SELECT * FROM scored WHERE rank <= 3"
     )
     o["percentile_cut_documents"] = (
         "SELECT *, length(text) AS doc_len FROM documents WHERE length(text) <="

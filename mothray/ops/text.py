@@ -317,3 +317,88 @@ class LangId:
 
 def langid(ds):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, batch_size=4096)
+
+
+def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
+                    k: int = 3, min_df: int = 1, round_digits: int = 6):
+    """Per-doc top-k terms by TF-IDF (keyword extraction / vocab
+    signal). Two passes:
+
+    pass 1 — document frequency: per batch, per-doc DISTINCT terms
+    (Arrow group_by) are the only rows that shuffle; a groupby-sum
+    yields the (term, df) table, pruned by min_df and broadcast via
+    ray.put (at corpus scale min_df IS the vocab cap — df follows a
+    Zipf law so even min_df=2 drops most of the long tail).
+    pass 2 — the corpus streams: per-(doc, term) counts, a vectorized
+    searchsorted vocab lookup, lexsort rank within doc.
+
+    Selection ranks by (tf DESC, df ASC, term ASC) — integer keys
+    only, so the chosen rows are bit-reproducible in SQL across
+    engines; the emitted tfidf weight (tf * ln(N/df)) is rounded to
+    round_digits so libm-vs-SQL ln ulp noise cannot leak into value
+    comparisons. Tokenization = single-space split
+    of lowercased text (same contract as token_top_k)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def split(batch: pa.Table):
+        texts = pc.utf8_lower(batch.column(column).combine_chunks().fill_null(""))
+        toks = pc.split_pattern(texts, " ")
+        return toks.flatten(), pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, didx = split(batch)
+        distinct = pa.table({"d": didx, "term": flat}).group_by(["d", "term"]).aggregate([])
+        vc = pc.value_counts(distinct.column("term").combine_chunks())
+        return pa.table({"term": vc.field("values"), "df": vc.field("counts").cast(pa.int64())})
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("df")
+        .to_pandas()
+    )
+    df_tbl = df_tbl[df_tbl["sum(df)"] >= min_df].sort_values("term")
+    vocab = df_tbl["term"].to_numpy(dtype=object)
+    dfs = df_tbl["sum(df)"].to_numpy(dtype=np.int64)
+    n_docs = ds.count()
+    vocab_ref = ray.put((vocab, dfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(vocab_ref)
+        flat, didx = split(batch)
+        pairs = (
+            pa.table({"d": didx, "term": flat})
+            .group_by(["d", "term"])
+            .aggregate([([], "count_all")])
+        )
+        d = pairs.column("d").to_numpy(zero_copy_only=False)
+        terms = pairs.column("term").to_numpy(zero_copy_only=False)
+        tf = pairs.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = np.searchsorted(vocab, terms)
+        found = (vi < len(vocab)) & (vocab[np.clip(vi, 0, len(vocab) - 1)] == terms)
+        d, terms, tf, vi = d[found], terms[found], tf[found], vi[found]
+        tdf = dfs[vi]
+        order = np.lexsort((vi, tdf, -tf, d))
+        d, terms, tf, tdf = d[order], terms[order], tf[order], tdf[order]
+        new_doc = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(new_doc)
+        sizes = np.diff(np.r_[starts, len(d)])
+        rank = np.arange(len(d)) - np.repeat(starts, sizes) + 1
+        keep = rank <= k
+        ids = batch.column(id_column).take(pa.array(d[keep]))
+        return pa.table(
+            {
+                id_column: ids,
+                "term": pa.array(terms[keep], type=pa.string()),
+                "tf": pa.array(tf[keep]),
+                "df": pa.array(tdf[keep]),
+                "rank": pa.array(rank[keep]),
+                "tfidf": pa.array(
+                    np.round(tf[keep] * np.log(n_docs / tdf[keep]), round_digits),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

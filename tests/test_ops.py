@@ -1378,3 +1378,39 @@ def test_quantile_filter_matches_duckdb(ray_session):
     ).fetchone()
     assert len(out) == exp[0]
     assert abs(out["l_extendedprice"].sum() - exp[1]) < 1e-6
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import text
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src)
+    out = (
+        text.tfidf_top_terms(ds, "text", "doc_id", k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, u.t AS term
+          FROM read_parquet('{src}'),
+               UNNEST(string_split(coalesce(lower(text), ''), ' ')) AS u(t)
+        ), tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM read_parquet('{src}')),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank,
+                 round(tf.tf * ln(n.n / dfx.df), 6) AS tfidf
+          FROM tf JOIN dfx USING (term), n)
+        SELECT * FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+    """).df()
+    assert len(out) == len(exp)
+    for c in ("doc_id", "term", "tf", "df", "rank"):
+        assert out[c].tolist() == exp[c].tolist(), c
+    assert np.allclose(out["tfidf"].to_numpy(), exp["tfidf"].to_numpy(), rtol=1e-12)
