@@ -973,6 +973,20 @@ def _tfidf_documents(sf_dir: str):
     return text.tfidf_top_terms(ds, "text", "doc_id", k=3)
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (iterative -> no SQL oracle; local
+    numpy-reference parity is pytest-enforced,
+    test_kmeans_converges_and_recovers_labels). Per iteration only
+    k x dim partial sums cross the wire."""
+    import ray.data
+
+    from mothray.ops import ann
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent, _hist = ann.kmeans_fit(ds, n_clusters=8, iters=10, seed=11)
+    return ann.kmeans_assign(ds, cent).select_columns(["vec_id", "cluster", "sq_dist"])
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1093,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hll_distinct_lineitem"] = _hll_distinct_lineitem
     q["percentile_cut_documents"] = _percentile_cut_documents
     q["tfidf_documents"] = _tfidf_documents
+    q["kmeans_embeddings"] = _kmeans_embeddings
     return q
 
 

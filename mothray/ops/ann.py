@@ -569,3 +569,95 @@ def hnsw_topk(
     if round_digits is not None:
         pdf["score"] = pdf["score"].round(round_digits)
     return pa.Table.from_pandas(pdf.reset_index(drop=True))
+
+
+# ------------------------------------------------------ distributed k-means
+
+def kmeans_fit(
+    ds,
+    n_clusters: int = 8,
+    column: str = "embedding",
+    iters: int = 10,
+    seed: int = 11,
+    tol: float = 1e-6,
+):
+    """Full-corpus Lloyd's k-means, the canonical distributed iterative
+    algorithm: per iteration the centroids broadcast once (ray.put) and
+    each batch emits ONE (k x dim sums, k counts, sse) partial — k rows
+    per batch cross the wire, never vectors. The driver reduces the
+    tiny partials, recenters, and re-broadcasts; empty clusters keep
+    their previous centroid (deterministic). Stops at `iters` or when
+    max centroid shift < tol.
+
+    Init = train_centroids (bounded seeded sample), so runs are
+    reproducible; under REpartitioning, float partial-sum order shifts
+    results by ~1 ulp (inherent to non-associative fp reduction — the
+    same caveat as every distributed ML framework).
+
+    Returns (centroids float64 [k, dim], inertia_history list[float]).
+    """
+    import ray
+
+    cent = train_centroids(ds, n_clusters, column=column, seed=seed)
+    cent = cent.astype(np.float64)
+    history = []
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            X = _matrix(batch.column(column)).astype(np.float64)
+            a = _nearest_centroid(X, c)
+            k, dim = c.shape
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sse = float(((X - c[a]) ** 2).sum())
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], type=pa.binary()),
+                    "counts": pa.array([counts.tobytes()], type=pa.binary()),
+                    "sse": pa.array([sse], type=pa.float64()),
+                }
+            )
+
+        k, dim = cent.shape
+        tot_sums = np.zeros((k, dim))
+        tot_counts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                tot_sums += np.frombuffer(b.column("sums")[i].as_py(), dtype=np.float64).reshape(k, dim)
+                tot_counts += np.frombuffer(b.column("counts")[i].as_py(), dtype=np.int64)
+            sse += float(pa.compute.sum(b.column("sse")).as_py())
+        history.append(sse)
+        nz = tot_counts > 0
+        new_cent = cent.copy()
+        new_cent[nz] = tot_sums[nz] / tot_counts[nz, None]
+        shift = float(np.abs(new_cent - cent).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent, history
+
+
+def kmeans_assign(ds, centroids: np.ndarray, column: str = "embedding"):
+    """Adds `cluster` (nearest centroid) and `sq_dist` — the streamed
+    M-step output for downstream per-cluster curation (dedup within
+    cluster, balanced sampling across clusters)."""
+    import ray
+
+    c_ref = ray.put(centroids.astype(np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        X = _matrix(batch.column(column)).astype(np.float64)
+        a = _nearest_centroid(X, c)
+        d = ((X - c[a]) ** 2).sum(axis=1)
+        return batch.append_column("cluster", pa.array(a.astype(np.int32))).append_column(
+            "sq_dist", pa.array(np.round(d, 6), type=pa.float64())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

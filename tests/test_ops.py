@@ -1414,3 +1414,34 @@ def test_tfidf_top_terms_matches_duckdb(ray_session):
     for c in ("doc_id", "term", "tf", "df", "rank"):
         assert out[c].tolist() == exp[c].tolist(), c
     assert np.allclose(out["tfidf"].to_numpy(), exp["tfidf"].to_numpy(), rtol=1e-12)
+
+
+def test_kmeans_converges_and_recovers_labels(ray_session):
+    import ray.data
+
+    from mothray.ops import ann
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ds = ray.data.read_parquet(src)
+    n_labels = len(set(ds.unique("label")))
+    cent, hist = ann.kmeans_fit(ds, n_clusters=n_labels, iters=10, seed=11)
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:])), hist  # inertia monotone
+    out = ann.kmeans_assign(ds, cent).to_pandas()
+    # deterministic rerun
+    cent2, hist2 = ann.kmeans_fit(ds, n_clusters=n_labels, iters=10, seed=11)
+    assert np.allclose(cent, cent2) and hist == hist2
+    # distributed result == local numpy Lloyd's from the same init
+    X = np.array(
+        ray.data.read_parquet(src).to_pandas()["embedding"].tolist(), dtype=np.float64
+    )
+    c_ref = ann.train_centroids(ds, n_labels, seed=11).astype(np.float64)
+    for _ in range(len(hist)):
+        a = ann._nearest_centroid(X, c_ref)
+        for c in range(n_labels):
+            if (a == c).any():
+                c_ref[c] = X[a == c].mean(axis=0)
+    assert np.allclose(cent, c_ref, atol=1e-8)
+    assert (out["cluster"].to_numpy() == ann._nearest_centroid(X, c_ref)).mean() > 0.999
+    # assignment stable under repartitioning (well-separated data)
+    out2 = ann.kmeans_assign(ds.repartition(7), cent).to_pandas().sort_values("vec_id")
+    assert out.sort_values("vec_id")["cluster"].tolist() == out2["cluster"].tolist()
