@@ -987,6 +987,54 @@ def _kmeans_embeddings(sf_dir: str):
     return ann.kmeans_assign(ds, cent).select_columns(["vec_id", "cluster", "sq_dist"])
 
 
+def _rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP via one corpus shuffle (finest grouping) +
+    driver-side re-aggregation of the small result (Gray et al. cube
+    construction). sum_qty is an integral double, so the float sum is
+    order-exact."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return groupsets.rollup(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "cnt": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+
+
+def _pivot_lineitem(sf_dir: str):
+    """PIVOT: (index, pivot) cell aggregate in one shuffle, bounded
+    grid reshaped on the driver; deterministic sorted column order."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return groupsets.pivot(ds, "l_returnflag", "l_linestatus", "l_quantity", "sum")
+
+
+def _unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt: wide->long per batch, no shuffle; values are exact
+    column copies so they hash-match the SQL UNPIVOT."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+    return groupsets.unpivot(
+        ds, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount", "l_tax"]
+    )
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1108,6 +1156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["percentile_cut_documents"] = _percentile_cut_documents
     q["tfidf_documents"] = _tfidf_documents
     q["kmeans_embeddings"] = _kmeans_embeddings
+    q["rollup_lineitem"] = _rollup_lineitem
+    q["pivot_lineitem"] = _pivot_lineitem
+    q["unpivot_lineitem"] = _unpivot_lineitem
     return q
 
 
@@ -1386,6 +1437,21 @@ def oracle_sql() -> dict[str, str]:
         " percent_rank() OVER w AS percent_rank, cume_dist() OVER w AS cume_dist"
         " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_type),"
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
+    )
+    o["pivot_lineitem"] = (
+        "SELECT * FROM (PIVOT lineitem ON l_linestatus USING sum(l_quantity)"
+        " GROUP BY l_returnflag)"
+    )
+    o["unpivot_lineitem"] = (
+        "SELECT l_orderkey, l_linenumber, name, value FROM"
+        " (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax"
+        " FROM lineitem) ON l_quantity, l_discount, l_tax INTO NAME name VALUE value)"
+    )
+    o["rollup_lineitem"] = (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+        " count(*) AS cnt, max(l_extendedprice) AS max_price,"
+        " GROUPING(l_returnflag, l_linestatus) AS grouping_id"
+        " FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     )
     o["tfidf_documents"] = (
         "WITH toks AS (SELECT doc_id, u.t AS term FROM documents,"

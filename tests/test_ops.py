@@ -1445,3 +1445,78 @@ def test_kmeans_converges_and_recovers_labels(ray_session):
     # assignment stable under repartitioning (well-separated data)
     out2 = ann.kmeans_assign(ds.repartition(7), cent).to_pandas().sort_values("vec_id")
     assert out.sort_values("vec_id")["cluster"].tolist() == out2["cluster"].tolist()
+
+
+def test_rollup_cube_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src)
+    specs = {"sum_qty": ("l_quantity", "sum"), "cnt": ("l_quantity", "count"),
+             "max_price": ("l_extendedprice", "max")}
+
+    def norm(df):
+        s = df.astype(str)
+        return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+
+    for form, sql_form in (("rollup", "ROLLUP"), ("cube", "CUBE")):
+        out = getattr(groupsets, form)(ds, ["l_returnflag", "l_linestatus"], specs).to_pandas()
+        exp = duckdb.sql(
+            f"SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+            f" count(*) AS cnt, max(l_extendedprice) AS max_price,"
+            f" GROUPING(l_returnflag, l_linestatus) AS grouping_id"
+            f" FROM read_parquet('{src}')"
+            f" GROUP BY {sql_form}(l_returnflag, l_linestatus)"
+        ).df()
+        assert out.shape == exp.shape, (form, out.shape, exp.shape)
+        a, b = norm(out), norm(exp[out.columns])
+        assert a.equals(b), form
+
+
+def test_pivot_unpivot_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src)
+    out = (
+        groupsets.pivot(ds, "l_returnflag", "l_linestatus", "l_quantity", "sum")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            f"PIVOT read_parquet('{src}') ON l_linestatus USING sum(l_quantity)"
+            f" GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert sorted(out.columns) == sorted(exp.columns)
+    for c in exp.columns:
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all(), c
+        else:
+            assert (a == b).all(), c
+
+    # unpivot round-trips the wide result back to long
+    wide = ray.data.from_pandas(out)
+    long = (
+        groupsets.unpivot(wide, ["l_returnflag"], [c for c in out.columns if c != "l_returnflag"])
+        .to_pandas()
+        .sort_values(["l_returnflag", "name"])
+        .reset_index(drop=True)
+    )
+    exp_long = duckdb.sql(
+        "SELECT l_returnflag, name, value FROM (UNPIVOT out ON COLUMNS(* EXCLUDE l_returnflag)"
+        " INTO NAME name VALUE value) ORDER BY l_returnflag, name"
+    ).df()
+    assert long["value"].tolist() == exp_long["value"].tolist()
+    assert long["name"].tolist() == exp_long["name"].tolist()
