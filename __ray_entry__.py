@@ -1035,6 +1035,21 @@ def _unpivot_lineitem(sf_dir: str):
     )
 
 
+def _filter_pushdown_lineitem(sf_dir: str):
+    """filter_encoded: the full skipping stack — stripe zone maps +
+    bloom, row-group min/max, DICTIONARY-DOMAIN string predicate (the
+    dict values are tested, never per-row strings), late
+    materialization (only row groups with hits decode the other
+    columns)."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_filter_push_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    return pipeline.filter_encoded(out, "l_returnflag", "eq", "R")
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1159,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rollup_lineitem"] = _rollup_lineitem
     q["pivot_lineitem"] = _pivot_lineitem
     q["unpivot_lineitem"] = _unpivot_lineitem
+    q["filter_pushdown_lineitem"] = _filter_pushdown_lineitem
     return q
 
 
@@ -1438,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_type),"
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
     )
+    o["filter_pushdown_lineitem"] = "SELECT * FROM lineitem WHERE l_returnflag = 'R'"
     o["pivot_lineitem"] = (
         "SELECT * FROM (PIVOT lineitem ON l_linestatus USING sum(l_quantity)"
         " GROUP BY l_returnflag)"

@@ -1159,6 +1159,51 @@ def prune_read(
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
+def filter_encoded(
+    path: str | list[str],
+    column: str,
+    op: str,
+    value,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Predicate-pushdown SCAN over an encoded-on-disk dataset — the
+    full skipping stack in one call, each level touching strictly less
+    data than the one above:
+
+      1. stripe prune: metadata-only read + zone maps (+ bloom for
+         string equality) — non-overlapping stripes' blobs are never
+         FETCHED (prune_read);
+      2. row-group prune: per-rg min/max inside surviving stripes;
+      3. dictionary-domain predicate: dict-encoded string stripes
+         evaluate on the tiny dictionary and test only the integer
+         index stream (stripe.predicate_mask);
+      4. late materialization: only row groups with hits decode the
+         projected columns, then filter by the row mask.
+
+    op: eq | ne | lt | le | gt | ge. Nulls never match."""
+    from . import stripe as stripe_mod
+
+    if op == "ne":
+        enc = read_encoded(path)  # no stats can prune a != predicate
+    else:
+        lo = value if op in ("eq", "ge", "gt") else None
+        hi = value if op in ("eq", "le", "lt") else None
+        needle = value if op == "eq" and isinstance(value, str) else None
+        enc = prune_read(path, column, lo, hi, needle)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.filter_stripe(row, column, op, value, columns)
+            for row in batch.to_pylist()
+        ]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- skew / shuffle
 
 def add_host_bucket(

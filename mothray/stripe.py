@@ -451,3 +451,93 @@ def add_column_to_stripe(row: dict, name: str, values, opts: dict | None = None)
         "stats": json.dumps(col_stats),
         "blob": new_blob,
     }
+
+
+_PC_OPS = {
+    "eq": "equal",
+    "ne": "not_equal",
+    "lt": "less",
+    "le": "less_equal",
+    "gt": "greater",
+    "ge": "greater_equal",
+}
+
+
+def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> np.ndarray:
+    """Boolean hit mask for ONE row group of ONE column, decoding as
+    little as possible. Dictionary-encoded strings take the
+    dictionary-domain fast path: the predicate runs on the `card`
+    dictionary values only, then the (integer) index stream is tested
+    against the matching-code lookup — per-row strings are never
+    materialized (the classic late-materialization trick; reference
+    decodes values before any predicate, StripeReader.NextBatch).
+    Nulls never match (SQL comparison semantics)."""
+    from .codecs import boolrle, rlev2
+
+    enc = _rebuild_column(tree, blob)
+    valid = None
+    n_eff = n
+    if column_mod.PRESENT in enc.streams:
+        valid, _ = boolrle.decode(enc.streams[column_mod.PRESENT], n)
+        n_eff = int(valid.sum())
+    if (
+        (pa.types.is_string(t) or pa.types.is_large_string(t))
+        and enc.encoding == column_mod.ENC_DICT
+    ):
+        import pyarrow.compute as pc
+
+        s = enc.streams
+        card = enc.extra["dict_size"]
+        dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
+        dict_arr = column_mod._build_string_array(
+            pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
+        )
+        lut = getattr(pc, _PC_OPS[op])(dict_arr, value).to_numpy(zero_copy_only=False)
+        lut = np.asarray(lut, dtype=bool)
+        indices, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
+        hits = lut[indices.astype(np.int64)]
+    else:
+        import pyarrow.compute as pc
+
+        arr = column_mod._decode_values(enc, t, n_eff)
+        h = getattr(pc, _PC_OPS[op])(arr, value)
+        hits = np.asarray(pc.fill_null(h, False).to_numpy(zero_copy_only=False), dtype=bool)
+    if valid is None:
+        return hits
+    full = np.zeros(n, dtype=bool)
+    full[valid] = hits
+    return full
+
+
+def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | None = None) -> pa.Table:
+    """Predicate-pushdown decode of one stripe: row groups prune by
+    min/max stats first; survivors build a hit mask from the predicate
+    column ALONE (dictionary-domain when dict-encoded); only row
+    groups with hits decode the projected columns (late
+    materialization at row-group granularity — a no-hit group's other
+    streams are never decompressed)."""
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    names = columns if columns is not None else schema.names
+    t = schema.field(column).type
+    lo = value if op in ("eq", "ge", "gt") else None
+    hi = value if op in ("eq", "le", "lt") else None
+    keep = None if op == "ne" else select_row_groups(meta, column, lo, hi)
+    trees = meta["columns"][column]["row_groups"]
+    if keep is None:
+        keep = list(range(len(trees)))
+    rg = meta["row_groups"]
+    rgr, rgc = rg["rows"], rg["count"]
+    n_rows = row["n_rows"]
+    out_schema = pa.schema([schema.field(nm) for nm in names])
+    parts = []
+    for i in keep:
+        n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
+        mask = predicate_mask(trees[i], blob, t, n, op, value)
+        if not mask.any():
+            continue
+        parts.append(decode_stripe(row, names, [i]).filter(pa.array(mask)))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)

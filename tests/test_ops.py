@@ -1520,3 +1520,67 @@ def test_pivot_unpivot_match_duckdb(ray_session):
     ).df()
     assert long["value"].tolist() == exp_long["value"].tolist()
     assert long["name"].tolist() == exp_long["name"].tolist()
+
+
+def test_filter_encoded_pushdown(ray_session, tmp_path):
+    import duckdb
+    import ray.data
+
+    from mothray import pipeline, stripe
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    out = str(tmp_path / "enc")
+    pipeline.encode_parquet_to_dir(src, out)
+
+    # string equality: dictionary-domain path (l_returnflag is dict-encoded)
+    got = (
+        pipeline.filter_encoded(out, "l_returnflag", "eq", "R")
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT * FROM read_parquet('{src}') WHERE l_returnflag = 'R'"
+        f" ORDER BY l_orderkey, l_linenumber"
+    ).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["l_quantity"].tolist() == exp["l_quantity"].tolist()
+
+    # numeric range with projection
+    got2 = (
+        pipeline.filter_encoded(out, "l_quantity", "le", 5.0,
+                                columns=["l_orderkey", "l_quantity"])
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_quantity"])
+        .reset_index(drop=True)
+    )
+    exp2 = duckdb.sql(
+        f"SELECT l_orderkey, l_quantity FROM read_parquet('{src}')"
+        f" WHERE l_quantity <= 5.0 ORDER BY l_orderkey, l_quantity"
+    ).df()
+    assert got2.shape == exp2.shape
+    assert got2["l_quantity"].tolist() == exp2["l_quantity"].tolist()
+
+    # late materialization: a selective predicate decodes fewer row
+    # groups of the non-predicate columns than a full decode would
+    enc_rows = pipeline.read_encoded(out).to_pandas().to_dict("records")
+    import mothray.column as column_mod
+    calls = {"n": 0}
+    orig = column_mod.decode_array
+    def counting(enc, t):
+        calls["n"] += 1
+        return orig(enc, t)
+    column_mod.decode_array = counting
+    try:
+        total_rg = 0
+        for row in enc_rows:
+            import json as _json
+            meta = _json.loads(row["meta"])
+            total_rg += meta["row_groups"]["count"]
+        n_cols = 16
+        for row in enc_rows:
+            stripe.filter_stripe(row, "l_quantity", "eq", -1.0)  # matches nothing
+        assert calls["n"] < total_rg  # only the predicate column's groups, at most
+    finally:
+        column_mod.decode_array = orig
