@@ -1050,6 +1050,20 @@ def _filter_pushdown_lineitem(sf_dir: str):
     return pipeline.filter_encoded(out, "l_returnflag", "eq", "R")
 
 
+def _lm_score_documents(sf_dir: str):
+    """CCNet-style bigram-LM cross-entropy per doc: two bounded
+    training exchanges (unigram combiner; (V+1)^2-capped bigram
+    combiner), model broadcast once, scoring streams shuffle-free.
+    Exactly SQL-reproducible (deterministic vocab tie-break, add-alpha
+    smoothing, round-6)."""
+    import ray.data
+
+    from mothray.ops import lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return lm.bigram_cross_entropy(ds, vocab_size=256)
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1175,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pivot_lineitem"] = _pivot_lineitem
     q["unpivot_lineitem"] = _unpivot_lineitem
     q["filter_pushdown_lineitem"] = _filter_pushdown_lineitem
+    q["lm_score_documents"] = _lm_score_documents
     return q
 
 
@@ -1455,6 +1470,27 @@ def oracle_sql() -> dict[str, str]:
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
     )
     o["filter_pushdown_lineitem"] = "SELECT * FROM lineitem WHERE l_returnflag = 'R'"
+    o["lm_score_documents"] = (
+        "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),"
+        " flat AS (SELECT doc_id, i, ws[i] AS w"
+        "          FROM toks, unnest(range(1, len(ws) + 1)) t(i)),"
+        " uni AS (SELECT w, count(*) AS c FROM flat GROUP BY 1),"
+        " vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w ASC LIMIT 256),"
+        " vn AS (SELECT count(*) AS v FROM vocab),"
+        " mapped AS (SELECT doc_id, i, CASE WHEN w IN (SELECT w FROM vocab)"
+        "            THEN w ELSE '<unk>' END AS w FROM flat),"
+        " c1 AS (SELECT w, count(*) AS c FROM mapped GROUP BY 1),"
+        " pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM mapped a"
+        "           JOIN mapped b ON a.doc_id = b.doc_id AND b.i = a.i + 1),"
+        " c2 AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),"
+        " lp AS (SELECT p.doc_id, ln((c2.c + 0.5) / (c1.c + 0.5 * (vn.v + 1))) AS lp"
+        "        FROM pairs p JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2"
+        "        JOIN c1 ON p.w1 = c1.w, vn)"
+        " SELECT d.doc_id, coalesce(s.n_pairs, 0) AS n_pairs, s.cross_entropy"
+        " FROM documents d LEFT JOIN"
+        "  (SELECT doc_id, count(*) AS n_pairs, round(-avg(lp), 6) AS cross_entropy"
+        "   FROM lp GROUP BY doc_id) s USING (doc_id)"
+    )
     o["pivot_lineitem"] = (
         "SELECT * FROM (PIVOT lineitem ON l_linestatus USING sum(l_quantity)"
         " GROUP BY l_returnflag)"

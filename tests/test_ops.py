@@ -1584,3 +1584,51 @@ def test_filter_encoded_pushdown(ray_session, tmp_path):
         assert calls["n"] < total_rg  # only the predicate column's groups, at most
     finally:
         column_mod.decode_array = orig
+
+
+def test_bigram_lm_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import lm
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src)
+    out = (
+        lm.bigram_cross_entropy(ds, vocab_size=256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(f"""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                      FROM read_parquet('{src}')),
+        flat AS (SELECT doc_id, i, ws[i] AS w
+                 FROM toks, unnest(range(1, len(ws) + 1)) t(i)),
+        uni AS (SELECT w, count(*) AS c FROM flat GROUP BY 1),
+        vocab AS (SELECT w, c FROM uni ORDER BY c DESC, w ASC LIMIT 256),
+        vn AS (SELECT count(*) AS v FROM vocab),
+        mapped AS (SELECT doc_id, i,
+                   CASE WHEN w IN (SELECT w FROM vocab) THEN w ELSE '<unk>' END AS w
+                   FROM flat),
+        c1 AS (SELECT w, count(*) AS c FROM mapped GROUP BY 1),
+        pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM mapped a
+                  JOIN mapped b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        c2 AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+        lp AS (SELECT p.doc_id,
+                      ln((c2.c + 0.5) / (c1.c + 0.5 * (vn.v + 1))) AS lp
+               FROM pairs p
+               JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+               JOIN c1 ON p.w1 = c1.w, vn)
+        SELECT d.doc_id, coalesce(s.n_pairs, 0) AS n_pairs, s.cross_entropy
+        FROM read_parquet('{src}') d LEFT JOIN
+          (SELECT doc_id, count(*) AS n_pairs, round(-avg(lp), 6) AS cross_entropy
+           FROM lp GROUP BY doc_id) s USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    assert len(out) == len(exp)
+    assert out["n_pairs"].tolist() == exp["n_pairs"].astype(int).tolist()
+    a, b = out["cross_entropy"].to_numpy(), exp["cross_entropy"].to_numpy()
+    both = ~(np.isnan(a) | np.isnan(b))
+    assert (np.isnan(a) == np.isnan(b)).all()
+    assert np.abs(a[both] - b[both]).max() <= 1e-6
