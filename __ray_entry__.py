@@ -1064,6 +1064,28 @@ def _lm_score_documents(sf_dir: str):
     return lm.bigram_cross_entropy(ds, vocab_size=256)
 
 
+def _bloom_join_lineitem(sf_dir: str):
+    """Bloom-prefiltered shuffle join: high-value orders' keys fold
+    into a distributed bloom (OR-merged partials), broadcast once;
+    lineitem rows that cannot match drop BEFORE the exchange, so the
+    probe side's shuffle volume is ~match rate + fpp. Results are
+    identical to the plain join (oracle-checked)."""
+    import ray.data
+
+    from mothray.ops import join
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_linenumber", "l_quantity"]),
+        batch_format="pyarrow",
+    )
+    hi = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 400000.0")
+    return join.bloom_filter_join(line, hi, "o_orderkey", how="inner")
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1190,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["unpivot_lineitem"] = _unpivot_lineitem
     q["filter_pushdown_lineitem"] = _filter_pushdown_lineitem
     q["lm_score_documents"] = _lm_score_documents
+    q["bloom_join_lineitem"] = _bloom_join_lineitem
     return q
 
 
@@ -1470,6 +1493,11 @@ def oracle_sql() -> dict[str, str]:
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
     )
     o["filter_pushdown_lineitem"] = "SELECT * FROM lineitem WHERE l_returnflag = 'R'"
+    o["bloom_join_lineitem"] = (
+        "SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,"
+        " o.o_totalprice FROM lineitem l JOIN orders o"
+        " ON l.l_orderkey = o.o_orderkey WHERE o.o_totalprice > 400000.0"
+    )
     o["lm_score_documents"] = (
         "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),"
         " flat AS (SELECT doc_id, i, ws[i] AS w"

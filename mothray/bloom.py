@@ -115,3 +115,54 @@ def might_contain(bloom: bytes, values: list[bytes | str]) -> np.ndarray:
         idx = (h1 + _U64(i) * h2) % _U64(num_bits)
         out &= (bits[(idx >> _U64(3)).astype(np.int64)] & (np.uint8(1) << (idx & _U64(7)).astype(np.uint8))) != 0
     return out
+
+
+def params_for(n: int, fpp: float = DEFAULT_FPP) -> tuple[int, int]:
+    """(num_bits, k) for an expected n values at fpp — split out of
+    build() so DISTRIBUTED construction can fix the geometry up front
+    and OR per-batch partials together (same formulas as build, so
+    single-pass and distributed blooms are bit-identical)."""
+    n = max(n, 1)
+    num_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    num_bits = (num_bits + 63) // 64 * 64
+    k = max(1, round(num_bits / n * math.log(2)))
+    return num_bits, k
+
+
+def partial_bits(lengths: np.ndarray, data: np.ndarray, num_bits: int, k: int) -> np.ndarray:
+    """Headerless bit array for one batch of values; union = bitwise
+    OR, so partials merge exactly on the driver."""
+    bits = np.zeros(num_bits // 8, dtype=np.uint8)
+    if len(lengths):
+        h = hash_bytes_columns(lengths, data)
+        h1 = h % _U64(num_bits)
+        h2 = (_mix(h ^ _C2) % _U64(num_bits - 1)) + _U64(1)
+        for i in range(k):
+            idx = (h1 + _U64(i) * h2) % _U64(num_bits)
+            np.bitwise_or.at(
+                bits,
+                (idx >> _U64(3)).astype(np.int64),
+                (np.uint8(1) << (idx & _U64(7)).astype(np.uint8)),
+            )
+    return bits
+
+
+def assemble(bits: np.ndarray, num_bits: int, k: int) -> bytes:
+    return int(num_bits).to_bytes(8, "little") + int(k).to_bytes(8, "little") + bits.tobytes()
+
+
+def might_contain_buffers(bloom: bytes, lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """might_contain without the per-value Python encode loop — takes
+    the (lengths, concatenated-bytes) view an Arrow string column
+    already has (the hot-path form for join prefilters)."""
+    num_bits = int.from_bytes(bloom[0:8], "little")
+    k = int.from_bytes(bloom[8:16], "little")
+    bits = np.frombuffer(bloom, dtype=np.uint8, offset=16)
+    h = hash_bytes_columns(lengths, data)
+    h1 = h % _U64(num_bits)
+    h2 = (_mix(h ^ _C2) % _U64(num_bits - 1)) + _U64(1)
+    out = np.ones(len(lengths), dtype=bool)
+    for i in range(k):
+        idx = (h1 + _U64(i) * h2) % _U64(num_bits)
+        out &= (bits[(idx >> _U64(3)).astype(np.int64)] & (np.uint8(1) << (idx & _U64(7)).astype(np.uint8))) != 0
+    return out

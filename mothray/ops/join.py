@@ -16,6 +16,7 @@ guide's two patterns:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 _JOIN_TYPES = {
@@ -305,3 +306,76 @@ def range_join(
         return pa.table(list(l_tbl.columns) + list(r_tbl.columns), names=l_names + out_r_names)
 
     return tagged.groupby([by, "__bin"]).map_groups(merge, batch_format="pyarrow")
+
+
+def build_key_bloom(ds, on: str, fpp: float = 0.001) -> bytes:
+    """Distributed bloom over a dataset's join-key column: geometry
+    fixed from a row-count estimate, each batch emits one headerless
+    partial (bitwise-OR-mergeable), the driver unions bytes — key
+    values never reach the driver."""
+    import pyarrow.compute as pc
+
+    from .. import bloom as bloom_mod
+    from .. import column as column_mod
+
+    num_bits, k = bloom_mod.params_for(ds.count(), fpp)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(on)
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+        key = key.drop_null()
+        lengths, data = column_mod._string_parts_view(key)
+        bits = bloom_mod.partial_bits(lengths, data, num_bits, k)
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    merged = np.zeros(num_bits // 8, dtype=np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v in b.column("bits"):
+            merged |= np.frombuffer(v.as_py(), dtype=np.uint8)
+    return bloom_mod.assemble(merged, num_bits, k)
+
+
+def bloom_filter_join(left, right, on: str, how: str = "inner",
+                      fpp: float = 0.001, num_buckets: int | None = None):
+    """Shuffle join with a BLOOM PREFILTER on the probe side — the
+    standard large-join optimization: the right side's keys fold into
+    a distributed bloom (build_key_bloom), the filter broadcasts once
+    via ray.put, and left rows that cannot match are dropped BEFORE
+    the all-to-all exchange. Results are identical to partitioned_join
+    (false positives only pass extra rows the join then drops); what
+    shrinks is shuffle volume — for a selective join the probe side's
+    exchange drops to ~match-rate + fpp.
+
+    Sound for inner / right_outer / left_semi (a bloom-dropped left
+    row can never appear in the output); refused for left/full outer,
+    where dropped rows must still surface with nulls."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .. import bloom as bloom_mod
+    from .. import column as column_mod
+
+    resolved = _JOIN_TYPES.get(how, how)
+    if resolved in ("left_outer", "full_outer", "left_anti"):
+        raise ValueError(f"bloom prefilter unsound for {resolved}; use partitioned_join")
+    bloom_ref = ray.put(build_key_bloom(right, on, fpp))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        bloom = ray.get(bloom_ref)
+        key = batch.column(on)
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        vmask = key.is_valid().to_numpy(zero_copy_only=False)
+        kv = key.drop_null()
+        lengths, data = column_mod._string_parts_view(kv)
+        mask[vmask] = bloom_mod.might_contain_buffers(bloom, lengths, data)
+        return batch.filter(pa.array(mask))
+
+    pre = left.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_join(pre, right, on, num_buckets=num_buckets, how=how)

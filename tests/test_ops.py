@@ -1632,3 +1632,35 @@ def test_bigram_lm_matches_duckdb(ray_session):
     both = ~(np.isnan(a) | np.isnan(b))
     assert (np.isnan(a) == np.isnan(b)).all()
     assert np.abs(a[both] - b[both]).max() <= 1e-6
+
+
+def test_bloom_filter_join_matches_partitioned(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import join
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = ray.data.read_parquet(f"{sf}/lineitem.parquet")
+    # selective right side: a few orders only
+    orders = ray.data.read_parquet(f"{sf}/orders.parquet").filter(
+        lambda r: r["o_orderkey"] % 97 == 0
+    )
+    renamed = lineitem.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "l_orderkey" else "o_orderkey" for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    out = join.bloom_filter_join(renamed, orders, "o_orderkey", how="inner")
+    got = out.to_pandas().sort_values(["o_orderkey", "l_linenumber"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/lineitem.parquet') l"
+        f" JOIN read_parquet('{sf}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"
+        f" WHERE o.o_orderkey % 97 = 0"
+    ).fetchone()[0]
+    assert len(got) == exp and exp > 0
+    # unsound join types refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        join.bloom_filter_join(lineitem, orders, "o_orderkey", how="left")
