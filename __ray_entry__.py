@@ -1086,6 +1086,23 @@ def _bloom_join_lineitem(sf_dir: str):
     return join.bloom_filter_join(line, hi, "o_orderkey", how="inner")
 
 
+def _set_ops(sf_dir: str, which: str):
+    """INTERSECT/EXCEPT: per-batch distinct combiner, one groupby over
+    all columns with a side bitmask (3 = both sides, 1 = left only)."""
+    import ray.data
+
+    from mothray.ops import setops
+
+    src = f"{sf_dir}/events.parquet"
+    lo = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id < 10"
+    )
+    hi = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id >= 5"
+    )
+    return getattr(setops, which)(lo, hi)
+
+
 def _zorder_orders(sf_dir: str):
     """Z-ORDER optimize on (o_custkey, o_totalprice): content identity
     is the oracle; the both-column pruning gain is pytest-proven
@@ -1213,6 +1230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["filter_pushdown_lineitem"] = _filter_pushdown_lineitem
     q["lm_score_documents"] = _lm_score_documents
     q["bloom_join_lineitem"] = _bloom_join_lineitem
+    q["intersect_events"] = lambda sf: _set_ops(sf, "intersect")
+    q["except_events"] = lambda sf: _set_ops(sf, "except_")
     return q
 
 
@@ -1493,6 +1512,13 @@ def oracle_sql() -> dict[str, str]:
         " wt AS (PARTITION BY user_id ORDER BY event_type, event_id)"
     )
     o["filter_pushdown_lineitem"] = "SELECT * FROM lineitem WHERE l_returnflag = 'R'"
+    _set_base = "SELECT event_type, user_id FROM events"
+    o["intersect_events"] = (
+        f"{_set_base} WHERE user_id < 10 INTERSECT {_set_base} WHERE user_id >= 5"
+    )
+    o["except_events"] = (
+        f"{_set_base} WHERE user_id < 10 EXCEPT {_set_base} WHERE user_id >= 5"
+    )
     o["bloom_join_lineitem"] = (
         "SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,"
         " o.o_totalprice FROM lineitem l JOIN orders o"

@@ -1,0 +1,80 @@
+"""SQL set operations over Datasets: DISTINCT, INTERSECT, EXCEPT,
+UNION [DISTINCT] — bag-to-set semantics on whole rows.
+
+Shape: per-batch DISTINCT first (Arrow group_by — the combiner, so
+only unique rows per batch enter the exchange), then ONE groupby over
+all columns resolves global membership. INTERSECT/EXCEPT tag the two
+sides with a bit mask and aggregate it per row-group: intersect keeps
+rows seen on both sides (mask == 3), except keeps rows seen only on
+the left (mask == 1) — SQL INTERSECT/EXCEPT DISTINCT semantics, which
+is what SQL's unqualified INTERSECT/EXCEPT mean.
+
+The reference engine has no set operators (encode/decode only); these
+extend the relational surface like the join family does.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_distinct(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    return batch.group_by(batch.column_names, use_threads=False).aggregate([])
+
+
+def distinct(ds):
+    """SELECT DISTINCT *: per-batch distinct combiner, then one
+    groupby over all columns emits each row once."""
+    cols = ds.schema().names
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        ds.map_batches(_batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .map_groups(first, batch_format="pyarrow")
+    )
+
+
+def _tagged_setop(left, right, keep_masks: tuple[int, ...]):
+    cols = left.schema().names
+    if right.schema().names != cols:
+        raise ValueError("set operations require identical schemas")
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            d = _batch_distinct(batch)
+            return d.append_column("__side", pa.array(np.full(d.num_rows, side, dtype=np.int64)))
+
+        return f
+
+    both = left.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag(2), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        mask = int(np.bitwise_or.reduce(group.column("__side").to_numpy(zero_copy_only=False)))
+        if mask in keep_masks:
+            return group.slice(0, 1).drop_columns(["__side"])
+        return group.schema.empty_table().drop_columns(["__side"])
+
+    return both.groupby(cols).map_groups(resolve, batch_format="pyarrow")
+
+
+def intersect(left, right):
+    """SQL INTERSECT (distinct rows present on BOTH sides)."""
+    return _tagged_setop(left, right, (3,))
+
+
+def except_(left, right):
+    """SQL EXCEPT (distinct left rows absent from right)."""
+    return _tagged_setop(left, right, (1,))
+
+
+def union_distinct(left, right):
+    """SQL UNION (as opposed to UNION ALL)."""
+    return distinct(left.union(right))

@@ -1664,3 +1664,42 @@ def test_bloom_filter_join_matches_partitioned(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         join.bloom_filter_join(lineitem, orders, "o_orderkey", how="left")
+
+
+def test_set_operations_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import setops
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    lo = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id < 10"
+    )
+    hi = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id >= 5"
+    )
+    base = f"SELECT event_type, user_id FROM read_parquet('{src}')"
+
+    def norm(df):
+        return df.sort_values(["event_type", "user_id"]).reset_index(drop=True)
+
+    cases = {
+        "INTERSECT": setops.intersect(lo, hi),
+        "EXCEPT": setops.except_(lo, hi),
+        "UNION": setops.union_distinct(lo, hi),
+    }
+    for kw, got_ds in cases.items():
+        got = norm(got_ds.to_pandas())
+        exp = norm(
+            duckdb.sql(
+                f"{base} WHERE user_id < 10 {kw} {base} WHERE user_id >= 5"
+            ).df()
+        )
+        assert got.shape == exp.shape, kw
+        assert got["user_id"].tolist() == exp["user_id"].tolist(), kw
+        assert got["event_type"].tolist() == exp["event_type"].tolist(), kw
+
+    d = norm(setops.distinct(lo).to_pandas())
+    exp_d = norm(duckdb.sql(f"SELECT DISTINCT event_type, user_id FROM read_parquet('{src}') WHERE user_id < 10").df())
+    assert d.shape == exp_d.shape and d["user_id"].tolist() == exp_d["user_id"].tolist()
