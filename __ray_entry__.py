@@ -1232,6 +1232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_join_lineitem"] = _bloom_join_lineitem
     q["intersect_events"] = lambda sf: _set_ops(sf, "intersect")
     q["except_events"] = lambda sf: _set_ops(sf, "except_")
+    q["intersect_all_events"] = lambda sf: _set_ops(sf, "intersect_all")
+    q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
     return q
 
 
@@ -1518,6 +1520,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["except_events"] = (
         f"{_set_base} WHERE user_id < 10 EXCEPT {_set_base} WHERE user_id >= 5"
+    )
+    o["intersect_all_events"] = (
+        f"{_set_base} WHERE user_id < 10 INTERSECT ALL {_set_base} WHERE user_id >= 5"
+    )
+    o["except_all_events"] = (
+        f"{_set_base} WHERE user_id < 10 EXCEPT ALL {_set_base} WHERE user_id >= 5"
     )
     o["bloom_join_lineitem"] = (
         "SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,"

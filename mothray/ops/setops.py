@@ -65,9 +65,65 @@ def _tagged_setop(left, right, keep_masks: tuple[int, ...]):
     return both.groupby(cols).map_groups(resolve, batch_format="pyarrow")
 
 
+def _counted_setop(left, right, kind: str):
+    """Bag-semantics INTERSECT ALL / EXCEPT ALL.
+
+    Per-batch combiner: group the batch's rows and count multiplicity,
+    so only (unique-row, count) pairs enter the exchange regardless of
+    how many duplicates a batch holds. One groupby over all columns
+    then sums per-side multiplicities l and r; each row is emitted
+    min(l, r) times (INTERSECT ALL) or max(l - r, 0) times (EXCEPT
+    ALL) — exactly SQL's bag semantics.
+    """
+    cols = left.schema().names
+    if right.schema().names != cols:
+        raise ValueError("set operations require identical schemas")
+
+    def count_side(side: str):
+        other = "__rc" if side == "__lc" else "__lc"
+
+        def f(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(batch.column_names, use_threads=False).aggregate(
+                [([], "count_all")]
+            )
+            g = g.rename_columns([*batch.column_names, side])
+            return g.append_column(
+                other, pa.array(np.zeros(g.num_rows, dtype=np.int64))
+            )
+
+        return f
+
+    both = left.map_batches(
+        count_side("__lc"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(count_side("__rc"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        l = int(np.sum(group.column("__lc").to_numpy(zero_copy_only=False)))
+        r = int(np.sum(group.column("__rc").to_numpy(zero_copy_only=False)))
+        k = min(l, r) if kind == "intersect" else max(l - r, 0)
+        payload = group.drop_columns(["__lc", "__rc"])
+        if k == 0:
+            return payload.schema.empty_table()
+        return payload.take(np.zeros(k, dtype=np.int64))
+
+    return both.groupby(cols).map_groups(resolve, batch_format="pyarrow")
+
+
 def intersect(left, right):
     """SQL INTERSECT (distinct rows present on BOTH sides)."""
     return _tagged_setop(left, right, (3,))
+
+
+def intersect_all(left, right):
+    """SQL INTERSECT ALL: each row min(left-count, right-count) times."""
+    return _counted_setop(left, right, "intersect")
+
+
+def except_all(left, right):
+    """SQL EXCEPT ALL: each row max(left-count - right-count, 0) times."""
+    return _counted_setop(left, right, "except")
 
 
 def except_(left, right):

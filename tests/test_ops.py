@@ -1703,3 +1703,40 @@ def test_set_operations_match_duckdb(ray_session):
     d = norm(setops.distinct(lo).to_pandas())
     exp_d = norm(duckdb.sql(f"SELECT DISTINCT event_type, user_id FROM read_parquet('{src}') WHERE user_id < 10").df())
     assert d.shape == exp_d.shape and d["user_id"].tolist() == exp_d["user_id"].tolist()
+
+
+def test_bag_set_operations_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import setops
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    # (event_type, user_id) projections carry real multiplicities, so
+    # ALL-semantics diverge from DISTINCT here
+    lo = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id < 10"
+    )
+    hi = ray.data.read_parquet(src, columns=["event_type", "user_id"]).filter(
+        expr="user_id >= 5"
+    )
+    base = f"SELECT event_type, user_id FROM read_parquet('{src}')"
+
+    def norm(df):
+        return df.sort_values(["event_type", "user_id"]).reset_index(drop=True)
+
+    for kw, got_ds in {
+        "INTERSECT ALL": setops.intersect_all(lo, hi),
+        "EXCEPT ALL": setops.except_all(lo, hi),
+    }.items():
+        got = norm(got_ds.to_pandas())
+        exp = norm(
+            duckdb.sql(
+                f"{base} WHERE user_id < 10 {kw} {base} WHERE user_id >= 5"
+            ).df()
+        )
+        assert got.shape == exp.shape, kw
+        assert got["user_id"].tolist() == exp["user_id"].tolist(), kw
+        assert got["event_type"].tolist() == exp["event_type"].tolist(), kw
+    # multiplicity sanity: ALL keeps more rows than DISTINCT here
+    assert len(got) > 25
