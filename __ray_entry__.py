@@ -585,6 +585,24 @@ def _sample_mixture(sf_dir: str):
     ).select_columns(["doc_id", "source"])
 
 
+def _token_budget_documents(sf_dir: str):
+    """Per-source token-budget mixture curation: keep docs (ordered by
+    salted FNV hash) while the source's running token total stays
+    <= 700. Bulk keep is a pure filter; only each source's
+    budget-crossing hash bucket shuffles. Oracle = the window-function
+    cumsum in SQL."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return sample.token_budget_sample(ds, "source", budget=700, salt="tb1").select_columns(
+        ["doc_id", "source", "tok_cnt"]
+    )
+
+
 def _asof_join_events(sf_dir: str):
     """AS-OF join: each click gets the user's latest purchase value at
     or before the click. Right side pre-aggregated to unique (user, ts)
@@ -1201,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pii_redact_documents"] = _pii_redact
     q["paragraph_dedup_documents"] = _paragraph_dedup
     q["sample_mixture_documents"] = _sample_mixture
+    q["token_budget_documents"] = _token_budget_documents
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -1413,6 +1432,20 @@ def oracle_sql() -> dict[str, str]:
         "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
         " FROM documents)"
         " WHERE h % 1000000 < CASE WHEN source IN ('src1', 'src2') THEN 500000 ELSE 100000 END"
+    )
+    _tb_fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('tb1' || CAST(doc_id AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+    )
+    o["token_budget_documents"] = (
+        f"WITH h AS (SELECT doc_id, source,"
+        f" CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_cnt, {_tb_fnv} AS h"
+        " FROM documents),"
+        " c AS (SELECT doc_id, source, tok_cnt,"
+        "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
+        " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
     )
     o["asof_join_events"] = (
         "WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),"

@@ -88,6 +88,127 @@ def hash_sample(
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_budget_sample(
+    ds,
+    group_col: str,
+    budget: int,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "",
+    n_buckets: int = 256,
+):
+    """Corpus-mixture curation under a per-group token budget: within
+    each group (source / domain / language), rank docs by the salted
+    FNV hash of their key and keep docs while the running token total
+    stays <= budget. Deterministic across reruns and cluster widths;
+    equals SQL `sum(tok) OVER (PARTITION BY g ORDER BY h, key) <= B`.
+
+    Scale shape — almost nothing shuffles:
+      1. NARROW pass: per-(group, hash-bucket) token sums (a
+         groups x n_buckets table, tiny) come to the driver, which
+         finds each group's budget-crossing bucket and the budget
+         remaining at that bucket's start.
+      2. FULL pass: rows in buckets before the crossing bucket are
+         kept by a pure fused filter (no exchange); only the crossing
+         bucket — ~1/n_buckets of each group — shuffles through one
+         groupby for the exact boundary cumsum.
+    The input is read twice (both passes re-derive the cheap FNV
+    gate); full rows cross the exchange only for boundary buckets.
+    Groups whose total fits the budget are kept whole.
+
+    Output = input columns + `tok_cnt` (count(' ')+1 whitespace tokens
+    when `token_col` is None, else the given column unchanged).
+    No reference analog (orc-go has no sampling); this is the standard
+    per-domain token-budget knob for LLM training mixtures
+    (DataTrove/Dolma-style curation).
+    """
+    import pyarrow.compute as pc
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    tok_name = token_col or "tok_cnt"
+
+    def with_aux(batch: pa.Table) -> pa.Table:
+        """Append __h, __bucket and (if derived) tok_cnt."""
+        if batch.num_rows == 0:
+            batch = batch if token_col else batch.append_column(tok_name, pa.array([], pa.int64()))
+            batch = batch.append_column("__h", pa.array([], pa.uint64()))
+            return batch.append_column("__bucket", pa.array([], pa.int64()))
+        if token_col is None and tok_name not in batch.column_names:
+            spaces = pc.count_substring(batch.column(text_col), " ")
+            batch = batch.append_column(tok_name, pc.add(spaces, 1).cast(pa.int64()))
+        h = _key_fingerprints(batch, key_col, salt)
+        batch = batch.append_column("__h", pa.array(h))
+        return batch.append_column("__bucket", pa.array((h >> shift).astype(np.int64)))
+
+    def narrow_partial(batch: pa.Table) -> pa.Table:
+        b = with_aux(batch)
+        return (
+            b.select([group_col, "__bucket", tok_name])
+            .group_by([group_col, "__bucket"], use_threads=False)
+            .aggregate([(tok_name, "sum")])
+            .rename_columns([group_col, "__bucket", "__part"])
+        )
+
+    agg = (
+        ds.map_batches(narrow_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "__bucket"])
+        .sum("__part")
+        .take_all()
+    )  # groups x n_buckets rows — bounded, driver-side by design
+
+    per_group: dict = {}
+    for r in agg:
+        per_group.setdefault(r[group_col], []).append((r["__bucket"], r["sum(__part)"]))
+    # plan[g] = (crossing_bucket, budget remaining at its start);
+    # crossing_bucket = n_buckets when the whole group fits
+    plan: dict = {}
+    for g, pairs in per_group.items():
+        pairs.sort()
+        cum = 0
+        cb, rem = n_buckets, 0
+        for bkt, s in pairs:
+            if cum + s > budget:
+                cb, rem = bkt, budget - cum
+                break
+            cum += s
+        plan[g] = (cb, rem)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = with_aux(batch)
+        grp = b.column(group_col)
+        grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
+        d = pc.dictionary_encode(grp)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        cb_by_code = np.array(
+            [plan.get(v.as_py(), (n_buckets, 0))[0] for v in d.dictionary], dtype=np.int64
+        )
+        cb = cb_by_code[codes]
+        bkt = b.column("__bucket").to_numpy(zero_copy_only=False)
+        cls = np.where(bkt < cb, 1, np.where(bkt == cb, 2, 0)).astype(np.int8)
+        return b.append_column("__cls", pa.array(cls))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    bulk = tagged.filter(expr="__cls == 1").drop_columns(["__h", "__bucket", "__cls"])
+
+    def resolve_boundary(group: pa.Table) -> pa.Table:
+        g = group.column(group_col)[0].as_py()
+        rem = plan.get(g, (n_buckets, 0))[1]
+        idx = pc.sort_indices(group, sort_keys=[("__h", "ascending"), (key_col, "ascending")])
+        s = group.take(idx)
+        cum = np.cumsum(s.column(tok_name).to_numpy(zero_copy_only=False))
+        return s.filter(pa.array(cum <= rem)).drop_columns(["__h", "__bucket", "__cls"])
+
+    boundary = (
+        tagged.filter(expr="__cls == 2")
+        .groupby(group_col)
+        .map_groups(resolve_boundary, batch_format="pyarrow")
+    )
+    return bulk.union(boundary)
+
+
 def top_k_per_group(ds, group_col: str, order_col: str, k: int, ascending: bool = True,
                     tiebreak_col: str | None = None):
     """First/last k rows per group by (order, tiebreak) — the SQL

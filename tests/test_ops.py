@@ -1740,3 +1740,59 @@ def test_bag_set_operations_match_duckdb(ray_session):
         assert got["event_type"].tolist() == exp["event_type"].tolist(), kw
     # multiplicity sanity: ALL keeps more rows than DISTINCT here
     assert len(got) > 25
+
+
+def test_token_budget_sample_matches_window_sql(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sample
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src, columns=["doc_id", "source", "text"])
+    got = (
+        sample.token_budget_sample(ds, "source", budget=700, salt="tb1")
+        .to_pandas()[["doc_id", "source", "tok_cnt"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('tb1' || CAST(doc_id AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+    )
+    exp = duckdb.sql(
+        f"WITH h AS (SELECT doc_id, source,"
+        f" CAST(length(string_split(text, ' ')) AS BIGINT) AS tok_cnt, {fnv} AS h"
+        f" FROM read_parquet('{src}')),"
+        " c AS (SELECT doc_id, source, tok_cnt,"
+        "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
+        " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700 ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["tok_cnt"].tolist() == exp["tok_cnt"].tolist()
+    # every group stays within budget and keeps at least one doc
+    by = got.groupby("source")["tok_cnt"].sum()
+    assert (by <= 700).all() and len(by) == 20
+    # determinism across cluster widths: repartitioned input, same keys
+    got2 = (
+        sample.token_budget_sample(
+            ds.repartition(7), "source", budget=700, salt="tb1"
+        )
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got2 == got["doc_id"].tolist()
+
+
+def test_token_budget_sample_keeps_whole_group_under_budget(ray_session):
+    import ray.data
+
+    from mothray.ops import sample
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src, columns=["doc_id", "source", "text"])
+    got = sample.token_budget_sample(ds, "source", budget=10_000_000, salt="tb1")
+    assert got.count() == ds.count()
