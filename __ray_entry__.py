@@ -1176,6 +1176,27 @@ def _agg_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _text_search(sf_dir: str, terms: list[str], mode: str):
+    """Inverted-index term search: postings (token, doc_id) sorted by
+    token and encoded with the engine's own writer, so zone maps +
+    string blooms prune term lookups to the stripes that can hold the
+    term; AND/OR evaluate over id-width rows only. No reference analog
+    (orc-go has no secondary indexes) — engine extension like FSST."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from mothray.ops import search
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/mothray_txtidx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    search.build_text_index(ds, idx)
+    return search.search_text_index(idx, terms, mode=mode)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1253,6 +1274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["except_events"] = lambda sf: _set_ops(sf, "except_")
     q["intersect_all_events"] = lambda sf: _set_ops(sf, "intersect_all")
     q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
+    q["search_and_documents"] = lambda sf: _text_search(sf, ["query", "window"], "and")
+    q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
     return q
 
 
@@ -1641,6 +1664,18 @@ def oracle_sql() -> dict[str, str]:
         " ('cc', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),"
         " ('jaccard', 0, 0, 0), ('minhash', 0, 0, 0), ('simhash', 0, 0, 0))"
         " t(variant, subset_violations, exact_dup_violations, partition_diff)"
+    )
+    _tok_base = (
+        "(SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok"
+        " FROM documents)"
+    )
+    o["search_and_documents"] = (
+        f"SELECT doc_id FROM {_tok_base} WHERE tok IN ('query', 'window')"
+        " GROUP BY doc_id HAVING count(DISTINCT tok) = 2"
+    )
+    o["search_or_documents"] = (
+        f"SELECT DISTINCT doc_id FROM {_tok_base}"
+        " WHERE tok IN ('customer', 'stream')"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
