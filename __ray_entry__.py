@@ -1176,6 +1176,47 @@ def _agg_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _heavy_hitters_events(sf_dir: str):
+    """Mergeable Misra-Gries top-k: capacity-bounded counter state per
+    batch regardless of key cardinality (the exact top-k combiner's
+    per-batch histograms are not). capacity=4096 >= distinct users at
+    test scales -> exact regime, counts oracle-checkable."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return sketch.heavy_hitters(ds, "user_id", k=20, capacity=4096)
+
+
+def _variance_lineitem(sf_dir: str):
+    """Grouped var/stddev via centered-moment combiner: one partial
+    row per (batch, group) enters the exchange; Chan one-shot merge.
+    Round-6 cross-engine stable because partials are batch-centered."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return moments.group_variance(ds, "l_quantity", "l_returnflag")
+
+
+def _corr_lineitem(sf_dir: str):
+    """Grouped covariance/correlation with pairwise-complete null
+    handling; same combiner shape as _variance_lineitem."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return moments.group_corr(ds, "l_quantity", "l_discount", "l_returnflag")
+
+
 def _text_search(sf_dir: str, terms: list[str], mode: str):
     """Inverted-index term search: postings (token, doc_id) sorted by
     token and encoded with the engine's own writer, so zone maps +
@@ -1276,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
     q["search_and_documents"] = lambda sf: _text_search(sf, ["query", "window"], "and")
     q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
+    q["variance_lineitem"] = _variance_lineitem
+    q["corr_lineitem"] = _corr_lineitem
+    q["heavy_hitters_events"] = _heavy_hitters_events
     return q
 
 
@@ -1676,6 +1720,23 @@ def oracle_sql() -> dict[str, str]:
     o["search_or_documents"] = (
         f"SELECT DISTINCT doc_id FROM {_tok_base}"
         " WHERE tok IN ('customer', 'stream')"
+    )
+    o["variance_lineitem"] = (
+        "SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,"
+        " round(avg(l_quantity), 6) AS mean,"
+        " round(var_samp(l_quantity), 6) AS var_samp,"
+        " round(stddev_samp(l_quantity), 6) AS std_samp"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    o["corr_lineitem"] = (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+        " round(covar_samp(l_quantity, l_discount), 6) AS covar_samp,"
+        " round(corr(l_quantity, l_discount), 6) AS corr"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    o["heavy_hitters_events"] = (
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err"
+        " FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /

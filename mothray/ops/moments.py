@@ -1,0 +1,208 @@
+"""Distributed second-moment aggregates: variance / stddev / covariance
+/ correlation, grouped or global.
+
+COMBINER pattern (the only scalable shape for these at corpus size):
+each batch reduces to one tiny partial row per (group) — counts, means
+and CENTERED second moments (M2 = sum (x-mean)^2, C2 = sum
+(x-mx)(y-my)) — so only group-width rows enter the exchange. Partials
+merge with Chan et al.'s parallel formula, which is a ONE-SHOT
+vectorized reduction, not a sequential fold:
+
+    n   = sum n_i
+    mean= sum n_i*mean_i / n
+    M2  = sum M2_i + sum n_i*(mean_i - mean)^2
+    C2  = sum C2_i + sum n_i*(mx_i - mx)*(my_i - my)
+
+(exact in exact arithmetic: substitute and expand the inner sums).
+Centering per batch first keeps the magnitudes small, so the merged
+result agrees with a numerically-stable single pass to ~ulp — which is
+what makes the round-6 DuckDB oracle (var_samp / stddev_samp /
+covar_samp / corr) a stable cross-engine check.
+
+No reference analog as a query operator (orc-go's stats are min/max/
+sum writer metadata; reference: pkg/store metadata statistics
+builders) — engine extension alongside the quantile/HLL sketches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GRP = "__grp"  # constant-key stand-in when no group column is given
+
+
+def _var_partials(batch: pa.Table, value_col: str, group_col: str | None) -> pa.Table:
+    """One row per in-batch group: (group, n, mean, m2). Arrow hash
+    aggregates do the heavy lifting (variance ddof=0 -> m2 = var*n);
+    nulls are ignored per SQL aggregate semantics."""
+    gcol = group_col or _GRP
+    t = pa.table(
+        {
+            gcol: batch.column(group_col)
+            if group_col
+            else pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+        }
+    )
+    agg = t.group_by(gcol, use_threads=False).aggregate(
+        [("v", "count"), ("v", "mean"), ("v", "variance", pc.VarianceOptions(ddof=0))]
+    )
+    n = agg.column("v_count").to_numpy(zero_copy_only=False).astype(np.float64)
+    var = np.nan_to_num(agg.column("v_variance").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            gcol: agg.column(gcol),
+            "n": pa.array(n),
+            "mean": pa.array(np.nan_to_num(agg.column("v_mean").to_numpy(zero_copy_only=False))),
+            "m2": pa.array(var * n),
+        }
+    )
+
+
+def _merge_var(group: pa.Table, gcol: str, ddof: int, round_digits: int) -> pa.Table:
+    n_i = group.column("n").to_numpy(zero_copy_only=False)
+    mean_i = group.column("mean").to_numpy(zero_copy_only=False)
+    m2_i = group.column("m2").to_numpy(zero_copy_only=False)
+    n = n_i.sum()
+    if n == 0:
+        return group.select([gcol]).slice(0, 0)
+    mean = float((n_i * mean_i).sum() / n)
+    m2 = float(m2_i.sum() + (n_i * (mean_i - mean) ** 2).sum())
+    var = m2 / (n - ddof) if n > ddof else None
+    return pa.table(
+        {
+            gcol: group.column(gcol).slice(0, 1),
+            "n": pa.array([int(n)], pa.int64()),
+            "mean": pa.array([round(mean, round_digits)]),
+            "var_samp": pa.array([None if var is None else round(var, round_digits)], pa.float64()),
+            "std_samp": pa.array(
+                [None if var is None else round(float(np.sqrt(var)), round_digits)], pa.float64()
+            ),
+        }
+    )
+
+
+def group_variance(
+    ds,
+    value_col: str,
+    group_col: str | None = None,
+    ddof: int = 1,
+    round_digits: int = 6,
+):
+    """n / mean / var_samp / std_samp per group (or global). Matches
+    DuckDB `count / round(avg,6) / round(var_samp,6) /
+    round(stddev_samp,6)`."""
+    gcol = group_col or _GRP
+
+    partials = ds.map_batches(
+        lambda b: _var_partials(b, value_col, group_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = partials.groupby(gcol).map_groups(
+        lambda g: _merge_var(g, gcol, ddof, round_digits), batch_format="pyarrow"
+    )
+    if group_col is None:
+        merged = merged.drop_columns([_GRP])
+    return merged
+
+
+def _corr_partials(batch: pa.Table, x_col: str, y_col: str, group_col: str | None) -> pa.Table:
+    """One row per in-batch group: (group, n, mx, my, m2x, m2y, c2).
+    Pairwise-complete semantics (rows where either side is null drop,
+    as SQL corr/covar do). Centered within the batch via raw sums —
+    batch-local magnitudes keep that exact to ~ulp."""
+    gcol = group_col or _GRP
+    x = pc.cast(batch.column(x_col), pa.float64())
+    y = pc.cast(batch.column(y_col), pa.float64())
+    ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+    t = pa.table(
+        {
+            gcol: batch.column(group_col)
+            if group_col
+            else pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            "x": x,
+            "y": y,
+        }
+    ).filter(ok)
+    xs = t.column("x")
+    ys = t.column("y")
+    t = t.append_column("xy", pc.multiply(xs, ys))
+    t = t.append_column("xx", pc.multiply(xs, xs))
+    t = t.append_column("yy", pc.multiply(ys, ys))
+    agg = t.group_by(gcol, use_threads=False).aggregate(
+        [("x", "count"), ("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum")]
+    )
+    n = agg.column("x_count").to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = agg.column("x_sum").to_numpy(zero_copy_only=False)
+    sy = agg.column("y_sum").to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mx = np.where(n > 0, sx / n, 0.0)
+        my = np.where(n > 0, sy / n, 0.0)
+    return pa.table(
+        {
+            gcol: agg.column(gcol),
+            "n": pa.array(n),
+            "mx": pa.array(mx),
+            "my": pa.array(my),
+            "m2x": pa.array(agg.column("xx_sum").to_numpy(zero_copy_only=False) - n * mx * mx),
+            "m2y": pa.array(agg.column("yy_sum").to_numpy(zero_copy_only=False) - n * my * my),
+            "c2": pa.array(agg.column("xy_sum").to_numpy(zero_copy_only=False) - n * mx * my),
+        }
+    )
+
+
+def _merge_corr(group: pa.Table, gcol: str, round_digits: int) -> pa.Table:
+    n_i = group.column("n").to_numpy(zero_copy_only=False)
+    n = n_i.sum()
+    if n == 0:
+        return group.select([gcol]).slice(0, 0)
+    mx_i = group.column("mx").to_numpy(zero_copy_only=False)
+    my_i = group.column("my").to_numpy(zero_copy_only=False)
+    mx = float((n_i * mx_i).sum() / n)
+    my = float((n_i * my_i).sum() / n)
+    dx = mx_i - mx
+    dy = my_i - my
+    m2x = float(group.column("m2x").to_numpy(zero_copy_only=False).sum() + (n_i * dx * dx).sum())
+    m2y = float(group.column("m2y").to_numpy(zero_copy_only=False).sum() + (n_i * dy * dy).sum())
+    c2 = float(group.column("c2").to_numpy(zero_copy_only=False).sum() + (n_i * dx * dy).sum())
+    covar = c2 / (n - 1) if n > 1 else None
+    denom = np.sqrt(m2x * m2y)
+    corr = c2 / denom if denom > 0 else None
+    return pa.table(
+        {
+            gcol: group.column(gcol).slice(0, 1),
+            "n": pa.array([int(n)], pa.int64()),
+            "covar_samp": pa.array(
+                [None if covar is None else round(covar, round_digits)], pa.float64()
+            ),
+            "corr": pa.array([None if corr is None else round(corr, round_digits)], pa.float64()),
+        }
+    )
+
+
+def group_corr(
+    ds,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    round_digits: int = 6,
+):
+    """n / covar_samp / corr per group (or global). Matches DuckDB
+    `count / round(covar_samp,6) / round(corr,6)` with
+    pairwise-complete null handling."""
+    gcol = group_col or _GRP
+
+    partials = ds.map_batches(
+        lambda b: _corr_partials(b, x_col, y_col, group_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = partials.groupby(gcol).map_groups(
+        lambda g: _merge_corr(g, gcol, round_digits), batch_format="pyarrow"
+    )
+    if group_col is None:
+        merged = merged.drop_columns([_GRP])
+    return merged

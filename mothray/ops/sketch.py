@@ -319,3 +319,73 @@ def quantile_filter(ds, column: str, q: float, keep: str = "below"):
         return batch.filter(getattr(pc, op)(batch.column(column), cut))
 
     return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _mg_reduce(values: pa.Array, counts: np.ndarray, errs: np.ndarray, capacity: int):
+    """Misra-Gries reduction of a histogram to <= `capacity` counters:
+    subtract the (capacity+1)-th largest count from all, keep the
+    positive ones, and fold the subtraction into each survivor's
+    undercount bound. Returns (values, counts, errs)."""
+    if len(counts) <= capacity:
+        return values, counts, errs
+    order = np.argsort(counts, kind="stable")[::-1]
+    delta = int(counts[order[capacity]])
+    keep = order[:capacity]
+    kept = counts[keep] - delta
+    pos = kept > 0
+    keep = keep[pos]
+    return values.take(pa.array(keep)), counts[keep] - delta, errs[keep] + delta
+
+
+def heavy_hitters(ds, column: str, k: int = 20, capacity: int = 4096):
+    """Top-k frequent values via MERGEABLE Misra-Gries summaries
+    (Agarwal et al., "Mergeable Summaries", PODS'12): each batch
+    reduces to <= `capacity` (value, count) counters, one groupby sums
+    them, and a final reduction re-caps. Counter values are LOWER
+    bounds on true counts; the GLOBAL undercount of any value is
+    <= n/(capacity+1) (MG mergeability), so any value with true
+    frequency above that is guaranteed present. The per-value `err`
+    column sums the deltas subtracted while that counter was resident
+    — the exact undercount for counters that never dropped out (the
+    top-k survivors in practice), an underestimate for ones that
+    cycled; the global bound covers all cases. With
+    `capacity` >= the column's distinct count no subtraction ever
+    fires, err = 0 and counts are EXACT (the regime the DuckDB oracle
+    checks); at 100 TB the point is the other regime — counter state
+    stays `capacity`-bounded no matter the cardinality, where the
+    exact top-k combiner's per-batch histograms do not.
+
+    Output: (column, cnt, err) — top-k by cnt desc, value asc."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(column).combine_chunks())
+        cnts0 = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts, errs = _mg_reduce(
+            vc.field("values"), cnts0, np.zeros(len(cnts0), dtype=np.int64), capacity
+        )
+        return pa.table(
+            {
+                column: vals,
+                "cnt": pa.array(cnts, pa.int64()),
+                "err": pa.array(errs, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(column)
+        .sum(["cnt", "err"])
+        .to_pandas()
+    )
+    merged = merged.dropna(subset=[column])
+    vals = pa.Array.from_pandas(merged[column])
+    cnts = merged["sum(cnt)"].to_numpy().astype(np.int64)
+    # summing per-batch undercounts is the conservative merge; the
+    # total stays <= n/(capacity+1) by the MG mergeability theorem
+    errs = merged["sum(err)"].to_numpy().astype(np.int64)
+    vals, cnts, errs = _mg_reduce(vals, cnts, errs, capacity)
+    out = pa.table(
+        {column: vals, "cnt": pa.array(cnts, pa.int64()), "err": pa.array(errs, pa.int64())}
+    )
+    order = pc.sort_indices(out, sort_keys=[("cnt", "descending"), (column, "ascending")])
+    return out.take(order).slice(0, k)

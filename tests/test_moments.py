@@ -1,0 +1,133 @@
+"""Distributed second-moment aggregates vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray.ops import moments
+
+
+def test_group_variance_lineitem(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity"])
+    got = (
+        moments.group_variance(ds, "l_quantity", "l_returnflag")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,"
+        f" round(avg(l_quantity), 6) AS mean,"
+        f" round(var_samp(l_quantity), 6) AS var_samp,"
+        f" round(stddev_samp(l_quantity), 6) AS std_samp"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got.equals(exp)
+
+
+def test_group_corr_lineitem(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity", "l_discount"])
+    got = (
+        moments.group_corr(ds, "l_quantity", "l_discount", "l_returnflag")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+        f" round(covar_samp(l_quantity, l_discount), 6) AS covar_samp,"
+        f" round(corr(l_quantity, l_discount), 6) AS corr"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got.equals(exp)
+
+
+def test_moments_nulls_and_tiny_groups(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "c", "c"],
+            "x": pa.array([1.0, 2.0, None, 5.0, None, None], pa.float64()),
+            "y": pa.array([2.0, None, 3.0, 7.0, None, 1.0], pa.float64()),
+        }
+    )
+    # many tiny blocks so the merge path actually merges partials
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    var = (
+        moments.group_variance(ds, "x", "g")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # group a: n=2 var_samp=0.5; group b: n=1 var None; group c: n=0 dropped
+    assert var["g"].tolist() == ["a", "b"]
+    assert var["n"].tolist() == [2, 1]
+    assert var["var_samp"].tolist()[0] == pytest.approx(0.5)
+    assert np.isnan(var["var_samp"].tolist()[1])
+
+    corr = (
+        moments.group_corr(ds, "x", "y", "g").to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    # pairwise-complete: a has ONE complete pair (1,2); b one pair; c none
+    assert corr["g"].tolist() == ["a", "b"]
+    assert corr["n"].tolist() == [1, 1]
+    assert np.isnan(corr["covar_samp"]).all()
+
+
+def test_global_variance_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(3.0, 2.5, size=10_000)
+    ds = ray.data.from_arrow(pa.table({"x": x})).repartition(8)
+    got = moments.group_variance(ds, "x").to_pandas().iloc[0]
+    assert got["n"] == 10_000
+    assert got["mean"] == pytest.approx(round(float(x.mean()), 6), abs=1e-6)
+    assert got["var_samp"] == pytest.approx(round(float(x.var(ddof=1)), 6), abs=1e-6)
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["user_id"])
+    got = sketch.heavy_hitters(ds, "user_id", k=10, capacity=4096).to_pandas()
+    exp = duckdb.sql(
+        f"SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 10"
+    ).df()
+    assert got.reset_index(drop=True).equals(exp)
+
+
+def test_heavy_hitters_tight_capacity_guarantee(ray_session):
+    import collections
+
+    import ray.data
+
+    from mothray.ops import sketch
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.4, 100_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    hh = sketch.heavy_hitters(ds, "v", k=10, capacity=24).to_pandas()
+    true = collections.Counter(vals.tolist())
+    bound = len(vals) / 25  # n/(capacity+1)
+    for _, r in hh.iterrows():
+        t = true[r["v"]]
+        assert r["cnt"] <= t <= r["cnt"] + bound  # lower bound + MG error
+    present = set(hh["v"].tolist())
+    for v, c in true.most_common(50):
+        if c > bound:  # guaranteed-present regime
+            assert v in present
