@@ -1180,14 +1180,17 @@ def filter_encoded(
       4. late materialization: only row groups with hits decode the
          projected columns, then filter by the row mask.
 
-    op: eq | ne | lt | le | gt | ge. Nulls never match."""
+    op: eq | ne | lt | le | gt | ge | prefix | like. Nulls never
+    match. `prefix`/`like` (SQL %/_ wildcards) rewrite their literal
+    prefix to the range [prefix, prefix_upper) so zone maps still
+    prune; the residual pattern evaluates dictionary-domain where the
+    column is dict-encoded."""
     from . import stripe as stripe_mod
 
-    if op == "ne":
-        enc = read_encoded(path)  # no stats can prune a != predicate
+    if op == "ne" or (op == "like" and not stripe_mod.like_prefix(value)):
+        enc = read_encoded(path)  # no stats can prune these
     else:
-        lo = value if op in ("eq", "ge", "gt") else None
-        hi = value if op in ("eq", "le", "lt") else None
+        lo, hi = stripe_mod.string_pred_bounds(op, value)
         needle = value if op == "eq" and isinstance(value, str) else None
         enc = prune_read(path, column, lo, hi, needle)
 

@@ -29,6 +29,7 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import bloom as bloom_mod
 from . import column as column_mod
@@ -463,6 +464,51 @@ _PC_OPS = {
 }
 
 
+def like_prefix(pattern: str) -> str:
+    """Literal prefix of a SQL LIKE pattern (text before the first
+    % or _ wildcard) — the part zone maps can prune on."""
+    for i, ch in enumerate(pattern):
+        if ch in "%_":
+            return pattern[:i]
+    return pattern
+
+
+def prefix_upper(prefix: str) -> str | None:
+    """Smallest string (by code-point order, which is how zone-map
+    stats compare) greater than EVERY string starting with `prefix`;
+    None when no finite upper bound exists. Standard prefix->range
+    rewrite: value LIKE 'ab%'  <=>  'ab' <= value < prefix_upper('ab')."""
+    cps = list(prefix)
+    while cps and ord(cps[-1]) >= 0x10FFFF:
+        cps.pop()
+    if not cps:
+        return None
+    return "".join(cps[:-1]) + chr(ord(cps[-1]) + 1)
+
+
+def string_pred_bounds(op: str, value) -> tuple:
+    """(lo, hi) zone-map bounds implied by a predicate, for stripe and
+    row-group pruning. hi for prefix/like is the exclusive upper bound
+    of the prefix range (inclusive pruning keeps it conservative)."""
+    if op in ("prefix", "like"):
+        pre = value if op == "prefix" else like_prefix(value)
+        return (pre or None, prefix_upper(pre) if pre else None)
+    lo = value if op in ("eq", "ge", "gt") else None
+    hi = value if op in ("eq", "le", "lt") else None
+    return (lo, hi)
+
+
+def _apply_pred(arr, op: str, value):
+    """Evaluate one predicate on an Arrow array: comparison ops via
+    _PC_OPS; `prefix` -> starts_with; `like` -> SQL LIKE semantics
+    (pc.match_like: % = any run, _ = any one char)."""
+    if op == "prefix":
+        return pc.starts_with(arr, pattern=value)
+    if op == "like":
+        return pc.match_like(arr, value)
+    return getattr(pc, _PC_OPS[op])(arr, value)
+
+
 def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> np.ndarray:
     """Boolean hit mask for ONE row group of ONE column, decoding as
     little as possible. Dictionary-encoded strings take the
@@ -492,7 +538,7 @@ def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> 
         dict_arr = column_mod._build_string_array(
             pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
         )
-        lut = getattr(pc, _PC_OPS[op])(dict_arr, value).to_numpy(zero_copy_only=False)
+        lut = _apply_pred(dict_arr, op, value).to_numpy(zero_copy_only=False)
         lut = np.asarray(lut, dtype=bool)
         indices, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
         hits = lut[indices.astype(np.int64)]
@@ -500,7 +546,7 @@ def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> 
         import pyarrow.compute as pc
 
         arr = column_mod._decode_values(enc, t, n_eff)
-        h = getattr(pc, _PC_OPS[op])(arr, value)
+        h = _apply_pred(arr, op, value)
         hits = np.asarray(pc.fill_null(h, False).to_numpy(zero_copy_only=False), dtype=bool)
     if valid is None:
         return hits
@@ -521,8 +567,7 @@ def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | N
     blob = row["blob"]
     names = columns if columns is not None else schema.names
     t = schema.field(column).type
-    lo = value if op in ("eq", "ge", "gt") else None
-    hi = value if op in ("eq", "le", "lt") else None
+    lo, hi = string_pred_bounds(op, value)
     keep = None if op == "ne" else select_row_groups(meta, column, lo, hi)
     trees = meta["columns"][column]["row_groups"]
     if keep is None:

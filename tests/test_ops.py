@@ -1796,3 +1796,49 @@ def test_token_budget_sample_keeps_whole_group_under_budget(ray_session):
     ds = ray.data.read_parquet(src, columns=["doc_id", "source", "text"])
     got = sample.token_budget_sample(ds, "source", budget=10_000_000, salt="tb1")
     assert got.count() == ds.count()
+
+
+def test_filter_encoded_prefix_like(ray_session, tmp_path):
+    import duckdb
+
+    from mothray import pipeline, stripe
+
+    # prefix -> range rewrite helpers
+    assert stripe.prefix_upper("src1") == "src2"
+    assert stripe.prefix_upper("z") == "{"
+    assert stripe.prefix_upper(chr(0x10FFFF)) is None
+    assert stripe.like_prefix("src1%") == "src1"
+    assert stripe.like_prefix("%mid%") == ""
+    assert stripe.like_prefix("a_c") == "a"
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "enc")
+    pipeline.encode_parquet_to_dir(src, out)
+    cases = [
+        ("source", "prefix", "src1", "source LIKE 'src1%'"),
+        ("source", "like", "src1%", "source LIKE 'src1%'"),
+        ("source", "like", "src_", "source LIKE 'src_'"),  # _ = one char
+        ("text", "like", "%merge%", "text LIKE '%merge%'"),  # unprunable
+    ]
+    for col, op, val, sql in cases:
+        got = (
+            pipeline.filter_encoded(out, col, op, val)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"SELECT * FROM read_parquet('{src}') WHERE {sql} ORDER BY doc_id"
+        ).df()
+        assert len(got) == len(exp) and len(got) > 0, (col, op, val)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["source"].tolist() == exp["source"].tolist()
+
+    # zone-map pruning: with data sorted by source, a prefix predicate
+    # must fetch strictly fewer stripes than the dataset holds
+    srt = str(tmp_path / "sorted")
+    pipeline.optimize_encoded(out, srt, sort_by=["source"], opts={"stripe_rows": 100})
+    lo, hi = stripe.string_pred_bounds("prefix", "src1")
+    surv = pipeline.prune_read(srt, "source", lo, hi).count()
+    total = pipeline.read_encoded(srt).count()
+    assert 0 < surv < total
