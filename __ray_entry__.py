@@ -1176,6 +1176,33 @@ def _agg_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _grouped_quantiles_lineitem(sf_dir: str):
+    """Exact per-group quantile_disc via the (group, value) distinct-
+    count combiner; only collapsed histogram rows enter the exchange."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return sketch.grouped_quantiles(ds, "l_quantity", "l_returnflag", [0.5, 0.9, 0.99])
+
+
+def _like_pushdown_documents(sf_dir: str):
+    """LIKE pushdown on an encoded scan: the pattern's literal prefix
+    rewrites to [prefix, prefix_upper) for zone-map stripe/row-group
+    pruning; the residual pattern evaluates dictionary-domain
+    (pc.match_like over dict values, never per-row strings)."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_like_push_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/documents.parquet", out)
+    return pipeline.filter_encoded(out, "source", "like", "src1%")
+
+
 def _heavy_hitters_events(sf_dir: str):
     """Mergeable Misra-Gries top-k: capacity-bounded counter state per
     batch regardless of key cardinality (the exact top-k combiner's
@@ -1320,6 +1347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["variance_lineitem"] = _variance_lineitem
     q["corr_lineitem"] = _corr_lineitem
     q["heavy_hitters_events"] = _heavy_hitters_events
+    q["like_pushdown_documents"] = _like_pushdown_documents
+    q["grouped_quantiles_lineitem"] = _grouped_quantiles_lineitem
     return q
 
 
@@ -1737,6 +1766,12 @@ def oracle_sql() -> dict[str, str]:
     o["heavy_hitters_events"] = (
         "SELECT user_id, CAST(count(*) AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS err"
         " FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20"
+    )
+    o["like_pushdown_documents"] = "SELECT * FROM documents WHERE source LIKE 'src1%'"
+    o["grouped_quantiles_lineitem"] = " UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q, quantile_disc(l_quantity, {q}) AS value"
+        f" FROM lineitem GROUP BY l_returnflag"
+        for q in (0.5, 0.9, 0.99)
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /

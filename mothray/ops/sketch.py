@@ -389,3 +389,50 @@ def heavy_hitters(ds, column: str, k: int = 20, capacity: int = 4096):
     )
     order = pc.sort_indices(out, sort_keys=[("cnt", "descending"), (column, "ascending")])
     return out.take(order).slice(0, k)
+
+
+def grouped_quantiles(ds, column: str, group_col: str, qs: list[float]):
+    """Exact per-group quantile_disc: the distinct-value-count combiner
+    keyed by (group, value) — batch partials collapse duplicates before
+    the exchange, one groupby sums, and each group's (small) sorted
+    histogram walks to the target ranks inside map_groups. Output long:
+    (group, q, value); rank = max(ceil(q*n), 1) over the sorted
+    multiset, matching DuckDB quantile_disc bit-for-bit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, column]).drop_null()
+        agg = t.group_by([group_col, column], use_threads=False).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                group_col: agg.column(group_col),
+                column: agg.column(column),
+                "cnt": agg.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    def walk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column(column))
+        vals = group.column(column).take(order)
+        cum = np.cumsum(group.column("cnt").to_numpy(zero_copy_only=False)[
+            order.to_numpy(zero_copy_only=False)
+        ])
+        n = int(cum[-1])
+        picks = [int(np.searchsorted(cum, _duck_rank(q, n))) for q in qs]
+        return pa.table(
+            {
+                group_col: pa.concat_arrays([group.column(group_col).combine_chunks().slice(0, 1)] * len(qs)),
+                "q": pa.array(qs, pa.float64()),
+                "value": vals.take(pa.array(picks)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, column])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns([group_col, column, "cnt"]), batch_format="pyarrow"
+        )
+        .groupby(group_col)
+        .map_groups(walk, batch_format="pyarrow")
+    )

@@ -131,3 +131,26 @@ def test_heavy_hitters_tight_capacity_guarantee(ray_session):
     for v, c in true.most_common(50):
         if c > bound:  # guaranteed-present regime
             assert v in present
+
+
+def test_grouped_quantiles_lineitem(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity"])
+    got = (
+        sketch.grouped_quantiles(ds, "l_quantity", "l_returnflag", [0.25, 0.5, 0.9])
+        .to_pandas()
+        .sort_values(["l_returnflag", "q"])
+        .reset_index(drop=True)
+    )
+    sql = " UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q, quantile_disc(l_quantity, {q}) AS value"
+        f" FROM read_parquet('{src}') GROUP BY 1"
+        for q in (0.25, 0.5, 0.9)
+    )
+    exp = duckdb.sql(f"SELECT * FROM ({sql}) ORDER BY l_returnflag, q").df()
+    assert got.equals(exp.reset_index(drop=True))
