@@ -72,6 +72,24 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--min", dest="min_value", default=None)
     dl.add_argument("--max", dest="max_value", default=None)
 
+    hv = sub.add_parser("history", help="version log of a versioned table (adopt runs implicitly on first mutation)")
+    hv.add_argument("table_dir")
+
+    vd = sub.add_parser("vdelete", help="VERSIONED delete: commits a new version; untouched files shared by name (COW)")
+    vd.add_argument("table_dir")
+    vd.add_argument("--column", required=True)
+    vd.add_argument("--min", dest="min_value", default=None)
+    vd.add_argument("--max", dest="max_value", default=None)
+
+    tt = sub.add_parser("timetravel", help="decode a historical version to parquet")
+    tt.add_argument("table_dir")
+    tt.add_argument("out_dir")
+    tt.add_argument("--version", type=int, default=None)
+
+    vc = sub.add_parser("vacuum", help="drop part files unreferenced by the kept versions (default: keep latest)")
+    vc.add_argument("table_dir")
+    vc.add_argument("--keep", default=None, help="comma-separated versions to keep")
+
     args = p.parse_args(argv)
 
     try:
@@ -198,6 +216,49 @@ def _dispatch(args) -> int:
         res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
         print(json.dumps(res))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "history":
+        from mothray import versions
+
+        print(json.dumps(versions.history(args.table_dir)))
+        return 0
+
+    if args.cmd == "vdelete":
+        ray = _ray()
+        from mothray import versions
+
+        def num(x):
+            if x is None:
+                return None
+            try:
+                return float(x) if "." in str(x) else int(x)
+            except ValueError:
+                return x
+
+        versions.adopt(args.table_dir)
+        m = versions.delete_where(
+            args.table_dir, args.column, num(args.min_value), num(args.max_value)
+        )
+        print(json.dumps(m))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "timetravel":
+        ray = _ray()
+        from mothray import versions
+
+        dec = versions.decode_version(args.table_dir, version=args.version)
+        dec.write_parquet(args.out_dir)
+        print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "vacuum":
+        from mothray import versions
+
+        keep = [int(v) for v in args.keep.split(",")] if args.keep else None
+        print(json.dumps(versions.vacuum(args.table_dir, keep_versions=keep)))
         return 0
 
     if args.cmd == "stats":

@@ -529,6 +529,58 @@ def _stripe_overlaps(stats_json: str, column: str, min_value, max_value) -> bool
     return True
 
 
+def _delete_in_file(path: str, column: str, min_value, max_value):
+    """DELETE-in-range applied to ONE encoded part file. Returns
+    (changed, new_table | None, stripes_rewritten, rows_deleted):
+    changed=False -> no stripe's zone map overlaps the range (caller
+    keeps the original file, byte-identical); new_table=None with
+    changed=True -> every row deleted (caller drops the file). The
+    metadata probe never touches the blob column; only overlapping
+    stripes decode and re-encode."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+    overlaps = [
+        _stripe_overlaps(sj, column, min_value, max_value)
+        for sj in meta_tbl.column("stats").to_pylist()
+    ]
+    if not any(overlaps):
+        return False, None, 0, 0
+    full = pq.read_table(path)
+    keep_rows = []
+    stripes_rewritten = 0
+    rows_deleted = 0
+    for i in range(full.num_rows):
+        row = {c: full.column(c)[i].as_py() for c in full.column_names}
+        if not overlaps[i]:
+            keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+            continue
+        dec = stripe_mod.decode_stripe(row)
+        col = dec.column(column)
+        hit = pa.array(np.ones(dec.num_rows, dtype=bool))
+        if min_value is not None:
+            hit = pc.and_(hit, pc.greater_equal(col, min_value))
+        if max_value is not None:
+            hit = pc.and_(hit, pc.less_equal(col, max_value))
+        hit = pc.fill_null(hit, False)  # nulls survive
+        n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        if n_hit == 0:
+            keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+            continue
+        rows_deleted += n_hit
+        stripes_rewritten += 1
+        kept = dec.filter(pc.invert(hit))
+        if kept.num_rows:
+            keep_rows.append(stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}d"))
+    if stripes_rewritten == 0:
+        return False, None, 0, 0  # zone maps overlapped but no row hit
+    new_tbl = pa.concat_tables(keep_rows) if keep_rows else None
+    return True, new_tbl, stripes_rewritten, rows_deleted
+
+
 def delete_where(
     in_dir: str | list[str],
     out_dir: str,
@@ -569,55 +621,21 @@ def delete_where(
     os.makedirs(out_dir, exist_ok=True)
 
     def process(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         out_rows = []
         for fid, path in zip(
             batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
         ):
             dst = os.path.join(out_dir, os.path.basename(path))
             tmp = dst + ".tmp"
-            # metadata-only probe: never touches the blob column
-            meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
-            overlaps = [
-                _stripe_overlaps(sj, column, min_value, max_value)
-                for sj in meta_tbl.column("stats").to_pylist()
-            ]
-            if not any(overlaps):
+            changed, new_tbl, stripes_rewritten, rows_deleted = _delete_in_file(
+                path, column, min_value, max_value
+            )
+            if not changed:
                 shutil.copyfile(path, tmp)  # byte-identical passthrough
                 os.rename(tmp, dst)
                 out_rows.append((fid, 0, 0))
                 continue
-            full = pq.read_table(path)
-            keep_rows = []
-            stripes_rewritten = 0
-            rows_deleted = 0
-            for i in range(full.num_rows):
-                row = {c: full.column(c)[i].as_py() for c in full.column_names}
-                if not overlaps[i]:
-                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
-                    continue
-                dec = stripe_mod.decode_stripe(row)
-                col = dec.column(column)
-                hit = pa.array(np.ones(dec.num_rows, dtype=bool))
-                if min_value is not None:
-                    hit = pc.and_(hit, pc.greater_equal(col, min_value))
-                if max_value is not None:
-                    hit = pc.and_(hit, pc.less_equal(col, max_value))
-                hit = pc.fill_null(hit, False)  # nulls survive
-                n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
-                if n_hit == 0:
-                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
-                    continue
-                rows_deleted += n_hit
-                stripes_rewritten += 1
-                kept = dec.filter(pc.invert(hit))
-                if kept.num_rows:
-                    keep_rows.append(
-                        stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}d")
-                    )
-            if keep_rows:
-                new_tbl = pa.concat_tables(keep_rows)
+            if new_tbl is not None:
                 pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
                 os.rename(tmp, dst)
             out_rows.append((fid, stripes_rewritten, rows_deleted))

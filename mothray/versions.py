@@ -1,0 +1,233 @@
+"""Snapshot versioning / time travel for encoded datasets.
+
+Copy-on-write at part-file granularity, exploiting the immutability
+the encoded format already has: a version is a JSON manifest under
+`<dir>/_versions/` listing the part files it is made of. A mutation
+writes ONLY the files it changes (under fresh `-v{N}` names, so no
+existing file is ever touched) and carries every unchanged file
+forward BY NAME — shared, not copied. Reads resolve a manifest, then
+run the normal encoded-read path over its file list, so pruning /
+pushdown / decode all work unchanged on any version.
+
+    v0: [part-00000, part-00001]            (adopt)
+    v1: [part-00000-v1, part-00001]         (delete touched file 0)
+    v2: [part-00000-v1, part-00001, part-v2-00000]   (append)
+
+`vacuum` deletes files referenced by NO kept manifest. Concurrent
+writers are out of scope (single-writer, like the reference's
+MothWriter); the manifest write is atomic (tmp + rename) so readers
+never see a torn version.
+
+No reference analog — orc-go's writer is append-only with no table
+state (reference: pkg/store/MothDataSink.go) — this is the
+Delta/Iceberg-style extension of the engine, same spirit as FSST:
+build ON the format what the format already makes cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+_VDIR = "_versions"
+
+
+def _vdir(table_dir: str) -> str:
+    return os.path.join(table_dir, _VDIR)
+
+
+def _vpath(table_dir: str, version: int) -> str:
+    return os.path.join(_vdir(table_dir), f"v{version:06d}.json")
+
+
+def _write_manifest(table_dir: str, m: dict) -> None:
+    os.makedirs(_vdir(table_dir), exist_ok=True)
+    path = _vpath(table_dir, m["version"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+
+
+def latest_version(table_dir: str) -> int | None:
+    d = _vdir(table_dir)
+    if not os.path.isdir(d):
+        return None
+    vs = [int(f[1:7]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")]
+    return max(vs) if vs else None
+
+
+def manifest(table_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versions at {table_dir} (run adopt() first)")
+    with open(_vpath(table_dir, version)) as f:
+        return json.load(f)
+
+
+def history(table_dir: str) -> list[dict]:
+    """All manifests oldest-first, metrics included (the lineage log)."""
+    last = latest_version(table_dir)
+    if last is None:
+        return []
+    return [manifest(table_dir, v) for v in range(last + 1)]
+
+
+def files(table_dir: str, version: int | None = None) -> list[str]:
+    return [os.path.join(table_dir, f) for f in manifest(table_dir, version)["files"]]
+
+
+def adopt(table_dir: str, op: str = "adopt") -> dict:
+    """Start the version log: v0 = the part files already present.
+    No-op (returns the existing latest) if a log already exists."""
+    cur = latest_version(table_dir)
+    if cur is not None:
+        return manifest(table_dir, cur)
+    parts = sorted(f for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    m = {"version": 0, "parent": None, "op": op, "files": parts, "metrics": {"files": len(parts)}}
+    _write_manifest(table_dir, m)
+    return m
+
+
+def read_version(table_dir: str, version: int | None = None, metadata_only: bool = False):
+    """Dataset of stripe rows for one version (default latest)."""
+    from . import pipeline
+
+    return pipeline.read_encoded(files(table_dir, version), metadata_only=metadata_only)
+
+
+def decode_version(table_dir: str, version: int | None = None, columns: list[str] | None = None):
+    """Dataset of ORIGINAL rows for one version — the time-travel read.
+    Runs the fused read->decode path, so pruning and projection apply
+    to historical versions exactly as to the head."""
+    from . import pipeline
+
+    return pipeline.decode_files(files(table_dir, version), columns=columns)
+
+
+def delete_where(table_dir: str, column: str, min_value=None, max_value=None) -> dict:
+    """Versioned DELETE of rows with `column` in [min_value, max_value]
+    (SQL BETWEEN; nulls survive): the current version's files fan out
+    as work units; files whose zone maps miss the range carry forward
+    BY NAME (zero bytes moved — the COW win over the non-versioned
+    delete_where, which must copy passthrough files into its out_dir);
+    touched files rewrite under `-v{N}` names. Commits and returns the
+    new manifest."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from . import pipeline
+
+    parent = manifest(table_dir)
+    new_v = parent["version"] + 1
+
+    def process(batch: pa.Table) -> pa.Table:
+        out = []
+        for name in batch.column("name").to_pylist():
+            path = os.path.join(table_dir, name)
+            changed, new_tbl, stripes, rows = pipeline._delete_in_file(
+                path, column, min_value, max_value
+            )
+            if not changed:
+                out.append((name, name, stripes, rows))
+                continue
+            if new_tbl is None:
+                out.append((name, "", stripes, rows))  # whole file deleted
+                continue
+            stem = name[: -len(".parquet")]
+            new_name = f"{stem}-v{new_v}.parquet"
+            tmp = os.path.join(table_dir, new_name + ".tmp")
+            pq.write_table(new_tbl, tmp, row_group_size=8, **pipeline.ENCODED_PARQUET_ARGS)
+            os.rename(tmp, os.path.join(table_dir, new_name))
+            out.append((name, new_name, stripes, rows))
+        return pa.table(
+            {
+                "old": pa.array([o for o, _, _, _ in out]),
+                "new": pa.array([n for _, n, _, _ in out]),
+                "stripes_rewritten": pa.array([s for _, _, s, _ in out], pa.int64()),
+                "rows_deleted": pa.array([r for _, _, _, r in out], pa.int64()),
+            }
+        )
+
+    items = [{"name": n} for n in parent["files"]]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    by_old = dict(zip(res["old"], res["new"]))
+    new_files = [by_old.get(n, n) for n in parent["files"] if by_old.get(n, n)]
+    m = {
+        "version": new_v,
+        "parent": parent["version"],
+        "op": f"delete_where({column} in [{min_value}, {max_value}])",
+        "files": new_files,
+        "metrics": {
+            "files": len(new_files),
+            "files_rewritten": int((res["old"] != res["new"]).sum()),
+            "stripes_rewritten": int(res["stripes_rewritten"].sum()),
+            "rows_deleted": int(res["rows_deleted"].sum()),
+        },
+    }
+    _write_manifest(table_dir, m)
+    return m
+
+
+def append(table_dir: str, ds, opts: dict | None = None) -> dict:
+    """Versioned APPEND: encode `ds` (a Dataset of original rows)
+    through the normal distributed sink into a staging subdir (no data
+    ever flows through the driver), then rename the staged files to
+    fresh `part-v{N}-*` names — a metadata-only commit step. Existing
+    files are untouched; history stays readable."""
+    import shutil
+
+    from . import pipeline
+
+    parent = manifest(table_dir)
+    new_v = parent["version"] + 1
+    stage = os.path.join(table_dir, f"_staging_v{new_v}")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    pipeline.write_encoded(pipeline.encode_dataset(ds, opts), stage)
+    added = []
+    for i, f in enumerate(sorted(os.listdir(stage))):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"part-v{new_v}-{i:05d}.parquet"
+        os.rename(os.path.join(stage, f), os.path.join(table_dir, name))
+        added.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    m = {
+        "version": new_v,
+        "parent": parent["version"],
+        "op": "append",
+        "files": parent["files"] + added,
+        "metrics": {"files_added": len(added)},
+    }
+    _write_manifest(table_dir, m)
+    return m
+
+
+def vacuum(table_dir: str, keep_versions: list[int] | None = None) -> dict:
+    """Delete part files referenced by NO kept manifest (default: keep
+    only the latest) and drop the pruned manifests. The irreversible
+    step is explicit and separate from every logical operation."""
+    last = latest_version(table_dir)
+    if last is None:
+        return {"removed_files": 0, "removed_versions": 0}
+    keep = sorted(set(keep_versions if keep_versions is not None else [last]))
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(manifest(table_dir, v)["files"])
+    removed_files = 0
+    for f in sorted(os.listdir(table_dir)):
+        if f.endswith(".parquet") and f not in referenced:
+            os.remove(os.path.join(table_dir, f))
+            removed_files += 1
+    removed_versions = 0
+    for v in range(last + 1):
+        if v not in keep and os.path.exists(_vpath(table_dir, v)):
+            os.remove(_vpath(table_dir, v))
+            removed_versions += 1
+    return {"removed_files": removed_files, "removed_versions": removed_versions}

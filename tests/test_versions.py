@@ -1,0 +1,97 @@
+"""Snapshot versioning: COW delete, append, time travel, vacuum."""
+
+import os
+
+import duckdb
+import pytest
+
+from mothray import pipeline, versions
+
+
+@pytest.fixture()
+def table(ray_session, tmp_path):
+    src = "/root/testdata/sf0.001/orders.parquet"
+    d = str(tmp_path / "tbl")
+    from mothray import checkpoint
+
+    checkpoint.encode_job(src, d, target_partition_bytes=1 << 20)
+    versions.adopt(d)
+    return d, src
+
+
+def _ids(ds):
+    return sorted(ds.to_pandas()["o_orderkey"].tolist())
+
+
+def test_versioned_delete_and_time_travel(table):
+    d, src = table
+    n_parts0 = len(versions.files(d))
+    before = {f: os.path.getmtime(os.path.join(d, f)) for f in versions.manifest(d)["files"]}
+
+    m = versions.delete_where(d, "o_totalprice", min_value=200000.0)
+    assert m["version"] == 1 and m["metrics"]["rows_deleted"] > 0
+
+    # head = filtered, v0 = original, both readable concurrently
+    exp_head = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{src}')"
+            f" WHERE o_totalprice IS NULL OR o_totalprice < 200000.0 ORDER BY 1"
+        ).fetchall()
+    ]
+    exp_all = [
+        r[0]
+        for r in duckdb.sql(f"SELECT o_orderkey FROM read_parquet('{src}') ORDER BY 1").fetchall()
+    ]
+    assert _ids(versions.decode_version(d)) == exp_head
+    assert _ids(versions.decode_version(d, version=0)) == exp_all
+
+    # COW: v0's files were never modified; unchanged files are SHARED
+    for f, mt in before.items():
+        assert os.path.getmtime(os.path.join(d, f)) == mt
+    shared = set(versions.manifest(d, 0)["files"]) & set(versions.manifest(d, 1)["files"])
+    rewritten = set(versions.manifest(d, 1)["files"]) - set(versions.manifest(d, 0)["files"])
+    assert len(shared) + len(rewritten) == len(versions.files(d))
+    assert m["metrics"]["files_rewritten"] == len(rewritten)
+    assert n_parts0 == len(versions.manifest(d, 0)["files"])
+
+
+def test_versioned_append_and_history(table):
+    d, src = table
+    import ray.data
+
+    extra = ray.data.read_parquet(src).limit(50)
+    m = versions.append(d, extra)
+    assert m["version"] == 1 and m["metrics"]["files_added"] >= 1
+
+    n0 = versions.decode_version(d, version=0).count()
+    n1 = versions.decode_version(d).count()
+    assert n1 == n0 + 50
+
+    h = versions.history(d)
+    assert [x["version"] for x in h] == [0, 1]
+    assert h[1]["op"] == "append" and h[1]["parent"] == 0
+
+
+def test_vacuum_drops_unreferenced(table):
+    d, _ = table
+    versions.delete_where(d, "o_totalprice", min_value=1.0)  # touches many files
+    all_parquet = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    head_files = set(versions.manifest(d)["files"])
+    assert head_files < all_parquet  # v0-only files still on disk
+
+    res = versions.vacuum(d)
+    assert res["removed_files"] == len(all_parquet - head_files)
+    assert res["removed_versions"] == 1  # v0 manifest dropped
+    left = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    assert left == head_files
+    # head still reads fine after vacuum
+    assert versions.decode_version(d).count() >= 0
+    with pytest.raises(FileNotFoundError):
+        versions.manifest(d, 0)
+
+
+def test_adopt_idempotent(table):
+    d, _ = table
+    m0 = versions.manifest(d)
+    assert versions.adopt(d)["version"] == m0["version"]
