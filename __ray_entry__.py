@@ -1176,6 +1176,72 @@ def _agg_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _regex_extract_documents(sf_dir: str):
+    """regexp_extract parity (RE2 kernel, shuffle-free): first match
+    per row, '' for no match, null for null."""
+    import ray.data
+
+    from mothray.ops import text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text.regex_extract_batch(b, "[a-z]+[0-9]+"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "extracted"])
+
+
+def _histogram_lineitem(sf_dir: str):
+    """Equi-width histogram: (Min, Max) pass fixes the range, then a
+    bincount combiner — only (bin, cnt) rows shuffle."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return sketch.histogram(ds, "l_extendedprice", 20)
+
+
+_VERSIONED_TABLES: dict[str, str] = {}
+
+
+def _versioned_orders_table(sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a versioned orders table:
+    v0 = full encode, v1 = COW delete of o_totalprice >= 200000.
+    Unchanged part files are SHARED between versions by name — the
+    mutation writes only touched files."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint, versions
+
+    if sf_dir in _VERSIONED_TABLES:
+        return _VERSIONED_TABLES[sf_dir]
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    d = f"/tmp/mothray_vers_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", d, target_partition_bytes=4 << 20)
+    versions.adopt(d)
+    versions.delete_where(d, "o_totalprice", min_value=200000.0)
+    _VERSIONED_TABLES[sf_dir] = d
+    return d
+
+
+def _time_travel_orders(sf_dir: str):
+    """Read version 0 AFTER a delete mutated the head: time travel must
+    reproduce the original table bit-for-bit (COW shares untouched
+    files; the delete never modified v0's)."""
+    from mothray import versions
+
+    return versions.decode_version(_versioned_orders_table(sf_dir), version=0)
+
+
+def _versioned_delete_orders(sf_dir: str):
+    """Head read after the versioned COW delete (zone-map passthrough
+    files carried by name, touched stripes re-encoded)."""
+    from mothray import versions
+
+    return versions.decode_version(_versioned_orders_table(sf_dir))
+
+
 def _grouped_quantiles_lineitem(sf_dir: str):
     """Exact per-group quantile_disc via the (group, value) distinct-
     count combiner; only collapsed histogram rows enter the exchange."""
@@ -1349,6 +1415,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["heavy_hitters_events"] = _heavy_hitters_events
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["grouped_quantiles_lineitem"] = _grouped_quantiles_lineitem
+    q["time_travel_orders"] = _time_travel_orders
+    q["versioned_delete_orders"] = _versioned_delete_orders
+    q["histogram_lineitem"] = _histogram_lineitem
+    q["regex_extract_documents"] = _regex_extract_documents
     return q
 
 
@@ -1768,6 +1838,19 @@ def oracle_sql() -> dict[str, str]:
         " FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20"
     )
     o["like_pushdown_documents"] = "SELECT * FROM documents WHERE source LIKE 'src1%'"
+    o["regex_extract_documents"] = (
+        "SELECT doc_id, regexp_extract(text, '[a-z]+[0-9]+') AS extracted FROM documents"
+    )
+    o["histogram_lineitem"] = (
+        "WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi"
+        " FROM lineitem)"
+        " SELECT LEAST(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19)"
+        " AS bin, CAST(count(*) AS BIGINT) AS cnt FROM lineitem, b GROUP BY bin"
+    )
+    o["time_travel_orders"] = "SELECT * FROM orders"
+    o["versioned_delete_orders"] = (
+        "SELECT * FROM orders WHERE o_totalprice IS NULL OR o_totalprice < 200000.0"
+    )
     o["grouped_quantiles_lineitem"] = " UNION ALL ".join(
         f"SELECT l_returnflag, {q} AS q, quantile_disc(l_quantity, {q}) AS value"
         f" FROM lineitem GROUP BY l_returnflag"

@@ -436,3 +436,42 @@ def grouped_quantiles(ds, column: str, group_col: str, qs: list[float]):
         .groupby(group_col)
         .map_groups(walk, batch_format="pyarrow")
     )
+
+
+def histogram(ds, column: str, nbins: int = 20, lo: float | None = None, hi: float | None = None):
+    """Equi-width histogram: one (Min, Max) aggregate pass fixes the
+    range when bounds aren't given, then each batch bincounts into
+    `nbins` and only (bin, cnt) rows reach the exchange. Bin rule
+    floor((x - lo) / ((hi - lo) / nbins)) clamped to nbins-1, the same
+    IEEE expression a SQL engine evaluates, so counts are exactly
+    reproducible; empty bins are absent (GROUP BY semantics). Nulls
+    (and NaNs) drop."""
+    import ray.data
+
+    if lo is None or hi is None:
+        mm = ds.aggregate(
+            ray.data.aggregate.Min(column, ignore_nulls=True),
+            ray.data.aggregate.Max(column, ignore_nulls=True),
+        )
+        lo = float(mm[f"min({column})"]) if lo is None else lo
+        hi = float(mm[f"max({column})"]) if hi is None else hi
+    width = (hi - lo) / nbins
+    if width <= 0:
+        raise ValueError(f"degenerate range [{lo}, {hi}] for {column}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).combine_chunks().cast(pa.float64()).drop_null()
+        x = v.to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        bins = np.floor((x - lo) / width)
+        bins = np.clip(bins, 0, nbins - 1).astype(np.int64)
+        cnt = np.bincount(bins, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz, pa.int64()), "cnt": pa.array(cnt[nz], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .sum("cnt")
+        .map_batches(lambda t: t.rename_columns(["bin", "cnt"]), batch_format="pyarrow")
+    )

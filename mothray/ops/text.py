@@ -402,3 +402,25 @@ def tfidf_top_terms(ds, column: str = "text", id_column: str = "doc_id",
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def regex_extract_batch(
+    batch: pa.Table,
+    pattern: str,
+    column: str = "text",
+    out_column: str = "extracted",
+) -> pa.Table:
+    """First regex match per row (compiled RE2 kernel, no Python).
+    SQL regexp_extract parity: null in -> null out, no match -> ''
+    (Arrow's extract_regex yields null for both, so the two cases are
+    re-split on input validity). Unnamed patterns are wrapped in one
+    named group — the whole-match (group 0) semantics."""
+    import pyarrow.compute as pc
+
+    pat = pattern if "(?P<" in pattern else f"(?P<g0>{pattern})"
+    name = pat.split("(?P<", 1)[1].split(">", 1)[0]
+    col = batch.column(column)
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    m = pc.struct_field(pc.extract_regex(col, pat), name)
+    out = pc.if_else(pc.is_valid(col), pc.fill_null(m, ""), pa.scalar(None, pa.string()))
+    return batch.append_column(out_column, out)

@@ -154,3 +154,60 @@ def test_grouped_quantiles_lineitem(ray_session):
     )
     exp = duckdb.sql(f"SELECT * FROM ({sql}) ORDER BY l_returnflag, q").df()
     assert got.equals(exp.reset_index(drop=True))
+
+
+def test_histogram_lineitem(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import sketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_extendedprice"])
+    got = (
+        sketch.histogram(ds, "l_extendedprice", 16)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi"
+        f" FROM read_parquet('{src}'))"
+        f" SELECT LEAST(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 16)) AS BIGINT), 15)"
+        f" AS bin, CAST(count(*) AS BIGINT) AS cnt"
+        f" FROM read_parquet('{src}'), b GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got.equals(exp.reset_index(drop=True))
+    assert got["cnt"].sum() == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+
+    with pytest.raises(ValueError):
+        sketch.histogram(ds, "l_extendedprice", 10, lo=5.0, hi=5.0)
+
+
+def test_regex_extract_documents(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import text as T
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    got = (
+        ds.map_batches(lambda b: T.regex_extract_batch(b, "[0-9]+"), batch_format="pyarrow")
+        .select_columns(["doc_id", "extracted"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT doc_id, regexp_extract(text, '[0-9]+') AS extracted"
+        f" FROM read_parquet('{src}') ORDER BY doc_id"
+    ).df()
+    assert got.equals(exp.reset_index(drop=True))
+
+    # null-in -> null-out; no-match -> ''
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a1b", "zzz", None]})
+    out = T.regex_extract_batch(t, "[0-9]+")
+    assert out.column("extracted").to_pylist() == ["1", "", None]
