@@ -1176,6 +1176,34 @@ def _agg_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _conj_pushdown_lineitem(sf_dir: str):
+    """AND-of-predicates pushdown: stripe prunes chain per predicate
+    on the metadata read, row-group sets intersect, masks AND with
+    short-circuit — a no-hit group never evaluates later predicates or
+    decodes projected columns."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_conj_push_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    return pipeline.filter_encoded_multi(
+        out,
+        [("l_returnflag", "eq", "R"), ("l_quantity", "le", 10.0), ("l_discount", "gt", 0.05)],
+    )
+
+
+def _string_agg_orders(sf_dir: str):
+    """Per-group ordered string_agg: one shuffle, one binary_join
+    kernel per group."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    return groupsets.string_agg(ds, "o_custkey", "o_orderkey", "o_orderkey")
+
+
 def _regex_extract_documents(sf_dir: str):
     """regexp_extract parity (RE2 kernel, shuffle-free): first match
     per row, '' for no match, null for null."""
@@ -1419,6 +1447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["histogram_lineitem"] = _histogram_lineitem
     q["regex_extract_documents"] = _regex_extract_documents
+    q["string_agg_orders"] = _string_agg_orders
+    q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
     return q
 
 
@@ -1838,6 +1868,14 @@ def oracle_sql() -> dict[str, str]:
         " FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 20"
     )
     o["like_pushdown_documents"] = "SELECT * FROM documents WHERE source LIKE 'src1%'"
+    o["conj_pushdown_lineitem"] = (
+        "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 10.0"
+        " AND l_discount > 0.05"
+    )
+    o["string_agg_orders"] = (
+        "SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS agg"
+        " FROM orders GROUP BY o_custkey"
+    )
     o["regex_extract_documents"] = (
         "SELECT doc_id, regexp_extract(text, '[a-z]+[0-9]+') AS extracted FROM documents"
     )

@@ -163,3 +163,29 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.Table.from_arrays(cols, names=[*id_cols, var_name, value_name])
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def string_agg(ds, group_col: str, value_col: str, order_col: str, sep: str = ","):
+    """Per-group ordered string concatenation (SQL string_agg ... ORDER
+    BY): one groupby shuffle; inside each group a sort + one
+    binary_join kernel call builds the row — no per-row Python. Output
+    (group, agg). Groups must fit a task (same contract as every SQL
+    engine's unbounded-aggregate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def join(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        vals = group.column(value_col).take(idx)
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        vals = vals.drop_null()
+        lst = pa.ListArray.from_arrays(pa.array([0, len(vals)], pa.int32()), vals.cast(pa.string()))
+        return pa.table(
+            {
+                group_col: group.column(group_col).combine_chunks().slice(0, 1),
+                "agg": pc.binary_join(lst, sep),
+            }
+        )
+
+    proj = ds.select_columns(sorted({group_col, value_col, order_col}))
+    return proj.groupby(group_col).map_groups(join, batch_format="pyarrow")

@@ -1225,6 +1225,40 @@ def filter_encoded(
     return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def filter_encoded_multi(
+    path: str | list[str],
+    preds: list[tuple],
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Conjunctive (AND) predicate-pushdown scan: every predicate's
+    stripe prune chains on the metadata read (a stripe survives only
+    if it overlaps ALL predicates — blobs of the rest are never
+    fetched), then row-group sets intersect and hit masks AND inside
+    the stripe with short-circuit evaluation. `preds` is a list of
+    (column, op, value) with the same ops filter_encoded takes."""
+    from . import stripe as stripe_mod
+
+    pruned = read_encoded(path, metadata_only=True, include_paths=True)
+    for col, op, value in preds:
+        if op == "ne" or (op == "like" and not stripe_mod.like_prefix(value)):
+            continue
+        lo, hi = stripe_mod.string_pred_bounds(op, value)
+        needle = value if op == "eq" and isinstance(value, str) else None
+        pruned = prune_stripes(pruned, col, lo, hi, needle)
+    enc = pruned.map_batches(_FetchStripes(), batch_format="pyarrow")
+
+    def flt(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.filter_stripe_multi(row, preds, columns) for row in batch.to_pylist()
+        ]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- skew / shuffle
 
 def add_host_bucket(

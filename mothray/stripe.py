@@ -586,3 +586,45 @@ def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | N
     if not parts:
         return out_schema.empty_table()
     return pa.concat_tables(parts)
+
+
+def filter_stripe_multi(
+    row: dict, preds: list[tuple], columns: list[str] | None = None
+) -> pa.Table:
+    """Conjunctive (AND) predicate-pushdown decode of one stripe: the
+    surviving row-group set is the INTERSECTION of each predicate's
+    zone-map selection, and the hit mask is the AND of the per-column
+    masks — evaluated short-circuit (a row group that zeroes out on
+    one predicate never evaluates the rest, and never decodes the
+    projected columns)."""
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    names = columns if columns is not None else schema.names
+    rg = meta["row_groups"]
+    rgr, rgc = rg["rows"], rg["count"]
+    n_rows = row["n_rows"]
+    keep = set(range(rgc))
+    for col, op, value in preds:
+        if op == "ne":
+            continue
+        lo, hi = string_pred_bounds(op, value)
+        sel = select_row_groups(meta, col, lo, hi)
+        if sel is not None:
+            keep &= set(sel)
+    out_schema = pa.schema([schema.field(nm) for nm in names])
+    parts = []
+    for i in sorted(keep):
+        n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
+        mask = np.ones(n, dtype=bool)
+        for col, op, value in preds:
+            trees = meta["columns"][col]["row_groups"]
+            mask &= predicate_mask(trees[i], blob, schema.field(col).type, n, op, value)
+            if not mask.any():
+                break
+        if not mask.any():
+            continue
+        parts.append(decode_stripe(row, names, [i]).filter(pa.array(mask)))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)

@@ -211,3 +211,24 @@ def test_regex_extract_documents(ray_session):
     t = pa.table({"doc_id": [1, 2, 3], "text": ["a1b", "zzz", None]})
     out = T.regex_extract_batch(t, "[0-9]+")
     assert out.column("extracted").to_pylist() == ["1", "", None]
+
+
+def test_string_agg_orders(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    ds = ray.data.read_parquet(src, columns=["o_custkey", "o_orderkey"])
+    got = (
+        groupsets.string_agg(ds, "o_custkey", "o_orderkey", "o_orderkey", sep="|")
+        .to_pandas()
+        .sort_values("o_custkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT o_custkey, string_agg(o_orderkey, '|' ORDER BY o_orderkey) AS agg"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got.equals(exp.reset_index(drop=True))

@@ -1842,3 +1842,45 @@ def test_filter_encoded_prefix_like(ray_session, tmp_path):
     surv = pipeline.prune_read(srt, "source", lo, hi).count()
     total = pipeline.read_encoded(srt).count()
     assert 0 < surv < total
+
+
+def test_filter_encoded_multi(ray_session, tmp_path):
+    import duckdb
+
+    from mothray import pipeline
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    out = str(tmp_path / "enc")
+    pipeline.encode_parquet_to_dir(src, out)
+    cases = [
+        (
+            [("l_returnflag", "eq", "R"), ("l_quantity", "le", 10.0)],
+            "l_returnflag='R' AND l_quantity<=10.0",
+        ),
+        (
+            [
+                ("l_returnflag", "eq", "R"),
+                ("l_quantity", "le", 10.0),
+                ("l_discount", "gt", 0.05),
+            ],
+            "l_returnflag='R' AND l_quantity<=10.0 AND l_discount>0.05",
+        ),
+        (
+            [("l_linestatus", "like", "F%"), ("l_orderkey", "lt", 300)],
+            "l_linestatus LIKE 'F%' AND l_orderkey<300",
+        ),
+    ]
+    for preds, sql in cases:
+        got = (
+            pipeline.filter_encoded_multi(out, preds)
+            .to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"SELECT * FROM read_parquet('{src}') WHERE {sql}"
+            f" ORDER BY l_orderkey, l_linenumber"
+        ).df()
+        assert len(got) == len(exp) and len(got) > 0, sql
+        assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+        assert got["l_quantity"].tolist() == exp["l_quantity"].tolist()
