@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--min", dest="min_value", default=None)
     dl.add_argument("--max", dest="max_value", default=None)
 
+    ix = sub.add_parser("index", help="build the file-level skip index (prune_read then skips whole files without opening footers)")
+    ix.add_argument("enc_dir")
+
     hv = sub.add_parser("history", help="version log of a versioned table (adopt runs implicitly on first mutation)")
     hv.add_argument("table_dir")
 
@@ -216,6 +219,13 @@ def _dispatch(args) -> int:
         res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
         print(json.dumps(res))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "index":
+        from mothray import pipeline
+
+        idx = pipeline.build_file_index(args.enc_dir)
+        print(json.dumps({"files_indexed": len(idx)}))
         return 0
 
     if args.cmd == "history":

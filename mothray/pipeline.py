@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from typing import Iterator
 
 import numpy as np
@@ -1161,6 +1162,87 @@ class _FetchStripes:
                     yield pf.read_row_group(rg).filter(mask)
 
 
+_FILE_INDEX = "_file_index.json"
+
+
+def build_file_index(dir_path: str) -> dict:
+    """FILE-level skip index: one JSON at the dataset root mapping each
+    part file to its per-column [min, max] (the union of its stripes'
+    zone maps) plus (size, mtime) for staleness detection. With it,
+    prune_read skips whole files WITHOUT opening their parquet footers
+    — at 10^5 part files that turns a metadata scan into one small JSON
+    read + a driver-side range check. The index is advisory: files
+    missing from it (appended later) or whose size/mtime changed
+    (rewritten in place) are always kept, so a stale index can only
+    under-prune, never drop data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(dir_path) if f.endswith(".parquet"))
+    index: dict[str, dict] = {}
+    for name in files:
+        p = os.path.join(dir_path, name)
+        stats_col = pq.read_table(p, columns=["stats"]).column("stats").to_pylist()
+        ranges: dict[str, list] = {}
+        for sj in stats_col:
+            for col, st in json.loads(sj).items():
+                lo, hi = st.get("min"), st.get("max")
+                if lo is None or hi is None:
+                    ranges[col] = [None, None]  # unknown -> never prunable
+                    continue
+                cur = ranges.get(col)
+                if cur is None:
+                    ranges[col] = [lo, hi]
+                elif cur != [None, None]:
+                    cur[0] = min(cur[0], lo)
+                    cur[1] = max(cur[1], hi)
+        st = os.stat(p)
+        index[name] = {
+            "columns": ranges,
+            "size": st.st_size,
+            "mtime_ns": st.st_mtime_ns,
+        }
+    out = os.path.join(dir_path, _FILE_INDEX)
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(index, f, sort_keys=True)
+    os.rename(tmp, out)
+    return index
+
+
+def _index_prune_files(dir_path: str, column: str, min_value, max_value) -> list[str] | None:
+    """File paths that may hold rows in range, per the file index; None
+    when no index exists (caller scans everything). Same inclusive
+    overlap rule as prune_stripes; unindexed or size/mtime-changed
+    files always survive."""
+    import os
+
+    ipath = os.path.join(dir_path, _FILE_INDEX)
+    if not os.path.exists(ipath):
+        return None
+    with open(ipath) as f:
+        index = json.load(f)
+    keep = []
+    for name in sorted(f for f in os.listdir(dir_path) if f.endswith(".parquet")):
+        p = os.path.join(dir_path, name)
+        entry = index.get(name)
+        if entry is not None:
+            st = os.stat(p)
+            if st.st_size != entry["size"] or st.st_mtime_ns != entry["mtime_ns"]:
+                entry = None  # rewritten in place -> distrust
+        if entry is None:
+            keep.append(p)
+            continue
+        lo, hi = entry["columns"].get(column, [None, None])
+        if min_value is not None and hi is not None and hi < min_value:
+            continue
+        if max_value is not None and lo is not None and lo > max_value:
+            continue
+        keep.append(p)
+    return keep
+
+
 def prune_read(
     path: str | list[str],
     column: str,
@@ -1168,10 +1250,25 @@ def prune_read(
     max_value=None,
     needle: str | None = None,
 ) -> ray.data.Dataset:
-    """Metadata-only pruning over an encoded-on-disk dataset: read ONLY
-    the metadata columns (stats/blooms/meta — never the blob), filter
-    stripes by stats + bloom, then fetch surviving stripes' row groups
-    by key. Blob bytes read ∝ surviving stripes (VERDICT r1 item 5)."""
+    """Metadata-only pruning over an encoded-on-disk dataset: consult
+    the file-level skip index first (whole files drop without their
+    footers being opened; see build_file_index), then read ONLY the
+    surviving files' metadata columns (stats/blooms/meta — never the
+    blob), filter stripes by stats + bloom, and fetch surviving
+    stripes' row groups by key. Blob bytes read ∝ surviving stripes
+    (VERDICT r1 item 5)."""
+    if isinstance(path, str) and os.path.isdir(path):
+        kept = _index_prune_files(path, column, min_value, max_value)
+        if kept:
+            path = kept
+        elif kept is not None:
+            # nothing overlaps: keep ONE file so the empty result still
+            # carries the encoded schema (its stripes prune to zero)
+            first = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )[:1]
+            if first:
+                path = [os.path.join(path, first[0])]
     meta = read_encoded(path, metadata_only=True, include_paths=True)
     surv = prune_stripes(meta, column, min_value, max_value, needle)
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
@@ -1238,10 +1335,30 @@ def filter_encoded_multi(
     (column, op, value) with the same ops filter_encoded takes."""
     from . import stripe as stripe_mod
 
+    usable = [
+        (col, op, value)
+        for col, op, value in preds
+        if op != "ne" and not (op == "like" and not stripe_mod.like_prefix(value))
+    ]
+    if isinstance(path, str) and os.path.isdir(path) and usable:
+        # file-level skip index: intersect per-predicate file survivors
+        kept: set[str] | None = None
+        for col, op, value in usable:
+            lo, hi = stripe_mod.string_pred_bounds(op, value)
+            k = _index_prune_files(path, col, lo, hi)
+            if k is None:
+                kept = None
+                break
+            kept = set(k) if kept is None else kept & set(k)
+        if kept is not None:
+            files = sorted(kept) or sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )[:1]
+            path = files
     pruned = read_encoded(path, metadata_only=True, include_paths=True)
-    for col, op, value in preds:
-        if op == "ne" or (op == "like" and not stripe_mod.like_prefix(value)):
-            continue
+    for col, op, value in usable:
         lo, hi = stripe_mod.string_pred_bounds(op, value)
         needle = value if op == "eq" and isinstance(value, str) else None
         pruned = prune_stripes(pruned, col, lo, hi, needle)

@@ -1884,3 +1884,72 @@ def test_filter_encoded_multi(ray_session, tmp_path):
         assert len(got) == len(exp) and len(got) > 0, sql
         assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
         assert got["l_quantity"].tolist() == exp["l_quantity"].tolist()
+
+
+def test_file_level_skip_index(ray_session, tmp_path):
+    import os
+
+    import duckdb
+
+    from mothray import checkpoint, pipeline
+
+    import pyarrow.parquet as _pq
+
+    src = str(tmp_path / "orders_chunked.parquet")
+    _pq.write_table(  # many row groups -> many encode partitions
+        _pq.read_table("/root/testdata/sf0.001/orders.parquet"), src, row_group_size=256
+    )
+    d = str(tmp_path / "enc")
+    checkpoint.encode_job(src, d, target_partition_bytes=1 << 14)  # many part files
+    n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_files >= 4
+
+    def range_scan():
+        return sorted(
+            pipeline.filter_encoded_multi(
+                d, [("o_orderkey", "ge", 100), ("o_orderkey", "le", 160)]
+            )
+            .to_pandas()["o_orderkey"]
+            .tolist()
+        )
+
+    oracle = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{src}')"
+            f" WHERE o_orderkey BETWEEN 100 AND 160 ORDER BY 1"
+        ).fetchall()
+    ]
+    assert range_scan() == oracle  # baseline WITHOUT index
+
+    idx = pipeline.build_file_index(d)
+    assert len(idx) == n_files
+
+    # index prunes whole files for a selective key range (partitions
+    # split the input row range, so o_orderkey is disjoint per file)
+    kept = pipeline._index_prune_files(d, "o_orderkey", 100, 160)
+    assert 0 < len(kept) < n_files
+
+    # identical answer WITH the index (filter_encoded routes through
+    # prune_read, which consults it)
+    assert (
+        sorted(
+            pipeline.filter_encoded(d, "o_orderkey", "ge", 100)
+            .to_pandas()
+            .query("o_orderkey <= 160")["o_orderkey"]
+            .tolist()
+        )
+        == oracle
+    )
+
+    # no-overlap range: empty result, still well-formed
+    assert pipeline.prune_read(d, "o_orderkey", 10**9, None).count() == 0
+
+    # staleness guard: a rewritten file (same name, new bytes) must
+    # survive pruning even when its old entry said "out of range"
+    victim = kept0 = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))[0]
+    p = os.path.join(d, victim)
+    with open(p, "ab") as f:
+        f.write(b"x")  # size change marks the entry stale
+    kept2 = pipeline._index_prune_files(d, "o_orderkey", 10**9, None)
+    assert os.path.join(d, victim) in kept2
