@@ -975,6 +975,56 @@ def agg_encoded(in_dir: str | list[str], specs: dict[str, tuple]) -> pa.Table:
     return pa.table({name: pa.array([out[name].as_py()], type=out[name].type) for name in specs})
 
 
+def _upsert_in_file(path: str, keys: pa.Array, key: str):
+    """Drop-matching-keys applied to ONE encoded part file (the
+    rewrite half of MERGE). Returns (changed, new_table | None,
+    stripes_rewritten, rows_replaced) with the same contract as
+    _delete_in_file. Zone-map probe first; only stripes whose [min,
+    max] can contain an upserted key decode."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    def _range_has_keys(lo, hi) -> bool:
+        if lo is None or hi is None:
+            return True  # no stats: conservative
+        m = pc.and_(pc.greater_equal(keys, lo), pc.less_equal(keys, hi))
+        return bool(pc.any(pc.fill_null(m, False)).as_py())
+
+    meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+    overlaps = []
+    for sj in meta_tbl.column("stats").to_pylist():
+        st = json.loads(sj).get(key, {})
+        overlaps.append(_range_has_keys(st.get("min"), st.get("max")))
+    if not any(overlaps):
+        return False, None, 0, 0
+    full = pq.read_table(path)
+    keep_rows = []
+    stripes_rewritten = 0
+    rows_replaced = 0
+    for i in range(full.num_rows):
+        row = {c: full.column(c)[i].as_py() for c in full.column_names}
+        if not overlaps[i]:
+            keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+            continue
+        dec = stripe_mod.decode_stripe(row)
+        hit = pc.fill_null(pc.is_in(dec.column(key), value_set=keys), False)
+        n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        if n_hit == 0:
+            keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
+            continue
+        rows_replaced += n_hit
+        stripes_rewritten += 1
+        kept = dec.filter(pc.invert(hit))
+        if kept.num_rows:
+            keep_rows.append(stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}u"))
+    if stripes_rewritten == 0:
+        return False, None, 0, 0
+    new_tbl = pa.concat_tables(keep_rows) if keep_rows else None
+    return True, new_tbl, stripes_rewritten, rows_replaced
+
+
 def upsert_keys(
     in_dir: str | list[str],
     out_dir: str,
@@ -997,7 +1047,6 @@ def upsert_keys(
     import os
     import shutil
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from . import stripe as stripe_mod
@@ -1012,12 +1061,6 @@ def upsert_keys(
 
     keys_ref = ray.put(new_rows.column(key).combine_chunks())
 
-    def _range_has_keys(keys: pa.Array, lo, hi) -> bool:
-        if lo is None or hi is None:
-            return True  # no stats: conservative
-        m = pc.and_(pc.greater_equal(keys, lo), pc.less_equal(keys, hi))
-        return bool(pc.any(pc.fill_null(m, False)).as_py())
-
     def process(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
         out_rows = []
@@ -1026,40 +1069,15 @@ def upsert_keys(
         ):
             dst = os.path.join(out_dir, os.path.basename(path))
             tmp = dst + ".tmp"
-            meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
-            overlaps = []
-            for sj in meta_tbl.column("stats").to_pylist():
-                st = json.loads(sj).get(key, {})
-                overlaps.append(_range_has_keys(keys, st.get("min"), st.get("max")))
-            if not any(overlaps):
+            changed, new_tbl, stripes_rewritten, rows_replaced = _upsert_in_file(
+                path, keys, key
+            )
+            if not changed:
                 shutil.copyfile(path, tmp)
                 os.rename(tmp, dst)
                 out_rows.append((fid, 0, 0))
                 continue
-            full = pq.read_table(path)
-            keep_rows = []
-            stripes_rewritten = 0
-            rows_replaced = 0
-            for i in range(full.num_rows):
-                row = {c: full.column(c)[i].as_py() for c in full.column_names}
-                if not overlaps[i]:
-                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
-                    continue
-                dec = stripe_mod.decode_stripe(row)
-                hit = pc.fill_null(pc.is_in(dec.column(key), value_set=keys), False)
-                n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
-                if n_hit == 0:
-                    keep_rows.append(pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA))
-                    continue
-                rows_replaced += n_hit
-                stripes_rewritten += 1
-                kept = dec.filter(pc.invert(hit))
-                if kept.num_rows:
-                    keep_rows.append(
-                        stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}u")
-                    )
-            if keep_rows:
-                new_tbl = pa.concat_tables(keep_rows)
+            if new_tbl is not None:
                 pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
                 os.rename(tmp, dst)
             out_rows.append((fid, stripes_rewritten, rows_replaced))

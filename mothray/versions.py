@@ -108,6 +108,17 @@ def decode_version(table_dir: str, version: int | None = None, columns: list[str
     return pipeline.decode_files(files(table_dir, version), columns=columns)
 
 
+def prune_read(table_dir: str, column: str, min_value=None, max_value=None,
+               needle: str | None = None, version: int | None = None):
+    """Pruned scan of ONE version. Always go through a manifest on a
+    versioned table: a bare directory scan (pipeline.prune_read on the
+    dir) would read every live version's files at once and duplicate
+    rows shared history has rewritten."""
+    from . import pipeline
+
+    return pipeline.prune_read(files(table_dir, version), column, min_value, max_value, needle)
+
+
 def delete_where(table_dir: str, column: str, min_value=None, max_value=None) -> dict:
     """Versioned DELETE of rows with `column` in [min_value, max_value]
     (SQL BETWEEN; nulls survive): the current version's files fan out
@@ -168,6 +179,84 @@ def delete_where(table_dir: str, column: str, min_value=None, max_value=None) ->
             "files_rewritten": int((res["old"] != res["new"]).sum()),
             "stripes_rewritten": int(res["stripes_rewritten"].sum()),
             "rows_deleted": int(res["rows_deleted"].sum()),
+        },
+    }
+    _write_manifest(table_dir, m)
+    return m
+
+
+def upsert_keys(table_dir: str, new_rows: pa.Table, key: str) -> dict:
+    """Versioned MERGE: rows whose `key` appears in `new_rows` are
+    replaced, new keys appended — as a COW commit. The (broadcast)
+    key set probes each current file's zone maps; files that cannot
+    contain an upserted key carry forward BY NAME, touched files
+    rewrite under `-v{N}` names, and the upsert batch encodes as one
+    fresh part. Same kernel as the rewrite-style pipeline.upsert_keys
+    (pipeline._upsert_in_file)."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from . import pipeline, stripe as stripe_mod
+
+    parent = manifest(table_dir)
+    new_v = parent["version"] + 1
+    keys_ref = ray.put(new_rows.column(key).combine_chunks())
+
+    def process(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        out = []
+        for name in batch.column("name").to_pylist():
+            path = os.path.join(table_dir, name)
+            changed, new_tbl, stripes, rows = pipeline._upsert_in_file(path, keys, key)
+            if not changed:
+                out.append((name, name, stripes, rows))
+                continue
+            if new_tbl is None:
+                out.append((name, "", stripes, rows))
+                continue
+            new_name = f"{name[: -len('.parquet')]}-v{new_v}.parquet"
+            tmp = os.path.join(table_dir, new_name + ".tmp")
+            pq.write_table(new_tbl, tmp, row_group_size=8, **pipeline.ENCODED_PARQUET_ARGS)
+            os.rename(tmp, os.path.join(table_dir, new_name))
+            out.append((name, new_name, stripes, rows))
+        return pa.table(
+            {
+                "old": pa.array([o for o, _, _, _ in out]),
+                "new": pa.array([n for _, n, _, _ in out]),
+                "stripes_rewritten": pa.array([s for _, _, s, _ in out], pa.int64()),
+                "rows_replaced": pa.array([r for _, _, _, r in out], pa.int64()),
+            }
+        )
+
+    import ray.data as rd
+
+    units = rd.from_items(
+        [{"name": n} for n in parent["files"]],
+        override_num_blocks=max(len(parent["files"]), 1),
+    )
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    by_old = dict(zip(res["old"], res["new"]))
+    new_files = [by_old.get(n, n) for n in parent["files"] if by_old.get(n, n)]
+
+    up_name = f"part-v{new_v}-upsert.parquet"
+    enc_new = stripe_mod.encode_batch(new_rows, key_prefix=f"v{new_v}upsert")
+    tmp = os.path.join(table_dir, up_name + ".tmp")
+    pq.write_table(enc_new, tmp, row_group_size=8, **pipeline.ENCODED_PARQUET_ARGS)
+    os.rename(tmp, os.path.join(table_dir, up_name))
+    new_files.append(up_name)
+
+    m = {
+        "version": new_v,
+        "parent": parent["version"],
+        "op": f"upsert_keys({key}, {new_rows.num_rows} rows)",
+        "files": new_files,
+        "metrics": {
+            "files": len(new_files),
+            "files_rewritten": int((res["old"] != res["new"]).sum()),
+            "stripes_rewritten": int(res["stripes_rewritten"].sum()),
+            "rows_replaced": int(res["rows_replaced"].sum()),
+            "rows_upserted": int(new_rows.num_rows),
         },
     }
     _write_manifest(table_dir, m)

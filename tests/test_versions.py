@@ -95,3 +95,45 @@ def test_adopt_idempotent(table):
     d, _ = table
     m0 = versions.manifest(d)
     assert versions.adopt(d)["version"] == m0["version"]
+
+
+def test_versioned_upsert(table):
+    import pyarrow as pa
+
+    d, src = table
+    # replace 3 keys, add 2 new ones
+    new = pa.table(
+        {
+            "o_orderkey": pa.array([0, 1, 2, 10**6, 10**6 + 1], pa.int64()),
+            "o_custkey": pa.array([9, 9, 9, 9, 9], pa.int64()),
+            "o_orderstatus": pa.array(["X"] * 5),
+            "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+            "o_orderdate": pa.array([None] * 5, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["X"] * 5),
+        }
+    )
+    base = versions.decode_version(d).to_pandas()
+    m = versions.upsert_keys(d, new, "o_orderkey")
+    assert m["metrics"]["rows_replaced"] == 3 and m["metrics"]["rows_upserted"] == 5
+
+    head = versions.decode_version(d).to_pandas()
+    assert len(head) == len(base) + 2
+    got = head[head["o_orderkey"].isin([0, 1, 2, 10**6, 10**6 + 1])].sort_values(
+        "o_orderkey"
+    )
+    assert got["o_custkey"].tolist() == [9] * 5
+    # v0 unchanged
+    v0 = versions.decode_version(d, version=0).to_pandas()
+    assert len(v0) == len(base)
+    assert v0[v0["o_orderkey"] == 0]["o_custkey"].tolist() != [9]
+
+
+def test_versioned_prune_read_no_duplicates(table):
+    d, _ = table
+    versions.delete_where(d, "o_totalprice", min_value=200000.0)
+    # manifest-scoped prune: no rows from superseded files
+    n_head = versions.decode_version(d).count()
+    from mothray import pipeline
+
+    pruned = versions.prune_read(d, "o_orderkey", None, None)
+    assert pipeline.decode_dataset(pruned).count() == n_head
