@@ -274,11 +274,20 @@ def append(table_dir: str, ds, opts: dict | None = None) -> dict:
     from . import pipeline
 
     parent = manifest(table_dir)
-    new_v = parent["version"] + 1
-    stage = os.path.join(table_dir, f"_staging_v{new_v}")
+    stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
     shutil.rmtree(stage, ignore_errors=True)
-
     pipeline.write_encoded(pipeline.encode_dataset(ds, opts), stage)
+    return _commit_staged(table_dir, stage, parent, "append", parent["files"], {})
+
+
+def _commit_staged(table_dir: str, stage: str, parent: dict, op: str,
+                   carry: list[str], metrics: dict) -> dict:
+    """Rename staged part files to `part-v{N}-*` names and commit
+    `carry + staged` as version N (metadata-only step, shared by the
+    full-rewrite ops below)."""
+    import shutil
+
+    new_v = parent["version"] + 1
     added = []
     for i, f in enumerate(sorted(os.listdir(stage))):
         if not f.endswith(".parquet"):
@@ -290,12 +299,52 @@ def append(table_dir: str, ds, opts: dict | None = None) -> dict:
     m = {
         "version": new_v,
         "parent": parent["version"],
-        "op": "append",
-        "files": parent["files"] + added,
-        "metrics": {"files_added": len(added)},
+        "op": op,
+        "files": carry + added,
+        "metrics": {**metrics, "files_added": len(added)},
     }
     _write_manifest(table_dir, m)
     return m
+
+
+def optimize(table_dir: str, sort_by: str | list[str], opts: dict | None = None) -> dict:
+    """Versioned OPTIMIZE (cluster-by / Z-order): re-encode the current
+    version sorted by `sort_by` into staging, commit as a
+    full-replacement version. History still reads the unclustered
+    files; vacuum reclaims them when the old versions are dropped."""
+    from . import pipeline
+
+    parent = manifest(table_dir)
+    stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    res = pipeline.optimize_encoded(files(table_dir), stage, sort_by=sort_by, opts=opts)
+    keys = sort_by if isinstance(sort_by, str) else ",".join(sort_by)
+    return _commit_staged(
+        table_dir, stage, parent, f"optimize(sort_by={keys})", [],
+        {k: v for k, v in (res or {}).items() if isinstance(v, (int, float, str))},
+    )
+
+
+def with_column(table_dir: str, name: str, fn, input_columns: list[str],
+                opts: dict | None = None) -> dict:
+    """Versioned derived-column append: every current file re-writes
+    (the new column's streams append after the existing blob — other
+    streams stay byte-identical inside the new files), committed as a
+    full-replacement version; prior versions keep the old schema."""
+    from . import pipeline
+
+    parent = manifest(table_dir)
+    stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    res = pipeline.with_column(files(table_dir), stage, name, fn, input_columns, opts)
+    return _commit_staged(
+        table_dir, stage, parent, f"with_column({name})", [],
+        {k: v for k, v in (res or {}).items() if isinstance(v, (int, float, str))},
+    )
 
 
 def vacuum(table_dir: str, keep_versions: list[int] | None = None) -> dict:

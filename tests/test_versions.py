@@ -137,3 +137,26 @@ def test_versioned_prune_read_no_duplicates(table):
 
     pruned = versions.prune_read(d, "o_orderkey", None, None)
     assert pipeline.decode_dataset(pruned).count() == n_head
+
+
+def test_versioned_optimize_and_with_column(table):
+    import pyarrow.compute as pc
+
+    d, src = table
+    m = versions.optimize(d, "o_totalprice")
+    assert m["op"].startswith("optimize") and m["metrics"]["files_added"] >= 1
+    # content identical to v0, now clustered
+    assert _ids(versions.decode_version(d)) == _ids(versions.decode_version(d, 0))
+
+    m2 = versions.with_column(
+        d, "price_bucket", lambda t: pc.round(pc.divide(t.column("o_totalprice"), 1000.0)),
+        ["o_totalprice"],
+    )
+    assert m2["version"] == 2
+    head = versions.decode_version(d).to_pandas()
+    assert "price_bucket" in head.columns
+    # old version keeps the old schema
+    v1 = versions.decode_version(d, 1).to_pandas()
+    assert "price_bucket" not in v1.columns
+    h = versions.history(d)
+    assert [x["version"] for x in h] == [0, 1, 2]
