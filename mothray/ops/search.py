@@ -82,19 +82,17 @@ def search_text_index(index_dir: str, terms: list[str], mode: str = "and", id_co
     ]
     hits = scans[0].union(*scans[1:]) if len(scans) > 1 else scans[0]
     ids = hits.select_columns([id_col])
-    if mode == "or":
-        def first(group: pa.Table) -> pa.Table:
-            return group.slice(0, 1)
-
-        return ids.groupby(id_col).map_groups(first, batch_format="pyarrow")
-    if mode != "and":
+    if mode not in ("and", "or"):
         raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
-    n = len(uniq)
+    # native hash aggregation, not per-group Python: postings are
+    # distinct per (token, id), so hits-per-id == terms matched;
+    # OR keeps any id, AND keeps ids hit by every term
+    counted = ids.groupby(id_col).count()
+    if mode == "and":
+        n = len(uniq)
 
-    def all_terms(group: pa.Table) -> pa.Table:
-        # postings are distinct per (token, id): n rows == n terms hit
-        if group.num_rows == n:
-            return group.slice(0, 1)
-        return group.schema.empty_table()
+        def all_terms(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("count()"), n))
 
-    return ids.groupby(id_col).map_groups(all_terms, batch_format="pyarrow")
+        counted = counted.map_batches(all_terms, batch_format="pyarrow")
+    return counted.select_columns([id_col])

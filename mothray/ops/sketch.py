@@ -371,10 +371,21 @@ def heavy_hitters(ds, column: str, k: int = 20, capacity: int = 4096):
             }
         )
 
+    def block_cap(t: pa.Table) -> pa.Table:
+        # re-cap each post-groupby block so the driver merge sees at
+        # most capacity rows per block (not the global distinct count)
+        c = t.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column("sum(err)").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts, errs = _mg_reduce(t.column(column).combine_chunks(), c, e, capacity)
+        return pa.table(
+            {column: vals, "sum(cnt)": pa.array(cnts), "sum(err)": pa.array(errs)}
+        )
+
     merged = (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(column)
         .sum(["cnt", "err"])
+        .map_batches(block_cap, batch_format="pyarrow")
         .to_pandas()
     )
     merged = merged.dropna(subset=[column])

@@ -1198,29 +1198,45 @@ def build_file_index(dir_path: str) -> dict:
     import pyarrow.parquet as pq
 
     files = sorted(f for f in os.listdir(dir_path) if f.endswith(".parquet"))
-    index: dict[str, dict] = {}
-    for name in files:
-        p = os.path.join(dir_path, name)
-        stats_col = pq.read_table(p, columns=["stats"]).column("stats").to_pylist()
-        ranges: dict[str, list] = {}
-        for sj in stats_col:
-            for col, st in json.loads(sj).items():
-                lo, hi = st.get("min"), st.get("max")
-                if lo is None or hi is None:
-                    ranges[col] = [None, None]  # unknown -> never prunable
-                    continue
-                cur = ranges.get(col)
-                if cur is None:
-                    ranges[col] = [lo, hi]
-                elif cur != [None, None]:
-                    cur[0] = min(cur[0], lo)
-                    cur[1] = max(cur[1], hi)
-        st = os.stat(p)
-        index[name] = {
-            "columns": ranges,
-            "size": st.st_size,
-            "mtime_ns": st.st_mtime_ns,
-        }
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        names, entries = [], []
+        for name in batch.column("name").to_pylist():
+            p = os.path.join(dir_path, name)
+            stats_col = pq.read_table(p, columns=["stats"]).column("stats").to_pylist()
+            ranges: dict[str, list] = {}
+            for sj in stats_col:
+                for col, st in json.loads(sj).items():
+                    lo, hi = st.get("min"), st.get("max")
+                    if lo is None or hi is None:
+                        ranges[col] = [None, None]  # unknown -> never prunable
+                        continue
+                    cur = ranges.get(col)
+                    if cur is None:
+                        ranges[col] = [lo, hi]
+                    elif cur != [None, None]:
+                        cur[0] = min(cur[0], lo)
+                        cur[1] = max(cur[1], hi)
+            st = os.stat(p)
+            names.append(name)
+            entries.append(
+                json.dumps(
+                    {"columns": ranges, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+                )
+            )
+        return pa.table({"name": pa.array(names), "entry": pa.array(entries)})
+
+    # fan out: each task reads only its files' stats columns; one tiny
+    # (name, ranges) row per file returns — the driver never reads a
+    # footer, so 1e5-part datasets index at task parallelism
+    if files:
+        units = ray.data.from_items(
+            [{"name": n} for n in files], override_num_blocks=len(files)
+        )
+        rows = units.map_batches(summarize, batch_format="pyarrow").to_pandas()
+        index = {n: json.loads(e) for n, e in zip(rows["name"], rows["entry"])}
+    else:
+        index = {}
     out = os.path.join(dir_path, _FILE_INDEX)
     tmp = out + ".tmp"
     with open(tmp, "w") as f:
