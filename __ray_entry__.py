@@ -1359,6 +1359,20 @@ def _text_search(sf_dir: str, terms: list[str], mode: str):
     return search.search_text_index(idx, terms, mode=mode)
 
 
+def _funnel_events(sf_dir: str):
+    """Ordered-sequence funnel view→click→purchase over events: one
+    groupby(user) shuffle, per-group greedy earliest-completion match,
+    (depth, count) combiner. Oracle = chain of min-ts self-joins."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    ).filter(expr="value > 100.0")
+    return funnel.funnel(ds, ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1449,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["regex_extract_documents"] = _regex_extract_documents
     q["string_agg_orders"] = _string_agg_orders
     q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
+    q["funnel_events"] = _funnel_events
     return q
 
 
@@ -1893,6 +1908,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT l_returnflag, {q} AS q, quantile_disc(l_quantity, {q}) AS value"
         f" FROM lineitem GROUP BY l_returnflag"
         for q in (0.5, 0.9, 0.99)
+    )
+    o["funnel_events"] = (
+        "WITH ev AS (SELECT * FROM events WHERE value > 100.0),"
+        " s1 AS (SELECT user_id, min(ts) t FROM ev"
+        "            WHERE event_type = 'view' GROUP BY 1),"
+        " s2 AS (SELECT e.user_id, min(e.ts) t FROM ev e JOIN s1 USING (user_id)"
+        "        WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),"
+        " s3 AS (SELECT e.user_id, min(e.ts) t FROM ev e JOIN s2 USING (user_id)"
+        "        WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)"
+        " SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1"
+        " UNION ALL SELECT 2, count(*) FROM s2"
+        " UNION ALL SELECT 3, count(*) FROM s3"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
