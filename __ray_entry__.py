@@ -1373,6 +1373,32 @@ def _funnel_events(sf_dir: str):
     return funnel.funnel(ds, ["view", "click", "purchase"])
 
 
+def _cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix over high-value purchases: distinct
+    (user, week) pairs reduced per batch, one groupby(user) exchange,
+    (cohort, age) cell combiner. Oracle = DuckDB distinct-week /
+    min-week join."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    ).filter(expr="event_type == 'purchase' and value > 150.0")
+    return cohort.retention(ds)
+
+
+def _ngram_top_k_documents(sf_dir: str):
+    """Exact top-50 word bigrams (phrase/boilerplate mining): shifted
+    flat-token takes + join kernel, per-batch count combiner."""
+    import ray.data
+
+    from mothray.ops import text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text.ngram_top_k(ds, n=2, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1464,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["string_agg_orders"] = _string_agg_orders
     q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
     q["funnel_events"] = _funnel_events
+    q["cohort_retention_events"] = _cohort_retention_events
+    q["ngram_top_k_documents"] = _ngram_top_k_documents
     return q
 
 
@@ -1920,6 +1948,23 @@ def oracle_sql() -> dict[str, str]:
         " SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM s1"
         " UNION ALL SELECT 2, count(*) FROM s2"
         " UNION ALL SELECT 3, count(*) FROM s3"
+    )
+    o["cohort_retention_events"] = (
+        "WITH ev AS (SELECT * FROM events"
+        "            WHERE event_type = 'purchase' AND value > 150.0),"
+        " p AS (SELECT DISTINCT user_id,"
+        "       CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w FROM ev),"
+        " f AS (SELECT user_id, min(w) AS cw FROM p GROUP BY 1)"
+        " SELECT f.cw AS cohort_week, p.w - f.cw AS age_weeks,"
+        " CAST(count(*) AS BIGINT) AS n_users"
+        " FROM p JOIN f USING (user_id) GROUP BY 1, 2"
+    )
+    o["ngram_top_k_documents"] = (
+        "WITH t AS (SELECT string_split(lower(text), ' ') AS l FROM documents),"
+        " z AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:])) AS p FROM t"
+        "       WHERE len(l) >= 2)"
+        " SELECT p[1] || ' ' || p[2] AS ngram, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM z GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /

@@ -1,0 +1,80 @@
+"""Cohort retention analysis: (cohort_week, age_weeks, n_users).
+
+Users are grouped into cohorts by the week of their FIRST activity;
+the retention matrix counts, for each cohort and each age (weeks since
+the cohort week), how many of that cohort's users were active. Week
+index = floor(epoch_seconds / 604800) — a plain integer division both
+engines compute identically (DuckDB's date_trunc('week') anchors to
+Monday while epoch division anchors to Thursday; using the raw index
+keeps the oracle exact without calendar fixups).
+
+Scale shape: project (user, ts) only; distinct (user, week) pairs are
+reduced INSIDE each batch before the single groupby(user) exchange, so
+at most one row per user-week moves; per-group work is a tiny numpy
+unique; a (cohort, age) count combiner runs per batch so only matrix
+cells reach the final groupby. No driver-side state.
+
+No reference analog (orc-go has no analytics operators) — engine
+extension alongside the window / funnel family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """(cohort_week BIGINT, age_weeks BIGINT, n_users BIGINT), one row
+    per non-empty retention-matrix cell."""
+
+    def to_weeks(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // _WEEK_US
+        pairs = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table(
+            {
+                user_col: pa.array(pairs[:, 0], pa.int64()),
+                "w": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def ages(group: pa.Table) -> pa.Table:
+        w = np.unique(group.column("w").to_numpy(zero_copy_only=False))
+        cw = w[0] if len(w) else 0
+        return pa.table(
+            {
+                "cohort_week": pa.array(np.full(len(w), cw), pa.int64()),
+                "age_weeks": pa.array(w - cw, pa.int64()),
+            }
+        )
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        c = batch.column("cohort_week").to_numpy(zero_copy_only=False)
+        a = batch.column("age_weeks").to_numpy(zero_copy_only=False)
+        cells, cnt = np.unique(np.stack([c, a], axis=1), axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(cells[:, 0], pa.int64()),
+                "age_weeks": pa.array(cells[:, 1], pa.int64()),
+                "n_users": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns(sorted({user_col, ts_col}))
+        .map_batches(to_weeks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(user_col)
+        .map_groups(ages, batch_format="pyarrow")
+        .map_batches(cell_counts, batch_format="pyarrow")
+        .groupby(["cohort_week", "age_weeks"])
+        .sum("n_users")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["cohort_week", "age_weeks", "n_users"]),
+        batch_format="pyarrow",
+    )

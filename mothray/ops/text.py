@@ -152,6 +152,56 @@ def token_top_k(ds, column: str = "text", k: int = 50):
     return counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def ngram_top_k(ds, column: str = "text", n: int = 2, k: int = 50):
+    """EXACT distributed top-k word n-grams by count (phrase mining /
+    boilerplate discovery): same combiner shape as token_top_k — only
+    (ngram, cnt) partials enter the exchange. N-grams are built
+    vectorized: one split, then n shifted `take`s over the flat token
+    buffer joined by binary_join_element_wise; window validity (no
+    cross-document grams) is a numpy searchsorted over the list
+    offsets. Matches SQL list_zip over string_split(lower(text), ' ')
+    exactly, so the op carries a value oracle."""
+    import pyarrow.compute as pc
+
+    if n < 2:
+        return token_top_k(ds, column=column, k=k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(batch.column(column).combine_chunks().fill_null("")), " "
+        )
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets)
+        starts = np.arange(max(len(flat) - n + 1, 0), dtype=np.int64)
+        # a window starting at i is valid iff token i+n-1 is in the
+        # same document as token i
+        doc_first = np.searchsorted(offs[1:], starts, side="right")
+        doc_last = np.searchsorted(offs[1:], starts + n - 1, side="right")
+        starts = starts[doc_first == doc_last]
+        if len(starts) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        parts = []
+        for j in range(n):
+            parts.append(flat.take(pa.array(starts + j)))
+        grams = pc.binary_join_element_wise(*parts, " ")
+        vc = pc.value_counts(grams)
+        return pa.table(
+            {"ngram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
+        )
+    )
+    return counts.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
 def normalize_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Canonical text normalization (training-data prep): lowercase,
     collapse whitespace runs to single spaces, trim. Pure Arrow

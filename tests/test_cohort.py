@@ -1,0 +1,64 @@
+"""Cohort retention vs the DuckDB distinct-week/min-week join oracle."""
+
+import duckdb
+import pyarrow as pa
+
+from mothray.ops import cohort
+
+
+def _norm(df):
+    return (
+        df.astype("int64")
+        .sort_values(["cohort_week", "age_weeks"])
+        .reset_index(drop=True)
+    )
+
+
+def test_retention_synthetic(ray_session):
+    import ray.data
+
+    wk = cohort._WEEK_US
+    # u1 first week 0, active weeks 0/1/3 (two events in week 1 count once);
+    # u2 first week 1, active week 1 only.
+    tbl = pa.table(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pa.array([5, wk + 1, wk + 2, 3 * wk, wk + 9], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    out = _norm(
+        cohort.retention(ray.data.from_arrow(tbl).repartition(3)).to_pandas()
+    )
+    assert out.values.tolist() == [
+        [0, 0, 1],
+        [0, 1, 1],
+        [0, 3, 1],
+        [1, 0, 1],
+    ]
+
+
+def test_retention_events_oracle(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["user_id", "ts", "event_type", "value"]).filter(
+        expr="event_type == 'purchase' and value > 150.0"
+    )
+    got = _norm(cohort.retention(ds).to_pandas())
+    exp = _norm(
+        duckdb.sql(
+            f"WITH ev AS (SELECT * FROM read_parquet('{src}')"
+            "             WHERE event_type = 'purchase' AND value > 150.0),"
+            " p AS (SELECT DISTINCT user_id,"
+            "       CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w FROM ev),"
+            " f AS (SELECT user_id, min(w) AS cw FROM p GROUP BY 1)"
+            " SELECT f.cw AS cohort_week, p.w - f.cw AS age_weeks,"
+            " CAST(count(*) AS BIGINT) AS n_users"
+            " FROM p JOIN f USING (user_id) GROUP BY 1, 2"
+        ).df()
+    )
+    assert got.equals(exp)
+    # age 0 row exists for every cohort (a user is active in its first week)
+    assert set(exp[exp.age_weeks == 0].cohort_week) == set(exp.cohort_week)
