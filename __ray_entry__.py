@@ -1399,6 +1399,32 @@ def _ngram_top_k_documents(sf_dir: str):
     return text.ngram_top_k(ds, n=2, k=50)
 
 
+def _argmax_orders(sf_dir: str):
+    """max_by: each customer's highest-price order (ties -> smallest
+    orderkey). Per-batch best-row combiner, one groupby exchange."""
+    import ray.data
+
+    from mothray.ops import extreme
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"]
+    )
+    return extreme.arg_extreme(ds, "o_custkey", "o_totalprice", "o_orderkey")
+
+
+def _mode_lineitem(sf_dir: str):
+    """MODE(l_quantity) per returnflag (count ties -> smallest value);
+    (group, value, count) combiner."""
+    import ray.data
+
+    from mothray.ops import extreme
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return extreme.group_mode(ds, "l_returnflag", "l_quantity", out_col="mode_qty")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1492,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["funnel_events"] = _funnel_events
     q["cohort_retention_events"] = _cohort_retention_events
     q["ngram_top_k_documents"] = _ngram_top_k_documents
+    q["argmax_orders"] = _argmax_orders
+    q["mode_lineitem"] = _mode_lineitem
     return q
 
 
@@ -1965,6 +1993,18 @@ def oracle_sql() -> dict[str, str]:
         "       WHERE len(l) >= 2)"
         " SELECT p[1] || ' ' || p[2] AS ngram, CAST(count(*) AS BIGINT) AS cnt"
         " FROM z GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 50"
+    )
+    o["argmax_orders"] = (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders"
+        " QUALIFY row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey) = 1"
+    )
+    o["mode_lineitem"] = (
+        "WITH c AS (SELECT l_returnflag, l_quantity AS v,"
+        " CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2)"
+        " SELECT l_returnflag, v AS mode_qty FROM c"
+        " QUALIFY row_number() OVER (PARTITION BY l_returnflag"
+        " ORDER BY c DESC, v) = 1"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
