@@ -1425,6 +1425,45 @@ def _mode_lineitem(sf_dir: str):
     return extreme.group_mode(ds, "l_returnflag", "l_quantity", out_col="mode_qty")
 
 
+def _rolling_orders(sf_dir: str):
+    """Rolling 4-row frame per customer (price envelope + moving
+    sum/avg), ROWS BETWEEN 3 PRECEDING AND CURRENT ROW."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    return window.rolling(ds, "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+
+
+def _semi_anti_join_customer(sf_dir: str, how: str):
+    """LEFT SEMI / LEFT ANTI: customers with (semi) / without (anti)
+    an order >= 300k. The filtered key set is the broadcast small side
+    (distinct keys only); the semi/anti evaluates per batch — both
+    types are batch-sound (each left row is seen exactly once)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = (
+        orders.filter(pc.field("o_totalprice") >= 300000.0)
+        .select(["o_custkey"])
+        .rename_columns(["c_custkey"])
+        .group_by("c_custkey")
+        .aggregate([])
+    )
+    return join_ops.broadcast_join(cust, keys, "c_custkey", how=how)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1520,6 +1559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ngram_top_k_documents"] = _ngram_top_k_documents
     q["argmax_orders"] = _argmax_orders
     q["mode_lineitem"] = _mode_lineitem
+    q["rolling_orders"] = _rolling_orders
+    q["semi_join_customer"] = lambda sf: _semi_anti_join_customer(sf, "left_semi")
+    q["anti_join_customer"] = lambda sf: _semi_anti_join_customer(sf, "left_anti")
     return q
 
 
@@ -2005,6 +2047,24 @@ def oracle_sql() -> dict[str, str]:
         " SELECT l_returnflag, v AS mode_qty FROM c"
         " QUALIFY row_number() OVER (PARTITION BY l_returnflag"
         " ORDER BY c DESC, v) = 1"
+    )
+    o["rolling_orders"] = (
+        "SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,"
+        " round(sum(o_totalprice) OVER w, 4) AS moving_sum,"
+        " round(avg(o_totalprice) OVER w, 4) AS moving_avg,"
+        " min(o_totalprice) OVER w AS moving_min,"
+        " max(o_totalprice) OVER w AS moving_max"
+        " FROM orders WINDOW w AS (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+    o["semi_join_customer"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey IN"
+        " (SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)"
+    )
+    o["anti_join_customer"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey NOT IN"
+        " (SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /

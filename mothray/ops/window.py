@@ -136,6 +136,47 @@ def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str
     return proj.groupby(key_col).map_groups(wins, batch_format="pyarrow")
 
 
+def rolling(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str,
+            preceding: int = 3, round_digits: int = 4):
+    """Per-key rolling-frame aggregates — SQL `ROWS BETWEEN preceding
+    PRECEDING AND CURRENT ROW`: moving_sum / moving_avg / moving_min /
+    moving_max over value_col. Same one-shuffle contract as lag_lead;
+    (order, tiebreak) makes the frame total and deterministic.
+
+    Sum/avg are rounded to `round_digits` on output: windowed sums are
+    computed cumsum-diff here and segment-tree in SQL engines, so the
+    last ulp differs; for fixed-decimal inputs (prices) a 4-digit round
+    is exact on both sides (error ~1e-8 << grid distance ~1e-5).
+    min/max are comparisons — exact, never rounded."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def roll(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")],
+        )
+        g = group.take(idx)
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        w = preceding + 1
+        c = np.cumsum(v)
+        lo = np.maximum(np.arange(n) - preceding, 0)
+        msum = c - np.where(lo > 0, c[lo - 1], 0.0)
+        cnt = np.arange(n) - lo + 1
+        mavg = msum / cnt
+        mins = sliding_window_view(np.concatenate([np.full(preceding, np.inf), v]), w).min(axis=1)
+        maxs = sliding_window_view(np.concatenate([np.full(preceding, -np.inf), v]), w).max(axis=1)
+        return (
+            g.append_column("moving_sum", pa.array(np.round(msum, round_digits)))
+            .append_column("moving_avg", pa.array(np.round(mavg, round_digits)))
+            .append_column("moving_min", pa.array(mins))
+            .append_column("moving_max", pa.array(maxs))
+        )
+
+    proj = ds.select_columns(sorted({key_col, order_col, value_col, tiebreak_col}))
+    return proj.groupby(key_col).map_groups(roll, batch_format="pyarrow")
+
+
 def ranked(ds, key_col: str, order_col: str, tiebreak_col: str, n_tiles: int = 4):
     """Per-key RANK / DENSE_RANK / ROW_NUMBER / NTILE / PERCENT_RANK /
     CUME_DIST — the ordinal half of the SQL window-function family
