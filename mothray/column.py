@@ -118,11 +118,32 @@ def _primitive_np(values: pa.Array, dtype) -> np.ndarray:
     return values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
 
 
+def _float_bits(v: np.ndarray):
+    """The lossless uint view of a float array (bit patterns, so NaN
+    payloads and -0.0 survive every dictionary/unique round trip)."""
+    return v.view(np.uint32 if v.dtype.itemsize == 4 else np.uint64)
+
+
+def _float_dict_parts(v: np.ndarray):
+    """(dict_bytes, index_stream) of the per-stripe float dictionary,
+    or None when the column's cardinality makes a dictionary useless
+    (more than half the values distinct)."""
+    u = _float_bits(v)
+    uniq, inv = np.unique(u, return_inverse=True)
+    if len(uniq) > max(len(u) // 2, 1):
+        return None
+    return uniq.tobytes(), rlev2.encode(inv.astype(np.uint64), signed=False)
+
+
 def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
-    """Data-driven bss-vs-raw choice for float columns: trial-compress a
-    bounded sample both ways under the stripe codec and keep the
-    smaller (the reference's compression-ratio-model philosophy,
-    DictionaryCompressionOptimizer.go:128-142, applied to floats)."""
+    """Data-driven raw-vs-bss-vs-dict choice for float columns:
+    trial-compress a bounded sample each way under the stripe codec and
+    keep the smallest (the reference's compression-ratio-model
+    philosophy, DictionaryCompressionOptimizer.go:128-142, applied to
+    floats). 'dict' wins on decimal-quantized low-cardinality columns
+    (discounts, rates) where even whole-value zstd repeats pay for
+    8 bytes per row; the per-stripe cardinality fallback in
+    _encode_values protects against head-sample bias."""
     if codec == "none":
         return "raw"
     from .codecs import frames
@@ -132,7 +153,14 @@ def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
     planes = np.ascontiguousarray(s.view(np.uint8).reshape(-1, w).T)
     _, zb = frames.compress_parts(planes.tobytes(), codec)
     _, zr = frames.compress_parts(s.tobytes(), codec)
-    return "bss" if len(zb) < len(zr) else "raw"
+    best, size = ("bss", len(zb)) if len(zb) < len(zr) else ("raw", len(zr))
+    dparts = _float_dict_parts(s)
+    if dparts is not None:
+        _, zd0 = frames.compress_parts(dparts[0], codec)
+        _, zd1 = frames.compress_parts(dparts[1], codec)
+        if len(zd0) + len(zd1) < size:
+            return "dict"
+    return best
 
 
 # ------------------------------------------------------------------ encode
@@ -175,6 +203,19 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
         v = values.to_numpy(zero_copy_only=False)
         mode = opts.get("float_encoding", "auto")
         if mode == "auto" and len(v) >= 64:
+            mode = _float_trial(v, opts.get("compression", "zstd"))
+        if mode == "dict" and len(v) >= 64:
+            # FLOAT DICTIONARY (north-star extension like FSST/BSS; the
+            # reference only dictionaries strings): per-stripe unique
+            # bit patterns + RLEv2 indices. Falls back to the raw/bss
+            # trial when THIS stripe's cardinality is too high (the
+            # plan's head sample may not represent every stripe).
+            parts = _float_dict_parts(v)
+            if parts is not None:
+                return EncodedColumn(
+                    "DICT_LE", len(values),
+                    {DICTIONARY_DATA: parts[0], DATA: parts[1]},
+                )
             mode = _float_trial(v, opts.get("compression", "zstd"))
         if mode == "bss" and len(v) >= 64:
             # BYTE-STREAM-SPLIT (north-star extension like FSST; the
@@ -434,6 +475,12 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
             planes = np.frombuffer(s[DATA], dtype=np.uint8, count=n * w).reshape(w, n)
             v = np.ascontiguousarray(planes.T).reshape(-1).view(dt)
             return pa.array(v, type=t)
+        if enc.encoding == "DICT_LE":
+            idx, _ = rlev2.decode(s[DATA], n, signed=False)
+            uniq = np.frombuffer(
+                s[DICTIONARY_DATA], dtype=np.uint32 if dt == np.float32 else np.uint64
+            )
+            return pa.array(uniq[idx].view(dt), type=t)
         return pa.array(np.frombuffer(s[DATA], dtype=dt, count=n), type=t)
     if pa.types.is_timestamp(t):
         seconds, _ = rlev2.decode(s[DATA], n, signed=True)

@@ -60,6 +60,39 @@ def test_floats(t):
         assert (a is None and b is None) or (np.isnan(a) and np.isnan(b)) or a == b
 
 
+@pytest.mark.parametrize("t", [pa.float32(), pa.float64()])
+def test_float_dict(t):
+    dt = t.to_pandas_dtype()
+    # low-cardinality fixed-decimal values + bit-pattern specials:
+    # two NaNs with DIFFERENT payloads, -0.0 vs 0.0 — the dictionary
+    # must keep them distinct (uint bit view, not float equality)
+    w = np.dtype(dt).itemsize
+    ui = np.uint32 if w == 4 else np.uint64
+    nan1 = np.frombuffer(ui(np.iinfo(ui).max - 1).tobytes(), dt)[0]
+    nan2 = np.frombuffer(ui(np.iinfo(ui).max - 9).tobytes(), dt)[0]
+    pool = np.array([0.0, -0.0, 0.01, 0.05, np.inf, -np.inf, nan1, nan2], dtype=dt)
+    v = rng.choice(pool, 2000)
+    arr = pa.array(v, type=t)
+    enc = column.encode_array(arr, {"float_encoding": "dict"})
+    assert enc.encoding == "DICT_LE"
+    dec = column.decode_array(enc, t)
+    assert dec.to_numpy(zero_copy_only=False).view(ui).tolist() == v.view(ui).tolist()
+    # the auto trial picks dict for this distribution under zstd
+    auto = column.encode_array(arr, {"compression": "zstd"})
+    assert auto.encoding == "DICT_LE"
+    # per-stripe cardinality fallback: a high-cardinality stripe must
+    # NOT dictionary-encode even when the plan says dict
+    hv = rng.standard_normal(2000).astype(dt)
+    enc_hi = column.encode_array(pa.array(hv, type=t), {"float_encoding": "dict", "compression": "zstd"})
+    assert enc_hi.encoding in ("RAW_LE", "BSS_LE")
+    dec_hi = column.decode_array(enc_hi, t)
+    assert dec_hi.to_numpy(zero_copy_only=False).view(ui).tolist() == hv.view(ui).tolist()
+    # nulls ride the PRESENT stream unchanged
+    nv = pa.array([0.5, None, 0.25, 0.5] * 100, type=t)
+    enc_n = column.encode_array(nv, {"float_encoding": "dict"})
+    assert column.decode_array(enc_n, t).equals(nv)
+
+
 def test_date32():
     v = pa.array(rng.integers(-30000, 30000, 1000).astype(np.int32), type=pa.int32()).cast(pa.date32())
     roundtrip(v)
