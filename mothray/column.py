@@ -135,6 +135,47 @@ def _float_dict_parts(v: np.ndarray):
     return uniq.tobytes(), rlev2.encode(inv.astype(np.uint64), signed=False)
 
 
+def _int_dict_parts(v: np.ndarray, signed: bool):
+    """(dict_bytes, index_stream) for an integer dictionary — sorted
+    unique values as raw LE words (count = len/8, no header needed) +
+    RLEv2 indices — or None when cardinality is too high. Wins over
+    direct RLEv2 on WIDE low-cardinality columns (64-bit hash/id
+    values repeated across rows: direct pays max-bit-width per row,
+    the dictionary pays log2(card))."""
+    uniq, inv = np.unique(v, return_inverse=True)
+    if len(uniq) > max(len(v) // 2, 1):
+        return None
+    return uniq.tobytes(), rlev2.encode(inv.astype(np.uint64), signed=False)
+
+
+_DICT_AMORTIZE_ROWS = 65536  # nominal stripe rows the dictionary amortizes over
+
+
+def _int_trial(v: np.ndarray, codec: str, signed: bool, max_values: int = 4096) -> str:
+    """Plan-pass rlev2-vs-dict choice for integer columns (same
+    trial-compression philosophy as _float_trial), compared in BYTES
+    PER ROW: the index stream scales with rows while the dictionary is
+    a fixed cost paid once per stripe, so it is amortized over a
+    nominal stripe row count rather than the (small) trial sample —
+    otherwise wide hash/id columns never pick dict. Requires a 1.25x
+    win (DICT_MIN_COMPRESSION_RATIO) so near-ties keep the
+    reference-faithful RLEv2 path."""
+    if codec == "none":
+        return "rlev2"
+    from .codecs import frames
+
+    s = v[:max_values]
+    _, zr = frames.compress_parts(rlev2.encode(s, signed=signed), codec)
+    parts = _int_dict_parts(s, signed)
+    if parts is None:
+        return "rlev2"
+    _, zd0 = frames.compress_parts(parts[0], codec)
+    _, zd1 = frames.compress_parts(parts[1], codec)
+    per_row_rlev2 = len(zr) / len(s)
+    per_row_dict = len(zd1) / len(s) + len(zd0) / _DICT_AMORTIZE_ROWS
+    return "dict" if per_row_rlev2 >= DICT_MIN_COMPRESSION_RATIO * per_row_dict else "rlev2"
+
+
 def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
     """Data-driven raw-vs-bss-vs-dict choice for float columns:
     trial-compress a bounded sample each way under the stripe codec and
@@ -192,9 +233,21 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
         return EncodedColumn("BYTE_RLE", len(values), {DATA: byterle.encode(v.view(np.uint8))})
     if t in (pa.int16(), pa.int32(), pa.int64()):
         v = _primitive_np(values, np.int64)
+        if opts.get("int_encoding") == "dict" and len(v) >= 64:
+            parts = _int_dict_parts(v, signed=True)
+            if parts is not None:
+                return EncodedColumn(
+                    "DICT_I64", len(values), {DICTIONARY_DATA: parts[0], DATA: parts[1]}
+                )
         return EncodedColumn("RLEV2", len(values), {DATA: rlev2.encode(v, signed=True)})
     if t in (pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()):
         v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        if opts.get("int_encoding") == "dict" and len(v) >= 64:
+            parts = _int_dict_parts(v, signed=False)
+            if parts is not None:
+                return EncodedColumn(
+                    "DICT_U64", len(values), {DICTIONARY_DATA: parts[0], DATA: parts[1]}
+                )
         return EncodedColumn("RLEV2U", len(values), {DATA: rlev2.encode(v, signed=False)})
     if pa.types.is_date32(t):
         v = values.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -460,9 +513,17 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
         v, _ = byterle.decode(s[DATA], n)
         return pa.array(v.view(np.int8), type=t)
     if t in (pa.int16(), pa.int32(), pa.int64()):
+        if enc.encoding == "DICT_I64":
+            idx, _ = rlev2.decode(s[DATA], n, signed=False)
+            uniq = np.frombuffer(s[DICTIONARY_DATA], dtype=np.int64)
+            return pa.array(uniq[idx], type=pa.int64()).cast(t)
         v, _ = rlev2.decode(s[DATA], n, signed=True)
         return pa.array(v, type=pa.int64()).cast(t)
     if t in (pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64()):
+        if enc.encoding == "DICT_U64":
+            idx, _ = rlev2.decode(s[DATA], n, signed=False)
+            uniq = np.frombuffer(s[DICTIONARY_DATA], dtype=np.uint64)
+            return pa.array(uniq[idx], type=pa.uint64()).cast(t)
         v, _ = rlev2.decode(s[DATA], n, signed=False)
         return pa.array(v, type=pa.uint64()).cast(t)
     if pa.types.is_date32(t):

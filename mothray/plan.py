@@ -192,6 +192,31 @@ def _plan_float_columns(sample: pa.Table, plans: dict, compression: str = "zstd"
         plans.setdefault(name, {})["float_encoding"] = _float_trial(v, compression)
 
 
+_INT_PLAN_TYPES = (pa.int16(), pa.int32(), pa.int64(), pa.uint16(), pa.uint32(), pa.uint64())
+
+
+def _plan_int_columns(sample: pa.Table, plans: dict, compression: str = "zstd") -> None:
+    """Fix int_encoding (dict vs rlev2) per integer column from the
+    sampling pass. Only columns where the dictionary wins by 1.25x on
+    the sample get a plan entry — the default stays the
+    reference-faithful RLEv2 path with zero per-stripe trial cost."""
+    from .column import _int_trial
+
+    for name, t in zip(sample.column_names, sample.schema.types):
+        if t not in _INT_PLAN_TYPES:
+            continue
+        arr = sample.column(name)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        signed = pa.types.is_signed_integer(t)
+        v = arr.drop_null().to_numpy(zero_copy_only=False).astype(
+            np.int64 if signed else np.uint64
+        )
+        if len(v) < 64:
+            continue
+        if _int_trial(v, compression, signed) == "dict":
+            plans.setdefault(name, {})["int_encoding"] = "dict"
+
+
 def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
     """CodecPlan from an in-hand sample table (e.g. the first row group
     of a checkpointed job's input) — no Dataset execution needed."""
@@ -203,6 +228,7 @@ def plan_from_table(tbl: pa.Table, compression: str = "zstd") -> CodecPlan:
             stats[name] = st
     p = build_plan(stats, compression)
     _plan_float_columns(tbl, p.column_plans, compression)
+    _plan_int_columns(tbl, p.column_plans, compression)
     fsst_cols = [c for c, v in p.column_plans.items() if v.get("string_encoding") == "fsst"]
     if fsst_cols:
         from .codecs import fsst as fsst_codec
@@ -327,4 +353,7 @@ def plan_dataset(ds, fraction: float = 0.05, compression: str = "zstd") -> Codec
     ]
     if float_cols:
         _plan_float_columns(_head_sample(ds, float_cols, 4096), p.column_plans, compression)
+    int_cols = [n for n, t in zip(schema.names, schema.types) if t in _INT_PLAN_TYPES]
+    if int_cols:
+        _plan_int_columns(_head_sample(ds, int_cols, 4096), p.column_plans, compression)
     return p

@@ -93,6 +93,37 @@ def test_float_dict(t):
     assert column.decode_array(enc_n, t).equals(nv)
 
 
+@pytest.mark.parametrize("t,enc_name", [(pa.int64(), "DICT_I64"), (pa.uint64(), "DICT_U64"),
+                                        (pa.int32(), "DICT_I64"), (pa.int16(), "DICT_I64")])
+def test_int_dict(t, enc_name):
+    dt = t.to_pandas_dtype()
+    info = np.iinfo(dt)
+    pool = rng.integers(info.min, info.max, 500, dtype=dt, endpoint=True)
+    v = rng.choice(pool, 5000)
+    arr = pa.array(v, type=t)
+    enc = column.encode_array(arr, {"int_encoding": "dict"})
+    assert enc.encoding == enc_name
+    assert column.decode_array(enc, t).to_numpy(zero_copy_only=False).tolist() == v.tolist()
+    # nulls
+    nv = pa.array([int(pool[0]), None, int(pool[1])] * 100, type=t)
+    enc_n = column.encode_array(nv, {"int_encoding": "dict"})
+    assert column.decode_array(enc_n, t).equals(nv)
+    # high-cardinality stripe falls back to plain RLEv2
+    hv = rng.integers(info.min, info.max, 5000, dtype=dt, endpoint=True)
+    enc_hi = column.encode_array(pa.array(hv, type=t), {"int_encoding": "dict"})
+    assert enc_hi.encoding in ("RLEV2", "RLEV2U")
+    assert column.decode_array(enc_hi, t).to_numpy(zero_copy_only=False).tolist() == hv.tolist()
+
+
+def test_int_trial_choices():
+    r = np.random.default_rng(11)
+    hashes = r.choice(r.integers(0, 2**63, 1000, dtype=np.int64), 50_000)
+    assert column._int_trial(hashes, "zstd", True) == "dict"
+    # sequential (RLEv2 DELTA) and narrow low-card values stay rlev2
+    assert column._int_trial(np.arange(50_000, dtype=np.int64), "zstd", True) == "rlev2"
+    assert column._int_trial(r.integers(0, 150, 50_000, dtype=np.int64), "zstd", True) == "rlev2"
+
+
 def test_date32():
     v = pa.array(rng.integers(-30000, 30000, 1000).astype(np.int32), type=pa.int32()).cast(pa.date32())
     roundtrip(v)
