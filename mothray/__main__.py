@@ -72,6 +72,18 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--min", dest="min_value", default=None)
     dl.add_argument("--max", dest="max_value", default=None)
 
+    sc = sub.add_parser("scan", help="exact predicate-pushdown scan: --where 'col OP value' (AND-able), projected columns, parquet out")
+    sc.add_argument("enc_dir")
+    sc.add_argument("out_dir")
+    sc.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL OP VALUE",
+        help="predicate 'column op value' with op in eq/ne/lt/le/gt/ge/like; repeat for AND",
+    )
+    sc.add_argument("--columns", default=None, help="comma-separated projection")
+
     ix = sub.add_parser("index", help="build the file-level skip index (prune_read then skips whole files without opening footers)")
     ix.add_argument("enc_dir")
 
@@ -218,6 +230,40 @@ def _dispatch(args) -> int:
 
         res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
         print(json.dumps(res))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "scan":
+        ray = _ray()
+        from mothray import pipeline
+
+        def num(x):
+            try:
+                return float(x) if "." in str(x) else int(x)
+            except ValueError:
+                return x
+
+        preds = []
+        for w in args.where:
+            parts = w.split(None, 2)
+            if len(parts) != 3:
+                raise SystemExit(f"bad --where {w!r}: expected 'column op value'")
+            col, op, val = parts
+            preds.append((col, op, num(val)))
+        cols = args.columns.split(",") if args.columns else None
+        if not preds:
+            ds = pipeline.decode_dataset(pipeline.read_encoded(args.enc_dir))
+            if cols:
+                ds = ds.select_columns(cols)
+        elif len(preds) == 1:
+            ds = pipeline.filter_encoded(args.enc_dir, *preds[0], columns=cols)
+        else:
+            ds = pipeline.filter_encoded_multi(args.enc_dir, preds, columns=cols)
+        ds.write_parquet(args.out_dir)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.out_dir).count_rows()
+        print(json.dumps({"rows": n, "out_dir": args.out_dir}))
         ray.shutdown()
         return 0
 

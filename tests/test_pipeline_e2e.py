@@ -251,6 +251,42 @@ def test_cli_prune_command(ray_session, tmp_path):
     assert len(ks) < n  # something pruned
 
 
+def test_cli_scan_command(ray_session, tmp_path):
+    """python -m mothray scan: exact conjunctive pushdown + projection,
+    parquet out (row-exact, unlike stripe-level prune)."""
+    import pyarrow.compute as pc
+
+    from mothray import __main__ as cli
+
+    n = 5000
+    rnd = np.random.default_rng(9)
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), type=pa.int64()),
+            "grp": pa.array(rnd.choice(["a", "b", "c"], n)),
+            "x": pa.array(rnd.uniform(0, 100, n)),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src, row_group_size=1000)
+    enc = str(tmp_path / "enc")
+    assert cli.main(["encode", src, enc, "--partition-mb", "1"]) == 0
+    out = str(tmp_path / "scanned")
+    assert cli.main([
+        "scan", enc, out, "--where", "grp eq b", "--where", "x ge 50.0",
+        "--columns", "k,x",
+    ]) == 0
+    got = pq.read_table(out)
+    mask = pc.and_(pc.equal(tbl.column("grp"), "b"), pc.greater_equal(tbl.column("x"), 50.0))
+    exp = tbl.filter(mask)
+    assert sorted(got.column_names) == ["k", "x"]
+    assert sorted(got.column("k").to_pylist()) == sorted(exp.column("k").to_pylist())
+    # projection-only path (no predicate)
+    out2 = str(tmp_path / "proj")
+    assert cli.main(["scan", enc, out2, "--columns", "grp"]) == 0
+    assert pq.read_table(out2).num_rows == n
+
+
 def test_schema_evolution_name_mapping(ray_session):
     """Name-based reader schema mapping (reference
     NameBasedFieldMapper.go:23-31): a target schema selects stored
