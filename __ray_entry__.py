@@ -1464,6 +1464,46 @@ def _semi_anti_join_customer(sf_dir: str, how: str):
     return join_ops.broadcast_join(cust, keys, "c_custkey", how=how)
 
 
+def _sample_k_documents(sf_dir: str):
+    """Exact-3-per-source deterministic sample (smallest FNV
+    fingerprints); top-k combiner bounds the exchange at k * groups."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample.sample_k_per_group(ds, "source", "doc_id", k=3, salt="k1")
+
+
+def _outer_join_orders(sf_dir: str):
+    """FULL OUTER large x large: every order and every customer,
+    unmatched sides null-padded (hash-shuffle Dataset.join)."""
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice >= 400000.0")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    return join_ops.partitioned_join(orders, cust, on="o_custkey", how="outer")
+
+
+def _topn_orders(sf_dir: str):
+    """Global ORDER BY ... LIMIT: top-100 orders by price (distributed
+    sort, deterministic orderkey tie-break)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
     for table in (
@@ -1562,6 +1602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rolling_orders"] = _rolling_orders
     q["semi_join_customer"] = lambda sf: _semi_anti_join_customer(sf, "left_semi")
     q["anti_join_customer"] = lambda sf: _semi_anti_join_customer(sf, "left_anti")
+    q["sample_k_documents"] = _sample_k_documents
+    q["outer_join_orders"] = _outer_join_orders
+    q["topn_orders"] = _topn_orders
     return q
 
 
@@ -2065,6 +2108,28 @@ def oracle_sql() -> dict[str, str]:
     o["anti_join_customer"] = (
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey NOT IN"
         " (SELECT o_custkey FROM orders WHERE o_totalprice >= 300000.0)"
+    )
+    _mix = pow(1099511628211, 8, 1 << 64)  # ops.sample._ORDER_MIX
+    o["sample_k_documents"] = (
+        "WITH h AS (SELECT doc_id, source,"
+        " list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "  list_transform(string_split('k1' || CAST(doc_id AS VARCHAR), ''),"
+        "   c -> CAST(ord(c) AS HUGEINT))),"
+        "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
+        " FROM documents)"
+        f" SELECT doc_id, source FROM (SELECT doc_id, source, (h * {_mix}::HUGEINT)"
+        " % 18446744073709551616::HUGEINT AS hx FROM h)"
+        " QUALIFY row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) <= 3"
+    )
+    o["outer_join_orders"] = (
+        "SELECT o.o_orderkey, coalesce(o.o_custkey, c.c_custkey) AS o_custkey,"
+        " o.o_totalprice, c.c_mktsegment"
+        " FROM (SELECT * FROM orders WHERE o_totalprice >= 400000.0) o"
+        " FULL OUTER JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+    o["topn_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /

@@ -22,6 +22,8 @@ import pyarrow as pa
 from . import text as text_mod
 
 _DENOM = 1_000_000
+# FNV_PRIME^8 mod 2^64: order-spreading multiplier for sample_k_per_group
+_ORDER_MIX = np.uint64(pow(1099511628211, 8, 1 << 64))
 
 
 def _key_fingerprints(batch: pa.Table, key_col: str, salt: str) -> np.ndarray:
@@ -244,4 +246,33 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int, ascending: bool 
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(group_col)
         .map_groups(partial, batch_format="pyarrow")
+    )
+
+
+def sample_k_per_group(ds, group_col: str, key_col: str, k: int = 5, salt: str = ""):
+    """Deterministic EXACT-k per-group sample: the k rows with the
+    smallest FNV(salt || str(key)) fingerprint per group — a fixed-size
+    stratified sample that is reproducible across reruns, partitioning
+    and cluster width (rate-based hash_sample gives a fixed RATE, this
+    gives a fixed COUNT). Composition: fingerprint column + the
+    top_k_per_group combiner, so at most k rows per (batch, group)
+    enter the exchange; SQL-auditable via the fingerprint oracle +
+    QUALIFY row_number.
+
+    The raw FNV value is post-multiplied by FNV_PRIME^8 mod 2^64 (a
+    bijection — odd multiplier): short keys never wrap 2^64, so their
+    raw hashes order by string LENGTH then consecutive digits (doc_id
+    0..9 would always win); the extra multiply spreads consecutive
+    values across the full range. One HUGEINT multiply in SQL."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fp = _key_fingerprints(batch, key_col, salt) * _ORDER_MIX
+        return batch.append_column("__fp", pa.array(fp, type=pa.uint64()))
+
+    with_fp = ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        with_fp, group_col, "__fp", k, ascending=True, tiebreak_col=key_col
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__fp"]), batch_format="pyarrow"
     )

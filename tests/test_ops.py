@@ -881,6 +881,33 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     assert sorted(repart["doc_id"]) == sorted(s1["doc_id"])
 
 
+def test_sample_k_per_group(ray_session):
+    import ray.data
+
+    from mothray.ops import sample
+
+    n = 3000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    s1 = sample.sample_k_per_group(ds, "source", "doc_id", k=5, salt="z").to_pandas()
+    # exactly k per group, no fingerprint column in the output
+    assert sorted(s1.columns) == ["doc_id", "source"]
+    assert s1.groupby("source").size().tolist() == [5, 5, 5, 5]
+    # reproducible and partitioning-independent
+    s2 = sample.sample_k_per_group(
+        ds.repartition(7), "source", "doc_id", k=5, salt="z"
+    ).to_pandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    # a different salt draws a different sample
+    s3 = sample.sample_k_per_group(ds, "source", "doc_id", k=5, salt="w").to_pandas()
+    assert sorted(s3["doc_id"]) != sorted(s1["doc_id"])
+
+
 def test_asof_join_matches_duckdb(ray_session):
     import duckdb
     import ray.data
