@@ -184,3 +184,17 @@ def test_decode_from_signed_format_memoryview():
     assert out.num_rows == tbl.num_rows
     for c in tbl.column_names:
         assert out.column(c).combine_chunks().equals(tbl.column(c).combine_chunks())
+
+
+def test_stripe_dict_plan_roundtrip():
+    """column_plans int/float dict encodings flow through encode_stripe
+    and roundtrip (the per-column opts plumbing, not just encode_array)."""
+    rng2 = np.random.default_rng(2)
+    hashes = rng2.choice(rng2.integers(0, 2**63, 200, dtype=np.int64), 20000)
+    disc = rng2.choice(np.array([0.0, 0.01, 0.05, 0.1]), 20000)
+    tbl = pa.table({"h": pa.array(hashes), "d": pa.array(disc)})
+    enc = stripe.encode_stripe(
+        tbl,
+        {"column_plans": {"h": {"int_encoding": "dict"}, "d": {"float_encoding": "dict"}}},
+    )
+    assert stripe.decode_stripe(enc).equals(tbl)
