@@ -405,6 +405,42 @@ def _sliding_events(sf_dir: str):
     )
 
 
+def _multimodal_video(sf_dir: str):
+    """Video frame-sampling actor-pool stage over deterministic
+    synthetic frame containers (see _multimodal_image); emits frame
+    counts, not the thumbnails, so only id-width rows return. The
+    synthetic container has 4 + doc_id % 7 frames, so the every=2
+    sample count is CONSTRUCTIBLE in SQL — value-checked like the
+    url ops."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_video(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        vids = [
+            multimodal.make_fake_video(4 + i % 7, 8 + i % 5, 6 + i % 3, seed=i)
+            for i in ids
+        ]
+        return batch.append_column("video", pa.array(vids, type=pa.binary()))
+
+    out = multimodal.sample_video_frames(
+        ds.map_batches(add_video, batch_format="pyarrow"), every=2,
+        concurrency=2, batch_size=64,
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch.column("sampled_frames"))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_sampled": pc.cast(n, pa.int64())}
+        )
+
+    return out.map_batches(counts, batch_format="pyarrow")
+
+
 def _quantize_embeddings(sf_dir: str):
     import ray.data
 
@@ -1605,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_k_documents"] = _sample_k_documents
     q["outer_join_orders"] = _outer_join_orders
     q["topn_orders"] = _topn_orders
+    q["multimodal_video_frames"] = _multimodal_video
     return q
 
 
@@ -2130,6 +2167,11 @@ def oracle_sql() -> dict[str, str]:
     o["topn_orders"] = (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
         " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+    )
+    o["multimodal_video_frames"] = (
+        # every-2nd-frame sample of the 4 + doc_id % 7 synthetic frames
+        "SELECT doc_id, CAST((4 + doc_id % 7 + 1) // 2 AS BIGINT) AS n_sampled"
+        " FROM documents"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
