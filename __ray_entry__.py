@@ -34,6 +34,48 @@ def entry() -> Any:
     return _roundtrip("/root/testdata/sf0.001", "documents")
 
 
+def _roundtrip_decimal(sf_dir: str):
+    """Decimal128 encode/decode driver-visibly (the synthetic tables
+    carry no decimal columns, so the zigzag-varint decimal codec was
+    pytest-only): cast price/discount to DECIMAL(18,2)/(9,4), encode,
+    decode, return. Oracle = the same CASTs in SQL."""
+    import ray.data
+
+    from mothray import pipeline
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def to_decimal(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "price_dec": t.column("l_extendedprice").cast(pa.decimal128(18, 2)),
+                "disc_dec": t.column("l_discount").cast(pa.decimal128(9, 4)),
+            }
+        )
+
+    enc = pipeline.encode_dataset(ds.map_batches(to_decimal, batch_format="pyarrow"))
+
+    def to_varchar(t: pa.Table) -> pa.Table:
+        # decimal -> full-scale string for the compare: exact in both
+        # engines ('0.0900'), where decimal->double conversions differ
+        # by 1 ulp between Arrow and DuckDB
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "price_dec": t.column("price_dec").cast(pa.string()),
+                "disc_dec": t.column("disc_dec").cast(pa.string()),
+            }
+        )
+
+    return pipeline.decode_dataset(enc).map_batches(to_varchar, batch_format="pyarrow")
+
+
 def _stats_lineitem(sf_dir: str) -> pa.Table:
     """File-level stats rolled up from per-stripe partial stats — the
     reference's partial->final merge (MothWriter.go:339-353) computed
@@ -1642,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["outer_join_orders"] = _outer_join_orders
     q["topn_orders"] = _topn_orders
     q["multimodal_video_frames"] = _multimodal_video
+    q["roundtrip_decimal_lineitem"] = _roundtrip_decimal
     return q
 
 
@@ -2172,6 +2215,11 @@ def oracle_sql() -> dict[str, str]:
         # every-2nd-frame sample of the 4 + doc_id % 7 synthetic frames
         "SELECT doc_id, CAST((4 + doc_id % 7 + 1) // 2 AS BIGINT) AS n_sampled"
         " FROM documents"
+    )
+    o["roundtrip_decimal_lineitem"] = (
+        "SELECT l_orderkey, l_linenumber,"
+        " CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,"
+        " CAST(CAST(l_discount AS DECIMAL(9,4)) AS VARCHAR) AS disc_dec FROM lineitem"
     )
     # dedup_minhash_documents / dedup_simhash_documents / dedup_jaccard /
     # dedup_minhash_cc / ann_ivf_embeddings / dedup_embedding_cosine /
