@@ -681,6 +681,22 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _pack_documents(sf_dir: str):
+    """Concat-and-chunk sequence packing: the corpus token stream in
+    doc_id order cut into 512-token training sequences. Text never
+    shuffles — only (doc_id, tok_cnt, bucket) rows cross one exchange
+    (distributed prefix-sum over sampled range buckets). Oracle = the
+    window-cumsum + generate_series explode in SQL."""
+    import ray.data
+
+    from mothray.ops import pack
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack.pack_sequences(ds, 512)
+
+
 def _asof_join_events(sf_dir: str):
     """AS-OF join: each click gets the user's latest purchase value at
     or before the click. Right side pre-aggregated to unique (user, ts)
@@ -1626,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["paragraph_dedup_documents"] = _paragraph_dedup
     q["sample_mixture_documents"] = _sample_mixture
     q["token_budget_documents"] = _token_budget_documents
+    q["pack_documents"] = _pack_documents
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -1878,6 +1895,20 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["pack_documents"] = (
+        "WITH t AS (SELECT doc_id,"
+        " COALESCE(CAST(length(string_split(text, ' ')) AS BIGINT), 0) AS n FROM documents),"
+        " c AS (SELECT doc_id, n,"
+        "  SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS hi FROM t),"
+        " e AS (SELECT doc_id, unnest(generate_series("
+        "CAST((hi - n) // 512 AS BIGINT), CAST((hi - 1) // 512 AS BIGINT))) AS seq_id"
+        "  FROM c WHERE n > 0),"
+        " tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)"
+        " SELECT CAST(e.seq_id AS BIGINT) AS seq_id,"
+        " CAST(LEAST((e.seq_id + 1) * 512, tot.total) - e.seq_id * 512 AS BIGINT) AS n_tokens,"
+        " COUNT(*) AS n_docs, MIN(e.doc_id) AS first_doc, MAX(e.doc_id) AS last_doc"
+        " FROM e, tot GROUP BY e.seq_id, tot.total"
     )
     o["asof_join_events"] = (
         "WITH clicks AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),"

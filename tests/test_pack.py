@@ -1,0 +1,94 @@
+"""Sequence packing (ops.pack): concat-and-chunk vs a sequential
+reference, invariance across bucket counts, degenerate inputs."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray.ops import pack
+
+
+def _ref_pack(ids, texts, L):
+    """Sequential reference: dict seq_id -> [n_docs, first, last]."""
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    out = {}
+    cum = 0
+    for i in order:
+        t = texts[i]
+        n = 0 if t is None else t.count(" ") + 1
+        lo, hi = cum, cum + n
+        cum = hi
+        if n == 0:
+            continue
+        for s in range(lo // L, (hi - 1) // L + 1):
+            if s not in out:
+                out[s] = [0, ids[i], ids[i]]
+            out[s][0] += 1
+            out[s][1] = min(out[s][1], ids[i])
+            out[s][2] = max(out[s][2], ids[i])
+    total = cum
+    return {
+        s: (min((s + 1) * L, total) - s * L, d, f, l)
+        for s, (d, f, l) in out.items()
+    }
+
+
+def _run(ds, L, n_buckets=None):
+    rows = pack.pack_sequences(ds, L, n_buckets=n_buckets).take_all()
+    return {
+        r["seq_id"]: (r["n_tokens"], r["n_docs"], r["first_doc"], r["last_doc"])
+        for r in rows
+    }
+
+
+@pytest.fixture()
+def corpus():
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(400).tolist()
+    texts = [
+        " ".join(f"w{j}" for j in range(int(rng.integers(1, 40))))
+        for _ in range(400)
+    ]
+    return ids, texts
+
+
+def test_pack_matches_reference(ray_session, corpus):
+    import ray.data
+
+    ids, texts = corpus
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = _run(ds, 64)
+    assert got == _ref_pack(ids, texts, 64)
+
+
+def test_pack_bucket_count_invariance(ray_session, corpus):
+    import ray.data
+
+    ids, texts = corpus
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    a = _run(ds, 37, n_buckets=1)
+    b = _run(ds, 37, n_buckets=7)
+    c = _run(ds, 37)  # KMV-derived
+    assert a == b == c == _ref_pack(ids, texts, 37)
+
+
+def test_pack_null_and_boundary_docs(ray_session):
+    import ray.data
+
+    # doc 2 is null (0 tokens, excluded); doc 1 ends exactly on a
+    # sequence boundary; doc 3 spans two sequences
+    ids = [1, 2, 3, 4]
+    texts = ["a b c d", None, "e f g h i j", "k"]
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = _run(ds, 4)
+    assert got == _ref_pack(ids, texts, 4)
+    # explicit: seq 0 holds exactly doc 1; the null doc never appears
+    assert got[0] == (4, 1, 1, 1)
+
+
+def test_pack_empty_dataset(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert _run(ds, 16) == {}
