@@ -681,6 +681,83 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _tpch_q3(sf_dir: str):
+    """TPC-H-Q3-shaped composite over ENCODED data: date predicates
+    push down through the encoded scan (zone maps on timestamp stats —
+    epoch-int domain), revenue pre-aggregates per batch in exact scaled
+    integers (prices/discounts are 2-decimal, so cents*(100-disc_bp)
+    is exact in both engines — no float-sum drift), customer filter
+    reduces to a key-only inner join, one partitioned join on
+    orderkey, global top-10 sort. The flagship 'analytics over the
+    columnar format' pipeline."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    cut = datetime.datetime(1998, 6, 15)
+    enc_o = tempfile.mkdtemp(prefix="mothray_q3_orders_")
+    enc_l = tempfile.mkdtemp(prefix="mothray_q3_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc_o)
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+
+    orders = pipeline.filter_encoded_multi(
+        enc_o,
+        [("o_orderdate", "lt", cut)],
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = pipeline.filter_encoded_multi(
+        enc_l,
+        [("l_shipdate", "gt", cut)],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(100, disc))
+        part = pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+        return part.group_by("o_orderkey", use_threads=False).aggregate([("rev", "sum")])
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .sum("rev_sum")
+    )
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_mktsegment"), "BUILDING")
+        return pa.table({"o_custkey": t.column("c_custkey").filter(m)})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(seg_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    # key-only right side with unique keys: inner join == semi join
+    o_seg = join.partitioned_join(orders, cust, on="o_custkey")
+    joined = join.partitioned_join(o_seg, rev, on="o_orderkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue_e4": t.column("sum(rev_sum)"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_e4", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def _pack_documents(sf_dir: str):
     """Concat-and-chunk sequence packing: the corpus token stream in
     doc_id order cut into 512-token training sequences. Text never
@@ -1643,6 +1720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_mixture_documents"] = _sample_mixture
     q["token_budget_documents"] = _token_budget_documents
     q["pack_documents"] = _pack_documents
+    q["tpch_q3_encoded"] = _tpch_q3
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -1895,6 +1973,19 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["tpch_q3_encoded"] = (
+        "SELECT l.l_orderkey AS o_orderkey,"
+        " CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        "  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,"
+        " o.o_orderdate, o.o_orderpriority"
+        " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+        " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " WHERE c.c_mktsegment = 'BUILDING'"
+        " AND o.o_orderdate < TIMESTAMP '1998-06-15'"
+        " AND l.l_shipdate > TIMESTAMP '1998-06-15'"
+        " GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority"
+        " ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10"
     )
     o["pack_documents"] = (
         "WITH t AS (SELECT doc_id,"

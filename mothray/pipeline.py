@@ -110,6 +110,11 @@ class StripeDecoder:
             rgs = None
             if self.rg_predicate is not None:
                 col, lo, hi = self.rg_predicate
+                if stripe_mod.is_temporal_value(lo) or stripe_mod.is_temporal_value(hi):
+                    sch = stripe_mod._deserialize_schema(row["schema_ipc"])
+                    t = sch.field(col).type
+                    unit = t.unit if pa.types.is_timestamp(t) else None
+                    lo, hi = stripe_mod.stat_bound(lo, unit), stripe_mod.stat_bound(hi, unit)
                 rgs = stripe_mod.select_row_groups(json.loads(row["meta"]), col, lo, hi)
                 if rgs == []:
                     continue  # whole stripe skipped
@@ -1128,14 +1133,21 @@ def prune_stripes(
     from . import bloom as bloom_mod
 
     def keep(batch: pa.Table) -> pa.Table:
+        from . import stripe as stripe_mod
+
         mask = np.ones(batch.num_rows, dtype=bool)
         stats_col = batch.column("stats").to_pylist()
         for i, sj in enumerate(stats_col):
             st = json.loads(sj).get(column, {})
             lo, hi = st.get("min"), st.get("max")
-            if min_value is not None and hi is not None and hi < min_value:
+            # timestamp stats are int64 epoch in the column's unit:
+            # translate temporal predicate bounds into that domain
+            # (unknown unit -> bound drops, prune stays conservative)
+            mn = stripe_mod.stat_bound(min_value, st.get("unit"))
+            mx = stripe_mod.stat_bound(max_value, st.get("unit"))
+            if mn is not None and hi is not None and hi < mn:
                 mask[i] = False
-            if max_value is not None and lo is not None and lo > max_value:
+            if mx is not None and lo is not None and lo > mx:
                 mask[i] = False
         if needle is not None:
             metas = batch.column("meta").to_pylist()
@@ -1205,8 +1217,11 @@ def build_file_index(dir_path: str) -> dict:
             p = os.path.join(dir_path, name)
             stats_col = pq.read_table(p, columns=["stats"]).column("stats").to_pylist()
             ranges: dict[str, list] = {}
+            units: dict[str, str] = {}
             for sj in stats_col:
                 for col, st in json.loads(sj).items():
+                    if "unit" in st:  # timestamp mins/maxes are epoch ints
+                        units[col] = st["unit"]
                     lo, hi = st.get("min"), st.get("max")
                     if lo is None or hi is None:
                         ranges[col] = [None, None]  # unknown -> never prunable
@@ -1221,7 +1236,12 @@ def build_file_index(dir_path: str) -> dict:
             names.append(name)
             entries.append(
                 json.dumps(
-                    {"columns": ranges, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+                    {
+                        "columns": ranges,
+                        "units": units,
+                        "size": st.st_size,
+                        "mtime_ns": st.st_mtime_ns,
+                    }
                 )
             )
         return pa.table({"name": pa.array(names), "entry": pa.array(entries)})
@@ -1269,9 +1289,12 @@ def _index_prune_files(dir_path: str, column: str, min_value, max_value) -> list
             keep.append(p)
             continue
         lo, hi = entry["columns"].get(column, [None, None])
-        if min_value is not None and hi is not None and hi < min_value:
+        unit = entry.get("units", {}).get(column)
+        mn = stripe_mod.stat_bound(min_value, unit)
+        mx = stripe_mod.stat_bound(max_value, unit)
+        if mn is not None and hi is not None and hi < mn:
             continue
-        if max_value is not None and lo is not None and lo > max_value:
+        if mx is not None and lo is not None and lo > mx:
             continue
         keep.append(p)
     return keep

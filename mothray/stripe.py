@@ -498,6 +498,44 @@ def string_pred_bounds(op: str, value) -> tuple:
     return (lo, hi)
 
 
+def is_temporal_value(value) -> bool:
+    import datetime as _dt
+
+    return isinstance(value, (_dt.date, _dt.datetime, np.datetime64))
+
+
+def stat_bound(value, unit: str | None):
+    """Translate a temporal predicate bound into the int64 epoch domain
+    zone-map stats store for timestamp columns (stats.py keeps min/max
+    as `arr.cast(int64)` in the column's own unit). Non-temporal values
+    and None pass through; a temporal value with UNKNOWN unit returns
+    None (prune conservatively: no bound)."""
+    import datetime as _dt
+
+    if value is None or not is_temporal_value(value):
+        return value
+    if unit is None:
+        return None
+    if isinstance(value, _dt.datetime):
+        ts_t = pa.timestamp(unit, tz="UTC") if value.tzinfo else pa.timestamp(unit)
+        return pa.scalar(value, type=ts_t).value
+    if isinstance(value, _dt.date):
+        return pa.scalar(_dt.datetime.combine(value, _dt.time()), type=pa.timestamp(unit)).value
+    return pa.scalar(value).cast(pa.timestamp(unit)).value  # np.datetime64
+
+
+def stat_bounds_for(op: str, value, t: pa.DataType | None) -> tuple:
+    """string_pred_bounds normalized for the stats domain of column
+    type `t`: timestamp predicates become int64 epoch ints in t's
+    unit, so select_row_groups / zone-map compares stay same-type."""
+    lo, hi = string_pred_bounds(op, value)
+    if t is not None and pa.types.is_timestamp(t):
+        return stat_bound(lo, t.unit), stat_bound(hi, t.unit)
+    if is_temporal_value(value):
+        return None, None  # non-timestamp storage of a temporal pred: no stats prune
+    return lo, hi
+
+
 def _apply_pred(arr, op: str, value):
     """Evaluate one predicate on an Arrow array: comparison ops via
     _PC_OPS; `prefix` -> starts_with; `like` -> SQL LIKE semantics
@@ -567,7 +605,7 @@ def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | N
     blob = row["blob"]
     names = columns if columns is not None else schema.names
     t = schema.field(column).type
-    lo, hi = string_pred_bounds(op, value)
+    lo, hi = stat_bounds_for(op, value, t)
     keep = None if op == "ne" else select_row_groups(meta, column, lo, hi)
     trees = meta["columns"][column]["row_groups"]
     if keep is None:
@@ -608,7 +646,7 @@ def filter_stripe_multi(
     for col, op, value in preds:
         if op == "ne":
             continue
-        lo, hi = string_pred_bounds(op, value)
+        lo, hi = stat_bounds_for(op, value, schema.field(col).type)
         sel = select_row_groups(meta, col, lo, hi)
         if sel is not None:
             keep &= set(sel)

@@ -1,0 +1,80 @@
+"""Timestamp predicates through the pushdown stack: zone-map stats
+store epoch ints in the column's unit, so datetime predicate values
+must be translated at every stats-comparison layer (stripe zone maps,
+row-group min/max, file index) while the row mask still compares in
+the value domain."""
+import datetime
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _table(unit="us", tz=None, n=1000):
+    base = np.datetime64("1995-01-01T00:00:00", unit)
+    step = np.timedelta64(3600, "s").astype(f"timedelta64[{unit}]")
+    ts = base + np.arange(n) * step
+    t = pa.table({"id": pa.array(np.arange(n)), "ts": pa.array(ts)})
+    if tz:
+        t = t.set_column(1, "ts", t.column("ts").cast(pa.timestamp(unit, tz=tz)))
+    return t
+
+
+@pytest.mark.parametrize("unit,tz", [("us", None), ("ns", None), ("us", "UTC")])
+def test_filter_encoded_timestamp(ray_session, unit, tz):
+    import ray.data
+
+    from mothray import pipeline
+
+    t = _table(unit, tz)
+    out = tempfile.mkdtemp(prefix=f"ts_push_{unit}_")
+    pipeline.encode_dataset(ray.data.from_arrow(t)).write_parquet(out)
+    cut = datetime.datetime(1995, 1, 15, tzinfo=datetime.timezone.utc if tz else None)
+    got = pipeline.filter_encoded(out, "ts", "lt", cut).take_all()
+    import pyarrow.compute as pc
+
+    want = t.filter(pc.less(t.column("ts"), pa.scalar(cut))).num_rows
+    assert len(got) == want > 0
+    # conjunctive path + a no-overlap bound prunes to zero
+    lo = datetime.datetime(1990, 1, 1, tzinfo=datetime.timezone.utc if tz else None)
+    assert pipeline.filter_encoded_multi(out, [("ts", "lt", lo)]).count() == 0
+
+
+def test_rg_predicate_datetime(ray_session):
+    import ray.data
+
+    from mothray import pipeline
+
+    t = _table()
+    enc = pipeline.encode_dataset(ray.data.from_arrow(t), opts={"row_group_rows": 100})
+    cut = datetime.datetime(1995, 1, 3)
+    dec = pipeline.decode_dataset(enc, rg_predicate=("ts", None, cut))
+    # rg skipping is advisory (whole groups) — decoded superset, then
+    # exact filter must equal the arrow-side count
+    import pyarrow.compute as pc
+
+    rows = dec.take_all()
+    assert len(rows) < t.num_rows  # some row groups actually skipped
+    exact = sum(1 for r in rows if r["ts"] <= cut)
+    want = t.filter(pc.less_equal(t.column("ts"), pa.scalar(cut))).num_rows
+    assert exact == want
+
+
+def test_file_index_timestamp_prune(ray_session, tmp_path):
+    import ray.data
+
+    from mothray import pipeline
+
+    out = str(tmp_path / "enc")
+    ds = ray.data.from_arrow(_table())
+    pipeline.encode_dataset(ds).write_parquet(out)
+    pipeline.build_file_index(out)
+    kept = pipeline._index_prune_files(
+        out, "ts", None, datetime.datetime(1990, 1, 1)
+    )
+    assert kept == []  # every file's range is above the bound
+    kept2 = pipeline._index_prune_files(
+        out, "ts", datetime.datetime(1990, 1, 1), None
+    )
+    assert kept2  # lower bound below the range keeps files
