@@ -681,6 +681,21 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _bm25_documents(sf_dir: str):
+    """BM25 ranked retrieval over the engine-encoded inverted index:
+    tf/dl postings with zone-map/bloom term pruning, df from the
+    pruned scans, vectorized scoring, per-doc sum groupby, top-20.
+    Scores round to 6 decimals so the SQL double oracle
+    string-matches (ops/lm.py precedent)."""
+    import tempfile
+
+    from mothray.ops import search
+
+    idx = tempfile.mkdtemp(prefix="mothray_bm25_")
+    search.build_bm25_index(_docs(sf_dir), idx)
+    return search.bm25_search(idx, ["merge", "window", "spark"], k=20)
+
+
 def _tpch_q3(sf_dir: str):
     """TPC-H-Q3-shaped composite over ENCODED data: date predicates
     push down through the encoded scan (zone maps on timestamp stats —
@@ -1721,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_budget_documents"] = _token_budget_documents
     q["pack_documents"] = _pack_documents
     q["tpch_q3_encoded"] = _tpch_q3
+    q["bm25_search_documents"] = _bm25_documents
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -1973,6 +1989,26 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["bm25_search_documents"] = (
+        "WITH toks AS (SELECT doc_id,"
+        " unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents),"
+        " tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks"
+        "  WHERE token <> '' GROUP BY 1, 2),"
+        " dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks"
+        "  WHERE token <> '' GROUP BY 1),"
+        " st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,"
+        "  (SELECT SUM(dl) FROM dl)::DOUBLE / (SELECT COUNT(*) FROM documents) AS avgdl),"
+        " q AS (SELECT unnest(['merge', 'window', 'spark']) AS token),"
+        " df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf"
+        "  WHERE token IN (SELECT token FROM q) GROUP BY 1),"
+        " sc AS (SELECT tf.doc_id,"
+        "  SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))"
+        "   * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s"
+        "  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st"
+        "  GROUP BY tf.doc_id)"
+        " SELECT doc_id, round(s, 6) AS score_r6 FROM sc"
+        " ORDER BY round(s, 6) DESC, doc_id LIMIT 20"
     )
     o["tpch_q3_encoded"] = (
         "SELECT l.l_orderkey AS o_orderkey,"

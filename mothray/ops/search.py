@@ -69,6 +69,162 @@ def build_text_index(
     pipeline.write_encoded(pipeline.encode_dataset(postings, opts), out_dir)
 
 
+def bm25_postings_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(token, id, tf, dl) rows for one batch: term frequency per
+    (token, doc) plus the doc's token count, both needed at BM25
+    scoring time without touching the corpus again. dl repeats per
+    posting by design — it RLE-compresses inside the sorted index and
+    saves a doc-length join on every query."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column(text_col)), _TOKEN_SPLIT)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    parent = pc.list_parent_indices(toks)
+    flat_toks = toks.flatten()
+    keep = pc.not_equal(flat_toks, "")
+    parent = parent.filter(keep)
+    flat = pa.table(
+        {"token": flat_toks.filter(keep), "__row": parent}
+    )
+    tf = flat.group_by(["token", "__row"], use_threads=False).aggregate([([], "count_all")])
+    dl_per_row = np.bincount(
+        parent.to_numpy(zero_copy_only=False), minlength=batch.num_rows
+    ).astype(np.int64)
+    rows = tf.column("__row").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "token": tf.column("token"),
+            id_col: batch.column(id_col).take(tf.column("__row")),
+            "tf": tf.column("count_all").cast(pa.int64()),
+            "dl": pa.array(dl_per_row[rows]),
+        }
+    )
+
+
+_BM25_META = "_bm25_meta.json"
+
+
+def build_bm25_index(
+    ds,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    opts: dict | None = None,
+) -> dict:
+    """BM25-ready inverted index: tf/dl postings sorted by (token, id)
+    and encoded with the engine's writer (token dict/FSST, tf/dl RLE),
+    plus a meta JSON carrying the two corpus constants scoring needs
+    (N = corpus docs incl. empty, avgdl = total tokens / N)."""
+    import json
+    import os
+
+    from .. import pipeline
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return bm25_postings_batch(batch, id_col, text_col)
+
+    postings = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["token", id_col]
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(postings, opts), out_dir)
+
+    # distributed corpus constants: docs + token total (dl repeats per
+    # posting, so sum tf — the actual token count — not dl)
+    n_docs = ds.count()
+    tok_total = 0
+    enc = pipeline.read_encoded(out_dir, metadata_only=True)
+    import json as _json
+
+    for r in enc.select_columns(["stats"]).take_all():
+        st = _json.loads(r["stats"])
+        tok_total += int(st.get("tf", {}).get("sum", 0))
+    meta = {"n_docs": int(n_docs), "avgdl": (tok_total / n_docs) if n_docs else 0.0}
+    with open(os.path.join(out_dir, _BM25_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_search(
+    index_dir: str,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k over the index (Robertson/Sparck Jones idf with +1
+    smoothing, the Lucene formulation): each unique query term is one
+    pruned scan (zone maps + blooms skip stripes), df per term comes
+    from the scans themselves (≤ n_terms driver-side rows), scoring is
+    one vectorized pass over survivor postings, and the per-doc sum is
+    a groupby over id-width rows. Returns (id, score_r6) sorted by
+    (score desc, id), deterministically tie-broken; scores round to 6
+    decimals so a SQL double oracle string-matches (ops/lm.py
+    precedent)."""
+    import json
+    import math
+    import os
+
+    import numpy as np
+
+    from .. import pipeline
+
+    with open(os.path.join(index_dir, _BM25_META)) as f:
+        meta = json.load(f)
+    n, avgdl = meta["n_docs"], meta["avgdl"]
+
+    uniq = sorted(set(terms))
+    scans = [
+        pipeline.filter_encoded(index_dir, "token", "eq", t, columns=["token", id_col, "tf", "dl"])
+        for t in uniq
+    ]
+    hits = scans[0].union(*scans[1:]) if len(scans) > 1 else scans[0]
+    df_rows = hits.groupby("token").count().take_all()  # ≤ n_terms rows
+    idf = {
+        r["token"]: math.log(1.0 + (n - r["count()"] + 0.5) / (r["count()"] + 0.5))
+        for r in df_rows
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                             "s": pa.array([], pa.float64())})
+        toks = t.column("token").to_pylist()
+        w = np.array([idf.get(tok, 0.0) for tok in toks])
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t.column(id_col), "s": pa.array(s)})
+
+    scored = hits.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = scored.groupby(id_col).sum("s")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "score_r6": pc.round(t.column("sum(s)"), ndigits=6),
+            }
+        )
+
+    return (
+        per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["score_r6", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
 def search_text_index(index_dir: str, terms: list[str], mode: str = "and", id_col: str = "doc_id"):
     """Doc ids matching ALL (`and`) or ANY (`or`) of `terms`. Each term
     is one pruned scan of the index (zone maps + blooms skip stripes);

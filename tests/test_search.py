@@ -74,3 +74,48 @@ def test_text_index_and_or(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         search.search_text_index(idx, ["query"], mode="xor")
+
+
+def test_bm25_search_matches_reference(ray_session, tmp_path):
+    """BM25 top-k vs a sequential numpy reference on the sf0.001 docs."""
+    import collections
+    import math
+    import re
+
+    import ray.data
+
+    from mothray.ops import search
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "bm25")
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    meta = search.build_bm25_index(ds, idx)
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    docs = {i: re.findall(r"[a-z0-9]+", s.lower()) for i, s in
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    assert meta["n_docs"] == n and abs(meta["avgdl"] - avgdl) < 1e-9
+
+    terms = ["merge", "window", "spark"]
+    df = {q: sum(1 for v in docs.values() if q in v) for q in terms}
+    k1, b = 1.2, 0.75
+    scores = {}
+    for i, v in docs.items():
+        cnt = collections.Counter(v)
+        s = 0.0
+        for q in terms:
+            tf = cnt.get(q, 0)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    got = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(idx, terms, k=15).take_all()]
+    assert got == want
