@@ -681,6 +681,20 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _partitioned_encode_documents(sf_dir: str):
+    """Hive-partitioned encoded sink: documents split by lang IN-TASK
+    (no shuffle) into one encoded directory per language; reading two
+    partitions never lists the other directories (whole-partition
+    pruning above the stripe/row-group stack). Oracle = lang IN (...)."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_bylang_")
+    pipeline.encode_partitioned(_docs(sf_dir), out, "lang")
+    return pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["de", "fr"]))
+
+
 def _bm25_documents(sf_dir: str):
     """BM25 ranked retrieval over the engine-encoded inverted index:
     tf/dl postings with zone-map/bloom term pruning, df from the
@@ -1737,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pack_documents"] = _pack_documents
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
+    q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -1989,6 +2004,9 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["partitioned_encode_documents"] = (
+        "SELECT * FROM documents WHERE lang IN ('de', 'fr')"
     )
     o["bm25_search_documents"] = (
         "WITH toks AS (SELECT doc_id,"

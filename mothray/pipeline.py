@@ -1665,6 +1665,83 @@ def write_encoded(enc: ray.data.Dataset, out_dir: str, row_group_size: int = 8) 
     enc.write_parquet(out_dir, row_group_size=row_group_size, **ENCODED_PARQUET_ARGS)
 
 
+def encode_partitioned(
+    ds: ray.data.Dataset, out_dir: str, partition_col: str, opts: dict | None = None
+) -> None:
+    """Hive-partitioned encoded sink: each batch splits by partition
+    value IN-TASK (no shuffle — a task appends to several directories),
+    every sub-batch encodes to its own single-valued stripes, and the
+    stripe rows ride a `__part` column that write_parquet(partition_cols)
+    turns into `out_dir/__part=<value>/` subdirectories. The partition
+    column also stays INSIDE the encoded data, so decode round-trips
+    without path parsing; the directory layout exists for whole-
+    partition pruning and per-partition resume/compaction (the
+    'resumable output: one directory per key range' rule).
+
+    Partition values should be clean categorical scalars (lang codes,
+    dates, buckets): they become directory names."""
+    from . import stripe as stripe_mod_
+
+    o = dict(opts or {})
+
+    def enc(batch: pa.Table) -> pa.Table:
+        col = batch.column(partition_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        d = col.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        outs = []
+        for ci in range(len(d.dictionary)):
+            v = d.dictionary[ci].as_py()
+            sub = batch.filter(pa.array(codes == ci))
+            st = stripe_mod_.encode_batch(sub, o, key_prefix=_batch_key(sub))
+            outs.append(st.append_column("__part", pa.array([str(v)] * st.num_rows)))
+        if not outs:
+            empty = stripe_mod_.STRIPE_SCHEMA.empty_table()
+            return empty.append_column("__part", pa.array([], pa.string()))
+        return pa.concat_tables(outs)
+
+    enc_ds = ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
+    enc_ds.write_parquet(
+        out_dir, partition_cols=["__part"], row_group_size=8, **ENCODED_PARQUET_ARGS
+    )
+
+
+def encoded_partition_dirs(out_dir: str) -> dict[str, str]:
+    """{partition value: directory} for an encode_partitioned dataset."""
+    out = {}
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name.startswith("__part="):
+            out[name.split("=", 1)[1]] = p
+    return out
+
+
+def read_encoded_partitions(
+    out_dir: str, values: list | None = None, metadata_only: bool = False
+) -> ray.data.Dataset:
+    """Encoded stripe rows of the named partitions only — unselected
+    directories are never listed into the read (whole-partition
+    pruning, the coarsest level of the skipping stack). values=None
+    reads every partition."""
+    dirs = encoded_partition_dirs(out_dir)
+    if values is None:
+        sel = list(dirs.values())
+    else:
+        missing = [v for v in values if str(v) not in dirs]
+        if missing:
+            raise KeyError(f"partitions not found: {missing}; have {sorted(dirs)}")
+        sel = [dirs[str(v)] for v in values]
+    # read_parquet expands a single directory but not directories
+    # inside a path LIST: list the files explicitly
+    paths = [
+        os.path.join(d, f)
+        for d in sel
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return read_encoded(paths, metadata_only=metadata_only)
+
+
 def dataset_content_hash(ds: ray.data.Dataset) -> tuple[int, int]:
     """Order-insensitive content fingerprint: (wrapping sum of per-row
     xxhash64 row hashes, row count). Computed distributed — one tiny
