@@ -681,6 +681,128 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _tpch_q1(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over an ENCODED scan: shipdate
+    pushdown, per-batch partial aggregation in exact scaled integers
+    (2-decimal prices/discounts/taxes → cents), one tiny final groupby.
+    Averages divide exact integer sums once, so doubles match DuckDB
+    bit-for-bit."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from mothray import pipeline
+
+    cut = datetime.datetime(1998, 9, 1)
+    enc = tempfile.mkdtemp(prefix="mothray_q1_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc)
+    li = pipeline.filter_encoded_multi(
+        enc,
+        [("l_shipdate", "le", cut)],
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i64 = pa.int64()
+        qty = pc.cast(pc.round(t.column("l_quantity")), i64)  # integral in the data
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), i64)
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)), i64)
+        tax = pc.cast(pc.round(pc.multiply(t.column("l_tax"), 100)), i64)
+        disc_price = pc.multiply(cents, pc.subtract(100, disc))  # 1e-4 dollars
+        charge = pc.multiply(disc_price, pc.add(100, tax))  # 1e-6 dollars
+        p = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": qty,
+                "sum_base_e2": cents,
+                "sum_disc_e4": disc_price,
+                "sum_charge_e6": charge,
+                "sum_disc_bp": disc,
+                "count_order": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return p.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [(c, "sum") for c in p.column_names[2:]]
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum([f"{c}_sum" for c in
+              ("sum_qty", "sum_base_e2", "sum_disc_e4", "sum_charge_e6",
+               "sum_disc_bp", "count_order")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        n = t.column("sum(count_order_sum)").cast(pa.float64())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("sum(sum_qty_sum)").cast(pa.int64()),
+                "sum_base_e2": t.column("sum(sum_base_e2_sum)").cast(pa.int64()),
+                "sum_disc_e4": t.column("sum(sum_disc_e4_sum)").cast(pa.int64()),
+                "sum_charge_e6": t.column("sum(sum_charge_e6_sum)").cast(pa.int64()),
+                "avg_qty": pc2.divide(t.column("sum(sum_qty_sum)").cast(pa.float64()), n),
+                "avg_disc_bp": pc2.divide(
+                    t.column("sum(sum_disc_bp_sum)").cast(pa.float64()), n
+                ),
+                "count_order": t.column("sum(count_order_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tpch_q6(sf_dir: str):
+    """TPC-H-Q6-shaped forecasting-revenue filter+sum over an ENCODED
+    scan: three pushed-down predicates (timestamp + two float ranges),
+    exact scaled-integer revenue, one scalar out."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from mothray import pipeline
+
+    enc = tempfile.mkdtemp(prefix="mothray_q6_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc)
+    li = pipeline.filter_encoded_multi(
+        enc,
+        [
+            ("l_shipdate", "ge", datetime.datetime(1996, 1, 1)),
+            ("l_shipdate", "lt", datetime.datetime(1997, 1, 1)),
+            ("l_discount", "ge", 0.05),
+            ("l_discount", "le", 0.07),
+            ("l_quantity", "lt", 24.0),
+        ],
+        columns=["l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        i64 = pa.int64()
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), i64)
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)), i64)
+        rev = pc.multiply(cents, disc)  # 1e-4 dollars
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_e4": pa.array([s], i64)})
+
+    total = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("revenue_e4")
+    )
+    return pa.table({"revenue_e4": pa.array([int(total or 0)], pa.int64())})
+
+
 def _partitioned_encode_documents(sf_dir: str):
     """Hive-partitioned encoded sink: documents split by lang IN-TASK
     (no shuffle) into one encoded directory per language; reading two
@@ -1752,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
+    q["tpch_q1_encoded"] = _tpch_q1
+    q["tpch_q6_encoded"] = _tpch_q6
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
     q["ann_hnsw_embeddings"] = _ann_hnsw
@@ -2004,6 +2128,28 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["tpch_q1_encoded"] = (
+        "SELECT l_returnflag, l_linestatus,"
+        " CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+        " CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,"
+        " CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,"
+        " CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "  * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+        "  * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,"
+        " CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,"
+        " CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_disc_bp,"
+        " CAST(COUNT(*) AS BIGINT) AS count_order"
+        " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'"
+        " GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_q6_encoded"] = (
+        "SELECT CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+        "  * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4"
+        " FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+        " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     )
     o["partitioned_encode_documents"] = (
         "SELECT * FROM documents WHERE lang IN ('de', 'fr')"
