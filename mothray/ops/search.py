@@ -149,8 +149,69 @@ def build_bm25_index(
     for r in enc.select_columns(["stats"]).take_all():
         st = _json.loads(r["stats"])
         tok_total += int(st.get("tf", {}).get("sum", 0))
-    meta = {"n_docs": int(n_docs), "avgdl": (tok_total / n_docs) if n_docs else 0.0}
+    meta = {
+        "n_docs": int(n_docs),
+        "tok_total": int(tok_total),  # exact int so appends stay drift-free
+        "avgdl": (tok_total / n_docs) if n_docs else 0.0,
+    }
     with open(os.path.join(out_dir, _BM25_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def append_bm25_index(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    opts: dict | None = None,
+) -> dict:
+    """Incrementally add documents to an existing BM25 index WITHOUT
+    rebuilding: the new docs' postings encode as an additional sorted
+    run (new part files in the same directory — queries scan every
+    file and zone maps/blooms prune per file, so a term lookup still
+    touches only stripes that can hold it), and the corpus constants
+    update by exact running totals kept in the meta JSON. Scores after
+    append are identical to a from-scratch build over the union —
+    pytest-enforced. Callers own id uniqueness across appends (same
+    contract as the reference's append-only writer)."""
+    import json
+    import os
+
+    from .. import pipeline
+
+    with open(os.path.join(index_dir, _BM25_META)) as f:
+        meta = json.load(f)
+    old_tokens = meta.get("tok_total", round(meta["n_docs"] * meta["avgdl"]))
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return bm25_postings_batch(batch, id_col, text_col)
+
+    postings = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["token", id_col]
+    )
+    before = set(os.listdir(index_dir))
+    pipeline.write_encoded(pipeline.encode_dataset(postings, opts), index_dir)
+    new_files = [
+        os.path.join(index_dir, f)
+        for f in sorted(set(os.listdir(index_dir)) - before)
+        if f.endswith(".parquet")
+    ]
+    import json as _json
+
+    add_tokens = 0
+    if new_files:
+        enc = pipeline.read_encoded(new_files, metadata_only=True)
+        for r in enc.select_columns(["stats"]).take_all():
+            add_tokens += int(_json.loads(r["stats"]).get("tf", {}).get("sum", 0))
+    n_docs = meta["n_docs"] + ds.count()
+    tok_total = int(old_tokens) + int(add_tokens)
+    meta = {
+        "n_docs": int(n_docs),
+        "tok_total": tok_total,
+        "avgdl": (tok_total / n_docs) if n_docs else 0.0,
+    }
+    with open(os.path.join(index_dir, _BM25_META), "w") as f:
         json.dump(meta, f)
     return meta
 

@@ -119,3 +119,42 @@ def test_bm25_search_matches_reference(ray_session, tmp_path):
 
     got = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(idx, terms, k=15).take_all()]
     assert got == want
+
+
+def test_bm25_append_equals_full_rebuild(ray_session, tmp_path):
+    """Appending the second half of the corpus to an index built on
+    the first half gives the same ranking as a from-scratch build."""
+    import ray.data
+
+    from mothray.ops import search
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    def _half(parity):
+        def f(t):
+            keep = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), parity)
+            return t.filter(keep)
+        return f
+
+    half_a = ds.map_batches(_half(0), batch_format="pyarrow")
+    half_b = ds.map_batches(_half(1), batch_format="pyarrow")
+
+    full_idx = str(tmp_path / "full")
+    search.build_bm25_index(ds, full_idx)
+    inc_idx = str(tmp_path / "inc")
+    search.build_bm25_index(half_a, inc_idx)
+    meta = search.append_bm25_index(half_b, inc_idx)
+
+    import json
+    import os
+
+    with open(os.path.join(full_idx, search._BM25_META)) as f:
+        want_meta = json.load(f)
+    assert meta == want_meta
+
+    terms = ["merge", "window", "spark"]
+    want = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(full_idx, terms, k=25).take_all()]
+    got = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(inc_idx, terms, k=25).take_all()]
+    assert got == want and len(got) == 25
