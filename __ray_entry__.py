@@ -681,6 +681,20 @@ def _token_budget_documents(sf_dir: str):
     )
 
 
+def _pack_tokens_documents(sf_dir: str):
+    """Materialized packing: the actual 256-token training windows as
+    list<string> rows. Corpus text moves through ONE groupby(bucket)
+    exchange; complete windows are zero-copy list slices per bucket,
+    only boundary-straddling windows merge across buckets. Oracle =
+    window-cumsum + parallel-unnest + list(ORDER BY) SQL."""
+    import ray.data
+
+    from mothray.ops import pack
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack.pack_tokens(ds, 256)
+
+
 def _tpch_q1(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary over an ENCODED scan: shipdate
     pushdown, per-batch partial aggregation in exact scaled integers
@@ -1875,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_search_documents"] = _bm25_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
+    q["pack_tokens_documents"] = _pack_tokens_documents
     q["tpch_q6_encoded"] = _tpch_q6
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
@@ -2128,6 +2143,15 @@ def oracle_sql() -> dict[str, str]:
         " c AS (SELECT doc_id, source, tok_cnt,"
         "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
         " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 700"
+    )
+    o["pack_tokens_documents"] = (
+        "WITH d AS (SELECT doc_id, COALESCE(string_split(text, ' '), []) AS l FROM documents),"
+        " c AS (SELECT doc_id, l, len(l) AS n,"
+        "  SUM(len(l)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(l) AS lo FROM d),"
+        " e AS (SELECT c.lo + u.i - 1 AS g, u.tok FROM c,"
+        "  LATERAL (SELECT unnest(c.l) AS tok, unnest(generate_series(1, CAST(c.n AS BIGINT))) AS i) u)"
+        " SELECT CAST(g // 256 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
+        " list(tok ORDER BY g) AS tokens FROM e GROUP BY g // 256"
     )
     o["tpch_q1_encoded"] = (
         "SELECT l_returnflag, l_linestatus,"

@@ -115,6 +115,179 @@ def sample_boundaries(
     return bnd, len(bnd) + 1
 
 
+def pack_tokens(
+    ds,
+    seq_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+):
+    """MATERIALIZED packing: the actual `seq_len`-token training
+    windows as (seq_id, n_tokens, tokens list<string>), tokens being
+    the single-space fields in `key_col` order (the same stream
+    pack_sequences indexes). Materialization inherently moves the
+    corpus once — through ONE groupby(bucket) exchange (paragraph_dedup
+    precedent); after that, each bucket emits its COMPLETE sequences
+    as zero-copy list slices and ships only the ragged head/tail runs
+    of boundary sequences (a few rows per bucket) into a tiny
+    groupby(seq_id) merge. The final short sequence arrives as a
+    partial too, so no special-casing."""
+    import pyarrow.compute as pc
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    bnd, _ = sample_boundaries(ds, key_col, n_buckets=n_buckets)
+    L = int(seq_len)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        if len(bnd) == 0:
+            return np.zeros(len(keys), dtype=np.int64)
+        return np.searchsorted(bnd, keys, side="right").astype(np.int64)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        n = _tok_counts(batch, text_col, None)
+        b = bucket_of(_keys_np(batch, key_col))
+        t = pa.table({"__bucket": pa.array(b), "__n": pa.array(n)})
+        return t.group_by("__bucket", use_threads=False).aggregate([("__n", "sum")])
+
+    agg = (
+        ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .sum("__n_sum")
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["__bucket"])
+    base: dict[int, int] = {}
+    off = 0
+    for r in agg:
+        base[r["__bucket"]] = off
+        off += int(r["sum(__n_sum)"])
+
+    def with_cols(batch: pa.Table) -> pa.Table:
+        b = bucket_of(_keys_np(batch, key_col))
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                text_col: batch.column(text_col),
+                "__bucket": pa.array(b),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("seq_id", pa.int64()),
+            ("__order", pa.int64()),
+            ("__complete", pa.bool_()),
+            ("tokens", pa.large_list(pa.string())),
+        ]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        bkt = group.column("__bucket")[0].as_py()
+        g0 = base.get(bkt, 0)
+        s = group.take(pc.sort_indices(group, sort_keys=[(key_col, "ascending")]))
+        toks = pc.split_pattern(pc.fill_null(s.column(text_col), ""), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = toks.flatten()
+        # null text contributed 0 tokens in the narrow pass; fill_null
+        # + split gives [''] (1 token) — drop those lists' elements to
+        # keep offsets consistent with the counted stream
+        nulls = pc.is_null(s.column(text_col))
+        if pc.any(nulls).as_py():
+            lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep_doc = ~nulls.to_numpy(zero_copy_only=False)
+            keep_mask = np.repeat(keep_doc, lens)
+            flat = flat.filter(pa.array(keep_mask))
+        m = len(flat)
+        if m == 0:
+            return out_schema.empty_table()
+        s_first = g0 // L  # seq the bucket's first token lands in
+        s_start = s_first if g0 % L == 0 else s_first + 1  # first seq fully startable here
+        s_end = (g0 + m) // L  # first seq NOT fully ended in this bucket
+        rows_seq, rows_ord, rows_c, offsets = [], [], [], [0]
+        chunks = []
+        if s_start > s_end:  # bucket sits inside one sequence
+            head_n = m
+        else:
+            head_n = s_start * L - g0  # tokens finishing the previous seq
+        if head_n > 0:
+            rows_seq.append(s_first)
+            rows_ord.append(g0)
+            rows_c.append(False)
+            chunks.append((0, head_n))
+        for si in range(max(s_start, s_first), s_end):
+            a = si * L - g0
+            rows_seq.append(si)
+            rows_ord.append(g0 + a)
+            rows_c.append(True)
+            chunks.append((a, L))
+        tail_a = s_end * L - g0
+        if s_end >= s_start and tail_a < m:
+            rows_seq.append(s_end)
+            rows_ord.append(g0 + tail_a)
+            rows_c.append(False)
+            chunks.append((tail_a, m - tail_a))
+        # chunks tile [0, m) exactly in order (head | complete... | tail),
+        # so the list array wraps the flat token buffer zero-copy
+        for a, ln in chunks:
+            offsets.append(offsets[-1] + ln)
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), flat)
+        return pa.table(
+            {
+                "seq_id": pa.array(np.asarray(rows_seq, dtype=np.int64)),
+                "__order": pa.array(np.asarray(rows_ord, dtype=np.int64)),
+                "__complete": pa.array(rows_c),
+                "tokens": lists,
+            }
+        )
+
+    # the bucket pass feeds two branches (final complete rows + the
+    # boundary merge); Ray re-executes shared lineage per consumer, so
+    # materialize once — the output is corpus-sized either way and the
+    # object store spills; the merge exchange then sees only the few
+    # boundary rows per bucket
+    parts = (
+        ds.map_batches(with_cols, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def finish_complete(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("__complete"), True))
+        return pa.table(
+            {
+                "seq_id": keep.column("seq_id"),
+                "n_tokens": pc.list_value_length(keep.column("tokens")).cast(pa.int64()),
+                "tokens": keep.column("tokens"),
+            }
+        )
+
+    def merge_partials(group: pa.Table) -> pa.Table:
+        s = group.take(pc.sort_indices(group, sort_keys=[("__order", "ascending")]))
+        col = s.column("tokens")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = col.flatten()
+        return pa.table(
+            {
+                "seq_id": s.column("seq_id").slice(0, 1),
+                "n_tokens": pa.array([len(flat)], pa.int64()),
+                "tokens": pa.LargeListArray.from_arrays(pa.array([0, len(flat)], pa.int64()), flat),
+            }
+        )
+
+    def only_partials(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("__complete"), False))
+
+    complete = parts.map_batches(finish_complete, batch_format="pyarrow", zero_copy_batch=True)
+    boundary = (
+        parts.map_batches(only_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("seq_id")
+        .map_groups(merge_partials, batch_format="pyarrow")
+    )
+    return complete.union(boundary)
+
+
 def pack_sequences(
     ds,
     seq_len: int,

@@ -92,3 +92,38 @@ def test_pack_empty_dataset(ray_session):
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     )
     assert _run(ds, 16) == {}
+
+
+def _ref_pack_tokens(ids, texts, L):
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+    stream = []
+    for i in order:
+        t = texts[i]
+        if t is None:
+            continue
+        stream.extend(t.split(" "))
+    return {
+        s: stream[s * L : (s + 1) * L] for s in range((len(stream) + L - 1) // L)
+    }
+
+
+@pytest.mark.parametrize("nb", [None, 1, 5])
+def test_pack_tokens_matches_reference(ray_session, corpus, nb):
+    import ray.data
+
+    ids, texts = corpus
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    rows = pack.pack_tokens(ds, 48, n_buckets=nb).take_all()
+    got = {r["seq_id"]: list(r["tokens"]) for r in rows}
+    assert all(r["n_tokens"] == len(r["tokens"]) for r in rows)
+    assert got == _ref_pack_tokens(ids, texts, 48)
+
+
+def test_pack_tokens_null_and_exact_boundary(ray_session):
+    import ray.data
+
+    ids = [1, 2, 3]
+    texts = ["a b c d", None, "e f g h"]  # 8 tokens, L=4: two exact seqs
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = {r["seq_id"]: list(r["tokens"]) for r in pack.pack_tokens(ds, 4).take_all()}
+    assert got == {0: ["a", "b", "c", "d"], 1: ["e", "f", "g", "h"]}
