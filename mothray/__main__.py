@@ -1,7 +1,7 @@
 """CLI: the Ray-Data analog of the reference's demo driver
 (reference: pkg/main/main.go Write/Read + pkg/store/main chunk scan).
 
-  python -m mothray encode  IN_PARQUET... OUT_DIR   [--partition-mb N]
+  python -m mothray encode  IN_PARQUET... OUT_DIR   [--partition-mb N] [--partition-by COL]
   python -m mothray decode  ENC_DIR OUT_DIR [--columns a,b]
   python -m mothray verify  IN_PARQUET ENC_DIR --key COLUMN
   python -m mothray stats   ENC_DIR
@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("inputs", nargs="+")
     e.add_argument("out_dir")
     e.add_argument("--partition-mb", type=int, default=256)
+    e.add_argument(
+        "--partition-by",
+        default=None,
+        help="hive-partition the encoded output by this column "
+        "(one __part=<value>/ directory per value; whole-partition pruned reads)",
+    )
 
     d = sub.add_parser("decode")
     d.add_argument("enc_dir")
@@ -123,10 +129,18 @@ def _dispatch(args) -> int:
         from mothray import checkpoint
 
         inputs = args.inputs if len(args.inputs) > 1 else args.inputs[0]
-        summary = checkpoint.encode_job(
-            inputs, args.out_dir, target_partition_bytes=args.partition_mb << 20
-        )
-        print(json.dumps(summary))
+        if args.partition_by:
+            from mothray import pipeline
+
+            ds = pipeline.read_input(inputs)
+            pipeline.encode_partitioned(ds, args.out_dir, args.partition_by)
+            parts = pipeline.encoded_partition_dirs(args.out_dir)
+            print(json.dumps({"partitions": sorted(parts), "out_dir": args.out_dir}))
+        else:
+            summary = checkpoint.encode_job(
+                inputs, args.out_dir, target_partition_bytes=args.partition_mb << 20
+            )
+            print(json.dumps(summary))
         ray.shutdown()
         return 0
 
@@ -321,6 +335,37 @@ def _dispatch(args) -> int:
         from mothray import checkpoint
 
         done = checkpoint.completed_parts(args.enc_dir)
+        if not done:
+            # no job manifests (e.g. a hive-partitioned encode):
+            # summarize from the stripe rows' bookkeeping columns
+            import pyarrow.parquet as pq
+
+            files = checkpoint.job_output_files(args.enc_dir)
+            if files:
+                n_rows = raw = enc_b = 0
+                codecs: dict = {}
+                for f in files:
+                    t = pq.read_table(f, columns=["n_rows", "raw_bytes", "enc_bytes", "meta"])
+                    n_rows += sum(t.column("n_rows").to_pylist())
+                    raw += sum(t.column("raw_bytes").to_pylist())
+                    enc_b += sum(t.column("enc_bytes").to_pylist())
+                    if not codecs and t.num_rows:
+                        codecs = json.loads(t.column("meta")[0].as_py()).get(
+                            "metrics", {}
+                        ).get("codecs", {})
+                print(
+                    json.dumps(
+                        {
+                            "partitions": len(files),
+                            "n_rows": n_rows,
+                            "raw_bytes": raw,
+                            "enc_bytes": enc_b,
+                            "compression_ratio": round(raw / max(enc_b, 1), 3),
+                            "codecs": codecs,
+                        }
+                    )
+                )
+                return 0
         raw = sum(m["raw_bytes"] for m in done.values())
         enc = sum(m["enc_bytes"] for m in done.values())
         print(

@@ -150,10 +150,19 @@ def _load_or_build_plan(out_dir: str, pending: list[dict], opts: dict | None) ->
 
 def job_output_files(out_dir: str) -> list[str]:
     """A job's encoded partition files (explicit list — the manifest
-    dir lives alongside the parquet parts)."""
-    return sorted(
+    dir lives alongside the parquet parts). Hive-partitioned outputs
+    (`__part=<value>/` subdirectories from pipeline.encode_partitioned)
+    are included recursively."""
+    files = [
         os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
-    )
+    ]
+    for sub in os.listdir(out_dir):
+        p = os.path.join(out_dir, sub)
+        if sub.startswith("__part=") and os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+            )
+    return sorted(files)
 
 
 def read_job_output(out_dir: str):
