@@ -342,6 +342,9 @@ def _dispatch(args) -> int:
 
             files = checkpoint.job_output_files(args.enc_dir)
             if files:
+                from mothray import pipeline as _pl
+
+                hive = _pl.encoded_partition_dirs(args.enc_dir)
                 n_rows = raw = enc_b = 0
                 codecs: dict = {}
                 for f in files:
@@ -356,7 +359,7 @@ def _dispatch(args) -> int:
                 print(
                     json.dumps(
                         {
-                            "partitions": len(files),
+                            "partitions": len(hive) or len(files),
                             "n_rows": n_rows,
                             "raw_bytes": raw,
                             "enc_bytes": enc_b,

@@ -1707,12 +1707,16 @@ def encode_partitioned(
 
 
 def encoded_partition_dirs(out_dir: str) -> dict[str, str]:
-    """{partition value: directory} for an encode_partitioned dataset."""
+    """{partition value: directory} for an encode_partitioned dataset.
+    Directory names are hive/URL-encoded by the writer ('a/b' →
+    '__part=a%2Fb'); keys here are the ORIGINAL values."""
+    from urllib.parse import unquote
+
     out = {}
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name.startswith("__part="):
-            out[name.split("=", 1)[1]] = p
+            out[unquote(name.split("=", 1)[1])] = p
     return out
 
 

@@ -39,3 +39,19 @@ def test_partitioned_roundtrip_and_prune(ray_session, docs_ds, tmp_path):
 
     with pytest.raises(KeyError):
         pipeline.read_encoded_partitions(out, ["xx"])
+
+
+def test_partition_values_url_encoded(ray_session, tmp_path):
+    """Writer URL-encodes unusual partition values in directory names;
+    lookups still use the original values."""
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "c"], "k": ["a/b", "café", "x y"]})
+    out = str(tmp_path / "edge")
+    pipeline.encode_partitioned(ray.data.from_arrow(t), out, "k")
+    dirs = pipeline.encoded_partition_dirs(out)
+    assert sorted(dirs) == ["a/b", "café", "x y"]
+    one = pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["a/b"])).take_all()
+    assert [r["doc_id"] for r in one] == [1]
