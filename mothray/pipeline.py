@@ -528,9 +528,13 @@ def _stripe_overlaps(stats_json: str, column: str, min_value, max_value) -> bool
     lo, hi = st.get("min"), st.get("max")
     if lo is None or hi is None:
         return True
-    if min_value is not None and hi < min_value:
+    # timestamp stats are epoch ints in the column's unit: translate
+    # temporal bounds (unknown unit -> bound drops, stay conservative)
+    mn = stripe_mod.stat_bound(min_value, st.get("unit"))
+    mx = stripe_mod.stat_bound(max_value, st.get("unit"))
+    if mn is not None and hi < mn:
         return False
-    if max_value is not None and lo > max_value:
+    if mx is not None and lo > mx:
         return False
     return True
 

@@ -78,3 +78,26 @@ def test_file_index_timestamp_prune(ray_session, tmp_path):
         out, "ts", datetime.datetime(1990, 1, 1), None
     )
     assert kept2  # lower bound below the range keeps files
+
+
+def test_delete_where_timestamp_range(ray_session, tmp_path):
+    import ray.data
+
+    from mothray import pipeline
+
+    t = _table(n=500)
+    src = str(tmp_path / "src")
+    pipeline.encode_dataset(ray.data.from_arrow(t)).write_parquet(src)
+    out = str(tmp_path / "out")
+    lo = datetime.datetime(1995, 1, 5)
+    hi = datetime.datetime(1995, 1, 10)
+    res = pipeline.delete_where(src, out, "ts", lo, hi)
+    import pyarrow.compute as pc
+
+    want_deleted = t.filter(
+        pc.and_(pc.greater_equal(t.column("ts"), pa.scalar(lo)),
+                pc.less_equal(t.column("ts"), pa.scalar(hi)))
+    ).num_rows
+    assert res["rows_deleted"] == want_deleted > 0
+    left = pipeline.decode_dataset(pipeline.read_encoded(out))
+    assert left.count() == t.num_rows - want_deleted
