@@ -123,6 +123,32 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
 
+def _parse_value(x):
+    """CLI predicate literal -> typed value: int, float, ISO date /
+    datetime ('1996-01-01', '1996-01-01T12:30:00'), else string.
+    Timestamp bounds then flow through the same stats-domain
+    translation as library predicates."""
+    if x is None:
+        return None
+    s = str(x)
+    if "." in s:
+        try:
+            return float(s)
+        except ValueError:
+            pass
+    else:
+        try:
+            return int(s)
+        except ValueError:
+            pass
+    import datetime
+
+    try:
+        return datetime.datetime.fromisoformat(s)
+    except ValueError:
+        return s
+
+
 def _dispatch(args) -> int:
     if args.cmd == "encode":
         ray = _ray()
@@ -195,13 +221,7 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import pipeline
 
-        def num(x):
-            if x is None:
-                return None
-            try:
-                return float(x) if "." in str(x) else int(x)
-            except ValueError:
-                return x
+        num = _parse_value
 
         import os
 
@@ -223,13 +243,7 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import pipeline
 
-        def num(x):
-            if x is None:
-                return None
-            try:
-                return float(x) if "." in str(x) else int(x)
-            except ValueError:
-                return x
+        num = _parse_value
 
         res = pipeline.delete_where(
             args.enc_dir, args.out_dir, args.column, num(args.min_value), num(args.max_value)
@@ -251,11 +265,7 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import pipeline
 
-        def num(x):
-            try:
-                return float(x) if "." in str(x) else int(x)
-            except ValueError:
-                return x
+        num = _parse_value
 
         preds = []
         for w in args.where:
@@ -298,13 +308,7 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import versions
 
-        def num(x):
-            if x is None:
-                return None
-            try:
-                return float(x) if "." in str(x) else int(x)
-            except ValueError:
-                return x
+        num = _parse_value
 
         versions.adopt(args.table_dir)
         m = versions.delete_where(
