@@ -1335,6 +1335,21 @@ def prune_read(
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
+def _iter_stripe_rows(batch: pa.Table):
+    """Stripe-row dicts with blob/blooms as ZERO-COPY memoryviews over
+    the Arrow buffers (same walk as StripeDecoder; .as_py() would copy
+    each MB-sized blob before the codecs even look at it)."""
+    for i in range(batch.num_rows):
+        yield {
+            name: (
+                memoryview(batch.column(name)[i].as_buffer()).cast("B")
+                if name in ("blob", "blooms")
+                else batch.column(name)[i].as_py()
+            )
+            for name in batch.column_names
+        }
+
+
 def filter_encoded(
     path: str | list[str],
     column: str,
@@ -1373,7 +1388,7 @@ def filter_encoded(
     def flt(batch: pa.Table) -> pa.Table:
         parts = [
             stripe_mod.filter_stripe(row, column, op, value, columns)
-            for row in batch.to_pylist()
+            for row in _iter_stripe_rows(batch)
         ]
         parts = [p for p in parts if p.num_rows] or parts[:1]
         if not parts:
@@ -1427,7 +1442,8 @@ def filter_encoded_multi(
 
     def flt(batch: pa.Table) -> pa.Table:
         parts = [
-            stripe_mod.filter_stripe_multi(row, preds, columns) for row in batch.to_pylist()
+            stripe_mod.filter_stripe_multi(row, preds, columns)
+            for row in _iter_stripe_rows(batch)
         ]
         parts = [p for p in parts if p.num_rows] or parts[:1]
         if not parts:
