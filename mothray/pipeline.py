@@ -901,7 +901,13 @@ def agg_encoded(in_dir: str | list[str], specs: dict[str, tuple]) -> pa.Table:
         if t is not None and pa.types.is_date(t):
             import datetime
 
-            return pa.scalar(datetime.date.fromisoformat(value), type=t)
+            if isinstance(value, str):  # pre-epoch-int stats format
+                return pa.scalar(datetime.date.fromisoformat(value), type=t)
+            if st.get("unit") == "ms":  # date64
+                d = datetime.date(1970, 1, 1) + datetime.timedelta(milliseconds=value)
+            else:
+                d = datetime.date(1970, 1, 1) + datetime.timedelta(days=value)
+            return pa.scalar(d, type=t)
         return pa.scalar(value, type=t) if t is not None else pa.scalar(value)
 
     out: dict[str, pa.Scalar] = {}

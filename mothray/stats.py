@@ -33,10 +33,24 @@ def column_stats(arr: pa.Array | pa.ChunkedArray, string_limit: int | None = STR
         out["true_count"] = int(pc.sum(arr.cast(pa.int64())).as_py() or 0)
         return out
     if pa.types.is_integer(t) or pa.types.is_date(t):
-        mm = pc.min_max(arr)
-        vals = arr.cast(pa.int64()) if not pa.types.is_date(t) else arr.cast(pa.int32()).cast(pa.int64())
-        out["min"] = _plain(mm["min"])
-        out["max"] = _plain(mm["max"])
+        if pa.types.is_date(t):
+            # epoch ints + unit, same scheme as timestamps, so temporal
+            # predicate bounds translate via stripe.stat_bound and date
+            # columns get zone-map pruning (was: iso strings, no prune)
+            vals = (
+                arr.cast(pa.int32()).cast(pa.int64())
+                if t.bit_width == 32
+                else arr.cast(pa.int64())
+            )
+            mm = pc.min_max(vals)
+            out["min"] = mm["min"].as_py()
+            out["max"] = mm["max"].as_py()
+            out["unit"] = "D" if t.bit_width == 32 else "ms"
+        else:
+            mm = pc.min_max(arr)
+            vals = arr.cast(pa.int64())
+            out["min"] = _plain(mm["min"])
+            out["max"] = _plain(mm["max"])
         # int64 sums wrap in arrow; the reference drops the sum when it
         # overflows (IntegerStatisticsBuilder overflow flag) — detect
         # via a float shadow sum

@@ -125,6 +125,10 @@ def _rg_minmax(arr: pa.Array):
     if pa.types.is_timestamp(t):
         mm = pc.min_max(arr.cast(pa.int64()))
         return [mm["min"].as_py(), mm["max"].as_py()]
+    if pa.types.is_date(t):  # epoch ints, matching the stripe stats unit
+        vals = arr.cast(pa.int32()).cast(pa.int64()) if t.bit_width == 32 else arr.cast(pa.int64())
+        mm = pc.min_max(vals)
+        return [mm["min"].as_py(), mm["max"].as_py()]
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         mm = pc.min_max(arr)
         mn, mx = mm["min"].as_py(), mm["max"].as_py()
@@ -516,6 +520,13 @@ def stat_bound(value, unit: str | None):
         return value
     if unit is None:
         return None
+    if unit == "D":  # date32 stats: epoch days; truncation is
+        # conservative in both bound directions (day containing the
+        # value overlaps the value)
+        if isinstance(value, np.datetime64):
+            return int(value.astype("datetime64[D]").astype(np.int64))
+        d = value.date() if isinstance(value, _dt.datetime) else value
+        return (d - _dt.date(1970, 1, 1)).days
     if isinstance(value, _dt.datetime):
         ts_t = pa.timestamp(unit, tz="UTC") if value.tzinfo else pa.timestamp(unit)
         return pa.scalar(value, type=ts_t).value
@@ -528,11 +539,16 @@ def stat_bounds_for(op: str, value, t: pa.DataType | None) -> tuple:
     """string_pred_bounds normalized for the stats domain of column
     type `t`: timestamp predicates become int64 epoch ints in t's
     unit, so select_row_groups / zone-map compares stay same-type."""
+    import datetime as _dt
+
     lo, hi = string_pred_bounds(op, value)
     if t is not None and pa.types.is_timestamp(t):
         return stat_bound(lo, t.unit), stat_bound(hi, t.unit)
-    if is_temporal_value(value):
-        return None, None  # non-timestamp storage of a temporal pred: no stats prune
+    if t is not None and pa.types.is_date(t):
+        unit = "D" if t.bit_width == 32 else "ms"
+        return stat_bound(lo, unit), stat_bound(hi, unit)
+    if is_temporal_value(value) or isinstance(value, _dt.time):
+        return None, None  # temporal pred on other storage: no stats prune
     return lo, hi
 
 

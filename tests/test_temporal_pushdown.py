@@ -101,3 +101,31 @@ def test_delete_where_timestamp_range(ray_session, tmp_path):
     assert res["rows_deleted"] == want_deleted > 0
     left = pipeline.decode_dataset(pipeline.read_encoded(out))
     assert left.count() == t.num_rows - want_deleted
+
+
+def test_date32_zone_map_prune_and_filter(ray_session, tmp_path):
+    """date32 stats are epoch-day ints with unit 'D': zone maps prune,
+    row-group selection works, exact filter counts match."""
+    import ray.data
+
+    from mothray import pipeline
+
+    d = pa.array(np.arange(1000).astype("datetime64[D]"))
+    t = pa.table({"id": pa.array(np.arange(1000)), "d": d})
+    out = str(tmp_path / "dates")
+    pipeline.encode_dataset(
+        ray.data.from_arrow(t), opts={"row_group_rows": 100}
+    ).write_parquet(out)
+    cut = datetime.date(1970, 2, 1)
+    assert pipeline.filter_encoded(out, "d", "lt", cut).count() == 31
+    # datetime bound with a time-of-day: the zone-map day truncation is
+    # conservative; the mask promotes date -> timestamp (SQL semantics),
+    # so Feb 1 (midnight) < Feb 1 12:30 is included
+    cutdt = datetime.datetime(1970, 2, 1, 12, 30)
+    assert pipeline.filter_encoded(out, "d", "lt", cutdt).count() == 32
+    # no-overlap bound prunes to zero via stats alone
+    assert pipeline.filter_encoded(out, "d", "lt", datetime.date(1960, 1, 1)).count() == 0
+    # metadata-only aggregate serves typed dates from the int stats
+    agg = pipeline.agg_encoded(out, {"dmin": ("min", "d"), "dmax": ("max", "d")})
+    assert agg.column("dmin")[0].as_py() == datetime.date(1970, 1, 1)
+    assert agg.column("dmax")[0].as_py() == datetime.date(1972, 9, 26)
