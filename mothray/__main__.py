@@ -256,7 +256,10 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import pipeline
 
-        res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
+        if pipeline.encoded_partition_dirs(args.enc_dir):
+            res = pipeline.compact_partitioned(args.enc_dir, args.out_dir, target_mb=args.target_mb)
+        else:
+            res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
         print(json.dumps(res))
         ray.shutdown()
         return 0

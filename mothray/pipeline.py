@@ -443,6 +443,21 @@ def decode_files(
     )
 
 
+def compact_partitioned(in_dir: str, out_dir: str, target_mb: int = 256) -> dict:
+    """compact_encoded applied per hive partition: each __part=<value>/
+    directory compacts independently into the same layout under
+    out_dir (partition = the natural compaction and resume unit)."""
+    totals = {"files_in": 0, "files_out": 0, "bytes": 0, "partitions": 0}
+    for value, src in encoded_partition_dirs(in_dir).items():
+        dst = os.path.join(out_dir, os.path.basename(src))
+        os.makedirs(dst, exist_ok=True)
+        r = compact_encoded(src, dst, target_mb=target_mb)
+        for k in ("files_in", "files_out", "bytes"):
+            totals[k] += r[k]
+        totals["partitions"] += 1
+    return totals
+
+
 def compact_encoded(
     in_dir: str | list[str],
     out_dir: str,

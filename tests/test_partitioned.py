@@ -55,3 +55,20 @@ def test_partition_values_url_encoded(ray_session, tmp_path):
     assert sorted(dirs) == ["a/b", "café", "x y"]
     one = pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["a/b"])).take_all()
     assert [r["doc_id"] for r in one] == [1]
+
+
+def test_compact_partitioned(ray_session, docs_ds, tmp_path):
+    from mothray import pipeline
+
+    out = str(tmp_path / "p")
+    pipeline.encode_partitioned(docs_ds, out, "lang")
+    comp = str(tmp_path / "c")
+    res = pipeline.compact_partitioned(out, comp)
+    assert res["partitions"] == len(pipeline.encoded_partition_dirs(out))
+    assert res["files_out"] <= res["files_in"]
+    assert sorted(pipeline.encoded_partition_dirs(comp)) == sorted(
+        pipeline.encoded_partition_dirs(out)
+    )
+    a = pipeline.decode_dataset(pipeline.read_encoded_partitions(out)).count()
+    b = pipeline.decode_dataset(pipeline.read_encoded_partitions(comp)).count()
+    assert a == b
