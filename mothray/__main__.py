@@ -6,6 +6,7 @@
   python -m mothray verify  IN_PARQUET ENC_DIR --key COLUMN
   python -m mothray stats   ENC_DIR
   python -m mothray prune   ENC_DIR OUT_DIR --column C [--min X] [--max Y] [--needle S]
+  python -m mothray explain ENC_DIR --where "col OP value" (metadata-only prune report)
 
 `encode` is the resumable checkpointed job (re-run after a crash to
 finish); `decode` streams stripes back to parquet; `verify` is the
@@ -90,6 +91,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     sc.add_argument("--columns", default=None, help="comma-separated projection")
 
+    ex = sub.add_parser(
+        "explain",
+        help="dry-run the skipping stack for a predicate: files/stripes/"
+        "row-groups pruned + stream bytes fetched vs total (metadata-only)",
+    )
+    ex.add_argument("enc_dir")
+    ex.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL OP VALUE",
+        help="predicate 'column op value' with op in eq/lt/le/gt/ge/prefix/like; repeat for AND",
+    )
+
     ix = sub.add_parser("index", help="build the file-level skip index (prune_read then skips whole files without opening footers)")
     ix.add_argument("enc_dir")
 
@@ -121,6 +136,17 @@ def main(argv: list[str] | None = None) -> int:
     except KeyError as e:
         print(f"error: unknown column {e} (see `stats` for the schema)", file=sys.stderr)
         return 2
+
+
+def _parse_preds(wheres: list[str]) -> list[tuple]:
+    preds = []
+    for w in wheres:
+        parts = w.split(None, 2)
+        if len(parts) != 3:
+            raise SystemExit(f"bad --where {w!r}: expected 'column op value'")
+        col, op, val = parts
+        preds.append((col, op, _parse_value(val)))
+    return preds
 
 
 def _parse_value(x):
@@ -264,19 +290,19 @@ def _dispatch(args) -> int:
         ray.shutdown()
         return 0
 
+    if args.cmd == "explain":
+        ray = _ray()
+        from mothray import pipeline
+
+        print(json.dumps(pipeline.explain_scan(args.enc_dir, _parse_preds(args.where))))
+        ray.shutdown()
+        return 0
+
     if args.cmd == "scan":
         ray = _ray()
         from mothray import pipeline
 
-        num = _parse_value
-
-        preds = []
-        for w in args.where:
-            parts = w.split(None, 2)
-            if len(parts) != 3:
-                raise SystemExit(f"bad --where {w!r}: expected 'column op value'")
-            col, op, val = parts
-            preds.append((col, op, num(val)))
+        preds = _parse_preds(args.where)
         cols = args.columns.split(",") if args.columns else None
         if not preds:
             ds = pipeline.decode_dataset(pipeline.read_encoded(args.enc_dir))

@@ -1356,6 +1356,105 @@ def prune_read(
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
+def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
+    """Dry-run the skipping stack for a conjunctive predicate and report
+    what each level would prune — file skip index, stripe zone maps
+    (+ blooms for string equality), per-row-group min/max — plus the
+    stream bytes a scan would fetch vs the dataset total. Metadata-only:
+    no blob bytes are read and nothing decodes. The tuning loop for
+    'is my predicate actually pruning?' on a 10^5-file dataset."""
+    from . import stripe as stripe_mod_
+
+    usable = [
+        (col, op, value)
+        for col, op, value in preds
+        if op != "ne" and not (op == "like" and not stripe_mod_.like_prefix(value))
+    ]
+    files_total = files_kept = None
+    if isinstance(path, str) and os.path.isdir(path):
+        files_total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        kept: set[str] | None = None
+        for col, op, value in usable:
+            lo, hi = stripe_mod_.string_pred_bounds(op, value)
+            k = _index_prune_files(path, col, lo, hi)
+            if k is None:
+                kept = None
+                break
+            kept = set(k) if kept is None else kept & set(k)
+        files_kept = len(kept) if kept is not None else files_total
+        if kept is not None:
+            path = sorted(kept) or path
+
+    meta = read_encoded(path, metadata_only=True)
+    pruned = meta
+    for col, op, value in usable:
+        lo, hi = stripe_mod_.string_pred_bounds(op, value)
+        needle = value if op == "eq" and isinstance(value, str) else None
+        pruned = prune_stripes(pruned, col, lo, hi, needle)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        rgs_total = rgs_kept = kept_bytes = 0
+        for i in range(batch.num_rows):
+            m = json.loads(batch.column("meta")[i].as_py())
+            rgc = m["row_groups"]["count"]
+            import pyarrow as _pa
+
+            sch = stripe_mod_._deserialize_schema(batch.column("schema_ipc")[i].as_py()) if "schema_ipc" in batch.column_names else None
+            keep = set(range(rgc))
+            for col, op, value in usable:
+                t = sch.field(col).type if sch is not None else None
+                lo, hi = stripe_mod_.stat_bounds_for(op, value, t)
+                sel = stripe_mod_.select_row_groups(m, col, lo, hi)
+                if sel is not None:
+                    keep &= set(sel)
+            rgs_total += rgc
+            rgs_kept += len(keep)
+            for trees in m["columns"].values():
+                for gi, tree in enumerate(trees["row_groups"]):
+                    if gi in keep:
+                        kept_bytes += sum(s["len"] for s in tree["streams"])
+        return pa.table(
+            {
+                "stripes": pa.array([batch.num_rows], pa.int64()),
+                "rgs_total": pa.array([rgs_total], pa.int64()),
+                "rgs_kept": pa.array([rgs_kept], pa.int64()),
+                "kept_bytes": pa.array([kept_bytes], pa.int64()),
+            }
+        )
+
+    # schema_ipc rides along for typed bound translation
+    meta_cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms", "schema_ipc"]
+    meta_full = ray.data.read_parquet(path, columns=meta_cols)
+    total_stripes = meta_full.count()
+    total_bytes = int(meta_full.sum("enc_bytes") or 0)
+    surv = pruned  # stripes surviving zone maps (metadata rows)
+    # re-read survivors with schema for rg-level accounting
+    surv_keys = {r["stripe_key"] for r in surv.select_columns(["stripe_key"]).take_all()}
+
+    def only_surv(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pa.array(sorted(surv_keys), pa.string())
+        return batch.filter(pc.is_in(batch.column("stripe_key"), value_set=keys))
+
+    parts = (
+        meta_full.map_batches(only_surv, batch_format="pyarrow")
+        .map_batches(totals, batch_format="pyarrow")
+        .take_all()
+    )
+    stripes_kept = sum(r["stripes"] for r in parts)
+    return {
+        "files_total": files_total,
+        "files_after_index": files_kept,
+        "stripes_total": int(total_stripes),
+        "stripes_after_zonemaps": int(stripes_kept),
+        "row_groups_in_survivors": int(sum(r["rgs_total"] for r in parts)),
+        "row_groups_after_stats": int(sum(r["rgs_kept"] for r in parts)),
+        "stream_bytes_total": total_bytes,
+        "stream_bytes_fetched": int(sum(r["kept_bytes"] for r in parts)),
+    }
+
+
 def _iter_stripe_rows(batch: pa.Table):
     """Stripe-row dicts with blob/blooms as ZERO-COPY memoryviews over
     the Arrow buffers (same walk as StripeDecoder; .as_py() would copy

@@ -129,3 +129,26 @@ def test_date32_zone_map_prune_and_filter(ray_session, tmp_path):
     agg = pipeline.agg_encoded(out, {"dmin": ("min", "d"), "dmax": ("max", "d")})
     assert agg.column("dmin")[0].as_py() == datetime.date(1970, 1, 1)
     assert agg.column("dmax")[0].as_py() == datetime.date(1972, 9, 26)
+
+
+def test_explain_scan_reports_pruning(ray_session, tmp_path):
+    """explain_scan counts each skipping level; a sorted dataset shows
+    row-group pruning and fetched bytes << total."""
+    import ray.data
+
+    from mothray import pipeline
+
+    t = _table(n=2000)
+    raw = str(tmp_path / "raw")
+    pipeline.encode_dataset(
+        ray.data.from_arrow(t), opts={"row_group_rows": 200}
+    ).write_parquet(raw)
+    pipeline.build_file_index(raw)
+    cut = datetime.datetime(1995, 1, 3)
+    r = pipeline.explain_scan(raw, [("ts", "lt", cut)])
+    assert r["stripes_total"] >= r["stripes_after_zonemaps"] >= 1
+    assert r["row_groups_after_stats"] < r["row_groups_in_survivors"]
+    assert 0 < r["stream_bytes_fetched"] < r["stream_bytes_total"]
+    # non-overlapping predicate: file index drops everything
+    r0 = pipeline.explain_scan(raw, [("ts", "lt", datetime.datetime(1990, 1, 1))])
+    assert r0["stream_bytes_fetched"] == 0
