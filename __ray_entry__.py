@@ -831,6 +831,31 @@ def _partitioned_encode_documents(sf_dir: str):
     return pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["de", "fr"]))
 
 
+def _ingest_dedup_documents(sf_dir: str):
+    """Dedup-at-ingest: even-id docs form the indexed corpus (sorted
+    (h1,h2) hash index + bloom, text never moves); odd-id docs arrive
+    as the ingest batch — already-seen content and in-batch repeats
+    drop without rescanning corpus text. Oracle = NOT EXISTS + min-id
+    SQL over the same split."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from mothray.ops import dedup
+
+    def parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+        return f
+
+    corpus = _docs(sf_dir).map_batches(parity(0), batch_format="pyarrow")
+    batch = _docs(sf_dir).map_batches(parity(1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="mothray_ingest_idx_")
+    dedup.build_exact_index(corpus, idx)
+    return dedup.ingest_dedup(batch, idx)
+
+
 def _bm25_documents(sf_dir: str):
     """BM25 ranked retrieval over the engine-encoded inverted index:
     tf/dl postings with zone-map/bloom term pruning, df from the
@@ -1887,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pack_documents"] = _pack_documents
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
+    q["ingest_dedup_documents"] = _ingest_dedup_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
     q["pack_tokens_documents"] = _pack_tokens_documents
@@ -2177,6 +2203,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["partitioned_encode_documents"] = (
         "SELECT * FROM documents WHERE lang IN ('de', 'fr')"
+    )
+    o["ingest_dedup_documents"] = (
+        "WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1)"
+        " SELECT * FROM batch b"
+        " WHERE NOT EXISTS (SELECT 1 FROM documents c"
+        "  WHERE c.doc_id % 2 = 0 AND c.text = b.text)"
+        " AND b.doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.text = b.text)"
     )
     o["bm25_search_documents"] = (
         "WITH toks AS (SELECT doc_id,"

@@ -881,3 +881,210 @@ def jaccard_dedup(
         bucket_verify, batch_format="pyarrow"
     )
     return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
+
+
+# ------------------------------------------------- ingest-time exact dedup
+
+_EXACT_BLOOM = "_exact_bloom.bin"
+
+
+def _hash_keys(ds, column: str, id_column: str | None = None):
+    cols = [column] if id_column is None else [id_column, column]
+    keep = ["h1", "h2"] if id_column is None else ["h1", "h2", id_column]
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        return content_hash_batch(batch.select(cols), column).select(keep)
+
+    return ds.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _h1_string_parts(h1_col):
+    """(lengths, bytes) view of h1 cast to decimal strings — the same
+    form join.build_key_bloom hashes, so gate checks are bit-exact."""
+    import pyarrow.compute as pc
+
+    from .. import column as column_mod
+
+    s = pc.cast(h1_col, pa.string())
+    s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+    return column_mod._string_parts_view(s)
+
+
+def build_exact_index(ds, out_dir: str, column: str = "text", opts: dict | None = None) -> dict:
+    """Persisted exact-duplicate index for INGEST-time dedup: the
+    corpus's (h1, h2) full-content hashes sorted by h1 and encoded with
+    the engine's writer (the sort gives every stripe a tight h1 zone
+    map), plus an OR-merged bloom over h1 stored alongside. Corpus text
+    never moves — only 16-byte hash rows go through one sort."""
+    import os
+
+    from .. import pipeline
+    from . import join as join_ops
+
+    keys = _hash_keys(ds, column).sort("h1")
+    pipeline.write_encoded(pipeline.encode_dataset(keys, opts), out_dir)
+    dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
+    blm = join_ops.build_key_bloom(dec, "h1")
+    with open(os.path.join(out_dir, _EXACT_BLOOM), "wb") as f:
+        f.write(blm)
+    return {"n_docs": int(ds.count()), "bloom_bytes": len(blm)}
+
+
+def append_exact_index(ds, index_dir: str, column: str = "text", opts: dict | None = None) -> dict:
+    """Add newly-ingested docs' hashes to an existing index as another
+    sorted run (per-file zone maps keep probes pruned) and OR their
+    bits into the stored bloom (geometry fixed at build time — fpp
+    degrades gradually as the corpus outgrows it; rebuild to re-size)."""
+    import os
+
+    from .. import bloom as bloom_mod
+    from .. import pipeline
+
+    keys = _hash_keys(ds, column).sort("h1")
+    before = set(os.listdir(index_dir))
+    pipeline.write_encoded(pipeline.encode_dataset(keys, opts), index_dir)
+    new_files = [
+        os.path.join(index_dir, f)
+        for f in sorted(set(os.listdir(index_dir)) - before)
+        if f.endswith(".parquet")
+    ]
+    with open(os.path.join(index_dir, _EXACT_BLOOM), "rb") as f:
+        blm = f.read()
+    num_bits = int.from_bytes(blm[0:8], "little")
+    k = int.from_bytes(blm[8:16], "little")
+    bits = np.frombuffer(blm, dtype=np.uint8, offset=16).copy()
+    if new_files:
+        dec = pipeline.decode_dataset(pipeline.read_encoded(new_files))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lengths, data = _h1_string_parts(batch.column("h1"))
+            b = bloom_mod.partial_bits(lengths, data, num_bits, k)
+            return pa.table({"bits": pa.array([b.tobytes()], type=pa.binary())})
+
+        for bt in dec.map_batches(partial, batch_format="pyarrow").take_all():
+            bits |= np.frombuffer(bt["bits"], dtype=np.uint8)
+    with open(os.path.join(index_dir, _EXACT_BLOOM), "wb") as f:
+        f.write(bloom_mod.assemble(bits, num_bits, k))
+    return {"appended": int(ds.count())}
+
+
+def ingest_dedup(
+    new_ds,
+    index_dir: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Drop new docs whose content ALREADY EXISTS in the indexed corpus,
+    plus exact duplicates within the batch (lowest id wins) — the
+    dedup-at-ingest step of a continuously-growing corpus, without
+    rescanning corpus text.
+
+    Scale shape (ingest batch << corpus):
+      1. (h1, h2, id) per new doc — 24 B rows, batch-sized.
+      2. One groupby handles in-batch dups; group winners continue.
+      3. Bloom gate (bytes broadcast via ray.put): definitely-new docs
+         pass instantly; candidates = real dups + ~fpp of the batch.
+      4. Candidate hashes come to the driver (bounded by the ingest
+         batch, NOT the corpus) and prune the sorted index by stripe
+         zone maps — blob bytes read ∝ candidate-overlapping stripes.
+      5. Matches broadcast back; seen ids + in-batch losers anti-join
+         against the batch (text moves only through that final join).
+    """
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .. import pipeline
+
+    keys = _hash_keys(new_ds, column, id_column)
+
+    def split_group(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        win = pc.equal(ids, pc.min(ids))
+        return group.append_column("__winner", win)
+
+    tagged = keys.groupby(["h1", "h2"]).map_groups(split_group, batch_format="pyarrow")
+    tagged = tagged.materialize()  # two consumers: losers + winners
+
+    def only_losers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("__winner"), False)).select([id_column])
+
+    losers_in = tagged.map_batches(only_losers, batch_format="pyarrow", zero_copy_batch=True)
+
+    with open(os.path.join(index_dir, _EXACT_BLOOM), "rb") as f:
+        blm = f.read()
+    blm_ref = ray.put(blm)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = ray.get(blm_ref)
+        w = batch.filter(pc.equal(batch.column("__winner"), True))
+        if w.num_rows == 0:
+            return w.select(["h1", "h2", id_column])
+        lengths, data = _h1_string_parts(w.column("h1"))
+        mask = bloom_mod.might_contain_buffers(b, lengths, data)
+        return w.filter(pa.array(mask)).select(["h1", "h2", id_column])
+
+    cand = tagged.map_batches(gate, batch_format="pyarrow").take_all()
+    seen_ids: list = []
+    if cand:
+        cand_h1 = np.sort(np.array([r["h1"] for r in cand], dtype=np.int64))
+        by_h1: dict = {}
+        for r in cand:
+            by_h1.setdefault(r["h1"], []).append((r["h2"], r[id_column]))
+
+        meta = pipeline.read_encoded(index_dir, metadata_only=True, include_paths=True)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            for i, sj in enumerate(batch.column("stats").to_pylist()):
+                st = _json.loads(sj).get("h1", {})
+                lo, hi = st.get("min"), st.get("max")
+                if lo is None or hi is None:
+                    mask[i] = True
+                    continue
+                j = np.searchsorted(cand_h1, lo)
+                mask[i] = j < len(cand_h1) and cand_h1[j] <= hi
+            return batch.filter(pa.array(mask))
+
+        fetched = meta.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            pipeline._FetchStripes(), batch_format="pyarrow"
+        )
+
+        def match(batch: pa.Table) -> pa.Table:
+            h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+            h2 = batch.column("h2").to_numpy(zero_copy_only=False)
+            hit = np.isin(h1, cand_h1)
+            out = []
+            for a, b2 in zip(h1[hit].tolist(), h2[hit].tolist()):
+                for ch2, _cid in by_h1.get(a, ()):
+                    if ch2 == b2:
+                        out.append((a, b2))
+            return pa.table(
+                {
+                    "h1": pa.array([x for x, _ in out], pa.int64()),
+                    "h2": pa.array([y for _, y in out], pa.int64()),
+                }
+            )
+
+        seen_pairs = {
+            (r["h1"], r["h2"])
+            for r in pipeline.decode_dataset(fetched).map_batches(
+                match, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        }
+        seen_ids = [
+            cid
+            for h1v, h2v in seen_pairs
+            for ch2, cid in by_h1.get(h1v, ())
+            if ch2 == h2v
+        ]
+
+    import ray.data as rd
+
+    id_type = pa.int64() if not seen_ids or isinstance(seen_ids[0], int) else pa.string()
+    seen_tbl = pa.table({id_column: pa.array(seen_ids, id_type)})
+    dup = losers_in.union(rd.from_arrow(seen_tbl))
+    return _anti_join_ids(new_ds, dup, id_column, num_partitions)

@@ -1,0 +1,54 @@
+"""Ingest-time exact dedup against a persisted corpus hash index:
+cross-corpus dups drop, in-batch dups keep the lowest id, definitely-new
+docs pass the bloom gate, and appends extend the index."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray.ops import dedup
+
+
+def _ds(ids, texts):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+
+@pytest.fixture()
+def corpus_and_batch():
+    rng = np.random.default_rng(3)
+    corpus_texts = [f"corpus doc {i} " + "x" * int(rng.integers(1, 40)) for i in range(100)]
+    batch_texts = (
+        corpus_texts[10:30]  # 20 cross-corpus dups
+        + [f"new doc {i}" for i in range(30)]  # 30 new
+        + ["repeated in batch"] * 3  # in-batch dups: keep 1
+    )
+    batch_ids = list(range(100, 100 + len(batch_texts)))
+    return corpus_texts, batch_ids, batch_texts
+
+
+def test_ingest_dedup_end_to_end(ray_session, corpus_and_batch, tmp_path):
+    corpus_texts, batch_ids, batch_texts = corpus_and_batch
+    idx = str(tmp_path / "exact_idx")
+    meta = dedup.build_exact_index(_ds(list(range(100)), corpus_texts), idx)
+    assert meta["n_docs"] == 100
+
+    kept = dedup.ingest_dedup(_ds(batch_ids, batch_texts), idx).take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # 20 cross dups dropped; 2 of the 3 in-batch repeats dropped
+    want = sorted(batch_ids[20:50] + [batch_ids[50]])
+    assert kept_ids == want
+    # content check: no kept text exists in the corpus
+    assert not ({r["text"] for r in kept} & set(corpus_texts))
+
+    # append the survivors; a re-ingest of the same batch drops everything
+    dedup.append_exact_index(_ds(kept_ids, [r["text"] for r in kept]), idx)
+    again = dedup.ingest_dedup(_ds([900 + i for i in range(len(batch_texts))], batch_texts), idx)
+    assert again.count() == 0
+
+
+def test_ingest_dedup_all_new(ray_session, tmp_path):
+    idx = str(tmp_path / "idx2")
+    dedup.build_exact_index(_ds([1, 2], ["alpha", "beta"]), idx)
+    out = dedup.ingest_dedup(_ds([3, 4], ["gamma", "delta"]), idx)
+    assert sorted(r["doc_id"] for r in out.take_all()) == [3, 4]
