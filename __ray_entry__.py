@@ -856,6 +856,29 @@ def _ingest_dedup_documents(sf_dir: str):
     return dedup.ingest_dedup(batch, idx)
 
 
+def _ingest_minhash_documents(sf_dir: str):
+    """Near-dup-at-ingest (approximate — rows-only by nature): even-id
+    docs form the persisted LSH band index; odd-id docs drop when they
+    share any band bucket with the corpus or an earlier in-batch doc."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from mothray.ops import dedup
+
+    def parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+        return f
+
+    corpus = _docs(sf_dir).map_batches(parity(0), batch_format="pyarrow")
+    batch = _docs(sf_dir).map_batches(parity(1), batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="mothray_mh_idx_")
+    dedup.build_minhash_index(corpus, idx)
+    return dedup.ingest_minhash_dedup(batch, idx)
+
+
 def _bm25_documents(sf_dir: str):
     """BM25 ranked retrieval over the engine-encoded inverted index:
     tf/dl postings with zone-map/bloom term pruning, df from the
@@ -1913,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["ingest_dedup_documents"] = _ingest_dedup_documents
+    q["ingest_minhash_documents"] = _ingest_minhash_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
     q["pack_tokens_documents"] = _pack_tokens_documents

@@ -1088,3 +1088,151 @@ def ingest_dedup(
     seen_tbl = pa.table({id_column: pa.array(seen_ids, id_type)})
     dup = losers_in.union(rd.from_arrow(seen_tbl))
     return _anti_join_ids(new_ds, dup, id_column, num_partitions)
+
+
+# --------------------------------------------- ingest-time minhash near-dup
+
+_MINHASH_BLOOM = "_minhash_bloom.bin"
+
+
+def _combined_band_hashes(batch: pa.Table, column: str, id_column: str | None) -> pa.Table:
+    """(bh, [id]) rows: band index folded into the band hash so the
+    whole LSH key space is ONE sorted int64 column."""
+    rows = minhash_band_rows(
+        batch if id_column else batch.append_column("__rid", pa.array(np.arange(batch.num_rows))),
+        column,
+        id_column or "__rid",
+    )
+    band = rows.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bh = rows.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+    combined = bloom_mod._mix((band << _U64(56)) ^ bh)
+    out = {"bh": pa.array(combined.view(np.int64))}
+    if id_column:
+        out[id_column] = rows.column(id_column)
+    return pa.table(out)
+
+
+def build_minhash_index(ds, out_dir: str, column: str = "text", opts: dict | None = None) -> dict:
+    """Persisted LSH band index for INGEST-time near-dup dedup: every
+    corpus doc's 16 combined band hashes, distinct + sorted + encoded
+    (tight per-stripe bh zone maps), plus an OR-merged bloom. Matches
+    minhash_lsh_dedup's semantics — sharing any band bucket with the
+    corpus marks a new doc as a near-duplicate."""
+    import os
+
+    from .. import pipeline
+    from . import join as join_ops
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = _combined_band_hashes(batch, column, None)
+        return t.group_by("bh", use_threads=False).aggregate([])
+
+    bh = (
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bh")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort("bh")
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(bh, opts), out_dir)
+    dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
+    blm = join_ops.build_key_bloom(dec, "bh")
+    with open(os.path.join(out_dir, _MINHASH_BLOOM), "wb") as f:
+        f.write(blm)
+    return {"n_band_hashes": int(dec.count()), "bloom_bytes": len(blm)}
+
+
+def ingest_minhash_dedup(
+    new_ds,
+    index_dir: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Near-dup-at-ingest: drop new docs that share any LSH band bucket
+    with the indexed corpus, then collapse in-batch bucket collisions
+    to the lowest id (exactly minhash_lsh_dedup's single-linkage
+    semantics) — no corpus text or corpus band rows are rescanned.
+
+    Same bounded-candidate shape as ingest_dedup: the bloom gate keeps
+    only colliding-or-false-positive band hashes, those prune the
+    sorted index by stripe zone maps, and confirmed hashes broadcast
+    back into the drop set."""
+    import json as _json
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .. import pipeline
+
+    band_rows = new_ds.map_batches(
+        lambda t: _combined_band_hashes(t, column, id_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # consumed by gate + in-batch dedup
+
+    with open(os.path.join(index_dir, _MINHASH_BLOOM), "rb") as f:
+        blm = f.read()
+    blm_ref = ray.put(blm)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = ray.get(blm_ref)
+        if batch.num_rows == 0:
+            return batch.select(["bh"])
+        lengths, data = _h1_string_parts(batch.column("bh"))
+        mask = bloom_mod.might_contain_buffers(b, lengths, data)
+        t = batch.filter(pa.array(mask)).select(["bh"])
+        return t.group_by("bh", use_threads=False).aggregate([])
+
+    cand = sorted({r["bh"] for r in band_rows.map_batches(gate, batch_format="pyarrow").take_all()})
+    seen_bh: set = set()
+    if cand:
+        cand_arr = np.array(cand, dtype=np.int64)
+        meta = pipeline.read_encoded(index_dir, metadata_only=True, include_paths=True)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            for i, sj in enumerate(batch.column("stats").to_pylist()):
+                st = _json.loads(sj).get("bh", {})
+                lo, hi = st.get("min"), st.get("max")
+                if lo is None or hi is None:
+                    mask[i] = True
+                    continue
+                j = np.searchsorted(cand_arr, lo)
+                mask[i] = j < len(cand_arr) and cand_arr[j] <= hi
+            return batch.filter(pa.array(mask))
+
+        fetched = meta.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            pipeline._FetchStripes(), batch_format="pyarrow"
+        )
+
+        def match(batch: pa.Table) -> pa.Table:
+            v = batch.column("bh").to_numpy(zero_copy_only=False)
+            hit = v[np.isin(v, cand_arr)]
+            return pa.table({"bh": pa.array(hit)})
+
+        seen_bh = {
+            r["bh"]
+            for r in pipeline.decode_dataset(fetched)
+            .map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        }
+
+    seen_ref = ray.put(np.array(sorted(seen_bh), dtype=np.int64))
+
+    def corpus_dups(batch: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)
+        v = batch.column("bh").to_numpy(zero_copy_only=False)
+        hit = np.isin(v, seen)
+        return batch.filter(pa.array(hit)).select([id_column])
+
+    corpus_dup_ids = band_rows.map_batches(
+        corpus_dups, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        ids = group.column(id_column)
+        return group.filter(pc.not_equal(ids, pc.min(ids))).select([id_column])
+
+    in_batch = band_rows.groupby("bh").map_groups(bucket_losers, batch_format="pyarrow")
+    return _anti_join_ids(new_ds, corpus_dup_ids.union(in_batch), id_column, num_partitions)

@@ -52,3 +52,33 @@ def test_ingest_dedup_all_new(ray_session, tmp_path):
     dedup.build_exact_index(_ds([1, 2], ["alpha", "beta"]), idx)
     out = dedup.ingest_dedup(_ds([3, 4], ["gamma", "delta"]), idx)
     assert sorted(r["doc_id"] for r in out.take_all()) == [3, 4]
+
+
+def test_ingest_minhash_near_dup(ray_session, tmp_path):
+    """Band-bucket collisions with the indexed corpus drop; distinct
+    content survives; in-batch bucket dups keep the lowest id."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(500)]
+
+    def doc(k, n=80):
+        r = np.random.default_rng(k)
+        return " ".join(r.choice(words, size=n))
+
+    corpus = [doc(i) for i in range(60)]
+    idx = str(tmp_path / "mh_idx")
+    dedup.build_minhash_index(_ds(list(range(60)), corpus), idx)
+
+    near = corpus[5] + " tailword"  # near-dup of corpus doc 5
+    fresh = [doc(1000 + i) for i in range(10)]
+    batch_texts = [corpus[3], near] + fresh + [fresh[0]]  # exact corpus dup, near dup, 10 new, 1 in-batch dup
+    ids = list(range(100, 100 + len(batch_texts)))
+    kept = dedup.ingest_minhash_dedup(_ds(ids, batch_texts), idx).take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert 100 not in kept_ids  # exact corpus dup dropped
+    assert 101 not in kept_ids  # near-dup dropped (shares bands)
+    assert ids[-1] not in kept_ids  # in-batch dup of fresh[0] dropped
+    assert set(kept_ids) == set(ids[2:-1])  # the 10 fresh docs survive
+
+    # re-ingest of the corpus itself drops everything
+    again = dedup.ingest_minhash_dedup(_ds(list(range(500, 560)), corpus), idx)
+    assert again.count() == 0
