@@ -831,6 +831,35 @@ def _partitioned_encode_documents(sf_dir: str):
     return pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["de", "fr"]))
 
 
+def _curate_documents(sf_dir: str):
+    """The full webtext curation pipeline in ONE value-checked query:
+    Gopher-style quality filter (length + repetition thresholds) →
+    exact dedup among survivors (lowest id per text) → per-source
+    token-budget mixture selection. Each stage is individually
+    oracle-matched elsewhere; this composes them end-to-end the way a
+    real corpus build runs, with a single nested-SQL oracle."""
+    import pyarrow.compute as pc
+
+    from mothray.ops import dedup, sample, webtext
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        b = webtext.repetition_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b.column("words"), 30),
+                pc.less_equal(b.column("dup_word_frac"), 0.6),
+            ),
+            pc.less_equal(b.column("top2gram_frac"), 0.09),
+        )
+        return batch.filter(keep)
+
+    filtered = _docs(sf_dir).map_batches(qfilter, batch_format="pyarrow")
+    deduped = dedup.exact_dedup(filtered)
+    return sample.token_budget_sample(
+        deduped, "source", budget=1500, salt="cur1"
+    ).select_columns(["doc_id", "source", "tok_cnt"])
+
+
 def _ingest_dedup_documents(sf_dir: str):
     """Dedup-at-ingest: even-id docs form the indexed corpus (sorted
     (h1,h2) hash index + bloom, text never moves); odd-id docs arrive
@@ -1936,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["ingest_dedup_documents"] = _ingest_dedup_documents
+    q["curate_documents"] = _curate_documents
     q["ingest_minhash_documents"] = _ingest_minhash_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
@@ -2332,6 +2362,25 @@ def oracle_sql() -> dict[str, str]:
         "  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id))"
     )
     o["repetition_documents"] = _rep_cte + " SELECT * FROM rep"
+    _cur_fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('cur1' || CAST(d.doc_id AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+    )
+    o["curate_documents"] = _rep_cte + (
+        ", q AS (SELECT doc_id FROM rep"
+        "   WHERE words >= 30 AND dup_word_frac <= 0.6 AND top2gram_frac <= 0.09),"
+        " d AS (SELECT dd.* FROM documents dd JOIN q USING (doc_id)"
+        "   WHERE dd.doc_id = (SELECT min(d2.doc_id) FROM documents d2"
+        "     JOIN q q2 ON q2.doc_id = d2.doc_id WHERE d2.text = dd.text)),"
+        f" h AS (SELECT d.doc_id, d.source,"
+        f"  CAST(length(string_split(d.text, ' ')) AS BIGINT) AS tok_cnt, {_cur_fnv} AS h"
+        "  FROM d),"
+        " c AS (SELECT doc_id, source, tok_cnt,"
+        "  sum(tok_cnt) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum FROM h)"
+        " SELECT doc_id, source, tok_cnt FROM c WHERE cum <= 1500"
+    )
     o["quality_filter_documents"] = _rep_cte + (
         " SELECT doc_id, words, dup_word_frac, top2gram_frac FROM rep"
         " WHERE words >= 30 AND dup_word_frac <= 0.6 AND top2gram_frac <= 0.09"
