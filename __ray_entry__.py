@@ -831,6 +831,28 @@ def _partitioned_encode_documents(sf_dir: str):
     return pipeline.decode_dataset(pipeline.read_encoded_partitions(out, ["de", "fr"]))
 
 
+def _orc_migrate_documents(sf_dir: str):
+    """Migration from the reference's on-disk format: documents written
+    as real .orc files (pyarrow.orc, multiple stripes), read back
+    stripe-granular with pipeline.read_orc_input (Ray has no ORC
+    reader), re-encoded into the engine's format, decoded, and
+    value-matched against the original table."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyarrow import orc
+
+    from mothray import pipeline
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="mothray_orcsrc_")
+    half = src.num_rows // 2
+    orc.write_table(src.slice(0, half), f"{d}/a.orc", stripe_size=64 << 10)
+    orc.write_table(src.slice(half), f"{d}/b.orc", stripe_size=64 << 10)
+    ds = pipeline.read_orc_input(d)
+    return pipeline.decode_dataset(pipeline.encode_dataset(ds))
+
+
 def _curate_documents(sf_dir: str):
     """The full webtext curation pipeline in ONE value-checked query:
     Gopher-style quality filter (length + repetition thresholds) →
@@ -1966,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_search_documents"] = _bm25_documents
     q["ingest_dedup_documents"] = _ingest_dedup_documents
     q["curate_documents"] = _curate_documents
+    q["orc_migrate_documents"] = _orc_migrate_documents
     q["ingest_minhash_documents"] = _ingest_minhash_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
@@ -2258,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
     o["partitioned_encode_documents"] = (
         "SELECT * FROM documents WHERE lang IN ('de', 'fr')"
     )
+    o["orc_migrate_documents"] = "SELECT * FROM documents"
     o["ingest_dedup_documents"] = (
         "WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1)"
         " SELECT * FROM batch b"

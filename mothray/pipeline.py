@@ -1356,6 +1356,53 @@ def prune_read(
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
+def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
+    """Migration source for reference-format .orc files (Ray Data has
+    no ORC reader; pyarrow.orc backs this one). Stripe-granular and
+    fully distributed: a fan-out probe pass reads each file's footer
+    for its stripe count (the driver never opens a footer), then every
+    task reads its (file, stripe) units via ORCFile.read_stripe — one
+    reference stripe ≈ one block, so a migration re-encode streams with
+    the same parallelism the reference wrote with."""
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path) if f.endswith(".orc")
+            )
+        else:
+            files = [path]
+    else:
+        files = sorted(path)
+    if not files:
+        raise FileNotFoundError(f"no .orc files under {path!r}")
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        paths, stripes = [], []
+        for p in batch.column("path").to_pylist():
+            n = orc.ORCFile(p).nstripes
+            paths.extend([p] * n)
+            stripes.extend(range(n))
+        return pa.table({"path": pa.array(paths), "stripe": pa.array(stripes, pa.int64())})
+
+    units = ray.data.from_items(
+        [{"path": p} for p in files], override_num_blocks=len(files)
+    ).map_batches(probe, batch_format="pyarrow")
+    # spread the (file, stripe) units so big files don't serialize
+    n_units = units.count()
+    units = units.repartition(max(1, n_units))
+
+    def read(batch: pa.Table):
+        from pyarrow import orc
+
+        for p, s in zip(batch.column("path").to_pylist(), batch.column("stripe").to_pylist()):
+            rb = orc.ORCFile(p).read_stripe(s)
+            yield pa.Table.from_batches([rb])
+
+    return units.map_batches(read, batch_format="pyarrow")
+
+
 def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     """Dry-run the skipping stack for a conjunctive predicate and report
     what each level would prune — file skip index, stripe zone maps
