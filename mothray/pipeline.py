@@ -1403,6 +1403,30 @@ def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
     return units.map_batches(read, batch_format="pyarrow")
 
 
+def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 << 20) -> int:
+    """Interop sink: write a Dataset as reference-format .orc files
+    (pyarrow.orc), one file per block, atomic tmp+rename per file so a
+    partial run never leaves a truncated .orc behind. Returns the file
+    count. Pairs with read_orc_input for round-trip migration."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        if batch.num_rows == 0:
+            return pa.table({"files": pa.array([0], pa.int64())})
+        name = f"part-{uuid.uuid4().hex}.orc"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        orc.write_table(batch, tmp, stripe_size=stripe_size)
+        os.rename(tmp, os.path.join(out_dir, name))
+        return pa.table({"files": pa.array([1], pa.int64())})
+
+    parts = ds.map_batches(write, batch_format="pyarrow", batch_size=None).take_all()
+    return int(sum(r["files"] for r in parts))
+
+
 def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     """Dry-run the skipping stack for a conjunctive predicate and report
     what each level would prune — file skip index, stripe zone maps

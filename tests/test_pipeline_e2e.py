@@ -761,3 +761,21 @@ def test_read_orc_input_stripe_granular(ray_session, tmp_path):
     dec = pipeline.decode_dataset(pipeline.encode_dataset(pipeline.read_orc_input(str(d))))
     got = sorted(r["id"] for r in dec.take_all())
     assert got == list(range(5000))
+
+
+def test_write_orc_output_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from mothray import pipeline
+
+    t = pa.table({"id": pa.array(np.arange(2000)), "v": pa.array(np.arange(2000) * 0.5)})
+    import ray.data
+
+    out = tmp_path / "orc_out"
+    n = pipeline.write_orc_output(ray.data.from_arrow(t), str(out))
+    assert n >= 1
+    assert not any(p.name.endswith(".tmp") for p in out.iterdir())
+    back = pipeline.read_orc_input(str(out))
+    got = sorted(r["id"] for r in back.take_all())
+    assert got == list(range(2000))
