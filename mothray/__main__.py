@@ -199,17 +199,12 @@ def _dispatch(args) -> int:
     if args.cmd == "decode":
         cols = args.columns.split(",") if args.columns else None
         if cols:  # validate against the encoded schema before launching
-            import os
-
             import pyarrow.parquet as pq
 
+            from mothray import checkpoint as _cp
             from mothray import stripe as stripe_mod
 
-            files = sorted(
-                os.path.join(args.enc_dir, f)
-                for f in os.listdir(args.enc_dir)
-                if f.endswith(".parquet")
-            )
+            files = _cp.job_output_files(args.enc_dir)  # incl. __part=*/
             ipc = pq.ParquetFile(files[0]).read_row_group(0, columns=["schema_ipc"])
             names = stripe_mod._deserialize_schema(ipc.column("schema_ipc")[0].as_py()).names
             unknown = [c for c in cols if c not in names]
