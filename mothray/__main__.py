@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
         help="predicate 'column op value' with op in eq/lt/le/gt/ge/prefix/like; repeat for AND",
     )
 
+    mg = sub.add_parser(
+        "migrate",
+        help="re-encode reference-format .orc files into the engine's format "
+        "(stripe-granular distributed read; Ray has no ORC reader)",
+    )
+    mg.add_argument("orc_path", help=".orc file or directory of .orc files")
+    mg.add_argument("out_dir")
+
     ix = sub.add_parser("index", help="build the file-level skip index (prune_read then skips whole files without opening footers)")
     ix.add_argument("enc_dir")
 
@@ -282,6 +290,18 @@ def _dispatch(args) -> int:
         else:
             res = pipeline.compact_encoded(args.enc_dir, args.out_dir, target_mb=args.target_mb)
         print(json.dumps(res))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "migrate":
+        ray = _ray()
+        from mothray import pipeline
+
+        ds = pipeline.read_orc_input(args.orc_path)
+        pipeline.write_encoded(pipeline.encode_dataset(ds), args.out_dir)
+        enc = pipeline.read_encoded(args.out_dir, metadata_only=True)
+        rows = int(enc.sum("n_rows") or 0)
+        print(json.dumps({"rows": rows, "out_dir": args.out_dir}))
         ray.shutdown()
         return 0
 
