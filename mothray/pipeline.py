@@ -1389,16 +1389,24 @@ def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
     units = ray.data.from_items(
         [{"path": p} for p in files], override_num_blocks=len(files)
     ).map_batches(probe, batch_format="pyarrow")
-    # spread the (file, stripe) units so big files don't serialize
+    # spread (file, stripe) units so big files don't serialize, but
+    # bound the block count — one block per stripe would mean 10^6
+    # tiny Ray blocks on a large migration; tasks loop a few units each
     n_units = units.count()
-    units = units.repartition(max(1, n_units))
+    units = units.repartition(max(1, min(n_units, 1024)))
 
     def read(batch: pa.Table):
+        import collections
+
         from pyarrow import orc
 
+        by_path = collections.defaultdict(list)
         for p, s in zip(batch.column("path").to_pylist(), batch.column("stripe").to_pylist()):
-            rb = orc.ORCFile(p).read_stripe(s)
-            yield pa.Table.from_batches([rb])
+            by_path[p].append(s)
+        for p, ss in by_path.items():
+            f = orc.ORCFile(p)  # one footer open per file per task
+            for s in sorted(ss):
+                yield pa.Table.from_batches([f.read_stripe(s)])
 
     return units.map_batches(read, batch_format="pyarrow")
 
