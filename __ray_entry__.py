@@ -695,6 +695,27 @@ def _pack_tokens_documents(sf_dir: str):
     return pack.pack_tokens(ds, 256)
 
 
+def _pack_shuffled_documents(sf_dir: str):
+    """Packing in deterministic SHUFFLED order (training data should
+    not be corpus-ordered): the stream key is the salted FNV
+    fingerprint of doc_id, so the permutation is reproducible across
+    reruns and cluster widths — pure composition of the fingerprint
+    column and pack_sequences(key_col=...). first_doc/last_doc are the
+    ordering hashes. Oracle = the same fnv expression window-cumsum."""
+    import ray.data
+
+    from mothray.ops import pack
+    from mothray.ops.sample import _key_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_h(t: pa.Table) -> pa.Table:
+        h = _key_fingerprints(t, "doc_id", "ps1")
+        return pa.table({"h": pa.array(h.view("int64")), "text": t.column("text")})
+
+    return pack.pack_sequences(ds.map_batches(with_h, batch_format="pyarrow"), 512, key_col="h")
+
+
 def _tpch_q1(sf_dir: str):
     """TPC-H-Q1-shaped pricing summary over an ENCODED scan: shipdate
     pushdown, per-batch partial aggregation in exact scaled integers
@@ -1993,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
     q["pack_tokens_documents"] = _pack_tokens_documents
+    q["pack_shuffled_documents"] = _pack_shuffled_documents
     q["tpch_q6_encoded"] = _tpch_q6
     q["asof_join_events"] = _asof_join_events
     q["range_join_events"] = _range_join_events
@@ -2255,6 +2277,28 @@ def oracle_sql() -> dict[str, str]:
         "  LATERAL (SELECT unnest(c.l) AS tok, unnest(generate_series(1, CAST(c.n AS BIGINT))) AS i) u)"
         " SELECT CAST(g // 256 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,"
         " list(tok ORDER BY g) AS tokens FROM e GROUP BY g // 256"
+    )
+    _ps_fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('ps1' || CAST(doc_id AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+    )
+    o["pack_shuffled_documents"] = (
+        f"WITH t AS (SELECT {_ps_fnv} AS hf,"
+        " COALESCE(CAST(length(string_split(text, ' ')) AS BIGINT), 0) AS n FROM documents),"
+        # the engine orders by the SIGNED int64 view of the u64 hash:
+        " s AS (SELECT CAST(CASE WHEN hf >= 9223372036854775808::HUGEINT"
+        "  THEN hf - 18446744073709551616::HUGEINT ELSE hf END AS BIGINT) AS h, n FROM t),"
+        " c AS (SELECT h, n, SUM(n) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS hi FROM s),"
+        " e AS (SELECT h, unnest(generate_series("
+        "CAST((hi - n) // 512 AS BIGINT), CAST((hi - 1) // 512 AS BIGINT))) AS seq_id"
+        "  FROM c WHERE n > 0),"
+        " tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)"
+        " SELECT CAST(e.seq_id AS BIGINT) AS seq_id,"
+        " CAST(LEAST((e.seq_id + 1) * 512, tot.total) - e.seq_id * 512 AS BIGINT) AS n_tokens,"
+        " COUNT(*) AS n_docs, MIN(e.h) AS first_doc, MAX(e.h) AS last_doc"
+        " FROM e, tot GROUP BY e.seq_id, tot.total"
     )
     o["tpch_q1_encoded"] = (
         "SELECT l_returnflag, l_linestatus,"
