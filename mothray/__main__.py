@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("stats")
     s.add_argument("enc_dir")
+    s.add_argument(
+        "--per-column",
+        action="store_true",
+        help="add per-column encoded stream bytes + codec (from stripe metadata)",
+    )
 
     cp = sub.add_parser("compact")
     cp.add_argument("enc_dir")
@@ -381,6 +386,28 @@ def _dispatch(args) -> int:
 
     if args.cmd == "stats":
         from mothray import checkpoint
+
+        if getattr(args, "per_column", False):
+            # per-column stream bytes + codec, straight from stripe
+            # metadata (no blob bytes read)
+            import pyarrow.parquet as pq
+
+            per: dict[str, dict] = {}
+            for f in checkpoint.job_output_files(args.enc_dir):
+                t = pq.read_table(f, columns=["meta"])
+                for mj in t.column("meta").to_pylist():
+                    m = json.loads(mj)
+                    for col, trees in m["columns"].items():
+                        e = per.setdefault(col, {"enc_bytes": 0, "raw_bytes": 0, "codec": None})
+                        for tree in trees["row_groups"]:
+                            for st in tree["streams"]:
+                                e["enc_bytes"] += st["len"]
+                                e["raw_bytes"] += st["raw"]
+                            e["codec"] = tree["encoding"]
+            for e in per.values():
+                e["ratio"] = round(e["raw_bytes"] / max(e["enc_bytes"], 1), 3)
+            print(json.dumps(per, sort_keys=True))
+            return 0
 
         done = checkpoint.completed_parts(args.enc_dir)
         if not done:
