@@ -951,6 +951,33 @@ def _ingest_minhash_documents(sf_dir: str):
     return dedup.ingest_minhash_dedup(batch, idx)
 
 
+def _ingest_embedding_documents(sf_dir: str):
+    """Embedding near-dup-at-ingest with EXACT cosine verification:
+    even-id vectors form the persisted LSH index (sig-sorted, vectors
+    in-index); odd-id vectors drop only if cosine >= 0.99 against a
+    bucket-colliding corpus vector. Rows-only (LSH recall is
+    probabilistic); invariants pytest-enforced."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import dedup
+
+    def parity(p):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(pc.bit_wise_and(t.column("vec_id"), 1), p))
+
+        return f
+
+    emb = lambda: ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")  # noqa: E731
+    idx = tempfile.mkdtemp(prefix="mothray_emb_idx_")
+    dedup.build_embedding_index(emb().map_batches(parity(0), batch_format="pyarrow"), idx)
+    return dedup.ingest_embedding_dedup(
+        emb().map_batches(parity(1), batch_format="pyarrow"), idx
+    )
+
+
 def _bm25_documents(sf_dir: str):
     """BM25 ranked retrieval over the engine-encoded inverted index:
     tf/dl postings with zone-map/bloom term pruning, df from the
@@ -2011,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["curate_documents"] = _curate_documents
     q["orc_migrate_documents"] = _orc_migrate_documents
     q["ingest_minhash_documents"] = _ingest_minhash_documents
+    q["ingest_embedding_embeddings"] = _ingest_embedding_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["tpch_q1_encoded"] = _tpch_q1
     q["pack_tokens_documents"] = _pack_tokens_documents

@@ -592,50 +592,63 @@ def embedding_dedup(
     verification inside buckets (chunked matmul, bounded temporaries),
     keep the minimum id. Dup ids stay a distributed Dataset through the
     final anti-join."""
-    from .ann import _matrix
-
-    state = {}
-
     def sig_batch(batch: pa.Table) -> pa.Table:
-        mat = _matrix(batch.column(column)).astype(np.float64)
-        if "planes" not in state:
-            rng = np.random.default_rng(seed)
-            state["planes"] = rng.standard_normal((mat.shape[1], n_planes))
-        proj = mat @ state["planes"]
-        bits = (proj > 0).astype(np.uint16)
-        sig = np.zeros(len(mat), dtype=np.int64)
-        for b in range(n_planes):
-            sig |= bits[:, b].astype(np.int64) << b
-        norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        vec = pa.FixedSizeListArray.from_arrays(
-            pa.array(norm.astype(np.float32).ravel()), mat.shape[1] or 1
-        )
-        return pa.table({id_column: batch.column(id_column), "sig": pa.array(sig), "vec": vec})
-
-    empty = pa.table({id_column: pa.array([], type=pa.int64())})
+        return _embedding_sig_rows(batch, column, id_column, n_planes, seed)
 
     def bucket_verify(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return empty
-        ids = group.column(id_column).to_numpy(zero_copy_only=False)
-        o = np.argsort(ids)
-        ids = ids[o]
-        mat = _matrix(group.column("vec"))[o]  # zero-copy list<float> -> (n, dim)
-        n = len(ids)
-        chunk = max(1, 4_000_000 // n)  # bound the cos block to ~32 MB
-        losers = []
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            cos = mat[lo:hi] @ mat.T
-            near = (cos >= threshold) & (ids[None, :] < ids[lo:hi, None])
-            losers.append(ids[lo:hi][near.any(axis=1)])
-        out = np.concatenate(losers) if losers else np.empty(0, dtype=np.int64)
-        return pa.table({id_column: pa.array(out.astype(np.int64))})
+        return _embedding_bucket_losers(group, id_column, threshold)
 
     dup_ids = ds.map_batches(sig_batch, batch_format="pyarrow").groupby("sig").map_groups(
         bucket_verify, batch_format="pyarrow"
     )
     return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
+
+
+def _embedding_sig_rows(
+    batch: pa.Table, column: str, id_column: str, n_planes: int, seed: int
+) -> pa.Table:
+    """(id, sig, vec) rows: hyperplane-sign LSH signature + normalized
+    float32 vector (shared by batch embedding_dedup and the persisted
+    embedding index)."""
+    from .ann import _matrix
+
+    mat = _matrix(batch.column(column)).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((mat.shape[1], n_planes))
+    proj = mat @ planes
+    bits = (proj > 0).astype(np.uint16)
+    sig = np.zeros(len(mat), dtype=np.int64)
+    for b in range(n_planes):
+        sig |= bits[:, b].astype(np.int64) << b
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    vec = pa.FixedSizeListArray.from_arrays(
+        pa.array(norm.astype(np.float32).ravel()), mat.shape[1] or 1
+    ).cast(pa.list_(pa.float32()))  # plain list: the stripe encoder's nested path
+    return pa.table({id_column: batch.column(id_column), "sig": pa.array(sig), "vec": vec})
+
+
+def _embedding_bucket_losers(group: pa.Table, id_column: str, threshold: float) -> pa.Table:
+    """Non-minimum ids whose cosine to a lower id in the same LSH
+    bucket is >= threshold (chunked matmul, bounded temporaries)."""
+    from .ann import _matrix
+
+    empty = pa.table({id_column: pa.array([], type=pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    ids = group.column(id_column).to_numpy(zero_copy_only=False)
+    o = np.argsort(ids)
+    ids = ids[o]
+    mat = _matrix(group.column("vec"))[o]  # zero-copy list<float> -> (n, dim)
+    n = len(ids)
+    chunk = max(1, 4_000_000 // n)  # bound the cos block to ~32 MB
+    losers = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        cos = mat[lo:hi] @ mat.T
+        near = (cos >= threshold) & (ids[None, :] < ids[lo:hi, None])
+        losers.append(ids[lo:hi][near.any(axis=1)])
+    out = np.concatenate(losers) if losers else np.empty(0, dtype=np.int64)
+    return pa.table({id_column: pa.array(out.astype(np.int64))})
 
 
 # ------------------------------------------------------------------ jaccard
@@ -1236,3 +1249,160 @@ def ingest_minhash_dedup(
 
     in_batch = band_rows.groupby("bh").map_groups(bucket_losers, batch_format="pyarrow")
     return _anti_join_ids(new_ds, corpus_dup_ids.union(in_batch), id_column, num_partitions)
+
+
+# ------------------------------------------- ingest-time embedding near-dup
+
+_EMB_BLOOM = "_embedding_bloom.bin"
+_EMB_META = "_embedding_meta.json"
+
+
+def build_embedding_index(
+    ds,
+    out_dir: str,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    n_planes: int = 16,
+    seed: int = 77,
+    opts: dict | None = None,
+) -> dict:
+    """Persisted embedding near-dup index: (sig, id, normalized vec)
+    rows sorted by hyperplane-LSH signature and encoded (tight per-
+    stripe sig zone maps), plus an OR-merged bloom over sig and a meta
+    JSON pinning the plane geometry (n_planes, seed) so ingest batches
+    hash identically."""
+    import json
+    import os
+
+    from .. import pipeline
+    from . import join as join_ops
+
+    rows = ds.map_batches(
+        lambda b: _embedding_sig_rows(b, column, id_column, n_planes, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("sig")
+    pipeline.write_encoded(pipeline.encode_dataset(rows, opts), out_dir)
+    dec = pipeline.decode_dataset(pipeline.read_encoded(out_dir))
+    blm = join_ops.build_key_bloom(dec.select_columns(["sig"]), "sig")
+    with open(os.path.join(out_dir, _EMB_BLOOM), "wb") as f:
+        f.write(blm)
+    with open(os.path.join(out_dir, _EMB_META), "w") as f:
+        json.dump({"n_planes": n_planes, "seed": seed, "column": column}, f)
+    return {"n_vectors": int(ds.count()), "bloom_bytes": len(blm)}
+
+
+def ingest_embedding_dedup(
+    new_ds,
+    index_dir: str,
+    threshold: float = 0.99,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    num_partitions: int | None = None,
+):
+    """Embedding near-dup-at-ingest: drop new vectors whose cosine to
+    any indexed corpus vector in the same LSH bucket is >= threshold
+    (EXACT verification — unlike the band-collision minhash path), plus
+    in-batch bucket near-dups (lowest id wins, embedding_dedup
+    semantics). Corpus vectors are fetched only for stripes whose sig
+    zone maps overlap the bloom-gated candidate signatures; candidate
+    vectors broadcast once (bounded by collisions + fpp of the batch,
+    never the corpus)."""
+    import json as _json
+    import os
+
+    import ray
+
+    from .. import pipeline
+    from .ann import _matrix
+
+    with open(os.path.join(index_dir, _EMB_META)) as f:
+        meta = _json.load(f)
+    n_planes, seed = meta["n_planes"], meta["seed"]
+
+    rows = new_ds.map_batches(
+        lambda b: _embedding_sig_rows(b, column, id_column, n_planes, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # consumed by in-batch dedup + gate + candidate fetch
+
+    in_batch = rows.groupby("sig").map_groups(
+        lambda g: _embedding_bucket_losers(g, id_column, threshold), batch_format="pyarrow"
+    )
+
+    with open(os.path.join(index_dir, _EMB_BLOOM), "rb") as f:
+        blm = f.read()
+    blm_ref = ray.put(blm)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = ray.get(blm_ref)
+        if batch.num_rows == 0:
+            return batch
+        lengths, data = _h1_string_parts(batch.column("sig"))
+        mask = bloom_mod.might_contain_buffers(b, lengths, data)
+        return batch.filter(pa.array(mask))
+
+    cand_rows = rows.map_batches(gate, batch_format="pyarrow").take_all()
+    seen_ids: list = []
+    if cand_rows:
+        by_sig: dict = {}
+        for r in cand_rows:
+            by_sig.setdefault(r["sig"], []).append(r)
+        cand_sigs = np.array(sorted(by_sig), dtype=np.int64)
+        # pack candidate vectors per sig for the in-task verify
+        packed = {
+            s: (
+                np.array([r[id_column] for r in rs], dtype=np.int64),
+                np.stack([np.asarray(r["vec"], dtype=np.float32) for r in rs]),
+            )
+            for s, rs in by_sig.items()
+        }
+        packed_ref = ray.put(packed)
+        meta_ds = pipeline.read_encoded(index_dir, metadata_only=True, include_paths=True)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            for i, sj in enumerate(batch.column("stats").to_pylist()):
+                st = _json.loads(sj).get("sig", {})
+                lo, hi = st.get("min"), st.get("max")
+                if lo is None or hi is None:
+                    mask[i] = True
+                    continue
+                j = np.searchsorted(cand_sigs, lo)
+                mask[i] = j < len(cand_sigs) and cand_sigs[j] <= hi
+            return batch.filter(pa.array(mask))
+
+        fetched = meta_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            pipeline._FetchStripes(), batch_format="pyarrow"
+        )
+
+        def verify(batch: pa.Table) -> pa.Table:
+            p = ray.get(packed_ref)
+            sigs = batch.column("sig").to_numpy(zero_copy_only=False)
+            hit = np.isin(sigs, cand_sigs)
+            if not hit.any():
+                return pa.table({id_column: pa.array([], pa.int64())})
+            sub = batch.filter(pa.array(hit))
+            ssub = sub.column("sig").to_numpy(zero_copy_only=False)
+            cmat = _matrix(sub.column("vec"))
+            out = []
+            for s in np.unique(ssub):
+                ids_new, vec_new = p[int(s)]
+                cvecs = cmat[ssub == s]
+                cos = vec_new @ cvecs.T  # (n_new, n_corpus_rows_here)
+                out.append(ids_new[(cos >= threshold).any(axis=1)])
+            dup = np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+            return pa.table({id_column: pa.array(dup)})
+
+        seen = (
+            pipeline.decode_dataset(fetched)
+            .map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+        seen_ids = sorted({r[id_column] for r in seen})
+
+    import ray.data as rd
+
+    seen_tbl = pa.table({id_column: pa.array(seen_ids, pa.int64())})
+    dup = in_batch.union(rd.from_arrow(seen_tbl))
+    return _anti_join_ids(new_ds, dup, id_column, num_partitions)

@@ -82,3 +82,35 @@ def test_ingest_minhash_near_dup(ray_session, tmp_path):
     # re-ingest of the corpus itself drops everything
     again = dedup.ingest_minhash_dedup(_ds(list(range(500, 560)), corpus), idx)
     assert again.count() == 0
+
+
+def test_ingest_embedding_near_dup(ray_session, tmp_path):
+    """Cosine-verified ingest: near-identical vectors drop, orthogonal-ish
+    survive even when bucket-colliding rarely; in-batch near-dups keep
+    the lowest id; re-ingest of the corpus drops everything."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    dim = 32
+    corpus = rng.standard_normal((50, dim)).astype(np.float32)
+
+    def ds_of(ids, mat):
+        vecs = pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel().astype(np.float32)), dim)
+        return ray.data.from_arrow(pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": vecs}))
+
+    idx = str(tmp_path / "emb_idx")
+    dedup.build_embedding_index(ds_of(list(range(50)), corpus), idx)
+
+    near = corpus[7] + rng.standard_normal(dim).astype(np.float32) * 1e-4  # ~identical
+    fresh = rng.standard_normal((8, dim)).astype(np.float32)
+    batch = np.vstack([corpus[3], near, fresh, fresh[0] * 1.001])
+    ids = list(range(100, 100 + len(batch)))
+    kept = dedup.ingest_embedding_dedup(ds_of(ids, batch), idx, threshold=0.99).take_all()
+    kept_ids = sorted(r["vec_id"] for r in kept)
+    assert 100 not in kept_ids  # exact corpus dup
+    assert 101 not in kept_ids  # near corpus dup
+    assert ids[-1] not in kept_ids  # in-batch scaled copy of fresh[0]
+    assert set(kept_ids) == set(ids[2:-1])  # the 8 fresh vectors survive
+
+    again = dedup.ingest_embedding_dedup(ds_of(list(range(600, 650)), corpus), idx)
+    assert again.count() == 0
