@@ -2514,8 +2514,13 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY user_id ORDER BY ts, event_id) rn FROM events)"
         " WHERE rn <= 3"
     )
+    # CAST the probe literal to DOUBLE: bare decimal literals unify to
+    # DECIMAL(3,2) across the UNION ALL branches, whose VARCHAR rendering
+    # ("0.50") differs from the Ray side's float64 ("0.5") even though the
+    # values are identical.
     o["quantiles_lineitem"] = " UNION ALL ".join(
-        f"SELECT {q} AS q, quantile_disc(l_quantity, {q}) AS value FROM lineitem"
+        f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(l_quantity, {q}) AS value"
+        f" FROM lineitem"
         for q in (0.25, 0.5, 0.75, 0.99)
     )
     o["ranked_events"] = (
@@ -2673,8 +2678,10 @@ def oracle_sql() -> dict[str, str]:
     o["versioned_delete_orders"] = (
         "SELECT * FROM orders WHERE o_totalprice IS NULL OR o_totalprice < 200000.0"
     )
+    # CAST to DOUBLE for the same rendered-value reason as quantiles_lineitem.
     o["grouped_quantiles_lineitem"] = " UNION ALL ".join(
-        f"SELECT l_returnflag, {q} AS q, quantile_disc(l_quantity, {q}) AS value"
+        f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q,"
+        f" quantile_disc(l_quantity, {q}) AS value"
         f" FROM lineitem GROUP BY l_returnflag"
         for q in (0.5, 0.9, 0.99)
     )

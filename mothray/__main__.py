@@ -112,8 +112,10 @@ def main(argv: list[str] | None = None) -> int:
 
     mg = sub.add_parser(
         "migrate",
-        help="re-encode reference-format .orc files into the engine's format "
-        "(stripe-granular distributed read; Ray has no ORC reader)",
+        help="re-encode STANDARD .orc files (magic 'ORC') into the engine's "
+        "format (stripe-granular distributed read; Ray has no ORC reader). "
+        "Reference MOTH-magic variant containers are detected and rejected "
+        "with a clear message",
     )
     mg.add_argument("orc_path", help=".orc file or directory of .orc files")
     mg.add_argument("out_dir")

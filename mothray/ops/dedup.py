@@ -1097,7 +1097,12 @@ def ingest_dedup(
 
     import ray.data as rd
 
-    id_type = pa.int64() if not seen_ids or isinstance(seen_ids[0], int) else pa.string()
+    # take the id type from the (already materialized) tagged schema, not
+    # from seen_ids[0]: with no corpus match seen_ids is empty and a
+    # guessed int64 would union a mistyped empty table against string
+    # loser ids in the downstream anti-join
+    sch = tagged.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_column]
     seen_tbl = pa.table({id_column: pa.array(seen_ids, id_type)})
     dup = losers_in.union(rd.from_arrow(seen_tbl))
     return _anti_join_ids(new_ds, dup, id_column, num_partitions)

@@ -84,12 +84,17 @@ def sample_boundaries(
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"__k": pa.array([], batch.column(key_col).type),
-                             "__h": pa.array([], pa.uint64())})
+                             "__h": pa.array([], pa.uint64()),
+                             "__t": pa.array([], pa.bool_())})
         h = _key_fingerprints(batch, key_col, "")
         take = min(per_batch_k, len(h))
         idx = np.argpartition(h, take - 1)[:take]
         keys = batch.column(key_col).take(pa.array(idx))
-        return pa.table({"__k": keys, "__h": pa.array(h[idx])})
+        # __t: this batch TRUNCATED its sample (shipped fewer fingerprints
+        # than it had rows) — only when no batch truncated is len(hs) the
+        # exact corpus size
+        return pa.table({"__k": keys, "__h": pa.array(h[idx]),
+                         "__t": pa.array([len(h) > take] * take)})
 
     rows = (
         ds.select_columns([key_col])
@@ -101,10 +106,14 @@ def sample_boundaries(
     hs = np.array([r["__h"] for r in rows], dtype=np.uint64)
     order = np.argsort(hs, kind="stable")[: min(sample_k, len(hs))]
     if n_buckets is None:
-        if len(hs) < sample_k:  # saw everything: exact N
+        if not any(r["__t"] for r in rows):
+            # every batch shipped ALL its fingerprints: exact N. (A mere
+            # len(hs) < sample_k test mis-sizes large corpora held in few
+            # big blocks: 8 blocks × 1M rows → 2048 samples "exact" 2048.)
             n_est = len(hs)
         else:
-            n_est = int(sample_k * (2.0**64) / float(hs[order[-1]]))
+            k_eff = len(order)  # KMV with the effective k, not sample_k
+            n_est = int(k_eff * (2.0**64) / float(hs[order[-1]]))
         n_buckets = int(np.clip(n_est // rows_per_bucket + 1, 1, max_buckets))
     keys = np.array([rows[i]["__k"] for i in order])
     keys.sort(kind="stable")

@@ -257,12 +257,17 @@ def bm25_search(
         for r in df_rows
     }
 
+    # vectorized idf lookup: index_in against the (tiny) query-term
+    # vocabulary instead of a Python dict comprehension over postings
+    idf_terms = pa.array(sorted(idf), pa.string())
+    idf_w = np.array([idf[t] for t in sorted(idf)] + [0.0])  # [-1] = miss
+
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                              "s": pa.array([], pa.float64())})
-        toks = t.column("token").to_pylist()
-        w = np.array([idf.get(tok, 0.0) for tok in toks])
+        pos = pc.index_in(t.column("token").combine_chunks(), idf_terms)
+        w = idf_w[pos.fill_null(-1).to_numpy(zero_copy_only=False)]
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
         s = w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))

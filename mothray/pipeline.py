@@ -113,7 +113,17 @@ class StripeDecoder:
                 if stripe_mod.is_temporal_value(lo) or stripe_mod.is_temporal_value(hi):
                     sch = stripe_mod._deserialize_schema(row["schema_ipc"])
                     t = sch.field(col).type
-                    unit = t.unit if pa.types.is_timestamp(t) else None
+                    # same unit derivation as stat_bounds_for: timestamp
+                    # units from the type, date32 → epoch days ('D'),
+                    # date64 → epoch millis — row-group stats store epoch
+                    # ints for ALL temporal columns, so date predicates
+                    # must prune here exactly like filter_stripe does
+                    if pa.types.is_timestamp(t):
+                        unit = t.unit
+                    elif pa.types.is_date(t):
+                        unit = "D" if t.bit_width == 32 else "ms"
+                    else:
+                        unit = None
                     lo, hi = stripe_mod.stat_bound(lo, unit), stripe_mod.stat_bound(hi, unit)
                 rgs = stripe_mod.select_row_groups(json.loads(row["meta"]), col, lo, hi)
                 if rgs == []:
@@ -1357,13 +1367,19 @@ def prune_read(
 
 
 def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
-    """Migration source for reference-format .orc files (Ray Data has
-    no ORC reader; pyarrow.orc backs this one). Stripe-granular and
-    fully distributed: a fan-out probe pass reads each file's footer
+    """Migration source for STANDARD .orc files (magic 'ORC';
+    pyarrow.orc backs this — Ray Data has no ORC reader). Stripe-granular
+    and fully distributed: a fan-out probe pass reads each file's footer
     for its stripe count (the driver never opens a footer), then every
     task reads its (file, stripe) units via ORCFile.read_stripe — one
     reference stripe ≈ one block, so a migration re-encode streams with
-    the same parallelism the reference wrote with."""
+    the same parallelism the reference wrote with.
+
+    NOTE: the reference's own writer emits a VARIANT container with
+    magic 'MOTH' (reference pkg/store/metadata/PostScript.go), which
+    pyarrow.orc rejects; the probe detects that magic and fails with a
+    clear message instead of an opaque pyarrow error. Exporting such
+    files to standard ORC is reference-side work."""
     if isinstance(path, str):
         if os.path.isdir(path):
             files = sorted(
@@ -1381,14 +1397,27 @@ def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
 
         paths, stripes = [], []
         for p in batch.column("path").to_pylist():
+            with open(p, "rb") as fh:
+                magic = fh.read(4)
+            if magic[:4] == b"MOTH":
+                raise ValueError(
+                    f"{p}: reference-variant container (magic 'MOTH'), not"
+                    " standard ORC — pyarrow.orc cannot read it. Re-export"
+                    " from the reference as standard ORC (or parquet) first."
+                )
             n = orc.ORCFile(p).nstripes
             paths.extend([p] * n)
             stripes.extend(range(n))
         return pa.table({"path": pa.array(paths), "stripe": pa.array(stripes, pa.int64())})
 
-    units = ray.data.from_items(
-        [{"path": p} for p in files], override_num_blocks=len(files)
-    ).map_batches(probe, batch_format="pyarrow")
+    units = (
+        ray.data.from_items([{"path": p} for p in files], override_num_blocks=len(files))
+        .map_batches(probe, batch_format="pyarrow")
+        # (path, stripe) rows only — tiny; materialize ONCE so the row
+        # count is free metadata instead of a second probe execution
+        # (each probe task opens file footers).
+        .materialize()
+    )
     # spread (file, stripe) units so big files don't serialize, but
     # bound the block count — one block per stripe would mean 10^6
     # tiny Ray blocks on a large migration; tasks loop a few units each
@@ -1411,13 +1440,31 @@ def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
     return units.map_batches(read, batch_format="pyarrow")
 
 
+def _block_digest(batch: pa.Table) -> str:
+    """Deterministic content digest of a block: blake2b over the schema,
+    row count and every Arrow buffer. A retried Ray task receives the
+    identical serialized block, so it re-derives the identical digest."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(batch.schema).encode())
+    h.update(batch.num_rows.to_bytes(8, "little"))
+    for col in batch.columns:
+        for chunk in col.chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(memoryview(buf))
+    return h.hexdigest()
+
+
 def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 << 20) -> int:
     """Interop sink: write a Dataset as reference-format .orc files
-    (pyarrow.orc), one file per block, atomic tmp+rename per file so a
+    (pyarrow.orc), one file per block. Part names are CONTENT-DERIVED
+    (blake2b of the block's buffers), so a Ray task retry after a
+    successful rename re-creates the SAME name instead of a duplicate
+    file with duplicate rows; tmp+rename keeps each file atomic so a
     partial run never leaves a truncated .orc behind. Returns the file
     count. Pairs with read_orc_input for round-trip migration."""
-    import uuid
-
     os.makedirs(out_dir, exist_ok=True)
 
     def write(batch: pa.Table) -> pa.Table:
@@ -1425,10 +1472,12 @@ def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 <
 
         if batch.num_rows == 0:
             return pa.table({"files": pa.array([0], pa.int64())})
-        name = f"part-{uuid.uuid4().hex}.orc"
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
-        orc.write_table(batch, tmp, stripe_size=stripe_size)
-        os.rename(tmp, os.path.join(out_dir, name))
+        name = f"part-{_block_digest(batch)}.orc"
+        final = os.path.join(out_dir, name)
+        if not os.path.exists(final):  # retry after successful rename: no-op
+            tmp = os.path.join(out_dir, "." + name + ".tmp")
+            orc.write_table(batch, tmp, stripe_size=stripe_size)
+            os.rename(tmp, final)
         return pa.table({"files": pa.array([1], pa.int64())})
 
     parts = ds.map_batches(write, batch_format="pyarrow", batch_size=None).take_all()
@@ -1898,7 +1947,10 @@ def encode_partitioned(
     'resumable output: one directory per key range' rule).
 
     Partition values should be clean categorical scalars (lang codes,
-    dates, buckets): they become directory names."""
+    dates, buckets): they become directory names. Rows whose partition
+    value is NULL route to the Hive-conventional
+    `__HIVE_DEFAULT_PARTITION__` directory (they must not silently
+    vanish from the encoded output)."""
     from . import stripe as stripe_mod_
 
     o = dict(opts or {})
@@ -1907,13 +1959,18 @@ def encode_partitioned(
         col = batch.column(partition_col)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         d = col.dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False)
+        # fill_null(-1): null partition values yield null dictionary
+        # indices, which to_numpy turns into NaN — NaN == ci is False for
+        # every ci and the row would land in NO sub-batch (data loss)
+        codes = d.indices.fill_null(-1).to_numpy(zero_copy_only=False)
         outs = []
-        for ci in range(len(d.dictionary)):
-            v = d.dictionary[ci].as_py()
+        parts = [(ci, str(d.dictionary[ci].as_py())) for ci in range(len(d.dictionary))]
+        if (codes == -1).any():
+            parts.append((-1, "__HIVE_DEFAULT_PARTITION__"))
+        for ci, v in parts:
             sub = batch.filter(pa.array(codes == ci))
             st = stripe_mod_.encode_batch(sub, o, key_prefix=_batch_key(sub))
-            outs.append(st.append_column("__part", pa.array([str(v)] * st.num_rows)))
+            outs.append(st.append_column("__part", pa.array([v] * st.num_rows)))
         if not outs:
             empty = stripe_mod_.STRIPE_SCHEMA.empty_table()
             return empty.append_column("__part", pa.array([], pa.string()))

@@ -57,6 +57,38 @@ def test_partition_values_url_encoded(ray_session, tmp_path):
     assert [r["doc_id"] for r in one] == [1]
 
 
+def test_partition_null_values_routed_not_dropped(ray_session, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__ (Hive
+    convention) instead of silently vanishing from the encoded output."""
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["a", "b", "c", "d", "e"],
+            "k": pa.array(["en", None, "de", None, "en"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "withnull")
+    pipeline.encode_partitioned(ray.data.from_arrow(t), out, "k")
+    dirs = pipeline.encoded_partition_dirs(out)
+    assert sorted(dirs) == ["__HIVE_DEFAULT_PARTITION__", "de", "en"]
+    # no row lost: full decode round-trips all 5 rows, nulls intact
+    full = pa.Table.from_pylist(
+        pipeline.decode_dataset(pipeline.read_encoded_partitions(out)).take_all()
+    )
+    assert full.num_rows == 5
+    assert sorted(full.column("doc_id").to_pylist()) == [1, 2, 3, 4, 5]
+    null_rows = full.filter(pc.is_null(full.column("k")))
+    assert sorted(null_rows.column("doc_id").to_pylist()) == [2, 4]
+    only_null = pipeline.decode_dataset(
+        pipeline.read_encoded_partitions(out, ["__HIVE_DEFAULT_PARTITION__"])
+    ).take_all()
+    assert sorted(r["doc_id"] for r in only_null) == [2, 4]
+
+
 def test_compact_partitioned(ray_session, docs_ds, tmp_path):
     from mothray import pipeline
 

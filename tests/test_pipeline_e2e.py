@@ -779,3 +779,44 @@ def test_write_orc_output_roundtrip(ray_session, tmp_path):
     back = pipeline.read_orc_input(str(out))
     got = sorted(r["id"] for r in back.take_all())
     assert got == list(range(2000))
+
+
+def test_read_orc_input_rejects_moth_magic(ray_session, tmp_path):
+    """Reference-variant containers (magic 'MOTH') fail with a clear
+    message, not an opaque pyarrow error."""
+    import pytest
+    import ray.exceptions
+
+    from mothray import pipeline
+
+    d = tmp_path / "moth"
+    d.mkdir()
+    (d / "ref.orc").write_bytes(b"MOTH" + b"\x00" * 64)
+    with pytest.raises(Exception) as ei:
+        pipeline.read_orc_input(str(d)).count()
+    assert "MOTH" in str(ei.value)
+
+
+def test_write_orc_output_retry_idempotent(ray_session, tmp_path):
+    """A retried write task (same block re-sent to the sink) re-derives
+    the same content-hash part name — no duplicate file, no extra rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table({"id": pa.array(np.arange(3000)), "v": pa.array(np.arange(3000) * 1.5)})
+    out = tmp_path / "orc_retry"
+    pipeline.write_orc_output(ray.data.from_arrow(t), str(out))
+    files1 = sorted(p.name for p in out.iterdir())
+    mtimes1 = {p.name: p.stat().st_mtime_ns for p in out.iterdir()}
+    # simulate a task retry after successful rename: run the whole sink
+    # again over identical input blocks
+    pipeline.write_orc_output(ray.data.from_arrow(t), str(out))
+    files2 = sorted(p.name for p in out.iterdir())
+    assert files1 == files2  # no new part file appeared
+    # untouched outputs are byte-stable (skipped, not rewritten)
+    assert {p.name: p.stat().st_mtime_ns for p in out.iterdir()} == mtimes1
+    back = pipeline.read_orc_input(str(out))
+    assert sorted(r["id"] for r in back.take_all()) == list(range(3000))

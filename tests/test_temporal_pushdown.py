@@ -61,6 +61,28 @@ def test_rg_predicate_datetime(ray_session):
     assert exact == want
 
 
+def test_rg_predicate_date32(ray_session):
+    """date32 predicates prune row groups in the StripeDecoder path too
+    (stats store epoch-day ints; the decoder derives unit='D' just like
+    filter_stripe's stat_bounds_for)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+
+    days = pa.array(np.arange(1000, dtype=np.int32), pa.int32()).cast(pa.date32())
+    t = pa.table({"d": days, "v": pa.array(np.arange(1000))})
+    enc = pipeline.encode_dataset(ray.data.from_arrow(t), opts={"row_group_rows": 100})
+    cut = datetime.date(1970, 4, 11)  # epoch day 100
+    dec = pipeline.decode_dataset(enc, rg_predicate=("d", None, cut))
+    rows = dec.take_all()
+    assert len(rows) < t.num_rows  # row groups actually skipped, not a full decode
+    exact = sum(1 for r in rows if r["d"] <= cut)
+    want = t.filter(pc.less_equal(t.column("d"), pa.scalar(cut))).num_rows
+    assert exact == want
+
+
 def test_file_index_timestamp_prune(ray_session, tmp_path):
     import ray.data
 
