@@ -1256,6 +1256,243 @@ def ingest_minhash_dedup(
     return _anti_join_ids(new_ds, corpus_dup_ids.union(in_batch), id_column, num_partitions)
 
 
+# ------------------------------------------- ingest-time simhash near-dup
+
+
+def _simhash_band_keys(batch: pa.Table, column: str, id_column: str | None) -> pa.Table:
+    """(bkey, simhash[, id]) rows — 4 per doc: the 16-bit band value
+    folded with its band index into ONE int64 key, so probe assignment
+    and bucket grouping run over a single sorted column."""
+    t = simhash_batch(batch, column)
+    sh = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    parts = []
+    for b in range(4):
+        band_val = (sh >> _U64(16 * b)) & _U64(0xFFFF)
+        bkey = ((_U64(b) << _U64(16)) | band_val).astype(np.int64)
+        cols = {"bkey": pa.array(bkey), "simhash": t.column("simhash")}
+        if id_column:
+            cols[id_column] = batch.column(id_column)
+        parts.append(pa.table(cols))
+    return pa.concat_tables(parts)
+
+
+def build_simhash_index(ds, out_dir: str, column: str = "text", opts: dict | None = None) -> dict:
+    """Persisted simhash band index for INGEST-time near-dup dedup:
+    distinct (bkey, simhash) pairs of the whole corpus, SORTED by bkey
+    and encoded — each stripe's zone map is a tight contiguous bkey
+    range, which is what the co-partitioned probe shuffles against.
+
+    Deliberately NO bloom gate (contrast build_minhash_index): simhash
+    bands are 16-bit, so any real corpus occupies every band value and
+    a membership gate would pass everything (ROADMAP round-3 note).
+    The scale story is the probe shape instead: new rows shuffle to the
+    stripes whose bkey range covers them, and verification is in-task
+    hamming against co-located corpus rows."""
+    from .. import pipeline
+
+    def rows(batch: pa.Table) -> pa.Table:
+        t = _simhash_band_keys(batch, column, None)
+        return t.group_by(["bkey", "simhash"], use_threads=False).aggregate([])
+
+    bi = (
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["bkey", "simhash"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .sort(["bkey", "simhash"])
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(bi, opts), out_dir)
+    n = pipeline.read_encoded(out_dir, metadata_only=True).sum("n_rows")
+    return {"n_band_rows": int(n or 0)}
+
+
+def ingest_simhash_dedup(
+    new_ds,
+    index_dir: str,
+    column: str = "text",
+    id_column: str = "doc_id",
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+):
+    """Near-dup-at-ingest via the CO-PARTITIONED PROBE (ROADMAP design):
+    drop new docs within hamming<=max_hamming of any indexed corpus doc
+    (pigeonhole over 4x16-bit bands, simhash_dedup's exact semantics),
+    plus in-batch near-dups (lowest id wins) — corpus text is never
+    rescanned and no corpus rows move.
+
+    Scale shape (ingest batch << corpus):
+      1. (bkey, simhash, id) per new doc — 4 rows x ~20 B, batch-sized.
+      2. The index's per-stripe bkey zone maps come to the driver
+         (O(stripes), metadata only) and broadcast as sorted ranges.
+      3. Each new row maps to the stripe(s) covering its bkey
+         (searchsorted; usually 1, 2 at a boundary) and the groupby
+         SHUFFLES ONLY BATCH-SIDE ROWS to those stripe ids.
+      4. One task per probed stripe: fetch + decode that stripe's
+         (bkey, simhash) rows, vectorized chunked hamming against the
+         group's rows, matched ids out. Blob bytes read scale with
+         DISTINCT PROBED STRIPES, not the corpus — though 16-bit bands
+         mean a large ingest batch probes most stripes (inherent to
+         simhash banding; the verify is SIMD xor+popcount, not text).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from .. import pipeline
+    from .. import stripe as stripe_mod
+
+    band_rows = new_ds.map_batches(
+        lambda t: _simhash_band_keys(t, column, id_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # consumed by the probe AND the in-batch pass
+
+    # --- stripe bkey ranges: metadata only, O(stripes) driver rows ---
+    import json as _json
+
+    meta_rows = pipeline.read_encoded(
+        index_dir, metadata_only=True, include_paths=True
+    ).take_all()
+    infos = []
+    for r in meta_rows:
+        st = _json.loads(r["stats"]).get("bkey", {})
+        lo = st.get("min", -(2**62))
+        hi = st.get("max", 2**62)
+        infos.append((lo, hi, r["path"], r["stripe_key"]))
+    infos.sort(key=lambda x: (x[0], x[1]))
+    lo_arr = np.array([x[0] for x in infos], dtype=np.int64)
+    hi_arr = np.array([x[1] for x in infos], dtype=np.int64)
+    stripes_ref = ray.put([(x[2], x[3]) for x in infos])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        """Emit one (stripe_idx, bkey, simhash, id) row per covering
+        stripe; rows no stripe range covers are definitely new."""
+        if batch.num_rows == 0 or len(lo_arr) == 0:
+            return pa.table(
+                {
+                    "stripe_idx": pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                    id_column: pa.array([], batch.schema.field(id_column).type),
+                }
+            )
+        bk = batch.column("bkey").to_numpy(zero_copy_only=False)
+        # covering stripes = [first with hi >= bkey, first with lo > bkey)
+        start = np.searchsorted(hi_arr, bk, side="left")
+        end = np.searchsorted(lo_arr, bk, side="right")
+        counts = np.maximum(end - start, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "stripe_idx": pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                    id_column: pa.array([], batch.column(id_column).type),
+                }
+            )
+        row_idx = np.repeat(np.arange(len(bk)), counts)
+        cum = np.cumsum(counts)
+        sidx = np.arange(total) - np.repeat(cum - counts, counts) + np.repeat(start, counts)
+        keep = pa.array(row_idx)
+        return pa.table(
+            {
+                "stripe_idx": pa.array(sidx),
+                "bkey": batch.column("bkey").take(keep),
+                "simhash": batch.column("simhash").take(keep),
+                id_column: batch.column(id_column).take(keep),
+            }
+        )
+
+    probe = band_rows.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({id_column: pa.array([], group.schema.field(id_column).type)})
+        si = group.column("stripe_idx")[0].as_py()
+        path, skey = ray.get(stripes_ref)[si]
+        pf = pq.ParquetFile(path)
+        row = None
+        for rg in range(pf.num_row_groups):
+            kcol = pf.read_row_group(rg, columns=["stripe_key"]).column("stripe_key")
+            mask = pc.equal(kcol, skey)
+            if pc.any(mask).as_py():
+                t = pf.read_row_group(rg).filter(mask)
+                row = {
+                    name: (
+                        memoryview(t.column(name)[0].as_buffer()).cast("B")
+                        if name in ("blob", "blooms")
+                        else t.column(name)[0].as_py()
+                    )
+                    for name in t.column_names
+                }
+                break
+        if row is None:  # stale metadata: stripe gone — conservative keep
+            return pa.table({id_column: pa.array([], group.schema.field(id_column).type)})
+        corpus = stripe_mod.decode_stripe(row, ["bkey", "simhash"])
+        cb = corpus.column("bkey").to_numpy(zero_copy_only=False)
+        cs = corpus.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        if len(cb) > 1 and not (cb[1:] >= cb[:-1]).all():  # belt+braces
+            o = np.argsort(cb, kind="stable")
+            cb, cs = cb[o], cs[o]
+        nb = group.column("bkey").to_numpy(zero_copy_only=False)
+        ns = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        lo = np.searchsorted(cb, nb, side="left")
+        hi = np.searchsorted(cb, nb, side="right")
+        counts = hi - lo
+        hit_rows = np.zeros(len(nb), dtype=bool)
+        # chunk the expanded (new x bucket) pairs to bound temporaries
+        todo = np.nonzero(counts)[0]
+        pair_budget = 8_000_000
+        i = 0
+        while i < len(todo):
+            j, pairs = i, 0
+            while j < len(todo) and (pairs == 0 or pairs + counts[todo[j]] <= pair_budget):
+                pairs += counts[todo[j]]
+                j += 1
+            sel = todo[i:j]
+            c = counts[sel]
+            doc_rep = np.repeat(sel, c)
+            cum = np.cumsum(c)
+            pos = np.arange(int(c.sum())) - np.repeat(cum - c, c) + np.repeat(lo[sel], c)
+            ham = _popcount64(cs[pos] ^ ns[doc_rep])
+            hit_rows[np.unique(doc_rep[ham <= _U64(max_hamming)])] = True
+            i = j
+        keep_idx = np.nonzero(hit_rows)[0]
+        return pa.table({id_column: group.column(id_column).take(pa.array(keep_idx))})
+
+    corpus_dup_ids = probe.groupby("stripe_idx").map_groups(verify, batch_format="pyarrow")
+
+    def in_batch_losers(group: pa.Table) -> pa.Table:
+        """simhash_dedup's bucket_verify semantics on the NEW batch:
+        within a band bucket, ids near a lower id (hamming<=max) lose."""
+        id_t = group.schema.field(id_column).type
+        if group.num_rows < 2:
+            return pa.table({id_column: pa.array([], id_t)})
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, sh))
+        sh_s, ids_s, pos_s = sh[order], ids[order], np.asarray(order)
+        first = np.ones(len(sh_s), dtype=bool)
+        first[1:] = sh_s[1:] != sh_s[:-1]
+        loser_pos = [pos_s[~first]]
+        reps_sh, reps_id, reps_pos = sh_s[first], ids_s[first], pos_s[first]
+        if len(reps_sh) > 1 and max_hamming > 0:
+            o = np.argsort(reps_id, kind="stable")
+            reps_sh, reps_id, reps_pos = reps_sh[o], reps_id[o], reps_pos[o]
+            n = len(reps_sh)
+            chunk = max(1, 4_000_000 // n)
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                ham = _popcount64(reps_sh[s:e, None] ^ reps_sh[None, :])
+                near = (ham <= _U64(max_hamming)) & (np.arange(n)[None, :] < np.arange(s, e)[:, None])
+                loser_pos.append(reps_pos[s:e][near.any(axis=1)])
+        out = np.concatenate(loser_pos) if loser_pos else np.empty(0, dtype=np.int64)
+        return pa.table({id_column: group.column(id_column).take(pa.array(out.astype(np.int64)))})
+
+    in_batch = band_rows.groupby("bkey").map_groups(in_batch_losers, batch_format="pyarrow")
+    return _anti_join_ids(new_ds, corpus_dup_ids.union(in_batch), id_column, num_partitions)
+
+
 # ------------------------------------------- ingest-time embedding near-dup
 
 _EMB_BLOOM = "_embedding_bloom.bin"

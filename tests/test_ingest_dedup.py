@@ -84,6 +84,50 @@ def test_ingest_minhash_near_dup(ray_session, tmp_path):
     assert again.count() == 0
 
 
+def test_ingest_simhash_near_dup(ray_session, tmp_path):
+    """Co-partitioned probe: new docs within hamming<=3 of an indexed
+    corpus doc drop (exact + near), distinct content survives, in-batch
+    near-dups keep the lowest id, and a corpus re-ingest drops all."""
+
+    def doc(k, n=120):
+        r = np.random.default_rng(k)
+        words = [f"tok{i}" for i in range(800)]
+        return " ".join(r.choice(words, size=n))
+
+    corpus = [doc(i) for i in range(60)]
+    idx = str(tmp_path / "sh_idx")
+    meta = dedup.build_simhash_index(_ds(list(range(60)), corpus), idx)
+    assert meta["n_band_rows"] > 0
+
+    near = corpus[5][:-8]  # tiny edit: simhash within a few bits
+    fresh = [doc(2000 + i) for i in range(10)]
+    batch_texts = [corpus[3], near] + fresh + [fresh[0]]
+    ids = list(range(100, 100 + len(batch_texts)))
+    kept = dedup.ingest_simhash_dedup(_ds(ids, batch_texts), idx).take_all()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert 100 not in kept_ids  # exact corpus dup (hamming 0)
+    assert 101 not in kept_ids  # near corpus dup
+    assert ids[-1] not in kept_ids  # in-batch exact dup of fresh[0]
+    # every fresh doc survives
+    assert set(kept_ids) == set(ids[2:-1])
+
+    # batch-mode parity: the ingest drop set on (corpus ∪ batch) agrees
+    # with simhash_dedup's verdict for the batch docs (same banding,
+    # same hamming bound, corpus ids all lower than batch ids)
+    both_ids = list(range(60)) + ids
+    both_texts = corpus + batch_texts
+    batch_kept_by_batchmode = {
+        r["doc_id"]
+        for r in dedup.simhash_dedup(_ds(both_ids, both_texts), max_hamming=3).take_all()
+        if r["doc_id"] >= 100
+    }
+    assert set(kept_ids) == batch_kept_by_batchmode
+
+    # re-ingest of the corpus itself drops everything (hamming 0 rows)
+    again = dedup.ingest_simhash_dedup(_ds(list(range(700, 760)), corpus), idx)
+    assert again.count() == 0
+
+
 def test_ingest_embedding_near_dup(ray_session, tmp_path):
     """Cosine-verified ingest: near-identical vectors drop, orthogonal-ish
     survive even when bucket-colliding rarely; in-batch near-dups keep

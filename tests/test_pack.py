@@ -60,6 +60,28 @@ def test_pack_matches_reference(ray_session, corpus):
     assert got == _ref_pack(ids, texts, 64)
 
 
+def test_sample_boundaries_kmv_on_few_big_blocks(ray_session):
+    """A large corpus held in FEW big blocks must be KMV-estimated, not
+    'exact' at the truncated sample size: each batch ships at most
+    per_batch_k fingerprints, so 2 blocks x 50k rows once looked like
+    a ~512-row corpus and collapsed the bucket count to 1."""
+    import ray.data
+
+    n = 100_000
+    t = pa.table({"doc_id": pa.array(np.arange(n))})
+    ds = ray.data.from_arrow(t).repartition(2)  # 2 big blocks
+    bnd, n_buckets = pack.sample_boundaries(
+        ds, "doc_id", rows_per_bucket=10_000, max_buckets=64
+    )
+    # KMV estimate of 100k rows / 10k per bucket → ~10 buckets (wide
+    # tolerance: it is an estimate), emphatically not 1
+    assert 4 <= n_buckets <= 40
+    # small corpus in small blocks still reports EXACT size
+    small = ray.data.from_arrow(pa.table({"doc_id": pa.array(np.arange(100))}))
+    bnd2, nb2 = pack.sample_boundaries(small, "doc_id", rows_per_bucket=50)
+    assert nb2 == 3  # 100 rows / 50 per bucket + 1 (exact path)
+
+
 def test_pack_bucket_count_invariance(ray_session, corpus):
     import ray.data
 

@@ -781,6 +781,53 @@ def test_write_orc_output_roundtrip(ray_session, tmp_path):
     assert got == list(range(2000))
 
 
+def test_encode_files_hierarchical_planning(ray_session, tmp_path):
+    """Wide inputs (> 64 files) plan work units in fan-out probe tasks
+    (driver holds O(files), not O(row-groups)); the encoded output
+    round-trips and stripe keys stay deterministic across re-plans."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mothray import pipeline
+
+    d = tmp_path / "many"
+    d.mkdir()
+    n_files, rows_per = 80, 300
+    for i in range(n_files):
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(i * rows_per, (i + 1) * rows_per)),
+                "s": pa.array([f"file {i} row {j}" for j in range(rows_per)]),
+            }
+        )
+        pq.write_table(t, str(d / f"shard-{i:04d}.parquet"), row_group_size=100)
+
+    enc = pipeline.encode_files(str(d))  # auto-hierarchical above 64 files
+    out = str(tmp_path / "enc_h")
+    pipeline.write_encoded(enc, out)
+    dec = pipeline.decode_files(out)
+    got = sorted(r["id"] for r in dec.take_all())
+    assert got == list(range(n_files * rows_per))
+
+    # deterministic re-plan: same stripe keys both times (retry identity)
+    keys1 = sorted(
+        r["stripe_key"] for r in pipeline.read_encoded(out, metadata_only=True).take_all()
+    )
+    enc2 = pipeline.encode_files(str(d), hierarchical=True)
+    out2 = str(tmp_path / "enc_h2")
+    pipeline.write_encoded(enc2, out2)
+    keys2 = sorted(
+        r["stripe_key"] for r in pipeline.read_encoded(out2, metadata_only=True).take_all()
+    )
+    assert keys1 == keys2
+
+    # flat and hierarchical agree on decoded content for a narrow input
+    enc3 = pipeline.encode_files(str(d), hierarchical=False)
+    dec3 = pipeline.decode_dataset(enc3)
+    assert sorted(r["id"] for r in dec3.take_all()) == got
+
+
 def test_read_orc_input_rejects_moth_magic(ray_session, tmp_path):
     """Reference-variant containers (magic 'MOTH') fail with a clear
     message, not an opaque pyarrow error."""
