@@ -507,11 +507,15 @@ def _text_normalize(sf_dir: str):
 
 
 def _multimodal_image(sf_dir: str):
-    """Multimodal plumbing as a driver-visible pipeline: deterministic
-    synthetic image payloads (seeded per doc_id — no media libs in the
-    sandbox, decode kernel stubbed per ops/multimodal.py) attached to
-    documents, then the actor-pool ImageDecoder extracts metadata.
-    Rows-only check: the synthetic pixels are not SQL-expressible."""
+    """Multimodal pipeline over REAL 8-bit BMP payloads (stdlib+numpy
+    decoder — header, palette, row padding, bottom-up flip all real;
+    ops/multimodal.py): deterministic constant-gray BMPs attach to
+    documents, the resize actor-pool stage nearest-neighbor-samples to
+    12x10, the ImageDecoder stage extracts metadata. Constant pixels
+    make width/height/mean SQL-constructible, so the whole decode chain
+    is VALUE-checked (JPEG/PNG remain env-blocked; varied-pixel BMP
+    round-trips are pytest-covered)."""
+    import numpy as np
     import ray.data
 
     from mothray.ops import multimodal
@@ -520,7 +524,12 @@ def _multimodal_image(sf_dir: str):
 
     def add_image(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        imgs = [multimodal.make_fake_image(16 + i % 17, 16 + i % 13, seed=i) for i in ids]
+        imgs = [
+            multimodal.make_bmp(
+                np.full((16 + i % 13, 16 + i % 17), i % 256, dtype=np.uint8)
+            )
+            for i in ids
+        ]
         return batch.append_column("image", pa.array(imgs, type=pa.binary()))
 
     # resize -> decode chain: two composed actor-pool stages (the
@@ -534,8 +543,12 @@ def _multimodal_image(sf_dir: str):
 
 
 def _multimodal_audio(sf_dir: str):
-    """Audio-feature actor-pool stage over deterministic synthetic PCM
-    payloads (see _multimodal_image). Rows-only check."""
+    """Audio features over REAL PCM16 WAV payloads (RIFF chunk-walk
+    decoder, ops/multimodal.py): constant-amplitude clips of
+    deterministic length, so duration (n/rate) and rms (= amplitude,
+    exact in float64) are SQL-constructible — the WAV decode chain is
+    VALUE-checked. Compressed audio remains env-blocked."""
+    import numpy as np
     import ray.data
 
     from mothray.ops import multimodal
@@ -544,7 +557,12 @@ def _multimodal_audio(sf_dir: str):
 
     def add_audio(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        clips = [multimodal.make_fake_audio(800 + i % 600, 16000, seed=i) for i in ids]
+        clips = [
+            multimodal.make_wav(
+                np.full(800 + i % 600, 500 + (i % 10) * 100, dtype=np.int16), 16000
+            )
+            for i in ids
+        ]
         return batch.append_column("audio", pa.array(clips, type=pa.binary()))
 
     out = multimodal.audio_features(
@@ -2810,6 +2828,18 @@ def oracle_sql() -> dict[str, str]:
         # every-2nd-frame sample of the 4 + doc_id % 7 synthetic frames
         "SELECT doc_id, CAST((4 + doc_id % 7 + 1) // 2 AS BIGINT) AS n_sampled"
         " FROM documents"
+    )
+    o["multimodal_image_features"] = (
+        # real 8-bit BMP decode chain over constant-gray images: resize
+        # target fixes width/height, constant pixels fix the mean
+        "SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,"
+        " CAST(doc_id % 256 AS DOUBLE) AS mean_pixel FROM documents"
+    )
+    o["multimodal_audio_features"] = (
+        # real PCM16 WAV decode: duration = n/rate; constant amplitude
+        # makes rms exactly the amplitude in float64
+        "SELECT doc_id, (800 + doc_id % 600) / CAST(16000 AS DOUBLE) AS duration_sec,"
+        " CAST(500 + (doc_id % 10) * 100 AS DOUBLE) AS rms FROM documents"
     )
     o["roundtrip_decimal_lineitem"] = (
         "SELECT l_orderkey, l_linenumber,"

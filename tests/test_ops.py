@@ -260,6 +260,68 @@ def test_audio_video_plumbing(ray_session):
     assert all(len(f[0]) == 32 for f in vout["sampled_frames"])  # 8x4 bytes
 
 
+def test_real_format_decode_wav_bmp_pgm(ray_session):
+    """REAL decoders, stdlib+numpy only: PCM16 WAV (incl. stereo
+    mono-mix), 8-bit BMP round-trip, binary PGM — all through the same
+    actor-pool stages as the synthetic containers."""
+    import io
+    import wave
+
+    import ray.data
+
+    rng = np.random.default_rng(9)
+
+    # --- WAV: known sine at 8 kHz; duration and RMS analytically known
+    rate, secs = 8000, 2
+    t = np.arange(rate * secs)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+    wav = multimodal.make_wav(sine, rate)
+    with wave.open(io.BytesIO(wav)) as check:  # stdlib agrees on header
+        assert check.getframerate() == rate and check.getnframes() == rate * secs
+    # stereo: both channels equal → mono mix == channel
+    stereo_pcm = np.repeat(sine, 2).astype("<i2")
+    stereo = (
+        b"RIFF" + (36 + stereo_pcm.nbytes).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * 4).to_bytes(4, "little") + (4).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data" + stereo_pcm.nbytes.to_bytes(4, "little") + stereo_pcm.tobytes()
+    )
+    ta = pa.table(
+        {"aid": pa.array([0, 1, 2], pa.int64()),
+         "audio": pa.array([wav, stereo, b"ID3not-audio"], pa.binary())}
+    )
+    out = multimodal.audio_features(ray.data.from_arrow(ta), concurrency=2, batch_size=2).to_pandas()
+    out = out.sort_values("aid").reset_index(drop=True)
+    want_rms = float(np.sqrt(np.mean(sine.astype(np.float64) ** 2)))
+    assert np.isclose(out.loc[0, "duration_sec"], secs)
+    assert np.isclose(out.loc[0, "rms"], want_rms)
+    assert np.isclose(out.loc[1, "duration_sec"], secs)  # stereo mono-mix
+    assert np.isclose(out.loc[1, "rms"], want_rms)
+    assert np.isnan(out.loc[2, "duration_sec"])  # compressed/unknown → null
+
+    # --- BMP: 8-bit encode → decode round-trips exact pixels
+    gray = rng.integers(0, 256, (12, 16), dtype=np.int64).astype(np.uint8)
+    bmp = multimodal.make_bmp(gray)
+    back = multimodal._parse_bmp(memoryview(bmp))
+    assert np.array_equal(back, gray)
+
+    # --- PGM: header parse + pixels
+    pgm = b"P5 16 12 255\n" + gray.tobytes()
+    assert np.array_equal(multimodal._parse_pgm(memoryview(pgm)), gray)
+
+    # through the actor-pool image stage, mixed with the synthetic format
+    imgs = [bmp, pgm, multimodal.make_fake_image(16, 12, seed=1), b"\x89PNGblocked"]
+    ti = pa.table({"img_id": pa.array(range(4), pa.int64()), "image": pa.array(imgs, pa.binary())})
+    dec = multimodal.decode_images(ray.data.from_arrow(ti), concurrency=2, batch_size=2).to_pandas()
+    dec = dec.sort_values("img_id").reset_index(drop=True)
+    assert (dec.loc[:2, "width"] == 16).all() and (dec.loc[:2, "height"] == 12).all()
+    assert np.isclose(dec.loc[0, "mean_pixel"], gray.mean())
+    assert np.isclose(dec.loc[1, "mean_pixel"], gray.mean())
+    assert np.isnan(dec.loc[3, "mean_pixel"])  # PNG env-blocked → null
+
+
 def test_simhash_batch_layout_deterministic():
     """Signatures must not depend on batch layout (advisor finding:
     shingle windows crossing doc boundaries made them layout-dependent)."""
