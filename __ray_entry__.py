@@ -506,6 +506,25 @@ def _text_normalize(sf_dir: str):
     )
 
 
+def _clustered_encode_documents(sf_dir: str):
+    """The north-rule SKEW-AWARE encode as a driver-visible round trip:
+    synthesize a url per doc (driver tables carry none), sample host
+    frequencies, salt hot hosts, hash-shuffle by host bucket,
+    per-bucket encode (bucket-local FSST symbol tables), decode — the
+    oracle is the full documents table, so the one shuffle the
+    north rule prescribes is VALUE-checked end to end."""
+    import ray.data
+
+    from mothray import pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        _with_synth_url, batch_format="pyarrow", zero_copy_batch=True
+    )
+    enc = pipeline.encode_clustered(ds, url_column="url", num_buckets=8)
+    dec = pipeline.decode_dataset(enc)
+    return dec.drop_columns(["url"])
+
+
 def _multimodal_image(sf_dir: str):
     """Multimodal pipeline over REAL 8-bit BMP payloads (stdlib+numpy
     decoder — header, palette, row padding, bottom-up flip all real;
@@ -2110,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_filter_documents"] = _quality_filter
     q["orc_migrate_documents"] = _orc_migrate_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
+    q["clustered_encode_documents"] = _clustered_encode_documents
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["pack_documents"] = _pack_documents
@@ -2412,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM documents WHERE lang IN ('de', 'fr')"
     )
     o["orc_migrate_documents"] = "SELECT * FROM documents"
+    o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["ingest_dedup_documents"] = (
         "WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1)"
         " SELECT * FROM batch b"
