@@ -34,9 +34,11 @@ def _parse_pgm(payload) -> np.ndarray | None:
         w, h, maxval = int(head[1]), int(head[2]), int(head[3])
     except (IndexError, ValueError):
         return None
-    if maxval > 255:
+    if maxval > 255 or w <= 0 or h <= 0:
         return None
     hdr_len = len(b" ".join(head[:4])) + 1  # single whitespace after maxval
+    if hdr_len + w * h > len(payload):  # truncated pixel data
+        return None
     pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=hdr_len)
     return pix.reshape(h, w)
 

@@ -322,6 +322,30 @@ def test_real_format_decode_wav_bmp_pgm(ray_session):
     assert np.isnan(dec.loc[3, "mean_pixel"])  # PNG env-blocked → null
 
 
+def test_wav_bmp_parser_fuzz():
+    """Round-trip fuzz: random shapes/rates/amplitudes through
+    make_bmp/_parse_bmp and make_wav/_parse_wav; hostile byte strings
+    must return None, never raise."""
+    rng = np.random.default_rng(123)
+    for _ in range(25):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        gray = rng.integers(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+        assert np.array_equal(multimodal._parse_bmp(memoryview(multimodal.make_bmp(gray))), gray)
+        n, rate = int(rng.integers(1, 5000)), int(rng.integers(1000, 96000))
+        pcm = rng.integers(-32768, 32768, n, dtype=np.int64).astype(np.int16)
+        got = multimodal._parse_wav(memoryview(multimodal.make_wav(pcm, rate)))
+        assert got is not None
+        grate, gs = got
+        assert grate == rate and len(gs) == n
+        assert np.array_equal(gs, pcm.astype(np.float64))
+    for junk in (b"", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"P5", b"P5 9 9 255\n",
+                 b"BM" + bytes(60), b"\x00" * 100):
+        assert multimodal._parse_bmp(memoryview(junk)) is None
+        assert multimodal._parse_wav(memoryview(junk)) is None
+        # PGM with truncated pixels must return None, not crash
+        assert multimodal._parse_pgm(memoryview(junk)) is None
+
+
 def test_simhash_batch_layout_deterministic():
     """Signatures must not depend on batch layout (advisor finding:
     shingle windows crossing doc boundaries made them layout-dependent)."""
