@@ -506,6 +506,47 @@ def _text_normalize(sf_dir: str):
     )
 
 
+def _text_source_ingest(sf_dir: str, fmt: str):
+    """CSV / JSONL ingestion -> encode -> decode round trip: documents
+    re-materialize as text shards (one per block, content-hash-named so
+    retries are no-ops), Ray's native distributed reader ingests them,
+    and the encode/decode chain must reproduce the original table
+    (oracle = SELECT * FROM documents). Shows text-dump corpora encode
+    without a parquet conversion step."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix=f"mothray_{fmt}_src_")
+    src_schema = _pq.read_schema(f"{sf_dir}/documents.parquet")
+    src_schema = pa.schema([src_schema.field(i) for i in range(len(src_schema.names))])
+
+    def dump(batch: pa.Table) -> pa.Table:
+        name = pipeline._block_digest(batch)
+        p = os.path.join(out, f"{name}.{fmt}")
+        if not os.path.exists(p):
+            tmp = p + ".tmp"
+            if fmt == "csv":
+                from pyarrow import csv as pacsv
+
+                pacsv.write_csv(batch, tmp)
+            else:
+                batch.to_pandas().to_json(tmp, orient="records", lines=True)
+            os.rename(tmp, p)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        dump, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ds = pipeline.read_text_source(out, fmt, schema=src_schema)
+    dec = pipeline.decode_dataset(pipeline.encode_dataset(ds), target_schema=src_schema)
+    return dec
+
+
 def _clustered_encode_documents(sf_dir: str):
     """The north-rule SKEW-AWARE encode as a driver-visible round trip:
     synthesize a url per doc (driver tables carry none), sample host
@@ -2130,6 +2171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["orc_migrate_documents"] = _orc_migrate_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
     q["clustered_encode_documents"] = _clustered_encode_documents
+    q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
+    q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["pack_documents"] = _pack_documents
@@ -2433,6 +2476,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["orc_migrate_documents"] = "SELECT * FROM documents"
     o["clustered_encode_documents"] = "SELECT * FROM documents"
+    o["csv_ingest_documents"] = "SELECT * FROM documents"
+    o["jsonl_ingest_documents"] = "SELECT * FROM documents"
     o["ingest_dedup_documents"] = (
         "WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1)"
         " SELECT * FROM batch b"

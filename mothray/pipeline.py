@@ -2032,6 +2032,29 @@ def sample_host_frequencies(
 
 # ---------------------------------------------------------------- convenience
 
+def read_text_source(
+    path: str | list[str], format: str = "csv", schema: pa.Schema | None = None
+) -> ray.data.Dataset:
+    """CSV / JSONL ingestion source: Ray's native distributed readers
+    (one task per file/split), composing with encode_dataset so corpora
+    delivered as text dumps encode without a parquet conversion step.
+    `schema` (pyarrow) pins column types — CSV/JSON type inference is
+    per-file, and a column that happens to be all-null or all-digits in
+    one shard must not change type across shards."""
+    if format == "csv":
+        kwargs = {}
+        if schema is not None:
+            from pyarrow import csv as pacsv
+
+            kwargs["convert_options"] = pacsv.ConvertOptions(
+                column_types={f.name: f.type for f in schema}
+            )
+        return ray.data.read_csv(path, **kwargs)
+    if format in ("jsonl", "json"):
+        return ray.data.read_json(path)
+    raise ValueError(f"unsupported text source format: {format!r} (csv|jsonl)")
+
+
 def read_input(path: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
     """read_parquet with a block count sized to saturate the CPUs: the
     default (one block per file / large target blocks) starves wide

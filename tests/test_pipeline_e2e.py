@@ -828,6 +828,33 @@ def test_encode_files_hierarchical_planning(ray_session, tmp_path):
     assert sorted(r["id"] for r in dec3.take_all()) == got
 
 
+def test_read_text_source_csv_jsonl(ray_session, tmp_path):
+    """CSV / JSONL ingestion sources round-trip through encode/decode;
+    the csv schema pin keeps types stable across shards."""
+    import pyarrow as pa
+    from pyarrow import csv as pacsv
+
+    from mothray import pipeline
+
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()), "s": ["a", "b", "c"]})
+    d = tmp_path / "csv"
+    d.mkdir()
+    pacsv.write_csv(t, str(d / "x.csv"))
+    ds = pipeline.read_text_source(str(d / "x.csv"), "csv", schema=t.schema)
+    dec = pipeline.decode_dataset(pipeline.encode_dataset(ds), target_schema=t.schema)
+    assert sorted(r["id"] for r in dec.take_all()) == [1, 2, 3]
+
+    j = tmp_path / "rows.jsonl"
+    j.write_text('{"id": 1, "s": "a"}\n{"id": 2, "s": "b"}\n')
+    ds2 = pipeline.read_text_source(str(j), "jsonl")
+    assert ds2.count() == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipeline.read_text_source(str(j), "avro")
+
+
 def test_read_orc_input_rejects_moth_magic(ray_session, tmp_path):
     """Reference-variant containers (magic 'MOTH') fail with a clear
     message, not an opaque pyarrow error."""
