@@ -1352,21 +1352,31 @@ def ingest_simhash_dedup(
     meta_rows = pipeline.read_encoded(
         index_dir, metadata_only=True, include_paths=True
     ).take_all()
-    infos = []
+    infos, unbounded = [], []
     for r in meta_rows:
         st = _json.loads(r["stats"]).get("bkey", {})
-        lo = st.get("min", -(2**62))
-        hi = st.get("max", 2**62)
-        infos.append((lo, hi, r["path"], r["stripe_key"]))
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None or hi is None:
+            # stats-less stripe (shouldn't happen for the index we
+            # build, but a foreign/partial index must not break the
+            # sorted-range invariant searchsorted relies on): probe it
+            # for EVERY row instead
+            unbounded.append((r["path"], r["stripe_key"]))
+        else:
+            infos.append((lo, hi, r["path"], r["stripe_key"]))
     infos.sort(key=lambda x: (x[0], x[1]))
     lo_arr = np.array([x[0] for x in infos], dtype=np.int64)
     hi_arr = np.array([x[1] for x in infos], dtype=np.int64)
-    stripes_ref = ray.put([(x[2], x[3]) for x in infos])
+    n_bounded = len(infos)
+    stripes_ref = ray.put([(x[2], x[3]) for x in infos] + unbounded)
+
+    n_unbounded = len(unbounded)
 
     def assign(batch: pa.Table) -> pa.Table:
         """Emit one (stripe_idx, bkey, simhash, id) row per covering
-        stripe; rows no stripe range covers are definitely new."""
-        if batch.num_rows == 0 or len(lo_arr) == 0:
+        stripe (plus one per stats-less stripe, probed unconditionally);
+        rows no stripe covers are definitely new."""
+        if batch.num_rows == 0 or (len(lo_arr) == 0 and n_unbounded == 0):
             return pa.table(
                 {
                     "stripe_idx": pa.array([], pa.int64()),
@@ -1377,9 +1387,13 @@ def ingest_simhash_dedup(
             )
         bk = batch.column("bkey").to_numpy(zero_copy_only=False)
         # covering stripes = [first with hi >= bkey, first with lo > bkey)
-        start = np.searchsorted(hi_arr, bk, side="left")
-        end = np.searchsorted(lo_arr, bk, side="right")
-        counts = np.maximum(end - start, 0)
+        if len(lo_arr):
+            start = np.searchsorted(hi_arr, bk, side="left")
+            end = np.searchsorted(lo_arr, bk, side="right")
+            counts = np.maximum(end - start, 0) + n_unbounded
+        else:
+            start = np.zeros(len(bk), dtype=np.int64)
+            counts = np.full(len(bk), n_unbounded, dtype=np.int64)
         total = int(counts.sum())
         if total == 0:
             return pa.table(
@@ -1392,7 +1406,14 @@ def ingest_simhash_dedup(
             )
         row_idx = np.repeat(np.arange(len(bk)), counts)
         cum = np.cumsum(counts)
-        sidx = np.arange(total) - np.repeat(cum - counts, counts) + np.repeat(start, counts)
+        # per-row offsets 0..counts-1: the first (end-start) map to the
+        # covering bounded stripes, the tail to the stats-less stripes
+        # (indices n_bounded..) probed unconditionally
+        o = np.arange(total) - np.repeat(cum - counts, counts)
+        brep = np.repeat(counts - n_unbounded, counts)
+        sidx = np.where(
+            o < brep, np.repeat(start, counts) + o, n_bounded + (o - brep)
+        )
         keep = pa.array(row_idx)
         return pa.table(
             {

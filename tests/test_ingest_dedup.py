@@ -127,6 +127,25 @@ def test_ingest_simhash_near_dup(ray_session, tmp_path):
     again = dedup.ingest_simhash_dedup(_ds(list(range(700, 760)), corpus), idx)
     assert again.count() == 0
 
+    # a FOREIGN index whose stripes lack bkey zone maps must still be
+    # probed (unconditionally, not skipped): strip the stats and expect
+    # the identical verdict
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(idx + "/*.parquet"):
+        t = pq.read_table(f)
+        stats = [
+            json.dumps({k: v for k, v in json.loads(s).items() if k != "bkey"})
+            for s in t.column("stats").to_pylist()
+        ]
+        t2 = t.set_column(t.column_names.index("stats"), "stats", pa.array(stats))
+        pq.write_table(t2, f, row_group_size=8)
+    kept_nostats = dedup.ingest_simhash_dedup(_ds(ids, batch_texts), idx).take_all()
+    assert sorted(r["doc_id"] for r in kept_nostats) == kept_ids
+
 
 def test_ingest_embedding_near_dup(ray_session, tmp_path):
     """Cosine-verified ingest: near-identical vectors drop, orthogonal-ish
