@@ -506,6 +506,28 @@ def _text_normalize(sf_dir: str):
     )
 
 
+def _schema_evolution_documents(sf_dir: str, op: str):
+    """Metadata-only schema evolution on the encoded format: RENAME
+    re-keys every column-keyed structure (streams, stats, blooms,
+    row-group min/max, codec metrics, Arrow schema) and DROP sheds
+    them — blob bytes copy through with no decode/re-encode (columnar
+    O(metadata) DDL). Decode under the evolved schema is value-checked."""
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+
+    src = tempfile.mkdtemp(prefix="mothray_evo_src_")
+    out = tempfile.mkdtemp(prefix="mothray_evo_out_")
+    pipeline.write_encoded(pipeline.encode_dataset(_docs(sf_dir)), src)
+    if op == "rename":
+        pipeline.rename_column_encoded(src, out, "text", "body")
+    else:
+        pipeline.drop_column_encoded(src, out, ["text"])
+    return pipeline.decode_dataset(pipeline.read_encoded(out))
+
+
 def _text_source_ingest(sf_dir: str, fmt: str):
     """CSV / JSONL ingestion -> encode -> decode round trip: documents
     re-materialize as text shards (one per block, content-hash-named so
@@ -2173,6 +2195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["clustered_encode_documents"] = _clustered_encode_documents
     q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
+    q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
+    q["drop_column_documents"] = lambda sf: _schema_evolution_documents(sf, "drop")
     q["tpch_q3_encoded"] = _tpch_q3
     q["bm25_search_documents"] = _bm25_documents
     q["pack_documents"] = _pack_documents
@@ -2478,6 +2502,10 @@ def oracle_sql() -> dict[str, str]:
     o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["csv_ingest_documents"] = "SELECT * FROM documents"
     o["jsonl_ingest_documents"] = "SELECT * FROM documents"
+    o["rename_column_documents"] = (
+        "SELECT doc_id, text AS body, lang, source, n_chars FROM documents"
+    )
+    o["drop_column_documents"] = "SELECT doc_id, lang, source, n_chars FROM documents"
     o["ingest_dedup_documents"] = (
         "WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1)"
         " SELECT * FROM batch b"

@@ -141,6 +141,17 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("table_dir")
     vc.add_argument("--keep", default=None, help="comma-separated versions to keep")
 
+    rn = sub.add_parser("rename", help="metadata-only column RENAME (COW: blobs copy through, nothing re-encodes)")
+    rn.add_argument("enc_dir")
+    rn.add_argument("out_dir")
+    rn.add_argument("old")
+    rn.add_argument("new")
+
+    dc = sub.add_parser("dropcol", help="metadata-only column DROP (stream bytes freed at next compaction)")
+    dc.add_argument("enc_dir")
+    dc.add_argument("out_dir")
+    dc.add_argument("columns", nargs="+")
+
     args = p.parse_args(argv)
 
     try:
@@ -384,6 +395,20 @@ def _dispatch(args) -> int:
 
         keep = [int(v) for v in args.keep.split(",")] if args.keep else None
         print(json.dumps(versions.vacuum(args.table_dir, keep_versions=keep)))
+        return 0
+
+    if args.cmd == "rename":
+        from mothray import pipeline
+
+        pipeline.rename_column_encoded(args.enc_dir, args.out_dir, args.old, args.new)
+        print(json.dumps({"renamed": {args.old: args.new}, "out_dir": args.out_dir}))
+        return 0
+
+    if args.cmd == "dropcol":
+        from mothray import pipeline
+
+        pipeline.drop_column_encoded(args.enc_dir, args.out_dir, args.columns)
+        print(json.dumps({"dropped": args.columns, "out_dir": args.out_dir}))
         return 0
 
     if args.cmd == "stats":

@@ -2032,6 +2032,75 @@ def sample_host_frequencies(
 
 # ---------------------------------------------------------------- convenience
 
+def _rewrite_stripe_columns(batch: pa.Table, rename: dict | None, drop: set | None) -> pa.Table:
+    """Per-stripe METADATA rewrite for schema evolution: every
+    column-keyed structure (stream trees, stats, bloom index, row-group
+    min/max, codec metrics, Arrow schema) re-keys / sheds entries; the
+    BLOB passes through byte-identical — nothing decodes or re-encodes.
+    A dropped column's stream bytes stay in the blob (unreferenced)
+    until the next compaction/OPTIMIZE rewrite, mirroring how columnar
+    stores make DROP O(metadata)."""
+    rename = rename or {}
+    drop = drop or set()
+
+    def remap(d: dict) -> dict:
+        return {rename.get(k, k): v for k, v in d.items() if k not in drop}
+
+    metas, stats_out, schemas = [], [], []
+    for i in range(batch.num_rows):
+        meta = json.loads(batch.column("meta")[i].as_py())
+        meta["columns"] = remap(meta["columns"])
+        meta["blooms"] = remap(meta.get("blooms", {}))
+        if "stats" in meta.get("row_groups", {}):
+            meta["row_groups"]["stats"] = remap(meta["row_groups"]["stats"])
+        if "codecs" in meta.get("metrics", {}):
+            meta["metrics"]["codecs"] = remap(meta["metrics"]["codecs"])
+        metas.append(json.dumps(meta))
+        stats_out.append(json.dumps(remap(json.loads(batch.column("stats")[i].as_py()))))
+        sch = stripe_mod._deserialize_schema(batch.column("schema_ipc")[i].as_py())
+        fields = [
+            f.with_name(rename.get(f.name, f.name))
+            for f in sch
+            if f.name not in drop
+        ]
+        schemas.append(stripe_mod._serialize_schema(pa.schema(fields)))
+    out = batch.set_column(batch.column_names.index("meta"), "meta", pa.array(metas))
+    out = out.set_column(out.column_names.index("stats"), "stats", pa.array(stats_out))
+    return out.set_column(
+        out.column_names.index("schema_ipc"), "schema_ipc", pa.array(schemas, pa.binary())
+    )
+
+
+def rename_column_encoded(in_dir: str | list[str], out_dir: str, old: str, new: str) -> None:
+    """COW schema evolution: RENAME a column on an encoded dataset with
+    a streaming metadata-only rewrite (blob bytes copy through, no
+    decode/re-encode). Output is a fresh encoded dataset directory."""
+    enc = read_encoded(in_dir)
+    write_encoded(
+        enc.map_batches(
+            lambda b: _rewrite_stripe_columns(b, {old: new}, None),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        out_dir,
+    )
+
+
+def drop_column_encoded(in_dir: str | list[str], out_dir: str, names: list[str]) -> None:
+    """COW schema evolution: DROP columns on an encoded dataset with a
+    streaming metadata-only rewrite. Dropped stream bytes remain in the
+    blobs until compaction (documented in _rewrite_stripe_columns)."""
+    enc = read_encoded(in_dir)
+    write_encoded(
+        enc.map_batches(
+            lambda b: _rewrite_stripe_columns(b, None, set(names)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        out_dir,
+    )
+
+
 def read_text_source(
     path: str | list[str], format: str = "csv", schema: pa.Schema | None = None
 ) -> ray.data.Dataset:

@@ -828,6 +828,49 @@ def test_encode_files_hierarchical_planning(ray_session, tmp_path):
     assert sorted(r["id"] for r in dec3.take_all()) == got
 
 
+def test_schema_evolution_rename_drop(ray_session, tmp_path):
+    """Metadata-only RENAME/DROP on encoded data: blobs copy through
+    untouched, decode sees the new schema, and the skipping stack
+    (zone maps, blooms) still prunes under the new name."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(2000)),
+            "txt": pa.array([f"value {i}" for i in range(2000)]),
+            "score": pa.array(np.arange(2000) * 0.5),
+        }
+    )
+    src = str(tmp_path / "src")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(t)), src)
+
+    renamed = str(tmp_path / "renamed")
+    pipeline.rename_column_encoded(src, renamed, "txt", "body")
+    dec = pa.Table.from_pylist(
+        pipeline.decode_dataset(pipeline.read_encoded(renamed)).take_all()
+    )
+    assert sorted(dec.column_names) == ["body", "id", "score"]
+    got = dec.sort_by("id")
+    assert got.column("body").to_pylist() == t.column("txt").to_pylist()
+    # pruning still works under the new name (zone maps + blooms re-keyed)
+    hits = pipeline.filter_encoded(renamed, "body", "eq", "value 7", columns=["id"])
+    assert [r["id"] for r in hits.take_all()] == [7]
+
+    dropped = str(tmp_path / "dropped")
+    pipeline.drop_column_encoded(src, dropped, ["txt"])
+    dec2 = pa.Table.from_pylist(
+        pipeline.decode_dataset(pipeline.read_encoded(dropped)).take_all()
+    )
+    assert sorted(dec2.column_names) == ["id", "score"]
+    assert dec2.num_rows == 2000
+    # prune on a surviving column unaffected
+    assert pipeline.filter_encoded(dropped, "id", "ge", 1990, columns=["id"]).count() == 10
+
+
 def test_read_text_source_csv_jsonl(ray_session, tmp_path):
     """CSV / JSONL ingestion sources round-trip through encode/decode;
     the csv schema pin keeps types stable across shards."""
