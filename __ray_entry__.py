@@ -2157,10 +2157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_join_lineitem"] = _bloom_join_lineitem
     q["intersect_events"] = lambda sf: _set_ops(sf, "intersect")
     q["except_events"] = lambda sf: _set_ops(sf, "except_")
-    q["intersect_all_events"] = lambda sf: _set_ops(sf, "intersect_all")
-    q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
+    # r4: the north-rule skew encode + the two multimodal queries that
+    # flipped from rows-only to value-checked take head slots; the
+    # *_all set-op variants and the OR search (families already
+    # represented by intersect/except/search_and) move past the window
+    q["clustered_encode_documents"] = _clustered_encode_documents
+    q["multimodal_image_features"] = _multimodal_image
+    q["multimodal_audio_features"] = _multimodal_audio
     q["search_and_documents"] = lambda sf: _text_search(sf, ["query", "window"], "and")
-    q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
     q["variance_lineitem"] = _variance_lineitem
     q["corr_lineitem"] = _corr_lineitem
     q["heavy_hitters_events"] = _heavy_hitters_events
@@ -2192,7 +2196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_filter_documents"] = _quality_filter
     q["orc_migrate_documents"] = _orc_migrate_documents
     q["partitioned_encode_documents"] = _partitioned_encode_documents
-    q["clustered_encode_documents"] = _clustered_encode_documents
+    q["intersect_all_events"] = lambda sf: _set_ops(sf, "intersect_all")
+    q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
+    q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
     q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
@@ -2245,8 +2251,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ingest_minhash_documents"] = _ingest_minhash_documents
     q["ingest_simhash_documents"] = _ingest_simhash_documents
     q["ingest_embedding_embeddings"] = _ingest_embedding_documents
-    q["multimodal_image_features"] = _multimodal_image
-    q["multimodal_audio_features"] = _multimodal_audio
     q["multimodal_video_frames"] = _multimodal_video
     return q
 
