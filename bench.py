@@ -168,8 +168,17 @@ def run_bench() -> dict:
 
     # reps > 1 (scaling mode): same job repeated in ONE session — the
     # warm runs show the steady-state a long-lived cluster job reaches;
-    # every run is reported, nothing hidden
-    runs = [round(run_job(), 3) for _ in range(max(BENCH_REPS, 1))]
+    # every run is reported, nothing hidden. The per-leg `queries`
+    # snapshot is FROZEN after run 1 so it corresponds to `value`
+    # (run_job overwrites the dict each rep; mixing cold wall with warm
+    # legs made the throughput figure inconsistent with its headline).
+    runs = []
+    first_queries: dict[str, float] = {}
+    for rep in range(max(BENCH_REPS, 1)):
+        runs.append(round(run_job(), 3))
+        if rep == 0:
+            first_queries = dict(queries)
+    queries = first_queries
 
     # byte accounting is bookkeeping, not pipeline: a driver-side
     # threaded pyarrow scan of two int columns AFTER the timed window

@@ -1367,6 +1367,16 @@ def ingest_simhash_dedup(
     infos.sort(key=lambda x: (x[0], x[1]))
     lo_arr = np.array([x[0] for x in infos], dtype=np.int64)
     hi_arr = np.array([x[1] for x in infos], dtype=np.int64)
+    if len(hi_arr) > 1 and not (hi_arr[1:] >= hi_arr[:-1]).all():
+        # OVERLAPPING ranges (a foreign index assembled from several
+        # separately sorted builds interleaves): searchsorted's cover
+        # window would be wrong and near-dups would pass as new. Fall
+        # back to probing every stripe for every row — correct, slower,
+        # and only reachable for indexes this module didn't build.
+        unbounded = [(x[2], x[3]) for x in infos] + unbounded
+        infos = []
+        lo_arr = np.array([], dtype=np.int64)
+        hi_arr = np.array([], dtype=np.int64)
     n_bounded = len(infos)
     stripes_ref = ray.put([(x[2], x[3]) for x in infos] + unbounded)
 

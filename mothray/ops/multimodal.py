@@ -26,17 +26,20 @@ MAGIC = b"FAKE"
 
 def _parse_pgm(payload) -> np.ndarray | None:
     """Binary PGM (P5): ASCII header 'P5 <w> <h> <maxval>' then raw
-    bytes. Real format, stdlib-parseable."""
+    bytes. The pixel offset comes from the MATCHED header span (a
+    reconstruction from split tokens shifts every pixel when the header
+    uses CRLF or multi-space separators)."""
+    import re
+
     if len(payload) < 10 or bytes(payload[:2]) != b"P5":
         return None
-    head = bytes(payload[:64]).split()
-    try:
-        w, h, maxval = int(head[1]), int(head[2]), int(head[3])
-    except (IndexError, ValueError):
+    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", bytes(payload[:64]))
+    if m is None:
         return None
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval > 255 or w <= 0 or h <= 0:
         return None
-    hdr_len = len(b" ".join(head[:4])) + 1  # single whitespace after maxval
+    hdr_len = m.end()  # exactly ONE whitespace byte after maxval (spec)
     if hdr_len + w * h > len(payload):  # truncated pixel data
         return None
     pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=hdr_len)

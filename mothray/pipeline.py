@@ -405,11 +405,14 @@ def encode_files(
     except Exception:
         ncpu = 8
     if isinstance(input_path, str) and os.path.isdir(input_path):
-        files = sorted(
-            os.path.join(input_path, f)
-            for f in os.listdir(input_path)
-            if f.endswith(".parquet")
-        )
+        # the same fragment discovery the flat path uses (file LISTING
+        # only, no footer opens): an extension filter would silently
+        # drop parquet shards named without '.parquet' (part-00000
+        # style), changing which rows encode when a directory crosses
+        # the hierarchical threshold
+        import pyarrow.dataset as pads
+
+        files = sorted(pads.dataset(input_path, format="parquet").files)
     elif isinstance(input_path, list):
         files = sorted(input_path)
     else:
@@ -562,20 +565,19 @@ def decode_files(
     except Exception:
         ncpu = 8
     if isinstance(input_path, str) and os.path.isdir(input_path):
-        n_files = sum(1 for f in os.listdir(input_path) if f.endswith(".parquet"))
+        import pyarrow.dataset as pads
+
+        # fragment LISTING (no footer opens) — same discovery as the
+        # flat path, so no extension-based shard dropping
+        files = sorted(pads.dataset(input_path, format="parquet").files)
+        n_files = len(files)
     elif isinstance(input_path, list):
-        n_files = len(input_path)
+        files = sorted(input_path)
+        n_files = len(files)
     else:
+        files = [input_path]
         n_files = 1
     if n_files > _HIERARCHICAL_FILES:
-        if isinstance(input_path, str):
-            files = sorted(
-                os.path.join(input_path, f)
-                for f in os.listdir(input_path)
-                if f.endswith(".parquet")
-            )
-        else:
-            files = sorted(input_path)
         tb = target_bytes or (8 << 20)
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -1621,47 +1623,65 @@ def read_orc_input(path: str | list[str]) -> ray.data.Dataset:
 
 
 def _block_digest(batch: pa.Table) -> str:
-    """Deterministic content digest of a block: blake2b over the schema,
-    row count and every Arrow buffer. A retried Ray task receives the
-    identical serialized block, so it re-derives the identical digest."""
+    """Deterministic LOGICAL content digest of a block: blake2b over
+    the Arrow IPC stream of the combined table. IPC serializes values
+    (it honors slice offsets and null masks), so two blocks that merely
+    share parent buffers at different offsets hash differently, and a
+    retried task over the identical block re-derives the identical
+    digest."""
     import hashlib
 
+    import pyarrow.ipc as ipc
+
+    t = batch.combine_chunks()
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
     h = hashlib.blake2b(digest_size=16)
-    h.update(str(batch.schema).encode())
-    h.update(batch.num_rows.to_bytes(8, "little"))
-    for col in batch.columns:
-        for chunk in col.chunks:
-            for buf in chunk.buffers():
-                if buf is not None:
-                    h.update(memoryview(buf))
+    h.update(memoryview(sink.getvalue()))
     return h.hexdigest()
 
 
 def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 << 20) -> int:
     """Interop sink: write a Dataset as reference-format .orc files
-    (pyarrow.orc), one file per block. Part names are CONTENT-DERIVED
-    (blake2b of the block's buffers), so a Ray task retry after a
-    successful rename re-creates the SAME name instead of a duplicate
-    file with duplicate rows; tmp+rename keeps each file atomic so a
-    partial run never leaves a truncated .orc behind. Returns the file
-    count. Pairs with read_orc_input for round-trip migration."""
+    (pyarrow.orc), one file per block, named `part-{index:05d}.orc` by
+    the block's DETERMINISTIC position in the dataset — so a retried
+    write re-creates the same name (idempotent: atomic tmp+rename with
+    a unique tmp per attempt, last rename wins with identical content),
+    and two blocks that happen to hold identical rows still produce two
+    files (no silent row loss, unlike content-only addressing). Blocks
+    are written from object-store refs by parallel Ray tasks; an export
+    sink may materialize its input. Returns the file count. Pairs with
+    read_orc_input for round-trip migration."""
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
 
-    def write(batch: pa.Table) -> pa.Table:
+    @ray.remote
+    def write(block, idx: int) -> int:
         from pyarrow import orc
 
+        batch = pa.table(block) if not isinstance(block, pa.Table) else block
         if batch.num_rows == 0:
-            return pa.table({"files": pa.array([0], pa.int64())})
-        name = f"part-{_block_digest(batch)}.orc"
-        final = os.path.join(out_dir, name)
+            return 0
+        final = os.path.join(out_dir, f"part-{idx:05d}.orc")
         if not os.path.exists(final):  # retry after successful rename: no-op
-            tmp = os.path.join(out_dir, "." + name + ".tmp")
+            tmp = os.path.join(out_dir, f".part-{idx:05d}.{uuid.uuid4().hex}.tmp")
             orc.write_table(batch, tmp, stripe_size=stripe_size)
-            os.rename(tmp, final)
-        return pa.table({"files": pa.array([1], pa.int64())})
+            os.rename(tmp, final)  # atomic; concurrent attempts both valid
+        return 1
 
-    parts = ds.map_batches(write, batch_format="pyarrow", batch_size=None).take_all()
-    return int(sum(r["files"] for r in parts))
+    # deterministic block order: without preserve_order the streaming
+    # executor may yield blocks in completion order, which would assign
+    # different indices (→ different file names) on a re-run
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        refs = ds.to_arrow_refs()
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return int(sum(ray.get([write.remote(r, i) for i, r in enumerate(refs)])))
 
 
 def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
@@ -2071,10 +2091,28 @@ def _rewrite_stripe_columns(batch: pa.Table, rename: dict | None, drop: set | No
     )
 
 
+def _encoded_column_names(path: str | list[str]) -> list[str]:
+    """Column names of an encoded dataset from ONE stripe's meta (every
+    column appears in meta['columns'] regardless of stats coverage)."""
+    rows = read_encoded(path, metadata_only=True).limit(1).take_all()
+    if not rows:
+        return []
+    return list(json.loads(rows[0]["meta"])["columns"].keys())
+
+
 def rename_column_encoded(in_dir: str | list[str], out_dir: str, old: str, new: str) -> None:
     """COW schema evolution: RENAME a column on an encoded dataset with
     a streaming metadata-only rewrite (blob bytes copy through, no
-    decode/re-encode). Output is a fresh encoded dataset directory."""
+    decode/re-encode). Output is a fresh encoded dataset directory.
+    Validates up front: `old` must exist (a typo must not be a silent
+    no-op) and `new` must not collide with an existing column (the
+    remap would silently overwrite one column's streams with the
+    other's and emit a duplicate-name schema)."""
+    cols = _encoded_column_names(in_dir)
+    if old not in cols:
+        raise KeyError(f"column {old!r} not in encoded dataset (have {cols})")
+    if new in cols:
+        raise ValueError(f"rename target {new!r} already exists (have {cols})")
     enc = read_encoded(in_dir)
     write_encoded(
         enc.map_batches(
@@ -2090,6 +2128,12 @@ def drop_column_encoded(in_dir: str | list[str], out_dir: str, names: list[str])
     """COW schema evolution: DROP columns on an encoded dataset with a
     streaming metadata-only rewrite. Dropped stream bytes remain in the
     blobs until compaction (documented in _rewrite_stripe_columns)."""
+    cols = _encoded_column_names(in_dir)
+    missing = [n for n in names if n not in cols]
+    if missing:
+        raise KeyError(f"columns {missing} not in encoded dataset (have {cols})")
+    if not set(cols) - set(names):
+        raise ValueError("cannot drop every column")
     enc = read_encoded(in_dir)
     write_encoded(
         enc.map_batches(
@@ -2120,7 +2164,12 @@ def read_text_source(
             )
         return ray.data.read_csv(path, **kwargs)
     if format in ("jsonl", "json"):
-        return ray.data.read_json(path)
+        kwargs = {}
+        if schema is not None:
+            from pyarrow import json as pajson
+
+            kwargs["parse_options"] = pajson.ParseOptions(explicit_schema=schema)
+        return ray.data.read_json(path, **kwargs)
     raise ValueError(f"unsupported text source format: {format!r} (csv|jsonl)")
 
 

@@ -338,6 +338,13 @@ def test_wav_bmp_parser_fuzz():
         grate, gs = got
         assert grate == rate and len(gs) == n
         assert np.array_equal(gs, pcm.astype(np.float64))
+    # CRLF / multi-space PGM headers: pixel offset must come from the
+    # matched header span, not a reconstruction of split tokens
+    gray2 = rng.integers(0, 256, (3, 5), dtype=np.int64).astype(np.uint8)
+    crlf = b"P5\r\n5 3\r\n255\n" + gray2.tobytes()
+    assert np.array_equal(multimodal._parse_pgm(memoryview(crlf)), gray2)
+    multi = b"P5  5  3  255\t" + gray2.tobytes()
+    assert np.array_equal(multimodal._parse_pgm(memoryview(multi)), gray2)
     for junk in (b"", b"BM", b"RIFF", b"RIFFxxxxWAVE", b"P5", b"P5 9 9 255\n",
                  b"BM" + bytes(60), b"\x00" * 100):
         assert multimodal._parse_bmp(memoryview(junk)) is None

@@ -860,6 +860,19 @@ def test_schema_evolution_rename_drop(ray_session, tmp_path):
     hits = pipeline.filter_encoded(renamed, "body", "eq", "value 7", columns=["id"])
     assert [r["id"] for r in hits.take_all()] == [7]
 
+    # validation: typo'd old name and colliding new name must raise,
+    # not silently no-op / overwrite
+    import pytest
+
+    with pytest.raises(KeyError):
+        pipeline.rename_column_encoded(src, str(tmp_path / "x1"), "nope", "y")
+    with pytest.raises(ValueError):
+        pipeline.rename_column_encoded(src, str(tmp_path / "x2"), "txt", "score")
+    with pytest.raises(KeyError):
+        pipeline.drop_column_encoded(src, str(tmp_path / "x3"), ["nope"])
+    with pytest.raises(ValueError):
+        pipeline.drop_column_encoded(src, str(tmp_path / "x4"), ["id", "txt", "score"])
+
     dropped = str(tmp_path / "dropped")
     pipeline.drop_column_encoded(src, dropped, ["txt"])
     dec2 = pa.Table.from_pylist(
@@ -869,6 +882,26 @@ def test_schema_evolution_rename_drop(ray_session, tmp_path):
     assert dec2.num_rows == 2000
     # prune on a surviving column unaffected
     assert pipeline.filter_encoded(dropped, "id", "ge", 1990, columns=["id"]).count() == 10
+
+
+def test_write_orc_output_preserves_duplicate_blocks(ray_session, tmp_path):
+    """Two blocks holding identical rows must yield two part files —
+    content-identical data is still data (the former content-only part
+    naming silently coalesced them, losing half the rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table({"id": pa.array(np.arange(100)), "v": pa.array(np.arange(100) * 2.0)})
+    ds = ray.data.from_arrow(t).union(ray.data.from_arrow(t))  # identical twin blocks
+    out = tmp_path / "orc_dup"
+    n = pipeline.write_orc_output(ds, str(out))
+    assert n == 2
+    back = pipeline.read_orc_input(str(out))
+    got = sorted(r["id"] for r in back.take_all())
+    assert got == sorted(list(range(100)) * 2)  # every duplicate row kept
 
 
 def test_read_text_source_csv_jsonl(ray_session, tmp_path):
