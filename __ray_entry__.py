@@ -548,10 +548,16 @@ def _text_source_ingest(sf_dir: str, fmt: str):
     src_schema = pa.schema([src_schema.field(i) for i in range(len(src_schema.names))])
 
     def dump(batch: pa.Table) -> pa.Table:
+        # digest naming makes task RETRIES no-ops; unique tmp per
+        # attempt keeps concurrent attempts from interleaving one file.
+        # (Identical-content blocks would coalesce — impossible here:
+        # documents rows are unique, so no two blocks are identical.)
+        import uuid
+
         name = pipeline._block_digest(batch)
         p = os.path.join(out, f"{name}.{fmt}")
         if not os.path.exists(p):
-            tmp = p + ".tmp"
+            tmp = os.path.join(out, f".{name}.{uuid.uuid4().hex}.tmp")
             if fmt == "csv":
                 from pyarrow import csv as pacsv
 

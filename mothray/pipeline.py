@@ -277,6 +277,25 @@ class _ReadEncode:
 _HIERARCHICAL_FILES = 64  # above this, plan per-file in fan-out tasks
 
 
+def _discover_parquet_files(input_path: str | list[str]) -> list[str]:
+    """One directory LISTING (os.listdir — no footer opens, unlike a
+    pads.dataset construction which inspects a fragment for schema):
+    keeps every data file regardless of naming (Hive 'part-00000'
+    shards carry no extension) but skips hidden files and the
+    '*.tmp' staging names this repo's own atomic writers leave behind
+    when killed between write and rename."""
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if not f.startswith((".", "_")) and not f.endswith(".tmp")
+            and os.path.isfile(os.path.join(input_path, f))
+        )
+    if isinstance(input_path, list):
+        return sorted(input_path)
+    return [input_path]
+
+
 def _unit_rows_for_file(path: str, fidx: int, target_bytes: int) -> list[dict]:
     """Work-unit rows for ONE file: row-group clusters up to
     target_bytes, giant single row groups sliced (same rules as the
@@ -404,19 +423,7 @@ def encode_files(
         ncpu = int(ray_api.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    if isinstance(input_path, str) and os.path.isdir(input_path):
-        # the same fragment discovery the flat path uses (file LISTING
-        # only, no footer opens): an extension filter would silently
-        # drop parquet shards named without '.parquet' (part-00000
-        # style), changing which rows encode when a directory crosses
-        # the hierarchical threshold
-        import pyarrow.dataset as pads
-
-        files = sorted(pads.dataset(input_path, format="parquet").files)
-    elif isinstance(input_path, list):
-        files = sorted(input_path)
-    else:
-        files = [input_path]
+    files = _discover_parquet_files(input_path)
     if hierarchical is None:
         hierarchical = len(files) > _HIERARCHICAL_FILES
     if hierarchical:
@@ -430,7 +437,7 @@ def encode_files(
 
         total = sum(
             f.metadata.row_group(i).total_byte_size
-            for f in pads.dataset(input_path, format="parquet").get_fragments()
+            for f in pads.dataset(files, format="parquet").get_fragments()
             for i in range(f.metadata.num_row_groups)
         )
         # ~8 units per CPU: fine enough that stragglers/a noisy core
@@ -441,7 +448,7 @@ def encode_files(
         # saved overhead at every level tested), and a constant cap
         # keeps units identical across cluster widths
         target_bytes = int(min(max(total // max(ncpu * 8, 1), 4 << 20), 32 << 20))
-    parts = ckpt.plan_partitions(input_path, target_bytes)
+    parts = ckpt.plan_partitions(files, target_bytes)
     items = []
     any_slice = False
     for p in parts:
@@ -564,20 +571,8 @@ def decode_files(
         ncpu = int(ray_api.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    if isinstance(input_path, str) and os.path.isdir(input_path):
-        import pyarrow.dataset as pads
-
-        # fragment LISTING (no footer opens) — same discovery as the
-        # flat path, so no extension-based shard dropping
-        files = sorted(pads.dataset(input_path, format="parquet").files)
-        n_files = len(files)
-    elif isinstance(input_path, list):
-        files = sorted(input_path)
-        n_files = len(files)
-    else:
-        files = [input_path]
-        n_files = 1
-    if n_files > _HIERARCHICAL_FILES:
+    files = _discover_parquet_files(input_path)
+    if len(files) > _HIERARCHICAL_FILES:
         tb = target_bytes or (8 << 20)
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -617,14 +612,14 @@ def decode_files(
 
         total = sum(
             f.metadata.row_group(i).total_byte_size
-            for f in pads.dataset(input_path, format="parquet").get_fragments()
+            for f in pads.dataset(files, format="parquet").get_fragments()
             for i in range(f.metadata.num_row_groups)
         )
         # encoded bytes decode to ~5-8x their size, so the unit target is
         # smaller than the encode leg's: floor 2 MB, cap 8 MB encoded
         # (~50 MB decoded peak per task at worst-case expansion)
         target_bytes = int(min(max(total // max(ncpu * 8, 1), 2 << 20), 8 << 20))
-    parts = ckpt.plan_partitions(input_path, target_bytes)
+    parts = ckpt.plan_partitions(files, target_bytes)
     items = [{"part_id": p["part_id"], "inputs": json.dumps(p["inputs"])} for p in parts]
     units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
     return units.map_batches(
@@ -1644,44 +1639,56 @@ def _block_digest(batch: pa.Table) -> str:
 
 def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 << 20) -> int:
     """Interop sink: write a Dataset as reference-format .orc files
-    (pyarrow.orc), one file per block, named `part-{index:05d}.orc` by
-    the block's DETERMINISTIC position in the dataset — so a retried
-    write re-creates the same name (idempotent: atomic tmp+rename with
-    a unique tmp per attempt, last rename wins with identical content),
-    and two blocks that happen to hold identical rows still produce two
-    files (no silent row loss, unlike content-only addressing). Blocks
-    are written from object-store refs by parallel Ray tasks; an export
-    sink may materialize its input. Returns the file count. Pairs with
-    read_orc_input for round-trip migration."""
+    (pyarrow.orc), one file per block, named
+    `part-{content digest}-{occurrence}.orc`. The name set is a pure
+    function of the block MULTISET, independent of completion order
+    (Ray's streaming executor yields blocks in completion order and a
+    Dataset's captured DataContext ignores late preserve_order flips):
+    distinct blocks get distinct digests; blocks with IDENTICAL content
+    share a digest and take occurrence suffixes -000, -001, ... — any
+    assignment among them writes the identical bytes to each name, so
+    the OUTPUT is deterministic, duplicates survive (no silent row
+    loss), and a retry or full re-run re-derives the same names
+    (exists-skip keeps finished parts byte-stable). Unique tmp per
+    attempt + atomic rename; concurrent attempts on one name both
+    produce valid files. NOTE: names require the global digest
+    multiset, so this export sink materializes its input to the object
+    store (two passes over refs: digest, then write) — for outputs
+    larger than object-store memory let it spill, or export per
+    partition. Returns the file count. Pairs with read_orc_input for
+    round-trip migration."""
+    import collections
     import uuid
 
     os.makedirs(out_dir, exist_ok=True)
 
     @ray.remote
-    def write(block, idx: int) -> int:
+    def digest(block) -> tuple:
+        batch = pa.table(block) if not isinstance(block, pa.Table) else block
+        return _block_digest(batch), batch.num_rows
+
+    @ray.remote
+    def write(block, name: str) -> int:
         from pyarrow import orc
 
         batch = pa.table(block) if not isinstance(block, pa.Table) else block
-        if batch.num_rows == 0:
-            return 0
-        final = os.path.join(out_dir, f"part-{idx:05d}.orc")
+        final = os.path.join(out_dir, name)
         if not os.path.exists(final):  # retry after successful rename: no-op
-            tmp = os.path.join(out_dir, f".part-{idx:05d}.{uuid.uuid4().hex}.tmp")
+            tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex}.tmp")
             orc.write_table(batch, tmp, stripe_size=stripe_size)
             os.rename(tmp, final)  # atomic; concurrent attempts both valid
         return 1
 
-    # deterministic block order: without preserve_order the streaming
-    # executor may yield blocks in completion order, which would assign
-    # different indices (→ different file names) on a re-run
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        refs = ds.to_arrow_refs()
-    finally:
-        ctx.execution_options.preserve_order = prev
-    return int(sum(ray.get([write.remote(r, i) for i, r in enumerate(refs)])))
+    refs = ds.to_arrow_refs()
+    digs = ray.get([digest.remote(r) for r in refs])
+    seen: collections.Counter = collections.Counter()
+    futures = []
+    for r, (dg, n_rows) in zip(refs, digs):
+        if n_rows == 0:
+            continue
+        futures.append(write.remote(r, f"part-{dg}-{seen[dg]:03d}.orc"))
+        seen[dg] += 1
+    return int(sum(ray.get(futures)))
 
 
 def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
@@ -2111,7 +2118,7 @@ def rename_column_encoded(in_dir: str | list[str], out_dir: str, old: str, new: 
     cols = _encoded_column_names(in_dir)
     if old not in cols:
         raise KeyError(f"column {old!r} not in encoded dataset (have {cols})")
-    if new in cols:
+    if new != old and new in cols:  # old == new: harmless identity rewrite
         raise ValueError(f"rename target {new!r} already exists (have {cols})")
     enc = read_encoded(in_dir)
     write_encoded(

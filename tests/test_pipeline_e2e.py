@@ -884,6 +884,33 @@ def test_schema_evolution_rename_drop(ray_session, tmp_path):
     assert pipeline.filter_encoded(dropped, "id", "ge", 1990, columns=["id"]).count() == 10
 
 
+def test_planning_skips_tmp_leftovers(ray_session, tmp_path):
+    """A job killed between write and rename leaves '*.tmp' staging
+    files; encode/decode planning must skip them (and hidden files) but
+    still include extensionless parquet shards (Hive part-00000 style)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import pipeline
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t = pa.table({"id": pa.array(np.arange(500))})
+    pq.write_table(t.slice(0, 250), str(d / "a.parquet"))
+    pq.write_table(t.slice(250), str(d / "part-00001"))  # no extension
+    (d / "b.parquet.tmp").write_bytes(b"garbage from a killed writer")
+    (d / ".hidden").write_bytes(b"also skipped")
+
+    out = str(tmp_path / "enc")
+    pipeline.write_encoded(pipeline.encode_files(str(d)), out)
+    # leftover tmp in the ENCODED dir must not break decode either
+    (tmp_path / "enc" / "part-zzz.parquet.tmp").write_bytes(b"killed compactor")
+    got = sorted(r["id"] for r in pipeline.decode_files(out).take_all())
+    assert got == list(range(500))  # both real shards in, garbage out
+
+
 def test_write_orc_output_preserves_duplicate_blocks(ray_session, tmp_path):
     """Two blocks holding identical rows must yield two part files —
     content-identical data is still data (the former content-only part
