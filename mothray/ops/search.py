@@ -115,6 +115,36 @@ def bm25_postings_batch(
 _BM25_META = "_bm25_meta.json"
 
 
+def _write_meta_atomic(dir_: str, meta: dict) -> None:
+    """tmp+rename: a crash mid-write (or a concurrent reader) must never
+    see a torn meta JSON — that bricks every later search/append."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    path = _os.path.join(dir_, _BM25_META)
+    tmp = path + "." + _uuid.uuid4().hex + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.rename(tmp, path)
+
+
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Apply the INDEX tokenizer to query terms (lowercase + the same
+    [^a-z0-9]+ split): an uppercase or punctuated query term would
+    otherwise do exact token equality against a lowercased index and
+    silently match nothing. 'foo-bar' becomes the terms foo AND bar."""
+    import re as _re
+
+    out = []
+    for t in terms:
+        out.extend(p for p in _re.split(_TOKEN_SPLIT, str(t).lower()) if p)
+    if not out:
+        raise ValueError(f"no searchable tokens in query terms {terms!r}")
+    return sorted(set(out))
+
+
+
 def build_bm25_index(
     ds,
     out_dir: str,
@@ -154,8 +184,7 @@ def build_bm25_index(
         "tok_total": int(tok_total),  # exact int so appends stay drift-free
         "avgdl": (tok_total / n_docs) if n_docs else 0.0,
     }
-    with open(os.path.join(out_dir, _BM25_META), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(out_dir, meta)
     return meta
 
 
@@ -211,8 +240,7 @@ def append_bm25_index(
         "tok_total": tok_total,
         "avgdl": (tok_total / n_docs) if n_docs else 0.0,
     }
-    with open(os.path.join(index_dir, _BM25_META), "w") as f:
-        json.dump(meta, f)
+    _write_meta_atomic(index_dir, meta)
     return meta
 
 
@@ -245,12 +273,15 @@ def bm25_search(
         meta = json.load(f)
     n, avgdl = meta["n_docs"], meta["avgdl"]
 
-    uniq = sorted(set(terms))
+    uniq = _normalize_terms(terms)
     scans = [
         pipeline.filter_encoded(index_dir, "token", "eq", t, columns=["token", id_col, "tf", "dl"])
         for t in uniq
     ]
     hits = scans[0].union(*scans[1:]) if len(scans) > 1 else scans[0]
+    # two consumers (df pass + scoring pass): materialize once or every
+    # per-term pruned scan re-executes for each
+    hits = hits.materialize()
     df_rows = hits.groupby("token").count().take_all()  # ≤ n_terms rows
     idf = {
         r["token"]: math.log(1.0 + (n - r["count()"] + 0.5) / (r["count()"] + 0.5))
@@ -297,7 +328,7 @@ def search_text_index(index_dir: str, terms: list[str], mode: str = "and", id_co
     only (token, id) survivor rows reach the exchange."""
     from .. import pipeline
 
-    uniq = sorted(set(terms))
+    uniq = _normalize_terms(terms)
     scans = [
         pipeline.filter_encoded(index_dir, "token", "eq", t, columns=["token", id_col])
         for t in uniq

@@ -52,10 +52,19 @@ def _write_manifest(table_dir: str, m: dict) -> None:
 
 
 def latest_version(table_dir: str) -> int | None:
+    import re
+
     d = _vdir(table_dir)
     if not os.path.isdir(d):
         return None
-    vs = [int(f[1:7]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")]
+    # strict v<digits>.json match: a stray file in _versions/ must not
+    # crash every entry point, and versions past 6 digits (the zero-pad
+    # width) must parse whole, not as a truncated slice
+    vs = [
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := re.fullmatch(r"v(\d+)\.json", f))
+    ]
     return max(vs) if vs else None
 
 
@@ -69,11 +78,17 @@ def manifest(table_dir: str, version: int | None = None) -> dict:
 
 
 def history(table_dir: str) -> list[dict]:
-    """All manifests oldest-first, metrics included (the lineage log)."""
+    """All SURVIVING manifests oldest-first, metrics included (the
+    lineage log). vacuum() removes dropped versions' manifests, so the
+    log may have holes — they are skipped, not crashed on."""
     last = latest_version(table_dir)
     if last is None:
         return []
-    return [manifest(table_dir, v) for v in range(last + 1)]
+    out = []
+    for v in range(last + 1):
+        if os.path.exists(_vpath(table_dir, v)):
+            out.append(manifest(table_dir, v))
+    return out
 
 
 def files(table_dir: str, version: int | None = None) -> list[str]:
@@ -93,19 +108,33 @@ def adopt(table_dir: str, op: str = "adopt") -> dict:
 
 
 def read_version(table_dir: str, version: int | None = None, metadata_only: bool = False):
-    """Dataset of stripe rows for one version (default latest)."""
-    from . import pipeline
+    """Dataset of stripe rows for one version (default latest). A
+    version whose file list is empty (a DELETE matched every row) reads
+    as an empty stripe-row Dataset, not a reader error."""
+    import ray.data
 
-    return pipeline.read_encoded(files(table_dir, version), metadata_only=metadata_only)
+    from . import pipeline
+    from . import stripe as stripe_mod
+
+    fs = files(table_dir, version)
+    if not fs:
+        return ray.data.from_arrow(stripe_mod.STRIPE_SCHEMA.empty_table())
+    return pipeline.read_encoded(fs, metadata_only=metadata_only)
 
 
 def decode_version(table_dir: str, version: int | None = None, columns: list[str] | None = None):
     """Dataset of ORIGINAL rows for one version — the time-travel read.
     Runs the fused read->decode path, so pruning and projection apply
-    to historical versions exactly as to the head."""
+    to historical versions exactly as to the head. An all-rows-deleted
+    version decodes as an empty Dataset."""
+    import ray.data
+
     from . import pipeline
 
-    return pipeline.decode_files(files(table_dir, version), columns=columns)
+    fs = files(table_dir, version)
+    if not fs:
+        return ray.data.from_items([])
+    return pipeline.decode_files(fs, columns=columns)
 
 
 def prune_read(table_dir: str, column: str, min_value=None, max_value=None,
@@ -135,6 +164,16 @@ def delete_where(table_dir: str, column: str, min_value=None, max_value=None) ->
 
     parent = manifest(table_dir)
     new_v = parent["version"] + 1
+    if not parent["files"]:  # all rows already deleted: trivial child
+        m = {
+            "version": new_v, "parent": parent["version"],
+            "op": f"delete_where({column} in [{min_value}, {max_value}])",
+            "files": [],
+            "metrics": {"files": 0, "files_rewritten": 0,
+                        "stripes_rewritten": 0, "rows_deleted": 0},
+        }
+        _write_manifest(table_dir, m)
+        return m
 
     def process(batch: pa.Table) -> pa.Table:
         out = []
@@ -176,7 +215,9 @@ def delete_where(table_dir: str, column: str, min_value=None, max_value=None) ->
         "files": new_files,
         "metrics": {
             "files": len(new_files),
-            "files_rewritten": int((res["old"] != res["new"]).sum()),
+            # a fully-deleted file (new == "") is a DELETION, not a rewrite
+            "files_rewritten": int(((res["old"] != res["new"]) & (res["new"] != "")).sum()),
+            "files_deleted": int((res["new"] == "").sum()),
             "stripes_rewritten": int(res["stripes_rewritten"].sum()),
             "rows_deleted": int(res["rows_deleted"].sum()),
         },
@@ -202,6 +243,14 @@ def upsert_keys(table_dir: str, new_rows: pa.Table, key: str) -> dict:
     parent = manifest(table_dir)
     new_v = parent["version"] + 1
     keys_ref = ray.put(new_rows.column(key).combine_chunks())
+    if not parent["files"]:  # empty parent: the upsert batch is the table
+        import pandas as _pd
+
+        res = _pd.DataFrame({"old": [], "new": [], "stripes_rewritten": [],
+                             "rows_replaced": []})
+        new_files = []
+    else:
+        res = None
 
     def process(batch: pa.Table) -> pa.Table:
         keys = ray.get(keys_ref)
@@ -229,15 +278,14 @@ def upsert_keys(table_dir: str, new_rows: pa.Table, key: str) -> dict:
             }
         )
 
-    import ray.data as rd
-
-    units = rd.from_items(
-        [{"name": n} for n in parent["files"]],
-        override_num_blocks=max(len(parent["files"]), 1),
-    )
-    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
-    by_old = dict(zip(res["old"], res["new"]))
-    new_files = [by_old.get(n, n) for n in parent["files"] if by_old.get(n, n)]
+    if res is None:
+        units = ray.data.from_items(
+            [{"name": n} for n in parent["files"]],
+            override_num_blocks=max(len(parent["files"]), 1),
+        )
+        res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+        by_old = dict(zip(res["old"], res["new"]))
+        new_files = [by_old.get(n, n) for n in parent["files"] if by_old.get(n, n)]
 
     up_name = f"part-v{new_v}-upsert.parquet"
     enc_new = stripe_mod.encode_batch(new_rows, key_prefix=f"v{new_v}upsert")
@@ -253,7 +301,9 @@ def upsert_keys(table_dir: str, new_rows: pa.Table, key: str) -> dict:
         "files": new_files,
         "metrics": {
             "files": len(new_files),
-            "files_rewritten": int((res["old"] != res["new"]).sum()),
+            # a fully-deleted file (new == "") is a deletion, not a rewrite
+            "files_rewritten": int(((res["old"] != res["new"]) & (res["new"] != "")).sum()),
+            "files_deleted": int((res["new"] == "").sum()),
             "stripes_rewritten": int(res["stripes_rewritten"].sum()),
             "rows_replaced": int(res["rows_replaced"].sum()),
             "rows_upserted": int(new_rows.num_rows),

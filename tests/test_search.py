@@ -158,3 +158,46 @@ def test_bm25_append_equals_full_rebuild(ray_session, tmp_path):
     want = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(full_idx, terms, k=25).take_all()]
     got = [(r["doc_id"], r["score_r6"]) for r in search.bm25_search(inc_idx, terms, k=25).take_all()]
     assert got == want and len(got) == 25
+
+
+def test_search_query_term_normalization(ray_session, tmp_path):
+    """Query terms pass through the INDEX tokenizer: uppercase and
+    punctuated terms must match (the index stores lowercased [a-z0-9]+
+    tokens); an all-punctuation query raises a clear error."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mothray.ops import search
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["hello world", "foo bar baz", "hello bar"],
+        }
+    )
+    d = str(tmp_path / "ix")
+    search.build_text_index(ray.data.from_arrow(t), d)
+    got = sorted(
+        r["doc_id"]
+        for r in search.search_text_index(d, ["Hello"], mode="or").take_all()
+    )
+    assert got == [1, 3]
+    got2 = sorted(
+        r["doc_id"]
+        for r in search.search_text_index(d, ["foo-bar"], mode="and").take_all()
+    )
+    assert got2 == [2]  # 'foo-bar' -> foo AND bar
+    with pytest.raises(ValueError):
+        search.search_text_index(d, ["!!!"], mode="or")
+
+    b = str(tmp_path / "bm")
+    search.build_bm25_index(ray.data.from_arrow(t), b)
+    top = search.bm25_search(b, ["HELLO"], k=3).take_all()
+    assert sorted(r["doc_id"] for r in top) == [1, 3]
+    with pytest.raises(ValueError):
+        search.bm25_search(b, [], k=3)
+    # meta file is written atomically (no torn staging names left)
+    import os
+
+    assert not any(f.endswith(".tmp") for f in os.listdir(b))

@@ -160,3 +160,56 @@ def test_versioned_optimize_and_with_column(table):
     assert "price_bucket" not in v1.columns
     h = versions.history(d)
     assert [x["version"] for x in h] == [0, 1, 2]
+
+
+def test_history_survives_vacuum(table):
+    """vacuum() removes dropped versions' manifests; history() must
+    skip the holes, not crash with FileNotFoundError."""
+    d, _ = table
+    versions.delete_where(d, "o_totalprice", min_value=200000.0)
+    versions.delete_where(d, "o_totalprice", min_value=100000.0)
+    versions.vacuum(d)  # keeps latest only
+    h = versions.history(d)
+    assert [m["version"] for m in h] == [2]  # holes skipped silently
+
+
+def test_delete_all_rows_then_read_and_mutate(table):
+    """A DELETE matching every row commits files=[]; later reads return
+    empty datasets and later mutations commit trivially instead of
+    crashing on a schemaless empty work-unit dataset."""
+    import pyarrow as pa
+
+    d, _ = table
+    m = versions.delete_where(d, "o_orderkey", min_value=-1)  # everything
+    assert m["files"] == [] and m["metrics"]["files"] == 0
+    assert versions.decode_version(d).count() == 0
+    assert versions.read_version(d).count() == 0
+    # subsequent mutations on the empty version do not crash
+    m2 = versions.delete_where(d, "o_orderkey", min_value=0)
+    assert m2["files"] == [] and m2["metrics"]["rows_deleted"] == 0
+    import pyarrow.parquet as pq
+
+    up = pq.read_table("/root/testdata/sf0.001/orders.parquet").slice(0, 1)
+    # upsert into the empty table = plain append of the batch
+    m3 = versions.upsert_keys(d, up, "o_orderkey")
+    assert m3["metrics"]["rows_upserted"] == 1
+    assert versions.decode_version(d).count() == 1
+
+
+def test_stray_file_in_versions_dir_ignored(table):
+    """A stray non-manifest file in _versions/ must not crash every
+    entry point (the old parser int()'d a fixed 6-char slice)."""
+    d, _ = table
+    with open(os.path.join(d, "_versions", "vacuumed.json"), "w") as f:
+        f.write("{}")
+    assert versions.latest_version(d) == 0
+    versions.delete_where(d, "o_totalprice", min_value=200000.0)
+    assert versions.latest_version(d) == 1
+
+
+def test_delete_metrics_distinguish_rewrites_from_deletions(table):
+    d, _ = table
+    m = versions.delete_where(d, "o_orderkey", min_value=-1)
+    # every file fully deleted: rewrites must be 0, deletions == files
+    assert m["metrics"]["files_rewritten"] == 0
+    assert m["metrics"]["files_deleted"] > 0
