@@ -36,20 +36,71 @@ _JOIN_TYPES = {
 _TARGET_PARTITION_BYTES = 256 << 20
 
 
+def _ts_us_int64(col):
+    """Timestamp column → int64 MICROSECONDS as numpy (nulls become NaN
+    via float promotion — callers mask them). A bare cast(int64) keeps
+    the column's own unit, silently making tolerance/offset parameters
+    (specified in µs) wrong by 1000x on ms/s-unit data."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = col.cast(pa.timestamp("us", tz=t.tz) if t.tz else pa.timestamp("us"))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _metadata_size_bytes(ds) -> int | None:
+    """Size from plan METADATA only — ds.size_bytes() silently EXECUTES
+    a lazy pipeline when metadata is missing (Ray 2.49 falls back to
+    plan.execute()), which would materialize an entire filtered probe
+    side just to pick a partition count. Objects without a plan (tests,
+    plain tables) keep their cheap size_bytes()."""
+    plan = getattr(ds, "_plan", None)
+    if plan is None:
+        try:
+            return ds.size_bytes()
+        except Exception:
+            return None
+    try:
+        return plan.infer_metadata().size_bytes  # None for transformed datasets
+    except Exception:
+        return None
+
+
 def _auto_partitions(*datasets, target_bytes: int = _TARGET_PARTITION_BYTES) -> int:
-    """Partition count from (metadata) sizes of both sides so one join
+    """Partition count from METADATA sizes of both sides so one join
     partition holds ~target_bytes — scales with the data instead of a
     fixed constant that would put ~N/32 bytes in one task at corpus
-    scale."""
+    scale. Sides whose size is unknown without executing (post-map
+    datasets) size to the CLUSTER instead of forcing a materialization.
+    The count is capped at ~2x cluster CPUs: Ray's hash-shuffle join
+    spawns per-partition aggregators and measurably DEADLOCKS when
+    partitions far exceed available CPUs (16 partitions hang a 4-cpu
+    cluster; 8 run fine), so the cap tracks the cluster, not a
+    constant."""
+    import ray as ray_api
+
+    ncpu = 16
+    try:
+        # never auto-init Ray from a sizing heuristic
+        if ray_api.is_initialized():
+            ncpu = int(ray_api.cluster_resources().get("CPU", 16))
+    except Exception:
+        pass
+    cap = min(max(2 * ncpu, 2), 4096)
     total = 0
+    unknown = False
     for ds in datasets:
-        try:
-            total += ds.size_bytes() or 0
-        except Exception:
-            pass
+        s = _metadata_size_bytes(ds)
+        if s:
+            total += s
+        else:
+            unknown = True
     if not total:
-        return 32
-    return int(min(max(total // target_bytes + 1, 2), 4096))
+        return min(max(ncpu, 2), cap)
+    n = total // target_bytes + 1
+    if unknown:  # partial information: at least one partition per CPU
+        n = max(n, ncpu)
+    return int(min(max(n, 2), cap))
 
 
 # Join types that are sound when evaluated independently per batch
@@ -135,8 +186,11 @@ def asof_join(
     l_names = list(l_schema.names)
     out_r_names = [c + "_right" if c in l_names else c for c in r_cols]
 
-    # union-compatible frame: left columns + right value columns + side
-    all_names = l_names + r_cols
+    # union-compatible frame: left columns + right value columns + side.
+    # DEDUP'd like range_join: a right value column sharing a left name
+    # rides in the left-named slot (null on left rows), else the frame
+    # would carry a duplicate field and every select/column call raises
+    all_names = l_names + [c for c in r_cols if c not in l_names]
     types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
     for n, t in zip(r_schema.names, r_schema.types):
         types.setdefault(n, t)
@@ -159,9 +213,14 @@ def asof_join(
 
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        ts = group.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us_int64(group.column(on))
+        # nulls surface as NaN (float promotion): a NaN left ts must be
+        # UNMATCHED (DuckDB ASOF leaves it null — searchsorted would
+        # otherwise pair it with the max-ts right row), and NaN right
+        # rows must never be match candidates
+        nan = np.isnan(ts) if ts.dtype.kind == "f" else np.zeros(len(ts), dtype=bool)
         l_idx = np.nonzero(side == 0)[0]
-        r_idx = np.nonzero(side == 1)[0]
+        r_idx = np.nonzero((side == 1) & ~nan)[0]
         l_tbl = group.take(pa.array(l_idx)).select(l_names)
         if len(r_idx) == 0:
             return pa.table(
@@ -176,7 +235,7 @@ def asof_join(
         # ties at the same timestamp resolve to the LAST right row in
         # input order — mirror DuckDB by making the match unique upstream)
         pos = np.searchsorted(r_ts_sorted, ts[l_idx], side="right") - 1
-        matched = pos >= 0
+        matched = (pos >= 0) & ~nan[l_idx]
         if tolerance_us is not None:
             gap = ts[l_idx] - r_ts_sorted[np.maximum(pos, 0)]
             matched &= gap <= tolerance_us
@@ -237,7 +296,13 @@ def range_join(
 
     def widen(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            ts = batch.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ts = _ts_us_int64(batch.column(on))
+            if ts.dtype.kind == "f":  # null ts: SQL inequality never
+                # matches NULL — drop the rows (also guards the int bin
+                # math below against NaN)
+                ok = ~np.isnan(ts)
+                batch = batch.filter(pa.array(ok))
+                ts = ts[ok].astype(np.int64)
             nrows = batch.num_rows
             cols = {
                 c: (batch.column(c) if c in batch.column_names else pa.nulls(nrows, type=types[c]))
@@ -272,7 +337,7 @@ def range_join(
 
     def merge(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
-        ts = group.column(on).combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = _ts_us_int64(group.column(on))
         l_idx = np.nonzero(side == 0)[0]
         r_idx = np.nonzero(side == 1)[0]
         empty = pa.table(
@@ -312,13 +377,30 @@ def build_key_bloom(ds, on: str, fpp: float = 0.001) -> bytes:
     """Distributed bloom over a dataset's join-key column: geometry
     fixed from a row-count estimate, each batch emits one headerless
     partial (bitwise-OR-mergeable), the driver unions bytes — key
-    values never reach the driver."""
+    values never reach the driver.
+
+    Sizing prefers METADATA row counts (free); for a lazy transformed
+    dataset — where ds.count() would execute the whole build side once
+    EXTRA, before the bloom pass and the join both run it again — the
+    geometry over-provisions from metadata-size/32B-per-row instead.
+    Over-sizing only lowers the fpp; the single honest count() fallback
+    remains for datasets with no metadata at all."""
     import pyarrow.compute as pc
 
     from .. import bloom as bloom_mod
     from .. import column as column_mod
 
-    num_bits, k = bloom_mod.params_for(ds.count(), fpp)
+    n_rows = None
+    try:
+        meta = ds._plan.infer_metadata()
+        n_rows = meta.num_rows
+        if n_rows is None and meta.size_bytes:
+            n_rows = max(meta.size_bytes // 32, 1024)  # over-provision
+    except Exception:
+        pass
+    if n_rows is None:
+        n_rows = ds.count()  # documented full-pass fallback
+    num_bits, k = bloom_mod.params_for(n_rows, fpp)
 
     def partial(batch: pa.Table) -> pa.Table:
         key = batch.column(on)

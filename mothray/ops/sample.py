@@ -62,9 +62,14 @@ def hash_sample_batch(
         strat = batch.column(strat_col or key_col)
         strat = strat.combine_chunks() if isinstance(strat, pa.ChunkedArray) else strat
         d = pc.dictionary_encode(strat)
-        codes = d.indices.to_numpy(zero_copy_only=False)
+        # fill_null(-1): a null stratum otherwise becomes NaN indices
+        # (IndexError on the gather); -1 selects the appended fallback
+        # slot, so null-stratum rows sample at the DEFAULT rate — the
+        # same ELSE-arm a SQL CASE mixture gives them
+        codes = d.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         dict_rates = np.array(
-            [rate_by_key.get(v.as_py(), rate) for v in d.dictionary], dtype=np.float64
+            [rate_by_key.get(v.as_py(), rate) for v in d.dictionary] + [rate],
+            dtype=np.float64,
         )
         thresholds = (dict_rates[codes] * _DENOM).astype(np.uint64)
     else:

@@ -189,7 +189,12 @@ def count_distinct(ds, value_col: str, group_col: str | None = None):
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = [value_col] if group_col is None else [group_col, value_col]
-        return batch.select(cols).group_by(cols).aggregate([])
+        t = batch.select(cols)
+        # drop null VALUES here (SQL COUNT(DISTINCT) rule): the global
+        # form otherwise counted the null group as one extra distinct,
+        # diverging from the grouped form's drop_null and from hll
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        return t.group_by(cols).aggregate([])
 
     dd = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if group_col is None:
@@ -411,7 +416,11 @@ def grouped_quantiles(ds, column: str, group_col: str, qs: list[float]):
     multiset, matching DuckDB quantile_disc bit-for-bit."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.select([group_col, column]).drop_null()
+        t = batch.select([group_col, column])
+        # drop null VALUES only — a null GROUP key is still a group in
+        # SQL GROUP BY (drop_null() on the pair silently omitted the
+        # whole NULL group from the output)
+        t = t.filter(pc.is_valid(t.column(column)))
         agg = t.group_by([group_col, column], use_threads=False).aggregate([([], "count_all")])
         return pa.table(
             {

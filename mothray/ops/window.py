@@ -57,6 +57,25 @@ def session_windows(ds, key_col: str, ts_col: str, gap_minutes: int = 30):
                 }
             )
         ts_arr = group.column(ts_col).combine_chunks()
+        # drop null timestamps (SQL window semantics ignore them) and
+        # normalize to µs — gap_us compared against ms/s-unit ints was
+        # silently 1000x+ off, and a NaN from a null ts crashed the
+        # int64 cast of session_end
+        ts_arr = ts_arr.drop_null()
+        if pa.types.is_timestamp(ts_arr.type) and ts_arr.type.unit != "us":
+            tz = ts_arr.type.tz
+            ts_arr = ts_arr.cast(pa.timestamp("us", tz=tz) if tz else pa.timestamp("us"))
+        n = len(ts_arr)
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=ts_type),
+                    "session_end": pa.array([], type=ts_type),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
         ts = np.sort(ts_arr.cast(pa.int64()).to_numpy(zero_copy_only=False))
         new_session = np.ones(n, dtype=bool)
         new_session[1:] = np.diff(ts) > gap_us
@@ -64,12 +83,16 @@ def session_windows(ds, key_col: str, ts_col: str, gap_minutes: int = 30):
         ends = np.append(starts[1:], n) - 1
         n_sessions = len(starts)
         key_val = group.column(key_col)[0].as_py()
+        # ints are µs now: go back through timestamp('us') so a ms/s
+        # output type converts values instead of reinterpreting them
+        us_t = pa.timestamp("us", tz=ts_type.tz) if getattr(ts_type, "tz", None) else pa.timestamp("us")
+        mid = us_t if pa.types.is_timestamp(ts_type) else pa.int64()
         return pa.table(
             {
                 key_col: pa.array([key_val] * n_sessions, type=key_type),
                 "session_id": pa.array(np.arange(1, n_sessions + 1, dtype=np.int64)),
-                "session_start": pa.array(ts[starts], type=pa.int64()).cast(ts_type),
-                "session_end": pa.array(ts[ends], type=pa.int64()).cast(ts_type),
+                "session_start": pa.array(ts[starts], type=pa.int64()).cast(mid).cast(ts_type),
+                "session_end": pa.array(ts[ends], type=pa.int64()).cast(mid).cast(ts_type),
                 "n_events": pa.array((np.append(starts[1:], n) - starts).astype(np.int64)),
             }
         )
@@ -86,8 +109,18 @@ def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs,
     n_windows = (size_us + slide_us - 1) // slide_us
 
     def explode(t: pa.Table) -> pa.Table:
-        ts = t[ts_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(ts)
+        col = t[ts_col].combine_chunks()
+        # normalize to µs FIRST (size/slide are µs; a ms-unit column
+        # would make every window 1000x wider and the window_start
+        # reinterpret ms as µs) and drop null timestamps (no window)
+        if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+            tz = col.type.tz
+            col = col.cast(pa.timestamp("us", tz=tz) if tz else pa.timestamp("us"))
+        ts = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "f":
+            ok = ~np.isnan(ts)
+            t = t.filter(pa.array(ok))
+            ts = ts[ok].astype(np.int64)
         parts = []
         for k in range(int(n_windows)):
             w_start = ((ts - k * slide_us) // slide_us) * slide_us

@@ -103,13 +103,84 @@ def test_auto_partitions_scales_with_size():
         def size_bytes(self):
             return self._s
 
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 16)) if _ray.is_initialized() else 16
+    cap = min(max(2 * ncpu, 2), 4096)  # ~2x cluster CPUs: Ray's join
+    # aggregators deadlock when partitions far exceed CPUs (16 hang a
+    # 4-cpu cluster, 8 run); a real 4N-node cluster raises the cap
     small = join._auto_partitions(FakeDs(1 << 20))
-    mid = join._auto_partitions(FakeDs(64 << 30))
+    mid = join._auto_partitions(FakeDs(4 << 30))
     huge = join._auto_partitions(FakeDs(100 << 40))  # ~100 TB
     assert small == 2
-    assert mid == (64 << 30) // (256 << 20) + 1
-    assert huge == 4096  # capped
+    assert mid == min((4 << 30) // (256 << 20) + 1, cap)
+    assert huge == cap
     from mothray import pipeline
 
     assert pipeline._auto_bucket_count(FakeDs(100 << 40)) == 65536
     assert pipeline._auto_bucket_count(FakeDs(1 << 30)) == (1 << 30) // (128 << 20) + 1
+
+
+def test_asof_join_name_collision_and_null_ts(ray_session):
+    """A right value column sharing a left column's name rides the
+    '_right' suffix (crashed on a duplicate-field schema before), and
+    null timestamps stay UNMATCHED on the left / are never candidates
+    on the right (DuckDB ASOF semantics)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = pa.table(
+        {
+            "u": [1, 1, 1],
+            "ts": pa.array([ts(5), None, ts(20)], pa.timestamp("us")),
+            "score": [10.0, 20.0, 30.0],  # collides with right.score
+        }
+    )
+    right = pa.table(
+        {
+            "u": [1, 1],
+            "ts": pa.array([ts(1), None], pa.timestamp("us")),  # null right row: never a match
+            "score": [0.5, 99.0],
+        }
+    )
+    out = join_ops.asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right), by="u", on="ts"
+    ).take_all()
+    by_score = {r["score"]: r for r in out}
+    assert by_score[10.0]["score_right"] == 0.5  # matched the ts(1) row
+    assert by_score[20.0]["score_right"] is None  # null left ts: unmatched
+    assert by_score[30.0]["score_right"] == 0.5  # not the null-ts 99.0 row
+
+
+def test_asof_join_ms_unit_tolerance(ray_session):
+    """tolerance_us applies to ms-unit columns correctly (a bare int64
+    cast left values in ms, making the tolerance 1000x too strict)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    t0 = datetime.datetime(2024, 1, 1)
+    left = pa.table(
+        {"u": [1], "ts": pa.array([t0 + datetime.timedelta(seconds=30)], pa.timestamp("ms"))}
+    )
+    right = pa.table(
+        {"u": [1], "ts": pa.array([t0], pa.timestamp("ms")), "v": [7]}
+    )
+    # 60s tolerance: the 30s gap must match
+    out = join_ops.asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        by="u", on="ts", tolerance_us=60_000_000,
+    ).take_all()
+    assert out[0]["v"] == 7

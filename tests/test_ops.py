@@ -2081,3 +2081,48 @@ def test_file_level_skip_index(ray_session, tmp_path):
         f.write(b"x")  # size change marks the entry stale
     kept2 = pipeline._index_prune_files(d, "o_orderkey", 10**9, None)
     assert os.path.join(d, victim) in kept2
+
+
+def test_count_distinct_and_quantiles_null_handling(ray_session):
+    """Global COUNT(DISTINCT) drops nulls (SQL rule, matching its own
+    grouped form); grouped_quantiles keeps the NULL group while still
+    dropping null values."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", None, None, "b"]),
+            "v": pa.array([1.0, 2.0, 3.0, None, 5.0]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    assert sketch.count_distinct(ds, "v") == 4  # null value not counted
+    rows = sketch.grouped_quantiles(ds, "v", "g", [0.5]).take_all()
+    by_g = {r["g"]: r["value"] for r in rows}
+    assert by_g["a"] == 1.0 and by_g["b"] == 5.0
+    assert None in by_g and by_g[None] == 3.0  # NULL group present
+
+
+def test_hash_sample_null_stratum(ray_session):
+    """Null stratum values sample at the default rate (the SQL CASE
+    ELSE arm) instead of crashing the dictionary gather."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(2000)), pa.int64()),
+            "src": pa.array((["s1", None] * 1000), pa.string()),
+        }
+    )
+    out = sample.hash_sample(
+        ray.data.from_arrow(t), rate=0.5, key_col="doc_id",
+        rate_by_key={"s1": 0.0}, strat_col="src",
+    ).take_all()
+    # every kept row is from the null stratum (s1 rate is 0); roughly
+    # half of the 1000 null-stratum rows survive at rate 0.5
+    assert all(r["src"] is None for r in out)
+    assert 300 < len(out) < 700

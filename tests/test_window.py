@@ -58,3 +58,59 @@ def test_sliding_window(ray_session):
     full = out[(out["cnt"] == 10)]
     assert len(full) >= 15  # interior windows each hold size/slide_rate events
     assert out["cnt"].sum() == 100 * 2  # each event in exactly size/slide windows
+
+
+def test_session_windows_null_ts_and_ms_unit(ray_session):
+    """Null timestamps are ignored (SQL window semantics) instead of
+    crashing the int64 cast, and ms-unit columns get correct gap
+    semantics (gap compared in µs after normalization)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 1],
+            "ts": pa.array([ts(0), ts(5), None, ts(60)], pa.timestamp("ms")),
+        }
+    )
+    out = window.session_windows(
+        ray.data.from_arrow(t), "user_id", "ts", gap_minutes=30
+    ).take_all()
+    assert len(out) == 2  # {0,5} and {60}; the null event vanished
+    n_events = sorted(r["n_events"] for r in out)
+    assert n_events == [1, 2]
+    starts = sorted(r["session_start"] for r in out)
+    assert starts == [ts(0), ts(60)]  # ms unit preserved, values correct
+
+
+def test_sliding_window_ms_unit(ray_session):
+    """ms-unit events produce the same windows as µs-unit events (the
+    old bare int64 cast made ms windows 1000x wider)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    t0 = datetime.datetime(2024, 1, 1)
+    times = [t0 + datetime.timedelta(minutes=m) for m in (0, 10, 20, 45)]
+    va = list(range(4))
+    outs = {}
+    for unit in ("us", "ms"):
+        t = pa.table({"ts": pa.array(times, pa.timestamp(unit)), "v": va})
+        rows = window.sliding_window(
+            ray.data.from_arrow(t), "ts", size_minutes=30, slide_minutes=15,
+            aggs=[__import__("ray").data.aggregate.Count()],
+        ).take_all()
+        outs[unit] = sorted((r["window_start"], r["count()"]) for r in rows)
+    assert outs["us"] == outs["ms"]
