@@ -331,6 +331,65 @@ def _dedup_invariants(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def _substring_dup(sf_dir: str):
+    """Span-level duplicated-substring report (Lee et al. 2021 semantics
+    via distributed k-gram grouping): per doc, merged duplicated spans
+    of length >= 30 and the char count they cover."""
+    import ray.data
+
+    from mothray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.duplicate_spans(ds, min_len=30)
+
+
+def _substring_winnow_invariants(sf_dir: str):
+    """Driver-checkable invariants for the winnowed (scale-path) variant
+    of duplicate_spans — winnowing is content-defined sampling, so its
+    report has no SQL equivalent, but its guarantees do:
+
+      subset_violations    = docs where the winnowed run reports a doc
+                             the exact run does not, or more covered
+                             chars than the exact run (0)
+      guarantee_violations = docs with a duplicated substring of length
+                             >= min_len + w - 1 = 37 (exact run at
+                             min_len=37) that the winnowed min_len=30,
+                             w=8 run misses (0 — the robust-winnowing
+                             detection guarantee)
+      winnow_nonempty      = 1 if the winnowed run found any doc
+
+    The oracle is the constant (0, 0, 1) row."""
+    import ray.data
+
+    from mothray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exact = {r["doc_id"]: r["dup_chars"] for r in dedup.duplicate_spans(ds, min_len=30).take_all()}
+    win = {r["doc_id"]: r["dup_chars"] for r in dedup.duplicate_spans(ds, min_len=30, winnow=8).take_all()}
+    long_docs = {r["doc_id"] for r in dedup.duplicate_spans(ds, min_len=37).take_all()}
+    subset = sum(1 for d, c in win.items() if d not in exact or c > exact[d])
+    guarantee = sum(1 for d in long_docs if d not in win)
+    return pa.table(
+        {
+            "subset_violations": pa.array([subset], pa.int64()),
+            "guarantee_violations": pa.array([guarantee], pa.int64()),
+            "winnow_nonempty": pa.array([1 if win else 0], pa.int64()),
+        }
+    )
+
+
+def _domain_cap(sf_dir: str):
+    """Per-domain document cap (corpus-curation quota): keep the 5
+    lowest-id docs per source — top_k_per_group's pre-shuffle combiner
+    bounds the exchange by k * domains, not the corpus."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample.top_k_per_group(ds, "source", "doc_id", 5)
+
+
 def _bloom_prune_events(sf_dir: str):
     """Bloom-filter stripe pruning: sort by event_type so stripes hold
     few distinct types, skip stripes whose bloom excludes the needle,
@@ -2241,6 +2300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["paragraph_dedup_documents"] = _paragraph_dedup
     q["sample_mixture_documents"] = _sample_mixture
     q["token_budget_documents"] = _token_budget_documents
+    q["substring_dup_documents"] = _substring_dup
+    q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
+    q["domain_cap_documents"] = _domain_cap
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -2783,6 +2845,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT *, CAST(length(text) AS BIGINT) AS text_len FROM documents"
     )
     o["ann_ivf_built_embeddings"] = o["ann_topk_embeddings"]  # exhaustive probe == exact
+    o["substring_dup_documents"] = (
+        "WITH grams AS ("
+        " SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,"
+        "  substr(text, CAST(i AS INT), 30) AS g"
+        " FROM documents, LATERAL unnest(range(1, length(text) - 28)) AS t(i)),"
+        " dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+        " hits AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),"
+        " flag AS (SELECT doc_id, p, CASE WHEN p >="
+        "  lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 30 THEN 1 ELSE 0 END AS brk"
+        "  FROM hits),"
+        " isl AS (SELECT doc_id, p,"
+        "  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM flag),"
+        " spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 30 AS e"
+        "  FROM isl GROUP BY doc_id, island)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,"
+        "  CAST(SUM(e - s) AS BIGINT) AS dup_chars"
+        " FROM spans GROUP BY doc_id"
+    )
+    o["substring_winnow_invariants_documents"] = (
+        "SELECT CAST(0 AS BIGINT) AS subset_violations,"
+        " CAST(0 AS BIGINT) AS guarantee_violations,"
+        " CAST(1 AS BIGINT) AS winnow_nonempty"
+    )
+    o["domain_cap_documents"] = (
+        "SELECT doc_id, source FROM (SELECT doc_id, source,"
+        " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+        " FROM documents) WHERE rn <= 5"
+    )
     o["dedup_invariants_documents"] = (
         "SELECT * FROM (VALUES"
         " ('cc', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),"

@@ -1682,3 +1682,140 @@ def ingest_embedding_dedup(
     seen_tbl = pa.table({id_column: pa.array(seen_ids, pa.int64())})
     dup = in_batch.union(rd.from_arrow(seen_tbl))
     return _anti_join_ids(new_ds, dup, id_column, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring (span-level) report
+# ---------------------------------------------------------------------------
+
+
+def _winnow_select(hv: np.ndarray, doc_of: np.ndarray, w: int) -> np.ndarray:
+    """Robust-winnowing selection mask over per-position k-gram hashes.
+
+    For every window of `w` consecutive hashes that lies inside a single
+    document, select the position of the (leftmost) minimum. Windows
+    never cross documents: w-1 MAX sentinels are inserted at each doc
+    boundary, so any sliding window contains real values from at most
+    one doc and sentinels are never minima. Selection is content-defined
+    within a doc — two occurrences of the same substring of length
+    >= min_len + w - 1 select the same k-gram at the same content
+    offset in both copies (the standard winnowing guarantee)."""
+    n = len(hv)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    brk = np.nonzero(np.diff(doc_of))[0] + 1
+    shift = np.zeros(n, dtype=np.int64)
+    shift[brk] = w - 1
+    padded_idx = np.arange(n, dtype=np.int64) + np.cumsum(shift)
+    padlen = int(padded_idx[-1]) + 1
+    keep = np.zeros(n, dtype=bool)
+    if padlen < w:
+        # fewer hashes than one window: one fingerprint per doc (its min)
+        first = np.concatenate(([0], brk))
+        last = np.concatenate((brk, [n]))
+        for s, e in zip(first, last):
+            keep[s + int(np.argmin(hv[s:e]))] = True
+        return keep
+    padded = np.full(padlen, _U64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    padded[padded_idx] = hv
+    sw = np.lib.stride_tricks.sliding_window_view(padded, w)
+    sel_pad = np.unique(np.arange(len(sw), dtype=np.int64) + sw.argmin(axis=1))
+    real = np.zeros(padlen, dtype=bool)
+    real[padded_idx] = True
+    sel_pad = sel_pad[real[sel_pad]]
+    keep[np.searchsorted(padded_idx, sel_pad)] = True
+    # docs shorter than w windows but isolated between sentinels still
+    # get covered: every window overlapping them picks their min (the
+    # sentinels are maxima), so keep is never empty for a non-empty doc.
+    return keep
+
+
+def _gram_position_rows(
+    batch: pa.Table, column: str, id_column: str, min_len: int, winnow: int
+) -> pa.Table:
+    """(h, id, pos) rows for every `min_len`-byte window fully inside a
+    document (winnow > 1: only the winnowing-selected subset)."""
+    lengths, data = _text_parts(batch.column(column))
+    buf = np.frombuffer(data, dtype=np.uint8)
+    lengths = lengths.astype(np.int64, copy=False)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    counts = np.maximum(lengths - (min_len - 1), 0)
+    win = _window_hashes(buf, min_len)
+    delta = np.zeros(len(win) + 1, dtype=np.int64)
+    np.add.at(delta, np.minimum(offs[:-1], len(win)), 1)
+    np.add.at(delta, np.minimum(offs[:-1] + counts, len(win)), -1)
+    pos = np.nonzero(np.cumsum(delta[:-1]) > 0)[0]
+    doc_of = np.searchsorted(offs[1:], pos, side="right")
+    rel = pos - offs[:-1][doc_of]
+    hv = win[pos]
+    if winnow > 1 and len(hv):
+        keep = _winnow_select(hv, doc_of, winnow)
+        hv, doc_of, rel = hv[keep], doc_of[keep], rel[keep]
+    ids = batch.column(id_column).take(pa.array(doc_of))
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    return pa.table(
+        {
+            "h": pa.array(hv.view(np.int64)),
+            id_column: ids,
+            "pos": pa.array(rel.astype(np.int64)),
+        }
+    )
+
+
+def duplicate_spans(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 30,
+    winnow: int = 1,
+):
+    """Corpus-duplicated substring report — the span-level (sub-document)
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), whose suffix-array scan
+    is re-expressed as a distributed k-gram grouping.
+
+    A `min_len`-byte window is DUPLICATED iff the same bytes occur at
+    >= 2 distinct (doc, pos) in the corpus (cross-doc or within-doc).
+    Every duplicated window covers its min_len positions; overlapping
+    covered ranges merge into maximal spans. Returns one row per
+    document containing at least one duplicated span:
+    (id_column, dup_spans, dup_chars).
+
+    Scale path: the exchange carries fixed-width (h, id, pos) rows —
+    the text itself never shuffles. At winnow=1 that is ~24 bytes per
+    text byte (exact semantics, the oracle-checked mode); winnow=w
+    applies robust winnowing (_winnow_select) so only ~2/(w+1) of
+    positions enter the exchange, and detection covers all duplicated
+    substrings of length >= min_len + w - 1 — reported spans are then
+    a subset of the exact report (invariant-checked in the driver
+    surface). Reference parity: orc-go has no substring-level dedup;
+    this extends the dedup family (SURVEY.md LLM-ops section).
+    """
+    k = min_len
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        return _gram_position_rows(batch, column, id_column, k, winnow)
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return group.select([id_column, "pos"]).slice(0, 0)
+        return group.select([id_column, "pos"])
+
+    hits = grams.groupby("h").map_groups(dup_positions, batch_format="pyarrow")
+
+    def spans(group: pa.Table) -> pa.Table:
+        ps = np.sort(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
+        brk = ps[1:] >= ps[:-1] + k
+        starts = ps[np.concatenate(([True], brk))]
+        ends = ps[np.concatenate((brk, [True]))] + k
+        return pa.table(
+            {
+                id_column: group.column(id_column).slice(0, 1),
+                "dup_spans": pa.array([len(starts)], pa.int64()),
+                "dup_chars": pa.array([int((ends - starts).sum())], pa.int64()),
+            }
+        )
+
+    return hits.groupby(id_column).map_groups(spans, batch_format="pyarrow")

@@ -2126,3 +2126,138 @@ def test_hash_sample_null_stratum(ray_session):
     # half of the 1000 null-stratum rows survive at rate 0.5
     assert all(r["src"] is None for r in out)
     assert 300 < len(out) < 700
+
+
+def _dup_spans_sql(con, k: int) -> str:
+    return (
+        f"WITH grams AS ("
+        f" SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,"
+        f"  substr(text, CAST(i AS INT), {k}) AS g"
+        f" FROM documents, LATERAL unnest(range(1, length(text) - {k} + 2)) AS t(i)),"
+        f" dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+        f" hits AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),"
+        f" flag AS (SELECT doc_id, p, CASE WHEN p >="
+        f"  lag(p) OVER (PARTITION BY doc_id ORDER BY p) + {k} THEN 1 ELSE 0 END AS brk"
+        f"  FROM hits),"
+        f" isl AS (SELECT doc_id, p,"
+        f"  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM flag),"
+        f" spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + {k} AS e"
+        f"  FROM isl GROUP BY doc_id, island)"
+        f" SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,"
+        f"  CAST(SUM(e - s) AS BIGINT) AS dup_chars"
+        f" FROM spans GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def test_duplicate_spans_matches_sql(ray_session):
+    """Planted cross-doc and within-doc duplicated substrings match the
+    registered DuckDB oracle shape at a small k."""
+    import duckdb
+    import ray.data
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 chars
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "text": [
+                f"unique preamble one {shared} and a unique tail here",
+                f"completely different head {shared} different ending text",
+                # within-doc repeat of an independent 30+ char phrase
+                "zz repeated phrase alpha beta gamma delta X"
+                " repeated phrase alpha beta gamma delta Y",
+                "no duplicated content in this document at all, rather short",
+                "tiny",  # shorter than k: contributes no windows
+            ],
+        }
+    )
+    k = 12
+    got = (
+        dedup.duplicate_spans(ray.data.from_arrow(tbl), min_len=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(_dup_spans_sql(con, k)).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist() == [1, 2, 3]
+    assert got["dup_spans"].tolist() == exp["dup_spans"].tolist()
+    assert got["dup_chars"].tolist() == exp["dup_chars"].tolist()
+    # the shared 44-char phrase covers >= 44 chars in docs 1 and 2
+    assert got.set_index("doc_id").loc[1, "dup_chars"] >= len(shared)
+    assert got.set_index("doc_id").loc[2, "dup_chars"] >= len(shared)
+
+
+def test_duplicate_spans_no_dups_empty(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [
+                "abcdefghijklmnopqrstuvwxyz0123456789 first",
+                "totally different content with nothing shared at all",
+            ],
+        }
+    )
+    out = dedup.duplicate_spans(ray.data.from_arrow(tbl), min_len=12).take_all()
+    assert out == []
+
+
+def test_duplicate_spans_winnow_guarantee(ray_session):
+    """Robust winnowing must detect every duplicated substring of
+    length >= min_len + w - 1 (here exactly the boundary length), and
+    its report must be a per-doc subset of the exact run."""
+    import ray.data
+
+    k, w = 12, 4
+    boundary = "SHAREDRUNABCDEF"  # exactly k + w - 1 = 15 chars
+    rng = np.random.default_rng(7)
+
+    def noise(n):
+        return "".join(chr(97 + int(c)) for c in rng.integers(0, 26, n))
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                noise(40) + boundary + noise(40),
+                noise(35) + boundary + noise(45),
+                noise(80),
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    win = {r["doc_id"]: r["dup_chars"] for r in
+           dedup.duplicate_spans(ds, min_len=k, winnow=w).take_all()}
+    exact = {r["doc_id"]: r["dup_chars"] for r in
+             dedup.duplicate_spans(ds, min_len=k).take_all()}
+    assert 1 in win and 2 in win  # guarantee: boundary-length dup detected
+    for d, c in win.items():
+        assert d in exact and c <= exact[d]  # subset of the exact report
+
+
+def test_winnow_select_tiny_doc_single_fingerprint():
+    """A doc with fewer windows than w still yields exactly one
+    selected fingerprint (its minimum): the padlen < w branch."""
+    hv = np.array([5, 3, 9], dtype=np.uint64)
+    doc_of = np.array([0, 0, 0])
+    keep = dedup._winnow_select(hv, doc_of, w=8)
+    assert keep.tolist() == [False, True, False]
+
+
+def test_winnow_select_density_and_boundaries():
+    """Selection never crosses docs and picks ~2/(w+1) of positions on
+    random input; every w consecutive windows contain a selection."""
+    rng = np.random.default_rng(3)
+    hv = rng.integers(0, 2**63, 3000).astype(np.uint64)
+    doc_of = np.repeat(np.arange(3), 1000)
+    w = 8
+    keep = dedup._winnow_select(hv, doc_of, w)
+    assert 0 < keep.sum() < len(hv)
+    for d in range(3):
+        seg = keep[doc_of == d]
+        assert seg.any()
+        # coverage: every w consecutive positions within a doc have a pick
+        runs = np.lib.stride_tricks.sliding_window_view(seg, w)
+        assert runs.any(axis=1).all()
