@@ -378,6 +378,18 @@ def _substring_winnow_invariants(sf_dir: str):
     )
 
 
+def _remove_dup_spans(sf_dir: str):
+    """Corpus rewrite with duplicated substrings removed (the Lee et
+    al. removal step): canonical occurrence kept, every other copy
+    cut; one hash-shuffle join + vectorized byte gather."""
+    import ray.data
+
+    from mothray.ops import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.remove_duplicate_spans(ds, min_len=30)
+
+
 def _domain_cap(sf_dir: str):
     """Per-domain document cap (corpus-curation quota): keep the 5
     lowest-id docs per source — top_k_per_group's pre-shuffle combiner
@@ -2302,6 +2314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_budget_documents"] = _token_budget_documents
     q["substring_dup_documents"] = _substring_dup
     q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
+    q["remove_dup_spans_documents"] = _remove_dup_spans
     q["domain_cap_documents"] = _domain_cap
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
@@ -2867,6 +2880,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(0 AS BIGINT) AS subset_violations,"
         " CAST(0 AS BIGINT) AS guarantee_violations,"
         " CAST(1 AS BIGINT) AS winnow_nonempty"
+    )
+    o["remove_dup_spans_documents"] = (
+        "WITH grams AS ("
+        " SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,"
+        "  substr(text, CAST(i AS INT), 30) AS g"
+        " FROM documents, LATERAL unnest(range(1, length(text) - 28)) AS t(i)),"
+        " dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+        " occ AS (SELECT doc_id, p,"
+        "  row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn"
+        "  FROM grams JOIN dupg USING (g)),"
+        " rem AS (SELECT doc_id, p FROM occ WHERE rn > 1),"
+        " flag AS (SELECT doc_id, p, CASE WHEN p >="
+        "  lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 30 THEN 1 ELSE 0 END AS brk"
+        "  FROM rem),"
+        " isl AS (SELECT doc_id, p,"
+        "  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM flag),"
+        " spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 30 AS e"
+        "  FROM isl GROUP BY doc_id, island),"
+        " segs AS ("
+        "  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS a,"
+        "   s AS b FROM spans"
+        "  UNION ALL"
+        "  SELECT d.doc_id, max(sp.e), length(d.text)"
+        "  FROM documents d JOIN spans sp USING (doc_id) GROUP BY d.doc_id, d.text),"
+        " cleaned AS (SELECT s.doc_id, coalesce(string_agg("
+        "  substr(d.text, CAST(s.a AS INT) + 1, CAST(s.b - s.a AS INT)),"
+        "  '' ORDER BY s.a), '') AS clean_text"
+        "  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)"
+        " SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text"
+        " FROM documents d LEFT JOIN cleaned c USING (doc_id)"
     )
     o["domain_cap_documents"] = (
         "SELECT doc_id, source FROM (SELECT doc_id, source,"

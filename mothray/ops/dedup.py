@@ -1819,3 +1819,121 @@ def duplicate_spans(
         )
 
     return hits.groupby(id_column).map_groups(spans, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(
+    ds,
+    column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 30,
+    num_partitions: int | None = None,
+):
+    """Rewrite the corpus with duplicated substrings REMOVED — the
+    removal step of Lee et al. (arXiv:2107.06499): every duplicated
+    `min_len`-byte window keeps its canonical occurrence (the minimum
+    (id, pos) of its content) and all other occurrences are cut, so
+    each duplicated substring still exists exactly once in the output.
+    Returns (id_column, clean_text) for EVERY input row (rows without
+    duplicated content pass through unchanged).
+
+    Scale path: the k-gram exchange carries fixed-width (h, id, pos)
+    rows as in duplicate_spans; removal positions collapse to per-doc
+    merged span LISTS (bounded by duplicated content, not corpus
+    size); the corpus then meets those lists in ONE hash-shuffle
+    left-outer join, and span cutting is a fully vectorized
+    multi-range byte gather per batch — no per-row Python."""
+
+    k = min_len
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        return _gram_position_rows(batch, column, id_column, k, 1)
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def removal_positions(group: pa.Table) -> pa.Table:
+        out = group.select([id_column, "pos"])
+        if group.num_rows < 2:
+            return out.slice(0, 0)
+        ids = group.column(id_column).to_numpy(zero_copy_only=False)
+        ps = group.column("pos").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        keep[np.lexsort((ps, ids))[0]] = False  # canonical copy survives
+        return out.filter(pa.array(keep))
+
+    hits = grams.groupby("h").map_groups(removal_positions, batch_format="pyarrow")
+
+    def doc_spans(group: pa.Table) -> pa.Table:
+        ps = np.unique(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
+        brk = ps[1:] >= ps[:-1] + k
+        starts = ps[np.concatenate(([True], brk))]
+        ends = ps[np.concatenate((brk, [True]))] + k
+        # interleaved (s, e) int64 pairs in ONE binary cell — Ray's
+        # Acero join rejects list-typed payload columns, and the
+        # interleaving lets the cut stage decode the whole batch with
+        # two strided views instead of per-row parsing
+        packed = np.empty(2 * len(starts), dtype="<i8")
+        packed[0::2] = starts
+        packed[1::2] = ends
+        return pa.table(
+            {
+                id_column: group.column(id_column).slice(0, 1),
+                "__spans": pa.array([packed.tobytes()], pa.binary()),
+            }
+        )
+
+    spans = hits.groupby(id_column).map_groups(doc_spans, batch_format="pyarrow")
+    joined = ds.select_columns([id_column, column]).join(
+        spans,
+        join_type="left_outer",
+        num_partitions=num_partitions or _auto_partitions(ds),
+        on=(id_column,),
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        from ..column import _string_parts_view
+
+        lengths, data = _text_parts(batch.column(column))
+        lengths = lengths.astype(np.int64, copy=False)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lengths)))
+        sp = batch.column("__spans")
+        sp = sp.combine_chunks() if isinstance(sp, pa.ChunkedArray) else sp
+        sp_lens, sp_buf = _string_parts_view(sp.fill_null(b""))
+        nspans = sp_lens // 16
+        flat = np.frombuffer(sp_buf.tobytes(), dtype="<i8")
+        s_flat = flat[0::2]
+        e_flat = flat[1::2]
+        n = len(lengths)
+        # kept segments per row: [0, s1), [e1, s2), ..., [e_last, len)
+        seg_per_row = nspans + 1
+        seg_offs = np.concatenate(([0], np.cumsum(seg_per_row)))
+        total_segs = int(seg_offs[-1])
+        a = np.zeros(total_segs, dtype=np.int64)
+        b = np.zeros(total_segs, dtype=np.int64)
+        first = seg_offs[:-1]
+        last = seg_offs[1:] - 1
+        not_first = np.ones(total_segs, dtype=bool)
+        not_first[first] = False
+        not_last = np.ones(total_segs, dtype=bool)
+        not_last[last] = False
+        a[not_first] = e_flat  # segment starts after each span end
+        b[not_last] = s_flat  # segment ends at the next span start
+        b[last] = lengths
+        seg_row = np.repeat(np.arange(n), seg_per_row)
+        a += offs[:-1][seg_row]
+        b += offs[:-1][seg_row]
+        seg_lens = b - a
+        out_offs = np.concatenate(([0], np.cumsum(seg_lens)))
+        total = int(out_offs[-1])
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_offs[:-1], seg_lens)
+            + np.repeat(a, seg_lens)
+        )
+        new_lengths = np.add.reduceat(seg_lens, first) if n else np.empty(0, np.int64)
+        from ..column import _build_string_array
+
+        clean = _build_string_array(pa.string(), new_lengths, buf[idx].tobytes(), n)
+        return pa.table({id_column: batch.column(id_column), "clean_text": clean})
+
+    return joined.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)

@@ -2261,3 +2261,94 @@ def test_winnow_select_density_and_boundaries():
         # coverage: every w consecutive positions within a doc have a pick
         runs = np.lib.stride_tricks.sliding_window_view(seg, w)
         assert runs.any(axis=1).all()
+
+
+def test_remove_duplicate_spans_planted(ray_session):
+    """The canonical (lowest (id, pos)) copy survives; every other copy
+    of a duplicated window is cut; untouched docs pass through."""
+    import ray.data
+
+    shared = "0123456789abcdefghijklmnopqrstuvwxyz"  # 36 chars
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                f"HEAD {shared} TAIL",
+                f"other beginning {shared} other ending",
+                "no duplicated content here whatsoever in any form",
+            ],
+        }
+    )
+    k = 12
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.remove_duplicate_spans(ray.data.from_arrow(tbl), min_len=k).take_all()
+    }
+    assert len(out) == 3
+    assert out[1] == f"HEAD {shared} TAIL"  # canonical copy intact
+    assert shared not in out[2]  # duplicate copy removed
+    # the duplicated region is " <shared> " (both docs surround it with
+    # spaces), so coverage eats the flanking spaces too
+    assert out[2] == "other beginningother ending"
+    assert out[3] == "no duplicated content here whatsoever in any form"
+
+
+def test_remove_duplicate_spans_matches_sql(ray_session):
+    """Full-corpus value match against the registered oracle shape at a
+    small k, including a fully-duplicated doc that collapses to ''."""
+    import duckdb
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma delta epsilon zeta",  # exact dup: collapses
+                "xx alpha beta gamma yy delta epsilon zz",
+                "short",
+            ],
+        }
+    )
+    k = 10
+    got = (
+        dedup.remove_duplicate_spans(ray.data.from_arrow(tbl), min_len=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        f"WITH grams AS ("
+        f" SELECT doc_id, CAST(i AS BIGINT) - 1 AS p,"
+        f"  substr(text, CAST(i AS INT), {k}) AS g"
+        f" FROM documents, LATERAL unnest(range(1, length(text) - {k} + 2)) AS t(i)),"
+        f" dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+        f" occ AS (SELECT doc_id, p,"
+        f"  row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn"
+        f"  FROM grams JOIN dupg USING (g)),"
+        f" rem AS (SELECT doc_id, p FROM occ WHERE rn > 1),"
+        f" flag AS (SELECT doc_id, p, CASE WHEN p >="
+        f"  lag(p) OVER (PARTITION BY doc_id ORDER BY p) + {k} THEN 1 ELSE 0 END AS brk"
+        f"  FROM rem),"
+        f" isl AS (SELECT doc_id, p,"
+        f"  SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM flag),"
+        f" spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(p) + {k} AS e"
+        f"  FROM isl GROUP BY doc_id, island),"
+        f" segs AS ("
+        f"  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS a,"
+        f"   s AS b FROM spans"
+        f"  UNION ALL"
+        f"  SELECT d.doc_id, max(sp.e), length(d.text)"
+        f"  FROM documents d JOIN spans sp USING (doc_id) GROUP BY d.doc_id, d.text),"
+        f" cleaned AS (SELECT s.doc_id, coalesce(string_agg("
+        f"  substr(d.text, CAST(s.a AS INT) + 1, CAST(s.b - s.a AS INT)),"
+        f"  '' ORDER BY s.a), '') AS clean_text"
+        f"  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)"
+        f" SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text"
+        f" FROM documents d LEFT JOIN cleaned c USING (doc_id) ORDER BY doc_id"
+    ).fetchdf()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["clean_text"].tolist() == exp["clean_text"].tolist()
+    assert got.set_index("doc_id").loc[2, "clean_text"] == ""  # full collapse
