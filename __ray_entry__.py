@@ -2229,11 +2229,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tfidf_documents"] = _tfidf_documents
     q["rollup_lineitem"] = _rollup_lineitem
     q["pivot_lineitem"] = _pivot_lineitem
-    q["unpivot_lineitem"] = _unpivot_lineitem
     q["lm_score_documents"] = _lm_score_documents
     q["bloom_join_lineitem"] = _bloom_join_lineitem
     q["intersect_events"] = lambda sf: _set_ops(sf, "intersect")
-    q["except_events"] = lambda sf: _set_ops(sf, "except_")
+    # r4 (late): the span-level substring-dedup family (new, value-
+    # checked) takes two head slots; unpivot and except move past the
+    # driver's 50-query window — their families stay represented in
+    # the head by pivot_lineitem / intersect_events
+    q["substring_dup_documents"] = _substring_dup
+    q["remove_dup_spans_documents"] = _remove_dup_spans
     # r4: the north-rule skew encode + the two multimodal queries that
     # flipped from rows-only to value-checked take head slots; the
     # *_all set-op variants and the OR search (families already
@@ -2312,9 +2316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["paragraph_dedup_documents"] = _paragraph_dedup
     q["sample_mixture_documents"] = _sample_mixture
     q["token_budget_documents"] = _token_budget_documents
-    q["substring_dup_documents"] = _substring_dup
+    q["unpivot_lineitem"] = _unpivot_lineitem
+    q["except_events"] = lambda sf: _set_ops(sf, "except_")
     q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
-    q["remove_dup_spans_documents"] = _remove_dup_spans
     q["domain_cap_documents"] = _domain_cap
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)

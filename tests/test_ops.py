@@ -2352,3 +2352,65 @@ def test_remove_duplicate_spans_matches_sql(ray_session):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["clean_text"].tolist() == exp["clean_text"].tolist()
     assert got.set_index("doc_id").loc[2, "clean_text"] == ""  # full collapse
+
+
+def test_duplicate_spans_randomized_vs_bruteforce(ray_session):
+    """Seeded randomized corpora with planted repeats: duplicate_spans
+    matches an O(corpus^2)-ish brute-force reference on (doc, spans,
+    chars), including multi-batch execution."""
+    import ray.data
+
+    rng = np.random.default_rng(42)
+    k = 8
+
+    def brute(texts):
+        from collections import defaultdict
+
+        occ = defaultdict(list)
+        for d, t in enumerate(texts):
+            for p in range(len(t) - k + 1):
+                occ[t[p : p + k]].append((d, p))
+        starts = defaultdict(set)
+        for g, ps in occ.items():
+            if len(ps) >= 2:
+                for d, p in ps:
+                    starts[d].add(p)
+        out = {}
+        for d, pos in starts.items():
+            ps = sorted(pos)
+            # same island convention as the operator and SQL oracle:
+            # break when the next window start is >= prev start + k
+            # (exactly-adjacent coverage counts as two spans)
+            spans, chars, first = 1, 0, ps[0]
+            for prev, cur in zip(ps, ps[1:]):
+                if cur >= prev + k:
+                    spans += 1
+                    chars += prev + k - first
+                    first = cur
+            chars += ps[-1] + k - first
+            out[d] = (spans, chars)
+        return out
+
+    for trial in range(5):
+        n_docs = int(rng.integers(3, 10))
+        texts = []
+        alphabet = "abcd"  # small alphabet: organic collisions likely
+        for _ in range(n_docs):
+            texts.append("".join(rng.choice(list(alphabet), int(rng.integers(0, 60)))))
+        # plant a shared phrase into two random docs
+        if n_docs >= 2:
+            phrase = "PLANTED" + "".join(rng.choice(list(alphabet), 6))
+            i, j = rng.choice(n_docs, 2, replace=False)
+            texts[i] += phrase
+            texts[j] = phrase + texts[j]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(n_docs), pa.int64()), "text": texts}
+        )
+        got = {
+            r["doc_id"]: (r["dup_spans"], r["dup_chars"])
+            for r in dedup.duplicate_spans(
+                ray.data.from_arrow(tbl).repartition(3), min_len=k
+            ).take_all()
+        }
+        exp = brute(texts)
+        assert got == exp, f"trial {trial}: {got} != {exp}"
