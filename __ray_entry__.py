@@ -390,6 +390,17 @@ def _remove_dup_spans(sf_dir: str):
     return dedup.remove_duplicate_spans(ds, min_len=30)
 
 
+def _train_split(sf_dir: str):
+    """Deterministic train/val/test holdout assignment (FNV hash-bucket
+    gate, disjoint + exhaustive, stable under appends/repartitioning)."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample.train_split(ds, fractions=(("test", 0.1), ("val", 0.1)), salt="sp1")
+
+
 def _domain_cap(sf_dir: str):
     """Per-domain document cap (corpus-curation quota): keep the 5
     lowest-id docs per source — top_k_per_group's pre-shuffle combiner
@@ -2320,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["except_events"] = lambda sf: _set_ops(sf, "except_")
     q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
     q["domain_cap_documents"] = _domain_cap
+    q["train_split_documents"] = _train_split
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -2914,6 +2926,17 @@ def oracle_sql() -> dict[str, str]:
         "  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)"
         " SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text"
         " FROM documents d LEFT JOIN cleaned c USING (doc_id)"
+    )
+    o["train_split_documents"] = (
+        "SELECT doc_id, source, CASE"
+        " WHEN h % 1000000 < 100000 THEN 'test'"
+        " WHEN h % 1000000 < 200000 THEN 'val'"
+        " ELSE 'train' END AS split"
+        " FROM (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "  list_transform(string_split('sp1' || CAST(doc_id AS VARCHAR), ''),"
+        "   c -> CAST(ord(c) AS HUGEINT))),"
+        "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
+        " FROM documents)"
     )
     o["domain_cap_documents"] = (
         "SELECT doc_id, source FROM (SELECT doc_id, source,"

@@ -281,3 +281,38 @@ def sample_k_per_group(ds, group_col: str, key_col: str, k: int = 5, salt: str =
     return out.map_batches(
         lambda t: t.drop_columns(["__fp"]), batch_format="pyarrow"
     )
+
+
+def train_split(
+    ds,
+    fractions: tuple = (("test", 0.1), ("val", 0.1)),
+    key_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+    default: str = "train",
+):
+    """Deterministic train/val/test assignment — the standard holdout
+    split of a training corpus, as a pure per-batch hash gate.
+
+    Each row's salted FNV fingerprint mod 10^6 is cut against the
+    cumulative fraction thresholds: the first `fractions` entry owns
+    [0, f1*10^6), the next [f1*10^6, (f1+f2)*10^6), ... and everything
+    above falls into `default`. Splits are disjoint, exhaustive, and a
+    pure function of the key — the same doc lands in the same split on
+    any cluster width, any partitioning, and across reruns; appending
+    new data never reassigns old rows (the property decontamination
+    workflows rely on). One fused map_batches, nothing shuffles; the
+    same FNV-over-codepoints hash as hash_sample, so assignments are
+    value-checkable in SQL."""
+
+    names = [n for n, _ in fractions]
+    cuts = np.cumsum([f for _, f in fractions]) * _DENOM
+    if cuts[-1] > _DENOM:
+        raise ValueError("split fractions sum past 1.0")
+
+    def run(batch: pa.Table) -> pa.Table:
+        u = _key_fingerprints(batch, key_col, salt) % np.uint64(_DENOM)
+        lab = np.select([u < c for c in cuts], names, default=default)
+        return batch.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)

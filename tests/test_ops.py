@@ -2414,3 +2414,30 @@ def test_duplicate_spans_randomized_vs_bruteforce(ray_session):
         }
         exp = brute(texts)
         assert got == exp, f"trial {trial}: {got} != {exp}"
+
+
+def test_train_split_properties(ray_session):
+    """Splits are exhaustive, deterministic across partitionings, and
+    close to the requested fractions; fractions > 1.0 are rejected."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    a = {r["doc_id"]: r["split"] for r in
+         sample.train_split(ds, fractions=(("test", 0.1), ("val", 0.1))).take_all()}
+    b = {r["doc_id"]: r["split"] for r in
+         sample.train_split(ds.repartition(7), fractions=(("test", 0.1), ("val", 0.1))).take_all()}
+    assert a == b  # partitioning is an execution knob, not semantic
+    assert len(a) == 2000 and set(a.values()) == {"train", "val", "test"}
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["test"] - 200) < 80 and abs(c["val"] - 200) < 80
+    # a different salt draws an independent assignment
+    d = {r["doc_id"]: r["split"] for r in
+         sample.train_split(ds, fractions=(("test", 0.1), ("val", 0.1)), salt="x").take_all()}
+    assert d != a
+    with pytest.raises(ValueError):
+        sample.train_split(ds, fractions=(("test", 0.7), ("val", 0.7)))
