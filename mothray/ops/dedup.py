@@ -1762,12 +1762,55 @@ def _gram_position_rows(
     )
 
 
+def _gram_buckets(ds, grams, n_buckets: int | None) -> tuple:
+    """Append a coarse shuffle bucket to gram rows. Bucket count scales
+    with the CORPUS (gram rows ~ 24 bytes per text byte, ~96 MB of
+    exchange per bucket), so one bucket always fits one task at any
+    scale; grouping on the bucket instead of the raw hash turns the
+    duplicate scan into O(buckets) vectorized UDF calls rather than one
+    Python call per distinct gram."""
+    if n_buckets is None:
+        try:
+            size = ds.size_bytes() or 0
+        except Exception:
+            size = 0
+        n_buckets = int(min(max(size * 24 // (96 << 20), 16), 1 << 24))
+    nb = np.uint64(n_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hv = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        b = ((hv * _MIX1) >> _U64(32)) % nb
+        return batch.append_column("b", pa.array(b.astype(np.int64)))
+
+    return grams.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True), n_buckets
+
+
+def _dup_run_select(group: pa.Table, id_column: str, drop_canonical: bool) -> pa.Table:
+    """Vectorized duplicate scan over one bucket: sort by (h, id, pos),
+    keep rows whose hash run has >= 2 members — all of them for the
+    report, or all but the run's minimum (id, pos) for removal."""
+    hv = group.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = group.column(id_column).to_numpy(zero_copy_only=False)
+    ps = group.column("pos").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ps, ids, hv))
+    hs = hv[order]
+    first = np.concatenate(([True], hs[1:] != hs[:-1]))
+    run_id = np.cumsum(first) - 1
+    counts = np.bincount(run_id)
+    sel = counts[run_id] >= 2
+    if drop_canonical:
+        sel &= ~first  # lexsort puts the minimum (id, pos) first in its run
+    keep = order[sel]
+    return pa.table({id_column: pa.array(ids[keep]), "pos": pa.array(ps[keep])})
+
+
 def duplicate_spans(
     ds,
     column: str = "text",
     id_column: str = "doc_id",
     min_len: int = 30,
     winnow: int = 1,
+    n_buckets: int | None = None,
 ):
     """Corpus-duplicated substring report — the span-level (sub-document)
     dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -1797,13 +1840,12 @@ def duplicate_spans(
         return _gram_position_rows(batch, column, id_column, k, winnow)
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed, _ = _gram_buckets(ds, grams, n_buckets)
 
     def dup_positions(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return group.select([id_column, "pos"]).slice(0, 0)
-        return group.select([id_column, "pos"])
+        return _dup_run_select(group, id_column, drop_canonical=False)
 
-    hits = grams.groupby("h").map_groups(dup_positions, batch_format="pyarrow")
+    hits = bucketed.groupby("b").map_groups(dup_positions, batch_format="pyarrow")
 
     def spans(group: pa.Table) -> pa.Table:
         ps = np.sort(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
@@ -1827,6 +1869,7 @@ def remove_duplicate_spans(
     id_column: str = "doc_id",
     min_len: int = 30,
     num_partitions: int | None = None,
+    n_buckets: int | None = None,
 ):
     """Rewrite the corpus with duplicated substrings REMOVED — the
     removal step of Lee et al. (arXiv:2107.06499): every duplicated
@@ -1837,11 +1880,12 @@ def remove_duplicate_spans(
     duplicated content pass through unchanged).
 
     Scale path: the k-gram exchange carries fixed-width (h, id, pos)
-    rows as in duplicate_spans; removal positions collapse to per-doc
-    merged span LISTS (bounded by duplicated content, not corpus
-    size); the corpus then meets those lists in ONE hash-shuffle
-    left-outer join, and span cutting is a fully vectorized
-    multi-range byte gather per batch — no per-row Python."""
+    rows bucket-grouped and run-scanned exactly as in duplicate_spans;
+    removal positions collapse to per-doc merged span lists (bounded
+    by duplicated content, not corpus size); the corpus then meets
+    those lists in ONE hash-shuffle left-outer join, and span cutting
+    is a fully vectorized multi-range byte gather per batch — no
+    per-row Python."""
 
     k = min_len
 
@@ -1849,18 +1893,12 @@ def remove_duplicate_spans(
         return _gram_position_rows(batch, column, id_column, k, 1)
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed, _ = _gram_buckets(ds, grams, n_buckets)
 
     def removal_positions(group: pa.Table) -> pa.Table:
-        out = group.select([id_column, "pos"])
-        if group.num_rows < 2:
-            return out.slice(0, 0)
-        ids = group.column(id_column).to_numpy(zero_copy_only=False)
-        ps = group.column("pos").to_numpy(zero_copy_only=False)
-        keep = np.ones(len(ids), dtype=bool)
-        keep[np.lexsort((ps, ids))[0]] = False  # canonical copy survives
-        return out.filter(pa.array(keep))
+        return _dup_run_select(group, id_column, drop_canonical=True)
 
-    hits = grams.groupby("h").map_groups(removal_positions, batch_format="pyarrow")
+    hits = bucketed.groupby("b").map_groups(removal_positions, batch_format="pyarrow")
 
     def doc_spans(group: pa.Table) -> pa.Table:
         ps = np.unique(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
