@@ -390,6 +390,58 @@ def _remove_dup_spans(sf_dir: str):
     return dedup.remove_duplicate_spans(ds, min_len=30)
 
 
+def _bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich 2016): distributed word-count
+    pass, vectorized merge loop over the capped vocab table."""
+    import ray.data
+
+    from mothray.ops import bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe.bpe_train(ds, num_merges=50)
+
+
+def _bpe_invariants(sf_dir: str):
+    """Driver-checkable invariants for the BPE trainer (the merge list
+    itself is iterative, not SQL-expressible):
+
+      partition_diff           = 1 if merges change between 2 and 7
+                                 input partitions (0 — execution knob)
+      nonincr_violations       = merge freqs that INCREASE vs their
+                                 predecessor (0 — every post-merge pair
+                                 instance contains an instance of the
+                                 pair it replaced)
+      roundtrip_violations     = sampled docs whose applied BPE tokens
+                                 do not reconstruct the lowercased
+                                 whitespace words (0)
+
+    The oracle is the constant all-zeros row."""
+    import ray.data
+
+    from mothray.ops import bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    a = bpe.bpe_train(ds.repartition(2), num_merges=40)
+    b = bpe.bpe_train(ds.repartition(7), num_merges=40)
+    freqs = a["freq"].to_pylist()
+    nonincr = sum(1 for x, y in zip(freqs, freqs[1:]) if y > x)
+    sample = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).limit(50)
+    bad = 0
+    for r in bpe.bpe_apply(sample, a).take_all():
+        rebuilt = "".join(t.replace("</w>", " ") for t in r["bpe_tokens"]).split()
+        if rebuilt != r["text"].lower().split():
+            bad += 1
+    return pa.table(
+        {
+            "partition_diff": pa.array([0 if a.equals(b) else 1], pa.int64()),
+            "nonincr_violations": pa.array([nonincr], pa.int64()),
+            "roundtrip_violations": pa.array([bad], pa.int64()),
+        }
+    )
+
+
 def _train_split(sf_dir: str):
     """Deterministic train/val/test holdout assignment (FNV hash-bucket
     gate, disjoint + exhaustive, stable under appends/repartitioning)."""
@@ -2332,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
     q["domain_cap_documents"] = _domain_cap
     q["train_split_documents"] = _train_split
+    q["bpe_invariants_documents"] = _bpe_invariants
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -2349,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ingest_simhash_documents"] = _ingest_simhash_documents
     q["ingest_embedding_embeddings"] = _ingest_embedding_documents
     q["multimodal_video_frames"] = _multimodal_video
+    q["bpe_merges_documents"] = _bpe_merges
     return q
 
 
@@ -2926,6 +2980,11 @@ def oracle_sql() -> dict[str, str]:
         "  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id)"
         " SELECT d.doc_id, coalesce(c.clean_text, d.text) AS clean_text"
         " FROM documents d LEFT JOIN cleaned c USING (doc_id)"
+    )
+    o["bpe_invariants_documents"] = (
+        "SELECT CAST(0 AS BIGINT) AS partition_diff,"
+        " CAST(0 AS BIGINT) AS nonincr_violations,"
+        " CAST(0 AS BIGINT) AS roundtrip_violations"
     )
     o["train_split_documents"] = (
         "SELECT doc_id, source, CASE"
