@@ -430,8 +430,12 @@ def _bpe_invariants(sf_dir: str):
     ).limit(50)
     bad = 0
     for r in bpe.bpe_apply(sample, a).take_all():
-        rebuilt = "".join(t.replace("</w>", " ") for t in r["bpe_tokens"]).split()
-        if rebuilt != r["text"].lower().split():
+        # tokens partition the word symbols exactly, so plain
+        # concatenation must equal words + end markers — no marker
+        # stripping, which would misfire on text containing '</w>'
+        rebuilt = "".join(r["bpe_tokens"])
+        expect = "".join(w + "</w>" for w in r["text"].lower().split())
+        if rebuilt != expect:
             bad += 1
     return pa.table(
         {

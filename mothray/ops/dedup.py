@@ -300,22 +300,38 @@ N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
 
 
-def _window_hashes(buf: np.ndarray, shingle: int) -> np.ndarray:
+def _window_hashes(buf: np.ndarray, shingle: int, dual: bool = False) -> np.ndarray:
     """uint64 value of the `shingle`-byte window starting at each byte
     position (length max(len(buf),1); trailing windows read zero
     padding — callers mask to within-doc positions). shingle==8 is a
     zero-copy u64 view; other widths fold the window bytes with an
-    FNV-style polynomial (`shingle` vectorized passes)."""
+    FNV-style polynomial (`shingle` vectorized passes).
+
+    dual=True returns (h1, h2) with h2 an independently-seeded second
+    polynomial over the same windows (one shared byte gather) so
+    callers can treat the pair as a 128-bit fingerprint — window
+    equality up to a ~n^2/2^129 collision bound instead of 2^-65.
+    For shingle==8 the u64 view is the window bytes themselves
+    (injective), so h2 == h1 adds no information and none is needed."""
     padded = np.concatenate([buf, np.zeros(shingle, dtype=np.uint8)])
     n = max(len(buf), 1)
     if shingle == 8:
-        return np.lib.stride_tricks.sliding_window_view(padded, 8)[:n].copy().view("<u8").ravel()
+        hv = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n].copy().view("<u8").ravel()
+        return (hv, hv) if dual else hv
     w = np.lib.stride_tricks.sliding_window_view(padded, shingle)[:n]
     hv = np.zeros(n, dtype=np.uint64)
     prime = _U64(0x100000001B3)
+    if not dual:
+        for j in range(shingle):
+            hv = (hv * prime) ^ w[:, j].astype(np.uint64)
+        return hv
+    h2 = np.full(n, _U64(0x2545F4914F6CDD1D), dtype=np.uint64)
+    prime2 = _U64(0x9E3779B97F4A7C15)
     for j in range(shingle):
-        hv = (hv * prime) ^ w[:, j].astype(np.uint64)
-    return hv
+        col = w[:, j].astype(np.uint64)
+        hv = (hv * prime) ^ col
+        h2 = (h2 * prime2) ^ col
+    return hv, h2
 
 
 def _short_doc_hashes(lengths: np.ndarray, offs: np.ndarray, buf: np.ndarray, short_idx: np.ndarray) -> np.ndarray:
@@ -1695,27 +1711,24 @@ def _winnow_select(hv: np.ndarray, doc_of: np.ndarray, w: int) -> np.ndarray:
     For every window of `w` consecutive hashes that lies inside a single
     document, select the position of the (leftmost) minimum. Windows
     never cross documents: w-1 MAX sentinels are inserted at each doc
-    boundary, so any sliding window contains real values from at most
-    one doc and sentinels are never minima. Selection is content-defined
-    within a doc — two occurrences of the same substring of length
-    >= min_len + w - 1 select the same k-gram at the same content
-    offset in both copies (the standard winnowing guarantee)."""
+    boundary AND at both ends of the batch, so any sliding window
+    contains real values from at most one doc, sentinels are never
+    minima, and every doc sees the identical window structure (w-1
+    head/tail windows included) no matter where it sits in a batch —
+    selection is a pure function of the doc's own hash sequence, so
+    winnowed output is invariant under repartitioning. Two occurrences
+    of the same substring of length >= min_len + w - 1 select the same
+    k-gram at the same content offset in both copies (the standard
+    winnowing guarantee)."""
     n = len(hv)
     if n == 0:
         return np.zeros(0, dtype=bool)
     brk = np.nonzero(np.diff(doc_of))[0] + 1
     shift = np.zeros(n, dtype=np.int64)
     shift[brk] = w - 1
-    padded_idx = np.arange(n, dtype=np.int64) + np.cumsum(shift)
-    padlen = int(padded_idx[-1]) + 1
+    padded_idx = np.arange(n, dtype=np.int64) + np.cumsum(shift) + (w - 1)
+    padlen = int(padded_idx[-1]) + 1 + (w - 1)
     keep = np.zeros(n, dtype=bool)
-    if padlen < w:
-        # fewer hashes than one window: one fingerprint per doc (its min)
-        first = np.concatenate(([0], brk))
-        last = np.concatenate((brk, [n]))
-        for s, e in zip(first, last):
-            keep[s + int(np.argmin(hv[s:e]))] = True
-        return keep
     padded = np.full(padlen, _U64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     padded[padded_idx] = hv
     sw = np.lib.stride_tricks.sliding_window_view(padded, w)
@@ -1733,14 +1746,18 @@ def _winnow_select(hv: np.ndarray, doc_of: np.ndarray, w: int) -> np.ndarray:
 def _gram_position_rows(
     batch: pa.Table, column: str, id_column: str, min_len: int, winnow: int
 ) -> pa.Table:
-    """(h, id, pos) rows for every `min_len`-byte window fully inside a
-    document (winnow > 1: only the winnowing-selected subset)."""
+    """(h, h2, id, pos) rows for every `min_len`-byte window fully
+    inside a document (winnow > 1: only the winnowing-selected subset).
+    (h, h2) is a 128-bit window fingerprint — two independently-seeded
+    polynomials — so a duplicate verdict is exact up to a ~n^2/2^129
+    collision bound (negligible at 10^10+ corpus positions, where a
+    single 64-bit hash would already see birthday collisions)."""
     lengths, data = _text_parts(batch.column(column))
     buf = np.frombuffer(data, dtype=np.uint8)
     lengths = lengths.astype(np.int64, copy=False)
     offs = np.concatenate(([0], np.cumsum(lengths)))
     counts = np.maximum(lengths - (min_len - 1), 0)
-    win = _window_hashes(buf, min_len)
+    win, win2 = _window_hashes(buf, min_len, dual=True)
     delta = np.zeros(len(win) + 1, dtype=np.int64)
     np.add.at(delta, np.minimum(offs[:-1], len(win)), 1)
     np.add.at(delta, np.minimum(offs[:-1] + counts, len(win)), -1)
@@ -1748,14 +1765,16 @@ def _gram_position_rows(
     doc_of = np.searchsorted(offs[1:], pos, side="right")
     rel = pos - offs[:-1][doc_of]
     hv = win[pos]
+    h2 = win2[pos]
     if winnow > 1 and len(hv):
         keep = _winnow_select(hv, doc_of, winnow)
-        hv, doc_of, rel = hv[keep], doc_of[keep], rel[keep]
+        hv, h2, doc_of, rel = hv[keep], h2[keep], doc_of[keep], rel[keep]
     ids = batch.column(id_column).take(pa.array(doc_of))
     ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
     return pa.table(
         {
             "h": pa.array(hv.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
             id_column: ids,
             "pos": pa.array(rel.astype(np.int64)),
         }
@@ -1764,17 +1783,23 @@ def _gram_position_rows(
 
 def _gram_buckets(ds, grams, n_buckets: int | None) -> tuple:
     """Append a coarse shuffle bucket to gram rows. Bucket count scales
-    with the CORPUS (gram rows ~ 24 bytes per text byte, ~96 MB of
+    with the CORPUS (gram rows ~ 32 bytes per text byte, ~96 MB of
     exchange per bucket), so one bucket always fits one task at any
     scale; grouping on the bucket instead of the raw hash turns the
     duplicate scan into O(buckets) vectorized UDF calls rather than one
-    Python call per distinct gram."""
+    Python call per distinct gram. When the input can't report a size
+    (lazy plan with no metadata) the fallback errs LARGE — empty or
+    tiny buckets cost only extra vectorized UDF calls, while too few
+    buckets would break the one-bucket-fits-one-task property."""
     if n_buckets is None:
         try:
             size = ds.size_bytes() or 0
         except Exception:
             size = 0
-        n_buckets = int(min(max(size * 24 // (96 << 20), 16), 1 << 24))
+        if size:
+            n_buckets = int(min(max(size * 32 // (96 << 20), 16), 1 << 24))
+        else:
+            n_buckets = 4096
     nb = np.uint64(n_buckets)
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -1785,16 +1810,63 @@ def _gram_buckets(ds, grams, n_buckets: int | None) -> tuple:
     return grams.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True), n_buckets
 
 
+def _snap_cp_up(p: np.ndarray, buf: np.ndarray) -> np.ndarray:
+    """Round byte positions UP to the nearest UTF-8 codepoint start
+    (<= 3 continuation-byte steps; a position at the buffer end or on
+    a lead/ASCII byte does not move). Valid only over buffers that are
+    concatenations of valid-UTF-8 strings."""
+    total = len(buf)
+    if total == 0 or len(p) == 0:
+        return p
+    for _ in range(3):
+        safe = np.minimum(p, total - 1)
+        cont = (p < total) & ((buf[safe] & 0xC0) == 0x80)
+        if not cont.any():
+            break
+        p = p + cont
+    return p
+
+
+def _snap_cp_down(p: np.ndarray, buf: np.ndarray) -> np.ndarray:
+    """Round byte positions DOWN to the nearest UTF-8 codepoint start
+    (mirror of _snap_cp_up)."""
+    total = len(buf)
+    if total == 0 or len(p) == 0:
+        return p
+    for _ in range(3):
+        safe = np.minimum(p, total - 1)
+        cont = (p < total) & (p > 0) & ((buf[safe] & 0xC0) == 0x80)
+        if not cont.any():
+            break
+        p = p - cont
+    return p
+
+
+def _merge_span_positions(ps: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge SORTED duplicated k-window start positions into maximal
+    [start, end) byte spans: windows closer than k overlap/abut and
+    fuse; a gap >= k breaks the island. The single home of the
+    adjacency rule shared by the report (duplicate_spans) and the
+    rewrite (remove_duplicate_spans)."""
+    brk = ps[1:] >= ps[:-1] + k
+    starts = ps[np.concatenate(([True], brk))]
+    ends = ps[np.concatenate((brk, [True]))] + k
+    return starts, ends
+
+
 def _dup_run_select(group: pa.Table, id_column: str, drop_canonical: bool) -> pa.Table:
-    """Vectorized duplicate scan over one bucket: sort by (h, id, pos),
-    keep rows whose hash run has >= 2 members — all of them for the
-    report, or all but the run's minimum (id, pos) for removal."""
+    """Vectorized duplicate scan over one bucket: sort by (h, h2, id,
+    pos), keep rows whose 128-bit-fingerprint run has >= 2 members —
+    all of them for the report, or all but the run's minimum (id, pos)
+    for removal."""
     hv = group.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+    h2 = group.column("h2").to_numpy(zero_copy_only=False).view(np.uint64)
     ids = group.column(id_column).to_numpy(zero_copy_only=False)
     ps = group.column("pos").to_numpy(zero_copy_only=False)
-    order = np.lexsort((ps, ids, hv))
+    order = np.lexsort((ps, ids, h2, hv))
     hs = hv[order]
-    first = np.concatenate(([True], hs[1:] != hs[:-1]))
+    h2s = h2[order]
+    first = np.concatenate(([True], (hs[1:] != hs[:-1]) | (h2s[1:] != h2s[:-1])))
     run_id = np.cumsum(first) - 1
     counts = np.bincount(run_id)
     sel = counts[run_id] >= 2
@@ -1824,15 +1896,20 @@ def duplicate_spans(
     document containing at least one duplicated span:
     (id_column, dup_spans, dup_chars).
 
-    Scale path: the exchange carries fixed-width (h, id, pos) rows —
-    the text itself never shuffles. At winnow=1 that is ~24 bytes per
-    text byte (exact semantics, the oracle-checked mode); winnow=w
-    applies robust winnowing (_winnow_select) so only ~2/(w+1) of
-    positions enter the exchange, and detection covers all duplicated
-    substrings of length >= min_len + w - 1 — reported spans are then
-    a subset of the exact report (invariant-checked in the driver
-    surface). Reference parity: orc-go has no substring-level dedup;
-    this extends the dedup family (SURVEY.md LLM-ops section).
+    Scale path: the exchange carries fixed-width (h, h2, id, pos)
+    rows — the text itself never shuffles. Windows compare by their
+    128-bit fingerprint (two independent polynomials), so the verdict
+    is exact up to a ~n^2/2^129 collision bound — negligible even at
+    10^10+ corpus positions. Positions are UTF-8 BYTE offsets (spans
+    on a pure-ASCII corpus coincide with character offsets, which is
+    what the value oracle assumes). At winnow=1 every in-doc window
+    enters the exchange (~32 bytes per text byte); winnow=w applies
+    robust winnowing (_winnow_select) so only ~2/(w+1) of positions
+    do, and detection covers all duplicated substrings of length
+    >= min_len + w - 1 — reported spans are then a subset of the
+    exact report (invariant-checked in the driver surface). Reference
+    parity: orc-go has no substring-level dedup; this extends the
+    dedup family (SURVEY.md LLM-ops section).
     """
     k = min_len
 
@@ -1849,9 +1926,7 @@ def duplicate_spans(
 
     def spans(group: pa.Table) -> pa.Table:
         ps = np.sort(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
-        brk = ps[1:] >= ps[:-1] + k
-        starts = ps[np.concatenate(([True], brk))]
-        ends = ps[np.concatenate((brk, [True]))] + k
+        starts, ends = _merge_span_positions(ps, k)
         return pa.table(
             {
                 id_column: group.column(id_column).slice(0, 1),
@@ -1879,13 +1954,17 @@ def remove_duplicate_spans(
     Returns (id_column, clean_text) for EVERY input row (rows without
     duplicated content pass through unchanged).
 
-    Scale path: the k-gram exchange carries fixed-width (h, id, pos)
-    rows bucket-grouped and run-scanned exactly as in duplicate_spans;
-    removal positions collapse to per-doc merged span lists (bounded
-    by duplicated content, not corpus size); the corpus then meets
-    those lists in ONE hash-shuffle left-outer join, and span cutting
-    is a fully vectorized multi-range byte gather per batch — no
-    per-row Python."""
+    Scale path: the k-gram exchange carries fixed-width (h, h2, id,
+    pos) rows bucket-grouped and run-scanned exactly as in
+    duplicate_spans; removal positions collapse to per-doc merged span
+    lists (bounded by duplicated content, not corpus size); the corpus
+    then meets those lists in ONE hash-shuffle left-outer join, and
+    span cutting is a fully vectorized multi-range byte gather per
+    batch — no per-row Python. Span offsets are UTF-8 BYTE positions;
+    before cutting, each span shrinks to codepoint boundaries so the
+    output is always valid UTF-8 (on non-ASCII corpora up to 3 bytes
+    per span edge are conservatively kept). A corpus with no
+    duplicated gram at all passes through unchanged."""
 
     k = min_len
 
@@ -1902,9 +1981,7 @@ def remove_duplicate_spans(
 
     def doc_spans(group: pa.Table) -> pa.Table:
         ps = np.unique(group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
-        brk = ps[1:] >= ps[:-1] + k
-        starts = ps[np.concatenate(([True], brk))]
-        ends = ps[np.concatenate((brk, [True]))] + k
+        starts, ends = _merge_span_positions(ps, k)
         # interleaved (s, e) int64 pairs in ONE binary cell — Ray's
         # Acero join rejects list-typed payload columns, and the
         # interleaving lets the cut stage decode the whole batch with
@@ -1920,6 +1997,25 @@ def remove_duplicate_spans(
         )
 
     spans = hits.groupby(id_column).map_groups(doc_spans, batch_format="pyarrow")
+    # A corpus with NO duplicated min_len-gram leaves `spans` EMPTY,
+    # which Ray's hash-shuffle join cannot finalize (a partition with
+    # zero typed build-side blocks raises ArrowInvalid instead of
+    # producing an all-null outer join). The spans side is the build
+    # side of the hash join and is bounded by docs-with-duplicates
+    # (one small row per such doc), so materializing it here costs
+    # nothing extra — and lets a clean corpus short-circuit to a pure
+    # streaming rename with no shuffle at all.
+    spans = spans.materialize()
+    if spans.count() == 0:
+
+        def passthrough(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_column: t.column(id_column), "clean_text": t.column(column)}
+            )
+
+        return ds.select_columns([id_column, column]).map_batches(
+            passthrough, batch_format="pyarrow", zero_copy_batch=True
+        )
     joined = ds.select_columns([id_column, column]).join(
         spans,
         join_type="left_outer",
@@ -1939,9 +2035,14 @@ def remove_duplicate_spans(
         sp_lens, sp_buf = _string_parts_view(sp.fill_null(b""))
         nspans = sp_lens // 16
         flat = np.frombuffer(sp_buf.tobytes(), dtype="<i8")
-        s_flat = flat[0::2]
-        e_flat = flat[1::2]
         n = len(lengths)
+        # span positions are BYTE offsets; shrink each span to UTF-8
+        # codepoint boundaries (start up, end down) so the cut never
+        # slices mid-codepoint and the output stays valid UTF-8 — we
+        # may keep up to 3 extra bytes per edge, never cut unique text
+        span_base = offs[:-1][np.repeat(np.arange(n), nspans)]
+        s_abs = _snap_cp_up(flat[0::2] + span_base, buf)
+        e_abs = np.maximum(_snap_cp_down(flat[1::2] + span_base, buf), s_abs)
         # kept segments per row: [0, s1), [e1, s2), ..., [e_last, len)
         seg_per_row = nspans + 1
         seg_offs = np.concatenate(([0], np.cumsum(seg_per_row)))
@@ -1954,12 +2055,10 @@ def remove_duplicate_spans(
         not_first[first] = False
         not_last = np.ones(total_segs, dtype=bool)
         not_last[last] = False
-        a[not_first] = e_flat  # segment starts after each span end
-        b[not_last] = s_flat  # segment ends at the next span start
-        b[last] = lengths
-        seg_row = np.repeat(np.arange(n), seg_per_row)
-        a += offs[:-1][seg_row]
-        b += offs[:-1][seg_row]
+        a[not_first] = e_abs  # segment starts after each span end
+        b[not_last] = s_abs  # segment ends at the next span start
+        a[first] = offs[:-1]
+        b[last] = offs[1:]
         seg_lens = b - a
         out_offs = np.concatenate(([0], np.cumsum(seg_lens)))
         total = int(out_offs[-1])

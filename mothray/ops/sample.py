@@ -306,11 +306,17 @@ def train_split(
     value-checkable in SQL."""
 
     names = [n for n, _ in fractions]
-    cuts = np.cumsum([f for _, f in fractions]) * _DENOM
-    if cuts[-1] > _DENOM:
+    # int-truncate each cumulative threshold (the same convention as
+    # hash_sample's int(rate * _DENOM)) so the interval bounds are the
+    # exact integers an SQL oracle replicates
+    cuts = [np.uint64(int(c)) for c in np.cumsum([f for _, f in fractions]) * _DENOM]
+    if cuts and cuts[-1] > _DENOM:
         raise ValueError("split fractions sum past 1.0")
 
     def run(batch: pa.Table) -> pa.Table:
+        if not names:  # no holdouts: everything is `default`
+            lab = pa.array([default] * batch.num_rows, pa.string())
+            return batch.append_column(out_col, lab)
         u = _key_fingerprints(batch, key_col, salt) % np.uint64(_DENOM)
         lab = np.select([u < c for c in cuts], names, default=default)
         return batch.append_column(out_col, pa.array(lab, pa.string()))

@@ -2237,13 +2237,18 @@ def test_duplicate_spans_winnow_guarantee(ray_session):
         assert d in exact and c <= exact[d]  # subset of the exact report
 
 
-def test_winnow_select_tiny_doc_single_fingerprint():
-    """A doc with fewer windows than w still yields exactly one
-    selected fingerprint (its minimum): the padlen < w branch."""
+def test_winnow_select_tiny_doc_covers_min_and_is_position_invariant():
+    """A doc with fewer windows than w selects its prefix/suffix minima
+    (head/tail sentinel windows), always including the global minimum —
+    and the selection is identical whether the doc leads the batch or
+    follows another doc (pure function of the doc's own hashes)."""
     hv = np.array([5, 3, 9], dtype=np.uint64)
     doc_of = np.array([0, 0, 0])
     keep = dedup._winnow_select(hv, doc_of, w=8)
-    assert keep.tolist() == [False, True, False]
+    assert keep[1]  # global min always fingerprinted
+    other = np.array([7, 1, 4, 5, 3, 9], dtype=np.uint64)
+    keep2 = dedup._winnow_select(other, np.array([0, 0, 0, 1, 1, 1]), w=8)
+    assert keep2[3:].tolist() == keep.tolist()
 
 
 def test_winnow_select_density_and_boundaries():
@@ -2291,6 +2296,81 @@ def test_remove_duplicate_spans_planted(ray_session):
     # spaces), so coverage eats the flanking spaces too
     assert out[2] == "other beginningother ending"
     assert out[3] == "no duplicated content here whatsoever in any form"
+
+
+def test_remove_duplicate_spans_clean_corpus_passthrough(ray_session):
+    """A corpus with NO duplicated gram returns every row unchanged —
+    the empty spans side short-circuits instead of crashing Ray's
+    hash join (which cannot finalize an empty build side)."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [
+                "the quick brown fox jumps over a lazy dog today",
+                "completely different content with nothing shared at all",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.remove_duplicate_spans(ray.data.from_arrow(tbl), min_len=30).take_all()
+    }
+    assert out == {1: tbl["text"][0].as_py(), 2: tbl["text"][1].as_py()}
+
+
+def test_remove_duplicate_spans_utf8_boundaries(ray_session):
+    """Cut positions are byte offsets snapped to codepoint starts: a
+    duplicated span containing multi-byte characters is removed without
+    ever slicing mid-codepoint, so output strings stay valid UTF-8 and
+    the canonical copy survives byte-identical."""
+    import ray.data
+
+    dup = "héllo wörld this is a duplicated ségment with accents ünd mörę"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [f"prefix one ☂ {dup} suffix alpha", f"prefix two ☀ {dup} suffix beta"],
+        }
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.remove_duplicate_spans(ray.data.from_arrow(tbl), min_len=30).take_all()
+    }
+    for v in out.values():
+        v.encode("utf-8").decode("utf-8")  # round-trips => valid UTF-8
+    assert dup in out[1]  # canonical copy intact
+    assert dup not in out[2]  # duplicate removed
+
+
+def test_window_hashes_dual_independent():
+    """dual=True returns two hashes that agree on equal windows but are
+    not derivable from each other (independent seeds/primes), giving a
+    128-bit effective fingerprint for the substring-dedup exchange."""
+    rng = np.random.default_rng(11)
+    buf = rng.integers(0, 256, 4000).astype(np.uint8)
+    h1, h2 = dedup._window_hashes(buf, 30, dual=True)
+    assert len(h1) == len(h2) == len(buf)
+    # same window content -> same pair
+    buf2 = np.concatenate([buf[100:160], buf[100:160]])
+    a1, a2 = dedup._window_hashes(buf2, 30, dual=True)
+    assert a1[0] == a1[60] and a2[0] == a2[60]
+    # h2 is not a function of h1 alone: equal h1 prefixes with different
+    # bytes diverge in h2 immediately (sanity: the arrays differ a lot)
+    assert (h1 != h2).mean() > 0.99
+
+
+def test_train_split_empty_fractions(ray_session):
+    """No holdout fractions => every row lands in the default split
+    (no IndexError on the empty cuts list)."""
+    import ray.data
+
+    from mothray.ops import sample as sample_mod
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
+    rows = sample_mod.train_split(ds, fractions=()).take_all()
+    assert [r["split"] for r in rows] == ["train"] * 3
 
 
 def test_remove_duplicate_spans_matches_sql(ray_session):
