@@ -446,6 +446,19 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _profile_documents(sf_dir: str):
+    """Distributed per-column corpus profile (SUMMARIZE-alike): row
+    count, nulls, EXACT distinct count (128-bit hash exchange), typed
+    min/max rendered as strings — fully value-checked against the SQL
+    aggregates."""
+    import ray.data
+
+    from mothray.ops.profile import profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return profile(ds, columns=["doc_id", "lang", "source", "n_chars"])
+
+
 def _train_split(sf_dir: str):
     """Deterministic train/val/test holdout assignment (FNV hash-bucket
     gate, disjoint + exhaustive, stable under appends/repartitioning)."""
@@ -2407,6 +2420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ingest_embedding_embeddings"] = _ingest_embedding_documents
     q["multimodal_video_frames"] = _multimodal_video
     q["bpe_merges_documents"] = _bpe_merges
+    q["profile_documents"] = _profile_documents
     return q
 
 
@@ -2989,6 +3003,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(0 AS BIGINT) AS partition_diff,"
         " CAST(0 AS BIGINT) AS nonincr_violations,"
         " CAST(0 AS BIGINT) AS roundtrip_violations"
+    )
+    _prof = (
+        "SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,"
+        " CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+        " CAST(MIN({c}) AS VARCHAR) AS min_val,"
+        " CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+    )
+    o["profile_documents"] = " UNION ALL ".join(
+        _prof.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
     )
     o["train_split_documents"] = (
         "SELECT doc_id, source, CASE"

@@ -1,0 +1,166 @@
+"""Distributed per-column data profiling (a DuckDB-SUMMARIZE-alike).
+
+profile() answers "what is in this table" — row count and, per column,
+null count, exact distinct count, and typed min/max — without ever
+materializing the corpus on the driver. Reference parity: orc-go's
+statistics builders (pkg/store/metadata statistics) expose the same
+facts per stripe at WRITE time; this op computes them over any
+Dataset at READ/curation time, which is what a corpus-triage step
+needs before committing to an encode.
+
+Two bounded passes, both Ray-Data-shaped:
+
+1. wide partials — ONE row per batch holding typed per-column
+   partials (rows, nulls, min, max), combined by a single
+   Dataset.aggregate() (Sum/Min/Max). Min/max stay in the COLUMN'S
+   OWN TYPE until the final render, so "10" < "9" string-ordering
+   bugs cannot happen; only the finished scalars render to VARCHAR.
+2. distinct exchange — batch-deduped (column, h1, h2) hash pairs
+   (the same 128-bit content hash as exact_dedup, so the count is
+   exact up to a ~n^2/2^129 collision bound) -> groupby dedup ->
+   per-column row counts. Only one fixed-width row per
+   batch-distinct value crosses the wire; the values themselves
+   never shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import content_hash_batch
+
+
+def _pair_unique(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (h1, h2) pairs via one lexsort (no 128-bit dtype needed)."""
+    order = np.lexsort((h2, h1))
+    a, b = h1[order], h2[order]
+    keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    return a[keep], b[keep]
+
+
+def profile(ds, columns: list[str] | None = None) -> pa.Table:
+    """One row per column: (col, cnt, null_count, n_distinct, min_val,
+    max_val) with min/max rendered as strings (computed typed). Columns
+    whose type supports neither ordering nor a string cast (nested
+    lists, maps) report null min/max/n_distinct but still count nulls.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    schema = ds.schema().base_schema
+    cols = list(columns) if columns is not None else list(schema.names)
+    missing = [c for c in cols if c not in schema.names]
+    if missing:
+        raise KeyError(f"profile columns {missing} not in dataset (have {schema.names})")
+
+    def _orderable(t: pa.DataType) -> bool:
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_decimal(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_temporal(t)
+        )
+
+    ordered = {c for c in cols if _orderable(schema.field(c).type)}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {"__rows": pa.array([batch.num_rows], pa.int64())}
+        for c in cols:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            out[f"{c}__nulls"] = pa.array([col.null_count], pa.int64())
+            if c in ordered:
+                mm = pc.min_max(col)
+                out[f"{c}__min"] = pa.array([mm["min"].as_py()], col.type)
+                out[f"{c}__max"] = pa.array([mm["max"].as_py()], col.type)
+        return pa.table(out)
+
+    aggs = [Sum("__rows", alias_name="rows")]
+    for c in cols:
+        aggs.append(Sum(f"{c}__nulls", alias_name=f"{c}__nulls"))
+        if c in ordered:
+            aggs += [
+                Min(f"{c}__min", alias_name=f"{c}__min"),
+                Max(f"{c}__max", alias_name=f"{c}__max"),
+            ]
+    stats = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        *aggs
+    )
+
+    hashable = [
+        c
+        for c in cols
+        if not (
+            pa.types.is_nested(schema.field(c).type) or pa.types.is_dictionary(schema.field(c).type)
+        )
+    ]
+    ci_of = {c: i for i, c in enumerate(hashable)}
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        cis, h1s, h2s = [], [], []
+        for c in hashable:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            s = pc.drop_null(pc.cast(col, pa.string()))
+            if len(s) == 0:
+                continue
+            hashed = content_hash_batch(pa.table({"v": s}), "v")
+            h1 = hashed.column("h1").to_numpy(zero_copy_only=False)
+            h2 = hashed.column("h2").to_numpy(zero_copy_only=False)
+            u1, u2 = _pair_unique(h1, h2)
+            cis.append(np.full(len(u1), ci_of[c], dtype=np.int32))
+            h1s.append(u1)
+            h2s.append(u2)
+        if not cis:
+            return pa.table(
+                {
+                    "ci": pa.array([], pa.int32()),
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(cis)),
+                "h1": pa.array(np.concatenate(h1s)),
+                "h2": pa.array(np.concatenate(h2s)),
+            }
+        )
+
+    distinct: dict[str, int] = {}
+    if hashable:
+        pairs = ds.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
+        per_value = pairs.groupby(["ci", "h1", "h2"]).count()
+        per_col = per_value.groupby("ci").count()
+        for r in per_col.take_all():
+            distinct[hashable[r["ci"]]] = int(r["count()"])
+
+    def render(v) -> str | None:
+        return None if v is None else str(v)
+
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "cnt": pa.array([int(stats["rows"]) for _ in cols], pa.int64()),
+            "null_count": pa.array([int(stats[f"{c}__nulls"]) for c in cols], pa.int64()),
+            "n_distinct": pa.array(
+                # hashable but absent from the exchange = all-null = 0
+                # distinct; non-hashable (nested) columns report null
+                [distinct.get(c, 0) if c in ci_of else None for c in cols],
+                pa.int64(),
+            ),
+            "min_val": pa.array(
+                [render(stats[f"{c}__min"]) if c in ordered else None for c in cols],
+                pa.string(),
+            ),
+            "max_val": pa.array(
+                [render(stats[f"{c}__max"]) if c in ordered else None for c in cols],
+                pa.string(),
+            ),
+        }
+    )

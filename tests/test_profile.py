@@ -1,0 +1,88 @@
+"""Tests for the distributed per-column profiler (ops/profile.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray.ops.profile import _pair_unique, profile
+
+
+def _rows(t: pa.Table) -> dict:
+    return {r["col"]: r for r in t.to_pylist()}
+
+
+def test_profile_matches_duckdb(ray_session):
+    """Full value match (count/nulls/distinct/min/max) against DuckDB
+    over a mixed-type table with nulls, across several blocks."""
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    ints = rng.integers(-50, 50, n)
+    strs = np.array([f"k{v}" for v in rng.integers(0, 37, n)], dtype=object)
+    tbl = pa.table(
+        {
+            "a": pa.array([None if i % 7 == 0 else int(v) for i, v in enumerate(ints)], pa.int64()),
+            "b": pa.array([None if i % 11 == 0 else s for i, s in enumerate(strs)], pa.string()),
+            "c": pa.array(rng.normal(size=n)),
+        }
+    )
+    got = _rows(profile(ray.data.from_arrow(tbl).repartition(8)))
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for c in ["a", "b", "c"]:
+        cnt, nulls, nd, mn, mx = con.execute(
+            f"SELECT COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),"
+            f" MIN({c}), MAX({c}) FROM t"
+        ).fetchone()
+        r = got[c]
+        assert r["cnt"] == cnt and r["null_count"] == nulls and r["n_distinct"] == nd, (c, r)
+        assert r["min_val"] == str(mn) and r["max_val"] == str(mx), (c, r)
+
+
+def test_profile_typed_min_max_not_string_ordered(ray_session):
+    """Min/max combine in the column's own type: 9 < 10 numerically
+    even though '9' > '10' lexically — the classic stringly-typed
+    profiling bug."""
+    import ray.data
+
+    tbl = pa.table({"x": pa.array([10, 9, 100, 2], pa.int64())})
+    r = _rows(profile(ray.data.from_arrow(tbl).repartition(4)))["x"]
+    assert r["min_val"] == "2" and r["max_val"] == "100"
+
+
+def test_profile_all_null_and_nested_columns(ray_session):
+    """An all-null column reports nulls == cnt with null min/max; a
+    nested (list) column still counts nulls but reports null
+    min/max/n_distinct instead of failing."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "dead": pa.array([None, None, None], pa.string()),
+            "lst": pa.array([[1, 2], None, [3]], pa.list_(pa.int64())),
+        }
+    )
+    got = _rows(profile(ray.data.from_arrow(tbl)))
+    assert got["dead"]["cnt"] == 3 and got["dead"]["null_count"] == 3
+    assert got["dead"]["min_val"] is None and got["dead"]["max_val"] is None
+    assert got["dead"]["n_distinct"] == 0
+    assert got["lst"]["null_count"] == 1
+    assert got["lst"]["n_distinct"] is None
+    assert got["lst"]["min_val"] is None
+
+
+def test_profile_unknown_column_raises(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+    with pytest.raises(KeyError):
+        profile(ds, columns=["nope"])
+
+
+def test_pair_unique():
+    h1 = np.array([1, 1, 2, 2, 1], dtype=np.uint64)
+    h2 = np.array([5, 5, 6, 7, 9], dtype=np.uint64)
+    u1, u2 = _pair_unique(h1, h2)
+    assert sorted(zip(u1.tolist(), u2.tolist())) == [(1, 5), (1, 9), (2, 6), (2, 7)]
