@@ -446,6 +446,68 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _standardize_lineitem(sf_dir: str):
+    """Distributed two-pass z-score (feature scaling before k-means /
+    ANN / training): per-group Chan partials -> broadcast stats ->
+    pure map_batches transform; value-checked against the SQL window
+    AVG/STDDEV_POP form."""
+    import ray.data
+
+    from mothray.ops.moments import standardize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = standardize(ds, ["l_quantity", "l_extendedprice"], group_col="l_returnflag")
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z"]
+    )
+
+
+def _pca_invariants(sf_dir: str):
+    """Driver-checkable invariants for distributed PCA (eigenvectors
+    are not SQL-expressible; sign fixed by the largest-|.| convention):
+
+      ortho_violations    = 1 if max|C C^T - I| > 1e-6 (0)
+      order_violations    = explained variances not descending (0)
+      partition_diff      = 1 if fitting on 2 vs 7 partitions moves
+                            any component by > 1e-9 (0 — execution knob)
+      variance_violations = 1 if the variance of any projected dim
+                            differs from its eigenvalue by > 1e-6 (0)
+
+    The oracle is the constant all-zeros row."""
+    import numpy as np
+    import ray.data
+
+    from mothray.ops.ann import _matrix
+    from mothray.ops.pca import pca_fit, pca_transform
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    m = pca_fit(emb.repartition(2), k=8)
+    m7 = pca_fit(emb.repartition(7), k=8)
+    C = m["components"]
+    ortho = int(np.abs(C @ C.T - np.eye(len(C))).max() > 1e-6)
+    order = int(np.any(np.diff(m["explained_variance"]) > 1e-12))
+    pdiff = int(np.abs(C - m7["components"]).max() > 1e-9)
+    proj = np.vstack(
+        [
+            _matrix(b.column("pca"))
+            for b in pca_transform(emb, m).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    var = proj.var(axis=0)
+    vviol = int(np.abs(var - m["explained_variance"]).max() > 1e-6)
+    return pa.table(
+        {
+            "ortho_violations": pa.array([ortho], pa.int64()),
+            "order_violations": pa.array([order], pa.int64()),
+            "partition_diff": pa.array([pdiff], pa.int64()),
+            "variance_violations": pa.array([vviol], pa.int64()),
+        }
+    )
+
+
 def _profile_documents(sf_dir: str):
     """Distributed per-column corpus profile (SUMMARIZE-alike): row
     count, nulls, EXACT distinct count (128-bit hash exchange), typed
@@ -2421,6 +2483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_video_frames"] = _multimodal_video
     q["bpe_merges_documents"] = _bpe_merges
     q["profile_documents"] = _profile_documents
+    q["standardize_lineitem"] = _standardize_lineitem
+    q["pca_invariants_embeddings"] = _pca_invariants
     return q
 
 
@@ -3013,6 +3077,22 @@ def oracle_sql() -> dict[str, str]:
     )
     o["profile_documents"] = " UNION ALL ".join(
         _prof.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
+    )
+    o["standardize_lineitem"] = (
+        "SELECT l_orderkey, l_linenumber,"
+        " ROUND((l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag))"
+        "  / NULLIF(STDDEV_POP(l_quantity) OVER (PARTITION BY l_returnflag), 0), 6)"
+        "  AS l_quantity_z,"
+        " ROUND((l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_returnflag))"
+        "  / NULLIF(STDDEV_POP(l_extendedprice) OVER (PARTITION BY l_returnflag), 0), 6)"
+        "  AS l_extendedprice_z"
+        " FROM lineitem"
+    )
+    o["pca_invariants_embeddings"] = (
+        "SELECT CAST(0 AS BIGINT) AS ortho_violations,"
+        " CAST(0 AS BIGINT) AS order_violations,"
+        " CAST(0 AS BIGINT) AS partition_diff,"
+        " CAST(0 AS BIGINT) AS variance_violations"
     )
     o["train_split_documents"] = (
         "SELECT doc_id, source, CASE"

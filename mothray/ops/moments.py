@@ -206,3 +206,87 @@ def group_corr(
     if group_col is None:
         merged = merged.drop_columns([_GRP])
     return merged
+
+
+def standardize(
+    ds,
+    value_cols: list[str],
+    group_col: str | None = None,
+    ddof: int = 0,
+    round_digits: int | None = 6,
+    suffix: str = "_z",
+):
+    """Two-pass distributed z-score transform — the feature-scaling
+    step before k-means / ANN / model training. Pass 1 reduces each
+    batch to one (column, group) Chan partial (the exchange carries
+    cols x in-batch-groups tiny rows, never values); the merged stats
+    table — bounded by cols x groups, not the corpus — broadcasts
+    once via ray.put. Pass 2 is a pure map_batches: z = (x - mean) /
+    std, matching ROUND((x - AVG(x) OVER (PARTITION BY g)) /
+    NULLIF(STDDEV_POP(x) OVER (PARTITION BY g), 0), 6). Null x or a
+    zero-variance group yields null z (both sides agree via NULLIF)."""
+    import ray
+
+    gcol = group_col or _GRP
+
+    def partials(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            p = _var_partials(batch, c, group_col)
+            parts.append(p.append_column("__col", pa.array([c] * p.num_rows, pa.string())))
+        return pa.concat_tables(parts)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n_i = group.column("n").to_numpy(zero_copy_only=False)
+        mean_i = group.column("mean").to_numpy(zero_copy_only=False)
+        m2_i = group.column("m2").to_numpy(zero_copy_only=False)
+        n = n_i.sum()
+        if n == 0:
+            return group.select([gcol, "__col"]).slice(0, 0)
+        mean = float((n_i * mean_i).sum() / n)
+        m2 = float(m2_i.sum() + (n_i * (mean_i - mean) ** 2).sum())
+        var = m2 / (n - ddof) if n > ddof else 0.0
+        return pa.table(
+            {
+                gcol: group.column(gcol).slice(0, 1),
+                "__col": group.column("__col").slice(0, 1),
+                "mean": pa.array([mean], pa.float64()),
+                "std": pa.array([float(np.sqrt(max(var, 0.0)))], pa.float64()),
+            }
+        )
+
+    stats_rows = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([gcol, "__col"])
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    stats = {(r["__col"], r[gcol]): (r["mean"], r["std"]) for r in stats_rows}
+    ref = ray.put(stats)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        out = batch
+        if group_col is not None:
+            g = batch.column(group_col).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(g, return_inverse=True)
+        for c in value_cols:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            if group_col is not None:
+                means = np.array([st.get((c, u), (0.0, 0.0))[0] for u in uniq])
+                stds = np.array([st.get((c, u), (0.0, 0.0))[1] for u in uniq])
+                mean_r, std_r = means[inv], stds[inv]
+            else:
+                mean_r, std_r = st.get((c, 0), (0.0, 0.0))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (x - mean_r) / np.where(std_r == 0.0, np.nan, std_r)
+            if round_digits is not None:
+                z = np.round(z, round_digits)
+            mask = ~valid | np.isnan(z)
+            out = out.append_column(f"{c}{suffix}", pa.array(z, pa.float64(), mask=mask))
+        return out
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
