@@ -446,6 +446,31 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _validate_orders(sf_dir: str):
+    """Data-quality contract check (Great-Expectations-alike) over
+    orders: fused row-local counters, hash-exchange uniqueness, and a
+    join-free referential check vs customer — every count exact and
+    value-checked in SQL. Rules chosen so several counts are NON-zero
+    (a trivially-clean check would not exercise the counting paths)."""
+    import ray.data
+
+    from mothray.ops.validate import validate
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return validate(
+        orders,
+        [
+            {"rule": "not_null", "column": "o_custkey"},
+            {"rule": "unique", "columns": ["o_custkey"]},
+            {"rule": "range", "column": "o_totalprice", "min": 0.0, "max": 150000.0},
+            {"rule": "in_set", "column": "o_orderstatus", "values": ["O", "F"]},
+            {"rule": "regex", "column": "o_orderpriority", "pattern": "^[1-3]-"},
+            {"rule": "foreign_key", "column": "o_custkey", "ref": cust, "ref_column": "c_custkey"},
+        ],
+    )
+
+
 def _standardize_lineitem(sf_dir: str):
     """Distributed two-pass z-score (feature scaling before k-means /
     ANN / training): per-group Chan partials -> broadcast stats ->
@@ -2485,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["profile_documents"] = _profile_documents
     q["standardize_lineitem"] = _standardize_lineitem
     q["pca_invariants_embeddings"] = _pca_invariants
+    q["validate_orders"] = _validate_orders
     return q
 
 
@@ -3093,6 +3119,25 @@ def oracle_sql() -> dict[str, str]:
         " CAST(0 AS BIGINT) AS order_violations,"
         " CAST(0 AS BIGINT) AS partition_diff,"
         " CAST(0 AS BIGINT) AS variance_violations"
+    )
+    o["validate_orders"] = (
+        "SELECT 'not_null' AS rule, 'o_custkey' AS col,"
+        " (SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) FROM orders)"
+        " AS violations"
+        " UNION ALL SELECT 'unique', 'o_custkey',"
+        " (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)"
+        " UNION ALL SELECT 'range', 'o_totalprice',"
+        " (SELECT CAST(COUNT(*) FILTER (o_totalprice < 0 OR o_totalprice > 150000)"
+        "  AS BIGINT) FROM orders)"
+        " UNION ALL SELECT 'in_set', 'o_orderstatus',"
+        " (SELECT CAST(COUNT(*) FILTER (o_orderstatus IS NOT NULL AND"
+        "  o_orderstatus NOT IN ('O','F')) AS BIGINT) FROM orders)"
+        " UNION ALL SELECT 'regex', 'o_orderpriority',"
+        " (SELECT CAST(COUNT(*) FILTER (o_orderpriority IS NOT NULL AND"
+        "  NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS BIGINT) FROM orders)"
+        " UNION ALL SELECT 'foreign_key', 'o_custkey',"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL"
+        "  AND o_custkey NOT IN (SELECT c_custkey FROM customer))"
     )
     o["train_split_documents"] = (
         "SELECT doc_id, source, CASE"

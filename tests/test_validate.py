@@ -1,0 +1,138 @@
+"""Tests for the data-quality validation op (ops/validate.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from mothray.ops.validate import validate
+
+
+def _viol(t: pa.Table) -> dict:
+    return {(r["rule"], r["col"]): r["violations"] for r in t.to_pylist()}
+
+
+def test_validate_planted_violations(ray_session):
+    """Each rule kind counts exactly its planted violations; nulls
+    never violate range/regex/in_set/foreign_key (SQL semantics)."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 1, 2, 3, None], pa.int64()),
+            "v": pa.array([5.0, -1.0, 99.0, None, 3.0]),
+            "s": pa.array(["ok", "bad", "ok", None, "zz"], pa.string()),
+            "fk": pa.array([10, 11, 99, None, 10], pa.int64()),
+        }
+    )
+    parent = ray.data.from_arrow(pa.table({"pk": pa.array([10, 11], pa.int64())}))
+    got = _viol(
+        validate(
+            ray.data.from_arrow(tbl).repartition(3),
+            [
+                {"rule": "not_null", "column": "id"},
+                {"rule": "unique", "columns": ["id"]},
+                {"rule": "range", "column": "v", "min": 0.0, "max": 50.0},
+                {"rule": "in_set", "column": "s", "values": ["ok"]},
+                {"rule": "regex", "column": "s", "pattern": "^o"},
+                {"rule": "foreign_key", "column": "fk", "ref": parent, "ref_column": "pk"},
+            ],
+        )
+    )
+    assert got == {
+        ("not_null", "id"): 1,
+        ("unique", "id"): 1,  # ids (1,1,2,3,NULL): 5 rows, 4 distinct tuples
+        ("range", "v"): 2,  # -1 below, 99 above; null exempt
+        ("in_set", "s"): 2,  # bad, zz; null exempt
+        ("regex", "s"): 2,
+        ("foreign_key", "fk"): 1,  # 99 unreferenced; null exempt
+    }
+
+
+def test_validate_clean_and_multicolumn_unique(ray_session):
+    """A clean table reports all zeros; uniqueness over a column PAIR
+    counts duplicate tuples, not duplicate single columns."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2], pa.int64()),
+            "b": pa.array(["x", "y", "x", "y"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = _viol(
+        validate(
+            ds,
+            [
+                {"rule": "not_null", "column": "a"},
+                {"rule": "unique", "columns": ["a"]},
+                {"rule": "unique", "columns": ["a", "b"]},
+            ],
+        )
+    )
+    assert got[("not_null", "a")] == 0
+    assert got[("unique", "a")] == 2  # two extra copies of single-col keys
+    assert got[("unique", "a,b")] == 0  # all (a, b) tuples distinct
+
+
+def test_validate_fk_empty_parent(ray_session):
+    """An EMPTY parent side means every non-null child key is an
+    orphan — the union+groupby shape handles it (a join would not)."""
+    import ray.data
+
+    child = ray.data.from_arrow(pa.table({"fk": pa.array([1, 2, 2, None], pa.int64())}))
+    parent = ray.data.from_arrow(pa.table({"pk": pa.array([], pa.int64())}))
+    got = _viol(
+        validate(child, [{"rule": "foreign_key", "column": "fk", "ref": parent, "ref_column": "pk"}])
+    )
+    assert got[("foreign_key", "fk")] == 3
+
+
+def test_validate_matches_duckdb_on_random_data(ray_session):
+    """Randomized cross-check of every rule against its SQL form."""
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 1000, n), pa.int64()),
+            "x": pa.array(
+                [None if i % 17 == 0 else float(v) for i, v in enumerate(rng.normal(50, 30, n))]
+            ),
+            "c": pa.array([f"c{v}" for v in rng.integers(0, 8, n)], pa.string()),
+        }
+    )
+    parent = pa.table({"pk": pa.array(np.arange(0, 900), pa.int64())})
+    got = _viol(
+        validate(
+            ray.data.from_arrow(tbl).repartition(7),
+            [
+                {"rule": "unique", "columns": ["k"]},
+                {"rule": "range", "column": "x", "min": 0.0, "max": 100.0},
+                {"rule": "in_set", "column": "c", "values": ["c0", "c1", "c2"]},
+                {"rule": "regex", "column": "c", "pattern": "^c[0-3]$"},
+                {
+                    "rule": "foreign_key",
+                    "column": "k",
+                    "ref": ray.data.from_arrow(parent),
+                    "ref_column": "pk",
+                },
+            ],
+        )
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    con.register("p", parent)
+    uq, rg, inset, rx, fk = con.execute(
+        "SELECT COUNT(*) - COUNT(DISTINCT k),"
+        " COUNT(*) FILTER (x < 0 OR x > 100),"
+        " COUNT(*) FILTER (c NOT IN ('c0','c1','c2')),"
+        " COUNT(*) FILTER (NOT regexp_matches(c, '^c[0-3]$')),"
+        " (SELECT COUNT(*) FROM t WHERE k NOT IN (SELECT pk FROM p)) FROM t"
+    ).fetchone()
+    assert got[("unique", "k")] == uq
+    assert got[("range", "x")] == rg
+    assert got[("in_set", "c")] == inset
+    assert got[("regex", "c")] == rx
+    assert got[("foreign_key", "k")] == fk
