@@ -446,6 +446,23 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _profile_encoded_documents(sf_dir: str):
+    """profile() served from encoded stripe METADATA only (no value
+    streams decoded): count/nulls/min/max from the stats fast path,
+    n_distinct null by design (not in writer metadata)."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint
+    from mothray.ops.profile import profile_encoded
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_profenc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/documents.parquet", f"{base}/enc")
+    return profile_encoded(f"{base}/enc", ["doc_id", "lang", "source", "n_chars"])
+
+
 def _validate_orders(sf_dir: str):
     """Data-quality contract check (Great-Expectations-alike) over
     orders: fused row-local counters, hash-exchange uniqueness, and a
@@ -2511,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["standardize_lineitem"] = _standardize_lineitem
     q["pca_invariants_embeddings"] = _pca_invariants
     q["validate_orders"] = _validate_orders
+    q["profile_encoded_documents"] = _profile_encoded_documents
     return q
 
 
@@ -3103,6 +3121,16 @@ def oracle_sql() -> dict[str, str]:
     )
     o["profile_documents"] = " UNION ALL ".join(
         _prof.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
+    )
+    _prof_md = (
+        "SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,"
+        " CAST(NULL AS BIGINT) AS n_distinct,"
+        " CAST(MIN({c}) AS VARCHAR) AS min_val,"
+        " CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+    )
+    o["profile_encoded_documents"] = " UNION ALL ".join(
+        _prof_md.format(c=c) for c in ["doc_id", "lang", "source", "n_chars"]
     )
     o["standardize_lineitem"] = (
         "SELECT l_orderkey, l_linenumber,"

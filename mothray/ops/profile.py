@@ -31,6 +31,38 @@ import pyarrow as pa
 from .dedup import content_hash_batch
 
 
+def profile_encoded(in_dir: str | list[str], columns: list[str]) -> pa.Table:
+    """The profile() surface answered from an ENCODED dataset's stripe
+    statistics ONLY — count/nulls/min/max come out of the per-stripe
+    stats JSON via pipeline.agg_encoded (zero value-stream bytes
+    touched, the footer-stats fast path; reference file-stats merge:
+    pkg/store/MothWriter.go:339-353). n_distinct is not derivable from
+    writer metadata and reports null — run profile() on the decoded
+    Dataset when distincts matter. Same output schema as profile()."""
+    from ..pipeline import agg_encoded
+
+    specs: dict[str, tuple] = {"__cnt": ("count_star",)}
+    for c in columns:
+        specs[f"{c}__nulls"] = ("null_count", c)
+        specs[f"{c}__min"] = ("min", c)
+        specs[f"{c}__max"] = ("max", c)
+    row = agg_encoded(in_dir, specs).to_pylist()[0]
+
+    def render(v) -> str | None:
+        return None if v is None else str(v)
+
+    return pa.table(
+        {
+            "col": pa.array(columns, pa.string()),
+            "cnt": pa.array([int(row["__cnt"]) for _ in columns], pa.int64()),
+            "null_count": pa.array([int(row[f"{c}__nulls"]) for c in columns], pa.int64()),
+            "n_distinct": pa.array([None] * len(columns), pa.int64()),
+            "min_val": pa.array([render(row[f"{c}__min"]) for c in columns], pa.string()),
+            "max_val": pa.array([render(row[f"{c}__max"]) for c in columns], pa.string()),
+        }
+    )
+
+
 def _pair_unique(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Unique (h1, h2) pairs via one lexsort (no 128-bit dtype needed)."""
     order = np.lexsort((h2, h1))

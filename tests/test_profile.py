@@ -86,3 +86,27 @@ def test_pair_unique():
     h2 = np.array([5, 5, 6, 7, 9], dtype=np.uint64)
     u1, u2 = _pair_unique(h1, h2)
     assert sorted(zip(u1.tolist(), u2.tolist())) == [(1, 5), (1, 9), (2, 6), (2, 7)]
+
+
+def test_profile_encoded_metadata_only(ray_session, tmp_path):
+    """profile_encoded answers from stripe stats alone and agrees with
+    the full profile() on count/nulls/min/max (n_distinct null by
+    design — not in writer metadata)."""
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops.profile import profile_encoded
+
+    tbl = pa.table(
+        {
+            "k": pa.array([3, 1, None, 7, 5], pa.int64()),
+            "s": pa.array(["b", "a", "c", None, "a"], pa.string()),
+        }
+    )
+    enc_dir = str(tmp_path / "enc")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(tbl)), enc_dir)
+    got = _rows(profile_encoded(enc_dir, ["k", "s"]))
+    assert got["k"]["cnt"] == 5 and got["k"]["null_count"] == 1
+    assert got["k"]["min_val"] == "1" and got["k"]["max_val"] == "7"
+    assert got["s"]["min_val"] == "a" and got["s"]["max_val"] == "c"
+    assert got["k"]["n_distinct"] is None and got["s"]["n_distinct"] is None
