@@ -229,12 +229,27 @@ def standardize(
 
     gcol = group_col or _GRP
 
+    def _fill_zero(t: pa.DataType):
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return ""
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return b""
+        return pa.array([0], pa.int64()).cast(t)[0]
+
     def partials(batch: pa.Table) -> pa.Table:
         parts = []
         for c in value_cols:
             p = _var_partials(batch, c, group_col)
             parts.append(p.append_column("__col", pa.array([c] * p.num_rows, pa.string())))
-        return pa.concat_tables(parts)
+        t = pa.concat_tables(parts)
+        # Ray's sort-based groupby cannot order a NULLABLE key, but a
+        # null group is a real SQL partition: shuffle on (filled key,
+        # null flag) and reconstruct the null in the merge
+        garr = t.column(gcol)
+        isnull = pc.is_null(garr)
+        filled = pc.fill_null(garr, _fill_zero(garr.type))
+        t = t.set_column(t.schema.get_field_index(gcol), gcol, filled)
+        return t.append_column("__gnull", pc.cast(isnull, pa.int8()))
 
     def merge(group: pa.Table) -> pa.Table:
         n_i = group.column("n").to_numpy(zero_copy_only=False)
@@ -246,9 +261,12 @@ def standardize(
         mean = float((n_i * mean_i).sum() / n)
         m2 = float(m2_i.sum() + (n_i * (mean_i - mean) ** 2).sum())
         var = m2 / (n - ddof) if n > ddof else 0.0
+        gval = group.column(gcol).slice(0, 1)
+        if group.column("__gnull")[0].as_py():
+            gval = pa.array([None], gval.type)
         return pa.table(
             {
-                gcol: group.column(gcol).slice(0, 1),
+                gcol: gval,
                 "__col": group.column("__col").slice(0, 1),
                 "mean": pa.array([mean], pa.float64()),
                 "std": pa.array([float(np.sqrt(max(var, 0.0)))], pa.float64()),
@@ -257,7 +275,7 @@ def standardize(
 
     stats_rows = (
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([gcol, "__col"])
+        .groupby([gcol, "__gnull", "__col"])
         .map_groups(merge, batch_format="pyarrow")
         .take_all()
     )
@@ -268,8 +286,15 @@ def standardize(
         st = ray.get(ref)
         out = batch
         if group_col is not None:
-            g = batch.column(group_col).to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(g, return_inverse=True)
+            # dictionary_encode instead of np.unique: null groups are a
+            # real SQL partition, and np.unique on an object array with
+            # None cannot sort. Codes are -1 for null -> slot len(uniq).
+            gcol = batch.column(group_col)
+            gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+            denc = gcol.dictionary_encode()
+            inv = denc.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = denc.dictionary.to_pylist() + [None]
+            inv = np.where(inv < 0, len(uniq) - 1, inv)
         for c in value_cols:
             col = batch.column(c)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

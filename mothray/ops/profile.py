@@ -63,12 +63,20 @@ def profile_encoded(in_dir: str | list[str], columns: list[str]) -> pa.Table:
     )
 
 
-def _pair_unique(h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Unique (h1, h2) pairs via one lexsort (no 128-bit dtype needed)."""
+def _pair_unique(h1: np.ndarray, h2: np.ndarray, return_counts: bool = False):
+    """Unique (h1, h2) pairs via one lexsort (no 128-bit dtype needed);
+    optionally with each pair's multiplicity. Shared by the profile
+    distinct pass and validate's uniqueness rule."""
+    if len(h1) == 0:
+        return (h1, h2, np.zeros(0, dtype=np.int64)) if return_counts else (h1, h2)
     order = np.lexsort((h2, h1))
     a, b = h1[order], h2[order]
     keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-    return a[keep], b[keep]
+    if not return_counts:
+        return a[keep], b[keep]
+    run = np.cumsum(keep) - 1
+    cnt = np.bincount(run).astype(np.int64)
+    return a[keep], b[keep], cnt
 
 
 def profile(ds, columns: list[str] | None = None) -> pa.Table:
@@ -133,12 +141,30 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
     ]
     ci_of = {c: i for i, c in enumerate(hashable)}
 
+    float_cols = {c for c in hashable if pa.types.is_floating(schema.field(c).type)}
+    binary_cols = {
+        c
+        for c in hashable
+        if pa.types.is_binary(schema.field(c).type)
+        or pa.types.is_large_binary(schema.field(c).type)
+    }
+
     def pair_rows(batch: pa.Table) -> pa.Table:
         cis, h1s, h2s = [], [], []
         for c in hashable:
             col = batch.column(c)
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            s = pc.drop_null(pc.cast(col, pa.string()))
+            if c in float_cols:
+                # -0.0 == 0.0 in SQL DISTINCT but renders '-0' vs '0';
+                # normalize before the string cast
+                col = pc.if_else(pc.equal(col, 0.0), pa.scalar(0.0, col.type), col)
+            if c in binary_cols:
+                # binary need not be valid UTF-8: hash the raw bytes
+                # (content_hash_batch accepts binary) instead of a
+                # string cast that validates and raises
+                s = pc.drop_null(col)
+            else:
+                s = pc.drop_null(pc.cast(col, pa.string()))
             if len(s) == 0:
                 continue
             hashed = content_hash_batch(pa.table({"v": s}), "v")
@@ -175,11 +201,12 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
     def render(v) -> str | None:
         return None if v is None else str(v)
 
+    total = int(stats["rows"] or 0)  # aggregate() is all-None on an empty dataset
     return pa.table(
         {
             "col": pa.array(cols, pa.string()),
-            "cnt": pa.array([int(stats["rows"]) for _ in cols], pa.int64()),
-            "null_count": pa.array([int(stats[f"{c}__nulls"]) for c in cols], pa.int64()),
+            "cnt": pa.array([total for _ in cols], pa.int64()),
+            "null_count": pa.array([int(stats[f"{c}__nulls"] or 0) for c in cols], pa.int64()),
             "n_distinct": pa.array(
                 # hashable but absent from the exchange = all-null = 0
                 # distinct; non-hashable (nested) columns report null

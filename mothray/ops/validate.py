@@ -34,41 +34,60 @@ import pyarrow as pa
 from .dedup import content_hash_batch
 
 _SEP = "\x1f"
-_NULL = "\x00\x00N"
 
 
 def _key_strings(batch: pa.Table, columns: list[str]) -> pa.Array:
-    """One string per row: null-sentinel-filled casts joined by an
-    unlikely separator (tuple identity for hashing)."""
+    """One string per row: tuple identity for hashing, joined by an
+    unlikely separator. NULL if ANY component is null — SQL
+    COUNT(DISTINCT) semantics, where null-containing tuples never
+    count as distinct."""
     import pyarrow.compute as pc
 
-    parts = [pc.fill_null(pc.cast(batch.column(c), pa.string()), _NULL) for c in columns]
+    parts = [pc.cast(batch.column(c), pa.string()) for c in columns]
     if len(parts) == 1:
-        return parts[0].combine_chunks() if isinstance(parts[0], pa.ChunkedArray) else parts[0]
-    out = parts[0]
-    for p in parts[1:]:
-        out = pc.binary_join_element_wise(out, p, _SEP)
+        out = parts[0]
+    else:
+        # binary_join_element_wise propagates any null component
+        out = parts[0]
+        for p in parts[1:]:
+            out = pc.binary_join_element_wise(out, p, _SEP)
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
 def _hash_counts(ds, columns: list[str]):
-    """(h1, h2, cnt) per batch-distinct key tuple."""
+    """(h1, h2, cnt, nulls) per batch: one row per batch-distinct
+    NON-NULL key tuple, with the batch's null-tuple row count carried
+    on the first emitted row (0 elsewhere) so one pipeline feeds both
+    the distinct sum and the null total."""
+    from .profile import _pair_unique
 
     def rows(batch: pa.Table) -> pa.Table:
         keys = _key_strings(batch, columns)
-        hashed = content_hash_batch(pa.table({"v": keys}), "v")
-        h1 = hashed.column("h1").to_numpy(zero_copy_only=False)
-        h2 = hashed.column("h2").to_numpy(zero_copy_only=False)
-        order = np.lexsort((h2, h1))
-        a, b = h1[order], h2[order]
-        first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        run = np.cumsum(first) - 1
-        cnt = np.bincount(run)
+        n_null = keys.null_count
+        keys = keys.drop_null()
+        if len(keys):
+            hashed = content_hash_batch(pa.table({"v": keys}), "v")
+            h1, h2, cnt = _pair_unique(
+                hashed.column("h1").to_numpy(zero_copy_only=False),
+                hashed.column("h2").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            nulls = np.zeros(len(h1), dtype=np.int64)
+            nulls[0] = n_null
+            return pa.table(
+                {
+                    "h1": pa.array(h1),
+                    "h2": pa.array(h2),
+                    "cnt": pa.array(cnt),
+                    "nulls": pa.array(nulls),
+                }
+            )
         return pa.table(
             {
-                "h1": pa.array(a[first]),
-                "h2": pa.array(b[first]),
-                "cnt": pa.array(cnt.astype(np.int64)),
+                "h1": pa.array([None], pa.int64()),
+                "h2": pa.array([None], pa.int64()),
+                "cnt": pa.array([0], pa.int64()),
+                "nulls": pa.array([n_null], pa.int64()),
             }
         )
 
@@ -76,15 +95,21 @@ def _hash_counts(ds, columns: list[str]):
 
 
 def _unique_violations(ds, columns: list[str]) -> int:
-    """COUNT(*) - COUNT(DISTINCT tuple): extra copies beyond the first
-    per key. Two bounded aggregations over distinct-key rows."""
+    """COUNT(*) - COUNT(DISTINCT tuple) with SQL null semantics: every
+    null-containing tuple counts toward COUNT(*) but never toward
+    DISTINCT, so each such row is a violation, plus every extra copy
+    of a non-null key. One bounded pipeline: groupby over distinct-key
+    rows, then a vectorized extras sum."""
     from ray.data.aggregate import Sum
 
-    per_key = _hash_counts(ds, columns).groupby(["h1", "h2"]).sum("cnt")
+    per_key = _hash_counts(ds, columns).groupby(["h1", "h2"]).sum(["cnt", "nulls"])
 
     def extras(batch: pa.Table) -> pa.Table:
         c = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
-        return pa.table({"x": pa.array([int((c - 1).sum())], pa.int64())})
+        n = batch.column("sum(nulls)").to_numpy(zero_copy_only=False)
+        # the all-null sentinel group has cnt 0: clamp, don't credit -1
+        x = int(np.maximum(c - 1, 0).sum() + n.sum())
+        return pa.table({"x": pa.array([x], pa.int64())})
 
     out = per_key.map_batches(extras, batch_format="pyarrow").aggregate(Sum("x", alias_name="x"))
     return int(out["x"] or 0)
@@ -122,14 +147,17 @@ def _fk_violations(ds, column: str, ref, ref_column: str) -> int:
         ref.map_batches(parent_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def orphans(group: pa.Table) -> pa.Table:
-        has_parent = bool(
-            np.any(group.column("parent").to_numpy(zero_copy_only=False) > 0)
-        )
-        n = 0 if has_parent else int(group.column("cnt").to_numpy(zero_copy_only=False).sum())
-        return pa.table({"x": pa.array([n], pa.int64())})
+    # one vectorized sum per key, then a vectorized orphan filter —
+    # no per-key Python (a map_groups here would cost one UDF call per
+    # distinct parent key)
+    per_key = tagged.groupby("k").sum(["cnt", "parent"])
 
-    out = tagged.groupby("k").map_groups(orphans, batch_format="pyarrow").aggregate(
+    def orphans(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        par = batch.column("sum(parent)").to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array([int(cnt[par == 0].sum())], pa.int64())})
+
+    out = per_key.map_batches(orphans, batch_format="pyarrow").aggregate(
         Sum("x", alias_name="x")
     )
     return int(out["x"] or 0)
@@ -144,7 +172,9 @@ def validate(ds, rules: list[dict]) -> pa.Table:
           either bound optional; nulls do not violate
       {"rule": "regex", "column": c, "pattern": p}  # non-null must match
       {"rule": "in_set", "column": c, "values": [...]}  # non-null must be in
-      {"rule": "unique", "columns": [c, ...]}
+      {"rule": "unique", "columns": [c, ...]}  # violations =
+          COUNT(*) - COUNT(DISTINCT tuple), SQL nulls: a tuple with
+          any null component never counts as distinct
       {"rule": "foreign_key", "column": c, "ref": <Dataset>,
        "ref_column": rc}  # non-null c must exist in ref[rc]
     """

@@ -123,3 +123,35 @@ def test_standardize_global_no_group(ray_session):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_standardize_null_group(ray_session):
+    """A null group key is a real SQL partition: its rows standardize
+    against the null-group stats instead of crashing np.unique."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops.moments import standardize
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", None, None, None], pa.string()),
+            "x": pa.array([1.0, 3.0, 10.0, 20.0, 30.0], pa.float64()),
+        }
+    )
+    out = standardize(ray.data.from_arrow(tbl).repartition(2), ["x"], group_col="g").take_all()
+    key = lambda t: tuple(str(v) for v in t)
+    got = sorted(((r["g"], r["x"], r["x_z"]) for r in out), key=key)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        (
+            tuple(r)
+            for r in con.execute(
+                "SELECT g, x, ROUND((x - AVG(x) OVER (PARTITION BY g))"
+                " / NULLIF(STDDEV_POP(x) OVER (PARTITION BY g), 0), 6) FROM t"
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert [key(t) for t in got] == [key(t) for t in exp]

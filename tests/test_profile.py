@@ -110,3 +110,32 @@ def test_profile_encoded_metadata_only(ray_session, tmp_path):
     assert got["k"]["min_val"] == "1" and got["k"]["max_val"] == "7"
     assert got["s"]["min_val"] == "a" and got["s"]["max_val"] == "c"
     assert got["k"]["n_distinct"] is None and got["s"]["n_distinct"] is None
+
+
+def test_profile_empty_dataset(ray_session):
+    """An empty input (a real corpus-triage case: a 0-row partition)
+    reports zeros, not a crash."""
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    got = _rows(profile(ds))
+    assert got["x"]["cnt"] == 0 and got["x"]["null_count"] == 0
+    assert got["x"]["n_distinct"] == 0
+    assert got["x"]["min_val"] is None and got["x"]["max_val"] is None
+
+
+def test_profile_negative_zero_and_binary(ray_session):
+    """-0.0 and 0.0 are ONE distinct value (SQL semantics), and binary
+    columns with non-UTF8 bytes hash raw instead of failing a string
+    cast."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "f": pa.array([0.0, -0.0, 1.0], pa.float64()),
+            "b": pa.array([b"\xff\xfe", b"\xff\xfe", b"ok"], pa.binary()),
+        }
+    )
+    got = _rows(profile(ray.data.from_arrow(tbl)))
+    assert got["f"]["n_distinct"] == 2
+    assert got["b"]["n_distinct"] == 2

@@ -39,12 +39,29 @@ def test_validate_planted_violations(ray_session):
     )
     assert got == {
         ("not_null", "id"): 1,
-        ("unique", "id"): 1,  # ids (1,1,2,3,NULL): 5 rows, 4 distinct tuples
+        # ids (1,1,2,3,NULL): COUNT(*)=5 - COUNT(DISTINCT id)=3 -> 2
+        # (one extra copy of 1, plus the null row which SQL DISTINCT
+        # never counts)
+        ("unique", "id"): 2,
         ("range", "v"): 2,  # -1 below, 99 above; null exempt
         ("in_set", "s"): 2,  # bad, zz; null exempt
         ("regex", "s"): 2,
         ("foreign_key", "fk"): 1,  # 99 unreferenced; null exempt
     }
+
+
+def test_validate_unique_nulls_match_sql(ray_session):
+    """COUNT(*) - COUNT(DISTINCT k) with many nulls: each null row is
+    a violation (SQL DISTINCT ignores nulls entirely)."""
+    import duckdb
+    import ray.data
+
+    tbl = pa.table({"k": pa.array([1, 1, None, None, None], pa.int64())})
+    got = _viol(validate(ray.data.from_arrow(tbl).repartition(2), [{"rule": "unique", "columns": ["k"]}]))
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute("SELECT COUNT(*) - COUNT(DISTINCT k) FROM t").fetchone()[0]
+    assert got[("unique", "k")] == exp == 4
 
 
 def test_validate_clean_and_multicolumn_unique(ray_session):
