@@ -446,6 +446,22 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _winsorize_lineitem(sf_dir: str):
+    """Quantile clipping at exact quantile_disc cut points (robust
+    outlier capping before scaling/training); value-checked against
+    the LEAST/GREATEST SQL form."""
+    import ray.data
+
+    from mothray.ops.sketch import winsorize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = winsorize(ds, ["l_extendedprice"], lower=0.05, upper=0.95)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_extendedprice_w"])
+
+
 def _profile_encoded_documents(sf_dir: str):
     """profile() served from encoded stripe METADATA only (no value
     streams decoded): count/nulls/min/max from the stats fast path,
@@ -2529,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pca_invariants_embeddings"] = _pca_invariants
     q["validate_orders"] = _validate_orders
     q["profile_encoded_documents"] = _profile_encoded_documents
+    q["winsorize_lineitem"] = _winsorize_lineitem
     return q
 
 
@@ -3147,6 +3164,14 @@ def oracle_sql() -> dict[str, str]:
         " CAST(0 AS BIGINT) AS order_violations,"
         " CAST(0 AS BIGINT) AS partition_diff,"
         " CAST(0 AS BIGINT) AS variance_violations"
+    )
+    o["winsorize_lineitem"] = (
+        "SELECT l_orderkey, l_linenumber,"
+        " CASE WHEN l_extendedprice IS NULL THEN NULL ELSE"
+        "  LEAST(GREATEST(l_extendedprice,"
+        "   (SELECT quantile_disc(l_extendedprice, 0.05) FROM lineitem)),"
+        "   (SELECT quantile_disc(l_extendedprice, 0.95) FROM lineitem))"
+        " END AS l_extendedprice_w FROM lineitem"
     )
     o["validate_orders"] = (
         "SELECT 'not_null' AS rule, 'o_custkey' AS col,"

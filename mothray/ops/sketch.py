@@ -495,3 +495,49 @@ def histogram(ds, column: str, nbins: int = 20, lo: float | None = None, hi: flo
         .sum("cnt")
         .map_batches(lambda t: t.rename_columns(["bin", "cnt"]), batch_format="pyarrow")
     )
+
+
+def winsorize(
+    ds,
+    value_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    suffix: str = "_w",
+):
+    """Quantile clipping (outlier capping) — the robust-preprocessing
+    companion to moments.standardize: cap each column at its exact
+    [lower, upper] quantile_disc cut points, computed by the
+    distinct-value combiner above (one bounded exchange per column;
+    the cut points are actual data values, so clipping never leaves
+    the column's own type/domain). The clip itself is a pure Arrow
+    min/max_element_wise map_batches with skip_nulls=False, so null
+    inputs stay null — matching CASE WHEN x IS NULL THEN NULL ELSE
+    LEAST(GREATEST(x, q_lo), q_hi) END with quantile_disc cut points.
+    Note: cut points run one quantile pass per column; winsorize the
+    (few) columns that need it, not the whole schema."""
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError("need 0 <= lower <= upper <= 1")
+    cuts = {}
+    for c in value_cols:
+        qs = exact_quantiles(ds, c, [lower, upper])
+        cuts[c] = (qs[lower], qs[upper])
+
+    def apply(batch: pa.Table) -> pa.Table:
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        out = batch
+        for c in value_cols:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            lo, hi = cuts[c]
+            if lo is None:  # empty column: clip is the identity
+                out = out.append_column(f"{c}{suffix}", col)
+                continue
+            lo_s = pa.scalar(lo.item() if hasattr(lo, "item") else lo, col.type)
+            hi_s = pa.scalar(hi.item() if hasattr(hi, "item") else hi, col.type)
+            clipped = pc.min_element_wise(
+                pc.max_element_wise(col, lo_s, options=opts), hi_s, options=opts
+            )
+            out = out.append_column(f"{c}{suffix}", clipped)
+        return out
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)

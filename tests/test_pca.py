@@ -155,3 +155,45 @@ def test_standardize_null_group(ray_session):
         key=key,
     )
     assert [key(t) for t in got] == [key(t) for t in exp]
+
+
+def test_winsorize_matches_sql(ray_session):
+    """Clipping at exact quantile_disc cut points matches the SQL
+    LEAST/GREATEST form; nulls stay null; int columns stay int."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops.sketch import winsorize
+
+    rng = np.random.default_rng(3)
+    tbl = pa.table(
+        {
+            "x": pa.array(
+                [None if i % 13 == 0 else int(v) for i, v in enumerate(rng.integers(0, 500, 400))],
+                pa.int64(),
+            )
+        }
+    )
+    out = winsorize(ray.data.from_arrow(tbl).repartition(5), ["x"], 0.1, 0.9).take_all()
+    got = sorted((str(r["x"]), str(r["x_w"])) for r in out)
+    assert out[0]["x_w"] is None or isinstance(out[0]["x_w"], int)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        (str(a), str(b))
+        for a, b in con.execute(
+            "SELECT x, CASE WHEN x IS NULL THEN NULL ELSE"
+            " LEAST(GREATEST(x, (SELECT quantile_disc(x, 0.1) FROM t)),"
+            " (SELECT quantile_disc(x, 0.9) FROM t)) END FROM t"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_winsorize_bad_bounds():
+    import pytest as _pytest
+
+    from mothray.ops.sketch import winsorize
+
+    with _pytest.raises(ValueError):
+        winsorize(None, ["x"], 0.9, 0.1)
