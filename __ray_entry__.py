@@ -446,6 +446,18 @@ def _bpe_invariants(sf_dir: str):
     )
 
 
+def _dataset_card_documents(sf_dir: str):
+    """Corpus datasheet (Gebru et al. 2021): doc/char/token totals,
+    exact duplicate count, language mix — one fused counter pass plus
+    the shared 128-bit distinct exchange, fully value-checked."""
+    import ray.data
+
+    from mothray.ops.webtext import dataset_card
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    return dataset_card(ds)
+
+
 def _winsorize_lineitem(sf_dir: str):
     """Quantile clipping at exact quantile_disc cut points (robust
     outlier capping before scaling/training); value-checked against
@@ -2546,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["validate_orders"] = _validate_orders
     q["profile_encoded_documents"] = _profile_encoded_documents
     q["winsorize_lineitem"] = _winsorize_lineitem
+    q["dataset_card_documents"] = _dataset_card_documents
     return q
 
 
@@ -3164,6 +3177,17 @@ def oracle_sql() -> dict[str, str]:
         " CAST(0 AS BIGINT) AS order_violations,"
         " CAST(0 AS BIGINT) AS partition_diff,"
         " CAST(0 AS BIGINT) AS variance_violations"
+    )
+    o["dataset_card_documents"] = (
+        "SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents"
+        " UNION ALL SELECT 'total_chars', CAST(SUM(length(coalesce(text, ''))) AS BIGINT)"
+        "  FROM documents"
+        " UNION ALL SELECT 'total_tokens',"
+        "  CAST(SUM(length(string_split(coalesce(text, ''), ' '))) AS BIGINT) FROM documents"
+        " UNION ALL SELECT 'dup_docs',"
+        "  CAST(COUNT(*) - COUNT(DISTINCT coalesce(text, '')) AS BIGINT) FROM documents"
+        " UNION ALL SELECT 'lang:' || coalesce(lang, ''), CAST(COUNT(*) AS BIGINT)"
+        "  FROM documents GROUP BY lang"
     )
     o["winsorize_lineitem"] = (
         "SELECT l_orderkey, l_linenumber,"

@@ -192,3 +192,86 @@ def decontaminate(
         return batch.filter(clean)
 
     return ds.map_batches(keep_clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dataset_card(ds, column: str = "text", lang_col: str | None = "lang") -> pa.Table:
+    """Corpus datasheet ("Datasheets for Datasets", Gebru et al. 2021,
+    public paper) — the summary card shipped alongside a training
+    corpus: document/char/token totals, exact duplicate-document
+    count, and the language mix, all exact and SQL-checkable.
+
+    Two bounded passes: ONE fused map_batches partial (counts + a
+    per-lang value_counts partial per batch) combined under a single
+    groupby, and the 128-bit content-hash distinct exchange (shared
+    with exact_dedup/profile) for the duplicate count — text itself
+    never shuffles. Returns (metric, value) rows with BIGINT values:
+    n_docs, total_chars, total_tokens (single-space convention,
+    matching length(string_split(text, ' '))), dup_docs
+    (COUNT(*) - COUNT(DISTINCT coalesce(text, '')) — null text counts
+    as the empty document), and one lang:<code> row per language
+    (null lang -> 'lang:')."""
+    from ray.data.aggregate import Sum
+
+    from .profile import _pair_unique
+    from .dedup import content_hash_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        filled = pc.fill_null(texts, "")
+        toks = pc.list_value_length(pc.split_pattern(filled, " "))
+        rows = [
+            ("n_docs", batch.num_rows),
+            ("total_chars", int(pc.sum(pc.utf8_length(filled)).as_py() or 0)),
+            ("total_tokens", int(pc.sum(toks).as_py() or 0)),
+        ]
+        if lang_col is not None:
+            lang = pc.fill_null(pc.cast(batch.column(lang_col), pa.string()), "")
+            vc = pc.value_counts(lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang)
+            rows += [
+                (f"lang:{v}", int(c))
+                for v, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+            ]
+        return pa.table(
+            {
+                "metric": pa.array([m for m, _ in rows], pa.string()),
+                "value": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+
+    counts = {
+        r["metric"]: int(r["sum(value)"])
+        for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("metric")
+        .sum("value")
+        .take_all()
+    }
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hashed = content_hash_batch(batch.select([column]), column)
+        h1, h2 = _pair_unique(
+            hashed.column("h1").to_numpy(zero_copy_only=False),
+            hashed.column("h2").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+
+    n_distinct = (
+        ds.map_batches(hash_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["h1", "h2"])
+        .count()
+        .count()
+    )
+    n_docs = counts.get("n_docs", 0)
+    metrics = [
+        ("n_docs", n_docs),
+        ("total_chars", counts.get("total_chars", 0)),
+        ("total_tokens", counts.get("total_tokens", 0)),
+        ("dup_docs", n_docs - int(n_distinct)),
+    ]
+    metrics += sorted((m, v) for m, v in counts.items() if m.startswith("lang:"))
+    return pa.table(
+        {
+            "metric": pa.array([m for m, _ in metrics], pa.string()),
+            "value": pa.array([v for _, v in metrics], pa.int64()),
+        }
+    )

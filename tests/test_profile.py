@@ -139,3 +139,37 @@ def test_profile_negative_zero_and_binary(ray_session):
     got = _rows(profile(ray.data.from_arrow(tbl)))
     assert got["f"]["n_distinct"] == 2
     assert got["b"]["n_distinct"] == 2
+
+
+def test_dataset_card_matches_sql(ray_session):
+    """Datasheet metrics (doc/char/token totals, exact dup count, lang
+    mix) match their SQL forms, including null text (counts as the
+    empty document) and null lang."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops.webtext import dataset_card
+
+    tbl = pa.table(
+        {
+            "text": pa.array(
+                ["a b c", "a b c", None, "", "x y", "solo doc here"], pa.string()
+            ),
+            "lang": pa.array(["en", "en", None, "de", "de", "en"], pa.string()),
+        }
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in dataset_card(ray.data.from_arrow(tbl).repartition(3)).to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("t", tbl)
+    n, chars, toks, dups = con.execute(
+        "SELECT COUNT(*), SUM(length(coalesce(text,''))),"
+        " SUM(length(string_split(coalesce(text,''), ' '))),"
+        " COUNT(*) - COUNT(DISTINCT coalesce(text,'')) FROM t"
+    ).fetchone()
+    assert got["n_docs"] == n and got["total_chars"] == chars
+    assert got["total_tokens"] == toks
+    assert got["dup_docs"] == dups == 2  # the 'a b c' copy + null==''
+    assert got["lang:en"] == 3 and got["lang:de"] == 2 and got["lang:"] == 1
