@@ -3186,7 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(SUM(length(string_split(coalesce(text, ''), ' '))) AS BIGINT) FROM documents"
         " UNION ALL SELECT 'dup_docs',"
         "  CAST(COUNT(*) - COUNT(DISTINCT coalesce(text, '')) AS BIGINT) FROM documents"
-        " UNION ALL SELECT 'lang:' || coalesce(lang, ''), CAST(COUNT(*) AS BIGINT)"
+        " UNION ALL SELECT 'lang:' || coalesce(lang, '<null>'), CAST(COUNT(*) AS BIGINT)"
         "  FROM documents GROUP BY lang"
     )
     o["winsorize_lineitem"] = (

@@ -229,13 +229,6 @@ def standardize(
 
     gcol = group_col or _GRP
 
-    def _fill_zero(t: pa.DataType):
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return ""
-        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            return b""
-        return pa.array([0], pa.int64()).cast(t)[0]
-
     def partials(batch: pa.Table) -> pa.Table:
         parts = []
         for c in value_cols:
@@ -243,12 +236,14 @@ def standardize(
             parts.append(p.append_column("__col", pa.array([c] * p.num_rows, pa.string())))
         t = pa.concat_tables(parts)
         # Ray's sort-based groupby cannot order a NULLABLE key, but a
-        # null group is a real SQL partition: shuffle on (filled key,
-        # null flag) and reconstruct the null in the merge
+        # null group is a real SQL partition: shuffle on a string-cast
+        # SURROGATE key plus a null flag (works for any scalar group
+        # type — date/decimal/float included), carrying the original
+        # typed key through as a payload column for the stats map
         garr = t.column(gcol)
         isnull = pc.is_null(garr)
-        filled = pc.fill_null(garr, _fill_zero(garr.type))
-        t = t.set_column(t.schema.get_field_index(gcol), gcol, filled)
+        gkey = pc.fill_null(pc.cast(garr, pa.string()), "")
+        t = t.append_column("__gkey", gkey)
         return t.append_column("__gnull", pc.cast(isnull, pa.int8()))
 
     def merge(group: pa.Table) -> pa.Table:
@@ -261,12 +256,9 @@ def standardize(
         mean = float((n_i * mean_i).sum() / n)
         m2 = float(m2_i.sum() + (n_i * (mean_i - mean) ** 2).sum())
         var = m2 / (n - ddof) if n > ddof else 0.0
-        gval = group.column(gcol).slice(0, 1)
-        if group.column("__gnull")[0].as_py():
-            gval = pa.array([None], gval.type)
         return pa.table(
             {
-                gcol: gval,
+                gcol: group.column(gcol).slice(0, 1),  # typed, null for the null group
                 "__col": group.column("__col").slice(0, 1),
                 "mean": pa.array([mean], pa.float64()),
                 "std": pa.array([float(np.sqrt(max(var, 0.0)))], pa.float64()),
@@ -275,7 +267,7 @@ def standardize(
 
     stats_rows = (
         ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([gcol, "__gnull", "__col"])
+        .groupby(["__gkey", "__gnull", "__col"])
         .map_groups(merge, batch_format="pyarrow")
         .take_all()
     )

@@ -103,6 +103,7 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
             or pa.types.is_string(t)
             or pa.types.is_large_string(t)
             or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
             or pa.types.is_temporal(t)
         )
 
@@ -115,6 +116,8 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             out[f"{c}__nulls"] = pa.array([col.null_count], pa.int64())
             if c in ordered:
+                if pa.types.is_float16(col.type):  # min_max lacks a halffloat kernel
+                    col = pc.cast(col, pa.float32())
                 mm = pc.min_max(col)
                 out[f"{c}__min"] = pa.array([mm["min"].as_py()], col.type)
                 out[f"{c}__max"] = pa.array([mm["max"].as_py()], col.type)
@@ -156,7 +159,11 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             if c in float_cols:
                 # -0.0 == 0.0 in SQL DISTINCT but renders '-0' vs '0';
-                # normalize before the string cast
+                # normalize before the string cast. float16 has no
+                # `equal` kernel — widen first (injective, so the
+                # distinct count is unchanged)
+                if pa.types.is_float16(col.type):
+                    col = pc.cast(col, pa.float32())
                 col = pc.if_else(pc.equal(col, 0.0), pa.scalar(0.0, col.type), col)
             if c in binary_cols:
                 # binary need not be valid UTF-8: hash the raw bytes

@@ -37,20 +37,30 @@ _SEP = "\x1f"
 
 
 def _key_strings(batch: pa.Table, columns: list[str]) -> pa.Array:
-    """One string per row: tuple identity for hashing, joined by an
-    unlikely separator. NULL if ANY component is null — SQL
-    COUNT(DISTINCT) semantics, where null-containing tuples never
-    count as distinct."""
+    """One string (or binary, when any component is binary — raw bytes
+    need not be valid UTF-8, so no string cast) per row: tuple
+    identity for hashing, joined by an unlikely separator. NULL if ANY
+    component is null — SQL COUNT(DISTINCT) semantics, where
+    null-containing tuples never count as distinct."""
     import pyarrow.compute as pc
 
-    parts = [pc.cast(batch.column(c), pa.string()) for c in columns]
+    def _is_bin(t: pa.DataType) -> bool:
+        return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+
+    cols = [batch.column(c) for c in columns]
+    if any(_is_bin(c.type) for c in cols):
+        parts = [c if _is_bin(c.type) else pc.cast(pc.cast(c, pa.string()), pa.binary()) for c in cols]
+        sep: bytes | str = _SEP.encode()
+    else:
+        parts = [pc.cast(c, pa.string()) for c in cols]
+        sep = _SEP
     if len(parts) == 1:
         out = parts[0]
     else:
         # binary_join_element_wise propagates any null component
         out = parts[0]
         for p in parts[1:]:
-            out = pc.binary_join_element_wise(out, p, _SEP)
+            out = pc.binary_join_element_wise(out, p, sep)
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 

@@ -208,8 +208,9 @@ def dataset_card(ds, column: str = "text", lang_col: str | None = "lang") -> pa.
     n_docs, total_chars, total_tokens (single-space convention,
     matching length(string_split(text, ' '))), dup_docs
     (COUNT(*) - COUNT(DISTINCT coalesce(text, '')) — null text counts
-    as the empty document), and one lang:<code> row per language
-    (null lang -> 'lang:')."""
+    as the empty document), and one lang:<code> row per language.
+    A NULL language is its own category, 'lang:<null>', distinct from
+    an empty-string code ('lang:')."""
     from ray.data.aggregate import Sum
 
     from .profile import _pair_unique
@@ -226,7 +227,7 @@ def dataset_card(ds, column: str = "text", lang_col: str | None = "lang") -> pa.
             ("total_tokens", int(pc.sum(toks).as_py() or 0)),
         ]
         if lang_col is not None:
-            lang = pc.fill_null(pc.cast(batch.column(lang_col), pa.string()), "")
+            lang = pc.fill_null(pc.cast(batch.column(lang_col), pa.string()), "<null>")
             vc = pc.value_counts(lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) else lang)
             rows += [
                 (f"lang:{v}", int(c))

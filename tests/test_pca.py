@@ -197,3 +197,33 @@ def test_winsorize_bad_bounds():
 
     with _pytest.raises(ValueError):
         winsorize(None, ["x"], 0.9, 0.1)
+
+
+def test_standardize_date_and_decimal_groups(ray_session):
+    """Grouping by date32 or decimal columns works (the shuffle key is
+    a string surrogate; the typed key rides as payload)."""
+    import datetime
+    from decimal import Decimal
+
+    import ray.data
+
+    from mothray.ops.moments import standardize
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 6, 2)
+    tbl = pa.table(
+        {
+            "g": pa.array([d1, d1, d2, d2], pa.date32()),
+            "p": pa.array([Decimal("1.50"), Decimal("1.50"), Decimal("9.25"), None], pa.decimal128(15, 2)),
+            "x": pa.array([1.0, 3.0, 10.0, 20.0], pa.float64()),
+        }
+    )
+    out = standardize(ray.data.from_arrow(tbl).repartition(2), ["x"], group_col="g").take_all()
+    by_date = {}
+    for r in out:
+        by_date.setdefault(r["g"], []).append(r["x_z"])
+    assert sorted(by_date[d1]) == [-1.0, 1.0]
+    assert sorted(by_date[d2]) == [-1.0, 1.0]
+    out2 = standardize(ray.data.from_arrow(tbl).repartition(2), ["x"], group_col="p").take_all()
+    zs = {r["p"]: r["x_z"] for r in out2 if r["p"] in (Decimal("9.25"), None)}
+    assert zs[Decimal("9.25")] is None  # single-member group: std 0 -> null
+    assert zs[None] is None

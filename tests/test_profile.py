@@ -155,7 +155,7 @@ def test_dataset_card_matches_sql(ray_session):
             "text": pa.array(
                 ["a b c", "a b c", None, "", "x y", "solo doc here"], pa.string()
             ),
-            "lang": pa.array(["en", "en", None, "de", "de", "en"], pa.string()),
+            "lang": pa.array(["en", "en", None, "", "de", "en"], pa.string()),
         }
     )
     got = {
@@ -172,4 +172,16 @@ def test_dataset_card_matches_sql(ray_session):
     assert got["n_docs"] == n and got["total_chars"] == chars
     assert got["total_tokens"] == toks
     assert got["dup_docs"] == dups == 2  # the 'a b c' copy + null==''
-    assert got["lang:en"] == 3 and got["lang:de"] == 2 and got["lang:"] == 1
+    # NULL lang and empty-string lang are DISTINCT categories
+    assert got["lang:en"] == 3 and got["lang:de"] == 1
+    assert got["lang:<null>"] == 1 and got["lang:"] == 1
+
+
+def test_profile_float16_column(ray_session):
+    """float16 columns profile without a kernel error (the -0.0
+    normalization widens to float32 first)."""
+    import ray.data
+
+    tbl = pa.table({"h": pa.array(np.array([1.5, 1.5, -0.0, 0.0], dtype=np.float16))})
+    got = _rows(profile(ray.data.from_arrow(tbl)))
+    assert got["h"]["n_distinct"] == 2  # {1.5, 0.0}; -0.0 == 0.0

@@ -153,3 +153,29 @@ def test_validate_matches_duckdb_on_random_data(ray_session):
     assert got[("in_set", "c")] == inset
     assert got[("regex", "c")] == rx
     assert got[("foreign_key", "k")] == fk
+
+
+def test_validate_unique_binary_keys(ray_session):
+    """Uniqueness over a binary column with non-UTF8 bytes hashes raw
+    bytes (no string cast), single- and multi-column."""
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "b": pa.array([b"\xff\xfe", b"\xff\xfe", b"ok", None], pa.binary()),
+            "k": pa.array([1, 1, 2, 3], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = _viol(
+        validate(
+            ds,
+            [
+                {"rule": "unique", "columns": ["b"]},
+                {"rule": "unique", "columns": ["b", "k"]},
+            ],
+        )
+    )
+    # b: 4 rows - 2 distinct non-null = 2; (b,k): 4 - 2 distinct = 2
+    assert got[("unique", "b")] == 2
+    assert got[("unique", "b,k")] == 2
