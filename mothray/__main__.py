@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         help="add per-column encoded stream bytes + codec (from stripe metadata)",
     )
 
+    pf = sub.add_parser(
+        "profile",
+        help="per-column profile of an encoded dataset from stripe stats only (count/nulls/min/max; no value streams decoded)",
+    )
+    pf.add_argument("enc_dir")
+    pf.add_argument("--columns", help="comma-separated subset (default: every column)")
+
     cp = sub.add_parser("compact")
     cp.add_argument("enc_dir")
     cp.add_argument("out_dir")
@@ -409,6 +416,17 @@ def _dispatch(args) -> int:
 
         pipeline.drop_column_encoded(args.enc_dir, args.out_dir, args.columns)
         print(json.dumps({"dropped": args.columns, "out_dir": args.out_dir}))
+        return 0
+
+    if args.cmd == "profile":
+        ray = _ray()
+        from mothray.pipeline import _encoded_column_names
+        from mothray.ops.profile import profile_encoded
+
+        cols = args.columns.split(",") if args.columns else _encoded_column_names(args.enc_dir)
+        t = profile_encoded(args.enc_dir, cols)
+        print(json.dumps({r["col"]: {k: r[k] for k in ("cnt", "null_count", "min_val", "max_val")} for r in t.to_pylist()}))
+        ray.shutdown()
         return 0
 
     if args.cmd == "stats":

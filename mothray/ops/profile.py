@@ -79,12 +79,17 @@ def _pair_unique(h1: np.ndarray, h2: np.ndarray, return_counts: bool = False):
     return a[keep], b[keep], cnt
 
 
-def profile(ds, columns: list[str] | None = None) -> pa.Table:
+def profile(ds, columns: list[str] | None = None, approx_distinct: bool = False) -> pa.Table:
     """One row per column: (col, cnt, null_count, n_distinct, min_val,
     max_val) with min/max rendered as strings (computed typed). Columns
     whose type supports neither ordering nor a string cast (nested
     lists, maps) report null min/max/n_distinct but still count nulls.
-    """
+
+    approx_distinct=True swaps the exact distinct exchange (two
+    groupby shuffles over distinct-key rows) for one shuffle-free HLL
+    pass — a 16 KiB register row per column per batch is all that
+    moves. ~0.8% standard error; the right mode when the distinct sets
+    themselves are corpus-sized (URLs / hashes at 100 TB)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
@@ -152,26 +157,25 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
         or pa.types.is_large_binary(schema.field(c).type)
     }
 
+    def _norm_values(batch: pa.Table, c: str) -> pa.Array:
+        """Non-null values of column c normalized for hashing: floats
+        fold -0.0 into 0.0 (and widen float16 — no `equal` kernel);
+        binary passes raw (need not be valid UTF-8); everything else
+        casts to string."""
+        col = batch.column(c)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if c in float_cols:
+            if pa.types.is_float16(col.type):
+                col = pc.cast(col, pa.float32())
+            col = pc.if_else(pc.equal(col, 0.0), pa.scalar(0.0, col.type), col)
+        if c in binary_cols:
+            return pc.drop_null(col)
+        return pc.drop_null(pc.cast(col, pa.string()))
+
     def pair_rows(batch: pa.Table) -> pa.Table:
         cis, h1s, h2s = [], [], []
         for c in hashable:
-            col = batch.column(c)
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if c in float_cols:
-                # -0.0 == 0.0 in SQL DISTINCT but renders '-0' vs '0';
-                # normalize before the string cast. float16 has no
-                # `equal` kernel — widen first (injective, so the
-                # distinct count is unchanged)
-                if pa.types.is_float16(col.type):
-                    col = pc.cast(col, pa.float32())
-                col = pc.if_else(pc.equal(col, 0.0), pa.scalar(0.0, col.type), col)
-            if c in binary_cols:
-                # binary need not be valid UTF-8: hash the raw bytes
-                # (content_hash_batch accepts binary) instead of a
-                # string cast that validates and raises
-                s = pc.drop_null(col)
-            else:
-                s = pc.drop_null(pc.cast(col, pa.string()))
+            s = _norm_values(batch, c)
             if len(s) == 0:
                 continue
             hashed = content_hash_batch(pa.table({"v": s}), "v")
@@ -198,7 +202,43 @@ def profile(ds, columns: list[str] | None = None) -> pa.Table:
         )
 
     distinct: dict[str, int] = {}
-    if hashable:
+    if hashable and approx_distinct:
+        # scale path: ONE shuffle-free pass — each batch reduces every
+        # column to a 16 KiB HLL register row (element-wise max-merge),
+        # so nothing corpus-sized ever moves. ~0.8% standard error.
+        from .sketch import HyperLogLog
+
+        mixer = np.uint64(0x9E3779B97F4A7C15)
+
+        def hll_partial(batch: pa.Table) -> pa.Table:
+            out = {}
+            for c in hashable:
+                s = _norm_values(batch, c)
+                h = HyperLogLog()
+                if len(s):
+                    h1 = (
+                        content_hash_batch(pa.table({"v": s}), "v")
+                        .column("h1")
+                        .to_numpy(zero_copy_only=False)
+                        .view(np.uint64)
+                    )
+                    h.add_hashes(h1 * mixer ^ (h1 >> np.uint64(29)))
+                out[c] = pa.array([h.registers.tobytes()], pa.binary())
+            return pa.table(out)
+
+        accs = {c: HyperLogLog() for c in hashable}
+        for b in ds.map_batches(
+            hll_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for c in hashable:
+                for regs in b.column(c):
+                    accs[c] = accs[c].merge(
+                        HyperLogLog(np.frombuffer(regs.as_py(), dtype=np.uint8).copy())
+                    )
+        zero = HyperLogLog()
+        for c in hashable:  # all-null column: registers untouched -> 0
+            distinct[c] = 0 if (accs[c].registers == zero.registers).all() else accs[c].estimate()
+    elif hashable:
         pairs = ds.map_batches(pair_rows, batch_format="pyarrow", zero_copy_batch=True)
         per_value = pairs.groupby(["ci", "h1", "h2"]).count()
         per_col = per_value.groupby("ci").count()
