@@ -458,6 +458,29 @@ def _dataset_card_documents(sf_dir: str):
     return dataset_card(ds)
 
 
+def _validate_encoded_orders(sf_dir: str):
+    """not_null/range contracts answered from ENCODED stripe stats —
+    proven-clean stripes skip, proven-violating stripes count from
+    metadata, only straddling stripes decode one column."""
+    import hashlib
+    import shutil
+
+    from mothray import checkpoint
+    from mothray.ops.validate import validate_encoded
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_venc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    return validate_encoded(
+        f"{base}/enc",
+        [
+            {"rule": "not_null", "column": "o_custkey"},
+            {"rule": "range", "column": "o_totalprice", "min": 0.0, "max": 150000.0},
+        ],
+    )
+
+
 def _winsorize_lineitem(sf_dir: str):
     """Quantile clipping at exact quantile_disc cut points (robust
     outlier capping before scaling/training); value-checked against
@@ -2562,6 +2585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pca_invariants_embeddings"] = _pca_invariants
     q["profile_encoded_documents"] = _profile_encoded_documents
     q["winsorize_lineitem"] = _winsorize_lineitem
+    q["validate_encoded_orders"] = _validate_encoded_orders
     return q
 
 
@@ -3191,6 +3215,14 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(COUNT(*) - COUNT(DISTINCT coalesce(text, '')) AS BIGINT) FROM documents"
         " UNION ALL SELECT 'lang:' || coalesce(lang, '<null>'), CAST(COUNT(*) AS BIGINT)"
         "  FROM documents GROUP BY lang"
+    )
+    o["validate_encoded_orders"] = (
+        "SELECT 'not_null' AS rule, 'o_custkey' AS col,"
+        " (SELECT CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) FROM orders)"
+        " AS violations"
+        " UNION ALL SELECT 'range', 'o_totalprice',"
+        " (SELECT CAST(COUNT(*) FILTER (o_totalprice < 0 OR o_totalprice > 150000)"
+        "  AS BIGINT) FROM orders)"
     )
     o["winsorize_lineitem"] = (
         "SELECT l_orderkey, l_linenumber,"

@@ -248,3 +248,128 @@ def validate(ds, rules: list[dict]) -> pa.Table:
             "violations": pa.array(viols, pa.int64()),
         }
     )
+
+
+def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
+    """not_null and range contracts over an ENCODED dataset, answered
+    from stripe statistics wherever they decide the verdict — the
+    predicate-skipping stack applied to data validation:
+
+    * not_null — exact from per-stripe null counts, ZERO value streams
+      decoded.
+    * range — a stripe whose [min, max] sits inside the bounds is
+      proven clean (skipped); one entirely outside contributes all its
+      non-null rows; only UNDECIDED stripes (range straddles a bound,
+      or the writer kept no min/max for the type) get a projected
+      decode of that one column. On contract-conforming data the whole
+      check is metadata-only.
+
+    Rules: {"rule": "not_null"|"range", "column": c, "min":, "max":}
+    (same semantics as validate(); other rule kinds need values — run
+    validate() on the decoded Dataset for those). Returns the same
+    (rule, col, violations) table."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .. import pipeline, stripe as stripe_mod
+
+    specs = []
+    for r in rules:
+        if r["rule"] not in ("not_null", "range"):
+            raise ValueError(
+                f"validate_encoded supports not_null/range only, got {r['rule']!r}"
+            )
+        specs.append((r["rule"], r["column"], r.get("min"), r.get("max")))
+
+    meta = pipeline.read_encoded(in_dir, metadata_only=True)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ri_l, key_l, cnt_l, und_l = [], [], [], []
+        keys = batch.column("stripe_key").to_pylist()
+        nrows = batch.column("n_rows").to_pylist()
+        for sj, key, n in zip(batch.column("stats").to_pylist(), keys, nrows):
+            st = json.loads(sj)
+            for ri, (kind, c, lo, hi) in enumerate(specs):
+                s = st.get(c, {})
+                nulls = int(s.get("null_count", 0))
+                nn = int(s.get("count", n)) - nulls
+                if kind == "not_null":
+                    if nulls:
+                        ri_l.append(ri); key_l.append(key); cnt_l.append(nulls); und_l.append(False)
+                    continue
+                if nn == 0:
+                    continue
+                mn, mx = s.get("min"), s.get("max")
+                if mn is None or mx is None:  # type without min/max stats
+                    ri_l.append(ri); key_l.append(key); cnt_l.append(0); und_l.append(True)
+                elif (lo is None or mn >= lo) and (hi is None or mx <= hi):
+                    continue  # proven clean
+                elif (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    ri_l.append(ri); key_l.append(key); cnt_l.append(nn); und_l.append(False)
+                else:
+                    ri_l.append(ri); key_l.append(key); cnt_l.append(0); und_l.append(True)
+        return pa.table(
+            {
+                "ri": pa.array(ri_l, pa.int32()),
+                "key": pa.array(key_l, pa.string()),
+                "cnt": pa.array(cnt_l, pa.int64()),
+                "und": pa.array(und_l, pa.bool_()),
+            }
+        )
+
+    verdicts = meta.map_batches(classify, batch_format="pyarrow").take_all()
+    definite = np.zeros(len(specs), dtype=np.int64)
+    undecided: dict[int, set[str]] = {}
+    for r in verdicts:
+        if r["und"]:
+            undecided.setdefault(r["ri"], set()).add(r["key"])
+        else:
+            definite[r["ri"]] += r["cnt"]
+
+    if undecided:
+        all_keys = sorted(set().union(*undecided.values()))
+        und_ref = ray.put(undecided)
+        enc = pipeline.read_encoded(in_dir)
+
+        def residual(batch: pa.Table) -> pa.Table:
+            und = ray.get(und_ref)
+            counts = np.zeros(len(specs), dtype=np.int64)
+            for i in range(batch.num_rows):
+                key = batch.column("stripe_key")[i].as_py()
+                need = [ri for ri, ks in und.items() if key in ks]
+                if not need:
+                    continue
+                row = {c: batch.column(c)[i].as_py() for c in batch.column_names}
+                want = sorted({specs[ri][1] for ri in need})
+                t = stripe_mod.decode_stripe(row, columns=want)
+                for ri in need:
+                    _, c, lo, hi = specs[ri]
+                    col = t.column(c)
+                    bad = pa.array(np.zeros(len(col), dtype=bool))
+                    if lo is not None:
+                        bad = pc.or_(bad, pc.less(col, lo))
+                    if hi is not None:
+                        bad = pc.or_(bad, pc.greater(col, hi))
+                    counts[ri] += int(pc.sum(bad).as_py() or 0)
+            return pa.table({f"r{ri}": pa.array([int(counts[ri])], pa.int64()) for ri in range(len(specs))})
+
+        keyset = set(all_keys)
+        flt = enc.filter(
+            lambda row: row["stripe_key"] in keyset
+        )
+        got = flt.map_batches(residual, batch_format="pyarrow").aggregate(
+            *[Sum(f"r{ri}", alias_name=f"r{ri}") for ri in range(len(specs))]
+        )
+        for ri in range(len(specs)):
+            definite[ri] += int(got[f"r{ri}"] or 0)
+
+    return pa.table(
+        {
+            "rule": pa.array([k for k, _, _, _ in specs], pa.string()),
+            "col": pa.array([c for _, c, _, _ in specs], pa.string()),
+            "violations": pa.array(definite.tolist(), pa.int64()),
+        }
+    )

@@ -179,3 +179,49 @@ def test_validate_unique_binary_keys(ray_session):
     # b: 4 rows - 2 distinct non-null = 2; (b,k): 4 - 2 distinct = 2
     assert got[("unique", "b")] == 2
     assert got[("unique", "b,k")] == 2
+
+
+def test_validate_encoded_stats_fast_path(ray_session, tmp_path):
+    """not_null is answered purely from stripe stats; range counts
+    proven-clean and proven-all-violating stripes from metadata and
+    decodes ONLY the straddling stripes — totals match validate() on
+    the decoded data exactly."""
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops.validate import validate_encoded
+
+    import pytest as _pytest
+
+    # three value regimes so stripes hit all three verdicts
+    tbl = pa.table(
+        {
+            "x": pa.array(
+                list(range(0, 50))        # clean [0, 49]
+                + list(range(1000, 1050))  # all above max
+                + [25, 999, 30, 1001, None, 40] * 5,  # straddling + nulls
+                pa.int64(),
+            )
+        }
+    )
+    enc_dir = str(tmp_path / "enc")
+    pipeline.write_encoded(
+        pipeline.encode_dataset(ray.data.from_arrow(tbl).repartition(3)), enc_dir
+    )
+    got = {
+        (r["rule"], r["col"]): r["violations"]
+        for r in validate_encoded(
+            enc_dir,
+            [
+                {"rule": "not_null", "column": "x"},
+                {"rule": "range", "column": "x", "min": 0, "max": 500},
+            ],
+        ).to_pylist()
+    }
+    vals = tbl["x"].to_pylist()
+    exp_nulls = sum(v is None for v in vals)
+    exp_range = sum(v is not None and (v < 0 or v > 500) for v in vals)
+    assert got[("not_null", "x")] == exp_nulls
+    assert got[("range", "x")] == exp_range
+    with _pytest.raises(ValueError):
+        validate_encoded(enc_dir, [{"rule": "unique", "column": "x"}])
