@@ -71,6 +71,14 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("enc_dir")
     pf.add_argument("--columns", help="comma-separated subset (default: every column)")
 
+    cd = sub.add_parser(
+        "card",
+        help="corpus datasheet over an encoded dataset: doc/char/token totals, exact dup count, language mix",
+    )
+    cd.add_argument("enc_dir")
+    cd.add_argument("--column", default="text", help="document text column (default: text)")
+    cd.add_argument("--lang", default=None, help="language column (default: 'lang' if present)")
+
     cp = sub.add_parser("compact")
     cp.add_argument("enc_dir")
     cp.add_argument("out_dir")
@@ -426,6 +434,22 @@ def _dispatch(args) -> int:
         cols = args.columns.split(",") if args.columns else _encoded_column_names(args.enc_dir)
         t = profile_encoded(args.enc_dir, cols)
         print(json.dumps({r["col"]: {k: r[k] for k in ("cnt", "null_count", "min_val", "max_val")} for r in t.to_pylist()}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "card":
+        ray = _ray()
+        from mothray.ops.webtext import dataset_card
+        from mothray.pipeline import _encoded_column_names, decode_dataset, read_encoded
+
+        names = _encoded_column_names(args.enc_dir)
+        if args.column not in names:
+            raise KeyError(args.column)
+        lang = args.lang if args.lang is not None else ("lang" if "lang" in names else None)
+        want = [args.column] + ([lang] if lang else [])
+        ds = decode_dataset(read_encoded(args.enc_dir), columns=want)
+        t = dataset_card(ds, column=args.column, lang_col=lang)
+        print(json.dumps({r["metric"]: r["value"] for r in t.to_pylist()}))
         ray.shutdown()
         return 0
 

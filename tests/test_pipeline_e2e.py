@@ -997,3 +997,32 @@ def test_write_orc_output_retry_idempotent(ray_session, tmp_path):
     assert {p.name: p.stat().st_mtime_ns for p in out.iterdir()} == mtimes1
     back = pipeline.read_orc_input(str(out))
     assert sorted(r["id"] for r in back.take_all()) == list(range(3000))
+
+
+def test_cli_profile_and_card_commands(ray_session, tmp_path, capsys):
+    """python -m mothray profile (metadata-only per-column stats) and
+    card (corpus datasheet) over an encoded dataset."""
+    import json as _json
+
+    from mothray import __main__ as cli
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": pa.array(["a b", "a b", "c d e", None, "f", "g h"], pa.string()),
+            "lang": pa.array(["en", "en", "de", "en", None, "de"], pa.string()),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    enc = str(tmp_path / "enc")
+    assert cli.main(["encode", src, enc]) == 0
+    capsys.readouterr()
+    assert cli.main(["profile", enc, "--columns", "doc_id,lang"]) == 0
+    prof = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["doc_id"] == {"cnt": 6, "null_count": 0, "min_val": "0", "max_val": "5"}
+    assert prof["lang"]["null_count"] == 1
+    assert cli.main(["card", enc]) == 0
+    card = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_docs"] == 6 and card["dup_docs"] == 1
+    assert card["lang:en"] == 3 and card["lang:de"] == 2 and card["lang:<null>"] == 1
