@@ -431,7 +431,11 @@ def _dispatch(args) -> int:
         from mothray.pipeline import _encoded_column_names
         from mothray.ops.profile import profile_encoded
 
-        cols = args.columns.split(",") if args.columns else _encoded_column_names(args.enc_dir)
+        names = _encoded_column_names(args.enc_dir)
+        cols = args.columns.split(",") if args.columns else names
+        unknown = [c for c in cols if c not in names]
+        if unknown:
+            raise KeyError(", ".join(unknown))
         t = profile_encoded(args.enc_dir, cols)
         print(json.dumps({r["col"]: {k: r[k] for k in ("cnt", "null_count", "min_val", "max_val")} for r in t.to_pylist()}))
         ray.shutdown()
@@ -446,6 +450,8 @@ def _dispatch(args) -> int:
         if args.column not in names:
             raise KeyError(args.column)
         lang = args.lang if args.lang is not None else ("lang" if "lang" in names else None)
+        if lang is not None and lang not in names:
+            raise KeyError(lang)
         want = [args.column] + ([lang] if lang else [])
         ds = decode_dataset(read_encoded(args.enc_dir), columns=want)
         t = dataset_card(ds, column=args.column, lang_col=lang)

@@ -266,25 +266,63 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
 
     Rules: {"rule": "not_null"|"range", "column": c, "min":, "max":}
     (same semantics as validate(); other rule kinds need values — run
-    validate() on the decoded Dataset for those). Returns the same
-    (rule, col, violations) table."""
+    validate() on the decoded Dataset for those; range bounds on
+    temporal columns take datetime/date values, translated into the
+    epoch-int stats domain for the metadata verdicts and applied typed
+    in the residual decode). Returns the same (rule, col, violations)
+    table."""
     import json
 
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    from .. import pipeline, stripe as stripe_mod
+    from .. import checkpoint, pipeline, stripe as stripe_mod
 
+    first_file = (
+        checkpoint.job_output_files(in_dir)[0] if isinstance(in_dir, str) else sorted(in_dir)[0]
+    )
+    import pyarrow.parquet as pq
+
+    schema = stripe_mod._deserialize_schema(
+        pq.read_table(first_file, columns=["schema_ipc"]).column(0)[0].as_py()
+    )
     specs = []
     for r in rules:
         if r["rule"] not in ("not_null", "range"):
             raise ValueError(
                 f"validate_encoded supports not_null/range only, got {r['rule']!r}"
             )
-        specs.append((r["rule"], r["column"], r.get("min"), r.get("max")))
+        c = r["column"]
+        if schema.get_field_index(c) < 0:
+            raise KeyError(f"column {c!r} not in encoded dataset (have {schema.names})")
+        specs.append((r["rule"], c, r.get("min"), r.get("max")))
 
-    meta = pipeline.read_encoded(in_dir, metadata_only=True)
+    def _stat_domain(c: str, lo, hi):
+        """(stats-domain bounds, trust) for the classify pass: temporal
+        bounds translate to the epoch ints stats store; decimal min/max
+        stats are lossy floats (advisory, per stats.py) so they NEVER
+        decide a verdict — every non-null-free stripe is undecided."""
+        t = schema.field(c).type
+        if pa.types.is_decimal(t):
+            return None, None, False
+        if pa.types.is_timestamp(t):
+            return stripe_mod.stat_bound(lo, t.unit), stripe_mod.stat_bound(hi, t.unit), True
+        if pa.types.is_date(t):
+            unit = "D" if t.bit_width == 32 else "ms"
+            return stripe_mod.stat_bound(lo, unit), stripe_mod.stat_bound(hi, unit), True
+        return lo, hi, True
+
+    stat_specs = []
+    for kind, c, lo, hi in specs:
+        slo, shi, trust = _stat_domain(c, lo, hi)
+        # a bound the stats domain cannot express (e.g. unknown unit)
+        # must not silently weaken the check: distrust the stats
+        if trust and ((lo is not None and slo is None) or (hi is not None and shi is None)):
+            trust = False
+        stat_specs.append((kind, c, slo, shi, trust))
+
+    meta = pipeline.read_encoded(in_dir, metadata_only=True, include_paths=True)
 
     def classify(batch: pa.Table) -> pa.Table:
         ri_l, key_l, cnt_l, und_l = [], [], [], []
@@ -292,7 +330,7 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
         nrows = batch.column("n_rows").to_pylist()
         for sj, key, n in zip(batch.column("stats").to_pylist(), keys, nrows):
             st = json.loads(sj)
-            for ri, (kind, c, lo, hi) in enumerate(specs):
+            for ri, (kind, c, lo, hi, trust) in enumerate(stat_specs):
                 s = st.get(c, {})
                 nulls = int(s.get("null_count", 0))
                 nn = int(s.get("count", n)) - nulls
@@ -303,7 +341,7 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
                 if nn == 0:
                     continue
                 mn, mx = s.get("min"), s.get("max")
-                if mn is None or mx is None:  # type without min/max stats
+                if not trust or mn is None or mx is None:
                     ri_l.append(ri); key_l.append(key); cnt_l.append(0); und_l.append(True)
                 elif (lo is None or mn >= lo) and (hi is None or mx <= hi):
                     continue  # proven clean
@@ -330,9 +368,20 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
             definite[r["ri"]] += r["cnt"]
 
     if undecided:
-        all_keys = sorted(set().union(*undecided.values()))
+        # metadata-first fetch (the prune_read pattern): filter the
+        # METADATA rows to undecided stripe keys — a vectorized is_in
+        # over tiny rows — then _FetchStripes reads only the parquet
+        # row groups holding survivors. Blob bytes read scale with
+        # undecided stripes, never the corpus.
+        keyset = pa.array(sorted(set().union(*undecided.values())))
         und_ref = ray.put(undecided)
-        enc = pipeline.read_encoded(in_dir)
+
+        def keep_undecided(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("stripe_key"), value_set=keyset))
+
+        enc = meta.map_batches(keep_undecided, batch_format="pyarrow").map_batches(
+            pipeline._FetchStripes(), batch_format="pyarrow"
+        )
 
         def residual(batch: pa.Table) -> pa.Table:
             und = ray.get(und_ref)
@@ -356,11 +405,7 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
                     counts[ri] += int(pc.sum(bad).as_py() or 0)
             return pa.table({f"r{ri}": pa.array([int(counts[ri])], pa.int64()) for ri in range(len(specs))})
 
-        keyset = set(all_keys)
-        flt = enc.filter(
-            lambda row: row["stripe_key"] in keyset
-        )
-        got = flt.map_batches(residual, batch_format="pyarrow").aggregate(
+        got = enc.map_batches(residual, batch_format="pyarrow").aggregate(
             *[Sum(f"r{ri}", alias_name=f"r{ri}") for ri in range(len(specs))]
         )
         for ri in range(len(specs)):

@@ -225,3 +225,36 @@ def test_validate_encoded_stats_fast_path(ray_session, tmp_path):
     assert got[("range", "x")] == exp_range
     with _pytest.raises(ValueError):
         validate_encoded(enc_dir, [{"rule": "unique", "column": "x"}])
+
+
+def test_validate_encoded_temporal_and_unknown_column(ray_session, tmp_path):
+    """Range bounds on date columns translate into the epoch-int stats
+    domain (no raw int-vs-date compare); unknown columns raise instead
+    of silently passing."""
+    import datetime
+
+    import ray.data
+
+    import pytest as _pytest
+
+    from mothray import pipeline
+    from mothray.ops.validate import validate_encoded
+
+    base = datetime.date(2024, 1, 1)
+    days = [base + datetime.timedelta(days=i) for i in range(120)]
+    tbl = pa.table({"d": pa.array(days, pa.date32())})
+    enc_dir = str(tmp_path / "enc")
+    pipeline.write_encoded(
+        pipeline.encode_dataset(ray.data.from_arrow(tbl).repartition(3)), enc_dir
+    )
+    cut = datetime.date(2024, 3, 1)
+    got = {
+        (r["rule"], r["col"]): r["violations"]
+        for r in validate_encoded(
+            enc_dir, [{"rule": "range", "column": "d", "max": cut}]
+        ).to_pylist()
+    }
+    exp = sum(d > cut for d in days)
+    assert got[("range", "d")] == exp
+    with _pytest.raises(KeyError):
+        validate_encoded(enc_dir, [{"rule": "not_null", "column": "nope"}])
