@@ -258,3 +258,46 @@ def test_validate_encoded_temporal_and_unknown_column(ray_session, tmp_path):
     assert got[("range", "d")] == exp
     with _pytest.raises(KeyError):
         validate_encoded(enc_dir, [{"rule": "not_null", "column": "nope"}])
+
+
+def test_validate_encoded_randomized_vs_decoded(ray_session, tmp_path):
+    """Differential fuzz: for random tables/stripe layouts/bounds, the
+    metadata-first counts equal validate() on the decoded data."""
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops.validate import validate, validate_encoded
+
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        n = int(rng.integers(200, 800))
+        x = rng.integers(-1000, 1000, n).astype(float)
+        x[rng.random(n) < 0.1] = np.nan  # -> nulls via masked array build
+        mask = np.isnan(x)
+        tbl = pa.table(
+            {
+                "i": pa.array(rng.integers(0, 100, n), pa.int64()),
+                "f": pa.array(np.where(mask, 0.0, x), mask=mask),
+            }
+        )
+        enc_dir = str(tmp_path / f"enc{trial}")
+        parts = int(rng.integers(1, 6))
+        pipeline.write_encoded(
+            pipeline.encode_dataset(ray.data.from_arrow(tbl).repartition(parts)), enc_dir
+        )
+        lo = float(rng.integers(-1200, 0))
+        hi = float(rng.integers(0, 1200))
+        rules = [
+            {"rule": "not_null", "column": "f"},
+            {"rule": "range", "column": "f", "min": lo, "max": hi},
+            {"rule": "range", "column": "i", "min": 10, "max": 90},
+        ]
+        got = {
+            (r["rule"], r["col"]): r["violations"]
+            for r in validate_encoded(enc_dir, rules).to_pylist()
+        }
+        exp = {
+            (r["rule"], r["col"]): r["violations"]
+            for r in validate(ray.data.from_arrow(tbl), rules).to_pylist()
+        }
+        assert got == exp, (trial, got, exp)
