@@ -65,11 +65,16 @@ def retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
             }
         )
 
+    from .nullkeys import null_safe_group_map
+
     out = (
-        ds.select_columns(sorted({user_col, ts_col}))
-        .map_batches(to_weeks, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(user_col)
-        .map_groups(ages, batch_format="pyarrow")
+        null_safe_group_map(
+            ds.select_columns(sorted({user_col, ts_col})).map_batches(
+                to_weeks, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            [user_col],
+            ages,
+        )
         .map_batches(cell_counts, batch_format="pyarrow")
         .groupby(["cohort_week", "age_weeks"])
         .sum("n_users")

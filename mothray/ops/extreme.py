@@ -41,9 +41,14 @@ def _best_rows(t: pa.Table, group_col: str, order_col: str, tiebreak_col: str,
     n = len(g)
     first = np.ones(n, dtype=bool)
     if n > 1:
-        first[1:] = pc.not_equal(g.slice(1), g.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
+        a, b = g.slice(1), g.slice(0, n - 1)
+        # null-safe boundary: not_equal(null, x) is NULL, which would
+        # silently merge the null group into its neighbor — a null key
+        # is a real group; boundary = values differ OR validity differs
+        neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+        va = a.is_valid().to_numpy(zero_copy_only=False)
+        vb = b.is_valid().to_numpy(zero_copy_only=False)
+        first[1:] = neq | (va != vb)
     return s.filter(pa.array(first))
 
 
@@ -65,10 +70,12 @@ def arg_extreme(ds, group_col: str, order_col: str, tiebreak_col: str,
     def finish(group: pa.Table) -> pa.Table:
         return _best_rows(group, group_col, order_col, tiebreak_col, desc)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .map_groups(finish, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        finish,
     )
 
 
@@ -96,14 +103,13 @@ def group_mode(ds, group_col: str, value_col: str, out_col: str = "mode_value"):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([group_col, value_col])
-        .sum("cnt")
-        .map_batches(
-            lambda t: t.rename_columns([group_col, value_col, "cnt"]),
-            batch_format="pyarrow",
-        )
-        .groupby(group_col)
-        .map_groups(finish, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate, null_safe_group_map
+
+    counted = null_safe_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, value_col],
+        [Sum("cnt", alias_name="cnt")],
     )
+    return null_safe_group_map(counted, [group_col], finish)

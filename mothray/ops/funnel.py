@@ -63,10 +63,12 @@ def funnel(ds, steps: list[str], user_col: str = "user_id",
             {"depth": pa.array(np.arange(k + 1), pa.int64()), "cnt": pa.array(c, pa.int64())}
         )
 
+    from .nullkeys import null_safe_group_map
+
     depths = (
-        ds.select_columns(sorted({user_col, ts_col, type_col}))
-        .groupby(user_col)
-        .map_groups(depth, batch_format="pyarrow")
+        null_safe_group_map(
+            ds.select_columns(sorted({user_col, ts_col, type_col})), [user_col], depth
+        )
         .map_batches(hist, batch_format="pyarrow")
         .groupby("depth")
         .sum("cnt")

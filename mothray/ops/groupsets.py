@@ -48,7 +48,9 @@ def _finest(ds, union_keys: list[str], specs: dict[str, tuple[str, str]]) -> pa.
         else ctor[fn](col, alias_name=name)
         for name, (col, fn) in specs.items()
     ]
-    df = ds.groupby(union_keys).aggregate(*aggs).to_pandas()
+    from .nullkeys import null_safe_group_aggregate
+
+    df = null_safe_group_aggregate(ds, union_keys, aggs).to_pandas()
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
@@ -187,5 +189,7 @@ def string_agg(ds, group_col: str, value_col: str, order_col: str, sep: str = ",
             }
         )
 
+    from .nullkeys import null_safe_group_map
+
     proj = ds.select_columns(sorted({group_col, value_col, order_col}))
-    return proj.groupby(group_col).map_groups(join, batch_format="pyarrow")
+    return null_safe_group_map(proj, [group_col], join)

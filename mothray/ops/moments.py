@@ -101,8 +101,10 @@ def group_variance(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    merged = partials.groupby(gcol).map_groups(
-        lambda g: _merge_var(g, gcol, ddof, round_digits), batch_format="pyarrow"
+    from .nullkeys import null_safe_group_map
+
+    merged = null_safe_group_map(
+        partials, [gcol], lambda g: _merge_var(g, gcol, ddof, round_digits)
     )
     if group_col is None:
         merged = merged.drop_columns([_GRP])
@@ -200,8 +202,10 @@ def group_corr(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    merged = partials.groupby(gcol).map_groups(
-        lambda g: _merge_corr(g, gcol, round_digits), batch_format="pyarrow"
+    from .nullkeys import null_safe_group_map
+
+    merged = null_safe_group_map(
+        partials, [gcol], lambda g: _merge_corr(g, gcol, round_digits)
     )
     if group_col is None:
         merged = merged.drop_columns([_GRP])

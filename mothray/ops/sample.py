@@ -159,12 +159,15 @@ def token_budget_sample(
             .rename_columns([group_col, "__bucket", "__part"])
         )
 
-    agg = (
-        ds.map_batches(narrow_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([group_col, "__bucket"])
-        .sum("__part")
-        .take_all()
-    )  # groups x n_buckets rows — bounded, driver-side by design
+    from ray.data.aggregate import Sum as _Sum
+
+    from .nullkeys import null_safe_group_aggregate
+
+    agg = null_safe_group_aggregate(
+        ds.map_batches(narrow_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "__bucket"],
+        [_Sum("__part", alias_name="sum(__part)")],
+    ).take_all()  # groups x n_buckets rows — bounded, driver-side by design
 
     per_group: dict = {}
     for r in agg:
@@ -188,9 +191,14 @@ def token_budget_sample(
         grp = b.column(group_col)
         grp = grp.combine_chunks() if isinstance(grp, pa.ChunkedArray) else grp
         d = pc.dictionary_encode(grp)
-        codes = d.indices.to_numpy(zero_copy_only=False)
+        # fill_null(-1): a null group otherwise yields NaN indices; the
+        # appended slot routes null-group rows to plan[None] (the null
+        # group's own budget plan — a legitimate SQL group)
+        codes = d.indices.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         cb_by_code = np.array(
-            [plan.get(v.as_py(), (n_buckets, 0))[0] for v in d.dictionary], dtype=np.int64
+            [plan.get(v.as_py(), (n_buckets, 0))[0] for v in d.dictionary]
+            + [plan.get(None, (n_buckets, 0))[0]],
+            dtype=np.int64,
         )
         cb = cb_by_code[codes]
         bkt = b.column("__bucket").to_numpy(zero_copy_only=False)
@@ -208,10 +216,10 @@ def token_budget_sample(
         cum = np.cumsum(s.column(tok_name).to_numpy(zero_copy_only=False))
         return s.filter(pa.array(cum <= rem)).drop_columns(["__h", "__bucket", "__cls"])
 
-    boundary = (
-        tagged.filter(expr="__cls == 2")
-        .groupby(group_col)
-        .map_groups(resolve_boundary, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    boundary = null_safe_group_map(
+        tagged.filter(expr="__cls == 2"), [group_col], resolve_boundary
     )
     return bulk.union(boundary)
 
@@ -247,10 +255,12 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int, ascending: bool 
         rank = np.arange(len(gv)) - np.repeat(starts, np.diff(np.r_[starts, len(gv)]))
         return g.filter(pa.array(rank < k))
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(group_col)
-        .map_groups(partial, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        partial,
     )
 
 

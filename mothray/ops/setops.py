@@ -33,10 +33,12 @@ def distinct(ds):
     def first(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    return (
-        ds.map_batches(_batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(cols)
-        .map_groups(first, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(
+        ds.map_batches(_batch_distinct, batch_format="pyarrow", zero_copy_batch=True),
+        cols,
+        first,
     )
 
 
@@ -62,7 +64,9 @@ def _tagged_setop(left, right, keep_masks: tuple[int, ...]):
             return group.slice(0, 1).drop_columns(["__side"])
         return group.schema.empty_table().drop_columns(["__side"])
 
-    return both.groupby(cols).map_groups(resolve, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(both, cols, resolve)
 
 
 def _counted_setop(left, right, kind: str):
@@ -108,7 +112,9 @@ def _counted_setop(left, right, kind: str):
             return payload.schema.empty_table()
         return payload.take(np.zeros(k, dtype=np.int64))
 
-    return both.groupby(cols).map_groups(resolve, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(both, cols, resolve)
 
 
 def intersect(left, right):

@@ -212,7 +212,9 @@ def count_distinct(ds, value_col: str, group_col: str | None = None):
             }
         )
 
-    return dd.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(dd, [group_col], finish)
 
 
 # ------------------------------------------------------------- HyperLogLog
@@ -446,16 +448,16 @@ def grouped_quantiles(ds, column: str, group_col: str, qs: list[float]):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([group_col, column])
-        .sum("cnt")
-        .map_batches(
-            lambda t: t.rename_columns([group_col, column, "cnt"]), batch_format="pyarrow"
-        )
-        .groupby(group_col)
-        .map_groups(walk, batch_format="pyarrow")
+    from ray.data.aggregate import Sum as _Sum
+
+    from .nullkeys import null_safe_group_aggregate, null_safe_group_map
+
+    counted = null_safe_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, column],
+        [_Sum("cnt", alias_name="cnt")],
     )
+    return null_safe_group_map(counted, [group_col], walk)
 
 
 def histogram(ds, column: str, nbins: int = 20, lo: float | None = None, hi: float | None = None):

@@ -28,8 +28,12 @@ def tumbling_window(ds, ts_col: str, key_col: str | None, window: str, aggs):
     def add_window(t: pa.Table) -> pa.Table:
         return t.append_column("window_start", pc.floor_temporal(t[ts_col], unit=window))
 
+    from .nullkeys import null_safe_group_aggregate
+
     keys = ["window_start"] if key_col is None else [key_col, "window_start"]
-    return ds.map_batches(add_window, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+    return null_safe_group_aggregate(
+        ds.map_batches(add_window, batch_format="pyarrow"), keys, list(aggs)
+    )
 
 
 def session_windows(ds, key_col: str, ts_col: str, gap_minutes: int = 30):
@@ -97,7 +101,9 @@ def session_windows(ds, key_col: str, ts_col: str, gap_minutes: int = 30):
             }
         )
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(ds, [key_col], sessions)
 
 
 def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs, key_col: str | None = None):
@@ -132,8 +138,12 @@ def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs,
             parts.append(sub)
         return pa.concat_tables(parts)
 
+    from .nullkeys import null_safe_group_aggregate
+
     keys = ["window_start"] if key_col is None else [key_col, "window_start"]
-    return ds.map_batches(explode, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+    return null_safe_group_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"), keys, list(aggs)
+    )
 
 
 def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str):
@@ -165,8 +175,10 @@ def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str
             .append_column("running_sum", run)
         )
 
+    from .nullkeys import null_safe_group_map
+
     proj = ds.select_columns(sorted({key_col, order_col, value_col, tiebreak_col}))
-    return proj.groupby(key_col).map_groups(wins, batch_format="pyarrow")
+    return null_safe_group_map(proj, [key_col], wins)
 
 
 def rolling(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str,
@@ -206,8 +218,10 @@ def rolling(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str,
             .append_column("moving_max", pa.array(maxs))
         )
 
+    from .nullkeys import null_safe_group_map
+
     proj = ds.select_columns(sorted({key_col, order_col, value_col, tiebreak_col}))
-    return proj.groupby(key_col).map_groups(roll, batch_format="pyarrow")
+    return null_safe_group_map(proj, [key_col], roll)
 
 
 def ranked(ds, key_col: str, order_col: str, tiebreak_col: str, n_tiles: int = 4):
@@ -252,5 +266,7 @@ def ranked(ds, key_col: str, order_col: str, tiebreak_col: str, n_tiles: int = 4
             .append_column("cume_dist", pa.array(ends / n, type=pa.float64()))
         )
 
+    from .nullkeys import null_safe_group_map
+
     proj = ds.select_columns(sorted({key_col, order_col, tiebreak_col}))
-    return proj.groupby(key_col).map_groups(ranks, batch_format="pyarrow")
+    return null_safe_group_map(proj, [key_col], ranks)
