@@ -458,6 +458,36 @@ def _dataset_card_documents(sf_dir: str):
     return dataset_card(ds)
 
 
+def _null_group_documents(sf_dir: str):
+    """Null group keys are legal SQL GROUP BY partitions: derive a
+    nullable group column (lang nulled for doc_id % 7 == 0), then run
+    grouped variance over it — the null group's row must value-match
+    the SQL window exactly (exercises the null-safe surrogate-key
+    shuffle in ops/nullkeys.py)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops.moments import group_variance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = pa.array(ids % 7 != 0)
+        lang = pc.if_else(keep, batch.column("lang").combine_chunks(), pa.scalar(None, pa.string()))
+        return batch.set_column(batch.schema.get_field_index("lang"), "lang", lang)
+
+    return group_variance(
+        ds.map_batches(nullify, batch_format="pyarrow", zero_copy_batch=True),
+        "n_chars",
+        "lang",
+    )
+
+
 def _validate_encoded_orders(sf_dir: str):
     """not_null/range contracts answered from ENCODED stripe stats —
     proven-clean stripes skip, proven-violating stripes count from
@@ -2586,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["profile_encoded_documents"] = _profile_encoded_documents
     q["winsorize_lineitem"] = _winsorize_lineitem
     q["validate_encoded_orders"] = _validate_encoded_orders
+    q["null_group_documents"] = _null_group_documents
     return q
 
 
@@ -3215,6 +3246,14 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(COUNT(*) - COUNT(DISTINCT coalesce(text, '')) AS BIGINT) FROM documents"
         " UNION ALL SELECT 'lang:' || coalesce(lang, '<null>'), CAST(COUNT(*) AS BIGINT)"
         "  FROM documents GROUP BY lang"
+    )
+    o["null_group_documents"] = (
+        "SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,"
+        " CAST(COUNT(n_chars) AS BIGINT) AS n,"
+        " ROUND(AVG(n_chars), 6) AS mean,"
+        " ROUND(var_samp(n_chars), 6) AS var_samp,"
+        " ROUND(stddev_samp(n_chars), 6) AS std_samp"
+        " FROM documents GROUP BY 1"
     )
     o["validate_encoded_orders"] = (
         "SELECT 'not_null' AS rule, 'o_custkey' AS col,"
