@@ -31,17 +31,17 @@ def retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
     per non-empty retention-matrix cell."""
 
     def to_weeks(batch: pa.Table) -> pa.Table:
-        u = batch.column(user_col).combine_chunks().to_numpy(zero_copy_only=False)
         w = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
             zero_copy_only=False
         ) // _WEEK_US
-        pairs = np.unique(np.stack([u, w], axis=1), axis=0)
-        return pa.table(
-            {
-                user_col: pa.array(pairs[:, 0], pa.int64()),
-                "w": pa.array(pairs[:, 1], pa.int64()),
-            }
+        # Arrow group_by instead of np.unique: a null user id (one
+        # legal SQL group) becomes NaN in numpy and breaks both the
+        # stack-unique and the int64 rebuild; Arrow dedupes pairs
+        # null-safely and keeps the user column's own type
+        t = pa.table(
+            {user_col: batch.column(user_col), "w": pa.array(w.astype(np.int64))}
         )
+        return t.group_by([user_col, "w"], use_threads=False).aggregate([])
 
     def ages(group: pa.Table) -> pa.Table:
         w = np.unique(group.column("w").to_numpy(zero_copy_only=False))

@@ -132,7 +132,11 @@ def pivot(ds, index: str, pivot_col: str, value_col: str, fn: str = "sum"):
     import ray.data
 
     finest = _finest(ds, [index, pivot_col], {"v": (value_col, fn)})
-    pdf = finest.to_pandas().pivot(index=index, columns=pivot_col, values="v")
+    pdf = finest.to_pandas()
+    # a NULL pivot value is a legal group: pandas would make it a NaN
+    # column label (unsortable against strings) — name it 'NULL'
+    pdf[pivot_col] = pdf[pivot_col].astype(object).where(pdf[pivot_col].notna(), "NULL")
+    pdf = pdf.pivot(index=index, columns=pivot_col, values="v")
     pdf = pdf[sorted(pdf.columns)].reset_index()
     pdf.columns = [str(c) for c in pdf.columns]
     return ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))

@@ -67,7 +67,17 @@ def _merge_var(group: pa.Table, gcol: str, ddof: int, round_digits: int) -> pa.T
     m2_i = group.column("m2").to_numpy(zero_copy_only=False)
     n = n_i.sum()
     if n == 0:
-        return group.select([gcol]).slice(0, 0)
+        # a group whose values are ALL null still exists in SQL GROUP
+        # BY: emit (g, 0, NULL, NULL, NULL), full schema
+        return pa.table(
+            {
+                gcol: group.column(gcol).slice(0, 1),
+                "n": pa.array([0], pa.int64()),
+                "mean": pa.array([None], pa.float64()),
+                "var_samp": pa.array([None], pa.float64()),
+                "std_samp": pa.array([None], pa.float64()),
+            }
+        )
     mean = float((n_i * mean_i).sum() / n)
     m2 = float(m2_i.sum() + (n_i * (mean_i - mean) ** 2).sum())
     var = m2 / (n - ddof) if n > ddof else None
@@ -120,6 +130,12 @@ def _corr_partials(batch: pa.Table, x_col: str, y_col: str, group_col: str | Non
     x = pc.cast(batch.column(x_col), pa.float64())
     y = pc.cast(batch.column(y_col), pa.float64())
     ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+    # MASK incomplete pairs to null rather than filtering the rows out:
+    # a group with zero complete pairs must still emit an n=0 partial
+    # (SQL GROUP BY keeps the group; a filter would erase it)
+    null_f64 = pa.scalar(None, pa.float64())
+    x = pc.if_else(ok, x, null_f64)
+    y = pc.if_else(ok, y, null_f64)
     t = pa.table(
         {
             gcol: batch.column(group_col)
@@ -127,31 +143,32 @@ def _corr_partials(batch: pa.Table, x_col: str, y_col: str, group_col: str | Non
             else pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
             "x": x,
             "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
         }
-    ).filter(ok)
-    xs = t.column("x")
-    ys = t.column("y")
-    t = t.append_column("xy", pc.multiply(xs, ys))
-    t = t.append_column("xx", pc.multiply(xs, xs))
-    t = t.append_column("yy", pc.multiply(ys, ys))
+    )
     agg = t.group_by(gcol, use_threads=False).aggregate(
         [("x", "count"), ("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum")]
     )
     n = agg.column("x_count").to_numpy(zero_copy_only=False).astype(np.float64)
-    sx = agg.column("x_sum").to_numpy(zero_copy_only=False)
-    sy = agg.column("y_sum").to_numpy(zero_copy_only=False)
+    sx = np.nan_to_num(agg.column("x_sum").to_numpy(zero_copy_only=False))
+    sy = np.nan_to_num(agg.column("y_sum").to_numpy(zero_copy_only=False))
     with np.errstate(invalid="ignore", divide="ignore"):
         mx = np.where(n > 0, sx / n, 0.0)
         my = np.where(n > 0, sy / n, 0.0)
+    sxx = np.nan_to_num(agg.column("xx_sum").to_numpy(zero_copy_only=False))
+    syy = np.nan_to_num(agg.column("yy_sum").to_numpy(zero_copy_only=False))
+    sxy = np.nan_to_num(agg.column("xy_sum").to_numpy(zero_copy_only=False))
     return pa.table(
         {
             gcol: agg.column(gcol),
             "n": pa.array(n),
             "mx": pa.array(mx),
             "my": pa.array(my),
-            "m2x": pa.array(agg.column("xx_sum").to_numpy(zero_copy_only=False) - n * mx * mx),
-            "m2y": pa.array(agg.column("yy_sum").to_numpy(zero_copy_only=False) - n * my * my),
-            "c2": pa.array(agg.column("xy_sum").to_numpy(zero_copy_only=False) - n * mx * my),
+            "m2x": pa.array(sxx - n * mx * mx),
+            "m2y": pa.array(syy - n * my * my),
+            "c2": pa.array(sxy - n * mx * my),
         }
     )
 
@@ -160,7 +177,15 @@ def _merge_corr(group: pa.Table, gcol: str, round_digits: int) -> pa.Table:
     n_i = group.column("n").to_numpy(zero_copy_only=False)
     n = n_i.sum()
     if n == 0:
-        return group.select([gcol]).slice(0, 0)
+        # all pairs null-incomplete: SQL still emits the group
+        return pa.table(
+            {
+                gcol: group.column(gcol).slice(0, 1),
+                "n": pa.array([0], pa.int64()),
+                "covar_samp": pa.array([None], pa.float64()),
+                "corr": pa.array([None], pa.float64()),
+            }
+        )
     mx_i = group.column("mx").to_numpy(zero_copy_only=False)
     my_i = group.column("my").to_numpy(zero_copy_only=False)
     mx = float((n_i * mx_i).sum() / n)

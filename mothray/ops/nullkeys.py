@@ -27,13 +27,39 @@ def _surrogate_names(n: int) -> list[str]:
     return out
 
 
+def _surrogate_values(arr, pc):
+    """Null-filled, shuffle-sortable image of a key column. The fill
+    value can never collide with real data because the __gn flag
+    separates null rows from everything else; what matters is that
+    equal SQL keys map to equal surrogates:
+
+    * binary stays raw bytes (a string cast would demand valid UTF-8);
+    * floats normalize -0.0 to 0.0 before the cast (SQL GROUP BY
+      treats them as one key; their strings differ) and float16
+      widens first (no `equal` kernel);
+    * nested/dictionary types pass through untouched — same nullable
+      limits as the plain groupby, no new failure introduced;
+    * everything else takes the (injective) string cast."""
+    t = arr.type
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pc.fill_null(arr, b"")
+    if pa.types.is_nested(t) or pa.types.is_dictionary(t):
+        return arr
+    if pa.types.is_floating(t):
+        if pa.types.is_float16(t):
+            arr = pc.cast(arr, pa.float32())
+        arr = pc.if_else(pc.equal(arr, 0.0), pa.scalar(0.0, arr.type), arr)
+    return pc.fill_null(pc.cast(arr, pa.string()), "")
+
+
 def append_surrogates(t: pa.Table, key_cols: list[str]) -> pa.Table:
     """Append (__gk{i}, __gn{i}) shuffle surrogates for each key col."""
     import pyarrow.compute as pc
 
     for i, c in enumerate(key_cols):
         arr = t.column(c)
-        t = t.append_column(f"__gk{i}", pc.fill_null(pc.cast(arr, pa.string()), ""))
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = t.append_column(f"__gk{i}", _surrogate_values(arr, pc))
         t = t.append_column(f"__gn{i}", pc.cast(pc.is_null(arr), pa.int8()))
     return t
 
@@ -68,6 +94,8 @@ def null_safe_group_aggregate(ds, key_cols: list[str], aggs: list, batch_format:
     from ray.data.aggregate import Min
 
     surr = _surrogate_names(len(key_cols))
+    schema = ds.schema().base_schema
+    key_types = {c: schema.field(c).type for c in key_cols}
 
     def add(batch: pa.Table) -> pa.Table:
         return append_surrogates(batch, key_cols)
@@ -80,6 +108,16 @@ def null_safe_group_aggregate(ds, key_cols: list[str], aggs: list, batch_format:
     )
 
     def strip(batch: pa.Table) -> pa.Table:
-        return batch.drop_columns([c for c in surr if c in batch.column_names])
+        batch = batch.drop_columns([c for c in surr if c in batch.column_names])
+        # a block whose groups ALL have a null key comes back with the
+        # key column typed `null` (Min over nothing); restore the real
+        # type so blocks agree on schema
+        for c, t in key_types.items():
+            col = batch.column(c)
+            if col.type != t:
+                batch = batch.set_column(
+                    batch.schema.get_field_index(c), c, col.cast(t)
+                )
+        return batch
 
     return out.map_batches(strip, batch_format=batch_format)

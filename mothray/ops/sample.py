@@ -249,10 +249,20 @@ def top_k_per_group(ds, group_col: str, order_col: str, k: int, ascending: bool 
         ]
         idx = pc.sort_indices(batch, sort_keys=keys)
         g = batch.take(idx)
-        gv = g.column(group_col).to_numpy(zero_copy_only=False)
-        first = np.r_[True, gv[1:] != gv[:-1]]
+        garr = g.column(group_col).combine_chunks()
+        n = len(garr)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            # null-safe boundary: numpy turns nullable numeric keys into
+            # NaN and NaN != NaN would split the null group into one
+            # "group" per row; compare via Arrow equality + validity
+            a, b = garr.slice(1), garr.slice(0, n - 1)
+            neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+            va = a.is_valid().to_numpy(zero_copy_only=False)
+            vb = b.is_valid().to_numpy(zero_copy_only=False)
+            first[1:] = neq | (va != vb)
         starts = np.flatnonzero(first)
-        rank = np.arange(len(gv)) - np.repeat(starts, np.diff(np.r_[starts, len(gv)]))
+        rank = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
         return g.filter(pa.array(rank < k))
 
     from .nullkeys import null_safe_group_map

@@ -68,18 +68,21 @@ def test_moments_nulls_and_tiny_groups(ray_session):
         .sort_values("g")
         .reset_index(drop=True)
     )
-    # group a: n=2 var_samp=0.5; group b: n=1 var None; group c: n=0 dropped
-    assert var["g"].tolist() == ["a", "b"]
-    assert var["n"].tolist() == [2, 1]
+    # group a: n=2 var_samp=0.5; group b: n=1 var None; group c (all
+    # values null): n=0 with NULL stats — SQL GROUP BY still emits it
+    assert var["g"].tolist() == ["a", "b", "c"]
+    assert var["n"].tolist() == [2, 1, 0]
     assert var["var_samp"].tolist()[0] == pytest.approx(0.5)
     assert np.isnan(var["var_samp"].tolist()[1])
+    assert np.isnan(var["var_samp"].tolist()[2]) and np.isnan(var["mean"].tolist()[2])
 
     corr = (
         moments.group_corr(ds, "x", "y", "g").to_pandas().sort_values("g").reset_index(drop=True)
     )
-    # pairwise-complete: a has ONE complete pair (1,2); b one pair; c none
-    assert corr["g"].tolist() == ["a", "b"]
-    assert corr["n"].tolist() == [1, 1]
+    # pairwise-complete: a has ONE complete pair (1,2); b one pair; c
+    # none — but the c group still exists (n=0, NULL stats)
+    assert corr["g"].tolist() == ["a", "b", "c"]
+    assert corr["n"].tolist() == [1, 1, 0]
     assert np.isnan(corr["covar_samp"]).all()
 
 

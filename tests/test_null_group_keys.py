@@ -142,3 +142,125 @@ def test_null_safe_group_aggregate_recovers_keys(ray_session):
     rows = null_safe_group_aggregate(ds, ["g"], [Sum("x", alias_name="s")]).take_all()
     got = sorted((str(r["g"]), r["s"]) for r in rows)
     assert got == [("None", 13.0), ("a", 4.0), ("b", 4.0)]
+
+
+def test_numeric_null_group_keys(ray_session):
+    """Nullable NUMERIC group keys (the dtype real TPC-H-style keys
+    have): numpy turns them into NaN, and NaN != NaN must not split
+    the null group row-by-row."""
+    import duckdb
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, None, None, None, 2, 1], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    from mothray.ops import moments, sample
+
+    got = _rows(sample.top_k_per_group(ds, "g", "v", 1).take_all(), "g", "v")
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute("SELECT g, MIN(v) FROM t GROUP BY g").fetchall()
+    )
+    assert got == exp  # exactly ONE row per group, null group included
+    got = _rows(moments.group_variance(ds, "v", "g").take_all(), "g", "n")
+    exp = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute("SELECT g, COUNT(v) FROM t GROUP BY g").fetchall()
+    )
+    assert got == exp
+
+
+def test_float_group_keys_negative_zero(ray_session):
+    """-0.0 and 0.0 are ONE group key (SQL semantics); the string
+    surrogate normalizes before casting."""
+    import ray.data
+
+    from mothray.ops import setops
+
+    tbl = pa.table({"x": pa.array([0.0, -0.0, 1.0])})
+    got = setops.distinct(ray.data.from_arrow(tbl)).take_all()
+    assert len(got) == 2
+
+
+def test_binary_keys_still_groupable(ray_session):
+    """Binary key columns with non-UTF8 payloads group on raw bytes
+    (the surrogate must not demand a string cast)."""
+    import ray.data
+
+    from mothray.ops import setops
+
+    tbl = pa.table({"b": pa.array([b"\xff\xfe", b"\xff\xfe", b"ok", None], pa.binary())})
+    got = setops.distinct(ray.data.from_arrow(tbl).repartition(2)).take_all()
+    assert len(got) == 3  # \xff\xfe, ok, NULL
+
+
+def test_group_variance_all_null_value_group(ray_session):
+    """A group whose values are ALL null still exists in SQL GROUP BY:
+    (g, 0, NULL, NULL, NULL), not a dropped row."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops import moments
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", "b", "b", None], pa.string()),
+            "x": pa.array([1.0, 2.0, None, None, 5.0]),
+        }
+    )
+    got = _rows(
+        moments.group_variance(ray.data.from_arrow(tbl).repartition(2), "x", "g").take_all(),
+        "g",
+        "n",
+        "var_samp",
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = sorted(
+        tuple(str(v) for v in r)
+        for r in con.execute("SELECT g, COUNT(x), ROUND(var_samp(x), 6) FROM t GROUP BY g").fetchall()
+    )
+    assert got == exp  # includes ('b', 0, None)
+
+
+def test_pivot_null_pivot_value(ray_session):
+    """A NULL pivot value becomes the 'NULL' column instead of an
+    unsortable NaN label."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    tbl = pa.table(
+        {
+            "i": pa.array([1, 1, 2], pa.int64()),
+            "p": pa.array(["x", None, "x"], pa.string()),
+            "v": pa.array([10.0, 20.0, 30.0]),
+        }
+    )
+    rows = groupsets.pivot(ray.data.from_arrow(tbl), "i", "p", "v").take_all()
+    by_i = {r["i"]: r for r in rows}
+    assert by_i[1]["x"] == 10.0 and by_i[1]["NULL"] == 20.0
+    assert by_i[2]["x"] == 30.0 and by_i[2]["NULL"] is None
+
+
+def test_cohort_null_user_ids(ray_session):
+    """Null user ids do not crash retention (they form one pseudo-user
+    group, the SQL GROUP BY reading)."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ets = pa.table(
+        {
+            "user_id": pa.array([1, None, 2, None], pa.int64()),
+            "ts": pa.array([1_000_000 * i for i in range(4)], pa.timestamp("us")),
+        }
+    )
+    rows = cohort.retention(ray.data.from_arrow(ets).repartition(2), "user_id", "ts").take_all()
+    assert sum(r["n_users"] for r in rows) >= 3  # users 1, 2, and the null pseudo-user
