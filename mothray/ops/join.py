@@ -207,8 +207,19 @@ def asof_join(
 
         return fn
 
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        # SQL join semantics: a null `by` key never matches — right
+        # rows with null keys are dead weight, and filtering them means
+        # the null group (shuffled null-safely) holds only left rows,
+        # which the merge then emits unmatched, exactly as ASOF LEFT
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.is_valid(batch.column(by)))
+
     tagged = left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True).union(
-        right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True)
+        right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True).map_batches(
+            drop_null_keys, batch_format="pyarrow"
+        )
     )
 
     def merge(group: pa.Table) -> pa.Table:
@@ -250,7 +261,9 @@ def asof_join(
             out_cols.append(pc.if_else(valid, col, pa.nulls(len(l_idx), type=types[c])))
         return pa.table(out_cols, names=l_names + out_r_names)
 
-    return tagged.groupby(by).map_groups(merge, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(tagged, [by], merge)
 
 
 def range_join(
@@ -331,8 +344,18 @@ def range_join(
 
         return fn
 
-    tagged = left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True).union(
-        right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True)
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        # inner-style pair emission: a null `by` key can never pair
+        # (SQL inequality-join semantics), so drop null-key rows from
+        # BOTH sides before the shuffle
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.is_valid(batch.column(by)))
+
+    tagged = (
+        left.map_batches(widen(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(right.map_batches(widen(1), batch_format="pyarrow", zero_copy_batch=True))
+        .map_batches(drop_null_keys, batch_format="pyarrow")
     )
 
     def merge(group: pa.Table) -> pa.Table:
@@ -370,7 +393,9 @@ def range_join(
         r_tbl = group.take(pa.array(r_take)).select(r_cols)
         return pa.table(list(l_tbl.columns) + list(r_tbl.columns), names=l_names + out_r_names)
 
-    return tagged.groupby([by, "__bin"]).map_groups(merge, batch_format="pyarrow")
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(tagged, [by, "__bin"], merge)
 
 
 def build_key_bloom(ds, on: str, fpp: float = 0.001) -> bytes:

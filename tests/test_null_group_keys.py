@@ -264,3 +264,53 @@ def test_cohort_null_user_ids(ray_session):
     )
     rows = cohort.retention(ray.data.from_arrow(ets).repartition(2), "user_id", "ts").take_all()
     assert sum(r["n_users"] for r in rows) >= 3  # users 1, 2, and the null pseudo-user
+
+
+def test_asof_and_range_join_null_keys(ray_session):
+    """Null join keys never match (SQL semantics): ASOF LEFT keeps the
+    null-key left row unmatched; the range join emits no null pairs —
+    and neither crashes the shuffle."""
+    import duckdb
+    import ray.data
+
+    from mothray.ops import join as J
+
+    left = pa.table(
+        {
+            "u": pa.array(["a", None, "b"]),
+            "t": pa.array([5_000_000, 6_000_000, 7_000_000], pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array(["a", None]),
+            "t": pa.array([4_000_000, 5_000_000], pa.timestamp("us")),
+            "p": pa.array([10.0, 20.0]),
+        }
+    )
+    l = ray.data.from_arrow(left).repartition(2)
+    r = ray.data.from_arrow(right)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    got = sorted((str(x["u"]), x["v"], x["p"]) for x in J.asof_join(l, r, by="u", on="t").take_all())
+    exp = sorted(
+        (str(u), v, p)
+        for u, v, p in con.execute(
+            "SELECT l.u, l.v, r.p FROM l ASOF LEFT JOIN r ON l.u = r.u AND r.t <= l.t"
+        ).fetchall()
+    )
+    assert got == exp
+    got = sorted(
+        (str(x["u"]), x["v"], x["p"])
+        for x in J.range_join(l, r, by="u", on="t", lo_offset_us=-10_000_000, hi_offset_us=0).take_all()
+    )
+    exp = sorted(
+        (str(u), v, p)
+        for u, v, p in con.execute(
+            "SELECT l.u, l.v, r.p FROM l JOIN r ON l.u = r.u"
+            " AND r.t BETWEEN l.t - INTERVAL 10 SECOND AND l.t"
+        ).fetchall()
+    )
+    assert got == exp
