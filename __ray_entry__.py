@@ -1660,6 +1660,29 @@ def _cdc_chunks(sf_dir: str):
     )
 
 
+def _chunk_chars_documents(sf_dir: str):
+    """RAG fixed-size character-window chunking (size 120, overlap 30):
+    one map_batches fan-out, no shuffle; slices by codepoint so the
+    substr/generate_series oracle reproduces it exactly."""
+    import ray.data
+
+    from mothray.ops import chunk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk.chunk_chars(ds, size=120, overlap=30)
+
+
+def _chunk_words_documents(sf_dir: str):
+    """RAG word-window chunking (30 words, overlap 5) over the repo's
+    single-space token convention; list_slice/array_to_string oracle."""
+    import ray.data
+
+    from mothray.ops import chunk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk.chunk_words(ds, size=30, overlap=5)
+
+
 def _top_sources(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -2592,6 +2615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["except_events"] = lambda sf: _set_ops(sf, "except_")
     q["substring_winnow_invariants_documents"] = _substring_winnow_invariants
     q["domain_cap_documents"] = _domain_cap
+    q["chunk_chars_documents"] = _chunk_chars_documents
+    q["chunk_words_documents"] = _chunk_words_documents
     q["bpe_invariants_documents"] = _bpe_invariants
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
@@ -3305,6 +3330,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source FROM (SELECT doc_id, source,"
         " row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
         " FROM documents) WHERE rn <= 5"
+    )
+    o["chunk_chars_documents"] = (
+        "SELECT doc_id, CAST(s/90 AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,"
+        " substr(coalesce(text,''), CAST(s+1 AS BIGINT), 120) AS chunk_text,"
+        " CAST(length(substr(coalesce(text,''), CAST(s+1 AS BIGINT), 120)) AS BIGINT) AS chunk_len"
+        " FROM (SELECT doc_id, text,"
+        " unnest(generate_series(0, greatest(length(coalesce(text,''))-30-1, 0), 90)) AS s"
+        " FROM documents)"
+    )
+    o["chunk_words_documents"] = (
+        "SELECT doc_id, CAST(s/25 AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,"
+        " array_to_string(list_slice(ws, CAST(s+1 AS BIGINT), CAST(s+30 AS BIGINT)), ' ') AS chunk_text,"
+        " CAST(length(array_to_string(list_slice(ws, CAST(s+1 AS BIGINT), CAST(s+30 AS BIGINT)), ' ')) AS BIGINT) AS chunk_len"
+        " FROM (SELECT doc_id, ws,"
+        " unnest(generate_series(0, greatest(length(ws)-5-1, 0), 25)) AS s"
+        " FROM (SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws FROM documents))"
     )
     o["dedup_invariants_documents"] = (
         "SELECT * FROM (VALUES"
