@@ -2479,6 +2479,54 @@ def _topn_orders(sf_dir: str):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
 
 
+def _fuzzy_pairs_customer(sf_dir: str):
+    """Fuzzy self-join (edit distance <= 1) over customer names:
+    FastSS deletion-neighborhood blocking -> one variant groupby ->
+    pair distinct -> banded-DP verify (ops/fuzzy.py). The oracle is
+    the quadratic DuckDB levenshtein join; c_name is ASCII, where
+    DuckDB's byte-level levenshtein equals this op's codepoint
+    semantics."""
+    import ray.data
+
+    from mothray.ops import fuzzy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return fuzzy.fuzzy_self_join(ds, "c_name", "c_custkey", max_dist=1)
+
+
+def _fuzzy_join_customer(sf_dir: str):
+    """Two-sided fuzzy equi-join (edit distance <= 2) between two
+    disjoint customer slices (odd vs even custkeys <= 500) on c_name —
+    exercises the two-deletion variant fan-out and the side-split
+    candidate pairing."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import fuzzy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def _slice(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey")
+            keep = pc.and_(
+                pc.equal(pc.bit_wise_and(k, 1), parity), pc.less_equal(k, 500)
+            )
+            return t.filter(keep)
+
+        return f
+
+    left = ds.map_batches(_slice(1), batch_format="pyarrow")
+    right = ds.map_batches(_slice(0), batch_format="pyarrow")
+    return fuzzy.fuzzy_join(
+        left, right, on="c_name", id_columns=("c_custkey", "c_custkey"), max_dist=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2618,6 +2666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["chunk_chars_documents"] = _chunk_chars_documents
     q["chunk_words_documents"] = _chunk_words_documents
     q["bpe_invariants_documents"] = _bpe_invariants
+    q["fuzzy_pairs_customer"] = _fuzzy_pairs_customer
+    q["fuzzy_join_customer"] = _fuzzy_join_customer
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3346,6 +3396,22 @@ def oracle_sql() -> dict[str, str]:
         " FROM (SELECT doc_id, ws,"
         " unnest(generate_series(0, greatest(length(ws)-5-1, 0), 25)) AS s"
         " FROM (SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws FROM documents))"
+    )
+    _fuzzy_cols = (
+        "CAST(l.c_custkey AS BIGINT) AS l_id, CAST(r.c_custkey AS BIGINT) AS r_id,"
+        " l.c_name AS l_val, r.c_name AS r_val,"
+        " CAST(levenshtein(l.c_name, r.c_name) AS BIGINT) AS dist"
+    )
+    o["fuzzy_pairs_customer"] = (
+        f"SELECT {_fuzzy_cols} FROM customer l JOIN customer r"
+        " ON l.c_custkey < r.c_custkey"
+        " WHERE levenshtein(l.c_name, r.c_name) <= 1"
+    )
+    o["fuzzy_join_customer"] = (
+        f"SELECT {_fuzzy_cols} FROM customer l JOIN customer r"
+        " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
+        " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
+        " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["dedup_invariants_documents"] = (
         "SELECT * FROM (VALUES"
