@@ -2527,6 +2527,35 @@ def _fuzzy_join_customer(sf_dir: str):
     )
 
 
+def _update_where_orders(sf_dir: str):
+    """Surgical UPDATE on an encoded dataset: encode orders, then
+    UPDATE SET o_totalprice = o_totalprice * 1.1, o_orderpriority =
+    'UPDATED' WHERE o_totalprice BETWEEN 100k AND 300k. Only matching
+    stripes rewrite, and within them only the two assigned columns'
+    streams re-encode (others memcpy through — pytest-proven
+    byte-identical); disjoint files copy verbatim. Oracle = the SQL
+    CASE-WHEN projection."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_update_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/orders.parquet", f"{base}/enc")
+    pipeline.update_where(
+        f"{base}/enc", f"{base}/out", "o_totalprice", 100000.0, 300000.0,
+        assign={
+            "o_totalprice": lambda t: pc.multiply(t.column("o_totalprice"), 1.1),
+            "o_orderpriority": lambda t: pa.array(["UPDATED"] * t.num_rows),
+        },
+    )
+    return pipeline.decode_files(f"{base}/out")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2668,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_invariants_documents"] = _bpe_invariants
     q["fuzzy_pairs_customer"] = _fuzzy_pairs_customer
     q["fuzzy_join_customer"] = _fuzzy_join_customer
+    q["update_where_orders"] = _update_where_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3412,6 +3442,15 @@ def oracle_sql() -> dict[str, str]:
         " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
         " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
+    )
+    o["update_where_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CASE WHEN o_totalprice BETWEEN 100000.0 AND 300000.0"
+        " THEN o_totalprice * CAST(1.1 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,"
+        " o_orderdate,"
+        " CASE WHEN o_totalprice BETWEEN 100000.0 AND 300000.0"
+        " THEN 'UPDATED' ELSE o_orderpriority END AS o_orderpriority"
+        " FROM orders"
     )
     o["dedup_invariants_documents"] = (
         "SELECT * FROM (VALUES"

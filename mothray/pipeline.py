@@ -870,6 +870,135 @@ def delete_where(
     }
 
 
+def update_where(
+    in_dir: str | list[str],
+    out_dir: str,
+    column: str,
+    min_value=None,
+    max_value=None,
+    assign: dict | None = None,
+    input_columns: list[str] | None = None,
+    opts: dict | None = None,
+) -> dict:
+    """Surgical UPDATE on an encoded-on-disk dataset: for every row with
+    `column` in [min_value, max_value] (inclusive; one-sided when either
+    bound is None; nulls never match — SQL BETWEEN semantics), replace
+    each target column in `assign` with `fn(projected_table)`'s value
+    for that row; non-matching rows keep their stored values
+    (CASE WHEN pred THEN expr ELSE col END). `assign` maps target
+    column name -> vectorized fn(pa.Table) -> pa.Array of the FULL
+    replacement column (the blend with the predicate happens here).
+    `input_columns` is the projection the fns need (default: the
+    predicate column plus the targets).
+
+    Scale shape (completes the DELETE / MERGE / UPDATE lakehouse
+    triple): the unit of work is one source FILE; files whose stripes'
+    zone maps all miss the range copy byte-identical. Within a touched
+    stripe only the predicate + input projection DECODES and only the
+    ASSIGNED columns' streams re-encode — every other column's bytes
+    memcpy through with rebased offsets (stripe.replace_column_in_
+    stripe). Cost scales with (matching stripes) x (updated columns),
+    not table width or corpus size. No shuffle anywhere. The reference
+    writer is append-only (MothDataSink); this is the lakehouse
+    extension of it."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    if not assign:
+        raise ValueError("assign must name at least one target column")
+    targets = list(assign)
+    needed = sorted({column, *targets, *(input_columns or [])})
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def update_in_file(path: str):
+        meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+        overlaps = [
+            _stripe_overlaps(sj, column, min_value, max_value)
+            for sj in meta_tbl.column("stats").to_pylist()
+        ]
+        if not any(overlaps):
+            return False, None, 0, 0
+        full = pq.read_table(path)
+        out_rows = []
+        stripes_rewritten = 0
+        rows_updated = 0
+        for i in range(full.num_rows):
+            row = {c: full.column(c)[i].as_py() for c in full.column_names}
+            if overlaps[i]:
+                proj = stripe_mod.decode_stripe(row, columns=needed)
+                col = proj.column(column)
+                hit = pa.array(np.ones(proj.num_rows, dtype=bool))
+                if min_value is not None:
+                    hit = pc.and_(hit, pc.greater_equal(col, min_value))
+                if max_value is not None:
+                    hit = pc.and_(hit, pc.less_equal(col, max_value))
+                hit = pc.fill_null(hit, False)
+                n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+                if n_hit:
+                    rows_updated += n_hit
+                    stripes_rewritten += 1
+                    for target, fn in assign.items():
+                        old = proj.column(target)
+                        if isinstance(old, pa.ChunkedArray):
+                            old = old.combine_chunks()
+                        new = fn(proj)
+                        if isinstance(new, pa.ChunkedArray):
+                            new = new.combine_chunks()
+                        blended = pc.if_else(hit, new.cast(old.type), old)
+                        row = stripe_mod.replace_column_in_stripe(
+                            row, target, blended, opts, old_nbytes=old.nbytes
+                        )
+                    row["stripe_key"] = row["stripe_key"] + "u"
+            out_rows.append(row)
+        if stripes_rewritten == 0:
+            return False, None, 0, 0  # zone maps overlapped but no row hit
+        return True, pa.Table.from_pylist(out_rows, schema=stripe_mod.STRIPE_SCHEMA), stripes_rewritten, rows_updated
+
+    def process(batch: pa.Table) -> pa.Table:
+        out = []
+        for fid, path in zip(
+            batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
+        ):
+            dst = os.path.join(out_dir, os.path.basename(path))
+            tmp = dst + ".tmp"
+            changed, new_tbl, stripes, rows = update_in_file(path)
+            if not changed:
+                shutil.copyfile(path, tmp)  # byte-identical passthrough
+            else:
+                pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
+            os.rename(tmp, dst)
+            out.append((fid, stripes, rows))
+        return pa.table(
+            {
+                "file_id": pa.array([f for f, _, _ in out], type=pa.int64()),
+                "stripes_rewritten": pa.array([s for _, s, _ in out], type=pa.int64()),
+                "rows_updated": pa.array([r for _, _, r in out], type=pa.int64()),
+            }
+        )
+
+    items = [{"file_id": i, "path": p} for i, p in enumerate(files)]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    return {
+        "files": len(files),
+        "files_rewritten": int((res["stripes_rewritten"] > 0).sum()) if len(res) else 0,
+        "stripes_rewritten": int(res["stripes_rewritten"].sum()) if len(res) else 0,
+        "rows_updated": int(res["rows_updated"].sum()) if len(res) else 0,
+    }
+
+
 def with_column(
     in_dir: str | list[str],
     out_dir: str,

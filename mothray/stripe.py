@@ -458,6 +458,121 @@ def add_column_to_stripe(row: dict, name: str, values, opts: dict | None = None)
     }
 
 
+def replace_column_in_stripe(
+    row: dict, name: str, values, opts: dict | None = None, old_nbytes: int | None = None
+) -> dict:
+    """Replace ONE existing column's values in a stripe row re-encoding
+    ONLY that column: the new streams are encoded fresh, every other
+    column's stream bytes are memcpy'd (never decoded or re-encoded)
+    into a rebuilt blob with rebased offsets — no dead bytes are left
+    behind. Stats, row-group min/max and the column's bloom filter (if
+    the encode built one) are rebuilt from the new values; the type
+    must match the stored schema (UPDATE preserves schema). This is
+    the columnar-native UPDATE write path: cost scales with the
+    updated column, not the stripe width."""
+    import zlib
+
+    o = {**DEFAULT_OPTS, **(opts or {})}
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    meta = json.loads(row["meta"])
+    schema = _deserialize_schema(row["schema_ipc"])
+    if name not in meta["columns"]:
+        raise KeyError(f"column {name!r} not present in stripe")
+    t = schema.field(name).type
+    if values.type != t:
+        raise TypeError(f"UPDATE must preserve type: column {name!r} is {t}, got {values.type}")
+    n = row["n_rows"]
+    if len(values) != n:
+        raise ValueError(f"values length {len(values)} != stripe rows {n}")
+    rg_rows = meta["row_groups"]["rows"]
+    rg_bounds = list(range(0, n, rg_rows)) or [0]
+    # encode the new column into its own contiguous segment
+    new_parts: list = []
+    pos = [0]
+    new_trees = []
+    rg_mm = []
+    for s in rg_bounds:
+        piece = values.slice(s, rg_rows)
+        enc = column_mod.encode_array(piece, o)
+        new_trees.append(_flatten_column(enc, new_parts, pos, o["compression"], o["compress_min_bytes"]))
+        rg_mm.append(_rg_minmax(piece))
+    new_seg = bytearray(pos[0])
+    mv = memoryview(new_seg)
+    off = 0
+    for part in new_parts:
+        ln = len(part)
+        mv[off : off + ln] = part
+        off += ln
+    del mv
+    meta["columns"][name] = {"row_groups": new_trees}
+    # rebase every column's streams into one fresh blob (schema order):
+    # unchanged columns slice out of the old blob, the replaced column
+    # out of its new segment — pure memcpy either way
+    old_view = memoryview(row["blob"]).cast("B")
+    new_view = memoryview(new_seg)
+    out_parts: list = []
+    new_off = [0]
+
+    def rebase(tree: dict, src) -> None:
+        for s in tree["streams"]:
+            out_parts.append(src[s["off"] : s["off"] + s["len"]])
+            s["off"] = new_off[0]
+            new_off[0] += s["len"]
+        for c in tree["children"]:
+            rebase(c, src)
+
+    for col in schema.names:
+        src = new_view if col == name else old_view
+        for tree in meta["columns"][col]["row_groups"]:
+            rebase(tree, src)
+    blob = bytearray(new_off[0])
+    mv = memoryview(blob)
+    off = 0
+    for part in out_parts:
+        ln = len(part)
+        mv[off : off + ln] = part
+        off += ln
+    del mv
+    # row-group stats for the replaced column
+    rg_stats = meta["row_groups"].setdefault("stats", {})
+    if any(m is not None for m in rg_mm):
+        rg_stats[name] = rg_mm
+    else:
+        rg_stats.pop(name, None)
+    # bloom rebuild: blooms live in a separate concatenated buffer
+    blooms = row["blooms"]
+    bloom_index = meta.get("blooms", {})
+    if name in bloom_index:
+        nn = values.drop_null()
+        lengths, data = column_mod._string_parts_view(nn)
+        new_bloom = bloom_mod.build(lengths, data)
+        parts = []
+        bpos = 0
+        for col, (boff, blen) in bloom_index.items():
+            part = new_bloom if col == name else bytes(memoryview(blooms)[boff : boff + blen])
+            bloom_index[col] = [bpos, len(part)]
+            parts.append(part)
+            bpos += len(part)
+        blooms = b"".join(parts)
+    meta["blob_crc32"] = zlib.crc32(blob)
+    meta.setdefault("metrics", {}).setdefault("codecs", {})[name] = new_trees[0]["encoding"]
+    col_stats = json.loads(row["stats"])
+    col_stats[name] = stats_mod.column_stats(values)
+    raw_bytes = row["raw_bytes"]
+    if old_nbytes is not None:
+        raw_bytes += values.nbytes - old_nbytes
+    return {
+        **row,
+        "raw_bytes": raw_bytes,
+        "enc_bytes": len(blob),
+        "meta": json.dumps(meta),
+        "stats": json.dumps(col_stats),
+        "blooms": blooms,
+        "blob": blob,
+    }
+
+
 _PC_OPS = {
     "eq": "equal",
     "ne": "not_equal",
