@@ -162,10 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     rn.add_argument("old")
     rn.add_argument("new")
 
-    dc = sub.add_parser("dropcol", help="metadata-only column DROP (stream bytes freed at next compaction)")
+    dc = sub.add_parser("dropcol", help="metadata-only column DROP (stream bytes freed at next OPTIMIZE, or now with --reclaim)")
     dc.add_argument("enc_dir")
     dc.add_argument("out_dir")
     dc.add_argument("columns", nargs="+")
+    dc.add_argument("--reclaim", action="store_true",
+                    help="rebuild blobs without the dropped streams (memcpy, no re-encode)")
 
     args = p.parse_args(argv)
 
@@ -422,8 +424,8 @@ def _dispatch(args) -> int:
     if args.cmd == "dropcol":
         from mothray import pipeline
 
-        pipeline.drop_column_encoded(args.enc_dir, args.out_dir, args.columns)
-        print(json.dumps({"dropped": args.columns, "out_dir": args.out_dir}))
+        pipeline.drop_column_encoded(args.enc_dir, args.out_dir, args.columns, reclaim=args.reclaim)
+        print(json.dumps({"dropped": args.columns, "out_dir": args.out_dir, "reclaim": args.reclaim}))
         return 0
 
     if args.cmd == "profile":

@@ -2260,23 +2260,39 @@ def rename_column_encoded(in_dir: str | list[str], out_dir: str, old: str, new: 
     )
 
 
-def drop_column_encoded(in_dir: str | list[str], out_dir: str, names: list[str]) -> None:
+def drop_column_encoded(
+    in_dir: str | list[str], out_dir: str, names: list[str], reclaim: bool = False
+) -> None:
     """COW schema evolution: DROP columns on an encoded dataset with a
-    streaming metadata-only rewrite. Dropped stream bytes remain in the
-    blobs until compaction (documented in _rewrite_stripe_columns)."""
+    streaming metadata-only rewrite. By default dropped stream bytes
+    remain in the blobs until an OPTIMIZE rewrite (documented in
+    _rewrite_stripe_columns); `reclaim=True` additionally rebuilds each
+    blob keeping only surviving streams (stripe.vacuum_stripe_blob) —
+    still a pure memcpy with rebased offsets, never a decode or
+    re-encode, so dropping a fat text column frees its bytes at I/O
+    speed instead of OPTIMIZE's full re-encode cost."""
     cols = _encoded_column_names(in_dir)
     missing = [n for n in names if n not in cols]
     if missing:
         raise KeyError(f"columns {missing} not in encoded dataset (have {cols})")
     if not set(cols) - set(names):
         raise ValueError("cannot drop every column")
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        out = _rewrite_stripe_columns(b, None, set(names))
+        if not reclaim:
+            return out
+        rows = [
+            stripe_mod.vacuum_stripe_blob(
+                {c: out.column(c)[i].as_py() for c in out.column_names}
+            )
+            for i in range(out.num_rows)
+        ]
+        return pa.Table.from_pylist(rows, schema=stripe_mod.STRIPE_SCHEMA)
+
     enc = read_encoded(in_dir)
     write_encoded(
-        enc.map_batches(
-            lambda b: _rewrite_stripe_columns(b, None, set(names)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
+        enc.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True),
         out_dir,
     )
 

@@ -573,6 +573,42 @@ def replace_column_in_stripe(
     }
 
 
+def vacuum_stripe_blob(row: dict) -> dict:
+    """Rebuild the blob keeping only the streams meta still references,
+    rebasing offsets — a pure memcpy that reclaims the dead bytes a
+    metadata-only DROP (_rewrite_stripe_columns) leaves behind, without
+    decoding or re-encoding anything. A no-op (same bytes, new
+    checksum) on stripes with no dead streams."""
+    import zlib
+
+    meta = json.loads(row["meta"])
+    old_view = memoryview(row["blob"]).cast("B")
+    out_parts: list = []
+    new_off = [0]
+
+    def rebase(tree: dict) -> None:
+        for s in tree["streams"]:
+            out_parts.append(old_view[s["off"] : s["off"] + s["len"]])
+            s["off"] = new_off[0]
+            new_off[0] += s["len"]
+        for c in tree["children"]:
+            rebase(c)
+
+    for col in meta["columns"]:
+        for tree in meta["columns"][col]["row_groups"]:
+            rebase(tree)
+    blob = bytearray(new_off[0])
+    mv = memoryview(blob)
+    off = 0
+    for part in out_parts:
+        ln = len(part)
+        mv[off : off + ln] = part
+        off += ln
+    del mv
+    meta["blob_crc32"] = zlib.crc32(blob)
+    return {**row, "enc_bytes": len(blob), "meta": json.dumps(meta), "blob": blob}
+
+
 _PC_OPS = {
     "eq": "equal",
     "ne": "not_equal",

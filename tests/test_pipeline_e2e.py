@@ -884,6 +884,53 @@ def test_schema_evolution_rename_drop(ray_session, tmp_path):
     assert pipeline.filter_encoded(dropped, "id", "ge", 1990, columns=["id"]).count() == 10
 
 
+def test_drop_column_reclaim_frees_bytes(ray_session, tmp_path):
+    """dropcol --reclaim rebuilds blobs without the dropped streams
+    (pure memcpy): encoded bytes shrink by the fat column's share,
+    decode of survivors is identical to the metadata-only drop, and
+    surviving stream bytes are reused verbatim."""
+    import json as json_mod
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+    from mothray import stripe as stripe_mod
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(3000)),
+            # incompressible fat column: dominates the blob
+            "fat": pa.array([rng.bytes(256).hex() for _ in range(3000)]),
+            "score": pa.array(np.arange(3000) * 0.5),
+        }
+    )
+    src = str(tmp_path / "src")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(t)), src)
+
+    lazy = str(tmp_path / "lazy")
+    eager = str(tmp_path / "eager")
+    pipeline.drop_column_encoded(src, lazy, ["fat"])
+    pipeline.drop_column_encoded(src, eager, ["fat"], reclaim=True)
+
+    def enc_bytes(d):
+        return sum(r["enc_bytes"] for r in pipeline.read_encoded(d, metadata_only=True).take_all())
+
+    assert enc_bytes(eager) < enc_bytes(lazy) / 2  # fat column dominated
+    a = pa.Table.from_pylist(pipeline.decode_dataset(pipeline.read_encoded(lazy)).take_all()).sort_by("id")
+    b = pa.Table.from_pylist(pipeline.decode_dataset(pipeline.read_encoded(eager)).take_all()).sort_by("id")
+    assert a.equals(b)
+    assert b.column("score").to_pylist() == t.column("score").to_pylist()
+
+    # stripe-level: vacuum is a no-op on a dense stripe (bytes identical)
+    row = stripe_mod.encode_stripe(t.slice(0, 100), stripe_key="v-0")
+    vac = stripe_mod.vacuum_stripe_blob(dict(row))
+    assert bytes(vac["blob"]) == bytes(row["blob"])
+    assert json_mod.loads(vac["meta"])["blob_crc32"] == json_mod.loads(row["meta"])["blob_crc32"]
+
+
 def test_planning_skips_tmp_leftovers(ray_session, tmp_path):
     """A job killed between write and rename leaves '*.tmp' staging
     files; encode/decode planning must skip them (and hidden files) but
