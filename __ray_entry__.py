@@ -2556,6 +2556,29 @@ def _update_where_orders(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+def _connected_components_orders(sf_dir: str):
+    """Generic connected components over an edge list (ops/graph.py:
+    min-label propagation + pointer doubling, O(log diameter) rounds):
+    edges are (o_orderkey % 1499, o_custkey % 1499) — a bipartite-ish
+    hash graph over orders. component = min node id per component; the
+    oracle is a DuckDB recursive CTE enumerating reachability."""
+    import ray.data
+
+    from mothray.ops import graph
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def edge(t: pa.Table) -> pa.Table:
+        s = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 1499
+        d = t.column("o_custkey").to_numpy(zero_copy_only=False) % 1499
+        return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+
+    edges = ds.map_batches(edge, batch_format="pyarrow")
+    return graph.connected_components(edges, "src", "dst")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2698,6 +2721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fuzzy_pairs_customer"] = _fuzzy_pairs_customer
     q["fuzzy_join_customer"] = _fuzzy_join_customer
     q["update_where_orders"] = _update_where_orders
+    q["connected_components_orders"] = _connected_components_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3442,6 +3466,17 @@ def oracle_sql() -> dict[str, str]:
         " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
         " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
+    )
+    o["connected_components_orders"] = (
+        "WITH RECURSIVE e0 AS ("
+        " SELECT o_orderkey % 1499 AS s, o_custkey % 1499 AS d FROM orders),"
+        " e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),"
+        " step(node, r) AS ("
+        "  SELECT s, s FROM e"
+        "  UNION"
+        "  SELECT step.node, e.d FROM step JOIN e ON e.s = step.r)"
+        " SELECT CAST(node AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS component"
+        " FROM step GROUP BY node"
     )
     o["update_where_orders"] = (
         "SELECT o_orderkey, o_custkey, o_orderstatus,"
