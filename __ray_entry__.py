@@ -2579,6 +2579,39 @@ def _connected_components_orders(sf_dir: str):
     return graph.connected_components(edges, "src", "dst")
 
 
+def _resample_events(sf_dir: str):
+    """Per-user time-series RESAMPLE with forward gap fill: 6-hour
+    buckets of sum(value), every bucket between a user's first and
+    last event present (ops/window.py resample — one null-safe grouped
+    shuffle, vectorized dense grid per key). Oracle = generate_series
+    grid LEFT JOIN the bucket aggregate + IGNORE-NULLS last_value;
+    round-6 on the float sum (lm.py precedent)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = window.resample(ds, "user_id", "ts", "value", 360, agg="sum", fill="ffill")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        # np.round, not pc.round: pyarrow's multiply-round-divide is an
+        # identity on values like 84.32000000000001 at 6 digits, numpy's
+        # decimal-string path matches DuckDB ROUND (lm.py idiom)
+        import numpy as np
+
+        i = t.column_names.index("sum_value")
+        v = t.column("sum_value").combine_chunks()
+        rounded = pa.array(
+            np.round(v.to_numpy(zero_copy_only=False), 6), mask=v.is_null().to_numpy(zero_copy_only=False)
+        )
+        return t.set_column(i, "sum_value", rounded)
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2722,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fuzzy_join_customer"] = _fuzzy_join_customer
     q["update_where_orders"] = _update_where_orders
     q["connected_components_orders"] = _connected_components_orders
+    q["resample_events"] = _resample_events
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3466,6 +3500,23 @@ def oracle_sql() -> dict[str, str]:
         " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
         " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
+    )
+    o["resample_events"] = (
+        "WITH b AS (SELECT user_id,"
+        " (epoch_us(ts) // 21600000000) * 21600000000 AS bkt, value"
+        " FROM events WHERE ts IS NOT NULL),"
+        " agg AS (SELECT user_id, bkt, SUM(value) AS v, count(*) AS n_obs"
+        " FROM b GROUP BY user_id, bkt),"
+        " grid AS (SELECT user_id,"
+        " unnest(generate_series(mn, mx, CAST(21600000000 AS BIGINT))) AS bkt"
+        " FROM (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM agg GROUP BY user_id)),"
+        " j AS (SELECT g.user_id, g.bkt, a.v, coalesce(a.n_obs, 0) AS n_obs"
+        " FROM grid g LEFT JOIN agg a"
+        " ON a.user_id IS NOT DISTINCT FROM g.user_id AND a.bkt = g.bkt)"
+        " SELECT user_id, make_timestamp(bkt) AS bucket,"
+        " ROUND(CAST(last_value(v IGNORE NULLS)"
+        " OVER (PARTITION BY user_id ORDER BY bkt) AS DOUBLE), 6) AS sum_value,"
+        " n_obs FROM j"
     )
     o["connected_components_orders"] = (
         "WITH RECURSIVE e0 AS ("

@@ -146,6 +146,115 @@ def sliding_window(ds, ts_col: str, size_minutes: int, slide_minutes: int, aggs,
     )
 
 
+def resample(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    every_minutes: int,
+    agg: str = "sum",
+    fill: str = "null",
+):
+    """Per-key time-series RESAMPLE with gap fill: bucket timestamps to
+    `every_minutes`, aggregate `value_col` per (key, bucket), then emit
+    EVERY bucket between the key's first and last observation —
+    missing buckets take the `fill` policy ('null', 'zero', or 'ffill'
+    = carry the last observed aggregate forward). Output columns:
+    key_col, bucket (timestamp us), <agg>_value (float64), n_obs
+    (int64 rows aggregated; 0 for gap buckets).
+
+    agg: sum | mean | min | max | count. Null timestamps and null
+    values are ignored (SQL aggregate semantics); a bucket whose only
+    rows have null values counts observations but aggregates to null
+    (then fill applies to VALUE only — the bucket itself is real).
+
+    Scale shape: ONE null-safe grouped shuffle on key; per group the
+    dense series is vectorized numpy (sort + reduceat, arange bucket
+    grid, cumulative-index ffill). The dense output is per key — a key
+    spanning a long range at fine granularity emits range/every rows
+    by design (that IS gap fill); pick `every_minutes` accordingly."""
+    if agg not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"unsupported fill {fill!r}")
+    every_us = int(every_minutes) * 60 * 1_000_000
+    out_val = f"{agg}_value"
+
+    def one_key(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field(key_col).type
+        empty = pa.table(
+            {
+                key_col: pa.array([], type=key_type),
+                "bucket": pa.array([], type=pa.timestamp("us")),
+                out_val: pa.array([], type=pa.float64()),
+                "n_obs": pa.array([], type=pa.int64()),
+            }
+        )
+        ts_arr = group.column(ts_col).combine_chunks()
+        ok = pc.is_valid(ts_arr)
+        group = group.filter(ok)
+        if group.num_rows == 0:
+            return empty
+        ts_arr = group.column(ts_col).combine_chunks()
+        if pa.types.is_timestamp(ts_arr.type) and ts_arr.type.unit != "us":
+            ts_arr = ts_arr.cast(pa.timestamp("us", tz=ts_arr.type.tz))
+        ts = ts_arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals_arr = group.column(value_col).combine_chunks().cast(pa.float64())
+        vals = vals_arr.to_numpy(zero_copy_only=False)  # nulls -> NaN
+        bucket = (ts // every_us) * every_us
+        order = np.argsort(bucket, kind="stable")
+        bucket, vals = bucket[order], vals[order]
+        uniq, starts = np.unique(bucket, return_index=True)
+        n_obs = np.diff(np.append(starts, len(bucket)))
+        valid = ~np.isnan(vals)
+        nv = np.add.reduceat(valid.astype(np.int64), starts)
+        with np.errstate(invalid="ignore"):
+            if agg == "count":
+                agg_v = nv.astype(np.float64)
+            else:
+                z = np.where(valid, vals, 0.0)
+                s = np.add.reduceat(z, starts)
+                if agg == "sum":
+                    agg_v = s
+                elif agg == "mean":
+                    agg_v = np.where(nv > 0, s / np.maximum(nv, 1), np.nan)
+                else:
+                    fillv = np.inf if agg == "min" else -np.inf
+                    z = np.where(valid, vals, fillv)
+                    red = np.minimum if agg == "min" else np.maximum
+                    agg_v = red.reduceat(z, starts)
+                agg_v = np.where(nv > 0, agg_v, np.nan)  # all-null bucket -> null
+        # dense grid between first and last bucket
+        grid = np.arange(uniq[0], uniq[-1] + every_us, every_us, dtype=np.int64)
+        pos = ((uniq - uniq[0]) // every_us).astype(np.int64)
+        dense_v = np.full(len(grid), np.nan)
+        dense_n = np.zeros(len(grid), dtype=np.int64)
+        dense_v[pos] = agg_v
+        dense_n[pos] = n_obs
+        observed = np.zeros(len(grid), dtype=bool)
+        observed[pos] = ~np.isnan(agg_v)
+        if fill == "zero":
+            dense_v = np.where(observed, dense_v, 0.0)
+        elif fill == "ffill":
+            idx = np.where(observed, np.arange(len(grid)), -1)
+            idx = np.maximum.accumulate(idx)
+            dense_v = np.where(idx >= 0, dense_v[np.maximum(idx, 0)], np.nan)
+        key_val = group.column(key_col)[0].as_py()
+        mask = ~np.isnan(dense_v)
+        return pa.table(
+            {
+                key_col: pa.array([key_val] * len(grid), type=key_type),
+                "bucket": pa.array(grid).cast(pa.timestamp("us")),
+                out_val: pa.array(dense_v, mask=~mask),
+                "n_obs": pa.array(dense_n),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(ds, [key_col], one_key)
+
+
 def lag_lead(ds, key_col: str, order_col: str, value_col: str, tiebreak_col: str):
     """Per-key ordered LAG/LEAD/running-sum (the SQL window-function
     trio). One groupby shuffle collects each key's rows; inside the

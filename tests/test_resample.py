@@ -1,0 +1,145 @@
+"""resample (per-key time-series bucketing with gap fill) vs DuckDB:
+generate_series grid + LEFT JOIN + IGNORE-NULLS last_value reproduce
+the op exactly (round-6 on float aggregates, lm.py precedent)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mothray.ops import window
+
+EVERY_MIN = 360
+EVERY_US = EVERY_MIN * 60 * 1_000_000
+
+
+def _events():
+    rng = np.random.default_rng(9)
+    n = 400
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 20 * 24 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array(
+                [None if i % 37 == 0 else int(rng.integers(0, 6)) for i in range(n)],
+                pa.int64(),
+            ),
+            "ts": pa.array(
+                [None if i % 41 == 0 else v for i, v in enumerate(ts)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(
+                [None if i % 11 == 0 else round(float(rng.uniform(0, 100)), 2) for i in range(n)]
+            ),
+        }
+    )
+    return t
+
+
+def _oracle(t: pa.Table, agg_sql: str, fill: str, out: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", t)
+    v = "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bkt)" if fill == "ffill" else (
+        "coalesce(v, 0)" if fill == "zero" else "v"
+    )
+    q = f"""
+    WITH b AS (
+      SELECT user_id, (epoch_us(ts) // {EVERY_US}) * {EVERY_US} AS bkt, value
+      FROM events WHERE ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id, bkt, {agg_sql} AS v, count(*) AS n_obs
+      FROM b GROUP BY user_id, bkt
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, {EVERY_US}::BIGINT)) AS bkt
+      FROM (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM agg GROUP BY user_id)
+    ),
+    j AS (
+      SELECT g.user_id, g.bkt, a.v, coalesce(a.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN agg a ON a.user_id IS NOT DISTINCT FROM g.user_id AND a.bkt = g.bkt
+    )
+    SELECT user_id, make_timestamp(bkt) AS bucket,
+           ROUND(CAST({v} AS DOUBLE), 6) AS {out}, n_obs
+    FROM j ORDER BY user_id NULLS FIRST, bucket
+    """
+    return con.execute(q).df()
+
+
+def _norm(df: pd.DataFrame, out: str) -> list:
+    df = df.sort_values(["user_id", "bucket"], na_position="first").reset_index(drop=True)
+    return [
+        (
+            None if pd.isna(r.user_id) else int(r.user_id),
+            str(r.bucket),
+            None if pd.isna(getattr(r, out)) else round(float(getattr(r, out)), 6),
+            int(r.n_obs),
+        )
+        for r in df.itertuples(index=False)
+    ]
+
+
+@pytest.mark.parametrize(
+    "agg,agg_sql,fill",
+    [
+        ("sum", "SUM(value)", "ffill"),
+        ("sum", "SUM(value)", "zero"),
+        ("mean", "AVG(value)", "null"),
+        ("min", "MIN(value)", "null"),
+        ("max", "MAX(value)", "ffill"),
+        ("count", "CAST(COUNT(value) AS DOUBLE)", "zero"),
+    ],
+)
+def test_resample_matches_duckdb(ray_session, agg, agg_sql, fill):
+    import ray.data
+
+    t = _events()
+    out = f"{agg}_value"
+    got = window.resample(
+        ray.data.from_arrow(t).repartition(3), "user_id", "ts", "value",
+        EVERY_MIN, agg=agg, fill=fill,
+    ).to_pandas()
+    got[out] = got[out].round(6)
+    exp = _oracle(t, agg_sql, fill, out)
+    assert _norm(got, out) == _norm(exp, out)
+
+
+def test_resample_validation():
+    with pytest.raises(ValueError):
+        window.resample(None, "k", "ts", "v", 5, agg="median")
+    with pytest.raises(ValueError):
+        window.resample(None, "k", "ts", "v", 5, fill="interpolate")
+
+
+def test_resample_dense_grid_no_gaps(ray_session):
+    """Every bucket between a key's first and last observation exists
+    exactly once, even across empty stretches."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    ["2024-01-01T00:05", "2024-01-01T00:10", "2024-01-03T00:00"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "v": pa.array([1.0, 2.0, 4.0]),
+        }
+    )
+    got = (
+        window.resample(ray.data.from_arrow(t), "k", "ts", "v", 60, agg="sum", fill="zero")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 49  # 2024-01-01T00 .. 2024-01-03T00 hourly inclusive
+    assert got["sum_value"].iloc[0] == 3.0 and got["sum_value"].iloc[-1] == 4.0
+    assert (got["sum_value"].iloc[1:-1] == 0).all()
+    assert got["n_obs"].sum() == 3
+    diffs = got["bucket"].diff().dropna().unique()
+    assert len(diffs) == 1 and diffs[0] == pd.Timedelta(hours=1)
