@@ -2612,6 +2612,29 @@ def _resample_events(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _json_props_events(sf_dir: str):
+    """JSON field extraction from the events `props` column (one C++
+    read_json pass per batch over the newline-joined column,
+    ops/jsoncol.py), then a grouped aggregate over the extracted typed
+    field: per event_type, row count and sum(k). Oracle = DuckDB
+    json_extract + GROUP BY."""
+    import ray.data
+
+    from mothray.ops import jsoncol
+    from mothray.ops.nullkeys import null_safe_group_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    from ray.data.aggregate import Count, Sum
+
+    parsed = jsoncol.json_to_columns(ds, "props", {"k": pa.int64()}, drop_source=True)
+    out = null_safe_group_aggregate(
+        parsed, ["event_type"], [Count(alias_name="n"), Sum("k", alias_name="sum_k")]
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2756,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["update_where_orders"] = _update_where_orders
     q["connected_components_orders"] = _connected_components_orders
     q["resample_events"] = _resample_events
+    q["json_props_events"] = _json_props_events
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3500,6 +3524,11 @@ def oracle_sql() -> dict[str, str]:
         " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
         " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
+    )
+    o["json_props_events"] = (
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k"
+        " FROM events GROUP BY event_type"
     )
     o["resample_events"] = (
         "WITH b AS (SELECT user_id,"
