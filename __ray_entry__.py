@@ -2635,6 +2635,26 @@ def _json_props_events(sf_dir: str):
     return out
 
 
+def _weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sample without replacement (A-ES via
+    max-of-w fingerprints, ops/sample.py weighted_sample_k): weight =
+    (doc_id % 5) + 1, k = 50, salt 'ws1'. Pure integer ranking (FNV +
+    splitmix64 finalizer), so the oracle reproduces the selection
+    exactly — no float pow."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = t.column("doc_id").to_numpy(zero_copy_only=False) % 5 + 1
+        return t.append_column("weight", pa.array(w, pa.int64()))
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow")
+    return sample.weighted_sample_k(ds, "doc_id", "weight", 50, salt="ws1")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2780,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["connected_components_orders"] = _connected_components_orders
     q["resample_events"] = _resample_events
     q["json_props_events"] = _json_props_events
+    q["weighted_sample_documents"] = _weighted_sample_documents
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3524,6 +3545,32 @@ def oracle_sql() -> dict[str, str]:
         " ON l.c_custkey % 2 = 1 AND r.c_custkey % 2 = 0"
         " AND l.c_custkey <= 500 AND r.c_custkey <= 500"
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
+    )
+    o["weighted_sample_documents"] = (
+        # A-ES selection replayed exactly: FNV('ws1'||id||'#'||j) per
+        # weight unit, splitmix64 finalizer (UBIGINT xor/shift +
+        # HUGEINT-mod multiplies), MAX per doc, top-50 by (aes DESC, id)
+        "WITH w AS (SELECT doc_id, (doc_id % 5) + 1 AS wt FROM documents),"
+        " e AS (SELECT doc_id, wt, unnest(generate_series(1, wt)) AS j FROM w),"
+        " f AS (SELECT doc_id, wt, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "   list_transform(string_split('ws1' || CAST(doc_id AS VARCHAR) || '#'"
+        "    || CAST(j AS VARCHAR), ''), c -> CAST(ord(c) AS HUGEINT))),"
+        "   (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+        "  AS UBIGINT) AS h FROM e),"
+        # mod-2^64 multiply split into 32-bit constant halves: a full
+        # 64x64 product overflows signed INT128, a*hi (<2^96) does not
+        " m1 AS (SELECT doc_id, wt, CAST((((CAST(xor(h, h >> 30) AS HUGEINT) * 3210233709)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 30) AS HUGEINT) * 484763065)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM f),"
+        " m2 AS (SELECT doc_id, wt, CAST((((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM m1),"
+        " m3 AS (SELECT doc_id, wt, xor(h, h >> 31) AS h FROM m2),"
+        " a AS (SELECT doc_id, wt, MAX(h) AS aes FROM m3 GROUP BY doc_id, wt)"
+        " SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(wt AS BIGINT) AS weight FROM a"
+        " QUALIFY row_number() OVER (ORDER BY aes DESC, doc_id) <= 50"
     )
     o["json_props_events"] = (
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,"

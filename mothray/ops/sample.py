@@ -303,6 +303,90 @@ def sample_k_per_group(ds, group_col: str, key_col: str, k: int = 5, salt: str =
     )
 
 
+def weighted_sample_k(
+    ds,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    max_weight: int = 10_000,
+):
+    """Deterministic weighted sample WITHOUT replacement: the k rows
+    selected with probability proportional to integer `weight_col`
+    (A-ES, Efraimidis & Spirakis 2006). Each row's selection key is
+    the MAX of `weight` independent fingerprints
+    fnv(salt || key || '#' || j), j = 1..weight — the max of w uniforms
+    has CDF x^w, exactly A-ES's u^(1/w) key, but in pure integer
+    arithmetic: ranking is engine-independent (no float pow whose last
+    ulp differs across libms), so the chosen set is SQL-auditable.
+    Ties break on key_col ascending.
+
+    Rows with null or < 1 weights are excluded (SQL filter semantics).
+    Cost is O(sum of weights) hash evaluations per batch — meant for
+    SMALL weights (quality tiers, duplication counts, source
+    priorities); `max_weight` guards accidental token-count weights.
+    Scale shape: the per-batch A-ES keys feed the top-k combiner, so
+    at most k rows per batch cross the exchange."""
+    import pyarrow.compute as pc
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def add_aes(batch: pa.Table) -> pa.Table:
+        w_arr = batch.column(weight_col)
+        w_arr = w_arr.combine_chunks() if isinstance(w_arr, pa.ChunkedArray) else w_arr
+        w = w_arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        keep = w >= 1
+        batch = batch.filter(pa.array(keep))
+        w = w[keep]
+        if len(w) == 0:
+            return batch.append_column("__aes", pa.array([], pa.uint64()))
+        wmax = int(w.max())
+        if wmax > max_weight:
+            raise ValueError(
+                f"weight {wmax} exceeds max_weight={max_weight}: A-ES cost is "
+                "O(sum of weights) — rescale weights to small integers"
+            )
+        # one fingerprint per weight unit: key repeated w times, each
+        # copy suffixed '#j' (all Arrow kernels; j built by segmented
+        # arange)
+        reps = np.repeat(np.arange(len(w), dtype=np.int64), w)
+        ends = np.cumsum(w)
+        j = np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - w, w) + 1
+        key = batch.column(key_col)
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        if not (pa.types.is_string(key.type) or pa.types.is_large_string(key.type)):
+            key = pc.cast(key, pa.string())
+        composite = pc.binary_join_element_wise(
+            key.take(pa.array(reps)), "#", pc.cast(pa.array(j), pa.string()), ""
+        )
+        # fmix the fingerprints before the max: raw FNV over short
+        # structured keys is skewed in its HIGH bits (same reason the
+        # KMV estimator mixes, ops/pack.py), and max-ranking reads the
+        # high bits; the splitmix64 finalizer is exactly reproducible
+        # in SQL (UBIGINT xor/shift + HUGEINT-mod multiplies)
+        from .. import bloom as bloom_mod
+
+        fp = bloom_mod._mix(_key_fingerprints(pa.table({"k": composite}), "k", salt))
+        aes = np.maximum.reduceat(fp, np.r_[0, ends[:-1]])
+        return batch.append_column("__aes", pa.array(aes, pa.uint64()))
+
+    with_aes = ds.map_batches(add_aes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def const_group(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(batch.num_rows, dtype=np.int32))
+        )
+
+    out = top_k_per_group(
+        with_aes.map_batches(const_group, batch_format="pyarrow"),
+        "__g", "__aes", k, ascending=False, tiebreak_col=key_col,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__aes", "__g"]), batch_format="pyarrow"
+    )
+
+
 def train_split(
     ds,
     fractions: tuple = (("test", 0.1), ("val", 0.1)),
