@@ -113,3 +113,118 @@ def connected_components(
     return labels.map_batches(
         _rename({"node": "node", "lbl": "component"}), batch_format="pyarrow"
     )
+
+
+def pagerank(
+    edges,
+    src: str,
+    dst: str,
+    damping: float = 0.85,
+    iterations: int = 10,
+    num_partitions: int | None = None,
+):
+    """PageRank over a DIRECTED edge list, fixed iteration count
+    (deterministic — an unrolled SQL oracle can replay it). Returns a
+    Dataset of (node, rank); ranks sum to 1. Parallel edges count like
+    a multigraph, edges with a null endpoint are ignored, dangling
+    nodes (no out-edges) redistribute their mass uniformly — the
+    standard formulation, chosen so the rank vector stays a
+    probability distribution.
+
+    Scale shape: state is one (node, rank) Dataset; each iteration is
+    ONE hash join (edge contributions) + one groupby-sum + a scalar
+    reduce. The dangling mass needs no dangling-node join: every
+    non-dangling node's rank arrives intact in the contribution sum,
+    so dangling mass = 1 - sum(aggregated in-mass). Out-degrees join
+    into the edge list ONCE before the loop."""
+    import pyarrow.compute as pc
+
+    n_parts = num_partitions or _auto_partitions(edges)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        return pa.table({"s": a.filter(ok), "d": b.filter(ok)})
+
+    e = edges.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _rename(cols: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(list(cols)).rename_columns(list(cols.values()))
+
+        return fn
+
+    nodes = (
+        e.map_batches(
+            lambda t: pa.table(
+                {"node": pa.concat_arrays([t.column("s").combine_chunks(), t.column("d").combine_chunks()])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .min("node")
+        .map_batches(_rename({"node": "node"}), batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda t: t.append_column("rank", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+    deg = (
+        e.groupby("s")
+        .count()
+        .map_batches(_rename({"s": "deg_s", "count()": "outdeg"}), batch_format="pyarrow")
+    )
+    # out-degree rides on each edge; computed once, reused every round
+    e_deg = e.join(
+        deg, join_type="inner", num_partitions=n_parts, on=("s",), right_on=("deg_s",)
+    ).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    zero = nodes.map_batches(
+        lambda t: t.append_column("mass", pa.array(np.zeros(t.num_rows), pa.float64())),
+        batch_format="pyarrow",
+    ).materialize()
+    d = float(damping)
+    for _ in range(int(iterations)):
+        contrib = e_deg.join(
+            ranks.map_batches(_rename({"node": "r_node", "rank": "rank"}), batch_format="pyarrow"),
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("s",),
+            right_on=("r_node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("d"),
+                    "mass": pc.divide(
+                        t.column("rank"), pc.cast(t.column("outdeg"), pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        in_mass = (
+            contrib.union(zero)
+            .groupby("node")
+            .sum("mass")
+            .map_batches(_rename({"node": "node", "sum(mass)": "mass"}), batch_format="pyarrow")
+            .materialize()
+        )
+        dangling = 1.0 - (in_mass.sum("mass") or 0.0)
+
+        def step(t: pa.Table, _dm=dangling) -> pa.Table:
+            m = t.column("mass").to_numpy(zero_copy_only=False)
+            r = (1.0 - d) / n + d * (m + _dm / n)
+            return pa.table({"node": t.column("node"), "rank": pa.array(r, pa.float64())})
+
+        ranks = in_mass.map_batches(step, batch_format="pyarrow").materialize()
+    return ranks
