@@ -2718,6 +2718,39 @@ def _pagerank_oracle_sql(iterations: int = 5, d: float = 0.85) -> str:
     return "".join(parts)
 
 
+def _perceptual_dedup_documents(sf_dir: str):
+    """Perceptual image dedup (dHash-64 + 4x16-band hamming, the IMAGE
+    member of the dedup modality family) over REAL BMP payloads: even
+    doc_ids carry a horizontal-ramp image, odd a vertical-ramp, each
+    brightness-shifted by doc_id %% 30 — dHash is gradient-sign based,
+    so every family member is a hamming-0 dup and exactly the min
+    doc_id of each family survives. The oracle is that analytic
+    statement; the hash/resize math itself is pytest-pinned."""
+    import numpy as np
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_image(batch: pa.Table) -> pa.Table:
+        hramp = np.tile(np.arange(90, dtype=np.int32) * 2, (40, 1))
+        vramp = np.tile((np.arange(40, dtype=np.int32) * 3)[:, None], (1, 90))
+        imgs = []
+        for i in batch.column("doc_id").to_pylist():
+            base = hramp if i % 2 == 0 else vramp
+            imgs.append(
+                multimodal.make_bmp(np.clip(base + i % 30, 0, 255).astype(np.uint8))
+            )
+        return batch.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    with_img = ds.map_batches(add_image, batch_format="pyarrow", batch_size=256)
+    kept = multimodal.perceptual_dedup(
+        with_img, "image", "doc_id", concurrency=4, batch_size=256
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2865,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["json_props_events"] = _json_props_events
     q["weighted_sample_documents"] = _weighted_sample_documents
     q["pagerank_orders"] = _pagerank_orders
+    q["perceptual_dedup_documents"] = _perceptual_dedup_documents
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3611,6 +3645,12 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["perceptual_dedup_documents"] = (
+        # analytic: dHash keys on gradient SIGN, so each ramp family
+        # (even/odd doc_id) is one hamming-0 cluster; min id survives
+        "SELECT doc_id FROM documents"
+        " WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY doc_id % 2)"
+    )
     o["weighted_sample_documents"] = (
         # A-ES selection replayed exactly: FNV('ws1'||id||'#'||j) per
         # weight unit, splitmix64 finalizer (UBIGINT xor/shift +

@@ -523,24 +523,21 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * _U64(0x0101010101010101)) >> _U64(56)
 
 
-def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hamming: int = 3, num_partitions: int | None = None):
-    """Near-dup removal via simhash banding: split the 64-bit hash into
-    4 16-bit bands; hamming <= 3 guarantees one identical band
-    (pigeonhole); verify hamming inside buckets.
+def hamming_dup_ids(hashed, hash_col: str, id_column: str, max_hamming: int = 3):
+    """(id, 64-bit hash) Dataset -> dup ids within `max_hamming`, via
+    4x16-bit banding (hamming <= 3 guarantees one identical band by
+    pigeonhole) + in-bucket hamming verify against the min id. Shared
+    by simhash text dedup and perceptual image dedup (ops/multimodal).
 
-    Hot-bucket safety: identical simhashes collapse without any pairwise
+    Hot-bucket safety: identical hashes collapse without any pairwise
     work (hamming 0), and the remaining distinct-hash verification runs
     in fixed-size row chunks so per-task temporaries stay bounded even
-    when one band value captures a huge templated cluster. Dup ids stay
-    a distributed Dataset through the final anti-join."""
-    import pyarrow.compute as pc
-
-    hashed = ds.map_batches(
-        lambda t: simhash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
-    )
+    when one band value captures a huge templated cluster."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4x16 banding guarantees recall only for max_hamming <= 3")
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        sh = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         parts = []
         for b in range(4):
@@ -551,7 +548,7 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
                         "band": pa.array(np.full(len(ids), b, dtype=np.int32)),
                         "band_val": pa.array(band),
                         id_column: pa.array(ids),
-                        "simhash": batch.column("simhash"),
+                        hash_col: batch.column(hash_col),
                     }
                 )
             )
@@ -562,7 +559,7 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
     def bucket_verify(group: pa.Table) -> pa.Table:
         if group.num_rows < 2:
             return empty
-        sh_all = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        sh_all = group.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
         ids_all = group.column(id_column).to_numpy(zero_copy_only=False)
         # collapse identical hashes first: every id but the min per
         # distinct hash is a dup (hamming 0) — no pairwise work
@@ -585,9 +582,18 @@ def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hammi
         out = np.concatenate(losers) if losers else np.empty(0, dtype=np.int64)
         return pa.table({id_column: pa.array(out.astype(np.int64))})
 
-    dup_ids = hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
+    return hashed.map_batches(band_rows, batch_format="pyarrow").groupby(
         ["band", "band_val"]
     ).map_groups(bucket_verify, batch_format="pyarrow")
+
+
+def simhash_dedup(ds, column: str = "text", id_column: str = "doc_id", max_hamming: int = 3, num_partitions: int | None = None):
+    """Near-dup removal via simhash banding (hamming_dup_ids): dup ids
+    stay a distributed Dataset through the final anti-join."""
+    hashed = ds.map_batches(
+        lambda t: simhash_batch(t, column), batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_ids = hamming_dup_ids(hashed, "simhash", id_column, max_hamming)
     return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
 
 

@@ -359,3 +359,83 @@ def resize_images(ds, target_w: int = 32, target_h: int = 32, concurrency: int =
         batch_size=batch_size,
         num_cpus=1,
     )
+
+
+def dhash64(img: np.ndarray) -> int | None:
+    """dHash-64 perceptual hash (difference hash, public domain
+    technique): AREA-MEAN resize to 9 wide x 8 tall via a 2-D integral
+    image (every source pixel contributes — nearest-neighbor sampling
+    would make the hash sensitive to sub-block shifts), then one bit
+    per horizontal gradient sign: bit[r*8+c] = block[r][c+1] >
+    block[r][c]. Brightness/contrast shifts preserve gradient signs, so
+    re-encoded or level-adjusted copies collide; images smaller than
+    9x8 return None."""
+    h, w = img.shape
+    if h < 8 or w < 9:
+        return None
+    # integral image: S[i, j] = sum of img[:i, :j]
+    s = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.int64), axis=1, out=s[1:, 1:])
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(10) * w) // 9
+    blk = s[ye[:, None], xe[None, :]]
+    sums = blk[1:, 1:] - blk[:-1, 1:] - blk[1:, :-1] + blk[:-1, :-1]
+    area = (np.diff(ye)[:, None] * np.diff(xe)[None, :]).astype(np.float64)
+    means = sums / area  # (8, 9)
+    bits = (means[:, 1:] > means[:, :-1]).astype(np.uint8)  # (8, 8)
+    return int(np.packbits(bits.ravel()).view(">u8")[0])
+
+
+class PerceptualHasher:
+    """Actor-pool stage: binary image column -> 64-bit dHash column
+    (int64 view; null for undecodable/too-small payloads)."""
+
+    def __init__(self, image_column: str = "image", out_column: str = "dhash"):
+        self.image_column = image_column
+        self.out_column = out_column
+        self._dec = ImageDecoder()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in _binary_views(batch.column(self.image_column)):
+            img = self._dec._decode_payload(payload)
+            h = None if img is None else dhash64(img)
+            out.append(None if h is None else np.int64(np.uint64(h)))
+        return batch.append_column(self.out_column, pa.array(out, type=pa.int64()))
+
+
+def perceptual_dedup(
+    ds,
+    image_column: str = "image",
+    id_column: str = "image_id",
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+):
+    """Perceptual near-dup image removal — the IMAGE member of the
+    dedup modality family (exact / minhash / simhash / embedding /
+    perceptual): dHash-64 per image (actor pool; only (id, hash) rows
+    leave the stage — payload bytes never shuffle), then the shared
+    4x16-band hamming machinery (dedup.hamming_dup_ids) and a
+    distributed anti-join keep the min id per near-dup cluster.
+    Undecodable / too-small images have no hash and are always kept."""
+    from .dedup import _anti_join_ids, hamming_dup_ids
+
+    hashed = ds.select_columns([id_column, image_column]).map_batches(
+        PerceptualHasher,
+        fn_constructor_kwargs={"image_column": image_column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=1,
+    )
+
+    def drop_unhashed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("dhash"))).select([id_column, "dhash"])
+
+    hashed = hashed.map_batches(drop_unhashed, batch_format="pyarrow")
+    dup_ids = hamming_dup_ids(hashed, "dhash", id_column, max_hamming)
+    return _anti_join_ids(ds, dup_ids, id_column, num_partitions)
