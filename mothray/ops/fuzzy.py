@@ -40,37 +40,52 @@ import pyarrow as pa
 _LONG_CUTOFF = {1: 1024, 2: 128}
 
 
-def _variant_arrays(vals: pa.Array, max_dist: int) -> list[pa.Array]:
-    """All <=max_dist-deletion variants of each string, loop over
-    delete positions (Arrow kernels across the whole column)."""
+def _variant_arrays(vals: pa.Array, max_dist: int) -> list[tuple]:
+    """All <=max_dist-deletion variants of each string: a list of
+    (variant_array, row_mask) pairs — the loop is over delete
+    positions (Arrow kernels across the whole column), and the mask
+    keeps only rows long enough for that position. Without the mask a
+    short string in a batch with one long string would emit
+    (max_len - len) identical no-op copies, all landing in the SAME
+    variant group and inflating in-group pairing quadratically
+    (review finding, round 4)."""
     import pyarrow.compute as pc
 
     big = 1 << 30
-    max_len = pa.compute.max(pc.utf8_length(vals)).as_py() or 0
+    lens = pc.utf8_length(vals)
+    max_len = pc.max(lens).as_py() or 0
     if max_len > _LONG_CUTOFF[max_dist]:
         raise ValueError(
             f"fuzzy join is for short-string columns: saw a {max_len}-codepoint "
             f"value (cutoff {_LONG_CUTOFF[max_dist]} at max_dist={max_dist}); "
             "near-dup long text belongs to the minhash/simhash family"
         )
-    out = [vals]  # 0 deletions
+    out = [(vals, None)]  # 0 deletions: every row
     for p in range(max_len):
+        mask = pc.greater(lens, p)  # position p exists
         out.append(
-            pc.binary_join_element_wise(
-                pc.utf8_slice_codeunits(vals, start=0, stop=p),
-                pc.utf8_slice_codeunits(vals, start=p + 1, stop=big),
-                "",
+            (
+                pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(vals, start=0, stop=p),
+                    pc.utf8_slice_codeunits(vals, start=p + 1, stop=big),
+                    "",
+                ),
+                mask,
             )
         )
     if max_dist >= 2:
         for p in range(max_len):
             for q in range(p + 1, max_len):
+                mask = pc.greater(lens, q)  # the later position exists
                 out.append(
-                    pc.binary_join_element_wise(
-                        pc.utf8_slice_codeunits(vals, start=0, stop=p),
-                        pc.utf8_slice_codeunits(vals, start=p + 1, stop=q),
-                        pc.utf8_slice_codeunits(vals, start=q + 1, stop=big),
-                        "",
+                    (
+                        pc.binary_join_element_wise(
+                            pc.utf8_slice_codeunits(vals, start=0, stop=p),
+                            pc.utf8_slice_codeunits(vals, start=p + 1, stop=q),
+                            pc.utf8_slice_codeunits(vals, start=q + 1, stop=big),
+                            "",
+                        ),
+                        mask,
                     )
                 )
     return out
@@ -86,14 +101,18 @@ def edit_distances(a, b, max_dist: int) -> np.ndarray:
     res = np.full(n, inf, dtype=np.int64)
     if n == 0:
         return res
+    # exact codepoint lengths from the PYTHON strings: the numpy 'U'
+    # buffer stores embedded and trailing U+0000 as real cells but
+    # pads with the same 0, so lengths must come from len(), not a
+    # nonzero count (review finding, round 4 — 'a\\x00' vs 'a' scored 0)
+    la = np.fromiter((len(x) for x in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=n)
     a = np.asarray(a, dtype="U")
     b = np.asarray(b, dtype="U")
     la_max = max(a.dtype.itemsize // 4, 1)
     lb_max = max(b.dtype.itemsize // 4, 1)
     A = np.ascontiguousarray(a.astype(f"U{la_max}")).view(np.uint32).reshape(n, la_max)
     B = np.ascontiguousarray(b.astype(f"U{lb_max}")).view(np.uint32).reshape(n, lb_max)
-    la = (A != 0).sum(axis=1).astype(np.int64)
-    lb = (B != 0).sum(axis=1).astype(np.int64)
     live = np.abs(la - lb) <= d  # length filter: others stay at inf
     W = 2 * d + 1
     ks = np.arange(W)
@@ -130,7 +149,17 @@ def edit_distances(a, b, max_dist: int) -> np.ndarray:
 
 
 def _pairs_table(group: pa.Table, id_column: str, two_sided: bool) -> pa.Table:
-    """Unique candidate pairs within one variant group."""
+    """Unique candidate pairs within one variant group.
+
+    Rows first reduce to DISTINCT ids (several delete positions of one
+    string can hit the same variant — 'aa' minus either char is 'a' —
+    and within a group an id always carries the same value, so the
+    reduction is lossless; without it duplicate rows inflate pairing
+    quadratically — review finding, round 4). NOTE: a group of m
+    mutually-near values legitimately yields ~m^2/2 result rows —
+    that is the join's OUTPUT (the SQL oracle emits the same pairs);
+    corpora with massive exact-duplicate clusters should exact-dedup
+    first."""
     schema = {
         "l_id": pa.int64(), "r_id": pa.int64(),
         "l_val": pa.string(), "r_val": pa.string(),
@@ -140,23 +169,23 @@ def _pairs_table(group: pa.Table, id_column: str, two_sided: bool) -> pa.Table:
     vals = group.column("__val").to_numpy(zero_copy_only=False)
     if two_sided:
         side = group.column("__side").to_numpy(zero_copy_only=False)
+        # distinct (side, id), keeping the first row's value
+        _, ui = np.unique(
+            np.stack([side.astype(np.int64), ids.astype(np.int64)]), axis=1, return_index=True
+        )
+        side, ids, vals = side[ui], ids[ui], vals[ui]
         li, ri = np.nonzero(side == 0)[0], np.nonzero(side == 1)[0]
         if len(li) == 0 or len(ri) == 0:
             return empty
-        gl, gr = np.meshgrid(li, ri, indexing="ij")
-        gl, gr = gl.ravel(), gr.ravel()
+        gl = np.repeat(li, len(ri))
+        gr = np.tile(ri, len(li))
     else:
-        if len(ids) < 2:
+        ids_u, ui = np.unique(ids, return_index=True)
+        ids, vals = ids_u, vals[ui]
+        m = len(ids)
+        if m < 2:
             return empty
-        # pair each distinct id once: sort, upper triangle; duplicate
-        # rows of the SAME id never pair with themselves
-        o = np.argsort(ids, kind="stable")
-        ids, vals = ids[o], vals[o]
-        gl, gr = np.triu_indices(len(ids), k=1)
-        keep = ids[gl] != ids[gr]
-        gl, gr = gl[keep], gr[keep]
-        if len(gl) == 0:
-            return empty
+        gl, gr = np.triu_indices(m, k=1)
     return pa.table(
         {
             "l_id": pa.array(ids[gl].astype(np.int64)),
@@ -201,13 +230,15 @@ def _variant_rows(ds, column: str, id_column: str, max_dist: int, side: int | No
         batch = batch.filter(keep)
         vals = vals.filter(keep)
         variants = _variant_arrays(vals, max_dist)
-        n = len(vals)
         ids = batch.column(id_column)
         parts = []
-        for v in variants:
-            t = {"__variant": v, id_column: ids, "__val": vals}
+        for v, mask in variants:
+            vv, ii, ww = v, ids, vals
+            if mask is not None:
+                vv, ii, ww = v.filter(mask), ids.filter(mask), vals.filter(mask)
+            t = {"__variant": vv, id_column: ii, "__val": ww}
             if side is not None:
-                t["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+                t["__side"] = pa.array(np.full(len(vv), side, dtype=np.int8))
             parts.append(pa.table(t))
         return pa.concat_tables(parts)
 

@@ -54,6 +54,20 @@ def json_to_columns(
             parsed = pa.table({f.name: pa.array([], type=f.type) for f in schema})
         else:
             filled = pc.fill_null(vals.cast(pa.large_string()), "{}")
+            # every non-null value must LOOK like one object (trimmed,
+            # starts with '{'): a whitespace-only value parses to ZERO
+            # rows and could compensate for a value holding TWO objects,
+            # fooling the row-count check below (review finding, round
+            # 4). With zero-object values rejected, each value yields
+            # >= 1 row, so parsed == n implies exactly one per value.
+            heads = pc.utf8_ltrim_whitespace(filled)
+            bad = pc.invert(pc.starts_with(heads, pattern="{"))
+            if pc.any(bad).as_py():
+                i = pc.index(bad, True).as_py()
+                raise ValueError(
+                    f"column {column!r} row {i} is not a JSON object: "
+                    f"{vals[i].as_py()!r:.80}"
+                )
             # one list row over the whole column -> one join kernel call
             lst = pa.LargeListArray.from_arrays(
                 pa.array([0, n], pa.int64()), filled

@@ -182,10 +182,16 @@ def resample(
 
     def one_key(group: pa.Table) -> pa.Table:
         key_type = group.schema.field(key_col).type
+        ts_type = group.schema.field(ts_col).type
+        # output bucket type preserves the input's timezone (a naive
+        # bucket over tz-aware input would shift instants on rejoin —
+        # review finding, round 4)
+        tz = ts_type.tz if pa.types.is_timestamp(ts_type) else None
+        bucket_type = pa.timestamp("us", tz=tz) if tz else pa.timestamp("us")
         empty = pa.table(
             {
                 key_col: pa.array([], type=key_type),
-                "bucket": pa.array([], type=pa.timestamp("us")),
+                "bucket": pa.array([], type=bucket_type),
                 out_val: pa.array([], type=pa.float64()),
                 "n_obs": pa.array([], type=pa.int64()),
             }
@@ -244,7 +250,7 @@ def resample(
         return pa.table(
             {
                 key_col: pa.array([key_val] * len(grid), type=key_type),
-                "bucket": pa.array(grid).cast(pa.timestamp("us")),
+                "bucket": pa.array(grid).cast(bucket_type),
                 out_val: pa.array(dense_v, mask=~mask),
                 "n_obs": pa.array(dense_n),
             }

@@ -74,19 +74,49 @@ def test_edit_distances_hypothesis(pairs, max_dist):
 # ------------------------------------------------------------- blocking
 
 
+def _variant_sets(words, max_dist):
+    arr = pa.array(words, type=pa.string())
+    vsets = [set() for _ in words]
+    counts = [0] * len(words)
+    for col, mask in fuzzy._variant_arrays(arr, max_dist):
+        keep = mask.to_pylist() if mask is not None else [True] * len(words)
+        for i, (v, k) in enumerate(zip(col.to_pylist(), keep)):
+            if k:
+                vsets[i].add(v)
+                counts[i] += 1
+    return vsets, counts
+
+
 @pytest.mark.parametrize("max_dist", [1, 2])
 def test_variant_blocking_lossless(max_dist):
     """Any two strings within max_dist share a deletion variant."""
     words = ["grape", "grapes", "rape", "grppe", "gape", "grapple", "pear"]
-    arr = pa.array(words, type=pa.string())
-    vsets = [set() for _ in words]
-    for col in fuzzy._variant_arrays(arr, max_dist):
-        for i, v in enumerate(col.to_pylist()):
-            vsets[i].add(v)
+    vsets, _ = _variant_sets(words, max_dist)
     for i in range(len(words)):
         for j in range(i + 1, len(words)):
             if ref_lev(words[i], words[j]) <= max_dist:
                 assert vsets[i] & vsets[j], (words[i], words[j])
+
+
+def test_variant_fan_out_masks_short_rows():
+    """A short string in a batch with a long one must emit only its
+    own deletion variants, not (max_len - len) no-op copies (the
+    duplicate copies all land in one group and inflate pairing
+    quadratically)."""
+    words = ["ab", "x" * 40]
+    _, counts = _variant_sets(words, 2)
+    # 'ab': 1 (zero-del) + 2 (one-del) + 1 (two-del) rows
+    assert counts[0] == 4
+    _, counts1 = _variant_sets(words, 1)
+    assert counts1[0] == 3
+
+
+def test_nul_codepoint_semantics():
+    """U+0000 is a real codepoint: 'a\\x00' is distance 1 from 'a',
+    and an embedded NUL substitution is distance 1 (regression: the
+    NUL-padded buffer conflated padding with content)."""
+    got = fuzzy.edit_distances(["a\x00", "a\x00b", "a"], ["a", "axb", "a\x00"], 2)
+    assert got.tolist() == [1, 1, 1]
 
 
 def test_long_string_guard():

@@ -72,8 +72,12 @@ def test_nested_fields(ray_session):
 
 def test_malformed_raises_multiline_parses(ray_session):
     ds, _ = _ds(['{"k": 1}', "not json"], parts=1)
-    with pytest.raises(Exception, match="not parseable as JSON"):
+    with pytest.raises(Exception, match="not a JSON object"):
         jsoncol.json_to_columns(ds, "js", {"k": pa.int64()}).materialize()
+    # object-shaped but malformed inside: caught by the parser itself
+    ds_bad, _ = _ds(['{"k": 1}', '{"k": oops}'], parts=1)
+    with pytest.raises(Exception, match="not parseable as JSON"):
+        jsoncol.json_to_columns(ds_bad, "js", {"k": pa.int64()}).materialize()
     # two values split across two objects each: pretty-printed JSON
     # objects parse correctly (the reader consumes object sequences);
     # escaped \n inside strings never merges values
@@ -85,6 +89,19 @@ def test_malformed_raises_multiline_parses(ray_session):
     )
     assert got["k"].tolist() == [1, 2]
     assert got["s"].tolist()[1] == "a\nb"
+
+
+def test_compensating_misalignment_rejected(ray_session):
+    """A value holding TWO objects plus a whitespace-only value parse
+    to exactly n rows — the shape guard must reject the zero-object
+    value instead of silently misaligning (regression)."""
+    ds, _ = _ds(['{"k":1} {"k":2}', "  ", '{"k":3}'], parts=1)
+    with pytest.raises(Exception, match="not a JSON object"):
+        jsoncol.json_to_columns(ds, "js", {"k": pa.int64()}).materialize()
+    # and a two-object value alone now trips the row-count check
+    ds2, _ = _ds(['{"k":1} {"k":2}', '{"k":3}'], parts=1)
+    with pytest.raises(Exception, match="exactly one JSON object"):
+        jsoncol.json_to_columns(ds2, "js", {"k": pa.int64()}).materialize()
 
 
 def test_collision_and_type_guards(ray_session):

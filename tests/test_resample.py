@@ -107,6 +107,31 @@ def test_resample_matches_duckdb(ray_session, agg, agg_sql, fill):
     assert _norm(got, out) == _norm(exp, out)
 
 
+def test_resample_preserves_timezone(ray_session):
+    """tz-aware input -> tz-aware buckets at the same instants
+    (regression: buckets came back naive, shifting on rejoin)."""
+    import ray.data
+
+    base = np.datetime64("2024-03-01T10:00:00", "us")
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array(
+                [base, base + np.timedelta64(3, "h")], pa.timestamp("us")
+            ).cast(pa.timestamp("us", tz="America/New_York")),
+            "v": pa.array([1.0, 2.0]),
+        }
+    )
+    got = (
+        window.resample(ray.data.from_arrow(t), "k", "ts", "v", 60, agg="sum", fill="zero")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    assert str(got["bucket"].dt.tz) == "America/New_York"
+    assert len(got) == 4  # 10:00Z .. 13:00Z hourly
+    assert got["sum_value"].tolist() == [1.0, 0.0, 0.0, 2.0]
+
+
 def test_resample_validation():
     with pytest.raises(ValueError):
         window.resample(None, "k", "ts", "v", 5, agg="median")
