@@ -2751,6 +2751,89 @@ def _perceptual_dedup_documents(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _array_agg_customer(sf_dir: str):
+    """SQL array_agg: per market segment, the ordered list of customer
+    keys (ops/groupsets.py array_agg — one null-safe grouped shuffle,
+    zero-copy ListArray wrap per group). Oracle = list(... ORDER BY)."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_mktsegment", "c_custkey"]
+    )
+    return groupsets.array_agg(ds, "c_mktsegment", "c_custkey", "c_custkey")
+
+
+def _explode_documents(sf_dir: str):
+    """Generic UNNEST (ops/groupsets.py explode): split document text
+    to a token list per row, explode WITH ORDINALITY — a pure
+    per-batch reshape, no shuffle, list offsets + one take. Oracle =
+    LATERAL unnest + generate_series."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "toks": pc.split_pattern(t.column("text"), " "),
+            }
+        )
+
+    return groupsets.explode(
+        ds.map_batches(split, batch_format="pyarrow"), "toks", out_col="token",
+        with_ordinal=True,
+    )
+
+
+def _cross_join_region_nation(sf_dir: str):
+    """CROSS JOIN (ops/join.py cross_join): region x nation via a
+    broadcast small side, per-batch cartesian takes — no shuffle."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import join as join_mod
+
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return join_mod.cross_join(region, nation)
+
+
+def _quantile_cont_lineitem(sf_dir: str):
+    """Exact interpolated quantiles (sketch.quantile_cont, PERCENTILE_
+    CONT semantics): distinct-value-count combiner, linear
+    interpolation between order statistics. Round-9 both sides (the
+    interpolation formula's last ulp may differ across engines)."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    got = sketch.quantile_cont(ds, "l_extendedprice", qs)
+    import numpy as np
+
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([round(float(got[q]), 9) for q in qs], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2899,6 +2982,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_sample_documents"] = _weighted_sample_documents
     q["pagerank_orders"] = _pagerank_orders
     q["perceptual_dedup_documents"] = _perceptual_dedup_documents
+    q["array_agg_customer"] = _array_agg_customer
+    q["explode_documents"] = _explode_documents
+    q["cross_join_region_nation"] = _cross_join_region_nation
+    q["quantile_cont_lineitem"] = _quantile_cont_lineitem
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3645,6 +3732,29 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["array_agg_customer"] = (
+        "SELECT c_mktsegment, list(c_custkey ORDER BY c_custkey, c_custkey) AS agg"
+        " FROM customer GROUP BY c_mktsegment"
+    )
+    o["explode_documents"] = (
+        "SELECT d.doc_id, u.tok AS token, CAST(u.i AS BIGINT) AS ordinal"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d,"
+        " LATERAL (SELECT unnest(d.l) AS tok,"
+        " unnest(generate_series(1, len(d.l))) AS i) u"
+    )
+    o["cross_join_region_nation"] = (
+        "SELECT r_regionkey, r_name, n_nationkey, n_name"
+        " FROM region CROSS JOIN nation"
+    )
+    o["quantile_cont_lineitem"] = (
+        "SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,"
+        " unnest([ROUND(quantile_cont(l_extendedprice, 0.1), 9),"
+        " ROUND(quantile_cont(l_extendedprice, 0.25), 9),"
+        " ROUND(quantile_cont(l_extendedprice, 0.5), 9),"
+        " ROUND(quantile_cont(l_extendedprice, 0.75), 9),"
+        " ROUND(quantile_cont(l_extendedprice, 0.9), 9)]) AS value"
+        " FROM lineitem"
+    )
     o["perceptual_dedup_documents"] = (
         # analytic: dHash keys on gradient SIGN, so each ramp family
         # (even/odd doc_id) is one hamming-0 cluster; min id survives

@@ -171,6 +171,76 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def array_agg(ds, group_col: str, value_col: str, order_col: str):
+    """Per-group ordered list aggregation (SQL array_agg / list(...
+    ORDER BY)): one groupby shuffle; inside each group a sort + one
+    zero-copy ListArray wrap — no per-row Python. Output (group, agg
+    list<value type>). Nulls in value_col are kept in position (SQL
+    list() keeps them); deterministic via (order_col, value) sort.
+    Groups must fit a task, the unbounded-aggregate contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def collect(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(order_col, "ascending"), (value_col, "ascending")]
+        )
+        vals = group.column(value_col).take(idx)
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        lst = pa.ListArray.from_arrays(pa.array([0, len(vals)], pa.int32()), vals)
+        return pa.table(
+            {
+                group_col: group.column(group_col).combine_chunks().slice(0, 1),
+                "agg": lst,
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.select_columns(sorted({group_col, value_col, order_col}))
+    return null_safe_group_map(proj, [group_col], collect)
+
+
+def explode(ds, list_col: str, out_col: str | None = None, with_ordinal: bool = False):
+    """UNNEST a list column to one row per element, other columns
+    repeated (SQL UNNEST / CROSS JOIN LATERAL). Pure per-batch reshape
+    — no shuffle, vectorized via the list offsets and one take():
+    scalar columns repeat by element count, the flattened child array
+    becomes `out_col` (default: the list column's name). Rows whose
+    list is NULL or EMPTY are dropped (SQL UNNEST semantics); null
+    ELEMENTS survive. `with_ordinal` appends a 1-based position column
+    `ordinal` (SQL WITH ORDINALITY)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_name = out_col or list_col
+
+    def run(batch: pa.Table) -> pa.Table:
+        arr = batch.column(list_col).combine_chunks()
+        if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+            raise TypeError(f"column {list_col!r} must be a list column, got {arr.type}")
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        if arr.null_count:
+            lens = np.where(arr.is_valid().to_numpy(zero_copy_only=False), lens, 0)
+        flat = arr.flatten()  # list_flatten skips NULL list slots
+        total = int(lens.sum())
+        if len(flat) != total:
+            raise AssertionError(
+                f"explode: flatten() yielded {len(flat)} elements, offsets say {total}"
+            )
+        reps = pa.array(np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens))
+        others = batch.drop_columns([list_col]).take(reps)
+        ends = np.cumsum(lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+        out = others.append_column(out_name, flat)
+        if with_ordinal:
+            out = out.append_column("ordinal", pa.array(within + 1))
+        return out
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def string_agg(ds, group_col: str, value_col: str, order_col: str, sep: str = ","):
     """Per-group ordered string concatenation (SQL string_agg ... ORDER
     BY): one groupby shuffle; inside each group a sort + one

@@ -139,6 +139,43 @@ def broadcast_join(ds, small: pa.Table, on: str, how: str = "inner"):
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
+    """CROSS JOIN a Dataset against a small in-memory table: the small
+    side broadcasts once via ray.put; per batch the cartesian product
+    is two vectorized takes (batch rows repeated, small rows tiled) —
+    no shuffle. Output columns: batch columns then small columns
+    (duplicate names rejected). The result has |ds| x |small| rows by
+    definition — `max_small_rows` guards an accidental big-side
+    argument (a large x large cartesian product is a modeling error on
+    any engine)."""
+    import ray
+
+    if small.num_rows > max_small_rows:
+        raise ValueError(
+            f"cross_join small side has {small.num_rows} rows "
+            f"(max_small_rows={max_small_rows}); the output is |ds| x |small|"
+        )
+    small_ref = ray.put(small.combine_chunks())
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        right = ray.get(small_ref)
+        dup = set(batch.column_names) & set(right.column_names)
+        if dup:
+            raise ValueError(f"cross_join duplicate column names: {sorted(dup)}")
+        n, m = batch.num_rows, right.num_rows
+        left_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        right_idx = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        out = batch.take(left_idx)
+        rt = right.take(right_idx)
+        for name in right.column_names:
+            out = out.append_column(name, rt.column(name))
+        return out
+
+    return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def partitioned_join(left, right, on: str, num_buckets: int | None = None, how: str = "inner"):
     """Large x large: Ray Data hash-shuffle join. `num_buckets` (kept
     for API compatibility; now = join partitions) defaults to a

@@ -65,6 +65,44 @@ def exact_quantiles(ds, column: str, qs: list[float]) -> dict[float, float]:
     return out
 
 
+def quantile_cont(ds, column: str, qs: list[float]) -> dict[float, float]:
+    """Exact INTERPOLATED quantiles (SQL quantile_cont / PERCENTILE_
+    CONT): same distinct-value-count combiner as exact_quantiles, then
+    linear interpolation between the order statistics at floor/ceil of
+    h = q*(n-1). Nulls ignored. Exchange payload is distinct values,
+    not rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(column).combine_chunks())
+        return pa.table({column: vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(column)
+        .sum("cnt")
+        .sort(column)
+        .to_pandas()
+    )
+    if column not in hist.columns:  # empty input: no groups at all
+        return {q: None for q in qs}
+    hist = hist.dropna(subset=[column])
+    counts = hist["sum(cnt)"].to_numpy()
+    values = hist[column].to_numpy().astype(np.float64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[q] = None
+            continue
+        h = q * (n - 1)  # 0-indexed fractional rank
+        lo_r, hi_r = int(np.floor(h)), int(np.ceil(h))
+        lo = values[int(np.searchsorted(cum, lo_r + 1))]
+        hi = values[int(np.searchsorted(cum, hi_r + 1))]
+        out[q] = float(lo + (h - lo_r) * (hi - lo))
+    return out
+
+
 # ------------------------------------------------------------------ t-digest
 
 _DELTA = 200

@@ -1,0 +1,110 @@
+"""array_agg / explode / cross_join / quantile_cont vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mothray.ops import groupsets, join, sketch
+
+
+def test_array_agg_matches_duckdb(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 2, None, 2, 1], pa.int64()),
+            "o": pa.array([3, 1, 5, 2, 4, 2], pa.int64()),
+            "v": pa.array(["c", "a", None, "x", "d", "b"], pa.string()),
+        }
+    )
+    got = groupsets.array_agg(
+        ray.data.from_arrow(t).repartition(3), "g", "v", "o"
+    ).take_all()
+    got = {r["g"]: list(r["agg"]) for r in got}
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT g, list(v ORDER BY o, v) AS agg FROM t GROUP BY g"
+    ).fetchall()
+    exp = {g: list(a) for g, a in exp}
+    assert got == exp
+
+
+def test_explode_matches_unnest(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "xs": pa.array([[10, None, 30], [], None, [40]], pa.list_(pa.int64())),
+        }
+    )
+    got = (
+        groupsets.explode(ray.data.from_arrow(t).repartition(2), "xs", out_col="x",
+                          with_ordinal=True)
+        .to_pandas()
+        .sort_values(["id", "ordinal"])
+        .reset_index(drop=True)
+    )
+    # empty and NULL lists dropped; null ELEMENT survives
+    assert got["id"].tolist() == [1, 1, 1, 4]
+    assert [None if v != v else int(v) for v in got["x"]] == [10, None, 30, 40]
+    assert got["ordinal"].tolist() == [1, 2, 3, 1]
+    with pytest.raises(Exception, match="list column"):
+        groupsets.explode(ray.data.from_arrow(t), "id").materialize()
+
+
+def test_cross_join(ray_session):
+    import ray.data
+
+    left = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    right = pa.table({"b": pa.array(["x", "y"], pa.string()),
+                      "c": pa.array([10, 20], pa.int64())})
+    got = (
+        join.cross_join(ray.data.from_arrow(left).repartition(2), right)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 6
+    assert got["a"].tolist() == [1, 1, 2, 2, 3, 3]
+    assert got["b"].tolist() == ["x", "y"] * 3
+    with pytest.raises(Exception, match="duplicate column"):
+        join.cross_join(
+            ray.data.from_arrow(left), pa.table({"a": pa.array([1])})
+        ).materialize()
+    with pytest.raises(ValueError, match="max_small_rows"):
+        join.cross_join(
+            ray.data.from_arrow(left),
+            pa.table({"z": pa.array(np.arange(11), pa.int64())}),
+            max_small_rows=10,
+        )
+
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(12)
+    vals = np.concatenate([rng.uniform(0, 100, 500), [np.nan] * 7])
+    t = pa.table({"v": pa.array(vals)})
+    qs = [0.0, 0.1, 0.5, 0.75, 0.99, 1.0]
+    got = sketch.quantile_cont(ray.data.from_arrow(t).repartition(4), "v", qs)
+    con = duckdb.connect()
+    con.register("t", t)
+    for q in qs:
+        (exp,) = con.execute(
+            f"SELECT quantile_cont(v, {q}) FROM t WHERE NOT isnan(v)"
+        ).fetchone()
+        assert got[q] == pytest.approx(exp, abs=1e-9), q
+
+
+def test_quantile_cont_small_and_empty(ray_session):
+    import ray.data
+
+    t = pa.table({"v": pa.array([5.0, 1.0, 3.0])})
+    got = sketch.quantile_cont(ray.data.from_arrow(t), "v", [0.5, 0.25])
+    assert got[0.5] == 3.0
+    assert got[0.25] == 2.0  # h = 0.5 between 1 and 3
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    assert sketch.quantile_cont(ray.data.from_arrow(empty), "v", [0.5])[0.5] is None
