@@ -2834,6 +2834,45 @@ def _quantile_cont_lineitem(sf_dir: str):
     )
 
 
+def _skew_join_orders(sf_dir: str):
+    """Skew-aware join (ops/join.py skew_join): a third of orders
+    collapse onto key 0 (the classic hot-sentinel shape) — those rows
+    take the broadcast path and never enter the shuffle; the cold tail
+    hash-joins normally. Oracle = the plain SQL join (results are
+    path-independent)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join as join_mod
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        k = np.where(ok % 3 == 0, 0, ck % 500)
+        return pa.table({"k": pa.array(k, pa.int64()), "o_orderkey": t.column("o_orderkey")})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("c_custkey"), 500)
+        t = t.filter(keep)
+        return pa.table({"k": t.column("c_custkey"), "c_name": t.column("c_name")})
+
+    return join_mod.skew_join(
+        orders.map_batches(mk_left, batch_format="pyarrow"),
+        cust.map_batches(mk_right, batch_format="pyarrow"),
+        on="k", how="inner", hot_threshold=0.05,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -2986,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["explode_documents"] = _explode_documents
     q["cross_join_region_nation"] = _cross_join_region_nation
     q["quantile_cont_lineitem"] = _quantile_cont_lineitem
+    q["skew_join_orders"] = _skew_join_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3732,6 +3772,12 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["skew_join_orders"] = (
+        "WITH l AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0"
+        " ELSE o_custkey % 500 END AS k, o_orderkey FROM orders),"
+        " r AS (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey < 500)"
+        " SELECT l.k, l.o_orderkey, r.c_name FROM l JOIN r ON l.k = r.k"
+    )
     o["array_agg_customer"] = (
         "SELECT c_mktsegment, list(c_custkey ORDER BY c_custkey, c_custkey) AS agg"
         " FROM customer GROUP BY c_mktsegment"

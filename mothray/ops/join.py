@@ -189,6 +189,112 @@ def partitioned_join(left, right, on: str, num_buckets: int | None = None, how: 
     )
 
 
+def skew_join(
+    left,
+    right,
+    on: str,
+    how: str = "inner",
+    hot_threshold: float = 0.01,
+    hot_key_cap: int = 1024,
+    num_partitions: int | None = None,
+):
+    """Skew-aware large x large join: HOT keys (left-side frequency >=
+    `hot_threshold` as a fraction of rows, or an absolute count when
+    >= 1) take a BROADCAST path — their right rows ship once via
+    ray.put and join per batch with no exchange — while the cold tail
+    runs the normal hash-shuffle join. A single hot key (a null-like
+    sentinel, a default user id, an empty-string URL host) otherwise
+    lands every one of its rows in ONE shuffle partition and that task
+    becomes the straggler; here hot rows never enter the exchange at
+    all. Results are identical to a plain join (keys partition rows
+    disjointly; per-key join output is path-independent), which is the
+    driver query's oracle.
+
+    Assumption the split relies on: the RIGHT rows of hot keys fit in
+    memory (hot_key_cap x rows-per-key) — the classic fact x dimension
+    shape. how: inner | left | left_semi | left_anti (null left keys
+    follow the cold path and get plain-join null semantics)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    join_type = _JOIN_TYPES.get(how, how)
+    if join_type not in ("inner", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"skew_join supports inner/left/left_semi/left_anti, got {how!r}")
+
+    l_names = list(left.schema().names)
+    r_schema = right.schema()
+    dup = (set(l_names) & set(r_schema.names)) - {on}
+    if dup:
+        raise ValueError(f"skew_join requires disjoint value columns, collisions: {sorted(dup)}")
+    out_names = l_names if join_type in ("left_semi", "left_anti") else (
+        l_names + [c for c in r_schema.names if c != on]
+    )
+
+    # exact left-key frequencies (combiner-reduced exchange of distinct
+    # keys), hottest first, bounded by the cap
+    counts = left.groupby(on).count()
+    total = left.count()
+    thresh = hot_threshold if hot_threshold >= 1 else max(int(total * hot_threshold), 2)
+    top = counts.sort("count()", descending=True).limit(hot_key_cap).take_all()
+    hot = [r[on] for r in top if r[on] is not None and r["count()"] >= thresh]
+    if not hot:  # no skew: plain hash-shuffle join
+        cold = _rename_join(left, right, on, join_type, num_partitions)
+        return cold.map_batches(
+            lambda t: t.select(out_names), batch_format="pyarrow"
+        )
+    hot_arr = pa.array(hot)
+
+    def _in_hot(t: pa.Table, invert: bool) -> pa.Table:
+        m = pc.fill_null(pc.is_in(t.column(on), value_set=hot_arr), False)
+        return t.filter(pc.invert(m) if invert else m)
+
+    left_hot = left.map_batches(lambda t: _in_hot(t, False), batch_format="pyarrow")
+    left_cold = left.map_batches(lambda t: _in_hot(t, True), batch_format="pyarrow")
+    right_cold = right.map_batches(lambda t: _in_hot(t, True), batch_format="pyarrow")
+    # the hot slice of the build side materializes once and broadcasts
+    hot_right_tbls = ray.get(
+        right.map_batches(lambda t: _in_hot(t, False), batch_format="pyarrow").to_arrow_refs()
+    )
+    hot_right_tbls = [t for t in hot_right_tbls if t.num_rows]
+    if hot_right_tbls:
+        hot_right = pa.concat_tables(hot_right_tbls).combine_chunks()
+    else:  # hot left keys absent from the build side entirely
+        hot_right = pa.table(
+            {c: pa.array([], type=t) for c, t in zip(r_schema.names, r_schema.types)}
+        )
+    hot_joined = broadcast_join(left_hot, hot_right, on=on, how=join_type)
+    cold_joined = _rename_join(left_cold, right_cold, on, join_type, num_partitions)
+    align = lambda t: t.select(out_names)  # noqa: E731
+    return hot_joined.map_batches(align, batch_format="pyarrow").union(
+        cold_joined.map_batches(align, batch_format="pyarrow")
+    )
+
+
+def _rename_join(left, right, on: str, join_type: str, num_partitions: int | None):
+    """Dataset.join with the right key renamed away (Ray's join keeps
+    both key columns; same-name keys collide)."""
+    n = num_partitions or _auto_partitions(left, right)
+    rk = "__rk_" + on
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns([rk if c == on else c for c in t.column_names])
+
+    out = left.join(
+        right.map_batches(ren, batch_format="pyarrow"),
+        join_type=join_type,
+        num_partitions=n,
+        on=(on,),
+        right_on=(rk,),
+    )
+    if join_type in ("left_semi", "left_anti"):
+        return out
+    return out.map_batches(
+        lambda t: t.drop_columns([rk]) if rk in t.column_names else t,
+        batch_format="pyarrow",
+    )
+
+
 def asof_join(
     left,
     right,
