@@ -1539,6 +1539,94 @@ def _tpch_q3(sf_dir: str):
     )
 
 
+def _tpch_q10(sf_dir: str):
+    """TPC-H-Q10-shaped composite over ENCODED data (returned-item
+    revenue by customer): the returnflag filter pushes down through
+    the encoded scan in the DICTIONARY domain + string bloom, the
+    order-date quarter through timestamp zone maps; revenue
+    pre-aggregates per batch in exact scaled integers (no float-sum
+    drift); nation (25 rows) broadcasts onto customer; two partitioned
+    joins; global top-20. Four tables, three join keys — the deepest
+    'analytics over the columnar format' pipeline."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    d1 = datetime.datetime(1998, 1, 1)
+    d2 = datetime.datetime(1998, 7, 1)
+    enc_o = tempfile.mkdtemp(prefix="mothray_q10_orders_")
+    enc_l = tempfile.mkdtemp(prefix="mothray_q10_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc_o)
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+
+    orders = pipeline.filter_encoded_multi(
+        enc_o,
+        [("o_orderdate", "ge", d1), ("o_orderdate", "lt", d2)],
+        columns=["o_orderkey", "o_custkey"],
+    )
+    li = pipeline.filter_encoded_multi(
+        enc_l,
+        [("l_returnflag", "eq", "R")],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(100, disc))
+        part = pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+        return part.group_by("o_orderkey", use_threads=False).aggregate([("rev", "sum")])
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+    o_rev = join.partitioned_join(orders, rev, on="o_orderkey")
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"c_custkey": t.column("o_custkey"), "rev": t.column("rev_sum")})
+        return part.group_by("c_custkey", use_threads=False).aggregate([("rev", "sum")])
+
+    cust_rev = (
+        o_rev.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .sum("rev_sum")
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+    cust = join.broadcast_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        ),
+        nation,
+        on="c_nationkey",
+    )
+    joined = join.partitioned_join(cust_rev, cust, on="c_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "revenue_e4": t.column("sum(rev_sum)"),
+                "c_acctbal": t.column("c_acctbal"),
+                "n_name": t.column("n_name"),
+            }
+        )
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_e4", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def _pack_documents(sf_dir: str):
     """Concat-and-chunk sequence packing: the corpus token stream in
     doc_id order cut into 512-token training sequences. Text never
@@ -3026,6 +3114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cross_join_region_nation"] = _cross_join_region_nation
     q["quantile_cont_lineitem"] = _quantile_cont_lineitem
     q["skew_join_orders"] = _skew_join_orders
+    q["tpch_q10_encoded"] = _tpch_q10
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3772,6 +3861,19 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["tpch_q10_encoded"] = (
+        "SELECT c.c_custkey, c.c_name,"
+        " CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+        "  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,"
+        " c.c_acctbal, n.n_name"
+        " FROM customer c, orders o, lineitem l, nation n"
+        " WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey"
+        " AND o.o_orderdate >= TIMESTAMP '1998-01-01'"
+        " AND o.o_orderdate < TIMESTAMP '1998-07-01'"
+        " AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey"
+        " GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name"
+        " ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
+    )
     o["skew_join_orders"] = (
         "WITH l AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 0"
         " ELSE o_custkey % 500 END AS k, o_orderkey FROM orders),"
