@@ -60,9 +60,11 @@ def _variant_arrays(vals: pa.Array, max_dist: int) -> list[tuple]:
             f"value (cutoff {_LONG_CUTOFF[max_dist]} at max_dist={max_dist}); "
             "near-dup long text belongs to the minhash/simhash family"
         )
+    # one existence mask per position, hoisted out of the O(max_len^2)
+    # two-deletion loop (the mask depends only on the LATER position)
+    masks = [pc.greater(lens, j) for j in range(max_len)]
     out = [(vals, None)]  # 0 deletions: every row
     for p in range(max_len):
-        mask = pc.greater(lens, p)  # position p exists
         out.append(
             (
                 pc.binary_join_element_wise(
@@ -70,13 +72,12 @@ def _variant_arrays(vals: pa.Array, max_dist: int) -> list[tuple]:
                     pc.utf8_slice_codeunits(vals, start=p + 1, stop=big),
                     "",
                 ),
-                mask,
+                masks[p],
             )
         )
     if max_dist >= 2:
         for p in range(max_len):
             for q in range(p + 1, max_len):
-                mask = pc.greater(lens, q)  # the later position exists
                 out.append(
                     (
                         pc.binary_join_element_wise(
@@ -85,7 +86,7 @@ def _variant_arrays(vals: pa.Array, max_dist: int) -> list[tuple]:
                             pc.utf8_slice_codeunits(vals, start=q + 1, stop=big),
                             "",
                         ),
-                        mask,
+                        masks[q],  # the later position must exist
                     )
                 )
     return out

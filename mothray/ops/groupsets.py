@@ -219,6 +219,11 @@ def explode(ds, list_col: str, out_col: str | None = None, with_ordinal: bool = 
         arr = batch.column(list_col).combine_chunks()
         if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
             raise TypeError(f"column {list_col!r} must be a list column, got {arr.type}")
+        others_names = set(batch.column_names) - {list_col}
+        if out_name in others_names:
+            raise ValueError(f"explode out_col {out_name!r} collides with an existing column")
+        if with_ordinal and "ordinal" in others_names:
+            raise ValueError("explode: batch already has an 'ordinal' column")
         offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(offs)
         if arr.null_count:

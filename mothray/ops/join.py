@@ -155,15 +155,16 @@ def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
             f"cross_join small side has {small.num_rows} rows "
             f"(max_small_rows={max_small_rows}); the output is |ds| x |small|"
         )
+    # fail fast at the call site, not as a deep RayTaskError per batch
+    dup = set(ds.schema().names) & set(small.column_names)
+    if dup:
+        raise ValueError(f"cross_join duplicate column names: {sorted(dup)}")
     small_ref = ray.put(small.combine_chunks())
 
     def merge(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         right = ray.get(small_ref)
-        dup = set(batch.column_names) & set(right.column_names)
-        if dup:
-            raise ValueError(f"cross_join duplicate column names: {sorted(dup)}")
         n, m = batch.num_rows, right.num_rows
         left_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
         right_idx = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
@@ -231,18 +232,23 @@ def skew_join(
         l_names + [c for c in r_schema.names if c != on]
     )
 
+    # both inputs execute their lazy plan ONCE; the frequency pass, the
+    # hot/cold filters and the shuffle all read the cached blocks (an
+    # unmaterialized left would re-run its whole upstream plan 3x)
+    left = left.materialize()
+    right = right.materialize()
     # exact left-key frequencies (combiner-reduced exchange of distinct
-    # keys), hottest first, bounded by the cap
-    counts = left.groupby(on).count()
-    total = left.count()
+    # keys), hottest first, bounded by the cap; total derives from the
+    # counts aggregate — no extra pass over left
+    counts = left.groupby(on).count().materialize()
+    total = counts.sum("count()") or 0
     thresh = hot_threshold if hot_threshold >= 1 else max(int(total * hot_threshold), 2)
     top = counts.sort("count()", descending=True).limit(hot_key_cap).take_all()
     hot = [r[on] for r in top if r[on] is not None and r["count()"] >= thresh]
+    align = lambda t: t.select(out_names)  # noqa: E731
     if not hot:  # no skew: plain hash-shuffle join
         cold = _rename_join(left, right, on, join_type, num_partitions)
-        return cold.map_batches(
-            lambda t: t.select(out_names), batch_format="pyarrow"
-        )
+        return cold.map_batches(align, batch_format="pyarrow")
     hot_arr = pa.array(hot)
 
     def _in_hot(t: pa.Table, invert: bool) -> pa.Table:
@@ -250,8 +256,12 @@ def skew_join(
         return t.filter(pc.invert(m) if invert else m)
 
     left_hot = left.map_batches(lambda t: _in_hot(t, False), batch_format="pyarrow")
-    left_cold = left.map_batches(lambda t: _in_hot(t, True), batch_format="pyarrow")
-    right_cold = right.map_batches(lambda t: _in_hot(t, True), batch_format="pyarrow")
+    left_cold = left.map_batches(
+        lambda t: _in_hot(t, True), batch_format="pyarrow"
+    ).materialize()
+    right_cold = right.map_batches(
+        lambda t: _in_hot(t, True), batch_format="pyarrow"
+    ).materialize()
     # the hot slice of the build side materializes once and broadcasts
     hot_right_tbls = ray.get(
         right.map_batches(lambda t: _in_hot(t, False), batch_format="pyarrow").to_arrow_refs()
@@ -263,12 +273,31 @@ def skew_join(
         hot_right = pa.table(
             {c: pa.array([], type=t) for c, t in zip(r_schema.names, r_schema.types)}
         )
-    hot_joined = broadcast_join(left_hot, hot_right, on=on, how=join_type)
-    cold_joined = _rename_join(left_cold, right_cold, on, join_type, num_partitions)
-    align = lambda t: t.select(out_names)  # noqa: E731
-    return hot_joined.map_batches(align, batch_format="pyarrow").union(
-        cold_joined.map_batches(align, batch_format="pyarrow")
+    hot_joined = broadcast_join(left_hot, hot_right, on=on, how=join_type).map_batches(
+        align, batch_format="pyarrow"
     )
+    # empty-slice short circuits: Ray's hash-shuffle join cannot
+    # finalize schema-less empty partitions (same guard as the dedup
+    # anti-join), and an all-hot key domain is this op's headline case
+    if left_cold.count() == 0:
+        return hot_joined
+    if right_cold.count() == 0:
+        if join_type in ("inner", "left_semi"):
+            return hot_joined  # cold rows cannot match anything
+        if join_type == "left_anti":
+            return hot_joined.union(left_cold.map_batches(align, batch_format="pyarrow"))
+        # left_outer: cold rows survive with null right columns
+        def null_right(t: pa.Table) -> pa.Table:
+            for c, typ in zip(r_schema.names, r_schema.types):
+                if c != on:
+                    t = t.append_column(c, pa.nulls(t.num_rows, type=typ))
+            return t.select(out_names)
+
+        return hot_joined.union(
+            left_cold.map_batches(null_right, batch_format="pyarrow")
+        )
+    cold_joined = _rename_join(left_cold, right_cold, on, join_type, num_partitions)
+    return hot_joined.union(cold_joined.map_batches(align, batch_format="pyarrow"))
 
 
 def _rename_join(left, right, on: str, join_type: str, num_partitions: int | None):

@@ -35,42 +35,11 @@ def _duck_rank(q: float, n: int) -> int:
     return max(int(math.ceil(q * n)), 1)
 
 
-def exact_quantiles(ds, column: str, qs: list[float]) -> dict[float, float]:
-    """Exact quantile_disc over a Dataset column (combiner + one
-    groupby over DISTINCT VALUES; see module docstring)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column(column).combine_chunks())
-        return pa.table({column: vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
-
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(column)
-        .sum("cnt")
-        .sort(column)
-        .to_pandas()
-    )
-    hist = hist.dropna(subset=[column])
-    counts = hist["sum(cnt)"].to_numpy()
-    values = hist[column].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-    out = {}
-    for q in qs:
-        if n == 0:
-            out[q] = None
-            continue
-        r = _duck_rank(q, n)
-        out[q] = values[int(np.searchsorted(cum, r))]
-    return out
-
-
-def quantile_cont(ds, column: str, qs: list[float]) -> dict[float, float]:
-    """Exact INTERPOLATED quantiles (SQL quantile_cont / PERCENTILE_
-    CONT): same distinct-value-count combiner as exact_quantiles, then
-    linear interpolation between the order statistics at floor/ceil of
-    h = q*(n-1). Nulls ignored. Exchange payload is distinct values,
-    not rows."""
+def _value_histogram(ds, column: str):
+    """(sorted distinct values, cumulative counts) of a column — the
+    shared combiner behind exact_quantiles and quantile_cont: each
+    batch ships (value, count) pairs, one groupby-sum over DISTINCT
+    values, nulls dropped. Empty input yields two empty arrays."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch.column(column).combine_chunks())
@@ -84,11 +53,34 @@ def quantile_cont(ds, column: str, qs: list[float]) -> dict[float, float]:
         .to_pandas()
     )
     if column not in hist.columns:  # empty input: no groups at all
-        return {q: None for q in qs}
+        return np.array([]), np.array([], dtype=np.int64)
     hist = hist.dropna(subset=[column])
-    counts = hist["sum(cnt)"].to_numpy()
-    values = hist[column].to_numpy().astype(np.float64)
-    cum = np.cumsum(counts)
+    return hist[column].to_numpy(), np.cumsum(hist["sum(cnt)"].to_numpy())
+
+
+def exact_quantiles(ds, column: str, qs: list[float]) -> dict[float, float]:
+    """Exact quantile_disc over a Dataset column (combiner + one
+    groupby over DISTINCT VALUES; see module docstring)."""
+    values, cum = _value_histogram(ds, column)
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[q] = None
+            continue
+        r = _duck_rank(q, n)
+        out[q] = values[int(np.searchsorted(cum, r))]
+    return out
+
+
+def quantile_cont(ds, column: str, qs: list[float]) -> dict[float, float]:
+    """Exact INTERPOLATED quantiles (SQL quantile_cont / PERCENTILE_
+    CONT): the shared _value_histogram combiner, then linear
+    interpolation between the order statistics at floor/ceil of
+    h = q*(n-1). Nulls ignored. Exchange payload is distinct values,
+    not rows."""
+    values, cum = _value_histogram(ds, column)
+    values = values.astype(np.float64)
     n = int(cum[-1]) if len(cum) else 0
     out = {}
     for q in qs:

@@ -94,6 +94,45 @@ def test_skew_join_no_hot_keys_path(ray_session):
     assert _norm(got) == _norm(exp)
 
 
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_skew_join_every_key_hot(ray_session, how):
+    """All left keys hot -> the cold slice is EMPTY; Ray's shuffle join
+    cannot finalize schema-less empty partitions, so the op must
+    short-circuit to the broadcast path alone (regression: crashed
+    with ArrowInvalid on the op's headline single-hot-sentinel case)."""
+    import ray.data
+
+    left = pa.table({"k": pa.array([0] * 60 + [5] * 40, pa.int64()),
+                     "lv": pa.array(range(100), pa.int64())})
+    right = pa.table({"k": pa.array([0, 7], pa.int64()),
+                      "rv": pa.array([10, 70], pa.int64())})
+    got = join.skew_join(
+        ray.data.from_arrow(left).repartition(3), ray.data.from_arrow(right),
+        on="k", how=how, hot_threshold=0.2,
+    ).to_pandas()
+    exp = _sql(left, right, how)
+    assert _norm(got) == _norm(exp), how
+
+
+def test_skew_join_cold_right_empty(ray_session):
+    """Hot keys cover the entire build side: the cold RIGHT slice is
+    empty while cold left rows exist — each join type must keep its
+    semantics without entering the shuffle."""
+    import ray.data
+
+    left = pa.table({"k": pa.array([0] * 50 + [1, 2, 3], pa.int64()),
+                     "lv": pa.array(range(53), pa.int64())})
+    right = pa.table({"k": pa.array([0], pa.int64()),
+                      "rv": pa.array([10], pa.int64())})
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = join.skew_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", how=how, hot_threshold=0.2,
+        ).to_pandas()
+        exp = _sql(left, right, how)
+        assert _norm(got) == _norm(exp), how
+
+
 def test_skew_join_guards(ray_session):
     import ray.data
 
