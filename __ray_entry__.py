@@ -2961,6 +2961,22 @@ def _skew_join_orders(sf_dir: str):
     )
 
 
+def _spearman_lineitem(sf_dir: str):
+    """Spearman rank correlation of quantity vs discount (tie-heavy
+    low-cardinality columns — the op's intended shape): average ranks
+    from the distinct-value histogram broadcast once, Pearson over the
+    rank columns (moments.spearman_corr). Oracle = corr over
+    window-function average ranks, round-6."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    return moments.spearman_corr(ds, "l_quantity", "l_discount")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3124,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["explode_documents"] = _explode_documents
     q["cross_join_region_nation"] = _cross_join_region_nation
     q["quantile_cont_lineitem"] = _quantile_cont_lineitem
+    q["spearman_lineitem"] = _spearman_lineitem
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3870,6 +3887,17 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["spearman_lineitem"] = (
+        "WITH f AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem"
+        " WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),"
+        " r AS (SELECT RANK() OVER (ORDER BY x)"
+        " + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,"
+        " RANK() OVER (ORDER BY y)"
+        " + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry FROM f)"
+        " SELECT CAST(COUNT(*) AS BIGINT) AS n,"
+        " ROUND(covar_samp(rx, ry), 6) AS covar_samp,"
+        " ROUND(corr(rx, ry), 6) AS corr FROM r"
+    )
     o["tpch_q10_encoded"] = (
         "SELECT c.c_custkey, c.c_name,"
         " CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)"

@@ -237,6 +237,74 @@ def group_corr(
     return merged
 
 
+def spearman_corr(
+    ds,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+    max_distinct: int = 2_000_000,
+):
+    """Spearman rank correlation = Pearson correlation over AVERAGE
+    ranks (the tie-aware fractional-rank convention SQL reproduces as
+    RANK() + (ties-1)/2). Rows with a null in either column are
+    excluded first (pairwise-complete). Output: one row (n,
+    covar_samp, corr) over the rank columns, round_digits applied —
+    the same shape/rounding as group_corr.
+
+    Scale shape: ranks come from the distinct-value-count histogram
+    (sketch._value_histogram — the exchange carries distinct values,
+    not rows); the two value->rank maps broadcast once via ray.put and
+    each batch translates by one searchsorted. Suited to bounded-
+    cardinality columns (quantities, scores, buckets); a continuous
+    column with ~n distinct values makes the broadcast map O(n) —
+    `max_distinct` guards that, and a global sort-rank is the honest
+    path there."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .sketch import _value_histogram
+
+    def pairwise(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col)
+        y = batch.column(y_col)
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t = batch.filter(ok)
+        return t.select([x_col, y_col])
+
+    pairs = ds.map_batches(pairwise, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def rank_map(col: str):
+        values, cum = _value_histogram(pairs, col)
+        if len(values) > max_distinct:
+            raise ValueError(
+                f"spearman_corr: column {col!r} has {len(values)} distinct values "
+                f"(max_distinct={max_distinct}) — the broadcast rank map would be "
+                "corpus-sized; rank via a global sort instead"
+            )
+        counts = np.diff(np.concatenate(([0], cum)))
+        avg_rank = (cum - counts) + (counts + 1) / 2.0
+        return ray.put((np.asarray(values), avg_rank))
+
+    x_ref, y_ref = rank_map(x_col), rank_map(y_col)
+
+    def to_ranks(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        xv, xr = ray_api.get(x_ref)
+        yv, yr = ray_api.get(y_ref)
+        x = batch.column(x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "rx": pa.array(xr[np.searchsorted(xv, x)]),
+                "ry": pa.array(yr[np.searchsorted(yv, y)]),
+            }
+        )
+
+    ranked = pairs.map_batches(to_ranks, batch_format="pyarrow", zero_copy_batch=True)
+    return group_corr(ranked, "rx", "ry", round_digits=round_digits)
+
+
 def standardize(
     ds,
     value_cols: list[str],

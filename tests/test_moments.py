@@ -235,3 +235,54 @@ def test_string_agg_orders(ray_session):
         f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
     ).df()
     assert got.equals(exp.reset_index(drop=True))
+
+
+def test_spearman_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    x = rng.integers(0, 25, n).astype(float)
+    y = np.round(x * -1.5 + rng.normal(0, 8, n), 1)
+    t = pa.table(
+        {
+            "x": pa.array([None if i % 41 == 0 else float(v) for i, v in enumerate(x)]),
+            "y": pa.array([None if i % 37 == 0 else float(v) for i, v in enumerate(y)]),
+        }
+    )
+    got = moments.spearman_corr(ray.data.from_arrow(t).repartition(5), "x", "y").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        """
+        WITH f AS (SELECT x, y FROM t WHERE x IS NOT NULL AND y IS NOT NULL),
+         r AS (SELECT RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                      RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry FROM f)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(covar_samp(rx, ry), 6) AS covar_samp,
+               ROUND(corr(rx, ry), 6) AS corr FROM r
+        """
+    ).df()
+    assert got["n"].iloc[0] == exp["n"].iloc[0]
+    assert abs(got["corr"].iloc[0] - exp["corr"].iloc[0]) < 1e-9
+    # perfectly monotone -> rho = 1 exactly (ranks identical)
+    mono = pa.table({"x": pa.array([1.0, 2.0, 5.0, 9.0]), "y": pa.array([3.0, 4.0, 8.0, 20.0])})
+    r = moments.spearman_corr(ray.data.from_arrow(mono), "x", "y").to_pandas()
+    assert r["corr"].iloc[0] == 1.0
+
+
+def test_spearman_distinct_guard(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from mothray.ops import moments
+
+    t = pa.table({"x": pa.array(np.arange(100.0)), "y": pa.array(np.arange(100.0))})
+    with _pytest.raises(ValueError, match="max_distinct"):
+        moments.spearman_corr(ray.data.from_arrow(t), "x", "y", max_distinct=10)
