@@ -2984,6 +2984,23 @@ def _spearman_lineitem(sf_dir: str):
     )
 
 
+def _robust_outliers_events(sf_dir: str):
+    """Robust (median/MAD) outlier rows of events.value — the
+    heavy-tail-proof 3-sigma rule (sketch.mad / robust_outliers: two
+    bounded histogram passes for the scalars, then a shuffle-free
+    streamed filter). k = 1.512345 keeps the threshold off the data's
+    0.005 value grid, so a last-ulp difference in the two engines'
+    interpolated medians cannot flip a boundary row."""
+    import ray.data
+
+    from mothray.ops import sketch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    return sketch.robust_outliers(ds, "value", k=1.512345)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3148,6 +3165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cross_join_region_nation"] = _cross_join_region_nation
     q["quantile_cont_lineitem"] = _quantile_cont_lineitem
     q["spearman_lineitem"] = _spearman_lineitem
+    q["robust_outliers_events"] = _robust_outliers_events
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3894,6 +3912,11 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["robust_outliers_events"] = (
+        "WITH s AS (SELECT median(value) AS m, mad(value) AS d FROM events)"
+        " SELECT e.event_id, e.value FROM events e, s"
+        " WHERE abs(e.value - s.m) > 1.512345 * s.d"
+    )
     o["spearman_lineitem"] = (
         "WITH f AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem"
         " WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),"

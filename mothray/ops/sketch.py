@@ -95,6 +95,49 @@ def quantile_cont(ds, column: str, qs: list[float]) -> dict[float, float]:
     return out
 
 
+def mad(ds, column: str) -> dict:
+    """Median absolute deviation: {median, mad} with SQL median()/mad()
+    semantics (interpolated medians, nulls ignored) — the robust
+    spread statistic quality filters use where variance is hostage to
+    tails. Two bounded passes, each a distinct-value-count combiner:
+    one histogram for the median, one for |x - median|."""
+    import pyarrow.compute as pc
+
+    med = quantile_cont(ds, column, [0.5])[0.5]
+    if med is None:
+        return {"median": None, "mad": None}
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).combine_chunks().cast(pa.float64())
+        return pa.table({"__ad": pc.abs(pc.subtract(x, med))})
+
+    dev = ds.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    d = quantile_cont(dev, "__ad", [0.5])[0.5]
+    return {"median": float(med), "mad": float(d)}
+
+
+def robust_outliers(ds, column: str, k: float = 3.0):
+    """Rows whose |x - median| exceeds k * MAD — robust outlier
+    flagging (a 3-sigma rule that heavy tails cannot inflate). The
+    median/MAD scalars compute once (two bounded histogram passes) and
+    the filter streams with no further exchange; null values are never
+    outliers (SQL comparison semantics)."""
+    import pyarrow.compute as pc
+
+    stats = mad(ds, column)
+    med, d = stats["median"], stats["mad"]
+    if med is None:
+        return ds.filter(lambda row: False)
+    thresh = k * d
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch.column(column).combine_chunks().cast(pa.float64())
+        keep = pc.fill_null(pc.greater(pc.abs(pc.subtract(x, med)), thresh), False)
+        return batch.filter(keep)
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ t-digest
 
 _DELTA = 200

@@ -108,3 +108,28 @@ def test_quantile_cont_small_and_empty(ray_session):
     assert got[0.25] == 2.0  # h = 0.5 between 1 and 3
     empty = pa.table({"v": pa.array([], pa.float64())})
     assert sketch.quantile_cont(ray.data.from_arrow(empty), "v", [0.5])[0.5] is None
+
+
+def test_mad_matches_duckdb(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vals = np.round(np.concatenate([rng.normal(50, 5, 2000), rng.uniform(0, 200, 50)]), 2)
+    t = pa.table({"v": pa.array([None if i % 71 == 0 else float(x) for i, x in enumerate(vals)])})
+    got = sketch.mad(ray.data.from_arrow(t).repartition(3), "v")
+    con = duckdb.connect()
+    con.register("t", t)
+    med, d = con.execute("SELECT median(v), mad(v) FROM t").fetchone()
+    assert got["median"] == pytest.approx(med, abs=1e-12)
+    assert got["mad"] == pytest.approx(d, abs=1e-12)
+    out = sketch.robust_outliers(
+        ray.data.from_arrow(t).repartition(3), "v", k=1.512345
+    ).to_pandas()
+    exp = con.execute(
+        "WITH s AS (SELECT median(v) m, mad(v) d FROM t)"
+        " SELECT v FROM t, s WHERE abs(v - m) > 1.512345 * d"
+    ).df()
+    assert sorted(out["v"]) == sorted(exp["v"])
+    # empty input
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    assert sketch.mad(ray.data.from_arrow(empty), "v") == {"median": None, "mad": None}
