@@ -3001,6 +3001,39 @@ def _robust_outliers_events(sf_dir: str):
     return sketch.robust_outliers(ds, "value", k=1.512345)
 
 
+def _drift_bins_orders(sf_dir: str):
+    """Data-drift contingency table (profile.drift_bins): totalprice
+    distribution of pre-1998 orders (reference) vs 1998+ orders (new),
+    10 fixed-width bins on the reference's min/max. The bucket
+    expression is written identically in SQL so edge assignment is
+    bit-deterministic, and the checked cells are pure integers. The
+    PSI scalar over these bins is pytest-covered."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    cut = datetime.datetime(1998, 1, 1)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+
+    def half(older: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t.column("o_orderdate"), cut)
+            return t.filter(m if older else pc.invert(m)).select(["o_totalprice"])
+
+        return f
+
+    ref = ds.map_batches(half(True), batch_format="pyarrow")
+    new = ds.map_batches(half(False), batch_format="pyarrow")
+    import ray.data as _rd
+
+    return _rd.from_arrow(prof.drift_bins(ref, new, "o_totalprice", 10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3166,6 +3199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantile_cont_lineitem"] = _quantile_cont_lineitem
     q["spearman_lineitem"] = _spearman_lineitem
     q["robust_outliers_events"] = _robust_outliers_events
+    q["drift_bins_orders"] = _drift_bins_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3912,6 +3946,23 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["drift_bins_orders"] = (
+        "WITH r AS (SELECT o_totalprice AS v FROM orders"
+        " WHERE o_orderdate < TIMESTAMP '1998-01-01'),"
+        " n AS (SELECT o_totalprice AS v FROM orders"
+        " WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01')),"
+        " s AS (SELECT min(v) AS lo, max(v) AS hi FROM r),"
+        " rb AS (SELECT CAST(greatest(least(floor(((v - s.lo) * 10) / (s.hi - s.lo)), 9), 0)"
+        "  AS BIGINT) AS bin FROM r, s WHERE v IS NOT NULL),"
+        " nb AS (SELECT CAST(greatest(least(floor(((v - s.lo) * 10) / (s.hi - s.lo)), 9), 0)"
+        "  AS BIGINT) AS bin FROM n, s WHERE v IS NOT NULL),"
+        " g AS (SELECT unnest(generate_series(0, 9)) AS bin)"
+        " SELECT CAST(g.bin AS BIGINT) AS bin,"
+        " CAST(coalesce(rc.c, 0) AS BIGINT) AS n_ref,"
+        " CAST(coalesce(nc.c, 0) AS BIGINT) AS n_new"
+        " FROM g LEFT JOIN (SELECT bin, count(*) c FROM rb GROUP BY 1) rc ON rc.bin = g.bin"
+        " LEFT JOIN (SELECT bin, count(*) c FROM nb GROUP BY 1) nc ON nc.bin = g.bin"
+    )
     o["robust_outliers_events"] = (
         "WITH s AS (SELECT median(value) AS m, mad(value) AS d FROM events)"
         " SELECT e.event_id, e.value FROM events e, s"

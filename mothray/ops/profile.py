@@ -270,3 +270,81 @@ def profile(ds, columns: list[str] | None = None, approx_distinct: bool = False)
             ),
         }
     )
+
+
+def drift_bins(ref, new, column: str, bins: int = 10) -> pa.Table:
+    """Fixed-width bin counts of `column` over a REFERENCE dataset and
+    a NEW dataset, on edges derived from the reference's min/max — the
+    contingency table behind data-drift monitors. Bin of x is
+    floor(((x - m) * bins) / (M - m)) clamped to [0, bins-1]; the
+    expression is written identically in SQL, so bucket assignment is
+    bit-deterministic even for values exactly on an edge, and the
+    output is pure integers (no float cells to flake). Nulls are
+    ignored; new-data values outside the reference range clamp into
+    the edge bins. Each side is one streamed bincount combiner; only
+    (bin, count) rows reach the driver.
+
+    Returns (bin, n_ref, n_new). Use psi() for the scalar index."""
+    import pyarrow.compute as pc
+
+    def minmax(ds):
+        lo = ds.min(column)
+        hi = ds.max(column)
+        return lo, hi
+
+    m, M = minmax(ref)
+    if m is None or M is None:
+        raise ValueError(f"drift_bins: reference column {column!r} is all null")
+    m, M = float(m), float(M)
+    span = M - m
+    if span <= 0:
+        span = 1.0  # constant reference: everything lands in bin 0
+
+    def counts(ds) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch.column(column).combine_chunks().cast(pa.float64())
+            x = x.drop_null().to_numpy(zero_copy_only=False)
+            # EXACT expression order mirrored in the SQL oracle:
+            # ((x - m) * bins) / span, floored, clamped
+            b = np.floor(((x - m) * bins) / span)
+            b = np.clip(b, 0, bins - 1).astype(np.int64)
+            n = np.bincount(b, minlength=bins)
+            return pa.table(
+                {
+                    "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                    "n": pa.array(n),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bin")
+            .sum("n")
+            .take_all()
+        )
+        out = np.zeros(bins, dtype=np.int64)
+        for r in rows:
+            out[r["bin"]] = r["sum(n)"]
+        return out
+
+    n_ref = counts(ref)
+    n_new = counts(new)
+    return pa.table(
+        {
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "n_ref": pa.array(n_ref),
+            "n_new": pa.array(n_new),
+        }
+    )
+
+
+def psi(ref, new, column: str, bins: int = 10, eps: float = 1e-4) -> float:
+    """Population Stability Index between a reference and a new slice:
+    sum over bins of (p - q) * ln(p / q) with eps-floored proportions
+    (the standard drift score; <0.1 stable, >0.25 shifted)."""
+    t = drift_bins(ref, new, column, bins)
+    n_ref = t.column("n_ref").to_numpy()
+    n_new = t.column("n_new").to_numpy()
+    p = np.maximum(n_ref / max(n_ref.sum(), 1), eps)
+    q = np.maximum(n_new / max(n_new.sum(), 1), eps)
+    return float(np.sum((p - q) * np.log(p / q)))

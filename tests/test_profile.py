@@ -206,3 +206,48 @@ def test_profile_approx_distinct(ray_session):
     assert got["dead"]["n_distinct"] == 0
     # count/nulls/min/max stay exact in approx mode
     assert got["k"]["cnt"] == 60_000 and got["k"]["null_count"] == 0
+
+
+def test_drift_bins_and_psi(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    rng = np.random.default_rng(1)
+    tr = pa.table({"v": pa.array(np.round(rng.normal(100, 20, 3000), 2))})
+    tn = pa.table({"v": pa.array(np.round(rng.normal(115, 25, 2500), 2))})
+    got = prof.drift_bins(
+        ray.data.from_arrow(tr).repartition(3),
+        ray.data.from_arrow(tn).repartition(2), "v", 10,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("r", tr)
+    con.register("n", tn)
+    exp = con.execute(
+        """
+        WITH s AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+         rb AS (SELECT CAST(greatest(least(floor(((v - s.lo) * 10) / (s.hi - s.lo)), 9), 0) AS BIGINT) AS bin FROM r, s),
+         nb AS (SELECT CAST(greatest(least(floor(((v - s.lo) * 10) / (s.hi - s.lo)), 9), 0) AS BIGINT) AS bin FROM n, s),
+         g AS (SELECT unnest(generate_series(0, 9)) AS bin)
+        SELECT g.bin, CAST(coalesce(rc.c, 0) AS BIGINT) AS n_ref, CAST(coalesce(nc.c, 0) AS BIGINT) AS n_new
+        FROM g LEFT JOIN (SELECT bin, count(*) c FROM rb GROUP BY 1) rc ON rc.bin = g.bin
+         LEFT JOIN (SELECT bin, count(*) c FROM nb GROUP BY 1) nc ON nc.bin = g.bin ORDER BY g.bin
+        """
+    ).df()
+    assert (got["n_ref"].values == exp["n_ref"].values).all()
+    assert (got["n_new"].values == exp["n_new"].values).all()
+    # psi detects the shift; self-drift is ~zero
+    assert prof.psi(ray.data.from_arrow(tr), ray.data.from_arrow(tn), "v") > 0.1
+    assert prof.psi(ray.data.from_arrow(tr), ray.data.from_arrow(tr), "v") == 0.0
+    # constant reference: everything in bin 0, no crash
+    c = pa.table({"v": pa.array([7.0] * 20)})
+    bins = prof.drift_bins(ray.data.from_arrow(c), ray.data.from_arrow(c), "v", 10).to_pandas()
+    assert bins["n_ref"].iloc[0] == 20 and bins["n_ref"].iloc[1:].sum() == 0
+    # all-null reference raises
+    nn = pa.table({"v": pa.array([None, None], pa.float64())})
+    with _pytest.raises(ValueError, match="all null"):
+        prof.drift_bins(ray.data.from_arrow(nn), ray.data.from_arrow(c), "v")
