@@ -3034,6 +3034,48 @@ def _drift_bins_orders(sf_dir: str):
     return _rd.from_arrow(prof.drift_bins(ref, new, "o_totalprice", 10))
 
 
+def _ks_stat_orders(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic (profile.ks_stat,
+    PSI's bin-free companion): totalprice CDF gap between pre-1998 and
+    1998+ orders. Integer cumulative counts divide in the same
+    operation order as the SQL window-cumsum oracle, so the double D
+    is bit-deterministic — no rounding needed."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    cut = datetime.datetime(1998, 1, 1)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+
+    def half(older: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.less(t.column("o_orderdate"), cut)
+            return t.filter(m if older else pc.invert(m)).select(["o_totalprice"])
+
+        return f
+
+    ref = ds.map_batches(half(True), batch_format="pyarrow")
+    new = ds.map_batches(half(False), batch_format="pyarrow")
+    got = prof.ks_stat(ref, new, "o_totalprice")
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "d": pa.array([got["d"]], pa.float64()),
+                "at": pa.array([got["at"]], pa.float64()),
+                "n_ref": pa.array([got["n_ref"]], pa.int64()),
+                "n_new": pa.array([got["n_new"]], pa.int64()),
+            }
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3200,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spearman_lineitem"] = _spearman_lineitem
     q["robust_outliers_events"] = _robust_outliers_events
     q["drift_bins_orders"] = _drift_bins_orders
+    q["ks_stat_orders"] = _ks_stat_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3946,6 +3989,21 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["ks_stat_orders"] = (
+        "WITH r AS (SELECT o_totalprice AS v FROM orders"
+        " WHERE o_orderdate < TIMESTAMP '1998-01-01'),"
+        " n AS (SELECT o_totalprice AS v FROM orders"
+        " WHERE NOT (o_orderdate < TIMESTAMP '1998-01-01')),"
+        " u AS (SELECT v, 1 AS is_r, 0 AS is_n FROM r"
+        " UNION ALL SELECT v, 0, 1 FROM n),"
+        " g AS (SELECT v, SUM(is_r) AS cr, SUM(is_n) AS cn FROM u GROUP BY v),"
+        " c AS (SELECT v, SUM(cr) OVER (ORDER BY v) AS fr,"
+        " SUM(cn) OVER (ORDER BY v) AS fn FROM g),"
+        " t AS (SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM n) AS nn)"
+        " SELECT abs(c.fr / t.nr - c.fn / t.nn) AS d, c.v AS at,"
+        " CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nn AS BIGINT) AS n_new"
+        " FROM c, t ORDER BY d DESC, c.v LIMIT 1"
+    )
     o["drift_bins_orders"] = (
         "WITH r AS (SELECT o_totalprice AS v FROM orders"
         " WHERE o_orderdate < TIMESTAMP '1998-01-01'),"

@@ -348,3 +348,34 @@ def psi(ref, new, column: str, bins: int = 10, eps: float = 1e-4) -> float:
     p = np.maximum(n_ref / max(n_ref.sum(), 1), eps)
     q = np.maximum(n_new / max(n_new.sum(), 1), eps)
     return float(np.sum((p - q) * np.log(p / q)))
+
+
+def ks_stat(ref, new, column: str) -> dict:
+    """Two-sample Kolmogorov-Smirnov statistic: the max absolute gap
+    between the empirical CDFs — PSI's bin-free companion for drift
+    detection. Both sides reduce to distinct-value histograms (the
+    exchange carries distinct values, not rows); the step CDFs merge
+    on the union of values, and D evaluates as (cum_ref/n_ref) -
+    (cum_new/n_new) in exactly the operation order the SQL oracle
+    uses, so the double result is bit-deterministic. Nulls ignored.
+
+    Returns {d, at} — the statistic and the value where the gap
+    peaks (smallest such value on ties)."""
+    from .sketch import _value_histogram
+
+    rv, rc = _value_histogram(ref, column)
+    nv, nc = _value_histogram(new, column)
+    if len(rv) == 0 or len(nv) == 0:
+        raise ValueError(f"ks_stat: a side of column {column!r} is empty/all null")
+    nr = int(rc[-1])
+    nn = int(nc[-1])
+    merged = np.union1d(np.asarray(rv, dtype=np.float64), np.asarray(nv, dtype=np.float64))
+    fr = np.zeros(len(merged))
+    fn = np.zeros(len(merged))
+    ir = np.searchsorted(np.asarray(rv, dtype=np.float64), merged, side="right")
+    iq = np.searchsorted(np.asarray(nv, dtype=np.float64), merged, side="right")
+    fr[ir > 0] = rc[ir[ir > 0] - 1]
+    fn[iq > 0] = nc[iq[iq > 0] - 1]
+    gaps = np.abs(fr / nr - fn / nn)
+    i = int(np.argmax(gaps))  # first max = smallest value on ties
+    return {"d": float(gaps[i]), "at": float(merged[i]), "n_ref": nr, "n_new": nn}

@@ -251,3 +251,37 @@ def test_drift_bins_and_psi(ray_session):
     nn = pa.table({"v": pa.array([None, None], pa.float64())})
     with _pytest.raises(ValueError, match="all null"):
         prof.drift_bins(ray.data.from_arrow(nn), ray.data.from_arrow(c), "v")
+
+
+def test_ks_stat_matches_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    rng = np.random.default_rng(2)
+    tr = pa.table({"v": pa.array(np.round(rng.normal(100, 20, 2000), 2))})
+    tn = pa.table({"v": pa.array(np.round(rng.normal(110, 20, 1500), 2))})
+    got = prof.ks_stat(
+        ray.data.from_arrow(tr).repartition(3), ray.data.from_arrow(tn).repartition(2), "v"
+    )
+    con = duckdb.connect()
+    con.register("r", tr)
+    con.register("n", tn)
+    d, at = con.execute(
+        """
+        WITH u AS (SELECT v, 1 AS is_r, 0 AS is_n FROM r UNION ALL SELECT v, 0, 1 FROM n),
+         g AS (SELECT v, SUM(is_r) AS cr, SUM(is_n) AS cn FROM u GROUP BY v),
+         c AS (SELECT v, SUM(cr) OVER (ORDER BY v) AS fr, SUM(cn) OVER (ORDER BY v) AS fn FROM g),
+         t AS (SELECT (SELECT count(*) FROM r) AS nr, (SELECT count(*) FROM n) AS nn)
+        SELECT abs(c.fr / t.nr - c.fn / t.nn) AS d, c.v FROM c, t ORDER BY d DESC, c.v LIMIT 1
+        """
+    ).fetchone()
+    assert got["d"] == d and got["at"] == at
+    assert prof.ks_stat(ray.data.from_arrow(tr), ray.data.from_arrow(tr), "v")["d"] == 0.0
+    empty = pa.table({"v": pa.array([], pa.float64())})
+    with _pytest.raises(ValueError, match="empty"):
+        prof.ks_stat(ray.data.from_arrow(tr), ray.data.from_arrow(empty), "v")
