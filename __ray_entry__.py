@@ -3076,6 +3076,49 @@ def _ks_stat_orders(sf_dir: str):
     )
 
 
+def _target_encode_orders(sf_dir: str):
+    """Smoothed mean-target (impact) encoding of order priority against
+    totalprice (ops/features.py target_encode): one combiner-reduced
+    (category, sum, count) exchange + a broadcast map; round-6 on the
+    encoded value (drift analysis in the op's commit)."""
+    import ray.data
+
+    from mothray.ops import features
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = features.target_encode(ds, "o_orderpriority", "o_totalprice", m=10.0)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        enc = np.round(t.column("o_orderpriority__te").to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "te": pa.array(enc, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _one_hot_orders(sf_dir: str):
+    """One-hot indicator columns for order status (ops/features.py
+    one_hot, explicit category list -> pure per-batch transform)."""
+    import ray.data
+
+    from mothray.ops import features
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    return features.one_hot(ds, "o_orderstatus", categories=["F", "O", "P"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3243,6 +3286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["robust_outliers_events"] = _robust_outliers_events
     q["drift_bins_orders"] = _drift_bins_orders
     q["ks_stat_orders"] = _ks_stat_orders
+    q["target_encode_orders"] = _target_encode_orders
+    q["one_hot_orders"] = _one_hot_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -3989,6 +4034,22 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["target_encode_orders"] = (
+        "WITH pr AS (SELECT SUM(o_totalprice) / COUNT(o_totalprice) AS prior FROM orders),"
+        " g AS (SELECT o_orderpriority AS cat, SUM(o_totalprice) AS s,"
+        " COUNT(o_totalprice) AS c FROM orders"
+        " WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1)"
+        " SELECT o.o_orderkey, o.o_orderpriority,"
+        " ROUND(coalesce((g.s + pr.prior * 10.0) / (g.c + 10.0), pr.prior), 6) AS te"
+        " FROM orders o CROSS JOIN pr LEFT JOIN g ON g.cat = o.o_orderpriority"
+    )
+    o["one_hot_orders"] = (
+        "SELECT o_orderkey, o_orderstatus,"
+        " CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS TINYINT) AS \"o_orderstatus__F\","
+        " CAST(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS TINYINT) AS \"o_orderstatus__O\","
+        " CAST(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS TINYINT) AS \"o_orderstatus__P\""
+        " FROM orders"
+    )
     o["ks_stat_orders"] = (
         "WITH r AS (SELECT o_totalprice AS v FROM orders"
         " WHERE o_orderdate < TIMESTAMP '1998-01-01'),"
