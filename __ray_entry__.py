@@ -3119,6 +3119,26 @@ def _one_hot_orders(sf_dir: str):
     return features.one_hot(ds, "o_orderstatus", categories=["F", "O", "P"])
 
 
+def _chi2_orders(sf_dir: str):
+    """Chi-square test of independence between order status and
+    priority (moments.chi2_independence): one combiner-reduced
+    contingency groupby, margins and the statistic driver-side over
+    the bounded cell set; missing cells enter via the closed-form
+    n - sum(e_observed) remainder both here and in the oracle."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        moments.chi2_independence(ds, "o_orderstatus", "o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3288,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ks_stat_orders"] = _ks_stat_orders
     q["target_encode_orders"] = _target_encode_orders
     q["one_hot_orders"] = _one_hot_orders
+    q["chi2_orders"] = _chi2_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -4034,6 +4055,21 @@ def oracle_sql() -> dict[str, str]:
         " WHERE levenshtein(l.c_name, r.c_name) <= 2"
     )
     o["pagerank_orders"] = _pagerank_oracle_sql(iterations=5, d=0.85)
+    o["chi2_orders"] = (
+        "WITH c AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o"
+        " FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL"
+        " GROUP BY 1, 2),"
+        " ra AS (SELECT a, SUM(o) AS tc FROM c GROUP BY a),"
+        " rb AS (SELECT b, SUM(o) AS tc FROM c GROUP BY b),"
+        " tot AS (SELECT SUM(o) AS n FROM c),"
+        " e AS (SELECT c.o, ra.tc * rb.tc / tot.n AS ex"
+        " FROM c JOIN ra USING(a) JOIN rb USING(b) CROSS JOIN tot)"
+        " SELECT ROUND(SUM((o - ex) * (o - ex) / ex)"
+        " + (SELECT n FROM tot) - SUM(ex), 6) AS chi2,"
+        " CAST(((SELECT count(*) FROM ra) - 1)"
+        " * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,"
+        " CAST((SELECT n FROM tot) AS BIGINT) AS n FROM e"
+    )
     o["target_encode_orders"] = (
         "WITH pr AS (SELECT SUM(o_totalprice) / COUNT(o_totalprice) AS prior FROM orders),"
         " g AS (SELECT o_orderpriority AS cat, SUM(o_totalprice) AS s,"

@@ -305,6 +305,66 @@ def spearman_corr(
     return group_corr(ranked, "rx", "ry", round_digits=round_digits)
 
 
+def chi2_independence(ds, a_col: str, b_col: str, round_digits: int = 6) -> pa.Table:
+    """Pearson chi-square test of independence for two categorical
+    columns: one row (chi2, dof, n). Rows with a null in either column
+    are excluded (SQL convention). The contingency table comes from
+    ONE combiner-reduced groupby((a, b)).count(); margins and the
+    statistic evaluate driver-side over the bounded cell set.
+
+    Cells absent from the data still contribute their expected count:
+    sum of e over missing cells = n - sum of e over observed cells
+    (total expected mass is n), so both this op and the SQL oracle sum
+    only OBSERVED cells plus that closed-form remainder — no cross
+    join over the full category product."""
+    import pyarrow.compute as pc
+
+    def clean(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        return batch.filter(ok).select([a_col, b_col])
+
+    rows = (
+        ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([a_col, b_col])
+        .count()
+        .take_all()
+    )
+    if not rows:
+        return pa.table(
+            {
+                "chi2": pa.array([None], pa.float64()),
+                "dof": pa.array([0], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )
+    import collections
+
+    ta: dict = collections.defaultdict(int)
+    tb: dict = collections.defaultdict(int)
+    for r in rows:
+        ta[r[a_col]] += r["count()"]
+        tb[r[b_col]] += r["count()"]
+    n = sum(ta.values())
+    chi2 = 0.0
+    e_observed = 0.0
+    for r in rows:
+        o = r["count()"]
+        e = ta[r[a_col]] * tb[r[b_col]] / n
+        chi2 += (o - e) * (o - e) / e
+        e_observed += e
+    chi2 += n - e_observed  # missing cells contribute exactly e each
+    dof = (len(ta) - 1) * (len(tb) - 1)
+    return pa.table(
+        {
+            "chi2": pa.array([round(chi2, round_digits)], pa.float64()),
+            "dof": pa.array([dof], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+        }
+    )
+
+
 def standardize(
     ds,
     value_cols: list[str],

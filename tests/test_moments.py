@@ -286,3 +286,55 @@ def test_spearman_distinct_guard(ray_session):
     t = pa.table({"x": pa.array(np.arange(100.0)), "y": pa.array(np.arange(100.0))})
     with _pytest.raises(ValueError, match="max_distinct"):
         moments.spearman_corr(ray.data.from_arrow(t), "x", "y", max_distinct=10)
+
+
+def test_chi2_independence(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(9)
+    # dependent columns: b correlates with a
+    a = rng.choice(["x", "y", "z"], 2000)
+    b = np.where(rng.uniform(size=2000) < 0.7, a, rng.choice(["x", "y", "z"], 2000))
+    t = pa.table(
+        {
+            "a": pa.array([None if i % 97 == 0 else v for i, v in enumerate(a)], pa.string()),
+            "b": pa.array([None if i % 89 == 0 else v for i, v in enumerate(b)], pa.string()),
+        }
+    )
+    got = moments.chi2_independence(
+        ray.data.from_arrow(t).repartition(3), "a", "b"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        """
+        WITH c AS (SELECT a, b, count(*) AS o FROM t
+                   WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY a, b),
+         ra AS (SELECT a, SUM(o) AS tc FROM c GROUP BY a),
+         rb AS (SELECT b, SUM(o) AS tc FROM c GROUP BY b),
+         tot AS (SELECT SUM(o) AS n FROM c),
+         e AS (SELECT c.o, ra.tc * rb.tc / tot.n AS ex
+               FROM c JOIN ra USING(a) JOIN rb USING(b) CROSS JOIN tot)
+        SELECT ROUND(SUM((o - ex) * (o - ex) / ex) + (SELECT n FROM tot) - SUM(ex), 6) AS chi2,
+          CAST(((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+          CAST((SELECT n FROM tot) AS BIGINT) AS n FROM e
+        """
+    ).df()
+    assert got["n"].iloc[0] == exp["n"].iloc[0]
+    assert got["dof"].iloc[0] == exp["dof"].iloc[0] == 4
+    assert abs(got["chi2"].iloc[0] - exp["chi2"].iloc[0]) < 1e-6
+    assert got["chi2"].iloc[0] > 100  # strongly dependent
+
+    # hand-checked 2x2: [[10, 20], [20, 10]] -> chi2 = 60/9 * ... known
+    rows = (["p"] * 30) + (["q"] * 30)
+    cols = (["u"] * 10 + ["v"] * 20) + (["u"] * 20 + ["v"] * 10)
+    t2 = pa.table({"a": pa.array(rows), "b": pa.array(cols)})
+    got2 = moments.chi2_independence(ray.data.from_arrow(t2), "a", "b").to_pandas()
+    # e = 15 everywhere; chi2 = 4 * 25/15 = 6.666667
+    assert got2["chi2"].iloc[0] == round(4 * 25 / 15, 6)
+    assert got2["dof"].iloc[0] == 1
