@@ -1627,6 +1627,677 @@ def _tpch_q10(sf_dir: str):
     )
 
 
+def _rev_e4(t: "pa.Table"):
+    """Exact scaled-integer revenue l_extendedprice*(1-l_discount) in
+    1e-4 dollars — the repo's standard money idiom (2-decimal doubles
+    -> cents -> int64 products, no float-sum drift)."""
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100)), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100)), pa.int64())
+    return pc.multiply(cents, pc.subtract(100, disc))
+
+
+_REV_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _region_nation_keys(sf_dir: str, r_name: str) -> tuple[list[int], dict[int, str]]:
+    """Driver-side read of the two TINY dimension tables (25 + 5 rows;
+    the classic star-schema small side): nation keys inside a region
+    plus the key->name map, closed over by per-batch filters instead
+    of a 25-row join shuffle."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == r_name
+    }
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()}
+    keys = [r["n_nationkey"] for r in nat.to_pylist() if r["n_regionkey"] in rk]
+    return keys, names
+
+
+def _tpch_q5(sf_dir: str):
+    """TPC-H-Q5-shaped local-supplier-volume composite over ENCODED
+    data: order-date year pushes down through the encoded scan; the
+    region's nation-key set and the 25-row name map close over the
+    batch filters (driver-side dimension read, no small-table
+    shuffle); two partitioned joins carry only key+revenue width; the
+    customer-nation == supplier-nation colocation predicate evaluates
+    post-join; exact scaled-integer revenue."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    asia, names = _region_nation_keys(sf_dir, "ASIA")
+    enc_o = tempfile.mkdtemp(prefix="mothray_q5_orders_")
+    enc_l = tempfile.mkdtemp(prefix="mothray_q5_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc_o)
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+    orders = pipeline.filter_encoded_multi(
+        enc_o,
+        [
+            ("o_orderdate", "ge", datetime.datetime(1996, 1, 1)),
+            ("o_orderdate", "lt", datetime.datetime(1997, 1, 1)),
+        ],
+        columns=["o_orderkey", "o_custkey"],
+    )
+
+    def cust_keys(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("c_nationkey"), value_set=pa.array(asia, pa.int64()))
+        f = t.filter(m)
+        return pa.table({"o_custkey": f.column("c_custkey"), "c_nationkey": f.column("c_nationkey")})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_keys, batch_format="pyarrow", zero_copy_batch=True)
+    o_c = join.partitioned_join(orders, cust, on="o_custkey")
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": _rev_e4(t),
+            }
+        )
+
+    li = pipeline.decode_dataset(
+        pipeline.read_encoded(enc_l),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    j = join.partitioned_join(li, o_c, on="o_orderkey")
+
+    def supp_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": t.column("s_suppkey"), "s_nationkey": t.column("s_nationkey")}
+        )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_keys, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = join.partitioned_join(j, supp, on="l_suppkey")
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_nationkey"), t.column("s_nationkey"))
+        f = t.filter(m)
+        p = pa.table({"nk": f.column("s_nationkey"), "rev": f.column("rev")})
+        return p.group_by("nk", use_threads=False).aggregate([("rev", "sum")])
+
+    agg = (
+        j2.map_batches(local_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nk")
+        .sum("rev_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nk = t.column("nk").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in nk], pa.string()),
+                "revenue_e4": t.column("sum(rev_sum)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("revenue_e4", descending=True)
+    )
+
+
+def _tpch_q7(sf_dir: str):
+    """TPC-H-Q7-shaped volume-shipping composite: two-year shipdate
+    window pushes down through the encoded lineitem scan, supplier
+    nation filter shrinks the stream before the orderkey join, the
+    (supp_nation, cust_nation) pair filter evaluates post-join, and
+    revenue aggregates per (pair, ship year) in exact scaled ints."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    _, names = _region_nation_keys(sf_dir, "ASIA")
+    n1, n2 = 1, 2  # NATION_1 <-> NATION_2 trade volume
+    enc_l = tempfile.mkdtemp(prefix="mothray_q7_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+    li = pipeline.filter_encoded_multi(
+        enc_l,
+        [
+            ("l_shipdate", "ge", datetime.datetime(1996, 1, 1)),
+            ("l_shipdate", "lt", datetime.datetime(1998, 1, 1)),
+        ],
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "rev": _rev_e4(t),
+            }
+        )
+
+    li = li.map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    def supp_two(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("s_nationkey"), value_set=pa.array([n1, n2], pa.int64()))
+        f = t.filter(m)
+        return pa.table(
+            {"l_suppkey": f.column("s_suppkey"), "s_nationkey": f.column("s_nationkey")}
+        )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_two, batch_format="pyarrow", zero_copy_batch=True)
+    j = join.partitioned_join(li, supp, on="l_suppkey")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j2 = join.partitioned_join(j, orders, on="o_orderkey")
+
+    def cust_two(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("c_nationkey"), value_set=pa.array([n1, n2], pa.int64()))
+        f = t.filter(m)
+        return pa.table(
+            {"o_custkey": f.column("c_custkey"), "c_nationkey": f.column("c_nationkey")}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_two, batch_format="pyarrow", zero_copy_batch=True)
+    j3 = join.partitioned_join(j2, cust, on="o_custkey")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        s, c = t.column("s_nationkey"), t.column("c_nationkey")
+        m = pc.invert(pc.equal(s, c))  # both in {n1,n2}: keep cross pairs only
+        f = t.filter(m)
+        p = pa.table(
+            {
+                "sn": f.column("s_nationkey"),
+                "cn": f.column("c_nationkey"),
+                "l_year": f.column("l_year"),
+                "rev": f.column("rev"),
+            }
+        )
+        return p.group_by(["sn", "cn", "l_year"], use_threads=False).aggregate([("rev", "sum")])
+
+    agg = (
+        j3.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["sn", "cn", "l_year"])
+        .sum("rev_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[k] for k in t.column("sn").to_pylist()], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[k] for k in t.column("cn").to_pylist()], pa.string()
+                ),
+                "l_year": t.column("l_year"),
+                "revenue_e4": t.column("sum(rev_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
+def _tpch_q8(sf_dir: str):
+    """TPC-H-Q8-shaped national-market-share composite: the part-type
+    filter reduces lineitem through a key semi-join, the order-date
+    window pushes down through the encoded orders scan, the region
+    filter closes over customer batches, and the share is a ratio of
+    two exact integer revenue sums per order year (identical float
+    division on both engines)."""
+    import datetime
+    import tempfile
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    asia, _ = _region_nation_keys(sf_dir, "ASIA")
+    share_nation = 2  # NATION_2's share of ASIA PROMO volume
+    enc_o = tempfile.mkdtemp(prefix="mothray_q8_orders_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc_o)
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("p_type"), "PROMO"))
+        return pa.table({"l_partkey": f.column("p_partkey")})
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "o_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": _rev_e4(t),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    # p_partkey unique -> inner join == semi join on the filtered keys
+    li = join.partitioned_join(li, part, on="l_partkey")
+
+    def supp_keys(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": t.column("s_suppkey"), "s_nationkey": t.column("s_nationkey")}
+        )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(supp_keys, batch_format="pyarrow", zero_copy_batch=True)
+    li = join.partitioned_join(li, supp, on="l_suppkey")
+
+    def ord_year(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders = pipeline.filter_encoded_multi(
+        enc_o,
+        [
+            ("o_orderdate", "ge", datetime.datetime(1996, 1, 1)),
+            ("o_orderdate", "lt", datetime.datetime(1998, 1, 1)),
+        ],
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_year, batch_format="pyarrow", zero_copy_batch=True)
+    j = join.partitioned_join(li, orders, on="o_orderkey")
+
+    def cust_asia(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("c_nationkey"), value_set=pa.array(asia, pa.int64()))
+        return pa.table({"o_custkey": t.filter(m).column("c_custkey")})
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_asia, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = join.partitioned_join(j, cust, on="o_custkey")
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        nat = pc.cast(
+            pc.equal(t.column("s_nationkey"), share_nation), pa.int64()
+        )
+        p = pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "total": t.column("rev"),
+                "nation": pc.multiply(t.column("rev"), nat),
+            }
+        )
+        return p.group_by("o_year", use_threads=False).aggregate(
+            [("total", "sum"), ("nation", "sum")]
+        )
+
+    agg = (
+        j2.map_batches(share_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .sum(["total_sum", "nation_sum"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("sum(total_sum)").to_numpy(zero_copy_only=False).astype(np.float64)
+        nat = t.column("sum(nation_sum)").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "mkt_share": pa.array(nat / tot, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("o_year")
+
+
+def _tpch_q13(sf_dir: str):
+    """TPC-H-Q13-shaped customer order-count distribution: the
+    non-urgent order counts combine per batch BEFORE the exchange,
+    the LEFT join keeps order-less customers (count 0 — Ray's hash
+    shuffle join, left_outer), and the second tiny groupby yields the
+    distribution."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.invert(pc.equal(t.column("o_orderpriority"), "1-URGENT")))
+        p = pa.table({"c_custkey": f.column("o_custkey")})
+        return p.append_column("n", pa.array([1] * f.num_rows, pa.int64())).group_by(
+            "c_custkey", use_threads=False
+        ).aggregate([("n", "sum")])
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(ord_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .sum("n_sum")
+    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    j = join.partitioned_join(cust, counts, on="c_custkey", how="left")
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t.column("sum(n_sum)"), 0)
+        p = pa.table({"c_count": pc.cast(c, pa.int64())})
+        return p.append_column("d", pa.array([1] * t.num_rows, pa.int64())).group_by(
+            "c_count", use_threads=False
+        ).aggregate([("d", "sum")])
+
+    agg = (
+        j.map_batches(dist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .sum("d_sum")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_count": t.column("c_count"),
+                "custdist": t.column("sum(d_sum)").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["custdist", "c_count"], descending=[True, True]
+    )
+
+
+def _tpch_q14(sf_dir: str):
+    """TPC-H-Q14-shaped promo-revenue share: one month of shipdate
+    pushes down through the encoded scan, the partkey join carries
+    only (key, rev), and the percentage is 100.0 * promo / total over
+    exact integer sums — bit-identical float division on both
+    engines."""
+    import datetime
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    enc_l = tempfile.mkdtemp(prefix="mothray_q14_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": t.column("l_partkey"), "rev": _rev_e4(t)})
+
+    li = pipeline.filter_encoded_multi(
+        enc_l,
+        [
+            ("l_shipdate", "ge", datetime.datetime(1997, 9, 1)),
+            ("l_shipdate", "lt", datetime.datetime(1997, 10, 1)),
+        ],
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_cols(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": t.column("p_partkey"), "p_type": t.column("p_type")})
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(part_cols, batch_format="pyarrow", zero_copy_batch=True)
+    j = join.partitioned_join(li, part, on="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.equal(t.column("p_type"), "PROMO"), pa.int64())
+        return pa.table(
+            {
+                "promo_e4": pa.array(
+                    [pc.sum(pc.multiply(t.column("rev"), promo)).as_py() or 0], pa.int64()
+                ),
+                "total_e4": pa.array([pc.sum(t.column("rev")).as_py() or 0], pa.int64()),
+            }
+        )
+
+    p = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    promo = int(p.sum("promo_e4") or 0)
+    total = int(p.sum("total_e4") or 0)
+    return pa.table(
+        {
+            "promo_e4": pa.array([promo], pa.int64()),
+            "total_e4": pa.array([total], pa.int64()),
+            "promo_pct": pa.array(
+                [100.0 * promo / total if total else None], pa.float64()
+            ),
+        }
+    )
+
+
+def _tpch_q15(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: quarterly revenue per supplier
+    combines per batch before one small groupby, the argmax filter is
+    a scalar broadcast, and only the winning keys (a handful of rows)
+    broadcast-join back to supplier for names — the corpus never
+    re-shuffles."""
+    import datetime
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    enc_l = tempfile.mkdtemp(prefix="mothray_q15_lineitem_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc_l)
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        p = pa.table({"s_suppkey": t.column("l_suppkey"), "rev": _rev_e4(t)})
+        return p.group_by("s_suppkey", use_threads=False).aggregate([("rev", "sum")])
+
+    rev = (
+        pipeline.filter_encoded_multi(
+            enc_l,
+            [
+                ("l_shipdate", "ge", datetime.datetime(1996, 1, 1)),
+                ("l_shipdate", "lt", datetime.datetime(1996, 4, 1)),
+            ],
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_rev, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .sum("rev_sum")
+    ).materialize()
+    best = rev.max("sum(rev_sum)")
+
+    def winners(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(pc.equal(t.column("sum(rev_sum)"), best))
+        return pa.table(
+            {
+                "s_suppkey": f.column("s_suppkey"),
+                "total_revenue_e4": f.column("sum(rev_sum)").cast(pa.int64()),
+            }
+        )
+
+    win_tbl = pa.concat_tables(
+        [b for b in rev.map_batches(
+            winners, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")]
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    return join.broadcast_join(supp, win_tbl, on="s_suppkey").sort("s_suppkey")
+
+
+def _tpch_q17(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity-order revenue: the brand's
+    partkeys semi-join lineitem, per-part (count, quantity-sum)
+    aggregates combine per batch, and the correlated predicate
+    l_quantity < 0.2 * avg(qty) evaluates as the EXACT integer
+    rewrite 5*qty*n < sum_qty — no float boundary to disagree on."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join
+
+    def part_keys(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("p_brand"), "Brand#1"))
+        return pa.table({"l_partkey": f.column("p_partkey")})
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(part_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100)), pa.int64()
+                ),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_cols, batch_format="pyarrow", zero_copy_batch=True)
+    li = join.partitioned_join(li, part, on="l_partkey").materialize()
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        p = pa.table({"l_partkey": t.column("l_partkey"), "q": t.column("q")})
+        return p.group_by("l_partkey", use_threads=False).aggregate(
+            [("q", "count"), ("q", "sum")]
+        )
+
+    per_part = (
+        li.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .sum(["q_count", "q_sum"])
+    )
+    j = join.partitioned_join(li, per_part, on="l_partkey")
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("sum(q_count)"), pa.int64())
+        sq = pc.cast(t.column("sum(q_sum)"), pa.int64())
+        keep = pc.less(pc.multiply(pc.multiply(t.column("q"), 5), n), sq)
+        s = pc.sum(t.filter(keep).column("cents")).as_py() or 0
+        return pa.table({"cents": pa.array([s], pa.int64())})
+
+    total = int(
+        j.map_batches(small_partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+            "cents"
+        )
+        or 0
+    )
+    return pa.table(
+        {
+            "total_e2": pa.array([total], pa.int64()),
+            "avg_yearly_e2": pa.array([total / 7.0], pa.float64()),
+        }
+    )
+
+
+def _tpch_q18(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume orders: per-order quantity sums
+    combine per batch (exact ints), the >300 filter keeps a handful
+    of keys, and only those join orders then customer; top-100 by
+    (price, orderkey) is a total order so LIMIT is deterministic."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        p = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "q": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        )
+        return p.group_by("o_orderkey", use_threads=False).aggregate([("q", "sum")])
+
+    def over_300(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("sum(q_sum)"), 300))
+
+    big = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .sum("q_sum")
+        .map_batches(over_300, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    # the >300 survivors are a handful of keys: keep them on the RIGHT
+    # so partitioned_join's small-side routing broadcasts them and the
+    # fact tables never shuffle
+    j = join.partitioned_join(orders, big, on="o_orderkey")
+
+    def cust_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t.column("c_custkey"), "c_name": t.column("c_name")}
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_cols, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = join.partitioned_join(cust, j, on="o_custkey")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t.column("c_name"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "totalprice_e2": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64()
+                ),
+                "sum_qty": pc.cast(t.column("sum(q_sum)"), pa.int64()),
+            }
+        )
+
+    return (
+        j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["totalprice_e2", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+
+
 def _pack_documents(sf_dir: str):
     """Concat-and-chunk sequence packing: the corpus token stream in
     doc_id order cut into 512-token training sequences. Text never
@@ -2667,6 +3338,30 @@ def _connected_components_orders(sf_dir: str):
     return graph.connected_components(edges, "src", "dst")
 
 
+def _triangles_orders(sf_dir: str):
+    """Exact triangle count + global clustering over the same
+    (o_orderkey % 1499, o_custkey % 1499) hash graph as the CC /
+    PageRank queries (graph.triangle_count): degree-ordered
+    compact-forward — out-degrees bound to O(sqrt m), wedge stream
+    semi-joins the oriented edge set, O(m^1.5) total work."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import graph
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def edge(t: pa.Table) -> pa.Table:
+        s = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 1499
+        d = t.column("o_custkey").to_numpy(zero_copy_only=False) % 1499
+        return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+
+    edges = ds.map_batches(edge, batch_format="pyarrow")
+    return _rd.from_arrow(graph.triangle_count(edges, "src", "dst"))
+
+
 def _resample_events(sf_dir: str):
     """Per-user time-series RESAMPLE with forward gap fill: 6-hour
     buckets of sum(value), every bucket between a user's first and
@@ -3139,6 +3834,86 @@ def _chi2_orders(sf_dir: str):
     )
 
 
+def _linregress_lineitem(sf_dir: str):
+    """Grouped simple OLS regression (moments.group_linregress):
+    extended price regressed on quantity per return flag — one
+    combiner partial row per in-batch group, Chan merge, DuckDB
+    regr_count/slope/intercept/r2 oracle."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return moments.group_linregress(ds, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
+def _welch_t_lineitem(sf_dir: str):
+    """Two-sample Welch t test (moments.welch_t_test) of quantity
+    between return flags A and R; the heavy pass is the variance
+    combiner, the statistic evaluates driver-side over two rows in
+    the oracle's operation order."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _rd.from_arrow(moments.welch_t_test(ds, "l_quantity", "l_returnflag", "A", "R"))
+
+
+def _mann_whitney_lineitem(sf_dir: str):
+    """Mann-Whitney U rank-sum test (moments.mann_whitney_u) of
+    quantity between return flags A and R: tie-averaged fractional
+    ranks from the distinct-value histogram (50 distinct quantities —
+    the exchange carries values, not rows), exact half-integer rank
+    sums (bit-deterministic in any merge order), tie-corrected z."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _rd.from_arrow(moments.mann_whitney_u(ds, "l_quantity", "l_returnflag", "A", "R"))
+
+
+def _benford_orders(sf_dir: str):
+    """Benford first-significant-digit profile of order totals
+    (profile.benford_profile): integer-cents leading digit via exact
+    int arithmetic, <= 9 partial rows per batch, observed vs
+    log10(1+1/d) expected proportions."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import profile as prof
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return _rd.from_arrow(prof.benford_profile(ds, "o_totalprice"))
+
+
+def _autocorr_events(sf_dir: str):
+    """Lag-1 autocorrelation of event values along each user's
+    timeline: window.lag_lead supplies the per-user ordered LAG (one
+    groupby shuffle), then ONE global pairwise-complete correlation
+    over (value, lag_value) — first-event rows drop exactly as the
+    SQL lag window's nulls do."""
+    import ray.data
+
+    from mothray.ops import moments, window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    lagged = window.lag_lead(ds, "user_id", "ts", "value", "event_id")
+    return moments.group_corr(lagged, "value", "lag_value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -3309,6 +4084,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["target_encode_orders"] = _target_encode_orders
     q["one_hot_orders"] = _one_hot_orders
     q["chi2_orders"] = _chi2_orders
+    q["linregress_lineitem"] = _linregress_lineitem
+    q["welch_t_lineitem"] = _welch_t_lineitem
+    q["mann_whitney_lineitem"] = _mann_whitney_lineitem
+    q["benford_orders"] = _benford_orders
+    q["autocorr_events"] = _autocorr_events
+    q["tpch_q5_encoded"] = _tpch_q5
+    q["tpch_q7_encoded"] = _tpch_q7
+    q["tpch_q8_encoded"] = _tpch_q8
+    q["tpch_q13_orders"] = _tpch_q13
+    q["tpch_q14_encoded"] = _tpch_q14
+    q["tpch_q15_encoded"] = _tpch_q15
+    q["tpch_q17_lineitem"] = _tpch_q17
+    q["tpch_q18_lineitem"] = _tpch_q18
+    q["triangles_orders"] = _triangles_orders
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -4069,6 +4858,159 @@ def oracle_sql() -> dict[str, str]:
         " CAST(((SELECT count(*) FROM ra) - 1)"
         " * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,"
         " CAST((SELECT n FROM tot) AS BIGINT) AS n FROM e"
+    )
+    o["tpch_q5_encoded"] = (
+        f"SELECT n_name, CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4"
+        " FROM customer, orders, lineitem, supplier, nation, region"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        " AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        " AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " AND r_name = 'ASIA'"
+        " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY n_name"
+    )
+    o["tpch_q7_encoded"] = (
+        f"SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+        f" CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+        f" CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_e4"
+        " FROM supplier, lineitem, orders, customer, nation n1, nation n2"
+        " WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey"
+        " AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey"
+        " AND c_nationkey = n2.n_nationkey"
+        " AND ((n1.n_nationkey = 1 AND n2.n_nationkey = 2)"
+        "   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1))"
+        " AND l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1998-01-01'"
+        " GROUP BY 1, 2, 3"
+    )
+    o["tpch_q8_encoded"] = (
+        f"SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,"
+        f" CAST(SUM(CASE WHEN s_nationkey = 2 THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)"
+        f" / CAST(SUM({_REV_SQL}) AS DOUBLE) AS mkt_share"
+        " FROM part, lineitem, supplier, orders, customer, nation"
+        " WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey"
+        " AND l_orderkey = o_orderkey AND o_custkey = c_custkey"
+        " AND c_nationkey = n_nationkey"
+        " AND n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')"
+        " AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        " AND o_orderdate < TIMESTAMP '1998-01-01'"
+        " AND p_type = 'PROMO'"
+        " GROUP BY 1"
+    )
+    o["tpch_q13_orders"] = (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        " SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count"
+        " FROM customer LEFT JOIN orders"
+        " ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"
+        " GROUP BY c_custkey) GROUP BY c_count"
+    )
+    o["tpch_q14_encoded"] = (
+        f"SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)"
+        f" AS BIGINT) AS promo_e4,"
+        f" CAST(SUM({_REV_SQL}) AS BIGINT) AS total_e4,"
+        f" 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END)"
+        f" AS DOUBLE) / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_pct"
+        " FROM lineitem, part WHERE l_partkey = p_partkey"
+        " AND l_shipdate >= TIMESTAMP '1997-09-01'"
+        " AND l_shipdate < TIMESTAMP '1997-10-01'"
+    )
+    o["tpch_q15_encoded"] = (
+        f"WITH r AS (SELECT l_suppkey, SUM({_REV_SQL}) AS tot FROM lineitem"
+        " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey)"
+        " SELECT s_suppkey, s_name, CAST(tot AS BIGINT) AS total_revenue_e4"
+        " FROM supplier, r WHERE s_suppkey = l_suppkey"
+        " AND tot = (SELECT max(tot) FROM r)"
+    )
+    o["tpch_q17_lineitem"] = (
+        # l_quantity < 0.2 * avg(qty per part) rewritten EXACTLY over
+        # integers: 5*q*n < sum_q (same rewrite as the Ray op)
+        "WITH li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,"
+        " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+        " FROM lineitem JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'),"
+        " a AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(q) AS BIGINT) AS sq FROM li GROUP BY 1)"
+        " SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_e2,"
+        " CAST(COALESCE(SUM(cents), 0) AS BIGINT) / 7.0 AS avg_yearly_e2"
+        " FROM li JOIN a USING (l_partkey) WHERE 5 * q * n < sq"
+    )
+    o["tpch_q18_lineitem"] = (
+        "SELECT c_name, o_custkey, o_orderkey, o_orderdate,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_e2,"
+        " CAST(sum_qty AS BIGINT) AS sum_qty"
+        " FROM (SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty"
+        " FROM lineitem GROUP BY l_orderkey) q"
+        " JOIN orders ON o_orderkey = l_orderkey"
+        " JOIN customer ON c_custkey = o_custkey"
+        " WHERE sum_qty > 300"
+        " ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 100"
+    )
+    o["triangles_orders"] = (
+        "WITH e0 AS (SELECT o_orderkey % 1499 AS s, o_custkey % 1499 AS d FROM orders),"
+        " p AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0 WHERE s <> d),"
+        " tri AS (SELECT CAST(count(*) AS BIGINT) AS triangles FROM p x"
+        "  JOIN p y ON x.a = y.a AND x.b < y.b JOIN p z ON z.a = x.b AND z.b = y.b),"
+        " dg AS (SELECT node, CAST(count(*) AS BIGINT) AS dgr FROM"
+        "  (SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p) GROUP BY node),"
+        " wd AS (SELECT CAST(sum((dgr * (dgr - 1)) // 2) AS BIGINT) AS wedges FROM dg)"
+        " SELECT triangles, wedges, 3.0 * triangles / wedges AS global_clustering"
+        " FROM tri CROSS JOIN wd"
+    )
+    o["linregress_lineitem"] = (
+        "SELECT l_returnflag, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,"
+        " round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,"
+        " round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,"
+        " round(regr_r2(l_extendedprice, l_quantity), 6) AS r2"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    o["welch_t_lineitem"] = (
+        "WITH s AS (SELECT l_returnflag AS g, CAST(count(l_quantity) AS DOUBLE) AS n,"
+        " avg(l_quantity) AS m, var_samp(l_quantity) AS v FROM lineitem"
+        " WHERE l_returnflag IN ('A', 'R') GROUP BY 1)"
+        " SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,"
+        " round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,"
+        " round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t,"
+        " round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)"
+        "  / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)"
+        "   + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS welch_df"
+        " FROM s a, s b WHERE a.g = 'A' AND b.g = 'R'"
+    )
+    o["mann_whitney_lineitem"] = (
+        # fractional (tie-averaged) ranks over BOTH groups; rank sums
+        # are exact half-integers, so the float cells u_a/u_b compare
+        # bit-identically; z mirrors the op's operation order
+        "WITH t AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem"
+        " WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),"
+        " r AS (SELECT g, CAST(rank() OVER (ORDER BY v) AS DOUBLE)"
+        "  + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1) / 2.0 AS ar FROM t),"
+        " s AS (SELECT CAST(count(*) FILTER (g = 'A') AS DOUBLE) AS na,"
+        "  CAST(count(*) FILTER (g = 'R') AS DOUBLE) AS nb,"
+        "  sum(ar) FILTER (g = 'A') AS ra, sum(ar) FILTER (g = 'R') AS rb FROM r),"
+        " ties AS (SELECT coalesce(sum(CAST(c AS DOUBLE) * c * c - c), 0) AS ts"
+        "  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY v))"
+        " SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,"
+        " ra - na * (na + 1) / 2.0 AS u_a, rb - nb * (nb + 1) / 2.0 AS u_b,"
+        " round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)"
+        "  / sqrt(na * nb / 12.0 * ((na + nb + 1) - ts / ((na + nb) * (na + nb - 1)))), 6) AS z"
+        " FROM s CROSS JOIN ties"
+    )
+    o["benford_orders"] = (
+        "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders"
+        " WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) > 0),"
+        " d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),"
+        " g AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit)"
+        " SELECT digit, cnt,"
+        " round(CAST(cnt AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM d), 6) AS p_obs,"
+        " round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford"
+        " FROM g ORDER BY digit"
+    )
+    o["autocorr_events"] = (
+        "WITH w AS (SELECT value AS v,"
+        " lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lv FROM events)"
+        " SELECT CAST(count(CASE WHEN v IS NOT NULL AND lv IS NOT NULL THEN 1 END) AS BIGINT) AS n,"
+        " round(covar_samp(v, lv), 6) AS covar_samp,"
+        " round(corr(v, lv), 6) AS corr FROM w"
     )
     o["target_encode_orders"] = (
         "WITH pr AS (SELECT SUM(o_totalprice) / COUNT(o_totalprice) AS prior FROM orders),"

@@ -228,3 +228,155 @@ def pagerank(
 
         ranks = in_mass.map_batches(step, batch_format="pyarrow").materialize()
     return ranks
+
+
+def triangle_count(edges, src_col: str = "src", dst_col: str = "dst") -> pa.Table:
+    """Exact triangle count + global clustering coefficient of the
+    UNDIRECTED simple graph under an edge-list Dataset (self-loops and
+    duplicate/reverse edges collapse first). One row out:
+    (triangles, wedges, global_clustering = 3*T/W).
+
+    Algorithm: compact-forward / node-iterator with DEGREE ORDERING
+    (Latapy 2008, "Main-memory triangle computations for very large
+    graphs" — the standard distributed-friendly variant): orient every
+    edge from its (degree, id)-smaller endpoint to the larger; the
+    out-degree of any node is then O(sqrt(m)), so enumerating the
+    out-neighbor PAIRS of every node costs O(m^1.5) total work even on
+    power-law graphs — without the ordering a single hub of degree d
+    would emit d^2/2 wedges. A wedge (v, w) closes a triangle iff the
+    oriented edge v->w exists, which is one distributed semi-join of
+    the wedge stream against the oriented edge set on a packed string
+    key. Wedge totals (open + closed) come free from the degree table
+    as sum(d*(d-1)/2).
+
+    Scale shape: distinct-edge reduction, the two degree joins, the
+    per-source pair expansion, and the closing semi-join are all
+    hash exchanges over fixed-width rows; group state is one node's
+    out-neighborhood (O(sqrt m) by the ordering); nothing corpus-sized
+    touches the driver."""
+    import pyarrow.compute as pc
+
+    from .join import partitioned_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src_col)
+        d = t.column(dst_col)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        t2 = pa.table({"s": pc.cast(s, pa.int64()), "d": pc.cast(d, pa.int64())}).filter(ok)
+        lo = pc.min_element_wise(t2.column("s"), t2.column("d"))
+        hi = pc.max_element_wise(t2.column("s"), t2.column("d"))
+        keep = pc.invert(pc.equal(lo, hi))
+        p = pa.table({"a": lo, "b": hi}).filter(keep)
+        # batch-local pre-dedup shrinks the exchange
+        return p.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    uniq = (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        p = pa.table({"node": nodes})
+        return p.group_by("node", use_threads=False).aggregate([("node", "count")])
+
+    deg = (
+        uniq.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .sum("node_count")
+    )
+
+    def deg_cols(t: pa.Table, key: str, out: str) -> pa.Table:
+        return pa.table(
+            {key: t.column("node"), out: pc.cast(t.column("sum(node_count)"), pa.int64())}
+        )
+
+    deg_a = deg.map_batches(
+        lambda t: deg_cols(t, "a", "deg_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    deg_b = deg.map_batches(
+        lambda t: deg_cols(t, "b", "deg_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_deg = partitioned_join(
+        partitioned_join(uniq, deg_a, on="a"), deg_b, on="b"
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        """(deg, id)-smaller endpoint becomes the wedge source."""
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        s = np.where(a_first, a, b)
+        ss = np.where(a_first, da, db)
+        d = np.where(a_first, b, a)
+        dd = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "s": pa.array(s, pa.int64()),
+                "sdeg": pa.array(ss, pa.int64()),
+                "t": pa.array(d, pa.int64()),
+                "tdeg": pa.array(dd, pa.int64()),
+            }
+        )
+
+    oriented = with_deg.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column("s"), pa.string()), pc.cast(t.column("t"), pa.string()), "|"
+        )
+        return pa.table({"ek": k})
+
+    edge_keys = oriented.map_batches(edge_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        """All out-neighbor pairs of one source, each pair ordered by
+        the same (deg, id) criterion as the edge orientation so the
+        closing edge's key matches."""
+        t_ids = g.column("t").to_numpy(zero_copy_only=False)
+        t_deg = g.column("tdeg").to_numpy(zero_copy_only=False)
+        n = len(t_ids)
+        if n < 2:
+            return pa.table({"ek": pa.array([], pa.string())})
+        order = np.lexsort((t_ids, t_deg))
+        t_ids = t_ids[order]
+        i, j = np.triu_indices(n, 1)
+        v, w = t_ids[i], t_ids[j]
+        k = pc.binary_join_element_wise(
+            pc.cast(pa.array(v, pa.int64()), pa.string()),
+            pc.cast(pa.array(w, pa.int64()), pa.string()),
+            "|",
+        )
+        return pa.table({"ek": k})
+
+    wedge_stream = oriented.groupby("s").map_groups(wedge_pairs, batch_format="pyarrow")
+    closed = partitioned_join(wedge_stream, edge_keys, on="ek", how="left_semi")
+    triangles = int(closed.count())
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        d = pc.cast(t.column("sum(node_count)"), pa.int64())
+        w = pc.divide(pc.multiply(d, pc.subtract(d, 1)), 2)
+        return pa.table({"w": pa.array([pc.sum(w).as_py() or 0], pa.int64())})
+
+    wedges = int(
+        deg.map_batches(wedge_partial, batch_format="pyarrow", zero_copy_batch=True).sum("w")
+        or 0
+    )
+    return pa.table(
+        {
+            "triangles": pa.array([triangles], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "global_clustering": pa.array(
+                [3.0 * triangles / wedges if wedges else None], pa.float64()
+            ),
+        }
+    )

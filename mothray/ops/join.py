@@ -177,14 +177,77 @@ def cross_join(ds, small: pa.Table, max_small_rows: int = 100_000):
     return ds.map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def partitioned_join(left, right, on: str, num_buckets: int | None = None, how: str = "inner"):
+_BROADCAST_ROUTE_BYTES = 64 << 20
+
+
+def _collect_table(mat, schema=None) -> pa.Table | None:
+    """MaterializedDataset -> one in-memory pa.Table. Blocks that lost
+    their schema (Ray represents an all-filtered-out block as a
+    zero-column table) are dropped; if NOTHING carries a schema, fall
+    back to the dataset-level schema, else None."""
+    import ray as ray_api
+
+    tables = [t for t in ray_api.get(mat.to_arrow_refs()) if t.num_columns]
+    if tables:
+        return pa.concat_tables(tables, promote_options="default").combine_chunks()
+    if schema is None:
+        try:
+            schema = mat.schema().base_schema
+        except Exception:
+            schema = None
+    if schema is not None and len(schema.names):
+        return pa.table({f.name: pa.nulls(0, f.type) for f in schema})
+    return None
+
+
+def partitioned_join(
+    left,
+    right,
+    on: str,
+    num_buckets: int | None = None,
+    how: str = "inner",
+    broadcast_bytes: int = _BROADCAST_ROUTE_BYTES,
+):
     """Large x large: Ray Data hash-shuffle join. `num_buckets` (kept
     for API compatibility; now = join partitions) defaults to a
-    size-derived count targeting ~256 MB per partition."""
+    size-derived count targeting ~256 MB per partition.
+
+    SMALL-SIDE AUTO-ROUTING: when the join type is per-batch sound
+    (inner / left / left_semi / left_anti) and the right side proves
+    small (metadata size, or exact size after a one-time materialize
+    when metadata can't know — e.g. a filtered dimension behind
+    map_batches), the join takes the BROADCAST path instead: the
+    probe side never shuffles, and Ray's hash-join aggregator bug
+    with sparse builds is bypassed entirely (a partition that
+    receives ZERO blocks of one side builds a schema-less empty
+    table and pa.Table.join then dies with 'No match for key field' —
+    exactly what a 16-partition join over an 8-row dimension hits).
+    When the right side is genuinely large, the materialized copy
+    feeds the hash join directly (its blocks are reused, not
+    recomputed; the build side is fully held by aggregators either
+    way). Callers convention: put the SMALLER side on the right;
+    pass broadcast_bytes=0 to force the shuffle path."""
+    join_type = _JOIN_TYPES.get(how, how)
+    if broadcast_bytes and join_type in _BROADCAST_SOUND:
+        est = _metadata_size_bytes(right)
+        mat = None
+        if est is None:
+            mat = right.materialize()
+            est = mat.size_bytes() or 0
+        if est <= broadcast_bytes:
+            tbl = _collect_table(mat if mat is not None else right.materialize())
+            if tbl is not None:
+                return broadcast_join(left, tbl, on=on, how=join_type)
+            # schema-less EMPTY right: nothing can match
+            if join_type in ("left_anti", "left_outer"):
+                return left  # left_outer: no right columns exist to null-pad
+            return left.limit(0)
+        if mat is not None:
+            right = mat
     n = num_buckets or _auto_partitions(left, right)
     return left.join(
         right,
-        join_type=_JOIN_TYPES.get(how, how),
+        join_type=join_type,
         num_partitions=n,
         on=(on,),
     )

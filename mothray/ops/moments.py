@@ -464,3 +464,245 @@ def standardize(
         return out
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _merge_linregress(group: pa.Table, gcol: str, round_digits: int) -> pa.Table:
+    """Chan-merge of _corr_partials rows into the OLS line of y on x:
+    slope = C2/M2x, intercept = my - slope*mx, r2 = C2^2/(M2x*M2y).
+    Degenerate-group semantics follow SQL regr_*: M2x == 0 (constant
+    or absent x) -> slope/intercept/r2 all NULL; M2y == 0 with
+    M2x > 0 (constant y) -> r2 = 1."""
+    n_i = group.column("n").to_numpy(zero_copy_only=False)
+    n = n_i.sum()
+    null_row = pa.table(
+        {
+            gcol: group.column(gcol).slice(0, 1),
+            "n": pa.array([int(n)], pa.int64()),
+            "slope": pa.array([None], pa.float64()),
+            "intercept": pa.array([None], pa.float64()),
+            "r2": pa.array([None], pa.float64()),
+        }
+    )
+    if n == 0:
+        return null_row
+    mx_i = group.column("mx").to_numpy(zero_copy_only=False)
+    my_i = group.column("my").to_numpy(zero_copy_only=False)
+    mx = float((n_i * mx_i).sum() / n)
+    my = float((n_i * my_i).sum() / n)
+    dx = mx_i - mx
+    dy = my_i - my
+    m2x = float(group.column("m2x").to_numpy(zero_copy_only=False).sum() + (n_i * dx * dx).sum())
+    m2y = float(group.column("m2y").to_numpy(zero_copy_only=False).sum() + (n_i * dy * dy).sum())
+    c2 = float(group.column("c2").to_numpy(zero_copy_only=False).sum() + (n_i * dx * dy).sum())
+    if m2x <= 0:
+        return null_row
+    slope = c2 / m2x
+    intercept = my - slope * mx
+    r2 = 1.0 if m2y == 0 else (c2 * c2) / (m2x * m2y)
+    return pa.table(
+        {
+            gcol: group.column(gcol).slice(0, 1),
+            "n": pa.array([int(n)], pa.int64()),
+            "slope": pa.array([round(slope, round_digits)], pa.float64()),
+            "intercept": pa.array([round(intercept, round_digits)], pa.float64()),
+            "r2": pa.array([round(r2, round_digits)], pa.float64()),
+        }
+    )
+
+
+def group_linregress(
+    ds,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    round_digits: int = 6,
+):
+    """Simple OLS regression of y on x per group (or global):
+    n / slope / intercept / r2, matching DuckDB
+    `regr_count / round(regr_slope,6) / round(regr_intercept,6) /
+    round(regr_r2,6)` with pairwise-complete null handling. Same
+    combiner shape (one partial row per in-batch group) as group_corr
+    — only group-width rows enter the exchange."""
+    gcol = group_col or _GRP
+    partials = ds.map_batches(
+        lambda b: _corr_partials(b, x_col, y_col, group_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from .nullkeys import null_safe_group_map
+
+    merged = null_safe_group_map(
+        partials, [gcol], lambda g: _merge_linregress(g, gcol, round_digits)
+    )
+    if group_col is None:
+        merged = merged.drop_columns([_GRP])
+    return merged
+
+
+def welch_t_test(
+    ds,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Two-sample Welch t statistic (unequal variances) between the
+    rows whose group_col equals group_a vs group_b. One row out:
+    (n_a, n_b, mean_a, mean_b, t, welch_df). The heavy pass is the
+    group_variance combiner (one partial row per batch-group); the
+    final formula evaluates driver-side over TWO rows, written in the
+    same operation order as the SQL oracle so the round-6 cells agree:
+
+        se2 = va/na + vb/nb;  t = (ma - mb)/sqrt(se2)
+        df  = se2*se2 / ((va/na)^2/(na-1) + (vb/nb)^2/(nb-1))
+    """
+
+    def keep(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        m = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        return batch.filter(pc.fill_null(m, False)).select([group_col, value_col])
+
+    two = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    # round_digits=12 on the intermediate moments: 1e-12-relative noise
+    # on ~1e2-scale means/vars is invisible after the round-6 output
+    rows = {
+        r[group_col]: r
+        for r in group_variance(two, value_col, group_col, round_digits=12).take_all()
+    }
+    a, b = rows.get(group_a), rows.get(group_b)
+
+    def _one(na, nb, ma, mb, t, df):
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "mean_a": pa.array([ma], pa.float64()),
+                "mean_b": pa.array([mb], pa.float64()),
+                "t": pa.array([t], pa.float64()),
+                "welch_df": pa.array([df], pa.float64()),
+            }
+        )
+
+    if a is None or b is None or a["n"] < 2 or b["n"] < 2:
+        return _one(
+            a["n"] if a else 0,
+            b["n"] if b else 0,
+            round(a["mean"], round_digits) if a and a["n"] else None,
+            round(b["mean"], round_digits) if b and b["n"] else None,
+            None,
+            None,
+        )
+    na, nb = float(a["n"]), float(b["n"])
+    va_n, vb_n = a["var_samp"] / na, b["var_samp"] / nb
+    se2 = va_n + vb_n
+    t = (a["mean"] - b["mean"]) / float(np.sqrt(se2)) if se2 > 0 else None
+    df = (
+        se2 * se2 / (va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1))
+        if se2 > 0
+        else None
+    )
+    return _one(
+        a["n"],
+        b["n"],
+        round(a["mean"], round_digits),
+        round(b["mean"], round_digits),
+        None if t is None else round(t, round_digits),
+        None if df is None else round(df, round_digits),
+    )
+
+
+def mann_whitney_u(
+    ds,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_digits: int = 6,
+    max_distinct: int = 2_000_000,
+) -> pa.Table:
+    """Mann-Whitney U rank-sum test between two groups. One row out:
+    (n_a, n_b, u_a, u_b, z) where u_a = R_a - n_a(n_a+1)/2 over
+    tie-averaged fractional ranks and z is the normal approximation
+    with the tie correction (no continuity correction):
+
+        sigma^2 = n_a*n_b/12 * ((N+1) - sum(t^3 - t)/(N*(N-1)))
+
+    EXACTNESS: fractional ranks are half-integers <= N, so every rank
+    sum is a multiple of 0.5 well below 2^52 — float64 addition is
+    exact in ANY merge order, making u_a/u_b bit-deterministic (the
+    same trick as the KS statistic). Only z involves real float math,
+    written in the same operation order as the SQL oracle.
+
+    Scale shape: ranks come from the distinct-value histogram (the
+    exchange carries distinct values, not rows) and broadcast once via
+    ray.put — same contract and max_distinct guard as spearman_corr."""
+    import ray
+
+    from .sketch import _value_histogram
+
+    def keep(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col)
+        m = pc.and_(
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)), pc.is_valid(v)
+        )
+        return batch.filter(pc.fill_null(m, False)).select([group_col, value_col])
+
+    two = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    values, cum = _value_histogram(two, value_col)
+    if len(values) > max_distinct:
+        raise ValueError(
+            f"mann_whitney_u: column {value_col!r} has {len(values)} distinct values "
+            f"(max_distinct={max_distinct}) — rank via a global sort instead"
+        )
+    counts = np.diff(np.concatenate(([0], cum))).astype(np.float64)
+    avg_rank = (cum - counts) + (counts + 1) / 2.0
+    ref = ray.put((np.asarray(values), avg_rank))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        vv, rr = ray_api.get(ref)
+        g = batch.column(group_col)
+        is_a = pc.equal(g, group_a).to_numpy(zero_copy_only=False)
+        r = rr[np.searchsorted(vv, batch.column(value_col).to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "ra": pa.array([float(r[is_a].sum())]),
+                "na": pa.array([int(is_a.sum())], pa.int64()),
+                "rb": pa.array([float(r[~is_a].sum())]),
+                "nb": pa.array([int((~is_a).sum())], pa.int64()),
+            }
+        )
+
+    p = two.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ra = p.sum("ra") or 0.0
+    na = int(p.sum("na") or 0)
+    rb = p.sum("rb") or 0.0
+    nb = int(p.sum("nb") or 0)
+    if na == 0 or nb == 0:
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "u_a": pa.array([None], pa.float64()),
+                "u_b": pa.array([None], pa.float64()),
+                "z": pa.array([None], pa.float64()),
+            }
+        )
+    u_a = ra - na * (na + 1) / 2.0
+    u_b = rb - nb * (nb + 1) / 2.0
+    n_tot = float(na + nb)
+    ties = float(((counts**3 - counts)).sum())
+    sigma2 = na * nb / 12.0 * ((n_tot + 1) - ties / (n_tot * (n_tot - 1)))
+    z = (u_a - na * nb / 2.0) / float(np.sqrt(sigma2)) if sigma2 > 0 else None
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "u_a": pa.array([u_a], pa.float64()),
+            "u_b": pa.array([u_b], pa.float64()),
+            "z": pa.array([None if z is None else round(z, round_digits)], pa.float64()),
+        }
+    )

@@ -99,3 +99,61 @@ def test_cc_partition_invariance(ray_session):
     a = _run(ray_session, pairs, parts=1)
     b = _run(ray_session, pairs, parts=7, num_partitions=5)
     assert a == b == ref_components(pairs)
+
+
+def test_triangle_count_known_graph(ray_session):
+    """K4 plus a pendant edge: C(4,3)=4 triangles; wedges =
+    sum d(d-1)/2 = 3 + 3 + 6 + 3 + 0 = 15 (degrees 3,3,4,3,1)."""
+    import ray.data
+
+    from mothray.ops import graph
+
+    edges = pa.table(
+        {
+            "src": [0, 0, 0, 1, 1, 2, 2, 3],  # K4 on {0,1,2,3} + (2,4)
+            "dst": [1, 2, 3, 2, 3, 3, 4, 2],  # includes a dup/reverse (3,2)
+        }
+    )
+    out = graph.triangle_count(ray.data.from_arrow(edges)).to_pylist()[0]
+    assert out["triangles"] == 4
+    assert out["wedges"] == 15
+    assert out["global_clustering"] == 3.0 * 4 / 15
+
+
+def test_triangle_count_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import graph
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    ds = ray.data.read_parquet(src, columns=["o_orderkey", "o_custkey"])
+
+    def edge(t: pa.Table) -> pa.Table:
+        s = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 149
+        d = t.column("o_custkey").to_numpy(zero_copy_only=False) % 149
+        return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+
+    got = graph.triangle_count(ds.map_batches(edge, batch_format="pyarrow")).to_pylist()[0]
+    exp = duckdb.sql(
+        f"WITH e0 AS (SELECT o_orderkey % 149 AS s, o_custkey % 149 AS d"
+        f" FROM read_parquet('{src}')),"
+        " p AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0 WHERE s <> d),"
+        " tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p x"
+        "  JOIN p y ON x.a = y.a AND x.b < y.b JOIN p z ON z.a = x.b AND z.b = y.b),"
+        " dg AS (SELECT node, CAST(count(*) AS BIGINT) AS dgr FROM"
+        "  (SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p) GROUP BY node),"
+        " wd AS (SELECT CAST(sum((dgr * (dgr - 1)) // 2) AS BIGINT) AS w FROM dg)"
+        " SELECT t, w FROM tri CROSS JOIN wd"
+    ).fetchone()
+    assert (got["triangles"], got["wedges"]) == exp
+
+
+def test_triangle_count_no_triangles(ray_session):
+    import ray.data
+
+    from mothray.ops import graph
+
+    path = pa.table({"src": [0, 1, 2], "dst": [1, 2, 3]})  # a path: 0 triangles
+    out = graph.triangle_count(ray.data.from_arrow(path)).to_pylist()[0]
+    assert out["triangles"] == 0 and out["wedges"] == 2

@@ -184,3 +184,61 @@ def test_asof_join_ms_unit_tolerance(ray_session):
         by="u", on="ts", tolerance_us=60_000_000,
     ).take_all()
     assert out[0]["v"] == 7
+
+
+def test_partitioned_join_sparse_small_right(ray_session):
+    """An 8-row filtered dimension behind map_batches used to hit
+    Ray's hash-join aggregator bug (a partition receiving zero right
+    blocks builds a schema-less table; pa.Table.join dies with 'No
+    match for key field'). The small-side routing broadcasts it."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    left = ray.data.from_arrow(
+        pa.table({"k": list(range(1000)), "x": [i * 2 for i in range(1000)]})
+    )
+    dim = ray.data.from_arrow(
+        pa.table({"k": list(range(100)), "tag": [f"t{i}" for i in range(100)]})
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("k"), 8)),
+        batch_format="pyarrow",
+    )
+    out = join_ops.partitioned_join(left, dim, on="k", num_buckets=16).take_all()
+    assert len(out) == 8
+    assert sorted(r["k"] for r in out) == list(range(8))
+    assert all(r["tag"] == f"t{r['k']}" for r in out)
+
+
+def test_partitioned_join_small_right_left_outer(ray_session):
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    right = ray.data.from_arrow(pa.table({"k": [2], "y": [99]})).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    rows = {
+        r["k"]: r
+        for r in join_ops.partitioned_join(left, right, on="k", how="left").take_all()
+    }
+    assert rows[2]["y"] == 99 and rows[1]["y"] is None and rows[3]["y"] is None
+
+
+def test_partitioned_join_all_filtered_right(ray_session):
+    """Right side where EVERY row filters out (schema may be lost
+    entirely): inner joins yield zero rows, anti joins return left."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray.ops import join as join_ops
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "x": [1.5, 2.5]}))
+    right = ray.data.from_arrow(pa.table({"k": [5], "y": [1]})).map_batches(
+        lambda t: t.filter(pc.less(t.column("k"), 0)), batch_format="pyarrow"
+    )
+    assert join_ops.partitioned_join(left, right, on="k").count() == 0
+    anti = join_ops.partitioned_join(left, right, on="k", how="left_anti").take_all()
+    assert sorted(r["k"] for r in anti) == [1, 2]

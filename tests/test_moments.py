@@ -338,3 +338,142 @@ def test_chi2_independence(ray_session):
     # e = 15 everywhere; chi2 = 4 * 25/15 = 6.666667
     assert got2["chi2"].iloc[0] == round(4 * 25 / 15, 6)
     assert got2["dof"].iloc[0] == 1
+
+
+def test_group_linregress_lineitem(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(
+        src, columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    got = (
+        moments.group_linregress(ds, "l_quantity", "l_extendedprice", "l_returnflag")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT l_returnflag, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,"
+        f" round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,"
+        f" round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,"
+        f" round(regr_r2(l_extendedprice, l_quantity), 6) AS r2"
+        f" FROM read_parquet('{src}') GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got.equals(exp)
+
+
+def test_group_linregress_degenerate(ray_session):
+    """Constant x -> slope/intercept/r2 NULL; constant y -> r2 = 1;
+    null pairs drop — mirrors DuckDB regr_* semantics."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": ["cx", "cx", "cx", "cy", "cy", "cy", "nn", "nn", "nn"],
+            "x": [1.0, 1.0, 1.0, 1.0, 2.0, 3.0, 1.0, 2.0, None],
+            "y": [1.0, 2.0, 3.0, 5.0, 5.0, 5.0, 2.0, 4.0, 9.0],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    got = {
+        r["g"]: r
+        for r in moments.group_linregress(ds, "x", "y", "g").take_all()
+    }
+    assert got["cx"]["slope"] is None and got["cx"]["r2"] is None
+    assert got["cx"]["n"] == 3
+    assert got["cy"]["r2"] == 1.0 and got["cy"]["slope"] == 0.0
+    assert got["nn"]["n"] == 2 and got["nn"]["slope"] == 2.0
+    exp = duckdb.sql(
+        "SELECT g, CAST(regr_count(y, x) AS BIGINT) n, round(regr_slope(y, x), 6) s,"
+        " round(regr_intercept(y, x), 6) i, round(regr_r2(y, x), 6) r2"
+        " FROM t GROUP BY g"
+    ).fetchall()
+    for g, n, s, i, r2 in exp:
+        r = got[g]
+        assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (n, s, i, r2)
+
+
+def test_welch_t_lineitem(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity"])
+    got = moments.welch_t_test(ds, "l_quantity", "l_returnflag", "A", "R").to_pylist()[0]
+    exp = duckdb.sql(
+        f"WITH s AS (SELECT l_returnflag AS g, CAST(count(l_quantity) AS DOUBLE) AS n,"
+        f" avg(l_quantity) AS m, var_samp(l_quantity) AS v FROM read_parquet('{src}')"
+        f" WHERE l_returnflag IN ('A', 'R') GROUP BY 1)"
+        f" SELECT CAST(a.n AS BIGINT), CAST(b.n AS BIGINT), round(a.m, 6), round(b.m, 6),"
+        f" round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6),"
+        f" round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)"
+        f"  / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)"
+        f"   + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6)"
+        f" FROM s a, s b WHERE a.g = 'A' AND b.g = 'R'"
+    ).fetchone()
+    assert (
+        got["n_a"], got["n_b"], got["mean_a"], got["mean_b"], got["t"], got["welch_df"]
+    ) == exp
+
+
+def test_welch_t_missing_group(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"g": ["A", "A"], "v": [1.0, 2.0]}))
+    row = moments.welch_t_test(ds, "v", "g", "A", "Z").to_pylist()[0]
+    assert row["n_b"] == 0 and row["t"] is None and row["welch_df"] is None
+    assert row["n_a"] == 2
+
+
+def test_mann_whitney_lineitem(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity"])
+    got = moments.mann_whitney_u(ds, "l_quantity", "l_returnflag", "A", "R").to_pylist()[0]
+    exp = duckdb.sql(
+        f"WITH t AS (SELECT l_returnflag AS g, l_quantity AS v FROM read_parquet('{src}')"
+        f" WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),"
+        f" r AS (SELECT g, CAST(rank() OVER (ORDER BY v) AS DOUBLE)"
+        f"  + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1) / 2.0 AS ar FROM t),"
+        f" s AS (SELECT CAST(count(*) FILTER (g = 'A') AS DOUBLE) AS na,"
+        f"  CAST(count(*) FILTER (g = 'R') AS DOUBLE) AS nb,"
+        f"  sum(ar) FILTER (g = 'A') AS ra, sum(ar) FILTER (g = 'R') AS rb FROM s0),"
+        f" s0 AS (SELECT * FROM r)"
+        f" SELECT CAST(na AS BIGINT), CAST(nb AS BIGINT),"
+        f" ra - na * (na + 1) / 2.0, rb - nb * (nb + 1) / 2.0 FROM s"
+    ).fetchone()
+    assert (got["n_a"], got["n_b"], got["u_a"], got["u_b"]) == exp
+    # U_a + U_b == n_a * n_b is an identity of the statistic
+    assert got["u_a"] + got["u_b"] == got["n_a"] * got["n_b"]
+    # z against a direct scipy-free recomputation on the driver
+    import pyarrow.parquet as pq
+
+    lt = pq.read_table(src, columns=["l_returnflag", "l_quantity"])
+    mask = np.isin(lt.column("l_returnflag").to_numpy(zero_copy_only=False), ["A", "R"])
+    v = lt.column("l_quantity").to_numpy(zero_copy_only=False)[mask]
+    _, counts = np.unique(v, return_counts=True)
+    na, nb, n = float(got["n_a"]), float(got["n_b"]), float(len(v))
+    ties = float((counts.astype(np.float64) ** 3 - counts).sum())
+    sigma2 = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (got["u_a"] - na * nb / 2.0) / np.sqrt(sigma2)
+    assert got["z"] == round(z, 6)
+
+
+def test_mann_whitney_batch_invariance(ray_session):
+    """Rank sums are exact half-integer arithmetic: 1-block and
+    8-block runs agree bit-for-bit."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["A", "B"], size=5000)),
+            "v": pa.array(rng.integers(0, 40, size=5000).astype(np.float64)),
+        }
+    )
+    one = moments.mann_whitney_u(ray.data.from_arrow(t), "v", "g", "A", "B").to_pylist()[0]
+    many = moments.mann_whitney_u(
+        ray.data.from_arrow(t).repartition(8), "v", "g", "A", "B"
+    ).to_pylist()[0]
+    assert one == many

@@ -285,3 +285,39 @@ def test_ks_stat_matches_sql(ray_session):
     empty = pa.table({"v": pa.array([], pa.float64())})
     with _pytest.raises(ValueError, match="empty"):
         prof.ks_stat(ray.data.from_arrow(tr), ray.data.from_arrow(empty), "v")
+
+
+def test_benford_profile_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    got = prof.benford_profile(
+        ray.data.read_parquet(src, columns=["o_totalprice"]), "o_totalprice"
+    ).to_pylist()
+    exp = duckdb.sql(
+        f"WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v"
+        f" FROM read_parquet('{src}')"
+        f" WHERE o_totalprice IS NOT NULL AND round(o_totalprice * 100) > 0),"
+        f" d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),"
+        f" g AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit)"
+        f" SELECT digit, cnt,"
+        f" round(CAST(cnt AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM d), 6),"
+        f" round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)"
+        f" FROM g ORDER BY digit"
+    ).fetchall()
+    assert [(r["digit"], r["cnt"], r["p_obs"], r["p_benford"]) for r in got] == exp
+    assert abs(sum(r["p_obs"] for r in got) - 1.0) < 1e-4
+
+
+def test_benford_profile_drops_nonpositive(ray_session):
+    import ray.data
+
+    from mothray.ops import profile as prof
+
+    t = pa.table({"x": [1.23, -5.0, 0.0, None, 912.0, 0.004]})
+    rows = prof.benford_profile(ray.data.from_arrow(t), "x").to_pylist()
+    # 0.004 -> cents 0 (rounds to zero) -> dropped; survivors: 123, 91200
+    assert [(r["digit"], r["cnt"]) for r in rows] == [(1, 1), (9, 1)]
