@@ -259,6 +259,29 @@ def _ann_ivf(sf_dir: str):
     return ann.ivf_topk(ds, q, k=10, n_centroids=8, nprobe=4)
 
 
+def _ann_pq(sf_dir: str):
+    """Product-quantization ANN (ann.train_pq / pq_encode / pq_topk):
+    sample-trained per-subspace codebooks, m-byte codes (the RAM lever
+    for billion-vector indexes), asymmetric-distance top-k via pure
+    table lookups. Approximate by nature -> rows-only; the invariants
+    (code determinism, ADC == numpy reference, self-retrieval) are
+    pytest-pinned in tests/test_pq.py."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mothray.ops import ann
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    min_id = pc.min(emb.column("vec_id")).as_py()
+    q = np.array(emb.filter(pc.equal(emb.column("vec_id"), min_id)).column("embedding")[0].as_py())
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = ann.train_pq(ds, m=8, ksub=32)
+    codes = ann.pq_encode(ds, books)
+    return ann.pq_topk(codes, books, q, k=10)
+
+
 def _ann_ivf_built(sf_dir: str):
     """IVF with a PERSISTED build/query split (index built once, then
     queried via metadata-only bucket pruning). nprobe = n_centroids
@@ -3897,6 +3920,23 @@ def _benford_orders(sf_dir: str):
     return _rd.from_arrow(prof.benford_profile(ds, "o_totalprice"))
 
 
+def _ewma_events(sf_dir: str):
+    """Trailing EWMA recency feature per user (features.ewma_trailing,
+    alpha=0.3 over the last 20 events): the top-k-per-group combiner
+    bounds the exchange to window rows per (batch, key); the weighted
+    mean runs on O(window) rows per group task."""
+    import ray.data
+
+    from mothray.ops import features
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    return features.ewma_trailing(
+        ds, "user_id", "ts", "value", "event_id", alpha=0.3, window=20
+    )
+
+
 def _autocorr_events(sf_dir: str):
     """Lag-1 autocorrelation of event values along each user's
     timeline: window.lag_lead supplies the per-user ordered LAG (one
@@ -4098,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q17_lineitem"] = _tpch_q17
     q["tpch_q18_lineitem"] = _tpch_q18
     q["triangles_orders"] = _triangles_orders
+    q["ewma_events"] = _ewma_events
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -4107,6 +4148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_minhash_cc_documents"] = _dedup_minhash_cc
     q["dedup_embedding_cosine"] = _dedup_embedding
     q["ann_ivf_embeddings"] = _ann_ivf
+    q["ann_pq_embeddings"] = _ann_pq
     q["ann_hnsw_embeddings"] = _ann_hnsw
     q["kmeans_embeddings"] = _kmeans_embeddings
     q["hll_distinct_lineitem"] = _hll_distinct_lineitem
@@ -4945,6 +4987,14 @@ def oracle_sql() -> dict[str, str]:
         " JOIN customer ON c_custkey = o_custkey"
         " WHERE sum_qty > 300"
         " ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 100"
+    )
+    o["ewma_events"] = (
+        "WITH r AS (SELECT user_id, value, row_number() OVER"
+        " (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rk"
+        " FROM events WHERE value IS NOT NULL)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,"
+        " round(sum(value * power(0.7, rk - 1)) / sum(power(0.7, rk - 1)), 6) AS ewma"
+        " FROM r WHERE rk <= 20 GROUP BY user_id"
     )
     o["triangles_orders"] = (
         "WITH e0 AS (SELECT o_orderkey % 1499 AS s, o_custkey % 1499 AS d FROM orders),"

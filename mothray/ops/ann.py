@@ -661,3 +661,126 @@ def kmeans_assign(ds, centroids: np.ndarray, column: str = "embedding"):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_pq(
+    ds,
+    m: int = 8,
+    ksub: int = 256,
+    column: str = "embedding",
+    iters: int = 10,
+    seed: int = 11,
+    sample_fraction: float = 0.25,
+    max_sample_rows: int = 65536,
+) -> np.ndarray:
+    """Product-quantization codebooks [m, ksub, dim/m] (Jégou et al.
+    2011, "Product quantization for nearest neighbor search"): the
+    vector splits into m subspaces, each with its own ksub-centroid
+    k-means trained on a BOUNDED deterministic sample (the same
+    sample contract as train_centroids — PQ codebooks are
+    sample-trained by design; the corpus never reaches the driver).
+    Vectors are L2-normalized before training so ADC L2 ranking
+    matches the engine's cosine baseline."""
+    sample = ds.random_sample(sample_fraction, seed=seed).limit(max_sample_rows)
+    mats = [
+        _matrix(b.column(column)).astype(np.float64)
+        for b in sample.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not mats:
+        raise ValueError("train_pq: training sample is empty — raise sample_fraction")
+    X = np.concatenate(mats)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"train_pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(ksub, n)
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        Xj = X[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.default_rng(seed + j)
+        cent = Xj[rng.choice(n, k, replace=False)].copy()
+        for _ in range(iters):
+            a = _nearest_centroid(Xj, cent)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cent[c] = Xj[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, column: str = "embedding",
+              id_column: str = "vec_id"):
+    """Corpus -> (id, pq_code) where pq_code is a FixedSizeList<uint8>
+    of m subspace centroid ids (m bytes per vector — a 32x-512x
+    compression of float32 embeddings; THE memory lever that lets a
+    billion-vector index live in RAM). Per-batch vectorized argmin;
+    the codebooks broadcast once via ray.put."""
+    import ray
+
+    cb_ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        m, k, dsub = cb.shape
+        X = _matrix(batch.column(column)).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = _nearest_centroid(X[:, j * dsub : (j + 1) * dsub], cb[j])
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.ravel(), pa.uint8()), m
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_topk(
+    codes_ds,
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    round_digits: int | None = 6,
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: ONE [m, ksub]
+    table of exact subspace distances to the (normalized) query, then
+    each batch scores its codes with pure table lookups + a row sum —
+    no float vector is ever touched at query time. k rows per batch
+    reach the driver (same combiner contract as brute_force_topk).
+    Returns (id, adc_dist) ascending."""
+    import ray
+
+    cb = np.ascontiguousarray(codebooks)
+    m, ksub, dsub = cb.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    table = np.empty((m, ksub))
+    for j in range(m):
+        diff = cb[j] - q[j * dsub : (j + 1) * dsub][None, :]
+        table[j] = (diff * diff).sum(axis=1)
+    t_ref = ray.put(table)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = ray.get(t_ref)
+        arr = batch.column("pq_code")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        codes = arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, t.shape[0])
+        d = t[np.arange(t.shape[0])[None, :], codes].sum(axis=1)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        take = min(k, len(d))
+        part = np.argpartition(d, take - 1)[:take] if take else np.empty(0, np.int64)
+        return pa.table({id_column: pa.array(ids[part]), "adc_dist": pa.array(d[part])})
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    pdf = parts.to_pandas()  # k rows per batch — tiny
+    pdf = pdf.sort_values(["adc_dist", id_column], ascending=[True, True]).head(k)
+    if round_digits is not None:
+        pdf["adc_dist"] = pdf["adc_dist"].round(round_digits)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True))

@@ -128,3 +128,73 @@ def one_hot(
         return out
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ewma_trailing(
+    ds,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: float = 0.3,
+    window: int = 20,
+    round_digits: int = 6,
+):
+    """Trailing exponentially-weighted moving average per key — the
+    standard recency-weighted feature for event streams: over each
+    key's LAST `window` rows ordered by (order DESC, tiebreak ASC),
+
+        ewma = sum((1-alpha)^r_i * x_i) / sum((1-alpha)^r_i)
+
+    with r = 0 for the most recent row (pandas ewm(adjust=True)
+    restricted to a trailing window). Null values drop before
+    ranking. One row per key: (key, n_used, ewma).
+
+    Scale shape: the top-k-per-group COMBINER bounds the exchange to
+    `window` rows per (batch, key) and the group task holds at most
+    `window` rows — the corpus never sorts globally and per-key state
+    is O(window)."""
+    import pyarrow.compute as pc
+
+    from .sample import top_k_per_group
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch.column(value_col))
+        return batch.filter(keep).select(
+            sorted({key_col, order_col, value_col, tiebreak_col})
+        )
+
+    recent = top_k_per_group(
+        ds.map_batches(drop_null, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
+        order_col,
+        window,
+        ascending=False,
+        tiebreak_col=tiebreak_col,
+    )
+
+    r = 1.0 - alpha
+
+    def wavg(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[(order_col, "descending"), (tiebreak_col, "ascending")]
+        )
+        x = (
+            pc.cast(g.take(idx).column(value_col), pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        w = np.power(r, np.arange(len(x), dtype=np.float64))
+        ewma = float((w * x).sum() / w.sum()) if len(x) else None
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "n_used": pa.array([len(x)], pa.int64()),
+                "ewma": pa.array(
+                    [None if ewma is None else round(ewma, round_digits)], pa.float64()
+                ),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(recent, [key_col], wavg)

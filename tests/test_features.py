@@ -85,3 +85,70 @@ def test_one_hot(ray_session):
     ]
     with pytest.raises(ValueError, match="max_categories"):
         features.one_hot(ray.data.from_arrow(t), "id", max_categories=2).materialize()
+
+
+def test_ewma_trailing_known_values(ray_session):
+    """3 events for one key, alpha=0.5: weights 1, .5, .25 on the
+    most-recent-first values -> (3 + 0.5*2 + 0.25*1)/1.75 = 2.428571."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": ["u", "u", "u", "v"],
+            "ts": [1, 2, 3, 9],
+            "v": [1.0, 2.0, 3.0, 7.5],
+            "id": [10, 11, 12, 13],
+        }
+    )
+    rows = {
+        r["k"]: r
+        for r in features.ewma_trailing(
+            ray.data.from_arrow(t), "k", "ts", "v", "id", alpha=0.5, window=20
+        ).take_all()
+    }
+    assert rows["u"]["n_used"] == 3
+    assert rows["u"]["ewma"] == round((3.0 + 0.5 * 2.0 + 0.25 * 1.0) / 1.75, 6)
+    assert rows["v"]["ewma"] == 7.5
+
+
+def test_ewma_trailing_window_and_nulls(ray_session):
+    """Values beyond the window are ignored; null values drop before
+    ranking (the next older value takes their weight slot)."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": ["u"] * 4,
+            "ts": [1, 2, 3, 4],
+            "v": [100.0, 1.0, None, 2.0],
+            "id": [1, 2, 3, 4],
+        }
+    )
+    rows = features.ewma_trailing(
+        ray.data.from_arrow(t), "k", "ts", "v", "id", alpha=0.5, window=2
+    ).take_all()
+    # survivors by recency: v=2.0 (ts=4), v=1.0 (ts=2); 100.0 beyond window
+    assert rows[0]["n_used"] == 2
+    assert rows[0]["ewma"] == round((2.0 + 0.5 * 1.0) / 1.5, 6)
+
+
+def test_ewma_trailing_matches_duckdb(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ds = ray.data.read_parquet(src, columns=["user_id", "ts", "value", "event_id"])
+    got = (
+        features.ewma_trailing(ds, "user_id", "ts", "value", "event_id", 0.3, 20)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"WITH r AS (SELECT user_id, value, row_number() OVER"
+        f" (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rk"
+        f" FROM read_parquet('{src}') WHERE value IS NOT NULL)"
+        f" SELECT user_id, CAST(count(*) AS BIGINT) AS n_used,"
+        f" round(sum(value * power(0.7, rk - 1)) / sum(power(0.7, rk - 1)), 6) AS ewma"
+        f" FROM r WHERE rk <= 20 GROUP BY user_id ORDER BY user_id"
+    ).df()
+    assert got.equals(exp)
