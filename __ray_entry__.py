@@ -3920,6 +3920,71 @@ def _benford_orders(sf_dir: str):
     return _rd.from_arrow(prof.benford_profile(ds, "o_totalprice"))
 
 
+def _diff_documents(sf_dir: str):
+    """Snapshot diff (setops.diff_summary): v2 of the corpus rewrites
+    every 7th document and deletes every 13th; the diff classifies
+    distinct whole rows as only_left (old text of modified + deleted),
+    only_right (new text), in_both (untouched) in one min/max-tagged
+    exchange."""
+    import pyarrow.compute as pc
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import setops
+
+    left = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        # pyarrow.compute has no mod kernel; derive % via divide*multiply
+        # (ids are non-negative, integer divide truncates)
+        q7 = pc.multiply(pc.divide(ids, 7), 7)
+        q13 = pc.multiply(pc.divide(ids, 13), 13)
+        is7 = pc.equal(q7, ids)
+        is13 = pc.equal(q13, ids)
+        text = pc.if_else(
+            is7, pc.binary_join_element_wise(t.column("text"), "[v2]", ""), t.column("text")
+        )
+        out = t.set_column(t.schema.get_field_index("text"), "text", text)
+        return out.filter(pc.invert(is13))
+
+    right = left.map_batches(v2, batch_format="pyarrow", zero_copy_batch=True)
+    return _rd.from_arrow(setops.diff_summary(left, right))
+
+
+def _corr_matrix_lineitem(sf_dir: str):
+    """Pairwise correlation matrix of the four lineitem numerics in
+    ONE pass (moments.corr_matrix): each batch ships a single
+    k^2-double scatter partial; multivariate Chan merge driver-side;
+    listwise deletion so every pair shares one sample."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    return _rd.from_arrow(moments.corr_matrix(ds, cols))
+
+
+def _mutual_info_orders(sf_dir: str):
+    """Mutual information (nats) + Cramér's V between order status and
+    priority (moments.mutual_information): one combiner-reduced
+    contingency pass, absent cells contribute exactly 0 to MI and the
+    chi2 missing-cell closed form feeds V."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    return _rd.from_arrow(
+        moments.mutual_information(ds, "o_orderstatus", "o_orderpriority")
+    )
+
+
 def _ewma_events(sf_dir: str):
     """Trailing EWMA recency feature per user (features.ewma_trailing,
     alpha=0.3 over the last 20 events): the top-k-per-group combiner
@@ -4139,6 +4204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q18_lineitem"] = _tpch_q18
     q["triangles_orders"] = _triangles_orders
     q["ewma_events"] = _ewma_events
+    q["corr_matrix_lineitem"] = _corr_matrix_lineitem
+    q["mutual_info_orders"] = _mutual_info_orders
+    q["diff_documents"] = _diff_documents
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -4987,6 +5055,45 @@ def oracle_sql() -> dict[str, str]:
         " JOIN customer ON c_custkey = o_custkey"
         " WHERE sum_qty > 300"
         " ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 100"
+    )
+    o["diff_documents"] = (
+        "SELECT CAST(count(*) FILTER (doc_id % 7 = 0 OR doc_id % 13 = 0) AS BIGINT)"
+        " AS only_left,"
+        " CAST(count(*) FILTER (doc_id % 7 = 0 AND doc_id % 13 <> 0) AS BIGINT)"
+        " AS only_right,"
+        " CAST(count(*) FILTER (doc_id % 7 <> 0 AND doc_id % 13 <> 0) AS BIGINT)"
+        " AS in_both FROM documents"
+    )
+    _CM = (
+        "(SELECT l_quantity AS q, l_extendedprice AS e, l_discount AS d, l_tax AS x"
+        " FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+        " AND l_discount IS NOT NULL AND l_tax IS NOT NULL)"
+    )
+    o["corr_matrix_lineitem"] = (
+        f"SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,"
+        f" round(corr(q, e), 6) AS corr FROM {_CM} t UNION ALL"
+        f" SELECT 'l_quantity', 'l_discount', round(corr(q, d), 6) FROM {_CM} t UNION ALL"
+        f" SELECT 'l_quantity', 'l_tax', round(corr(q, x), 6) FROM {_CM} t UNION ALL"
+        f" SELECT 'l_extendedprice', 'l_discount', round(corr(e, d), 6) FROM {_CM} t UNION ALL"
+        f" SELECT 'l_extendedprice', 'l_tax', round(corr(e, x), 6) FROM {_CM} t UNION ALL"
+        f" SELECT 'l_discount', 'l_tax', round(corr(d, x), 6) FROM {_CM} t"
+    )
+    o["mutual_info_orders"] = (
+        "WITH c AS (SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o"
+        " FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL"
+        " GROUP BY 1, 2),"
+        " ra AS (SELECT a, SUM(o) AS tc FROM c GROUP BY a),"
+        " rb AS (SELECT b, SUM(o) AS tc FROM c GROUP BY b),"
+        " tot AS (SELECT SUM(o) AS n FROM c),"
+        " e AS (SELECT c.o, ra.tc * rb.tc / tot.n AS ex,"
+        "  (c.o / tot.n) * ln((c.o * tot.n) / (ra.tc * rb.tc)) AS mi_term"
+        " FROM c JOIN ra USING(a) JOIN rb USING(b) CROSS JOIN tot)"
+        " SELECT round(SUM(mi_term), 6) AS mi_nats,"
+        " round(sqrt((SUM((o - ex) * (o - ex) / ex)"
+        "  + (SELECT n FROM tot) - SUM(ex))"
+        "  / ((SELECT n FROM tot) * LEAST((SELECT count(*) FROM ra) - 1,"
+        "     (SELECT count(*) FROM rb) - 1))), 6) AS cramers_v,"
+        " CAST((SELECT n FROM tot) AS BIGINT) AS n FROM e"
     )
     o["ewma_events"] = (
         "WITH r AS (SELECT user_id, value, row_number() OVER"

@@ -706,3 +706,148 @@ def mann_whitney_u(
             "z": pa.array([None if z is None else round(z, round_digits)], pa.float64()),
         }
     )
+
+
+def corr_matrix(ds, cols: list[str], round_digits: int = 6) -> pa.Table:
+    """Pairwise Pearson correlations of k numeric columns in ONE pass:
+    each batch reduces to (n, mean vector, centered scatter matrix
+    S = (X-mu)^T (X-mu)) — a single k^2-double row — and partials
+    merge with the multivariate Chan formula
+
+        S = sum S_i + sum n_i (mu_i - mu)(mu_i - mu)^T.
+
+    Rows with a null in ANY selected column drop first (LISTWISE
+    deletion, so every pair shares one sample — the convention that
+    makes the matrix positive semidefinite; SQL oracle mirrors it
+    with a WHERE over all columns). Output: one row per unordered
+    pair (col_x, col_y, corr), x before y in the given column order.
+
+    Scale shape: the exchange carries one k^2-width row per batch;
+    the driver reduces bounded partials exactly like kmeans_fit."""
+    import pyarrow.compute as pc
+
+    k = len(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = np.column_stack(
+            [
+                pc.cast(batch.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+                for c in cols
+            ]
+        )
+        X = X[~np.isnan(X).any(axis=1)]
+        n = len(X)
+        mu = X.mean(axis=0) if n else np.zeros(k)
+        C = X - mu
+        S = C.T @ C if n else np.zeros((k, k))
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "mu": pa.array([mu.tobytes()], pa.binary()),
+                "s": pa.array([S.tobytes()], pa.binary()),
+            }
+        )
+
+    n_tot = 0
+    mu_parts: list[tuple[int, np.ndarray, np.ndarray]] = []
+    for b in (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for i in range(b.num_rows):
+            n_i = int(b.column("n")[i].as_py())
+            if n_i == 0:
+                continue
+            mu_i = np.frombuffer(b.column("mu")[i].as_py(), dtype=np.float64)
+            s_i = np.frombuffer(b.column("s")[i].as_py(), dtype=np.float64).reshape(k, k)
+            mu_parts.append((n_i, mu_i, s_i))
+            n_tot += n_i
+    names_x, names_y, vals = [], [], []
+    if n_tot:
+        mu = sum(n_i * mu_i for n_i, mu_i, _ in mu_parts) / n_tot
+        S = sum(
+            s_i + n_i * np.outer(mu_i - mu, mu_i - mu) for n_i, mu_i, s_i in mu_parts
+        )
+        d = np.sqrt(np.diag(S))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            R = S / np.outer(d, d)
+    for i in range(k):
+        for j in range(i + 1, k):
+            names_x.append(cols[i])
+            names_y.append(cols[j])
+            if n_tot == 0 or not np.isfinite(R[i, j]):
+                vals.append(None)
+            else:
+                vals.append(round(float(R[i, j]), round_digits))
+    return pa.table(
+        {
+            "col_x": pa.array(names_x, pa.string()),
+            "col_y": pa.array(names_y, pa.string()),
+            "corr": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def mutual_information(ds, a_col: str, b_col: str, round_digits: int = 6) -> pa.Table:
+    """Association measures for two categorical columns from ONE
+    combiner-reduced contingency pass (the same shape as
+    chi2_independence): mutual information in nats
+
+        MI = sum_ij p_ij * ln(p_ij / (p_i * p_j))
+
+    (absent cells contribute exactly 0) and Cramér's V =
+    sqrt(chi2 / (n * min(r-1, c-1))) with chi2 via the same
+    missing-cell closed form as chi2_independence. One row out:
+    (mi_nats, cramers_v, n). Null rows drop (SQL convention)."""
+    import collections
+
+    import pyarrow.compute as pc
+
+    def clean(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        return batch.filter(ok).select([a_col, b_col])
+
+    rows = (
+        ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([a_col, b_col])
+        .count()
+        .take_all()
+    )
+    if not rows:
+        return pa.table(
+            {
+                "mi_nats": pa.array([None], pa.float64()),
+                "cramers_v": pa.array([None], pa.float64()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )
+    ta: dict = collections.defaultdict(int)
+    tb: dict = collections.defaultdict(int)
+    for r in rows:
+        ta[r[a_col]] += r["count()"]
+        tb[r[b_col]] += r["count()"]
+    n = sum(ta.values())
+    mi = 0.0
+    chi2 = 0.0
+    e_observed = 0.0
+    for r in rows:
+        o = r["count()"]
+        pij = o / n
+        e = ta[r[a_col]] * tb[r[b_col]] / n
+        mi += pij * float(np.log(o * n / (ta[r[a_col]] * tb[r[b_col]])))
+        chi2 += (o - e) * (o - e) / e
+        e_observed += e
+    chi2 += n - e_observed
+    denom = min(len(ta) - 1, len(tb) - 1)
+    v = float(np.sqrt(chi2 / (n * denom))) if denom > 0 else None
+    return pa.table(
+        {
+            "mi_nats": pa.array([round(mi, round_digits)], pa.float64()),
+            "cramers_v": pa.array(
+                [None if v is None else round(v, round_digits)], pa.float64()
+            ),
+            "n": pa.array([n], pa.int64()),
+        }
+    )

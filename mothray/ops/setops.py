@@ -140,3 +140,53 @@ def except_(left, right):
 def union_distinct(left, right):
     """SQL UNION (as opposed to UNION ALL)."""
     return distinct(left.union(right))
+
+
+def diff_summary(left, right) -> pa.Table:
+    """Snapshot diff in ONE tagged exchange: how many DISTINCT whole
+    rows exist only_left / only_right / in both. The two sides tag
+    with 1 (left) / 2 (right), per-batch DISTINCT combines, and one
+    groupby over all columns takes MIN and MAX of the tag — (1,1) =
+    left only, (2,2) = right only, (1,2) = both — which is exact even
+    when a row repeats within a side (sum would double-count; min/max
+    cannot). Counts reduce from the per-group masks; rows never reach
+    the driver. The audit primitive behind "what changed between two
+    dataset versions" (versions.py snapshots, re-crawled corpora,
+    repaired partitions)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def tag(mask: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = _batch_distinct(batch)
+            return d.append_column("__mask", pa.array(np.full(d.num_rows, mask, np.int64)))
+
+        return fn
+
+    both = left.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag(2), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    cols = [c for c in both.schema().names if c != "__mask"]
+    merged = both.groupby(cols).aggregate(Min("__mask"), Max("__mask"))
+
+    def count_masks(t: pa.Table) -> pa.Table:
+        lo = t.column("min(__mask)")
+        hi = t.column("max(__mask)")
+        def n(cond):
+            return pa.array([pc.sum(pc.cast(cond, pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(
+            {
+                "only_left": n(pc.and_(pc.equal(lo, 1), pc.equal(hi, 1))),
+                "only_right": n(pc.equal(lo, 2)),
+                "in_both": n(pc.and_(pc.equal(lo, 1), pc.equal(hi, 2))),
+            }
+        )
+
+    parts = merged.map_batches(count_masks, batch_format="pyarrow", zero_copy_batch=True)
+    return pa.table(
+        {
+            "only_left": pa.array([int(parts.sum("only_left") or 0)], pa.int64()),
+            "only_right": pa.array([int(parts.sum("only_right") or 0)], pa.int64()),
+            "in_both": pa.array([int(parts.sum("in_both") or 0)], pa.int64()),
+        }
+    )

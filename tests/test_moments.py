@@ -477,3 +477,72 @@ def test_mann_whitney_batch_invariance(ray_session):
         ray.data.from_arrow(t).repartition(8), "v", "g", "A", "B"
     ).to_pylist()[0]
     assert one == many
+
+
+def test_corr_matrix_matches_duckdb(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = moments.corr_matrix(ray.data.read_parquet(src, columns=cols), cols).to_pylist()
+    for r in got:
+        exp = duckdb.sql(
+            f"SELECT round(corr({r['col_x']}, {r['col_y']}), 6) FROM read_parquet('{src}')"
+            f" WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+            f" AND l_discount IS NOT NULL AND l_tax IS NOT NULL"
+        ).fetchone()[0]
+        assert r["corr"] == exp, (r, exp)
+    assert len(got) == 6
+
+
+def test_corr_matrix_partition_invariant_and_degenerate(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "a": [1.0, 2.0, 3.0, 4.0],
+            "b": [2.0, 4.0, 6.0, 8.0],
+            "c": [5.0, 5.0, 5.0, 5.0],  # zero variance -> corr NULL
+        }
+    )
+    one = moments.corr_matrix(ray.data.from_arrow(t), ["a", "b", "c"]).to_pylist()
+    many = moments.corr_matrix(
+        ray.data.from_arrow(t).repartition(4), ["a", "b", "c"]
+    ).to_pylist()
+    assert one == many
+    d = {(r["col_x"], r["col_y"]): r["corr"] for r in one}
+    assert d[("a", "b")] == 1.0
+    assert d[("a", "c")] is None and d[("b", "c")] is None
+
+
+def test_mutual_information_matches_sklearn_formula(ray_session):
+    """Hand-checkable 2x2 table: counts [[2,1],[1,2]]."""
+    import ray.data
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "x", "y", "y", "y", None],
+            "b": ["p", "p", "q", "p", "q", "q", "p"],
+        }
+    )
+    got = moments.mutual_information(ray.data.from_arrow(t), "a", "b").to_pylist()[0]
+    n = 6.0
+    mi = 0.0
+    for o, ta, tb in [(2, 3, 3), (1, 3, 3), (1, 3, 3), (2, 3, 3)]:
+        mi += (o / n) * np.log(o * n / (ta * tb))
+    chi2 = sum(
+        (o - ta * tb / n) ** 2 / (ta * tb / n)
+        for o, ta, tb in [(2, 3, 3), (1, 3, 3), (1, 3, 3), (2, 3, 3)]
+    )
+    assert got["n"] == 6
+    assert got["mi_nats"] == round(mi, 6)
+    assert got["cramers_v"] == round(float(np.sqrt(chi2 / (6 * 1))), 6)
+
+
+def test_mutual_information_independent_columns(ray_session):
+    """A perfectly independent 2x2 design has MI exactly 0."""
+    import ray.data
+
+    t = pa.table({"a": ["x", "x", "y", "y"], "b": ["p", "q", "p", "q"]})
+    got = moments.mutual_information(ray.data.from_arrow(t), "a", "b").to_pylist()[0]
+    assert got["mi_nats"] == 0.0 and got["cramers_v"] == 0.0

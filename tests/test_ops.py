@@ -2521,3 +2521,30 @@ def test_train_split_properties(ray_session):
     assert d != a
     with pytest.raises(ValueError):
         sample.train_split(ds, fractions=(("test", 0.7), ("val", 0.7)))
+
+
+def test_diff_summary_classifies_membership(ray_session):
+    """Rows repeated WITHIN a side must not double-count (min/max
+    tags, not sums): left has a dup of a common row."""
+    import ray.data
+
+    from mothray.ops import setops
+
+    left = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 3], "v": ["a", "b", "c", "c"]})
+    ).repartition(3)
+    right = ray.data.from_arrow(pa.table({"k": [2, 3, 4], "v": ["b", "c", "d"]}))
+    out = setops.diff_summary(left, right).to_pylist()[0]
+    assert out == {"only_left": 1, "only_right": 1, "in_both": 2}
+
+
+def test_diff_summary_identical_and_disjoint(ray_session):
+    import ray.data
+
+    from mothray.ops import setops
+
+    a = ray.data.from_arrow(pa.table({"k": [1, 2]}))
+    same = setops.diff_summary(a, ray.data.from_arrow(pa.table({"k": [1, 2]})))
+    assert same.to_pylist()[0] == {"only_left": 0, "only_right": 0, "in_both": 2}
+    dis = setops.diff_summary(a, ray.data.from_arrow(pa.table({"k": [3]})))
+    assert dis.to_pylist()[0] == {"only_left": 2, "only_right": 1, "in_both": 0}
