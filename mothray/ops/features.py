@@ -198,3 +198,227 @@ def ewma_trailing(
     from .nullkeys import null_safe_group_map
 
     return null_safe_group_map(recent, [key_col], wavg)
+
+
+def date_features(ds, col: str, prefix: str | None = None):
+    """Calendar feature columns from a timestamp/date column — the
+    standard ML date expansion: ISO day-of-week (Mon=1..Sun=7), ISO
+    week, month, quarter, year, is_weekend. Pure per-batch Arrow
+    kernels (no shuffle, no state); null dates yield null features.
+    Column names follow DuckDB's functions (isodow/week/month/quarter/
+    year) so the SQL oracle is a direct rewrite."""
+    import pyarrow.compute as pc
+
+    p = f"{prefix or col}_"
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        i64 = pa.int64()
+        dow = pc.cast(
+            pc.day_of_week(
+                c, options=pc.DayOfWeekOptions(count_from_zero=False, week_start=1)
+            ),
+            i64,
+        )
+        return (
+            batch.append_column(f"{p}isodow", dow)
+            .append_column(f"{p}week", pc.cast(pc.iso_week(c), i64))
+            .append_column(f"{p}month", pc.cast(pc.month(c), i64))
+            .append_column(f"{p}quarter", pc.cast(pc.quarter(c), i64))
+            .append_column(f"{p}year", pc.cast(pc.year(c), i64))
+            .append_column(f"{p}is_weekend", pc.greater_equal(dow, 6))
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def impute(
+    ds,
+    cols: list[str],
+    strategy: str = "mean",
+    group_col: str | None = None,
+    round_digits: int | None = None,
+):
+    """Null imputation — the ML-pipeline staple: fill nulls in `cols`
+    with the column's mean / median / mode, optionally per group
+    (cold-start groups with NO observed value fall back to the global
+    statistic). Two passes: one combiner-reduced statistics pass
+    (moments / histogram machinery — group-width rows only), then the
+    broadcast fill streams with no shuffle.
+
+    * mean  — SQL avg() semantics (nulls excluded);
+    * median — exact quantile_disc(0.5) (lower-of-two convention, so
+      the fill value is always a REAL observed value, never an
+      engine-dependent interpolation);
+    * mode  — most frequent value, ties to the smallest (SQL
+      mode() ... but with a DETERMINISTIC tie, which DuckDB's mode
+      does not guarantee — the oracle must break ties explicitly).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    if strategy not in ("mean", "median", "mode"):
+        raise ValueError(f"impute: unknown strategy {strategy!r}")
+
+    def hist_stat(vals: np.ndarray, counts: np.ndarray):
+        """sorted (distinct values, counts) -> fill value."""
+        if len(vals) == 0:
+            return None
+        cum = np.cumsum(counts)
+        if strategy == "mean":
+            return float((vals * counts).sum() / cum[-1])
+        if strategy == "median":
+            # quantile_disc(0.5): smallest value with cum >= ceil(n/2)
+            need = (cum[-1] + 1) // 2
+            return vals[np.searchsorted(cum, need)]
+        best = counts.max()
+        return vals[np.flatnonzero(counts == best)[0]]  # ties: smallest value
+
+    def global_stat(c: str):
+        from .sketch import _value_histogram
+
+        vals, cum = _value_histogram(ds.select_columns([c]), c)
+        return hist_stat(np.asarray(vals), np.diff(np.concatenate(([0], cum))))
+
+    def table_stat(tbl: pa.Table, c: str):
+        vc = pc.value_counts(tbl.column(c).combine_chunks().drop_null())
+        vals = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vals, kind="stable")
+        return hist_stat(vals[order], counts[order])
+
+    # statistics pass: per (group, col) over non-null values; the
+    # GLOBAL fallback lives under group key None — null-group rows use
+    # it too (a cold-start convention, documented above)
+    stats: dict = {}
+    for c in cols:
+        stats[(c, None)] = global_stat(c)
+        if group_col is not None:
+            from .nullkeys import null_safe_group_map
+
+            def per_group(g: pa.Table, c=c) -> pa.Table:
+                v = table_stat(g, c)
+                return pa.table(
+                    {
+                        "g": g.column(group_col).slice(0, 1),
+                        "v": pa.array(
+                            [v],
+                            pa.float64() if strategy == "mean" else g.column(c).type,
+                        ),
+                    }
+                )
+
+            rows = null_safe_group_map(
+                ds.select_columns([group_col, c]), [group_col], per_group
+            ).take_all()
+            for r in rows:
+                if r["g"] is not None:
+                    stats[(c, r["g"])] = r["v"]
+    # per-column broadcast maps: (group keys array, fill values array,
+    # global fallback) — vectorized index_in lookup per batch, no
+    # per-row Python
+    maps = {}
+    for c in cols:
+        gk = [g for (cc, g) in stats if cc == c and g is not None]
+        gv = [stats[(c, g)] for g in gk]
+        maps[c] = (
+            pa.array(gk) if gk else None,
+            pa.array(gv, pa.float64()) if strategy == "mean" and gk else (pa.array(gv) if gk else None),
+            stats.get((c, None)),
+        )
+    ref = ray.put(maps)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        out = batch
+        for c in cols:
+            keys, vals, fallback = st[c]
+            col = out.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            base = pc.cast(col, pa.float64()) if strategy == "mean" else col
+            if group_col is None or keys is None:
+                filled = base if fallback is None else pc.fill_null(base, fallback)
+            else:
+                idx = pc.index_in(out.column(group_col).combine_chunks(), value_set=keys)
+                looked = vals.take(pc.fill_null(idx, 0))
+                repl = pc.if_else(
+                    pc.and_(pc.is_valid(idx), pc.is_valid(looked)),
+                    looked.cast(base.type),
+                    pa.scalar(fallback, base.type),
+                )
+                filled = pc.if_else(pc.is_valid(base), base, repl)
+            if round_digits is not None and pa.types.is_floating(filled.type):
+                filled = pa.array(
+                    np.round(filled.to_numpy(zero_copy_only=False), round_digits),
+                    pa.float64(),
+                )
+            out = out.set_column(out.schema.get_field_index(c), c, filled)
+        return out
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bin_numeric(
+    ds,
+    col: str,
+    bins: int = 10,
+    method: str = "width",
+    out_col: str | None = None,
+):
+    """Numeric binning feature: append `out_col` (default
+    f'{col}__bin') with the 1-based bin index.
+
+    * method='width' — equal-width bins over the observed [min, max]
+      (SQL width_bucket semantics: values below/above the range would
+      take 0 / bins+1, but min/max come FROM the data so only the
+      max-value edge case matters — width_bucket puts x == max in
+      bins+1; this op CLAMPS to `bins`, the conventional histogram
+      choice, and the oracle mirrors with LEAST).
+    * method='quantile' — equal-frequency bins at exact
+      quantile_disc cut points (broadcast; searchsorted per batch).
+    Null values get a null bin. One bounded statistics pass, then a
+    shuffle-free streaming apply."""
+    import pyarrow.compute as pc
+
+    if method not in ("width", "quantile"):
+        raise ValueError(f"bin_numeric: unknown method {method!r}")
+    oc = out_col or f"{col}__bin"
+
+    if method == "width":
+        lo = ds.min(col)
+        hi = ds.max(col)
+        width = (hi - lo) / bins if hi is not None and hi > lo else None
+
+        def apply(batch: pa.Table) -> pa.Table:
+            c = batch.column(col)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            x = pc.cast(c, pa.float64()).to_numpy(zero_copy_only=False)
+            if width is None:
+                b = np.where(np.isnan(x), -1, 1)
+            else:
+                # mirror SQL width_bucket: floor((x-lo)/width)+1, clamped
+                b = np.floor((x - lo) / width) + 1
+                b = np.where(np.isnan(x), -1, np.clip(b, 1, bins))
+            arr = pa.array(b.astype(np.int64), pa.int64(),
+                           mask=(b == -1))
+            return batch.append_column(oc, arr)
+
+        return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .sketch import exact_quantiles
+
+    qs = [i / bins for i in range(1, bins)]
+    cuts_map = exact_quantiles(ds, col, qs)
+    cuts = np.array([cuts_map[q] for q in qs if cuts_map[q] is not None], dtype=np.float64)
+
+    def applyq(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        x = pc.cast(c, pa.float64()).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="left") + 1
+        arr = pa.array(
+            np.where(np.isnan(x), 0, b).astype(np.int64), pa.int64(), mask=np.isnan(x)
+        )
+        return batch.append_column(oc, arr)
+
+    return ds.map_batches(applyq, batch_format="pyarrow", zero_copy_batch=True)

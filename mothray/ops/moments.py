@@ -851,3 +851,122 @@ def mutual_information(ds, a_col: str, b_col: str, round_digits: int = 6) -> pa.
             "n": pa.array([n], pa.int64()),
         }
     )
+
+
+def with_global_frac_rank(ds, col: str, out_col: str = "frac_rank", n_buckets: int | None = None):
+    """Append the GLOBAL tie-averaged fractional rank of `col` (SQL
+    rank() + (ties-1)/2) via a range-partitioned sort — the honest
+    scale path when the distinct-value count is too large for
+    spearman_corr's broadcast histogram:
+
+    1. order-preserving range boundaries from pack.sample_boundaries
+       (bounded fingerprint sample, KMV-sized bucket count);
+    2. one exact per-bucket count pass -> driver-side offsets
+       (bucket-width rows only);
+    3. one groupby(bucket) exchange; local fractional ranks + the
+       bucket offset. Rows with equal values land in ONE bucket
+       (searchsorted on value boundaries), so ties never straddle a
+       boundary and ranks are exact half-integers — bit-deterministic
+       under any partitioning, like the Mann-Whitney rank sums.
+
+    Null values keep a NULL rank and do not consume rank positions.
+    Per-bucket state is O(corpus / n_buckets); nothing corpus-sized
+    touches the driver."""
+    import ray
+
+    from .nullkeys import null_safe_group_map
+    from .pack import sample_boundaries
+
+    def non_null(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        return batch.filter(pc.is_valid(c)).select([col])
+
+    bnd, _ = sample_boundaries(
+        ds.map_batches(non_null, batch_format="pyarrow", zero_copy_batch=True),
+        col,
+        n_buckets=n_buckets,
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        valid = v.is_valid().to_numpy(zero_copy_only=False)
+        if len(bnd):
+            x = v.to_numpy(zero_copy_only=False)
+            bkt = np.searchsorted(bnd, x, side="right").astype(np.int64)
+        else:
+            bkt = np.zeros(batch.num_rows, dtype=np.int64)
+        bkt = np.where(valid, bkt, -1)  # null values: marker bucket
+        return batch.append_column("__bkt", pa.array(bkt, pa.int64()))
+
+    bucketed = ds.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = pa.table({"__bkt": t.column("__bkt")})
+        return b.group_by("__bkt", use_threads=False).aggregate([("__bkt", "count")])
+
+    counts = {
+        r["__bkt"]: r["sum(__bkt_count)"]
+        for r in bucketed.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__bkt")
+        .sum("__bkt_count")
+        .take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(k for k in counts if k >= 0):
+        offsets[b] = acc
+        acc += counts[b]
+    off_ref = ray.put(offsets)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        bkt = int(g.column("__bkt")[0].as_py())
+        g = g.drop_columns(["__bkt"])
+        if bkt < 0:  # the null-value bucket
+            return g.append_column(out_col, pa.nulls(g.num_rows, pa.float64()))
+        off = ray_api.get(off_ref)[bkt]
+        v = g.column(col).to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        new_val = np.r_[True, sv[1:] != sv[:-1]]
+        starts = np.flatnonzero(new_val)
+        sizes = np.diff(np.r_[starts, len(sv)])
+        # avg rank of a tie run starting at s (0-based) with size t:
+        # (s+1 + s+t) / 2  -> exact half-integers
+        avg = starts + (sizes + 1) / 2.0
+        ranks_sorted = np.repeat(avg, sizes) + off
+        ranks = np.empty(len(sv))
+        ranks[order] = ranks_sorted
+        return g.append_column(out_col, pa.array(ranks, pa.float64()))
+
+    return null_safe_group_map(bucketed, ["__bkt"], rank_group)
+
+
+def spearman_corr_sorted(ds, x_col: str, y_col: str, round_digits: int = 6):
+    """Spearman rank correlation for UNBOUNDED-cardinality columns:
+    pairwise-complete rows get global fractional ranks per column via
+    two range-partitioned sorts (with_global_frac_rank), then the
+    Pearson combiner runs over the rank pair. Same output shape as
+    spearman_corr (n / covar_samp / corr) — but callers comparing
+    against SQL should project n and corr only: covar_samp of ranks
+    is O(n^2)-scale and round-6 of a ~1e8 double exceeds what
+    cross-engine float determinism guarantees."""
+    import pyarrow.compute as pc
+
+    def pairwise(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col)
+        y = batch.column(y_col)
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        return batch.filter(ok).select([x_col, y_col])
+
+    pairs = ds.map_batches(pairwise, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = with_global_frac_rank(
+        with_global_frac_rank(pairs, x_col, out_col="__rx"), y_col, out_col="__ry"
+    )
+    return group_corr(ranked, "__rx", "__ry", round_digits=round_digits)

@@ -152,3 +152,98 @@ def test_ewma_trailing_matches_duckdb(ray_session):
         f" FROM r WHERE rk <= 20 GROUP BY user_id ORDER BY user_id"
     ).df()
     assert got.equals(exp)
+
+
+def test_date_features_matches_duckdb(ray_session):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    got = (
+        features.date_features(ray.data.read_parquet(src), "o_orderdate")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"SELECT *, CAST(isodow(o_orderdate) AS BIGINT) AS o_orderdate_isodow,"
+        f" CAST(week(o_orderdate) AS BIGINT) AS o_orderdate_week,"
+        f" CAST(month(o_orderdate) AS BIGINT) AS o_orderdate_month,"
+        f" CAST(quarter(o_orderdate) AS BIGINT) AS o_orderdate_quarter,"
+        f" CAST(year(o_orderdate) AS BIGINT) AS o_orderdate_year,"
+        f" isodow(o_orderdate) >= 6 AS o_orderdate_is_weekend"
+        f" FROM read_parquet('{src}') ORDER BY o_orderkey"
+    ).df()
+    assert got[sorted(got.columns)].equals(exp[sorted(exp.columns)])
+
+
+def test_date_features_null_dates(ray_session):
+    import ray.data
+
+    t = pa.table({"d": pa.array([None], pa.timestamp("us"))})
+    row = features.date_features(ray.data.from_arrow(t), "d").take_all()[0]
+    assert row["d_isodow"] is None and row["d_is_weekend"] is None
+
+
+def test_impute_strategies(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "v": [1.0, 3.0, None, 10.0, None, None],
+        }
+    )
+    # global median: values [1,3,10] -> rank ceil(3/2)=2 -> 3.0
+    rows = features.impute(ray.data.from_arrow(t), ["v"], "median").take_all()
+    assert [r["v"] for r in rows if r["v"] == 3.0].count(3.0) >= 3
+    # grouped mean: a -> 2.0; b -> 10.0; c (no data) -> global mean 14/3
+    rows = {
+        i: r
+        for i, r in enumerate(
+            features.impute(
+                ray.data.from_arrow(t), ["v"], "mean", group_col="g", round_digits=6
+            ).take_all()
+        )
+    }
+    by_g = {}
+    for r in rows.values():
+        by_g.setdefault(r["g"], []).append(r["v"])
+    assert sorted(by_g["a"]) == [1.0, 2.0, 3.0]
+    assert sorted(by_g["b"]) == [10.0, 10.0]
+    assert by_g["c"] == [round(14.0 / 3.0, 6)]
+
+
+def test_impute_mode_deterministic_ties(ray_session):
+    import ray.data
+
+    t = pa.table({"v": ["b", "b", "a", "a", None]})
+    rows = features.impute(ray.data.from_arrow(t), ["v"], "mode").take_all()
+    assert [r["v"] for r in rows].count("a") == 3  # tie -> smallest value
+
+
+def test_bin_numeric_width_and_quantile(ray_session):
+    import ray.data
+
+    t = pa.table({"x": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, None]})
+    ds = ray.data.from_arrow(t)
+    w = {r["x"]: r["x__bin"] for r in features.bin_numeric(ds, "x", bins=5).take_all()}
+    assert w[0.0] == 1 and w[10.0] == 5 and w[None] is None
+    assert w[1.0] == 1 and w[2.0] == 2 and w[4.0] == 3
+    q = {
+        r["x"]: r["qb"]
+        for r in features.bin_numeric(
+            ray.data.from_arrow(t), "x", bins=2, method="quantile", out_col="qb"
+        ).take_all()
+    }
+    # median cut of 10 non-null values (duck rank ceil(5)=5) -> 4.0;
+    # x equal to a cut belongs to the LOWER bin (bin = 1 + #cuts < x)
+    assert q[None] is None
+    assert q[3.0] == 1 and q[4.0] == 1 and q[5.0] == 2 and q[10.0] == 2
+
+
+def test_bin_numeric_constant_column(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"x": [7.0, 7.0]}))
+    rows = features.bin_numeric(ds, "x", bins=4).take_all()
+    assert [r["x__bin"] for r in rows] == [1, 1]

@@ -546,3 +546,61 @@ def test_mutual_information_independent_columns(ray_session):
     t = pa.table({"a": ["x", "x", "y", "y"], "b": ["p", "q", "p", "q"]})
     got = moments.mutual_information(ray.data.from_arrow(t), "a", "b").to_pylist()[0]
     assert got["mi_nats"] == 0.0 and got["cramers_v"] == 0.0
+
+
+def test_global_frac_rank_matches_duckdb(ray_session):
+    """Bucketed sort-ranks == SQL fractional ranks, exactly, across
+    partitionings (ties never straddle a bucket). Compared as the
+    (value -> rank) map — (l_orderkey, l_linenumber) is NOT unique in
+    the synthetic data, so a row-level merge would explode."""
+    import ray.data
+
+    from mothray.ops.moments import with_global_frac_rank
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    exp = dict(
+        duckdb.sql(
+            f"SELECT DISTINCT l_quantity,"
+            f" CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE)"
+            f"  + (CAST(count(*) OVER (PARTITION BY l_quantity) AS DOUBLE) - 1) / 2.0"
+            f" FROM read_parquet('{src}') WHERE l_quantity IS NOT NULL"
+        ).fetchall()
+    )
+    n_exp = duckdb.sql(
+        f"SELECT count(l_quantity) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    for parts in (1, 6):
+        ds = ray.data.read_parquet(src, columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        if parts > 1:
+            ds = ds.repartition(parts)
+        got = with_global_frac_rank(ds, "l_quantity").to_pandas()
+        assert len(got) == n_exp
+        per_value = got.groupby("l_quantity")["frac_rank"]
+        assert (per_value.nunique() == 1).all()
+        assert dict(per_value.first()) == exp
+
+
+def test_global_frac_rank_null_values(ray_session):
+    import ray.data
+
+    from mothray.ops.moments import with_global_frac_rank
+
+    t = pa.table({"id": [1, 2, 3, 4], "v": [10.0, None, 5.0, 10.0]})
+    rows = {r["id"]: r for r in with_global_frac_rank(
+        ray.data.from_arrow(t), "v").take_all()}
+    assert rows[2]["frac_rank"] is None
+    assert rows[3]["frac_rank"] == 1.0
+    assert rows[1]["frac_rank"] == 2.5 and rows[4]["frac_rank"] == 2.5
+
+
+def test_spearman_sorted_agrees_with_histogram_spearman(ray_session):
+    """The sort path and the broadcast-histogram path are two
+    implementations of the same statistic — identical round-6 corr."""
+    import ray.data
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(src, columns=["l_quantity", "l_discount"])
+    a = moments.spearman_corr(ds, "l_quantity", "l_discount").take_all()[0]
+    ds2 = ray.data.read_parquet(src, columns=["l_quantity", "l_discount"])
+    b = moments.spearman_corr_sorted(ds2, "l_quantity", "l_discount").take_all()[0]
+    assert a["n"] == b["n"] and a["corr"] == b["corr"]
