@@ -3920,6 +3920,85 @@ def _benford_orders(sf_dir: str):
     return _rd.from_arrow(prof.benford_profile(ds, "o_totalprice"))
 
 
+def _temperature_mix_documents(sf_dir: str):
+    """Temperature corpus mixing (sample.temperature_mix, alpha=0.7,
+    target half the corpus): per-source keep rates proportional to
+    n^alpha / n flatten the source-size distribution; selection is the
+    deterministic FNV gate, replayed rate-for-rate in the oracle."""
+    from mothray.ops import sample
+
+    out = sample.temperature_mix(
+        _docs(sf_dir), "source", alpha=0.7, target_frac=0.5, salt="tm"
+    )
+    return out.select_columns(["doc_id", "source"])
+
+
+def _grouped_mad_lineitem(sf_dir: str):
+    """Per-group median + MAD (sketch.grouped_mad): two grouped
+    distinct-value-count passes, only (group, value, count) rows in
+    each exchange, per-group interpolated medians inside the group
+    task, medians broadcast once for the deviation pass."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import sketch as sketch_mod
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _rd.from_arrow(sketch_mod.grouped_mad(ds, "l_quantity", "l_returnflag"))
+
+
+def _cm_sketch_events(sf_dir: str):
+    """Count-Min sketch point estimates vs exact counts per event
+    type (sketch.count_min_sketch / count_min_estimate): each batch
+    ships one depth x width counter partial; the FNV bucket hashing is
+    replayed bucket-for-bucket in the SQL oracle (same fingerprint
+    machinery as the sampling oracles), so the estimates — not just
+    the bound — value-match."""
+    import ray.data
+    import ray.data as _rd
+
+    from mothray.ops import sketch as sketch_mod
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    cm = sketch_mod.count_min_sketch(ds, "event_type", width=2039, depth=4, salt="cm")
+    rows = [
+        r
+        for r in ds.groupby("event_type").count().take_all()
+        if r["event_type"] is not None
+    ]
+    rows.sort(key=lambda r: r["event_type"])
+    keys = [r["event_type"] for r in rows]
+    est = sketch_mod.count_min_estimate(cm, keys, salt="cm")
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(keys, pa.string()),
+                "exact_cnt": pa.array([r["count()"] for r in rows], pa.int64()),
+                "cm_estimate": pa.array(est, pa.int64()),
+            }
+        )
+    )
+
+
+def _cast_column_lineitem(sf_dir: str):
+    """Schema evolution on the encoded format (pipeline.cast_column):
+    l_quantity migrates float64 -> int64 with ONLY that column
+    re-encoded (every other column's stream bytes memcpy through;
+    per-stripe schema records update in place), then a full decode
+    value-matches SQL CAST."""
+    import tempfile
+
+    from mothray import pipeline
+
+    enc = tempfile.mkdtemp(prefix="mothray_cast_src_")
+    out = tempfile.mkdtemp(prefix="mothray_cast_out_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", enc)
+    pipeline.cast_column(enc, out, "l_quantity", pa.int64())
+    return pipeline.decode_dataset(pipeline.read_encoded(out))
+
+
 def _impute_orders(sf_dir: str):
     """Grouped median imputation (features.impute): every 11th order's
     total is nulled, then filled with its priority group's exact
@@ -4297,6 +4376,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spearman_sorted_lineitem"] = _spearman_sorted_lineitem
     q["impute_orders"] = _impute_orders
     q["bin_numeric_lineitem"] = _bin_numeric_lineitem
+    q["cast_column_lineitem"] = _cast_column_lineitem
+    q["cm_sketch_events"] = _cm_sketch_events
+    q["grouped_mad_lineitem"] = _grouped_mad_lineitem
+    q["temperature_mix_documents"] = _temperature_mix_documents
     for table in ("orders", "embeddings", "part", "customer", "supplier", "nation", "region"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     # -- tail: rows-only by nature (approximate / stub / iterative) --
@@ -5145,6 +5228,65 @@ def oracle_sql() -> dict[str, str]:
         " JOIN customer ON c_custkey = o_custkey"
         " WHERE sum_qty > 300"
         " ORDER BY totalprice_e2 DESC, o_orderkey LIMIT 100"
+    )
+    o["temperature_mix_documents"] = (
+        # rate_s = LEAST(1, T * (n^0.7 / sum n^0.7) / n), T = floor(N/2);
+        # gate: fnv('tm' || doc_id) % 1e6 < floor(rate * 1e6) — the
+        # hash_sample threshold truncation replayed exactly
+        "WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents"
+        " WHERE source IS NOT NULL GROUP BY 1),"
+        " w AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.7) AS w FROM n),"
+        " tot AS (SELECT sum(w) AS sw,"
+        "  CAST(floor(CAST(sum(c) AS DOUBLE) * 0.5) AS BIGINT) AS t FROM w),"
+        " r AS (SELECT source, LEAST(1.0, CAST(tot.t AS DOUBLE) * (w / tot.sw)"
+        "  / CAST(c AS DOUBLE)) AS rate FROM w CROSS JOIN tot)"
+        " SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)"
+        " WHERE list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "  list_transform(string_split('tm' || CAST(d.doc_id AS VARCHAR), ''),"
+        "   c -> CAST(ord(c) AS HUGEINT))),"
+        "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+        " % 1000000 < CAST(floor(r.rate * 1000000) AS HUGEINT)"
+    )
+    o["grouped_mad_lineitem"] = (
+        "SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,"
+        " round(median(l_quantity), 6) AS median,"
+        " round(mad(l_quantity), 6) AS mad"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    _CM_FNV = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('cm' || CAST(j AS VARCHAR) || '|' || k, ''),"
+        " c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp)"
+        " % 18446744073709551616::HUGEINT) AS UBIGINT)"
+    )
+    o["cm_sketch_events"] = (
+        # bucket = splitmix64(FNV('cm'||j||'|'||key)) % 2039 — the same
+        # UBIGINT xor/shift + 32-bit-half HUGEINT multiply chain the
+        # weighted-sample oracle replays
+        "WITH keys AS (SELECT event_type AS k, CAST(count(*) AS BIGINT) AS c"
+        " FROM events WHERE event_type IS NOT NULL GROUP BY 1),"
+        f" f AS (SELECT k, c, j, {_CM_FNV} AS h"
+        " FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),"
+        " m1 AS (SELECT k, c, j, CAST((((CAST(xor(h, h >> 30) AS HUGEINT) * 3210233709)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 30) AS HUGEINT) * 484763065)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM f),"
+        " m2 AS (SELECT k, c, j, CAST((((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM m1),"
+        " hj AS (SELECT k, c, j, CAST(xor(h, h >> 31) % 2039 AS BIGINT) AS b FROM m2),"
+        " buckets AS (SELECT j, b, SUM(c) AS bc FROM hj GROUP BY 1, 2),"
+        " est AS (SELECT hj.k, CAST(MIN(bc) AS BIGINT) AS e FROM hj"
+        "  JOIN buckets USING (j, b) GROUP BY hj.k)"
+        " SELECT keys.k AS event_type, keys.c AS exact_cnt, est.e AS cm_estimate"
+        " FROM keys JOIN est ON est.k = keys.k"
+    )
+    o["cast_column_lineitem"] = (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CAST(l_quantity AS BIGINT) AS l_quantity, l_extendedprice, l_discount,"
+        " l_tax, l_returnflag, l_linestatus, l_shipdate FROM lineitem"
     )
     o["impute_orders"] = (
         "WITH d AS (SELECT o_orderkey, o_orderpriority,"

@@ -426,3 +426,38 @@ def train_split(
         return batch.append_column(out_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def temperature_mix(
+    ds,
+    source_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    target_frac: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "tm",
+):
+    """Temperature-based corpus mixing (the multilingual-LM standard:
+    sample sources proportional to n^alpha, alpha<1 flattening the
+    size distribution so head domains stop drowning the tail). One
+    bounded per-source count pass computes keep rates
+
+        rate_s = min(1, T * (n_s^alpha / sum n^alpha) / n_s)
+
+    (without-replacement semantics: an upsampled tail source caps at
+    rate 1 and under-delivers rather than duplicating rows), then the
+    deterministic FNV hash gate streams with NO shuffle — the same
+    gate the mixture oracles replay in SQL. Null-source rows drop
+    (rate 0). Returns the sampled Dataset."""
+    rows = ds.groupby(source_col).count().take_all()
+    counts = {r[source_col]: r["count()"] for r in rows if r[source_col] is not None}
+    if not counts:
+        return ds.limit(0)
+    total = sum(counts.values())
+    t = target_rows if target_rows is not None else int(total * target_frac)
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    sw = sum(weights.values())
+    rates = {s: min(1.0, t * (weights[s] / sw) / counts[s]) for s in counts}
+    return hash_sample(
+        ds, rate=0.0, key_col=key_col, salt=salt, rate_by_key=rates, strat_col=source_col
+    )

@@ -167,7 +167,18 @@ def diff_summary(left, right) -> pa.Table:
         right.map_batches(tag(2), batch_format="pyarrow", zero_copy_batch=True)
     )
     cols = [c for c in both.schema().names if c != "__mask"]
-    merged = both.groupby(cols).aggregate(Min("__mask"), Max("__mask"))
+    # group on NULL-SAFE surrogate keys (nullkeys contract): any data
+    # column may hold nulls, and Ray's sort-based groupby cannot order
+    # a nullable key; only the (surrogates, mask) width shuffles
+    from .nullkeys import _surrogate_names, append_surrogates
+
+    surr = _surrogate_names(len(cols))
+
+    def to_surrogates(batch: pa.Table) -> pa.Table:
+        return append_surrogates(batch, cols).select(surr + ["__mask"])
+
+    keyed = both.map_batches(to_surrogates, batch_format="pyarrow", zero_copy_batch=True)
+    merged = keyed.groupby(surr).aggregate(Min("__mask"), Max("__mask"))
 
     def count_masks(t: pa.Table) -> pa.Table:
         lo = t.column("min(__mask)")

@@ -616,3 +616,174 @@ def winsorize(
         return out
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def count_min_sketch(ds, col: str, width: int = 2039, depth: int = 4, salt: str = ""):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a column:
+    a depth x width int64 counter matrix where row j counts keys at
+    bucket splitmix64(FNV(f'{salt}{j}|' || str(key))) % width — the
+    splitmix finalizer is REQUIRED: FNV is a rolling hash, so for two
+    same-length keys h_j(k1) - h_j(k2) is independent of the prefix j
+    and an unmixed pair that collides in one row collides in EVERY
+    row; the mixer breaks that affine relation (same mixer the
+    sampling/bloom oracles already replay in SQL). Point estimate =
+    min over rows — always >= the true count, and <= true + eps*N
+    with probability 1-delta for width=ceil(e/eps), depth=ceil(ln
+    1/delta). The mergeable low-memory frequency structure that
+    complements Misra-Gries heavy hitters (exact-ish top-k) with
+    arbitrary point queries.
+
+    Scale shape: each batch reduces its value_counts into ONE
+    depth*width partial row (vectorized np.add.at; the FNV fingerprint
+    machinery is the same one the sampling oracles replay in SQL, so
+    the whole sketch is SQL-reproducible); partials merge by plain
+    matrix addition. A prime width kills FNV's weak low bits under
+    the modulo."""
+    import pyarrow.compute as pc
+
+    from .sample import _key_fingerprints
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch.column(col)
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key
+        vc = pc.value_counts(key.drop_null())
+        kt = pa.table({col: vc.field("values")})
+        cnt = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        from .. import bloom as bloom_mod
+
+        m = np.zeros((depth, width), dtype=np.int64)
+        for j in range(depth):
+            h = bloom_mod._mix(_key_fingerprints(kt, col, f"{salt}{j}|")) % np.uint64(width)
+            np.add.at(m[j], h.astype(np.int64), cnt)
+        return pa.table({"m": pa.array([m.tobytes()], pa.binary())})
+
+    total = np.zeros((depth, width), dtype=np.int64)
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            total += np.frombuffer(b.column("m")[i].as_py(), dtype=np.int64).reshape(
+                depth, width
+            )
+    return total
+
+
+def count_min_estimate(sketch: np.ndarray, keys, salt: str = "") -> np.ndarray:
+    """Point estimates for `keys` (a pa.Array / list) from a
+    count_min_sketch matrix: min over depth rows at each key's
+    buckets. Vectorized over the key set."""
+    from .sample import _key_fingerprints
+
+    depth, width = sketch.shape
+    arr = keys if isinstance(keys, pa.Array) else pa.array(keys)
+    kt = pa.table({"k": arr})
+    from .. import bloom as bloom_mod
+
+    est = np.full(len(arr), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        h = bloom_mod._mix(_key_fingerprints(kt, "k", f"{salt}{j}|")) % np.uint64(width)
+        est = np.minimum(est, sketch[j, h.astype(np.int64)])
+    return est
+
+
+def grouped_mad(ds, column: str, group_col: str, round_digits: int = 6) -> "pa.Table":
+    """Per-group median + MAD (SQL median()/mad() semantics:
+    interpolated medians, nulls ignored) — the grouped form of mad()
+    for per-domain robust quality thresholds. Two grouped
+    distinct-value-count passes: each shuffles only (group, value,
+    count) rows; the per-group median evaluates inside the group task
+    over its bounded histogram, medians broadcast once, and the
+    deviation pass repeats the same shape. Null group keys are a legal
+    partition (nullkeys shuffle)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .nullkeys import null_safe_group_map
+
+    def _interp_median(vals: np.ndarray, counts: np.ndarray):
+        order = np.argsort(vals, kind="stable")
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        h = 0.5 * (n - 1)
+        lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+        hi_i = int(np.searchsorted(cum, int(np.ceil(h)) + 1))
+        lo, hi = float(vals[lo_i]), float(vals[hi_i])
+        return lo + (h - np.floor(h)) * (hi - lo)
+
+    def hist_pass(src, val_col: str, out_name: str) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.column(group_col)
+            v = pc.cast(batch.column(val_col), pa.float64())
+            t = pa.table({group_col: g, "__v": v}).filter(pc.is_valid(v))
+            agg = t.group_by([group_col, "__v"], use_threads=False).aggregate(
+                [("__v", "count")]
+            )
+            return agg.rename_columns([group_col, "__v", "__c"])
+
+        parts = src.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+        def per_group_dedup(grp: pa.Table) -> pa.Table:
+            agg = grp.select([group_col, "__v", "__c"]).group_by(
+                ["__v"], use_threads=False
+            ).aggregate([("__c", "sum")])
+            vals = agg.column("__v").to_numpy(zero_copy_only=False)
+            cnts = agg.column("__c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    group_col: grp.column(group_col).slice(0, 1),
+                    out_name: pa.array([_interp_median(vals, cnts)], pa.float64()),
+                    "__n": pa.array([int(cnts.sum())], pa.int64()),
+                }
+            )
+
+        rows = null_safe_group_map(parts, [group_col], per_group_dedup).take_all()
+        return {r[group_col]: (r[out_name], r["__n"]) for r in rows}
+
+    meds = hist_pass(ds, column, "__med")
+    med_ref = ray.put(meds)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        m = ray_api.get(med_ref)
+        keys = [k for k in m if k is not None]
+        kv = pa.array(keys)
+        mv = np.array([m[k][0] for k in keys], dtype=np.float64)
+        gcol_arr = batch.column(group_col).combine_chunks()
+        idx = pc.index_in(gcol_arr, value_set=kv)
+        med_row = mv[pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)]
+        found = idx.is_valid().to_numpy(zero_copy_only=False)
+        # the NULL group is a legal partition: its rows take its own
+        # median (index_in cannot match nulls)
+        if None in m:
+            isnull = pc.is_null(gcol_arr).to_numpy(zero_copy_only=False)
+            med_row = np.where(isnull, m[None][0], med_row)
+            found = found | isnull
+        x = pc.cast(batch.column(column), pa.float64()).to_numpy(zero_copy_only=False)
+        d = np.abs(x - med_row)
+        d = np.where(found, d, np.nan)
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "__d": pa.array(d, pa.float64(), mask=np.isnan(d)),
+            }
+        )
+
+    mads = hist_pass(
+        ds.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True), "__d", "__mad"
+    )
+    keys = sorted(meds, key=lambda k: (k is None, str(k)))
+    return pa.table(
+        {
+            group_col: pa.array(keys),
+            "n": pa.array([meds[k][1] for k in keys], pa.int64()),
+            "median": pa.array(
+                [round(meds[k][0], round_digits) for k in keys], pa.float64()
+            ),
+            "mad": pa.array(
+                [round(mads[k][0], round_digits) if k in mads else None for k in keys],
+                pa.float64(),
+            ),
+        }
+    )

@@ -999,6 +999,89 @@ def update_where(
     }
 
 
+def cast_column(
+    in_dir: str | list[str],
+    out_dir: str,
+    column: str,
+    target_type: "pa.DataType",
+    opts: dict | None = None,
+    safe: bool = True,
+) -> dict:
+    """Schema evolution on an encoded-on-disk dataset: migrate ONE
+    column to a new Arrow type re-encoding only that column — per
+    stripe, just the target column decodes, casts (`safe=True` raises
+    on lossy values, SQL CAST semantics), and re-encodes; every other
+    column's stream bytes memcpy through with rebased offsets, and the
+    stripe's own schema record updates so each rewritten stripe is
+    self-consistent (stripe.replace_column_in_stripe with
+    allow_type_change). Cost scales with the migrated column, not
+    table width; file-level fan-out, no shuffle. The reference format
+    has no schema evolution (append-only writer); this completes the
+    rename/drop/with_column DDL family with the type-change leg."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from . import stripe as stripe_mod
+
+    if isinstance(in_dir, str):
+        files = sorted(
+            os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
+        )
+    else:
+        files = sorted(in_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    tt = target_type
+
+    def cast_in_file(path: str):
+        full = pq.read_table(path)
+        out_rows = []
+        stripes = 0
+        for i in range(full.num_rows):
+            row = {c: full.column(c)[i].as_py() for c in full.column_names}
+            proj = stripe_mod.decode_stripe(row, columns=[column])
+            old = proj.column(column)
+            if isinstance(old, pa.ChunkedArray):
+                old = old.combine_chunks()
+            if old.type == tt:
+                out_rows.append(row)
+                continue
+            new = old.cast(tt, safe=safe)
+            row = stripe_mod.replace_column_in_stripe(
+                row, column, new, opts, old_nbytes=old.nbytes, allow_type_change=True
+            )
+            row["stripe_key"] = row["stripe_key"] + "c"
+            stripes += 1
+            out_rows.append(row)
+        return pa.Table.from_pylist(out_rows, schema=stripe_mod.STRIPE_SCHEMA), stripes
+
+    def process(batch: pa.Table) -> pa.Table:
+        out = []
+        for fid, path in zip(
+            batch.column("file_id").to_pylist(), batch.column("path").to_pylist()
+        ):
+            dst = os.path.join(out_dir, os.path.basename(path))
+            tmp = dst + ".tmp"
+            new_tbl, stripes = cast_in_file(path)
+            pq.write_table(new_tbl, tmp, row_group_size=8, **ENCODED_PARQUET_ARGS)
+            os.rename(tmp, dst)
+            out.append((fid, stripes))
+        return pa.table(
+            {
+                "file_id": pa.array([f for f, _ in out], type=pa.int64()),
+                "stripes_rewritten": pa.array([s for _, s in out], type=pa.int64()),
+            }
+        )
+
+    items = [{"file_id": i, "path": p} for i, p in enumerate(files)]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    return {
+        "files": len(files),
+        "stripes_rewritten": int(res["stripes_rewritten"].sum()) if len(res) else 0,
+    }
+
+
 def with_column(
     in_dir: str | list[str],
     out_dir: str,

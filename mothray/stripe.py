@@ -459,7 +459,12 @@ def add_column_to_stripe(row: dict, name: str, values, opts: dict | None = None)
 
 
 def replace_column_in_stripe(
-    row: dict, name: str, values, opts: dict | None = None, old_nbytes: int | None = None
+    row: dict,
+    name: str,
+    values,
+    opts: dict | None = None,
+    old_nbytes: int | None = None,
+    allow_type_change: bool = False,
 ) -> dict:
     """Replace ONE existing column's values in a stripe row re-encoding
     ONLY that column: the new streams are encoded fresh, every other
@@ -480,8 +485,18 @@ def replace_column_in_stripe(
     if name not in meta["columns"]:
         raise KeyError(f"column {name!r} not present in stripe")
     t = schema.field(name).type
+    new_schema_ipc = None
     if values.type != t:
-        raise TypeError(f"UPDATE must preserve type: column {name!r} is {t}, got {values.type}")
+        if not allow_type_change:
+            raise TypeError(
+                f"UPDATE must preserve type: column {name!r} is {t}, got {values.type}"
+            )
+        # schema evolution (cast_column): swap the field type in the
+        # stripe's own schema — decode reads per-stripe schemas, so
+        # each rewritten stripe is immediately self-consistent
+        i = schema.get_field_index(name)
+        schema = schema.set(i, pa.field(name, values.type, schema.field(i).nullable))
+        new_schema_ipc = _serialize_schema(schema)
     n = row["n_rows"]
     if len(values) != n:
         raise ValueError(f"values length {len(values)} != stripe rows {n}")
@@ -562,7 +577,7 @@ def replace_column_in_stripe(
     raw_bytes = row["raw_bytes"]
     if old_nbytes is not None:
         raw_bytes += values.nbytes - old_nbytes
-    return {
+    out = {
         **row,
         "raw_bytes": raw_bytes,
         "enc_bytes": len(blob),
@@ -571,6 +586,9 @@ def replace_column_in_stripe(
         "blooms": blooms,
         "blob": blob,
     }
+    if new_schema_ipc is not None:
+        out["schema_ipc"] = new_schema_ipc
+    return out
 
 
 def vacuum_stripe_blob(row: dict) -> dict:

@@ -604,3 +604,72 @@ def test_spearman_sorted_agrees_with_histogram_spearman(ray_session):
     ds2 = ray.data.read_parquet(src, columns=["l_quantity", "l_discount"])
     b = moments.spearman_corr_sorted(ds2, "l_quantity", "l_discount").take_all()[0]
     assert a["n"] == b["n"] and a["corr"] == b["corr"]
+
+
+def test_count_min_overestimates_and_is_partition_invariant(ray_session):
+    """Forced collisions (width 7): every estimate >= its true count,
+    within the eps*N bound, and 1-block vs 8-block runs agree
+    exactly (partials merge by addition)."""
+    import ray.data
+
+    from mothray.ops import sketch as sketch_mod
+
+    rng = np.random.default_rng(3)
+    keys = [f"k{int(i)}" for i in rng.zipf(1.5, 4000) if i < 60]
+    t = pa.table({"k": pa.array(keys + [None] * 5)})
+    cm1 = sketch_mod.count_min_sketch(ray.data.from_arrow(t), "k", width=7, depth=3)
+    cm8 = sketch_mod.count_min_sketch(
+        ray.data.from_arrow(t).repartition(8), "k", width=7, depth=3
+    )
+    assert np.array_equal(cm1, cm8)
+    assert cm1.sum() == 3 * len(keys)  # nulls excluded; each row counts all
+    import collections
+
+    truth = collections.Counter(keys)
+    uniq = sorted(truth)
+    est = sketch_mod.count_min_estimate(cm1, uniq)
+    n = len(keys)
+    for k, e in zip(uniq, est):
+        assert e >= truth[k]
+        assert e <= truth[k] + n  # trivial sanity; real bound is e*N/width
+    # a wide sketch on the same data is exact for every key
+    cmw = sketch_mod.count_min_sketch(ray.data.from_arrow(t), "k", width=4099, depth=4)
+    estw = sketch_mod.count_min_estimate(cmw, uniq)
+    assert [int(x) for x in estw] == [truth[k] for k in uniq]
+
+
+def test_grouped_mad_matches_duckdb_and_null_group(ray_session):
+    import ray.data
+
+    from mothray.ops import sketch as sketch_mod
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    got = sketch_mod.grouped_mad(
+        ray.data.read_parquet(src, columns=["l_returnflag", "l_quantity"]),
+        "l_quantity",
+        "l_returnflag",
+    ).to_pylist()
+    exp = {
+        r[0]: r[1:]
+        for r in duckdb.sql(
+            f"SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT),"
+            f" round(median(l_quantity), 6), round(mad(l_quantity), 6)"
+            f" FROM read_parquet('{src}') GROUP BY 1"
+        ).fetchall()
+    }
+    assert len(got) == len(exp)
+    for r in got:
+        assert (r["n"], r["median"], r["mad"]) == exp[r["l_returnflag"]]
+    # null group key is a legal partition with its own median/mad
+    t = pa.table(
+        {"g": ["a", "a", None, None, None], "v": [1.0, 3.0, 10.0, 20.0, None]}
+    )
+    rows = {
+        r["g"]: r
+        for r in sketch_mod.grouped_mad(
+            ray.data.from_arrow(t), "v", "g"
+        ).to_pylist()
+    }
+    assert rows["a"]["median"] == 2.0 and rows["a"]["mad"] == 1.0
+    assert rows[None]["median"] == 15.0 and rows[None]["mad"] == 5.0
+    assert rows[None]["n"] == 2

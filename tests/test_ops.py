@@ -2548,3 +2548,46 @@ def test_diff_summary_identical_and_disjoint(ray_session):
     assert same.to_pylist()[0] == {"only_left": 0, "only_right": 0, "in_both": 2}
     dis = setops.diff_summary(a, ray.data.from_arrow(pa.table({"k": [3]})))
     assert dis.to_pylist()[0] == {"only_left": 2, "only_right": 1, "in_both": 0}
+
+
+def test_diff_summary_null_columns(ray_session):
+    """Null cells in data columns are legal group keys for the diff
+    (nullkeys surrogate contract): null == null for row identity."""
+    import ray.data
+
+    from mothray.ops import setops
+
+    left = ray.data.from_arrow(pa.table({"k": [1, None, 3], "v": ["a", None, "c"]}))
+    right = ray.data.from_arrow(pa.table({"k": [None, 3], "v": [None, "CHANGED"]}))
+    out = setops.diff_summary(left, right).to_pylist()[0]
+    assert out == {"only_left": 2, "only_right": 1, "in_both": 1}
+
+
+def test_temperature_mix_flattens_sources(ray_session):
+    """alpha<1 must raise the tail source's keep RATE above the head's
+    (that is the point of temperature sampling); selection is
+    deterministic and partition-invariant."""
+    import ray.data
+
+    from mothray.ops import sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1100), pa.int64()),
+            "source": pa.array(["head"] * 1000 + ["tail"] * 100),
+        }
+    )
+    a = sample.temperature_mix(
+        ray.data.from_arrow(t), "source", alpha=0.5, target_frac=0.5
+    ).take_all()
+    b = sample.temperature_mix(
+        ray.data.from_arrow(t).repartition(7), "source", alpha=0.5, target_frac=0.5
+    ).take_all()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    import collections
+
+    got = collections.Counter(r["source"] for r in a)
+    # planned rates: w = sqrt(n); head: 550*(31.6/41.6)/1000 ~ 0.418,
+    # tail: 550*(10/41.6)/100 = 1.0 (capped) — tail keeps ~everything
+    assert got["tail"] > 90
+    assert 300 < got["head"] < 520

@@ -191,3 +191,58 @@ def test_update_where_null_predicate_rows_untouched(ray_session, tmp_path):
     got = pipeline.decode_files(str(out)).to_pandas().sort_values("k")
     assert res["rows_updated"] == 2  # nulls in v never match
     assert got["w"].tolist() == [0.0, 20.0, 0.0, 40.0]
+
+
+def test_cast_column_roundtrip_and_pruning(ray_session, tmp_path):
+    from mothray import pipeline
+
+    """float64 -> int64 migration: values survive exactly, the stripe
+    schema record updates, and zone maps rebuilt from the CAST values
+    still prune encoded scans correctly."""
+    src = pa.table(
+        {
+            "k": pa.array(range(100), pa.int64()),
+            "q": pa.array([float(i % 10) for i in range(100)], pa.float64()),
+            "s": pa.array([f"s{i}" for i in range(100)]),
+        }
+    )
+    raw = tmp_path / "src.parquet"
+    pq.write_table(src, raw)
+    enc, out = tmp_path / "enc", tmp_path / "cast"
+    pipeline.encode_parquet_to_dir(str(raw), str(enc))
+    res = pipeline.cast_column(str(enc), str(out), "q", pa.int64())
+    assert res["stripes_rewritten"] >= 1
+    got = pipeline.decode_files(str(out)).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["q"].dtype == np.int64
+    assert got["q"].tolist() == [i % 10 for i in range(100)]
+    assert got["s"].tolist() == [f"s{i}" for i in range(100)]
+    # predicate pushdown over the migrated column (int domain now)
+    f = pipeline.filter_encoded_multi(str(out), [("q", "ge", 8)], columns=["k", "q"])
+    vals = sorted(r["q"] for r in f.take_all())
+    assert vals and all(v >= 8 for v in vals)
+    assert len(vals) == 20
+
+
+def test_cast_column_lossy_raises(ray_session, tmp_path):
+    from mothray import pipeline
+
+    src = pa.table({"k": [1, 2], "q": [1.5, 2.0]})
+    raw = tmp_path / "src.parquet"
+    pq.write_table(src, raw)
+    enc, out = tmp_path / "enc", tmp_path / "cast"
+    pipeline.encode_parquet_to_dir(str(raw), str(enc))
+    with pytest.raises(Exception):
+        pipeline.cast_column(str(enc), str(out), "q", pa.int64())
+
+
+def test_cast_column_to_string(ray_session, tmp_path):
+    from mothray import pipeline
+
+    src = pa.table({"k": [1, 2, 3], "q": pa.array([10, None, 30], pa.int64())})
+    raw = tmp_path / "src.parquet"
+    pq.write_table(src, raw)
+    enc, out = tmp_path / "enc", tmp_path / "cast"
+    pipeline.encode_parquet_to_dir(str(raw), str(enc))
+    pipeline.cast_column(str(enc), str(out), "q", pa.string())
+    got = pipeline.decode_files(str(out)).to_pandas().sort_values("k")
+    assert got["q"].tolist() == ["10", None, "30"]
