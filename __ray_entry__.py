@@ -2017,8 +2017,10 @@ def _tpch_q13(sf_dir: str):
 
     def ord_partial(t: pa.Table) -> pa.Table:
         f = t.filter(pc.invert(pc.equal(t.column("o_orderpriority"), "1-URGENT")))
+        import numpy as np
+
         p = pa.table({"c_custkey": f.column("o_custkey")})
-        return p.append_column("n", pa.array([1] * f.num_rows, pa.int64())).group_by(
+        return p.append_column("n", pa.array(np.ones(f.num_rows, np.int64))).group_by(
             "c_custkey", use_threads=False
         ).aggregate([("n", "sum")])
 
@@ -2035,8 +2037,10 @@ def _tpch_q13(sf_dir: str):
 
     def dist_partial(t: pa.Table) -> pa.Table:
         c = pc.fill_null(t.column("sum(n_sum)"), 0)
+        import numpy as np
+
         p = pa.table({"c_count": pc.cast(c, pa.int64())})
-        return p.append_column("d", pa.array([1] * t.num_rows, pa.int64())).group_by(
+        return p.append_column("d", pa.array(np.ones(t.num_rows, np.int64))).group_by(
             "c_count", use_threads=False
         ).aggregate([("d", "sum")])
 

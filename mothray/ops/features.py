@@ -275,12 +275,34 @@ def impute(
         return vals[np.flatnonzero(counts == best)[0]]  # ties: smallest value
 
     def global_stat(c: str):
+        if strategy == "mean":
+            # sum/count combiner — a distinct-value histogram would be
+            # corpus-sized on a continuous column
+            def p(batch: pa.Table) -> pa.Table:
+                v = batch.column(c).combine_chunks().cast(pa.float64()).drop_null()
+                import pyarrow.compute as _pc
+
+                return pa.table(
+                    {
+                        "s": pa.array([_pc.sum(v).as_py() or 0.0], pa.float64()),
+                        "n": pa.array([len(v)], pa.int64()),
+                    }
+                )
+
+            tot = ds.select_columns([c]).map_batches(
+                p, batch_format="pyarrow", zero_copy_batch=True
+            ).sum(["s", "n"])
+            n = tot["sum(n)"] or 0
+            return float(tot["sum(s)"] / n) if n else None
         from .sketch import _value_histogram
 
         vals, cum = _value_histogram(ds.select_columns([c]), c)
         return hist_stat(np.asarray(vals), np.diff(np.concatenate(([0], cum))))
 
     def table_stat(tbl: pa.Table, c: str):
+        if strategy == "mean":
+            v = tbl.column(c).combine_chunks().cast(pa.float64()).drop_null()
+            return float(pc.sum(v).as_py() / len(v)) if len(v) else None
         vc = pc.value_counts(tbl.column(c).combine_chunks().drop_null())
         vals = vc.field("values").to_numpy(zero_copy_only=False)
         counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -385,8 +407,10 @@ def bin_numeric(
     oc = out_col or f"{col}__bin"
 
     if method == "width":
-        lo = ds.min(col)
-        hi = ds.max(col)
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(col), Max(col))  # one pass, not two
+        lo, hi = mm[f"min({col})"], mm[f"max({col})"]
         width = (hi - lo) / bins if hi is not None and hi > lo else None
 
         def apply(batch: pa.Table) -> pa.Table:

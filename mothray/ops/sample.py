@@ -449,8 +449,25 @@ def temperature_mix(
     deterministic FNV hash gate streams with NO shuffle — the same
     gate the mixture oracles replay in SQL. Null-source rows drop
     (rate 0). Returns the sampled Dataset."""
-    rows = ds.groupby(source_col).count().take_all()
-    counts = {r[source_col]: r["count()"] for r in rows if r[source_col] is not None}
+    import pyarrow.compute as pc
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        # value_counts + a non-null pre-filter: Ray's sort groupby
+        # cannot order a NULLABLE key, and null sources drop anyway
+        col = batch.column(source_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vc = pc.value_counts(col.drop_null())
+        return pa.table(
+            {source_col: vc.field("values"), "c": vc.field("counts").cast(pa.int64())}
+        )
+
+    rows = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(source_col)
+        .sum("c")
+        .take_all()
+    )
+    counts = {r[source_col]: r["sum(c)"] for r in rows}
     if not counts:
         return ds.limit(0)
     total = sum(counts.values())

@@ -2591,3 +2591,21 @@ def test_temperature_mix_flattens_sources(ray_session):
     # tail: 550*(10/41.6)/100 = 1.0 (capped) — tail keeps ~everything
     assert got["tail"] > 90
     assert 300 < got["head"] < 520
+
+
+def test_temperature_mix_null_sources_drop(ray_session):
+    import ray.data
+
+    from mothray.ops import sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "source": pa.array((["a"] * 30 + [None] * 10)),
+        }
+    )
+    rows = sample.temperature_mix(
+        ray.data.from_arrow(t), "source", alpha=0.5, target_frac=1.0
+    ).take_all()
+    assert rows and all(r["source"] == "a" for r in rows)
+    assert len(rows) == 30  # rate capped at 1: whole non-null source kept
