@@ -511,6 +511,37 @@ def _null_group_documents(sf_dir: str):
     )
 
 
+def _transitions_events(sf_dir: str):
+    """First-order Markov transition matrix over each user's ordered
+    event sequence: one null-safe groupby(user) exchange, per-group
+    vectorized pair counting, |states|^2-row combiner groupby; row
+    probabilities normalized on the final tiny matrix. Oracle = SQL
+    lag window + grouped count."""
+    import ray.data
+
+    from mothray.ops import markov
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return markov.transition_matrix(ds)
+
+
+def _copurchase_lineitem(sf_dir: str):
+    """Market-basket pair mining (Apriori support counting): top-50
+    part pairs co-occurring in an order. One groupby(order) exchange,
+    per-basket distinct-item triu pair expansion, per-batch pyarrow
+    combiner before the pair groupby. Oracle = DISTINCT self-join."""
+    import ray.data
+
+    from mothray.ops import basket
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return basket.copurchase_pairs(ds, k=50)
+
+
 def _validate_encoded_orders(sf_dir: str):
     """not_null/range contracts answered from ENCODED stripe stats —
     proven-clean stripes skip, proven-violating stripes count from
@@ -4409,6 +4440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["winsorize_lineitem"] = _winsorize_lineitem
     q["validate_encoded_orders"] = _validate_encoded_orders
     q["null_group_documents"] = _null_group_documents
+    q["transitions_events"] = _transitions_events
+    q["copurchase_lineitem"] = _copurchase_lineitem
     return q
 
 
@@ -5795,6 +5828,25 @@ def oracle_sql() -> dict[str, str]:
     # multimodal_image_features / multimodal_audio_features: approximate or
     # non-SQL ops — rows-only checks by design (their shared INVARIANTS are
     # oracle-checked via dedup_invariants_documents).
+    o["transitions_events"] = (
+        "WITH s AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "           WHERE event_type IS NOT NULL),"
+        " p AS (SELECT lag(event_type) OVER"
+        "        (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,"
+        "       event_type AS to_state FROM s)"
+        " SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt,"
+        " round(count(*)::DOUBLE /"
+        "       sum(count(*)) OVER (PARTITION BY from_state), 6) AS prob_r6"
+        " FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    o["copurchase_lineitem"] = (
+        "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)"
+        " SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,"
+        " CAST(count(*) AS BIGINT) AS cnt"
+        " FROM d a JOIN d b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2 ORDER BY cnt DESC, item_a, item_b LIMIT 50"
+    )
     return o
 
 

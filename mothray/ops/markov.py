@@ -1,0 +1,98 @@
+"""First-order Markov transition matrix over per-key ordered event
+sequences: (from_state, to_state, cnt, prob_r6).
+
+For each key (user), events are ordered by (order_col, tiebreak_col)
+and every consecutive state pair contributes one transition. `prob_r6`
+is the row-stochastic probability cnt / sum(cnt per from_state),
+rounded to 6 digits (values are in [0,1], so round-6 cells are stable
+across merge orders).
+
+Scale shape: only (key, order, tiebreak, state) columns are projected;
+one null-safe groupby(key) exchange; inside each group a vectorized
+sort + two shifted takes; per-group pairs are pre-counted before the
+tiny (from,to) combiner groupby, so the second exchange carries at
+most |states|^2 rows per group. The probability normalization runs on
+the final matrix, which is at most |states|^2 rows — a repartition(1)
+there is O(states^2), not O(data).
+
+Null states are dropped BEFORE pairing (a null breaks the chain in
+neither direction: its neighbors pair with each other) — mirrored in
+the SQL oracle by filtering NULL states before the lag window.
+
+No reference analog (orc-go has no analytics operators) — engine
+extension alongside the funnel / cohort / window family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def transition_matrix(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    state_col: str = "event_type",
+    round_digits: int = 6,
+):
+    """(from_state, to_state, cnt BIGINT, prob_r6 DOUBLE), sorted by
+    (from_state, to_state). Equivalent SQL: lag(state) OVER
+    (PARTITION BY key ORDER BY order, tiebreak) + GROUP BY pair."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.is_valid(group.column(state_col)))
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    "from_state": pa.array([], pa.string()),
+                    "to_state": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")]
+        )
+        st = g.column(state_col).take(idx).combine_chunks()
+        # dictionary-encode once, count (from,to) code pairs in numpy
+        dic = st.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        k = len(dic.dictionary)
+        pair_ids = codes[:-1] * k + codes[1:]
+        uniq, cnt = np.unique(pair_ids, return_counts=True)
+        return pa.table(
+            {
+                "from_state": dic.dictionary.take(pa.array(uniq // k)),
+                "to_state": dic.dictionary.take(pa.array(uniq % k)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def add_prob(t: pa.Table) -> pa.Table:
+        # final matrix only (<= |states|^2 rows): row-normalize
+        f = t.column("from_state").combine_chunks().dictionary_encode()
+        codes = np.asarray(f.indices, dtype=np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        totals = np.bincount(codes, weights=cnt, minlength=len(f.dictionary))
+        prob = np.round(cnt / totals[codes], round_digits)
+        return t.append_column("prob_r6", pa.array(prob, pa.float64()))
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.select_columns(sorted({key_col, order_col, tiebreak_col, state_col}))
+    counts = (
+        null_safe_group_map(proj, [key_col], pairs)
+        .groupby(["from_state", "to_state"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["from_state", "to_state", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+    return (
+        counts.repartition(1)
+        .map_batches(add_prob, batch_format="pyarrow")
+        .sort(["from_state", "to_state"])
+    )
