@@ -4213,6 +4213,45 @@ def _autocorr_events(sf_dir: str):
     return moments.group_corr(lagged, "value", "lag_value")
 
 
+def _zipf_documents(sf_dir: str):
+    """Zipf-law OLS fit over the top-100 corpus tokens (ops/corpus.py):
+    only (token, cnt) combiner partials cross the exchange."""
+    from mothray.ops import corpus
+
+    return corpus.zipf_slope(_docs(sf_dir), k=100)
+
+
+def _oov_documents(sf_dir: str):
+    """Out-of-vocabulary rate per source vs the global top-10 token
+    vocabulary (broadcast is_in scan, shuffle-free second pass)."""
+    from mothray.ops import corpus
+
+    return corpus.oov_rate(_docs(sf_dir), vocab_k=10)
+
+
+def _pmi_documents(sf_dir: str):
+    """Top-30 adjacent-bigram collocations by PMI (Church & Hanks);
+    unigram/bigram count combiners + small-side broadcast joins."""
+    from mothray.ops import corpus
+
+    return corpus.pmi_bigrams(_docs(sf_dir), k=30, min_count=5)
+
+
+def _rrf_documents(sf_dir: str):
+    """Reciprocal-rank fusion of two BM25 runs over the engine's own
+    encoded inverted index — the standard multi-query retrieval
+    combiner (Cormack et al. 2009)."""
+    import tempfile
+
+    from mothray.ops import search
+
+    idx = tempfile.mkdtemp(prefix="mothray_rrf_")
+    search.build_bm25_index(_docs(sf_dir), idx)
+    a = search.bm25_search(idx, ["merge", "window", "spark"], k=20)
+    b = search.bm25_search(idx, ["query", "vector", "stream"], k=20)
+    return search.rrf_fuse([a, b], k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -4442,6 +4481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["null_group_documents"] = _null_group_documents
     q["transitions_events"] = _transitions_events
     q["copurchase_lineitem"] = _copurchase_lineitem
+    q["zipf_documents"] = _zipf_documents
+    q["oov_rate_documents"] = _oov_documents
+    q["pmi_bigrams_documents"] = _pmi_documents
+    q["rrf_fuse_documents"] = _rrf_documents
     return q
 
 
@@ -5847,7 +5890,95 @@ def oracle_sql() -> dict[str, str]:
         " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
         " GROUP BY 1, 2 ORDER BY cnt DESC, item_a, item_b LIMIT 50"
     )
+    o["zipf_documents"] = (
+        # same OLS as corpus.zipf_slope: ln(cnt) ~ ln(rank) over the
+        # top-k tokens ranked by (cnt DESC, token)
+        "WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token"
+        "           FROM documents),"
+        " c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),"
+        " r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk"
+        "       FROM c ORDER BY cnt DESC, token LIMIT 100)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_tokens,"
+        " round(regr_slope(ln(cnt), ln(rnk)), 6) AS slope_r6,"
+        " round(regr_intercept(ln(cnt), ln(rnk)), 6) AS intercept_r6,"
+        " round(regr_r2(ln(cnt), ln(rnk)), 6) AS r2_r6"
+        " FROM r"
+    )
+    o["oov_rate_documents"] = (
+        "WITH toks AS (SELECT source,"
+        "  unnest(string_split(lower(text), ' ')) AS token FROM documents),"
+        " c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),"
+        " v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 10)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(sum(CASE WHEN token NOT IN (SELECT token FROM v)"
+        "          THEN 1 ELSE 0 END) AS BIGINT) AS oov,"
+        " round(sum(CASE WHEN token NOT IN (SELECT token FROM v)"
+        "           THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate_r6"
+        " FROM toks GROUP BY source ORDER BY source"
+    )
+    o["pmi_bigrams_documents"] = (
+        # pmi = ln(c_xy * N1^2 / (N2 * c_x * c_y)), adjacent pairs
+        # within each doc; expression written in corpus.pmi_bigrams'
+        # exact double-op order so values match bit-for-bit
+        "WITH d AS (SELECT string_split(lower(text), ' ') AS l FROM documents),"
+        " uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM"
+        "   (SELECT unnest(l) AS w FROM d) GROUP BY w),"
+        " n1 AS (SELECT SUM(c)::DOUBLE AS n1 FROM uni),"
+        " bi0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM d),"
+        " big AS (SELECT l[i] AS w1, l[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt"
+        "         FROM bi0 GROUP BY 1, 2),"
+        " n2 AS (SELECT SUM(cnt)::DOUBLE AS n2 FROM big),"
+        " sc AS (SELECT b.w1, b.w2, b.cnt,"
+        "   round(ln(b.cnt * n1.n1 * n1.n1 / (n2.n2 * u1.c * u2.c)), 6) AS pmi_r6"
+        "   FROM big b JOIN uni u1 ON b.w1 = u1.w JOIN uni u2 ON b.w2 = u2.w,"
+        "        n1, n2 WHERE b.cnt >= 5)"
+        " SELECT w1, w2, cnt, pmi_r6 FROM sc"
+        " ORDER BY pmi_r6 DESC, w1, w2 LIMIT 30"
+    )
+    o["rrf_fuse_documents"] = _rrf_sql(
+        ["merge", "window", "spark"], ["query", "vector", "stream"]
+    )
     return o
+
+
+def _rrf_sql(terms1: list[str], terms2: list[str]) -> str:
+    """DuckDB reproduction of search.rrf_fuse over two bm25_search
+    runs: each run's top-20 ranked by (round(s,6) DESC, doc_id), then
+    score(d) = sum 1/(60 + rank), top-10 by (rrf_r6 DESC, doc_id)."""
+
+    def leg(tag: str, terms: list[str]) -> str:
+        lst = ", ".join(f"'{t}'" for t in terms)
+        return (
+            f" q{tag} AS (SELECT unnest([{lst}]) AS token),"
+            f" df{tag} AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf"
+            f"  WHERE token IN (SELECT token FROM q{tag}) GROUP BY 1),"
+            f" sc{tag} AS (SELECT tf.doc_id,"
+            f"  SUM(ln(1.0 + (st.n - df{tag}.df + 0.5) / (df{tag}.df + 0.5))"
+            f"   * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s"
+            f"  FROM tf JOIN df{tag} USING (token) JOIN dl USING (doc_id), st"
+            f"  GROUP BY tf.doc_id),"
+            f" r{tag} AS (SELECT doc_id,"
+            f"  row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk"
+            f"  FROM sc{tag} ORDER BY round(s, 6) DESC, doc_id LIMIT 20)"
+        )
+
+    return (
+        "WITH toks AS (SELECT doc_id,"
+        " unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token FROM documents),"
+        " tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks"
+        "  WHERE token <> '' GROUP BY 1, 2),"
+        " dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks"
+        "  WHERE token <> '' GROUP BY 1),"
+        " st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,"
+        "  (SELECT SUM(dl) FROM dl)::DOUBLE / (SELECT COUNT(*) FROM documents) AS avgdl),"
+        + leg("1", terms1)
+        + ","
+        + leg("2", terms2)
+        + ","
+        " u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)"
+        " SELECT doc_id, round(SUM(1.0 / (60 + rnk)), 6) AS rrf_r6"
+        " FROM u GROUP BY doc_id ORDER BY rrf_r6 DESC, doc_id LIMIT 10"
+    )
 
 
 def _langid_sql() -> str:

@@ -349,3 +349,40 @@ def search_text_index(index_dir: str, terms: list[str], mode: str = "and", id_co
 
         counted = counted.map_batches(all_terms, batch_format="pyarrow")
     return counted.select_columns([id_col])
+
+
+def rrf_fuse(rankings, id_col: str = "doc_id", k: int = 10, c: int = 60,
+             round_digits: int = 6):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    ranked result lists: score(d) = sum over lists of 1/(c + rank_d),
+    ranks 1-based within each list ordered by (score_r6 DESC, id).
+    The standard way to combine retrieval runs (e.g. two BM25 queries,
+    or BM25 + ANN) without score calibration.
+
+    Inputs are top-N result Datasets/Tables from bm25_search — K rows
+    each by construction — so fusion itself is a tiny driver-side
+    numpy pass (the heavy work already happened inside each pruned
+    index scan). Returns (id, rrf_r6) sorted by (rrf_r6 DESC, id),
+    round-6 so a SQL double oracle string-matches."""
+    import numpy as np
+
+    scores: dict = {}
+    for r in rankings:
+        tbl = r if isinstance(r, pa.Table) else pa.Table.from_pylist(r.take_all())
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[("score_r6", "descending"), (id_col, "ascending")],
+        )
+        ids = tbl.column(id_col).take(order).to_pylist()
+        for rank, did in enumerate(ids, start=1):
+            scores[did] = scores.get(did, 0.0) + 1.0 / (c + rank)
+    items = sorted(
+        ((did, float(np.round(s, round_digits))) for did, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    return pa.table(
+        {
+            id_col: pa.array([d for d, _ in items]),
+            "rrf_r6": pa.array([s for _, s in items], pa.float64()),
+        }
+    )

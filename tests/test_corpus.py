@@ -1,0 +1,155 @@
+"""Corpus statistics (zipf / oov / pmi) + RRF fusion: synthetic
+hand-checked cases plus brute-force numpy cross-checks."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from mothray.ops import corpus, search
+
+
+def _docs_ds(texts, sources=None, npartitions=3):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(
+                sources or ["s0"] * len(texts), pa.string()
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(npartitions)
+
+
+def _brute_counts(texts):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update((t or "").lower().split(" "))
+    return c
+
+
+def test_zipf_slope_matches_numpy(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish draw so counts are skewed
+    texts = [
+        " ".join(vocab[min(int(z) - 1, 39)] for z in rng.zipf(1.3, 30))
+        for _ in range(60)
+    ]
+    out = corpus.zipf_slope(_docs_ds(texts), k=25).take_all()[0]
+
+    c = _brute_counts(texts)
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    y = np.log(np.array([v for _, v in top], dtype=np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    assert out["n_tokens"] == len(top)
+    assert out["slope_r6"] == np.round(slope, 6)
+    assert out["slope_r6"] < 0  # skewed counts => decreasing fit
+    assert 0.0 <= out["r2_r6"] <= 1.0
+
+
+def test_zipf_rank_ties_stable(ray_session):
+    # every token appears exactly twice -> all ranks tied; the fit
+    # must still be deterministic (slope 0, ln(cnt) constant)
+    texts = ["a b c d", "a b c d"]
+    out = corpus.zipf_slope(_docs_ds(texts), k=10).take_all()[0]
+    assert out["n_tokens"] == 4
+    assert out["slope_r6"] == 0.0
+
+
+def test_oov_rate_brute_force(ray_session):
+    texts = [
+        "a a a b",       # src x
+        "a b c rare1",   # src x
+        "a a rare2 rare3",  # src y
+        "b b b b",       # src y
+    ]
+    srcs = ["x", "x", "y", "y"]
+    # vocab_k=2 -> vocab = {a, b} (a:6, b:7 ... compute): counts a=6,b=7,c=1,rare*=1
+    out = {
+        r["source"]: r
+        for r in corpus.oov_rate(
+            _docs_ds(texts, srcs), vocab_k=2, group_col="source"
+        ).take_all()
+    }
+    assert out["x"]["n_tokens"] == 8 and out["x"]["oov"] == 2
+    assert out["y"]["n_tokens"] == 8 and out["y"]["oov"] == 2
+    assert out["x"]["oov_rate_r6"] == 0.25
+
+
+def test_pmi_bigrams_brute_force(ray_session):
+    texts = ["a b a b c", "a b c c", "b a b a"] * 3
+    got = corpus.pmi_bigrams(_docs_ds(texts), k=50, min_count=1).take_all()
+
+    # brute force
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n1 = float(sum(uni.values()))
+    n2 = float(sum(big.values()))
+    want = {}
+    for (w1, w2), c in big.items():
+        want[(w1, w2)] = (
+            c,
+            float(np.round(np.log(c * n1 * n1 / (n2 * uni[w1] * uni[w2])), 6)),
+        )
+    assert len(got) == len(want)
+    for r in got:
+        c, pmi = want[(r["w1"], r["w2"])]
+        assert r["cnt"] == c and r["pmi_r6"] == pmi
+    # ordering: pmi desc, then w1, w2
+    keys = [(-r["pmi_r6"], r["w1"], r["w2"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_pmi_min_count_filters(ray_session):
+    texts = ["a b a b", "c d"]
+    got = corpus.pmi_bigrams(_docs_ds(texts), k=50, min_count=2).take_all()
+    pairs = {(r["w1"], r["w2"]) for r in got}
+    assert pairs == {("a", "b")}  # "b a", "c d" occur once
+
+
+def test_rrf_fuse_manual(ray_session):
+    t1 = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "score_r6": pa.array([3.0, 2.0, 1.0], pa.float64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([20, 40], pa.int64()),
+            "score_r6": pa.array([9.0, 8.0], pa.float64()),
+        }
+    )
+    out = search.rrf_fuse([t1, t2], k=10, c=60)
+    got = {r["doc_id"]: r["rrf_r6"] for r in out.to_pylist()}
+    assert got[20] == round(1 / 62 + 1 / 61, 6)
+    assert got[10] == round(1 / 61, 6)
+    assert got[40] == round(1 / 62, 6)
+    assert got[30] == round(1 / 63, 6)
+    # doc 20 (in both lists) must rank first
+    assert out.column("doc_id").to_pylist()[0] == 20
+
+
+def test_rrf_fuse_tie_break_and_k(ray_session):
+    # equal scores within a list -> rank by id; k truncates
+    t1 = pa.table(
+        {
+            "doc_id": pa.array([5, 3], pa.int64()),
+            "score_r6": pa.array([1.0, 1.0], pa.float64()),
+        }
+    )
+    out = search.rrf_fuse([t1], k=1)
+    # tie on score -> doc 3 gets rank 1 -> higher rrf -> kept by k=1
+    assert out.to_pylist() == [{"doc_id": 3, "rrf_r6": round(1 / 61, 6)}]
