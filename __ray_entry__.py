@@ -4237,6 +4237,15 @@ def _pmi_documents(sf_dir: str):
     return corpus.pmi_bigrams(_docs(sf_dir), k=30, min_count=5)
 
 
+def _dup_spans_documents(sf_dir: str):
+    """Cross-doc duplicated 5-gram span removal (Lee et al. 2022
+    shape): dup-gram detection via per-batch distinct-doc combiners,
+    span-union merge + token cut fully vectorized (ops/webtext.py)."""
+    from mothray.ops import webtext
+
+    return webtext.dup_ngram_spans(_docs(sf_dir), n=5, min_docs=2)
+
+
 def _rrf_documents(sf_dir: str):
     """Reciprocal-rank fusion of two BM25 runs over the engine's own
     encoded inverted index — the standard multi-query retrieval
@@ -4485,6 +4494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["oov_rate_documents"] = _oov_documents
     q["pmi_bigrams_documents"] = _pmi_documents
     q["rrf_fuse_documents"] = _rrf_documents
+    q["dup_ngram_spans_documents"] = _dup_spans_documents
     return q
 
 
@@ -5937,6 +5947,34 @@ def oracle_sql() -> dict[str, str]:
     )
     o["rrf_fuse_documents"] = _rrf_sql(
         ["merge", "window", "spark"], ["query", "vector", "stream"]
+    )
+    o["dup_ngram_spans_documents"] = (
+        # word 5-grams in >= 2 distinct docs; span union cut from the
+        # token stream (string equality == content-hash equality, the
+        # decontaminate oracle contract)
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),"
+        " gi AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 4)) AS i FROM d),"
+        " g AS (SELECT doc_id, i AS s, array_to_string(l[i:i+4], ' ') AS gram FROM gi),"
+        " dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd"
+        "         FROM g GROUP BY gram) WHERE nd >= 2),"
+        " occ AS (SELECT doc_id, s FROM g WHERE gram IN (SELECT gram FROM dup)),"
+        " cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, s + 4)) AS p FROM occ),"
+        " occ_c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams"
+        "           FROM occ GROUP BY doc_id),"
+        " cov_c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens"
+        "           FROM cov GROUP BY doc_id),"
+        " tp AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM d),"
+        " t2 AS (SELECT doc_id, l[p] AS tok, p FROM tp),"
+        " kept AS (SELECT t.doc_id, t.tok, t.p FROM t2 t LEFT JOIN cov c"
+        "          ON t.doc_id = c.doc_id AND t.p = c.p WHERE c.p IS NULL),"
+        " ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text"
+        "        FROM kept GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(len(d.l) AS BIGINT) AS n_tokens,"
+        " coalesce(o.dup_grams, 0) AS dup_grams,"
+        " coalesce(c.covered_tokens, 0) AS covered_tokens,"
+        " coalesce(ct.clean_text, '') AS clean_text"
+        " FROM d LEFT JOIN occ_c o USING (doc_id) LEFT JOIN cov_c c USING (doc_id)"
+        " LEFT JOIN ct USING (doc_id)"
     )
     return o
 

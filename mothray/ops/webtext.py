@@ -58,14 +58,16 @@ def _word_hash_parts(texts: pa.ChunkedArray | pa.Array):
     return counts, _segmented_content_hash(w_lengths, buf, _WORD_SEED)
 
 
-def _doc_gram_hashes(word_counts: np.ndarray, word_h: np.ndarray, n: int):
+def _doc_gram_hash_starts(word_counts: np.ndarray, word_h: np.ndarray, n: int):
     """Polynomial hash of every n-word window fully inside a doc.
-    Returns (doc_of, gram_vals) aligned 1-D arrays (doc order)."""
+    Returns (doc_of, start, gram_vals) aligned 1-D arrays (doc order);
+    `start` is the 0-based word offset of the window inside its doc."""
     total = int(word_counts.sum())
     offs = np.concatenate(([0], np.cumsum(word_counts)))
     cnt = np.maximum(word_counts - (n - 1), 0)
     if total == 0 or not cnt.any():
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0, dtype=np.uint64)
     padded = np.concatenate([word_h, np.zeros(n - 1, dtype=np.uint64)])
     acc = padded[:total].copy()
     for j in range(1, n):
@@ -76,7 +78,13 @@ def _doc_gram_hashes(word_counts: np.ndarray, word_h: np.ndarray, n: int):
     np.add.at(delta, np.minimum(offs[:-1] + cnt, total), -1)
     pos = np.nonzero(np.cumsum(delta[:-1]) > 0)[0]
     doc_of = np.searchsorted(offs[1:], pos, side="right")
-    return doc_of, acc[pos]
+    return doc_of, pos - offs[doc_of], acc[pos]
+
+
+def _doc_gram_hashes(word_counts: np.ndarray, word_h: np.ndarray, n: int):
+    """(doc_of, gram_vals) view of _doc_gram_hash_starts."""
+    doc_of, _, vals = _doc_gram_hash_starts(word_counts, word_h, n)
+    return doc_of, vals
 
 
 def _per_doc_run_stats(doc_of: np.ndarray, vals: np.ndarray, n_docs: int):
@@ -276,3 +284,138 @@ def dataset_card(ds, column: str = "text", lang_col: str | None = "lang") -> pa.
             "value": pa.array([v for _, v in metrics], pa.int64()),
         }
     )
+
+
+def dup_ngram_spans(
+    ds,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+):
+    """Cross-document duplicated-substring removal, the word-n-gram
+    approximation of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): every n-word window that occurs in
+    >= `min_docs` DISTINCT documents is a duplicated span; the union
+    of those spans is cut from each document's token stream.
+
+    Per doc: (id, n_tokens, dup_grams, covered_tokens, clean_text)
+    where dup_grams counts duplicated window starts, covered_tokens
+    the tokens under the merged span union, and clean_text the
+    document with covered tokens removed (space re-joined).
+
+    Exchange shape (100 TB): pass 1 ships per-batch (gram_hash,
+    distinct_docs) partials — each doc lives in exactly ONE batch, so
+    batch-local distinct-doc counts sum to the global distinct-doc
+    count — and one groupby reduces them. Occurrences of the
+    surviving dup grams (id, start) join the dup-gram table through
+    partitioned_join (auto-broadcast when the dup set is small, honest
+    hash shuffle otherwise), collapse to one (id, starts list) row per
+    affected doc, and join back to the corpus; raw text therefore
+    moves at most once, and only when the dup-starts side is too big
+    to broadcast. Grams compare by 64-bit polynomial content hash
+    (collision ~2^-64), the same contract as `decontaminate`'s
+    exact-string SQL oracle. Final span-merge/rebuild is one
+    vectorized numpy diff-trick + Arrow binary_join per batch."""
+    from .groupsets import array_agg
+    from .join import partitioned_join
+
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        counts, word_h = _word_hash_parts(batch.column(column))
+        doc_of, _, gh = _doc_gram_hash_starts(counts, word_h, n)
+        pairs = pa.table(
+            {"g": pa.array(gh.view(np.int64)), "d": pa.array(doc_of)}
+        ).group_by(["g", "d"]).aggregate([])
+        nd = pairs.group_by(["g"]).aggregate([("d", "count")])
+        return pa.table(
+            {"g": nd.column("g"), "nd": nd.column("d_count").cast(pa.int64())}
+        )
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        counts, word_h = _word_hash_parts(batch.column(column))
+        doc_of, start, gh = _doc_gram_hash_starts(counts, word_h, n)
+        ids = batch.column(id_col).take(pa.array(doc_of))
+        return pa.table(
+            {"g": pa.array(gh.view(np.int64)), id_col: ids, "s": pa.array(start)}
+        )
+
+    shared = ds.select_columns(sorted({id_col, column}))
+    dup_grams = (
+        shared.select_columns([column])
+        .map_batches(gram_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .sum("nd")
+        .map_batches(
+            lambda t: t.rename_columns(["g", "nd"]), batch_format="pyarrow"
+        )
+        .filter(expr=f"nd >= {min_docs}")
+        .select_columns(["g"])
+    )
+    occ = shared.map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_occ = partitioned_join(occ, dup_grams, on="g").select_columns([id_col, "s"])
+
+    def pack_starts(t: pa.Table) -> pa.Table:
+        # hash joins can't carry list payloads: ship the per-doc start
+        # list as one comma-joined string (decoded vectorized in clean)
+        as_str = pc.cast(t.column("agg").combine_chunks(), pa.list_(pa.string()))
+        return pa.table(
+            {id_col: t.column(id_col), "dup_starts": pc.binary_join(as_str, ",")}
+        )
+
+    starts = array_agg(dup_occ, id_col, "s", "s").map_batches(
+        pack_starts, batch_format="pyarrow"
+    )
+    joined = partitioned_join(shared, starts, on=id_col, how="left")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).combine_chunks()
+        words = pc.split_pattern(texts.fill_null(""), " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        total = int(offs[-1])
+        flat = words.flatten()
+        covered = np.zeros(total, dtype=bool)
+        n_dup = np.zeros(batch.num_rows, dtype=np.int64)
+        if "dup_starts" in batch.schema.names:
+            packed = batch.column("dup_starts").combine_chunks()
+            lst = pc.split_pattern(packed.drop_null(), ",")
+            lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+            # map split-list rows back to their batch rows (nulls own none)
+            valid = np.nonzero(
+                ~np.asarray(pc.is_null(packed), dtype=bool)
+            )[0]
+            doc_idx = valid[pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)]
+            if len(doc_idx):
+                s = pc.cast(lst.flatten(), pa.int64()).to_numpy(zero_copy_only=False)
+                gs = offs[doc_idx] + s
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, gs, 1)
+                np.add.at(delta, gs + n, -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                n_dup = np.bincount(doc_idx, minlength=batch.num_rows).astype(np.int64)
+        cov_per_doc = np.add.reduceat(covered.astype(np.int64), offs[:-1]) * (counts > 0)
+        kept = ~covered
+        kept_flat = flat.filter(pa.array(kept))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        kept_counts = np.add.reduceat(kept.astype(np.int64), offs[:-1]) * (counts > 0)
+        new_offs = np.concatenate(([0], np.cumsum(kept_counts)))
+        lst_out = pa.LargeListArray.from_arrays(
+            pa.array(new_offs, pa.int64()), kept_flat
+        )
+        clean_text = pc.binary_join(lst_out, " ")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(counts),
+                "dup_grams": pa.array(n_dup),
+                "covered_tokens": pa.array(cov_per_doc),
+                "clean_text": clean_text,
+            }
+        )
+
+    return joined.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)

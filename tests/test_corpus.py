@@ -153,3 +153,70 @@ def test_rrf_fuse_tie_break_and_k(ray_session):
     out = search.rrf_fuse([t1], k=1)
     # tie on score -> doc 3 gets rank 1 -> higher rrf -> kept by k=1
     assert out.to_pylist() == [{"doc_id": 3, "rrf_r6": round(1 / 61, 6)}]
+
+
+def test_dup_ngram_spans_brute_force(ray_session):
+    from mothray.ops import webtext
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(vocab[j] for j in rng.integers(0, 12, rng.integers(4, 14)))
+        for _ in range(40)
+    ] + ["", "solo"]
+    got = sorted(
+        webtext.dup_ngram_spans(
+            _docs_ds(texts, npartitions=5), n=3, min_docs=2
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+
+    from collections import defaultdict
+
+    n = 3
+    grams = defaultdict(set)
+    toks = [t.split(" ") for t in texts]
+    for i, tk in enumerate(toks):
+        for s in range(len(tk) - n + 1):
+            grams[tuple(tk[s : s + n])].add(i)
+    dup = {g for g, d in grams.items() if len(d) >= 2}
+    for i, tk in enumerate(toks):
+        cov, occ = set(), 0
+        for s in range(len(tk) - n + 1):
+            if tuple(tk[s : s + n]) in dup:
+                occ += 1
+                cov.update(range(s, s + n))
+        want = {
+            "doc_id": i,
+            "n_tokens": len(tk),
+            "dup_grams": occ,
+            "covered_tokens": len(cov),
+            "clean_text": " ".join(t for j, t in enumerate(tk) if j not in cov),
+        }
+        assert got[i] == want, (got[i], want)
+
+
+def test_dup_ngram_spans_no_dups(ray_session):
+    from mothray.ops import webtext
+
+    # fully distinct vocabularies -> nothing removed, text unchanged
+    texts = ["a b c d", "e f g h", "i j k l"]
+    got = sorted(
+        webtext.dup_ngram_spans(_docs_ds(texts), n=2, min_docs=2).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    for i, r in enumerate(got):
+        assert r["dup_grams"] == 0 and r["covered_tokens"] == 0
+        assert r["clean_text"] == texts[i]
+
+
+def test_dup_ngram_spans_same_doc_repeat_not_dup(ray_session):
+    from mothray.ops import webtext
+
+    # a gram repeated within ONE doc only is not a cross-doc dup
+    texts = ["x y x y x y", "p q r s"]
+    got = sorted(
+        webtext.dup_ngram_spans(_docs_ds(texts), n=2, min_docs=2).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert all(r["covered_tokens"] == 0 for r in got)
