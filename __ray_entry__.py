@@ -4237,6 +4237,15 @@ def _pmi_documents(sf_dir: str):
     return corpus.pmi_bigrams(_docs(sf_dir), k=30, min_count=5)
 
 
+def _jsd_documents(sf_dir: str):
+    """Jensen-Shannon divergence between src1 and src2 token
+    distributions — corpus drift detection (token analog of
+    profile.psi)."""
+    from mothray.ops import corpus
+
+    return corpus.js_divergence(_docs(sf_dir), a="src1", b="src2")
+
+
 def _dup_spans_documents(sf_dir: str):
     """Cross-doc duplicated 5-gram span removal (Lee et al. 2022
     shape): dup-gram detection via per-batch distinct-doc combiners,
@@ -4495,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pmi_bigrams_documents"] = _pmi_documents
     q["rrf_fuse_documents"] = _rrf_documents
     q["dup_ngram_spans_documents"] = _dup_spans_documents
+    q["js_divergence_documents"] = _jsd_documents
     return q
 
 
@@ -5975,6 +5985,26 @@ def oracle_sql() -> dict[str, str]:
         " coalesce(ct.clean_text, '') AS clean_text"
         " FROM d LEFT JOIN occ_c o USING (doc_id) LEFT JOIN cov_c c USING (doc_id)"
         " LEFT JOIN ct USING (doc_id)"
+    )
+    o["js_divergence_documents"] = (
+        # term expression written in corpus.js_divergence's exact
+        # double-op order; per-token terms then one SUM (order-free at
+        # round-6 for this magnitude)
+        "WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok"
+        "           FROM documents WHERE source IN ('src1', 'src2')),"
+        " c AS (SELECT tok,"
+        "   CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS DOUBLE) AS ca,"
+        "   CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS DOUBLE) AS cb"
+        "   FROM t GROUP BY tok),"
+        " n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),"
+        " terms AS (SELECT"
+        "   CASE WHEN ca > 0 THEN 0.5 * (ca / na)"
+        "        * ln((ca / na) / (0.5 * (ca / na + cb / nb))) ELSE 0 END"
+        " + CASE WHEN cb > 0 THEN 0.5 * (cb / nb)"
+        "        * ln((cb / nb) / (0.5 * (ca / na + cb / nb))) ELSE 0 END AS term"
+        "   FROM c, n)"
+        " SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,"
+        " round((SELECT sum(term) FROM terms), 6) AS jsd_r6 FROM n"
     )
     return o
 

@@ -122,6 +122,7 @@ def oov_rate(
         flat = toks.flatten()
         oov = pc.invert(pc.is_in(flat, value_set=vocab))
         offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]  # flatten() trims to the logical range
         lens = np.diff(offs)
         doc_oov = np.add.reduceat(
             np.asarray(oov, dtype=np.int64), offs[:-1], dtype=np.int64
@@ -181,6 +182,7 @@ def pmi_bigrams(
         )
         flat = toks.flatten()
         offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]  # flatten() trims to the logical range
         starts = np.arange(max(len(flat) - 1, 0), dtype=np.int64)
         doc_first = np.searchsorted(offs[1:], starts, side="right")
         doc_last = np.searchsorted(offs[1:], starts + 1, side="right")
@@ -246,4 +248,79 @@ def pmi_bigrams(
         joined.map_batches(score, batch_format="pyarrow")
         .sort(["pmi_r6", "w1", "w2"], descending=[True, False, False])
         .limit(k)
+    )
+
+
+def js_divergence(
+    ds,
+    column: str = "text",
+    group_col: str = "source",
+    a: str = "src1",
+    b: str = "src2",
+    round_digits: int = 6,
+):
+    """Jensen-Shannon divergence (nats) between the token
+    distributions of groups `a` and `b` — the standard symmetric,
+    bounded corpus-drift measure (Lin 1991), the token analog of
+    profile.psi for numeric columns. One row: (n_a BIGINT, n_b
+    BIGINT, jsd_r6) with JSD = 0.5 KL(p||m) + 0.5 KL(q||m),
+    m = (p + q) / 2.
+
+    Exchange: per-batch (token, ca, cb) count partials -> one groupby
+    over the (vocabulary-sized) count table; the final reduction is a
+    distributed sum of per-token terms, never a driver-side scan."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        isa = grp == a
+        isb = grp == b
+        keep = isa | isb
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            isa, isb = isa[keep], isb[keep]
+        toks = pc.split_pattern(
+            pc.utf8_lower(batch.column(column).combine_chunks().fill_null("")), " "
+        )
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        lens = np.diff(offs - offs[0])
+        t = pa.table(
+            {
+                "tok": toks.flatten(),
+                "ca": pa.array(np.repeat(isa.astype(np.int64), lens)),
+                "cb": pa.array(np.repeat(isb.astype(np.int64), lens)),
+            }
+        )
+        return t.group_by(["tok"]).aggregate([("ca", "sum"), ("cb", "sum")])
+
+    counts = (
+        ds.select_columns(sorted({column, group_col}))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .sum(["ca_sum", "cb_sum"])
+        .map_batches(
+            lambda t: t.rename_columns(["tok", "ca", "cb"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    na = float(counts.sum("ca"))
+    nb = float(counts.sum("cb"))
+
+    def term(t: pa.Table) -> pa.Table:
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = ca / na
+        q = cb / nb
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = np.where(p > 0, 0.5 * p * np.log(p / m), 0.0)
+            tb = np.where(q > 0, 0.5 * q * np.log(q / m), 0.0)
+        return pa.table({"term": pa.array(ta + tb, pa.float64())})
+
+    jsd = float(counts.map_batches(term, batch_format="pyarrow").sum("term"))
+    return pa.table(
+        {
+            "n_a": pa.array([int(na)], pa.int64()),
+            "n_b": pa.array([int(nb)], pa.int64()),
+            "jsd_r6": pa.array([float(np.round(jsd, round_digits))], pa.float64()),
+        }
     )

@@ -220,3 +220,34 @@ def test_dup_ngram_spans_same_doc_repeat_not_dup(ray_session):
         key=lambda r: r["doc_id"],
     )
     assert all(r["covered_tokens"] == 0 for r in got)
+
+
+def test_js_divergence_brute_force(ray_session):
+    texts = ["a a b c", "a b b d", "a a a b", "c c d e"]
+    srcs = ["x", "y", "x", "y"]
+    out = corpus.js_divergence(
+        _docs_ds(texts, srcs), a="x", b="y"
+    ).to_pylist()[0]
+
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for t, s in zip(texts, srcs):
+        (ca if s == "x" else cb).update(t.split(" "))
+    na, nb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for tok in set(ca) | set(cb):
+        p, q = ca[tok] / na, cb[tok] / nb
+        m = 0.5 * (p + q)
+        jsd += (0.5 * p * math.log(p / m) if p else 0.0) + (
+            0.5 * q * math.log(q / m) if q else 0.0
+        )
+    assert out["n_a"] == na and out["n_b"] == nb
+    assert abs(out["jsd_r6"] - jsd) < 1e-6
+    assert out["jsd_r6"] > 0
+
+
+def test_js_divergence_identical_is_zero(ray_session):
+    texts = ["a b c", "a b c"]
+    out = corpus.js_divergence(_docs_ds(texts, ["x", "y"]), a="x", b="y").to_pylist()[0]
+    assert out["jsd_r6"] == 0.0
