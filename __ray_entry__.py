@@ -4237,6 +4237,19 @@ def _pmi_documents(sf_dir: str):
     return corpus.pmi_bigrams(_docs(sf_dir), k=30, min_count=5)
 
 
+def _phrase_search_documents(sf_dir: str):
+    """Exact phrase query over the engine's own POSITIONAL inverted
+    index (occurrence-level postings, zone-map/bloom pruned scans,
+    slot-shift adjacency groupby — ops/search.py)."""
+    import tempfile
+
+    from mothray.ops import search
+
+    idx = tempfile.mkdtemp(prefix="mothray_posidx_")
+    search.build_positional_index(_docs(sf_dir), idx)
+    return search.phrase_search(idx, "merge sort")
+
+
 def _jsd_documents(sf_dir: str):
     """Jensen-Shannon divergence between src1 and src2 token
     distributions — corpus drift detection (token analog of
@@ -4505,6 +4518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rrf_fuse_documents"] = _rrf_documents
     q["dup_ngram_spans_documents"] = _dup_spans_documents
     q["js_divergence_documents"] = _jsd_documents
+    q["phrase_search_documents"] = _phrase_search_documents
     return q
 
 
@@ -6005,6 +6019,15 @@ def oracle_sql() -> dict[str, str]:
         "   FROM c, n)"
         " SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,"
         " round((SELECT sum(term) FROM terms), 6) AS jsd_r6 FROM n"
+    )
+    o["phrase_search_documents"] = (
+        "WITH d AS (SELECT doc_id, list_filter("
+        "  string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l"
+        "  FROM documents),"
+        " pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS p FROM d),"
+        " m AS (SELECT doc_id FROM pos WHERE l[p] = 'merge' AND l[p + 1] = 'sort')"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches"
+        " FROM m GROUP BY doc_id ORDER BY doc_id"
     )
     return o
 

@@ -386,3 +386,127 @@ def rrf_fuse(rankings, id_col: str = "doc_id", k: int = 10, c: int = 60,
             "rrf_r6": pa.array([s for _, s in items], pa.float64()),
         }
     )
+
+
+def positional_postings_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(token, id, pos) rows — one per token OCCURRENCE, `pos` the
+    0-based index in the doc's empty-filtered token sequence (matching
+    list_filter(string_split_regex(...), x -> x <> '') positions in
+    the SQL oracle). Fully vectorized: the per-doc position counter is
+    arange minus each doc's first flat index (parent indices are
+    sorted, so searchsorted(parent, parent) finds it)."""
+    import numpy as np
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column(text_col)), _TOKEN_SPLIT)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    parent = pc.list_parent_indices(toks)
+    flat_toks = toks.flatten()
+    keep = pc.not_equal(flat_toks, "")
+    parent_f = parent.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.arange(len(parent_f), dtype=np.int64) - np.searchsorted(
+        parent_f, parent_f, side="left"
+    )
+    return pa.table(
+        {
+            "token": flat_toks.filter(keep),
+            id_col: batch.column(id_col).take(pa.array(parent_f)),
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def build_positional_index(
+    ds,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    opts: dict | None = None,
+) -> None:
+    """Positional inverted index: (token, id, pos) occurrences sorted
+    by (token, id, pos) and encoded with the engine's writer — token
+    dictionary/FSST, id and pos RLE/delta-friendly. Same pruning
+    contract as the term index: stripe zone maps + blooms skip
+    everything a term can't live in."""
+    from .. import pipeline
+
+    def mk(batch: pa.Table) -> pa.Table:
+        return positional_postings_batch(batch, id_col, text_col)
+
+    postings = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["token", id_col, "pos"]
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(postings, opts), out_dir)
+
+
+def _normalize_phrase(phrase: str) -> list[str]:
+    """Index tokenizer applied to the phrase, ORDER PRESERVED (phrase
+    semantics depend on it, unlike the sorted-set term queries)."""
+    import re as _re
+
+    toks = [p for p in _re.split(_TOKEN_SPLIT, str(phrase).lower()) if p]
+    if not toks:
+        raise ValueError(f"no searchable tokens in phrase {phrase!r}")
+    return toks
+
+
+def phrase_search(index_dir: str, phrase: str, id_col: str = "doc_id"):
+    """Exact phrase match over the positional index: doc ids with at
+    least one occurrence of the phrase's tokens at ADJACENT positions,
+    plus the occurrence count. Classic positional-postings adjacency
+    (Manning et al., IR ch. 2) made distributed: each DISTINCT term is
+    one pruned scan; slot i's postings shift to a = pos - i; a phrase
+    anchored at position a exists iff all k slots agree on (id, a) —
+    one groupby-count over (id, a) width rows, never the corpus.
+
+    Returns (id, n_matches BIGINT) sorted by id."""
+    from .. import pipeline
+
+    toks = _normalize_phrase(phrase)
+    k = len(toks)
+    scans = {}
+    for t in set(toks):
+        s = pipeline.filter_encoded(
+            index_dir, "token", "eq", t, columns=[id_col, "pos"]
+        )
+        # a term filling several slots is scanned once and reused
+        scans[t] = s.materialize() if toks.count(t) > 1 else s
+
+    legs = []
+    for i, t in enumerate(toks):
+        def shift(batch: pa.Table, i=i) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "a": pc.subtract(batch.column("pos"), i),
+                }
+            )
+
+        legs.append(scans[t].map_batches(shift, batch_format="pyarrow"))
+    u = legs[0].union(*legs[1:]) if k > 1 else legs[0]
+    anchors = u.groupby([id_col, "a"]).count()
+
+    def full(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("count()"), k)).select([id_col])
+
+    hits = anchors.map_batches(full, batch_format="pyarrow")
+    counted = hits.groupby(id_col).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_matches": t.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow").sort(id_col)

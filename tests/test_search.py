@@ -201,3 +201,74 @@ def test_search_query_term_normalization(ray_session, tmp_path):
     import os
 
     assert not any(f.endswith(".tmp") for f in os.listdir(b))
+
+
+def test_positional_postings_batch(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["Hello, WORLD! hello", "  a-b  a "],
+        }
+    )
+    out = search.positional_postings_batch(tbl).to_pydict()
+    got = sorted(zip(out["doc_id"], out["pos"], out["token"]))
+    # positions index the empty-filtered token sequence, per doc
+    assert got == [
+        (1, 0, "hello"),
+        (1, 1, "world"),
+        (1, 2, "hello"),
+        (2, 0, "a"),
+        (2, 1, "b"),
+        (2, 2, "a"),
+    ]
+
+
+def test_phrase_search_oracle(ray_session, tmp_path):
+    import ray.data
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "pidx")
+    search.build_positional_index(
+        ray.data.read_parquet(src, columns=["doc_id", "text"]), idx
+    )
+    for phrase in ["merge sort", "fast batch", "merge merge"]:
+        toks = phrase.split()
+        conds = " AND ".join(f"l[p + {i}] = '{t}'" for i, t in enumerate(toks))
+        want = duckdb.sql(
+            f"WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+            f" '[^a-z0-9]+'), x -> x <> '') AS l FROM read_parquet('{src}')),"
+            f" pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - {len(toks)-1})) AS p FROM d),"
+            f" m AS (SELECT doc_id FROM pos WHERE {conds})"
+            f" SELECT doc_id, CAST(count(*) AS BIGINT) FROM m GROUP BY doc_id ORDER BY doc_id"
+        ).fetchall()
+        got = [
+            (r["doc_id"], r["n_matches"])
+            for r in search.phrase_search(idx, phrase).take_all()
+        ]
+        assert got == want, phrase
+
+
+def test_phrase_search_single_term_and_miss(ray_session, tmp_path):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["alpha beta gamma", "beta alpha"],
+        }
+    )
+    idx = str(tmp_path / "pidx2")
+    search.build_positional_index(ray.data.from_arrow(tbl), idx)
+    got = [
+        (r["doc_id"], r["n_matches"])
+        for r in search.phrase_search(idx, "alpha beta").take_all()
+    ]
+    assert got == [(1, 1)]
+    single = [
+        (r["doc_id"], r["n_matches"])
+        for r in search.phrase_search(idx, "beta").take_all()
+    ]
+    assert single == [(1, 1), (2, 1)]
+    assert search.phrase_search(idx, "gamma alpha").take_all() == []
+    with pytest.raises(ValueError):
+        search.phrase_search(idx, "!!!")
