@@ -4237,6 +4237,30 @@ def _pmi_documents(sf_dir: str):
     return corpus.pmi_bigrams(_docs(sf_dir), k=30, min_count=5)
 
 
+def _grouped_mode_lineitem(sf_dir: str):
+    """SQL mode() per group with smallest-value tie-break
+    (moments.grouped_mode): distinct-pair combiner exchange only."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return moments.grouped_mode(ds, "l_returnflag", "l_quantity")
+
+
+def _key_skew_lineitem(sf_dir: str):
+    """Key-distribution skew profile (profile.key_skew) on the
+    l_partkey shuffle key: top-k share + frequency entropy."""
+    import ray.data
+
+    from mothray.ops import profile as profile_mod
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return profile_mod.key_skew(ds, "l_partkey", top_k=10)
+
+
 def _phrase_search_documents(sf_dir: str):
     """Exact phrase query over the engine's own POSITIONAL inverted
     index (occurrence-level postings, zone-map/bloom pruned scans,
@@ -4519,6 +4543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dup_ngram_spans_documents"] = _dup_spans_documents
     q["js_divergence_documents"] = _jsd_documents
     q["phrase_search_documents"] = _phrase_search_documents
+    q["grouped_mode_lineitem"] = _grouped_mode_lineitem
+    q["key_skew_lineitem"] = _key_skew_lineitem
     return q
 
 
@@ -6028,6 +6054,30 @@ def oracle_sql() -> dict[str, str]:
         " m AS (SELECT doc_id FROM pos WHERE l[p] = 'merge' AND l[p + 1] = 'sort')"
         " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches"
         " FROM m GROUP BY doc_id ORDER BY doc_id"
+    )
+    o["grouped_mode_lineitem"] = (
+        "WITH c AS (SELECT l_returnflag, l_quantity AS v,"
+        "  CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2),"
+        " r AS (SELECT l_returnflag, v, cnt,"
+        "  row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, v) AS rn"
+        "  FROM c)"
+        " SELECT l_returnflag, v AS mode_value, cnt AS mode_cnt FROM r WHERE rn = 1"
+    )
+    o["key_skew_lineitem"] = (
+        # term expression in profile.key_skew's exact double-op order
+        "WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS DOUBLE) AS cnt"
+        "  FROM lineitem GROUP BY 1),"
+        " n AS (SELECT sum(cnt) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys FROM c),"
+        " tp AS (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10),"
+        " e AS (SELECT sum(-(cnt / (SELECT n_rows FROM n))"
+        "  * ln(cnt / (SELECT n_rows FROM n))) AS ent FROM c)"
+        " SELECT CAST(n.n_rows AS BIGINT) AS n_rows, n.n_keys AS n_keys,"
+        " round((SELECT max(cnt) FROM c) / n.n_rows, 6) AS top1_frac_r6,"
+        " round((SELECT sum(cnt) FROM tp) / n.n_rows, 6) AS topk_frac_r6,"
+        " round(e.ent, 6) AS entropy_r6,"
+        " round(CASE WHEN n.n_keys > 1 THEN e.ent / ln(n.n_keys) ELSE 0 END, 6)"
+        "  AS norm_entropy_r6"
+        " FROM n, e"
     )
     return o
 

@@ -970,3 +970,63 @@ def spearman_corr_sorted(ds, x_col: str, y_col: str, round_digits: int = 6):
         with_global_frac_rank(pairs, x_col, out_col="__rx"), y_col, out_col="__ry"
     )
     return group_corr(ranked, "__rx", "__ry", round_digits=round_digits)
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """SQL mode() per group, ties broken by smallest value: (group,
+    mode_value, mode_cnt BIGINT). Exchange: per-batch (group, value,
+    cnt) combiner partials -> one groupby over distinct (group, value)
+    pairs -> per-group argmax via a second tiny grouped pass (rows =
+    distinct pairs, never the input). Oracle: row_number() OVER
+    (PARTITION BY g ORDER BY cnt DESC, v) = 1."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate, null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL mode() ignores NULL values (null GROUP keys still form
+        # their own legal partition, handled by nullkeys)
+        batch = batch.filter(pc.is_valid(batch.column(value_col)))
+        g = (
+            batch.select([group_col, value_col])
+            .group_by([group_col, value_col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                value_col: g.column(value_col),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = null_safe_group_aggregate(
+        ds.select_columns(sorted({group_col, value_col})).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [group_col, value_col],
+        [Sum("cnt", alias_name="cnt")],
+    )
+
+    def argmax(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("cnt", "descending"), (value_col, "ascending")]
+        )
+        top = group.take(idx.slice(0, 1))
+        return pa.table(
+            {
+                group_col: top.column(group_col),
+                "mode_value": top.column(value_col),
+                "mode_cnt": top.column("cnt"),
+            }
+        )
+
+    # no trailing sort: a null group key would crash Ray's sort; the
+    # result is one row per group, order-free by contract
+    return null_safe_group_map(pairs, [group_col], argmax)

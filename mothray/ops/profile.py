@@ -440,3 +440,67 @@ def benford_profile(ds, column: str, round_digits: int = 6) -> pa.Table:
             ),
         }
     )
+
+
+def key_skew(ds, column: str, top_k: int = 10, round_digits: int = 6) -> pa.Table:
+    """Key-distribution skew profile — the pre-shuffle diagnostic that
+    decides between plain, salted and skew_join paths: one row
+    (n_rows, n_keys BIGINT, top1_frac_r6, topk_frac_r6, entropy_r6,
+    norm_entropy_r6). Entropy in nats over key frequencies;
+    norm_entropy = entropy / ln(n_keys) (1.0 = uniform, ->0 = one hot
+    key). NULL keys count as a key (they land in one shuffle
+    partition like any other — exactly the straggler this measures).
+
+    Exchange: per-batch (key, cnt) combiner partials -> one null-safe
+    groupby over distinct keys; entropy is a distributed term sum and
+    top-k a sort-limit over the count table, never the input."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([column])
+            .group_by([column], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"k": g.column(column), "cnt": g.column("count_all").cast(pa.int64())}
+        )
+
+    counts = null_safe_group_aggregate(
+        ds.select_columns([column]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["k"],
+        [Sum("cnt", alias_name="cnt")],
+    ).materialize()
+
+    n_keys = int(counts.count())
+    n_rows = float(counts.sum("cnt"))
+    top = counts.select_columns(["cnt"]).sort("cnt", descending=True).limit(top_k).take_all()
+    top_cnts = [r["cnt"] for r in top]
+    top1_frac = top_cnts[0] / n_rows if top_cnts else 0.0
+    topk_frac = float(sum(top_cnts)) / n_rows if top_cnts else 0.0
+
+    def term(t: pa.Table) -> pa.Table:
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"term": pa.array(-(c / n_rows) * np.log(c / n_rows), pa.float64())}
+        )
+
+    entropy = float(counts.map_batches(term, batch_format="pyarrow").sum("term"))
+    norm = entropy / float(np.log(n_keys)) if n_keys > 1 else 0.0
+    r = lambda v: float(np.round(v, round_digits))
+    return pa.table(
+        {
+            "n_rows": pa.array([int(n_rows)], pa.int64()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "top1_frac_r6": pa.array([r(top1_frac)], pa.float64()),
+            "topk_frac_r6": pa.array([r(topk_frac)], pa.float64()),
+            "entropy_r6": pa.array([r(entropy)], pa.float64()),
+            "norm_entropy_r6": pa.array([r(norm)], pa.float64()),
+        }
+    )

@@ -673,3 +673,66 @@ def test_grouped_mad_matches_duckdb_and_null_group(ray_session):
     assert rows["a"]["median"] == 2.0 and rows["a"]["mad"] == 1.0
     assert rows[None]["median"] == 15.0 and rows[None]["mad"] == 5.0
     assert rows[None]["n"] == 2
+
+
+def test_grouped_mode_brute_force(ray_session):
+    import ray.data
+
+    from mothray.ops import moments
+
+    tbl = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b", None, None, "a"],
+            "v": pa.array([1, 2, 2, 7, 7, 3, 3, None], pa.int64()),
+        }
+    )
+    got = sorted(
+        moments.grouped_mode(
+            ray.data.from_arrow(tbl).repartition(3), "g", "v"
+        ).take_all(),
+        key=lambda r: (r["g"] is None, r["g"]),
+    )
+    # 'a': 2 twice beats 1 once (null v ignored); 'b': 7; null group: 3
+    assert got == [
+        {"g": "a", "mode_value": 2, "mode_cnt": 2},
+        {"g": "b", "mode_value": 7, "mode_cnt": 2},
+        {"g": None, "mode_value": 3, "mode_cnt": 2},
+    ]
+
+
+def test_grouped_mode_tie_breaks_smallest(ray_session):
+    import ray.data
+
+    from mothray.ops import moments
+
+    tbl = pa.table({"g": ["x", "x"], "v": pa.array([9, 4], pa.int64())})
+    got = moments.grouped_mode(ray.data.from_arrow(tbl), "g", "v").take_all()
+    assert got == [{"g": "x", "mode_value": 4, "mode_cnt": 1}]
+
+
+def test_key_skew_uniform_and_hot(ray_session):
+    import math
+
+    import ray.data
+
+    from mothray.ops import profile as profile_mod
+
+    uni = pa.table({"k": pa.array(list(range(8)) * 4, pa.int64())})
+    row = profile_mod.key_skew(
+        ray.data.from_arrow(uni).repartition(3), "k", top_k=3
+    ).to_pylist()[0]
+    assert row["n_rows"] == 32 and row["n_keys"] == 8
+    assert row["norm_entropy_r6"] == 1.0  # uniform
+    assert row["top1_frac_r6"] == round(4 / 32, 6)
+    assert row["topk_frac_r6"] == round(12 / 32, 6)
+
+    hot = pa.table({"k": pa.array([0] * 97 + [1, 2, 3], pa.int64())})
+    row = profile_mod.key_skew(ray.data.from_arrow(hot), "k", top_k=1).to_pylist()[0]
+    assert row["top1_frac_r6"] == 0.97
+    ent = -(0.97 * math.log(0.97) + 3 * 0.01 * math.log(0.01))
+    assert abs(row["entropy_r6"] - ent) < 1e-6
+    assert row["norm_entropy_r6"] < 0.2  # one hot key
+
+    nullkey = pa.table({"k": pa.array([None, None, 5], pa.int64())})
+    row = profile_mod.key_skew(ray.data.from_arrow(nullkey), "k").to_pylist()[0]
+    assert row["n_keys"] == 2 and row["top1_frac_r6"] == round(2 / 3, 6)
