@@ -4261,6 +4261,15 @@ def _key_skew_lineitem(sf_dir: str):
     return profile_mod.key_skew(ds, "l_partkey", top_k=10)
 
 
+def _readability_documents(sf_dir: str):
+    """Per-source Flesch Reading Ease profile (webtext.readability):
+    four RE2 count kernels + per-batch combiner, one tiny group-sum
+    exchange — the C4-style readability gate, oracle-exact."""
+    from mothray.ops import webtext
+
+    return webtext.readability(_docs(sf_dir))
+
+
 def _phrase_search_documents(sf_dir: str):
     """Exact phrase query over the engine's own POSITIONAL inverted
     index (occurrence-level postings, zone-map/bloom pruned scans,
@@ -4545,6 +4554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["phrase_search_documents"] = _phrase_search_documents
     q["grouped_mode_lineitem"] = _grouped_mode_lineitem
     q["key_skew_lineitem"] = _key_skew_lineitem
+    q["readability_documents"] = _readability_documents
     return q
 
 
@@ -6078,6 +6088,25 @@ def oracle_sql() -> dict[str, str]:
         " round(CASE WHEN n.n_keys > 1 THEN e.ent / ln(n.n_keys) ELSE 0 END, 6)"
         "  AS norm_entropy_r6"
         " FROM n, e"
+    )
+    o["readability_documents"] = (
+        # structure counts and the per-doc flesch expression in
+        # webtext.readability's exact double-op order
+        "WITH d AS (SELECT source,"
+        "  len(regexp_extract_all(lower(text), '[a-z]+')) AS w,"
+        "  len(regexp_extract_all(lower(text), '[a-z]*[aeiouy][a-z]*')) AS wv,"
+        "  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS g,"
+        "  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sen"
+        "  FROM documents),"
+        " f AS (SELECT source, w, sen, g + (w - wv) AS s,"
+        "  206.835 - 1.015 * (w::DOUBLE / sen)"
+        "   - 84.6 * ((g + (w - wv)) / w::DOUBLE) AS flesch"
+        "  FROM d WHERE w > 0)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " round(sum(flesch) / count(*), 6) AS avg_flesch_r6,"
+        " round(sum(w)::DOUBLE / sum(sen), 6) AS wps_r6,"
+        " round(sum(s) / sum(w)::DOUBLE, 6) AS spw_r6"
+        " FROM f GROUP BY source ORDER BY source"
     )
     return o
 

@@ -251,3 +251,64 @@ def test_js_divergence_identical_is_zero(ray_session):
     texts = ["a b c", "a b c"]
     out = corpus.js_divergence(_docs_ds(texts, ["x", "y"]), a="x", b="y").to_pylist()[0]
     assert out["jsd_r6"] == 0.0
+
+
+def test_readability_known_values(ray_session):
+    from mothray.ops import webtext
+
+    # doc0: 4 words, 1 sentence run, syllables: "the"=1, "cat"=1,
+    # "sat"=1, "by"=1 (y is a vowel) -> s=4, flesch known in closed form
+    texts = ["The cat sat by.", "zzz qqq xxx", ""]
+    out = webtext.readability(
+        _docs_ds(texts, ["a", "b", "a"]), group_col="source"
+    ).take_all()
+    by = {r["source"]: r for r in out}
+    # doc2 has zero words -> excluded; group "a" is doc0 only
+    a = by["a"]
+    assert a["n_docs"] == 1
+    exp = 206.835 - 1.015 * (4 / 1) - 84.6 * (4 / 4)
+    assert abs(a["avg_flesch_r6"] - round(exp, 6)) < 1e-9
+    assert a["wps_r6"] == 4.0 and a["spw_r6"] == 1.0
+    # group "b": 3 vowel-less words -> 1 syllable each, 0 sentence
+    # runs clamped to 1
+    b = by["b"]
+    exp_b = 206.835 - 1.015 * (3 / 1) - 84.6 * (3 / 3)
+    assert b["n_docs"] == 1 and abs(b["avg_flesch_r6"] - round(exp_b, 6)) < 1e-9
+
+
+def test_readability_matches_duckdb(ray_session):
+    import duckdb
+
+    from mothray.ops import webtext
+
+    texts = [
+        "Hello world. This is a simple test!",
+        "Complicated polysyllabic terminology notwithstanding?",
+        "one two three four five. six seven!",
+        "nymphs fly by",
+    ]
+    srcs = ["x", "y", "x", "y"]
+    got = webtext.readability(_docs_ds(texts, srcs)).take_all()
+    tbl = pa.table({"text": pa.array(texts), "source": pa.array(srcs)})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "WITH d AS (SELECT source,"
+        " len(regexp_extract_all(lower(text), '[a-z]+')) AS w,"
+        " len(regexp_extract_all(lower(text), '[a-z]*[aeiouy][a-z]*')) AS wv,"
+        " len(regexp_extract_all(lower(text), '[aeiouy]+')) AS g,"
+        " greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sen FROM documents),"
+        " f AS (SELECT source, w, sen, g + (w - wv) AS s,"
+        " 206.835 - 1.015 * (w::DOUBLE / sen)"
+        "  - 84.6 * ((g + (w - wv)) / w::DOUBLE) AS flesch FROM d WHERE w > 0)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        " round(sum(flesch) / count(*), 6) AS avg_flesch_r6,"
+        " round(sum(w)::DOUBLE / sum(sen), 6) AS wps_r6,"
+        " round(sum(s) / sum(w)::DOUBLE, 6) AS spw_r6"
+        " FROM f GROUP BY source ORDER BY source"
+    ).fetchall()
+    got_rows = [
+        (r["source"], r["n_docs"], r["avg_flesch_r6"], r["wps_r6"], r["spw_r6"])
+        for r in got
+    ]
+    assert got_rows == [tuple(r) for r in exp]
