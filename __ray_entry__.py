@@ -4261,6 +4261,21 @@ def _key_skew_lineitem(sf_dir: str):
     return profile_mod.key_skew(ds, "l_partkey", top_k=10)
 
 
+def _contains_pushdown_documents(sf_dir: str):
+    """Substring pushdown on an encoded scan: LIKE '%needle%' gets no
+    zone-map help, so stripes prune on per-stripe TRIGRAM blooms
+    (pg_trgm-style; every byte trigram of the needle must be present)
+    before any blob fetch; the residual pc.match_substring evaluates
+    dictionary-domain where the column is dict-encoded."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_contains_push_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/documents.parquet", out)
+    return pipeline.filter_encoded(out, "text", "contains", "merge sort")
+
+
 def _readability_documents(sf_dir: str):
     """Per-source Flesch Reading Ease profile (webtext.readability):
     four RE2 count kernels + per-batch combiner, one tiny group-sum
@@ -4555,6 +4570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["grouped_mode_lineitem"] = _grouped_mode_lineitem
     q["key_skew_lineitem"] = _key_skew_lineitem
     q["readability_documents"] = _readability_documents
+    q["contains_pushdown_documents"] = _contains_pushdown_documents
     return q
 
 
@@ -6088,6 +6104,9 @@ def oracle_sql() -> dict[str, str]:
         " round(CASE WHEN n.n_keys > 1 THEN e.ent / ln(n.n_keys) ELSE 0 END, 6)"
         "  AS norm_entropy_r6"
         " FROM n, e"
+    )
+    o["contains_pushdown_documents"] = (
+        "SELECT * FROM documents WHERE contains(text, 'merge sort')"
     )
     o["readability_documents"] = (
         # structure counts and the per-doc flesch expression in

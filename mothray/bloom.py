@@ -166,3 +166,82 @@ def might_contain_buffers(bloom: bytes, lengths: np.ndarray, data: np.ndarray) -
         idx = (h1 + _U64(i) * h2) % _U64(num_bits)
         out &= (bits[(idx >> _U64(3)).astype(np.int64)] & (np.uint8(1) << (idx & _U64(7)).astype(np.uint8))) != 0
     return out
+
+
+# ------------------------------------------------------- trigram blooms
+# Substring predicates (LIKE '%needle%') get no help from zone maps or
+# the whole-value bloom above. A per-stripe bloom over the column's
+# DISTINCT byte trigrams gives them a pruning surface: a stripe can
+# contain `needle` only if every trigram of `needle` is present
+# (classic trigram-index contract, e.g. PostgreSQL pg_trgm /
+# Google Code Search). False positives cost a read; false negatives
+# are impossible because every trigram of every value is inserted.
+
+_TRI_FPP = 0.02
+
+
+def _trigram_codes(lengths: np.ndarray, data: np.ndarray) -> np.ndarray:
+    """Distinct byte-trigram codes (b0 | b1<<8 | b2<<16) across the
+    values of a concatenated buffer. One sliding-window pass over the
+    whole buffer (three shifted gathers), windows that straddle a
+    value boundary masked out by scattering at the two positions
+    before each value end; dedup is a dense boolean scatter over the
+    2^24 code space (one 16 MB temp, no sort) — O(total_bytes) with
+    no per-trigram index arrays."""
+    d = data
+    if len(d) < 3:
+        return np.empty(0, dtype=np.uint32)
+    from .codecs import _trigram_native
+
+    native = _trigram_native.trigram_distinct(lengths, d)
+    if native is not None:
+        return np.sort(native)  # deterministic bloom bytes either path
+    codes = (
+        d[:-2].astype(np.uint32)
+        | (d[1:-1].astype(np.uint32) << np.uint32(8))
+        | (d[2:].astype(np.uint32) << np.uint32(16))
+    )
+    valid = np.ones(len(codes), dtype=bool)
+    ends = np.cumsum(lengths.astype(np.int64, copy=False))
+    for delta in (1, 2):
+        bad = ends - delta
+        bad = bad[(bad >= 0) & (bad < len(codes))]
+        valid[bad] = False
+    seen = np.zeros(1 << 24, dtype=bool)
+    seen[codes[valid]] = True
+    return np.nonzero(seen)[0].astype(np.uint32)
+
+
+def _codes_to_buffers(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths, data) of the 3-byte values the codes stand for, in the
+    form hash_bytes_columns takes — so build/probe share one hash."""
+    tri = np.empty((len(codes), 3), dtype=np.uint8)
+    tri[:, 0] = codes & 0xFF
+    tri[:, 1] = (codes >> np.uint32(8)) & np.uint32(0xFF)
+    tri[:, 2] = (codes >> np.uint32(16)) & np.uint32(0xFF)
+    return np.full(len(codes), 3, dtype=np.int64), tri.ravel()
+
+
+def build_trigrams(lengths: np.ndarray, data: np.ndarray, fpp: float = _TRI_FPP) -> bytes:
+    """Bloom filter over the distinct byte trigrams of a string
+    column's values (same header/double-hash layout as build())."""
+    codes = _trigram_codes(lengths, data)
+    tl, td = _codes_to_buffers(codes)
+    return build(tl, td, fpp)
+
+
+def might_contain_substring(bloom: bytes, needle: str | bytes) -> bool:
+    """False -> NO value in the stripe can contain `needle` (some
+    trigram of the needle is definitively absent). Needles shorter
+    than 3 bytes cannot be tested (always True, conservative)."""
+    nb = needle.encode() if isinstance(needle, str) else bytes(needle)
+    if len(nb) < 3:
+        return True
+    arr = np.frombuffer(nb, dtype=np.uint8)
+    codes = (
+        arr[:-2].astype(np.uint32)
+        | (arr[1:-1].astype(np.uint32) << np.uint32(8))
+        | (arr[2:].astype(np.uint32) << np.uint32(16))
+    )
+    tl, td = _codes_to_buffers(np.unique(codes))
+    return bool(might_contain_buffers(bloom, tl, td).all())

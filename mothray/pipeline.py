@@ -1545,6 +1545,7 @@ def prune_stripes(
     min_value=None,
     max_value=None,
     needle: str | None = None,
+    tri_needles: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Stats/bloom-based stripe pruning WITHOUT touching stream blobs —
     the Ray-side analog of row-group skipping (reference
@@ -1573,17 +1574,32 @@ def prune_stripes(
                 mask[i] = False
             if mx is not None and lo is not None and lo > mx:
                 mask[i] = False
-        if needle is not None:
+        if needle is not None or tri_needles:
             metas = batch.column("meta").to_pylist()
             blooms = batch.column("blooms").to_pylist()
             for i, (mj, bl) in enumerate(zip(metas, blooms)):
-                if not mask[i]:
+                if not mask[i] or not bl:
                     continue
-                idx = json.loads(mj).get("blooms", {}).get(column)
-                if idx and bl:
-                    off, ln = idx
-                    if not bloom_mod.might_contain(bl[off : off + ln], [needle])[0]:
-                        mask[i] = False
+                m = json.loads(mj)
+                if needle is not None:
+                    idx = m.get("blooms", {}).get(column)
+                    if idx:
+                        off, ln = idx
+                        if not bloom_mod.might_contain(bl[off : off + ln], [needle])[0]:
+                            mask[i] = False
+                            continue
+                if tri_needles:
+                    # substring prune: the stripe must contain EVERY
+                    # needle's trigrams (conjunctive literal runs)
+                    idx = m.get("tri_blooms", {}).get(column)
+                    if idx:
+                        off, ln = idx
+                        tb = bl[off : off + ln]
+                        if not all(
+                            bloom_mod.might_contain_substring(tb, nd)
+                            for nd in tri_needles
+                        ):
+                            mask[i] = False
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -1730,6 +1746,7 @@ def prune_read(
     min_value=None,
     max_value=None,
     needle: str | None = None,
+    tri_needles: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Metadata-only pruning over an encoded-on-disk dataset: consult
     the file-level skip index first (whole files drop without their
@@ -1751,7 +1768,7 @@ def prune_read(
             if first:
                 path = [os.path.join(path, first[0])]
     meta = read_encoded(path, metadata_only=True, include_paths=True)
-    surv = prune_stripes(meta, column, min_value, max_value, needle)
+    surv = prune_stripes(meta, column, min_value, max_value, needle, tri_needles)
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
@@ -2038,19 +2055,32 @@ def filter_encoded(
       4. late materialization: only row groups with hits decode the
          projected columns, then filter by the row mask.
 
-    op: eq | ne | lt | le | gt | ge | prefix | like. Nulls never
-    match. `prefix`/`like` (SQL %/_ wildcards) rewrite their literal
-    prefix to the range [prefix, prefix_upper) so zone maps still
-    prune; the residual pattern evaluates dictionary-domain where the
-    column is dict-encoded."""
+    op: eq | ne | lt | le | gt | ge | prefix | like | contains. Nulls
+    never match. `prefix`/`like` (SQL %/_ wildcards) rewrite their
+    literal prefix to the range [prefix, prefix_upper) so zone maps
+    still prune; the residual pattern evaluates dictionary-domain
+    where the column is dict-encoded. `contains` (value LIKE
+    '%needle%') and the literal runs of infix LIKE patterns prune on
+    per-stripe TRIGRAM blooms (pg_trgm-style: a stripe survives only
+    if every byte trigram of every required literal might be present
+    — no zone map can serve a substring predicate)."""
     from . import stripe as stripe_mod
 
-    if op == "ne" or (op == "like" and not stripe_mod.like_prefix(value)):
-        enc = read_encoded(path)  # no stats can prune these
+    tri_needles: list[str] | None = None
+    if op == "contains":
+        tri_needles = [value] if len(str(value).encode()) >= 3 else None
+    elif op == "like":
+        tri_needles = stripe_mod.like_literal_runs(value) or None
+    if op == "ne" or (
+        op in ("like", "contains")
+        and not (op == "like" and stripe_mod.like_prefix(value))
+        and not tri_needles
+    ):
+        enc = read_encoded(path)  # no stats or blooms can prune these
     else:
         lo, hi = stripe_mod.string_pred_bounds(op, value)
         needle = value if op == "eq" and isinstance(value, str) else None
-        enc = prune_read(path, column, lo, hi, needle)
+        enc = prune_read(path, column, lo, hi, needle, tri_needles)
 
     def flt(batch: pa.Table) -> pa.Table:
         parts = [
@@ -2105,6 +2135,14 @@ def filter_encoded_multi(
         lo, hi = stripe_mod.string_pred_bounds(op, value)
         needle = value if op == "eq" and isinstance(value, str) else None
         pruned = prune_stripes(pruned, col, lo, hi, needle)
+    for col, op, value in preds:  # substring predicates: trigram prune
+        tri = None
+        if op == "contains" and len(str(value).encode()) >= 3:
+            tri = [value]
+        elif op == "like":
+            tri = stripe_mod.like_literal_runs(value) or None
+        if tri:
+            pruned = prune_stripes(pruned, col, tri_needles=tri)
     enc = pruned.map_batches(_FetchStripes(), batch_format="pyarrow")
 
     def flt(batch: pa.Table) -> pa.Table:
@@ -2290,6 +2328,7 @@ def _rewrite_stripe_columns(batch: pa.Table, rename: dict | None, drop: set | No
         meta = json.loads(batch.column("meta")[i].as_py())
         meta["columns"] = remap(meta["columns"])
         meta["blooms"] = remap(meta.get("blooms", {}))
+        meta["tri_blooms"] = remap(meta.get("tri_blooms", {}))
         if "stats" in meta.get("row_groups", {}):
             meta["row_groups"]["stats"] = remap(meta["row_groups"]["stats"])
         if "codecs" in meta.get("metrics", {}):

@@ -43,6 +43,7 @@ DEFAULT_OPTS = {
     "stripe_rows": 1 << 20,
     "row_group_rows": 10_000,     # reference rowGroupMaxRowCount, MothWriterOptions.go:15
     "bloom": True,                # bloom filters for string columns
+    "tri_bloom": True,            # trigram blooms: LIKE '%needle%' stripe pruning
     "fsst_enabled": True,
     "compress_min_bytes": 64,
 }
@@ -163,6 +164,7 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     rg_stats: dict[str, list] = {}
     blooms: list[bytes] = []
     bloom_index = {}
+    tri_index = {}
     bpos = 0
     col_plans = o.get("column_plans", {})
     for name in tbl.column_names:
@@ -184,13 +186,27 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
         col_stats[name] = stats_mod.column_stats(arr)
         if any(m is not None for m in rg_mm):
             rg_stats[name] = rg_mm
-        if o["bloom"] and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        if (o["bloom"] or o.get("tri_bloom")) and (
+            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+        ):
             values = arr.drop_null()
             lengths, data = column_mod._string_parts_view(values)
-            bf = bloom_mod.build(lengths, data)
-            blooms.append(bf)
-            bloom_index[name] = [bpos, len(bf)]
-            bpos += len(bf)
+            if o["bloom"]:
+                bf = bloom_mod.build(lengths, data)
+                blooms.append(bf)
+                bloom_index[name] = [bpos, len(bf)]
+                bpos += len(bf)
+            # trigram blooms only pay off on long-text columns —
+            # short/categorical values (codes, enums) answer substring
+            # predicates cheaply dictionary-domain and their stripes
+            # rarely prune, so skip them at encode time
+            if o.get("tri_bloom") and len(lengths) and (
+                len(data) / len(lengths) >= o.get("tri_bloom_min_avg_len", 16)
+            ):
+                tb = bloom_mod.build_trigrams(lengths, data)
+                blooms.append(tb)
+                tri_index[name] = [bpos, len(tb)]
+                bpos += len(tb)
     # single-pass assembly (r2 VERDICT item): stream payloads may be
     # zero-copy Arrow views (numpy uint8) — each part is copied exactly
     # ONCE into the preallocated blob instead of tobytes + join
@@ -210,6 +226,7 @@ def encode_stripe(tbl: pa.Table, opts: dict | None = None, stripe_key: str = "0-
     meta = {
         "columns": col_metas,
         "blooms": bloom_index,
+        "tri_blooms": tri_index,
         "row_groups": {"rows": rg_rows, "count": len(rg_bounds), "stats": rg_stats},
         # end-to-end integrity: decode verifies the blob against this
         # before touching any stream (the reference has no stripe
@@ -558,17 +575,30 @@ def replace_column_in_stripe(
     # bloom rebuild: blooms live in a separate concatenated buffer
     blooms = row["blooms"]
     bloom_index = meta.get("blooms", {})
-    if name in bloom_index:
-        nn = values.drop_null()
-        lengths, data = column_mod._string_parts_view(nn)
-        new_bloom = bloom_mod.build(lengths, data)
+    tri_index = meta.get("tri_blooms", {})
+    if name in bloom_index or name in tri_index:
+        is_str = pa.types.is_string(values.type) or pa.types.is_large_string(values.type)
+        if is_str:
+            nn = values.drop_null()
+            lengths, data = column_mod._string_parts_view(nn)
+            new_bloom = bloom_mod.build(lengths, data) if name in bloom_index else None
+            new_tri = bloom_mod.build_trigrams(lengths, data) if name in tri_index else None
+        else:  # type-changing replace: the column sheds its blooms
+            new_bloom = new_tri = None
+            bloom_index.pop(name, None)
+            tri_index.pop(name, None)
         parts = []
         bpos = 0
-        for col, (boff, blen) in bloom_index.items():
-            part = new_bloom if col == name else bytes(memoryview(blooms)[boff : boff + blen])
-            bloom_index[col] = [bpos, len(part)]
-            parts.append(part)
-            bpos += len(part)
+        for idx_map, fresh in ((bloom_index, new_bloom), (tri_index, new_tri)):
+            for col, (boff, blen) in idx_map.items():
+                part = (
+                    fresh
+                    if col == name and fresh is not None
+                    else bytes(memoryview(blooms)[boff : boff + blen])
+                )
+                idx_map[col] = [bpos, len(part)]
+                parts.append(part)
+                bpos += len(part)
         blooms = b"".join(parts)
     meta["blob_crc32"] = zlib.crc32(blob)
     meta.setdefault("metrics", {}).setdefault("codecs", {})[name] = new_trees[0]["encoding"]
@@ -646,6 +676,16 @@ def like_prefix(pattern: str) -> str:
     return pattern
 
 
+def like_literal_runs(pattern: str) -> list[str]:
+    """Literal segments of a LIKE pattern (text between % / _
+    wildcards) long enough to carry a trigram — each is a REQUIRED
+    substring of any match, so all are conjunctive trigram-bloom
+    prune keys ('%quick%brown%' -> ['quick', 'brown'])."""
+    import re as _re
+
+    return [r for r in _re.split(r"[%_]", pattern) if len(r.encode()) >= 3]
+
+
 def prefix_upper(prefix: str) -> str | None:
     """Smallest string (by code-point order, which is how zone-map
     stats compare) greater than EVERY string starting with `prefix`;
@@ -663,6 +703,8 @@ def string_pred_bounds(op: str, value) -> tuple:
     """(lo, hi) zone-map bounds implied by a predicate, for stripe and
     row-group pruning. hi for prefix/like is the exclusive upper bound
     of the prefix range (inclusive pruning keeps it conservative)."""
+    if op == "contains":
+        return (None, None)  # no zone-map bounds; trigram blooms prune
     if op in ("prefix", "like"):
         pre = value if op == "prefix" else like_prefix(value)
         return (pre or None, prefix_upper(pre) if pre else None)
@@ -729,6 +771,8 @@ def _apply_pred(arr, op: str, value):
         return pc.starts_with(arr, pattern=value)
     if op == "like":
         return pc.match_like(arr, value)
+    if op == "contains":
+        return pc.match_substring(arr, value)
     return getattr(pc, _PC_OPS[op])(arr, value)
 
 

@@ -1073,3 +1073,104 @@ def test_cli_profile_and_card_commands(ray_session, tmp_path, capsys):
     card = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert card["n_docs"] == 6 and card["dup_docs"] == 1
     assert card["lang:en"] == 3 and card["lang:de"] == 2 and card["lang:<null>"] == 1
+
+
+def test_contains_pushdown_trigram_prune(ray_session, tmp_path):
+    """LIKE '%needle%' pushdown: stripes whose trigram bloom lacks a
+    needle trigram are pruned on the METADATA read (no blob fetch);
+    the residual match_substring keeps results exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    texts = [
+        f"stripe one filler row {i} with zebra pattern inside" for i in range(1000)
+    ] + [f"stripe two plain filler row {i} nothing special here" for i in range(1000)]
+    t = pa.table({"id": pa.array(np.arange(2000)), "text": pa.array(texts)})
+    out = str(tmp_path / "enc")
+    pipeline.write_encoded(
+        pipeline.encode_dataset(
+            ray.data.from_arrow(t), {"stripe_rows": 500, "batch_rows": 500}
+        ),
+        out,
+    )
+    # correctness: exact id set
+    hits = pipeline.filter_encoded(out, "text", "contains", "zebra pattern")
+    ids = sorted(r["id"] for r in hits.take_all())
+    assert ids == list(range(1000))
+    # prune evidence: metadata-only survivor count drops to the two
+    # zebra stripes; an absent needle prunes everything
+    meta = pipeline.read_encoded(out, metadata_only=True, include_paths=True)
+    surv = pipeline.prune_stripes(meta, "text", tri_needles=["zebra pattern"])
+    assert surv.count() == 2
+    none = pipeline.prune_stripes(meta, "text", tri_needles=["qzxvw jklmp"])
+    assert none.count() == 0
+    # infix LIKE uses its literal runs the same way
+    like_hits = pipeline.filter_encoded(out, "text", "like", "%zebra%inside%")
+    assert like_hits.count() == 1000
+    # conjunctive multi-predicate path prunes on contains too
+    multi = pipeline.filter_encoded_multi(
+        out, [("text", "contains", "zebra"), ("id", "lt", 10)]
+    )
+    assert sorted(r["id"] for r in multi.take_all()) == list(range(10))
+
+
+def test_update_rebuilds_tri_bloom(ray_session, tmp_path):
+    """Surgical UPDATE on a text column refreshes its trigram bloom:
+    a substring that only exists in the NEW values must be found, and
+    a stale bloom must not prune it away."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(400)),
+            "text": pa.array([f"original content number {i} padded out" for i in range(400)]),
+        }
+    )
+    src = str(tmp_path / "src")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(t)), src)
+    dst = str(tmp_path / "dst")
+
+    def rewrite(tbl):
+        import pyarrow.compute as pc
+
+        return pc.replace_substring(tbl.column("text"), "original", "flamingo")
+
+    pipeline.update_where(src, dst, "id", 0, 99, assign={"text": rewrite})
+    hits = pipeline.filter_encoded(dst, "text", "contains", "flamingo content")
+    assert hits.count() == 100
+    # the untouched rows still match their original substring
+    assert pipeline.filter_encoded(dst, "text", "contains", "original content").count() == 300
+
+
+def test_rename_keeps_tri_bloom_pruning(ray_session, tmp_path):
+    """Metadata-only RENAME re-keys tri_blooms: substring pushdown on
+    the new name still prunes and still answers exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(500)),
+            "txt": pa.array(
+                [f"row {i} " + ("walrus melody " if i < 50 else "plain words ") * 3 for i in range(500)]
+            ),
+        }
+    )
+    src = str(tmp_path / "src")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(t)), src)
+    renamed = str(tmp_path / "renamed")
+    pipeline.rename_column_encoded(src, renamed, "txt", "body")
+    hits = pipeline.filter_encoded(renamed, "body", "contains", "walrus melody")
+    assert hits.count() == 50
+    meta = pipeline.read_encoded(renamed, metadata_only=True, include_paths=True)
+    assert pipeline.prune_stripes(meta, "body", tri_needles=["qqqzzzvvv"]).count() == 0

@@ -198,3 +198,51 @@ def test_stripe_dict_plan_roundtrip():
         {"column_plans": {"h": {"int_encoding": "dict"}, "d": {"float_encoding": "dict"}}},
     )
     assert stripe.decode_stripe(enc).equals(tbl)
+
+
+def test_trigram_bloom_membership():
+    vals = [b"the quick brown fox", b"jumps over the lazy dog", b"merge sort"]
+    lengths = np.array([len(v) for v in vals], dtype=np.int64)
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    bf = bloom.build_trigrams(lengths, data)
+    assert bloom.might_contain_substring(bf, "quick brown")
+    assert bloom.might_contain_substring(bf, "merge sort")
+    assert not bloom.might_contain_substring(bf, "zzqxv")
+    # boundary straddle: "foxjumps" spans two values -> must say no
+    assert not bloom.might_contain_substring(bf, "foxjump")
+    # sub-3-byte needles are untestable -> conservative True
+    assert bloom.might_contain_substring(bf, "zq")
+
+
+def test_trigram_bloom_native_numpy_parity(monkeypatch):
+    rng2 = np.random.default_rng(7)
+    vals = [
+        bytes(rng2.integers(0, 256, rng2.integers(0, 60)).astype(np.uint8))
+        for _ in range(50)
+    ]
+    lengths = np.array([len(v) for v in vals], dtype=np.int64)
+    data = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    b_native = bloom.build_trigrams(lengths, data)
+    monkeypatch.setenv("MOTHRAY_TRIGRAM_NUMPY", "1")
+    b_numpy = bloom.build_trigrams(lengths, data)
+    assert b_native == b_numpy
+
+
+def test_tri_bloom_in_stripe_meta_long_columns_only():
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    enc = stripe.encode_batch(tbl)
+    meta = json.loads(enc.column("meta")[0].as_py())
+    # text is long -> tri bloom; lang/source are short categoricals -> skipped
+    assert "text" in meta["tri_blooms"]
+    assert "lang" not in meta["tri_blooms"] and "source" not in meta["tri_blooms"]
+    blooms = enc.column("blooms")[0].as_py()
+    off, ln = meta["tri_blooms"]["text"]
+    tb = blooms[off : off + ln]
+    sample = tbl.column("text")[0].as_py()
+    assert bloom.might_contain_substring(tb, sample[10:24])
+    assert not bloom.might_contain_substring(tb, "\x01\x02\x03\x04\x05")
+    # value bloom offsets still index correctly alongside tri blooms
+    voff, vln = meta["blooms"]["lang"]
+    assert bloom.might_contain(
+        blooms[voff : voff + vln], [tbl.column("lang")[0].as_py()]
+    )[0]
