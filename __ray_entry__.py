@@ -4261,6 +4261,50 @@ def _key_skew_lineitem(sf_dir: str):
     return profile_mod.key_skew(ds, "l_partkey", top_k=10)
 
 
+def _matview_orders(sf_dir: str):
+    """Incremental materialized aggregate view (mothray/matview.py):
+    grouped sum/min/max/count materialized at v0, then a versioned
+    APPEND refreshes the view by aggregating ONLY the new part files
+    and merging group-wise (self-maintainable aggregates) — the
+    append-mostly-ingest fast path; read_view never scans."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import matview, pipeline, versions
+
+    tdir = tempfile.mkdtemp(prefix="mothray_mv_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", tdir)
+    versions.adopt(tdir)
+    matview.create_view(
+        tdir,
+        "by_status",
+        ["o_orderstatus"],
+        [
+            ("o_totalprice", "sum", "sum_price"),
+            ("o_totalprice", "min", "min_price"),
+            ("o_totalprice", "max", "max_price"),
+            ("o_orderkey", "count", "n_orders"),
+        ],
+    )
+    delta = ray.data.read_parquet(f"{sf_dir}/orders.parquet").map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("o_orderkey"), 1000)),
+        batch_format="pyarrow",
+    )
+    versions.append(tdir, delta)
+    res = matview.refresh_view(tdir, "by_status")
+    assert res["mode"] == "incremental", res  # the point of the query
+    t = matview.read_view(tdir, "by_status")
+    return t.set_column(
+        t.column_names.index("sum_price"),
+        "sum_price_r2",
+        pa.array(np.round(t.column("sum_price").to_numpy(), 2)),
+    )
+
+
 def _contains_pushdown_documents(sf_dir: str):
     """Substring pushdown on an encoded scan: LIKE '%needle%' gets no
     zone-map help, so stripes prune on per-stripe TRIGRAM blooms
@@ -4571,6 +4615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["key_skew_lineitem"] = _key_skew_lineitem
     q["readability_documents"] = _readability_documents
     q["contains_pushdown_documents"] = _contains_pushdown_documents
+    q["matview_orders"] = _matview_orders
     return q
 
 
@@ -6107,6 +6152,17 @@ def oracle_sql() -> dict[str, str]:
     )
     o["contains_pushdown_documents"] = (
         "SELECT * FROM documents WHERE contains(text, 'merge sort')"
+    )
+    o["matview_orders"] = (
+        # view state after v0 (full orders) + one APPEND of the
+        # o_orderkey <= 1000 slice == grouped agg over the union
+        "WITH t AS (SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders"
+        " UNION ALL SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders"
+        "  WHERE o_orderkey <= 1000)"
+        " SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price_r2,"
+        " min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,"
+        " CAST(count(o_orderkey) AS BIGINT) AS n_orders"
+        " FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
     o["readability_documents"] = (
         # structure counts and the per-doc flesch expression in
