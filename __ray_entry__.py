@@ -4261,6 +4261,34 @@ def _key_skew_lineitem(sf_dir: str):
     return profile_mod.key_skew(ds, "l_partkey", top_k=10)
 
 
+def _streaks_events(sf_dir: str):
+    """Gaps-and-islands longest consecutive-activity-day streak per
+    user (window.daily_streaks): distinct-(key,day) combiner before
+    the exchange, numpy island split per group."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return window.daily_streaks(ds, "user_id", "ts")
+
+
+def _ols_lineitem(sf_dir: str):
+    """Multiple linear regression (extendedprice ~ quantity + discount)
+    via distributed normal equations (moments.ols_multi): one O(k²)
+    partial row per batch, a single global-sum exchange, driver-side
+    solve; SQL mirror is the same sums + explicit Cramer."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity", "l_discount"],
+    )
+    return moments.ols_multi(ds, "l_extendedprice", ["l_quantity", "l_discount"])
+
+
 def _matview_orders(sf_dir: str):
     """Incremental materialized aggregate view (mothray/matview.py):
     grouped sum/min/max/count materialized at v0, then a versioned
@@ -4616,6 +4644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["readability_documents"] = _readability_documents
     q["contains_pushdown_documents"] = _contains_pushdown_documents
     q["matview_orders"] = _matview_orders
+    q["streaks_events"] = _streaks_events
+    q["ols_lineitem"] = _ols_lineitem
     return q
 
 
@@ -6152,6 +6182,38 @@ def oracle_sql() -> dict[str, str]:
     )
     o["contains_pushdown_documents"] = (
         "SELECT * FROM documents WHERE contains(text, 'merge sort')"
+    )
+    o["streaks_events"] = (
+        # classic day - row_number() island trick
+        "WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),"
+        " g AS (SELECT user_id, day, day - CAST(row_number() OVER"
+        "  (PARTITION BY user_id ORDER BY day) AS INT) AS grp FROM d),"
+        " s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)"
+        " SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,"
+        " CAST(max(len) AS BIGINT) AS longest_streak,"
+        " CAST(count(*) AS BIGINT) AS n_islands"
+        " FROM s GROUP BY user_id ORDER BY user_id"
+    )
+    _D3 = "(n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2))"
+    _B0 = f"((sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) / {_D3})"
+    _B1 = f"((n*(s1y*s22-s2y*s12) - sy*(sx1*s22-s12*sx2) + sx2*(sx1*s2y-s1y*sx2)) / {_D3})"
+    _B2 = f"((n*(s11*s2y-s12*s1y) - sx1*(sx1*s2y-s1y*sx2) + sy*(sx1*s12-s11*sx2)) / {_D3})"
+    o["ols_lineitem"] = (
+        # normal-equation sums + explicit Cramer solve for
+        # extendedprice ~ quantity + discount (same 3x3 system
+        # moments.ols_multi assembles distributively)
+        "WITH s AS (SELECT count(*)::DOUBLE n, sum(l_quantity) sx1,"
+        " sum(l_discount) sx2, sum(l_extendedprice) sy,"
+        " sum(l_quantity*l_quantity) s11, sum(l_quantity*l_discount) s12,"
+        " sum(l_discount*l_discount) s22, sum(l_quantity*l_extendedprice) s1y,"
+        " sum(l_discount*l_extendedprice) s2y,"
+        " sum(l_extendedprice*l_extendedprice) syy FROM lineitem)"
+        " SELECT CAST(n AS BIGINT) AS n,"
+        f" round({_B0}, 4) AS b0_r4, round({_B1}, 4) AS b1_r4,"
+        f" round({_B2}, 4) AS b2_r4,"
+        f" round(1 - (syy - ({_B0}*sy + {_B1}*s1y + {_B2}*s2y))"
+        " / (syy - sy*sy/n), 6) AS r2_r6"
+        " FROM s"
     )
     o["matview_orders"] = (
         # view state after v0 (full orders) + one APPEND of the

@@ -1030,3 +1030,76 @@ def grouped_mode(ds, group_col: str, value_col: str):
     # no trailing sort: a null group key would crash Ray's sort; the
     # result is one row per group, order-free by contract
     return null_safe_group_map(pairs, [group_col], argmax)
+
+
+def ols_multi(ds, y_col: str, x_cols: list[str], round_digits: int = 4):
+    """Multiple linear regression via distributed NORMAL EQUATIONS:
+    each batch contributes one row of cross-product sums (the (k+1)²
+    Gram matrix X'X with intercept, X'y, y'y), a single global-sum
+    exchange merges them, and the (k+1)-dim solve runs driver-side —
+    the classic one-pass distributed OLS (k is feature count, so the
+    exchange is O(k²) per batch regardless of row count).
+
+    Output (one row): n BIGINT, b0_r{d} (intercept), b{i}_r{d} per
+    feature (coefficients rounded to `round_digits` — cross-product
+    sums of ~1e10 magnitude leave ~1e-9 relative merge-order noise
+    after the normal-matrix condition number, so round-4 is the honest
+    resolution), r2_r6. Rows with ANY null among y/x are excluded
+    (SQL regr_* pairwise-complete semantics). SQL mirror: the same
+    sums + explicit Cramer solve."""
+    from ray.data.aggregate import Sum
+
+    cols = [y_col] + list(x_cols)
+    k = len(x_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        valid = None
+        for c in cols:
+            v = pc.is_valid(batch.column(c))
+            valid = v if valid is None else pc.and_(valid, v)
+        sub = batch.filter(valid) if pc.any(pc.invert(valid)).as_py() else batch
+        y = sub.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        X = np.column_stack(
+            [np.ones(len(y))]
+            + [
+                sub.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in x_cols
+            ]
+        )
+        A = X.T @ X
+        b = X.T @ y
+        out = {"n": pa.array([len(y)], pa.int64())}
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                out[f"a_{i}_{j}"] = pa.array([A[i, j]], pa.float64())
+            out[f"b_{i}"] = pa.array([b[i]], pa.float64())
+        out["syy"] = pa.array([float(y @ y)], pa.float64())
+        return pa.table(out)
+
+    partials = ds.select_columns(sorted(set(cols))).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sum_cols = (
+        ["n"]
+        + [f"a_{i}_{j}" for i in range(k + 1) for j in range(i, k + 1)]
+        + [f"b_{i}" for i in range(k + 1)]
+        + ["syy"]
+    )
+    tot = partials.aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+    A = np.empty((k + 1, k + 1))
+    for i in range(k + 1):
+        for j in range(i, k + 1):
+            A[i, j] = A[j, i] = tot[f"a_{i}_{j}"]
+    rhs = np.array([tot[f"b_{i}"] for i in range(k + 1)])
+    beta = np.linalg.solve(A, rhs)
+    n, syy, sy = int(tot["n"]), tot["syy"], tot["b_0"]
+    sse = syy - float(beta @ rhs)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst if sst else 0.0
+    out = {"n": pa.array([n], pa.int64())}
+    for i in range(k + 1):
+        out[f"b{i}_r{round_digits}"] = pa.array(
+            [float(np.round(beta[i], round_digits))], pa.float64()
+        )
+    out["r2_r6"] = pa.array([float(np.round(r2, 6))], pa.float64())
+    return pa.table(out)

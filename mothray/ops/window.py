@@ -385,3 +385,59 @@ def ranked(ds, key_col: str, order_col: str, tiebreak_col: str, n_tiles: int = 4
 
     proj = ds.select_columns(sorted({key_col, order_col, tiebreak_col}))
     return null_safe_group_map(proj, [key_col], ranks)
+
+
+def daily_streaks(ds, key_col: str, ts_col: str):
+    """Gaps-and-islands per key: activity days, the longest run of
+    CONSECUTIVE calendar days, and the island count. Output:
+    (key, n_active_days, longest_streak, n_islands) — all BIGINT.
+
+    Scale shape: a per-batch distinct-(key, day) combiner runs before
+    the group exchange, so at most one row per (key, active-day) pair
+    crosses the shuffle no matter how many events a hot user logged
+    that day; the per-group step is a numpy diff over the (tiny)
+    sorted distinct-day vector. SQL mirror is the classic
+    day - row_number() island trick."""
+
+    def distinct_days(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks()
+        keys = batch.column(key_col)
+        mask = pc.is_valid(ts)
+        if pc.any(pc.invert(mask)).as_py():  # null ts: no activity
+            ts, keys = ts.filter(mask), keys.filter(mask)
+        days = ts.cast(pa.date32()).cast(pa.int32())
+        t = pa.table({key_col: keys, "day": days})
+        return t.group_by([key_col, "day"]).aggregate([])
+
+    dd = ds.select_columns(sorted({key_col, ts_col})).map_batches(
+        distinct_days, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def streaks(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field(key_col).type
+        days = np.unique(group.column("day").to_numpy(zero_copy_only=False))
+        if len(days) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=key_type),
+                    "n_active_days": pa.array([], pa.int64()),
+                    "longest_streak": pa.array([], pa.int64()),
+                    "n_islands": pa.array([], pa.int64()),
+                }
+            )
+        bounds = np.nonzero(np.diff(days) > 1)[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(days)]))
+        lens = ends - starts
+        return pa.table(
+            {
+                key_col: pa.array([group.column(key_col)[0].as_py()], type=key_type),
+                "n_active_days": pa.array([len(days)], pa.int64()),
+                "longest_streak": pa.array([int(lens.max())], pa.int64()),
+                "n_islands": pa.array([len(lens)], pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    return null_safe_group_map(dd, [key_col], streaks).sort(key_col)

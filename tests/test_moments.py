@@ -736,3 +736,49 @@ def test_key_skew_uniform_and_hot(ray_session):
     nullkey = pa.table({"k": pa.array([None, None, 5], pa.int64())})
     row = profile_mod.key_skew(ray.data.from_arrow(nullkey), "k").to_pylist()[0]
     assert row["n_keys"] == 2 and row["top1_frac_r6"] == round(2 / 3, 6)
+
+
+def test_ols_multi_recovers_coefficients(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    x1 = rng.normal(10, 3, n)
+    x2 = rng.uniform(0, 1, n)
+    y = 4.0 + 2.5 * x1 - 7.0 * x2 + rng.normal(0, 0.01, n)
+    t = pa.table({"y": y, "x1": x1, "x2": x2})
+    out = moments.ols_multi(
+        ray.data.from_arrow(t).repartition(4), "y", ["x1", "x2"]
+    ).to_pylist()[0]
+    assert out["n"] == n
+    assert abs(out["b0_r4"] - 4.0) < 0.01
+    assert abs(out["b1_r4"] - 2.5) < 0.001
+    assert abs(out["b2_r4"] + 7.0) < 0.01
+    assert out["r2_r6"] > 0.999
+    # matches numpy lstsq on the same data
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    for i, b in enumerate(beta):
+        assert abs(out[f"b{i}_r4"] - round(b, 4)) < 1e-3
+
+
+def test_ols_multi_null_rows_excluded(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    t = pa.table(
+        {
+            "y": pa.array([1.0, 2.0, None, 4.0, 100.0]),
+            "x1": pa.array([1.0, 2.0, 3.0, 4.0, None]),
+        }
+    )
+    out = moments.ols_multi(ray.data.from_arrow(t), "y", ["x1"]).to_pylist()[0]
+    # only the 3 complete rows (1,1),(2,2),(4,4): y = x exactly
+    assert out["n"] == 3
+    assert out["b0_r4"] == 0.0 and out["b1_r4"] == 1.0

@@ -114,3 +114,41 @@ def test_sliding_window_ms_unit(ray_session):
         ).take_all()
         outs[unit] = sorted((r["window_start"], r["count()"]) for r in rows)
     assert outs["us"] == outs["ms"]
+
+
+def test_daily_streaks_known(ray_session):
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    rows = (
+        # user 1: days 1,2,3 (streak 3), gap, day 6 -> 2 islands;
+        # multiple events on day 2 must not inflate anything
+        [(1, ts(1)), (1, ts(2)), (1, ts(2, 13)), (1, ts(3)), (1, ts(6))]
+        # user 2: single day
+        + [(2, ts(10))]
+        # user 3: null ts only -> no output row
+        + [(3, None)]
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = {
+        r["user_id"]: r
+        for r in window.daily_streaks(
+            ray.data.from_arrow(t).repartition(3), "user_id", "ts"
+        ).take_all()
+    }
+    assert set(got) == {1, 2}
+    assert (got[1]["n_active_days"], got[1]["longest_streak"], got[1]["n_islands"]) == (4, 3, 2)
+    assert (got[2]["n_active_days"], got[2]["longest_streak"], got[2]["n_islands"]) == (1, 1, 1)
