@@ -4289,6 +4289,18 @@ def _ols_lineitem(sf_dir: str):
     return moments.ols_multi(ds, "l_extendedprice", ["l_quantity", "l_discount"])
 
 
+def _new_users_events(sf_dir: str):
+    """Exact cumulative distinct-user curve (cohort.new_users_cumulative):
+    first-activity-day per user (min combiner), tiny day histogram,
+    running sum in one final block — no set-carrying."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort.new_users_cumulative(ds, "user_id", "ts")
+
+
 def _matview_orders(sf_dir: str):
     """Incremental materialized aggregate view (mothray/matview.py):
     grouped sum/min/max/count materialized at v0, then a versioned
@@ -4645,6 +4657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["contains_pushdown_documents"] = _contains_pushdown_documents
     q["matview_orders"] = _matview_orders
     q["streaks_events"] = _streaks_events
+    q["new_users_events"] = _new_users_events
     q["ols_lineitem"] = _ols_lineitem
     return q
 
@@ -6193,6 +6206,15 @@ def oracle_sql() -> dict[str, str]:
         " CAST(max(len) AS BIGINT) AS longest_streak,"
         " CAST(count(*) AS BIGINT) AS n_islands"
         " FROM s GROUP BY user_id ORDER BY user_id"
+    )
+    o["new_users_events"] = (
+        "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day"
+        "  FROM events WHERE ts IS NOT NULL GROUP BY user_id),"
+        " d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users"
+        "  FROM f GROUP BY 1)"
+        " SELECT CAST(day AS VARCHAR) AS day, new_users,"
+        " CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users"
+        " FROM d ORDER BY day"
     )
     _D3 = "(n*(s11*s22-s12*s12) - sx1*(sx1*s22-s12*sx2) + sx2*(sx1*s12-s11*sx2))"
     _B0 = f"((sy*(s11*s22-s12*s12) - sx1*(s1y*s22-s12*s2y) + sx2*(s1y*s12-s11*s2y)) / {_D3})"

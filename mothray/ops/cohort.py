@@ -83,3 +83,78 @@ def retention(ds, user_col: str = "user_id", ts_col: str = "ts"):
         lambda t: t.rename_columns(["cohort_week", "age_weeks", "n_users"]),
         batch_format="pyarrow",
     )
+
+
+def new_users_cumulative(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Exact cumulative distinct-user curve by day. Output:
+    (day DATE, new_users BIGINT, cum_users BIGINT) ordered by day.
+
+    The exact-cumulative-distinct trick that avoids carrying sets:
+    cumulative distinct users at day d == count of users whose FIRST
+    activity day <= d, so the heavy exchange is one (user, min day)
+    row per user (per-batch min combiner first), the day histogram is
+    group-cardinality sized, and the running sum evaluates over that
+    tiny table in one final block. Null timestamps are no activity."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from .nullkeys import null_safe_group_aggregate
+
+    def first_seen_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks()
+        users = batch.column(user_col)
+        mask = pc.is_valid(ts)
+        if pc.any(pc.invert(mask)).as_py():
+            ts, users = ts.filter(mask), users.filter(mask)
+        days = ts.cast(pa.date32()).cast(pa.int32())
+        t = pa.table({user_col: users, "day": days})
+        return (
+            t.group_by([user_col])
+            .aggregate([("day", "min")])
+            .rename_columns([user_col, "day"])
+        )
+
+    firsts = null_safe_group_aggregate(
+        ds.select_columns(sorted({user_col, ts_col})).map_batches(
+            first_seen_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [user_col],
+        [Min("day", alias_name="day")],
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": batch.column("day"),
+                "new_users": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["day"])
+            .aggregate([("new_users", "sum")])
+            .rename_columns(["day", "new_users"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    daily = null_safe_group_aggregate(
+        firsts.map_batches(day_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        [Sum("new_users", alias_name="new_users")],
+    ).sort("day")
+
+    def finish(t: pa.Table) -> pa.Table:
+        nu = t.column("new_users").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                # ISO 'YYYY-MM-DD' string: stable across consumers
+                # (date32 survives Arrow but pandas-izes inconsistently)
+                "day": t.column("day").cast(pa.int32()).cast(pa.date32()).cast(pa.string()),
+                "new_users": t.column("new_users"),
+                "cum_users": pa.array(np.cumsum(nu).astype(np.int64)),
+            }
+        )
+
+    # the day histogram is tiny (one row per active day) — a single
+    # block carries the running sum
+    return daily.repartition(1).map_batches(finish, batch_format="pyarrow")

@@ -62,3 +62,35 @@ def test_retention_events_oracle(ray_session):
     assert got.equals(exp)
     # age 0 row exists for every cohort (a user is active in its first week)
     assert set(exp[exp.age_weeks == 0].cohort_week) == set(exp.cohort_week)
+
+
+def test_new_users_cumulative_known(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import cohort
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 2, day, hour)
+
+    rows = [
+        (1, ts(1)), (1, ts(3)),          # user 1 first on day 1
+        (2, ts(1, 5)), (2, ts(1, 9)),    # user 2 first on day 1
+        (3, ts(3)),                      # user 3 first on day 3
+        (4, None),                       # never active
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = cohort.new_users_cumulative(
+        ray.data.from_arrow(t).repartition(3), "user_id", "ts"
+    ).take_all()
+    assert [(r["day"], r["new_users"], r["cum_users"]) for r in got] == [
+        ("2024-02-01", 2, 2),
+        ("2024-02-03", 1, 3),
+    ]
