@@ -4289,6 +4289,26 @@ def _ols_lineitem(sf_dir: str):
     return moments.ols_multi(ds, "l_extendedprice", ["l_quantity", "l_discount"])
 
 
+def _dv_delete_orders(sf_dir: str):
+    """Merge-on-read DELETE via deletion vectors
+    (versions.delete_vector_where): matching positions persist under
+    _deletes/ with NO data-file rewrite; scan_version applies the mask
+    at decode. Two stacked DVs here, so the union/merge path runs."""
+    import tempfile
+
+    from mothray import pipeline, versions
+
+    tdir = tempfile.mkdtemp(prefix="mothray_dv_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", tdir)
+    versions.adopt(tdir)
+    v0_files = versions.manifest(tdir)["files"]
+    m = versions.delete_vector_where(tdir, "o_totalprice", 200000.0, None)
+    # merge-on-read contract: rows deleted, data files untouched
+    assert m["metrics"]["rows_deleted"] > 0 and m["files"] == v0_files
+    versions.delete_vector_where(tdir, "o_orderkey", None, 100)
+    return versions.scan_version(tdir)
+
+
 def _new_users_events(sf_dir: str):
     """Exact cumulative distinct-user curve (cohort.new_users_cumulative):
     first-activity-day per user (min combiner), tiny day histogram,
@@ -4658,6 +4678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["matview_orders"] = _matview_orders
     q["streaks_events"] = _streaks_events
     q["new_users_events"] = _new_users_events
+    q["dv_delete_orders"] = _dv_delete_orders
     q["ols_lineitem"] = _ols_lineitem
     return q
 
@@ -6206,6 +6227,12 @@ def oracle_sql() -> dict[str, str]:
         " CAST(max(len) AS BIGINT) AS longest_streak,"
         " CAST(count(*) AS BIGINT) AS n_islands"
         " FROM s GROUP BY user_id ORDER BY user_id"
+    )
+    o["dv_delete_orders"] = (
+        # two stacked deletion vectors == conjunction of the two
+        # surviving predicates (nulls survive a BETWEEN delete)
+        "SELECT * FROM orders WHERE (o_totalprice IS NULL OR o_totalprice"
+        " < 200000.0) AND (o_orderkey IS NULL OR o_orderkey > 100)"
     )
     o["new_users_events"] = (
         "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day"

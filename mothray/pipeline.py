@@ -131,6 +131,22 @@ class StripeDecoder:
             out = stripe_mod.decode_stripe(
                 row, self.columns, row_groups=rgs, target_schema=self.target_schema
             )
+            dv = row.get("dv")
+            if dv:
+                # merge-on-read deletion vector (versions.py): mask the
+                # stripe-absolute deleted positions, translated to the
+                # decoded row-group selection
+                meta_dv = json.loads(row["meta"])
+                n_all = row["n_rows"]
+                keep = np.ones(n_all, dtype=bool)
+                keep[np.asarray(dv, dtype=np.int64)] = False
+                rgr = meta_dv["row_groups"]["rows"]
+                sel = rgs if rgs is not None else range(meta_dv["row_groups"]["count"])
+                mask = np.concatenate(
+                    [keep[i * rgr : min((i + 1) * rgr, n_all)] for i in sel]
+                )
+                if not mask.all():
+                    out = out.filter(pa.array(mask))
             if self.max_rows and out.num_rows > self.max_rows:
                 for s in range(0, out.num_rows, self.max_rows):
                     yield out.slice(s, self.max_rows)

@@ -413,9 +413,313 @@ def vacuum(table_dir: str, keep_versions: list[int] | None = None) -> dict:
         if f.endswith(".parquet") and f not in referenced:
             os.remove(os.path.join(table_dir, f))
             removed_files += 1
+    # deletion vectors referenced by no kept manifest go the same way
+    ref_dvs: set[str] = set()
+    for v in keep:
+        ref_dvs.update(manifest(table_dir, v).get("deletes", {}).values())
+    dv_dir = os.path.join(table_dir, _DV_DIR)
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            if f.endswith(".parquet") and f not in ref_dvs:
+                os.remove(os.path.join(dv_dir, f))
+                removed_files += 1
     removed_versions = 0
     for v in range(last + 1):
         if v not in keep and os.path.exists(_vpath(table_dir, v)):
             os.remove(_vpath(table_dir, v))
             removed_versions += 1
     return {"removed_files": removed_files, "removed_versions": removed_versions}
+
+
+# ------------------------------------------------------- deletion vectors
+
+_DV_DIR = "_deletes"
+
+
+def _dv_path(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, _DV_DIR, name)
+
+
+def _load_dv_map(table_dir: str, m: dict) -> dict:
+    """{file_name: {stripe_key: sorted int64 positions}} for a
+    manifest's deletion vectors. Size is bounded by rows deleted since
+    the last compaction (compact_deletes), not by the table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for fname, dvname in m.get("deletes", {}).items():
+        t = pq.read_table(_dv_path(table_dir, dvname))
+        keys = t.column("stripe_key").to_pylist()
+        idx = t.column("row_idx").to_numpy(zero_copy_only=False)
+        per: dict = {}
+        import collections
+
+        buckets = collections.defaultdict(list)
+        for k, i in zip(keys, idx):
+            buckets[k].append(int(i))
+        for k, v in buckets.items():
+            per[k] = np.array(sorted(v), dtype=np.int64)
+        out[fname] = per
+    return out
+
+
+def delete_vector_where(table_dir: str, column: str, min_value=None,
+                        max_value=None) -> dict:
+    """Merge-on-read DELETE: rows with `column` in [min_value,
+    max_value] (SQL BETWEEN; nulls survive) are recorded as per-stripe
+    POSITION lists under `_deletes/` — no data file is rewritten (the
+    Delta/Iceberg deletion-vector fast path; the COW `delete_where` is
+    the compaction path). Zone maps route the scan: files whose stats
+    miss the range contribute nothing and their DVs carry forward by
+    name. Reads through `decode_version` / `scan_version` apply the
+    mask at decode; metadata-only fast paths (stats/agg/profile over
+    stripe rows) see pre-delete counts until `compact_deletes` folds
+    the vectors into a rewrite — the standard merge-on-read tradeoff,
+    stated here so it is a contract, not a surprise."""
+    import numpy as np
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from . import pipeline
+    from . import stripe as stripe_mod
+
+    parent = manifest(table_dir)
+    new_v = parent["version"] + 1
+    parent_dvs = parent.get("deletes", {})
+    os.makedirs(os.path.join(table_dir, _DV_DIR), exist_ok=True)
+
+    def process(batch: pa.Table) -> pa.Table:
+        out = []
+        for name in batch.column("name").to_pylist():
+            path = os.path.join(table_dir, name)
+            prior_name = parent_dvs.get(name, "")
+            meta_tbl = pq.read_table(path, columns=["stripe_key", "stats"])
+            overlaps = [
+                pipeline._stripe_overlaps(sj, column, min_value, max_value)
+                for sj in meta_tbl.column("stats").to_pylist()
+            ]
+            if not any(overlaps):
+                out.append((name, prior_name, 0))
+                continue
+            prior: dict = {}
+            if prior_name:
+                t = pq.read_table(_dv_path(table_dir, prior_name))
+                for k, i in zip(
+                    t.column("stripe_key").to_pylist(),
+                    t.column("row_idx").to_numpy(zero_copy_only=False),
+                ):
+                    prior.setdefault(k, []).append(int(i))
+            full = pq.read_table(path)
+            new_keys: list = []
+            new_idx: list = []
+            n_new = 0
+            for i in range(full.num_rows):
+                row = {c: full.column(c)[i].as_py() for c in full.column_names}
+                key = row["stripe_key"]
+                have = set(prior.get(key, ()))
+                if overlaps[i]:
+                    dec = stripe_mod.decode_stripe(row, [column])
+                    col = dec.column(column)
+                    hit = pa.array(np.ones(dec.num_rows, dtype=bool))
+                    if min_value is not None:
+                        hit = pc.and_(hit, pc.greater_equal(col, min_value))
+                    if max_value is not None:
+                        hit = pc.and_(hit, pc.less_equal(col, max_value))
+                    hit = pc.fill_null(hit, False)  # nulls survive
+                    pos = np.nonzero(
+                        hit.to_numpy(zero_copy_only=False).astype(bool)
+                    )[0]
+                    fresh = [p for p in pos.tolist() if p not in have]
+                    n_new += len(fresh)
+                    have.update(fresh)
+                if have:
+                    ordered = sorted(have)
+                    new_keys.extend([key] * len(ordered))
+                    new_idx.extend(ordered)
+            if n_new == 0:
+                out.append((name, prior_name, 0))
+                continue
+            stem = name[: -len(".parquet")]
+            dv_name = f"{stem}-dv-v{new_v}.parquet"
+            tmp = _dv_path(table_dir, dv_name) + ".tmp"
+            pq.write_table(
+                pa.table(
+                    {
+                        "stripe_key": pa.array(new_keys, pa.string()),
+                        "row_idx": pa.array(new_idx, pa.int64()),
+                    }
+                ),
+                tmp,
+            )
+            os.rename(tmp, _dv_path(table_dir, dv_name))
+            out.append((name, dv_name, n_new))
+        return pa.table(
+            {
+                "name": pa.array([n for n, _, _ in out]),
+                "dv": pa.array([d for _, d, _ in out]),
+                "rows_deleted": pa.array([r for _, _, r in out], pa.int64()),
+            }
+        )
+
+    items = [{"name": n} for n in parent["files"]]
+    if not items:
+        m = {"version": new_v, "parent": parent["version"],
+             "op": f"delete_vector({column} in [{min_value}, {max_value}])",
+             "files": [], "deletes": {},
+             "metrics": {"files": 0, "rows_deleted": 0, "dv_files": 0}}
+        _write_manifest(table_dir, m)
+        return m
+    units = ray.data.from_items(items, override_num_blocks=len(items))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    deletes = {
+        n: d for n, d in zip(res["name"], res["dv"]) if d
+    }
+    m = {
+        "version": new_v,
+        "parent": parent["version"],
+        "op": f"delete_vector({column} in [{min_value}, {max_value}])",
+        "files": parent["files"],
+        "deletes": deletes,
+        "metrics": {
+            "files": len(parent["files"]),
+            "rows_deleted": int(res["rows_deleted"].sum()),
+            "dv_files": int((res["dv"] != "").sum()),
+        },
+    }
+    _write_manifest(table_dir, m)
+    return m
+
+
+def scan_version(table_dir: str, version: int | None = None,
+                 columns: list[str] | None = None):
+    """decode_version with deletion vectors applied (and the path every
+    DV-aware read funnels through). Versions without DVs take the
+    fused read->decode path unchanged."""
+    import ray
+    import ray.data
+
+    from . import pipeline
+
+    m = manifest(table_dir, version)
+    if not m.get("deletes"):
+        return decode_version(table_dir, version, columns)
+    fs = files(table_dir, version)
+    if not fs:
+        return ray.data.from_items([])
+    dv_map = _load_dv_map(table_dir, m)
+    ref = ray.put(dv_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dvm = ray.get(ref)
+        vals = []
+        for p, k in zip(
+            batch.column("path").to_pylist(),
+            batch.column("stripe_key").to_pylist(),
+        ):
+            per = dvm.get(os.path.basename(p))
+            pos = per.get(k) if per else None
+            vals.append(pos.tolist() if pos is not None else None)
+        return batch.append_column(
+            "dv", pa.array(vals, pa.list_(pa.int64()))
+        ).drop_columns(["path"])
+
+    enc = pipeline.read_encoded(fs, include_paths=True).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pipeline.decode_dataset(enc, columns=columns)
+
+
+def compact_deletes(table_dir: str, opts: dict | None = None) -> dict:
+    """Fold deletion vectors into a copy-on-write rewrite: every file
+    with a DV re-encodes its surviving rows under a `-v{N}` name; files
+    without DVs carry forward by name. The child manifest has no
+    `deletes` key, so metadata-only fast paths are exact again."""
+    import numpy as np
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    from . import pipeline
+    from . import stripe as stripe_mod
+
+    parent = manifest(table_dir)
+    dvs = parent.get("deletes", {})
+    new_v = parent["version"] + 1
+    if not dvs:
+        m = {**parent, "version": new_v, "parent": parent["version"],
+             "op": "compact_deletes", "deletes": {},
+             "metrics": {"files_rewritten": 0, "rows_removed": 0}}
+        _write_manifest(table_dir, m)
+        return m
+    dv_map = _load_dv_map(table_dir, parent)
+    ref = ray.put(dv_map)
+
+    def process(batch: pa.Table) -> pa.Table:
+        dvm = ray.get(ref)
+        out = []
+        for name in batch.column("name").to_pylist():
+            per = dvm.get(name)
+            if not per:
+                out.append((name, name, 0))
+                continue
+            full = pq.read_table(os.path.join(table_dir, name))
+            keep_rows = []
+            removed = 0
+            for i in range(full.num_rows):
+                row = {c: full.column(c)[i].as_py() for c in full.column_names}
+                pos = per.get(row["stripe_key"])
+                if pos is None or not len(pos):
+                    keep_rows.append(
+                        pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA)
+                    )
+                    continue
+                dec = stripe_mod.decode_stripe(row)
+                keep = np.ones(dec.num_rows, dtype=bool)
+                keep[pos] = False
+                removed += int((~keep).sum())
+                kept = dec.filter(pa.array(keep))
+                if kept.num_rows:
+                    keep_rows.append(
+                        stripe_mod.encode_batch(kept, key_prefix=f"{row['stripe_key']}c")
+                    )
+            if not keep_rows:
+                out.append((name, "", removed))
+                continue
+            new_tbl = pa.concat_tables(keep_rows)
+            stem = name[: -len(".parquet")]
+            new_name = f"{stem}-v{new_v}.parquet"
+            tmp = os.path.join(table_dir, new_name + ".tmp")
+            pq.write_table(new_tbl, tmp, row_group_size=8,
+                           **pipeline.ENCODED_PARQUET_ARGS)
+            os.rename(tmp, os.path.join(table_dir, new_name))
+            out.append((name, new_name, removed))
+        return pa.table(
+            {
+                "old": pa.array([o for o, _, _ in out]),
+                "new": pa.array([n for _, n, _ in out]),
+                "rows_removed": pa.array([r for _, _, r in out], pa.int64()),
+            }
+        )
+
+    items = [{"name": n} for n in parent["files"]]
+    units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    res = units.map_batches(process, batch_format="pyarrow").to_pandas()
+    by_old = dict(zip(res["old"], res["new"]))
+    new_files = [by_old.get(n, n) for n in parent["files"] if by_old.get(n, n)]
+    m = {
+        "version": new_v,
+        "parent": parent["version"],
+        "op": "compact_deletes",
+        "files": new_files,
+        "deletes": {},
+        "metrics": {
+            "files": len(new_files),
+            "files_rewritten": int((res["old"] != res["new"]).sum()),
+            "rows_removed": int(res["rows_removed"].sum()),
+        },
+    }
+    _write_manifest(table_dir, m)
+    return m

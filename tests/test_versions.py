@@ -213,3 +213,69 @@ def test_delete_metrics_distinguish_rewrites_from_deletions(table):
     # every file fully deleted: rewrites must be 0, deletions == files
     assert m["metrics"]["files_rewritten"] == 0
     assert m["metrics"]["files_deleted"] > 0
+
+
+def test_deletion_vectors_merge_on_read(table):
+    d, src = table
+    v0_files = list(versions.manifest(d)["files"])
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in v0_files}
+
+    m = versions.delete_vector_where(d, "o_totalprice", 200000.0, None)
+    assert m["metrics"]["rows_deleted"] > 0
+    # merge-on-read: data files byte-untouched, same file list
+    assert m["files"] == v0_files
+    for f, t0 in mtimes.items():
+        assert os.path.getmtime(os.path.join(d, f)) == t0
+
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_orderkey FROM read_parquet('{src}')"
+            " WHERE o_totalprice IS NULL OR o_totalprice < 200000.0 ORDER BY 1"
+        ).fetchall()
+    ]
+    assert _ids(versions.scan_version(d)) == exp
+    # v0 time-travel still sees everything
+    assert versions.scan_version(d, 0).count() == duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+
+    # stacked second DV: union of positions, idempotent re-delete
+    m2 = versions.delete_vector_where(d, "o_totalprice", 200000.0, None)
+    assert m2["metrics"]["rows_deleted"] == 0  # nothing new
+    m3 = versions.delete_vector_where(d, "o_orderkey", None, 50)
+    exp2 = [x for x in exp if x > 50]
+    assert _ids(versions.scan_version(d)) == exp2
+
+    # projection through the DV mask
+    proj = versions.scan_version(d, columns=["o_orderkey"])
+    assert sorted(proj.to_pandas()["o_orderkey"].tolist()) == exp2
+
+
+def test_compact_deletes_folds_to_cow(table):
+    d, src = table
+    versions.delete_vector_where(d, "o_totalprice", 200000.0, None)
+    exp = _ids(versions.scan_version(d))
+    m = versions.compact_deletes(d)
+    assert m["metrics"]["files_rewritten"] >= 1 and not m["deletes"]
+    # the compacted head reads identically through BOTH paths
+    assert _ids(versions.decode_version(d)) == exp
+    assert _ids(versions.scan_version(d)) == exp
+    # metadata-only row counts are exact again after compaction
+    n_meta = sum(
+        r["n_rows"] for r in versions.read_version(d, metadata_only=True).take_all()
+    )
+    assert n_meta == len(exp)
+
+
+def test_vacuum_drops_unreferenced_dvs(table):
+    d, _ = table
+    versions.delete_vector_where(d, "o_totalprice", 200000.0, None)
+    versions.compact_deletes(d)
+    dv_dir = os.path.join(d, "_deletes")
+    assert any(f.endswith(".parquet") for f in os.listdir(dv_dir))
+    res = versions.vacuum(d)
+    assert res["removed_files"] > 0
+    assert not any(f.endswith(".parquet") for f in os.listdir(dv_dir))
+    # head still reads fine
+    assert versions.decode_version(d).count() > 0
