@@ -4289,6 +4289,18 @@ def _ols_lineitem(sf_dir: str):
     return moments.ols_multi(ds, "l_extendedprice", ["l_quantity", "l_discount"])
 
 
+def _rake_documents(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010, corpus.rake_keywords):
+    stopword-delimited candidate phrases, deg/freq word scores, top-15
+    phrases; two combiner passes + one broadcast word-score map."""
+    import ray.data
+
+    from mothray.ops import corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return corpus.rake_keywords(ds, k=15)
+
+
 def _dv_delete_orders(sf_dir: str):
     """Merge-on-read DELETE via deletion vectors
     (versions.delete_vector_where): matching positions persist under
@@ -4679,6 +4691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["streaks_events"] = _streaks_events
     q["new_users_events"] = _new_users_events
     q["dv_delete_orders"] = _dv_delete_orders
+    q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     return q
 
@@ -6227,6 +6240,33 @@ def oracle_sql() -> dict[str, str]:
         " CAST(max(len) AS BIGINT) AS longest_streak,"
         " CAST(count(*) AS BIGINT) AS n_islands"
         " FROM s GROUP BY user_id ORDER BY user_id"
+    )
+    from mothray.ops.corpus import RAKE_STOPWORDS as _RAKE_STOPS
+
+    _stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    o["rake_documents"] = (
+        # RAKE islands via the i - row_number() trick; deg/freq via the
+        # phrase-membership join; phrase score = sum of member deg/freq
+        "WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l"
+        "  FROM documents),"
+        " w AS (SELECT doc_id, i, l[i] AS tok FROM toks,"
+        "  unnest(generate_series(1, len(l))) AS t(i)),"
+        " nw AS (SELECT doc_id, i, tok, i - row_number() OVER"
+        f"  (PARTITION BY doc_id ORDER BY i) AS grp FROM w"
+        f"  WHERE tok NOT IN ({_stops}) AND tok <> ''),"
+        " ph AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY i) AS phrase,"
+        "  CAST(count(*) AS BIGINT) AS plen FROM nw GROUP BY 1, 2),"
+        " wd AS (SELECT nw.tok, CAST(sum(ph.plen) AS BIGINT) AS deg,"
+        "  CAST(count(*) AS BIGINT) AS freq FROM nw JOIN ph"
+        "  ON nw.doc_id = ph.doc_id AND nw.grp = ph.grp GROUP BY nw.tok),"
+        " pd AS (SELECT phrase, CAST(count(*) AS BIGINT) AS cnt FROM ph"
+        "  GROUP BY phrase)"
+        " SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT)"
+        "  AS n_words, cnt,"
+        " round((SELECT sum(wd.deg::DOUBLE / wd.freq) FROM"
+        "  unnest(string_split(pd.phrase, ' ')) AS u(tk)"
+        "  JOIN wd ON wd.tok = u.tk), 6) AS score_r6"
+        " FROM pd ORDER BY score_r6 DESC, phrase LIMIT 15"
     )
     o["dv_delete_orders"] = (
         # two stacked deletion vectors == conjunction of the two

@@ -324,3 +324,150 @@ def js_divergence(
             "jsd_r6": pa.array([float(np.round(jsd, round_digits))], pa.float64()),
         }
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "at", "by",
+    "for", "with", "as", "is", "it", "be", "was", "are", "this", "that",
+)
+
+
+def rake_keywords(ds, column: str = "text", k: int = 15,
+                  stopwords: tuple = RAKE_STOPWORDS, round_digits: int = 6):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free token runs; a word's
+    score is deg(w)/freq(w) where freq counts its candidate occurrences
+    and deg sums the lengths of the phrases it appears in; a phrase
+    scores the sum of its member word scores. Output: top-`k`
+    (phrase, n_words BIGINT, cnt BIGINT, score_r6) by
+    (score DESC, phrase).
+
+    Two shuffle-light passes sharing one tokenize+island kernel:
+    pass 1 ships (token, deg, freq) combiner partials (vocabulary-
+    bounded), pass 2 broadcasts the word-score map and ships
+    (phrase, cnt) partials (candidate-vocabulary-bounded). The island
+    split, per-phrase degree, and score reduction are all reduceat over
+    the flattened token stream — no Python loop over rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate
+
+    stop_arr = pa.array(list(stopwords), pa.string())
+
+    def _islands(batch: pa.Table):
+        """(flat tokens, island_id per token, island lengths) for the
+        batch — islands never straddle documents."""
+        toks = pc.split_pattern(
+            pc.utf8_lower(batch.column(column).combine_chunks().fill_null("")), " "
+        )
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        n = len(flat)
+        is_stop = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        is_stop = np.asarray(is_stop, dtype=bool) | (
+            np.asarray(pc.equal(flat, "").to_numpy(zero_copy_only=False), dtype=bool)
+        )
+        keep = ~is_stop
+        # a new island starts at a kept token whose predecessor is not
+        # kept, or at a document boundary
+        prev_keep = np.concatenate(([False], keep[:-1]))
+        doc_start = np.zeros(n, dtype=bool)
+        doc_start[offs[:-1][offs[:-1] < n]] = True
+        start = keep & (~prev_keep | doc_start)
+        island_id = np.cumsum(start) - 1  # valid only where keep
+        return flat, keep, island_id, start
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        flat, keep, island_id, start = _islands(batch)
+        if not keep.any():
+            return pa.table({"token": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64()),
+                             "freq": pa.array([], pa.int64())})
+        ids = island_id[keep]
+        lens = np.bincount(ids).astype(np.int64)  # phrase length per island
+        deg_per_tok = lens[ids]  # each member token contributes its
+        # phrase's length to its degree
+        t = pa.table(
+            {
+                "token": flat.filter(pa.array(keep)),
+                "deg": pa.array(deg_per_tok),
+                "freq": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["token"])
+            .aggregate([("deg", "sum"), ("freq", "sum")])
+            .rename_columns(["token", "deg", "freq"])
+        )
+
+    base = ds.select_columns([column])
+    words = null_safe_group_aggregate(
+        base.map_batches(word_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"],
+        [Sum("deg", alias_name="deg"), Sum("freq", alias_name="freq")],
+    )
+    wt = pa.concat_tables(words.iter_batches(batch_format="pyarrow", batch_size=None))
+    score_map = dict(
+        zip(
+            wt.column("token").to_pylist(),
+            (
+                wt.column("deg").to_numpy(zero_copy_only=False)
+                / wt.column("freq").to_numpy(zero_copy_only=False)
+            ).tolist(),
+        )
+    )
+    score_ref = ray.put(score_map)
+
+    def phrase_partials(batch: pa.Table) -> pa.Table:
+        flat, keep, island_id, start = _islands(batch)
+        if not keep.any():
+            return pa.table({"phrase": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        smap = ray.get(score_ref)
+        kept = flat.filter(pa.array(keep))
+        ids = island_id[keep]
+        bounds = np.nonzero(np.concatenate(([True], np.diff(ids) > 0)))[0]
+        counts = np.diff(np.concatenate((bounds, [len(ids)])))
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.concatenate((bounds, [len(ids)])), pa.int32()), kept
+        )
+        phrases = pc.binary_join(lst, " ")
+        t = pa.table(
+            {
+                "phrase": phrases,
+                "cnt": pa.array(np.ones(len(counts), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["phrase"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["phrase", "cnt"])
+        )
+
+    phr = null_safe_group_aggregate(
+        base.map_batches(phrase_partials, batch_format="pyarrow", zero_copy_batch=True),
+        ["phrase"],
+        [Sum("cnt", alias_name="cnt")],
+    )
+    pt = pa.concat_tables(phr.iter_batches(batch_format="pyarrow", batch_size=None))
+    phrases = pt.column("phrase").to_pylist()
+    cnts = pt.column("cnt").to_numpy(zero_copy_only=False)
+    smap = score_map
+    scores = [
+        float(np.round(sum(smap[w] for w in p.split(" ")), round_digits))
+        for p in phrases
+    ]
+    n_words = [len(p.split(" ")) for p in phrases]
+    out = pa.table(
+        {
+            "phrase": pa.array(phrases, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "cnt": pa.array(cnts),
+            "score_r6": pa.array(scores, pa.float64()),
+        }
+    )
+    return out.sort_by([("score_r6", "descending"), ("phrase", "ascending")]).slice(0, k)

@@ -312,3 +312,25 @@ def test_readability_matches_duckdb(ray_session):
         for r in got
     ]
     assert got_rows == [tuple(r) for r in exp]
+
+
+def test_rake_keywords_known(ray_session):
+    # "red apple pie" island scores: deg(red)=3,freq=1; apple: appears
+    # in 3-phrase and alone (deg 3+1=4, freq 2); pie deg 3 freq 1
+    texts = [
+        "the red apple pie is a treat",
+        "an apple a day",
+    ]
+    out = corpus.rake_keywords(_docs_ds(texts), k=10).to_pylist()
+    by = {r["phrase"]: r for r in out}
+    assert by["red apple pie"]["n_words"] == 3
+    assert by["red apple pie"]["cnt"] == 1
+    # scores: red 3/1, apple (3+1)/2=2, pie 3/1 -> 8.0
+    assert by["red apple pie"]["score_r6"] == 8.0
+    assert by["apple"]["score_r6"] == 2.0 and by["apple"]["cnt"] == 1
+    assert by["treat"]["score_r6"] == 1.0
+    assert by["day"]["score_r6"] == 1.0
+    # stopwords never appear as phrases
+    assert "the" not in by and "a" not in by
+    # ordering: top phrase is the 3-word island
+    assert out[0]["phrase"] == "red apple pie"
