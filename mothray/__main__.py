@@ -147,6 +147,23 @@ def main(argv: list[str] | None = None) -> int:
     vd.add_argument("--min", dest="min_value", default=None)
     vd.add_argument("--max", dest="max_value", default=None)
 
+    dv = sub.add_parser("dvdelete", help="merge-on-read delete: record deletion vectors, rewrite NO data file")
+    dv.add_argument("table_dir")
+    dv.add_argument("--column", required=True)
+    dv.add_argument("--min", dest="min_value", default=None)
+    dv.add_argument("--max", dest="max_value", default=None)
+
+    cdv = sub.add_parser("compactdv", help="fold deletion vectors into a COW rewrite (metadata fast paths exact again)")
+    cdv.add_argument("table_dir")
+
+    vw = sub.add_parser("view", help="materialized aggregate views: create/refresh/read over a versioned table")
+    vw.add_argument("action", choices=["create", "refresh", "read"])
+    vw.add_argument("table_dir")
+    vw.add_argument("name")
+    vw.add_argument("--keys", default=None, help="comma-separated group keys (create)")
+    vw.add_argument("--agg", action="append", default=[],
+                    help="col:fn[:alias] with fn in count|sum|min|max (create, repeatable)")
+
     tt = sub.add_parser("timetravel", help="decode a historical version to parquet")
     tt.add_argument("table_dir")
     tt.add_argument("out_dir")
@@ -381,6 +398,53 @@ def _dispatch(args) -> int:
         from mothray import versions
 
         print(json.dumps(versions.history(args.table_dir)))
+        return 0
+
+    if args.cmd == "dvdelete":
+        ray = _ray()
+        from mothray import versions
+
+        num = _parse_value
+
+        versions.adopt(args.table_dir)
+        m = versions.delete_vector_where(
+            args.table_dir, args.column, num(args.min_value), num(args.max_value)
+        )
+        print(json.dumps(m["metrics"] | {"version": m["version"]}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "compactdv":
+        ray = _ray()
+        from mothray import versions
+
+        m = versions.compact_deletes(args.table_dir)
+        print(json.dumps(m["metrics"] | {"version": m["version"]}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "view":
+        ray = _ray()
+        from mothray import matview, versions
+
+        if args.action == "create":
+            versions.adopt(args.table_dir)
+            aggs = []
+            for spec in args.agg:
+                parts = spec.split(":")
+                aggs.append(tuple(parts[:3]) if len(parts) > 2 else (parts[0], parts[1]))
+            r = matview.create_view(
+                args.table_dir, args.name,
+                [k for k in (args.keys or "").split(",") if k], aggs,
+            )
+            print(json.dumps(r))
+        elif args.action == "refresh":
+            print(json.dumps(matview.refresh_view(args.table_dir, args.name)))
+        else:
+            t = matview.read_view(args.table_dir, args.name)
+            for row in t.to_pylist():
+                print(json.dumps(row))
+        ray.shutdown()
         return 0
 
     if args.cmd == "vdelete":

@@ -134,6 +134,12 @@ def _decode_files(fs: list[str], columns: list[str]):
     return pipeline.decode_dataset(pipeline.read_encoded(fs), columns=columns)
 
 
+def _scan_head(table_dir: str, columns: list[str]):
+    """Full-table scan for (re)computes — through scan_version so
+    active deletion vectors mask correctly."""
+    return versions.scan_version(table_dir, columns=columns)
+
+
 def create_view(table_dir: str, name: str, keys: list[str],
                 aggs: list[tuple], replace: bool = False) -> dict:
     """Materialize the view over the table's LATEST version. `aggs` is
@@ -144,7 +150,7 @@ def create_view(table_dir: str, name: str, keys: list[str],
         raise FileExistsError(f"view {name!r} exists (replace=True to rebuild)")
     m = versions.manifest(table_dir)
     cols = sorted(set(keys) | {c for c, _, _ in naggs})
-    state = _grouped_agg(_decode_files(versions.files(table_dir), cols), keys, naggs)
+    state = _grouped_agg(_scan_head(table_dir, cols), keys, naggs)
     os.makedirs(vdir, exist_ok=True)
     pq.write_table(state, os.path.join(vdir, "state.parquet"))
     spec = {
@@ -153,6 +159,7 @@ def create_view(table_dir: str, name: str, keys: list[str],
         "aggs": [list(a) for a in naggs],
         "version": m["version"],
         "files": m["files"],
+        "deletes": m.get("deletes", {}),
     }
     tmp = os.path.join(vdir, "spec.json.tmp")
     with open(tmp, "w") as f:
@@ -182,12 +189,15 @@ def refresh_view(table_dir: str, name: str) -> dict:
     old_files = set(spec["files"])
     new_files = [f for f in m["files"] if f not in old_files]
     removed = old_files - set(m["files"])
+    dv_changed = m.get("deletes", {}) != spec.get("deletes", {})
     vdir = _view_dir(table_dir, name)
     cols = sorted(set(keys) | {c for c, _, _ in naggs})
-    if removed:
+    if removed or dv_changed:
+        # a rewritten/removed file or a deletion-vector change
+        # invalidates per-file deltas (DV deltas are anti-rows; min/max
+        # cannot be incrementally maintained under deletes)
         mode = "full"
-        state = _grouped_agg(_decode_files(versions.files(table_dir), cols),
-                             keys, naggs)
+        state = _grouped_agg(_scan_head(table_dir, cols), keys, naggs)
     else:
         mode = "incremental"
         state = pq.read_table(os.path.join(vdir, "state.parquet"))
@@ -198,7 +208,10 @@ def refresh_view(table_dir: str, name: str) -> dict:
             )
             state = _merge_states(state, delta, keys, naggs)
     pq.write_table(state, os.path.join(vdir, "state.parquet"))
-    spec.update({"version": m["version"], "files": m["files"]})
+    spec.update(
+        {"version": m["version"], "files": m["files"],
+         "deletes": m.get("deletes", {})}
+    )
     tmp = os.path.join(vdir, "spec.json.tmp")
     with open(tmp, "w") as f:
         json.dump(spec, f, indent=1, sort_keys=True)

@@ -106,3 +106,29 @@ def test_read_view_hides_internal_count(ray_session, tmp_path):
         matview.create_view(tdir, "by_k", ["k"], AGGS)
     with pytest.raises(ValueError):
         matview.create_view(tdir, "other", ["k"], [("v", "median")])
+
+
+def test_view_respects_deletion_vectors(ray_session, tmp_path):
+    import ray.data
+
+    t0 = _table(5)
+    tdir = str(tmp_path / "t")
+    pipeline.write_encoded(pipeline.encode_dataset(ray.data.from_arrow(t0)), tdir)
+    versions.adopt(tdir)
+    # DV-delete a slice BEFORE creating the view
+    versions.delete_vector_where(tdir, "id", 5_000_000, 5_000_499)
+    matview.create_view(tdir, "by_k", ["k"], AGGS)
+    kept = t0.filter(pc.invert(pc.and_(
+        pc.greater_equal(t0.column("id"), 5_000_000),
+        pc.less_equal(t0.column("id"), 5_000_499),
+    )))
+    assert _got(tdir) == _expected([kept])
+    # a new DV AFTER the view forces a full refresh (not a stale noop)
+    versions.delete_vector_where(tdir, "id", 5_000_500, 5_000_999)
+    r = matview.refresh_view(tdir, "by_k")
+    assert r["mode"] == "full"
+    kept2 = t0.filter(pc.invert(pc.and_(
+        pc.greater_equal(t0.column("id"), 5_000_000),
+        pc.less_equal(t0.column("id"), 5_000_999),
+    )))
+    assert _got(tdir) == _expected([kept2])
