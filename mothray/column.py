@@ -39,6 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .codecs import boolrle, byterle, rlev2, timestamp, varint
+from .codecs import alp as alp_codec
 from .codecs import fsst as fsst_codec
 
 # Stream kinds
@@ -176,15 +177,17 @@ def _int_trial(v: np.ndarray, codec: str, signed: bool, max_values: int = 4096) 
     return "dict" if per_row_rlev2 >= DICT_MIN_COMPRESSION_RATIO * per_row_dict else "rlev2"
 
 
-def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
-    """Data-driven raw-vs-bss-vs-dict choice for float columns:
+def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096,
+                 allow_alp: bool = True) -> str:
+    """Data-driven raw-vs-bss-vs-dict-vs-alp choice for float columns:
     trial-compress a bounded sample each way under the stripe codec and
     keep the smallest (the reference's compression-ratio-model
     philosophy, DictionaryCompressionOptimizer.go:128-142, applied to
     floats). 'dict' wins on decimal-quantized low-cardinality columns
-    (discounts, rates) where even whole-value zstd repeats pay for
-    8 bytes per row; the per-stripe cardinality fallback in
-    _encode_values protects against head-sample bias."""
+    (discounts, rates); 'alp' wins on decimal-quantized HIGH-cardinality
+    columns (prices) where the re-scaled integers RLEv2 tighter than any
+    whole-value scheme; the per-stripe fallbacks in _encode_values
+    protect against head-sample bias."""
     if codec == "none":
         return "raw"
     from .codecs import frames
@@ -200,7 +203,16 @@ def _float_trial(v: np.ndarray, codec: str, max_values: int = 4096) -> str:
         _, zd0 = frames.compress_parts(dparts[0], codec)
         _, zd1 = frames.compress_parts(dparts[1], codec)
         if len(zd0) + len(zd1) < size:
-            return "dict"
+            best, size = "dict", len(zd0) + len(zd1)
+    if allow_alp:
+        aparts = alp_codec.encode_parts(s)
+        if aparts is not None:
+            asize = sum(
+                len(frames.compress_parts(part, codec)[1])
+                for part in aparts.values()
+            )
+            if asize < size:
+                return "alp"
     return best
 
 
@@ -257,6 +269,19 @@ def _encode_values(values: pa.Array, t: pa.DataType, opts: dict) -> EncodedColum
         mode = opts.get("float_encoding", "auto")
         if mode == "auto" and len(v) >= 64:
             mode = _float_trial(v, opts.get("compression", "zstd"))
+        if mode == "alp" and len(v) > 0:
+            # ALP (north-star extension, codecs/alp.py): decimal-rescaled
+            # ints through RLEv2 + bit-verified raw exceptions. Falls
+            # back to the non-ALP trial when THIS stripe's exception
+            # fraction is too high (plan sample may not represent it).
+            parts = alp_codec.encode_parts(v)
+            if parts is not None:
+                return EncodedColumn(
+                    "ALP", len(values),
+                    {DATA: parts["DATA"], SECONDARY: parts["SECONDARY"],
+                     DICTIONARY_DATA: parts["DICTIONARY_DATA"]},
+                )
+            mode = _float_trial(v, opts.get("compression", "zstd"), allow_alp=False)
         if mode == "dict" and len(v) >= 64:
             # FLOAT DICTIONARY (north-star extension like FSST/BSS; the
             # reference only dictionaries strings): per-stripe unique
@@ -531,6 +556,8 @@ def _decode_values(enc: EncodedColumn, t: pa.DataType, n: int) -> pa.Array:
         return pa.array(v.astype(np.int32), type=pa.int32()).cast(t)
     if t in (pa.float32(), pa.float64()):
         dt = np.float32 if t == pa.float32() else np.float64
+        if enc.encoding == "ALP":
+            return pa.array(alp_codec.decode(s, n, dt), type=t)
         if enc.encoding == "BSS_LE":
             w = np.dtype(dt).itemsize
             planes = np.frombuffer(s[DATA], dtype=np.uint8, count=n * w).reshape(w, n)

@@ -45,7 +45,9 @@ def test_dictionary_sorted_and_remapped():
         (pa.array([True, False] * 50), {"DATA"}),
         (pa.array(np.arange(100, dtype=np.int64)), {"DATA"}),
         (pa.array(np.arange(100, dtype=np.int8)), {"DATA"}),
-        (pa.array(np.arange(100).astype(np.float64)), {"DATA"}),
+        # continuous floats (raw-LE reference layout; decimal-quantized
+        # floats now take the ALP extension's 3-stream layout instead)
+        (pa.array(np.sin(np.arange(100, dtype=np.float64))), {"DATA"}),
         (pa.array([b"x", b"yy"] * 50, type=pa.binary()), {"LENGTH", "DATA"}),
         (
             pa.array(np.arange(100) * 1_000_000, type=pa.int64()).cast(pa.timestamp("us")),
