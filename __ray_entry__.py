@@ -4447,6 +4447,73 @@ def _rrf_documents(sf_dir: str):
     return search.rrf_fuse([a, b], k=10)
 
 
+def _anova_lineitem(sf_dir: str):
+    """One-way ANOVA F (moments.anova_oneway) of quantity across the
+    three return flags; group_variance combiner does the heavy pass,
+    the F formula evaluates driver-side over k=3 rows in the oracle's
+    operation order."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _rd.from_arrow(moments.anova_oneway(ds, "l_quantity", "l_returnflag"))
+
+
+def _kruskal_lineitem(sf_dir: str):
+    """Kruskal-Wallis H (moments.kruskal_wallis) of quantity across
+    return flags: tie-averaged fractional ranks from the broadcast
+    distinct-value histogram; rank sums are exact half-integers so the
+    only float math is the driver-side H formula."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return _rd.from_arrow(moments.kruskal_wallis(ds, "l_quantity", "l_returnflag"))
+
+
+def _kendall_tau_orders(sf_dir: str):
+    """Kendall tau-b between daily revenue and daily order count.
+    The corpus-scale pass is one groupby over day (output bounded by
+    the DATE DOMAIN, not the row count — revenue summed as exact
+    integer cents so the sign of every pairwise difference is
+    bit-deterministic); the small series then gets exact chunked
+    O(n^2) pair counting (moments.kendall_tau)."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+    from ray.data.aggregate import Count, Sum
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def day_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": _pc.cast(batch.column("o_orderdate"), pa.date32()),
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(batch.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    daily = (
+        ds.map_batches(day_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("cents", alias_name="rev"), Count(alias_name="cnt"))
+    )
+    tbl = pa.Table.from_pylist(daily.take_all())
+    return _rd.from_arrow(moments.kendall_tau(tbl, "rev", "cnt"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -4693,6 +4760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dv_delete_orders"] = _dv_delete_orders
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
+    q["anova_lineitem"] = _anova_lineitem
+    q["kruskal_lineitem"] = _kruskal_lineitem
+    q["kendall_tau_orders"] = _kendall_tau_orders
     return q
 
 
@@ -6333,6 +6403,62 @@ def oracle_sql() -> dict[str, str]:
         " round(sum(w)::DOUBLE / sum(sen), 6) AS wps_r6,"
         " round(sum(s) / sum(w)::DOUBLE, 6) AS spw_r6"
         " FROM f GROUP BY source ORDER BY source"
+    )
+    o["anova_lineitem"] = (
+        # per-group (n, mean, var_samp) then the F formula in
+        # moments.anova_oneway's exact operation order
+        "WITH g AS (SELECT l_returnflag AS grp,"
+        " CAST(count(l_quantity) AS DOUBLE) AS n, avg(l_quantity) AS m,"
+        " var_samp(l_quantity) AS v FROM lineitem"
+        " WHERE l_quantity IS NOT NULL GROUP BY 1),"
+        " t AS (SELECT sum(n) AS nn, count(*) AS k,"
+        "  sum(n * m) / sum(n) AS gm FROM g)"
+        " SELECT CAST(t.k AS BIGINT) AS k, CAST(t.nn AS BIGINT) AS n,"
+        " round((sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))"
+        "  / (sum((g.n - 1) * g.v) / (t.nn - t.k)), 6) AS f_stat"
+        " FROM g, t GROUP BY t.k, t.nn, t.gm"
+    )
+    o["kruskal_lineitem"] = (
+        # tie-averaged fractional ranks (exact half-integers -> rank
+        # sums bit-deterministic), then the tie-corrected H in
+        # moments.kruskal_wallis's operation order
+        "WITH t AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem"
+        " WHERE l_quantity IS NOT NULL),"
+        " r AS (SELECT g, CAST(rank() OVER (ORDER BY v) AS DOUBLE)"
+        "  + (CAST(count(*) OVER (PARTITION BY v) AS DOUBLE) - 1) / 2.0 AS ar"
+        "  FROM t),"
+        " s AS (SELECT g, sum(ar) AS rs, CAST(count(*) AS DOUBLE) AS c"
+        "  FROM r GROUP BY g),"
+        " nn AS (SELECT sum(c) AS n, count(*) AS k FROM s),"
+        " ties AS (SELECT coalesce(sum(CAST(c AS DOUBLE) * c * c - c), 0) AS ts"
+        "  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM t GROUP BY v))"
+        " SELECT CAST(nn.k AS BIGINT) AS k, CAST(nn.n AS BIGINT) AS n,"
+        " round((12.0 / (nn.n * (nn.n + 1)) * sum(s.rs * s.rs / s.c)"
+        "  - 3.0 * (nn.n + 1)) / (1.0 - ties.ts / (nn.n * nn.n * nn.n - nn.n)),"
+        " 6) AS h_stat"
+        " FROM s, nn, ties GROUP BY nn.k, nn.n, ties.ts"
+    )
+    o["kendall_tau_orders"] = (
+        # daily (integer-cent revenue, order count) series, then exact
+        # pair counts and tau-b in moments.kendall_tau's op order
+        "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,"
+        " sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),"
+        " p AS (SELECT CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)"
+        "   OR (a.rev > b.rev AND a.cnt > b.cnt) THEN 1 ELSE 0 END AS conc,"
+        "  CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)"
+        "   OR (a.rev > b.rev AND a.cnt < b.cnt) THEN 1 ELSE 0 END AS disc,"
+        "  CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tx,"
+        "  CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS ty"
+        "  FROM d a JOIN d b ON a.day < b.day),"
+        " s AS (SELECT CAST(sum(conc) AS BIGINT) AS c,"
+        "  CAST(sum(disc) AS BIGINT) AS dd, CAST(sum(tx) AS BIGINT) AS n1,"
+        "  CAST(sum(ty) AS BIGINT) AS n2, count(*) AS n0 FROM p)"
+        " SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,"
+        " s.c AS concordant, s.dd AS discordant,"
+        " round((s.c - s.dd) / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)"
+        "  * CAST(s.n0 - s.n2 AS DOUBLE)), 6) AS tau_b"
+        " FROM s"
     )
     return o
 

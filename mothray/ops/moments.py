@@ -1103,3 +1103,210 @@ def ols_multi(ds, y_col: str, x_cols: list[str], round_digits: int = 4):
         )
     out["r2_r6"] = pa.array([float(np.round(r2, 6))], pa.float64())
     return pa.table(out)
+
+
+def anova_oneway(ds, value_col: str, group_col: str, round_digits: int = 6) -> pa.Table:
+    """One-way ANOVA F statistic of value_col across group_col levels.
+    One row out: (k, n, f_stat). The heavy pass is the group_variance
+    combiner (one partial row per batch-group); the final formula runs
+    driver-side over k rows in the same operation order as the SQL
+    oracle:
+
+        gm  = sum(n_g * mean_g) / N
+        ssb = sum(n_g * (mean_g - gm)^2);      msb = ssb / (k - 1)
+        ssw = sum((n_g - 1) * var_samp_g);     msw = ssw / (N - k)
+        F   = msb / msw
+    """
+    rows = [
+        r
+        for r in group_variance(ds, value_col, group_col, round_digits=12).take_all()
+        if r["n"] > 0
+    ]
+    k = len(rows)
+    n_g = np.array([float(r["n"]) for r in rows])
+    n = float(n_g.sum())
+    if k < 2 or n <= k:
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n": pa.array([int(n)], pa.int64()),
+                "f_stat": pa.array([None], pa.float64()),
+            }
+        )
+    mean_g = np.array([r["mean"] for r in rows])
+    var_g = np.array([0.0 if r["var_samp"] is None else r["var_samp"] for r in rows])
+    gm = float((n_g * mean_g).sum() / n)
+    msb = float((n_g * (mean_g - gm) ** 2).sum()) / (k - 1)
+    msw = float(((n_g - 1) * var_g).sum()) / (n - k)
+    f = msb / msw if msw > 0 else None
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "f_stat": pa.array(
+                [None if f is None else round(f, round_digits)], pa.float64()
+            ),
+        }
+    )
+
+
+def kruskal_wallis(
+    ds,
+    value_col: str,
+    group_col: str,
+    round_digits: int = 6,
+    max_distinct: int = 2_000_000,
+) -> pa.Table:
+    """Kruskal-Wallis H test (tie-corrected) of value_col across
+    group_col levels. One row out: (k, n, h_stat) with
+
+        H  = 12/(N(N+1)) * sum(R_g^2 / n_g) - 3(N+1)
+        Hc = H / (1 - sum(t^3 - t) / (N^3 - N))
+
+    over tie-averaged fractional ranks. Same exactness argument as
+    mann_whitney_u: fractional ranks are half-integers, so per-group
+    rank sums are bit-deterministic in any merge order; only the final
+    driver-side formula (written in the oracle's operation order) does
+    real float math. Ranks come from the distinct-value histogram
+    broadcast once via ray.put — the exchange carries distinct values
+    and one (group, rank-sum, count) row per batch-group, never rows."""
+    import ray
+
+    from .nullkeys import null_safe_group_map
+    from .sketch import _value_histogram
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(value_col))).select(
+            [group_col, value_col]
+        )
+
+    vals = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    values, cum = _value_histogram(vals, value_col)
+    if len(values) > max_distinct:
+        raise ValueError(
+            f"kruskal_wallis: column {value_col!r} has {len(values)} distinct values "
+            f"(max_distinct={max_distinct}) — rank via a global sort instead"
+        )
+    counts = np.diff(np.concatenate(([0], cum))).astype(np.float64)
+    avg_rank = (cum - counts) + (counts + 1) / 2.0
+    ref = ray.put((np.asarray(values), avg_rank))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        vv, rr = ray_api.get(ref)
+        r = rr[np.searchsorted(vv, batch.column(value_col).to_numpy(zero_copy_only=False))]
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "rsum": pa.array(r, pa.float64()),
+            }
+        )
+        g = t.group_by([group_col]).aggregate([("rsum", "sum"), ("rsum", "count")])
+        return g.rename_columns([group_col, "rsum", "cnt"])
+
+    p = vals.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "rsum": pa.array(
+                    [float(group.column("rsum").to_numpy(zero_copy_only=False).sum())]
+                ),
+                "cnt": pa.array(
+                    [int(group.column("cnt").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rows = null_safe_group_map(p, [group_col], merge).take_all()
+    k = len(rows)
+    n = float(sum(r["cnt"] for r in rows))
+    if k < 2 or n < 2:
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n": pa.array([int(n)], pa.int64()),
+                "h_stat": pa.array([None], pa.float64()),
+            }
+        )
+    h = 0.0
+    for r in sorted(rows, key=lambda r: str(r[group_col])):
+        h += r["rsum"] * r["rsum"] / r["cnt"]
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    ties = float((counts**3 - counts).sum())
+    denom = 1.0 - ties / (n**3 - n)
+    hc = h / denom if denom > 0 else None
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "h_stat": pa.array(
+                [None if hc is None else round(hc, round_digits)], pa.float64()
+            ),
+        }
+    )
+
+
+def kendall_tau(ds, x_col: str, y_col: str, round_digits: int = 6,
+                max_rows: int = 20_000) -> pa.Table:
+    """Kendall tau-b between two columns of a SMALL dataset (intended
+    for pre-aggregated series — e.g. daily revenue vs daily order
+    count — whose size is bounded by the key domain, not the corpus;
+    the max_rows guard enforces that contract). One row out:
+    (n, concordant, discordant, tau_b) with the standard tie-corrected
+
+        tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)),  n0 = n(n-1)/2
+
+    Pairs are evaluated vectorized in row chunks (chunk x n sign
+    products, so memory stays bounded while every pair is covered
+    exactly once via the j > i mask) — exact integer counts, so only
+    the final ratio is float math."""
+    tbl = pa.Table.from_pylist(ds.take_all()) if not isinstance(ds, pa.Table) else ds
+    x = tbl.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    y = tbl.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = ~(np.isnan(x) | np.isnan(y))
+    x, y = x[ok], y[ok]
+    n = len(x)
+    if n > max_rows:
+        raise ValueError(
+            f"kendall_tau: {n} rows exceeds max_rows={max_rows} — "
+            "pre-aggregate the series first"
+        )
+    if n < 2:
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "concordant": pa.array([0], pa.int64()),
+                "discordant": pa.array([0], pa.int64()),
+                "tau_b": pa.array([None], pa.float64()),
+            }
+        )
+    c = d = n1 = n2 = 0
+    chunk = max(1, 4_000_000 // n)
+    col = np.arange(n)[None, :]
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        upper = col > np.arange(i0, i1)[:, None]  # each pair once
+        sx = np.sign(x[i0:i1, None] - x[None, :])
+        sy = np.sign(y[i0:i1, None] - y[None, :])
+        prod = sx * sy
+        c += int(((prod > 0) & upper).sum())
+        d += int(((prod < 0) & upper).sum())
+        n1 += int(((sx == 0) & upper).sum())
+        n2 += int(((sy == 0) & upper).sum())
+    n0 = n * (n - 1) // 2
+    denom = float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+    tau = (c - d) / denom if denom > 0 else None
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "concordant": pa.array([c], pa.int64()),
+            "discordant": pa.array([d], pa.int64()),
+            "tau_b": pa.array(
+                [None if tau is None else round(tau, round_digits)], pa.float64()
+            ),
+        }
+    )

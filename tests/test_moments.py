@@ -782,3 +782,100 @@ def test_ols_multi_null_rows_excluded(ray_session):
     # only the 3 complete rows (1,1),(2,2),(4,4): y = x exactly
     assert out["n"] == 3
     assert out["b0_r4"] == 0.0 and out["b1_r4"] == 1.0
+
+
+def test_anova_oneway_matches_direct_formula(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(21)
+    g = rng.choice(["a", "b", "c"], 3000)
+    v = rng.normal(0, 1, 3000) + (g == "b") * 0.3
+    out = moments.anova_oneway(
+        ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(4), "v", "g"
+    ).to_pylist()[0]
+    # direct numpy F
+    groups = [v[g == k] for k in "abc"]
+    gm = v.mean()
+    msb = sum(len(x) * (x.mean() - gm) ** 2 for x in groups) / 2
+    msw = sum((len(x) - 1) * x.var(ddof=1) for x in groups) / (3000 - 3)
+    assert out["k"] == 3 and out["n"] == 3000
+    assert abs(out["f_stat"] - msb / msw) < 1e-4
+
+
+def test_anova_single_group_null_f(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    t = pa.table({"g": ["x"] * 10, "v": list(range(10))})
+    out = moments.anova_oneway(ray.data.from_arrow(t), "v", "g").to_pylist()[0]
+    assert out["k"] == 1 and out["f_stat"] is None
+
+
+def test_kruskal_wallis_matches_direct(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(22)
+    g = rng.choice(["a", "b", "c"], 2000)
+    v = rng.integers(0, 50, 2000).astype(float)  # heavy ties
+    out = moments.kruskal_wallis(
+        ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(4), "v", "g"
+    ).to_pylist()[0]
+    # direct tie-corrected H via numpy ranks
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v))
+    sv = v[order]
+    uniq, start = np.unique(sv, return_index=True)
+    cnt = np.diff(np.concatenate((start, [len(sv)])))
+    avg = start + (cnt + 1) / 2.0
+    ranks[order] = np.repeat(avg, cnt)
+    n = float(len(v))
+    h = sum(ranks[g == k].sum() ** 2 / (g == k).sum() for k in "abc")
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    ties = float((cnt.astype(float) ** 3 - cnt).sum())
+    hc = h / (1 - ties / (n**3 - n))
+    assert out["k"] == 3 and out["n"] == 2000
+    assert abs(out["h_stat"] - hc) < 1e-6
+
+
+def test_kendall_tau_known_values():
+    import pyarrow as pa
+
+    from mothray.ops import moments
+
+    # perfect concordance
+    t = pa.table({"x": [1.0, 2.0, 3.0, 4.0], "y": [10.0, 20.0, 30.0, 40.0]})
+    out = moments.kendall_tau(t, "x", "y").to_pylist()[0]
+    assert out["tau_b"] == 1.0 and out["concordant"] == 6 and out["discordant"] == 0
+    # perfect discordance
+    t = pa.table({"x": [1.0, 2.0, 3.0], "y": [3.0, 2.0, 1.0]})
+    assert moments.kendall_tau(t, "x", "y").to_pylist()[0]["tau_b"] == -1.0
+    # ties in both: pair (0,1) tied in x, pair (2,3) tied in y
+    t = pa.table({"x": [1.0, 1.0, 2.0, 3.0], "y": [1.0, 2.0, 3.0, 3.0]})
+    out = moments.kendall_tau(t, "x", "y").to_pylist()[0]
+    assert out["n"] == 4 and out["concordant"] == 4 and out["discordant"] == 0
+    n0 = 6
+    expect = round(4 / ((n0 - 1) * (n0 - 1)) ** 0.5, 6)
+    assert out["tau_b"] == expect
+
+
+def test_kendall_tau_chunking_consistent():
+    import pyarrow as pa
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 20, 300).astype(float)
+    y = x + rng.normal(0, 5, 300)
+    t = pa.table({"x": x, "y": y})
+    full = moments.kendall_tau(t, "x", "y").to_pylist()[0]
+    out2 = moments.kendall_tau(t, "x", "y", max_rows=300).to_pylist()[0]
+    assert full == out2
+    assert -1.0 <= full["tau_b"] <= 1.0 and full["concordant"] > full["discordant"]
