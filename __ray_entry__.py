@@ -4514,6 +4514,82 @@ def _kendall_tau_orders(sf_dir: str):
     return _rd.from_arrow(moments.kendall_tau(tbl, "rev", "cnt"))
 
 
+def _cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE via one corpus shuffle (finest grouping) +
+    driver-side re-aggregation of the small cell grid (same Gray et
+    al. construction as rollup, over every key subset)."""
+    import ray.data
+
+    from mothray.ops import groupsets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return groupsets.cube(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "cnt": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+
+
+def _interval_union_events(sf_dir: str):
+    """Per-user union of 5-minute activity intervals
+    (window.interval_union): merged-island count + covered time in
+    exact integer microseconds. One groupby shuffle; islands via
+    numpy maximum.accumulate over each sorted group."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return window.interval_union(ds, "user_id", "ts", 300)
+
+
+def _cusum_events(sf_dir: str):
+    """Per-user CUSUM changepoint statistic (window.cusum_max): max
+    |cumsum(value - user mean)| in (ts, event_id) order, computed
+    BIT-EXACTLY in scaled integers (event values are 2-decimal
+    quantized; the float walk rounds ambiguously at half boundaries)."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return window.cusum_max(ds, "user_id", "ts", "value", "event_id", decimal_scale=2)
+
+
+def _gmean_hmean_lineitem(sf_dir: str):
+    """Geometric + harmonic mean of quantity per return flag
+    (moments.group_power_means): combiner-shaped sum(ln v) / sum(1/v)
+    partials, one small exchange."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return moments.group_power_means(ds, "l_quantity", "l_returnflag")
+
+
+def _key_gaps_orders(sf_dir: str):
+    """Order-key hole detection (profile.key_gaps): distributed sort,
+    per-block np.diff gap partials, O(blocks) driver merge. TPC-H
+    order keys are deliberately sparse, so this finds real gaps."""
+    import ray.data
+
+    from mothray.ops import profile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    import ray.data as _rd
+
+    return _rd.from_arrow(profile.key_gaps(ds, "o_orderkey"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -4763,6 +4839,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["anova_lineitem"] = _anova_lineitem
     q["kruskal_lineitem"] = _kruskal_lineitem
     q["kendall_tau_orders"] = _kendall_tau_orders
+    q["cube_lineitem"] = _cube_lineitem
+    q["interval_union_events"] = _interval_union_events
+    q["cusum_events"] = _cusum_events
+    q["gmean_hmean_lineitem"] = _gmean_hmean_lineitem
+    q["key_gaps_orders"] = _key_gaps_orders
     return q
 
 
@@ -6459,6 +6540,65 @@ def oracle_sql() -> dict[str, str]:
         " round((s.c - s.dd) / sqrt(CAST(s.n0 - s.n1 AS DOUBLE)"
         "  * CAST(s.n0 - s.n2 AS DOUBLE)), 6) AS tau_b"
         " FROM s"
+    )
+    o["cube_lineitem"] = (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+        " count(*) AS cnt, max(l_extendedprice) AS max_price,"
+        " GROUPING(l_returnflag, l_linestatus) AS grouping_id"
+        " FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    )
+    o["interval_union_events"] = (
+        # gaps-and-islands over [ts, ts+300s) intervals; all integer
+        # microseconds, so bit-deterministic
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s,"
+        " epoch_us(ts) + 300000000 AS e FROM events WHERE ts IS NOT NULL),"
+        " m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id"
+        "  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm"
+        "  FROM iv),"
+        " isl AS (SELECT user_id, s, e, SUM(CASE WHEN pm IS NULL OR s > pm"
+        "  THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s"
+        "  ROWS UNBOUNDED PRECEDING) AS gid FROM m),"
+        " g AS (SELECT user_id, gid, MIN(s) AS ms, MAX(e) AS me FROM isl"
+        "  GROUP BY 1, 2)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,"
+        " CAST(sum(me - ms) AS BIGINT) AS covered_us"
+        " FROM g GROUP BY user_id ORDER BY user_id"
+    )
+    o["cusum_events"] = (
+        # integer-exact scaled CUSUM: n*cumsum(cents) - i*total_cents
+        "WITH e2 AS (SELECT user_id, ts, event_id,"
+        "  CAST(round(value * 100) AS BIGINT) AS c FROM events"
+        "  WHERE value IS NOT NULL),"
+        " t AS (SELECT user_id, sum(c) AS tot, count(*) AS n FROM e2"
+        "  GROUP BY 1),"
+        " w AS (SELECT e2.user_id,"
+        "  SUM(c) OVER (PARTITION BY e2.user_id ORDER BY ts, event_id"
+        "   ROWS UNBOUNDED PRECEDING) * t.n"
+        "  - ROW_NUMBER() OVER (PARTITION BY e2.user_id ORDER BY ts, event_id)"
+        "   * t.tot AS cs"
+        "  FROM e2 JOIN t ON e2.user_id = t.user_id)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(max(abs(cs)) AS BIGINT) AS cusum_scaled"
+        " FROM w GROUP BY user_id ORDER BY user_id"
+    )
+    o["gmean_hmean_lineitem"] = (
+        "SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,"
+        " round(exp(sum(ln(l_quantity)) / count(l_quantity)), 6) AS gmean,"
+        " round(count(l_quantity) / sum(1.0 / l_quantity), 6) AS hmean"
+        " FROM lineitem WHERE l_quantity > 0"
+        " GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    o["key_gaps_orders"] = (
+        "WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders"
+        " WHERE o_orderkey IS NOT NULL),"
+        " d AS (SELECT k, k - LAG(k) OVER (ORDER BY k) AS gap FROM k)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_keys, min(k) AS key_min,"
+        " max(k) AS key_max,"
+        " CAST(count(*) FILTER (gap > 1) AS BIGINT) AS n_gaps,"
+        " CAST(coalesce(sum(gap - 1) FILTER (gap > 1), 0) AS BIGINT)"
+        "  AS missing_total,"
+        " CAST(coalesce(max(gap - 1) FILTER (gap > 1), 0) AS BIGINT) AS max_gap"
+        " FROM d"
     )
     return o
 

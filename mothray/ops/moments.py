@@ -1310,3 +1310,61 @@ def kendall_tau(ds, x_col: str, y_col: str, round_digits: int = 6,
             ),
         }
     )
+
+
+def group_power_means(ds, value_col: str, group_col: str, round_digits: int = 6):
+    """Geometric and harmonic means per group (requires strictly
+    positive values; non-positive and null rows drop, as SQL ln/1/x
+    would). Matches DuckDB `exp(sum(ln(v))/count(v))` and
+    `count(v)/sum(1.0/v)`. Combiner-shaped: each batch reduces to one
+    (group, n, sum_ln, sum_inv) row, so only group-width rows enter
+    the exchange."""
+    gcol = group_col or _GRP
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        ok = pc.and_(pc.is_valid(v), pc.greater(v, 0.0))
+        null_f64 = pa.scalar(None, pa.float64())
+        v = pc.if_else(pc.fill_null(ok, False), v, null_f64)
+        vv = v.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vv)
+        gt = pa.table(
+            {
+                gcol: batch.column(group_col),
+                "v": v,  # null where dropped -> count() = kept rows
+                "sln": pa.array(np.log(vv, where=valid, out=np.zeros(len(vv)))),
+                "sinv": pa.array(np.divide(1.0, vv, where=valid, out=np.zeros(len(vv)))),
+            }
+        )
+        agg = gt.group_by([gcol], use_threads=False).aggregate(
+            [("v", "count"), ("sln", "sum"), ("sinv", "sum")]
+        )
+        return pa.table(
+            {
+                gcol: agg.column(gcol),
+                "n": agg.column("v_count"),
+                "sln": agg.column("sln_sum"),
+                "sinv": agg.column("sinv_sum"),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from .nullkeys import null_safe_group_map
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(group.column("n").to_numpy(zero_copy_only=False).sum())
+        sln = float(group.column("sln").to_numpy(zero_copy_only=False).sum())
+        sinv = float(group.column("sinv").to_numpy(zero_copy_only=False).sum())
+        gm = round(float(np.exp(sln / n)), round_digits) if n else None
+        hm = round(n / sinv, round_digits) if n and sinv != 0 else None
+        return pa.table(
+            {
+                gcol: group.column(gcol).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "gmean": pa.array([gm], pa.float64()),
+                "hmean": pa.array([hm], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(p, [gcol], merge)

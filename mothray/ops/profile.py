@@ -504,3 +504,82 @@ def key_skew(ds, column: str, top_k: int = 10, round_digits: int = 6) -> pa.Tabl
             "norm_entropy_r6": pa.array([r(norm)], pa.float64()),
         }
     )
+
+
+def key_gaps(ds, key_col: str) -> pa.Table:
+    """Gap summary over an integer key column that SHOULD be unique
+    (duplicate keys are tolerated — they contribute zero-length gaps):
+    one row (n_keys, key_min, key_max, n_gaps, missing_total, max_gap)
+    where n_keys counts DISTINCT keys and a gap is a run of absent
+    values between two present keys.
+    Detects sequence holes (lost batches, failed id ranges) without
+    materializing the key domain.
+
+    Scale shape: one distributed sort range-partitions the keys; each
+    sorted block reduces to (block min, block max, rows, in-block gap
+    count / missing sum / max run) via np.diff, and the driver merges
+    the O(blocks) markers — cross-block gaps come from consecutive
+    block boundaries, so no block ever sees another block's rows."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        return batch.select([key_col]).filter(pc.is_valid(k))
+
+    def block_marker(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        d = np.diff(k)
+        gaps = d[d > 1] - 1
+        return pa.table(
+            {
+                "bmin": pa.array([int(k[0])], pa.int64()),
+                "bmax": pa.array([int(k[-1])], pa.int64()),
+                "rows": pa.array([1 + int((d > 0).sum())], pa.int64()),
+                "ngaps": pa.array([len(gaps)], pa.int64()),
+                "missing": pa.array([int(gaps.sum())], pa.int64()),
+                "maxgap": pa.array([int(gaps.max()) if len(gaps) else 0], pa.int64()),
+            }
+        )
+
+    markers = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key_col)
+        .map_batches(block_marker, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    markers.sort(key=lambda r: r["bmin"])
+    n_keys = sum(r["rows"] for r in markers)
+    if not markers:
+        return pa.table(
+            {
+                "n_keys": pa.array([0], pa.int64()),
+                "key_min": pa.array([None], pa.int64()),
+                "key_max": pa.array([None], pa.int64()),
+                "n_gaps": pa.array([0], pa.int64()),
+                "missing_total": pa.array([0], pa.int64()),
+                "max_gap": pa.array([0], pa.int64()),
+            }
+        )
+    n_gaps = sum(r["ngaps"] for r in markers)
+    missing = sum(r["missing"] for r in markers)
+    max_gap = max(r["maxgap"] for r in markers)
+    for prev, nxt in zip(markers, markers[1:]):
+        d = nxt["bmin"] - prev["bmax"]
+        if d > 1:
+            n_gaps += 1
+            missing += d - 1
+            max_gap = max(max_gap, d - 1)
+        elif d == 0:
+            # the same key straddles a block boundary: the two markers
+            # both counted it as distinct
+            n_keys -= 1
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "key_min": pa.array([markers[0]["bmin"]], pa.int64()),
+            "key_max": pa.array([markers[-1]["bmax"]], pa.int64()),
+            "n_gaps": pa.array([n_gaps], pa.int64()),
+            "missing_total": pa.array([missing], pa.int64()),
+            "max_gap": pa.array([max_gap], pa.int64()),
+        }
+    )

@@ -441,3 +441,107 @@ def daily_streaks(ds, key_col: str, ts_col: str):
     from .nullkeys import null_safe_group_map
 
     return null_safe_group_map(dd, [key_col], streaks).sort(key_col)
+
+
+def interval_union(ds, key_col: str, ts_col: str, duration_s: int):
+    """Per-key union of fixed-duration intervals [ts, ts + duration_s):
+    overlapping/adjacent-in-time intervals merge into islands, and each
+    key reports how many merged islands it has and the total covered
+    microseconds (the classic interval-union / coverage problem — e.g.
+    total active time when every event keeps a session alive for
+    duration_s seconds). Output: (key, n_intervals, covered_us).
+
+    Covered time is integer microseconds end-to-end (epoch_us diffs),
+    so the result is bit-deterministic. Islands form where a start
+    exceeds the running max of all previous ends — numpy
+    maximum.accumulate over the sorted group; one groupby shuffle."""
+    dur_us = int(duration_s) * 1_000_000
+
+    def per_key(group: pa.Table) -> pa.Table:
+        s = np.sort(
+            group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        e = s + dur_us
+        run_max = np.maximum.accumulate(e)
+        new_island = np.r_[True, s[1:] > run_max[:-1]]
+        starts = np.flatnonzero(new_island)
+        ends = np.r_[starts[1:], len(s)] - 1  # last row of each island
+        covered = int((run_max[ends] - s[starts]).sum())
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_intervals": pa.array([len(starts)], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, ts_col]).filter(
+            pc.is_valid(batch.column(ts_col))
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
+
+
+def cusum_max(ds, key_col: str, order_col: str, value_col: str,
+              tiebreak_col: str, round_digits: int = 6,
+              decimal_scale: int | None = None):
+    """Per-key CUSUM changepoint statistic: max |cumulative sum of
+    (value - key mean)| over the key's rows in (order, tiebreak) order.
+    A large value flags a level shift somewhere in the series (classic
+    CUSUM drift detection). Output: (key, n, cusum).
+
+    With decimal_scale=s (values quantized to s decimals), the
+    statistic is computed BIT-EXACTLY in scaled integers instead:
+
+        cusum_scaled_i = n * cumsum(cents)_i - i * total_cents
+                       = n * 10^s * cumsum(value - mean)_i
+
+    and the output column is an int64 `cusum_scaled` (= cusum *
+    n * 10^s) — no float walk, no rounding-boundary ambiguity.
+
+    One groupby shuffle; the mean and the cumulative walk are numpy
+    over the sorted group."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")],
+        )
+        v = group.take(idx).column(value_col).to_numpy(zero_copy_only=False)
+        v = v.astype(np.float64)
+        n = len(v)
+        if decimal_scale is not None:
+            cents = np.rint(v * 10.0**decimal_scale).astype(np.int64)
+            cs = n * np.cumsum(cents) - np.arange(1, n + 1, dtype=np.int64) * cents.sum()
+            return pa.table(
+                {
+                    key_col: group.column(key_col).slice(0, 1),
+                    "n": pa.array([n], pa.int64()),
+                    "cusum_scaled": pa.array([int(np.abs(cs).max())], pa.int64()),
+                }
+            )
+        mu = v.sum() / n
+        cs = np.cumsum(v - mu)
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "cusum": pa.array(
+                    [round(float(np.abs(cs).max()), round_digits)], pa.float64()
+                ),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    cols = sorted({key_col, order_col, value_col, tiebreak_col})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).filter(pc.is_valid(batch.column(value_col)))
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
