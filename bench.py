@@ -108,9 +108,9 @@ def run_bench() -> dict:
         mtime = max(
             os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
         ) if os.path.isdir(path) else os.path.getmtime(path)
-        # v2: plans now carry float_encoding — stale caches would push
-        # the bss/raw trial into every encode row group
-        cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}_v2.json"
+        # v3: the float trial now includes ALP — a stale cache would
+        # pin decimal-quantized doubles to the old bss/raw choice
+        cache_key = f"/tmp/mothray_bench/plans/{name}_{int(mtime)}_v3.json"
         plans[name] = plan_mod.plan_from_path_cached(path, cache_key)
         queries[f"plan_{name}"] = round(time.monotonic() - t0, 3)
 
