@@ -380,3 +380,95 @@ def triangle_count(edges, src_col: str = "src", dst_col: str = "dst") -> pa.Tabl
             ),
         }
     )
+
+
+def k_core(edges, src: str, dst: str, k: int, max_rounds: int = 100):
+    """The k-core of the undirected graph: the maximal subgraph where
+    every node has degree >= k. Classic iterative peeling (Batagelj &
+    Zaversnik's algorithm, distributed form): each round computes
+    degrees with one grouped count over the current edge set, then
+    drops every edge touching a node below k; repeat until no node is
+    dropped. Returns a Dataset of (node, degree) for the surviving
+    core (degree = within-core degree).
+
+    Self-loops and duplicate edges count toward degree as given (dedup
+    upstream if that is not wanted); null endpoints are ignored. Each
+    round is one combiner-shaped aggregate plus a broadcast of the
+    REMOVED node set (the shrinking side — the peel front is small
+    after the first round, so the broadcast stays cheap while the
+    surviving edges never leave their blocks)."""
+    import ray
+    import pyarrow.compute as pc
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        a, b = a.filter(ok), b.filter(ok)
+        if isinstance(a, pa.ChunkedArray):
+            a, b = a.combine_chunks(), b.combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
+
+    # directed-both-ways edge list: degree(node) = count of u == node
+    cur = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def degrees(ds_edges):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["u"], use_threads=False).aggregate([("v", "count")])
+            return g.rename_columns(["u", "c"])
+
+        p = ds_edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        return p.groupby("u").sum("c").materialize()
+
+    for _ in range(max_rounds):
+        deg = degrees(cur)
+        cnt_col = "sum(c)"
+
+        def low_nodes(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch.column(cnt_col), k)
+            return pa.table({"u": batch.column("u").filter(m)})
+
+        # only the peel front (nodes below k) ever reaches the driver
+        low = [
+            r["u"]
+            for r in deg.map_batches(
+                low_nodes, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        ]
+        if deg.count() == 0:
+            break
+        if not low:
+            # converged: emit (node, within-core degree) as a Dataset,
+            # never materializing the node table on the driver
+            def to_out(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": batch.column("u"),
+                        "degree": pc.cast(batch.column(cnt_col), pa.int64()),
+                    }
+                )
+
+            return deg.map_batches(
+                to_out, batch_format="pyarrow", zero_copy_batch=True
+            ).sort("node")
+        removed = ray.put(np.sort(np.asarray(low, dtype=np.int64)))
+
+        def drop(batch: pa.Table, removed_ref=removed) -> pa.Table:
+            import ray as ray_api
+
+            rm = ray_api.get(removed_ref)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            keep = ~(np.isin(u, rm) | np.isin(v, rm))
+            return batch.filter(pa.array(keep))
+
+        cur = cur.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    else:
+        raise RuntimeError(f"k_core: did not converge in {max_rounds} rounds")
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+        )
+    )

@@ -1368,3 +1368,123 @@ def group_power_means(ds, value_col: str, group_col: str, round_digits: int = 6)
         )
 
     return null_safe_group_map(p, [gcol], merge)
+
+
+def gini_concentration(ds, value_col: str, decimal_scale: int = 2) -> pa.Table:
+    """Gini coefficient / mean-difference numerator of a value column,
+    BIT-EXACT in scaled integers (values quantized to decimal_scale
+    decimals). Uses the sorted-rank identity
+
+        sum_{i<j} |x_j - x_i| = sum_i (2i - n - 1) * x_(i)   (i 1-based)
+
+    so one distributed sort replaces the O(n^2) pairwise sum. Each
+    sorted block reduces to (count, sum_x, sum of i_local * x); the
+    driver combines O(blocks) markers with exact Python ints, adding
+    2 * offset * sum_x per block to translate local ranks to global
+    ones. Ties are safe: any permutation of equal values leaves the
+    sum unchanged. Output one row: (n, sum_scaled, gmd_num, gini)
+    where gini = gmd_num / (n * sum_scaled), round-6."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        x = pc.cast(pc.round(pc.multiply(v, 10.0**decimal_scale)), pa.int64())
+        return pa.table({"x": x}).filter(pc.is_valid(x))
+
+    def marker(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        i_local = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "cnt": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_ix": pa.array([int((i_local * x).sum())], pa.int64()),
+            }
+        )
+
+    markers = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("x")
+        .map_batches(marker, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # dataset order after sort IS global order
+    )
+    n = sum(r["cnt"] for r in markers)
+    sum_x = sum(r["sum_x"] for r in markers)
+    acc = 0
+    offset = 0
+    for r in markers:
+        acc += r["sum_ix"] + offset * r["sum_x"]
+        offset += r["cnt"]
+    gmd_num = 2 * acc - (n + 1) * sum_x
+    gini = (
+        round(float(gmd_num) / (float(n) * float(sum_x)), 6)
+        if n > 1 and sum_x != 0
+        else None
+    )
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_scaled": pa.array([sum_x], pa.int64()),
+            "gmd_num": pa.array([gmd_num], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+def theil_sen_group(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    round_digits: int = 6,
+    max_group_rows: int = 10_000,
+) -> "object":
+    """Per-key Theil-Sen slope estimator: the median of all pairwise
+    slopes (value_j - value_i) / (seconds_j - seconds_i) over the
+    key's rows — the classic robust trend estimate (Sen 1968), immune
+    to outliers that wreck OLS. Pairs with identical timestamps are
+    excluded (vertical slope). Output: (key, n_pairs, slope).
+
+    One groupby shuffle; pair slopes are a vectorized O(m^2) numpy
+    broadcast per group, guarded by max_group_rows (per-key series at
+    corpus scale are bounded by the key's activity, not corpus size).
+    Each slope is one float division — bit-identical to the SQL
+    oracle's — and the median of an even count is the midpoint average,
+    matching quantile_cont(0.5)."""
+
+    def per_key(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m > max_group_rows:
+            raise ValueError(
+                f"theil_sen_group: key group has {m} rows (max {max_group_rows})"
+            )
+        t = (
+            group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        v = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        dt = (t[:, None] - t[None, :]) / 1_000_000.0
+        dv = v[:, None] - v[None, :]
+        iu = np.triu_indices(m, k=1)
+        dts, dvs = dt[iu], dv[iu]
+        ok = dts != 0.0
+        slopes = dvs[ok] / dts[ok]
+        slope = (
+            round(float(np.median(slopes)), round_digits) if len(slopes) else None
+        )
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_pairs": pa.array([int(ok.sum())], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+            }
+        )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        return batch.select([key_col, ts_col, value_col]).filter(ok)
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
