@@ -82,3 +82,75 @@ def copurchase_pairs(
     return counted.sort(
         ["cnt", "item_a", "item_b"], descending=[True, False, False]
     ).limit(k)
+
+
+def frequent_triples(
+    ds,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    k: int = 50,
+    max_basket: int = 200,
+):
+    """(item_a, item_b, item_c, cnt BIGINT) for the k most frequent
+    unordered distinct-item TRIPLES per basket, item_a < item_b <
+    item_c — the 3-itemset half of market-basket mining (copurchase_
+    pairs is the 2-itemset half). Combination blow-up is C(m,3), so
+    max_basket is tighter than the pair op; baskets above it drop
+    (and at web scale you would pre-filter items below min-support
+    first, apriori-style). Ties at the k boundary break on the item
+    ids, matching the oracle's ORDER BY cnt DESC, a, b, c."""
+    from itertools import combinations as _comb  # noqa: F401  (documentation)
+
+    def triples(group: pa.Table) -> pa.Table:
+        items = np.unique(
+            group.column(item_col).drop_null().to_numpy(zero_copy_only=False)
+        )
+        m = len(items)
+        empty = pa.table(
+            {
+                "item_a": pa.array([], pa.int64()),
+                "item_b": pa.array([], pa.int64()),
+                "item_c": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if m < 3 or m > max_basket:
+            return empty
+        # vectorized index triples i<j<l
+        i, j = np.triu_indices(m, k=1)
+        # expand each (i,j) with every l > j
+        reps = m - 1 - j
+        keep = reps > 0
+        i, j, reps = i[keep], j[keep], reps[keep]
+        ii = np.repeat(i, reps)
+        jj = np.repeat(j, reps)
+        ll = np.concatenate([np.arange(b + 1, m) for b in j]) if len(j) else np.array([], np.int64)
+        return pa.table(
+            {
+                "item_a": pa.array(items[ii].astype(np.int64)),
+                "item_b": pa.array(items[jj].astype(np.int64)),
+                "item_c": pa.array(items[ll].astype(np.int64)),
+                "cnt": pa.array(np.ones(len(ii), dtype=np.int64)),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["item_a", "item_b", "item_c"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["item_a", "item_b", "item_c", "cnt"])
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.select_columns(sorted({basket_col, item_col}))
+    counted = (
+        null_safe_group_map(proj, [basket_col], triples)
+        .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["item_a", "item_b", "item_c"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: t.rename_columns(["item_a", "item_b", "item_c", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+    return counted.sort(
+        ["cnt", "item_a", "item_b", "item_c"], descending=[True, False, False, False]
+    ).limit(k)

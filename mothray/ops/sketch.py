@@ -787,3 +787,72 @@ def grouped_mad(ds, column: str, group_col: str, round_digits: int = 6) -> "pa.T
             ),
         }
     )
+
+
+def weighted_median(
+    ds,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    weight_decimal_scale: int = 2,
+):
+    """Lower weighted median of value_col per group: the smallest
+    value v with 2 * cumweight(v) >= total weight. Weights quantize to
+    weight_decimal_scale decimals and accumulate as exact int64, so
+    the crossing comparison is bit-deterministic (no float cumsum).
+    Output: (group, n, wmedian).
+
+    Combiner shape: each batch reduces to (group, value, weight-sum)
+    rows — the exchange carries the DISTINCT (group, value) grid, not
+    rows — then one grouped merge sorts each group's values and scans
+    the cumulative weights."""
+    scale = 10.0**weight_decimal_scale
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(weight_col), pa.float64()), scale)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "v": batch.column(value_col),
+                "w": w,
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        ).filter(pc.and_(pc.is_valid(batch.column(value_col)), pc.is_valid(w)))
+        g = t.group_by([group_col, "v"], use_threads=False).aggregate(
+            [("w", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns([group_col, "v", "w", "n"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(group, sort_keys=[("v", "ascending")])
+        g = group.take(idx)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        n = int(g.column("n").to_numpy(zero_copy_only=False).sum())
+        # the same (group, v) cell appears once per upstream block:
+        # collapse duplicates before the scan
+        uniq_v, start = np.unique(v, return_index=True)
+        w_per_v = np.add.reduceat(w, start)
+        cw = np.cumsum(w_per_v)
+        tw = cw[-1] if len(cw) else 0
+        hit = np.flatnonzero(2 * cw >= tw)
+        med = float(uniq_v[hit[0]]) if len(hit) else None
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "wmedian": pa.array([med], pa.float64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [group_col], merge)

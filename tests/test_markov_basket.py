@@ -119,3 +119,63 @@ def test_copurchase_max_basket_guard(ray_session):
     )
     # basket 1 (5 distinct items) exceeds max_basket and is dropped
     assert out == [[7, 8, 1]]
+
+
+def test_frequent_triples_matches_brute(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import basket
+
+    rng = np.random.default_rng(51)
+    baskets, items = [], []
+    for b in range(200):
+        for it in rng.choice(30, rng.integers(2, 8), replace=False):
+            baskets.append(b)
+            items.append(int(it))
+    t = pa.table({"b": pa.array(baskets, pa.int64()), "i": pa.array(items, pa.int64())})
+    got = basket.frequent_triples(
+        ray.data.from_arrow(t).repartition(4), "b", "i", k=20
+    ).take_all()
+    # brute force
+    from collections import Counter, defaultdict
+
+    bk = defaultdict(set)
+    for b, i in zip(baskets, items):
+        bk[b].add(i)
+    cnt = Counter()
+    for s in bk.values():
+        for tr in itertools.combinations(sorted(s), 3):
+            cnt[tr] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [
+        ((r["item_a"], r["item_b"], r["item_c"]), r["cnt"]) for r in got
+    ] == want
+
+
+def test_weighted_median_small(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import sketch
+
+    # weights: value 1 w=1, value 2 w=5, value 3 w=1 -> wmedian 2;
+    # group b: equal weights over 1..4 -> lower median 2
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 4.0],
+            "w": [1.0, 5.0, 1.0, 2.0, 2.0, 2.0, 2.0],
+        }
+    )
+    out = {
+        r["g"]: r
+        for r in sketch.weighted_median(
+            ray.data.from_arrow(t).repartition(3), "v", "w", "g"
+        ).take_all()
+    }
+    assert out["a"]["wmedian"] == 2.0 and out["a"]["n"] == 3
+    assert out["b"]["wmedian"] == 2.0 and out["b"]["n"] == 4
