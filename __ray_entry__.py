@@ -4740,6 +4740,27 @@ def _lag_corr_events(sf_dir: str):
     )
 
 
+def _bootstrap_ci_orders(sf_dir: str):
+    """Deterministic Poisson-bootstrap 95% CI for mean(o_totalprice)
+    (moments.bootstrap_mean_ci, Chamandy et al. construction): each
+    (row, replicate) resample count is splitmix64(fnv('bs|'||id)+j)
+    pushed through an integer Poisson(1) inverse-CDF ladder, values
+    accumulate as integer cents — so all 200 replicate means are exact
+    ratios the SQL oracle reproduces bit-for-bit (no rounding at all)."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return _rd.from_arrow(
+        moments.bootstrap_mean_ci(
+            ds, "o_totalprice", "o_orderkey", b=200, salt="bs", round_digits=None
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5001,6 +5022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["weighted_median_lineitem"] = _weighted_median_lineitem
     q["fuzzy_clusters_customer"] = _fuzzy_clusters_customer
     q["lag_corr_events"] = _lag_corr_events
+    q["bootstrap_ci_orders"] = _bootstrap_ci_orders
     return q
 
 
@@ -6838,6 +6860,51 @@ def oracle_sql() -> dict[str, str]:
         "  JOIN r a ON TRUE JOIN r b ON b.i = a.i + lags.lag)"
         " SELECT lag, CAST(count(*) AS BIGINT) AS n, round(corr(y, x), 6) AS corr"
         " FROM p GROUP BY lag ORDER BY lag"
+    )
+    from mothray.ops.moments import POISSON1_T6 as _P1
+
+    _bs_ladder = " ".join(
+        f"WHEN u6 < {t} THEN {i}" for i, t in enumerate(_P1)
+    )
+    _bs_fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('bs|' || CAST(o_orderkey AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp)"
+        " % 18446744073709551616::HUGEINT)"
+    )
+    o["bootstrap_ci_orders"] = (
+        # splitmix64(fnv('bs|'||id) + j) % 1e6 -> integer Poisson(1)
+        # ladder -> exact integer-cent replicate sums; the xor/shift +
+        # 32-bit-half HUGEINT multiply chain is the same one the
+        # cm_sketch / weighted-sample oracles replay
+        f"WITH ids AS (SELECT CAST({_bs_fnv} AS UBIGINT) AS base,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+        " WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),"
+        " reps AS (SELECT CAST(unnest(generate_series(0, 199)) AS UBIGINT) AS j),"
+        " h0 AS (SELECT j, cents, CAST((CAST(base AS HUGEINT) + CAST(j AS HUGEINT))"
+        "  % 18446744073709551616::HUGEINT AS UBIGINT) AS h FROM ids CROSS JOIN reps),"
+        " m1 AS (SELECT j, cents, CAST((((CAST(xor(h, h >> 30) AS HUGEINT) * 3210233709)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 30) AS HUGEINT) * 484763065)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM h0),"
+        " m2 AS (SELECT j, cents, CAST((((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM m1),"
+        " fin AS (SELECT j, cents, CAST(xor(h, h >> 31) % 1000000 AS BIGINT) AS u6 FROM m2),"
+        f" cc AS (SELECT j, cents, CASE {_bs_ladder} ELSE 9 END AS c FROM fin),"
+        " rm AS (SELECT j, (CAST(sum(c * cents) AS DOUBLE) / CAST(sum(c) AS DOUBLE))"
+        "  / 100.0 AS m FROM cc GROUP BY j HAVING sum(c) > 0),"
+        " ordm AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, j) AS r,"
+        "  count(*) OVER () AS beff FROM rm),"
+        " bs AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+        "  (CAST(sum(cents) AS DOUBLE) / count(*)) / 100.0 AS mean FROM ids)"
+        " SELECT bs.n AS n, CAST(o1.beff AS BIGINT) AS b, bs.mean AS mean,"
+        " o1.m AS ci_lo, o2.m AS ci_hi"
+        " FROM bs, ordm o1, ordm o2"
+        " WHERE o1.r = CAST(FLOOR(0.025 * o1.beff) AS BIGINT) + 1"
+        "  AND o2.r = o2.beff - CAST(FLOOR(0.025 * o2.beff) AS BIGINT)"
     )
     return o
 

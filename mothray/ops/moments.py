@@ -1488,3 +1488,120 @@ def theil_sen_group(
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+# floor(CDF_Poisson(1)(k) * 1e6), k = 0..8 — the integer threshold
+# ladder both the op and its SQL oracle use verbatim, so replicate
+# counts are bit-identical across engines (anything past T8 draws 9)
+POISSON1_T6 = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989, 999998)
+
+
+def bootstrap_mean_ci(
+    ds,
+    value_col: str,
+    id_col: str,
+    b: int = 200,
+    salt: str = "bs",
+    alpha: float = 0.05,
+    decimal_scale: int = 2,
+    round_digits: int | None = 6,
+) -> pa.Table:
+    """DETERMINISTIC Poisson bootstrap confidence interval for the
+    mean (Chamandy et al.'s 'Estimating Uncertainty for Massive Data
+    Streams' construction): instead of resampling n rows with
+    replacement (which needs global coordination), every row enters
+    replicate j a Poisson(1)-distributed number of times — with the
+    count drawn from a HASH of (salt, row id, j), not an RNG, so any
+    engine replays the exact same resamples. One row out:
+    (n, b, mean, ci_lo, ci_hi) with the (alpha/2, 1-alpha/2)
+    percentile interval over the b replicate means.
+
+    Exactness: u = splitmix64(fnv(salt|id) + j) % 1e6 is an integer,
+    the Poisson inverse-CDF is the integer ladder POISSON1_T6, and
+    values accumulate as integer cents — every replicate mean is a
+    ratio of exact int64 sums, so the order statistics match the SQL
+    oracle bit-for-bit (round_digits=None skips rounding entirely —
+    with exact inputs the raw doubles already compare equal). Scale
+    shape: each batch reduces to b partial rows (j, sum_count,
+    sum_count*cents); nothing row-width ever shuffles."""
+    from .. import bloom as bloom_mod
+    from .sample import _key_fingerprints
+
+    thr = np.array(POISSON1_T6, dtype=np.int64)
+    scale = 10.0**decimal_scale
+    js = np.arange(b, dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(batch.column(id_col)))
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "j": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.int64()),
+                    "scv": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.rint(
+            pc.cast(t.column(value_col), pa.float64()).to_numpy(zero_copy_only=False)
+            * scale
+        ).astype(np.int64)
+        base = _key_fingerprints(t.select([id_col]), id_col, f"{salt}|")
+        h = bloom_mod._mix(base[:, None] + js[None, :])
+        u6 = (h % np.uint64(1_000_000)).astype(np.int64)
+        c = np.searchsorted(thr, u6.ravel(), side="right").reshape(u6.shape)
+        rows = pa.table(
+            {
+                "j": pa.array(np.arange(b, dtype=np.int64)),
+                "sc": pa.array(c.sum(axis=0).astype(np.int64)),
+                "scv": pa.array((c * cents[:, None]).sum(axis=0)),
+            }
+        )
+        # j = -1 carries the plain-sample partial (n, sum of cents)
+        plain = pa.table(
+            {
+                "j": pa.array([-1], pa.int64()),
+                "sc": pa.array([len(cents)], pa.int64()),
+                "scv": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([plain, rows])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("j")
+        .aggregate(Sum("sc", alias_name="sc"), Sum("scv", alias_name="scv"))
+        .take_all()
+    )
+    plain = next(r for r in agg if r["j"] == -1)
+    n = int(plain["sc"])
+    means = sorted(
+        (float(r["scv"]) / float(r["sc"])) / scale
+        for r in agg
+        if r["j"] >= 0 and r["sc"] > 0
+    )
+    b_eff = len(means)
+    if n == 0 or b_eff == 0:
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "b": pa.array([b_eff], pa.int64()),
+                "mean": pa.array([None], pa.float64()),
+                "ci_lo": pa.array([None], pa.float64()),
+                "ci_hi": pa.array([None], pa.float64()),
+            }
+        )
+    kk = int(alpha / 2 * b_eff)
+    rnd = (lambda x: x) if round_digits is None else (lambda x: round(x, round_digits))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "b": pa.array([b_eff], pa.int64()),
+            "mean": pa.array([rnd((float(plain["scv"]) / n) / scale)], pa.float64()),
+            "ci_lo": pa.array([rnd(means[kk])], pa.float64()),
+            "ci_hi": pa.array([rnd(means[b_eff - 1 - kk])], pa.float64()),
+        }
+    )

@@ -879,3 +879,43 @@ def test_kendall_tau_chunking_consistent():
     out2 = moments.kendall_tau(t, "x", "y", max_rows=300).to_pylist()[0]
     assert full == out2
     assert -1.0 <= full["tau_b"] <= 1.0 and full["concordant"] > full["discordant"]
+
+
+def test_bootstrap_ci_deterministic_and_sane(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(61)
+    n = 5000
+    v = np.round(rng.normal(100, 15, n), 2)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()), "v": v})
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = moments.bootstrap_mean_ci(ds, "v", "id", b=100).to_pylist()[0]
+    b = moments.bootstrap_mean_ci(
+        ray.data.from_arrow(t).repartition(7), "v", "id", b=100
+    ).to_pylist()[0]
+    assert a == b  # partition-count invariant (hash-derived resamples)
+    assert a["n"] == n and a["b"] == 100
+    assert a["ci_lo"] < a["mean"] < a["ci_hi"]
+    # CI width ~ 2*1.96*sigma/sqrt(n) ~ 0.83; allow generous slack
+    assert 0.3 < a["ci_hi"] - a["ci_lo"] < 2.0
+    # the exact mean is inside and near the center
+    assert abs((a["ci_hi"] + a["ci_lo"]) / 2 - v.mean()) < 0.5
+
+
+def test_bootstrap_poisson_ladder_counts():
+    # the integer ladder maps u6 to the Poisson(1) inverse CDF
+    import numpy as np
+
+    from mothray.ops.moments import POISSON1_T6
+
+    thr = np.array(POISSON1_T6)
+    assert np.searchsorted(thr, 0, side="right") == 0
+    assert np.searchsorted(thr, 367878, side="right") == 0
+    assert np.searchsorted(thr, 367879, side="right") == 1
+    assert np.searchsorted(thr, 999998, side="right") == 9
+    # expected count == 1 within ladder truncation error
+    probs = np.diff(np.concatenate(([0], thr, [1_000_000]))) / 1e6
+    assert abs((probs * np.arange(10)).sum() - 1.0) < 1e-4
