@@ -4761,6 +4761,63 @@ def _bootstrap_ci_orders(sf_dir: str):
     )
 
 
+def _pareto_orders(sf_dir: str):
+    """2-D Pareto front over orders (extreme.pareto_front): cheapest-
+    and-latest frontier (minimize price, maximize date). No quadratic
+    pass: the distinct-cents grid's prefix max broadcasts once and the
+    corpus streams twice."""
+    import ray.data
+
+    from mothray.ops import extreme
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return extreme.pareto_front(
+        ds,
+        "o_totalprice",
+        "o_orderdate",
+        keep_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+
+def _golden_record_events(sf_dir: str):
+    """Survivorship merge (extreme.golden_record): per user, each
+    column independently takes its latest NON-NULL value in
+    (ts, event_id) order — nulls synthesized per event type so the
+    null-skipping rule actually fires."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from mothray.ops import extreme
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def mask(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "v2": _pc.if_else(
+                    _pc.fill_null(_pc.equal(et, "click"), False),
+                    pa.scalar(None, pa.float64()),
+                    _pc.cast(batch.column("value"), pa.float64()),
+                ),
+                "p2": _pc.if_else(
+                    _pc.fill_null(_pc.equal(et, "view"), False),
+                    pa.scalar(None, pa.string()),
+                    _pc.cast(batch.column("props"), pa.string()),
+                ),
+            }
+        )
+
+    masked = ds.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+    return extreme.golden_record(masked, "user_id", "ts", "event_id", ["v2", "p2"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5023,6 +5080,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fuzzy_clusters_customer"] = _fuzzy_clusters_customer
     q["lag_corr_events"] = _lag_corr_events
     q["bootstrap_ci_orders"] = _bootstrap_ci_orders
+    q["pareto_orders"] = _pareto_orders
+    q["golden_record_events"] = _golden_record_events
     return q
 
 
@@ -6905,6 +6964,33 @@ def oracle_sql() -> dict[str, str]:
         " FROM bs, ordm o1, ordm o2"
         " WHERE o1.r = CAST(FLOOR(0.025 * o1.beff) AS BIGINT) + 1"
         "  AND o2.r = o2.beff - CAST(FLOOR(0.025 * o2.beff) AS BIGINT)"
+    )
+    o["pareto_orders"] = (
+        # skyline via window: dominated iff max(date) over strictly
+        # smaller integer-cent price exceeds this row's date
+        "WITH c AS (SELECT o_orderkey, o_totalprice, o_orderdate,"
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS xs,"
+        "  epoch_us(o_orderdate) AS ye FROM orders"
+        "  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),"
+        " w AS (SELECT *, MAX(ye) OVER (ORDER BY xs"
+        "  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax FROM c)"
+        " SELECT o_orderkey, o_totalprice, o_orderdate FROM w"
+        " WHERE prevmax IS NULL OR ye >= prevmax"
+    )
+    o["golden_record_events"] = (
+        "WITH e AS (SELECT user_id, ts, event_id,"
+        "  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v2,"
+        "  CASE WHEN event_type = 'view' THEN NULL ELSE props END AS p2"
+        "  FROM events),"
+        " lv AS (SELECT user_id, v2, ROW_NUMBER() OVER (PARTITION BY user_id"
+        "  ORDER BY ts DESC, event_id DESC) AS rn FROM e WHERE v2 IS NOT NULL),"
+        " lp AS (SELECT user_id, p2, ROW_NUMBER() OVER (PARTITION BY user_id"
+        "  ORDER BY ts DESC, event_id DESC) AS rn FROM e WHERE p2 IS NOT NULL)"
+        " SELECT u.user_id, lv.v2, lp.p2"
+        " FROM (SELECT DISTINCT user_id FROM e) u"
+        " LEFT JOIN (SELECT user_id, v2 FROM lv WHERE rn = 1) lv USING (user_id)"
+        " LEFT JOIN (SELECT user_id, p2 FROM lp WHERE rn = 1) lp USING (user_id)"
+        " ORDER BY u.user_id"
     )
     return o
 

@@ -133,3 +133,80 @@ def test_mad_matches_duckdb(ray_session):
     # empty input
     empty = pa.table({"v": pa.array([], pa.float64())})
     assert sketch.mad(ray.data.from_arrow(empty), "v") == {"median": None, "mad": None}
+
+
+def test_pareto_front_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import extreme
+
+    rng = np.random.default_rng(71)
+    n = 1000
+    x = np.round(rng.uniform(1, 100, n), 2)
+    y = np.round(rng.uniform(0, 1000, n), 2)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()), "x": x, "y": y})
+    got = sorted(
+        r["id"]
+        for r in extreme.pareto_front(
+            ray.data.from_arrow(t).repartition(5), "x", "y",
+            keep_cols=["id", "x", "y"],
+        ).take_all()
+    )
+    xc = np.rint(x * 100).astype(np.int64)
+    dominated = [
+        i
+        for i in range(n)
+        if ((xc < xc[i]) & (y > y[i])).any()
+    ]
+    want = sorted(set(range(n)) - set(dominated))
+    assert got == want
+    assert 0 < len(got) < n
+
+
+def test_golden_record_null_skipping(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import extreme
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([10, 20, 30, 5, 6], pa.int64()),
+            "tb": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            # latest (o=30) is null -> falls back to o=20's value
+            "a": pa.array([1.0, 2.0, None, None, None], pa.float64()),
+            "s": pa.array(["x", None, "z", "p", None], pa.string()),
+        }
+    )
+    out = {
+        r["k"]: r
+        for r in extreme.golden_record(
+            ray.data.from_arrow(t).repartition(3), "k", "o", "tb", ["a", "s"]
+        ).take_all()
+    }
+    assert out[1] == {"k": 1, "a": 2.0, "s": "z"}
+    assert out[2] == {"k": 2, "a": None, "s": "p"}
+
+
+def test_golden_record_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import extreme
+
+    # same order value: higher tiebreak wins
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "o": pa.array([10, 10], pa.int64()),
+            "tb": pa.array([1, 2], pa.int64()),
+            "a": pa.array([5.0, 7.0], pa.float64()),
+        }
+    )
+    out = extreme.golden_record(
+        ray.data.from_arrow(t), "k", "o", "tb", ["a"]
+    ).take_all()
+    assert out[0]["a"] == 7.0
