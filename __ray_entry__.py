@@ -952,6 +952,9 @@ def _text_source_ingest(sf_dir: str, fmt: str):
                 from pyarrow import csv as pacsv
 
                 pacsv.write_csv(batch, tmp)
+            elif fmt == "arrow":
+                with pa.ipc.new_file(tmp, batch.schema) as w:
+                    w.write_table(batch)
             else:
                 batch.to_pandas().to_json(tmp, orient="records", lines=True)
             os.rename(tmp, p)
@@ -960,7 +963,10 @@ def _text_source_ingest(sf_dir: str, fmt: str):
     ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
         dump, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    ds = pipeline.read_text_source(out, fmt, schema=src_schema)
+    if fmt == "arrow":
+        ds = pipeline.read_ipc_source(out)
+    else:
+        ds = pipeline.read_text_source(out, fmt, schema=src_schema)
     dec = pipeline.decode_dataset(pipeline.encode_dataset(ds), target_schema=src_schema)
     return dec
 
@@ -4818,6 +4824,23 @@ def _golden_record_events(sf_dir: str):
     return extreme.golden_record(masked, "user_id", "ts", "event_id", ["v2", "p2"])
 
 
+def _isotonic_lineitem(sf_dir: str):
+    """Isotonic fit of extended price on quantity
+    (moments.isotonic_fit, PAVA): the exchange carries the distinct-
+    quantity grid with integer-cent sums, pools merge by exact integer
+    cross-multiplication, and only the final fitted means are float.
+    Rows-only for the driver (PAVA's fixpoint is not SQL-expressible);
+    exact-vs-brute-force is pytest-pinned (tests/test_moments.py)."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    return _rd.from_arrow(moments.isotonic_fit(ds, "l_quantity", "l_extendedprice"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -4941,6 +4964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["except_all_events"] = lambda sf: _set_ops(sf, "except_all")
     q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
     q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
+    q["ipc_ingest_documents"] = lambda sf: _text_source_ingest(sf, "arrow")
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
     q["drop_column_documents"] = lambda sf: _schema_evolution_documents(sf, "drop")
@@ -5082,6 +5106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bootstrap_ci_orders"] = _bootstrap_ci_orders
     q["pareto_orders"] = _pareto_orders
     q["golden_record_events"] = _golden_record_events
+    q["isotonic_lineitem"] = _isotonic_lineitem
     return q
 
 
@@ -5335,6 +5360,7 @@ def oracle_sql() -> dict[str, str]:
     o["orc_migrate_documents"] = "SELECT * FROM documents"
     o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["csv_ingest_documents"] = "SELECT * FROM documents"
+    o["ipc_ingest_documents"] = "SELECT * FROM documents"
     o["jsonl_ingest_documents"] = "SELECT * FROM documents"
     o["rename_column_documents"] = (
         "SELECT doc_id, text AS body, lang, source, n_chars FROM documents"

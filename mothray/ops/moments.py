@@ -1605,3 +1605,74 @@ def bootstrap_mean_ci(
             "ci_hi": pa.array([rnd(means[b_eff - 1 - kk])], pa.float64()),
         }
     )
+
+
+def isotonic_fit(
+    ds,
+    x_col: str,
+    y_col: str,
+    y_decimal_scale: int = 2,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Isotonic (monotone nondecreasing) least-squares fit of y on x
+    via pool-adjacent-violators (PAVA, Barlow et al. 1972). Returns
+    the fitted step function as pool rows (x_lo, x_hi, n, fitted),
+    ascending in x.
+
+    Exactness: equal-x points pre-average (the standard tie rule) via
+    a distributed (x, sum, count) combiner — the exchange carries the
+    distinct-x grid, bounded by the x DOMAIN — with y accumulated as
+    integer 10^s units; the PAVA merge condition compares pool means
+    by INTEGER cross-multiplication (s_i * w_j >= s_j * w_i), so the
+    pooling is bit-deterministic and only the final fitted value is
+    float. The stack-based scan is O(distinct x) on the driver — the
+    right trade at corpus scale, where the value domain is bounded but
+    rows are not."""
+    scale = 10.0**y_decimal_scale
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col)
+        y = pc.cast(batch.column(y_col), pa.float64())
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        t = batch.filter(ok)
+        cents = np.rint(
+            pc.cast(t.column(y_col), pa.float64()).to_numpy(zero_copy_only=False)
+            * scale
+        ).astype(np.int64)
+        g = pa.table(
+            {
+                "x": t.column(x_col),
+                "s": pa.array(cents),
+                "w": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }
+        ).group_by(["x"], use_threads=False).aggregate([("s", "sum"), ("w", "sum")])
+        return g.rename_columns(["x", "s", "w"])
+
+    from ray.data.aggregate import Sum
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("x")
+        .aggregate(Sum("s", alias_name="s"), Sum("w", alias_name="w"))
+        .take_all()
+    )
+    grid.sort(key=lambda r: r["x"])
+    # PAVA over (weight, integer sum) pools; x extents ride along
+    pools: list[list] = []  # [s, w, x_lo, x_hi]
+    for r in grid:
+        cur = [int(r["s"]), int(r["w"]), r["x"], r["x"]]
+        while pools and pools[-1][0] * cur[1] >= cur[0] * pools[-1][1]:
+            prev = pools.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1], prev[2], cur[3]]
+        pools.append(cur)
+    return pa.table(
+        {
+            "x_lo": pa.array([p[2] for p in pools]),
+            "x_hi": pa.array([p[3] for p in pools]),
+            "n": pa.array([p[1] for p in pools], pa.int64()),
+            "fitted": pa.array(
+                [round((p[0] / p[1]) / scale, round_digits) for p in pools],
+                pa.float64(),
+            ),
+        }
+    )

@@ -2463,6 +2463,43 @@ def read_text_source(
     raise ValueError(f"unsupported text source format: {format!r} (csv|jsonl)")
 
 
+def read_ipc_source(path: str | list[str]) -> ray.data.Dataset:
+    """Arrow IPC / Feather ingestion: Ray has no native IPC reader, so
+    the file list fans out as work items and each task memory-maps its
+    file (zero-copy open) and emits the record batches — one task per
+    file, the same per-shard parallelism contract as the CSV/JSONL
+    sources. Accepts a directory (scans *.arrow / *.feather / *.ipc),
+    a single file, or an explicit list."""
+    import glob
+    import os
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            paths = sorted(
+                p
+                for pat in ("*.arrow", "*.feather", "*.ipc")
+                for p in glob.glob(os.path.join(path, pat))
+            )
+        else:
+            paths = [path]
+    else:
+        paths = list(path)
+    if not paths:
+        raise FileNotFoundError(f"no Arrow IPC files under {path!r}")
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch.column("path").to_pylist():
+            with pa.memory_map(p) as src:
+                tables.append(pa.ipc.open_file(src).read_all())
+        return pa.concat_tables(tables)
+
+    units = ray.data.from_items([{"path": p} for p in paths])
+    return units.map_batches(
+        load, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
+    )
+
+
 def read_input(path: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
     """read_parquet with a block count sized to saturate the CPUs: the
     default (one block per file / large target blocks) starves wide

@@ -919,3 +919,69 @@ def test_bootstrap_poisson_ladder_counts():
     # expected count == 1 within ladder truncation error
     probs = np.diff(np.concatenate(([0], thr, [1_000_000]))) / 1e6
     assert abs((probs * np.arange(10)).sum() - 1.0) < 1e-4
+
+
+def test_isotonic_fit_matches_brute_pava(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(81)
+    n = 3000
+    x = rng.integers(0, 60, n)
+    y = np.round(2.0 * x + rng.normal(0, 20, n), 2)  # noisy increasing
+    t = pa.table({"x": pa.array(x, pa.int64()), "y": y})
+    out = moments.isotonic_fit(
+        ray.data.from_arrow(t).repartition(5), "x", "y"
+    ).to_pylist()
+
+    # brute PAVA over pre-averaged distinct x (float reference)
+    import collections
+
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    for xi, yi in zip(x, y):
+        agg[int(xi)][0] += yi
+        agg[int(xi)][1] += 1
+    pools = []
+    for xi in sorted(agg):
+        s, w = agg[xi]
+        cur = [s, w, xi, xi]
+        while pools and pools[-1][0] / pools[-1][1] >= cur[0] / cur[1] - 1e-12:
+            p = pools.pop()
+            cur = [p[0] + cur[0], p[1] + cur[1], p[2], cur[3]]
+        pools.append(cur)
+    assert len(out) == len(pools)
+    for got, want in zip(out, pools):
+        assert (got["x_lo"], got["x_hi"], got["n"]) == (want[2], want[3], want[1])
+        assert abs(got["fitted"] - want[0] / want[1]) < 1e-6
+    # fit properties: nondecreasing, mean-preserving, n-preserving
+    fits = [r["fitted"] for r in out]
+    assert all(a < b for a, b in zip(fits, fits[1:]))  # strictly after pooling
+    assert sum(r["n"] for r in out) == n
+    tot = sum(r["fitted"] * r["n"] for r in out)
+    assert abs(tot / n - y.mean()) < 1e-4
+
+
+def test_isotonic_fit_monotone_input_identity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    # already increasing -> every distinct x is its own pool
+    t = pa.table({"x": pa.array([1, 2, 3, 4], pa.int64()),
+                  "y": [1.0, 2.0, 3.0, 4.0]})
+    out = moments.isotonic_fit(ray.data.from_arrow(t), "x", "y").to_pylist()
+    assert [r["fitted"] for r in out] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_isotonic_fit_decreasing_input_single_pool(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64()), "y": [3.0, 2.0, 1.0]})
+    out = moments.isotonic_fit(ray.data.from_arrow(t), "x", "y").to_pylist()
+    assert len(out) == 1 and out[0]["fitted"] == 2.0 and out[0]["n"] == 3
