@@ -4626,6 +4626,46 @@ def _theil_sen_events(sf_dir: str):
 def _k_core_orders(sf_dir: str):
     """15-core of the (o_orderkey % 1499, o_custkey % 1499) hash graph
     (graph.k_core, distributed Batagelj-Zaversnik peeling): rounds of
+    grouped degree counts + broadcast of the small peel front, over the
+    shared distinct-undirected-edge builder (_order_hash_edges; k=15
+    peels ~9 rounds at sf0.01, median degree 20). Exact-vs-brute-force
+    is pytest-pinned (tests/test_graph_extras.py); the fixpoint is not
+    SQL-expressible, so this entry is rows-only for the driver."""
+    from mothray.ops import graph
+
+    return graph.k_core(_order_hash_edges(sf_dir), "src", "dst", 15)
+
+
+def _gini_lineitem(sf_dir: str):
+    """Gini coefficient of extended price (moments.gini_concentration):
+    one distributed sort + the sorted-rank identity replaces the O(n^2)
+    pairwise |x_i - x_j| sum; all integer cents, so the numerator is
+    bit-exact and only the final ratio is float."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return _rd.from_arrow(moments.gini_concentration(ds, "l_extendedprice"))
+
+
+def _theil_sen_events(sf_dir: str):
+    """Per-user Theil-Sen trend slope of value over time
+    (moments.theil_sen_group): median of pairwise slopes, vectorized
+    per group after one groupby shuffle."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return moments.theil_sen_group(ds, "user_id", "ts", "value")
+
+
+def _k_core_orders(sf_dir: str):
+    """15-core of the (o_orderkey % 1499, o_custkey % 1499) hash graph
+    (graph.k_core, distributed Batagelj-Zaversnik peeling): rounds of
     grouped degree counts + broadcast of the small peel front. Edges
     dedup to distinct undirected pairs first so degree = distinct
     neighbors. Exact-vs-brute-force is pytest-pinned
@@ -4839,6 +4879,50 @@ def _isotonic_lineitem(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
     )
     return _rd.from_arrow(moments.isotonic_fit(ds, "l_quantity", "l_extendedprice"))
+
+
+def _order_hash_edges(sf_dir: str):
+    """Distinct undirected (o_orderkey % 1499, o_custkey % 1499) edges
+    — the shared graph for the k-core / degree / assortativity
+    queries."""
+    import numpy as np
+    import ray.data
+
+    def edge(t: pa.Table) -> pa.Table:
+        a = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 1499
+        b = t.column("o_custkey").to_numpy(zero_copy_only=False) % 1499
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table(
+            {"src": pa.array(lo[keep], pa.int64()), "dst": pa.array(hi[keep], pa.int64())}
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(edge, batch_format="pyarrow")
+    return edges.groupby(["src", "dst"]).count().drop_columns(["count()"])
+
+
+def _degree_dist_orders(sf_dir: str):
+    """Degree histogram of the order hash graph
+    (graph.degree_distribution): two combiner-shaped exchanges, output
+    bounded by the max degree."""
+    from mothray.ops import graph
+
+    return graph.degree_distribution(_order_hash_edges(sf_dir), "src", "dst")
+
+
+def _assortativity_orders(sf_dir: str):
+    """Degree assortativity r (graph.assortativity, Newman 2002) of
+    the order hash graph: broadcast degree map + the raw-sums Pearson
+    combiner, written in the oracle's operation order."""
+    import ray.data as _rd
+
+    from mothray.ops import graph
+
+    return _rd.from_arrow(
+        graph.assortativity(_order_hash_edges(sf_dir), "src", "dst")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -5107,6 +5191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pareto_orders"] = _pareto_orders
     q["golden_record_events"] = _golden_record_events
     q["isotonic_lineitem"] = _isotonic_lineitem
+    q["degree_dist_orders"] = _degree_dist_orders
+    q["assortativity_orders"] = _assortativity_orders
     return q
 
 
@@ -7017,6 +7103,34 @@ def oracle_sql() -> dict[str, str]:
         " LEFT JOIN (SELECT user_id, v2 FROM lv WHERE rn = 1) lv USING (user_id)"
         " LEFT JOIN (SELECT user_id, p2 FROM lp WHERE rn = 1) lp USING (user_id)"
         " ORDER BY u.user_id"
+    )
+    _hash_edges = (
+        "SELECT DISTINCT least(o_orderkey % 1499, o_custkey % 1499) AS a,"
+        " greatest(o_orderkey % 1499, o_custkey % 1499) AS b FROM orders"
+        " WHERE o_orderkey % 1499 <> o_custkey % 1499"
+    )
+    o["degree_dist_orders"] = (
+        f"WITH e0 AS ({_hash_edges}),"
+        " sym AS (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0),"
+        " d AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY u)"
+        " SELECT c AS degree, CAST(count(*) AS BIGINT) AS n_nodes FROM d"
+        " GROUP BY c ORDER BY degree"
+    )
+    o["assortativity_orders"] = (
+        # raw-sums Pearson over symmetrized endpoint degrees, in
+        # graph.assortativity's exact operation order
+        f"WITH e0 AS ({_hash_edges}),"
+        " sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),"
+        " d AS (SELECT u, CAST(count(*) AS BIGINT) AS c"
+        "  FROM (SELECT u FROM sym) GROUP BY u),"
+        " p AS (SELECT CAST(du.c AS DOUBLE) AS x, CAST(dv.c AS DOUBLE) AS y"
+        "  FROM sym JOIN d du ON sym.u = du.u JOIN d dv ON sym.v = dv.u),"
+        " s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,"
+        "  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM p)"
+        " SELECT CAST(CAST(n AS BIGINT) // 2 AS BIGINT) AS n_edges,"
+        " round((sxy - sx * sy / n)"
+        "  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r"
+        " FROM s"
     )
     return o
 

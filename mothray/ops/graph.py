@@ -472,3 +472,125 @@ def k_core(edges, src: str, dst: str, k: int, max_rounds: int = 100):
             {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
         )
     )
+
+
+def degree_distribution(edges, src: str, dst: str):
+    """(degree, n_nodes): how many nodes have each degree, over the
+    undirected graph given as an edge list (dedup upstream if multi-
+    edges should not count). Two combiner-shaped exchanges: node
+    degrees (one grouped count over the symmetrized list), then the
+    degree histogram — output bounded by the max degree."""
+    import pyarrow.compute as pc
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        a, b = a.filter(ok), b.filter(ok)
+        if isinstance(a, pa.ChunkedArray):
+            a, b = a.combine_chunks(), b.combine_chunks()
+        t = pa.table({"u": pa.concat_arrays([a, b])})
+        g = t.group_by(["u"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    deg = (
+        edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .sum("c")
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["sum(c)"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["degree", "n_nodes"])
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("degree")
+        .sum("n_nodes")
+        .map_batches(
+            lambda t: t.rename_columns(["degree", "n_nodes"]),
+            batch_format="pyarrow",
+        )
+        .sort("degree")
+    )
+
+
+def assortativity(edges, src: str, dst: str, round_digits: int = 6) -> pa.Table:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the SYMMETRIZED edge list (each undirected
+    edge contributes both orientations — the standard convention, which
+    makes the coefficient symmetric). One row out: (n_edges, r).
+
+    Scale shape: node degrees come from one grouped count; each edge
+    looks its endpoint degrees up in the broadcast degree map (graphs
+    whose node table outgrows a broadcast want the join form instead
+    — documented trade); the correlation reduces via the same
+    combiner as moments.group_corr."""
+    import ray
+    import pyarrow.compute as pc
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        a, b = a.filter(ok), b.filter(ok)
+        if isinstance(a, pa.ChunkedArray):
+            a, b = a.combine_chunks(), b.combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, b]), "v": pa.concat_arrays([b, a])})
+
+    both = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["u"], use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    deg_rows = (
+        both.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("u")
+        .sum("c")
+        .take_all()
+    )
+    nodes = np.array([r["u"] for r in deg_rows], dtype=np.int64)
+    degs = np.array([r["sum(c)"] for r in deg_rows], dtype=np.float64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], degs[order]))
+
+    def corr_partial(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        ns, dg = ray_api.get(ref)
+        du = dg[np.searchsorted(ns, batch.column("u").to_numpy(zero_copy_only=False))]
+        dv = dg[np.searchsorted(ns, batch.column("v").to_numpy(zero_copy_only=False))]
+        n = len(du)
+        return pa.table(
+            {
+                "n": pa.array([float(n)]),
+                "sx": pa.array([du.sum()]),
+                "sy": pa.array([dv.sum()]),
+                "sxx": pa.array([(du * du).sum()]),
+                "syy": pa.array([(dv * dv).sum()]),
+                "sxy": pa.array([(du * dv).sum()]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    p = both.map_batches(corr_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = p.aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    n = agg["n"] or 0.0
+    if n < 2:
+        return pa.table(
+            {"n_edges": pa.array([int(n) // 2], pa.int64()),
+             "r": pa.array([None], pa.float64())}
+        )
+    sx, sy, sxx, syy, sxy = (agg[k] for k in ("sx", "sy", "sxx", "syy", "sxy"))
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = cov / float(np.sqrt(vx * vy)) if vx > 0 and vy > 0 else None
+    return pa.table(
+        {
+            "n_edges": pa.array([int(n) // 2], pa.int64()),
+            "r": pa.array([None if r is None else round(r, round_digits)], pa.float64()),
+        }
+    )

@@ -119,3 +119,33 @@ def test_theil_sen_matches_naive(ray_session):
     assert out["n_pairs"] == len(slopes)
     assert out["slope"] == round(float(np.median(slopes)), 6)
     assert abs(out["slope"] - 2e-7 * 1e6) < 0.05  # robust to the outlier
+
+
+def test_degree_distribution_and_assortativity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import graph
+
+    # star graph: center degree 4, leaves degree 1 -> r = -1
+    t = pa.table(
+        {
+            "src": pa.array([0, 0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    dd = {r["degree"]: r["n_nodes"] for r in graph.degree_distribution(ds, "src", "dst").take_all()}
+    assert dd == {1: 4, 4: 1}
+    out = graph.assortativity(ds, "src", "dst").to_pylist()[0]
+    assert out["n_edges"] == 4 and out["r"] == -1.0
+
+    # ring: all degrees equal -> r undefined (zero variance) -> None
+    ring = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 0], pa.int64()),
+        }
+    )
+    out2 = graph.assortativity(ray.data.from_arrow(ring), "src", "dst").to_pylist()[0]
+    assert out2["r"] is None
