@@ -4925,6 +4925,45 @@ def _assortativity_orders(sf_dir: str):
     )
 
 
+def _checksum_orders(sf_dir: str):
+    """Order-independent table checksum (validate.table_checksum):
+    mod-2^64 sum of per-row FNV fingerprints over (o_orderkey,
+    o_orderstatus) — the one-pass anti-entropy check; the oracle
+    replays the same fold in SQL."""
+    import ray.data as _rd
+
+    from mothray.ops import validate
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    return _rd.from_arrow(validate.table_checksum(ds, ["o_orderkey", "o_orderstatus"]))
+
+
+def _systematic_sample_orders(sf_dir: str):
+    """Systematic (every 97th) sample in key order: the global integer
+    rank comes from moments.with_global_frac_rank's range-partitioned
+    sort (keys unique, so the tie-averaged rank IS the row number);
+    keep rank ≡ 1 (mod 97). Shows deterministic global row numbering
+    without any driver-side pass."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    ranked = moments.with_global_frac_rank(ds, "o_orderkey", out_col="rn")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rn = _pc.cast(batch.column("rn"), pa.int64()).to_numpy(zero_copy_only=False)
+        m = pa.array(((rn - 1) % 97) == 0)
+        return batch.select(["o_orderkey", "o_totalprice"]).filter(m)
+
+    return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5193,6 +5232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["isotonic_lineitem"] = _isotonic_lineitem
     q["degree_dist_orders"] = _degree_dist_orders
     q["assortativity_orders"] = _assortativity_orders
+    q["checksum_orders"] = _checksum_orders
+    q["systematic_sample_orders"] = _systematic_sample_orders
     return q
 
 
@@ -7131,6 +7172,23 @@ def oracle_sql() -> dict[str, str]:
         " round((sxy - sx * sy / n)"
         "  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r"
         " FROM s"
+    )
+    o["checksum_orders"] = (
+        # same FNV fold as the op, rows joined with chr(31)
+        "WITH h AS (SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split("
+        "  CAST(o_orderkey AS VARCHAR) || chr(31) || o_orderstatus, ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp)"
+        " % 18446744073709551616::HUGEINT) AS f FROM orders)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+        " CAST(sum(f) % 18446744073709551616::HUGEINT AS UBIGINT) AS checksum"
+        " FROM h"
+    )
+    o["systematic_sample_orders"] = (
+        "WITH r AS (SELECT o_orderkey, o_totalprice,"
+        " rank() OVER (ORDER BY o_orderkey) AS rn FROM orders)"
+        " SELECT o_orderkey, o_totalprice FROM r WHERE (rn - 1) % 97 = 0"
     )
     return o
 

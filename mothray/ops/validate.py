@@ -418,3 +418,52 @@ def validate_encoded(in_dir: str | list[str], rules: list[dict]) -> pa.Table:
             "violations": pa.array(definite.tolist(), pa.int64()),
         }
     )
+
+
+def table_checksum(ds, columns: list[str]) -> pa.Table:
+    """Order-independent content checksum: the mod-2^64 SUM of per-row
+    FNV fingerprints of the `sep`-joined column strings, plus the row
+    count. Two replicas / two engines holding the same rows in ANY
+    order and ANY partitioning produce the same (n_rows, checksum) —
+    the cheap anti-entropy check before trusting a copy (a full sorted
+    compare, verify_roundtrip, costs a shuffle; this costs one pass).
+    Rows join with the \x1f unit separator (_key_strings); columns
+    should stringify identically across engines: integers and plain
+    strings are safe, floats/timestamps are not (format drift). Rows
+    where any component is NULL hash as the empty-ish null fingerprint
+    consistently (choose non-null columns for cross-engine checks).
+
+    Combiner-shaped: each batch reduces to one (count, wrapped-sum)
+    row; uint64 wrap-around addition is associative, so partials merge
+    in any order."""
+    import pyarrow.compute as pc
+
+    from .text import fingerprint_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        joined = _key_strings(batch, columns)
+        fp = (
+            fingerprint_batch(pa.table({"k": joined}), "k")
+            .column("fingerprint")
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+        total = np.add.reduce(fp, dtype=np.uint64) if len(fp) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s": pa.array([int(total)], pa.uint64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    s = 0
+    for r in rows:
+        s = (s + int(r["s"])) % (1 << 64)
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "checksum": pa.array([s], pa.uint64()),
+        }
+    )

@@ -2609,3 +2609,28 @@ def test_temperature_mix_null_sources_drop(ray_session):
     ).take_all()
     assert rows and all(r["source"] == "a" for r in rows)
     assert len(rows) == 30  # rate capped at 1: whole non-null source kept
+
+
+def test_table_checksum_order_and_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import validate
+
+    t = pa.table(
+        {
+            "k": pa.array([3, 1, 2, 5, 4], pa.int64()),
+            "s": ["c", "a", "b", "e", "d"],
+        }
+    )
+    a = validate.table_checksum(ray.data.from_arrow(t), ["k", "s"]).to_pylist()[0]
+    # shuffled rows, different partitioning -> same checksum
+    t2 = t.take(pa.array([4, 2, 0, 1, 3]))
+    b = validate.table_checksum(
+        ray.data.from_arrow(t2).repartition(3), ["k", "s"]
+    ).to_pylist()[0]
+    assert a == b and a["n_rows"] == 5 and a["checksum"] > 0
+    # any single-cell change flips it
+    t3 = pa.table({"k": t.column("k"), "s": ["c", "a", "b", "e", "X"]})
+    c = validate.table_checksum(ray.data.from_arrow(t3), ["k", "s"]).to_pylist()[0]
+    assert c["checksum"] != a["checksum"]
