@@ -4964,6 +4964,24 @@ def _systematic_sample_orders(sf_dir: str):
     return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _info_gain_orders(sf_dir: str):
+    """Best decision-stump split of total price against order status
+    (features.info_gain_split): the corpus reduces to the (distinct
+    cents x class) count grid, the driver scans cumulative counts,
+    and gain rounds to 9 digits before the argmax so float summation
+    order cannot flip near-plateau candidates between engines."""
+    import ray.data as _rd
+
+    from mothray.ops import features
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+    return _rd.from_arrow(
+        features.info_gain_split(ds, "o_totalprice", "o_orderstatus")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5234,6 +5252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["assortativity_orders"] = _assortativity_orders
     q["checksum_orders"] = _checksum_orders
     q["systematic_sample_orders"] = _systematic_sample_orders
+    q["info_gain_orders"] = _info_gain_orders
     return q
 
 
@@ -7189,6 +7208,41 @@ def oracle_sql() -> dict[str, str]:
         "WITH r AS (SELECT o_orderkey, o_totalprice,"
         " rank() OVER (ORDER BY o_orderkey) AS rn FROM orders)"
         " SELECT o_orderkey, o_totalprice FROM r WHERE (rn - 1) % 97 = 0"
+    )
+    o["info_gain_orders"] = (
+        # entropy terms and the gain expression mirror
+        # features.info_gain_split's operation order exactly
+        "WITH t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,"
+        "  o_orderstatus AS c FROM orders"
+        "  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),"
+        " g AS (SELECT v, c, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),"
+        " cls AS (SELECT DISTINCT c FROM t),"
+        " vals AS (SELECT DISTINCT v FROM t),"
+        " grid AS (SELECT vals.v, cls.c, coalesce(g.n, 0) AS n FROM vals"
+        "  CROSS JOIN cls LEFT JOIN g ON g.v = vals.v AND g.c = cls.c),"
+        " cum AS (SELECT v, c, CAST(sum(n) OVER (PARTITION BY c ORDER BY v"
+        "   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS nlc FROM grid),"
+        " tot AS (SELECT c, CAST(sum(n) AS DOUBLE) AS ntc FROM g GROUP BY c),"
+        " nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),"
+        " h0 AS (SELECT sum(CASE WHEN ntc > 0 THEN -(ntc / nn.n) * ln(ntc / nn.n)"
+        "   ELSE 0 END) AS h FROM tot, nn),"
+        " lsum AS (SELECT v, sum(nlc) AS nl FROM cum GROUP BY v),"
+        " hl AS (SELECT cum.v, sum(CASE WHEN cum.nlc > 0"
+        "   THEN -(cum.nlc / l.nl) * ln(cum.nlc / l.nl) ELSE 0 END) AS h"
+        "  FROM cum JOIN lsum l ON cum.v = l.v GROUP BY cum.v),"
+        " hr AS (SELECT cum.v, sum(CASE WHEN (tot.ntc - cum.nlc) > 0"
+        "   THEN -((tot.ntc - cum.nlc) / (nn.n - l.nl))"
+        "    * ln((tot.ntc - cum.nlc) / (nn.n - l.nl)) ELSE 0 END) AS h"
+        "  FROM cum JOIN tot ON cum.c = tot.c JOIN lsum l ON cum.v = l.v, nn"
+        "  GROUP BY cum.v),"
+        " cand AS (SELECT l.v, l.nl, nn.n - l.nl AS nr,"
+        "  h0.h - (l.nl / nn.n) * hl.h - ((nn.n - l.nl) / nn.n) * hr.h AS gain"
+        "  FROM lsum l JOIN hl ON l.v = hl.v JOIN hr ON l.v = hr.v, nn, h0"
+        "  WHERE l.v < (SELECT max(v) FROM vals))"
+        " SELECT CAST(v AS DOUBLE) / 100.0 AS threshold,"
+        " CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,"
+        " round(gain, 6) AS gain FROM cand"
+        " ORDER BY round(gain, 9) DESC, v LIMIT 1"
     )
     return o
 

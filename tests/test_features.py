@@ -247,3 +247,55 @@ def test_bin_numeric_constant_column(ray_session):
     ds = ray.data.from_arrow(pa.table({"x": [7.0, 7.0]}))
     rows = features.bin_numeric(ds, "x", bins=4).take_all()
     assert [r["x__bin"] for r in rows] == [1, 1]
+
+
+def test_info_gain_split_recovers_planted_threshold(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import features
+
+    rng = np.random.default_rng(91)
+    n = 4000
+    x = np.round(rng.uniform(0, 100, n), 2)
+    # class is (mostly) determined by x <= 40
+    c = np.where(x <= 40.0, "lo", "hi").astype(object)
+    flip = rng.random(n) < 0.05
+    c[flip] = np.where(c[flip] == "lo", "hi", "lo")
+    t = pa.table({"x": x, "c": pa.array(list(c), pa.string())})
+    out = features.info_gain_split(
+        ray.data.from_arrow(t).repartition(4), "x", "c"
+    ).to_pylist()[0]
+    assert abs(out["threshold"] - 40.0) < 1.0
+    assert out["n_left"] + out["n_right"] == n
+    assert out["gain"] > 0.4  # near-deterministic split -> large gain
+
+
+def test_info_gain_split_uninformative_feature(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import features
+
+    rng = np.random.default_rng(92)
+    t = pa.table(
+        {
+            "x": np.round(rng.uniform(0, 10, 2000), 1),
+            "c": pa.array(list(rng.choice(["a", "b"], 2000)), pa.string()),
+        }
+    )
+    out = features.info_gain_split(ray.data.from_arrow(t), "x", "c").to_pylist()[0]
+    assert out["gain"] < 0.02  # no structure -> tiny gain
+
+
+def test_info_gain_split_single_value(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import features
+
+    t = pa.table({"x": [5.0] * 10, "c": ["a"] * 5 + ["b"] * 5})
+    out = features.info_gain_split(ray.data.from_arrow(t), "x", "c").to_pylist()[0]
+    assert out["threshold"] is None and out["gain"] is None
