@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def copurchase_pairs(
@@ -99,50 +100,82 @@ def frequent_triples(
     (and at web scale you would pre-filter items below min-support
     first, apriori-style). Ties at the k boundary break on the item
     ids, matching the oracle's ORDER BY cnt DESC, a, b, c."""
-    from itertools import combinations as _comb  # noqa: F401  (documentation)
-
-    def triples(group: pa.Table) -> pa.Table:
-        items = np.unique(
-            group.column(item_col).drop_null().to_numpy(zero_copy_only=False)
-        )
-        m = len(items)
-        empty = pa.table(
-            {
-                "item_a": pa.array([], pa.int64()),
-                "item_b": pa.array([], pa.int64()),
-                "item_c": pa.array([], pa.int64()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-        if m < 3 or m > max_basket:
-            return empty
-        # vectorized index triples i<j<l
-        i, j = np.triu_indices(m, k=1)
-        # expand each (i,j) with every l > j
-        reps = m - 1 - j
-        keep = reps > 0
-        i, j, reps = i[keep], j[keep], reps[keep]
-        ii = np.repeat(i, reps)
-        jj = np.repeat(j, reps)
-        ll = np.concatenate([np.arange(b + 1, m) for b in j]) if len(j) else np.array([], np.int64)
+    def bucket(batch: pa.Table) -> pa.Table:
+        # shuffle on hash buckets, NOT raw baskets: one map_groups call
+        # then handles ~|baskets|/4096 baskets, so the per-group UDF
+        # dispatch cost (the 150k-call trap) amortizes 40x
+        b = batch.column(basket_col)
+        ok = pc.and_(pc.is_valid(b), pc.is_valid(batch.column(item_col)))
+        t = batch.filter(ok)
+        bk = t.column(basket_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "item_a": pa.array(items[ii].astype(np.int64)),
-                "item_b": pa.array(items[jj].astype(np.int64)),
-                "item_c": pa.array(items[ll].astype(np.int64)),
-                "cnt": pa.array(np.ones(len(ii), dtype=np.int64)),
+                "bkt": pa.array((bk % 4096).astype(np.int64)),
+                "b": pa.array(bk),
+                "i": t.column(item_col).cast(pa.int64()),
             }
         )
+
+    def triples(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("b", "ascending"), ("i", "ascending")])
+        g = group.take(idx)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        it = g.column("i").to_numpy(zero_copy_only=False)
+        # drop duplicate (basket, item) rows, then segment by basket
+        keep = np.r_[True, (b[1:] != b[:-1]) | (it[1:] != it[:-1])]
+        b, it = b[keep], it[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 3 or m > max_basket:
+                continue
+            items = it[s:e]
+            i, j = np.triu_indices(m, k=1)
+            reps = m - 1 - j
+            ok2 = reps > 0
+            i, j, reps = i[ok2], j[ok2], reps[ok2]
+            ii = np.repeat(i, reps)
+            jj = np.repeat(j, reps)
+            ll = (
+                np.concatenate([np.arange(x + 1, m) for x in j])
+                if len(j)
+                else np.array([], np.int64)
+            )
+            out_a.append(items[ii])
+            out_b.append(items[jj])
+            out_c.append(items[ll])
+        if not out_a:
+            return pa.table(
+                {
+                    "item_a": pa.array([], pa.int64()),
+                    "item_b": pa.array([], pa.int64()),
+                    "item_c": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a)
+        t = pa.table(
+            {
+                "item_a": pa.array(a.astype(np.int64)),
+                "item_b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "item_c": pa.array(np.concatenate(out_c).astype(np.int64)),
+                "cnt": pa.array(np.ones(len(a), dtype=np.int64)),
+            }
+        )
+        # combine inside the group before the exchange
+        g2 = t.group_by(["item_a", "item_b", "item_c"]).aggregate([("cnt", "sum")])
+        return g2.rename_columns(["item_a", "item_b", "item_c", "cnt"])
 
     def combine(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["item_a", "item_b", "item_c"]).aggregate([("cnt", "sum")])
         return g.rename_columns(["item_a", "item_b", "item_c", "cnt"])
 
-    from .nullkeys import null_safe_group_map
-
-    proj = ds.select_columns(sorted({basket_col, item_col}))
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
     counted = (
-        null_safe_group_map(proj, [basket_col], triples)
+        bucketed.groupby("bkt")
+        .map_groups(triples, batch_format="pyarrow")
         .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["item_a", "item_b", "item_c"])
         .sum("cnt")
