@@ -11,6 +11,8 @@ and their encodings follow SURVEY.md §2.3:
   int8       PRESENT, DATA(byte-RLE)                   ByteColumnWriter.go:54-83
   int16/32/64, date  PRESENT, DATA(RLEv2 signed)       LongColumnWriter.go:29-77
   float/double       PRESENT, DATA(raw IEEE-754 LE)    DoubleColumnWriter.go:62-76
+                     (+ BSS_LE / DICT_LE / ALP north-star extensions,
+                      chosen by trial — see codecs/alp.py)
   decimal    PRESENT, DATA(zigzag varint unscaled),
              SECONDARY(scale RLEv2)                    DecimalColumnWriter.go:36-95
   timestamp  PRESENT, DATA(seconds RLEv2),
