@@ -4982,6 +4982,27 @@ def _info_gain_orders(sf_dir: str):
     )
 
 
+def _ann_recall_embeddings(sf_dir: str):
+    """ANN quality harness (ann.ann_recall): recall@10 of the IVF
+    index (nprobe=4 of 16 buckets) against exact brute force for 5
+    deterministic query vectors (the 5 smallest vec_ids), plus a mean
+    summary row. Both arms are the existing distributed top-k."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    emb = _pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = _pc.sort_indices(emb.column("vec_id"))
+    qs = np.stack(
+        [np.asarray(v.as_py()) for v in emb.column("embedding").take(order.slice(0, 5))]
+    )
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rd.from_arrow(ann.ann_recall(ds, qs, k=10, n_centroids=16, nprobe=4))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5253,6 +5274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["checksum_orders"] = _checksum_orders
     q["systematic_sample_orders"] = _systematic_sample_orders
     q["info_gain_orders"] = _info_gain_orders
+    q["ann_recall_embeddings"] = _ann_recall_embeddings
     return q
 
 

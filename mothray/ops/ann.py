@@ -784,3 +784,73 @@ def pq_topk(
     if round_digits is not None:
         pdf["adc_dist"] = pdf["adc_dist"].round(round_digits)
     return pa.Table.from_pandas(pdf.reset_index(drop=True))
+
+
+def ann_recall(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Recall@k evaluation of the IVF approximate index against exact
+    brute force, per query — the standard ANN quality harness (recall
+    = |approx ids ∩ exact ids| / k). Output: one row per query
+    (query_idx, k, nprobe, hits, recall) plus a summary row
+    (query_idx = -1) carrying the mean recall.
+
+    Deterministic end to end: centroids come from the deterministic
+    k-means++-free train_centroids sampling, and both arms share ties
+    broken by ascending id. Scale shape: each arm is the existing
+    distributed top-k (partial per-batch top-k, tiny driver merge);
+    the corpus is scanned once per arm per query batch — at real
+    scale you amortize by batching queries, which is exactly what the
+    `queries` matrix argument does."""
+    qs = np.asarray(queries, dtype=np.float64)
+    if qs.ndim == 1:
+        qs = qs[None, :]
+    # train + bucket ONCE for the whole query batch (ivf_topk would
+    # re-train per query); the bucketed corpus materializes once and
+    # every probe filters it
+    cent = train_centroids(ds, n_centroids, column)
+    bucketed = assign_buckets(ds, cent, column).materialize()
+    rows = []
+    total = 0.0
+    for qi in range(len(qs)):
+        q = qs[qi]
+        exact = set(
+            brute_force_topk(ds, q, k, column, id_column)
+            .column(id_column)
+            .to_pylist()
+        )
+        probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:nprobe]
+        probe_set = list(int(b) for b in probe)
+
+        def keep_probed(batch: pa.Table, probe_set=probe_set) -> pa.Table:
+            mask = np.isin(
+                batch.column("bucket").to_numpy(zero_copy_only=False), probe_set
+            )
+            return batch.filter(pa.array(mask))
+
+        candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow")
+        approx = set(
+            brute_force_topk(candidates, q, k, column, id_column)
+            .column(id_column)
+            .to_pylist()
+        )
+        hits = len(exact & approx)
+        rec = hits / k
+        total += rec
+        rows.append((qi, hits, round(rec, 6)))
+    rows.append((-1, -1, round(total / max(len(qs), 1), 6)))
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in rows], pa.int64()),
+            "k": pa.array([k] * len(rows), pa.int64()),
+            "nprobe": pa.array([nprobe] * len(rows), pa.int64()),
+            "hits": pa.array([r[1] for r in rows], pa.int64()),
+            "recall": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

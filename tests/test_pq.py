@@ -94,3 +94,32 @@ def test_pq_self_retrieval_and_reconstruction(ray_session):
     mse_pq = ((Xn - recon) ** 2).mean()
     mse_mean = ((Xn - Xn.mean(axis=0)) ** 2).mean()
     assert mse_pq < 0.8 * mse_mean  # 16 centroids / 8-dim subspace on near-random data: theory gives ~0.5x
+
+
+def test_ann_recall_full_probe_is_perfect(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import ann
+
+    rng = np.random.default_rng(101)
+    n, d = 2000, 16
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    qs = vecs[:3].astype(np.float64)
+    # probing EVERY bucket must reproduce brute force exactly
+    out = ann.ann_recall(ds, qs, k=10, n_centroids=8, nprobe=8).to_pylist()
+    assert all(r["recall"] == 1.0 for r in out if r["query_idx"] >= 0)
+    # partial probe: recall in [0, 1], summary row = mean
+    out2 = ann.ann_recall(ds, qs, k=10, n_centroids=8, nprobe=2).to_pylist()
+    per = [r["recall"] for r in out2 if r["query_idx"] >= 0]
+    mean = [r["recall"] for r in out2 if r["query_idx"] == -1][0]
+    assert all(0.0 <= r <= 1.0 for r in per)
+    assert abs(mean - sum(per) / len(per)) < 1e-9
