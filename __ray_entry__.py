@@ -5003,6 +5003,20 @@ def _ann_recall_embeddings(sf_dir: str):
     return _rd.from_arrow(ann.ann_recall(ds, qs, k=10, n_centroids=16, nprobe=4))
 
 
+def _rolling_distinct_events(sf_dir: str):
+    """Exact rolling 7-day distinct users per day
+    (window.rolling_distinct): distinct doesn't decompose over
+    windows, so the (day, user) activity grid replicates into the 7
+    target days and dedups again — three integer-exact combiner
+    exchanges, never event-scale."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return window.rolling_distinct(ds, "ts", "user_id", window_days=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5275,6 +5289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["systematic_sample_orders"] = _systematic_sample_orders
     q["info_gain_orders"] = _info_gain_orders
     q["ann_recall_embeddings"] = _ann_recall_embeddings
+    q["rolling_distinct_events"] = _rolling_distinct_events
     return q
 
 
@@ -7265,6 +7280,16 @@ def oracle_sql() -> dict[str, str]:
         " CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,"
         " round(gain, 6) AS gain FROM cand"
         " ORDER BY round(gain, 9) DESC, v LIMIT 1"
+    )
+    o["rolling_distinct_events"] = (
+        "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id"
+        " FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),"
+        " days AS (SELECT DISTINCT day FROM du)"
+        " SELECT CAST(d.day AS VARCHAR) AS day,"
+        " CAST(count(DISTINCT u.user_id) AS BIGINT) AS users"
+        " FROM days d JOIN du u"
+        "  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day"
+        " GROUP BY d.day ORDER BY d.day"
     )
     return o
 

@@ -545,3 +545,82 @@ def cusum_max(ds, key_col: str, order_col: str, value_col: str,
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def rolling_distinct(ds, ts_col: str, key_col: str, window_days: int = 7):
+    """EXACT rolling distinct-key count per day: for each observed day
+    d, the number of distinct keys active in [d - window_days + 1, d]
+    (the classic rolling-7-day-active-users metric, which resists
+    plain windowed aggregation because distinct does not decompose).
+
+    Decomposition that DOES scale: dedup to the (day, key) activity
+    grid (bounded by days x active keys, not events), replicate each
+    grid row to the window_days target days it covers (flat expansion
+    = window_days x grid, still grid-scale), dedup (target day, key)
+    again, count per day — three combiner-shaped exchanges, all
+    integer-exact. Only days with at least one event appear."""
+    import ray
+    import pyarrow.compute as pc
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(key_col))
+        )
+        t = batch.filter(ok)
+        d = pc.cast(pc.cast(t.column(ts_col), pa.date32()), pa.int32())
+        g = pa.table({"d": d, "k": t.column(key_col)})
+        # batch-local dedup before the exchange
+        return g.group_by(["d", "k"], use_threads=False).aggregate([]).select(["d", "k"])
+
+    grid = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["d", "k"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    # observed days, broadcast so replicated rows outside them drop
+    days = sorted(
+        r["d"]
+        for r in grid.groupby("d").count().drop_columns(["count()"]).take_all()
+    )
+    days_ref = ray.put(np.array(days, dtype=np.int32))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        obs = ray_api.get(days_ref)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        td = (d[:, None] + np.arange(window_days, dtype=np.int32)[None, :]).ravel()
+        tk = np.repeat(k, window_days)
+        keep = np.isin(td, obs)
+        return pa.table(
+            {
+                "d": pa.array(td[keep], pa.int32()),
+                "k": pa.array(tk[keep]),
+            }
+        )
+
+    per_day = (
+        grid.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["d", "k"])
+        .count()
+        .drop_columns(["count()"])
+        .groupby("d")
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        day = pc.cast(batch.column("d"), pa.int32()).cast(pa.date32())
+        return pa.table(
+            {
+                # ISO string: dates survive any engine's to-pandas
+                # rendering identically (a DATE fetches as midnight
+                # timestamps in some paths)
+                "day": pc.cast(day, pa.string()),
+                "users": pc.cast(batch.column("count()"), pa.int64()),
+            }
+        )
+
+    return per_day.map_batches(finish, batch_format="pyarrow").sort("day")

@@ -134,3 +134,37 @@ def test_key_gaps_no_gaps_and_empty(ray_session):
     t0 = pa.table({"k": pa.array([None], pa.int64())})
     out0 = profile.key_gaps(ray.data.from_arrow(t0), "k").to_pylist()[0]
     assert out0["n_keys"] == 0 and out0["key_min"] is None
+
+
+def test_rolling_distinct_exact(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    def ts(day, h=0):
+        return datetime.datetime(2024, 1, day, h)
+
+    # user 1 active days 1, 3; user 2 active day 2; user 3 active day 9
+    t = pa.table(
+        {
+            "ts": pa.array([ts(1), ts(1, 5), ts(3), ts(2), ts(9)]).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        }
+    )
+    out = {
+        r["day"]: r["users"]
+        for r in window.rolling_distinct(
+            ray.data.from_arrow(t).repartition(2), "ts", "user_id", window_days=7
+        ).take_all()
+    }
+    # only observed days appear
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03", "2024-01-09"}
+    assert out["2024-01-01"] == 1          # user 1
+    assert out["2024-01-02"] == 2          # users 1, 2
+    assert out["2024-01-03"] == 2          # users 1, 2 (both within 7d)
+    assert out["2024-01-09"] == 2          # user 3 + user 1 (day 3 within 7d)
