@@ -186,6 +186,10 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--reclaim", action="store_true",
                     help="rebuild blobs without the dropped streams (memcpy, no re-encode)")
 
+    ck = sub.add_parser("checksum", help="order-independent content checksum over encoded or parquet data (anti-entropy compare of two copies)")
+    ck.add_argument("path", help="encoded dir or parquet file/dir")
+    ck.add_argument("columns", nargs="+", help="columns to hash (ints/strings stringify stably across engines)")
+
     args = p.parse_args(argv)
 
     try:
@@ -522,6 +526,24 @@ def _dispatch(args) -> int:
         ds = decode_dataset(read_encoded(args.enc_dir), columns=want)
         t = dataset_card(ds, column=args.column, lang_col=lang)
         print(json.dumps({r["metric"]: r["value"] for r in t.to_pylist()}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "checksum":
+        import os
+
+        ray = _ray()
+        import ray.data
+
+        from mothray.ops.validate import table_checksum
+        from mothray.pipeline import decode_dataset, read_encoded
+
+        if os.path.isdir(args.path) and os.path.isdir(os.path.join(args.path, "_manifest")):
+            ds = decode_dataset(read_encoded(args.path), columns=list(args.columns))
+        else:
+            ds = ray.data.read_parquet(args.path, columns=list(args.columns))
+        out = table_checksum(ds, list(args.columns)).to_pylist()[0]
+        print(json.dumps(out))
         ray.shutdown()
         return 0
 

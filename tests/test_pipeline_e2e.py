@@ -1174,3 +1174,32 @@ def test_rename_keeps_tri_bloom_pruning(ray_session, tmp_path):
     assert hits.count() == 50
     meta = pipeline.read_encoded(renamed, metadata_only=True, include_paths=True)
     assert pipeline.prune_stripes(meta, "body", tri_needles=["qqqzzzvvv"]).count() == 0
+
+
+def test_cli_checksum_parquet_vs_encoded(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mothray.__main__ import main
+
+    src = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table({"id": pa.array(range(200), pa.int64()),
+                  "s": [f"row{i}" for i in range(200)]}),
+        src,
+    )
+    enc = tmp_path / "enc"
+    assert main(["encode", str(src), str(enc), "--partition-mb", "1"]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    outs = []
+    for path in (str(src), str(enc)):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            assert main(["checksum", path, "id", "s"]) == 0
+        outs.append(json.loads(buf.getvalue().strip().splitlines()[-1]))
+    assert outs[0] == outs[1]
+    assert outs[0]["n_rows"] == 200
