@@ -5017,6 +5017,18 @@ def _rolling_distinct_events(sf_dir: str):
     return window.rolling_distinct(ds, "ts", "user_id", window_days=7)
 
 
+def _fisher_embeddings(sf_dir: str):
+    """Per-dimension Fisher/ANOVA F of the embedding column against
+    the class label (ann.fisher_scores): per-class (n, sum, sumsq)
+    vector partials — k x dim doubles per batch, no unnest exchange."""
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rd.from_arrow(ann.fisher_scores(ds, "embedding", "label"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5290,6 +5302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["info_gain_orders"] = _info_gain_orders
     q["ann_recall_embeddings"] = _ann_recall_embeddings
     q["rolling_distinct_events"] = _rolling_distinct_events
+    q["fisher_embeddings"] = _fisher_embeddings
     return q
 
 
@@ -7290,6 +7303,24 @@ def oracle_sql() -> dict[str, str]:
         " FROM days d JOIN du u"
         "  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day"
         " GROUP BY d.day ORDER BY d.day"
+    )
+    o["fisher_embeddings"] = (
+        # per-dimension one-way ANOVA F in ann.fisher_scores's exact
+        # operation order (raw-sums variance form)
+        "WITH u AS (SELECT label, uu.dim AS dim, CAST(uu.v AS DOUBLE) AS v"
+        "  FROM embeddings, LATERAL (SELECT UNNEST(embedding) AS v,"
+        "   UNNEST(generate_series(1, len(embedding))) AS dim) uu"
+        "  WHERE label IS NOT NULL),"
+        " g AS (SELECT dim, label, CAST(count(*) AS DOUBLE) AS n,"
+        "  sum(v) AS s, sum(v * v) AS ss FROM u GROUP BY 1, 2),"
+        " t AS (SELECT dim, sum(n) AS nn, count(*) AS k,"
+        "  sum(s) / sum(n) AS gm FROM g GROUP BY dim)"
+        " SELECT CAST(g.dim - 1 AS BIGINT) AS dim,"
+        " round((sum(g.n * (g.s / g.n - t.gm) * (g.s / g.n - t.gm)) / (t.k - 1))"
+        "  / (sum(g.ss - g.n * (g.s / g.n) * (g.s / g.n)) / (t.nn - t.k)), 6)"
+        "  AS f_stat"
+        " FROM g JOIN t ON g.dim = t.dim"
+        " GROUP BY g.dim, t.k, t.nn, t.gm ORDER BY dim"
     )
     return o
 

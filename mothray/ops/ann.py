@@ -854,3 +854,100 @@ def ann_recall(
             "recall": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
+
+
+def fisher_scores(
+    ds,
+    column: str = "embedding",
+    label_column: str = "label",
+    round_digits: int = 6,
+) -> pa.Table:
+    """Per-dimension Fisher / one-way-ANOVA F score of an embedding
+    column against a class label — the classic filter-style feature
+    selector for vector features (which dimensions separate the
+    classes). One row per dimension: (dim, f_stat), ordered by dim.
+
+        F_j = [sum_c n_c (m_cj - m_j)^2 / (k-1)]
+            / [sum_c (n_c - 1) var_cj / (n - k)]
+
+    Scale shape: each batch reduces to per-class (n, sum vector,
+    sum-of-squares vector) — k x dim doubles — and partials merge by
+    plain addition; no unnest, no row-width exchange. Math is float64
+    throughout (float32 inputs upcast), matching the SQL oracle's
+    DOUBLE arithmetic to round-6."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.is_valid(batch.column(label_column))
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "ss": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        mat = _matrix(t.column(column)).astype(np.float64)
+        lab = t.column(label_column).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, minlength=k)
+        d = mat.shape[1]
+        s = np.zeros((k, d))
+        ss = np.zeros((k, d))
+        np.add.at(s, inv, mat)
+        np.add.at(ss, inv, mat * mat)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(n.astype(np.int64)),
+                "s": pa.array(list(s), pa.list_(pa.float64())),
+                "ss": pa.array(list(ss), pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not rows:
+        return pa.table({"dim": pa.array([], pa.int64()), "f_stat": pa.array([], pa.float64())})
+    agg: dict[int, list] = {}
+    for r in rows:
+        e = agg.setdefault(int(r["label"]), [0, None, None])
+        e[0] += int(r["n"])
+        sv = np.asarray(r["s"])
+        sq = np.asarray(r["ss"])
+        e[1] = sv if e[1] is None else e[1] + sv
+        e[2] = sq if e[2] is None else e[2] + sq
+    k = len(agg)
+    n = float(sum(e[0] for e in agg.values()))
+    d = len(next(iter(agg.values()))[1])
+    if k < 2 or n <= k:
+        return pa.table(
+            {"dim": pa.array(range(d), pa.int64()),
+             "f_stat": pa.array([None] * d, pa.float64())}
+        )
+    nc = np.array([e[0] for e in agg.values()], dtype=np.float64)
+    S = np.stack([e[1] for e in agg.values()])
+    SS = np.stack([e[2] for e in agg.values()])
+    mc = S / nc[:, None]
+    gm = S.sum(axis=0) / n
+    ssb = (nc[:, None] * (mc - gm[None, :]) ** 2).sum(axis=0)
+    # per-class sample variance * (n_c - 1) = SS_c - n_c * m_c^2
+    ssw = (SS - nc[:, None] * mc * mc).sum(axis=0)
+    msb = ssb / (k - 1)
+    msw = ssw / (n - k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = np.where(msw > 0, msb / msw, np.nan)
+    return pa.table(
+        {
+            "dim": pa.array(range(d), pa.int64()),
+            "f_stat": pa.array(
+                [None if np.isnan(x) else round(float(x), round_digits) for x in f],
+                pa.float64(),
+            ),
+        }
+    )

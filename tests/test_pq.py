@@ -123,3 +123,36 @@ def test_ann_recall_full_probe_is_perfect(ray_session):
     mean = [r["recall"] for r in out2 if r["query_idx"] == -1][0]
     assert all(0.0 <= r <= 1.0 for r in per)
     assert abs(mean - sum(per) / len(per)) < 1e-9
+
+
+def test_fisher_scores_separable_dimension(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import ann
+
+    rng = np.random.default_rng(111)
+    n, d = 3000, 8
+    lab = rng.integers(0, 3, n)
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    vecs[:, 2] += lab * 5.0  # dim 2 separates the classes strongly
+    t = pa.table(
+        {
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(lab, pa.int32()),
+        }
+    )
+    out = ann.fisher_scores(
+        ray.data.from_arrow(t).repartition(5), "embedding", "label"
+    ).to_pylist()
+    assert len(out) == d
+    fs = {r["dim"]: r["f_stat"] for r in out}
+    assert fs[2] > 100 * max(v for k, v in fs.items() if k != 2)
+    # partition invariance
+    out2 = ann.fisher_scores(
+        ray.data.from_arrow(t).repartition(2), "embedding", "label"
+    ).to_pylist()
+    assert [r["dim"] for r in out] == [r["dim"] for r in out2]
+    for a, b in zip(out, out2):
+        assert abs(a["f_stat"] - b["f_stat"]) < 1e-4
