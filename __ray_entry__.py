@@ -5029,6 +5029,21 @@ def _fisher_embeddings(sf_dir: str):
     return _rd.from_arrow(ann.fisher_scores(ds, "embedding", "label"))
 
 
+def _kaplan_meier_events(sf_dir: str):
+    """Kaplan-Meier survival over user activity lifetimes
+    (cohort.kaplan_meier): duration = first-to-last activity days,
+    censored when still active on the corpus's final observed day
+    (gap 0 — the synthetic users are dense, so a 7-day gap censors
+    everyone). The exp-sum-ln form keeps the survival floats
+    SQL-reproducible."""
+    import ray.data as _rd
+
+    from mothray.ops import cohort
+
+    ds = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return _rd.from_arrow(cohort.kaplan_meier(ds, "user_id", "ts", censor_gap_days=0))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5303,6 +5318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_recall_embeddings"] = _ann_recall_embeddings
     q["rolling_distinct_events"] = _rolling_distinct_events
     q["fisher_embeddings"] = _fisher_embeddings
+    q["kaplan_meier_events"] = _kaplan_meier_events
     return q
 
 
@@ -7321,6 +7337,27 @@ def oracle_sql() -> dict[str, str]:
         "  AS f_stat"
         " FROM g JOIN t ON g.dim = t.dim"
         " GROUP BY g.dim, t.k, t.nn, t.gm ORDER BY dim"
+    )
+    o["kaplan_meier_events"] = (
+        "WITH e AS (SELECT user_id AS k, CAST(ts AS DATE) AS d FROM events"
+        "  WHERE ts IS NOT NULL AND user_id IS NOT NULL),"
+        " sp AS (SELECT k, min(d) AS f, max(d) AS l FROM e GROUP BY k),"
+        " mx AS (SELECT max(l) AS m FROM sp),"
+        " life AS (SELECT datediff('day', f, l) AS dur,"
+        "  CASE WHEN l < mx.m THEN 1 ELSE 0 END AS ev"
+        "  FROM sp, mx),"
+        " h AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS deaths,"
+        "  CAST(count(*) AS BIGINT) AS total FROM life GROUP BY dur),"
+        " r AS (SELECT dur, deaths, total,"
+        "  CAST(sum(total) OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)"
+        "   AS BIGINT) AS at_risk FROM h),"
+        " s AS (SELECT dur, deaths, at_risk,"
+        "  exp(sum(CASE WHEN deaths = at_risk THEN CAST('-infinity' AS DOUBLE)"
+        "   ELSE ln(1.0 - CAST(deaths AS DOUBLE) / at_risk) END)"
+        "   OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS surv"
+        "  FROM r WHERE deaths > 0)"
+        " SELECT CAST(dur AS BIGINT) AS t_days, deaths, at_risk,"
+        " round(surv, 6) AS survival FROM s ORDER BY t_days"
     )
     return o
 

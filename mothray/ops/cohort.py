@@ -158,3 +158,99 @@ def new_users_cumulative(ds, user_col: str = "user_id", ts_col: str = "ts"):
     # the day histogram is tiny (one row per active day) — a single
     # block carries the running sum
     return daily.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def kaplan_meier(
+    ds,
+    key_col: str,
+    ts_col: str,
+    censor_gap_days: int = 7,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Kaplan-Meier survival curve over per-key activity lifetimes:
+    duration = days between a key's first and last event; a key whose
+    last activity falls within `censor_gap_days` of the corpus's last
+    observed day is CENSORED (still alive — its true lifetime is only
+    known to exceed the observed one). Output: one row per distinct
+    event duration t with
+
+        S(t) = exp( sum_{t_i <= t} ln(1 - d_i / n_i) )
+
+    (at_risk n_i counts keys with duration >= t_i; d_i = deaths at
+    t_i). The exp-sum-ln form, not a running product, so the SQL
+    oracle's windowed sum reproduces the floats to round-6.
+
+    Scale shape: one grouped (min ts, max ts) pass reduces the corpus
+    to key-width lifetimes; the duration histogram is another grouped
+    count; the KM scan runs over the DISTINCT DURATIONS (bounded by
+    the day domain)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(key_col)), pc.is_valid(batch.column(ts_col))
+        )
+        t = batch.filter(ok)
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "d": pc.cast(pc.cast(t.column(ts_col), pa.date32()), pa.int32()),
+            }
+        )
+
+    spans = (
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Min("d", alias_name="first_d"), Max("d", alias_name="last_d"))
+        .materialize()
+    )
+    last_row = spans.aggregate(Max("last_d", alias_name="m"))
+    corpus_last = int(last_row["m"])
+
+    def to_life(batch: pa.Table) -> pa.Table:
+        f = batch.column("first_d").to_numpy(zero_copy_only=False)
+        l = batch.column("last_d").to_numpy(zero_copy_only=False)
+        dur = (l - f).astype(np.int64)
+        event = (l < corpus_last - censor_gap_days).astype(np.int64)
+        t = pa.table({"dur": pa.array(dur), "event": pa.array(event),
+                      "one": pa.array(np.ones(len(dur), dtype=np.int64))})
+        g = t.group_by(["dur"], use_threads=False).aggregate(
+            [("event", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["dur", "deaths", "total"])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        spans.map_batches(to_life, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dur")
+        .aggregate(Sum("deaths", alias_name="deaths"), Sum("total", alias_name="total"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["dur"])
+    totals = np.array([r["total"] for r in hist], dtype=np.int64)
+    deaths = np.array([r["deaths"] for r in hist], dtype=np.int64)
+    durs = [r["dur"] for r in hist]
+    n_after = np.concatenate((np.cumsum(totals[::-1])[::-1], [0]))  # at risk at each t
+    out_t, out_d, out_n, out_s = [], [], [], []
+    log_s = 0.0
+    for i, t_i in enumerate(durs):
+        n_i = int(n_after[i])
+        d_i = int(deaths[i])
+        if d_i == 0:
+            continue
+        with np.errstate(divide="ignore"):
+            log_s += float(np.log(1.0 - d_i / n_i))  # d_i == n_i -> -inf -> S = 0
+        out_t.append(int(t_i))
+        out_d.append(d_i)
+        out_n.append(n_i)
+        out_s.append(round(float(np.exp(log_s)), round_digits))
+    return pa.table(
+        {
+            "t_days": pa.array(out_t, pa.int64()),
+            "deaths": pa.array(out_d, pa.int64()),
+            "at_risk": pa.array(out_n, pa.int64()),
+            "survival": pa.array(out_s, pa.float64()),
+        }
+    )

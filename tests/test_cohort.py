@@ -94,3 +94,66 @@ def test_new_users_cumulative_known(ray_session):
         ("2024-02-01", 2, 2),
         ("2024-02-03", 1, 3),
     ]
+
+
+def test_kaplan_meier_textbook(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import cohort
+
+    # lifetimes (days): deaths at 2 (x2), 4 (x1); censored at 5 (x2, active
+    # on the final observed day 10)
+    def span(uid, start, end):
+        return [
+            (uid, datetime.datetime(2024, 1, start)),
+            (uid, datetime.datetime(2024, 1, end)),
+        ]
+
+    rows = (
+        span(1, 1, 3) + span(2, 2, 4) + span(3, 3, 7)  # deaths: dur 2,2,4
+        + span(4, 5, 10) + span(5, 5, 10)              # censored: dur 5
+    )
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+        }
+    )
+    out = cohort.kaplan_meier(
+        ray.data.from_arrow(t).repartition(3), "u", "ts", censor_gap_days=0
+    ).to_pylist()
+    assert [(r["t_days"], r["deaths"], r["at_risk"]) for r in out] == [
+        (2, 2, 5),
+        (4, 1, 3),
+    ]
+    import math
+
+    assert abs(out[0]["survival"] - 3 / 5) < 1e-9
+    assert abs(out[1]["survival"] - math.exp(math.log(3 / 5) + math.log(2 / 3))) < 1e-9
+
+
+def test_kaplan_meier_all_die_reaches_zero(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import cohort
+
+    rows = []
+    for uid, (s, e) in enumerate([(1, 2), (1, 3), (2, 4)]):
+        rows += [(uid, datetime.datetime(2024, 1, s)), (uid, datetime.datetime(2024, 1, e))]
+    rows.append((99, datetime.datetime(2024, 1, 20)))  # defines corpus end
+    t = pa.table(
+        {
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+        }
+    )
+    out = cohort.kaplan_meier(
+        ray.data.from_arrow(t), "u", "ts", censor_gap_days=0
+    ).to_pylist()
+    assert out[-1]["survival"] == 0.0  # the last at-risk key dies
