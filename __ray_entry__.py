@@ -5044,6 +5044,41 @@ def _kaplan_meier_events(sf_dir: str):
     return _rd.from_arrow(cohort.kaplan_meier(ds, "user_id", "ts", censor_gap_days=0))
 
 
+def _cmh_orders(sf_dir: str):
+    """Cochran-Mantel-Haenszel test (moments.cmh_test): is high
+    priority associated with finished status after controlling for
+    order year? Binary flags derive in a pre-map; the corpus reduces
+    to one integer 2x2 count row per stratum."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_orderdate"],
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        pr = batch.column("o_orderpriority")
+        hi = _pc.or_(
+            _pc.starts_with(pr, "1"), _pc.starts_with(pr, "2")
+        )
+        return pa.table(
+            {
+                "x": _pc.cast(_pc.fill_null(hi, False), pa.int64()),
+                "y": _pc.cast(
+                    _pc.fill_null(_pc.equal(batch.column("o_orderstatus"), "F"), False),
+                    pa.int64(),
+                ),
+                "s": _pc.year(batch.column("o_orderdate")),
+            }
+        )
+
+    masked = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return _rd.from_arrow(moments.cmh_test(masked, "x", "y", "s"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5319,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rolling_distinct_events"] = _rolling_distinct_events
     q["fisher_embeddings"] = _fisher_embeddings
     q["kaplan_meier_events"] = _kaplan_meier_events
+    q["cmh_orders"] = _cmh_orders
     return q
 
 
@@ -7358,6 +7394,22 @@ def oracle_sql() -> dict[str, str]:
         "  FROM r WHERE deaths > 0)"
         " SELECT CAST(dur AS BIGINT) AS t_days, deaths, at_risk,"
         " round(surv, 6) AS survival FROM s ORDER BY t_days"
+    )
+    o["cmh_orders"] = (
+        "WITH t AS (SELECT CASE WHEN o_orderpriority LIKE '1%'"
+        "   OR o_orderpriority LIKE '2%' THEN 1 ELSE 0 END AS x,"
+        "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,"
+        "  year(o_orderdate) AS s FROM orders"
+        "  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL"
+        "   AND o_orderdate IS NOT NULL),"
+        " strata AS (SELECT s, CAST(count(*) AS DOUBLE) AS n,"
+        "  CAST(sum(x * y) AS DOUBLE) AS a, CAST(sum(x) AS DOUBLE) AS r1,"
+        "  CAST(sum(y) AS DOUBLE) AS c1 FROM t GROUP BY s HAVING count(*) > 1),"
+        " q AS (SELECT sum(a - r1 * c1 / n) AS num,"
+        "  sum(r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1))) AS var,"
+        "  CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt"
+        "  FROM strata)"
+        " SELECT k, nt AS n, round(num * num / var, 6) AS cmh FROM q"
     )
     return o
 

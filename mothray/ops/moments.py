@@ -1676,3 +1676,80 @@ def isotonic_fit(
             ),
         }
     )
+
+
+def cmh_test(ds, x_col: str, y_col: str, strata_col: str,
+             round_digits: int = 6) -> pa.Table:
+    """Cochran-Mantel-Haenszel chi-square for two binary variables
+    across K strata (the stratified 2x2 association test — does x
+    relate to y AFTER controlling for the stratum?). x_col and y_col
+    must be 0/1 integers. One row out: (k, n, cmh) with
+
+        CMH = (sum_k (a_k - r1_k c1_k / n_k))^2
+            / sum_k r1_k (n_k - r1_k) c1_k (n_k - c1_k) / (n_k^2 (n_k - 1))
+
+    Combiner-shaped: each batch reduces to one (stratum, n, a, r1, c1)
+    integer-count row; strata with n <= 1 drop (zero variance), as the
+    oracle does."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.int64())
+        y = pc.cast(batch.column(y_col), pa.int64())
+        ok = pc.and_(
+            pc.and_(pc.is_valid(x), pc.is_valid(y)),
+            pc.is_valid(batch.column(strata_col)),
+        )
+        t = pa.table(
+            {
+                "s": batch.column(strata_col),
+                "one": pc.cast(ok, pa.int64()),
+                "x": pc.if_else(ok, x, pa.scalar(0, pa.int64())),
+                "y": pc.if_else(ok, y, pa.scalar(0, pa.int64())),
+                "xy": pc.if_else(ok, pc.multiply(x, y), pa.scalar(0, pa.int64())),
+            }
+        )
+        g = t.group_by(["s"], use_threads=False).aggregate(
+            [("one", "sum"), ("xy", "sum"), ("x", "sum"), ("y", "sum")]
+        )
+        return g.rename_columns(["s", "n", "a", "r1", "c1"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("a", alias_name="a"),
+            Sum("r1", alias_name="r1"),
+            Sum("c1", alias_name="c1"),
+        )
+        .take_all()
+    )
+    rows = [r for r in rows if r["n"] > 1]
+    k = len(rows)
+    n_total = int(sum(r["n"] for r in rows))
+    if k == 0:
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "cmh": pa.array([None], pa.float64()),
+            }
+        )
+    num = 0.0
+    var = 0.0
+    for r in sorted(rows, key=lambda r: str(r["s"])):
+        n = float(r["n"])
+        a, r1, c1 = float(r["a"]), float(r["r1"]), float(r["c1"])
+        num += a - r1 * c1 / n
+        var += r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1))
+    cmh = num * num / var if var > 0 else None
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([n_total], pa.int64()),
+            "cmh": pa.array(
+                [None if cmh is None else round(cmh, round_digits)], pa.float64()
+            ),
+        }
+    )

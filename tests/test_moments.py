@@ -985,3 +985,52 @@ def test_isotonic_fit_decreasing_input_single_pool(ray_session):
     t = pa.table({"x": pa.array([1, 2, 3], pa.int64()), "y": [3.0, 2.0, 1.0]})
     out = moments.isotonic_fit(ray.data.from_arrow(t), "x", "y").to_pylist()
     assert len(out) == 1 and out[0]["fitted"] == 2.0 and out[0]["n"] == 3
+
+
+def test_cmh_matches_direct_formula(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(121)
+    n = 6000
+    s = rng.integers(0, 5, n)
+    x = (rng.random(n) < 0.4).astype(np.int64)
+    # association within strata: y depends on x
+    y = (rng.random(n) < np.where(x == 1, 0.6, 0.3)).astype(np.int64)
+    t = pa.table({"x": x, "y": y, "s": pa.array(s, pa.int64())})
+    out = moments.cmh_test(
+        ray.data.from_arrow(t).repartition(4), "x", "y", "s"
+    ).to_pylist()[0]
+    # direct
+    num = var = 0.0
+    for k in range(5):
+        m = s == k
+        nk = float(m.sum())
+        a = float((x[m] * y[m]).sum())
+        r1, c1 = float(x[m].sum()), float(y[m].sum())
+        num += a - r1 * c1 / nk
+        var += r1 * (nk - r1) * c1 * (nk - c1) / (nk * nk * (nk - 1))
+    assert out["k"] == 5 and out["n"] == n
+    assert abs(out["cmh"] - num * num / var) < 1e-4
+    assert out["cmh"] > 50  # the planted association is strong
+
+
+def test_cmh_no_association_small(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(122)
+    n = 4000
+    t = pa.table(
+        {
+            "x": pa.array((rng.random(n) < 0.5).astype(np.int64)),
+            "y": pa.array((rng.random(n) < 0.5).astype(np.int64)),
+            "s": pa.array(rng.integers(0, 4, n), pa.int64()),
+        }
+    )
+    out = moments.cmh_test(ray.data.from_arrow(t), "x", "y", "s").to_pylist()[0]
+    assert out["cmh"] < 6.0  # ~chi2(1) under the null
