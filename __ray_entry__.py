@@ -5079,6 +5079,34 @@ def _cmh_orders(sf_dir: str):
     return _rd.from_arrow(moments.cmh_test(masked, "x", "y", "s"))
 
 
+def _auc_orders(sf_dir: str):
+    """Exact ROC AUC (moments.auc_score, rank-sum identity) of total
+    price as a predictor of finished status — half-integer rank sums
+    make the AUC bit-deterministic, no rounding anywhere."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "score": batch.column("o_totalprice"),
+                "y": _pc.cast(
+                    _pc.fill_null(_pc.equal(batch.column("o_orderstatus"), "F"), False),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    masked = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return _rd.from_arrow(moments.auc_score(masked, "score", "y"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5355,6 +5383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fisher_embeddings"] = _fisher_embeddings
     q["kaplan_meier_events"] = _kaplan_meier_events
     q["cmh_orders"] = _cmh_orders
+    q["auc_orders"] = _auc_orders
     return q
 
 
@@ -7410,6 +7439,23 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nt"
         "  FROM strata)"
         " SELECT k, nt AS n, round(num * num / var, 6) AS cmh FROM q"
+    )
+    o["auc_orders"] = (
+        # AUC = (R1 - n1(n1+1)/2) / (n1*n0) over tie-averaged ranks;
+        # rank sums are exact half-integers, the division is the only
+        # float op, so no rounding is applied on either side
+        "WITH t AS (SELECT o_totalprice AS s,"
+        "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders"
+        "  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),"
+        " r AS (SELECT y, CAST(rank() OVER (ORDER BY s) AS DOUBLE)"
+        "  + (CAST(count(*) OVER (PARTITION BY s) AS DOUBLE) - 1) / 2.0 AS ar"
+        "  FROM t),"
+        " agg AS (SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n1,"
+        "  CAST(count(*) FILTER (y = 0) AS BIGINT) AS n0,"
+        "  sum(ar) FILTER (y = 1) AS r1 FROM r)"
+        " SELECT n1 AS n_pos, n0 AS n_neg,"
+        " (r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"
+        "  AS auc FROM agg"
     )
     return o
 

@@ -1753,3 +1753,69 @@ def cmh_test(ds, x_col: str, y_col: str, strata_col: str,
             ),
         }
     )
+
+
+def auc_score(ds, score_col: str, label_col: str,
+              max_distinct: int = 2_000_000) -> pa.Table:
+    """Exact ROC AUC of a numeric score against a 0/1 label via the
+    rank-sum identity AUC = (R1 - n1(n1+1)/2) / (n1 * n0) over
+    tie-averaged fractional ranks (ties contribute 1/2, the standard
+    convention). One row out: (n_pos, n_neg, auc).
+
+    Same exactness as mann_whitney_u: fractional ranks are
+    half-integers so R1 is bit-deterministic in any merge order, and
+    the single final division is identical across engines — no
+    rounding needed. Ranks come from the broadcast distinct-value
+    histogram; the exchange carries distinct score values, not rows."""
+    import ray
+
+    from .sketch import _value_histogram
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(score_col), pa.float64())
+        y = pc.cast(batch.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        return pa.table({"s": s, "y": y}).filter(ok)
+
+    two = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    values, cum = _value_histogram(two, "s")
+    if len(values) > max_distinct:
+        raise ValueError(
+            f"auc_score: {len(values)} distinct scores exceeds max_distinct "
+            f"({max_distinct}) — rank via a global sort instead"
+        )
+    counts = np.diff(np.concatenate(([0], cum))).astype(np.float64)
+    avg_rank = (cum - counts) + (counts + 1) / 2.0
+    ref = ray.put((np.asarray(values), avg_rank))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        vv, rr = ray_api.get(ref)
+        r = rr[np.searchsorted(vv, batch.column("s").to_numpy(zero_copy_only=False))]
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pos = y == 1
+        return pa.table(
+            {
+                "r1": pa.array([float(r[pos].sum())]),
+                "n1": pa.array([int(pos.sum())], pa.int64()),
+                "n0": pa.array([int((~pos).sum())], pa.int64()),
+            }
+        )
+
+    p = two.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    r1 = p.sum("r1") or 0.0
+    n1 = int(p.sum("n1") or 0)
+    n0 = int(p.sum("n0") or 0)
+    auc = (
+        (r1 - n1 * (n1 + 1) / 2.0) / (float(n1) * float(n0))
+        if n1 > 0 and n0 > 0
+        else None
+    )
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "n_neg": pa.array([n0], pa.int64()),
+            "auc": pa.array([auc], pa.float64()),
+        }
+    )

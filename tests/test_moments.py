@@ -1034,3 +1034,38 @@ def test_cmh_no_association_small(ray_session):
     )
     out = moments.cmh_test(ray.data.from_arrow(t), "x", "y", "s").to_pylist()[0]
     assert out["cmh"] < 6.0  # ~chi2(1) under the null
+
+
+def test_auc_known_values(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    # perfect separation -> AUC 1; reversed -> 0; ties -> 0.5 credit
+    t = pa.table({"s": [1.0, 2.0, 3.0, 4.0], "y": pa.array([0, 0, 1, 1], pa.int64())})
+    assert moments.auc_score(ray.data.from_arrow(t), "s", "y").to_pylist()[0]["auc"] == 1.0
+    t2 = pa.table({"s": [4.0, 3.0, 2.0, 1.0], "y": pa.array([0, 0, 1, 1], pa.int64())})
+    assert moments.auc_score(ray.data.from_arrow(t2), "s", "y").to_pylist()[0]["auc"] == 0.0
+    t3 = pa.table({"s": [1.0, 1.0], "y": pa.array([0, 1], pa.int64())})
+    assert moments.auc_score(ray.data.from_arrow(t3), "s", "y").to_pylist()[0]["auc"] == 0.5
+
+
+def test_auc_matches_pair_counting(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import moments
+
+    rng = np.random.default_rng(131)
+    n = 2000
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    s = np.round(rng.normal(0, 1, n) + y * 0.8, 2)  # informative with ties
+    t = pa.table({"s": s, "y": pa.array(y)})
+    out = moments.auc_score(
+        ray.data.from_arrow(t).repartition(4), "s", "y"
+    ).to_pylist()[0]
+    pos, neg = s[y == 1], s[y == 0]
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    assert abs(out["auc"] - wins / (len(pos) * len(neg))) < 1e-12
+    assert out["n_pos"] == int(y.sum())
