@@ -5107,6 +5107,42 @@ def _auc_orders(sf_dir: str):
     return _rd.from_arrow(moments.auc_score(masked, "score", "y"))
 
 
+def _peak_concurrency_events(sf_dir: str):
+    """Global peak concurrency of 30-minute activity intervals
+    (window.peak_concurrency): distributed sweep-line — per-batch
+    delta partials, one day-grouped shuffle for local prefix walks,
+    driver stitches only the per-day summary. Integer-exact."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return _rd.from_arrow(window.peak_concurrency(ds, "ts", duration_s=1800))
+
+
+def _adamic_adar_orders(sf_dir: str):
+    """Top-20 Adamic-Adar link predictions (graph.adamic_adar) on the
+    order hash graph: grouped wedge stream weighted 1/ln(deg), grouped
+    sum, distributed anti-join against the edge set."""
+    from mothray.ops import graph
+
+    return graph.adamic_adar(_order_hash_edges(sf_dir), "src", "dst", top_k=20)
+
+
+def _bfs_levels_orders(sf_dir: str):
+    """BFS hop-distance histogram from the minimum node out to 3 hops
+    (graph.bfs_levels): level-synchronous frontier expansion — one
+    semi-join + distinct + anti-join per level; the oracle replays it
+    as a bounded recursive CTE."""
+    import ray.data as _rd
+
+    from mothray.ops import graph
+
+    return _rd.from_arrow(
+        graph.bfs_levels(_order_hash_edges(sf_dir), "src", "dst", max_depth=3)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5384,6 +5420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kaplan_meier_events"] = _kaplan_meier_events
     q["cmh_orders"] = _cmh_orders
     q["auc_orders"] = _auc_orders
+    q["peak_concurrency_events"] = _peak_concurrency_events
+    q["adamic_adar_orders"] = _adamic_adar_orders
+    q["bfs_levels_orders"] = _bfs_levels_orders
     return q
 
 
@@ -7456,6 +7495,51 @@ def oracle_sql() -> dict[str, str]:
         " SELECT n1 AS n_pos, n0 AS n_neg,"
         " (r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"
         "  AS auc FROM agg"
+    )
+    o["peak_concurrency_events"] = (
+        # +1/-1 sweep over half-open [ts, ts+30min) intervals; deltas
+        # collapsed per distinct microsecond so the inclusive running
+        # sum is exactly the sweep maximum candidate at each t
+        "WITH iv AS (SELECT epoch_us(ts) AS s FROM events WHERE ts IS NOT NULL),"
+        " d AS (SELECT s AS t, 1 AS dd FROM iv"
+        "  UNION ALL SELECT s + 1800000000, -1 FROM iv),"
+        " g AS (SELECT t, SUM(dd) AS nd FROM d GROUP BY t),"
+        " r AS (SELECT t, SUM(nd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c"
+        "  FROM g),"
+        " m AS (SELECT MAX(c) AS mc FROM r)"
+        " SELECT CAST(mc AS BIGINT) AS max_concurrent,"
+        " make_timestamp((SELECT MIN(t) FROM r, m WHERE r.c = m.mc)) AS at_ts"
+        " FROM m"
+    )
+    o["adamic_adar_orders"] = (
+        # sum over common neighbors w of 1/ln(deg(w)), existing edges
+        # anti-joined away; ordered by the ROUNDED score then (u, v)
+        # on both sides so the LIMIT boundary is deterministic
+        f"WITH e0 AS ({_hash_edges}),"
+        " sym AS (SELECT a AS w, b AS u FROM e0 UNION ALL SELECT b, a FROM e0),"
+        " d AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY w),"
+        " p AS (SELECT s1.u AS u, s2.u AS v, 1.0 / ln(dd.deg) AS wt"
+        "  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.u < s2.u"
+        "  JOIN d dd ON dd.w = s1.w),"
+        " sc AS (SELECT u, v, sum(wt) AS s FROM p GROUP BY u, v),"
+        " ne AS (SELECT sc.u, sc.v, sc.s FROM sc"
+        "  LEFT JOIN e0 ON sc.u = e0.a AND sc.v = e0.b WHERE e0.a IS NULL)"
+        " SELECT u, v, round(s, 6) AS aa_r6 FROM ne"
+        " ORDER BY aa_r6 DESC, u, v LIMIT 20"
+    )
+    o["bfs_levels_orders"] = (
+        # bounded-depth BFS as a recursive CTE: UNION-distinct on
+        # (u, dist) rows, dist capped at 3, min(dist) per node
+        f"WITH RECURSIVE e0 AS ({_hash_edges}),"
+        " sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),"
+        " r(u, dist) AS ("
+        "  SELECT (SELECT min(a) FROM e0), 0"
+        "  UNION"
+        "  SELECT s.v, r.dist + 1 FROM r JOIN sym s ON s.u = r.u WHERE r.dist < 3"
+        " ),"
+        " m AS (SELECT u, min(dist) AS dist FROM r GROUP BY u)"
+        " SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes"
+        " FROM m GROUP BY dist ORDER BY dist"
     )
     return o
 

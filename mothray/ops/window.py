@@ -624,3 +624,96 @@ def rolling_distinct(ds, ts_col: str, key_col: str, window_days: int = 7):
         )
 
     return per_day.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def peak_concurrency(ds, ts_col: str, duration_s: int) -> pa.Table:
+    """Global peak concurrency of fixed-duration intervals
+    [ts, ts + duration_s): the maximum number of simultaneously-open
+    intervals and the earliest timestamp at which that peak is
+    reached (half-open semantics: an interval ending exactly when
+    another starts does not overlap it). The classic sweep-line
+    +1/-1 reduction, distributed.
+
+    Shape: each batch emits per-distinct-timestamp delta partials
+    (+starts, -ends); one day-grouped shuffle sorts each calendar
+    day's deltas and computes its LOCAL prefix walk (running max,
+    first argmax, net sum); only the tiny per-day summary table
+    reaches the driver, where an exclusive prefix over day net-sums
+    stitches local walks into the global running count — the same
+    range-bucketed prefix-sum idiom as the global-rank ops. All
+    arithmetic is int64; the result is bit-deterministic.
+
+    With same-timestamp deltas collapsed to one net row, the
+    inclusive running sum AT each distinct t equals concurrency
+    while every interval starting at t is open and every interval
+    ending at t is closed — which is where the true sweep maximum
+    lives, so collapsing loses nothing."""
+    dur_us = int(duration_s) * 1_000_000
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = batch.column(ts_col).filter(pc.is_valid(batch.column(ts_col)))
+        s = s.cast(pa.int64())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        e = pc.add(s, dur_us)
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        t = pa.concat_arrays([s, e])
+        d = pa.concat_arrays(
+            [
+                pa.array(np.ones(len(s), np.int64)),
+                pa.array(np.full(len(e), -1, np.int64)),
+            ]
+        )
+        p = pa.table({"t": t, "d": d}).group_by("t", use_threads=False).aggregate(
+            [("d", "sum")]
+        )
+        day = pc.divide(p.column("t"), 86_400_000_000)
+        return pa.table(
+            {"day": day, "t": p.column("t"), "d": p.column("d_sum")}
+        )
+
+    def per_day(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["t", "d"])
+            .group_by("t", use_threads=False)
+            .aggregate([("d", "sum")])
+        )
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        t, d = t[order], d[order]
+        cum = np.cumsum(d)
+        best = int(cum.max())
+        at = int(t[int(np.argmax(cum))])  # first index achieving the max
+        return pa.table(
+            {
+                "day": group.column("day").slice(0, 1),
+                "local_max": pa.array([best], pa.int64()),
+                "at_us": pa.array([at], pa.int64()),
+                "net": pa.array([int(cum[-1])], pa.int64()),
+            }
+        )
+
+    summaries = (
+        ds.map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(per_day, batch_format="pyarrow")
+        .take_all()  # one row per distinct calendar day
+    )
+    summaries.sort(key=lambda r: r["day"])
+    offset = 0
+    best_c, best_at = None, None
+    for r in summaries:
+        cand = offset + r["local_max"]
+        if best_c is None or cand > best_c:
+            best_c, best_at = cand, r["at_us"]
+        offset += r["net"]
+    return pa.table(
+        {
+            "max_concurrent": pa.array([best_c], pa.int64()),
+            "at_ts": pa.array(
+                [None if best_at is None else best_at], pa.timestamp("us")
+            ),
+        }
+    )
