@@ -5143,6 +5143,78 @@ def _bfs_levels_orders(sf_dir: str):
     )
 
 
+def _max_drawdown_events(sf_dir: str):
+    """Per-user maximum drawdown of the cumulative daily value series
+    (window.max_drawdown): integer-cent grid, one grouped shuffle with
+    batch-local (user, day) pre-aggregation — bit-deterministic."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return window.max_drawdown(ds, "user_id", "ts", "value")
+
+
+def _holt_linear_events(sf_dir: str):
+    """Per-user Holt double exponential smoothing over daily value sums
+    (window.holt_linear): integer-exact x grid, float recursion written
+    in the oracle's exact op order so the UNROUNDED doubles match."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return window.holt_linear(ds, "user_id", "ts", "value")
+
+
+def _attribution_events(sf_dir: str):
+    """Last-touch attribution of purchase events
+    (funnel.last_touch_attribution): one grouped shuffle + vectorized
+    running-last-index scan; combiner-shaped count fold."""
+    import ray.data as _rd
+
+    from mothray.ops import funnel
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return funnel.last_touch_attribution(ds, "purchase")
+
+
+def _calibration_orders(sf_dir: str):
+    """Reliability-curve decile bins of total price vs finished status
+    (moments.calibration_bins): range-partitioned global min-rank,
+    rank()-based binning (ties share a bin — deterministic, unlike
+    ntile), integer bin partials."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "score": batch.column("o_totalprice"),
+                "y": _pc.cast(
+                    _pc.fill_null(_pc.equal(batch.column("o_orderstatus"), "F"), False),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    masked = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return _rd.from_arrow(moments.calibration_bins(masked, "score", "y", n_bins=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5423,6 +5495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["peak_concurrency_events"] = _peak_concurrency_events
     q["adamic_adar_orders"] = _adamic_adar_orders
     q["bfs_levels_orders"] = _bfs_levels_orders
+    q["max_drawdown_events"] = _max_drawdown_events
+    q["holt_linear_events"] = _holt_linear_events
+    q["attribution_events"] = _attribution_events
+    q["calibration_orders"] = _calibration_orders
     return q
 
 
@@ -7540,6 +7616,83 @@ def oracle_sql() -> dict[str, str]:
         " m AS (SELECT u, min(dist) AS dist FROM r GROUP BY u)"
         " SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes"
         " FROM m GROUP BY dist ORDER BY dist"
+    )
+    o["max_drawdown_events"] = (
+        # same floor(v*100 + 0.5) cent grid as the op; drawdown =
+        # max(running peak - cumulative) over the daily walk
+        "WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " w AS (SELECT user_id, day, SUM(cents) OVER"
+        "  (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum"
+        "  FROM c),"
+        " m AS (SELECT user_id, cum, MAX(cum) OVER"
+        "  (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak"
+        "  FROM w)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,"
+        " CAST(max(peak - cum) AS BIGINT) AS max_drawdown_scaled"
+        " FROM m GROUP BY user_id ORDER BY user_id"
+    )
+    o["holt_linear_events"] = (
+        # recursive CTE replaying the Holt walk in the op's exact float
+        # op order (alpha=0.5, beta=0.25 — both exact binary), over the
+        # same integer-cent daily grid; output UNROUNDED
+        "WITH RECURSIVE c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " s AS (SELECT user_id, cents / 100.0 AS x,"
+        "  row_number() OVER (PARTITION BY user_id ORDER BY day) AS i,"
+        "  count(*) OVER (PARTITION BY user_id) AS n FROM c),"
+        " h(user_id, i, l, b) AS ("
+        "  SELECT a.user_id, 1, a.x, b2.x - a.x"
+        "  FROM s a JOIN s b2 ON b2.user_id = a.user_id AND b2.i = 2"
+        "  WHERE a.i = 1"
+        "  UNION ALL"
+        "  SELECT h.user_id, h.i + 1,"
+        "   0.5 * s.x + 0.5 * (h.l + h.b),"
+        "   0.25 * ((0.5 * s.x + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b"
+        "  FROM h JOIN s ON s.user_id = h.user_id AND s.i = h.i + 1"
+        " ),"
+        " f AS (SELECT h.user_id, h.i, h.l, h.b FROM h"
+        "  JOIN (SELECT user_id, max(i) AS n FROM s GROUP BY user_id) t"
+        "  ON t.user_id = h.user_id AND h.i = t.n)"
+        " SELECT user_id, CAST(i AS BIGINT) AS n_days, l AS level, b AS trend"
+        " FROM f ORDER BY user_id"
+    )
+    o["attribution_events"] = (
+        # most recent strictly-prior non-purchase event per purchase,
+        # (ts, event_id) order; unmatched purchases credit 'none'
+        "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL),"
+        " p AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'purchase'),"
+        " c AS (SELECT p.event_id AS pid, x.event_type AS src,"
+        "  row_number() OVER (PARTITION BY p.event_id"
+        "   ORDER BY x.ts DESC, x.event_id DESC) AS rn"
+        "  FROM p JOIN e x ON x.user_id = p.user_id"
+        "   AND (x.ts < p.ts OR (x.ts = p.ts AND x.event_id < p.event_id))"
+        "  WHERE x.event_type <> 'purchase'),"
+        " t AS (SELECT src FROM c WHERE rn = 1),"
+        " agg AS (SELECT src AS touch_type, CAST(count(*) AS BIGINT) AS n"
+        "  FROM t GROUP BY src"
+        "  UNION ALL"
+        "  SELECT 'none', (SELECT count(*) FROM p) - (SELECT count(*) FROM t))"
+        " SELECT touch_type, n FROM agg WHERE n > 0 ORDER BY touch_type"
+    )
+    o["calibration_orders"] = (
+        # bin = (rank() - 1) * 10 // n: tied scores share a bin, so the
+        # binning is deterministic (SQL ntile is not, under ties)
+        "WITH t AS (SELECT o_totalprice AS s,"
+        "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders"
+        "  WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),"
+        " r AS (SELECT y, rank() OVER (ORDER BY s) AS rk,"
+        "  count(*) OVER () AS n FROM t),"
+        " b AS (SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS bin, y FROM r)"
+        " SELECT bin, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(y) AS BIGINT) AS n_pos,"
+        " CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos"
+        " FROM b GROUP BY bin ORDER BY bin"
     )
     return o
 

@@ -84,3 +84,66 @@ def funnel(ds, steps: list[str], user_col: str = "user_id",
             "n_users": pa.array(reached[1:], pa.int64()),
         }
     )
+
+
+def last_touch_attribution(ds, conversion_type: str, user_col: str = "user_id",
+                           ts_col: str = "ts", type_col: str = "event_type",
+                           id_col: str = "event_id"):
+    """Last-touch marketing attribution: every `conversion_type` event
+    is credited to the user's most recent STRICTLY-PRIOR event of any
+    other type (prior = smaller (ts, id) — the id tiebreak makes
+    same-microsecond sequences deterministic); conversions with no
+    prior touch credit the pseudo-type 'none'. Output:
+    (touch_type, n) — conversions credited per touch type.
+
+    Scale shape: project 4 columns, ONE groupby(user) shuffle; the
+    per-user scan is a vectorized running-last-index
+    (maximum.accumulate over non-conversion positions); per-group
+    COUNT partials fold in a combiner-shaped grouped sum, so only
+    (touch_type, n) rows leave the match stage."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col, id_col})).filter(ok)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        is_conv = types == conversion_type
+        n = len(types)
+        if not is_conv.any():
+            return pa.table(
+                {"touch_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        last_touch = np.maximum.accumulate(
+            np.where(~is_conv, np.arange(n), -1)
+        )
+        conv_pos = np.flatnonzero(is_conv)
+        prior = np.where(conv_pos > 0, last_touch[np.maximum(conv_pos - 1, 0)], -1)
+        credited = np.where(prior >= 0, types[np.maximum(prior, 0)], "none")
+        t = pa.table(
+            {"touch_type": pa.array(credited.astype(object), pa.string()),
+             "one": pa.array(np.ones(len(credited), np.int64))}
+        )
+        p = t.group_by("touch_type", use_threads=False).aggregate([("one", "sum")])
+        return pa.table({"touch_type": p.column("touch_type"), "n": p.column("one_sum")})
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        null_safe_group_map(proj, [user_col], per_user)
+        .groupby("touch_type")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table({"touch_type": t.column("touch_type"),
+                                "n": t.column("sum(n)")}),
+            batch_format="pyarrow",
+        )
+    )

@@ -853,9 +853,11 @@ def mutual_information(ds, a_col: str, b_col: str, round_digits: int = 6) -> pa.
     )
 
 
-def with_global_frac_rank(ds, col: str, out_col: str = "frac_rank", n_buckets: int | None = None):
+def with_global_frac_rank(ds, col: str, out_col: str = "frac_rank",
+                          n_buckets: int | None = None, method: str = "average"):
     """Append the GLOBAL tie-averaged fractional rank of `col` (SQL
-    rank() + (ties-1)/2) via a range-partitioned sort — the honest
+    rank() + (ties-1)/2), or with method="min" the SQL rank() itself
+    (minimum rank of the tie run), via a range-partitioned sort — the honest
     scale path when the distinct-value count is too large for
     spearman_corr's broadcast histogram:
 
@@ -937,10 +939,14 @@ def with_global_frac_rank(ds, col: str, out_col: str = "frac_rank", n_buckets: i
         new_val = np.r_[True, sv[1:] != sv[:-1]]
         starts = np.flatnonzero(new_val)
         sizes = np.diff(np.r_[starts, len(sv)])
-        # avg rank of a tie run starting at s (0-based) with size t:
-        # (s+1 + s+t) / 2  -> exact half-integers
-        avg = starts + (sizes + 1) / 2.0
-        ranks_sorted = np.repeat(avg, sizes) + off
+        if method == "min":
+            # SQL rank(): every row of a tie run gets the run's start
+            rk = (starts + 1).astype(np.float64)
+        else:
+            # avg rank of a tie run starting at s (0-based) with size t:
+            # (s+1 + s+t) / 2  -> exact half-integers
+            rk = starts + (sizes + 1) / 2.0
+        ranks_sorted = np.repeat(rk, sizes) + off
         ranks = np.empty(len(sv))
         ranks[order] = ranks_sorted
         return g.append_column(out_col, pa.array(ranks, pa.float64()))
@@ -1817,5 +1823,67 @@ def auc_score(ds, score_col: str, label_col: str,
             "n_pos": pa.array([n1], pa.int64()),
             "n_neg": pa.array([n0], pa.int64()),
             "auc": pa.array([auc], pa.float64()),
+        }
+    )
+
+
+def calibration_bins(ds, score_col: str, label_col: str, n_bins: int = 10) -> pa.Table:
+    """Reliability-curve bins for a numeric score against a 0/1 label:
+    rows are assigned to `n_bins` rank buckets by bin =
+    (rank() - 1) * n_bins // n (SQL rank over the score, so TIED
+    scores always share a bin — deterministic, unlike SQL ntile), and
+    each bin reports (bin, n, n_pos, frac_pos). Everything but the
+    final frac_pos division is integer arithmetic, so results are
+    bit-deterministic under any partitioning.
+
+    Ranks come from the range-partitioned global sort
+    (with_global_frac_rank, method="min") — the exchange carries
+    (score, label) rows once; bin partials fold in a combiner-shaped
+    grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(score_col), pa.float64())
+        y = pc.cast(batch.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        return pa.table({"s": s, "y": y}).filter(ok)
+
+    two = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = int(two.count())
+    if n == 0:
+        return pa.table(
+            {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+             "n_pos": pa.array([], pa.int64()), "frac_pos": pa.array([], pa.float64())}
+        )
+    ranked = with_global_frac_rank(two, "s", out_col="__rk", method="min")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rk = batch.column("__rk").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        b = (rk - 1) * n_bins // n
+        t = pa.table(
+            {"bin": pa.array(b, pa.int64()), "y": pa.array(y, pa.int64()),
+             "one": pa.array(np.ones(len(b), np.int64))}
+        )
+        return t.group_by("bin", use_threads=False).aggregate([("y", "sum"), ("one", "sum")])
+
+    agg = (
+        ranked.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("y_sum", alias_name="n_pos"), Sum("one_sum", alias_name="nn"))
+        .sort("bin")
+        .take_all()
+    )
+    bins = [r["bin"] for r in agg]
+    npos = [int(r["n_pos"]) for r in agg]
+    nn = [int(r["nn"]) for r in agg]
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(nn, pa.int64()),
+            "n_pos": pa.array(npos, pa.int64()),
+            "frac_pos": pa.array(
+                [p / c for p, c in zip(npos, nn)], pa.float64()
+            ),
         }
     )

@@ -717,3 +717,132 @@ def peak_concurrency(ds, ts_col: str, duration_s: int) -> pa.Table:
             ),
         }
     )
+
+
+def max_drawdown(ds, key_col: str, ts_col: str, value_col: str,
+                 decimal_scale: int = 2):
+    """Per-key maximum drawdown of the cumulative daily value series:
+    values are quantized to `decimal_scale` decimals (floor(v*10^s +
+    0.5) — the same expression the SQL oracle uses, so the integer
+    grid is bit-identical), summed per calendar day, cumulated in day
+    order, and the drawdown is max(running_peak - cumulative), the
+    classic finance statistic. Output: (key, n_days, max_drawdown_
+    scaled) — all int64, bit-deterministic.
+
+    One groupby shuffle; per-group state is the key's distinct days."""
+    mult = 10.0 ** decimal_scale
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([key_col, ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table(
+            {key_col: t.column(key_col), "day": day,
+             "c": pa.array(cents, pa.int64())}
+        )
+        # batch-local pre-aggregation shrinks the exchange
+        return p.group_by([key_col, "day"], use_threads=False).aggregate([("c", "sum")])
+
+    def per_key(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["day", "c_sum"])
+            .group_by("day", use_threads=False)
+            .aggregate([("c_sum", "sum")])
+        )
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c_sum_sum").to_numpy(zero_copy_only=False)
+        order = np.argsort(day, kind="stable")
+        cum = np.cumsum(c[order])
+        dd = int((np.maximum.accumulate(cum) - cum).max())
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_days": pa.array([len(day)], pa.int64()),
+                "max_drawdown_scaled": pa.array([dd], pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
+
+
+def holt_linear(ds, key_col: str, ts_col: str, value_col: str,
+                alpha: float = 0.5, beta: float = 0.25,
+                decimal_scale: int = 2):
+    """Per-key Holt double exponential smoothing over the daily value
+    series: x_t = (integer daily sum at `decimal_scale` decimals) /
+    10^s, initialized l_1 = x_1, b_1 = x_2 - x_1, then
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    Output: (key, n_days, level, trend) — the final state, UNROUNDED:
+    the recursion is sequential in day order on an integer-exact x
+    grid, every float op is written in the same order as the SQL
+    oracle's recursive CTE, and IEEE doubles make the walk
+    bit-identical, so the raw doubles stringify identically. Keys with
+    fewer than 2 distinct days are dropped (no trend exists).
+
+    One groupby shuffle; per-group state is the key's distinct days."""
+    mult = 10.0 ** decimal_scale
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([key_col, ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table(
+            {key_col: t.column(key_col), "day": day,
+             "c": pa.array(cents, pa.int64())}
+        )
+        return p.group_by([key_col, "day"], use_threads=False).aggregate([("c", "sum")])
+
+    def per_key(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 0),
+                "n_days": pa.array([], pa.int64()),
+                "level": pa.array([], pa.float64()),
+                "trend": pa.array([], pa.float64()),
+            }
+        )
+        g = (
+            group.select(["day", "c_sum"])
+            .group_by("day", use_threads=False)
+            .aggregate([("c_sum", "sum")])
+        )
+        if g.num_rows < 2:
+            return empty
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c_sum_sum").to_numpy(zero_copy_only=False)
+        x = c[np.argsort(day, kind="stable")] / mult
+        lvl = x[0]
+        b = x[1] - x[0]
+        for t in range(1, len(x)):
+            prev = lvl
+            lvl = alpha * x[t] + (1.0 - alpha) * (lvl + b)
+            b = beta * (lvl - prev) + (1.0 - beta) * b
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_days": pa.array([len(x)], pa.int64()),
+                "level": pa.array([float(lvl)], pa.float64()),
+                "trend": pa.array([float(b)], pa.float64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
