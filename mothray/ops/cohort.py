@@ -254,3 +254,111 @@ def kaplan_meier(
             "survival": pa.array(out_s, pa.float64()),
         }
     )
+
+
+def burstiness(ds, key_col: str, ts_col: str, min_gaps: int = 2,
+               round_digits: int = 6):
+    """Per-key coefficient of variation of inter-arrival times — the
+    classic burstiness signal (CV > 1: bursty, CV < 1: regular, = 1:
+    Poisson). Gaps are integer microseconds between consecutive
+    events in time order (the gap MULTISET is tie-order independent,
+    so the statistic is deterministic even with duplicate
+    timestamps); sums and sums-of-squares are exact arbitrary-
+    precision integers (gap^2 overflows int64 on multi-day gaps),
+    converted to float64 only for the final raw-sums variance —
+    written in the oracle's exact op order. Keys with fewer than
+    `min_gaps` gaps are dropped. Output: (key, n_gaps, cv_r6).
+
+    One grouped shuffle on a 2-column projection; per-group state is
+    the key's timestamps."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.select(sorted({key_col, ts_col})).filter(
+            pc.is_valid(batch.column(ts_col))
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 0),
+                "n_gaps": pa.array([], pa.int64()),
+                "cv_r6": pa.array([], pa.float64()),
+            }
+        )
+        ts = np.sort(group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False))
+        if len(ts) < min_gaps + 1:
+            return empty
+        gaps = np.diff(ts)
+        n = len(gaps)
+        s = float(sum(int(g) for g in gaps))
+        ss = float(sum(int(g) * int(g) for g in gaps))
+        var = max((ss - s * s / n) / (n - 1), 0.0)
+        mean = s / n
+        cv = float(np.sqrt(var)) / mean if mean > 0 else None
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_gaps": pa.array([n], pa.int64()),
+                "cv_r6": pa.array(
+                    [None if cv is None else round(cv, round_digits)], pa.float64()
+                ),
+            }
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
+
+
+def time_to_convert(ds, user_col: str, ts_col: str, type_col: str,
+                    from_type: str, to_type: str):
+    """Per-user conversion latency: microseconds from the user's FIRST
+    `from_type` event to their first `to_type` event STRICTLY after
+    it; users who never convert are dropped. Output:
+    (user, convert_us) — all integer, bit-deterministic.
+
+    One grouped shuffle on a 3-column projection; the per-user scan is
+    two vectorized min-reductions."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))
+        )
+        m = pc.or_(
+            pc.equal(batch.column(type_col), from_type),
+            pc.equal(batch.column(type_col), to_type),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col})).filter(
+            pc.and_(ok, pc.fill_null(m, False))
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                user_col: group.column(user_col).slice(0, 0),
+                "convert_us": pa.array([], pa.int64()),
+            }
+        )
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = group.column(type_col).to_numpy(zero_copy_only=False)
+        src = ts[types == from_type]
+        if len(src) == 0:
+            return empty
+        t0 = src.min()
+        dst = ts[(types == to_type) & (ts > t0)]
+        if len(dst) == 0:
+            return empty
+        return pa.table(
+            {
+                user_col: group.column(user_col).slice(0, 1),
+                "convert_us": pa.array([int(dst.min() - t0)], pa.int64()),
+            }
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [user_col], per_user)

@@ -278,3 +278,105 @@ def fuzzy_join(left, right, on: str, id_columns: tuple[str, str], max_dist: int 
     )
     rows = lrows.union(rrows)
     return _verify(_fuzzy_candidates(rows, "__id", two_sided=True), max_dist)
+
+
+def jaro_winkler_topk(ds, col: str, key_col: str, query: str, top_k: int = 15,
+                      round_digits: int = 6):
+    """Top-k rows of `col` by Jaro-Winkler similarity to ONE `query`
+    string — the classic record-linkage scorer (Winkler 1990), pinned
+    to DuckDB's exact variant so the SQL oracle value-matches:
+    standard greedy Jaro matching with window max(|a|,|b|)//2 - 1,
+    transpositions FLOORED (t = mismatches // 2 — DuckDB/RapidFuzz
+    semantics, verified empirically on 16k random strings), prefix
+    boost 0.1 * min(4, common_prefix) * (1 - jaro) applied when
+    jaro > 0.7, equal strings = 1.0, either side empty = 0.0.
+    Comparison is over UTF-8 bytes (identical to byte-based DuckDB
+    for ASCII; callers with non-ASCII data should normalize first).
+
+    Output: (key_col, jw_r6) — top_k by (jw_r6 DESC, key), the
+    rounded score ordering both sides so the LIMIT boundary is
+    deterministic.
+
+    Scale shape: stateless map_batches — each batch scores ALL its
+    rows against the single query with CHARACTER-LOOP vectorization
+    (the greedy matcher runs len(query) numpy passes over the whole
+    batch at once — no per-row Python); per-batch local top-k
+    pre-truncation keeps the final sort's input at
+    O(top_k * n_batches) rows."""
+    import pyarrow.compute as pc
+
+    q = query.encode("utf-8")
+    m = len(q)
+    qv = np.frombuffer(q, np.uint8)
+
+    def score_batch(names: list[bytes]) -> np.ndarray:
+        n = len(names)
+        l2 = np.array([len(s) for s in names], np.int64)
+        if m == 0 or n == 0:
+            return np.zeros(n)
+        L = max(1, int(l2.max()))
+        M = np.full((n, L), 255, np.uint8)
+        for r, s in enumerate(names):  # padding fill, O(rows) memcpy only
+            M[r, : len(s)] = np.frombuffer(s, np.uint8)
+        W = np.maximum(np.maximum(m, l2) // 2 - 1, 0)
+        used = np.zeros((n, L), bool)
+        match_pos = np.full((n, m), -1, np.int64)
+        cols = np.arange(L)
+        rows = np.arange(n)
+        for i in range(m):
+            lo = np.maximum(0, i - W)[:, None]
+            hi = np.minimum(l2, i + W + 1)[:, None]
+            cand = (M == qv[i]) & ~used & (cols >= lo) & (cols < hi)
+            has = cand.any(axis=1)
+            first = cand.argmax(axis=1)
+            used[rows[has], first[has]] = True
+            match_pos[has, i] = first[has]
+        valid = match_pos >= 0
+        mc = valid.sum(axis=1)
+        # query-order matched chars, compacted left
+        slot = np.cumsum(valid, axis=1) - 1
+        qo = np.full((n, m), 255, np.uint8)
+        no = np.full((n, m), 254, np.uint8)
+        S = np.sort(np.where(valid, match_pos, 1 << 30), axis=1)
+        for i in range(m):
+            sel = valid[:, i]
+            qo[rows[sel], slot[sel, i]] = qv[i]
+        ok = S < (1 << 30)
+        no[ok] = M[np.repeat(rows, m).reshape(n, m)[ok], S[ok]]
+        k_mask = cols[:m][None, :] < mc[:, None]
+        mism = ((qo != no) & k_mask).sum(axis=1)
+        t = mism // 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jar = np.where(
+                mc > 0,
+                (mc / m + mc / np.maximum(l2, 1) + (mc - t) / np.maximum(mc, 1)) / 3.0,
+                0.0,
+            )
+        # prefix boost (Winkler), only above the 0.7 threshold
+        pfx = np.zeros(n, np.int64)
+        alive = np.ones(n, bool)
+        for i in range(min(4, m)):
+            alive &= (l2 > i) & (M[:, i] == qv[i]) if i < L else False
+            pfx += alive
+        jw = np.where(jar > 0.7, jar + 0.1 * pfx * (1.0 - jar), jar)
+        exact = (l2 == m) & (M[:, :m] == qv).all(axis=1) if L >= m else np.zeros(n, bool)
+        jw = np.where(exact, 1.0, jw)
+        jw = np.where(l2 == 0, 0.0, jw)
+        return jw
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        ok = pc.is_valid(c)
+        b = batch.select([key_col, col]).filter(ok)
+        names = [s.encode("utf-8") for s in b.column(col).to_pylist()]
+        s = np.round(score_batch(names), round_digits)
+        t = pa.table({key_col: b.column(key_col), "jw_r6": pa.array(s, pa.float64())})
+        if t.num_rows > top_k:  # local pre-truncation
+            idx = pc.sort_indices(
+                t, sort_keys=[("jw_r6", "descending"), (key_col, "ascending")]
+            )[:top_k]
+            t = t.take(idx)
+        return t
+
+    scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(key=["jw_r6", key_col], descending=[True, False]).limit(top_k)

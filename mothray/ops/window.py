@@ -846,3 +846,63 @@ def holt_linear(ds, key_col: str, ts_col: str, value_col: str,
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def seasonality_index(ds, ts_col: str, value_col: str, decimal_scale: int = 2):
+    """Day-of-week seasonal indices: for each weekday d (0 = Monday,
+    computed as (epoch_day + 3) % 7 — calendar-library-free, identical
+    in SQL), index = (mean value on d) / (overall mean). Values are
+    quantized to `decimal_scale` decimals with the oracle's exact
+    floor(v*10^s + 0.5) expression, so all sums are integers and the
+    two final divisions are bit-deterministic. Output:
+    (dow, n, seasonal_index).
+
+    Shape: per-batch 7-row partials, one tiny grouped sum — pure
+    combiner, no corpus-sized exchange."""
+    mult = 10.0 ** decimal_scale
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        d = day.to_numpy(zero_copy_only=False)
+        dow = (d + 3) % 7
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table(
+            {"dow": pa.array(dow, pa.int64()),
+             "c": pa.array(cents, pa.int64()),
+             "one": pa.array(np.ones(len(d), np.int64))}
+        )
+        return p.group_by("dow", use_threads=False).aggregate(
+            [("c", "sum"), ("one", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dow")
+        .aggregate(Sum("c_sum", alias_name="c"), Sum("one_sum", alias_name="n"))
+        .sort("dow")
+        .take_all()
+    )
+    tot_c = sum(int(r["c"]) for r in rows)
+    tot_n = sum(int(r["n"]) for r in rows)
+    overall = tot_c / tot_n if tot_n else None
+    return pa.table(
+        {
+            "dow": pa.array([r["dow"] for r in rows], pa.int64()),
+            "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "seasonal_index": pa.array(
+                [
+                    (int(r["c"]) / int(r["n"])) / overall if overall else None
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
