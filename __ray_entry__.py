@@ -5267,6 +5267,43 @@ def _seasonality_events(sf_dir: str):
     return _rd.from_arrow(window.seasonality_index(ds, "ts", "value"))
 
 
+def _stratified_sample_orders(sf_dir: str):
+    """20 orders per priority stratum by smallest splitmix64(fnv) key
+    (sample.stratified_sample): hash-auditable uniform draw, per-batch
+    top-k combiner bounds the exchange."""
+    import ray.data as _rd
+
+    from mothray.ops import sample
+
+    ds = _rd.read_parquet(f"{sf_dir}/orders.parquet")
+    return sample.stratified_sample(ds, "o_orderpriority", "o_orderkey", k=20)
+
+
+def _best_run_events(sf_dir: str):
+    """Per-user maximum-sum contiguous daily run (window.best_run,
+    Kadane via the prefix identity): integer-cent exact."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return window.best_run(ds, "user_id", "ts", "value")
+
+
+def _rnn_embeddings(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs over int8-grid-quantized
+    embeddings (ann.reciprocal_nn): exact integer dot products, one
+    broadcast matmul per batch, distributed mutuality semi-join."""
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.reciprocal_nn(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5555,6 +5592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["burstiness_events"] = _burstiness_events
     q["time_to_convert_events"] = _time_to_convert_events
     q["seasonality_events"] = _seasonality_events
+    q["stratified_sample_orders"] = _stratified_sample_orders
+    q["best_run_events"] = _best_run_events
+    q["rnn_embeddings"] = _rnn_embeddings
     return q
 
 
@@ -7796,6 +7836,66 @@ def oracle_sql() -> dict[str, str]:
         " SELECT dow, n,"
         " (CAST(sc AS DOUBLE) / n) / (CAST(tc AS DOUBLE) / tn) AS seasonal_index"
         " FROM g, tot ORDER BY dow"
+    )
+    o["stratified_sample_orders"] = (
+        # exact replay of splitmix64(fnv('st1' || key)): FNV fold, then
+        # the three xor/shift + mod-2^64 multiply rounds with each
+        # 64-bit constant split into 32-bit halves (a full 64x64
+        # product overflows signed INT128)
+        "WITH f AS (SELECT *, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "   list_transform(string_split('st1' || CAST(o_orderkey AS VARCHAR), ''),"
+        "    c -> CAST(ord(c) AS HUGEINT))),"
+        "   (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT)"
+        "  AS UBIGINT) AS h FROM orders),"
+        " m1 AS (SELECT * EXCLUDE (h),"
+        "  CAST((((CAST(xor(h, h >> 30) AS HUGEINT) * 3210233709)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 30) AS HUGEINT) * 484763065)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM f),"
+        " m2 AS (SELECT * EXCLUDE (h),"
+        "  CAST((((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM m1),"
+        " m3 AS (SELECT * EXCLUDE (h), xor(h, h >> 31) AS h FROM m2)"
+        " SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate, o_orderpriority FROM m3"
+        " QUALIFY row_number() OVER (PARTITION BY o_orderpriority"
+        "  ORDER BY h, o_orderkey) <= 20"
+    )
+    o["best_run_events"] = (
+        # Kadane via the prefix identity: best = max_j (P_j -
+        # min(0, min_{i<j} P_i)); same cent grid as max_drawdown
+        "WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " w AS (SELECT user_id, day, SUM(cents) OVER"
+        "  (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS p"
+        "  FROM c),"
+        " m AS (SELECT user_id, p, least(coalesce(MIN(p) OVER"
+        "  (PARTITION BY user_id ORDER BY day"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS mn"
+        "  FROM w)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,"
+        " CAST(max(p - mn) AS BIGINT) AS best_run_scaled"
+        " FROM m GROUP BY user_id ORDER BY user_id"
+    )
+    o["rnn_embeddings"] = (
+        # fixed int8 grid clip(floor(x*127 + 0.5), ±127): dots are
+        # exact integers, argmax ties to the smaller id, mutual pairs
+        "WITH q AS (SELECT vec_id, list_transform(embedding,"
+        "  e -> greatest(least(CAST(floor(CAST(e AS DOUBLE) * 127 + 0.5)"
+        "   AS BIGINT), 127), -127)) AS v FROM embeddings"
+        "  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),"
+        " d AS (SELECT a.vec_id AS i, b.vec_id AS j,"
+        "  CAST(list_dot_product(a.v, b.v) AS BIGINT) AS s"
+        "  FROM q a JOIN q b ON a.vec_id <> b.vec_id),"
+        " best AS (SELECT i, j, s, row_number() OVER (PARTITION BY i"
+        "  ORDER BY s DESC, j) AS rn FROM d),"
+        " b1 AS (SELECT i, j, s FROM best WHERE rn = 1)"
+        " SELECT a.i AS u, a.j AS v, a.s AS dot FROM b1 a"
+        " JOIN b1 b ON a.j = b.i AND b.j = a.i AND a.i < b.i ORDER BY u"
     )
     return o
 

@@ -951,3 +951,94 @@ def fisher_scores(
             ),
         }
     )
+
+
+def reciprocal_nn(ds, column: str = "embedding", id_column: str = "vec_id"):
+    """Reciprocal nearest-neighbor pairs — the classic mutual-NN match
+    criterion (de-duplication seeds, bitext mining): vectors are
+    quantized to a FIXED int8 grid q = clip(floor(x*127 + 0.5), ±127)
+    so every dot product is an exact int64 (no float argmax ties to
+    flake on); each vector's best neighbor is argmax dot with ties to
+    the smaller id; a pair (u, v) is emitted when each is the other's
+    best. Output: (u, v, dot), u < v, sorted by u.
+
+    Scale shape: the quantized matrix is broadcast ONCE (ray.put) and
+    each batch scores against it with one integer matmul — the
+    brute-force baseline, same contract as brute_force_topk; the
+    best-neighbor table (one row per vector) stays distributed and the
+    mutuality check is a packed-key hash join, not a driver loop. The
+    scale path swaps the broadcast for an IVF-bucketed candidate
+    probe, exactly like ann_ivf."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .join import partitioned_join
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(id_column)), pc.is_valid(batch.column(column))
+        )
+        b = batch.filter(ok)
+        mat = _matrix(b.column(column)).astype(np.float64)
+        q = np.clip(np.floor(mat * 127.0 + 0.5), -127, 127).astype(np.int64)
+        return pa.table(
+            {
+                id_column: b.column(id_column),
+                "q": pa.array(list(q.astype(np.int8)), type=pa.list_(pa.int8())),
+            }
+        )
+
+    quantized = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # broadcast the full quantized matrix in ascending-id order so the
+    # first-max argmax tie-breaks to the smaller id
+    rows = quantized.take_all()
+    all_ids = np.array([r[id_column] for r in rows], np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    Q = np.stack([np.asarray(rows[i]["q"], np.int64) for i in order])
+    ref = ray.put((all_ids, Q))
+
+    def best(batch: pa.Table) -> pa.Table:
+        ids_ref, qm = ray.get(ref)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            [np.asarray(v, np.int64) for v in batch.column("q").to_pylist()]
+        ) if batch.num_rows else np.empty((0, qm.shape[1]), np.int64)
+        s = mat @ qm.T
+        self_col = np.searchsorted(ids_ref, ids)
+        s[np.arange(len(ids)), self_col] = np.iinfo(np.int64).min
+        bj = s.argmax(axis=1)
+        return pa.table(
+            {
+                "i": pa.array(ids, pa.int64()),
+                "j": pa.array(ids_ref[bj], pa.int64()),
+                "dot": pa.array(s[np.arange(len(ids)), bj], pa.int64()),
+            }
+        )
+
+    bests = quantized.map_batches(best, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack(t: pa.Table, a: str, b: str) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(a), pa.string()), pc.cast(t.column(b), pa.string()), "|"
+        )
+        return t.append_column("pk", k)
+
+    fwd = bests.map_batches(
+        lambda t: pack(t, "i", "j"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rev = bests.map_batches(
+        lambda t: pa.table({"pk": pack(t, "j", "i").column("pk")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    mutual = partitioned_join(fwd, rev, on="pk", how="left_semi")
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("i"), t.column("j"))
+        t = t.filter(keep)
+        return pa.table({"u": t.column("i"), "v": t.column("j"), "dot": t.column("dot")})
+
+    return mutual.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("u")

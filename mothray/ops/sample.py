@@ -478,3 +478,26 @@ def temperature_mix(
     return hash_sample(
         ds, rate=0.0, key_col=key_col, salt=salt, rate_by_key=rates, strat_col=source_col
     )
+
+
+def stratified_sample(ds, strat_col: str, key_col: str, k: int, salt: str = "st1"):
+    """Deterministic stratified sample: the k rows per stratum with the
+    SMALLEST mixed fingerprints splitmix64(fnv(salt || key)) — a
+    uniform without-replacement draw per stratum (rank statistics of a
+    hash are uniform), fully hash-auditable: the SQL oracle replays
+    the exact FNV fold + splitmix64 finalizer and picks the same rows.
+    Ties (hash collisions) break on key_col ascending.
+
+    Scale shape: per-batch combiner caps the exchange at k rows per
+    (batch, stratum) via top_k_per_group — the shuffle payload is
+    bounded by k * strata, not the corpus."""
+    from .. import bloom as bloom_mod
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = bloom_mod._mix(_key_fingerprints(batch, key_col, salt))
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(hashed, strat_col, "__h", k, ascending=True,
+                          tiebreak_col=key_col)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]), batch_format="pyarrow")

@@ -906,3 +906,56 @@ def seasonality_index(ds, ts_col: str, value_col: str, decimal_scale: int = 2):
             ),
         }
     )
+
+
+def best_run(ds, key_col: str, ts_col: str, value_col: str,
+             decimal_scale: int = 2):
+    """Per-key maximum-sum contiguous run of the daily value series
+    (Kadane's max subarray over OBSERVED days in day order — calendar
+    gaps are not zero-filled): values quantized to `decimal_scale`
+    decimals on the oracle's floor(v*10^s + 0.5) grid, so the
+    statistic is exact int64. Uses the prefix identity
+    best = max_j (P_j - min(0, min_{i<j} P_i)) — one cumsum + one
+    running min per key, no quadratic scan. Output:
+    (key, n_days, best_run_scaled).
+
+    One grouped shuffle with batch-local (key, day) pre-aggregation."""
+    mult = 10.0 ** decimal_scale
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([key_col, ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table(
+            {key_col: t.column(key_col), "day": day, "c": pa.array(cents, pa.int64())}
+        )
+        return p.group_by([key_col, "day"], use_threads=False).aggregate([("c", "sum")])
+
+    def per_key(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["day", "c_sum"])
+            .group_by("day", use_threads=False)
+            .aggregate([("c_sum", "sum")])
+        )
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c_sum_sum").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(c[np.argsort(day, kind="stable")])
+        low = np.minimum(np.minimum.accumulate(np.r_[0, cum[:-1]]), 0)
+        best = int((cum - low).max())
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_days": pa.array([len(day)], pa.int64()),
+                "best_run_scaled": pa.array([best], pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
