@@ -5304,6 +5304,46 @@ def _rnn_embeddings(sf_dir: str):
     return ann.reciprocal_nn(ds)
 
 
+def _paths3_events(sf_dir: str):
+    """Top-10 3-step event-type paths within 30-minute sessions
+    (funnel.session_paths): vectorized per-user trigram scan,
+    combiner-shaped count fold."""
+    import ray.data as _rd
+
+    from mothray.ops import funnel
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return funnel.session_paths(ds, path_len=3, gap_minutes=30, top_k=10)
+
+
+def _hits_orders(sf_dir: str):
+    """HITS hubs/authorities on the directed order hash graph
+    (graph.hits): per-iteration L2 normalization makes scores
+    merge-order sensitive — rows-only for the driver; convergence vs a
+    dense numpy reference is pytest-pinned (tests/test_graph_bfs_aa)."""
+    import ray.data
+
+    from mothray.ops import graph
+
+    def edge(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        a = t.column("o_custkey").to_numpy(zero_copy_only=False) % 1499
+        b = t.column("o_orderkey").to_numpy(zero_copy_only=False) % 1499
+        keep = a != b
+        return pa.table(
+            {"src": pa.array(a[keep], pa.int64()), "dst": pa.array(b[keep], pa.int64())}
+        )
+
+    edges = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(edge, batch_format="pyarrow")
+    return graph.hits(edges, "src", "dst", iters=10, top_k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5595,6 +5635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["stratified_sample_orders"] = _stratified_sample_orders
     q["best_run_events"] = _best_run_events
     q["rnn_embeddings"] = _rnn_embeddings
+    q["paths3_events"] = _paths3_events
+    q["hits_orders"] = _hits_orders
     return q
 
 
@@ -7896,6 +7938,28 @@ def oracle_sql() -> dict[str, str]:
         " b1 AS (SELECT i, j, s FROM best WHERE rn = 1)"
         " SELECT a.i AS u, a.j AS v, a.s AS dot FROM b1 a"
         " JOIN b1 b ON a.j = b.i AND b.j = a.i AND a.i < b.i ORDER BY u"
+    )
+    o["paths3_events"] = (
+        # session ids via gap cumsum in (ts, event_id) order; trigram
+        # rows via two leads within the user, kept when the 3rd event
+        # is still in the same session (sid is monotone per user)
+        "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL),"
+        " s AS (SELECT user_id, ts, event_id, event_type,"
+        "  CASE WHEN lag(ts) OVER w IS NULL"
+        "   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000"
+        "   THEN 1 ELSE 0 END AS brk"
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " g AS (SELECT user_id, ts, event_id, event_type,"
+        "  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS UNBOUNDED PRECEDING) AS sid FROM s),"
+        " t AS (SELECT sid, event_type AS a, lead(event_type, 1) OVER w2 AS b,"
+        "  lead(event_type, 2) OVER w2 AS c, lead(sid, 2) OVER w2 AS sid2"
+        "  FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " p AS (SELECT a || '>' || b || '>' || c AS path FROM t"
+        "  WHERE c IS NOT NULL AND sid2 = sid)"
+        " SELECT path, CAST(count(*) AS BIGINT) AS n FROM p"
+        " GROUP BY path ORDER BY n DESC, path LIMIT 10"
     )
     return o
 

@@ -147,3 +147,71 @@ def last_touch_attribution(ds, conversion_type: str, user_col: str = "user_id",
             batch_format="pyarrow",
         )
     )
+
+
+def session_paths(ds, path_len: int = 3, gap_minutes: int = 30, top_k: int = 10,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", id_col: str = "event_id"):
+    """Top-k most frequent length-`path_len` event-type paths WITHIN
+    gap-based sessions (clickstream path mining): a user's events are
+    ordered by (ts, id), a new session starts when the gap exceeds
+    `gap_minutes`, and every window of `path_len` consecutive
+    same-session events contributes one 'a>b>c' path. Output:
+    (path, n) — top_k by (n DESC, path), deterministic.
+
+    Scale shape: one grouped shuffle on a 4-column projection; the
+    per-user scan is vectorized (cumsum session ids + shifted
+    equality masks); per-group partial counts fold in a
+    combiner-shaped grouped sum, so only (path, n) rows leave the
+    match stage."""
+    from .nullkeys import null_safe_group_map
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col, id_col})).filter(ok)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if group.num_rows < path_len:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        sid = np.cumsum(np.r_[1, (np.diff(ts) > gap_us).astype(np.int64)])
+        n = len(ts)
+        m = n - path_len + 1
+        same = sid[: m] == sid[path_len - 1:]
+        if not same.any():
+            return empty
+        parts = [types[k: k + m][same] for k in range(path_len)]
+        paths = parts[0].astype(object)
+        for p in parts[1:]:
+            paths = paths + ">" + p.astype(object)
+        t = pa.table(
+            {"path": pa.array(paths, pa.string()),
+             "one": pa.array(np.ones(len(paths), np.int64))}
+        )
+        p = t.group_by("path", use_threads=False).aggregate([("one", "sum")])
+        return pa.table({"path": p.column("path"), "n": p.column("one_sum")})
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    counts = (
+        null_safe_group_map(proj, [user_col], per_user)
+        .groupby("path")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table({"path": t.column("path"), "n": t.column("sum(n)")}),
+            batch_format="pyarrow",
+        )
+    )
+    return counts.sort(key=["n", "path"], descending=[True, False]).limit(top_k)

@@ -759,3 +759,138 @@ def bfs_levels(edges, src: str, dst: str, max_depth: int = 3, source: int | None
             "n_nodes": pa.array(levels, pa.int64()),
         }
     )
+
+
+def hits(edges, src: str, dst: str, iters: int = 20, top_k: int = 10,
+         round_digits: int = 4):
+    """HITS hubs & authorities (Kleinberg 1999) on the DIRECTED simple
+    graph: authority a = A^T h, hub h = A a, each L2-normalized per
+    round, `iters` power iterations from the uniform vector. Returns
+    the top_k nodes by hub score and by authority score in one table:
+    (role, node, score) with role in {'hub', 'authority'}, ordered by
+    (role, score DESC rounded, node). Float normalization makes the
+    scores merge-order sensitive, so the driver registration is
+    rows-only; convergence vs a dense numpy reference is pytest-pinned.
+
+    Scale shape: like pagerank — the score state is a (node, h, a)
+    Dataset, each half-iteration is one hash join of the edge list
+    against the state plus one grouped sum; the L2 norm is a scalar
+    aggregate. Nothing corpus-sized reaches the driver."""
+    import math
+
+    import pyarrow.compute as pc
+
+    def norm_edges(t: pa.Table) -> pa.Table:
+        s, d = t.column(src), t.column(dst)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        t2 = pa.table({"s": pc.cast(s, pa.int64()), "d": pc.cast(d, pa.int64())}).filter(ok)
+        return t2.group_by(["s", "d"], use_threads=False).aggregate([])
+
+    uniq = (
+        edges.map_batches(norm_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s", "d"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    from .join import partitioned_join
+
+    def _rename(cols: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.select(list(cols)).rename_columns(list(cols.values()))
+
+        return fn
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [t.column("s").combine_chunks(), t.column("d").combine_chunks()]
+        )
+        return pa.table({"node": both}).group_by("node", use_threads=False).aggregate([])
+
+    nodes = (
+        uniq.map_batches(nodes_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    n_nodes = int(nodes.count())
+    init = 1.0 / math.sqrt(n_nodes)
+    hubs = nodes.map_batches(
+        lambda t: t.append_column("h", pa.array(np.full(t.num_rows, init))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def l2_scale(state, col):
+        sq = state.map_batches(
+            lambda t: pa.table(
+                {"x": pa.array([float(
+                    np.square(t.column(col).to_numpy(zero_copy_only=False)).sum()
+                )])}
+            ),
+            batch_format="pyarrow",
+        ).sum("x")
+        return 1.0 / math.sqrt(sq) if sq and sq > 0 else 1.0
+
+    auth = None
+    for _ in range(iters):
+        # authority <- sum of in-neighbor hubs
+        contrib = partitioned_join(
+            uniq,
+            hubs.map_batches(_rename({"node": "s", "h": "h"}), batch_format="pyarrow"),
+            on="s",
+        )
+        auth_raw = (
+            contrib.map_batches(_rename({"d": "node", "h": "v"}), batch_format="pyarrow")
+            .groupby("node")
+            .sum("v")
+            .map_batches(_rename({"node": "node", "sum(v)": "a"}), batch_format="pyarrow")
+            .materialize()
+        )
+        sa = l2_scale(auth_raw, "a")
+        auth = auth_raw.map_batches(
+            lambda t, _s=sa: pa.table(
+                {"node": t.column("node"),
+                 "a": pa.array(t.column("a").to_numpy(zero_copy_only=False) * _s)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # hub <- sum of out-neighbor authorities
+        contrib2 = partitioned_join(
+            uniq,
+            auth.map_batches(_rename({"node": "d", "a": "a"}), batch_format="pyarrow"),
+            on="d",
+        )
+        hub_raw = (
+            contrib2.map_batches(_rename({"s": "node", "a": "v"}), batch_format="pyarrow")
+            .groupby("node")
+            .sum("v")
+            .map_batches(_rename({"node": "node", "sum(v)": "h"}), batch_format="pyarrow")
+            .materialize()
+        )
+        sh = l2_scale(hub_raw, "h")
+        hubs = hub_raw.map_batches(
+            lambda t, _s=sh: pa.table(
+                {"node": t.column("node"),
+                 "h": pa.array(t.column("h").to_numpy(zero_copy_only=False) * _s)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def top(state, col, role):
+        t = state.map_batches(
+            lambda b: pa.table(
+                {"role": pa.array([role] * b.num_rows, pa.string()),
+                 "node": b.column("node"),
+                 "score": pa.array(
+                     np.round(b.column(col).to_numpy(zero_copy_only=False),
+                              round_digits))}
+            ),
+            batch_format="pyarrow",
+        )
+        return t.sort(key=["score", "node"], descending=[True, False]).limit(top_k)
+
+    return top(hubs, "h", "hub").union(top(auth, "a", "authority")).sort(
+        key=["role", "score", "node"], descending=[False, True, False]
+    )

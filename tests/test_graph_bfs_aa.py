@@ -165,3 +165,79 @@ def test_peak_concurrency_nonoverlapping(ray_session):
     got = window.peak_concurrency(ds, "ts", duration_s=1800)
     assert got.column("max_concurrent").to_pylist() == [1]
     assert got.column("at_ts").cast(pa.int64()).to_pylist() == [0]
+
+
+def test_session_paths_brute_force(ray_session):
+    import ray.data
+
+    from mothray.ops import funnel
+
+    rng = np.random.default_rng(61)
+    n = 400
+    uid = rng.integers(0, 5, n)
+    ts = rng.integers(0, 86_400_000_000, n)
+    types = rng.choice(["a", "b", "c"], n)
+    tbl = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types.astype(object), pa.string()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    got = [
+        (r["path"], r["n"])
+        for r in funnel.session_paths(
+            ray.data.from_arrow(tbl).repartition(5), path_len=3,
+            gap_minutes=30, top_k=8
+        ).take_all()
+    ]
+    gap = 30 * 60 * 1_000_000
+    want = collections.Counter()
+    for u in np.unique(uid):
+        rows = sorted(zip(ts[uid == u], np.arange(n)[uid == u]))
+        seq = [(t, types[i]) for t, i in rows]
+        sid, sids = 0, []
+        for k, (t, _) in enumerate(seq):
+            if k == 0 or t - seq[k - 1][0] > gap:
+                sid += 1
+            sids.append(sid)
+        for k in range(len(seq) - 2):
+            if sids[k] == sids[k + 2]:
+                want[">".join(x for _, x in seq[k:k + 3])] += 1
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert got == ranked
+
+
+def test_hits_matches_dense_power_iteration(ray_session):
+    import ray.data
+
+    from mothray.ops import graph
+
+    rng = np.random.default_rng(67)
+    n_nodes, n_edges = 25, 120
+    s = rng.integers(0, n_nodes, n_edges)
+    d = rng.integers(0, n_nodes, n_edges)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+    )
+    got = {(r["role"], r["node"]): r["score"]
+           for r in graph.hits(ds, "src", "dst", iters=10, top_k=6).take_all()}
+    # dense reference: distinct edges, same iteration/normalization order
+    A = np.zeros((n_nodes, n_nodes))
+    for a, b in set(zip(s.tolist(), d.tolist())):
+        A[a, b] = 1.0
+    present = (A.sum(axis=1) + A.sum(axis=0)) > 0
+    h = np.where(present, 1.0 / math.sqrt(present.sum()), 0.0)
+    for _ in range(10):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    idx = np.flatnonzero(present)
+    hub_rank = sorted(((round(h[i], 4), i) for i in idx), key=lambda t: (-t[0], t[1]))[:6]
+    auth_rank = sorted(((round(a[i], 4), i) for i in idx), key=lambda t: (-t[0], t[1]))[:6]
+    for score, node in hub_rank:
+        assert abs(got[("hub", node)] - score) < 2e-4
+    for score, node in auth_rank:
+        assert abs(got[("authority", node)] - score) < 2e-4
