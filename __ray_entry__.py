@@ -5344,6 +5344,59 @@ def _hits_orders(sf_dir: str):
     return graph.hits(edges, "src", "dst", iters=10, top_k=10)
 
 
+def _resample_interp_events(sf_dir: str):
+    """Per-user RESAMPLE with LINEAR-INTERPOLATION gap fill (window.
+    resample fill='interp'): 6-hour sum buckets; gap buckets take
+    vp + (vn - vp) * frac between the bounding observed buckets.
+    Round-6 on the float sum (resample_events precedent)."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = window.resample(ds, "user_id", "ts", "value", 360, agg="sum", fill="interp")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        i = t.column_names.index("sum_value")
+        v = t.column("sum_value").combine_chunks()
+        rounded = pa.array(
+            np.round(v.to_numpy(zero_copy_only=False), 6),
+            mask=v.is_null().to_numpy(zero_copy_only=False),
+        )
+        return t.set_column(i, "sum_value", rounded)
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _twap_events(sf_dir: str):
+    """Per-user time-weighted average value (window.twap): exact
+    integer cents x microseconds integral, one final division."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    return window.twap(ds, "user_id", "ts", "value", "event_id")
+
+
+def _dod_change_events(sf_dir: str):
+    """Day-over-day change of the global daily value total
+    (window.dod_change): integer-cent daily combiner, one exact
+    division per day."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return _rd.from_arrow(window.dod_change(ds, "ts", "value"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5637,6 +5690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rnn_embeddings"] = _rnn_embeddings
     q["paths3_events"] = _paths3_events
     q["hits_orders"] = _hits_orders
+    q["resample_interp_events"] = _resample_interp_events
+    q["twap_events"] = _twap_events
+    q["dod_change_events"] = _dod_change_events
     return q
 
 
@@ -7960,6 +8016,67 @@ def oracle_sql() -> dict[str, str]:
         "  WHERE c IS NOT NULL AND sid2 = sid)"
         " SELECT path, CAST(count(*) AS BIGINT) AS n FROM p"
         " GROUP BY path ORDER BY n DESC, path LIMIT 10"
+    )
+    o["resample_interp_events"] = (
+        # linear interpolation between bounding observed buckets; the
+        # (bkt - bp) / (bn - bp) ratio equals the op's grid-index
+        # fraction bit-for-bit (uniform grid, correctly-rounded division)
+        "WITH b AS (SELECT user_id,"
+        " (epoch_us(ts) // 21600000000) * 21600000000 AS bkt, value"
+        " FROM events WHERE ts IS NOT NULL),"
+        " agg AS (SELECT user_id, bkt, SUM(value) AS v, count(*) AS n_obs"
+        " FROM b GROUP BY user_id, bkt),"
+        " grid AS (SELECT user_id,"
+        " unnest(generate_series(mn, mx, CAST(21600000000 AS BIGINT))) AS bkt"
+        " FROM (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM agg GROUP BY user_id)),"
+        " j AS (SELECT g.user_id, g.bkt, a.v, coalesce(a.n_obs, 0) AS n_obs"
+        " FROM grid g LEFT JOIN agg a"
+        " ON a.user_id IS NOT DISTINCT FROM g.user_id AND a.bkt = g.bkt),"
+        " w AS (SELECT user_id, bkt, v, n_obs,"
+        "  last_value(v IGNORE NULLS) OVER wf AS vp,"
+        "  last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)"
+        "   OVER wf AS bp,"
+        "  first_value(v IGNORE NULLS) OVER wb AS vn,"
+        "  first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)"
+        "   OVER wb AS bn"
+        "  FROM j WINDOW"
+        "  wf AS (PARTITION BY user_id ORDER BY bkt ROWS UNBOUNDED PRECEDING),"
+        "  wb AS (PARTITION BY user_id ORDER BY bkt"
+        "   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))"
+        " SELECT user_id, make_timestamp(bkt) AS bucket,"
+        " ROUND(CASE WHEN v IS NOT NULL THEN v"
+        "  ELSE vp + (vn - vp) * (CAST(bkt - bp AS DOUBLE) / CAST(bn - bp AS DOUBLE))"
+        "  END, 6) AS sum_value,"
+        " n_obs FROM w"
+    )
+    o["twap_events"] = (
+        # exact HUGEINT cents x microseconds integral; value holds
+        # until the next event in (ts, event_id) order
+        "WITH t AS (SELECT user_id, epoch_us(ts) AS t, event_id,"
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),"
+        " w AS (SELECT user_id, c, t,"
+        "  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS tn FROM t),"
+        " a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+        "  sum(CASE WHEN tn IS NULL THEN 0"
+        "   ELSE CAST(c AS HUGEINT) * (tn - t) END) AS num,"
+        "  max(t) - min(t) AS dur"
+        "  FROM w GROUP BY user_id HAVING count(*) >= 2 AND max(t) > min(t))"
+        " SELECT user_id, n, CAST(num AS DOUBLE) / CAST(dur AS DOUBLE)"
+        "  AS twap_scaled FROM a ORDER BY user_id"
+    )
+    o["dod_change_events"] = (
+        "WITH t AS (SELECT epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL AND value IS NOT NULL),"
+        " g AS (SELECT day, CAST(sum(c) AS BIGINT) AS cents FROM t GROUP BY day),"
+        " w AS (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev_cents"
+        "  FROM g)"
+        " SELECT day, cents, prev_cents,"
+        " CASE WHEN prev_cents <> 0 THEN"
+        "  CAST(cents - prev_cents AS DOUBLE) / prev_cents ELSE NULL END"
+        "  AS pct_change"
+        " FROM w WHERE prev_cents IS NOT NULL ORDER BY day"
     )
     return o
 

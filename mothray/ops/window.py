@@ -158,8 +158,9 @@ def resample(
     """Per-key time-series RESAMPLE with gap fill: bucket timestamps to
     `every_minutes`, aggregate `value_col` per (key, bucket), then emit
     EVERY bucket between the key's first and last observation —
-    missing buckets take the `fill` policy ('null', 'zero', or 'ffill'
-    = carry the last observed aggregate forward). Output columns:
+    missing buckets take the `fill` policy ('null', 'zero', 'ffill'
+    = carry the last observed aggregate forward, or 'interp' = linear
+    interpolation between the bounding observed buckets). Output columns:
     key_col, bucket (timestamp us), <agg>_value (float64), n_obs
     (int64 rows aggregated; 0 for gap buckets).
 
@@ -175,7 +176,7 @@ def resample(
     by design (that IS gap fill); pick `every_minutes` accordingly."""
     if agg not in ("sum", "mean", "min", "max", "count"):
         raise ValueError(f"unsupported agg {agg!r}")
-    if fill not in ("null", "zero", "ffill"):
+    if fill not in ("null", "zero", "ffill", "interp"):
         raise ValueError(f"unsupported fill {fill!r}")
     every_us = int(every_minutes) * 60 * 1_000_000
     out_val = f"{agg}_value"
@@ -245,6 +246,22 @@ def resample(
             idx = np.where(observed, np.arange(len(grid)), -1)
             idx = np.maximum.accumulate(idx)
             dense_v = np.where(idx >= 0, dense_v[np.maximum(idx, 0)], np.nan)
+        elif fill == "interp":
+            # linear interpolation between the bounding OBSERVED
+            # buckets; grid-index ratios equal bucket-time ratios
+            # exactly (uniform grid + correctly-rounded division), so
+            # the SQL oracle's (bkt-bp)/(bn-bp) reproduces `frac`
+            # bit-for-bit. No extrapolation: grid edges are observed.
+            gi = np.arange(len(grid))
+            prev = np.maximum.accumulate(np.where(observed, gi, -1))
+            nxt = np.minimum.accumulate(
+                np.where(observed, gi, len(grid))[::-1]
+            )[::-1]
+            gap = ~observed & (prev >= 0) & (nxt < len(grid))
+            vp = dense_v[np.maximum(prev, 0)]
+            vn = dense_v[np.minimum(nxt, len(grid) - 1)]
+            frac = (gi - prev) / np.maximum(nxt - prev, 1)
+            dense_v = np.where(gap, vp + (vn - vp) * frac, dense_v)
         key_val = group.column(key_col)[0].as_py()
         mask = ~np.isnan(dense_v)
         return pa.table(
@@ -959,3 +976,111 @@ def best_run(ds, key_col: str, ts_col: str, value_col: str,
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def twap(ds, key_col: str, ts_col: str, value_col: str, id_col: str,
+         decimal_scale: int = 2):
+    """Per-key time-weighted average of a step function: the value
+    holds from each event until the next one, so
+    twap = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_1) over events in
+    (ts, id) order — the classic TWAP. Values sit on the oracle's
+    floor(v*10^s + 0.5) integer grid and the integral is an exact
+    arbitrary-precision integer (cents x microseconds overflows int64
+    in aggregate), so the single final division is bit-deterministic.
+    Keys with fewer than 2 events or zero total duration are dropped.
+    Output: (key, n, twap_scaled) — twap in value-grid units.
+
+    One grouped shuffle on a 4-column projection."""
+    mult = 10.0 ** decimal_scale
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({key_col, ts_col, value_col, id_col})).filter(ok)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 0),
+                "n": pa.array([], pa.int64()),
+                "twap_scaled": pa.array([], pa.float64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            g.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        dur = int(ts[-1]) - int(ts[0])
+        if dur == 0:
+            return empty
+        dt = np.diff(ts)
+        num = sum(int(c) * int(d) for c, d in zip(cents[:-1], dt))
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n": pa.array([len(ts)], pa.int64()),
+                "twap_scaled": pa.array([float(num) / float(dur)], pa.float64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
+
+
+def dod_change(ds, ts_col: str, value_col: str, decimal_scale: int = 2) -> pa.Table:
+    """Day-over-day change of the global daily value total: for every
+    observed day with an earlier observed day, report the daily total
+    (integer grid), the PREVIOUS observed day's total, and the
+    relative change (c - p) / p — one exact division, bit-
+    deterministic. Output: (day, cents, prev_cents, pct_change).
+
+    Shape: per-batch (day, cents) partials, one tiny grouped sum —
+    combiner only; the lag walk runs over the per-day summary
+    (bounded by the date range, not the corpus)."""
+    mult = 10.0 ** decimal_scale
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table({"day": day, "c": pa.array(cents, pa.int64())})
+        return p.group_by("day", use_threads=False).aggregate([("c", "sum")])
+
+    rows = sorted(
+        (
+            (r["day"], int(r["sum(c_sum)"]))
+            for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("day")
+            .sum("c_sum")
+            .take_all()
+        )
+    )
+    days, cents, prevs, pcts = [], [], [], []
+    for (d, c), (_, p) in zip(rows[1:], rows[:-1]):
+        days.append(d)
+        cents.append(c)
+        prevs.append(p)
+        pcts.append((c - p) / p if p != 0 else None)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "prev_cents": pa.array(prevs, pa.int64()),
+            "pct_change": pa.array(pcts, pa.float64()),
+        }
+    )

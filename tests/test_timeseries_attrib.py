@@ -148,3 +148,90 @@ def test_calibration_bins_brute_force(ray_session):
         for r in [dict(zip(got.column_names, row)) for row in zip(*got.columns)]
     }
     assert got_map == want
+
+
+def test_resample_interp_linear_fill(ray_session):
+    import ray.data
+
+    from mothray.ops import window
+
+    # user 0: observed buckets at hours 0 and 3 (values 10, 40) with a
+    # 2-bucket gap -> interpolated 20, 30
+    us_h = 3_600_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([0, 0], pa.int64()),
+            "ts": pa.array([0, 3 * us_h], pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([10.0, 40.0], pa.float64()),
+        }
+    )
+    out = window.resample(
+        ray.data.from_arrow(tbl), "user_id", "ts", "value", 60,
+        agg="sum", fill="interp",
+    ).take_all()
+    vals = [r["sum_value"] for r in sorted(out, key=lambda r: r["bucket"])]
+    assert vals == [10.0, 20.0, 30.0, 40.0]
+    n_obs = [r["n_obs"] for r in sorted(out, key=lambda r: r["bucket"])]
+    assert n_obs == [1, 0, 0, 1]
+
+
+def test_twap_matches_brute_force(ray_session):
+    import ray.data
+
+    from mothray.ops import window
+
+    rng = np.random.default_rng(71)
+    tbl = _mk_events(rng, n_users=6, n_rows=300)
+    got = {
+        r["user_id"]: (r["n"], r["twap_scaled"])
+        for r in window.twap(
+            ray.data.from_arrow(tbl).repartition(5),
+            "user_id", "ts", "value", "event_id",
+        ).take_all()
+    }
+    uid = tbl.column("user_id").to_pylist()
+    ts = tbl.column("ts").cast(pa.int64()).to_pylist()
+    val = tbl.column("value").to_pylist()
+    eid = tbl.column("event_id").to_pylist()
+    per = collections.defaultdict(list)
+    for u, t, v, i in zip(uid, ts, val, eid):
+        per[u].append((t, i, int(np.floor(v * 100 + 0.5))))
+    for u, rows in per.items():
+        rows.sort()
+        dur = rows[-1][0] - rows[0][0]
+        if len(rows) < 2 or dur == 0:
+            assert u not in got
+            continue
+        num = sum(c * (rows[k + 1][0] - t) for k, (t, _, c) in enumerate(rows[:-1]))
+        assert got[u] == (len(rows), float(num) / float(dur))
+
+
+def test_dod_change_brute_force(ray_session):
+    import ray.data
+
+    from mothray.ops import window
+
+    rng = np.random.default_rng(73)
+    tbl = _mk_events(rng, n_users=4, n_rows=400)
+    got = window.dod_change(
+        ray.data.from_arrow(tbl).repartition(4), "ts", "value"
+    )
+    ts = tbl.column("ts").cast(pa.int64()).to_pylist()
+    val = tbl.column("value").to_pylist()
+    days = collections.defaultdict(int)
+    for t, v in zip(ts, val):
+        days[t // US_DAY] += int(np.floor(v * 100 + 0.5))
+    ordered = sorted(days)
+    want = [
+        (d, days[d], days[p], (days[d] - days[p]) / days[p])
+        for d, p in zip(ordered[1:], ordered[:-1])
+    ]
+    rows = list(
+        zip(
+            got.column("day").to_pylist(),
+            got.column("cents").to_pylist(),
+            got.column("prev_cents").to_pylist(),
+            got.column("pct_change").to_pylist(),
+        )
+    )
+    assert rows == want
