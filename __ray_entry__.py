@@ -5397,6 +5397,67 @@ def _dod_change_events(sf_dir: str):
     return _rd.from_arrow(window.dod_change(ds, "ts", "value"))
 
 
+def _sssp_orders(sf_dir: str):
+    """Bounded Bellman-Ford single-source shortest paths
+    (graph.sssp_bounded) on the order hash graph with deterministic
+    integer edge weights 1 + (min + 3*max) % 7: three relaxation
+    rounds, each one hash join + min-groupby; the oracle replays it as
+    a hop-bounded recursive CTE."""
+    from mothray.ops import graph
+
+    return graph.sssp_bounded(_order_hash_edges(sf_dir), "src", "dst", max_hops=3)
+
+
+def _changepoint_events(sf_dir: str):
+    """Per-user single change-point (window.changepoint): binary
+    segmentation over the integer-cent daily series, argmax of the
+    CUSUM objective A(t)^2/(t*(n-t)); output columns are all int64 —
+    the float objective is only an ordering both engines compute from
+    the identical expression."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return window.changepoint(ds, "user_id", "ts", "value")
+
+
+def _pr_curve_orders(sf_dir: str):
+    """Precision/recall/F1 curve of o_totalprice as a score for
+    o_orderstatus = 'F' over a fixed integer threshold grid
+    (moments.pr_curve): per-batch searchsorted partials, one
+    grid-sized groupby — integer-exact counts, single-division
+    ratios."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+
+    def flags(batch):
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "score": batch.column("o_totalprice"),
+                "y": _pc.cast(
+                    _pc.fill_null(_pc.equal(batch.column("o_orderstatus"), "F"), False),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    masked = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return _rd.from_arrow(
+        moments.pr_curve(masked, "score", "y",
+                         thresholds=list(range(0, 425_000, 25_000)))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5693,6 +5754,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["resample_interp_events"] = _resample_interp_events
     q["twap_events"] = _twap_events
     q["dod_change_events"] = _dod_change_events
+    q["sssp_orders"] = _sssp_orders
+    q["changepoint_events"] = _changepoint_events
+    q["pr_curve_orders"] = _pr_curve_orders
     return q
 
 
@@ -8077,6 +8141,69 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(cents - prev_cents AS DOUBLE) / prev_cents ELSE NULL END"
         "  AS pct_change"
         " FROM w WHERE prev_cents IS NOT NULL ORDER BY day"
+    )
+    o["sssp_orders"] = (
+        # bounded Bellman-Ford = shortest distance using <= 3 edges;
+        # the recursive CTE enumerates (node, dist, hops) states and
+        # min-reduces, with the same 1 + (a + 3*b) % 7 edge weight
+        f"WITH RECURSIVE e0 AS ({_hash_edges}),"
+        " we AS (SELECT a, b, 1 + (a + 3 * b) % 7 AS w FROM e0),"
+        " sym AS (SELECT a AS u, b AS v, w FROM we"
+        "  UNION ALL SELECT b, a, w FROM we),"
+        " r(u, d, hops) AS ("
+        "  SELECT (SELECT min(a) FROM e0), 0, 0"
+        "  UNION"
+        "  SELECT s.v, r.d + s.w, r.hops + 1 FROM r"
+        "   JOIN sym s ON s.u = r.u WHERE r.hops < 3"
+        " )"
+        " SELECT CAST(u AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS dist"
+        " FROM r GROUP BY u ORDER BY node"
+    )
+    o["changepoint_events"] = (
+        # same floor(v*100 + 0.5) cent grid as the op; split t maximizes
+        # A(t)^2 / (t*(n-t)) with A = S1*n - t*S, earliest t on ties —
+        # the double objective is ordering-only, outputs are all ints
+        "WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents"
+        "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " w AS (SELECT user_id, day, cents,"
+        "  SUM(cents) OVER (PARTITION BY user_id ORDER BY day) AS s1,"
+        "  CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS t,"
+        "  SUM(cents) OVER (PARTITION BY user_id) AS s,"
+        "  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n"
+        "  FROM c),"
+        " g AS (SELECT user_id, day, t, n, s1 * n - t * s AS a"
+        "  FROM w WHERE t < n)"
+        " SELECT user_id, n AS n_days, CAST(day AS BIGINT) AS split_day,"
+        " CAST(abs(a) AS BIGINT) AS a_abs FROM g"
+        " QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY"
+        "  CAST(a AS DOUBLE) * CAST(a AS DOUBLE)"
+        "   / (CAST(t AS DOUBLE) * CAST(n - t AS DOUBLE)) DESC, t ASC) = 1"
+        " ORDER BY user_id"
+    )
+    o["pr_curve_orders"] = (
+        # integer threshold grid; counts are exact ints, ratios single
+        # divisions of those ints ("precision" quoted: reserved word)
+        "WITH thr AS (SELECT CAST(UNNEST(range(0, 425000, 25000)) AS BIGINT) AS thr),"
+        " base AS (SELECT o_totalprice AS score,"
+        "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders"
+        "  WHERE o_totalprice IS NOT NULL),"
+        " agg AS (SELECT t.thr,"
+        "  CAST(sum(CASE WHEN b.score >= t.thr AND b.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,"
+        "  CAST(sum(CASE WHEN b.score >= t.thr AND b.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp"
+        "  FROM thr t CROSS JOIN base b GROUP BY t.thr),"
+        " tot AS (SELECT CAST(sum(y) AS BIGINT) AS npos FROM base)"
+        " SELECT a.thr, a.tp, a.fp, tot.npos - a.tp AS fn,"
+        " CASE WHEN a.tp + a.fp > 0 THEN"
+        "  CAST(a.tp AS DOUBLE) / CAST(a.tp + a.fp AS DOUBLE)"
+        "  ELSE NULL END AS \"precision\","
+        " CAST(a.tp AS DOUBLE) / CAST(tot.npos AS DOUBLE) AS recall,"
+        " CASE WHEN 2 * a.tp + a.fp + (tot.npos - a.tp) > 0 THEN"
+        "  CAST(2 * a.tp AS DOUBLE)"
+        "   / CAST(2 * a.tp + a.fp + (tot.npos - a.tp) AS DOUBLE)"
+        "  ELSE NULL END AS f1"
+        " FROM agg a, tot ORDER BY a.thr"
     )
     return o
 

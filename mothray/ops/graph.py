@@ -894,3 +894,89 @@ def hits(edges, src: str, dst: str, iters: int = 20, top_k: int = 10,
     return top(hubs, "h", "hub").union(top(auth, "a", "authority")).sort(
         key=["role", "score", "node"], descending=[False, True, False]
     )
+
+
+def sssp_bounded(edges, src: str, dst: str, max_hops: int = 3,
+                 source: int | None = None, weight_mod: int = 7):
+    """Single-source shortest-path distances using at most `max_hops`
+    edges (bounded Bellman-Ford) over the undirected graph, with a
+    deterministic integer edge weight `1 + (a + 3*b) % weight_mod`
+    derived from the canonical (min, max) endpoint pair so the SQL
+    oracle can replay it. Returns (node, dist) for every node reachable
+    within the hop budget, sorted by node; dist 0 is the source
+    (default: the minimum node id).
+
+    Reference scope: mothdb-bd/orc-go has no graph engine; this extends
+    the engine's graph family (bfs_levels above) to weighted paths.
+
+    Scale: classic distributed Bellman-Ford — `max_hops` rounds, each
+    one hash join of the current distance table against the symmetric
+    edge list plus one min-groupby; every round relaxes ALL known
+    nodes, so no improvement-tracking anti-join is needed and the
+    round count (not the graph size) bounds driver traffic (one
+    materialize per round, nothing corpus-sized collected)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .join import partitioned_join
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.int64())
+        b = batch.column(dst).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        a = a.filter(ok).combine_chunks() if isinstance(a, pa.ChunkedArray) else a.filter(ok)
+        b = b.filter(ok).combine_chunks() if isinstance(b, pa.ChunkedArray) else b.filter(ok)
+        an = a.to_numpy(zero_copy_only=False)
+        bn = b.to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(an, bn), np.maximum(an, bn)
+        w = 1 + (lo + 3 * hi) % weight_mod
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([an, bn])),
+                "nbr": pa.array(np.concatenate([bn, an])),
+                "w": pa.array(np.concatenate([w, w])),
+            }
+        )
+
+    sym_edges = (
+        edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node", "nbr"])
+        .min("w")
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "nbr": t.column("nbr"),
+                 "w": t.column("min(w)")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if source is None:
+        source = int(sym_edges.min("node"))
+
+    best = rd.from_arrow(
+        pa.table({"node": pa.array([source], pa.int64()),
+                  "dist": pa.array([0], pa.int64())})
+    ).materialize()
+    for _ in range(max_hops):
+        cand = partitioned_join(sym_edges, best, on="node").map_batches(
+            lambda t: pa.table(
+                {"node": t.column("nbr"),
+                 "dist": pc.add(t.column("dist"), t.column("w"))}
+            ),
+            batch_format="pyarrow",
+        )
+        best = (
+            best.union(cand)
+            .groupby("node")
+            .min("dist")
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "dist": t.column("min(dist)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return best.sort("node")

@@ -1887,3 +1887,78 @@ def calibration_bins(ds, score_col: str, label_col: str, n_bins: int = 10) -> pa
             ),
         }
     )
+
+
+def pr_curve(ds, score_col: str, label_col: str,
+             thresholds: list[int]) -> pa.Table:
+    """Precision / recall / F1 at each integer score threshold
+    ("predict positive when score >= thr"). Output one row per
+    threshold: (thr, tp, fp, fn int64; precision, recall, f1 float64)
+    — precision is null when nothing is predicted positive. The
+    counts are integer-exact in any merge order; the three ratios are
+    single divisions of those ints, evaluated with the same
+    expression shape the SQL oracle uses.
+
+    Scale: each batch bins its scores once per class (two
+    searchsorted passes over the sorted threshold grid) and emits a
+    len(thresholds)-row partial; one tiny groupby-sum over
+    n_thresholds rows finishes — the exchange never carries corpus
+    rows."""
+    grid = np.asarray(sorted(thresholds), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(score_col), pa.float64())
+        y = pc.cast(batch.column(label_col), pa.int64())
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(y))
+        sv = s.filter(ok).to_numpy(zero_copy_only=False)
+        yv = y.filter(ok).to_numpy(zero_copy_only=False)
+        pos, neg = sv[yv == 1], sv[yv != 1]
+        # count(score >= thr) = n - searchsorted(sorted_scores, thr, 'left')
+        pos_s, neg_s = np.sort(pos), np.sort(neg)
+        tp = len(pos_s) - np.searchsorted(pos_s, grid, side="left")
+        fp = len(neg_s) - np.searchsorted(neg_s, grid, side="left")
+        return pa.table(
+            {
+                "thr": pa.array(grid.astype(np.int64)),
+                "tp": pa.array(tp.astype(np.int64)),
+                "fp": pa.array(fp.astype(np.int64)),
+                "npos": pa.array(np.full(len(grid), len(pos_s), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("thr")
+        .sum(["tp", "fp", "npos"])
+        .take_all()
+    )  # n_thresholds rows — driver-safe
+    rows = sorted(agg, key=lambda r: r["thr"])
+    thr = np.array([r["thr"] for r in rows], dtype=np.int64)
+    tp = np.array([r["sum(tp)"] for r in rows], dtype=np.int64)
+    fp = np.array([r["sum(fp)"] for r in rows], dtype=np.int64)
+    npos = rows[0]["sum(npos)"]  # every row carries the same global sum
+    fn = npos - tp
+    pp = tp + fp
+    with np.errstate(invalid="ignore", divide="ignore"):
+        precision = np.where(
+            pp > 0, tp.astype(np.float64) / pp.astype(np.float64), np.nan
+        )
+        recall = tp.astype(np.float64) / np.float64(npos)
+        f1 = np.where(
+            (2 * tp + fp + fn) > 0,
+            (2 * tp).astype(np.float64) / (2 * tp + fp + fn).astype(np.float64),
+            np.nan,
+        )
+    return pa.table(
+        {
+            "thr": pa.array(thr),
+            "tp": pa.array(tp),
+            "fp": pa.array(fp),
+            "fn": pa.array(fn),
+            # from_pandas=True maps the pp==0 NaN sentinel to a real null,
+            # matching the oracle's CASE WHEN ... THEN NULL
+            "precision": pa.array(precision, pa.float64(), from_pandas=True),
+            "recall": pa.array(recall, pa.float64()),
+            "f1": pa.array(f1, pa.float64(), from_pandas=True),
+        }
+    )

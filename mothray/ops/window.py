@@ -1084,3 +1084,76 @@ def dod_change(ds, ts_col: str, value_col: str, decimal_scale: int = 2) -> pa.Ta
             "pct_change": pa.array(pcts, pa.float64()),
         }
     )
+
+
+def changepoint(ds, key_col: str, ts_col: str, value_col: str,
+                decimal_scale: int = 2):
+    """Per-key single change-point detection (binary segmentation, one
+    split) over the daily value series: values quantized to the same
+    floor(v*10^s + 0.5) integer-cent grid the SQL oracle uses, summed
+    per calendar day, then the split index t in [1, n-1] maximizing the
+    CUSUM-style between-segment objective A(t)^2 / (t*(n-t)) with
+    A(t) = S1(t)*n - t*S (the mean-difference numerator scaled by
+    n*t*(n-t)) is chosen — earliest t wins ties. Output per key with
+    >= 2 active days: (key, n_days, split_day, a_abs) — all int64;
+    the float objective is only an argmax ordering both sides compute
+    with the identical expression, never emitted.
+
+    One groupby shuffle with batch-local (key, day) pre-aggregation;
+    per-group work is vectorized over the key's distinct days."""
+    mult = 10.0 ** decimal_scale
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(value_col))
+        )
+        t = batch.select([key_col, ts_col, value_col]).filter(ok)
+        day = pc.divide(t.column(ts_col).cast(pa.int64()), 86_400_000_000)
+        cents = np.floor(
+            t.column(value_col).to_numpy(zero_copy_only=False) * mult + 0.5
+        ).astype(np.int64)
+        p = pa.table(
+            {key_col: t.column(key_col), "day": day,
+             "c": pa.array(cents, pa.int64())}
+        )
+        return p.group_by([key_col, "day"], use_threads=False).aggregate([("c", "sum")])
+
+    def per_key(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["day", "c_sum"])
+            .group_by("day", use_threads=False)
+            .aggregate([("c_sum", "sum")])
+        )
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c_sum_sum").to_numpy(zero_copy_only=False)
+        n = len(day)
+        empty = pa.table(
+            {key_col: group.column(key_col).slice(0, 0),
+             "n_days": pa.array([], pa.int64()),
+             "split_day": pa.array([], pa.int64()),
+             "a_abs": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(day, kind="stable")
+        day, c = day[order], c[order]
+        s1 = np.cumsum(c)[:-1]                      # prefix sum at t = 1..n-1
+        t = np.arange(1, n, dtype=np.int64)
+        a = s1 * n - t * int(c.sum())               # int64-exact numerator
+        obj = a.astype(np.float64) ** 2 / (
+            t.astype(np.float64) * (n - t).astype(np.float64)
+        )
+        best = int(np.argmax(obj))                  # first max = earliest t
+        return pa.table(
+            {
+                key_col: group.column(key_col).slice(0, 1),
+                "n_days": pa.array([n], pa.int64()),
+                "split_day": pa.array([int(day[best])], pa.int64()),
+                "a_abs": pa.array([abs(int(a[best]))], pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, [key_col], per_key)
