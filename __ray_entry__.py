@@ -5458,6 +5458,83 @@ def _pr_curve_orders(sf_dir: str):
     )
 
 
+def _wilson_ci_orders(sf_dir: str):
+    """Wilson 95% confidence interval of the 'F'-status proportion per
+    order priority (moments.wilson_ci): integer-exact (n, successes)
+    combiner, interval doubles evaluated in the oracle's textual
+    operation order."""
+    import ray.data as _rd
+
+    from mothray.ops import moments
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+
+    def flags(batch):
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "is_f": _pc.equal(batch.column("o_orderstatus"), "F"),
+            }
+        )
+
+    masked = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return moments.wilson_ci(masked, "o_orderpriority", "is_f")
+
+
+def _source_overlap_documents(sf_dir: str):
+    """Pairwise vocabulary Jaccard between document sources
+    (webtext.source_overlap): distinct (source, word) combiner + one
+    word-keyed self-join — exact integer set sizes, one final
+    division."""
+    import ray.data as _rd
+
+    from mothray.ops import webtext
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return _rd.from_arrow(webtext.source_overlap(ds, "source", "text"))
+
+
+def _compression_quality_documents(sf_dir: str):
+    """Per-document zlib compression-ratio quality signal
+    (webtext.compression_quality) — deterministic but compressor-
+    defined, so rows-only for the driver; invariants are pytest-pinned
+    (tests/test_webtext_extras.py)."""
+    import ray.data as _rd
+
+    from mothray.ops import webtext
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return webtext.compression_quality(ds, "doc_id", "text")
+
+
+def _mmr_select_embeddings(sf_dir: str):
+    """Diversified top-10 by Maximal Marginal Relevance
+    (ann.mmr_select, lambda=0.7) against the min-vec_id query vector:
+    distributed top-100 candidate scan, driver-side greedy over the
+    tiny pool. Greedy fixpoint is not SQL-expressible — rows-only;
+    pinned vs a brute-force reference in pytest."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    emb = _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    min_id = _pc.min(emb.column("vec_id")).as_py()
+    qv = np.array(
+        emb.filter(_pc.equal(emb.column("vec_id"), min_id)).column("embedding")[0].as_py()
+    )
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rd.from_arrow(ann.mmr_select(ds, qv, k=10, pool_k=100, lam=0.7))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5757,6 +5834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sssp_orders"] = _sssp_orders
     q["changepoint_events"] = _changepoint_events
     q["pr_curve_orders"] = _pr_curve_orders
+    q["wilson_ci_orders"] = _wilson_ci_orders
+    q["source_overlap_documents"] = _source_overlap_documents
+    q["compression_quality_documents"] = _compression_quality_documents
+    q["mmr_select_embeddings"] = _mmr_select_embeddings
     return q
 
 
@@ -8204,6 +8285,45 @@ def oracle_sql() -> dict[str, str]:
         "   / CAST(2 * a.tp + a.fp + (tot.npos - a.tp) AS DOUBLE)"
         "  ELSE NULL END AS f1"
         " FROM agg a, tot ORDER BY a.thr"
+    )
+    o["wilson_ci_orders"] = (
+        # doubles evaluated in the op's exact textual order: p = s/n,
+        # d = 1 + z^2/n, center = (p + z^2/(2n))/d,
+        # half = z*sqrt(p(1-p)/n + z^2/(4nn))/d
+        "WITH c AS (SELECT o_orderpriority,"
+        "  CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s"
+        "  FROM orders GROUP BY o_orderpriority),"
+        " f AS (SELECT o_orderpriority, n, s,"
+        "  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,"
+        "  1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE) AS d FROM c),"
+        " g AS (SELECT o_orderpriority, n, s, p, d,"
+        "  (p + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) / d AS center,"
+        "  1.96 * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)"
+        "   + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / d"
+        "   AS half FROM f)"
+        " SELECT o_orderpriority, n, s AS successes, p,"
+        " center - half AS lo, center + half AS hi"
+        " FROM g ORDER BY o_orderpriority"
+    )
+    o["source_overlap_documents"] = (
+        # same word definition as the op: lowercase [a-z]+ runs,
+        # distinct per source; Jaccard = inter / (n1 + n2 - inter)
+        "WITH raw AS (SELECT source AS g,"
+        "  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w"
+        "  FROM documents WHERE source IS NOT NULL),"
+        " w AS (SELECT DISTINCT g, w FROM raw),"
+        " sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY g),"
+        " inter AS (SELECT a.g AS s1, b.g AS s2, CAST(count(*) AS BIGINT) AS i"
+        "  FROM w a JOIN w b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2),"
+        " pairs AS (SELECT x.g AS s1, y.g AS s2, x.n AS n1, y.n AS n2"
+        "  FROM sz x JOIN sz y ON x.g < y.g)"
+        " SELECT p.s1, p.s2, p.n1, p.n2,"
+        " CAST(COALESCE(i.i, 0) AS BIGINT) AS inter,"
+        " CAST(COALESCE(i.i, 0) AS DOUBLE)"
+        "  / CAST(p.n1 + p.n2 - COALESCE(i.i, 0) AS DOUBLE) AS jaccard"
+        " FROM pairs p LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2"
+        " ORDER BY p.s1, p.s2"
     )
     return o
 

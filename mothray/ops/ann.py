@@ -1042,3 +1042,92 @@ def reciprocal_nn(ds, column: str = "embedding", id_column: str = "vec_id"):
     return mutual.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     ).sort("u")
+
+
+def mmr_select(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    pool_k: int = 100,
+    lam: float = 0.7,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    round_digits: int = 6,
+):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998
+    — the standard diversified top-k used by RAG retrieval and corpus
+    curation): greedily pick k vectors maximizing
+
+        lam * cos(q, d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    from an exact cosine top-`pool_k` candidate pool. Ties break on the
+    lower vec_id; the first pick is the plain top-1. Returns a k-row
+    pa.Table (rank, vec_id, rel_r6, mmr_r6).
+
+    Scale: the distributed part is the candidate scan — per-batch
+    argpartition top-pool_k against the broadcast query (same shape as
+    brute_force_topk), shipping only pool_k (id, score, vector) rows
+    per batch; the greedy loop runs on the driver over a pool_k x dim
+    matrix (k * pool_k dot products — microscopic by design)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q_ref = ray.put(q / max(np.linalg.norm(q), 1e-300))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qn = ray.get(q_ref)
+        mat = _matrix(batch.column(column)).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+        scores = unit @ qn
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        take = min(pool_k, len(scores))
+        part = (
+            np.argpartition(-scores, take - 1)[:take]
+            if take
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                id_column: pa.array(ids[part]),
+                "score": pa.array(scores[part]),
+                "unit": pa.array(list(unit[part]), type=pa.list_(pa.float64())),
+            }
+        )
+
+    pool_rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["score", id_column], descending=[True, False])
+        .limit(pool_k)
+        .take_all()
+    )
+    ids = np.array([r[id_column] for r in pool_rows])
+    rel = np.array([r["score"] for r in pool_rows], dtype=np.float64)
+    units = np.array([r["unit"] for r in pool_rows], dtype=np.float64)
+
+    selected: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    picked = np.zeros(len(ids), dtype=bool)
+    out_rank, out_id, out_rel, out_mmr = [], [], [], []
+    for rank in range(1, min(k, len(ids)) + 1):
+        obj = lam * rel if not selected else lam * rel - (1.0 - lam) * max_sim
+        obj = np.where(picked, -np.inf, obj)
+        # earliest id wins ties: stable lexsort on (-obj, id)
+        order = np.lexsort((ids, -obj))
+        best = int(order[0])
+        selected.append(best)
+        picked[best] = True
+        out_rank.append(rank)
+        out_id.append(ids[best])
+        out_rel.append(round(float(rel[best]), round_digits))
+        out_mmr.append(round(float(obj[best]), round_digits))
+        sims = units @ units[best]
+        max_sim = np.maximum(max_sim, sims)
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            id_column: pa.array(out_id),
+            "rel_r6": pa.array(out_rel, pa.float64()),
+            "mmr_r6": pa.array(out_mmr, pa.float64()),
+        }
+    )

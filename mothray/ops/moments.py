@@ -1962,3 +1962,71 @@ def pr_curve(ds, score_col: str, label_col: str,
             "f1": pa.array(f1, pa.float64(), from_pandas=True),
         }
     )
+
+
+def wilson_ci(ds, group_col: str, flag_col: str, z: float = 1.96,
+              ) -> pa.Table:
+    """Per-group Wilson score confidence interval for a binomial
+    proportion (Wilson 1927 — the interval A/B dashboards use because
+    it behaves at p near 0/1): with p = s/n,
+
+        center = (p + z^2/(2n)) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/(4n^2)) / (1 + z^2/n)
+
+    Output per group: (group, n, successes int64; p, lo, hi float64).
+    The counts are integer-exact in any merge order and the interval
+    arithmetic is a fixed chain of IEEE double ops evaluated in the
+    same textual order as the SQL oracle, so the doubles (all in
+    [-0.1, 1.1]) stringify identically.
+
+    Scale: per-batch (group, n, s) combiner then one tiny group-sum —
+    the classic pre-aggregated proportion, one scan, no corpus rows
+    in the exchange."""
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = pc.cast(
+            pc.fill_null(pc.cast(batch.column(flag_col), pa.bool_()), False),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "s": f,
+            }
+        )
+        agg = t.group_by([group_col], use_threads=False).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+        return agg.rename_columns([group_col, "n", "s"])
+
+    totals = null_safe_group_aggregate(
+        ds.select_columns(sorted({group_col, flag_col})).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [group_col],
+        [Sum("n", alias_name="n"), Sum("s", alias_name="s")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = s / n
+        d = 1.0 + (z * z) / n
+        center = (p + (z * z) / (2.0 * n)) / d
+        half = z * np.sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n)) / d
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n": t.column("n"),
+                "successes": t.column("s"),
+                "p": pa.array(p, pa.float64()),
+                "lo": pa.array(center - half, pa.float64()),
+                "hi": pa.array(center + half, pa.float64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow").sort(group_col)

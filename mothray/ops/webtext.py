@@ -530,3 +530,139 @@ def readability(
         )
 
     return totals.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
+def compression_quality(
+    ds,
+    id_col: str = "doc_id",
+    column: str = "text",
+    level: int = 6,
+    round_digits: int = 6,
+):
+    """Per-document compression-ratio quality signal (the
+    entropy-by-compressor gate from Gopher/RefinedWeb-style curation:
+    highly compressible text is boilerplate/repetition, ratio ~1 text
+    is random noise — both tails get filtered). Emits per doc:
+
+        raw_bytes   = UTF-8 byte length
+        comp_bytes  = len(zlib.compress(utf8, level))
+        ratio_r6    = comp_bytes / max(raw_bytes, 1)
+
+    Deterministic for a fixed zlib (CPython bundles one zlib per
+    build), but not SQL-expressible — covered by invariant tests, not
+    a value oracle.
+
+    Scale: shuffle-free single pass; the per-doc zlib.compress call is
+    C-level work (the batch loop dispatches compressions, it does no
+    Python-level byte math), so this behaves like any other
+    CPU-bound map_batches stage and streams at 100 TB."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).combine_chunks().fill_null("")
+        raw = pc.binary_length(texts).cast(pa.int64())
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level)) for t in texts.to_pylist()),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        denom = np.maximum(raw.to_numpy(zero_copy_only=False), 1).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "raw_bytes": raw,
+                "comp_bytes": pa.array(comp),
+                "ratio_r6": pa.array(np.round(comp / denom, round_digits)),
+            }
+        )
+
+    return ds.select_columns(sorted({id_col, column})).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def source_overlap(ds, group_col: str = "source", column: str = "text"):
+    """Pairwise vocabulary overlap between corpus partitions: for each
+    unordered pair of groups, the exact Jaccard similarity of their
+    distinct lowercase ``[a-z]+`` word sets — the corpus-drift /
+    contamination report run before mixing web-scrape snapshots.
+    Output per pair (s1 < s2): (s1, s2, n1, n2, inter int64, jaccard
+    float64); pairs with empty intersection appear with inter = 0.
+
+    Scale: per-batch local distinct (group, word) combiner, one global
+    distinct groupby, a self-equi-join on the word key (multiplicity =
+    groups-per-word, i.e. tiny for real partition counts), and a
+    pair-count groupby; only (group, word) pairs cross the wire, never
+    documents. Vocab sizes and the final pair table are
+    groups^2-sized — driver-safe by construction."""
+    from .join import partitioned_join
+
+    def words(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(group_col)))
+        texts = pc.utf8_lower(t.column(column).combine_chunks().fill_null(""))
+        cleaned = pc.replace_substring_regex(texts, "[^a-z]+", " ")
+        lists = pc.utf8_split_whitespace(cleaned)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        counts = np.diff(lists.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+        flat = pa.table(
+            {
+                "g": t.column(group_col).combine_chunks().take(pa.array(parent)),
+                "w": lists.flatten(),
+            }
+        )
+        # split_whitespace emits empty tokens at string edges — drop them
+        flat = flat.filter(pc.greater(pc.utf8_length(flat.column("w")), 0))
+        return flat.group_by(["g", "w"], use_threads=False).aggregate([])
+
+    pairs = (
+        ds.select_columns(sorted({group_col, column}))
+        .map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "w"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    sizes = {
+        r["g"]: r["count()"]
+        for r in pairs.groupby("g").count().take_all()
+    }
+
+    def right_side(t: pa.Table) -> pa.Table:
+        return pa.table({"w": t.column("w"), "g2": t.column("g")})
+
+    joined = partitioned_join(
+        pairs, pairs.map_batches(right_side, batch_format="pyarrow"), on="w"
+    )
+    inter_rows = (
+        joined.map_batches(
+            lambda t: t.filter(pc.less(t.column("g"), t.column("g2"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["g", "g2"])
+        .count()
+        .take_all()
+    )
+    inter = {(r["g"], r["g2"]): r["count()"] for r in inter_rows}
+    gs = sorted(sizes)
+    s1c, s2c, n1c, n2c, ic, jc = [], [], [], [], [], []
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            a, b = gs[i], gs[j]
+            iv = inter.get((a, b), 0)
+            s1c.append(a)
+            s2c.append(b)
+            n1c.append(sizes[a])
+            n2c.append(sizes[b])
+            ic.append(iv)
+            jc.append(float(iv) / float(sizes[a] + sizes[b] - iv))
+    return pa.table(
+        {
+            "s1": pa.array(s1c),
+            "s2": pa.array(s2c),
+            "n1": pa.array(n1c, pa.int64()),
+            "n2": pa.array(n2c, pa.int64()),
+            "inter": pa.array(ic, pa.int64()),
+            "jaccard": pa.array(jc, pa.float64()),
+        }
+    )

@@ -1,0 +1,167 @@
+"""compression_quality + source_overlap (webtext.py), wilson_ci
+(moments.py) and mmr_select (ann.py) against brute-force references."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_compression_quality_invariants(ray_session):
+    import ray.data
+
+    from mothray.ops import webtext
+
+    docs = {
+        "rep": "spam " * 400,                      # highly compressible
+        "rand": "".join(
+            chr(c) for c in np.random.default_rng(0).integers(33, 123, 2000)
+        ),
+        "empty": "",
+        "short": "hi",
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(list(docs)), "text": pa.array(list(docs.values()))}
+    )
+    got = {
+        r["doc_id"]: r
+        for r in webtext.compression_quality(
+            ray.data.from_arrow(tbl), "doc_id", "text"
+        ).take_all()
+    }
+    for k, text in docs.items():
+        raw = len(text.encode("utf-8"))
+        comp = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[k]["raw_bytes"] == raw
+        assert got[k]["comp_bytes"] == comp
+        assert got[k]["ratio_r6"] == round(comp / max(raw, 1), 6)
+    # boilerplate compresses far better than high-entropy text
+    assert got["rep"]["ratio_r6"] < 0.05
+    assert got["rand"]["ratio_r6"] > 0.5
+
+
+def _brute_mmr(units, ids, rel, k, lam):
+    picked, out = set(), []
+    max_sim = np.full(len(ids), -np.inf)
+    for _ in range(k):
+        best, best_key = None, None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            obj = lam * rel[i] if not picked else lam * rel[i] - (1 - lam) * max_sim[i]
+            key = (-obj, ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = i, key
+        picked.add(best)
+        out.append(ids[best])
+        max_sim = np.maximum(max_sim, units @ units[best])
+    return out
+
+
+def test_mmr_select_matches_brute_force(ray_session):
+    import ray.data
+
+    from mothray.ops import ann
+
+    rng = np.random.default_rng(13)
+    n, dim = 200, 16
+    mat = rng.normal(size=(n, dim))
+    q = rng.normal(size=dim)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(5)
+    got = ann.mmr_select(ds, q, k=8, pool_k=n, lam=0.7)
+    units = mat / np.linalg.norm(mat, axis=1)[:, None]
+    rel = units @ (q / np.linalg.norm(q))
+    want = _brute_mmr(units, np.arange(n), rel, 8, 0.7)
+    assert got.column("vec_id").to_pylist() == [int(x) for x in want]
+    assert got.column("rank").to_pylist() == list(range(1, 9))
+    # first pick is the plain cosine top-1
+    assert got.column("vec_id")[0].as_py() == int(np.argmax(rel))
+
+
+def test_mmr_diversifies_vs_plain_topk(ray_session):
+    import ray.data
+
+    from mothray.ops import ann
+
+    # 3 identical-direction vectors plus one equally relevant but less
+    # redundant one: plain top-2 takes two clones; MMR must diversify
+    q = np.array([1.0, 0.0, 0.0])
+    vecs = np.array(
+        [[1.0, 0.3, 0.0], [2.0, 0.6, 0.0], [3.0, 0.9, 0.0], [1.0, -0.3, 0.0]]
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    )
+    got = ann.mmr_select(ds, q, k=2, pool_k=4, lam=0.5)
+    assert got.column("vec_id").to_pylist()[1] == 3
+
+
+def test_source_overlap_exact(ray_session):
+    import ray.data
+
+    from mothray.ops import webtext
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "c", None]),
+            "text": pa.array(
+                [
+                    "the cat sat",
+                    "The DOG!",
+                    "the dog ran",
+                    "zebra",
+                    "ignored words",
+                ]
+            ),
+        }
+    )
+    got = webtext.source_overlap(ray.data.from_arrow(tbl), "source", "text")
+    rows = {(r["s1"], r["s2"]): r for r in got.to_pylist()}
+    # a = {the,cat,sat,dog}, b = {the,dog,ran}, c = {zebra}
+    assert rows[("a", "b")]["inter"] == 2
+    assert rows[("a", "b")]["n1"] == 4 and rows[("a", "b")]["n2"] == 3
+    assert rows[("a", "b")]["jaccard"] == 2 / 5
+    assert rows[("a", "c")]["inter"] == 0 and rows[("a", "c")]["jaccard"] == 0.0
+    assert rows[("b", "c")]["inter"] == 0
+    assert len(rows) == 3  # null source excluded
+
+
+def test_wilson_ci_matches_formula(ray_session):
+    import ray.data
+
+    from mothray.ops import moments
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["x"] * 40 + ["y"] * 10),
+            "f": pa.array([True] * 10 + [False] * 30 + [True] * 9 + [False]),
+        }
+    )
+    got = {
+        r["g"]: r
+        for r in moments.wilson_ci(ray.data.from_arrow(tbl), "g", "f")
+        .take_all()
+    }
+    for g, n, s in [("x", 40, 10), ("y", 10, 9)]:
+        z = 1.96
+        p = s / n
+        d = 1.0 + (z * z) / n
+        center = (p + (z * z) / (2.0 * n)) / d
+        half = z * np.sqrt(p * (1.0 - p) / n + (z * z) / (4.0 * n * n)) / d
+        assert got[g]["n"] == n and got[g]["successes"] == s
+        assert got[g]["p"] == p
+        assert got[g]["lo"] == center - half
+        assert got[g]["hi"] == center + half
+        assert 0.0 <= got[g]["lo"] < p < got[g]["hi"] <= 1.0
