@@ -5535,6 +5535,33 @@ def _mmr_select_embeddings(sf_dir: str):
     return _rd.from_arrow(ann.mmr_select(ds, qv, k=10, pool_k=100, lam=0.7))
 
 
+def _feature_hash_documents(sf_dir: str):
+    """Hashing-trick document vectors (features.feature_hash, k=64):
+    fixed-width token-count vectors with no vocabulary pass — one
+    scatter per batch, no shuffle. Vector cells are exact but the
+    list column is not SQL-comparable — rows-only; the bucket math is
+    value-checked by feature_hash_hist_documents and pytest."""
+    import ray.data as _rd
+
+    from mothray.ops import features
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return features.feature_hash(ds, "doc_id", "text", k=64)
+
+
+def _feature_hash_hist_documents(sf_dir: str):
+    """Collision-load audit of the k=64 feature-hash space
+    (features.feature_hash_histogram): per bucket, exact token
+    occurrences + distinct-word count; the oracle replays the
+    codepoint rolling-FNV in SQL."""
+    import ray.data as _rd
+
+    from mothray.ops import features
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return _rd.from_arrow(features.feature_hash_histogram(ds, "text", k=64))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5838,6 +5865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["source_overlap_documents"] = _source_overlap_documents
     q["compression_quality_documents"] = _compression_quality_documents
     q["mmr_select_embeddings"] = _mmr_select_embeddings
+    q["feature_hash_hist_documents"] = _feature_hash_hist_documents
+    q["feature_hash_documents"] = _feature_hash_documents
     return q
 
 
@@ -8324,6 +8353,20 @@ def oracle_sql() -> dict[str, str]:
         "  / CAST(p.n1 + p.n2 - COALESCE(i.i, 0) AS DOUBLE) AS jaccard"
         " FROM pairs p LEFT JOIN inter i ON p.s1 = i.s1 AND p.s2 = i.s2"
         " ORDER BY p.s1, p.s2"
+    )
+    o["feature_hash_hist_documents"] = (
+        # bucket = rolling codepoint-FNV(word) % 64, same hash as
+        # fingerprint_documents / the sampling gates
+        "WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),"
+        " h AS (SELECT w, CAST("
+        "  list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "   list_transform(string_split(w, ''), c -> CAST(ord(c) AS HUGEINT))),"
+        "   (acc, cp) -> (acc * 1099511628211 + cp)"
+        "    % 18446744073709551616::HUGEINT) % 64 AS BIGINT) AS b"
+        "  FROM w0 WHERE w <> '')"
+        " SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(count(DISTINCT w) AS BIGINT) AS n_words"
+        " FROM h GROUP BY b ORDER BY bucket"
     )
     return o
 

@@ -548,3 +548,112 @@ def info_gain_split(
             "gain": pa.array([round(float(gain[best]), round_digits)], pa.float64()),
         }
     )
+
+
+def _split_words(texts: pa.Array | pa.ChunkedArray):
+    """Split on single spaces (SQL string_split(text, ' ') semantics),
+    returning (words_per_doc int64, flat word StringArray)."""
+    import pyarrow.compute as pc
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    words = pc.split_pattern(arr.fill_null(""), " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.diff(offs - offs[0]), words.flatten()
+
+
+def _word_buckets(flat_words, k: int) -> np.ndarray:
+    """Bucket id per word: rolling codepoint-FNV fingerprint mod k —
+    the exact hash the SQL oracles replicate via list_reduce."""
+    from .text import fingerprint_batch
+
+    fp = fingerprint_batch(pa.table({"w": flat_words}), "w").column("fingerprint")
+    return (fp.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(k)).astype(
+        np.int64
+    )
+
+
+def feature_hash(ds, id_col: str = "doc_id", column: str = "text", k: int = 64):
+    """Hashing-trick vectorizer (Weinberger et al. 2009): each document
+    becomes a fixed k-bucket token-count vector, bucket = FNV(word) %
+    k over the single-space word split (empty words dropped). The
+    standard collision-tolerant featurizer when the vocabulary is
+    unbounded — no vocabulary pass, no shuffle, output schema is fixed
+    at plan time. Returns (id, features list<int64> of length k) —
+    vector construction is one np.add.at scatter per batch."""
+
+    def vecs(batch: pa.Table) -> pa.Table:
+        counts, flat = _split_words(batch.column(column))
+        keep = np.asarray(
+            pa.compute.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        )
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        b = _word_buckets(flat.filter(pa.array(keep)), k)
+        mat = np.zeros((len(counts), k), dtype=np.int64)
+        np.add.at(mat, (parent, b), 1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.int64()), k
+                ),
+            }
+        )
+
+    return ds.select_columns(sorted({id_col, column})).map_batches(
+        vecs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def feature_hash_histogram(ds, column: str = "text", k: int = 64):
+    """Global audit of a feature_hash space: per bucket, total token
+    occurrences and distinct words landing there (the collision-load
+    report read before committing to a k). Exact and SQL-checkable
+    (the oracle replays the FNV in list_reduce).
+
+    Scale: token totals ride a per-batch k-row combiner; distinct
+    words need one (bucket, word) distinct groupby whose exchange
+    carries each batch's LOCAL distinct words once — vocabulary-sized,
+    not corpus-sized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts, flat = _split_words(batch.column(column))
+        keep = np.asarray(
+            pa.compute.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        )
+        flat = flat.filter(pa.array(keep))
+        b = _word_buckets(flat, k)
+        t = pa.table({"b": pa.array(b), "w": flat})
+        agg = t.group_by(["b", "w"], use_threads=False).aggregate([([], "count_all")])
+        return agg.rename_columns(["b", "w", "cnt"])
+
+    pairs = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["b", "w"])
+        .sum("cnt")
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "b": t.column("b"),
+                "n_tokens": t.column("sum(cnt)"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    out = (
+        pairs.map_batches(per_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .sum(["n_tokens", "one"])
+        .take_all()
+    )  # k rows
+    rows = sorted(out, key=lambda r: r["b"])
+    return pa.table(
+        {
+            "bucket": pa.array([r["b"] for r in rows], pa.int64()),
+            "n_tokens": pa.array([r["sum(n_tokens)"] for r in rows], pa.int64()),
+            "n_words": pa.array([r["sum(one)"] for r in rows], pa.int64()),
+        }
+    )

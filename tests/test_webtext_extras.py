@@ -165,3 +165,60 @@ def test_wilson_ci_matches_formula(ray_session):
         assert got[g]["lo"] == center - half
         assert got[g]["hi"] == center + half
         assert 0.0 <= got[g]["lo"] < p < got[g]["hi"] <= 1.0
+
+
+def _brute_fnv(word: str) -> int:
+    h = 0
+    for ch in word:
+        h = (h * 1099511628211 + ord(ch)) % (1 << 64)
+    return h
+
+
+def test_feature_hash_vectors_match_brute(ray_session):
+    import ray.data
+
+    from mothray.ops import features
+
+    docs = {"d1": "the cat  sat", "d2": "", "d3": "über cool über"}
+    tbl = pa.table(
+        {"doc_id": pa.array(list(docs)), "text": pa.array(list(docs.values()))}
+    )
+    k = 8
+    got = {
+        r["doc_id"]: r["features"]
+        for r in features.feature_hash(
+            ray.data.from_arrow(tbl), "doc_id", "text", k=k
+        ).take_all()
+    }
+    for d, text in docs.items():
+        want = [0] * k
+        for w in text.split(" "):
+            if w:
+                want[_brute_fnv(w) % k] += 1
+        assert list(got[d]) == want, d
+
+
+def test_feature_hash_histogram_consistency(ray_session):
+    import ray.data
+
+    from mothray.ops import features
+
+    texts = ["a b c", "a a d", "e f", ""]
+    tbl = pa.table({"text": pa.array(texts)})
+    k = 4
+    got = features.feature_hash_histogram(
+        ray.data.from_arrow(tbl).repartition(3), "text", k=k
+    )
+    words = [w for t in texts for w in t.split(" ") if w]
+    vocab = set(words)
+    assert sum(got.column("n_tokens").to_pylist()) == len(words)
+    assert sum(got.column("n_words").to_pylist()) == len(vocab)
+    want_tok, want_voc = {}, {}
+    for w in vocab:
+        b = _brute_fnv(w) % k
+        want_voc[b] = want_voc.get(b, 0) + 1
+        want_tok[b] = want_tok.get(b, 0) + words.count(w)
+    rows = {
+        r["bucket"]: (r["n_tokens"], r["n_words"]) for r in got.to_pylist()
+    }
+    assert rows == {b: (want_tok[b], want_voc[b]) for b in want_voc}
