@@ -5562,6 +5562,56 @@ def _feature_hash_hist_documents(sf_dir: str):
     return _rd.from_arrow(features.feature_hash_histogram(ds, "text", k=64))
 
 
+def _subtree_sum_orders(sf_dir: str):
+    """Hierarchy rollup (graph.tree_rollup): orders hash onto nodes of
+    the implicit tree parent = node // 3 (root 0); every node reports
+    its subtree's total order cents and order count. Ancestor closure
+    by pointer doubling — log2(depth) join rounds; the oracle is the
+    classic recursive ancestor CTE."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import graph
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def prep(batch):
+        node = _pc.subtract(
+            batch.column("o_orderkey"),
+            _pc.multiply(_pc.divide(batch.column("o_orderkey"), 1499), 1499),
+        )
+        cents = _pc.cast(
+            _pc.floor(
+                _pc.add(_pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        import numpy as _np
+
+        return pa.table(
+            {
+                "child": node.cast(pa.int64()),
+                "cents": cents,
+                "one": pa.array(_np.ones(batch.num_rows, dtype=_np.int64)),
+            }
+        )
+
+    vals = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def edges_of(batch):
+        n = batch.column("child")
+        keep = _pc.greater(n, 0)
+        n = n.filter(keep)
+        return pa.table({"child": n, "parent": _pc.divide(n, 3)})
+
+    edges = vals.map_batches(edges_of, batch_format="pyarrow")
+    return graph.tree_rollup(vals, edges, "child", "parent", ["cents", "one"]).sort(
+        "node"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5867,6 +5917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mmr_select_embeddings"] = _mmr_select_embeddings
     q["feature_hash_hist_documents"] = _feature_hash_hist_documents
     q["feature_hash_documents"] = _feature_hash_documents
+    q["subtree_sum_orders"] = _subtree_sum_orders
     return q
 
 
@@ -8367,6 +8418,22 @@ def oracle_sql() -> dict[str, str]:
         " SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,"
         " CAST(count(DISTINCT w) AS BIGINT) AS n_words"
         " FROM h GROUP BY b ORDER BY bucket"
+    )
+    o["subtree_sum_orders"] = (
+        # recursive ancestor CTE over the implicit parent = node // 3
+        # forest; UNION-distinct reaches the 0 // 3 = 0 fixpoint
+        "WITH RECURSIVE v AS (SELECT o_orderkey % 1499 AS node,"
+        "  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents"
+        "  FROM orders),"
+        " anc(node, a) AS ("
+        "  SELECT DISTINCT node, node FROM v"
+        "  UNION"
+        "  SELECT anc.node, anc.a // 3 FROM anc WHERE anc.a > 0"
+        " )"
+        " SELECT anc.a AS node, CAST(sum(v.cents) AS BIGINT) AS sum_cents,"
+        " CAST(count(*) AS BIGINT) AS sum_one"
+        " FROM anc JOIN v ON anc.node = v.node"
+        " GROUP BY anc.a ORDER BY node"
     )
     return o
 

@@ -980,3 +980,89 @@ def sssp_bounded(edges, src: str, dst: str, max_hops: int = 3,
         )
 
     return best.sort("node")
+
+
+def tree_rollup(values, edges, node_col: str, parent_col: str,
+                value_cols: list[str]):
+    """Hierarchy rollup: for every node, the sum of each value column
+    over its whole subtree (descendants + itself) under the forest
+    given by (child, parent) `edges`. The SQL analog is a recursive
+    ancestor CTE + join-aggregate; here the ancestor closure is built
+    by POINTER DOUBLING — round r composes the pair set with itself,
+    so paths of length 2^r are covered after r rounds and a depth-d
+    hierarchy needs only ceil(log2(d)) join rounds, not d.
+
+    Output: one row per node that is an ancestor of (or is) any valued
+    node: (node, sum_<col>... all int64), sorted by node.
+
+    Scale: each round is one hash self-join + distinct groupby over
+    the (node, ancestor) pair set — sum(depth) rows, the same closure
+    a recursive engine materializes, but in log(depth) supersteps;
+    per-round driver traffic is one count. Values join the closure
+    once at the end."""
+    import pyarrow.compute as pc
+
+    from .join import partitioned_join
+
+    def canon_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(node_col).cast(pa.int64())
+        b = batch.column(parent_col).cast(pa.int64())
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        return pa.table({"n": a.filter(ok), "a": b.filter(ok)})
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.column(node_col).cast(pa.int64())
+        n = n.filter(pc.is_valid(n))
+        return pa.table({"n": n, "a": n})
+
+    def distinct(ds):
+        return (
+            ds.groupby(["n", "a"]).count().drop_columns(["count()"]).materialize()
+        )
+
+    pairs = distinct(
+        edges.map_batches(canon_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            values.map_batches(self_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    )
+    count = pairs.count()
+    for _ in range(32):  # 2^32 depth bound — loop exits at fixpoint
+        mid = pairs.map_batches(
+            lambda t: pa.table({"m": t.column("n"), "a": t.column("a")}),
+            batch_format="pyarrow",
+        )
+        left = pairs.map_batches(
+            lambda t: pa.table({"n": t.column("n"), "m": t.column("a")}),
+            batch_format="pyarrow",
+        )
+        composed = partitioned_join(left, mid, on="m").map_batches(
+            lambda t: pa.table({"n": t.column("n"), "a": t.column("a")}),
+            batch_format="pyarrow",
+        )
+        pairs = distinct(pairs.union(composed))
+        new_count = pairs.count()
+        if new_count == count:
+            break
+        count = new_count
+
+    def vals(batch: pa.Table) -> pa.Table:
+        n = batch.column(node_col).cast(pa.int64())
+        cols = {"n": n}
+        for c in value_cols:
+            cols[c] = batch.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    joined = partitioned_join(
+        pairs, values.map_batches(vals, batch_format="pyarrow", zero_copy_batch=True),
+        on="n",
+    )
+    agg = joined.groupby("a").sum(value_cols)
+    out = agg.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("a"),
+             **{f"sum_{c}": t.column(f"sum({c})") for c in value_cols}}
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort("node")

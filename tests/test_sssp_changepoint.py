@@ -191,3 +191,46 @@ def test_pr_curve_matches_brute(ray_session):
             assert prec == tp / (tp + fp)
         assert got.column("recall")[i].as_py() == tp / npos
         assert got.column("f1")[i].as_py() == (2 * tp) / (2 * tp + fp + (npos - tp))
+
+
+def test_tree_rollup_matches_brute(ray_session):
+    import ray.data
+
+    from mothray.ops import graph
+
+    rng = np.random.default_rng(21)
+    n = 30
+    vals_n = rng.integers(0, n, 80)           # nodes may repeat / be missing
+    vals_v = rng.integers(-5, 50, 80)
+    vtbl = pa.table(
+        {
+            "child": pa.array(vals_n, pa.int64()),
+            "v": pa.array(vals_v, pa.int64()),
+        }
+    )
+    # complete tree: parent = child // 4 for every node 1..n-1, root 0
+    kids = list(range(1, n))
+    etbl = pa.table(
+        {
+            "child": pa.array(kids, pa.int64()),
+            "parent": pa.array([k // 4 for k in kids], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["sum_v"]
+        for r in graph.tree_rollup(
+            ray.data.from_arrow(vtbl).repartition(4),
+            ray.data.from_arrow(etbl),
+            "child",
+            "parent",
+            ["v"],
+        ).take_all()
+    }
+    want = collections.defaultdict(int)
+    for node, v in zip(vals_n, vals_v):
+        a = int(node)
+        want[a] += int(v)
+        while a > 0:
+            a //= 4
+            want[a] += int(v)
+    assert got == dict(want)
