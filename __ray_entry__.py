@@ -5612,6 +5612,23 @@ def _subtree_sum_orders(sf_dir: str):
     )
 
 
+def _assoc_rules_lineitem(sf_dir: str):
+    """Association rules (basket.association_rules) from the top-20
+    co-purchased part pairs per order: integer-exact pair/item/basket
+    counts, support/confidence/lift as single divisions — the Agrawal
+    rule read-out on top of the existing distributed pair mining."""
+    import ray.data as _rd
+
+    from mothray.ops import basket
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return _rd.from_arrow(
+        basket.association_rules(ds, "l_orderkey", "l_partkey", k=20)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5918,6 +5935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["feature_hash_hist_documents"] = _feature_hash_hist_documents
     q["feature_hash_documents"] = _feature_hash_documents
     q["subtree_sum_orders"] = _subtree_sum_orders
+    q["assoc_rules_lineitem"] = _assoc_rules_lineitem
     return q
 
 
@@ -8434,6 +8452,30 @@ def oracle_sql() -> dict[str, str]:
         " CAST(count(*) AS BIGINT) AS sum_one"
         " FROM anc JOIN v ON anc.node = v.node"
         " GROUP BY anc.a ORDER BY node"
+    )
+    o["assoc_rules_lineitem"] = (
+        # top-20 pairs by (cnt DESC, a, b) — the op's exact tie-break —
+        # then both directed rules per pair; ratios are single divisions
+        "WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i"
+        "  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),"
+        " nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),"
+        " ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY i),"
+        " pc AS (SELECT x.i AS ia, y.i AS ib, CAST(count(*) AS BIGINT) AS c"
+        "  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),"
+        " top AS (SELECT * FROM pc ORDER BY c DESC, ia, ib LIMIT 20),"
+        " rules AS ("
+        "  SELECT ia AS ante, ib AS cons, t.c AS pair_cnt,"
+        "   a.c AS ante_cnt, b.c AS cons_cnt"
+        "  FROM top t JOIN ic a ON t.ia = a.i JOIN ic b ON t.ib = b.i"
+        "  UNION ALL"
+        "  SELECT ib, ia, t.c, b.c, a.c"
+        "  FROM top t JOIN ic a ON t.ia = a.i JOIN ic b ON t.ib = b.i)"
+        " SELECT ante, cons, pair_cnt, ante_cnt, cons_cnt,"
+        " CAST(pair_cnt AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,"
+        " CAST(pair_cnt AS DOUBLE) / CAST(ante_cnt AS DOUBLE) AS confidence,"
+        " CAST(pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE)"
+        "  / (CAST(ante_cnt AS DOUBLE) * CAST(cons_cnt AS DOUBLE)) AS lift"
+        " FROM rules, nb ORDER BY ante, cons"
     )
     return o
 

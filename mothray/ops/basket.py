@@ -187,3 +187,117 @@ def frequent_triples(
     return counted.sort(
         ["cnt", "item_a", "item_b", "item_c"], descending=[True, False, False, False]
     ).limit(k)
+
+
+def association_rules(
+    ds,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    k: int = 20,
+):
+    """Association rules from the top-k co-occurring item pairs: each
+    unordered pair yields both directed rules a -> b with
+
+        support    = pair_cnt / n_baskets
+        confidence = pair_cnt / ante_cnt
+        lift       = pair_cnt * n_baskets / (ante_cnt * cons_cnt)
+
+    over distinct-item baskets — the classic Agrawal-style rule read
+    out once pair mining (copurchase_pairs) is done. Counts are
+    integer-exact; the three ratios are single divisions. Output
+    (ante, cons, pair_cnt, ante_cnt, cons_cnt int64; support,
+    confidence, lift float64) sorted by (ante, cons).
+
+    Scale: pair mining is the existing distributed top-k; the rule
+    read-out touches only the 2k winning rows — item supports for
+    JUST the winning items come from one filtered distinct-count
+    aggregate, and n_baskets is one distinct-key count. Nothing
+    basket-shaped reaches the driver."""
+    import pyarrow.compute as pc
+
+    top = copurchase_pairs(ds, basket_col, item_col, k).take_all()  # k rows
+    if not top:
+        return pa.table(
+            {
+                "ante": pa.array([], pa.int64()),
+                "cons": pa.array([], pa.int64()),
+                "pair_cnt": pa.array([], pa.int64()),
+                "ante_cnt": pa.array([], pa.int64()),
+                "cons_cnt": pa.array([], pa.int64()),
+                "support": pa.array([], pa.float64()),
+                "confidence": pa.array([], pa.float64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+    items = sorted({r["item_a"] for r in top} | {r["item_b"] for r in top})
+
+    proj = ds.select_columns(sorted({basket_col, item_col}))
+
+    def distinct_bi(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(basket_col)),
+            pc.is_valid(batch.column(item_col)),
+        )
+        t = batch.filter(ok)
+        return (
+            t.select([basket_col, item_col])
+            .group_by([basket_col, item_col], use_threads=False)
+            .aggregate([])
+        )
+
+    bi = proj.map_batches(distinct_bi, batch_format="pyarrow", zero_copy_batch=True)
+    n_baskets = (
+        bi.groupby(basket_col).count().count()
+    )
+    wanted = pa.array(items, pa.int64())
+    # the per-batch distinct is only LOCAL — a (basket, item) pair whose
+    # rows span blocks would double-count, so re-distinct globally on
+    # the winner-filtered (tiny) pair set before counting
+    item_counts = {
+        r[item_col]: r["count()"]
+        for r in (
+            bi.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(pc.cast(t.column(item_col), pa.int64()), value_set=wanted)
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby([basket_col, item_col])
+            .count()
+            .groupby(item_col)
+            .count()
+            .take_all()
+        )
+    }
+    nb = float(n_baskets)
+    ante, cons, pcnt, acnt, ccnt = [], [], [], [], []
+    for r in top:
+        for a, b in ((r["item_a"], r["item_b"]), (r["item_b"], r["item_a"])):
+            ante.append(a)
+            cons.append(b)
+            pcnt.append(r["cnt"])
+            acnt.append(item_counts[a])
+            ccnt.append(item_counts[b])
+    order = sorted(range(len(ante)), key=lambda i: (ante[i], cons[i]))
+    ante = [ante[i] for i in order]
+    cons = [cons[i] for i in order]
+    pcnt = [pcnt[i] for i in order]
+    acnt = [acnt[i] for i in order]
+    ccnt = [ccnt[i] for i in order]
+    support = [float(p) / nb for p in pcnt]
+    confidence = [float(p) / float(a) for p, a in zip(pcnt, acnt)]
+    lift = [
+        float(p) * nb / (float(a) * float(c)) for p, a, c in zip(pcnt, acnt, ccnt)
+    ]
+    return pa.table(
+        {
+            "ante": pa.array(ante, pa.int64()),
+            "cons": pa.array(cons, pa.int64()),
+            "pair_cnt": pa.array(pcnt, pa.int64()),
+            "ante_cnt": pa.array(acnt, pa.int64()),
+            "cons_cnt": pa.array(ccnt, pa.int64()),
+            "support": pa.array(support, pa.float64()),
+            "confidence": pa.array(confidence, pa.float64()),
+            "lift": pa.array(lift, pa.float64()),
+        }
+    )
