@@ -5629,6 +5629,33 @@ def _assoc_rules_lineitem(sf_dir: str):
     )
 
 
+def _stickiness_events(sf_dir: str):
+    """Per-day DAU/MAU engagement ratio (window.stickiness): two
+    grid-replication rolling-distinct passes (windows 1 and 28) joined
+    on the day — integer-exact counts, single-division ratio."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return _rd.from_arrow(window.stickiness(ds, "ts", "user_id", window_days=28))
+
+
+def _debounce_events(sf_dir: str):
+    """Rapid-repeat suppression (window.debounce): keep an event iff
+    it is its (user, event_type) partition's first or arrives > 60 s
+    after the immediately preceding one — one null-safe grouped
+    shuffle, numpy diff per group; the oracle is the SQL lag form."""
+    import ray.data as _rd
+
+    from mothray.ops import window
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    return window.debounce(ds, ["user_id", "event_type"], "ts", "event_id", 60)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5936,6 +5963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["feature_hash_documents"] = _feature_hash_documents
     q["subtree_sum_orders"] = _subtree_sum_orders
     q["assoc_rules_lineitem"] = _assoc_rules_lineitem
+    q["stickiness_events"] = _stickiness_events
+    q["debounce_events"] = _debounce_events
     return q
 
 
@@ -8476,6 +8505,29 @@ def oracle_sql() -> dict[str, str]:
         " CAST(pair_cnt AS DOUBLE) * CAST(nb.n AS DOUBLE)"
         "  / (CAST(ante_cnt AS DOUBLE) * CAST(cons_cnt AS DOUBLE)) AS lift"
         " FROM rules, nb ORDER BY ante, cons"
+    )
+    o["stickiness_events"] = (
+        # DAU / trailing-28-day MAU per observed day; day window is
+        # [d-27, d] inclusive, matching the grid replication
+        "WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS k"
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),"
+        " days AS (SELECT DISTINCT d FROM g),"
+        " mau AS (SELECT dy.d, CAST(count(DISTINCT g.k) AS BIGINT) AS mau"
+        "  FROM days dy JOIN g ON g.d BETWEEN dy.d - 27 AND dy.d GROUP BY dy.d),"
+        " dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM g GROUP BY d)"
+        " SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, mau.mau,"
+        " CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness"
+        " FROM dau JOIN mau ON dau.d = mau.d ORDER BY day"
+    )
+    o["debounce_events"] = (
+        "WITH c AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS tu"
+        "  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),"
+        " w AS (SELECT *, lag(tu) OVER"
+        "  (PARTITION BY user_id, event_type ORDER BY tu, event_id) AS prev"
+        "  FROM c)"
+        " SELECT user_id, event_type, event_id, CAST(tu AS BIGINT) AS ts_us"
+        " FROM w WHERE prev IS NULL OR tu - prev > 60000000"
+        " ORDER BY ts_us, event_id"
     )
     return o
 

@@ -1157,3 +1157,72 @@ def changepoint(ds, key_col: str, ts_col: str, value_col: str,
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def stickiness(ds, ts_col: str, key_col: str, window_days: int = 28):
+    """Per-day DAU/MAU stickiness: distinct keys active that day
+    divided by distinct keys active in the trailing `window_days`
+    window (inclusive) — the standard engagement ratio. Composition of
+    two rolling_distinct passes (window 1 and window_days) joined on
+    the day; counts are integer-exact, the ratio is one division.
+    Output: (day ISO string, dau, mau int64, stickiness float64).
+
+    Scale: both legs are the grid-replication shape of
+    rolling_distinct (exchanges bounded by days x active keys); the
+    join happens on the days-sized result."""
+    dau_t = rolling_distinct(ds, ts_col, key_col, window_days=1).take_all()
+    mau_t = rolling_distinct(ds, ts_col, key_col, window_days=window_days).take_all()
+    dau = {r["day"]: r["users"] for r in dau_t}
+    mau = {r["day"]: r["users"] for r in mau_t}
+    days = sorted(dau)
+    return pa.table(
+        {
+            "day": pa.array(days),
+            "dau": pa.array([dau[d] for d in days], pa.int64()),
+            "mau": pa.array([mau[d] for d in days], pa.int64()),
+            "stickiness": pa.array(
+                [float(dau[d]) / float(mau[d]) for d in days], pa.float64()
+            ),
+        }
+    )
+
+
+def debounce(ds, key_cols: list[str], ts_col: str, id_col: str,
+             min_gap_s: int = 60):
+    """Rapid-repeat suppression: within each key partition (ordered by
+    (ts, id)), keep a row iff it is the partition's first or its gap
+    from the IMMEDIATELY PRECEDING row exceeds `min_gap_s` — the
+    vectorizable debounce used for bot/double-fire filtering (SQL:
+    lag(ts) OVER (PARTITION BY keys ORDER BY ts, id)). Nulls in ts/id
+    drop; null key values form their own partition (SQL GROUP BY
+    semantics via the null-safe shuffle). Output: kept rows
+    (*key_cols, id, ts_us int64) sorted by (ts_us, id).
+
+    One grouped shuffle; the per-group filter is a numpy diff."""
+
+    def keep(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap_ok = np.r_[True, (ts[1:] - ts[:-1]) > min_gap_s * 1_000_000]
+        g = g.filter(pa.array(gap_ok))
+        return pa.table(
+            {
+                **{k: g.column(k) for k in key_cols},
+                id_col: g.column(id_col),
+                "ts_us": g.column(ts_col).cast(pa.int64()),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(id_col))
+        )
+        return batch.select(sorted({*key_cols, ts_col, id_col})).filter(ok)
+
+    proj = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    return null_safe_group_map(proj, key_cols, keep).sort(["ts_us", id_col])

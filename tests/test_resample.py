@@ -168,3 +168,64 @@ def test_resample_dense_grid_no_gaps(ray_session):
     assert got["n_obs"].sum() == 3
     diffs = got["bucket"].diff().dropna().unique()
     assert len(diffs) == 1 and diffs[0] == pd.Timedelta(hours=1)
+
+
+def test_debounce_keeps_first_and_gapped(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "u": pa.array(["a", "a", "a", "a", "b", None]),
+            "t": pa.array(["x", "x", "x", "y", "x", "x"]),
+            "ts": pa.array(
+                [base, base + 30_000_000, base + 100_000_000, base + 1,
+                 base, base + 5],
+                pa.timestamp("us"),
+            ),
+            "eid": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    got = window.debounce(
+        ray.data.from_arrow(tbl), ["u", "t"], "ts", "eid", min_gap_s=60
+    ).take_all()
+    kept = sorted(r["eid"] for r in got)
+    # eid 2 is 30s after eid 1 (same partition) -> dropped; eid 3 is
+    # 70s after eid 2 (the PRECEDING row, kept or not) -> kept; eid 4
+    # other event_type; eid 5 other user; eid 6 null-user partition
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_stickiness_ratio_exact(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import window
+
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = [
+        ("u1", 0), ("u2", 0),           # day 0: dau 2
+        ("u1", 1),                       # day 1: dau 1, mau(28) 2
+        ("u3", 30),                      # day 30: window [3..30] -> only u3
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in rows]),
+            "ts": pa.array([base + d * day for _, d in rows], pa.timestamp("us")),
+        }
+    )
+    got = {
+        r["day"]: r
+        for r in window.stickiness(
+            ray.data.from_arrow(tbl), "ts", "user_id", window_days=28
+        ).to_pylist()
+    }
+    days = sorted(got)
+    assert [got[d]["dau"] for d in days] == [2, 1, 1]
+    assert [got[d]["mau"] for d in days] == [2, 2, 1]
+    assert got[days[1]]["stickiness"] == 0.5
+    assert got[days[2]]["stickiness"] == 1.0
