@@ -5656,6 +5656,60 @@ def _debounce_events(sf_dir: str):
     return window.debounce(ds, ["user_id", "event_type"], "ts", "event_id", 60)
 
 
+def _knn_accuracy_embeddings(sf_dir: str):
+    """Leave-one-out 5-NN classification report over the embedding
+    corpus (ann.knn_accuracy): broadcast corpus matrix, per-batch
+    float64 matmul + lexicographic top-k, majority vote with
+    deterministic tie-breaks. Exact but O(n^2) eval harness — the
+    float tie-break chain is not SQL-expressible, so rows-only;
+    pinned vs a numpy brute force in pytest."""
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rd.from_arrow(ann.knn_accuracy(ds, k=5))
+
+
+def _label_centroids_embeddings(sf_dir: str):
+    """Per-label embedding centroids on a 1e-6 integer grid
+    (ann.label_centroids): per-batch scatter-add combiner, one
+    (label, dim) groupby — int64-exact sums, single-division
+    centroids; the oracle unnests the vector column in SQL."""
+    import ray.data as _rd
+
+    from mothray.ops import ann
+
+    ds = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _rd.from_arrow(ann.label_centroids(ds))
+
+
+def _fd_check_orders(sf_dir: str):
+    """Functional-dependency audit o_custkey -> o_orderpriority
+    (profile.fd_check): distinct-pair combiner, per-key distinct
+    counts — one int64 summary row."""
+    import ray.data as _rd
+
+    from mothray.ops import profile
+
+    ds = _rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    return _rd.from_arrow(profile.fd_check(ds, "o_custkey", "o_orderpriority"))
+
+
+def _topn_other_events(sf_dir: str):
+    """Top-10 users by event count with the tail lumped into OTHER
+    (extreme.topn_other): combiner-shaped value counts, driver-side
+    cut on the distinct-values-sized result."""
+    import ray.data as _rd
+
+    from mothray.ops import extreme
+
+    ds = _rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return _rd.from_arrow(extreme.topn_other(ds, "user_id", n=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -5965,6 +6019,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["assoc_rules_lineitem"] = _assoc_rules_lineitem
     q["stickiness_events"] = _stickiness_events
     q["debounce_events"] = _debounce_events
+    q["label_centroids_embeddings"] = _label_centroids_embeddings
+    q["fd_check_orders"] = _fd_check_orders
+    q["topn_other_events"] = _topn_other_events
+    q["knn_accuracy_embeddings"] = _knn_accuracy_embeddings
     return q
 
 
@@ -8528,6 +8586,42 @@ def oracle_sql() -> dict[str, str]:
         " SELECT user_id, event_type, event_id, CAST(tu AS BIGINT) AS ts_us"
         " FROM w WHERE prev IS NULL OR tu - prev > 60000000"
         " ORDER BY ts_us, event_id"
+    )
+    o["label_centroids_embeddings"] = (
+        # same floor(x*1e6 + 0.5) grid as the op; embedding[i] is
+        # 1-indexed list extract, i from a lateral generate_series
+        "WITH e AS (SELECT label,"
+        "  CAST(t.i AS BIGINT) AS dim,"
+        "  CAST(floor(CAST(embedding[CAST(t.i AS BIGINT)] AS DOUBLE)"
+        "   * 1000000 + 0.5) AS BIGINT) AS q"
+        "  FROM embeddings,"
+        "  UNNEST(generate_series(1, CAST(len(embedding) AS BIGINT))) AS t(i)"
+        "  WHERE label IS NOT NULL)"
+        " SELECT CAST(label AS BIGINT) AS label, dim,"
+        " CAST(sum(q) AS BIGINT) AS sum_q, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)"
+        "  AS centroid"
+        " FROM e GROUP BY 1, 2 ORDER BY label, dim"
+    )
+    o["fd_check_orders"] = (
+        "WITH p AS (SELECT DISTINCT o_custkey AS d, o_orderpriority AS v"
+        "  FROM orders WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL),"
+        " k AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY d)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_keys,"
+        " CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,"
+        " CAST(max(c) AS BIGINT) AS max_distinct,"
+        " CAST(sum(c - 1) AS BIGINT) AS surplus"
+        " FROM k"
+    )
+    o["topn_other_events"] = (
+        "WITH c AS (SELECT COALESCE(CAST(user_id AS VARCHAR), 'NULL') AS v,"
+        "  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),"
+        " r AS (SELECT v, cnt,"
+        "  row_number() OVER (ORDER BY cnt DESC, v) AS rk FROM c)"
+        " SELECT v AS value, cnt FROM r WHERE rk <= 10"
+        " UNION ALL"
+        " SELECT 'OTHER', CAST(sum(cnt) AS BIGINT) FROM r WHERE rk > 10"
+        " HAVING sum(cnt) > 0"
     )
     return o
 

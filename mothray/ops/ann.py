@@ -1131,3 +1131,143 @@ def mmr_select(
             "mmr_r6": pa.array(out_mmr, pa.float64()),
         }
     )
+
+
+def knn_accuracy(
+    ds,
+    k: int = 5,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    label_column: str = "label",
+):
+    """Leave-one-out k-NN classification report over the corpus: each
+    vector is classified by the majority label of its k nearest
+    cosine neighbors (self excluded; similarity ties break on lower
+    vec_id, label ties on the smaller label) and scored against its
+    own label. Output per true label: (label, n, n_correct int64,
+    accuracy float64) — the standard embedding-quality probe run
+    before committing to a space.
+
+    Scale: the corpus matrix is broadcast once (ray.put) and every
+    batch scores against it with one float64 matmul + argpartition —
+    the same exact-eval harness shape as ann_recall. O(n^2) by
+    nature: an eval op for sampled corpora, not a production join
+    (cap the input with a hash_sample at scale)."""
+    import ray
+
+    rows = ds.select_columns([id_column, column, label_column]).take_all()
+    ids = np.array([r[id_column] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    labels = np.array([r[label_column] for r in rows], dtype=np.int64)[order]
+    mat = np.array([r[column] for r in rows], dtype=np.float64)[order]
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0, 1.0, norms)[:, None]
+    ref = ray.put((ids, labels, unit))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        a_ids, a_labels, a_unit = ray.get(ref)
+        bm = _matrix(batch.column(column)).astype(np.float64)
+        bn = np.linalg.norm(bm, axis=1)
+        bu = bm / np.where(bn == 0, 1.0, bn)[:, None]
+        bids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        btrue = batch.column(label_column).to_numpy(zero_copy_only=False)
+        sims = bu @ a_unit.T
+        # exclude self, break similarity ties on lower corpus id
+        self_mask = bids[:, None] == a_ids[None, :]
+        sims[self_mask] = -np.inf
+        # lexicographic top-k: sort by (-sim, id) per row
+        ordk = np.lexsort((np.broadcast_to(a_ids, sims.shape), -sims), axis=1)[:, :k]
+        neigh_labels = a_labels[ordk]
+        n_rows = len(bids)
+        pred = np.empty(n_rows, dtype=np.int64)
+        for i in range(n_rows):  # k-length vote per row — trivial work
+            vals, cnts = np.unique(neigh_labels[i], return_counts=True)
+            pred[i] = vals[cnts == cnts.max()].min()
+        return pa.table(
+            {
+                "label": pa.array(btrue.astype(np.int64)),
+                "n": pa.array(np.ones(n_rows, dtype=np.int64)),
+                "n_correct": pa.array((pred == btrue).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.select_columns([id_column, column, label_column])
+        .map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .sum(["n", "n_correct"])
+        .take_all()
+    )
+    rows = sorted(agg, key=lambda r: r["label"])
+    n = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    c = np.array([r["sum(n_correct)"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "label": pa.array([r["label"] for r in rows], pa.int64()),
+            "n": pa.array(n),
+            "n_correct": pa.array(c),
+            "accuracy": pa.array(c.astype(np.float64) / n.astype(np.float64)),
+        }
+    )
+
+
+def label_centroids(
+    ds,
+    column: str = "embedding",
+    label_column: str = "label",
+    scale: int = 1_000_000,
+):
+    """Per-label centroid of the embedding column on an integer grid:
+    each float32 component is quantized to floor(x * scale + 0.5)
+    (exact in float64 — the same expression the SQL oracle uses), so
+    the per-label per-dimension SUMS are int64-exact in any merge
+    order and the centroid is one final division. Output one row per
+    (label, dim): (label, dim, sum_q, n int64, centroid float64).
+
+    Scale: per-batch (label, dim)-partial scatter-add combiner, then
+    one labels x dims groupby — the exchange never carries vectors."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_column)
+        ok = pc.is_valid(lab)
+        t = batch.filter(ok)
+        mat = _matrix(t.column(column)).astype(np.float64)
+        q = np.floor(mat * float(scale) + 0.5).astype(np.int64)
+        labs = t.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dims = q.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dims)),
+                "dim": pa.array(np.tile(np.arange(1, dims + 1, dtype=np.int64), len(uniq))),
+                "sum_q": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnts, dims)),
+            }
+        )
+
+    agg = (
+        ds.select_columns(sorted({column, label_column}))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .sum(["sum_q", "n"])
+        .take_all()
+    )
+    rows = sorted(agg, key=lambda r: (r["label"], r["dim"]))
+    sq = np.array([r["sum(sum_q)"] for r in rows], dtype=np.int64)
+    n = np.array([r["sum(n)"] for r in rows], dtype=np.int64)
+    return pa.table(
+        {
+            "label": pa.array([r["label"] for r in rows], pa.int64()),
+            "dim": pa.array([r["dim"] for r in rows], pa.int64()),
+            "sum_q": pa.array(sq),
+            "n": pa.array(n),
+            "centroid": pa.array(
+                sq.astype(np.float64) / (n.astype(np.float64) * float(scale))
+            ),
+        }
+    )

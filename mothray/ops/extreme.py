@@ -269,3 +269,44 @@ def golden_record(ds, key_col: str, order_col: str, tiebreak_col: str,
         sorted({key_col, order_col, tiebreak_col, *value_cols})
     ).map_batches(reduce_batch, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [key_col], finish)
+
+
+def topn_other(ds, group_col: str, n: int = 10, other_label: str = "OTHER"):
+    """Value counts with an OTHER rollup: the n most frequent values
+    of group_col (ties break on the smaller value) keep their own
+    rows; the rest collapse into one OTHER row. Nulls count as the
+    literal value 'NULL' (they may legitimately be frequent enough to
+    rank). The standard reporting "lump the tail" op. Output
+    (value string, cnt int64).
+
+    Scale: one combiner-shaped value-count groupby (distinct values
+    cross the wire, not rows); the top-n cut happens on the counted
+    table."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(group_col)
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        if not (pa.types.is_string(v.type) or pa.types.is_large_string(v.type)):
+            v = pc.cast(v, pa.string())
+        v = pc.fill_null(v, "NULL")
+        t = pa.table({"v": v})
+        agg = t.group_by(["v"], use_threads=False).aggregate([([], "count_all")])
+        return agg.rename_columns(["v", "cnt"])
+
+    counts = (
+        ds.select_columns([group_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("cnt")
+        .take_all()
+    )  # distinct-values-sized
+    rows = sorted(counts, key=lambda r: (-r["sum(cnt)"], r["v"]))
+    head = rows[:n]
+    tail_cnt = sum(r["sum(cnt)"] for r in rows[n:])
+    vals = [r["v"] for r in head]
+    cnts = [r["sum(cnt)"] for r in head]
+    if tail_cnt:
+        vals.append(other_label)
+        cnts.append(tail_cnt)
+    return pa.table({"value": pa.array(vals), "cnt": pa.array(cnts, pa.int64())})

@@ -583,3 +583,57 @@ def key_gaps(ds, key_col: str) -> pa.Table:
             "max_gap": pa.array([max_gap], pa.int64()),
         }
     )
+
+
+def fd_check(ds, det_col: str, dep_col: str):
+    """Functional-dependency audit: does det_col -> dep_col hold?
+    Reports, over rows where both sides are non-null, the number of
+    determinant keys, how many of them map to more than one distinct
+    dependent value (violations), the worst key's distinct count, and
+    the total surplus rows a repair would rewrite (sum of extra
+    distinct values). One row out, all int64 — the discovery probe FD
+    mining / normalization tooling runs per column pair.
+
+    Scale: per-batch local (det, dep) distinct combiner, one global
+    distinct groupby, then a det-keyed count — the exchange carries
+    distinct pairs, never raw rows."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(det_col)), pc.is_valid(batch.column(dep_col))
+        )
+        t = batch.select([det_col, dep_col]).filter(ok)
+        return t.group_by([det_col, dep_col], use_threads=False).aggregate([])
+
+    per_key = (
+        ds.select_columns(sorted({det_col, dep_col}))
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([det_col, dep_col])
+        .count()
+        .groupby(det_col)
+        .count()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("count()").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(c)], pa.int64()),
+                "n_violating": pa.array([int((c > 1).sum())], pa.int64()),
+                "max_distinct": pa.array([int(c.max()) if len(c) else 0], pa.int64()),
+                "surplus": pa.array([int((c - 1).sum()) if len(c) else 0], pa.int64()),
+            }
+        )
+
+    rows = per_key.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "n_keys": pa.array([sum(r["n_keys"] for r in rows)], pa.int64()),
+            "n_violating": pa.array([sum(r["n_violating"] for r in rows)], pa.int64()),
+            "max_distinct": pa.array(
+                [max((r["max_distinct"] for r in rows), default=0)], pa.int64()
+            ),
+            "surplus": pa.array([sum(r["surplus"] for r in rows)], pa.int64()),
+        }
+    )

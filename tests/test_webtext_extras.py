@@ -222,3 +222,75 @@ def test_feature_hash_histogram_consistency(ray_session):
         r["bucket"]: (r["n_tokens"], r["n_words"]) for r in got.to_pylist()
     }
     assert rows == {b: (want_tok[b], want_voc[b]) for b in want_voc}
+
+
+def test_knn_accuracy_matches_brute(ray_session):
+    import ray.data
+
+    from mothray.ops import ann
+
+    rng = np.random.default_rng(42)
+    n, dim, k = 60, 8, 3
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = rng.integers(0, 3, n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
+                "label": pa.array(labels.astype(np.int32)),
+            }
+        )
+    ).repartition(4)
+    got = {r["label"]: r for r in ann.knn_accuracy(ds, k=k).to_pylist()}
+
+    m = mat.astype(np.float64)
+    unit = m / np.linalg.norm(m, axis=1)[:, None]
+    sims = unit @ unit.T
+    want = {}
+    for i in range(n):
+        s = sims[i].copy()
+        s[i] = -np.inf
+        order = sorted(range(n), key=lambda j: (-s[j], j))[:k]
+        vals, cnts = np.unique(labels[np.array(order)], return_counts=True)
+        pred = vals[cnts == cnts.max()].min()
+        lab = int(labels[i])
+        nt, nc = want.get(lab, (0, 0))
+        want[lab] = (nt + 1, nc + int(pred == lab))
+    for lab, (nt, nc) in want.items():
+        assert got[lab]["n"] == nt
+        assert got[lab]["n_correct"] == nc
+        assert got[lab]["accuracy"] == nc / nt
+
+
+def test_fd_check_counts(ray_session):
+    import ray.data
+
+    from mothray.ops import profile
+
+    tbl = pa.table(
+        {
+            "d": pa.array([1, 1, 2, 2, 2, 3, None, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "c", "d", "e", "f", None]),
+        }
+    )
+    got = profile.fd_check(
+        ray.data.from_arrow(tbl).repartition(3), "d", "v"
+    ).to_pylist()[0]
+    # keys 1 (a,b), 2 (c,d), 3 (e); null det and null dep rows drop
+    assert got == {"n_keys": 3, "n_violating": 2, "max_distinct": 2, "surplus": 2}
+
+
+def test_topn_other_rollup(ray_session):
+    import ray.data
+
+    from mothray.ops import extreme
+
+    tbl = pa.table(
+        {"g": pa.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d", None])}
+    )
+    got = extreme.topn_other(
+        ray.data.from_arrow(tbl).repartition(3), "g", n=2
+    ).to_pylist()
+    rows = {r["value"]: r["cnt"] for r in got}
+    assert rows == {"a": 5, "b": 3, "OTHER": 4}  # c(2) + d(1) + NULL(1)
