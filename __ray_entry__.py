@@ -5710,6 +5710,20 @@ def _topn_other_events(sf_dir: str):
     return _rd.from_arrow(extreme.topn_other(ds, "user_id", n=10))
 
 
+def _ssjoin_documents(sf_dir: str):
+    """Exact set-similarity self-join at word-set Jaccard >= 0.9
+    (fuzzy.set_similarity_join, AllPairs prefix filtering): only each
+    document's rarest-word prefix enters the candidate join; the
+    threshold is an integer cross-multiply, so the pair set is
+    bit-exact against the oracle's full quadratic join."""
+    import ray.data as _rd
+
+    from mothray.ops import fuzzy
+
+    ds = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fuzzy.set_similarity_join(ds, "doc_id", "text", 9, 10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6023,6 +6037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fd_check_orders"] = _fd_check_orders
     q["topn_other_events"] = _topn_other_events
     q["knn_accuracy_embeddings"] = _knn_accuracy_embeddings
+    q["ssjoin_documents"] = _ssjoin_documents
     return q
 
 
@@ -8622,6 +8637,22 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL"
         " SELECT 'OTHER', CAST(sum(cnt) AS BIGINT) FROM r WHERE rk > 10"
         " HAVING sum(cnt) > 0"
+    )
+    o["ssjoin_documents"] = (
+        # full quadratic reference join; the op must reproduce it
+        # exactly through the prefix filter (same integer threshold)
+        "WITH w0 AS (SELECT DISTINCT doc_id AS d,"
+        "  unnest(string_split(text, ' ')) AS w FROM documents"
+        "  WHERE text IS NOT NULL AND doc_id IS NOT NULL),"
+        " w1 AS (SELECT d, w FROM w0 WHERE w <> ''),"
+        " sz AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM w1 GROUP BY d),"
+        " i AS (SELECT a.d AS d1, b.d AS d2, CAST(count(*) AS BIGINT) AS i"
+        "  FROM w1 a JOIN w1 b ON a.w = b.w AND a.d < b.d GROUP BY 1, 2)"
+        " SELECT i.d1, i.d2, i.i AS inter, x.n AS n1, y.n AS n2,"
+        " CAST(i.i AS DOUBLE) / CAST(x.n + y.n - i.i AS DOUBLE) AS jaccard"
+        " FROM i JOIN sz x ON i.d1 = x.d JOIN sz y ON i.d2 = y.d"
+        " WHERE i.i * 10 >= (x.n + y.n - i.i) * 9"
+        " ORDER BY i.d1, i.d2"
     )
     return o
 

@@ -380,3 +380,186 @@ def jaro_winkler_topk(ds, col: str, key_col: str, query: str, top_k: int = 15,
 
     scored = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(key=["jw_r6", key_col], descending=[True, False]).limit(top_k)
+
+
+def set_similarity_join(
+    ds,
+    id_col: str = "doc_id",
+    column: str = "text",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+):
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    filtering, Bayardo et al. 2007): all document pairs whose
+    single-space word SETS have Jaccard >= threshold_num /
+    threshold_den. The threshold test is the integer cross-multiply
+    i * den >= (n1 + n2 - i) * num — no float boundary anywhere; the
+    reported jaccard column is one final division. Output (d1 < d2):
+    (d1, d2, inter, n1, n2 int64, jaccard float64) sorted by (d1, d2).
+
+    Distributed shape: distinct (doc, word-hash) combiner -> global
+    document-frequency table (broadcast once via ray.put — vocabulary-
+    sized, the standard AllPairs assumption) -> per-doc prefix
+    emission in ascending-df order (prefix length n - ceil(t*n) + 1,
+    so only the rarest slice of each doc enters the candidate join)
+    -> prefix self-join + distinct -> packed sorted-hash blobs joined
+    to candidates -> per-pair sorted-array intersection (C-level
+    intersect1d). Only prefixes and candidate rows shuffle; full word
+    sets move once as packed binary."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .join import partitioned_join
+    from .text import fingerprint_batch
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(batch.column(id_col)),
+            pc.is_valid(batch.column(column)),
+        )
+        t = batch.select([id_col, column]).filter(ok)
+        words = pc.split_pattern(t.column(column).combine_chunks(), " ")
+        words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        parent = np.repeat(np.arange(len(words), dtype=np.int64), counts)
+        flat = words.flatten()
+        keep = np.asarray(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        flat = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        h = (
+            fingerprint_batch(pa.table({"w": flat}), "w")
+            .column("fingerprint")
+            .to_numpy(zero_copy_only=False)
+        )
+        p = pa.table(
+            {
+                "d": t.column(id_col).combine_chunks().take(pa.array(parent)),
+                "h": pa.array(h),
+            }
+        )
+        return p.group_by(["d", "h"], use_threads=False).aggregate([])
+
+    pairs = (
+        ds.select_columns(sorted({id_col, column}))
+        .map_batches(doc_words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["d", "h"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    df_rows = pairs.groupby("h").count().take_all()  # vocabulary-sized
+    hs = np.array([r["h"] for r in df_rows], dtype=np.int64)
+    dfs = np.array([r["count()"] for r in df_rows], dtype=np.int64)
+    order = np.argsort(hs, kind="stable")
+    df_ref = ray.put((hs[order], dfs[order]))
+    t_num, t_den = threshold_num, threshold_den
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        h_sorted, df_sorted = ray.get(df_ref)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        df = df_sorted[np.searchsorted(h_sorted, h)]
+        n = len(h)
+        p = n - math.ceil(t_num * n / t_den) + 1
+        ordk = np.lexsort((h, df))[:p]
+        return pa.table(
+            {
+                "h": pa.array(h[ordk]),
+                "d": group.column("d").slice(0, 1).take(
+                    pa.array(np.zeros(len(ordk), dtype=np.int64))
+                ),
+                "n": pa.array(np.full(len(ordk), n, dtype=np.int64)),
+            }
+        )
+
+    from .nullkeys import null_safe_group_map
+
+    prefixes = null_safe_group_map(pairs, ["d"], per_doc).materialize()
+
+    right = prefixes.map_batches(
+        lambda t: pa.table({"h": t.column("h"), "d2": t.column("d"),
+                            "n2": t.column("n")}),
+        batch_format="pyarrow",
+    )
+    cands = (
+        partitioned_join(prefixes, right, on="h")
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("d"), t.column("d2"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["d", "d2"])
+        .min(["n", "n2"])
+        .map_batches(
+            lambda t: pa.table(
+                {"d1": t.column("d"), "d2": t.column("d2"),
+                 "n1": t.column("min(n)"), "n2": t.column("min(n2)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def blobs(group: pa.Table) -> pa.Table:
+        h = np.sort(group.column("h").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "d": group.column("d").slice(0, 1),
+                "blob": pa.array([h.tobytes()], pa.large_binary()),
+            }
+        )
+
+    blob_ds = null_safe_group_map(pairs, ["d"], blobs).materialize()
+
+    with_b1 = partitioned_join(
+        cands,
+        blob_ds.map_batches(
+            lambda t: pa.table({"d1": t.column("d"), "b1": t.column("blob")}),
+            batch_format="pyarrow",
+        ),
+        on="d1",
+    )
+    with_b2 = partitioned_join(
+        with_b1,
+        blob_ds.map_batches(
+            lambda t: pa.table({"d2": t.column("d"), "b2": t.column("blob")}),
+            batch_format="pyarrow",
+        ),
+        on="d2",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        b1 = batch.column("b1").to_pylist()
+        b2 = batch.column("b2").to_pylist()
+        inter = np.fromiter(
+            (
+                len(
+                    np.intersect1d(
+                        np.frombuffer(x, dtype=np.int64),
+                        np.frombuffer(y, dtype=np.int64),
+                        assume_unique=True,
+                    )
+                )
+                for x, y in zip(b1, b2)
+            ),
+            dtype=np.int64,
+            count=len(b1),
+        )
+        n1 = batch.column("n1").to_numpy(zero_copy_only=False)
+        n2 = batch.column("n2").to_numpy(zero_copy_only=False)
+        union = n1 + n2 - inter
+        keep = inter * t_den >= union * t_num
+        jac = inter.astype(np.float64) / union.astype(np.float64)
+        return pa.table(
+            {
+                "d1": batch.column("d1").filter(pa.array(keep)),
+                "d2": batch.column("d2").filter(pa.array(keep)),
+                "inter": pa.array(inter[keep]),
+                "n1": pa.array(n1[keep]),
+                "n2": pa.array(n2[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return with_b2.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["d1", "d2"])

@@ -189,3 +189,45 @@ def test_fuzzy_two_sided_join(ray_session):
 def test_max_dist_validation():
     with pytest.raises(ValueError):
         fuzzy.fuzzy_self_join(None, "v", "i", max_dist=3)
+
+
+def test_set_similarity_join_matches_brute(ray_session):
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import fuzzy
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    base = [vocab[i] for i in range(12)]
+    for i in range(20):
+        words = list(base)
+        for _ in range(int(rng.integers(0, 4))):  # mutate a little
+            words[int(rng.integers(0, len(words)))] = vocab[int(rng.integers(0, 30))]
+        docs[i] = " ".join(words + [words[0]])  # duplicate word: set semantics
+    for i in range(20, 26):  # unrelated docs
+        docs[i] = " ".join(vocab[int(rng.integers(0, 30))] for _ in range(8))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    got = fuzzy.set_similarity_join(
+        ray.data.from_arrow(tbl).repartition(4), "doc_id", "text", 7, 10
+    ).take_all()
+    got_pairs = {(r["d1"], r["d2"]): (r["inter"], r["n1"], r["n2"]) for r in got}
+
+    sets = {d: set(t.split(" ")) - {""} for d, t in docs.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a]) + len(sets[b]) - i
+        if i * 10 >= u * 7:
+            want[(a, b)] = (i, len(sets[a]), len(sets[b]))
+    assert got_pairs == want
+    assert want  # fixture must actually produce similar pairs
