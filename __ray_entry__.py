@@ -5724,6 +5724,91 @@ def _ssjoin_documents(sf_dir: str):
     return fuzzy.set_similarity_join(ds, "doc_id", "text", 9, 10)
 
 
+def _keyed_diff_documents(sf_dir: str):
+    """Keyed snapshot diff (setops.keyed_diff): v2 of the corpus
+    rewrites every 5th doc, drops every 11th and appends a shifted-id
+    copy of every 17th; the audit classifies every key as added /
+    removed / changed / unchanged shipping only (key, 128-bit content
+    hash) — the oracle replays it as a FULL JOIN on the raw text."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import setops
+
+    left = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def v2_base(batch):
+        t = batch.filter(
+            _pc.not_equal(
+                _pc.subtract(
+                    batch.column("doc_id"),
+                    _pc.multiply(_pc.divide(batch.column("doc_id"), 11), 11),
+                ),
+                0,
+            )
+        )
+        mod5 = _pc.equal(
+            _pc.subtract(
+                t.column("doc_id"),
+                _pc.multiply(_pc.divide(t.column("doc_id"), 5), 5),
+            ),
+            0,
+        )
+        new_text = _pc.if_else(
+            mod5,
+            _pc.binary_join_element_wise(t.column("text"), " v2", ""),
+            t.column("text"),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": new_text})
+
+    def v2_adds(batch):
+        t = batch.filter(
+            _pc.equal(
+                _pc.subtract(
+                    batch.column("doc_id"),
+                    _pc.multiply(_pc.divide(batch.column("doc_id"), 17), 17),
+                ),
+                0,
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": _pc.add(t.column("doc_id"), 1_000_000_000),
+                "text": t.column("text"),
+            }
+        )
+
+    right = left.map_batches(v2_base, batch_format="pyarrow").union(
+        left.map_batches(v2_adds, batch_format="pyarrow")
+    )
+    return _rd.from_arrow(setops.keyed_diff(left, right, "doc_id", ["text"]))
+
+
+def _union_evolve_documents(sf_dir: str):
+    """Schema-evolution UNION BY NAME (setops.union_evolve): the full
+    corpus unions with a narrow derivative that has only doc_id plus a
+    NEW flag column — missing columns null-fill, integer widths widen;
+    the oracle is the literal UNION ALL with NULL padding."""
+    import pyarrow.compute as _pc
+    import ray.data as _rd
+
+    from mothray.ops import setops
+
+    ds1 = _rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def narrow(batch):
+        flag = _pc.subtract(
+            batch.column("doc_id"),
+            _pc.multiply(_pc.divide(batch.column("doc_id"), 3), 3),
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "flag": flag})
+
+    ds2 = _rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        narrow, batch_format="pyarrow"
+    )
+    return setops.union_evolve([ds1, ds2])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6038,6 +6123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["topn_other_events"] = _topn_other_events
     q["knn_accuracy_embeddings"] = _knn_accuracy_embeddings
     q["ssjoin_documents"] = _ssjoin_documents
+    q["keyed_diff_documents"] = _keyed_diff_documents
+    q["union_evolve_documents"] = _union_evolve_documents
     return q
 
 
@@ -8653,6 +8740,33 @@ def oracle_sql() -> dict[str, str]:
         " FROM i JOIN sz x ON i.d1 = x.d JOIN sz y ON i.d2 = y.d"
         " WHERE i.i * 10 >= (x.n + y.n - i.i) * 9"
         " ORDER BY i.d1, i.d2"
+    )
+    o["keyed_diff_documents"] = (
+        "WITH l AS (SELECT doc_id AS k, text FROM documents"
+        "  WHERE doc_id IS NOT NULL),"
+        " r AS (SELECT doc_id AS k,"
+        "   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text"
+        "  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 <> 0"
+        "  UNION ALL"
+        "  SELECT doc_id + 1000000000, text FROM documents"
+        "  WHERE doc_id IS NOT NULL AND doc_id % 17 = 0),"
+        " j AS (SELECT l.k AS lk, r.k AS rk, l.text AS lt, r.text AS rt"
+        "  FROM l FULL JOIN r ON l.k = r.k)"
+        " SELECT"
+        " CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,"
+        " CAST(sum(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,"
+        " CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL"
+        "  AND lt IS DISTINCT FROM rt THEN 1 ELSE 0 END) AS BIGINT) AS changed,"
+        " CAST(sum(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL"
+        "  AND lt IS NOT DISTINCT FROM rt THEN 1 ELSE 0 END) AS BIGINT)"
+        "  AS unchanged"
+        " FROM j"
+    )
+    o["union_evolve_documents"] = (
+        "SELECT doc_id, text, lang, source, n_chars,"
+        " CAST(NULL AS BIGINT) AS flag FROM documents"
+        " UNION ALL"
+        " SELECT doc_id, NULL, NULL, NULL, NULL, doc_id % 3 FROM documents"
     )
     return o
 

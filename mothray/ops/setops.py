@@ -201,3 +201,120 @@ def diff_summary(left, right) -> pa.Table:
             "in_both": pa.array([int(parts.sum("in_both") or 0)], pa.int64()),
         }
     )
+
+
+def keyed_diff(left, right, key_col: str, content_cols: list[str]) -> pa.Table:
+    """Keyed snapshot diff (the SCD audit): classify every key as
+    added (right only), removed (left only), changed (both sides,
+    content differs) or unchanged. Keys must be unique per side (the
+    primary-key contract; duplicate keys raise). Content equality is
+    via the 128-bit content hash of the concatenated content columns
+    (collision odds ~2^-128 — bitwise-equal in practice, and the SQL
+    oracle compares the raw columns). One summary row out, all int64.
+
+    Scale: each side ships only (key, h1, h2) — one tagged exchange,
+    one groupby over keys; content never moves."""
+    import pyarrow.compute as pc
+
+    from .dedup import content_hash_batch
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ok = pc.is_valid(batch.column(key_col))
+            t = batch.filter(ok)
+            joined = t.column(content_cols[0]).cast(pa.large_string())
+            for c in content_cols[1:]:
+                joined = pc.binary_join_element_wise(
+                    joined, t.column(c).cast(pa.large_string()), "\x1f",
+                    null_handling="replace", null_replacement="\x00",
+                )
+            joined = pc.fill_null(joined, "\x00")
+            h = content_hash_batch(pa.table({"text": joined}), "text")
+            return pa.table(
+                {
+                    "k": t.column(key_col),
+                    "side": pa.array(np.full(t.num_rows, side, np.int64)),
+                    "h1": h.column("h1"),
+                    "h2": h.column("h2"),
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(prep(1), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(prep(2), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def classify(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_numpy(zero_copy_only=False)
+        if len(sides) > 2 or (len(sides) == 2 and sides[0] == sides[1]):
+            raise ValueError(
+                f"keyed_diff: duplicate key within one side ({group.column('k')[0]})"
+            )
+        out = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        if len(sides) == 1:
+            out["added" if sides[0] == 2 else "removed"] = 1
+        else:
+            h1 = group.column("h1").to_numpy(zero_copy_only=False)
+            h2 = group.column("h2").to_numpy(zero_copy_only=False)
+            same = h1[0] == h1[1] and h2[0] == h2[1]
+            out["unchanged" if same else "changed"] = 1
+        return pa.table({c: pa.array([v], pa.int64()) for c, v in out.items()})
+
+    from .nullkeys import null_safe_group_map
+
+    per_key = null_safe_group_map(both, ["k"], classify)
+    return pa.table(
+        {
+            c: pa.array([int(per_key.sum(c) or 0)], pa.int64())
+            for c in ["added", "removed", "changed", "unchanged"]
+        }
+    )
+
+
+def union_evolve(datasets):
+    """UNION ALL BY NAME with schema evolution: aligns every input's
+    columns by NAME into the union schema — missing columns null-fill,
+    integer widths widen to int64, float32 widens to float64,
+    otherwise types must agree (raise on conflict; no silent string
+    coercion). The ingestion primitive for heterogeneous parquet drops
+    (re-crawled corpora adding columns, renamed exports).
+
+    Scale: pure per-batch cast/null-fill map — no shuffle, no
+    materialization; the union stays streaming."""
+    import pyarrow.compute as pc  # noqa: F401
+    import ray.data  # noqa: F401
+
+    schemas = [ds.schema() for ds in datasets]
+    merged: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for name, typ in zip(sch.names, sch.types):
+            if pa.types.is_integer(typ):
+                typ = pa.int64()
+            elif pa.types.is_floating(typ):
+                typ = pa.float64()
+            if name not in merged:
+                merged[name] = typ
+            elif merged[name] != typ:
+                raise TypeError(
+                    f"union_evolve: column {name!r} has conflicting types "
+                    f"{merged[name]} vs {typ}"
+                )
+    names = list(merged)
+
+    def align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for name in names:
+            if name in batch.column_names:
+                cols[name] = batch.column(name).cast(merged[name])
+            else:
+                cols[name] = pa.nulls(n, merged[name])
+        return pa.table(cols)
+
+    out = datasets[0].map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+    for ds in datasets[1:]:
+        out = out.union(
+            ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    return out

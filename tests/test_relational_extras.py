@@ -210,3 +210,76 @@ def test_golden_record_tiebreak(ray_session):
         ray.data.from_arrow(t), "k", "o", "tb", ["a"]
     ).take_all()
     assert out[0]["a"] == 7.0
+
+
+def test_keyed_diff_classes(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import setops
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 5], pa.int64()),
+                  "v": pa.array(["b", "C", "e"])})
+    )
+    got = setops.keyed_diff(left, right, "k", ["v"]).to_pylist()[0]
+    assert got == {"added": 1, "removed": 2, "changed": 1, "unchanged": 1}
+
+
+def test_keyed_diff_rejects_duplicate_keys(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mothray.ops import setops
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array(["a", "b"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["a"])})
+    )
+    with pytest.raises(Exception):
+        setops.keyed_diff(left, right, "k", ["v"])
+
+
+def test_union_evolve_aligns_and_widens(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mothray.ops import setops
+
+    a = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2], pa.int32()),
+                  "y": pa.array(["p", "q"])})
+    )
+    b = ray.data.from_arrow(
+        pa.table({"x": pa.array([3], pa.int64()),
+                  "z": pa.array([1.5], pa.float32())})
+    )
+    out = setops.union_evolve([a, b])
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["x"] == pa.int64()
+    assert types["z"] == pa.float64()
+    rows = sorted(out.take_all(), key=lambda r: r["x"])
+    assert [r["x"] for r in rows] == [1, 2, 3]
+    assert rows[0]["z"] is None and rows[2]["y"] is None
+    assert rows[2]["z"] == 1.5
+
+
+def test_union_evolve_type_conflict_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mothray.ops import setops
+
+    a = ray.data.from_arrow(pa.table({"x": pa.array(["s"])}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array([1], pa.int64())}))
+    with pytest.raises(TypeError):
+        setops.union_evolve([a, b])
