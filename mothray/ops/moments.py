@@ -2030,3 +2030,211 @@ def wilson_ci(ds, group_col: str, flag_col: str, z: float = 1.96,
         )
 
     return totals.map_batches(finish, batch_format="pyarrow").sort(group_col)
+
+
+def jarque_bera(ds, value_col: str, group_col: str, round_digits: int = 6) -> pa.Table:
+    """Grouped Jarque-Bera normality statistic: one row per group with
+    (group, n, skewness, ex_kurtosis, jb). The exchange carries one
+    (group, s1..s4) raw-power-sum row per batch-group; when value_col
+    holds small integers (l_quantity-style) every power sum is an
+    exact double, so the merged sums are bit-deterministic in any
+    order and only the final per-group formula does real float math —
+    written with EXPLICIT multiplications (no pow()) in the same
+    operation order as the SQL oracle:
+
+        mu = s1/n;  m2 = s2/n - mu*mu
+        m3 = s3/n - 3*mu*(s2/n) + 2*mu*mu*mu
+        m4 = s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*mu*mu*mu*mu
+        skew = m3 / (m2*sqrt(m2));  exk = m4/(m2*m2) - 3
+        jb = n/6 * (skew*skew + exk*exk/4)
+    """
+    from .nullkeys import null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        t = pa.table(
+            {
+                group_col: batch.column(group_col).filter(pa.array(ok)),
+                "n": pa.array(np.ones(int(ok.sum()), np.int64)),
+                "s1": pa.array(x[ok]),
+                "s2": pa.array(x[ok] * x[ok]),
+                "s3": pa.array(x[ok] * x[ok] * x[ok]),
+                "s4": pa.array(x[ok] * x[ok] * x[ok] * x[ok]),
+            }
+        )
+        return t.group_by([group_col], use_threads=False).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum")]
+        ).rename_columns([group_col, "n", "s1", "s2", "s3", "s4"])
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        n = int(group.column("n").to_numpy(zero_copy_only=False).sum())
+        s1 = float(group.column("s1").to_numpy(zero_copy_only=False).sum())
+        s2 = float(group.column("s2").to_numpy(zero_copy_only=False).sum())
+        s3 = float(group.column("s3").to_numpy(zero_copy_only=False).sum())
+        s4 = float(group.column("s4").to_numpy(zero_copy_only=False).sum())
+        if n < 2:
+            skew = exk = jb = None
+        else:
+            mu = s1 / n
+            m2 = s2 / n - mu * mu
+            m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+            m4 = (
+                s4 / n
+                - 4.0 * mu * (s3 / n)
+                + 6.0 * mu * mu * (s2 / n)
+                - 3.0 * mu * mu * mu * mu
+            )
+            if m2 <= 0:
+                skew = exk = jb = None
+            else:
+                skew = m3 / (m2 * float(np.sqrt(m2)))
+                exk = m4 / (m2 * m2) - 3.0
+                jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+        rd = lambda v: None if v is None else float(np.round(v, round_digits))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "skewness": pa.array([rd(skew)], pa.float64()),
+                "ex_kurtosis": pa.array([rd(exk)], pa.float64()),
+                "jb": pa.array([rd(jb)], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(p, [group_col], merge)
+
+
+def brown_forsythe(ds, value_col: str, group_col: str,
+                   round_digits: int = 6, max_distinct: int = 100_000) -> pa.Table:
+    """Brown-Forsythe (median-centered Levene) equality-of-variance
+    test: z_ij = |x_ij - median_j|, then the one-way ANOVA F over z.
+    One row out: (k, n, f_stat).
+
+    Pass 1 is a grouped distinct-value histogram (value_col must be
+    low-cardinality — quantities, ratings; guarded by max_distinct)
+    from which exact per-group medians fall out driver-side; medians
+    of integer-valued data are half-integers, so every z is a
+    half-integer and z*z a quarter-integer — the per-group (n, sz1,
+    sz2) sums the second pass ships are exact doubles and merge
+    bit-deterministically. The final F formula (same operation order
+    as the SQL oracle, k rows):
+
+        gm = sum(sz1) / N
+        ssb = sum(n_g*(mean_g - gm)*(mean_g - gm));  msb = ssb/(k-1)
+        ssw = sum(sz2 - sz1*sz1/n_g);                msw = ssw/(N-k)
+    """
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(value_col))).select(
+            [group_col, value_col]
+        )
+
+    vals = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col), "v": batch.column(value_col)})
+        g = t.group_by([group_col, "v"], use_threads=False).aggregate([("v", "count")])
+        return g.rename_columns([group_col, "v", "cnt"])
+
+    hist = (
+        vals.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "v"])
+        .sum("cnt")
+        .take_all()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"brown_forsythe: {len(hist)} distinct (group, value) cells "
+            f"(max_distinct={max_distinct}) — use a sort-based median instead"
+        )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r[group_col], []).append((float(r["v"]), int(r["sum(cnt)"])))
+    medians: dict = {}
+    for g, cells in by_group.items():
+        cells.sort()
+        n_g = sum(c for _, c in cells)
+        lo_idx, hi_idx = (n_g - 1) // 2, n_g // 2  # 0-based middle pair
+        run = 0
+        lo = hi = None
+        for v, c in cells:
+            run += c
+            if lo is None and run > lo_idx:
+                lo = v
+            if hi is None and run > hi_idx:
+                hi = v
+                break
+        medians[g] = (lo + hi) / 2.0
+    med_items = sorted(medians.items(), key=lambda kv: str(kv[0]))
+    med_keys = [k for k, _ in med_items]
+    med_vals = np.array([v for _, v in med_items], np.float64)
+    key_to_idx = {k: i for i, k in enumerate(med_keys)}
+
+    def z_partial(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col).to_pylist()
+        idx = np.array([key_to_idx[g] for g in gcol], np.int64)
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.abs(x - med_vals[idx])
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n": pa.array(np.ones(len(z), np.int64)),
+                "sz1": pa.array(z),
+                "sz2": pa.array(z * z),
+            }
+        )
+        return t.group_by([group_col], use_threads=False).aggregate(
+            [("n", "sum"), ("sz1", "sum"), ("sz2", "sum")]
+        ).rename_columns([group_col, "n", "sz1", "sz2"])
+
+    p = vals.map_batches(z_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array(
+                    [int(group.column("n").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "sz1": pa.array(
+                    [float(group.column("sz1").to_numpy(zero_copy_only=False).sum())]
+                ),
+                "sz2": pa.array(
+                    [float(group.column("sz2").to_numpy(zero_copy_only=False).sum())]
+                ),
+            }
+        )
+
+    rows = sorted(
+        null_safe_group_map(p, [group_col], merge).take_all(),
+        key=lambda r: str(r[group_col]),
+    )
+    k = len(rows)
+    n = float(sum(r["n"] for r in rows))
+    if k < 2 or n <= k:
+        f = None
+    else:
+        gm = sum(r["sz1"] for r in rows) / n
+        ssb = 0.0
+        ssw = 0.0
+        for r in rows:
+            mean_g = r["sz1"] / r["n"]
+            ssb += r["n"] * (mean_g - gm) * (mean_g - gm)
+            ssw += r["sz2"] - r["sz1"] * r["sz1"] / r["n"]
+        msb = ssb / (k - 1)
+        msw = ssw / (n - k)
+        f = msb / msw if msw > 0 else None
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "n": pa.array([int(n)], pa.int64()),
+            "f_stat": pa.array(
+                [None if f is None else float(np.round(f, round_digits))], pa.float64()
+            ),
+        }
+    )

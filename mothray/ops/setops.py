@@ -318,3 +318,42 @@ def union_evolve(datasets):
             ds.map_batches(align, batch_format="pyarrow", zero_copy_batch=True)
         )
     return out
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         name_col: str = "metric", value_col: str = "value"):
+    """UNPIVOT / melt: turn each row's value_cols into len(value_cols)
+    output rows (id_cols..., name_col, value_col). Every value column
+    is cast to float64 (the common UNPIVOT supertype here); nulls are
+    kept — SQL UNPIVOT ... INCLUDE NULLS semantics — so row counts are
+    exactly n_rows * len(value_cols).
+
+    Embarrassingly parallel: one zero-copy map_batches, no exchange.
+    The id columns are repeated via Arrow take (no Python loop)."""
+    import pyarrow.compute as pc
+
+    cols = list(value_cols)
+
+    def unfold(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        out: dict = {}
+        for c in id_cols:
+            out[c] = batch.column(c).take(idx)
+        out[name_col] = pa.array(np.tile(np.array(cols, dtype=object), n), pa.string())
+        vals = [
+            pc.cast(batch.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+            for c in cols
+        ]
+        stacked = np.empty(n * k, np.float64)
+        for j, v in enumerate(vals):
+            stacked[j::k] = v
+        mask = np.zeros(n * k, bool)
+        for j, c in enumerate(cols):
+            nulls = pc.is_null(batch.column(c)).to_numpy(zero_copy_only=False)
+            mask[j::k] = nulls
+        out[value_col] = pa.array(stacked, pa.float64(), mask=mask)
+        return pa.table(out)
+
+    return ds.map_batches(unfold, batch_format="pyarrow", zero_copy_batch=True)

@@ -1226,3 +1226,92 @@ def debounce(ds, key_cols: list[str], ts_col: str, id_col: str,
 
     proj = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, key_cols, keep).sort(["ts_us", id_col])
+
+
+def ohlc(ds, ts_col: str, value_col: str, tiebreak_col: str, bucket: str = "hour"):
+    """OHLC bars: per time bucket, the open (value at the smallest
+    (ts, tiebreak)), close (largest), high, low and count. Rows with a
+    null timestamp are dropped (they belong to no bar). Output:
+    (bucket_ts, open, high, low, close, n_events) — open/close/high/
+    low are PICKED values, never aggregated, so the result is exact.
+
+    Scale shape: a per-batch combiner collapses each batch to one
+    candidate row per bucket (open/close candidates keyed by the
+    full (ts, tiebreak) order, min/max/count partials); the exchange
+    then carries one fixed-width row per (batch, bucket) and the
+    grouped merge resolves candidates by the same lexicographic
+    order. No sort of the raw stream, no per-row Python."""
+    from .nullkeys import null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(ts_col)))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket_ts": pa.array([], pa.timestamp("us")),
+                    "o_ts": pa.array([], pa.int64()),
+                    "o_tb": pa.array([], pa.int64()),
+                    "o_v": pa.array([], pa.float64()),
+                    "c_ts": pa.array([], pa.int64()),
+                    "c_tb": pa.array([], pa.int64()),
+                    "c_v": pa.array([], pa.float64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        b = pc.floor_temporal(t.column(ts_col), unit=bucket)
+        bi = b.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = t.column(tiebreak_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((tb, ts, bi))
+        bi, ts, tb, v = bi[order], ts[order], tb[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], bi[1:] != bi[:-1])))
+        ends = np.concatenate((starts[1:], [len(bi)])) - 1
+        lo = np.minimum.reduceat(v, starts)
+        hi = np.maximum.reduceat(v, starts)
+        cnt = ends - starts + 1
+        return pa.table(
+            {
+                "bucket_ts": pa.array(bi[starts], pa.int64()).cast(pa.timestamp("us")),
+                "o_ts": pa.array(ts[starts], pa.int64()),
+                "o_tb": pa.array(tb[starts], pa.int64()),
+                "o_v": pa.array(v[starts], pa.float64()),
+                "c_ts": pa.array(ts[ends], pa.int64()),
+                "c_tb": pa.array(tb[ends], pa.int64()),
+                "c_v": pa.array(v[ends], pa.float64()),
+                "lo": pa.array(lo, pa.float64()),
+                "hi": pa.array(hi, pa.float64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        o_ts = group.column("o_ts").to_numpy(zero_copy_only=False)
+        o_tb = group.column("o_tb").to_numpy(zero_copy_only=False)
+        c_ts = group.column("c_ts").to_numpy(zero_copy_only=False)
+        c_tb = group.column("c_tb").to_numpy(zero_copy_only=False)
+        oi = int(np.lexsort((o_tb, o_ts))[0])
+        ci = int(np.lexsort((c_tb, c_ts))[-1])
+        return pa.table(
+            {
+                "bucket_ts": group.column("bucket_ts").slice(0, 1),
+                "open": group.column("o_v").slice(oi, 1),
+                "high": pa.array(
+                    [float(group.column("hi").to_numpy(zero_copy_only=False).max())]
+                ),
+                "low": pa.array(
+                    [float(group.column("lo").to_numpy(zero_copy_only=False).min())]
+                ),
+                "close": group.column("c_v").slice(ci, 1),
+                "n_events": pa.array(
+                    [int(group.column("cnt").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return null_safe_group_map(p, ["bucket_ts"], merge)
