@@ -2238,3 +2238,363 @@ def brown_forsythe(ds, value_col: str, group_col: str,
             ),
         }
     )
+
+
+def ks_wasserstein_2samp(ds, value_col: str, group_col: str,
+                         group_a, group_b, decimal_scale: int = 0,
+                         max_distinct: int = 100_000) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov D and 1-Wasserstein (earth
+    mover's) distance between the value distributions of two groups,
+    EXACT: values are quantized to decimal_scale decimals, one grouped
+    distinct-value histogram is the only exchange (domain-bounded like
+    brown_forsythe's pass 1, guarded by max_distinct), and both
+    statistics reduce to integer arithmetic over the merged grid:
+
+        D  = max_k |cumA_k * nB - cumB_k * nA| / (nA * nB)
+        W1 = sum_k |cumA_k * nB - cumB_k * nA| * dx_k / (nA*nB*scale)
+
+    Each is ONE division of exact int64s, so the doubles are
+    bit-deterministic under any partitioning / merge order. Output a
+    single row (n_a, n_b, ks_d, w1)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        keep = pc.and_(
+            pc.is_valid(batch.column(value_col)),
+            pc.is_in(g, value_set=pa.array([group_a, group_b], g.type)),
+        )
+        t = batch.filter(keep)
+        v = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        h = pa.table({"g": t.column(group_col), "v": v})
+        return (
+            h.group_by(["g", "v"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns(["g", "v", "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "v"])
+        .sum("cnt")
+        .take_all()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"ks_wasserstein_2samp: {len(hist)} distinct cells "
+            f"(max_distinct={max_distinct})"
+        )
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for r in hist:
+        (ca if r["g"] == group_a else cb)[int(r["v"])] = int(r["sum(cnt)"])
+    na, nb = sum(ca.values()), sum(cb.values())
+    grid = sorted(set(ca) | set(cb))
+    cum_a = cum_b = 0
+    d_num = 0
+    w_num = 0
+    for i, x in enumerate(grid):
+        cum_a += ca.get(x, 0)
+        cum_b += cb.get(x, 0)
+        diff = abs(cum_a * nb - cum_b * na)
+        d_num = max(d_num, diff)
+        if i + 1 < len(grid):
+            w_num += diff * (grid[i + 1] - x)
+    denom = na * nb
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "ks_d": pa.array(
+                [None if denom == 0 else d_num / denom], pa.float64()
+            ),
+            "w1": pa.array(
+                [None if denom == 0 else w_num / denom / 10.0 ** decimal_scale],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def theil_index(ds, value_col: str, group_col: str,
+                decimal_scale: int = 2, round_digits: int = 6) -> pa.Table:
+    """Per-group Theil T inequality index over a positive value column:
+    T = (1/n) sum (x_i/mu) ln(x_i/mu). Pass 1 is an exact
+    integer-cents (sum, count) groupby -> per-group mu (one division,
+    bit-deterministic) broadcast into pass 2, which ships one
+    (group, sum_term) partial per batch-group where each term
+    (c/mu)*ln(c/mu) is a bit-identical double; only the term-sum merge
+    is order-sensitive, and terms are O(1), so round-6 of T (itself
+    O(1)) is stable. Rows with value <= 0 or null are excluded (and
+    counted). Output (group, n, theil_t)."""
+    from .nullkeys import null_safe_group_map
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        t = pa.table({group_col: batch.column(group_col), "c": c})
+        t = t.filter(
+            pc.and_(
+                pc.greater(pc.coalesce(c, pa.scalar(0, pa.int64())), 0),
+                pc.is_valid(t.column(group_col)),
+            )
+        )
+        g = t.group_by([group_col], use_threads=False).aggregate(
+            [("c", "sum"), ("c", "count")]
+        )
+        return g.rename_columns([group_col, "sum_c", "n"])
+
+    base = (
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .sum(["sum_c", "n"])
+        .take_all()
+    )
+    mu = {r[group_col]: r["sum(sum_c)"] / r["sum(n)"] for r in base}
+    n_by = {r[group_col]: int(r["sum(n)"]) for r in base}
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        t = pa.table({group_col: batch.column(group_col), "c": c})
+        t = t.filter(
+            pc.and_(
+                pc.greater(pc.coalesce(c, pa.scalar(0, pa.int64())), 0),
+                pc.is_valid(t.column(group_col)),
+            )
+        )
+        gvals = t.column(group_col).to_pylist()
+        cv = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.array([mu[g] for g in gvals], np.float64)
+        r = cv / m
+        term = r * np.log(r)
+        p = pa.table({group_col: t.column(group_col), "s": pa.array(term)})
+        return (
+            p.group_by([group_col], use_threads=False)
+            .aggregate([("s", "sum")])
+            .rename_columns([group_col, "s"])
+        )
+
+    p = ds.map_batches(term_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.column(group_col)[0].as_py()
+        s = float(group.column("s").to_numpy(zero_copy_only=False).sum())
+        n = n_by[g]
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "theil_t": pa.array(
+                    [float(np.round(s / n, round_digits))], pa.float64()
+                ),
+            }
+        )
+
+    return null_safe_group_map(p, [group_col], merge)
+
+
+def diversity(ds, group_col: str, cat_col: str) -> pa.Table:
+    """Per-group category diversity over a categorical column: distinct
+    category count k, unbiased Simpson diversity
+    1 - sum c*(c-1) / (n*(n-1)) (exact integers, ONE division ->
+    bit-deterministic) and Shannon entropy in nats
+    -sum (c/n) ln(c/n) (k is small; terms are O(1) bit-identical
+    doubles, round-6 absorbs the sum-order ulp). The only exchange is
+    the (group, cat) count grid. Output (group, n, k, simpson,
+    shannon)."""
+    from .nullkeys import null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(cat_col)),
+                pc.is_valid(batch.column(group_col)),
+            )
+        ).select([group_col, cat_col])
+        g = t.group_by([group_col, cat_col], use_threads=False).aggregate(
+            [(cat_col, "count")]
+        )
+        return g.rename_columns([group_col, cat_col, "cnt"])
+
+    p = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, cat_col])
+        .sum("cnt")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        c = group.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(c.sum())
+        k = len(c)
+        if n < 2:
+            simpson = None
+        else:
+            simpson = 1.0 - int((c * (c - 1)).sum()) / (n * (n - 1))
+        pr = c.astype(np.float64) / n
+        shannon = float(np.round(-(pr * np.log(pr)).sum(), 6))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "simpson": pa.array([simpson], pa.float64()),
+                "shannon": pa.array([shannon], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(p, [group_col], merge)
+
+
+def runs_test(ds, key_col: str, order_col: str, value_col: str,
+              tiebreak_col: str, decimal_scale: int = 2,
+              min_runs_n: int = 10) -> pa.Table:
+    """Per-key Wald-Wolfowitz runs test for randomness around the
+    median: values (quantized to decimal_scale, so integers) in
+    (order, tiebreak) order are signed against 2*median (= lo+hi
+    middle-pair sum, an exact integer compare); ties with the median
+    are dropped per the classical test; R = number of sign runs.
+
+        mu    = 1 + 2*np*nm / n
+        sigma = sqrt((mu-1)*(mu-2)/(n-1))
+        z     = (R - mu) / sigma
+
+    All inputs to the formula are integers and the expression order
+    matches the SQL oracle, so z is bit-deterministic (no rounding).
+    Keys with n_pos == 0, n_neg == 0 or n < min_runs_n are dropped.
+    One groupby shuffle; per-key work is a numpy sort + sign scan.
+    Output (key, n_pos, n_neg, runs, z)."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "o": batch.column(order_col),
+                "tb": batch.column(tiebreak_col),
+                "c": c,
+            }
+        )
+        return t.filter(pc.is_valid(c))
+
+    src = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        tb = g.column("tb").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tb, o))
+        c = c[order]
+        sc = np.sort(c)
+        n_all = len(sc)
+        med2 = int(sc[(n_all - 1) // 2]) + int(sc[n_all // 2])
+        s = 2 * c - med2
+        s = s[s != 0]
+        n_pos = int((s > 0).sum())
+        n_neg = int((s < 0).sum())
+        n = n_pos + n_neg
+        if n_pos == 0 or n_neg == 0 or n < min_runs_n:
+            return pa.table(
+                {
+                    key_col: g.column(key_col).slice(0, 0),
+                    "n_pos": pa.array([], pa.int64()),
+                    "n_neg": pa.array([], pa.int64()),
+                    "runs": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        pos = s > 0
+        runs = 1 + int((pos[1:] != pos[:-1]).sum())
+        mu = 1.0 + 2.0 * n_pos * n_neg / n
+        sigma = float(np.sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0)))
+        z = (runs - mu) / sigma
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "runs": pa.array([runs], pa.int64()),
+                "z": pa.array([z], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(src, [key_col], per_key)
+
+
+def friedman_dow(ds, ts_col: str) -> pa.Table:
+    """Friedman rank test of day-of-week effect on daily event counts:
+    blocks = ISO weeks (only weeks with all 7 days present), treatments
+    = ISO weekday 1..7, observations = daily counts. Within each block
+    the 7 counts get tie-averaged ranks (exact half-integers);
+    R_j = sum of ranks per weekday, and
+
+        Q = 12 / (n*k*(k+1)) * sum R_j^2 - 3*n*(k+1)
+
+    with k = 7, n = #complete weeks. Rank sums are exact, the formula
+    matches the SQL oracle's operation order, so Q is
+    bit-deterministic. The only exchange is the daily-count groupby
+    (date-domain bounded, driver-merged like kendall_tau). Output one
+    row (n_weeks, k, q) plus per-weekday rank sums as 2*R_j integers."""
+    import ray.data as _rd
+    from ray.data.aggregate import Count
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        return pa.table({"day": pc.cast(ts, pa.date32())}).filter(
+            pc.is_valid(ts)
+        )
+
+    daily = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )
+    import datetime as _dt
+
+    by_week: dict = {}
+    for r in daily:
+        d = r["day"]
+        if isinstance(d, _dt.datetime):
+            d = d.date()
+        iso = d.isocalendar()
+        by_week.setdefault((iso[0], iso[1]), {})[iso[2]] = int(r["cnt"])
+    complete = {wk: v for wk, v in by_week.items() if len(v) == 7}
+    n = len(complete)
+    k = 7
+    r2 = np.zeros(k, dtype=np.int64)  # 2 * rank sums (exact ints)
+    for wk in sorted(complete):
+        counts = np.array([complete[wk][d] for d in range(1, 8)], np.int64)
+        order = np.argsort(counts, kind="stable")
+        sv = counts[order]
+        new_val = np.r_[True, sv[1:] != sv[:-1]]
+        starts = np.flatnonzero(new_val)
+        sizes = np.diff(np.r_[starts, k])
+        rk2 = np.repeat(2 * starts + sizes + 1, sizes)  # 2 * avg rank
+        two_ranks = np.empty(k, dtype=np.int64)
+        two_ranks[order] = rk2
+        r2 += two_ranks
+    if n == 0:
+        q = None
+    else:
+        sum_rj2 = float((r2.astype(np.float64) / 2.0) ** 2 @ np.ones(k))
+        q = 12.0 / (n * k * (k + 1)) * sum_rj2 - 3.0 * n * (k + 1)
+    cols = {"n_weeks": pa.array([n], pa.int64()), "k": pa.array([k], pa.int64())}
+    for j in range(k):
+        cols[f"rs2_{j + 1}"] = pa.array([int(r2[j])], pa.int64())
+    cols["q"] = pa.array([q], pa.float64())
+    return pa.table(cols)
