@@ -5973,6 +5973,47 @@ def _friedman_events(sf_dir: str):
     return ray.data.from_arrow(moments.friedman_dow(ds, "ts"))
 
 
+
+def _churn_events(sf_dir: str):
+    """Weekly churn (cohort.weekly_churn): distinct user-weeks reduced
+    per batch, one groupby(user) exchange flags week transitions, week
+    combiner finishes; churn_rate is one exact int/int division."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort.weekly_churn(ds, "user_id", "ts")
+
+
+def _cadence_events(sf_dir: str):
+    """Per-user median inter-event gap (cohort.cadence): exact int64
+    microsecond gaps, half-integer median — bit-deterministic."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return cohort.cadence(ds, "user_id", "ts", "event_id", min_gaps=1)
+
+
+def _scd2_orders(sf_dir: str):
+    """SCD type-2 per-customer order-status history (window.scd2):
+    change intervals with valid_from/valid_to/version in
+    (o_orderdate, o_orderkey) order."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"],
+    )
+    return window.scd2(ds, "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6299,6 +6340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["diversity_orders"] = _diversity_orders
     q["runs_test_events"] = _runs_test_events
     q["friedman_events"] = _friedman_events
+    q["churn_events"] = _churn_events
+    q["cadence_events"] = _cadence_events
+    q["scd2_orders"] = _scd2_orders
     return q
 
 
@@ -9128,6 +9172,45 @@ def oracle_sql() -> dict[str, str]:
         "  (SELECT rs2 FROM rs WHERE dow = 7) AS rs2_7,"
         "  12.0 / (n * 7 * 8) * sum_rj2 - 3.0 * n * 8 AS q"
         " FROM agg"
+    )
+    o["churn_events"] = (
+        # calendar-free week index = epoch_us // week_us (exact int);
+        # churned = active in w with no activity in w+1
+        "WITH uw AS (SELECT DISTINCT user_id,"
+        "  epoch_us(ts) // 604800000000 AS wk FROM events"
+        "  WHERE ts IS NOT NULL),"
+        " c AS (SELECT a.user_id, a.wk,"
+        "  CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned"
+        "  FROM uw a LEFT JOIN uw b"
+        "   ON a.user_id = b.user_id AND b.wk = a.wk + 1)"
+        " SELECT wk AS week, CAST(count(*) AS BIGINT) AS n_active,"
+        "  CAST(sum(churned) AS BIGINT) AS n_churned,"
+        "  CAST(sum(churned) AS BIGINT) / CAST(count(*) AS BIGINT) AS churn_rate"
+        " FROM c GROUP BY wk"
+    )
+    o["cadence_events"] = (
+        # exact integer microsecond gaps; median = (lo + hi) / 2.0
+        # via the quantile_disc negation trick (half-int, exact)
+        "WITH v AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events"
+        "  WHERE ts IS NOT NULL),"
+        " g AS (SELECT user_id, us - lag(us) OVER"
+        "  (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM v)"
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,"
+        "  (quantile_disc(gap, 0.5) + (-quantile_disc(-gap, 0.5))) / 2.0"
+        "   AS median_gap_us"
+        " FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING count(*) >= 1"
+    )
+    o["scd2_orders"] = (
+        "WITH s AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,"
+        "  lag(o_orderstatus) OVER w AS prev FROM orders"
+        "  WHERE o_orderstatus IS NOT NULL"
+        "  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),"
+        " ch AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM s"
+        "  WHERE prev IS NULL OR o_orderstatus <> prev)"
+        " SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,"
+        "  lead(o_orderdate) OVER w AS valid_to,"
+        "  CAST(row_number() OVER w AS BIGINT) AS version"
+        " FROM ch WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
     )
     return o
 

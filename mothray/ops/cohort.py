@@ -362,3 +362,126 @@ def time_to_convert(ds, user_col: str, ts_col: str, type_col: str,
 
     proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return null_safe_group_map(proj, [user_col], per_user)
+
+
+def weekly_churn(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Weekly churn: for each week index w (floor(epoch_us / week_us),
+    same calendar-free anchor as retention), n_active = distinct users
+    active in w, n_churned = those with no activity in w+1, and
+    churn_rate = n_churned / n_active (ONE exact int/int division —
+    bit-deterministic). Distinct (user, week) pairs are reduced inside
+    each batch, one groupby(user) exchange flags per-user week
+    transitions, and a (week) count combiner finishes — only user-week
+    pairs and week cells move. Output (week, n_active, n_churned,
+    churn_rate)."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        wk = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // _WEEK_US  # exact integer floor division (matches SQL //)
+        t = pa.table(
+            {
+                user_col: batch.column(user_col),
+                "wk": pa.array(wk.astype(np.int64)),
+            }
+        )
+        # batch-local distinct: at most one row per (user, week) moves
+        return t.group_by([user_col, "wk"], use_threads=False).aggregate([])
+
+    pairs = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        wk = np.unique(g.column("wk").to_numpy(zero_copy_only=False))
+        nxt = np.isin(wk + 1, wk, assume_unique=False)
+        return pa.table(
+            {
+                "week": pa.array(wk, pa.int64()),
+                "act": pa.array(np.ones(len(wk), np.int64)),
+                "chn": pa.array((~nxt).astype(np.int64)),
+            }
+        )
+
+    flags = null_safe_group_map(pairs, [user_col], per_user)
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["week"], use_threads=False).aggregate(
+            [("act", "sum"), ("chn", "sum")]
+        )
+        return g.rename_columns(["week", "act", "chn"])
+
+    agg = (
+        flags.map_batches(week_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("week")
+        .sum(["act", "chn"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("sum(act)").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(chn)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "week": batch.column("week"),
+                "n_active": pa.array(a, pa.int64()),
+                "n_churned": pa.array(c, pa.int64()),
+                "churn_rate": pa.array(c / a, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cadence(ds, user_col: str = "user_id", ts_col: str = "ts",
+            tiebreak_col: str = "event_id", min_gaps: int = 1):
+    """Per-user event cadence: the MEDIAN inter-event gap in
+    microseconds over consecutive events in (ts, tiebreak) order, plus
+    the gap count. Gaps are exact int64 microseconds; the median of
+    ints is an exact half-integer double ((lo + hi) / 2.0,
+    bit-deterministic). Users with fewer than min_gaps gaps are
+    dropped. One groupby(user) exchange; per-group work is a numpy
+    lexsort + diff. Output (user, n_gaps, median_gap_us)."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                "us": pc.cast(ts, pa.int64()),
+                "tb": batch.column(tiebreak_col),
+            }
+        ).filter(pc.is_valid(ts))
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        tb = g.column("tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, us))
+        gaps = np.diff(us[order])
+        if len(gaps) < min_gaps:
+            return pa.table(
+                {
+                    user_col: g.column(user_col).slice(0, 0),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.float64()),
+                }
+            )
+        sg = np.sort(gaps)
+        n = len(sg)
+        med = (int(sg[(n - 1) // 2]) + int(sg[n // 2])) / 2.0
+        return pa.table(
+            {
+                user_col: g.column(user_col).slice(0, 1),
+                "n_gaps": pa.array([n], pa.int64()),
+                "median_gap_us": pa.array([med], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(proj, [user_col], per_user)

@@ -1315,3 +1315,66 @@ def ohlc(ds, ts_col: str, value_col: str, tiebreak_col: str, bucket: str = "hour
         )
 
     return null_safe_group_map(p, ["bucket_ts"], merge)
+
+
+def scd2(ds, key_col: str, order_col: str, attr_col: str, tiebreak_col: str):
+    """Slowly-changing-dimension type-2 history: per key, collapse the
+    (order, tiebreak)-ordered attribute sequence into change intervals
+    — one row per attribute CHANGE with valid_from = the change's
+    order value, valid_to = the next change's order value (null while
+    current) and a 1-based version number. Rows with a null attribute
+    are excluded (SQL's NULL <> x would silently drop change edges
+    otherwise). One groupby(key) exchange; per-group work is a numpy
+    lexsort + neighbour compare. Output (key, attr, valid_from,
+    valid_to, version)."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "o": batch.column(order_col),
+                "a": batch.column(attr_col),
+                "tb": batch.column(tiebreak_col),
+            }
+        ).filter(pc.is_valid(batch.column(attr_col)))
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        o = g.column("o").combine_chunks()
+        a = g.column("a").combine_chunks()
+        tb = g.column("tb").to_numpy(zero_copy_only=False)
+        o_np = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_temporal(o.type) else o.to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, o_np))
+        a_sorted = a.take(pa.array(order))
+        # change mask: first row, or attr != previous attr
+        eq_prev = pc.equal(a_sorted.slice(1), a_sorted.slice(0, len(a_sorted) - 1))
+        changed = np.r_[
+            True, ~eq_prev.to_numpy(zero_copy_only=False).astype(bool)
+        ]
+        idx = np.flatnonzero(changed)
+        take_idx = pa.array(order[idx])
+        valid_from = o.take(take_idx)
+        # valid_to = next change's order value; null for the last
+        nxt = o.take(pa.array(order[idx[1:]])) if len(idx) > 1 else None
+        valid_to = (
+            pa.concat_arrays([nxt.combine_chunks() if isinstance(nxt, pa.ChunkedArray)
+                              else nxt, pa.nulls(1, o.type)])
+            if nxt is not None
+            else pa.nulls(1, o.type)
+        )
+        return pa.table(
+            {
+                key_col: pa.chunked_array([g.column(key_col).combine_chunks()]).take(
+                    take_idx
+                ),
+                attr_col: a.take(take_idx),
+                "valid_from": valid_from,
+                "valid_to": valid_to,
+                "version": pa.array(np.arange(1, len(idx) + 1, dtype=np.int64)),
+            }
+        )
+
+    return null_safe_group_map(proj, [key_col], per_key)
