@@ -6014,6 +6014,38 @@ def _scd2_orders(sf_dir: str):
     return window.scd2(ds, "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey")
 
 
+
+def _rfm_orders(sf_dir: str):
+    """RFM segmentation of customers (cohort.rfm): combiner-shaped
+    per-customer rollup, then three range-partitioned global
+    row-number passes over the customer-domain table for the NTILE(4)
+    scores. All-integer output."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return cohort.rfm(ds, "o_custkey", "o_orderdate", "o_totalprice", n_tiles=4)
+
+
+def _abc_class_lineitem(sf_dir: str):
+    """ABC / Pareto classification of parts by revenue
+    (moments.abc_classification): per-part integer-cents rollup,
+    range-bucketed descending cumulative shares compared as exact
+    integers, 3-cell combiner rollup."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+    return moments.abc_classification(ds, "l_partkey", "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6343,6 +6375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["churn_events"] = _churn_events
     q["cadence_events"] = _cadence_events
     q["scd2_orders"] = _scd2_orders
+    q["rfm_orders"] = _rfm_orders
+    q["abc_class_lineitem"] = _abc_class_lineitem
     return q
 
 
@@ -9211,6 +9245,37 @@ def oracle_sql() -> dict[str, str]:
         "  lead(o_orderdate) OVER w AS valid_to,"
         "  CAST(row_number() OVER w AS BIGINT) AS version"
         " FROM ch WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    )
+    o["rfm_orders"] = (
+        "WITH a AS (SELECT o_custkey,"
+        "  date_diff('day', max(CAST(o_orderdate AS DATE)),"
+        "   (SELECT max(CAST(o_orderdate AS DATE)) FROM orders"
+        "    WHERE o_orderdate IS NOT NULL)) AS recency_days,"
+        "  CAST(count(*) AS BIGINT) AS frequency,"
+        "  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        "   AS monetary_cents"
+        "  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)"
+        " SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,"
+        "  frequency, monetary_cents,"
+        "  CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,"
+        "  CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_q,"
+        "  CAST(ntile(4) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_q"
+        " FROM a"
+    )
+    o["abc_class_lineitem"] = (
+        # descending cumulative revenue shares compared as exact ints
+        "WITH p AS (SELECT l_partkey,"
+        "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+        "   AS cents FROM lineitem"
+        "  WHERE l_extendedprice IS NOT NULL GROUP BY 1),"
+        " c AS (SELECT l_partkey, cents,"
+        "  CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey"
+        "   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,"
+        "  CAST((SELECT sum(cents) FROM p) AS BIGINT) AS tot FROM p),"
+        " k AS (SELECT CASE WHEN cum * 100 <= 80 * tot THEN 'A'"
+        "  WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS cls, cents FROM c)"
+        " SELECT cls, CAST(count(*) AS BIGINT) AS n_keys,"
+        "  CAST(sum(cents) AS BIGINT) AS class_cents FROM k GROUP BY 1"
     )
     return o
 

@@ -485,3 +485,91 @@ def cadence(ds, user_col: str = "user_id", ts_col: str = "ts",
         )
 
     return null_safe_group_map(proj, [user_col], per_user)
+
+
+def rfm(ds, key_col: str, ts_col: str, value_col: str,
+        n_tiles: int = 4, decimal_scale: int = 2):
+    """RFM segmentation: per key, recency_days (days between the key's
+    last activity day and the global max day), frequency (row count)
+    and monetary (exact integer cents), each scored into SQL-NTILE
+    tiles over (metric ASC, key ASC) — tile 1 = most recent / least
+    frequent / lowest spend, matching NTILE(n) OVER (ORDER BY metric,
+    key). The per-key rollup is one combiner-shaped groupby; each tile
+    pass is a range-partitioned global row-number
+    (moments.with_global_row_number) over the KEY-domain table, never
+    the raw corpus. All outputs are exact integers. Output (key,
+    recency_days, frequency, monetary_cents, r_q, f_q, m_q)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from .moments import sql_ntile, with_global_row_number
+    from .nullkeys import null_safe_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(
+            pc.and_(pc.is_valid(ts), pc.is_valid(batch.column(key_col)))
+        )
+        day = pc.cast(pc.cast(batch.column(ts_col), pa.date32()), pa.int32())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(batch.column(value_col), pa.float64()),
+                    10.0 ** decimal_scale,
+                )
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "d": day,
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": cents,
+            }
+        )
+        return (
+            t.group_by([key_col], use_threads=False)
+            .aggregate([("d", "max"), ("one", "sum"), ("cents", "sum")])
+            .rename_columns([key_col, "d", "one", "cents"])
+        )
+
+    per_key = null_safe_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col],
+        [
+            Max("d", alias_name="d"),
+            Sum("one", alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        ],
+    ).materialize()
+    gmax = int(per_key.max("d"))
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "recency_days": pa.array(gmax - d, pa.int64()),
+                "frequency": pc.cast(batch.column("frequency"), pa.int64()),
+                "monetary_cents": pc.cast(batch.column("monetary_cents"), pa.int64()),
+            }
+        )
+
+    cur = per_key.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+    for metric, out in (
+        ("recency_days", "r_q"),
+        ("frequency", "f_q"),
+        ("monetary_cents", "m_q"),
+    ):
+        cur, total = with_global_row_number(cur, metric, key_col, out_col="__rn")
+
+        def tile(batch: pa.Table, _n=total, _out=out) -> pa.Table:
+            rn = batch.column("__rn").to_numpy(zero_copy_only=False)
+            t = sql_ntile(rn.astype(np.int64), _n, n_tiles)
+            return batch.drop_columns(["__rn"]).append_column(
+                _out, pa.array(t, pa.int64())
+            )
+
+        cur = cur.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True)
+    return cur

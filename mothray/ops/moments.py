@@ -2598,3 +2598,211 @@ def friedman_dow(ds, ts_col: str) -> pa.Table:
         cols[f"rs2_{j + 1}"] = pa.array([int(r2[j])], pa.int64())
     cols["q"] = pa.array([q], pa.float64())
     return pa.table(cols)
+
+
+def with_global_row_number(ds, col: str, tiebreak_col: str, out_col: str = "rn"):
+    """Append the GLOBAL 1-based row number in (col, tiebreak) order —
+    the deterministic total order behind NTILE / top-N-percent — via
+    the same range-partitioned plan as with_global_frac_rank:
+    order-preserving sample boundaries on col (ties land in ONE
+    bucket), one exact per-bucket count pass -> driver offsets, one
+    groupby(bucket) exchange with a local lexsort. Null col values get
+    a null row number and consume no positions. Returns
+    (dataset_with_out_col, total_non_null_rows)."""
+    import ray
+
+    from .nullkeys import null_safe_group_map
+    from .pack import sample_boundaries
+
+    def non_null(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        return batch.filter(pc.is_valid(c)).select([col])
+
+    bnd, _ = sample_boundaries(
+        ds.map_batches(non_null, batch_format="pyarrow", zero_copy_batch=True), col
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        valid = v.is_valid().to_numpy(zero_copy_only=False)
+        if len(bnd):
+            x = v.to_numpy(zero_copy_only=False)
+            bkt = np.searchsorted(bnd, x, side="right").astype(np.int64)
+        else:
+            bkt = np.zeros(batch.num_rows, dtype=np.int64)
+        bkt = np.where(valid, bkt, -1)
+        return batch.append_column("__bkt", pa.array(bkt, pa.int64()))
+
+    bucketed = ds.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b = pa.table({"__bkt": t.column("__bkt")})
+        return b.group_by("__bkt", use_threads=False).aggregate([("__bkt", "count")])
+
+    counts = {
+        r["__bkt"]: r["sum(__bkt_count)"]
+        for r in bucketed.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__bkt")
+        .sum("__bkt_count")
+        .take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(k for k in counts if k >= 0):
+        offsets[b] = acc
+        acc += counts[b]
+    total = acc
+    off_ref = ray.put(offsets)
+
+    def rn_group(g: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        bkt = int(g.column("__bkt")[0].as_py())
+        g = g.drop_columns(["__bkt"])
+        if bkt < 0:
+            return g.append_column(out_col, pa.nulls(g.num_rows, pa.int64()))
+        off = ray_api.get(off_ref)[bkt]
+        v = g.column(col).to_numpy(zero_copy_only=False)
+        tb = g.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, v))
+        rn = np.empty(len(v), dtype=np.int64)
+        rn[order] = np.arange(1, len(v) + 1, dtype=np.int64) + off
+        return g.append_column(out_col, pa.array(rn, pa.int64()))
+
+    return null_safe_group_map(bucketed, ["__bkt"], rn_group), total
+
+
+def sql_ntile(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 1-based row numbers over n rows: the first
+    (n mod k) tiles get ceil(n/k) rows, the rest floor(n/k)."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    rn0 = rn - 1
+    return np.where(
+        rn0 < big,
+        rn0 // (q + 1) + 1 if q + 1 > 0 else 1,
+        r + (np.maximum(rn0 - big, 0) // max(q, 1)) + 1,
+    ).astype(np.int64)
+
+
+def abc_classification(ds, key_col: str, value_col: str,
+                       decimal_scale: int = 2,
+                       thresholds: tuple = (80, 95)) -> "object":
+    """ABC (Pareto) classification: keys ranked by total value
+    DESCENDING; class A while the running cumulative share stays
+    within thresholds[0]% of the grand total (compared as exact
+    integers: cum*100 <= thr*total), B within thresholds[1]%, else C.
+    Stage 1 is the per-key integer-cents groupby; stage 2 range-
+    buckets the key totals by value (ties in one bucket), one
+    per-bucket sum pass gives exact DESCENDING driver offsets, and the
+    per-bucket local cumsum classifies; the final class rollup is a
+    3-cell combiner. Output (cls, n_keys, class_cents) — all exact
+    integers. Tie order is (value DESC, key ASC), mirroring the SQL
+    window ORDER BY."""
+    import ray
+
+    from .nullkeys import null_safe_group_map
+    from .pack import sample_boundaries
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        t = pa.table({key_col: batch.column(key_col), "c": c})
+        t = t.filter(pc.and_(pc.is_valid(c), pc.is_valid(t.column(key_col))))
+        return (
+            t.group_by([key_col], use_threads=False)
+            .aggregate([("c", "sum")])
+            .rename_columns([key_col, "c"])
+        )
+
+    per_key = (
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns([key_col, "c"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    bnd, _ = sample_boundaries(per_key, "c")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        x = batch.column("c").to_numpy(zero_copy_only=False)
+        bkt = (
+            np.searchsorted(bnd, x, side="right").astype(np.int64)
+            if len(bnd)
+            else np.zeros(batch.num_rows, dtype=np.int64)
+        )
+        return batch.append_column("__bkt", pa.array(bkt, pa.int64()))
+
+    bucketed = per_key.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        b = pa.table({"__bkt": t.column("__bkt"), "s": t.column("c")})
+        return (
+            b.group_by("__bkt", use_threads=False)
+            .aggregate([("s", "sum")])
+            .rename_columns(["__bkt", "s"])
+        )
+
+    sums = {
+        r["__bkt"]: int(r["sum(s)"])
+        for r in bucketed.map_batches(
+            sum_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__bkt")
+        .sum("s")
+        .take_all()
+    }
+    total = sum(sums.values())
+    # descending traversal: offset of bucket b = sum of buckets ABOVE it
+    offsets = {}
+    acc = 0
+    for b in sorted(sums, reverse=True):
+        offsets[b] = acc
+        acc += sums[b]
+    off_ref = ray.put((offsets, total))
+    t_a, t_b = thresholds
+
+    def classify(g: pa.Table) -> pa.Table:
+        import ray as ray_api
+
+        offs, tot = ray_api.get(off_ref)
+        bkt = int(g.column("__bkt")[0].as_py())
+        off = offs[bkt]
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        k = g.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -c))
+        cum = np.cumsum(c[order]) + off
+        cls = np.where(
+            cum * 100 <= t_a * tot, "A", np.where(cum * 100 <= t_b * tot, "B", "C")
+        )
+        out = pa.table({"cls": pa.array(cls), "cc": pa.array(c[order], pa.int64())})
+        return (
+            out.group_by(["cls"], use_threads=False)
+            .aggregate([("cls", "count"), ("cc", "sum")])
+            .rename_columns(["cls", "n_keys", "class_cents"])
+        )
+
+    partial = null_safe_group_map(bucketed, ["__bkt"], classify)
+    return (
+        partial.groupby("cls")
+        .sum(["n_keys", "class_cents"])
+        .map_batches(
+            lambda t: t.rename_columns(["cls", "n_keys", "class_cents"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
