@@ -6046,6 +6046,34 @@ def _abc_class_lineitem(sf_dir: str):
     return moments.abc_classification(ds, "l_partkey", "l_extendedprice")
 
 
+
+def _add_column_encoded_documents(sf_dir: str):
+    """Surgical ADD COLUMN on an encoded dataset
+    (pipeline.add_column_encoded): text_len = utf8 length computed per
+    stripe from the text projection only; every existing column's
+    stream bytes memcpy through. Decode returns the widened table;
+    oracle = SELECT *, length(text)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from mothray import checkpoint, pipeline
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/mothray_addcol_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    checkpoint.encode_job(f"{sf_dir}/documents.parquet", f"{base}/enc")
+    pipeline.add_column_encoded(
+        f"{base}/enc",
+        f"{base}/out",
+        "text_len",
+        lambda t: pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+        ["text"],
+    )
+    return pipeline.decode_files(f"{base}/out")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6377,6 +6405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["scd2_orders"] = _scd2_orders
     q["rfm_orders"] = _rfm_orders
     q["abc_class_lineitem"] = _abc_class_lineitem
+    q["add_column_encoded_documents"] = _add_column_encoded_documents
     return q
 
 
@@ -9276,6 +9305,10 @@ def oracle_sql() -> dict[str, str]:
         "  WHEN cum * 100 <= 95 * tot THEN 'B' ELSE 'C' END AS cls, cents FROM c)"
         " SELECT cls, CAST(count(*) AS BIGINT) AS n_keys,"
         "  CAST(sum(cents) AS BIGINT) AS class_cents FROM k GROUP BY 1"
+    )
+    o["add_column_encoded_documents"] = (
+        "SELECT doc_id, text, lang, source, n_chars,"
+        " CAST(length(text) AS BIGINT) AS text_len FROM documents"
     )
     return o
 

@@ -2435,6 +2435,53 @@ def drop_column_encoded(
     )
 
 
+def add_column_encoded(
+    in_dir: str | list[str],
+    out_dir: str,
+    name: str,
+    fn,
+    input_columns: list[str],
+    opts: dict | None = None,
+) -> None:
+    """COW schema evolution: ADD COLUMN on an encoded dataset, the
+    column computed per stripe as `fn(projected_table) -> pa.Array`
+    over `input_columns`. Completes the RENAME / DROP / CAST / UPDATE
+    family: within each stripe only the input projection DECODES and
+    only the new column's streams ENCODE — every existing column's
+    bytes memcpy through with rebased offsets
+    (stripe.replace_column_in_stripe add mode), so cost scales with
+    the new column, not table width. Streaming, no shuffle; the
+    reference writer is append-only (MothWriter.go) — this is the
+    lakehouse extension of it."""
+    cols = _encoded_column_names(in_dir)
+    if name in cols:
+        raise ValueError(f"column {name!r} already exists (have {cols})")
+    missing = [c for c in input_columns if c not in cols]
+    if missing:
+        raise KeyError(f"input columns {missing} not in encoded dataset (have {cols})")
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(b.num_rows):
+            row = {c: b.column(c)[i].as_py() for c in b.column_names}
+            proj = stripe_mod.decode_stripe(row, columns=input_columns)
+            values = fn(proj)
+            if isinstance(values, pa.ChunkedArray):
+                values = values.combine_chunks()
+            row = stripe_mod.replace_column_in_stripe(
+                row, name, values, opts, old_nbytes=0, add=True
+            )
+            row["stripe_key"] = row["stripe_key"] + "a"
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=stripe_mod.STRIPE_SCHEMA)
+
+    enc = read_encoded(in_dir)
+    write_encoded(
+        enc.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True),
+        out_dir,
+    )
+
+
 def read_text_source(
     path: str | list[str], format: str = "csv", schema: pa.Schema | None = None
 ) -> ray.data.Dataset:

@@ -482,6 +482,7 @@ def replace_column_in_stripe(
     opts: dict | None = None,
     old_nbytes: int | None = None,
     allow_type_change: bool = False,
+    add: bool = False,
 ) -> dict:
     """Replace ONE existing column's values in a stripe row re-encoding
     ONLY that column: the new streams are encoded fresh, every other
@@ -499,10 +500,17 @@ def replace_column_in_stripe(
         values = values.combine_chunks()
     meta = json.loads(row["meta"])
     schema = _deserialize_schema(row["schema_ipc"])
-    if name not in meta["columns"]:
-        raise KeyError(f"column {name!r} not present in stripe")
-    t = schema.field(name).type
     new_schema_ipc = None
+    if add:
+        # ADD COLUMN: append a fresh field; everything below then
+        # treats it like a replace whose "old" streams are empty
+        if name in meta["columns"]:
+            raise KeyError(f"column {name!r} already present in stripe")
+        schema = schema.append(pa.field(name, values.type, nullable=True))
+        new_schema_ipc = _serialize_schema(schema)
+    elif name not in meta["columns"]:
+        raise KeyError(f"column {name!r} not present in stripe")
+    t = values.type if add else schema.field(name).type
     if values.type != t:
         if not allow_type_change:
             raise TypeError(
