@@ -948,10 +948,13 @@ def _text_source_ingest(sf_dir: str, fmt: str):
         p = os.path.join(out, f"{name}.{fmt}")
         if not os.path.exists(p):
             tmp = os.path.join(out, f".{name}.{uuid.uuid4().hex}.tmp")
-            if fmt == "csv":
+            if fmt in ("csv", "tsv"):
                 from pyarrow import csv as pacsv
 
-                pacsv.write_csv(batch, tmp)
+                opts = (
+                    pacsv.WriteOptions(delimiter="\t") if fmt == "tsv" else None
+                )
+                pacsv.write_csv(batch, tmp, write_options=opts)
             elif fmt == "arrow":
                 with pa.ipc.new_file(tmp, batch.schema) as w:
                     w.write_table(batch)
@@ -6074,6 +6077,72 @@ def _add_column_encoded_documents(sf_dir: str):
     return pipeline.decode_files(f"{base}/out")
 
 
+
+def _gains_orders(sf_dir: str):
+    """Cumulative gains / lift deciles of o_totalprice as a score for
+    o_orderstatus = 'F' (moments.gains_curve): range-partitioned
+    global row-number on the negated score, decile combiner, exact
+    integer ratios."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderstatus", "o_orderkey"],
+    )
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "score": batch.column("o_totalprice"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "y": _pc.cast(
+                    _pc.fill_null(_pc.equal(batch.column("o_orderstatus"), "F"), False),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    src = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    return ray.data.from_arrow(
+        moments.gains_curve(src, "score", "y", "o_orderkey", n_tiles=10)
+    )
+
+
+def _tv_hellinger_documents(sf_dir: str):
+    """Total-variation + Hellinger distance between src0's n_chars
+    bucket distribution and the rest of the corpus
+    (moments.tv_hellinger): one grouped histogram exchange, TV exact,
+    BC/Hellinger round-6."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "source"]
+    )
+    return ray.data.from_arrow(
+        moments.tv_hellinger(ds, "n_chars", "source", "src0", bucket_width=500)
+    )
+
+
+def _bounce_events(sf_dir: str):
+    """Daily bounce rate over 30-minute sessions (cohort.bounce_rate):
+    one groupby(user) sessionization emitting one row per session, day
+    combiner, single exact int division for the rate."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return cohort.bounce_rate(ds, "user_id", "ts", "event_id", gap_s=1800)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6406,6 +6475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rfm_orders"] = _rfm_orders
     q["abc_class_lineitem"] = _abc_class_lineitem
     q["add_column_encoded_documents"] = _add_column_encoded_documents
+    q["gains_orders"] = _gains_orders
+    q["tv_hellinger_documents"] = _tv_hellinger_documents
+    q["bounce_events"] = _bounce_events
+    q["tsv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "tsv")
     return q
 
 
@@ -9310,6 +9383,65 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text, lang, source, n_chars,"
         " CAST(length(text) AS BIGINT) AS text_len FROM documents"
     )
+    o["gains_orders"] = (
+        "WITH s AS (SELECT o_totalprice, o_orderkey,"
+        "  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders"
+        "  WHERE o_totalprice IS NOT NULL),"
+        " d AS (SELECT y, CAST(ntile(10) OVER"
+        "  (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS decile FROM s),"
+        " g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,"
+        "  CAST(sum(y) AS BIGINT) AS n_pos FROM d GROUP BY 1),"
+        " c AS (SELECT decile, n_rows, n_pos,"
+        "  CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+        "   AS BIGINT) AS cum_pos,"
+        "  CAST(sum(n_rows) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+        "   AS BIGINT) AS cum_rows,"
+        "  CAST((SELECT sum(y) FROM s) AS BIGINT) AS tot_pos,"
+        "  CAST((SELECT count(*) FROM s) AS BIGINT) AS tot FROM g)"
+        " SELECT decile, n_rows, n_pos, cum_pos,"
+        "  cum_pos / tot_pos AS gain,"
+        "  (cum_pos * tot) / (tot_pos * cum_rows) AS lift FROM c"
+    )
+    o["tv_hellinger_documents"] = (
+        # bucket = n_chars // 500 exact; TV one int division; BC and
+        # hellinger round-6 with the same per-cell expression
+        "WITH h AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,"
+        "  n_chars // 500 AS b, CAST(count(*) AS BIGINT) AS cnt FROM documents"
+        "  WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),"
+        " piv AS (SELECT b,"
+        "  CAST(sum(CASE WHEN a = 1 THEN cnt ELSE 0 END) AS BIGINT) AS ca,"
+        "  CAST(sum(CASE WHEN a = 0 THEN cnt ELSE 0 END) AS BIGINT) AS cb"
+        "  FROM h GROUP BY 1),"
+        " tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,"
+        "  CAST(sum(cb) AS BIGINT) AS nb FROM piv),"
+        " agg AS (SELECT CAST(sum(abs(ca * nb - cb * na)) AS BIGINT) AS tv_num,"
+        "  sum(sqrt((ca / CAST(na AS DOUBLE)) * (cb / CAST(nb AS DOUBLE)))) AS bc"
+        "  FROM piv, tot)"
+        " SELECT na AS n_a, nb AS n_b, tv_num / (2 * na * nb) AS tv,"
+        "  round(bc, 6) AS bc,"
+        "  round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger"
+        " FROM agg, tot"
+    )
+    o["bounce_events"] = (
+        # sessions split on gaps > 1800s; day = first-event epoch-day
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events"
+        "  WHERE ts IS NOT NULL),"
+        " m AS (SELECT user_id, us, event_id,"
+        "  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000"
+        "   THEN 1 ELSE 0 END AS new_s FROM e"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),"
+        " s AS (SELECT user_id, us, sum(new_s) OVER"
+        "  (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)"
+        "  AS sid FROM m),"
+        " g AS (SELECT user_id, sid, min(us) // 86400000000 AS day,"
+        "  count(*) AS ne FROM s GROUP BY 1, 2)"
+        " SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,"
+        "  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,"
+        "  CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   / CAST(count(*) AS BIGINT) AS bounce_rate"
+        " FROM g GROUP BY day"
+    )
+    o["tsv_ingest_documents"] = "SELECT * FROM documents"
     return o
 
 

@@ -573,3 +573,81 @@ def rfm(ds, key_col: str, ts_col: str, value_col: str,
 
         cur = cur.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True)
     return cur
+
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+
+def bounce_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
+                tiebreak_col: str = "event_id", gap_s: int = 1800):
+    """Daily bounce rate: sessions split per user on gaps strictly
+    greater than gap_s seconds (events in (ts, tiebreak) order); a
+    BOUNCE is a single-event session; sessions are attributed to the
+    epoch-day index (first_event_us // day_us, exact integer) of their
+    first event. One groupby(user) exchange emits one (day, bounce)
+    row per session; a day combiner finishes. bounce_rate =
+    n_bounces / n_sessions is ONE exact int division. Output (day,
+    n_sessions, n_bounces, bounce_rate)."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    gap_us = gap_s * 1_000_000
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                "us": pc.cast(ts, pa.int64()),
+                "tb": batch.column(tiebreak_col),
+            }
+        ).filter(pc.is_valid(ts))
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = g.column("us").to_numpy(zero_copy_only=False)
+        tb = g.column("tb").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, us))
+        su = us[order]
+        new_s = np.r_[True, np.diff(su) > gap_us]
+        starts = np.flatnonzero(new_s)
+        sizes = np.diff(np.r_[starts, len(su)])
+        days = su[starts] // _DAY_US
+        return pa.table(
+            {
+                "day": pa.array(days.astype(np.int64)),
+                "one": pa.array(np.ones(len(starts), np.int64)),
+                "bounce": pa.array((sizes == 1).astype(np.int64)),
+            }
+        )
+
+    sess = null_safe_group_map(proj, [user_col], per_user)
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["day"], use_threads=False)
+            .aggregate([("one", "sum"), ("bounce", "sum")])
+            .rename_columns(["day", "one", "bounce"])
+        )
+
+    agg = (
+        sess.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum(["one", "bounce"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum(one)").to_numpy(zero_copy_only=False)
+        b = batch.column("sum(bounce)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": batch.column("day"),
+                "n_sessions": pa.array(s, pa.int64()),
+                "n_bounces": pa.array(b, pa.int64()),
+                "bounce_rate": pa.array(b / s, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -2806,3 +2806,136 @@ def abc_classification(ds, key_col: str, value_col: str,
             zero_copy_batch=True,
         )
     )
+
+
+def gains_curve(ds, score_col: str, label_col: str, tiebreak_col: str,
+                n_tiles: int = 10):
+    """Cumulative gains / lift table: rows ranked by score DESC
+    (tiebreak ASC — NTILE(n) OVER (ORDER BY score DESC, tiebreak)),
+    split into n_tiles deciles; per decile n_rows, n_pos, cumulative
+    positives, gain = cum_pos / total_pos and
+    lift = (cum_pos * total) / (total_pos * cum_rows) — every ratio is
+    ONE division of exact int64s (bit-deterministic). The ranking pass
+    is the range-partitioned global row-number over the NEGATED score
+    (ties land in one bucket); cumulative sums evaluate over the
+    n_tiles-row grid driver-side. label_col must be 0/1 int. Rows with
+    a null score are excluded."""
+    from .nullkeys import null_safe_group_map
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(score_col), pa.float64())
+        t = pa.table(
+            {
+                "neg": pc.negate(s),
+                "tb": batch.column(tiebreak_col),
+                "y": pc.cast(batch.column(label_col), pa.int64()),
+            }
+        )
+        return t.filter(pc.is_valid(s))
+
+    src = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, total = with_global_row_number(src, "neg", "tb", out_col="__rn")
+
+    def tile_partial(batch: pa.Table, _n=total) -> pa.Table:
+        rn = batch.column("__rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = sql_ntile(rn, _n, n_tiles)
+        t = pa.table(
+            {
+                "decile": pa.array(dec, pa.int64()),
+                "one": pa.array(np.ones(len(dec), np.int64)),
+                "y": batch.column("y"),
+            }
+        )
+        return (
+            t.group_by(["decile"], use_threads=False)
+            .aggregate([("one", "sum"), ("y", "sum")])
+            .rename_columns(["decile", "n_rows", "n_pos"])
+        )
+
+    grid = sorted(
+        ranked.map_batches(tile_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("decile")
+        .sum(["n_rows", "n_pos"])
+        .take_all(),
+        key=lambda r: r["decile"],
+    )
+    tot_pos = sum(int(r["sum(n_pos)"]) for r in grid)
+    cum_r = cum_p = 0
+    rows = []
+    for r in grid:
+        cum_r += int(r["sum(n_rows)"])
+        cum_p += int(r["sum(n_pos)"])
+        rows.append(
+            {
+                "decile": int(r["decile"]),
+                "n_rows": int(r["sum(n_rows)"]),
+                "n_pos": int(r["sum(n_pos)"]),
+                "cum_pos": cum_p,
+                "gain": cum_p / tot_pos if tot_pos else None,
+                "lift": (cum_p * total) / (tot_pos * cum_r) if tot_pos else None,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def tv_hellinger(ds, value_col: str, group_col: str, group_a,
+                 bucket_width: int = 500) -> pa.Table:
+    """Total-variation and Hellinger distance between the bucketed
+    value distribution of group_a and EVERYONE ELSE: bucket =
+    value // bucket_width (exact integer floor), one grouped histogram
+    is the only exchange. TV = sum |ca*nb - cb*na| / (2*na*nb) is one
+    exact-integer division; the Bhattacharyya coefficient
+    BC = sum sqrt((ca/na) * (cb/nb)) and hellinger = sqrt(1 - BC) are
+    round-6 (terms are bit-identical doubles, only the cell-sum order
+    varies). Output one row (n_a, n_b, tv, bc, hellinger)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col)
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(batch.column(group_col)))
+        t = batch.filter(ok)
+        x = t.column(value_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // bucket_width
+        is_a = pc.equal(t.column(group_col), group_a)
+        h = pa.table(
+            {
+                "a": pc.cast(is_a, pa.int64()),
+                "b": pa.array(x.astype(np.int64)),
+            }
+        )
+        return (
+            h.group_by(["a", "b"], use_threads=False)
+            .aggregate([("a", "count")])
+            .rename_columns(["a", "b", "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .sum("cnt")
+        .take_all()
+    )
+    ca: dict[int, int] = {}
+    cb: dict[int, int] = {}
+    for r in hist:
+        (ca if r["a"] == 1 else cb)[int(r["b"])] = int(r["sum(cnt)"])
+    na, nb = sum(ca.values()), sum(cb.values())
+    grid = sorted(set(ca) | set(cb))
+    tv_num = 0
+    bc = 0.0
+    for x in grid:
+        A, B = ca.get(x, 0), cb.get(x, 0)
+        tv_num += abs(A * nb - B * na)
+        bc += float(np.sqrt((A / na) * (B / nb))) if na and nb else 0.0
+    tv = tv_num / (2 * na * nb) if na and nb else None
+    bc_r = float(np.round(bc, 6)) if na and nb else None
+    hel = float(np.round(np.sqrt(max(0.0, 1.0 - bc)), 6)) if na and nb else None
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "tv": pa.array([tv], pa.float64()),
+            "bc": pa.array([bc_r], pa.float64()),
+            "hellinger": pa.array([hel], pa.float64()),
+        }
+    )

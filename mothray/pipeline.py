@@ -2491,14 +2491,16 @@ def read_text_source(
     `schema` (pyarrow) pins column types — CSV/JSON type inference is
     per-file, and a column that happens to be all-null or all-digits in
     one shard must not change type across shards."""
-    if format == "csv":
+    if format in ("csv", "tsv"):
+        from pyarrow import csv as pacsv
+
         kwargs = {}
         if schema is not None:
-            from pyarrow import csv as pacsv
-
             kwargs["convert_options"] = pacsv.ConvertOptions(
                 column_types={f.name: f.type for f in schema}
             )
+        if format == "tsv":
+            kwargs["parse_options"] = pacsv.ParseOptions(delimiter="\t")
         return ray.data.read_csv(path, **kwargs)
     if format in ("jsonl", "json"):
         kwargs = {}
@@ -2507,7 +2509,7 @@ def read_text_source(
 
             kwargs["parse_options"] = pajson.ParseOptions(explicit_schema=schema)
         return ray.data.read_json(path, **kwargs)
-    raise ValueError(f"unsupported text source format: {format!r} (csv|jsonl)")
+    raise ValueError(f"unsupported text source format: {format!r} (csv|tsv|jsonl)")
 
 
 def read_ipc_source(path: str | list[str]) -> ray.data.Dataset:
