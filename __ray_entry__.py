@@ -6143,6 +6143,36 @@ def _bounce_events(sf_dir: str):
     return cohort.bounce_rate(ds, "user_id", "ts", "event_id", gap_s=1800)
 
 
+
+def _paa_events(sf_dir: str):
+    """PAA + SAX symbolization of per-user daily activity
+    (window.paa_sax): 4 segments, 4-letter alphabet with exact global
+    quantile_disc breakpoints; every number is an exact int or one
+    int division."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return window.paa_sax(ds, "user_id", "ts", n_segments=4, alphabet=4)
+
+
+def _trimmed_mean_lineitem(sf_dir: str):
+    """Per-returnflag 10%-trimmed mean of quantity
+    (moments.trimmed_mean): grouped distinct-value histogram, exact
+    integer kept-sum arithmetic, one division."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    )
+    return moments.trimmed_mean(
+        ds, "l_quantity", "l_returnflag", trim_num=1, trim_den=10, decimal_scale=0
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6479,6 +6509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tv_hellinger_documents"] = _tv_hellinger_documents
     q["bounce_events"] = _bounce_events
     q["tsv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "tsv")
+    q["paa_events"] = _paa_events
+    q["trimmed_mean_lineitem"] = _trimmed_mean_lineitem
     return q
 
 
@@ -9442,6 +9474,42 @@ def oracle_sql() -> dict[str, str]:
         " FROM g GROUP BY day"
     )
     o["tsv_ingest_documents"] = "SELECT * FROM documents"
+    o["paa_events"] = (
+        # seg = idx0 * 4 // n_days exact; breakpoints = global
+        # quantile_disc of daily counts; letter = 'a' + #{bp < mean}
+        "WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(count(*) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL GROUP BY 1, 2),"
+        " bp AS (SELECT quantile_disc(c, 0.25) AS b1,"
+        "  quantile_disc(c, 0.50) AS b2, quantile_disc(c, 0.75) AS b3 FROM ud),"
+        " r AS (SELECT user_id, c,"
+        "  row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS idx,"
+        "  count(*) OVER (PARTITION BY user_id) AS nd FROM ud),"
+        " seg AS (SELECT user_id, CAST((idx * 4) // nd AS BIGINT) AS seg,"
+        "  CAST(count(*) AS BIGINT) AS seg_n, CAST(sum(c) AS BIGINT) AS seg_sum"
+        "  FROM r GROUP BY 1, 2)"
+        " SELECT s.user_id, s.seg, s.seg_n, s.seg_sum,"
+        "  s.seg_sum / s.seg_n AS seg_mean,"
+        "  chr(97 + (CASE WHEN s.seg_sum / s.seg_n > bp.b1 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN s.seg_sum / s.seg_n > bp.b2 THEN 1 ELSE 0 END)"
+        "   + (CASE WHEN s.seg_sum / s.seg_n > bp.b3 THEN 1 ELSE 0 END)) AS sax"
+        " FROM seg s, bp"
+    )
+    o["trimmed_mean_lineitem"] = (
+        # drop the n//10 lowest and highest rows per group; tie rows at
+        # the boundary are interchangeable (equal values, equal sum)
+        "WITH v AS (SELECT l_returnflag AS g,"
+        "  CAST(round(l_quantity * 1.0) AS BIGINT) AS c FROM lineitem"
+        "  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),"
+        " r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,"
+        "  count(*) OVER (PARTITION BY g) AS n FROM v),"
+        " k AS (SELECT g, c, n FROM r WHERE rn > n // 10 AND rn <= n - n // 10)"
+        " SELECT g AS l_returnflag, CAST(any_value(n) AS BIGINT) AS n,"
+        "  CAST(count(*) AS BIGINT) AS n_kept,"
+        "  CAST(sum(c) AS BIGINT) AS kept_sum,"
+        "  CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT) AS trimmed_mean"
+        " FROM k GROUP BY g"
+    )
     return o
 
 

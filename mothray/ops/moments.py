@@ -2939,3 +2939,71 @@ def tv_hellinger(ds, value_col: str, group_col: str, group_a,
             "hellinger": pa.array([hel], pa.float64()),
         }
     )
+
+
+def trimmed_mean(ds, value_col: str, group_col: str,
+                 trim_num: int = 1, trim_den: int = 10,
+                 decimal_scale: int = 0, max_distinct: int = 100_000) -> pa.Table:
+    """Per-group trimmed mean: drop the k = n * trim_num // trim_den
+    (exact integer) lowest and highest ROWS, then mean the rest —
+    values quantized to decimal_scale decimals so the kept sum is an
+    exact integer from the grouped distinct-value histogram (the only
+    exchange, domain-bounded like brown_forsythe; guarded by
+    max_distinct) and the mean is ONE int division. Ties at the trim
+    boundary are safe: equal values contribute the same sum whichever
+    rows are dropped. Output (group, n, n_kept, kept_sum,
+    trimmed_mean)."""
+    from .nullkeys import null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        t = pa.table({group_col: batch.column(group_col), "v": c})
+        t = t.filter(pc.and_(pc.is_valid(c), pc.is_valid(t.column(group_col))))
+        return (
+            t.group_by([group_col, "v"], use_threads=False)
+            .aggregate([("v", "count")])
+            .rename_columns([group_col, "v", "cnt"])
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "v"])
+        .sum("cnt")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) > max_distinct:
+            raise ValueError(
+                f"trimmed_mean: {len(v)} distinct values (max_distinct={max_distinct})"
+            )
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        k = n * trim_num // trim_den
+        # kept rows are ranks (k, n-k]; per distinct value the kept
+        # multiplicity is overlap of [cum_lo, cum_hi) with [k, n-k)
+        hi = np.cumsum(c)
+        lo = hi - c
+        kept = np.minimum(hi, n - k) - np.maximum(lo, k)
+        kept = np.maximum(kept, 0)
+        n_kept = int(kept.sum())
+        kept_sum = int((kept * v).sum())
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "n_kept": pa.array([n_kept], pa.int64()),
+                "kept_sum": pa.array([kept_sum], pa.int64()),
+                "trimmed_mean": pa.array(
+                    [kept_sum / n_kept if n_kept else None], pa.float64()
+                ),
+            }
+        )
+
+    return null_safe_group_map(hist, [group_col], merge)

@@ -1378,3 +1378,77 @@ def scd2(ds, key_col: str, order_col: str, attr_col: str, tiebreak_col: str):
         )
 
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def paa_sax(ds, key_col: str, ts_col: str, n_segments: int = 4,
+            alphabet: int = 4):
+    """Piecewise Aggregate Approximation + SAX symbolization of each
+    key's daily activity series: per key, days (epoch-day index, exact
+    integer) in order split into n_segments contiguous segments by
+    seg = idx0 * n_segments // n_days (exact integer floor); each
+    segment reduces to (count, sum, mean = sum/count — ONE exact int
+    division) and a SAX letter = 'a' + #{breakpoints < mean}, with the
+    alphabet-1 breakpoints the exact quantile_disc cuts of the GLOBAL
+    daily-count distribution (integer-domain histogram, scale-safe).
+    Two groupby exchanges ((key, day) counts, then key); breakpoints
+    broadcast. Output (key, seg, seg_n, seg_sum, seg_mean, sax)."""
+    from ray.data.aggregate import Count
+
+    from .nullkeys import null_safe_group_map
+    from .sketch import exact_quantiles
+
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "day": pa.array(d.astype(np.int64)),
+            }
+        )
+
+    ud = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "day"])
+        .aggregate(Count(alias_name="c"))
+        .materialize()
+    )
+    qs = [i / alphabet for i in range(1, alphabet)]
+    cuts_map = exact_quantiles(ud, "c", qs)
+    bps = np.array([cuts_map[q] for q in qs if cuts_map[q] is not None], np.float64)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day, kind="stable")  # days are distinct per key
+        cs = c[order]
+        nd = len(cs)
+        seg = (np.arange(nd, dtype=np.int64) * n_segments) // nd
+        seg_ids = np.unique(seg)
+        sums = np.bincount(seg, weights=cs, minlength=int(seg_ids[-1]) + 1)
+        cnts = np.bincount(seg, minlength=int(seg_ids[-1]) + 1)
+        sums = sums[seg_ids].astype(np.int64)
+        cnts = cnts[seg_ids].astype(np.int64)
+        means = sums / cnts
+        letters = np.array(
+            [chr(97 + int((bps < m).sum())) for m in means], dtype=object
+        )
+        return pa.table(
+            {
+                key_col: pa.chunked_array(
+                    [g.column(key_col).combine_chunks()]
+                ).take(pa.array(np.zeros(len(seg_ids), np.int64))),
+                "seg": pa.array(seg_ids, pa.int64()),
+                "seg_n": pa.array(cnts, pa.int64()),
+                "seg_sum": pa.array(sums, pa.int64()),
+                "seg_mean": pa.array(means, pa.float64()),
+                "sax": pa.array(letters.tolist(), pa.string()),
+            }
+        )
+
+    return null_safe_group_map(ud, [key_col], per_key)
