@@ -6173,6 +6173,62 @@ def _trimmed_mean_lineitem(sf_dir: str):
     )
 
 
+
+def _ttr_documents(sf_dir: str):
+    """Per-doc type-token ratio (text.type_token_ratio): shuffle-free
+    Arrow group_by distinct counting, one exact int division."""
+    import ray.data
+
+    from mothray.ops import text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return text.type_token_ratio(ds, "text", "doc_id")
+
+
+def _control_chart_events(sf_dir: str):
+    """Per-user XmR control chart summary (window.control_chart):
+    exact integer-cents sums, single-division x_bar/mr_bar, integer
+    out-of-control count against x_bar +- 2.66 * mr_bar."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    return window.control_chart(
+        ds, "user_id", "ts", "value", "event_id", decimal_scale=2, min_n=5
+    )
+
+
+def _cox_stuart_events(sf_dir: str):
+    """Per-user Cox-Stuart trend test on daily activity
+    (moments.cox_stuart): paired first/second-half sign counts, z from
+    exact integers."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return moments.cox_stuart(ds, "user_id", "ts", min_pairs=5)
+
+
+def _markov_entropy_events(sf_dir: str):
+    """Entropy rate of the event-type Markov chain
+    (markov.entropy_rate): transition grid from the per-user pair
+    pass, visit-frequency-weighted conditional entropy in nats."""
+    import ray.data
+
+    from mothray.ops import markov
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return ray.data.from_arrow(
+        markov.entropy_rate(ds, "user_id", "ts", "event_id", "event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6511,6 +6567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tsv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "tsv")
     q["paa_events"] = _paa_events
     q["trimmed_mean_lineitem"] = _trimmed_mean_lineitem
+    q["ttr_documents"] = _ttr_documents
+    q["control_chart_events"] = _control_chart_events
+    q["cox_stuart_events"] = _cox_stuart_events
+    q["markov_entropy_events"] = _markov_entropy_events
     return q
 
 
@@ -9509,6 +9569,68 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(sum(c) AS BIGINT) AS kept_sum,"
         "  CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT) AS trimmed_mean"
         " FROM k GROUP BY g"
+    )
+    o["ttr_documents"] = (
+        "WITH toks AS (SELECT doc_id,"
+        "  unnest(string_split(lower(text), ' ')) AS t FROM documents),"
+        " f AS (SELECT doc_id, t FROM toks WHERE t <> ''),"
+        " a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        "  CAST(count(DISTINCT t) AS BIGINT) AS n_distinct FROM f GROUP BY 1)"
+        " SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,"
+        "  coalesce(a.n_distinct, 0) AS n_distinct,"
+        "  a.n_distinct / a.n_tokens AS ttr"
+        " FROM documents d LEFT JOIN a USING (doc_id)"
+    )
+    o["control_chart_events"] = (
+        "WITH v AS (SELECT user_id, ts, event_id,"
+        "  CAST(round(value * 100) AS BIGINT) AS c FROM events"
+        "  WHERE value IS NOT NULL),"
+        " m AS (SELECT user_id, c, abs(c - lag(c) OVER w) AS mr FROM v"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),"
+        " a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(mr) AS BIGINT) AS smr"
+        "  FROM m GROUP BY 1),"
+        " f AS (SELECT user_id, n, sc / n AS x_bar, smr / (n - 1) AS mr_bar"
+        "  FROM a WHERE n >= 5)"
+        " SELECT f.user_id, f.n, f.x_bar, f.mr_bar,"
+        "  CAST((SELECT count(*) FROM m WHERE m.user_id = f.user_id"
+        "   AND (m.c > f.x_bar + 2.66 * f.mr_bar"
+        "    OR m.c < f.x_bar - 2.66 * f.mr_bar)) AS BIGINT) AS n_ooc"
+        " FROM f"
+    )
+    o["cox_stuart_events"] = (
+        "WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(count(*) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL GROUP BY 1, 2),"
+        " r AS (SELECT user_id, c,"
+        "  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,"
+        "  count(*) OVER (PARTITION BY user_id) AS nd FROM ud),"
+        " p AS (SELECT a.user_id, b.c - a.c AS d FROM r a JOIN r b"
+        "  ON a.user_id = b.user_id AND b.rn = a.rn + (a.nd + 1) // 2"
+        "  WHERE a.rn <= a.nd - (a.nd + 1) // 2),"
+        " agg AS (SELECT user_id,"
+        "  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS s_plus,"
+        "  CAST(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS m"
+        "  FROM p GROUP BY 1)"
+        " SELECT user_id, s_plus, m AS n_pairs,"
+        "  (2.0 * s_plus - m) / sqrt(CAST(m AS DOUBLE)) AS z"
+        " FROM agg WHERE m >= 5"
+    )
+    o["markov_entropy_events"] = (
+        "WITH s AS (SELECT user_id, event_type, ts, event_id FROM events"
+        "  WHERE event_type IS NOT NULL),"
+        " pr AS (SELECT user_id, event_type AS t,"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f"
+        "  FROM s),"
+        " g AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM pr"
+        "  WHERE f IS NOT NULL GROUP BY 1, 2),"
+        " rt AS (SELECT f, CAST(sum(c) AS BIGINT) AS ni FROM g GROUP BY 1),"
+        " tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g)"
+        " SELECT tot.n AS n_transitions,"
+        "  CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_states,"
+        "  round(-sum((g.c / CAST(tot.n AS DOUBLE))"
+        "   * ln(g.c / CAST(rt.ni AS DOUBLE))), 6) AS entropy_rate"
+        " FROM g JOIN rt USING (f), tot GROUP BY tot.n"
     )
     return o
 

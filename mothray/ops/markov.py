@@ -96,3 +96,49 @@ def transition_matrix(
         .map_batches(add_prob, batch_format="pyarrow")
         .sort(["from_state", "to_state"])
     )
+
+
+def entropy_rate(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    state_col: str = "event_type",
+    round_digits: int = 6,
+) -> pa.Table:
+    """Entropy rate of the first-order Markov chain over per-key state
+    sequences: H = -sum_ij (c_ij / N) * ln(c_ij / n_i) in nats, where
+    c_ij is the corpus-wide (from, to) transition count, n_i the
+    from-state row total and N the total transitions — the stationary
+    weighting by observed visit frequency. The transition grid
+    (<= |states|^2 cells) is the only driver-side state; counts come
+    from transition_matrix's per-key pair pass. Terms are bit-identical
+    doubles; round-6 absorbs the cell-sum order. Output one row
+    (n_transitions, n_states, entropy_rate)."""
+    grid = pa.Table.from_pylist(
+        transition_matrix(
+            ds, key_col, order_col, tiebreak_col, state_col
+        ).take_all()
+    )
+    if grid.num_rows == 0:
+        return pa.table(
+            {
+                "n_transitions": pa.array([0], pa.int64()),
+                "n_states": pa.array([0], pa.int64()),
+                "entropy_rate": pa.array([None], pa.float64()),
+            }
+        )
+    f = grid.column("from_state").combine_chunks().dictionary_encode()
+    codes = np.asarray(f.indices, dtype=np.int64)
+    c = grid.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    ni = np.bincount(codes, weights=c.astype(np.float64), minlength=len(f.dictionary))
+    n_total = int(c.sum())
+    terms = (c / n_total) * np.log(c / ni[codes])
+    h = float(np.round(-terms.sum(), round_digits))
+    return pa.table(
+        {
+            "n_transitions": pa.array([n_total], pa.int64()),
+            "n_states": pa.array([len(f.dictionary)], pa.int64()),
+            "entropy_rate": pa.array([h], pa.float64()),
+        }
+    )

@@ -3007,3 +3007,67 @@ def trimmed_mean(ds, value_col: str, group_col: str,
         )
 
     return null_safe_group_map(hist, [group_col], merge)
+
+
+def cox_stuart(ds, key_col: str, ts_col: str, min_pairs: int = 5) -> "object":
+    """Per-key Cox-Stuart trend test on the daily activity series:
+    days (epoch-day index) sorted, the i-th day's count paired with
+    the (i + ceil(n/2))-th; zero differences drop (classical
+    convention); S+ = #positive differences over m nonzero pairs and
+    z = (2.0 * S+ - m) / sqrt(m) — all inputs integers and the
+    expression order matches the SQL oracle, so bit-deterministic.
+    Keys with m < min_pairs drop. Two exchanges: the (key, day) count
+    groupby, then groupby(key). Output (key, s_plus, n_pairs, z)."""
+    from ray.data.aggregate import Count
+
+    from .nullkeys import null_safe_group_map
+
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table(
+            {key_col: batch.column(key_col), "day": pa.array(d.astype(np.int64))}
+        )
+
+    ud = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "day"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        x = c[order]
+        n = len(x)
+        h = (n + 1) // 2
+        d = x[h:] - x[: n - h]
+        d = d[d != 0]
+        sp = int((d > 0).sum())
+        m = len(d)
+        if m < min_pairs:
+            return pa.table(
+                {
+                    key_col: g.column(key_col).slice(0, 0),
+                    "s_plus": pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        z = (2.0 * sp - m) / float(np.sqrt(float(m)))
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "s_plus": pa.array([sp], pa.int64()),
+                "n_pairs": pa.array([m], pa.int64()),
+                "z": pa.array([z], pa.float64()),
+            }
+        )
+
+    return null_safe_group_map(ud, [key_col], per_key)

@@ -474,3 +474,46 @@ def regex_extract_batch(
     m = pc.struct_field(pc.extract_regex(col, pat), name)
     out = pc.if_else(pc.is_valid(col), pc.fill_null(m, ""), pa.scalar(None, pa.string()))
     return batch.append_column(out_column, out)
+
+
+def type_token_ratio(ds, column: str = "text", id_column: str = "doc_id"):
+    """Per-document type-token ratio (lexical diversity): tokens are
+    the single-space split of lowercased text (same contract as
+    token_top_k / tfidf_top_terms), empties dropped; n_distinct /
+    n_tokens is ONE exact int division. Shuffle-free per-doc
+    map_batches; per batch the distinct count is one Arrow group_by +
+    bincount, no Python loop over tokens. Docs with no tokens (null or
+    empty text) report 0 / 0 / null. Output (id, n_tokens, n_distinct,
+    ttr)."""
+    import pyarrow.compute as pc
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column(column).combine_chunks().fill_null(""))
+        toks = pc.split_pattern(texts, " ")
+        flat = toks.flatten()
+        didx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        didx = didx[keep_np]
+        n = batch.num_rows
+        totals = np.bincount(didx, minlength=n).astype(np.int64)
+        distinct_pairs = (
+            pa.table({"d": pa.array(didx), "t": flat})
+            .group_by(["d", "t"], use_threads=False)
+            .aggregate([])
+        )
+        dists = np.bincount(
+            distinct_pairs.column("d").to_numpy(zero_copy_only=False), minlength=n
+        ).astype(np.int64)
+        ttr = np.where(totals > 0, dists / np.maximum(totals, 1), np.nan)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                "n_tokens": pa.array(totals),
+                "n_distinct": pa.array(dists),
+                "ttr": pa.array(ttr, pa.float64(), mask=(totals == 0)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

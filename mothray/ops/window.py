@@ -1452,3 +1452,71 @@ def paa_sax(ds, key_col: str, ts_col: str, n_segments: int = 4,
         )
 
     return null_safe_group_map(ud, [key_col], per_key)
+
+
+def control_chart(ds, key_col: str, order_col: str, value_col: str,
+                  tiebreak_col: str, decimal_scale: int = 2,
+                  min_n: int = 5):
+    """XmR (individuals / moving-range) control chart summary per key:
+    values (exact integer cents) in (order, tiebreak) order; x_bar =
+    sum/n and mr_bar = sum|diff|/(n-1) are single exact-int divisions;
+    control limits x_bar +- 2.66 * mr_bar (same expression order as
+    the SQL oracle) and n_ooc counts points outside them — an integer,
+    so the whole row is bit-deterministic. Keys with n < min_n drop.
+    One groupby(key) exchange. Output (key, n, x_bar, mr_bar,
+    n_ooc)."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.round(pc.multiply(pc.cast(batch.column(value_col), pa.float64()),
+                                 10.0 ** decimal_scale)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "o": batch.column(order_col),
+                "tb": batch.column(tiebreak_col),
+                "c": c,
+            }
+        ).filter(pc.is_valid(c))
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        o = g.column("o").combine_chunks()
+        o_np = o.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_temporal(o.type) else o.to_numpy(zero_copy_only=False)
+        tb = g.column("tb").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        if n < min_n:
+            return pa.table(
+                {
+                    key_col: g.column(key_col).slice(0, 0),
+                    "n": pa.array([], pa.int64()),
+                    "x_bar": pa.array([], pa.float64()),
+                    "mr_bar": pa.array([], pa.float64()),
+                    "n_ooc": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((tb, o_np))
+        cs = c[order]
+        x_bar = int(cs.sum()) / n
+        mr_sum = int(np.abs(np.diff(cs)).sum())
+        mr_bar = mr_sum / (n - 1)
+        ucl = x_bar + 2.66 * mr_bar
+        lcl = x_bar - 2.66 * mr_bar
+        n_ooc = int(((cs > ucl) | (cs < lcl)).sum())
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "x_bar": pa.array([x_bar], pa.float64()),
+                "mr_bar": pa.array([mr_bar], pa.float64()),
+                "n_ooc": pa.array([n_ooc], pa.int64()),
+            }
+        )
+
+    return null_safe_group_map(proj, [key_col], per_key)
