@@ -1271,3 +1271,49 @@ def label_centroids(
             ),
         }
     )
+
+
+def centroid_similarity(
+    ds,
+    column: str = "embedding",
+    label_column: str = "label",
+    scale: int = 1_000_000,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Pairwise cosine similarity between per-label centroids: the
+    centroids come from label_centroids' exact integer grid (one
+    labels x dims exchange); the k x k matrix evaluates driver-side
+    over the tiny grid. cos = dot / (norm_a * norm_b) with norms
+    computed per label first (same operation order as the SQL oracle);
+    round-6 absorbs the dim-sum order. One row per unordered pair
+    label_a < label_b."""
+    grid = label_centroids(ds, column, label_column, scale)
+    if isinstance(grid, pa.Table):
+        tbl = grid
+    else:
+        tbl = pa.Table.from_pylist(grid.take_all())
+    labs = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    dims = tbl.column("dim").to_numpy(zero_copy_only=False).astype(np.int64)
+    cent = tbl.column("centroid").to_numpy(zero_copy_only=False).astype(np.float64)
+    uls = np.unique(labs)
+    d_max = int(dims.max()) + 1 if len(dims) else 0
+    mat = np.zeros((len(uls), d_max), dtype=np.float64)
+    lab_idx = {int(l): i for i, l in enumerate(uls)}
+    for l, d, c in zip(labs, dims, cent):
+        # dim is 1-based in the grid (SQL generate_series convention)
+        mat[lab_idx[int(l)], int(d) - 1] = c
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    rows = []
+    for i in range(len(uls)):
+        for j in range(i + 1, len(uls)):
+            num = float((mat[i] * mat[j]).sum())
+            den = norms[i] * norms[j]
+            cos = float(np.round(num / den, round_digits)) if den > 0 else None
+            rows.append(
+                {
+                    "label_a": int(uls[i]),
+                    "label_b": int(uls[j]),
+                    "cos_sim": cos,
+                }
+            )
+    return pa.Table.from_pylist(rows)

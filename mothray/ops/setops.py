@@ -357,3 +357,62 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(unfold, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def relational_division(ds, key_col: str, attr_col: str):
+    """Relational division ("FOR ALL"): keys that carry EVERY distinct
+    value of attr_col present in the corpus. Distinct (key, attr)
+    pairs reduce inside each batch before the one groupby(key)
+    exchange; the divisor cardinality comes from a tiny attr-domain
+    aggregate broadcast as a closure constant. Output (key, n_attrs)
+    for qualifying keys only — exact integers."""
+    import pyarrow.compute as pc
+
+    from .nullkeys import null_safe_group_map
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(attr_col)),
+                pc.is_valid(batch.column(key_col)),
+            )
+        ).select([key_col, attr_col])
+        return t.group_by([key_col, attr_col], use_threads=False).aggregate([])
+
+    dp = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attr_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({attr_col: batch.column(attr_col)}).group_by(
+            [attr_col], use_threads=False
+        ).aggregate([])
+
+    k_total = (
+        dp.map_batches(attr_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(attr_col)
+        .count()
+        .count()
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        n = len(
+            g.column(attr_col)
+            .combine_chunks()
+            .unique()
+        )
+        if n != k_total:
+            return pa.table(
+                {
+                    key_col: g.column(key_col).slice(0, 0),
+                    "n_attrs": _pa.array([], _pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                key_col: g.column(key_col).slice(0, 1),
+                "n_attrs": _pa.array([n], _pa.int64()),
+            }
+        )
+
+    return null_safe_group_map(dp, [key_col], per_key)

@@ -1520,3 +1520,70 @@ def control_chart(ds, key_col: str, order_col: str, value_col: str,
         )
 
     return null_safe_group_map(proj, [key_col], per_key)
+
+
+def dow_anomaly(ds, ts_col: str, z_threshold: float = 2.0):
+    """Day-of-week seasonally adjusted anomaly days: daily event
+    counts (date-domain grid) z-scored against their weekday's
+    mean/std (dow = epoch-day % 7, calendar-free anchor). mean, var
+    and z evaluate from exact int64 sums via the same double
+    expression order as the SQL oracle — bit-deterministic. Weekdays
+    with fewer than 2 days or zero variance drop. Output (day, dow,
+    n_events, z) for |z| > z_threshold."""
+    from ray.data.aggregate import Count
+
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table({"day": pa.array(d.astype(np.int64))})
+
+    daily = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    stats: dict[int, list[int]] = {}
+    for r in daily:
+        dow = int(r["day"]) % 7
+        cell = stats.setdefault(dow, [0, 0, 0])
+        cell[0] += 1
+        cell[1] += int(r["c"])
+        cell[2] += int(r["c"]) * int(r["c"])
+    params = {}
+    for dow, (n, s1, s2) in stats.items():
+        if n < 2:
+            continue
+        var_num = s2 - (s1 * s1) / n
+        if var_num <= 0:
+            continue
+        mean = s1 / n
+        sd = float(np.sqrt(var_num / (n - 1)))
+        params[dow] = (mean, sd)
+    rows = []
+    for r in sorted(daily, key=lambda x: int(x["day"])):
+        day = int(r["day"])
+        dow = day % 7
+        if dow not in params:
+            continue
+        mean, sd = params[dow]
+        z = (int(r["c"]) - mean) / sd
+        if abs(z) > z_threshold:
+            rows.append(
+                {"day": day, "dow": dow, "n_events": int(r["c"]), "z": z}
+            )
+    if not rows:
+        return pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "dow": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
