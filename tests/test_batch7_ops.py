@@ -56,8 +56,10 @@ def test_dow_anomaly_bruteforce(ray_session):
 
     day_us = 86400_000_000
     rng = np.random.default_rng(52)
+    # 15 weeks: with n=15 days per weekday the max attainable |z| is
+    # (n-1)/sqrt(n) ~ 3.6, so a genuine spike can clear the 2.0 bar
     ts = []
-    for d in range(28):
+    for d in range(105):
         base = 20 + (5 if d % 7 == 3 else 0)
         k = base + int(rng.integers(0, 3))
         if d == 17:  # forced spike
