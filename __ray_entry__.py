@@ -6269,6 +6269,17 @@ def _dow_anomaly_events(sf_dir: str):
     return ray.data.from_arrow(window.dow_anomaly(ds, "ts", z_threshold=1.2))
 
 
+
+def _jaccard_links_orders(sf_dir: str):
+    """Top-20 Jaccard-coefficient link predictions
+    (graph.jaccard_links) on the order hash graph: exact integer
+    common-neighbor counts and degrees, one int division per score —
+    bit-deterministic ranking."""
+    from mothray.ops import graph
+
+    return graph.jaccard_links(_order_hash_edges(sf_dir), "src", "dst", top_k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6614,6 +6625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rel_division_orders"] = _rel_division_orders
     q["centroid_sim_embeddings"] = _centroid_sim_embeddings
     q["dow_anomaly_events"] = _dow_anomaly_events
+    q["jaccard_links_orders"] = _jaccard_links_orders
     return q
 
 
@@ -9715,6 +9727,22 @@ def oracle_sql() -> dict[str, str]:
         " SELECT d.day, f.dow, d.c AS n_events, (d.c - f.mean) / f.sd AS z"
         " FROM d JOIN f ON d.day % 7 = f.dow"
         " WHERE abs((d.c - f.mean) / f.sd) > 1.2"
+    )
+    o["jaccard_links_orders"] = (
+        "WITH e0 AS (SELECT DISTINCT least(o_orderkey % 1499, o_custkey % 1499)"
+        "  AS a, greatest(o_orderkey % 1499, o_custkey % 1499) AS b FROM orders"
+        "  WHERE o_orderkey % 1499 <> o_custkey % 1499),"
+        " sym AS (SELECT a AS w, b AS u FROM e0 UNION ALL SELECT b, a FROM e0),"
+        " d AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY w),"
+        " p AS (SELECT s1.u AS u, s2.u AS v FROM sym s1 JOIN sym s2"
+        "  ON s1.w = s2.w AND s1.u < s2.u),"
+        " cn AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2),"
+        " ne AS (SELECT cn.u, cn.v, cn.c FROM cn LEFT JOIN e0"
+        "  ON cn.u = e0.a AND cn.v = e0.b WHERE e0.a IS NULL)"
+        " SELECT ne.u, ne.v, ne.c AS common,"
+        "  ne.c / (du.deg + dv.deg - ne.c) AS jac"
+        " FROM ne JOIN d du ON du.w = ne.u JOIN d dv ON dv.w = ne.v"
+        " ORDER BY jac DESC, u, v LIMIT 20"
     )
     return o
 

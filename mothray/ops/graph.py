@@ -1257,3 +1257,118 @@ def node_clustering(edges, src_col: str = "src", dst_col: str = "dst"):
         )
 
     return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def jaccard_links(edges, src: str, dst: str, top_k: int = 20) -> pa.Table:
+    """Jaccard-coefficient link prediction over the undirected simple
+    graph: for every NON-edge pair (u, v), score = |N(u) n N(v)| /
+    |N(u) u N(v)| = cn / (deg(u) + deg(v) - cn) — common-neighbor
+    counts and degrees are exact integers, the score ONE int division,
+    so ranking is bit-deterministic (no rounding). Same wedge stream
+    as adamic_adar / triangle counting: distinct-edge reduction, one
+    grouped pair emission per center, a grouped count, two
+    degree joins and one anti-join against the edge set. Returns
+    top_k by (jac DESC, u, v)."""
+    import pyarrow.compute as pc
+
+    from .join import partitioned_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        s, d = t.column(src), t.column(dst)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        t2 = pa.table(
+            {"s": pc.cast(s, pa.int64()), "d": pc.cast(d, pa.int64())}
+        ).filter(ok)
+        lo = pc.min_element_wise(t2.column("s"), t2.column("d"))
+        hi = pc.max_element_wise(t2.column("s"), t2.column("d"))
+        keep = pc.invert(pc.equal(lo, hi))
+        p = pa.table({"a": lo, "b": hi}).filter(keep)
+        return p.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    uniq = (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def center(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table(
+            {"w": pa.concat_arrays([a, b]), "u": pa.concat_arrays([b, a])}
+        )
+
+    sym = uniq.map_batches(center, batch_format="pyarrow", zero_copy_batch=True)
+    deg = sym.groupby("w").count().materialize()
+
+    def nbr_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("u").to_numpy(zero_copy_only=False))
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        i, j = np.triu_indices(n, 1)
+        return pa.table(
+            {"u": pa.array(ids[i], pa.int64()), "v": pa.array(ids[j], pa.int64())}
+        )
+
+    cn = (
+        sym.groupby("w")
+        .map_groups(nbr_pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["u", "v"])
+        .sum("one")
+    )
+
+    def pack(t: pa.Table, ca: str, cb: str) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(ca), pa.string()), pc.cast(t.column(cb), pa.string()), "|"
+        )
+        return t.append_column("pk", k)
+
+    keyed = cn.map_batches(
+        lambda t: pack(t, "u", "v"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    edge_keys = uniq.map_batches(
+        lambda t: pa.table({"pk": pack(t, "a", "b").column("pk")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    non_edges = partitioned_join(keyed, edge_keys, on="pk", how="left_anti")
+
+    du = deg.map_batches(
+        lambda t: t.rename_columns(["u", "du"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    dv = deg.map_batches(
+        lambda t: t.rename_columns(["v", "dv"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = partitioned_join(
+        partitioned_join(non_edges, du, on="u", how="inner"), dv, on="v", how="inner"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("sum(one)").to_numpy(zero_copy_only=False).astype(np.int64)
+        a = t.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": t.column("u"),
+                "v": t.column("v"),
+                "common": pa.array(c, pa.int64()),
+                "jac": pa.array(c / (a + b - c), pa.float64()),
+            }
+        )
+
+    ranked = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = ranked.sort(key=["jac", "u", "v"], descending=[True, False, False])
+    return ranked.limit(top_k)
