@@ -6280,6 +6280,24 @@ def _jaccard_links_orders(sf_dir: str):
     return graph.jaccard_links(_order_hash_edges(sf_dir), "src", "dst", top_k=20)
 
 
+
+def _c4_filters_documents(sf_dir: str):
+    """C4-style filter signals per doc (webtext.c4_filters_batch):
+    terminal-punctuation line fraction, curly/lorem flags, sentence
+    marks, word count, composite keep flag — shuffle-free Arrow
+    kernels."""
+    import ray.data
+
+    from mothray.ops import webtext
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        webtext.c4_filters_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6626,6 +6644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["centroid_sim_embeddings"] = _centroid_sim_embeddings
     q["dow_anomaly_events"] = _dow_anomaly_events
     q["jaccard_links_orders"] = _jaccard_links_orders
+    q["c4_filters_documents"] = _c4_filters_documents
     return q
 
 
@@ -9743,6 +9762,40 @@ def oracle_sql() -> dict[str, str]:
         "  ne.c / (du.deg + dv.deg - ne.c) AS jac"
         " FROM ne JOIN d du ON du.w = ne.u JOIN d dv ON dv.w = ne.v"
         " ORDER BY jac DESC, u, v LIMIT 20"
+    )
+    o["c4_filters_documents"] = (
+        "WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),"
+        " lines AS (SELECT doc_id,"
+        "  trim(unnest(string_split(t, chr(10)))) AS l FROM base),"
+        " lf AS (SELECT doc_id,"
+        "  CAST(count(*) FILTER (l <> '') AS BIGINT) AS n_lines,"
+        "  CAST(count(*) FILTER (l <> '' AND"
+        "   regexp_matches(l, '[.!?\"]$')) AS BIGINT) AS n_term_lines"
+        "  FROM lines GROUP BY 1),"
+        " words AS (SELECT doc_id, CAST(count(*) FILTER (w <> '') AS BIGINT)"
+        "   AS n_words FROM (SELECT doc_id,"
+        "   unnest(string_split(lower(t), ' ')) AS w FROM base) GROUP BY 1),"
+        " sig AS (SELECT b.doc_id,"
+        "  coalesce(lf.n_lines, 0) AS n_lines,"
+        "  coalesce(lf.n_term_lines, 0) AS n_term_lines,"
+        "  CASE WHEN coalesce(lf.n_lines, 0) > 0"
+        "   THEN lf.n_term_lines / lf.n_lines END AS term_line_frac,"
+        "  CAST(CASE WHEN contains(b.t, '{') THEN 1 ELSE 0 END AS BIGINT)"
+        "   AS has_curly,"
+        "  CAST(CASE WHEN contains(lower(b.t), 'lorem ipsum') THEN 1 ELSE 0 END"
+        "   AS BIGINT) AS has_lorem,"
+        "  CAST(length(b.t) - length(replace(b.t, '.', ''))"
+        "   + length(b.t) - length(replace(b.t, '!', ''))"
+        "   + length(b.t) - length(replace(b.t, '?', '')) AS BIGINT)"
+        "   AS n_term_marks,"
+        "  coalesce(w.n_words, 0) AS n_words"
+        "  FROM base b LEFT JOIN lf ON lf.doc_id = b.doc_id"
+        "  LEFT JOIN words w ON w.doc_id = b.doc_id)"
+        " SELECT doc_id, n_lines, n_term_lines, term_line_frac, has_curly,"
+        "  has_lorem, n_term_marks, n_words,"
+        "  CAST(CASE WHEN n_term_marks >= 3 AND has_curly = 0 AND has_lorem = 0"
+        "   AND n_words >= 5 THEN 1 ELSE 0 END AS BIGINT) AS keep"
+        " FROM sig"
     )
     return o
 

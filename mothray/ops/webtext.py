@@ -666,3 +666,63 @@ def source_overlap(ds, group_col: str = "source", column: str = "text"):
             "jaccard": pa.array(jc, pa.float64()),
         }
     )
+
+
+def c4_filters_batch(batch: pa.Table, column: str = "text",
+                     id_column: str = "doc_id") -> pa.Table:
+    """C4-style document filter signals (Raffel et al. 2020, §2.2),
+    shuffle-free per-doc: terminal-punctuation line fraction (trimmed
+    non-empty lines whose last char is . ! ? or \"), curly-brace and
+    'lorem ipsum' flags, sentence-mark count and word count. keep =
+    n_term_marks >= 3 AND no curly brace AND no lorem ipsum AND
+    n_words >= 5. Every signal is an exact integer or one int
+    division; flags are int 0/1 so the SQL oracle stringifies
+    identically. Arrow kernels only (split / match_substring /
+    count_substring), no Python loop over docs."""
+    txt = batch.column(column).combine_chunks().fill_null("")
+    lower = pc.utf8_lower(txt)
+    has_curly = pc.cast(pc.match_substring(txt, "{"), pa.int64())
+    has_lorem = pc.cast(pc.match_substring(lower, "lorem ipsum"), pa.int64())
+    n_marks = pc.add(
+        pc.add(pc.count_substring(txt, "."), pc.count_substring(txt, "!")),
+        pc.count_substring(txt, "?"),
+    )
+    # words: single-space split, empties dropped (token_top_k contract)
+    toks = pc.split_pattern(lower, " ")
+    flat = toks.flatten()
+    widx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    wkeep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_words = np.bincount(widx[wkeep], minlength=batch.num_rows).astype(np.int64)
+    # lines: newline split, trimmed; terminal = last char in .!?"
+    lines = pc.split_pattern(txt, "\n")
+    lflat = pc.utf8_trim_whitespace(lines.flatten())
+    lidx = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+    term = pc.match_substring_regex(lflat, '[.!?"]$').to_numpy(
+        zero_copy_only=False
+    )
+    n_lines = np.bincount(lidx[nonempty], minlength=batch.num_rows).astype(np.int64)
+    n_term = np.bincount(
+        lidx[nonempty & term], minlength=batch.num_rows
+    ).astype(np.int64)
+    frac = np.where(n_lines > 0, n_term / np.maximum(n_lines, 1), np.nan)
+    n_marks_np = pc.cast(n_marks, pa.int64()).to_numpy(zero_copy_only=False)
+    keep = (
+        (n_marks_np >= 3)
+        & (has_curly.to_numpy(zero_copy_only=False) == 0)
+        & (has_lorem.to_numpy(zero_copy_only=False) == 0)
+        & (n_words >= 5)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_column: batch.column(id_column),
+            "n_lines": pa.array(n_lines),
+            "n_term_lines": pa.array(n_term),
+            "term_line_frac": pa.array(frac, pa.float64(), mask=(n_lines == 0)),
+            "has_curly": pa.array(has_curly),
+            "has_lorem": pa.array(has_lorem),
+            "n_term_marks": pa.array(n_marks_np, pa.int64()),
+            "n_words": pa.array(n_words),
+            "keep": pa.array(keep),
+        }
+    )
