@@ -6298,6 +6298,24 @@ def _c4_filters_documents(sf_dir: str):
     )
 
 
+
+def _log_odds_documents(sf_dir: str):
+    """Monroe log-odds lexical drift of src0 vs the rest
+    (webtext.log_odds_terms): (term, side) count grid combiner, z from
+    exact integer counts via the oracle's expression order — top 15
+    each direction, bit-deterministic."""
+    import ray.data
+
+    from mothray.ops import webtext
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return webtext.log_odds_terms(
+        ds, "text", "source", "src0", min_count=5, top_k=15
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6645,6 +6663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dow_anomaly_events"] = _dow_anomaly_events
     q["jaccard_links_orders"] = _jaccard_links_orders
     q["c4_filters_documents"] = _c4_filters_documents
+    q["log_odds_documents"] = _log_odds_documents
     return q
 
 
@@ -9796,6 +9815,28 @@ def oracle_sql() -> dict[str, str]:
         "  CAST(CASE WHEN n_term_marks >= 3 AND has_curly = 0 AND has_lorem = 0"
         "   AND n_words >= 5 THEN 1 ELSE 0 END AS BIGINT) AS keep"
         " FROM sig"
+    )
+    o["log_odds_documents"] = (
+        "WITH toks AS (SELECT source,"
+        "  unnest(string_split(lower(text), ' ')) AS term FROM documents"
+        "  WHERE source IS NOT NULL),"
+        " f AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a, term"
+        "  FROM toks WHERE term <> ''),"
+        " g AS (SELECT term, CAST(sum(a) AS BIGINT) AS ca,"
+        "  CAST(sum(1 - a) AS BIGINT) AS cb FROM f GROUP BY 1),"
+        " tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,"
+        "  CAST(sum(cb) AS BIGINT) AS nb FROM g),"
+        " z0 AS (SELECT term, ca, cb,"
+        "  (ln((ca + 0.5) / (na + 1.0 - ca - 0.5))"
+        "   - ln((cb + 0.5) / (nb + 1.0 - cb - 0.5)))"
+        "   / sqrt(1.0 / (ca + 0.5) + 1.0 / (cb + 0.5)) AS zr"
+        "  FROM g, tot WHERE ca + cb >= 5),"
+        " z AS (SELECT term, ca, cb, round(zr, 6) AS z FROM z0),"
+        " ta AS (SELECT term, ca, cb, z, 'a' AS direction FROM z"
+        "  ORDER BY z DESC, term LIMIT 15),"
+        " tb AS (SELECT term, ca, cb, z, 'b' AS direction FROM z"
+        "  ORDER BY z ASC, term LIMIT 15)"
+        " SELECT * FROM ta UNION ALL SELECT * FROM tb"
     )
     return o
 

@@ -726,3 +726,87 @@ def c4_filters_batch(batch: pa.Table, column: str = "text",
             "keep": pa.array(keep),
         }
     )
+
+
+def log_odds_terms(ds, column: str = "text", group_col: str = "source",
+                   group_a="src0", min_count: int = 5, top_k: int = 15,
+                   alpha: float = 0.5):
+    """Monroe et al. (2008) informative-Dirichlet log-odds lexical
+    drift between group_a's token distribution and the rest of the
+    corpus: per term w,
+
+        delta = ln((ca+a) / (na+2a-ca-a)) - ln((cb+a) / (nb+2a-cb-a))
+        z     = delta / sqrt(1/(ca+a) + 1/(cb+a))
+
+    with a = alpha (Haldane 0.5 default); z is rounded to 6 digits
+    (ln is not IEEE-correctly-rounded, so libm and SQL differ by
+    ~1 ulp) and the ROUNDED z is the ranking key. The exchange is the (term, side) count grid (per-batch
+    combiner first); min_count prunes the Zipf tail so the scored
+    vocabulary is bounded. Returns the top_k terms in each direction:
+    (term, ca, cb, z, direction 'a'|'b'), ordered by |z| within
+    direction, ties by term. Tokens = single-space split of lowercased
+    text (token_top_k contract)."""
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        ok = pc.is_valid(g)
+        t = batch.filter(ok)
+        texts = pc.utf8_lower(t.column(column).combine_chunks().fill_null(""))
+        toks = pc.split_pattern(texts, " ")
+        flat = toks.flatten()
+        didx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        didx = didx[keep_np]
+        is_a = pc.equal(t.column(group_col), group_a).to_numpy(zero_copy_only=False)
+        side = is_a[didx].astype(np.int64)
+        h = pa.table({"term": flat, "a": pa.array(side)})
+        return (
+            h.group_by(["term", "a"], use_threads=False)
+            .aggregate([("a", "count")])
+            .rename_columns(["term", "a", "cnt"])
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["term", "a"])
+        .sum("cnt")
+        .take_all()
+    )
+    ca: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    for r in grid:
+        (ca if r["a"] == 1 else cb)[r["term"]] = int(r["sum(cnt)"])
+    na, nb = sum(ca.values()), sum(cb.values())
+    rows = []
+    for term in set(ca) | set(cb):
+        A, B = ca.get(term, 0), cb.get(term, 0)
+        if A + B < min_count:
+            continue
+        da = np.log((A + alpha) / (na + 2 * alpha - A - alpha))
+        db = np.log((B + alpha) / (nb + 2 * alpha - B - alpha))
+        z = (da - db) / np.sqrt(1.0 / (A + alpha) + 1.0 / (B + alpha))
+        # libm ln differs from SQL ln by ~1 ulp (sqrt is IEEE-exact,
+        # log is not): round-6 is both the emitted value AND the sort
+        # key so selection boundaries match the oracle exactly
+        rows.append({"term": term, "ca": A, "cb": B, "z": float(np.round(z, 6))})
+    rows.sort(key=lambda r: (-r["z"], r["term"]))
+    top_a = [{**r, "direction": "a"} for r in rows[:top_k]]
+    rows.sort(key=lambda r: (r["z"], r["term"]))
+    top_b = [{**r, "direction": "b"} for r in rows[:top_k]]
+    out = top_a + top_b
+    if not out:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "ca": pa.array([], pa.int64()),
+                    "cb": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                    "direction": pa.array([], pa.string()),
+                }
+            )
+        )
+    return rd.from_arrow(pa.Table.from_pylist(out))
