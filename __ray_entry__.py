@@ -6316,6 +6316,33 @@ def _log_odds_documents(sf_dir: str):
     )
 
 
+
+def _hapax_documents(sf_dir: str):
+    """Per-source hapax legomena stats (webtext.hapax_ratio):
+    (source, term) count grid combiner, cnt==1 rollup, one int
+    division."""
+    import ray.data
+
+    from mothray.ops import webtext
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return webtext.hapax_ratio(ds, "text", "source")
+
+
+def _engagement_events(sf_dir: str):
+    """Engagement curve (cohort.engagement_curve): users with >= k
+    events for k = 1..10, from the count-of-counts histogram — exact
+    integers, one division per row."""
+    import ray.data
+
+    from mothray.ops import cohort
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return ray.data.from_arrow(cohort.engagement_curve(ds, "user_id", max_k=10))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6664,6 +6691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["jaccard_links_orders"] = _jaccard_links_orders
     q["c4_filters_documents"] = _c4_filters_documents
     q["log_odds_documents"] = _log_odds_documents
+    q["hapax_documents"] = _hapax_documents
+    q["engagement_events"] = _engagement_events
     return q
 
 
@@ -9837,6 +9866,31 @@ def oracle_sql() -> dict[str, str]:
         " tb AS (SELECT term, ca, cb, z, 'b' AS direction FROM z"
         "  ORDER BY z ASC, term LIMIT 15)"
         " SELECT * FROM ta UNION ALL SELECT * FROM tb"
+    )
+    o["hapax_documents"] = (
+        "WITH toks AS (SELECT source,"
+        "  unnest(string_split(lower(text), ' ')) AS term FROM documents"
+        "  WHERE source IS NOT NULL),"
+        " f AS (SELECT source, term FROM toks WHERE term <> ''),"
+        " g AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c"
+        "  FROM f GROUP BY 1, 2)"
+        " SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,"
+        "  CAST(count(*) AS BIGINT) AS vocab,"
+        "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,"
+        "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   / CAST(count(*) AS BIGINT) AS hapax_ratio"
+        " FROM g GROUP BY source"
+    )
+    o["engagement_events"] = (
+        "WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events"
+        "  WHERE user_id IS NOT NULL GROUP BY 1),"
+        " tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pu),"
+        " ks AS (SELECT unnest(generate_series(1, 10)) AS k)"
+        " SELECT CAST(ks.k AS BIGINT) AS k,"
+        "  CAST((SELECT count(*) FROM pu WHERE pu.n >= ks.k) AS BIGINT) AS n_users,"
+        "  CAST((SELECT count(*) FROM pu WHERE pu.n >= ks.k) AS BIGINT)"
+        "   / tot.t AS frac"
+        " FROM ks, tot"
     )
     return o
 

@@ -651,3 +651,63 @@ def bounce_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def engagement_curve(ds, user_col: str = "user_id", max_k: int = 10):
+    """Engagement curve: for k = 1..max_k, how many users have at
+    least k events and what fraction of all users that is (ONE exact
+    int division per row). The exchange is the per-user count rollup
+    (combiner first); the count-of-counts histogram is value-domain
+    bounded and evaluates driver-side. Output (k, n_users, frac)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .nullkeys import null_safe_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                user_col: batch.column(user_col),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        ).filter(pc.is_valid(batch.column(user_col)))
+        return (
+            t.group_by([user_col], use_threads=False)
+            .aggregate([("one", "sum")])
+            .rename_columns([user_col, "one"])
+        )
+
+    per_user = null_safe_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col],
+        [Sum("one", alias_name="n")],
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch.column("n"), pa.int64())
+        t = pa.table(
+            {"n": n, "u": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+        return (
+            t.group_by(["n"], use_threads=False)
+            .aggregate([("u", "sum")])
+            .rename_columns(["n", "u"])
+        )
+
+    hist = {
+        int(r["n"]): int(r["sum(u)"])
+        for r in per_user.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("n")
+        .sum("u")
+        .take_all()
+    }
+    total = sum(hist.values())
+    rows = []
+    for k in range(1, max_k + 1):
+        n_k = sum(u for n, u in hist.items() if n >= k)
+        rows.append(
+            {"k": k, "n_users": n_k, "frac": n_k / total if total else None}
+        )
+    return pa.Table.from_pylist(rows)

@@ -810,3 +810,75 @@ def log_odds_terms(ds, column: str = "text", group_col: str = "source",
             )
         )
     return rd.from_arrow(pa.Table.from_pylist(out))
+
+
+def hapax_ratio(ds, column: str = "text", group_col: str = "source"):
+    """Per-group hapax legomena statistics: vocabulary size, number of
+    terms occurring exactly once, total tokens, and hapax_ratio =
+    n_hapax / vocab (ONE exact int division). The exchange is the
+    (group, term) count grid with a per-batch combiner; the per-group
+    rollup is another combiner over grid cells (cnt == 1 flags), so
+    nothing token-sized reaches the driver. Tokens = single-space
+    split of lowercased text, empties dropped. Output (group,
+    n_tokens, vocab, n_hapax, hapax_ratio)."""
+    from .nullkeys import null_safe_group_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        t = batch.filter(pc.is_valid(g))
+        texts = pc.utf8_lower(t.column(column).combine_chunks().fill_null(""))
+        toks = pc.split_pattern(texts, " ")
+        flat = toks.flatten()
+        didx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        gv = t.column(group_col).take(pa.array(didx[keep_np]))
+        h = pa.table({group_col: gv, "term": flat})
+        return (
+            h.group_by([group_col, "term"], use_threads=False)
+            .aggregate([("term", "count")])
+            .rename_columns([group_col, "term", "cnt"])
+        )
+
+    grid = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "term"])
+        .sum("cnt")
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                group_col: batch.column(group_col),
+                "tok": pa.array(c),
+                "v": pa.array(np.ones(len(c), np.int64)),
+                "hap": pa.array((c == 1).astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by([group_col], use_threads=False)
+            .aggregate([("tok", "sum"), ("v", "sum"), ("hap", "sum")])
+            .rename_columns([group_col, "tok", "v", "hap"])
+        )
+
+    p = grid.map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        tok = int(group.column("tok").to_numpy(zero_copy_only=False).sum())
+        v = int(group.column("v").to_numpy(zero_copy_only=False).sum())
+        hap = int(group.column("hap").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n_tokens": pa.array([tok], pa.int64()),
+                "vocab": pa.array([v], pa.int64()),
+                "n_hapax": pa.array([hap], pa.int64()),
+                "hapax_ratio": pa.array(
+                    [hap / v if v else None], pa.float64()
+                ),
+            }
+        )
+
+    return null_safe_group_map(p, [group_col], merge)
