@@ -6343,6 +6343,65 @@ def _engagement_events(sf_dir: str):
     return ray.data.from_arrow(cohort.engagement_curve(ds, "user_id", max_k=10))
 
 
+def _edge_support_orders(sf_dir: str):
+    """Per-edge triangle support — the k-truss support statistic
+    (graph.edge_support) — on the order hash graph: degree-ordered
+    compact-forward enumeration finds each triangle once, an inner
+    closure keeps the apex, each triangle fans out to its three
+    canonical edges, distributed count. All exact int64."""
+    from mothray.ops import graph
+
+    return graph.edge_support(_order_hash_edges(sf_dir), "src", "dst", min_support=1)
+
+
+def _decompose_events(sf_dir: str):
+    """Classical additive seasonal decomposition of daily counts
+    (window.classical_decompose), INTEGER-EXACT by scaling: trend7 =
+    centered 7-day sum, det7 = 7*n - trend7, per-dow seasonal as the
+    exact (sum, count) integer pair — every cell BIGINT."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return ray.data.from_arrow(window.classical_decompose(ds, "ts", period=7))
+
+
+def _dcor_events(sf_dir: str):
+    """Distance correlation between daily event count and daily
+    distinct users (moments.distance_correlation): n^2-scaled
+    double-centered distance matrices stay integer, so S_ab/S_aa/S_bb
+    are exact int64 and dcor is one deterministic float expression."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return ray.data.from_arrow(moments.distance_correlation(ds, "ts", "user_id"))
+
+
+def _mix_shift_lineitem(sf_dir: str):
+    """Mix-shift decomposition (moments.mix_shift) of the change in
+    average extended price between early and late ship halves, per
+    returnflag: integer-cents (sum, count) partials, mix/rate effects
+    from one fixed float expression each."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_shipdate"],
+    )
+    return ray.data.from_arrow(
+        moments.mix_shift(
+            ds, "l_returnflag", "l_extendedprice", "l_shipdate", split_day=10381
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6693,6 +6752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["log_odds_documents"] = _log_odds_documents
     q["hapax_documents"] = _hapax_documents
     q["engagement_events"] = _engagement_events
+    q["edge_support_orders"] = _edge_support_orders
+    q["decompose_events"] = _decompose_events
+    q["dcor_events"] = _dcor_events
+    q["mix_shift_lineitem"] = _mix_shift_lineitem
     return q
 
 
@@ -9891,6 +9954,87 @@ def oracle_sql() -> dict[str, str]:
         "  CAST((SELECT count(*) FROM pu WHERE pu.n >= ks.k) AS BIGINT)"
         "   / tot.t AS frac"
         " FROM ks, tot"
+    )
+    o["edge_support_orders"] = (
+        # each triangle (a < b1 < b2) found once by the pair-CTE form,
+        # then fanned to its three canonical edges; all-integer output
+        "WITH e0 AS (SELECT o_orderkey % 1499 AS s, o_custkey % 1499 AS d FROM orders),"
+        " p AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0 WHERE s <> d),"
+        " tri AS (SELECT x.a AS t1, x.b AS t2, y.b AS t3 FROM p x"
+        "  JOIN p y ON x.a = y.a AND x.b < y.b JOIN p z ON z.a = x.b AND z.b = y.b),"
+        " fan AS (SELECT t1 AS u, t2 AS v FROM tri"
+        "  UNION ALL SELECT t1, t3 FROM tri UNION ALL SELECT t2, t3 FROM tri)"
+        " SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM fan"
+        " GROUP BY 1, 2 HAVING count(*) >= 1"
+    )
+    o["decompose_events"] = (
+        # integer-exact: trend7 = centered 7-day sum, det7 = 7n - trend7,
+        # seasonal reported as the exact (sum, count) pair per dow
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(count(*) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL GROUP BY 1),"
+        " w AS (SELECT d1.day AS day, d1.c AS c,"
+        "  CAST(sum(d2.c) AS BIGINT) AS trend7, CAST(count(*) AS BIGINT) AS k"
+        "  FROM d d1 JOIN d d2 ON d2.day BETWEEN d1.day - 3 AND d1.day + 3"
+        "  GROUP BY d1.day, d1.c),"
+        " f AS (SELECT day, day % 7 AS dow, c AS n, trend7,"
+        "  7 * c - trend7 AS det7 FROM w WHERE k = 7),"
+        " s AS (SELECT dow, CAST(sum(det7) AS BIGINT) AS seas_num,"
+        "  CAST(count(*) AS BIGINT) AS seas_den FROM f GROUP BY 1)"
+        " SELECT f.day, f.dow, f.n, f.trend7, CAST(f.det7 AS BIGINT) AS det7,"
+        "  s.seas_num, s.seas_den FROM f JOIN s USING (dow)"
+    )
+    o["dcor_events"] = (
+        # n^2-scaled double-centering keeps every matrix cell integer;
+        # only the final dcor division is float (see moments.distance_correlation)
+        "WITH du AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id"
+        "  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),"
+        " d AS (SELECT day, CAST(count(*) AS BIGINT) AS x,"
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS y FROM du GROUP BY 1),"
+        " nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),"
+        " px AS (SELECT i.day AS di, j.day AS dj,"
+        "  abs(i.x - j.x) AS ax, abs(i.y - j.y) AS ay FROM d i, d j),"
+        " rs AS (SELECT di, CAST(sum(ax) AS BIGINT) AS rx,"
+        "  CAST(sum(ay) AS BIGINT) AS ry FROM px GROUP BY 1),"
+        " gs AS (SELECT CAST(sum(ax) AS BIGINT) AS gx,"
+        "  CAST(sum(ay) AS BIGINT) AS gy FROM px),"
+        " cen AS (SELECT"
+        "  nn.n * nn.n * px.ax - nn.n * ri.rx - nn.n * rj.rx + gs.gx AS ca,"
+        "  nn.n * nn.n * px.ay - nn.n * ri.ry - nn.n * rj.ry + gs.gy AS cb"
+        "  FROM px JOIN rs ri ON ri.di = px.di JOIN rs rj ON rj.di = px.dj,"
+        "  nn, gs),"
+        " s AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS s_ab,"
+        "  CAST(sum(ca * ca) AS BIGINT) AS s_aa,"
+        "  CAST(sum(cb * cb) AS BIGINT) AS s_bb FROM cen)"
+        " SELECT nn.n AS n_days, s.s_ab, s.s_aa, s.s_bb,"
+        "  CASE WHEN s.s_aa > 0 AND s.s_bb > 0 THEN"
+        "   s.s_ab / sqrt(CAST(s.s_aa AS DOUBLE) * CAST(s.s_bb AS DOUBLE))"
+        "  END AS dcor FROM s, nn"
+    )
+    o["mix_shift_lineitem"] = (
+        # integer-cents (sum, count) per (flag, period); mix/rate from the
+        # same float expression order as moments.mix_shift
+        "WITH b AS (SELECT l_returnflag AS g,"
+        "  CASE WHEN epoch_us(l_shipdate) // 86400000000 < 10381"
+        "   THEN 1 ELSE 2 END AS p,"
+        "  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+        "  FROM lineitem WHERE l_shipdate IS NOT NULL"
+        "  AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),"
+        " c AS (SELECT g, p, CAST(sum(cents) AS BIGINT) AS s,"
+        "  CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),"
+        " t AS (SELECT p, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),"
+        " w AS (SELECT g,"
+        "  max(CASE WHEN p = 1 THEN n END) AS n1,"
+        "  max(CASE WHEN p = 2 THEN n END) AS n2,"
+        "  max(CASE WHEN p = 1 THEN s END) AS s1,"
+        "  max(CASE WHEN p = 2 THEN s END) AS s2 FROM c GROUP BY 1)"
+        " SELECT w.g AS l_returnflag,"
+        "  coalesce(w.n1, 0) AS n1, coalesce(w.n2, 0) AS n2,"
+        "  coalesce(w.s1, 0) AS s1_cents, coalesce(w.s2, 0) AS s2_cents,"
+        "  (w.n2 / t2.nt - w.n1 / t1.nt) * (w.s1 / w.n1) AS mix_effect,"
+        "  (w.n2 / t2.nt) * (w.s2 / w.n2 - w.s1 / w.n1) AS rate_effect"
+        " FROM w, (SELECT nt FROM t WHERE p = 1) t1,"
+        "  (SELECT nt FROM t WHERE p = 2) t2"
     )
     return o
 

@@ -1372,3 +1372,184 @@ def jaccard_links(edges, src: str, dst: str, top_k: int = 20) -> pa.Table:
     ranked = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     ranked = ranked.sort(key=["jac", "u", "v"], descending=[True, False, False])
     return ranked.limit(top_k)
+
+
+def edge_support(edges, src: str, dst: str, min_support: int = 1) -> pa.Table:
+    """Per-edge triangle support (the k-truss support statistic): for
+    every undirected edge (u, v) the number of triangles it belongs
+    to. An edge survives a k-truss iff its support reaches k-2 before
+    peeling; the raw support table is the exact, non-iterative first
+    round of that computation and is a useful cohesion signal on its
+    own (reference parity: orc-go has no graph ops; this extends the
+    engine's analytics surface like pkg/store's statistics extend its
+    storage surface).
+
+    Algorithm: same degree-ordered compact-forward enumeration as
+    `triangle_count` (each triangle found exactly once as a closed
+    wedge), but the closing semi-join becomes an INNER join that keeps
+    (s, v, w); each triangle then fans out to its three canonical
+    (min, max) edges, and a distributed groupby-count yields support.
+    Exchanges carry only fixed-width id pairs; per-group state is one
+    node's out-neighborhood (O(sqrt m) under the ordering).
+
+    Output: (u, v, support) for support >= min_support, sorted by
+    (support desc, u, v) — all exact int64."""
+    import pyarrow.compute as pc
+
+    from .join import partitioned_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src)
+        d = t.column(dst)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        t2 = pa.table(
+            {"s": pc.cast(s, pa.int64()), "d": pc.cast(d, pa.int64())}
+        ).filter(ok)
+        lo = pc.min_element_wise(t2.column("s"), t2.column("d"))
+        hi = pc.max_element_wise(t2.column("s"), t2.column("d"))
+        keep = pc.invert(pc.equal(lo, hi))
+        p = pa.table({"a": lo, "b": hi}).filter(keep)
+        return p.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    uniq = (
+        edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .count()
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        p = pa.table({"node": nodes})
+        return p.group_by("node", use_threads=False).aggregate([("node", "count")])
+
+    deg = (
+        uniq.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .sum("node_count")
+    )
+
+    def deg_cols(t: pa.Table, key: str, out: str) -> pa.Table:
+        return pa.table(
+            {key: t.column("node"), out: pc.cast(t.column("sum(node_count)"), pa.int64())}
+        )
+
+    deg_a = deg.map_batches(
+        lambda t: deg_cols(t, "a", "deg_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    deg_b = deg.map_batches(
+        lambda t: deg_cols(t, "b", "deg_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    with_deg = partitioned_join(
+        partitioned_join(uniq, deg_a, on="a"), deg_b, on="b"
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        s = np.where(a_first, a, b)
+        ss = np.where(a_first, da, db)
+        d = np.where(a_first, b, a)
+        dd = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "s": pa.array(s, pa.int64()),
+                "sdeg": pa.array(ss, pa.int64()),
+                "t": pa.array(d, pa.int64()),
+                "tdeg": pa.array(dd, pa.int64()),
+            }
+        )
+
+    oriented = with_deg.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column("s"), pa.string()), pc.cast(t.column("t"), pa.string()), "|"
+        )
+        return pa.table({"ek": k})
+
+    edge_keys = oriented.map_batches(
+        edge_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        """Out-neighbor pairs of one source, pair ordered by the same
+        (deg, id) criterion as the orientation, carrying the apex s so
+        a closed wedge identifies its full triangle."""
+        t_ids = g.column("t").to_numpy(zero_copy_only=False)
+        t_deg = g.column("tdeg").to_numpy(zero_copy_only=False)
+        n = len(t_ids)
+        if n < 2:
+            return pa.table(
+                {
+                    "ek": pa.array([], pa.string()),
+                    "ws": pa.array([], pa.int64()),
+                    "wv": pa.array([], pa.int64()),
+                    "ww": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((t_ids, t_deg))
+        t_ids = t_ids[order]
+        i, j = np.triu_indices(n, 1)
+        v, w = t_ids[i], t_ids[j]
+        k = pc.binary_join_element_wise(
+            pc.cast(pa.array(v, pa.int64()), pa.string()),
+            pc.cast(pa.array(w, pa.int64()), pa.string()),
+            "|",
+        )
+        apex = np.full(len(v), int(g.column("s")[0].as_py()), np.int64)
+        return pa.table(
+            {
+                "ek": k,
+                "ws": pa.array(apex),
+                "wv": pa.array(v, pa.int64()),
+                "ww": pa.array(w, pa.int64()),
+            }
+        )
+
+    wedge_stream = oriented.groupby("s").map_groups(
+        wedge_pairs, batch_format="pyarrow"
+    )
+    closed = partitioned_join(wedge_stream, edge_keys, on="ek", how="left_semi")
+
+    def fan_edges(t: pa.Table) -> pa.Table:
+        """Each triangle (s, v, w) contributes its three canonical
+        (min, max) edges to the support count."""
+        s = t.column("ws").to_numpy(zero_copy_only=False)
+        v = t.column("wv").to_numpy(zero_copy_only=False)
+        w = t.column("ww").to_numpy(zero_copy_only=False)
+        u1 = np.concatenate([np.minimum(s, v), np.minimum(s, w), np.minimum(v, w)])
+        u2 = np.concatenate([np.maximum(s, v), np.maximum(s, w), np.maximum(v, w)])
+        p = pa.table(
+            {"u": pa.array(u1, pa.int64()), "v": pa.array(u2, pa.int64())}
+        )
+        g = p.group_by(["u", "v"], use_threads=False).aggregate([("u", "count")])
+        return pa.table(
+            {
+                "u": g.column("u"),
+                "v": g.column("v"),
+                "c": pc.cast(g.column("u_count"), pa.int64()),
+            }
+        )
+
+    support = (
+        closed.map_batches(fan_edges, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "v"])
+        .sum("c")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sup = pc.cast(t.column("sum(c)"), pa.int64())
+        out = pa.table({"u": t.column("u"), "v": t.column("v"), "support": sup})
+        return out.filter(pc.greater_equal(out.column("support"), min_support))
+
+    ranked = support.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return ranked.sort(key=["support", "u", "v"], descending=[True, False, False])

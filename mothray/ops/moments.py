@@ -3071,3 +3071,190 @@ def cox_stuart(ds, key_col: str, ts_col: str, min_pairs: int = 5) -> "object":
         )
 
     return null_safe_group_map(ud, [key_col], per_key)
+
+
+def distance_correlation(ds, ts_col: str, user_col: str):
+    """Szekely-Rizzo DISTANCE CORRELATION between the daily event
+    count and the daily distinct-user count — detects nonlinear
+    dependence that Pearson misses (dcor = 0 iff independent, for the
+    population statistic).
+
+    Integer-exact evaluation: with n days and integer series x, y the
+    double-centered distance matrix scaled by n^2,
+
+        A~_ij = n^2*|x_i-x_j| - n*rowsum_i - n*rowsum_j + grandsum,
+
+    is INTEGER for every pair, so S_ab = sum A~_ij B~_ij, S_aa, S_bb
+    are exact int64 sums (magnitudes ~1e15 at 1e2 days, well inside
+    int64) and dcor = S_ab / sqrt(double(S_aa) * double(S_bb)) is a
+    single deterministic float expression — no order-dependent float
+    accumulation anywhere. n^4 * dCov^2 = S_ab / n^2 (V-statistic).
+
+    Scale shape: the corpus reduces to one (day, count, users) row per
+    day via a distributed groupby (distinct users per day via a
+    two-level groupby); the O(n^2) pair work runs on that tiny series
+    on the driver. Output one row: (n_days, s_ab, s_aa, s_bb, dcor).
+    """
+    from ray.data.aggregate import Count
+
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        keep = pc.and_(pc.is_valid(ts), pc.is_valid(batch.column(user_col)))
+        batch = batch.filter(keep)
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        t = pa.table(
+            {
+                "day": pa.array(d.astype(np.int64)),
+                "u": pc.cast(batch.column(user_col), pa.int64()),
+            }
+        )
+        # batch-local pre-dedup of (day, user) shrinks both exchanges
+        g = t.group_by(["day", "u"], use_threads=False).aggregate([("u", "count")])
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "u": g.column("u"),
+                "c": pc.cast(g.column("u_count"), pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(day_user, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "u"])
+        .sum("c")
+        .take_all()
+    )
+    days: dict[int, list[int]] = {}
+    for r in per_user:
+        cell = days.setdefault(int(r["day"]), [0, 0])
+        cell[0] += int(r["sum(c)"])  # events that day
+        cell[1] += 1  # distinct users that day
+    series = sorted(days.items())
+    n = len(series)
+    if n < 2:
+        return pa.table(
+            {
+                "n_days": pa.array([n], pa.int64()),
+                "s_ab": pa.array([None], pa.int64()),
+                "s_aa": pa.array([None], pa.int64()),
+                "s_bb": pa.array([None], pa.int64()),
+                "dcor": pa.array([None], pa.float64()),
+            }
+        )
+    x = np.array([c for _, (c, _) in series], np.int64)
+    y = np.array([u for _, (_, u) in series], np.int64)
+
+    def centered(v: np.ndarray) -> np.ndarray:
+        d = np.abs(v[:, None] - v[None, :])  # int64
+        rs = d.sum(axis=1)  # int64 rowsums
+        gs = int(d.sum())
+        return (n * n) * d - n * rs[:, None] - n * rs[None, :] + gs
+
+    a = centered(x)
+    b = centered(y)
+    s_ab = int((a * b).sum())
+    s_aa = int((a * a).sum())
+    s_bb = int((b * b).sum())
+    denom = float(s_aa) * float(s_bb)
+    dcor = s_ab / np.sqrt(denom) if denom > 0 else None
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "s_ab": pa.array([s_ab], pa.int64()),
+            "s_aa": pa.array([s_aa], pa.int64()),
+            "s_bb": pa.array([s_bb], pa.int64()),
+            "dcor": pa.array([dcor], pa.float64()),
+        }
+    )
+
+
+def mix_shift(ds, group_col: str, value_col: str, ts_col: str, split_day: int):
+    """Mix-shift (composition vs rate) decomposition of the change in
+    the overall average value between two periods, per group — the
+    classic business-analytics identity
+
+        avg2 - avg1 = sum_g [ (w2_g - w1_g) * r1_g     (mix effect)
+                            + w2_g * (r2_g - r1_g) ]   (rate effect)
+
+    with w = group share of rows, r = group mean. Values accumulate
+    as INTEGER CENTS (sum, count per (group, period) — exact under
+    any merge order); the four reported effects derive from those
+    exact integers through one fixed float expression each, so the
+    result is bit-deterministic and matches the SQL oracle.
+
+    period 1 = rows with epoch-day(ts) < split_day, else period 2.
+    Output per group: n1, n2, s1_cents, s2_cents (exact BIGINT), mix
+    and rate effects in cents (float64). Scale shape: per-batch
+    combiner emits <= 2*|groups| fixed-width partial rows; only those
+    enter the groupby exchange."""
+    day_us = 24 * 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(ts_col)),
+                pc.is_valid(batch.column(value_col)),
+            ),
+            pc.is_valid(batch.column(group_col)),
+        )
+        batch = batch.filter(keep)
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        cents = np.rint(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "g": batch.column(group_col),
+                "p": pa.array(np.where(d < split_day, 1, 2).astype(np.int64)),
+                "s": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        return t.group_by(["g", "p"], use_threads=False).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["g", "p"])
+        .sum(["s_sum", "n_sum"])
+        .take_all()
+    )
+    cells: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in parts:
+        cells.setdefault(r["g"], {})[int(r["p"])] = (
+            int(r["sum(s_sum)"]),
+            int(r["sum(n_sum)"]),
+        )
+    n_tot = {1: 0, 2: 0}
+    for periods in cells.values():
+        for p, (_, cnt) in periods.items():
+            n_tot[p] += cnt
+    rows = []
+    for g in sorted(cells):
+        s1, n1 = cells[g].get(1, (0, 0))
+        s2, n2 = cells[g].get(2, (0, 0))
+        if n1 == 0 or n2 == 0 or n_tot[1] == 0 or n_tot[2] == 0:
+            mix = rate = None
+        else:
+            r1 = s1 / n1
+            mix = (n2 / n_tot[2] - n1 / n_tot[1]) * r1
+            rate = (n2 / n_tot[2]) * (s2 / n2 - r1)
+        rows.append((g, n1, n2, s1, s2, mix, rate))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows]),
+            "n1": pa.array([r[1] for r in rows], pa.int64()),
+            "n2": pa.array([r[2] for r in rows], pa.int64()),
+            "s1_cents": pa.array([r[3] for r in rows], pa.int64()),
+            "s2_cents": pa.array([r[4] for r in rows], pa.int64()),
+            "mix_effect": pa.array([r[5] for r in rows], pa.float64()),
+            "rate_effect": pa.array([r[6] for r in rows], pa.float64()),
+        }
+    )

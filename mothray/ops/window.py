@@ -1587,3 +1587,66 @@ def dow_anomaly(ds, ts_col: str, z_threshold: float = 2.0):
             }
         )
     return pa.Table.from_pylist(rows)
+
+
+def classical_decompose(ds, ts_col: str, period: int = 7):
+    """Classical additive seasonal decomposition of the daily event
+    count series, kept INTEGER-EXACT by scaling instead of dividing:
+    for every day whose centered `period`-day window is complete,
+    trendP = sum of the window's counts (the centered moving average
+    x period), detP = period*count - trendP (the detrended series x
+    period), and per day-of-period the seasonal component is reported
+    as the exact integer pair (seas_num = sum of detP, seas_den =
+    number of complete-window days at that offset) rather than a
+    float mean — every output cell is a BIGINT, so the result is
+    bit-deterministic under any partitioning/merge order.
+
+    period must be odd (centered window). Scale shape: only the tiny
+    (day, count) table leaves the cluster; the daily aggregation is a
+    distributed groupby over int64 epoch-days."""
+    from ray.data.aggregate import Count
+
+    if period % 2 != 1:
+        raise ValueError("classical_decompose: period must be odd")
+    half = period // 2
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table({"day": pa.array(d.astype(np.int64))})
+
+    daily = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    counts = {int(r["day"]): int(r["c"]) for r in daily}
+    rows = []
+    for day in sorted(counts):
+        window = [counts.get(day + k) for k in range(-half, half + 1)]
+        if any(w is None for w in window):
+            continue
+        trend = sum(window)
+        det = period * counts[day] - trend
+        rows.append((day, day % period, counts[day], trend, det))
+    seas: dict[int, list[int]] = {}
+    for _, dow, _, _, det in rows:
+        cell = seas.setdefault(dow, [0, 0])
+        cell[0] += det
+        cell[1] += 1
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], pa.int64()),
+            "dow": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "trend7": pa.array([r[3] for r in rows], pa.int64()),
+            "det7": pa.array([r[4] for r in rows], pa.int64()),
+            "seas_num": pa.array([seas[r[1]][0] for r in rows], pa.int64()),
+            "seas_den": pa.array([seas[r[1]][1] for r in rows], pa.int64()),
+        }
+    )
