@@ -6402,6 +6402,57 @@ def _mix_shift_lineitem(sf_dir: str):
     )
 
 
+def _gopher_rules_documents(sf_dir: str):
+    """Gopher-style quality rules per doc (webtext.gopher_rules_batch):
+    word/char/alpha-word/symbol/bullet/ellipsis counts and the
+    composite keep flag — every cell an exact integer (ratio
+    thresholds evaluate as cross-multiplied integer comparisons)."""
+    import ray.data
+
+    from mothray.ops import webtext
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        webtext.gopher_rules_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _markov_acc_events(sf_dir: str):
+    """First-order Markov next-event prediction accuracy per
+    from_state (markov.prediction_accuracy): global transition counts
+    via the proven per-user ordered combiner, argmax prediction with
+    lexical tie-break, acc = one int division."""
+    import ray.data
+
+    from mothray.ops import markov
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return ray.data.from_arrow(markov.prediction_accuracy(ds))
+
+
+def _permutation_test_orders(sf_dir: str):
+    """Deterministic two-sample permutation-style test
+    (moments.permutation_test): is the mean total price of status-'F'
+    orders different from the rest? 200 hash-seeded relabelings
+    (splitmix64(fnv('pt|'||key)+j) vs an integer threshold), exact
+    integer replicate sums, add-one Monte-Carlo p."""
+    import ray.data
+
+    from mothray.ops import moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    return ray.data.from_arrow(
+        moments.permutation_test(
+            ds, "o_totalprice", "o_orderkey", "o_orderstatus", "F", b=200
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6756,6 +6807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decompose_events"] = _decompose_events
     q["dcor_events"] = _dcor_events
     q["mix_shift_lineitem"] = _mix_shift_lineitem
+    q["gopher_rules_documents"] = _gopher_rules_documents
+    q["markov_acc_events"] = _markov_acc_events
+    q["permutation_test_orders"] = _permutation_test_orders
     return q
 
 
@@ -10035,6 +10089,112 @@ def oracle_sql() -> dict[str, str]:
         "  (w.n2 / t2.nt) * (w.s2 / w.n2 - w.s1 / w.n1) AS rate_effect"
         " FROM w, (SELECT nt FROM t WHERE p = 1) t1,"
         "  (SELECT nt FROM t WHERE p = 2) t2"
+    )
+    o["gopher_rules_documents"] = (
+        # all-integer Gopher rules; ratio thresholds cross-multiplied
+        "WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),"
+        " w0 AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM base),"
+        " ws AS (SELECT doc_id,"
+        "  CAST(count(*) FILTER (w <> '') AS BIGINT) AS n_words,"
+        "  CAST(coalesce(sum(length(w)) FILTER (w <> ''), 0) AS BIGINT)"
+        "   AS sum_word_chars,"
+        "  CAST(count(*) FILTER (w <> '' AND regexp_matches(w, '[A-Za-z]'))"
+        "   AS BIGINT) AS n_alpha_words"
+        "  FROM w0 GROUP BY 1),"
+        " l0 AS (SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS l"
+        "  FROM base),"
+        " ls AS (SELECT doc_id,"
+        "  CAST(count(*) FILTER (l <> '') AS BIGINT) AS n_lines,"
+        "  CAST(count(*) FILTER (l <> '' AND regexp_matches(l, '^[-*•]'))"
+        "   AS BIGINT) AS n_bullet_lines,"
+        "  CAST(count(*) FILTER (l <> '' AND l LIKE '%...') AS BIGINT)"
+        "   AS n_ellipsis_lines"
+        "  FROM l0 GROUP BY 1),"
+        " sym AS (SELECT doc_id,"
+        "  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,"
+        "  CAST(len(string_split(t, '...')) - 1 AS BIGINT) AS n_ellipsis"
+        "  FROM base)"
+        " SELECT b.doc_id, ws.n_words, ws.sum_word_chars, ws.n_alpha_words,"
+        "  sym.n_hash, sym.n_ellipsis, ls.n_lines, ls.n_bullet_lines,"
+        "  ls.n_ellipsis_lines,"
+        "  CASE WHEN ws.n_words >= 50 AND ws.n_words <= 100000"
+        "   AND 3 * ws.n_words <= ws.sum_word_chars"
+        "   AND ws.sum_word_chars <= 10 * ws.n_words"
+        "   AND 10 * (sym.n_hash + sym.n_ellipsis) <= ws.n_words"
+        "   AND 10 * ls.n_bullet_lines <= 9 * ls.n_lines"
+        "   AND 10 * ls.n_ellipsis_lines <= 3 * ls.n_lines"
+        "   AND 10 * ws.n_alpha_words >= 8 * ws.n_words"
+        "  THEN 1 ELSE 0 END AS keep"
+        " FROM base b JOIN ws ON ws.doc_id = b.doc_id"
+        " JOIN ls ON ls.doc_id = b.doc_id JOIN sym ON sym.doc_id = b.doc_id"
+    )
+    o["markov_acc_events"] = (
+        # same lag-extraction as transitions_events; argmax with
+        # lexical tie-break; acc is one int division
+        "WITH s AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE event_type IS NOT NULL),"
+        " p AS (SELECT lag(event_type) OVER"
+        "   (PARTITION BY user_id ORDER BY ts, event_id) AS f,"
+        "  event_type AS t FROM s),"
+        " c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt FROM p"
+        "  WHERE f IS NOT NULL GROUP BY 1, 2),"
+        " pred AS (SELECT f, t AS predicted, cnt FROM"
+        "  (SELECT f, t, cnt, ROW_NUMBER() OVER"
+        "    (PARTITION BY f ORDER BY cnt DESC, t) AS r FROM c) WHERE r = 1),"
+        " tot AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)"
+        " SELECT tot.f AS from_state, pred.predicted, tot.n,"
+        "  pred.cnt AS correct, pred.cnt / tot.n AS acc"
+        " FROM tot JOIN pred ON pred.f = tot.f"
+    )
+    _pt_fnv = (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(string_split('pt|' || CAST(o_orderkey AS VARCHAR), ''),"
+        "  c -> CAST(ord(c) AS HUGEINT))),"
+        " (acc, cp) -> (acc * 1099511628211 + cp)"
+        " % 18446744073709551616::HUGEINT)"
+    )
+    o["permutation_test_orders"] = (
+        # hash-relabeling permutation test: same splitmix64 chain as the
+        # bootstrap oracle, salt 'pt|'; integer threshold floor(1e6*na/n);
+        # diff doubles follow the exact expression order of
+        # moments.permutation_test
+        f"WITH ids AS (SELECT CAST({_pt_fnv} AS UBIGINT) AS base,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+        " CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ga FROM orders"
+        " WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+        " AND o_orderstatus IS NOT NULL),"
+        " obs AS (SELECT CAST(sum(ga) AS BIGINT) AS na,"
+        "  CAST(count(*) AS BIGINT) AS n,"
+        "  CAST(coalesce(sum(CASE WHEN ga = 1 THEN cents END), 0) AS BIGINT) AS sa,"
+        "  CAST(sum(cents) AS BIGINT) AS st FROM ids),"
+        " thr AS (SELECT (na * 1000000) // n AS t6 FROM obs),"
+        " reps AS (SELECT CAST(unnest(generate_series(0, 199)) AS UBIGINT) AS j),"
+        " h0 AS (SELECT j, cents, CAST((CAST(base AS HUGEINT) + CAST(j AS HUGEINT))"
+        "  % 18446744073709551616::HUGEINT AS UBIGINT) AS h FROM ids CROSS JOIN reps),"
+        " m1 AS (SELECT j, cents, CAST((((CAST(xor(h, h >> 30) AS HUGEINT) * 3210233709)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 30) AS HUGEINT) * 484763065)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM h0),"
+        " m2 AS (SELECT j, cents, CAST((((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)"
+        "  % 18446744073709551616::HUGEINT * 4294967296"
+        "  + CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)"
+        "  % 18446744073709551616::HUGEINT) AS UBIGINT) AS h FROM m1),"
+        " fin AS (SELECT j, cents, CAST(xor(h, h >> 31) % 1000000 AS BIGINT) AS u6 FROM m2),"
+        " rep AS (SELECT j,"
+        "  CAST(sum(CASE WHEN u6 < thr.t6 THEN 1 ELSE 0 END) AS BIGINT) AS nca,"
+        "  CAST(sum(CASE WHEN u6 < thr.t6 THEN cents ELSE 0 END) AS BIGINT) AS sca"
+        "  FROM fin, thr GROUP BY j),"
+        " od AS (SELECT CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)"
+        "  - CAST(st - sa AS DOUBLE) / CAST(n - na AS DOUBLE) AS dobs FROM obs),"
+        " dd AS (SELECT j, CAST(sca AS DOUBLE) / CAST(nca AS DOUBLE)"
+        "  - CAST(obs.st - sca AS DOUBLE) / CAST(obs.n - nca AS DOUBLE) AS dj"
+        "  FROM rep, obs WHERE nca > 0 AND nca < obs.n),"
+        " f2 AS (SELECT CAST(count(*) AS BIGINT) AS b,"
+        "  CAST(coalesce(sum(CASE WHEN abs(dj) >= abs(od.dobs) THEN 1 ELSE 0 END), 0)"
+        "   AS BIGINT) AS n_extreme FROM dd, od)"
+        " SELECT obs.na AS n_a, obs.n - obs.na AS n_b, od.dobs AS diff_obs_cents,"
+        "  f2.b AS b, f2.n_extreme AS n_extreme,"
+        "  (f2.n_extreme + 1) / (f2.b + 1) AS p_value FROM obs, od, f2"
     )
     return o
 

@@ -142,3 +142,81 @@ def entropy_rate(
             "entropy_rate": pa.array([h], pa.float64()),
         }
     )
+
+
+def prediction_accuracy(
+    ds,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    state_col: str = "event_type",
+):
+    """First-order Markov next-event prediction accuracy: fit the
+    global transition-count matrix (same per-key ordered extraction as
+    `transition_matrix`), predict for every from_state the
+    most-frequent to_state (ties broken by ascending state name), and
+    report per from_state how often the actual next event equals the
+    prediction. In-sample/descriptive by construction (the matrix is
+    fit on the full stream).
+
+    Output per from_state: (from_state, predicted, n, correct, acc)
+    where n and correct are exact BIGINT transition counts and acc is
+    the single int division correct/n — bit-deterministic. Scale
+    shape: only the <= |states|^2 count matrix leaves the cluster; the
+    per-key pair extraction is the proven transition_matrix combiner."""
+    from .nullkeys import null_safe_group_map
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group.filter(pc.is_valid(group.column(state_col)))
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    "from_state": pa.array([], pa.string()),
+                    "to_state": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(order_col, "ascending"), (tiebreak_col, "ascending")]
+        )
+        st = g.column(state_col).take(idx).combine_chunks()
+        dic = st.dictionary_encode()
+        codes = np.asarray(dic.indices, dtype=np.int64)
+        k = len(dic.dictionary)
+        pair_ids = codes[:-1] * k + codes[1:]
+        uniq, cnt = np.unique(pair_ids, return_counts=True)
+        return pa.table(
+            {
+                "from_state": dic.dictionary.take(pa.array(uniq // k)),
+                "to_state": dic.dictionary.take(pa.array(uniq % k)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    proj = ds.select_columns(sorted({key_col, order_col, tiebreak_col, state_col}))
+    counts = (
+        null_safe_group_map(proj, [key_col], pairs)
+        .groupby(["from_state", "to_state"])
+        .sum("cnt")
+        .take_all()
+    )
+    per_from: dict[str, list[tuple[str, int]]] = {}
+    for r in counts:
+        per_from.setdefault(r["from_state"], []).append(
+            (r["to_state"], int(r["sum(cnt)"]))
+        )
+    rows = []
+    for f in sorted(per_from):
+        cells = per_from[f]
+        n = sum(c for _, c in cells)
+        predicted, correct = min(cells, key=lambda tc: (-tc[1], tc[0]))
+        rows.append((f, predicted, n, correct, correct / n))
+    return pa.table(
+        {
+            "from_state": pa.array([r[0] for r in rows], pa.string()),
+            "predicted": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "correct": pa.array([r[3] for r in rows], pa.int64()),
+            "acc": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )

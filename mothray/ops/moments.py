@@ -3258,3 +3258,153 @@ def mix_shift(ds, group_col: str, value_col: str, ts_col: str, split_day: int):
             "rate_effect": pa.array([r[6] for r in rows], pa.float64()),
         }
     )
+
+
+def permutation_test(
+    ds,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    group_a,
+    b: int = 200,
+    salt: str = "pt",
+    decimal_scale: int = 2,
+):
+    """DETERMINISTIC two-sample permutation-style test for a mean
+    difference (group_a vs the rest): the null distribution comes from
+    b random RELABELINGS of the rows — row i joins pseudo-group A in
+    replicate j iff splitmix64(fnv(salt|id_i) + j) % 1e6 falls below
+    the integer threshold floor(1e6 * n_a / n), so expected group
+    sizes match the observed split and any engine replays the exact
+    same relabelings (Chamandy-style hash randomness, same mixer as
+    bootstrap_mean_ci). p = (#extreme + 1) / (b_eff + 1), the
+    add-one-smoothed Monte-Carlo estimate.
+
+    Exactness: per-replicate sums/counts are exact int64 (integer
+    cents x 0/1 assignment); each replicate's mean difference and the
+    observed difference evaluate through the same fixed float
+    expression (two int->double divisions and a subtraction), so the
+    |diff_j| >= |diff_obs| comparisons are bit-deterministic and the
+    extreme COUNT is exact. Two passes over the input: a tiny
+    (side, n, sum) aggregate to fix the threshold, then the b-wide
+    relabeling combiner (each batch reduces to b fixed-width rows).
+
+    Output one row: (n_a, n_b, diff_obs_cents, b, n_extreme, p_value).
+    """
+    from .. import bloom as bloom_mod
+    from .sample import _key_fingerprints
+
+    scale = 10.0**decimal_scale
+    js = np.arange(b, dtype=np.uint64)
+
+    def obs_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(value_col)),
+                pc.is_valid(batch.column(id_col)),
+            ),
+            pc.is_valid(batch.column(group_col)),
+        )
+        t = batch.filter(ok)
+        cents = np.rint(
+            pc.cast(t.column(value_col), pa.float64()).to_numpy(zero_copy_only=False)
+            * scale
+        ).astype(np.int64)
+        ga = pc.equal(t.column(group_col), group_a).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ga": pa.array([1, 0], pa.int64()),
+                "n": pa.array(
+                    [int(ga.sum()), int((~ga).sum())], pa.int64()
+                ),
+                "s": pa.array(
+                    [int(cents[ga].sum()), int(cents[~ga].sum())], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    obs = (
+        ds.map_batches(obs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ga")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .take_all()
+    )
+    side = {int(r["ga"]): (int(r["n"]), int(r["s"])) for r in obs}
+    n_a, s_a = side.get(1, (0, 0))
+    n_b, s_b = side.get(0, (0, 0))
+    n = n_a + n_b
+    if n_a == 0 or n_b == 0:
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "diff_obs_cents": pa.array([None], pa.float64()),
+                "b": pa.array([0], pa.int64()),
+                "n_extreme": pa.array([None], pa.int64()),
+                "p_value": pa.array([None], pa.float64()),
+            }
+        )
+    thr6 = (n_a * 1_000_000) // n
+    diff_obs = float(s_a) / float(n_a) - float(s_b) / float(n_b)
+
+    def rep_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(value_col)),
+                pc.is_valid(batch.column(id_col)),
+            ),
+            pc.is_valid(batch.column(group_col)),
+        )
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "j": pa.array([], pa.int64()),
+                    "nca": pa.array([], pa.int64()),
+                    "sca": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.rint(
+            pc.cast(t.column(value_col), pa.float64()).to_numpy(zero_copy_only=False)
+            * scale
+        ).astype(np.int64)
+        base = _key_fingerprints(t.select([id_col]), id_col, f"{salt}|")
+        h = bloom_mod._mix(base[:, None] + js[None, :])
+        assign = (h % np.uint64(1_000_000)).astype(np.int64) < thr6
+        return pa.table(
+            {
+                "j": pa.array(np.arange(b, dtype=np.int64)),
+                "nca": pa.array(assign.sum(axis=0).astype(np.int64)),
+                "sca": pa.array((assign * cents[:, None]).sum(axis=0)),
+            }
+        )
+
+    reps = (
+        ds.map_batches(rep_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("j")
+        .aggregate(Sum("nca", alias_name="nca"), Sum("sca", alias_name="sca"))
+        .take_all()
+    )
+    s_tot = s_a + s_b
+    b_eff = 0
+    n_extreme = 0
+    for r in reps:
+        nca, sca = int(r["nca"]), int(r["sca"])
+        if nca == 0 or nca == n:
+            continue
+        b_eff += 1
+        dj = float(sca) / float(nca) - float(s_tot - sca) / float(n - nca)
+        if abs(dj) >= abs(diff_obs):
+            n_extreme += 1
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "diff_obs_cents": pa.array([diff_obs], pa.float64()),
+            "b": pa.array([b_eff], pa.int64()),
+            "n_extreme": pa.array([n_extreme], pa.int64()),
+            "p_value": pa.array([(n_extreme + 1) / (b_eff + 1)], pa.float64()),
+        }
+    )

@@ -882,3 +882,91 @@ def hapax_ratio(ds, column: str = "text", group_col: str = "source"):
         )
 
     return null_safe_group_map(p, [group_col], merge)
+
+
+def gopher_rules_batch(batch: pa.Table, column: str = "text",
+                       id_column: str = "doc_id") -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", repetition/quality filter subset),
+    shuffle-free per-doc, ALL-INTEGER output (ratio thresholds are
+    evaluated as cross-multiplied integer comparisons, so no float
+    ever materializes):
+
+      n_words          single-space-split non-empty words
+      sum_word_chars   total codepoints across those words
+      n_alpha_words    words containing at least one [A-Za-z]
+      n_hash           '#' characters
+      n_ellipsis       non-overlapping '...' occurrences
+      n_lines          trimmed non-empty lines
+      n_bullet_lines   lines starting with '-', '*' or a bullet dot
+      n_ellipsis_lines lines ending with '...'
+      keep             1 iff 50 <= n_words <= 100000
+                         AND 3*n_words <= sum_word_chars <= 10*n_words
+                         AND 10*(n_hash + n_ellipsis) <= n_words
+                         AND 10*n_bullet_lines <= 9*n_lines
+                         AND 10*n_ellipsis_lines <= 3*n_lines
+                         AND 10*n_alpha_words >= 8*n_words
+
+    Arrow kernels only (split / count_substring / regex match +
+    bincount over list parent indices); word/line split contracts
+    match c4_filters_batch so the SQL oracle reuses the same CTEs."""
+    txt = batch.column(column).combine_chunks().fill_null("")
+    n_hash = pc.cast(pc.count_substring(txt, "#"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_ell = pc.cast(pc.count_substring(txt, "..."), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    # words: single-space split of the ORIGINAL text, empties dropped
+    toks = pc.split_pattern(txt, " ")
+    flat = toks.flatten()
+    widx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    wkeep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    nr = batch.num_rows
+    n_words = np.bincount(widx[wkeep], minlength=nr).astype(np.int64)
+    sum_chars = np.bincount(
+        widx[wkeep], weights=wlen[wkeep], minlength=nr
+    ).astype(np.int64)
+    n_alpha = np.bincount(widx[wkeep & alpha], minlength=nr).astype(np.int64)
+    # lines: newline split, trimmed
+    lines = pc.split_pattern(txt, "\n")
+    lflat = pc.utf8_trim_whitespace(lines.flatten())
+    lidx = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+    bullet = pc.match_substring_regex(lflat, "^[-*•]").to_numpy(
+        zero_copy_only=False
+    )
+    ell_end = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    n_lines = np.bincount(lidx[nonempty], minlength=nr).astype(np.int64)
+    n_bullet = np.bincount(lidx[nonempty & bullet], minlength=nr).astype(np.int64)
+    n_ell_lines = np.bincount(lidx[nonempty & ell_end], minlength=nr).astype(
+        np.int64
+    )
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (3 * n_words <= sum_chars)
+        & (sum_chars <= 10 * n_words)
+        & (10 * (n_hash + n_ell) <= n_words)
+        & (10 * n_bullet <= 9 * n_lines)
+        & (10 * n_ell_lines <= 3 * n_lines)
+        & (10 * n_alpha >= 8 * n_words)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_column: batch.column(id_column),
+            "n_words": pa.array(n_words),
+            "sum_word_chars": pa.array(sum_chars),
+            "n_alpha_words": pa.array(n_alpha),
+            "n_hash": pa.array(n_hash),
+            "n_ellipsis": pa.array(n_ell),
+            "n_lines": pa.array(n_lines),
+            "n_bullet_lines": pa.array(n_bullet),
+            "n_ellipsis_lines": pa.array(n_ell_lines),
+            "keep": pa.array(keep),
+        }
+    )
