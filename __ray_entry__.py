@@ -6453,6 +6453,57 @@ def _permutation_test_orders(sf_dir: str):
     )
 
 
+def _forecast_error_events(sf_dir: str):
+    """Seasonal-naive vs naive forecast error on daily counts
+    (window.seasonal_naive_error): exact BIGINT absolute-error sums,
+    one float division for the MASE-style ratio."""
+    import ray.data
+
+    from mothray.ops import window
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return ray.data.from_arrow(window.seasonal_naive_error(ds, "ts", period=7))
+
+
+def _clustering_documents(sf_dir: str):
+    """Stripe-layout clustering audit (profile.clustering_report) of
+    the encoded documents dataset from zone-map metadata only:
+    overlap pairs + max probe depth per column. Rows-only by nature
+    (it audits OUR physical layout, which SQL over the raw table
+    cannot see)."""
+    import tempfile
+
+    from mothray import pipeline
+    from mothray.ops import profile
+
+    enc = tempfile.mkdtemp(prefix="mothray_clu_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/documents.parquet", enc)
+    return profile.clustering_report(enc, ["doc_id", "n_chars", "lang"])
+
+
+def _k_truss_orders(sf_dir: str):
+    """4-truss of the order hash graph (graph.k_truss): support
+    peeling to fixpoint, one distributed edge_support pass per round.
+    Rows-only (iterative fixpoint is not single-statement SQL);
+    exactness pinned by the brute-force peel in tests."""
+    from mothray.ops import graph
+
+    return graph.k_truss(_order_hash_edges(sf_dir), "src", "dst", k=4)
+
+
+def _lof_embeddings(sf_dir: str):
+    """Top-20 Local Outlier Factor scores over the embedding column
+    (ann.lof_outliers): broadcast exact kNN + three fixed-width
+    exchanges for reach-dist/lrd/LOF. Rows-only (float distance
+    math); exactness vs the textbook definition pinned in tests."""
+    import ray.data
+
+    from mothray.ops import ann
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lof_outliers(ds, k=10, top_n=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6810,6 +6861,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["gopher_rules_documents"] = _gopher_rules_documents
     q["markov_acc_events"] = _markov_acc_events
     q["permutation_test_orders"] = _permutation_test_orders
+    q["forecast_error_events"] = _forecast_error_events
+    q["clustering_documents"] = _clustering_documents
+    q["k_truss_orders"] = _k_truss_orders
+    q["lof_embeddings"] = _lof_embeddings
     return q
 
 
@@ -10195,6 +10250,21 @@ def oracle_sql() -> dict[str, str]:
         " SELECT obs.na AS n_a, obs.n - obs.na AS n_b, od.dobs AS diff_obs_cents,"
         "  f2.b AS b, f2.n_extreme AS n_extreme,"
         "  (f2.n_extreme + 1) / (f2.b + 1) AS p_value FROM obs, od, f2"
+    )
+    o["forecast_error_events"] = (
+        # integer-exact absolute-error sums; ratio is the only float
+        "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,"
+        "  CAST(count(*) AS BIGINT) AS c FROM events"
+        "  WHERE ts IS NOT NULL GROUP BY 1),"
+        " j AS (SELECT d.c AS c, p1.c AS c1, ps.c AS cs FROM d"
+        "  JOIN d p1 ON p1.day = d.day - 1"
+        "  JOIN d ps ON ps.day = d.day - 7)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_days,"
+        "  CAST(coalesce(sum(abs(c - c1)), 0) AS BIGINT) AS sae_naive1,"
+        "  CAST(coalesce(sum(abs(c - cs)), 0) AS BIGINT) AS sae_seasonal,"
+        "  CASE WHEN count(*) > 0 AND sum(abs(c - c1)) > 0 THEN"
+        "   CAST(sum(abs(c - cs)) AS BIGINT) / CAST(sum(abs(c - c1)) AS BIGINT)"
+        "  END AS ratio FROM j"
     )
     return o
 

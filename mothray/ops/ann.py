@@ -1317,3 +1317,145 @@ def centroid_similarity(
                 }
             )
     return pa.Table.from_pylist(rows)
+
+
+def lof_outliers(
+    ds,
+    k: int = 10,
+    top_n: int = 20,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    max_index_rows: int = 262144,
+):
+    """Local Outlier Factor (Breunig et al. 2000) over an embedding
+    column — density-based outlier scoring for corpus triage (LOF >> 1
+    = the point sits in a much sparser region than its neighbors).
+
+    Pipeline shape (rows-only by nature — every stage is float math):
+      1. the reference side (id, vector) is collected once, BOUNDED by
+         `max_index_rows`, and broadcast via ray.put — the same
+         index-fits-in-memory contract as brute_force_topk / the IVF
+         build; at corpus scale swap stage 1+2 for the persisted IVF
+         bucketed index (build_ivf_index) and probe per bucket.
+      2. exact kNN per batch against the broadcast matrix (chunked
+         ||x||^2 + ||o||^2 - 2 x.o distances, ties broken by neighbor
+         id) -> a (point, neighbor, dist) edge Dataset + per-point
+         k-distance.
+      3. reach-dist/lrd/LOF are three distributed fixed-width
+         exchanges over that edge table: join neighbor k-distance,
+         groupby point -> lrd = k / sum(reach); join neighbor lrd,
+         groupby point -> LOF = mean(lrd_o) / lrd_p.
+
+    Returns the top_n (id, lof, lrd, kdist) by (lof desc, id)."""
+    import ray
+
+    from .join import partitioned_join
+
+    ids_all: list = []
+    mats: list = []
+    seen = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids_all.append(b.column(id_column).to_numpy(zero_copy_only=False))
+        mats.append(_matrix(b.column(column)).astype(np.float64))
+        seen += b.num_rows
+        if seen >= max_index_rows:
+            break
+    ids = np.concatenate(ids_all)[:max_index_rows]
+    X = np.concatenate(mats)[:max_index_rows]
+    if len(ids) <= k:
+        raise ValueError(f"lof_outliers: need > k={k} points, got {len(ids)}")
+    ref = ray.put((ids, X, (X * X).sum(axis=1)))
+
+    def knn_edges(batch: pa.Table) -> pa.Table:
+        rids, RX, rn2 = ray.get(ref)
+        q = _matrix(batch.column(column)).astype(np.float64)
+        qids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        d2 = (q * q).sum(axis=1)[:, None] + rn2[None, :] - 2.0 * (q @ RX.T)
+        np.maximum(d2, 0.0, out=d2)
+        # exclude self by id, then k smallest by (dist, neighbor id)
+        self_mask = qids[:, None] == rids[None, :]
+        d2[self_mask] = np.inf
+        order = np.lexsort((rids[None, :].repeat(len(q), 0), d2), axis=1)[:, :k]
+        nbr = rids[order]
+        nd = np.sqrt(np.take_along_axis(d2, order, axis=1))
+        src = np.repeat(qids, k)
+        return pa.table(
+            {
+                "pid": pa.array(src, pa.int64()),
+                "nbr": pa.array(nbr.ravel(), pa.int64()),
+                "dist": pa.array(nd.ravel(), pa.float64()),
+                "kdist": pa.array(np.repeat(nd[:, -1], k), pa.float64()),
+            }
+        )
+
+    edges = ds.map_batches(
+        knn_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    kdist = (
+        edges.groupby("pid")
+        .max("kdist")
+        .map_batches(
+            lambda t: pa.table(
+                {"nbr": t.column("pid"), "kdist_o": t.column("max(kdist)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    with_reach = partitioned_join(edges, kdist, on="nbr").map_batches(
+        lambda t: pa.table(
+            {
+                "pid": t.column("pid"),
+                "nbr": t.column("nbr"),
+                "reach": pa.array(
+                    np.maximum(
+                        t.column("dist").to_numpy(zero_copy_only=False),
+                        t.column("kdist_o").to_numpy(zero_copy_only=False),
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lrd = (
+        with_reach.groupby("pid")
+        .sum("reach")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "pid": t.column("pid"),
+                    "lrd": pa.array(
+                        k
+                        / np.maximum(
+                            t.column("sum(reach)").to_numpy(zero_copy_only=False),
+                            1e-300,
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    lrd_o = lrd.map_batches(
+        lambda t: pa.table({"nbr": t.column("pid"), "lrd_o": t.column("lrd")}),
+        batch_format="pyarrow",
+    )
+    sum_lrd_o = partitioned_join(edges, lrd_o, on="nbr").groupby("pid").sum("lrd_o")
+    scored = partitioned_join(sum_lrd_o, lrd, on="pid").map_batches(
+        lambda t: pa.table(
+            {
+                id_column: t.column("pid"),
+                "lof": pa.array(
+                    (t.column("sum(lrd_o)").to_numpy(zero_copy_only=False) / k)
+                    / t.column("lrd").to_numpy(zero_copy_only=False),
+                    pa.float64(),
+                ),
+                "lrd": t.column("lrd"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return scored.sort(key=["lof", id_column], descending=[True, False]).limit(top_n)

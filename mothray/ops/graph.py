@@ -1553,3 +1553,39 @@ def edge_support(edges, src: str, dst: str, min_support: int = 1) -> pa.Table:
 
     ranked = support.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     return ranked.sort(key=["support", "u", "v"], descending=[True, False, False])
+
+
+def k_truss(edges, src: str, dst: str, k: int, max_rounds: int = 30):
+    """Exact k-truss of the undirected simple graph: the maximal
+    subgraph in which every edge participates in at least k-2
+    triangles WITHIN the subgraph. Computed by support peeling — the
+    standard fixpoint: drop every edge whose current support is below
+    k-2, recompute support on the survivors, repeat until no edge
+    drops (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    analysis").
+
+    Each round is one full `edge_support` pass (degree-ordered
+    compact-forward enumeration — all distributed exchanges over
+    fixed-width id pairs); the driver sees only the surviving-edge
+    COUNT per round, so the loop control is O(rounds) driver traffic
+    like k_core's peel front. Converges in <= initial-support rounds;
+    max_rounds bounds pathological chains.
+
+    Returns (u, v, support) for the surviving edges, support computed
+    on the CONVERGED subgraph, sorted (support desc, u, v)."""
+    if k < 3:
+        raise ValueError("k_truss: k must be >= 3")
+    cur = edges
+    cur_src, cur_dst = src, dst
+    prev_count = None
+    for _ in range(max_rounds):
+        sup = edge_support(cur, cur_src, cur_dst, min_support=k - 2).materialize()
+        n = sup.count()
+        if prev_count is not None and n == prev_count:
+            return sup
+        if n == 0:
+            return sup
+        prev_count = n
+        cur = sup.drop_columns(["support"])
+        cur_src, cur_dst = "u", "v"
+    return edge_support(cur, cur_src, cur_dst, min_support=k - 2)

@@ -637,3 +637,74 @@ def fd_check(ds, det_col: str, dep_col: str):
             "surplus": pa.array([sum(r["surplus"] for r in rows)], pa.int64()),
         }
     )
+
+
+def clustering_report(in_dir: str | list[str], columns: list[str]) -> pa.Table:
+    """Physical-layout clustering audit of an ENCODED dataset from its
+    stripe zone maps ONLY (no value-stream bytes touched): per column,
+    how much the stripes' [min, max] ranges overlap. A column the data
+    is sorted/Z-ordered on has disjoint stripe ranges (overlap pairs =
+    0, max depth = 1), which is exactly what makes min/max pruning
+    effective; a randomly-laid-out column has every stripe overlapping
+    every other. Pair of this op with optimize_sort / zorder_optimize
+    to quantify a re-layout's pruning benefit before paying for it.
+
+    Output per column: (col, n_stripes, n_with_stats,
+    n_overlap_pairs, max_depth) — all exact int64. n_overlap_pairs
+    counts unordered stripe pairs with intersecting CLOSED ranges
+    (touching endpoints overlap, matching the conservative zone-map
+    pruning rule in pipeline._stripe_overlaps); max_depth is the
+    largest number of stripes any single probe value could hit.
+
+    Scale shape: only the stats JSON column is read (one row per
+    stripe — metadata-sized by construction); the O(S log S) interval
+    sweep runs on the driver over (min, max) pairs."""
+    import heapq
+    import json
+
+    import ray.data
+
+    stats_rows = (
+        ray.data.read_parquet(in_dir, columns=["stats"])
+        .take_all()
+    )
+    out = {c: {"n": 0, "with": 0, "pairs": 0, "depth": 0} for c in columns}
+    per_col: dict[str, list] = {c: [] for c in columns}
+    for r in stats_rows:
+        st = json.loads(r["stats"])
+        for c in columns:
+            out[c]["n"] += 1
+            cell = st.get(c, {})
+            lo, hi = cell.get("min"), cell.get("max")
+            if lo is None or hi is None:
+                continue
+            out[c]["with"] += 1
+            per_col[c].append((lo, hi))
+    for c, ivals in per_col.items():
+        ivals.sort(key=lambda p: (p[0], p[1]))
+        # overlap pairs: sweep by min with a heap of active maxes
+        heap: list = []
+        pairs = 0
+        for lo, hi in ivals:
+            while heap and heap[0] < lo:
+                heapq.heappop(heap)
+            pairs += len(heap)  # all active ranges have max >= lo (closed overlap)
+            heapq.heappush(heap, hi)
+        out[c]["pairs"] = pairs
+        # max depth: +1 at min, -1 after max (starts before ends on ties)
+        events = [(lo, 0) for lo, _ in ivals] + [(hi, 1) for _, hi in ivals]
+        events.sort(key=lambda e: (e[0], e[1]))
+        depth = best = 0
+        for _, kind in events:
+            depth += 1 if kind == 0 else -1
+            best = max(best, depth)
+        out[c]["depth"] = best
+    return pa.table(
+        {
+            "col": pa.array(columns, pa.string()),
+            "n_stripes": pa.array([out[c]["n"] for c in columns], pa.int64()),
+            "n_with_stats": pa.array([out[c]["with"] for c in columns], pa.int64()),
+            "n_overlap_pairs": pa.array([out[c]["pairs"] for c in columns], pa.int64()),
+            "max_depth": pa.array([out[c]["depth"] for c in columns], pa.int64()),
+        }
+    )

@@ -1650,3 +1650,49 @@ def classical_decompose(ds, ts_col: str, period: int = 7):
             "seas_den": pa.array([seas[r[1]][1] for r in rows], pa.int64()),
         }
     )
+
+
+def seasonal_naive_error(ds, ts_col: str, period: int = 7):
+    """Forecast-evaluation baseline over the daily count series,
+    INTEGER-EXACT: for every day whose previous day AND same-day-last-
+    period both exist, accumulate the absolute error of the naive
+    forecast (yesterday's count) and the seasonal-naive forecast
+    (count `period` days ago). sae_* are exact BIGINT sums of integer
+    absolute differences; ratio = sae_seasonal / sae_naive1 is the
+    single float division (a MASE-style scaled error: < 1 means the
+    weekly pattern beats plain persistence). One row out:
+    (n_days, sae_naive1, sae_seasonal, ratio)."""
+    from ray.data.aggregate import Count
+
+    day_us = 24 * 3600 * 1_000_000
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        batch = batch.filter(pc.is_valid(ts))
+        d = batch.column(ts_col).combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) // day_us
+        return pa.table({"day": pa.array(d.astype(np.int64))})
+
+    daily = (
+        ds.map_batches(day_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .take_all()
+    )
+    counts = {int(r["day"]): int(r["c"]) for r in daily}
+    n = e1 = es = 0
+    for day, c in counts.items():
+        if (day - 1) in counts and (day - period) in counts:
+            n += 1
+            e1 += abs(c - counts[day - 1])
+            es += abs(c - counts[day - period])
+    ratio = es / e1 if (n > 0 and e1 > 0) else None
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "sae_naive1": pa.array([e1], pa.int64()),
+            "sae_seasonal": pa.array([es], pa.int64()),
+            "ratio": pa.array([ratio], pa.float64()),
+        }
+    )
