@@ -6504,6 +6504,95 @@ def _lof_embeddings(sf_dir: str):
     return ann.lof_outliers(ds, k=10, top_n=20)
 
 
+def _in_pushdown_orders(sf_dir: str):
+    """IN-list predicate pushdown on an encoded scan
+    (pipeline.filter_encoded_multi with op 'in'): zone maps prune on
+    [min(list), max(list)], string blooms probe EVERY list literal
+    (stripe survives if any might match), dictionary-domain evaluation
+    runs pc.is_in on the dictionary only; combined with a numeric
+    range predicate."""
+    import tempfile
+
+    from mothray import pipeline
+
+    enc = tempfile.mkdtemp(prefix="mothray_in_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc)
+    return pipeline.filter_encoded_multi(
+        enc,
+        [
+            ("o_orderpriority", "in", ["1-URGENT", "3-MEDIUM"]),
+            ("o_totalprice", "ge", 100000.0),
+        ],
+    )
+
+
+def _dup_invoice_orders(sf_dir: str):
+    """Double-invoice audit (join.dup_pairs_band): unordered order
+    pairs with the same customer, order dates within 2 days, and total
+    prices within $20k (integer cents) — one banded range_join plus
+    vectorized post-filters; all-integer output."""
+    import ray.data
+
+    from mothray.ops import join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    return join.dup_pairs_band(
+        ds,
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderkey",
+        window_us=2 * 86_400_000_000,
+        amount_band_cents=2_000_000,
+    )
+
+
+def _zorder_audit_orders(sf_dir: str):
+    """Layout-loop composite: clustering_report BEFORE and AFTER a
+    two-column Z-ORDER OPTIMIZE of the encoded orders dataset — the
+    audit quantifies the pruning benefit (overlap pairs / max probe
+    depth collapse on both keys). Rows-only (audits OUR layout)."""
+    import tempfile
+
+    from mothray import pipeline
+    from mothray.ops import profile
+
+    enc = tempfile.mkdtemp(prefix="mothray_za_enc_")
+    opt = tempfile.mkdtemp(prefix="mothray_za_opt_")
+    pipeline.encode_parquet_to_dir(
+        f"{sf_dir}/orders.parquet", enc, opts={"stripe_rows": 2048}
+    )
+    cols = ["o_custkey", "o_totalprice"]
+    before = profile.clustering_report(enc, cols)
+    pipeline.optimize_encoded(enc, opt, cols, opts={"stripe_rows": 2048})
+    after = profile.clustering_report(opt, cols)
+    return pa.concat_tables(
+        [
+            before.append_column("phase", pa.array(["before"] * len(before))),
+            after.append_column("phase", pa.array(["after"] * len(after))),
+        ]
+    )
+
+
+def _fragmentation_documents(sf_dir: str):
+    """Per-file stripe/byte layout audit of an encoded dataset
+    (profile.fragmentation_report) — metadata-only compaction
+    triage. Rows-only (audits OUR layout)."""
+    import tempfile
+
+    from mothray import pipeline
+    from mothray.ops import profile
+
+    enc = tempfile.mkdtemp(prefix="mothray_frag_")
+    pipeline.encode_parquet_to_dir(
+        f"{sf_dir}/documents.parquet", enc, opts={"stripe_rows": 128}
+    )
+    return profile.fragmentation_report(enc).drop_columns(["path"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -6865,6 +6954,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["clustering_documents"] = _clustering_documents
     q["k_truss_orders"] = _k_truss_orders
     q["lof_embeddings"] = _lof_embeddings
+    q["in_pushdown_orders"] = _in_pushdown_orders
+    q["dup_invoice_orders"] = _dup_invoice_orders
+    q["zorder_audit_orders"] = _zorder_audit_orders
+    q["fragmentation_documents"] = _fragmentation_documents
     return q
 
 
@@ -10265,6 +10358,24 @@ def oracle_sql() -> dict[str, str]:
         "  CASE WHEN count(*) > 0 AND sum(abs(c - c1)) > 0 THEN"
         "   CAST(sum(abs(c - cs)) AS BIGINT) / CAST(sum(abs(c - c1)) AS BIGINT)"
         "  END AS ratio FROM j"
+    )
+    o["in_pushdown_orders"] = (
+        "SELECT * FROM orders"
+        " WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"
+        " AND o_totalprice >= 100000.0"
+    )
+    o["dup_invoice_orders"] = (
+        "WITH o AS (SELECT o_orderkey, o_custkey,"
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate"
+        "  FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL"
+        "  AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)"
+        " SELECT a.o_custkey, a.o_orderkey AS id1, b.o_orderkey AS id2,"
+        "  a.cents AS cents1, b.cents AS cents2"
+        " FROM o a JOIN o b ON a.o_custkey = b.o_custkey"
+        "  AND a.o_orderkey < b.o_orderkey"
+        "  AND abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))"
+        "   <= 172800000000"
+        "  AND abs(a.cents - b.cents) <= 2000000"
     )
     return o
 

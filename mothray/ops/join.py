@@ -721,3 +721,90 @@ def bloom_filter_join(left, right, on: str, how: str = "inner",
 
     pre = left.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_join(pre, right, on, num_buckets=num_buckets, how=how)
+
+
+def dup_pairs_band(
+    ds,
+    key_col: str,
+    amount_col: str,
+    ts_col: str,
+    id_col: str,
+    window_us: int,
+    amount_band_cents: int,
+    decimal_scale: int = 2,
+):
+    """Duplicate-transaction candidate pairs (the classic
+    double-invoice / double-charge audit): unordered pairs of rows
+    with the SAME key, timestamps within `window_us` of each other,
+    and amounts within `amount_band_cents` (amounts compared as exact
+    integer cents). Exactly a SQL inequality self-join, so it carries
+    a value oracle.
+
+    Scale shape: one `range_join` banded on (key, time-bin) does the
+    pair generation — the only exchange; the amount band and the
+    id1 < id2 de-mirroring are vectorized post-filters inside the
+    joined batches, so per-bucket pair counts stay bounded by the
+    time window. Output: (key, id1, id2, cents1, cents2) — all exact
+    int64, sorted by (key, id1, id2)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    scale = 10.0**decimal_scale
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(batch.column(key_col)),
+                pc.is_valid(batch.column(amount_col)),
+            ),
+            pc.and_(
+                pc.is_valid(batch.column(ts_col)),
+                pc.is_valid(batch.column(id_col)),
+            ),
+        )
+        t = batch.filter(ok)
+        cents = np.rint(
+            pc.cast(t.column(amount_col), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            * scale
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pc.cast(t.column(key_col), pa.int64()),
+                "bid": pc.cast(t.column(id_col), pa.int64()),
+                "bcents": pa.array(cents),
+                "bts": t.column(ts_col),
+            }
+        )
+
+    left = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = range_join(
+        left,
+        right,
+        by="bk",
+        on="bts",
+        lo_offset_us=-window_us,
+        hi_offset_us=window_us,
+        right_columns=["bid", "bcents"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        i1 = t.column("bid").to_numpy(zero_copy_only=False)
+        i2 = t.column("bid_right").to_numpy(zero_copy_only=False)
+        c1 = t.column("bcents").to_numpy(zero_copy_only=False)
+        c2 = t.column("bcents_right").to_numpy(zero_copy_only=False)
+        keep = (i1 < i2) & (np.abs(c1 - c2) <= amount_band_cents)
+        return pa.table(
+            {
+                key_col: t.column("bk").filter(pa.array(keep)),
+                "id1": pa.array(i1[keep], pa.int64()),
+                "id2": pa.array(i2[keep], pa.int64()),
+                "cents1": pa.array(c1[keep], pa.int64()),
+                "cents2": pa.array(c2[keep], pa.int64()),
+            }
+        )
+
+    out = pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(key=[key_col, "id1", "id2"])

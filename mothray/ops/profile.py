@@ -708,3 +708,66 @@ def clustering_report(in_dir: str | list[str], columns: list[str]) -> pa.Table:
             "max_depth": pa.array([out[c]["depth"] for c in columns], pa.int64()),
         }
     )
+
+
+def fragmentation_report(in_dir: str | list[str]) -> pa.Table:
+    """Housekeeping audit of an ENCODED dataset's physical layout from
+    metadata only: per part file, how many stripes it holds, their row
+    counts (min/avg context for 'are my stripes too small?'), and the
+    encoded stream bytes — the input to an OPTIMIZE/compaction
+    decision (many small stripes = footer overhead + poor scan
+    locality; reference analog: the stripe-size budgeting in
+    MothWriterOptions). Output per file, sorted by path:
+    (path, n_stripes, n_rows, min_stripe_rows, max_stripe_rows,
+    enc_bytes) — all exact int64; enc_bytes sums every stream's
+    framed length out of the stripe meta JSON (no blob bytes read)."""
+    import json
+
+    from .. import pipeline
+
+    meta = pipeline.read_encoded(in_dir, metadata_only=True, include_paths=True)
+
+    def per_file(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list[int]] = {}
+        for i in range(batch.num_rows):
+            p = batch.column("path")[i].as_py()
+            n = int(batch.column("n_rows")[i].as_py())
+            m = json.loads(batch.column("meta")[i].as_py())
+            b = sum(
+                s["len"]
+                for col in m["columns"].values()
+                for tree in col["row_groups"]
+                for s in tree["streams"]
+            )
+            cell = rows.setdefault(p, [0, 0, 1 << 62, 0, 0])
+            cell[0] += 1
+            cell[1] += n
+            cell[2] = min(cell[2], n)
+            cell[3] = max(cell[3], n)
+            cell[4] += b
+        ps = sorted(rows)
+        return pa.table(
+            {
+                "path": pa.array(ps, pa.string()),
+                "n_stripes": pa.array([rows[p][0] for p in ps], pa.int64()),
+                "n_rows": pa.array([rows[p][1] for p in ps], pa.int64()),
+                "min_stripe_rows": pa.array([rows[p][2] for p in ps], pa.int64()),
+                "max_stripe_rows": pa.array([rows[p][3] for p in ps], pa.int64()),
+                "enc_bytes": pa.array([rows[p][4] for p in ps], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    parts = meta.map_batches(per_file, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        parts.groupby("path")
+        .aggregate(
+            Sum("n_stripes", alias_name="n_stripes"),
+            Sum("n_rows", alias_name="n_rows"),
+            Min("min_stripe_rows", alias_name="min_stripe_rows"),
+            Max("max_stripe_rows", alias_name="max_stripe_rows"),
+            Sum("enc_bytes", alias_name="enc_bytes"),
+        )
+    )
+    return agg.sort("path")

@@ -1555,12 +1555,27 @@ def upsert_keys(
     }
 
 
+def _pred_needles(op: str, value) -> list[str] | None:
+    """Bloom-probe needles implied by a predicate: the literal for
+    string equality, every non-null literal for an IN list (the stripe
+    survives if ANY might be present), None otherwise."""
+    if op == "eq" and isinstance(value, str):
+        return [value]
+    if op == "in":
+        vals = [v for v in value if isinstance(v, str)]
+        # probe only when the whole list is strings (a mixed/numeric
+        # list can't be tested against the string bloom)
+        if vals and len(vals) == len([v for v in value if v is not None]):
+            return vals
+    return None
+
+
 def prune_stripes(
     ds: ray.data.Dataset,
     column: str,
     min_value=None,
     max_value=None,
-    needle: str | None = None,
+    needle: str | list[str] | None = None,
     tri_needles: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Stats/bloom-based stripe pruning WITHOUT touching stream blobs —
@@ -1590,18 +1605,21 @@ def prune_stripes(
                 mask[i] = False
             if mx is not None and lo is not None and lo > mx:
                 mask[i] = False
-        if needle is not None or tri_needles:
+        needles = [needle] if isinstance(needle, str) else needle
+        if needles is not None or tri_needles:
             metas = batch.column("meta").to_pylist()
             blooms = batch.column("blooms").to_pylist()
             for i, (mj, bl) in enumerate(zip(metas, blooms)):
                 if not mask[i] or not bl:
                     continue
                 m = json.loads(mj)
-                if needle is not None:
+                if needles is not None:
                     idx = m.get("blooms", {}).get(column)
                     if idx:
                         off, ln = idx
-                        if not bloom_mod.might_contain(bl[off : off + ln], [needle])[0]:
+                        if not bloom_mod.might_contain(
+                            bl[off : off + ln], needles
+                        ).any():
                             mask[i] = False
                             continue
                 if tri_needles:
@@ -1969,7 +1987,7 @@ def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     pruned = meta
     for col, op, value in usable:
         lo, hi = stripe_mod_.string_pred_bounds(op, value)
-        needle = value if op == "eq" and isinstance(value, str) else None
+        needle = _pred_needles(op, value)
         pruned = prune_stripes(pruned, col, lo, hi, needle)
 
     def totals(batch: pa.Table) -> pa.Table:
@@ -2095,7 +2113,7 @@ def filter_encoded(
         enc = read_encoded(path)  # no stats or blooms can prune these
     else:
         lo, hi = stripe_mod.string_pred_bounds(op, value)
-        needle = value if op == "eq" and isinstance(value, str) else None
+        needle = _pred_needles(op, value)
         enc = prune_read(path, column, lo, hi, needle, tri_needles)
 
     def flt(batch: pa.Table) -> pa.Table:
@@ -2149,7 +2167,7 @@ def filter_encoded_multi(
     pruned = read_encoded(path, metadata_only=True, include_paths=True)
     for col, op, value in usable:
         lo, hi = stripe_mod.string_pred_bounds(op, value)
-        needle = value if op == "eq" and isinstance(value, str) else None
+        needle = _pred_needles(op, value)
         pruned = prune_stripes(pruned, col, lo, hi, needle)
     for col, op, value in preds:  # substring predicates: trigram prune
         tri = None

@@ -716,6 +716,13 @@ def string_pred_bounds(op: str, value) -> tuple:
     if op in ("prefix", "like"):
         pre = value if op == "prefix" else like_prefix(value)
         return (pre or None, prefix_upper(pre) if pre else None)
+    if op == "in":
+        # conservative zone map for an IN list: [min, max] of the
+        # non-null values (SQL semantics: nulls in the list never match)
+        vals = [v for v in value if v is not None]
+        if not vals:
+            return (None, None)
+        return (min(vals), max(vals))
     lo = value if op in ("eq", "ge", "gt") else None
     hi = value if op in ("eq", "le", "lt") else None
     return (lo, hi)
@@ -766,7 +773,8 @@ def stat_bounds_for(op: str, value, t: pa.DataType | None) -> tuple:
     if t is not None and pa.types.is_date(t):
         unit = "D" if t.bit_width == 32 else "ms"
         return stat_bound(lo, unit), stat_bound(hi, unit)
-    if is_temporal_value(value) or isinstance(value, _dt.time):
+    probe = lo if op == "in" else value  # IN carries a list; test a bound
+    if is_temporal_value(probe) or isinstance(probe, _dt.time):
         return None, None  # temporal pred on other storage: no stats prune
     return lo, hi
 
@@ -781,6 +789,14 @@ def _apply_pred(arr, op: str, value):
         return pc.match_like(arr, value)
     if op == "contains":
         return pc.match_substring(arr, value)
+    if op == "in":
+        vals = [v for v in value if v is not None]
+        t = arr.type
+        try:
+            vset = pa.array(vals, type=t)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            vset = pa.array(vals)
+        return pc.is_in(arr, value_set=vset)
     return getattr(pc, _PC_OPS[op])(arr, value)
 
 
