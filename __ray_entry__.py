@@ -6526,6 +6526,26 @@ def _in_pushdown_orders(sf_dir: str):
     )
 
 
+def _not_in_pushdown_orders(sf_dir: str):
+    """NOT IN on an encoded scan (op 'not_in'): no zone-map prune (a
+    negation can match anywhere, like 'ne'), evaluated as an inverted
+    dictionary-domain is_in with SQL null semantics (nulls never
+    match)."""
+    import tempfile
+
+    from mothray import pipeline
+
+    enc = tempfile.mkdtemp(prefix="mothray_nin_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc)
+    return pipeline.filter_encoded_multi(
+        enc,
+        [
+            ("o_orderpriority", "not_in", ["2-HIGH", "4-NOT SPECIFIED", "5-LOW"]),
+            ("o_totalprice", "lt", 50000.0),
+        ],
+    )
+
+
 def _dup_invoice_orders(sf_dir: str):
     """Double-invoice audit (join.dup_pairs_band): unordered order
     pairs with the same customer, order dates within 2 days, and total
@@ -6955,6 +6975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["k_truss_orders"] = _k_truss_orders
     q["lof_embeddings"] = _lof_embeddings
     q["in_pushdown_orders"] = _in_pushdown_orders
+    q["not_in_pushdown_orders"] = _not_in_pushdown_orders
     q["dup_invoice_orders"] = _dup_invoice_orders
     q["zorder_audit_orders"] = _zorder_audit_orders
     q["fragmentation_documents"] = _fragmentation_documents
@@ -10363,6 +10384,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders"
         " WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"
         " AND o_totalprice >= 100000.0"
+    )
+    o["not_in_pushdown_orders"] = (
+        "SELECT * FROM orders"
+        " WHERE o_orderpriority NOT IN ('2-HIGH', '4-NOT SPECIFIED', '5-LOW')"
+        " AND o_totalprice < 50000.0"
     )
     o["dup_invoice_orders"] = (
         "WITH o AS (SELECT o_orderkey, o_custkey,"

@@ -1966,7 +1966,7 @@ def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     usable = [
         (col, op, value)
         for col, op, value in preds
-        if op != "ne" and not (op == "like" and not stripe_mod_.like_prefix(value))
+        if op not in ("ne", "not_in") and not (op == "like" and not stripe_mod_.like_prefix(value))
     ]
     files_total = files_kept = None
     if isinstance(path, str) and os.path.isdir(path):
@@ -2105,7 +2105,7 @@ def filter_encoded(
         tri_needles = [value] if len(str(value).encode()) >= 3 else None
     elif op == "like":
         tri_needles = stripe_mod.like_literal_runs(value) or None
-    if op == "ne" or (
+    if op in ("ne", "not_in") or (
         op in ("like", "contains")
         and not (op == "like" and stripe_mod.like_prefix(value))
         and not tri_needles
@@ -2145,7 +2145,7 @@ def filter_encoded_multi(
     usable = [
         (col, op, value)
         for col, op, value in preds
-        if op != "ne" and not (op == "like" and not stripe_mod.like_prefix(value))
+        if op not in ("ne", "not_in") and not (op == "like" and not stripe_mod.like_prefix(value))
     ]
     if isinstance(path, str) and os.path.isdir(path) and usable:
         # file-level skip index: intersect per-predicate file survivors

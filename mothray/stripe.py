@@ -789,14 +789,18 @@ def _apply_pred(arr, op: str, value):
         return pc.match_like(arr, value)
     if op == "contains":
         return pc.match_substring(arr, value)
-    if op == "in":
+    if op in ("in", "not_in"):
         vals = [v for v in value if v is not None]
         t = arr.type
         try:
             vset = pa.array(vals, type=t)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
             vset = pa.array(vals)
-        return pc.is_in(arr, value_set=vset)
+        hit = pc.is_in(arr, value_set=vset)
+        if op == "in":
+            return hit
+        # NOT IN: nulls never match (predicate_mask ANDs validity)
+        return pc.invert(hit)
     return getattr(pc, _PC_OPS[op])(arr, value)
 
 
@@ -859,7 +863,7 @@ def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | N
     names = columns if columns is not None else schema.names
     t = schema.field(column).type
     lo, hi = stat_bounds_for(op, value, t)
-    keep = None if op == "ne" else select_row_groups(meta, column, lo, hi)
+    keep = None if op in ("ne", "not_in") else select_row_groups(meta, column, lo, hi)
     trees = meta["columns"][column]["row_groups"]
     if keep is None:
         keep = list(range(len(trees)))
@@ -897,7 +901,7 @@ def filter_stripe_multi(
     n_rows = row["n_rows"]
     keep = set(range(rgc))
     for col, op, value in preds:
-        if op == "ne":
+        if op in ("ne", "not_in"):
             continue
         lo, hi = stat_bounds_for(op, value, schema.field(col).type)
         sel = select_row_groups(meta, col, lo, hi)

@@ -71,6 +71,37 @@ def test_in_empty_and_missing_literals(ray_session, encoded_sorted):
     assert pipeline.filter_encoded_multi(enc, [("cat", "in", [])]).count() == 0
 
 
+def test_not_in_rows_exact(ray_session, encoded_sorted):
+    from mothray import pipeline
+
+    enc, cat, num = encoded_sorted
+    got = pipeline.filter_encoded_multi(
+        enc, [("cat", "not_in", ["aa", "cc"])]
+    ).take_all()
+    want = {int(v) for v, c in zip(num, cat) if c not in ("aa", "cc")}
+    assert {r["num"] for r in got} == want
+
+
+def test_not_in_nulls_never_match(ray_session, tmp_path):
+    from mothray import pipeline
+
+    src = tmp_path / "n.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "s": pa.array(["x", None, "y", "z"]),
+                "i": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        ),
+        src,
+    )
+    enc = str(tmp_path / "enc")
+    pipeline.encode_parquet_to_dir(str(src), enc)
+    got = pipeline.filter_encoded_multi(enc, [("s", "not_in", ["x"])]).take_all()
+    # SQL semantics: the NULL row is excluded
+    assert sorted(r["i"] for r in got) == [3, 4]
+
+
 def test_in_zone_map_prunes_stripes(ray_session, encoded_sorted):
     """Sorted numeric column: an IN list inside one narrow range must
     keep only the stripes overlapping [min(list), max(list)]."""
