@@ -6526,6 +6526,47 @@ def _in_pushdown_orders(sf_dir: str):
     )
 
 
+def _evolve_encoded_documents(sf_dir: str):
+    """Schema evolution on an ENCODED read: two ingest batches land in
+    one dataset directory — the first with (doc_id, lang), the later
+    one adding `source` — then one decode with
+    pipeline.encoded_union_schema pads the pre-evolution stripes with
+    typed nulls (name-based field mapping). Oracle: UNION ALL with a
+    NULL source for the old half."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    enc = tempfile.mkdtemp(prefix="mothray_evo_")
+    old = base.drop_columns(["source"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(old), os.path.join(enc, "v1"))
+    new = base.map_batches(
+        lambda t: t.set_column(
+            0, "doc_id", pa.compute.add(t.column("doc_id"), 1_000_000)
+        ),
+        batch_format="pyarrow",
+    )
+    pipeline.write_encoded(pipeline.encode_dataset(new), os.path.join(enc, "v2"))
+    files = [
+        os.path.join(enc, sub, f)
+        for sub in ("v1", "v2")
+        for f in sorted(os.listdir(os.path.join(enc, sub)))
+        if f.endswith(".parquet")
+    ]
+    target = pipeline.encoded_union_schema(files)
+    return pipeline.decode_dataset(
+        pipeline.read_encoded(files), target_schema=target
+    )
+
+
 def _not_in_pushdown_orders(sf_dir: str):
     """NOT IN on an encoded scan (op 'not_in'): no zone-map prune (a
     negation can match anywhere, like 'ne'), evaluated as an inverted
@@ -6976,6 +7017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lof_embeddings"] = _lof_embeddings
     q["in_pushdown_orders"] = _in_pushdown_orders
     q["not_in_pushdown_orders"] = _not_in_pushdown_orders
+    q["evolve_encoded_documents"] = _evolve_encoded_documents
     q["dup_invoice_orders"] = _dup_invoice_orders
     q["zorder_audit_orders"] = _zorder_audit_orders
     q["fragmentation_documents"] = _fragmentation_documents
@@ -10384,6 +10426,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders"
         " WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')"
         " AND o_totalprice >= 100000.0"
+    )
+    o["evolve_encoded_documents"] = (
+        "SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source FROM documents"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, lang, source FROM documents"
     )
     o["not_in_pushdown_orders"] = (
         "SELECT * FROM orders"

@@ -2768,3 +2768,35 @@ def verify_roundtrip_streaming(original: ray.data.Dataset, decoded: ray.data.Dat
 def read_encoded(path: str | list[str], metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
     return ray.data.read_parquet(path, columns=cols, include_paths=include_paths)
+
+
+def encoded_union_schema(in_dir: str | list[str]) -> pa.Schema:
+    """UNION-BY-NAME schema of every stripe in an encoded dataset —
+    the read-side half of schema evolution: a dataset whose early
+    stripes predate an added column decodes uniformly by passing this
+    as decode's `target_schema` (old stripes pad the new columns with
+    typed nulls via decode_stripe's name-based field mapping;
+    reference analog: NameBasedFieldMapper.go:23-31).
+
+    Fields keep first-seen order; a name (case-insensitive) seen with
+    two different types raises — silent coercion would corrupt data.
+    Metadata-only: reads the schema_ipc column, never a blob byte."""
+    from . import stripe as stripe_mod
+
+    seen: dict[str, pa.Field] = {}
+    order: list[str] = []
+    rows = ray.data.read_parquet(in_dir, columns=["schema_ipc"]).take_all()
+    for r in rows:
+        sch = stripe_mod._deserialize_schema(r["schema_ipc"])
+        for f in sch:
+            key = f.name.lower()
+            if key not in seen:
+                seen[key] = f
+                order.append(key)
+            elif seen[key].type != f.type:
+                raise TypeError(
+                    f"encoded_union_schema: column {f.name!r} stored as both "
+                    f"{seen[key].type} and {f.type}; run cast_column to migrate "
+                    "before a union read"
+                )
+    return pa.schema([seen[k] for k in order])
