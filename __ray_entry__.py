@@ -6587,6 +6587,57 @@ def _not_in_pushdown_orders(sf_dir: str):
     )
 
 
+def _null_pushdown_orders(sf_dir: str):
+    """IS NULL / IS NOT NULL predicate pushdown on an encoded scan:
+    nulls are synthesized deterministically (o_orderstatus nulled on
+    orderkey%7==0, o_orderpriority kept only on orderkey%3==0), then
+    one filter_encoded_multi combines `is_null` (null-count zone maps
+    drop null-free stripes; surviving stripes answer from the PRESENT
+    stream alone — no value stream decodes), `not_null`, and a numeric
+    range predicate."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import ray.data
+
+    from mothray import pipeline
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+
+    def poke_nulls(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        m7 = pa.array(k % 7 == 0)
+        m3 = pa.array(k % 3 != 0)
+        null_s = pa.scalar(None, type=t.schema.field("o_orderstatus").type)
+        null_p = pa.scalar(None, type=t.schema.field("o_orderpriority").type)
+        t = t.set_column(
+            t.schema.get_field_index("o_orderstatus"),
+            "o_orderstatus",
+            pa.compute.if_else(m7, null_s, t.column("o_orderstatus")),
+        )
+        return t.set_column(
+            t.schema.get_field_index("o_orderpriority"),
+            "o_orderpriority",
+            pa.compute.if_else(m3, null_p, t.column("o_orderpriority")),
+        )
+
+    enc = tempfile.mkdtemp(prefix="mothray_nullpd_")
+    pipeline.write_encoded(
+        pipeline.encode_dataset(ds.map_batches(poke_nulls, batch_format="pyarrow")),
+        enc,
+    )
+    pipeline.build_file_index(enc)
+    return pipeline.filter_encoded_multi(
+        enc,
+        [
+            ("o_orderstatus", "is_null", None),
+            ("o_orderpriority", "not_null", None),
+            ("o_totalprice", "ge", 120000.0),
+        ],
+    )
+
+
 def _dup_invoice_orders(sf_dir: str):
     """Double-invoice audit (join.dup_pairs_band): unordered order
     pairs with the same customer, order dates within 2 days, and total
@@ -7017,6 +7068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lof_embeddings"] = _lof_embeddings
     q["in_pushdown_orders"] = _in_pushdown_orders
     q["not_in_pushdown_orders"] = _not_in_pushdown_orders
+    q["null_pushdown_orders"] = _null_pushdown_orders
     q["evolve_encoded_documents"] = _evolve_encoded_documents
     q["dup_invoice_orders"] = _dup_invoice_orders
     q["zorder_audit_orders"] = _zorder_audit_orders
@@ -10436,6 +10488,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders"
         " WHERE o_orderpriority NOT IN ('2-HIGH', '4-NOT SPECIFIED', '5-LOW')"
         " AND o_totalprice < 50000.0"
+    )
+    o["null_pushdown_orders"] = (
+        "WITH m AS (SELECT o_orderkey, o_custkey,"
+        "  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END"
+        "   AS o_orderstatus, o_totalprice, o_orderdate,"
+        "  CASE WHEN o_orderkey % 3 <> 0 THEN NULL ELSE o_orderpriority END"
+        "   AS o_orderpriority FROM orders)"
+        " SELECT * FROM m WHERE o_orderstatus IS NULL"
+        " AND o_orderpriority IS NOT NULL AND o_totalprice >= 120000.0"
     )
     o["dup_invoice_orders"] = (
         "WITH o AS (SELECT o_orderkey, o_custkey,"

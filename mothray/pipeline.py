@@ -1577,6 +1577,7 @@ def prune_stripes(
     max_value=None,
     needle: str | list[str] | None = None,
     tri_needles: list[str] | None = None,
+    null_op: str | None = None,
 ) -> ray.data.Dataset:
     """Stats/bloom-based stripe pruning WITHOUT touching stream blobs —
     the Ray-side analog of row-group skipping (reference
@@ -1584,7 +1585,9 @@ def prune_stripes(
 
     Filters the encoded dataset to stripes whose [min,max] overlaps the
     predicate range and (if `needle` given) whose bloom filter might
-    contain the needle.
+    contain the needle. `null_op` ('is_null' / 'not_null') prunes on the
+    per-stripe null counts instead: IS NULL drops null-free stripes,
+    IS NOT NULL drops all-null stripes (missing counts keep the stripe).
     """
     from . import bloom as bloom_mod
 
@@ -1595,6 +1598,13 @@ def prune_stripes(
         stats_col = batch.column("stats").to_pylist()
         for i, sj in enumerate(stats_col):
             st = json.loads(sj).get(column, {})
+            if null_op is not None:
+                nc, cnt = st.get("null_count"), st.get("count")
+                if null_op == "is_null" and nc == 0:
+                    mask[i] = False
+                elif null_op == "not_null" and nc is not None and nc == cnt:
+                    mask[i] = False
+                continue
             lo, hi = st.get("min"), st.get("max")
             # timestamp stats are int64 epoch in the column's unit:
             # translate temporal predicate bounds into that domain
@@ -1692,10 +1702,19 @@ def build_file_index(dir_path: str) -> dict:
             stats_col = pq.read_table(p, columns=["stats"]).column("stats").to_pylist()
             ranges: dict[str, list] = {}
             units: dict[str, str] = {}
+            # col -> [null_sum, count_sum, stripes_seen]; a column is
+            # null-prunable only when EVERY stripe reported its counts
+            nullsums: dict[str, list] = {}
             for sj in stats_col:
                 for col, st in json.loads(sj).items():
                     if "unit" in st:  # timestamp mins/maxes are epoch ints
                         units[col] = st["unit"]
+                    nc, cnt = st.get("null_count"), st.get("count")
+                    if nc is not None and cnt is not None:
+                        ns = nullsums.setdefault(col, [0, 0, 0])
+                        ns[0] += nc
+                        ns[1] += cnt
+                        ns[2] += 1
                     lo, hi = st.get("min"), st.get("max")
                     if lo is None or hi is None:
                         ranges[col] = [None, None]  # unknown -> never prunable
@@ -1713,6 +1732,11 @@ def build_file_index(dir_path: str) -> dict:
                     {
                         "columns": ranges,
                         "units": units,
+                        "nulls": {
+                            c: ns[:2]
+                            for c, ns in nullsums.items()
+                            if ns[2] == len(stats_col)
+                        },
                         "size": st.st_size,
                         "mtime_ns": st.st_mtime_ns,
                     }
@@ -1739,11 +1763,14 @@ def build_file_index(dir_path: str) -> dict:
     return index
 
 
-def _index_prune_files(dir_path: str, column: str, min_value, max_value) -> list[str] | None:
+def _index_prune_files(
+    dir_path: str, column: str, min_value, max_value, null_op: str | None = None
+) -> list[str] | None:
     """File paths that may hold rows in range, per the file index; None
     when no index exists (caller scans everything). Same inclusive
     overlap rule as prune_stripes; unindexed or size/mtime-changed
-    files always survive."""
+    files always survive. With `null_op`, prune on the file's summed
+    null counts instead (entries from pre-null indexes survive)."""
     import os
 
     ipath = os.path.join(dir_path, _FILE_INDEX)
@@ -1760,6 +1787,16 @@ def _index_prune_files(dir_path: str, column: str, min_value, max_value) -> list
             if st.st_size != entry["size"] or st.st_mtime_ns != entry["mtime_ns"]:
                 entry = None  # rewritten in place -> distrust
         if entry is None:
+            keep.append(p)
+            continue
+        if null_op is not None:
+            ns = entry.get("nulls", {}).get(column)
+            if ns is not None:
+                nc, cnt = ns
+                if null_op == "is_null" and nc == 0:
+                    continue
+                if null_op == "not_null" and nc == cnt:
+                    continue
             keep.append(p)
             continue
         lo, hi = entry["columns"].get(column, [None, None])
@@ -1781,6 +1818,7 @@ def prune_read(
     max_value=None,
     needle: str | None = None,
     tri_needles: list[str] | None = None,
+    null_op: str | None = None,
 ) -> ray.data.Dataset:
     """Metadata-only pruning over an encoded-on-disk dataset: consult
     the file-level skip index first (whole files drop without their
@@ -1790,7 +1828,7 @@ def prune_read(
     stripes' row groups by key. Blob bytes read ∝ surviving stripes
     (VERDICT r1 item 5)."""
     if isinstance(path, str) and os.path.isdir(path):
-        kept = _index_prune_files(path, column, min_value, max_value)
+        kept = _index_prune_files(path, column, min_value, max_value, null_op)
         if kept:
             path = kept
         elif kept is not None:
@@ -1802,7 +1840,9 @@ def prune_read(
             if first:
                 path = [os.path.join(path, first[0])]
     meta = read_encoded(path, metadata_only=True, include_paths=True)
-    surv = prune_stripes(meta, column, min_value, max_value, needle, tri_needles)
+    surv = prune_stripes(
+        meta, column, min_value, max_value, needle, tri_needles, null_op
+    )
     return surv.map_batches(_FetchStripes(), batch_format="pyarrow")
 
 
@@ -2089,8 +2129,12 @@ def filter_encoded(
       4. late materialization: only row groups with hits decode the
          projected columns, then filter by the row mask.
 
-    op: eq | ne | lt | le | gt | ge | prefix | like | contains. Nulls
-    never match. `prefix`/`like` (SQL %/_ wildcards) rewrite their
+    op: eq | ne | lt | le | gt | ge | prefix | like | contains |
+    is_null | not_null. Nulls never match the comparison ops;
+    `is_null`/`not_null` (value ignored) prune stripes/files by the
+    zone-map NULL COUNTS and evaluate on the PRESENT stream alone —
+    a null-free row group never touches the blob.
+    `prefix`/`like` (SQL %/_ wildcards) rewrite their
     literal prefix to the range [prefix, prefix_upper) so zone maps
     still prune; the residual pattern evaluates dictionary-domain
     where the column is dict-encoded. `contains` (value LIKE
@@ -2105,7 +2149,9 @@ def filter_encoded(
         tri_needles = [value] if len(str(value).encode()) >= 3 else None
     elif op == "like":
         tri_needles = stripe_mod.like_literal_runs(value) or None
-    if op in ("ne", "not_in") or (
+    if op in ("is_null", "not_null"):
+        enc = prune_read(path, column, null_op=op)
+    elif op in ("ne", "not_in") or (
         op in ("like", "contains")
         and not (op == "like" and stripe_mod.like_prefix(value))
         and not tri_needles
@@ -2145,9 +2191,11 @@ def filter_encoded_multi(
     usable = [
         (col, op, value)
         for col, op, value in preds
-        if op not in ("ne", "not_in") and not (op == "like" and not stripe_mod.like_prefix(value))
+        if op not in ("ne", "not_in", "is_null", "not_null")
+        and not (op == "like" and not stripe_mod.like_prefix(value))
     ]
-    if isinstance(path, str) and os.path.isdir(path) and usable:
+    null_preds = [(col, op) for col, op, _ in preds if op in ("is_null", "not_null")]
+    if isinstance(path, str) and os.path.isdir(path) and (usable or null_preds):
         # file-level skip index: intersect per-predicate file survivors
         kept: set[str] | None = None
         for col, op, value in usable:
@@ -2157,6 +2205,12 @@ def filter_encoded_multi(
                 kept = None
                 break
             kept = set(k) if kept is None else kept & set(k)
+        if kept is not None or not usable:
+            for col, op in null_preds:
+                k = _index_prune_files(path, col, None, None, null_op=op)
+                if k is None:
+                    break
+                kept = set(k) if kept is None else kept & set(k)
         if kept is not None:
             files = sorted(kept) or sorted(
                 os.path.join(path, f)
@@ -2169,6 +2223,8 @@ def filter_encoded_multi(
         lo, hi = stripe_mod.string_pred_bounds(op, value)
         needle = _pred_needles(op, value)
         pruned = prune_stripes(pruned, col, lo, hi, needle)
+    for col, op in null_preds:  # null-count zone maps
+        pruned = prune_stripes(pruned, col, null_op=op)
     for col, op, value in preds:  # substring predicates: trigram prune
         tri = None
         if op == "contains" and len(str(value).encode()) >= 3:

@@ -711,8 +711,8 @@ def string_pred_bounds(op: str, value) -> tuple:
     """(lo, hi) zone-map bounds implied by a predicate, for stripe and
     row-group pruning. hi for prefix/like is the exclusive upper bound
     of the prefix range (inclusive pruning keeps it conservative)."""
-    if op == "contains":
-        return (None, None)  # no zone-map bounds; trigram blooms prune
+    if op in ("contains", "is_null", "not_null"):
+        return (None, None)  # no zone-map bounds (blooms / null counts prune)
     if op in ("prefix", "like"):
         pre = value if op == "prefix" else like_prefix(value)
         return (pre or None, prefix_upper(pre) if pre else None)
@@ -783,6 +783,10 @@ def _apply_pred(arr, op: str, value):
     """Evaluate one predicate on an Arrow array: comparison ops via
     _PC_OPS; `prefix` -> starts_with; `like` -> SQL LIKE semantics
     (pc.match_like: % = any run, _ = any one char)."""
+    if op == "is_null":
+        return pc.is_null(arr)
+    if op == "not_null":
+        return pc.is_valid(arr)
     if op == "prefix":
         return pc.starts_with(arr, pattern=value)
     if op == "like":
@@ -812,8 +816,27 @@ def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> 
     against the matching-code lookup — per-row strings are never
     materialized (the classic late-materialization trick; reference
     decodes values before any predicate, StripeReader.NextBatch).
-    Nulls never match (SQL comparison semantics)."""
+    Nulls never match (SQL comparison semantics). `is_null`/`not_null`
+    evaluate on the PRESENT stream ALONE — that one stream is the only
+    thing decompressed; a null-free row group (PRESENT omitted) answers
+    from stream metadata without touching the blob at all."""
     from .codecs import boolrle, rlev2
+
+    if op in ("is_null", "not_null"):
+        pres = next(
+            (s for s in tree["streams"] if s["kind"] == column_mod.PRESENT), None
+        )
+        if pres is None:  # null-free group: PRESENT stream omitted
+            return (
+                np.zeros(n, dtype=bool) if op == "is_null" else np.ones(n, dtype=bool)
+            )
+        view = memoryview(blob).cast("B")
+        framed = view[pres["off"] : pres["off"] + pres["len"]]
+        valid, _ = boolrle.decode(
+            frames.decompress(framed, pres["codec"], pres["raw"]), n
+        )
+        valid = np.asarray(valid, dtype=bool)
+        return ~valid if op == "is_null" else valid
 
     enc = _rebuild_column(tree, blob)
     valid = None
