@@ -6638,6 +6638,23 @@ def _null_pushdown_orders(sf_dir: str):
     )
 
 
+def _sorted_limit_orders(sf_dir: str):
+    """Layout-aware ORDER BY ... LIMIT (pipeline.sorted_limit): top-100
+    orders by price without a full sort — stripe zone maps on
+    o_totalprice bound which stripes can hold top-100 rows (rows
+    guaranteed to precede < n), only those fetch + decode with per-batch
+    partial top-k; the driver merges at most blocks x n rows."""
+    import tempfile
+
+    from mothray import pipeline
+
+    enc = tempfile.mkdtemp(prefix="mothray_slim_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", enc)
+    return pipeline.sorted_limit(
+        enc, ["o_totalprice", "o_orderkey"], 100, descending=True
+    )
+
+
 def _dup_invoice_orders(sf_dir: str):
     """Double-invoice audit (join.dup_pairs_band): unordered order
     pairs with the same customer, order dates within 2 days, and total
@@ -7069,6 +7086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["in_pushdown_orders"] = _in_pushdown_orders
     q["not_in_pushdown_orders"] = _not_in_pushdown_orders
     q["null_pushdown_orders"] = _null_pushdown_orders
+    q["sorted_limit_orders"] = _sorted_limit_orders
     q["evolve_encoded_documents"] = _evolve_encoded_documents
     q["dup_invoice_orders"] = _dup_invoice_orders
     q["zorder_audit_orders"] = _zorder_audit_orders
@@ -10488,6 +10506,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders"
         " WHERE o_orderpriority NOT IN ('2-HIGH', '4-NOT SPECIFIED', '5-LOW')"
         " AND o_totalprice < 50000.0"
+    )
+    o["sorted_limit_orders"] = (
+        "SELECT * FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
     )
     o["null_pushdown_orders"] = (
         "WITH m AS (SELECT o_orderkey, o_custkey,"

@@ -2248,6 +2248,135 @@ def filter_encoded_multi(
     return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sorted_limit(
+    path: str | list[str],
+    keys: str | list[str],
+    n: int,
+    descending: bool = False,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """`ORDER BY <keys> LIMIT n` over an encoded dataset WITHOUT a full
+    sort — the layout-aware top-k the reference answers with a whole-
+    table sort (MothRecordReader feeds an external sort; here the
+    stripe zone maps already order the scan):
+
+      1. metadata pass: every stripe's (min, max, non-null rows) of the
+         LEADING key — tiny fixed-width rows, never the blob;
+      2. contribution rule: a stripe survives iff fewer than n rows are
+         GUARANTEED to precede its best value (sum of non-null rows of
+         stripes whose max < this stripe's min; mirrored under
+         descending) — exact, and on a sort-clustered layout (OPTIMIZE
+         / Z-ORDER) it keeps O(n / rows_per_stripe) stripes;
+      3. surviving stripes fetch + decode (projected columns only) with
+         a per-batch partial top-n, so the driver merges at most
+         blocks x n rows.
+
+    Null leading keys are EXCLUDED (SQL `WHERE key IS NOT NULL ORDER BY
+    ... LIMIT n` semantics). `descending` orders the leading key;
+    tiebreak keys always ascend. Returns the n-row Arrow table."""
+    from . import stripe as stripe_mod
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lead = keys[0]
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ks, los, his, rows_ = [], [], [], []
+        for sj, sk in zip(
+            batch.column("stats").to_pylist(), batch.column("stripe_key").to_pylist()
+        ):
+            st = json.loads(sj).get(lead, {})
+            ks.append(sk)
+            los.append(json.dumps(st.get("min")))
+            his.append(json.dumps(st.get("max")))
+            cnt, nc = st.get("count"), st.get("null_count")
+            rows_.append(cnt - nc if cnt is not None and nc is not None else None)
+        return pa.table(
+            {
+                "stripe_key": pa.array(ks),
+                "path": batch.column("path"),
+                "lo": pa.array(los),
+                "hi": pa.array(his),
+                "vrows": pa.array(rows_, pa.int64()),
+            }
+        )
+
+    meta = read_encoded(path, metadata_only=True, include_paths=True)
+    info = meta.map_batches(summarize, batch_format="pyarrow").take_all()
+    for r in info:
+        r["lo"], r["hi"] = json.loads(r["lo"]), json.loads(r["hi"])
+
+    # guaranteed-preceding counts via one sort + prefix sums (O(m log m)
+    # in the stripe count, never O(m^2)); stripes without stats always
+    # survive and guarantee nothing (conservative both ways)
+    import bisect
+
+    known = sorted(
+        ((r["hi"], r["lo"])[descending], r["vrows"] or 0)
+        for r in info
+        if r["lo"] is not None and r["hi"] is not None and r["vrows"] is not None
+    )
+    bounds = [k for k, _ in known]
+    prefix = [0]
+    for _, v in known:
+        prefix.append(prefix[-1] + v)
+
+    survivors = []
+    for r in info:
+        best = (r["lo"], r["hi"])[descending]  # the stripe's first value in scan order
+        if best is None:
+            survivors.append(r)
+            continue
+        if descending:
+            # rows guaranteed after (greater than) this stripe's max
+            guaranteed = prefix[-1] - prefix[bisect.bisect_right(bounds, best)]
+        else:
+            # rows guaranteed before (less than) this stripe's min
+            guaranteed = prefix[bisect.bisect_left(bounds, best)]
+        if guaranteed < n:
+            survivors.append(r)
+    if not survivors:  # only possible when n <= 0 or the dataset is empty
+        rows = ray.data.read_parquet(path, columns=["schema_ipc"]).take(1)
+        if not rows:
+            return pa.table({})
+        schema = stripe_mod._deserialize_schema(rows[0]["schema_ipc"])
+        names = columns if columns is not None else schema.names
+        return pa.schema([schema.field(nm) for nm in names]).empty_table()
+
+    units = ray.data.from_items(
+        [{"path": r["path"], "stripe_key": r["stripe_key"]} for r in survivors],
+        override_num_blocks=max(1, min(len(survivors), 64)),
+    )
+    fetched = units.map_batches(_FetchStripes(), batch_format="pyarrow")
+    order = "descending" if descending else "ascending"
+    sort_keys = [(lead, order)] + [(k, "ascending") for k in keys[1:]]
+    # the sort keys must decode even when projected away; drop them after
+    decode_cols = (
+        None
+        if columns is None
+        else columns + [k for k in keys if k not in columns]
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.decode_stripe(row, decode_cols)
+            for row in _iter_stripe_rows(batch)
+        ]
+        t = pa.concat_tables(parts)
+        t = t.filter(pa.compute.is_valid(t.column(lead)))
+        idx = pa.compute.sort_indices(t, sort_keys=sort_keys)[:n]
+        return t.take(idx)
+
+    blocks = list(
+        fetched.map_batches(topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    tbl = pa.concat_tables([b for b in blocks if b.num_rows] or blocks[:1])
+    idx = pa.compute.sort_indices(tbl, sort_keys=sort_keys)[:n]
+    tbl = tbl.take(idx)
+    return tbl.select(columns) if columns is not None else tbl
+
+
 # ---------------------------------------------------------------- skew / shuffle
 
 def add_host_bucket(
