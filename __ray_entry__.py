@@ -6655,6 +6655,41 @@ def _sorted_limit_orders(sf_dir: str):
     )
 
 
+def _scan_changes_orders(sf_dir: str):
+    """Snapshot change feed (versions.scan_changes): orders adopt as
+    v0, a shifted copy of the sub-500 keys appends as v1, a COW
+    delete_where on price lands v2 — the v0->v2 feed plans ONLY the
+    files the commits touched (carried files never decode) and nets
+    out append-then-deleted rows multiset-exactly."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline, versions
+
+    d = tempfile.mkdtemp(prefix="mothray_feed_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", d)
+    versions.adopt(d)
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderkey"), 500))
+        return t.set_column(
+            t.schema.get_field_index("o_orderkey"),
+            "o_orderkey",
+            pc.add(t.column("o_orderkey"), 10_000_000),
+        )
+
+    versions.append(
+        d,
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet").map_batches(
+            shift, batch_format="pyarrow"
+        ),
+    )
+    versions.delete_where(d, "o_totalprice", 0.0, 50_000.0)
+    return versions.scan_changes(d, 0, 2)
+
+
 def _dup_invoice_orders(sf_dir: str):
     """Double-invoice audit (join.dup_pairs_band): unordered order
     pairs with the same customer, order dates within 2 days, and total
@@ -7087,6 +7122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["not_in_pushdown_orders"] = _not_in_pushdown_orders
     q["null_pushdown_orders"] = _null_pushdown_orders
     q["sorted_limit_orders"] = _sorted_limit_orders
+    q["scan_changes_orders"] = _scan_changes_orders
     q["evolve_encoded_documents"] = _evolve_encoded_documents
     q["dup_invoice_orders"] = _dup_invoice_orders
     q["zorder_audit_orders"] = _zorder_audit_orders
@@ -10506,6 +10542,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders"
         " WHERE o_orderpriority NOT IN ('2-HIGH', '4-NOT SPECIFIED', '5-LOW')"
         " AND o_totalprice < 50000.0"
+    )
+    o["scan_changes_orders"] = (
+        "WITH shifted AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,"
+        "  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        "  FROM orders WHERE o_orderkey < 500)"
+        " SELECT *, 'insert' AS _change FROM shifted"
+        "  WHERE o_totalprice NOT BETWEEN 0.0 AND 50000.0"
+        " UNION ALL"
+        " SELECT *, 'delete' AS _change FROM orders"
+        "  WHERE o_totalprice BETWEEN 0.0 AND 50000.0"
     )
     o["sorted_limit_orders"] = (
         "SELECT * FROM orders"

@@ -632,6 +632,109 @@ def scan_version(table_dir: str, version: int | None = None,
     return pipeline.decode_dataset(enc, columns=columns)
 
 
+def _decode_files_with_dvs(table_dir: str, fs: list[str], m: dict, columns):
+    """Fused decode of `fs` with manifest `m`'s deletion vectors
+    applied — the scan_version kernel over an arbitrary file subset."""
+    import ray
+    import ray.data
+
+    from . import pipeline
+
+    if not fs:
+        return ray.data.from_items([])
+    dv_map = {
+        k: v
+        for k, v in _load_dv_map(table_dir, m).items()
+        if k in {os.path.basename(f) for f in fs}
+    }
+    if not dv_map:
+        return pipeline.decode_files(fs, columns=columns)
+    ref = ray.put(dv_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dvm = ray.get(ref)
+        vals = []
+        for p, k in zip(
+            batch.column("path").to_pylist(),
+            batch.column("stripe_key").to_pylist(),
+        ):
+            per = dvm.get(os.path.basename(p))
+            pos = per.get(k) if per else None
+            vals.append(pos.tolist() if pos is not None else None)
+        return batch.append_column(
+            "dv", pa.array(vals, pa.list_(pa.int64()))
+        ).drop_columns(["path"])
+
+    from . import pipeline as pipeline_mod
+
+    enc = pipeline_mod.read_encoded(fs, include_paths=True).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pipeline_mod.decode_dataset(enc, columns=columns)
+
+
+def scan_changes(table_dir: str, from_version: int, to_version: int | None = None,
+                 columns: list[str] | None = None):
+    """Row-level CHANGE FEED between two snapshots, planned from the
+    manifests alone (the Iceberg/Delta changelog scan re-expressed over
+    the COW manifest log): only part files that DIFFER between the
+    versions — by name, or by deletion-vector — are ever decoded;
+    carried-forward files cost zero bytes regardless of table size.
+
+    Returns a Dataset of the table's columns plus `_change`
+    ('insert' | 'delete'). Row-identical content on both sides cancels
+    MULTISET-exactly via setops.except_all, so a pure-layout commit
+    (OPTIMIZE / Z-ORDER / compact_deletes) or the untouched rows of a
+    COW rewrite report zero changes; an upsert that replaced a row
+    yields its preimage as 'delete' and postimage as 'insert'."""
+    import pyarrow.compute as pc
+
+    from .ops import setops
+
+    ma = manifest(table_dir, from_version)
+    mb = manifest(table_dir, to_version)
+    A, B = set(ma["files"]), set(mb["files"])
+    dva, dvb = ma.get("deletes", {}), mb.get("deletes", {})
+    dv_changed = {f for f in A & B if dva.get(f) != dvb.get(f)}
+    from_files = sorted((A - B) | dv_changed)
+    to_files = sorted((B - A) | dv_changed)
+
+    old = _decode_files_with_dvs(
+        table_dir, [os.path.join(table_dir, f) for f in from_files], ma, columns
+    )
+    new = _decode_files_with_dvs(
+        table_dir, [os.path.join(table_dir, f) for f in to_files], mb, columns
+    )
+
+    def tag(label: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_change", pa.array([label] * batch.num_rows, pa.string())
+            )
+
+        return fn
+
+    # pure appends / pure deletes skip the multiset-cancel shuffle
+    # entirely (and an empty side would crash Ray's hash exchange)
+    if not from_files and not to_files:
+        import ray.data
+
+        return ray.data.from_items([])
+    if not from_files:
+        return new.map_batches(tag("insert"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if not to_files:
+        return old.map_batches(tag("delete"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    ins = setops.except_all(new, old).map_batches(
+        tag("insert"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    dels = setops.except_all(old, new).map_batches(
+        tag("delete"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ins.union(dels)
+
+
 def compact_deletes(table_dir: str, opts: dict | None = None) -> dict:
     """Fold deletion vectors into a copy-on-write rewrite: every file
     with a DV re-encodes its surviving rows under a `-v{N}` name; files
