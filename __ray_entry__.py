@@ -1000,8 +1000,8 @@ def _multimodal_image(sf_dir: str):
     documents, the resize actor-pool stage nearest-neighbor-samples to
     12x10, the ImageDecoder stage extracts metadata. Constant pixels
     make width/height/mean SQL-constructible, so the whole decode chain
-    is VALUE-checked (JPEG/PNG remain env-blocked; varied-pixel BMP
-    round-trips are pytest-covered)."""
+    is VALUE-checked (JPEG remains env-blocked; PNG has its own real
+    decoder + query; varied-pixel BMP round-trips are pytest-covered)."""
     import numpy as np
     import ray.data
 
@@ -1026,6 +1026,37 @@ def _multimodal_image(sf_dir: str):
         target_w=12, target_h=10, concurrency=2, batch_size=128,
     )
     out = multimodal.decode_images(resized, concurrency=2, batch_size=128)
+    return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
+
+
+def _png_image_features(sf_dir: str):
+    """Image features over REAL PNG payloads (stdlib-zlib + numpy
+    decoder, ops/multimodal.py:_parse_png — signature, chunk walk,
+    IHDR, inflate, scanline-filter reconstruction all real; the five
+    filters and the RGB/palette/alpha color types are pytest-covered
+    in tests/test_png.py): constant-gray PNGs of doc-derived size make
+    width/height/mean SQL-constructible, so the decode chain is
+    VALUE-checked. JPEG remains env-blocked."""
+    import numpy as np
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_image(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        imgs = [
+            multimodal.make_png(
+                np.full((9 + i % 7, 11 + i % 5), (i * 31) % 256, dtype=np.uint8)
+            )
+            for i in ids
+        ]
+        return batch.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    out = multimodal.decode_images(
+        ds.map_batches(add_image, batch_format="pyarrow"), concurrency=2, batch_size=128
+    )
     return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
 
 
@@ -6846,6 +6877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["perceptual_dedup_documents"] = _perceptual_dedup_documents
     # -- past the typical driver window: still value-checked, descending value --
     q["multimodal_audio_features"] = _multimodal_audio
+    q["png_image_features_documents"] = _png_image_features
     q["argmax_orders"] = _argmax_orders
     q["rolling_orders"] = _rolling_orders
     q["variance_lineitem"] = _variance_lineitem
@@ -8497,6 +8529,13 @@ def oracle_sql() -> dict[str, str]:
         # target fixes width/height, constant pixels fix the mean
         "SELECT doc_id, CAST(12 AS INTEGER) AS width, CAST(10 AS INTEGER) AS height,"
         " CAST(doc_id % 256 AS DOUBLE) AS mean_pixel FROM documents"
+    )
+    o["png_image_features_documents"] = (
+        # real PNG decode chain (zlib inflate + filter reconstruction)
+        # over constant-gray images of doc-derived size
+        "SELECT doc_id, CAST(11 + doc_id % 5 AS INTEGER) AS width,"
+        " CAST(9 + doc_id % 7 AS INTEGER) AS height,"
+        " CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_pixel FROM documents"
     )
     o["multimodal_audio_features"] = (
         # real PCM16 WAV decode: duration = n/rate; constant amplitude

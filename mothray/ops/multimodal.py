@@ -5,8 +5,10 @@ stages.
 REAL decode kernels for the formats stdlib+numpy can handle —
   * audio: PCM16 WAV (RIFF chunk walk, mono-mix, any rate),
   * image: uncompressed BMP (8-bit indexed-as-gray and 24-bit BGR,
-    BI_RGB, top-down or bottom-up) and binary PGM (P5);
-JPEG/PNG/MP4 remain environment-blocked (no PIL/libsndfile/ffmpeg in
+    BI_RGB, top-down or bottom-up), binary PGM (P5), and PNG (stdlib
+    zlib inflate + all five scanline filters, color types
+    gray/RGB/palette/gray+alpha/RGBA at bit depth 8, non-interlaced);
+JPEG/MP3/MP4 remain environment-blocked (no PIL/libsndfile/ffmpeg in
 this container) and fall through to the synthetic container below, so
 the Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — is exercised either way. Swapping in PIL later only adds a
@@ -95,6 +97,130 @@ def make_bmp(gray: np.ndarray) -> bytes:
         + (256).to_bytes(4, "little") + (0).to_bytes(4, "little")
     )
     return hdr + palette + rows.tobytes()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def make_png(gray: np.ndarray, level: int = 6) -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale PNG (color
+    type 0, filter 0 scanlines, single zlib IDAT). Round-trips through
+    _parse_png; any standards-compliant viewer reads the output."""
+    import struct
+    import zlib
+
+    h, w = gray.shape
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter byte: None
+    raw[:, 1:] = gray
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload) -> np.ndarray | None:
+    """Real PNG decoder (W3C spec; stdlib zlib + numpy) -> grayscale
+    uint8 (h, w). Supports bit depth 8, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced, multi-IDAT.
+    All five scanline filters are reconstructed: None/Sub/Up vectorized
+    (Sub is a per-lane running sum — mod-256 distributes over addition,
+    so one int32 cumsum + '& 0xFF' equals the spec's per-byte chain);
+    Average/Paeth follow the spec's sequential left-neighbor dependency
+    per pixel. RGB collapses to the same ITU-R 601 luma as the BMP
+    path. Unsupported variants return None (caller falls through)."""
+    import zlib
+
+    if len(payload) < 45 or bytes(payload[:8]) != _PNG_SIG:
+        return None
+    pos, n = 8, len(payload)
+    w = h = None
+    depth = ctype = interlace = None
+    palette = None
+    idat: list[bytes] = []
+    while pos + 8 <= n:
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = bytes(payload[pos + 4 : pos + 8])
+        if pos + 8 + ln > n:
+            return None  # truncated chunk
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3).astype(np.uint32)
+        elif typ == b"IDAT":
+            idat.append(bytes(body))
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if w is None or not idat or depth != 8 or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    bpp = _PNG_CHANNELS.get(ctype)
+    if bpp is None or (ctype == 3 and palette is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        line = rows[r, 1:].astype(np.int32)
+        f = filters[r]
+        if f == 0:  # None
+            out = line
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            out = (np.cumsum(line.reshape(-1, bpp), axis=0).ravel()) & 0xFF
+        elif f == 2:  # Up
+            out = (line + prev) & 0xFF
+        elif f == 3:  # Average: floor((left + up) / 2)
+            out = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                out[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            out = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                out[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        prev = out
+        recon[r] = out.astype(np.uint8)
+    if ctype == 0:
+        return recon.reshape(h, w)
+    if ctype == 4:  # gray + alpha: gray channel
+        return recon.reshape(h, w, 2)[..., 0].copy()
+    if ctype == 3:  # palette -> RGB
+        rgb = palette[recon.reshape(h, w)]
+    else:  # 2 = RGB, 6 = RGBA (alpha dropped)
+        rgb = recon.reshape(h, w, bpp)[..., :3].astype(np.uint32)
+    return ((rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000).astype(
+        np.uint8
+    )
 
 
 def make_wav(pcm: np.ndarray, rate: int) -> bytes:
@@ -189,9 +315,11 @@ class ImageDecoder:
             h = int.from_bytes(payload[6:8], "little")
             pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
             return pix.reshape(h, w)
-        img = _parse_bmp(payload)  # REAL formats: BMP then PGM
+        img = _parse_bmp(payload)  # REAL formats: BMP, PGM, PNG
         if img is None:
             img = _parse_pgm(payload)
+        if img is None:
+            img = _parse_png(payload)
         if img is None and self._backend == "pil":
             raise NotImplementedError("PIL branch not wired in this sandbox")
         return img

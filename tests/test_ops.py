@@ -319,7 +319,7 @@ def test_real_format_decode_wav_bmp_pgm(ray_session):
     assert (dec.loc[:2, "width"] == 16).all() and (dec.loc[:2, "height"] == 12).all()
     assert np.isclose(dec.loc[0, "mean_pixel"], gray.mean())
     assert np.isclose(dec.loc[1, "mean_pixel"], gray.mean())
-    assert np.isnan(dec.loc[3, "mean_pixel"])  # PNG env-blocked → null
+    assert np.isnan(dec.loc[3, "mean_pixel"])  # invalid PNG bytes → null
 
 
 def test_wav_bmp_parser_fuzz():
