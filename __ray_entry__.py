@@ -3025,6 +3025,27 @@ def _conj_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _or_pushdown_lineitem(sf_dir: str):
+    """OR-of-predicates pushdown (pipeline.filter_encoded_or): stripe
+    survivors are the UNION of per-disjunct zone-map/bloom judgments
+    in one metadata pass, row-group sets union, masks OR with all-ones
+    short-circuit — the disjunctive dual of conj_pushdown_lineitem."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_or_push_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    return pipeline.filter_encoded_or(
+        out,
+        [
+            ("l_quantity", "le", 2.0),
+            ("l_extendedprice", "ge", 90000.0),
+            ("l_returnflag", "eq", "R"),
+        ],
+    )
+
+
 def _string_agg_orders(sf_dir: str):
     """Per-group ordered string_agg: one shuffle, one binary_join
     kernel per group."""
@@ -6814,6 +6835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["filter_pushdown_lineitem"] = _filter_pushdown_lineitem
     q["agg_pushdown_lineitem"] = _agg_pushdown_lineitem
     q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
+    q["or_pushdown_lineitem"] = _or_pushdown_lineitem
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8413,6 +8435,10 @@ def oracle_sql() -> dict[str, str]:
     o["conj_pushdown_lineitem"] = (
         "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 10.0"
         " AND l_discount > 0.05"
+    )
+    o["or_pushdown_lineitem"] = (
+        "SELECT * FROM lineitem WHERE l_quantity <= 2.0"
+        " OR l_extendedprice >= 90000.0 OR l_returnflag = 'R'"
     )
     o["string_agg_orders"] = (
         "SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS agg"

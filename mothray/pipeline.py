@@ -2248,6 +2248,155 @@ def filter_encoded_multi(
     return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def prune_stripes_or(ds: ray.data.Dataset, plans: list[dict]) -> ray.data.Dataset:
+    """Disjunctive stripe pruning in ONE metadata pass: a stripe
+    survives iff AT LEAST ONE disjunct plan might match it — zone-map
+    range, then (only if the range passes) bloom needles and trigram
+    runs can each rule the disjunct out. Each plan dict carries `col`
+    plus one of: `null_op`; `tri`; or `lo`/`hi` (+ optional `needles`,
+    `tri`). Plans come from filter_encoded_or; the conjunctive analog
+    is the chained prune_stripes."""
+    from . import bloom as bloom_mod
+    from . import stripe as stripe_mod
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        stats_col = batch.column("stats").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        blooms = batch.column("blooms").to_pylist()
+        for i in range(batch.num_rows):
+            st_all = json.loads(stats_col[i])
+            m = None
+            for p in plans:
+                st = st_all.get(p["col"], {})
+                if p.get("null_op"):
+                    nc, cnt = st.get("null_count"), st.get("count")
+                    if p["null_op"] == "is_null" and nc == 0:
+                        continue  # null-free stripe: disjunct can't match
+                    if p["null_op"] == "not_null" and nc is not None and nc == cnt:
+                        continue  # all-null stripe
+                    mask[i] = True
+                    break
+                lo_, hi_ = st.get("min"), st.get("max")
+                mn = stripe_mod.stat_bound(p.get("lo"), st.get("unit"))
+                mx = stripe_mod.stat_bound(p.get("hi"), st.get("unit"))
+                if mn is not None and hi_ is not None and hi_ < mn:
+                    continue  # zone map rules this disjunct out
+                if mx is not None and lo_ is not None and lo_ > mx:
+                    continue
+                bl = blooms[i]
+                if bl:
+                    if m is None:
+                        m = json.loads(metas[i])
+                    if p.get("needles") is not None:
+                        idx = m.get("blooms", {}).get(p["col"])
+                        if idx:
+                            off, ln = idx
+                            if not bloom_mod.might_contain(
+                                bl[off : off + ln], p["needles"]
+                            ).any():
+                                continue  # bloom rules it out
+                    if p.get("tri"):
+                        idx = m.get("tri_blooms", {}).get(p["col"])
+                        if idx:
+                            off, ln = idx
+                            tb = bl[off : off + ln]
+                            if not all(
+                                bloom_mod.might_contain_substring(tb, nd)
+                                for nd in p["tri"]
+                            ):
+                                continue
+                mask[i] = True  # this disjunct might match -> fetch
+                break
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def or_pred_plans(preds: list[tuple]) -> list[dict] | None:
+    """Compile OR disjuncts into prune plans for prune_stripes_or, or
+    None when any disjunct is unprunable (ne / not_in / substring with
+    no >=3-byte literal) — one such disjunct means every stripe could
+    hold a match, so pruning must not run at all."""
+    from . import stripe as stripe_mod
+
+    plans: list[dict] = []
+    for col, op, value in preds:
+        if op in ("ne", "not_in"):
+            return None
+        if op in ("is_null", "not_null"):
+            plans.append({"col": col, "null_op": op})
+            continue
+        if op == "contains":
+            if len(str(value).encode()) < 3:
+                return None
+            plans.append({"col": col, "tri": [value]})
+            continue
+        if op == "like" and not stripe_mod.like_prefix(value):
+            tri = stripe_mod.like_literal_runs(value) or None
+            if tri is None:
+                return None
+            plans.append({"col": col, "tri": tri})
+            continue
+        lo, hi = stripe_mod.string_pred_bounds(op, value)
+        plans.append(
+            {
+                "col": col,
+                "lo": lo,
+                "hi": hi,
+                "needles": _pred_needles(op, value),
+                "tri": (stripe_mod.like_literal_runs(value) or None)
+                if op == "like"
+                else None,
+            }
+        )
+    return plans
+
+
+def filter_encoded_or(
+    path: str | list[str],
+    preds: list[tuple],
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Disjunctive (OR) predicate-pushdown scan — the dual of
+    filter_encoded_multi: a stripe is FETCHED iff AT LEAST ONE disjunct
+    might match it. Per-disjunct zone-map / bloom / trigram judgments
+    evaluate in ONE metadata pass and OR together (the AND path chains
+    per-predicate prune filters; chaining cannot express a union), then
+    row-group sets UNION and hit masks OR inside the stripe
+    (stripe.filter_stripe_or), with all-ones short-circuit. One
+    unprunable disjunct (ne / not_in / LIKE with neither an anchored
+    prefix nor a >=3-byte literal run) makes every stripe a potential
+    match, so the scan honestly degrades to a full fetch with the same
+    OR mask semantics. `preds` are (column, op, value) rows with the
+    ops filter_encoded takes."""
+    from . import stripe as stripe_mod
+
+    if not preds:
+        raise ValueError("filter_encoded_or needs at least one predicate")
+
+    plans = or_pred_plans(preds)
+    if plans is None:
+        enc = read_encoded(path)
+    else:
+        pruned = prune_stripes_or(
+            read_encoded(path, metadata_only=True, include_paths=True), plans
+        )
+        enc = pruned.map_batches(_FetchStripes(), batch_format="pyarrow")
+
+    def flt(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.filter_stripe_or(row, preds, columns)
+            for row in _iter_stripe_rows(batch)
+        ]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sorted_limit(
     path: str | list[str],
     keys: str | list[str],

@@ -946,3 +946,52 @@ def filter_stripe_multi(
     if not parts:
         return out_schema.empty_table()
     return pa.concat_tables(parts)
+
+
+def filter_stripe_or(
+    row: dict, preds: list[tuple], columns: list[str] | None = None
+) -> pa.Table:
+    """Disjunctive (OR) predicate-pushdown decode of one stripe: the
+    surviving row-group set is the UNION of each disjunct's zone-map
+    selection (one unprunable disjunct — ne / not_in / null test /
+    substring — keeps every group), and the hit mask is the OR of the
+    per-disjunct masks, short-circuit the other way around: a row group
+    whose mask saturates to all-ones stops evaluating the remaining
+    disjuncts. Null comparisons never match (SQL OR semantics: a row
+    joins the result iff at least one disjunct is TRUE)."""
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    names = columns if columns is not None else schema.names
+    rg = meta["row_groups"]
+    rgr, rgc = rg["rows"], rg["count"]
+    n_rows = row["n_rows"]
+    keep: set[int] = set()
+    for col, op, value in preds:
+        if op in ("ne", "not_in", "is_null", "not_null", "contains") or (
+            op == "like" and not like_prefix(value)
+        ):
+            keep = set(range(rgc))
+            break
+        lo, hi = stat_bounds_for(op, value, schema.field(col).type)
+        sel = select_row_groups(meta, col, lo, hi)
+        if sel is None:
+            keep = set(range(rgc))
+            break
+        keep |= set(sel)
+    out_schema = pa.schema([schema.field(nm) for nm in names])
+    parts = []
+    for i in sorted(keep):
+        n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
+        mask = np.zeros(n, dtype=bool)
+        for col, op, value in preds:
+            trees = meta["columns"][col]["row_groups"]
+            mask |= predicate_mask(trees[i], blob, schema.field(col).type, n, op, value)
+            if mask.all():
+                break
+        if not mask.any():
+            continue
+        parts.append(decode_stripe(row, names, [i]).filter(pa.array(mask)))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
