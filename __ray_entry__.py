@@ -3025,6 +3025,20 @@ def _conj_pushdown_lineitem(sf_dir: str):
     )
 
 
+def _group_count_pushdown_lineitem(sf_dir: str):
+    """GROUP BY COUNT(*) answered inside the encoded format
+    (pipeline.group_count_encoded): dictionary stripes bincount their
+    index stream — per-row strings never materialize — and the
+    exchange carries per-stripe histograms bounded by cardinality."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_gcount_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    return pipeline.group_count_encoded(out, "l_returnflag")
+
+
 def _or_pushdown_lineitem(sf_dir: str):
     """OR-of-predicates pushdown (pipeline.filter_encoded_or): stripe
     survivors are the UNION of per-disjunct zone-map/bloom judgments
@@ -6836,6 +6850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["agg_pushdown_lineitem"] = _agg_pushdown_lineitem
     q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
     q["or_pushdown_lineitem"] = _or_pushdown_lineitem
+    q["group_count_pushdown_lineitem"] = _group_count_pushdown_lineitem
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8435,6 +8450,9 @@ def oracle_sql() -> dict[str, str]:
     o["conj_pushdown_lineitem"] = (
         "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 10.0"
         " AND l_discount > 0.05"
+    )
+    o["group_count_pushdown_lineitem"] = (
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
     )
     o["or_pushdown_lineitem"] = (
         "SELECT * FROM lineitem WHERE l_quantity <= 2.0"

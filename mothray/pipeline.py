@@ -2248,6 +2248,40 @@ def filter_encoded_multi(
     return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def group_count_encoded(path: str | list[str], column: str) -> ray.data.Dataset:
+    """`SELECT <column>, COUNT(*) ... GROUP BY <column>` pushed into
+    the encoded format: every stripe emits a tiny (key, cnt) histogram
+    partial — dictionary-encoded stripes via ONE np.bincount over the
+    integer index stream, per-row strings never materializing
+    (stripe.group_count_stripe) — and a single null-safe groupby sums
+    partials whose row count is bounded by column CARDINALITY x
+    stripes, not data rows. The exchange therefore carries a few KB per
+    stripe at any corpus size; the reference answers the same query by
+    decoding every value and aggregating downstream
+    (StripeReader.NextBatch feeds the full column out)."""
+    from ray.data.aggregate import Sum
+
+    from . import stripe as stripe_mod
+    from .ops import nullkeys
+
+    enc = read_encoded(path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.group_count_stripe(row, column)
+            for row in _iter_stripe_rows(batch)
+        ]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    partials = enc.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return nullkeys.null_safe_group_aggregate(
+        partials, [column], [Sum("cnt", alias_name="cnt")]
+    )
+
+
 def prune_stripes_or(ds: ray.data.Dataset, plans: list[dict]) -> ray.data.Dataset:
     """Disjunctive stripe pruning in ONE metadata pass: a stripe
     survives iff AT LEAST ONE disjunct plan might match it — zone-map

@@ -873,6 +873,74 @@ def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> 
     return full
 
 
+def group_count_stripe(row: dict, column: str) -> pa.Table:
+    """GROUP BY <column> COUNT(*) partial from ONE stripe without
+    materializing per-row values: a dictionary-encoded string row group
+    answers from its dictionary + ONE np.bincount over the integer
+    index stream (per-row strings never build — the same
+    late-materialization trick predicate_mask uses, aimed at
+    aggregation); other encodings decode the single column and run an
+    Arrow value_counts. Null keys form their own group (SQL GROUP BY
+    semantics), counted from the PRESENT stream alone. Only the one
+    column's streams are decompressed; the rest of the stripe's blob is
+    never touched. Output: (column, cnt) rows bounded by the stripe's
+    local cardinality."""
+    from .codecs import boolrle, rlev2
+
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    t = schema.field(column).type
+    rg = meta["row_groups"]
+    rgr, rgc = rg["rows"], rg["count"]
+    n_rows = row["n_rows"]
+    trees = meta["columns"][column]["row_groups"]
+    counts: dict = {}
+    null_cnt = 0
+    val_parts: list[pa.Array] = []
+    for i in range(rgc):
+        n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
+        enc = _rebuild_column(trees[i], blob)
+        n_eff = n
+        if column_mod.PRESENT in enc.streams:
+            valid, _ = boolrle.decode(enc.streams[column_mod.PRESENT], n)
+            n_eff = int(np.asarray(valid, dtype=bool).sum())
+            null_cnt += n - n_eff
+        if n_eff == 0:
+            continue
+        if (
+            (pa.types.is_string(t) or pa.types.is_large_string(t))
+            and enc.encoding == column_mod.ENC_DICT
+        ):
+            s = enc.streams
+            card = enc.extra["dict_size"]
+            dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
+            dict_arr = column_mod._build_string_array(
+                pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
+            )
+            indices, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
+            bc = np.bincount(indices.astype(np.int64), minlength=card)
+            for v, c in zip(dict_arr.to_pylist(), bc.tolist()):
+                if c:
+                    counts[v] = counts.get(v, 0) + c
+        else:
+            val_parts.append(column_mod._decode_values(enc, t, n_eff))
+    if val_parts:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(pa.chunked_array(val_parts))
+        for rec in vc.to_pylist():
+            counts[rec["values"]] = counts.get(rec["values"], 0) + rec["counts"]
+    keys = list(counts.keys())
+    cnts = list(counts.values())
+    if null_cnt:
+        keys.append(None)
+        cnts.append(null_cnt)
+    return pa.table(
+        {column: pa.array(keys, type=t), "cnt": pa.array(cnts, type=pa.int64())}
+    )
+
+
 def filter_stripe(row: dict, column: str, op: str, value, columns: list[str] | None = None) -> pa.Table:
     """Predicate-pushdown decode of one stripe: row groups prune by
     min/max stats first; survivors build a hit mask from the predicate
