@@ -918,6 +918,64 @@ def _schema_evolution_documents(sf_dir: str, op: str):
     return pipeline.decode_dataset(pipeline.read_encoded(out))
 
 
+def _warc_ingest_documents(sf_dir: str):
+    """WARC ingestion (pipeline.read_warc_source) — the container
+    Common Crawl ships: documents re-materialize as .warc.gz shards
+    (distributed dump, content-hash-named, HTTP envelopes + per-record
+    framing via make_warc), the source streams them back as
+    (url, warc_ts, html) pages, and the decoded text must match the
+    original byte-for-byte (the north rule's per-row invariant)."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_warc_src_")
+
+    def dump(batch: pa.Table) -> pa.Table:
+        import gzip
+        import uuid
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        recs = [
+            {
+                "url": f"http://example.org/doc/{i}",
+                "date": "2024-01-01T%02d:%02d:%02dZ"
+                % ((i % 86400) // 3600, (i % 3600) // 60, i % 60),
+                "body": t.encode(),
+            }
+            for i, t in zip(ids, texts)
+        ]
+        name = pipeline._block_digest(batch)
+        p = os.path.join(out, f"{name}.warc.gz")
+        if not os.path.exists(p):
+            tmp = os.path.join(out, f".{name}.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(gzip.compress(pipeline.make_warc(recs)))
+            os.rename(tmp, p)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(dump, batch_format="pyarrow").materialize()
+
+    pages = pipeline.read_warc_source(out)
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.column_names.index("html"),
+            "text",
+            pc.cast(batch.column("html"), pa.string()),
+        )
+
+    return pages.map_batches(to_text, batch_format="pyarrow")
+
+
 def _text_source_ingest(sf_dir: str, fmt: str):
     """CSV / JSONL ingestion -> encode -> decode round trip: documents
     re-materialize as text shards (one per block, content-hash-named so
@@ -6950,6 +7008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_or_documents"] = lambda sf: _text_search(sf, ["customer", "stream"], "or")
     q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
     q["ipc_ingest_documents"] = lambda sf: _text_source_ingest(sf, "arrow")
+    q["warc_ingest_documents"] = _warc_ingest_documents
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
     q["drop_column_documents"] = lambda sf: _schema_evolution_documents(sf, "drop")
@@ -7450,6 +7509,11 @@ def oracle_sql() -> dict[str, str]:
     o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["csv_ingest_documents"] = "SELECT * FROM documents"
     o["ipc_ingest_documents"] = "SELECT * FROM documents"
+    o["warc_ingest_documents"] = (
+        "SELECT 'http://example.org/doc/' || doc_id AS url,"
+        " TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,"
+        " text FROM documents"
+    )
     o["jsonl_ingest_documents"] = "SELECT * FROM documents"
     o["rename_column_documents"] = (
         "SELECT doc_id, text AS body, lang, source, n_chars FROM documents"

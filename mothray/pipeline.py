@@ -2898,6 +2898,140 @@ def read_text_source(
     raise ValueError(f"unsupported text source format: {format!r} (csv|tsv|jsonl)")
 
 
+def make_warc(records: list[dict], http: bool = True) -> bytes:
+    """Serialize records as a WARC/1.0 byte stream (ISO 28500 layout:
+    version line, named headers, Content-Length, CRLF CRLF, payload,
+    CRLF CRLF separator). Each record dict: url, date (ISO string),
+    body (bytes), and optional type (default 'response'). With
+    `http=True` response payloads carry a minimal HTTP/1.1 envelope the
+    reader strips — the same shape Common Crawl archives use. Exists
+    for tests and synthetic fixtures; the engine never writes WARC."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        body = rec["body"] if isinstance(rec["body"], bytes) else rec["body"].encode()
+        rtype = rec.get("type", "response")
+        if http and rtype == "response":
+            body = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+                + str(len(body)).encode()
+                + b"\r\n\r\n"
+                + body
+            )
+        hdr = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:032x}>\r\n"
+            f"WARC-Date: {rec['date']}\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            + ("Content-Type: application/http; msgtype=response\r\n" if http and rtype == "response" else "")
+            + f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        out += hdr + body + b"\r\n\r\n"
+    return bytes(out)
+
+
+def _parse_warc_stream(fh) -> Iterator[dict]:
+    """Record iterator over one WARC stream: version line, header block
+    to the blank line, Content-Length payload bytes, separator. HTTP
+    response payloads strip their HTTP envelope (headers end at the
+    first CRLFCRLF) so `html` is the document body, matching what a
+    text-extraction stage expects. Malformed tails stop iteration
+    rather than raising — a truncated fetch yields its complete prefix."""
+    while True:
+        line = fh.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue  # inter-record padding
+        if not line.startswith(b"WARC/"):
+            return  # desynced: stop at the last complete record
+        headers = {}
+        while True:
+            h = fh.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            return
+        payload = fh.read(length)
+        if len(payload) < length:
+            return  # truncated
+        ctype = headers.get(b"content-type", b"")
+        if ctype.startswith(b"application/http"):
+            sep = payload.find(b"\r\n\r\n")
+            if sep >= 0:
+                payload = payload[sep + 4 :]
+        yield {
+            "url": headers.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
+            "warc_date": headers.get(b"warc-date", b"").decode("ascii", "replace"),
+            "warc_type": headers.get(b"warc-type", b"").decode("ascii", "replace"),
+            "html": payload,
+        }
+
+
+def read_warc_source(
+    path: str | list[str], record_types: tuple = ("response",)
+) -> ray.data.Dataset:
+    """WARC ingestion source (the container Common Crawl actually
+    ships): the file list fans out one task per archive — the natural
+    WARC split unit, since records are back-to-back with no index —
+    and each task streams records (gzip-transparent: .warc.gz archives
+    are concatenated gzip members, which Python's GzipFile walks) into
+    (url, warc_ts, html) Arrow rows, HTTP envelopes stripped. Emits the
+    north-rule page shape directly; compose with html_extract / langid
+    / encode_dataset for the full CC pipeline. `record_types` filters
+    (default: response records only — request/metadata records carry
+    no page body)."""
+    import glob as _glob
+    import gzip
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            paths = sorted(
+                p
+                for pat in ("*.warc", "*.warc.gz")
+                for p in _glob.glob(os.path.join(path, pat))
+            )
+        else:
+            paths = [path]
+    else:
+        paths = list(path)
+    if not paths:
+        raise FileNotFoundError(f"no WARC files under {path!r}")
+    want = set(record_types)
+
+    def load(batch: pa.Table) -> Iterator[pa.Table]:
+        for p in batch.column("path").to_pylist():
+            opener = gzip.open if p.endswith(".gz") else open
+            urls, dates, bodies = [], [], []
+            with opener(p, "rb") as fh:
+                for rec in _parse_warc_stream(fh):
+                    if want and rec["warc_type"] not in want:
+                        continue
+                    urls.append(rec["url"])
+                    dates.append(rec["warc_date"])
+                    bodies.append(rec["html"])
+            import pyarrow.compute as pc
+
+            ts = pa.array(dates, pa.string())
+            yield pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pc.strptime(
+                        ts, format="%Y-%m-%dT%H:%M:%SZ", unit="us", error_is_null=True
+                    ),
+                    "html": pa.array(bodies, pa.binary()),
+                }
+            )
+
+    units = ray.data.from_items([{"path": p} for p in paths])
+    return units.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
 def read_ipc_source(path: str | list[str]) -> ray.data.Dataset:
     """Arrow IPC / Feather ingestion: Ray has no native IPC reader, so
     the file list fans out as work items and each task memory-maps its
