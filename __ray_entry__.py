@@ -918,6 +918,22 @@ def _schema_evolution_documents(sf_dir: str, op: str):
     return pipeline.decode_dataset(pipeline.read_encoded(out))
 
 
+def _dsir_weights_documents(sf_dir: str):
+    """DSIR importance weights (ops/webtext.py:dsir_weights): hashed
+    token buckets, target = source 'src0' slice vs the raw corpus,
+    add-1 smoothing; one k-row combiner exchange + broadcast log-ratio
+    table, scoring shuffle-free. Exact SQL oracle replays the FNV
+    bucket hash and the smoothed log ratio."""
+    import ray.data
+
+    from mothray.ops import webtext
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return webtext.dsir_weights(ds, "source", "src0", k=64)
+
+
 def _warc_ingest_documents(sf_dir: str):
     """WARC ingestion (pipeline.read_warc_source) — the container
     Common Crawl ships: documents re-materialize as .warc.gz shards
@@ -7009,6 +7025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["csv_ingest_documents"] = lambda sf: _text_source_ingest(sf, "csv")
     q["ipc_ingest_documents"] = lambda sf: _text_source_ingest(sf, "arrow")
     q["warc_ingest_documents"] = _warc_ingest_documents
+    q["dsir_weights_documents"] = _dsir_weights_documents
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
     q["drop_column_documents"] = lambda sf: _schema_evolution_documents(sf, "drop")
@@ -7509,6 +7526,29 @@ def oracle_sql() -> dict[str, str]:
     o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["csv_ingest_documents"] = "SELECT * FROM documents"
     o["ipc_ingest_documents"] = "SELECT * FROM documents"
+    o["dsir_weights_documents"] = (
+        # bucket = rolling codepoint-FNV(word) % 64 (the repo-wide
+        # hash); weight = sum over tokens of the add-1-smoothed
+        # ln(p_hat/q_hat) with Q+k / P+k normalizers
+        "WITH w AS (SELECT doc_id, source, CAST("
+        "  list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "   list_transform(string_split(text_w.w, ''), c -> CAST(ord(c) AS HUGEINT))),"
+        "   (acc, cp) -> (acc * 1099511628211 + cp)"
+        "    % 18446744073709551616::HUGEINT) % 64 AS BIGINT) AS b"
+        "  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w"
+        "        FROM documents) AS text_w WHERE text_w.w <> ''),"
+        " qh AS (SELECT b, count(*) AS c FROM w GROUP BY b),"
+        " ph AS (SELECT b, count(*) AS c FROM w WHERE source = 'src0' GROUP BY b),"
+        " tot AS (SELECT (SELECT count(*) FROM w) AS qt,"
+        "         (SELECT count(*) FROM w WHERE source = 'src0') AS pt)"
+        " SELECT d.doc_id, COALESCE(s.wt, 0.0) AS dsir_wt"
+        " FROM documents d LEFT JOIN ("
+        "  SELECT w.doc_id, round(sum("
+        "   ln(COALESCE(ph.c, 0) + 1) + ln(tot.qt + 64)"
+        "   - ln(qh.c + 1) - ln(tot.pt + 64)), 6) AS wt"
+        "  FROM w JOIN qh USING (b) LEFT JOIN ph ON w.b = ph.b, tot"
+        "  GROUP BY w.doc_id) s ON d.doc_id = s.doc_id"
+    )
     o["warc_ingest_documents"] = (
         "SELECT 'http://example.org/doc/' || doc_id AS url,"
         " TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id % 86400) AS warc_ts,"

@@ -970,3 +970,98 @@ def gopher_rules_batch(batch: pa.Table, column: str = "text",
             "keep": pa.array(keep),
         }
     )
+
+
+def dsir_weights(
+    ds,
+    target_col: str = "source",
+    target_value: str = "src0",
+    id_col: str = "doc_id",
+    column: str = "text",
+    k: int = 64,
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): estimate hashed-token
+    bucket distributions for a TARGET slice (rows where target_col ==
+    target_value) and for the RAW corpus, then score every document by
+    its log importance weight
+
+        w(doc) = sum_b c_doc[b] * ( ln(p[b]+1) + ln(Q+k)
+                                  - ln(q[b]+1) - ln(P+k) )
+
+    — add-1-smoothed ln(p_hat/q_hat) summed over the doc's hashed
+    tokens. High weight = looks like the target domain; resampling by
+    w is the paper's selection rule. Bucket = rolling codepoint-FNV
+    (the repo-wide hash the SQL oracles replay) % k over the
+    single-space word split, empty words dropped; weights round to 6
+    digits (float sum order differs across engines).
+
+    Scale shape: ONE k-row combiner exchange carries both histograms
+    (per-batch np.bincount partials), the k-float log-ratio table
+    broadcasts once via ray.put, and scoring streams with zero
+    shuffles — the corpus text is read exactly twice and never moves.
+    """
+    import ray
+
+    from .features import _split_words, _word_buckets
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts, flat = _split_words(batch.column(column))
+        keep = np.asarray(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        b = _word_buckets(flat.filter(pa.array(keep)), k)
+        is_t = np.asarray(
+            pc.equal(batch.column(target_col), target_value)
+            .combine_chunks()
+            .fill_null(False)
+            .to_numpy(zero_copy_only=False),
+            dtype=bool,
+        )
+        tok_t = is_t[parent]
+        q = np.bincount(b, minlength=k)
+        p = np.bincount(b[tok_t], minlength=k)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(k, dtype=np.int64)),
+                "p": pa.array(p.astype(np.int64)),
+                "q": pa.array(q.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.select_columns(sorted({column, target_col}))
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .sum(["p", "q"])
+        .to_pandas()
+        .sort_values("b")
+    )
+    p = agg["sum(p)"].to_numpy(dtype=np.int64)
+    q = agg["sum(q)"].to_numpy(dtype=np.int64)
+    P, Q = int(p.sum()), int(q.sum())
+    logdiff = (
+        np.log((p + 1).astype(np.float64))
+        + np.log(float(Q + k))
+        - np.log((q + 1).astype(np.float64))
+        - np.log(float(P + k))
+    )
+    ref = ray.put(logdiff)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ld = ray.get(ref)
+        counts, flat = _split_words(batch.column(column))
+        keep = np.asarray(pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0)
+        parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)[keep]
+        b = _word_buckets(flat.filter(pa.array(keep)), k)
+        w = np.zeros(len(counts), dtype=np.float64)
+        np.add.at(w, parent, ld[b])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "dsir_wt": pa.array(np.round(w, 6)),
+            }
+        )
+
+    return ds.select_columns(sorted({id_col, column})).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
