@@ -918,6 +918,22 @@ def _schema_evolution_documents(sf_dir: str, op: str):
     return pipeline.decode_dataset(pipeline.read_encoded(out))
 
 
+def _sample_scan_orders(sf_dir: str):
+    """Hash-sample scan pushdown (pipeline.sample_scan_encoded): the
+    FNV gate evaluates on the decoded KEY stream alone; row groups
+    with no sampled rows never decompress their other columns. Same
+    sampled set as ops.sample.hash_sample at any layout."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_sscan_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", out)
+    return pipeline.sample_scan_encoded(
+        out, "o_orderkey", 0.05, salt="ss", columns=["o_orderkey", "o_totalprice"]
+    )
+
+
 def _dsir_weights_documents(sf_dir: str):
     """DSIR importance weights (ops/webtext.py:dsir_weights): hashed
     token buckets, target = source 'src0' slice vs the raw corpus,
@@ -7026,6 +7042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ipc_ingest_documents"] = lambda sf: _text_source_ingest(sf, "arrow")
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["dsir_weights_documents"] = _dsir_weights_documents
+    q["sample_scan_orders"] = _sample_scan_orders
     q["jsonl_ingest_documents"] = lambda sf: _text_source_ingest(sf, "jsonl")
     q["rename_column_documents"] = lambda sf: _schema_evolution_documents(sf, "rename")
     q["drop_column_documents"] = lambda sf: _schema_evolution_documents(sf, "drop")
@@ -7526,6 +7543,16 @@ def oracle_sql() -> dict[str, str]:
     o["clustered_encode_documents"] = "SELECT * FROM documents"
     o["csv_ingest_documents"] = "SELECT * FROM documents"
     o["ipc_ingest_documents"] = "SELECT * FROM documents"
+    o["sample_scan_orders"] = (
+        # the hash_sample FNV gate replayed on o_orderkey with salt 'ss'
+        "SELECT o_orderkey, o_totalprice FROM ("
+        " SELECT o_orderkey, o_totalprice,"
+        " list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        "  list_transform(string_split('ss' || CAST(o_orderkey AS VARCHAR), ''),"
+        "   c -> CAST(ord(c) AS HUGEINT))),"
+        "  (acc, cp) -> (acc * 1099511628211 + cp) % 18446744073709551616::HUGEINT) AS h"
+        " FROM orders) WHERE h % 1000000 < 50000"
+    )
     o["dsir_weights_documents"] = (
         # bucket = rolling codepoint-FNV(word) % 64 (the repo-wide
         # hash); weight = sum over tokens of the add-1-smoothed

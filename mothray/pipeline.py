@@ -2282,6 +2282,41 @@ def group_count_encoded(path: str | list[str], column: str) -> ray.data.Dataset:
     )
 
 
+def sample_scan_encoded(
+    path: str | list[str],
+    key_column: str,
+    rate: float,
+    salt: str = "",
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Deterministic hash-sample SCAN pushed into the encoded format:
+    the gate (fnv(salt || str(key)) % 1e6 < rate*1e6 — the exact
+    ops.sample.hash_sample contract) evaluates on the KEY COLUMN ALONE
+    per row group, and only groups holding sampled rows decode the
+    projected columns (stripe.sample_stripe). A post-decode
+    hash_sample reads every stream of every column; this scan
+    decompresses the key stream plus survivors only — the difference
+    is the whole point at 100 TB, where a 1% audit sample should cost
+    ~1% of the decode. Sampled sets are identical to hash_sample's
+    (same fingerprint, SQL-replayable) at any rate, layout, or
+    cluster width."""
+    from . import stripe as stripe_mod
+
+    enc = read_encoded(path)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        parts = [
+            stripe_mod.sample_stripe(row, key_column, rate, salt, columns)
+            for row in _iter_stripe_rows(batch)
+        ]
+        parts = [p for p in parts if p.num_rows] or parts[:1]
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts)
+
+    return enc.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def prune_stripes_or(ds: ray.data.Dataset, plans: list[dict]) -> ray.data.Dataset:
     """Disjunctive stripe pruning in ONE metadata pass: a stripe
     survives iff AT LEAST ONE disjunct plan might match it — zone-map

@@ -1016,6 +1016,39 @@ def filter_stripe_multi(
     return pa.concat_tables(parts)
 
 
+def sample_stripe(
+    row: dict, key_column: str, rate: float, salt: str = "", columns: list[str] | None = None
+) -> pa.Table:
+    """Deterministic hash-sample decode of one stripe with LATE
+    MATERIALIZATION: each row group decodes the key column ALONE,
+    gates rows by the repo-wide FNV fingerprint (fnv(salt || str(key))
+    mod 1e6 < rate*1e6 — the ops.sample.hash_sample contract, so the
+    sampled set is SQL-auditable and identical across layouts and
+    cluster widths), and only groups holding sampled rows decode the
+    projected columns. At low rates whole row groups skip their wide
+    streams; at any rate the non-projected columns never decompress."""
+    from .ops.sample import _DENOM, _key_fingerprints
+
+    schema = _deserialize_schema(row["schema_ipc"])
+    names = columns if columns is not None else schema.names
+    meta = json.loads(row["meta"])
+    rg = meta["row_groups"]
+    rgc = rg["count"]
+    threshold = np.uint64(int(rate * _DENOM))
+    out_schema = pa.schema([schema.field(nm) for nm in names])
+    parts = []
+    for i in range(rgc):
+        keys = decode_stripe(row, [key_column], [i])
+        u = _key_fingerprints(keys, key_column, salt) % np.uint64(_DENOM)
+        mask = u < threshold
+        if not mask.any():
+            continue
+        parts.append(decode_stripe(row, names, [i]).filter(pa.array(mask)))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts)
+
+
 def filter_stripe_or(
     row: dict, preds: list[tuple], columns: list[str] | None = None
 ) -> pa.Table:
