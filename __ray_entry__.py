@@ -4486,6 +4486,26 @@ def _dv_delete_orders(sf_dir: str):
     return versions.scan_version(tdir)
 
 
+def _eq_delete_orders(sf_dir: str):
+    """Iceberg-v2-style EQUALITY DELETE (versions.equality_delete):
+    an O(keys) key-file commit — no data file opened — applied as a
+    read-time anti-filter; stacked over a positional DV so both
+    merge-on-read delete shapes compose in one scan."""
+    import tempfile
+
+    from mothray import pipeline, versions
+
+    tdir = tempfile.mkdtemp(prefix="mothray_eq_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", tdir)
+    versions.adopt(tdir)
+    v0_files = versions.manifest(tdir)["files"]
+    m = versions.equality_delete(tdir, "o_orderkey", list(range(1, 401, 4)))
+    assert m["metrics"]["n_keys"] == 100 and m["files"] == v0_files
+    versions.delete_vector_where(tdir, "o_totalprice", 250000.0, None)
+    versions.equality_delete(tdir, "o_orderpriority", ["3-MEDIUM"])
+    return versions.scan_version(tdir)
+
+
 def _new_users_events(sf_dir: str):
     """Exact cumulative distinct-user curve (cohort.new_users_cumulative):
     first-activity-day per user (min combiner), tiny day histogram,
@@ -7164,6 +7184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["streaks_events"] = _streaks_events
     q["new_users_events"] = _new_users_events
     q["dv_delete_orders"] = _dv_delete_orders
+    q["eq_delete_orders"] = _eq_delete_orders
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -8922,6 +8943,14 @@ def oracle_sql() -> dict[str, str]:
         # surviving predicates (nulls survive a BETWEEN delete)
         "SELECT * FROM orders WHERE (o_totalprice IS NULL OR o_totalprice"
         " < 200000.0) AND (o_orderkey IS NULL OR o_orderkey > 100)"
+    )
+    o["eq_delete_orders"] = (
+        # two equality deletes (key = any of list; NULL keys survive)
+        # stacked with one positional DV (BETWEEN delete; nulls survive)
+        "SELECT * FROM orders WHERE"
+        " NOT (o_orderkey BETWEEN 1 AND 397 AND o_orderkey % 4 = 1)"
+        " AND (o_totalprice IS NULL OR o_totalprice < 250000.0)"
+        " AND (o_orderpriority IS NULL OR o_orderpriority <> '3-MEDIUM')"
     )
     o["new_users_events"] = (
         "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day"

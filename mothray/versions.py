@@ -148,21 +148,34 @@ def prune_read(table_dir: str, column: str, min_value=None, max_value=None,
     return pipeline.prune_read(files(table_dir, version), column, min_value, max_value, needle)
 
 
+def _fold_outstanding(table_dir: str) -> dict:
+    """COW rewrites read RAW part files, so outstanding merge-on-read
+    deletes (positional DVs / equality-delete key files) would
+    RESURRECT in the child version. Every COW op therefore folds them
+    first via compact_deletes — one extra auditable version in the
+    history — and proceeds from the compacted manifest."""
+    parent = manifest(table_dir)
+    if parent.get("deletes") or parent.get("eq_deletes"):
+        return compact_deletes(table_dir)
+    return parent
+
+
 def delete_where(table_dir: str, column: str, min_value=None, max_value=None) -> dict:
     """Versioned DELETE of rows with `column` in [min_value, max_value]
     (SQL BETWEEN; nulls survive): the current version's files fan out
     as work units; files whose zone maps miss the range carry forward
     BY NAME (zero bytes moved — the COW win over the non-versioned
     delete_where, which must copy passthrough files into its out_dir);
-    touched files rewrite under `-v{N}` names. Commits and returns the
-    new manifest."""
+    touched files rewrite under `-v{N}` names. Outstanding
+    merge-on-read deletes fold first (_fold_outstanding). Commits and
+    returns the new manifest."""
     import ray
     import ray.data
     import pyarrow.parquet as pq
 
     from . import pipeline
 
-    parent = manifest(table_dir)
+    parent = _fold_outstanding(table_dir)
     new_v = parent["version"] + 1
     if not parent["files"]:  # all rows already deleted: trivial child
         m = {
@@ -240,7 +253,7 @@ def upsert_keys(table_dir: str, new_rows: pa.Table, key: str) -> dict:
 
     from . import pipeline, stripe as stripe_mod
 
-    parent = manifest(table_dir)
+    parent = _fold_outstanding(table_dir)
     new_v = parent["version"] + 1
     keys_ref = ray.put(new_rows.column(key).combine_chunks())
     if not parent["files"]:  # empty parent: the upsert batch is the table
@@ -351,6 +364,9 @@ def _commit_staged(table_dir: str, stage: str, parent: dict, op: str,
         "parent": parent["version"],
         "op": op,
         "files": carry + added,
+        "deletes": {k: v for k, v in (parent.get("deletes", {}) or {}).items()
+                    if k in set(carry)},
+        "eq_deletes": parent.get("eq_deletes", []) or [],
         "metrics": {**metrics, "files_added": len(added)},
     }
     _write_manifest(table_dir, m)
@@ -364,7 +380,7 @@ def optimize(table_dir: str, sort_by: str | list[str], opts: dict | None = None)
     files; vacuum reclaims them when the old versions are dropped."""
     from . import pipeline
 
-    parent = manifest(table_dir)
+    parent = _fold_outstanding(table_dir)
     stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
     import shutil
 
@@ -385,7 +401,7 @@ def with_column(table_dir: str, name: str, fn, input_columns: list[str],
     full-replacement version; prior versions keep the old schema."""
     from . import pipeline
 
-    parent = manifest(table_dir)
+    parent = _fold_outstanding(table_dir)
     stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
     import shutil
 
@@ -416,7 +432,9 @@ def vacuum(table_dir: str, keep_versions: list[int] | None = None) -> dict:
     # deletion vectors referenced by no kept manifest go the same way
     ref_dvs: set[str] = set()
     for v in keep:
-        ref_dvs.update(manifest(table_dir, v).get("deletes", {}).values())
+        mv = manifest(table_dir, v)
+        ref_dvs.update(mv.get("deletes", {}).values())
+        ref_dvs.update(e["file"] for e in mv.get("eq_deletes", []) or [])
     dv_dir = os.path.join(table_dir, _DV_DIR)
     if os.path.isdir(dv_dir):
         for f in sorted(os.listdir(dv_dir)):
@@ -569,6 +587,7 @@ def delete_vector_where(table_dir: str, column: str, min_value=None,
         m = {"version": new_v, "parent": parent["version"],
              "op": f"delete_vector({column} in [{min_value}, {max_value}])",
              "files": [], "deletes": {},
+             "eq_deletes": parent.get("eq_deletes", []) or [],
              "metrics": {"files": 0, "rows_deleted": 0, "dv_files": 0}}
         _write_manifest(table_dir, m)
         return m
@@ -583,11 +602,98 @@ def delete_vector_where(table_dir: str, column: str, min_value=None,
         "op": f"delete_vector({column} in [{min_value}, {max_value}])",
         "files": parent["files"],
         "deletes": deletes,
+        "eq_deletes": parent.get("eq_deletes", []) or [],
         "metrics": {
             "files": len(parent["files"]),
             "rows_deleted": int(res["rows_deleted"].sum()),
             "dv_files": int((res["dv"] != "").sum()),
         },
+    }
+    _write_manifest(table_dir, m)
+    return m
+
+
+def _load_eq_deletes(table_dir: str, m: dict) -> list[tuple]:
+    """[(column, key Array)] for a manifest's equality-delete files.
+    Size is bounded by keys deleted since the last compaction."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for e in m.get("eq_deletes", []) or []:
+        t = pq.read_table(_dv_path(table_dir, e["file"]))
+        col = t.column(e["column"])
+        out.append((e["column"], col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col))
+    return out
+
+
+def _apply_eq_deletes(ds, eqs: list[tuple], columns: list[str] | None):
+    """Anti-filter a decoded Dataset against equality-delete key lists
+    (SQL '=' semantics: NULL keys never match, so they survive). Key
+    arrays broadcast ONCE via ray.put; the filter is one is_in kernel
+    per delete file per batch, shuffle-free. When `columns` excludes a
+    key column the caller decoded the union — drop the extras here."""
+    import ray
+
+    if not eqs:
+        return ds
+    ref = ray.put(eqs)
+    drop = (
+        [c for c, _ in eqs if columns is not None and c not in columns] if columns else []
+    )
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for c, vals in ray.get(ref):
+            hit = pc.fill_null(pc.is_in(batch.column(c), value_set=vals), False)
+            batch = batch.filter(pc.invert(hit))
+        if drop:
+            batch = batch.drop_columns([c for c in drop if c in batch.column_names])
+        return batch
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _decode_columns_for(m: dict, columns: list[str] | None) -> list[str] | None:
+    """Projection to DECODE when equality deletes must evaluate: the
+    requested columns plus every eq-delete key column (dropped again
+    after the filter)."""
+    if columns is None or not m.get("eq_deletes"):
+        return columns
+    need = {e["column"] for e in m["eq_deletes"]}
+    return list(dict.fromkeys(list(columns) + sorted(need - set(columns))))
+
+
+def equality_delete(table_dir: str, column: str, values) -> dict:
+    """Iceberg-v2-style EQUALITY DELETE: drop every row whose `column`
+    equals any of `values` by committing a tiny KEY FILE — no data
+    file is opened, let alone rewritten (a positional deletion vector
+    must first FIND the rows; an equality delete defers that lookup to
+    read time). Reads through scan_version / scan_changes anti-filter
+    against the broadcast key list; compact_deletes folds the keys
+    into a copy-on-write rewrite and clears them. NULL keys never
+    match (SQL '=' semantics). Commit cost is O(keys) regardless of
+    table size — the delete-by-id primitive a 100 TB GDPR request
+    needs."""
+    import pyarrow.parquet as pq
+
+    parent = manifest(table_dir)
+    new_v = parent["version"] + 1
+    os.makedirs(os.path.join(table_dir, _DV_DIR), exist_ok=True)
+    arr = pa.array(values) if not isinstance(values, (pa.Array, pa.ChunkedArray)) else values
+    name = f"eqdel-v{new_v}.parquet"
+    tmp = _dv_path(table_dir, name + ".tmp")
+    pq.write_table(pa.table({column: arr}), tmp)
+    os.rename(tmp, _dv_path(table_dir, name))
+    m = {
+        **parent,
+        "version": new_v,
+        "parent": parent["version"],
+        "op": "equality_delete",
+        "eq_deletes": list(parent.get("eq_deletes", []) or []) + [
+            {"column": column, "file": name}
+        ],
+        "metrics": {"n_keys": len(arr), "column": column},
     }
     _write_manifest(table_dir, m)
     return m
@@ -604,8 +710,12 @@ def scan_version(table_dir: str, version: int | None = None,
     from . import pipeline
 
     m = manifest(table_dir, version)
+    eqs = _load_eq_deletes(table_dir, m)
+    dec_cols = _decode_columns_for(m, columns)
     if not m.get("deletes"):
-        return decode_version(table_dir, version, columns)
+        return _apply_eq_deletes(
+            decode_version(table_dir, version, dec_cols), eqs, columns
+        )
     fs = files(table_dir, version)
     if not fs:
         return ray.data.from_items([])
@@ -629,7 +739,9 @@ def scan_version(table_dir: str, version: int | None = None,
     enc = pipeline.read_encoded(fs, include_paths=True).map_batches(
         attach, batch_format="pyarrow", zero_copy_batch=True
     )
-    return pipeline.decode_dataset(enc, columns=columns)
+    return _apply_eq_deletes(
+        pipeline.decode_dataset(enc, columns=dec_cols), eqs, columns
+    )
 
 
 def _decode_files_with_dvs(table_dir: str, fs: list[str], m: dict, columns):
@@ -642,13 +754,17 @@ def _decode_files_with_dvs(table_dir: str, fs: list[str], m: dict, columns):
 
     if not fs:
         return ray.data.from_items([])
+    eqs = _load_eq_deletes(table_dir, m)
+    dec_cols = _decode_columns_for(m, columns)
     dv_map = {
         k: v
         for k, v in _load_dv_map(table_dir, m).items()
         if k in {os.path.basename(f) for f in fs}
     }
     if not dv_map:
-        return pipeline.decode_files(fs, columns=columns)
+        return _apply_eq_deletes(
+            pipeline.decode_files(fs, columns=dec_cols), eqs, columns
+        )
     ref = ray.put(dv_map)
 
     def attach(batch: pa.Table) -> pa.Table:
@@ -670,7 +786,9 @@ def _decode_files_with_dvs(table_dir: str, fs: list[str], m: dict, columns):
     enc = pipeline_mod.read_encoded(fs, include_paths=True).map_batches(
         attach, batch_format="pyarrow", zero_copy_batch=True
     )
-    return pipeline_mod.decode_dataset(enc, columns=columns)
+    return _apply_eq_deletes(
+        pipeline_mod.decode_dataset(enc, columns=dec_cols), eqs, columns
+    )
 
 
 def scan_changes(table_dir: str, from_version: int, to_version: int | None = None,
@@ -696,6 +814,10 @@ def scan_changes(table_dir: str, from_version: int, to_version: int | None = Non
     A, B = set(ma["files"]), set(mb["files"])
     dva, dvb = ma.get("deletes", {}), mb.get("deletes", {})
     dv_changed = {f for f in A & B if dva.get(f) != dvb.get(f)}
+    if (ma.get("eq_deletes") or []) != (mb.get("eq_deletes") or []):
+        # an equality delete is a table-wide read-time filter: every
+        # carried file can lose rows, so all common files must compare
+        dv_changed = set(A & B)
     from_files = sorted((A - B) | dv_changed)
     to_files = sorted((B - A) | dv_changed)
 
@@ -750,39 +872,76 @@ def compact_deletes(table_dir: str, opts: dict | None = None) -> dict:
 
     parent = manifest(table_dir)
     dvs = parent.get("deletes", {})
+    eqs = _load_eq_deletes(table_dir, parent)
     new_v = parent["version"] + 1
-    if not dvs:
+    if not dvs and not eqs:
         m = {**parent, "version": new_v, "parent": parent["version"],
-             "op": "compact_deletes", "deletes": {},
+             "op": "compact_deletes", "deletes": {}, "eq_deletes": [],
              "metrics": {"files_rewritten": 0, "rows_removed": 0}}
         _write_manifest(table_dir, m)
         return m
     dv_map = _load_dv_map(table_dir, parent)
     ref = ray.put(dv_map)
+    # eq keys broadcast with driver-computed zone-map ranges so clean
+    # stripes prove themselves from stats without decoding
+    import pyarrow.compute as pc_
+
+    eq_plans = []
+    for col, vals in eqs:
+        nn = vals.drop_null()
+        if len(nn):
+            mm = pc_.min_max(nn)
+            eq_plans.append((col, vals, mm["min"].as_py(), mm["max"].as_py()))
+    eq_ref = ray.put(eq_plans)
 
     def process(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         dvm = ray.get(ref)
+        eqp = ray.get(eq_ref)
         out = []
         for name in batch.column("name").to_pylist():
             per = dvm.get(name)
+            path = os.path.join(table_dir, name)
             if not per:
-                out.append((name, name, 0))
-                continue
-            full = pq.read_table(os.path.join(table_dir, name))
+                # stats-only probe: a file no eq key range touches
+                # carries forward without its blobs ever being read
+                stats_tbl = pq.read_table(path, columns=["stats"])
+                if not any(
+                    pipeline._stripe_overlaps(sj, col, lo, hi)
+                    for sj in stats_tbl.column("stats").to_pylist()
+                    for col, _, lo, hi in eqp
+                ):
+                    out.append((name, name, 0))
+                    continue
+            full = pq.read_table(path)
             keep_rows = []
             removed = 0
             for i in range(full.num_rows):
                 row = {c: full.column(c)[i].as_py() for c in full.column_names}
-                pos = per.get(row["stripe_key"])
-                if pos is None or not len(pos):
+                pos = per.get(row["stripe_key"]) if per else None
+                eq_hit = any(
+                    pipeline._stripe_overlaps(row["stats"], col, lo, hi)
+                    for col, _, lo, hi in eqp
+                )
+                if (pos is None or not len(pos)) and not eq_hit:
                     keep_rows.append(
                         pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA)
                     )
                     continue
                 dec = stripe_mod.decode_stripe(row)
                 keep = np.ones(dec.num_rows, dtype=bool)
-                keep[pos] = False
+                if pos is not None and len(pos):
+                    keep[pos] = False
+                for col, vals, _, _ in eqp:
+                    hit = pc.fill_null(pc.is_in(dec.column(col), value_set=vals), False)
+                    keep &= ~np.asarray(hit.to_numpy(zero_copy_only=False), dtype=bool)
                 removed += int((~keep).sum())
+                if keep.all():
+                    keep_rows.append(
+                        pa.Table.from_pylist([row], schema=stripe_mod.STRIPE_SCHEMA)
+                    )
+                    continue
                 kept = dec.filter(pa.array(keep))
                 if kept.num_rows:
                     keep_rows.append(
@@ -818,6 +977,7 @@ def compact_deletes(table_dir: str, opts: dict | None = None) -> dict:
         "op": "compact_deletes",
         "files": new_files,
         "deletes": {},
+        "eq_deletes": [],
         "metrics": {
             "files": len(new_files),
             "files_rewritten": int((res["old"] != res["new"]).sum()),
