@@ -3129,6 +3129,21 @@ def _group_count_pushdown_lineitem(sf_dir: str):
     return pipeline.group_count_encoded(out, "l_returnflag")
 
 
+def _group_agg_pushdown_lineitem(sf_dir: str):
+    """Grouped COUNT/SUM/MIN/MAX answered inside the encoded format
+    (pipeline.group_agg_encoded): dictionary key codes + one weighted
+    bincount per row group, exact int64 cent sums, cardinality-bounded
+    exchange — the TPC-H-Q1 aggregate shape without the value column
+    ever leaving its task."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_gagg_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    return pipeline.group_agg_encoded(out, "l_returnflag", "l_extendedprice", scale=2)
+
+
 def _or_pushdown_lineitem(sf_dir: str):
     """OR-of-predicates pushdown (pipeline.filter_encoded_or): stripe
     survivors are the UNION of per-disjunct zone-map/bloom judgments
@@ -6961,6 +6976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["conj_pushdown_lineitem"] = _conj_pushdown_lineitem
     q["or_pushdown_lineitem"] = _or_pushdown_lineitem
     q["group_count_pushdown_lineitem"] = _group_count_pushdown_lineitem
+    q["group_agg_pushdown_lineitem"] = _group_agg_pushdown_lineitem
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8605,6 +8621,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["group_count_pushdown_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    )
+    o["group_agg_pushdown_lineitem"] = (
+        "SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_extendedprice) AS vcnt,"
+        " CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_e2,"
+        " MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v"
+        " FROM lineitem GROUP BY l_returnflag"
     )
     o["or_pushdown_lineitem"] = (
         "SELECT * FROM lineitem WHERE l_quantity <= 2.0"

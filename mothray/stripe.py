@@ -1016,6 +1016,121 @@ def filter_stripe_multi(
     return pa.concat_tables(parts)
 
 
+def group_agg_stripe(
+    row: dict, key_column: str, value_column: str, scale: int = 0
+) -> pa.Table:
+    """GROUP BY <key> {COUNT(*), SUM(value), MIN(value), MAX(value)}
+    partial from ONE stripe: the key side reuses the dictionary-index
+    fast path (full-length code vector per row group — per-row strings
+    never materialize), the value side decodes its single column, and
+    the aggregates are one weighted np.add.at / minimum.at pass per
+    row group. SUM is EXACT: values scale to int64 by 10^scale
+    (round-half-away, the repo's money convention) so the merged total
+    is order-independent — no float accumulation anywhere. Null keys
+    group separately (SQL GROUP BY); null values count into cnt but
+    not vcnt/sum/min/max (SQL aggregate semantics). Output rows are
+    bounded by local key cardinality."""
+    from .codecs import boolrle, rlev2
+
+    schema = _deserialize_schema(row["schema_ipc"])
+    meta = json.loads(row["meta"])
+    blob = row["blob"]
+    t_k = schema.field(key_column).type
+    rg = meta["row_groups"]
+    rgr, rgc = rg["rows"], rg["count"]
+    n_rows = row["n_rows"]
+    trees_k = meta["columns"][key_column]["row_groups"]
+    acc: dict = {}  # key -> [cnt, vcnt, sum_scaled, min, max]
+    mult = float(10**scale)
+    for i in range(rgc):
+        n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
+        enc_k = _rebuild_column(trees_k[i], blob)
+        # full-length key codes, card = null slot
+        if (
+            (pa.types.is_string(t_k) or pa.types.is_large_string(t_k))
+            and enc_k.encoding == column_mod.ENC_DICT
+        ):
+            s = enc_k.streams
+            card = enc_k.extra["dict_size"]
+            dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
+            dict_vals = column_mod._build_string_array(
+                pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
+            ).to_pylist()
+            if column_mod.PRESENT in enc_k.streams:
+                valid, _ = boolrle.decode(enc_k.streams[column_mod.PRESENT], n)
+                valid = np.asarray(valid, dtype=bool)
+                n_eff = int(valid.sum())
+            else:
+                valid, n_eff = None, n
+            idx, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
+            codes = np.full(n, card, dtype=np.int64)
+            if valid is None:
+                codes = idx.astype(np.int64)
+            else:
+                codes[valid] = idx.astype(np.int64)
+        else:
+            arr_k = decode_stripe(row, [key_column], [i]).column(key_column)
+            import pyarrow.compute as pc
+
+            d = pc.dictionary_encode(
+                arr_k.combine_chunks() if isinstance(arr_k, pa.ChunkedArray) else arr_k
+            )
+            card = len(d.dictionary)
+            dict_vals = d.dictionary.to_pylist()
+            codes = (
+                d.indices.fill_null(card).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        vals = decode_stripe(row, [value_column], [i]).column(value_column)
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        import pyarrow.compute as pc
+
+        vmask = np.asarray(pc.is_valid(vals).to_numpy(zero_copy_only=False), dtype=bool)
+        v = np.asarray(
+            pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        nb = card + 1
+        cnt = np.bincount(codes, minlength=nb)
+        vcodes, vv = codes[vmask], v[vmask]
+        vcnt = np.bincount(vcodes, minlength=nb)
+        # round-half-away-from-zero to int64 (np.round is half-even)
+        ints = np.trunc(np.abs(vv) * mult + 0.5).astype(np.int64) * np.sign(vv).astype(
+            np.int64
+        )
+        sums = np.zeros(nb, dtype=np.int64)
+        np.add.at(sums, vcodes, ints)
+        mins = np.full(nb, np.inf)
+        maxs = np.full(nb, -np.inf)
+        np.minimum.at(mins, vcodes, vv)
+        np.maximum.at(maxs, vcodes, vv)
+        for c in np.nonzero(cnt)[0]:
+            key = dict_vals[c] if c < card else None
+            a = acc.get(key)
+            if a is None:
+                acc[key] = [int(cnt[c]), int(vcnt[c]), int(sums[c]), mins[c], maxs[c]]
+            else:
+                a[0] += int(cnt[c])
+                a[1] += int(vcnt[c])
+                a[2] += int(sums[c])
+                a[3] = min(a[3], mins[c])
+                a[4] = max(a[4], maxs[c])
+    keys = list(acc.keys())
+    rows = [acc[k] for k in keys]
+    return pa.table(
+        {
+            key_column: pa.array(keys, type=t_k),
+            "cnt": pa.array([r[0] for r in rows], pa.int64()),
+            "vcnt": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_scaled": pa.array([r[2] for r in rows], pa.int64()),
+            "min_v": pa.array(
+                [None if r[1] == 0 else r[3] for r in rows], pa.float64()
+            ),
+            "max_v": pa.array(
+                [None if r[1] == 0 else r[4] for r in rows], pa.float64()
+            ),
+        }
+    )
+
+
 def sample_stripe(
     row: dict, key_column: str, rate: float, salt: str = "", columns: list[str] | None = None
 ) -> pa.Table:
