@@ -1150,6 +1150,35 @@ def _png_image_features(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
 
 
+def _gif_image_features(sf_dir: str):
+    """Image features over REAL GIF payloads (ops/multimodal.py:
+    _parse_gif — header, color tables, extension skip, full LZW with
+    variable widths and the KwKwK case, interlace; pytest-covered
+    against hand-packed streams): constant-gray GIFs of doc-derived
+    size make width/height/mean SQL-constructible."""
+    import numpy as np
+    import ray.data
+
+    from mothray.ops import multimodal
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_image(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        imgs = [
+            multimodal.make_gif(
+                np.full((6 + i % 5, 7 + i % 9), (i * 17) % 256, dtype=np.uint8)
+            )
+            for i in ids
+        ]
+        return batch.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    out = multimodal.decode_images(
+        ds.map_batches(add_image, batch_format="pyarrow"), concurrency=2, batch_size=128
+    )
+    return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
+
+
 def _multimodal_audio(sf_dir: str):
     """Audio features over REAL PCM16 WAV payloads (RIFF chunk-walk
     decoder, ops/multimodal.py): constant-amplitude clips of
@@ -7041,6 +7070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- past the typical driver window: still value-checked, descending value --
     q["multimodal_audio_features"] = _multimodal_audio
     q["png_image_features_documents"] = _png_image_features
+    q["gif_image_features_documents"] = _gif_image_features
     q["argmax_orders"] = _argmax_orders
     q["rolling_orders"] = _rolling_orders
     q["variance_lineitem"] = _variance_lineitem
@@ -8754,6 +8784,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(11 + doc_id % 5 AS INTEGER) AS width,"
         " CAST(9 + doc_id % 7 AS INTEGER) AS height,"
         " CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_pixel FROM documents"
+    )
+    o["gif_image_features_documents"] = (
+        # real GIF decode chain (LZW + palette) over constant-gray
+        # images of doc-derived size
+        "SELECT doc_id, CAST(7 + doc_id % 9 AS INTEGER) AS width,"
+        " CAST(6 + doc_id % 5 AS INTEGER) AS height,"
+        " CAST((doc_id * 17) % 256 AS DOUBLE) AS mean_pixel FROM documents"
     )
     o["multimodal_audio_features"] = (
         # real PCM16 WAV decode: duration = n/rate; constant amplitude

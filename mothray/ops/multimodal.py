@@ -223,6 +223,190 @@ def _parse_png(payload) -> np.ndarray | None:
     )
 
 
+def _lzw_gif_decode(data: bytes, mcs: int, max_pixels: int) -> bytes | None:
+    """GIF-variant LZW decode (variable code width mcs+1..12, LSB-first
+    bit packing, CLEAR/END codes, the code==next_code self-reference
+    case). Pure Python by necessity — the dictionary is stateful per
+    code — bounded by max_pixels."""
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    total_bits = len(data) * 8
+    bitpos = 0
+    out: list[bytes] = []
+    n_out = 0
+    dict_: dict[int, bytes] = {}
+    prev: bytes | None = None
+    next_code = end + 1
+
+    while n_out < max_pixels:
+        if bitpos + width > total_bits:
+            break
+        byte_i = bitpos >> 3
+        val = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            width = mcs + 1
+            prev = None
+            next_code = end + 1
+            dict_.clear()
+            continue
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = bytes([code])
+        else:
+            if code < clear:
+                entry = bytes([code])
+            elif code in dict_:
+                entry = dict_[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # corrupt stream
+            dict_[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.append(entry)
+        n_out += len(entry)
+        prev = entry
+    return b"".join(out)[:max_pixels]
+
+
+def make_gif(gray: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a GIF89a with a 256-entry
+    grayscale table. The LZW stream is the valid no-compression form:
+    literal codes at width mcs+1 with a CLEAR injected before the
+    dictionary would force a width change — every standard decoder
+    (including _parse_gif) reads it."""
+    h, w = gray.shape
+    hdr = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # global color table, 2^8 entries
+    )
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    desc = (
+        b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    )
+    mcs = 8
+    codes = [256]  # initial CLEAR
+    count = 0
+    for px in gray.ravel().tolist():
+        if count == 254:  # keep next_code < 512: width stays 9
+            codes.append(256)
+            count = 0
+        codes.append(px)
+        count += 1
+    codes.append(257)  # END
+    buf = 0
+    nbits = 0
+    stream = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    blocks = bytearray([mcs])
+    for s in range(0, len(stream), 255):
+        chunk = stream[s : s + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return hdr + palette + desc + bytes(blocks) + b"\x3b"
+
+
+def _parse_gif(payload) -> np.ndarray | None:
+    """Real GIF decoder (GIF87a/89a): logical screen descriptor,
+    global/local color tables, extension-block skip, full LZW
+    (variable width, CLEAR/END, KwKwK), interlace reorder; first image
+    frame -> grayscale uint8 via the 601 luma. Unsupported/corrupt
+    variants return None."""
+    if len(payload) < 14 or bytes(payload[:6]) not in (b"GIF87a", b"GIF89a"):
+        return None
+    n = len(payload)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 ** ((flags & 7) + 1)
+        if pos + 3 * size > n:
+            return None
+        gct = np.frombuffer(payload, np.uint8, count=3 * size, offset=pos).reshape(-1, 3)
+        pos += 3 * size
+    while pos < n:
+        b = payload[pos]
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 2
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            fl = payload[pos + 9]
+            pos += 10
+            lct = None
+            if fl & 0x80:
+                size = 2 ** ((fl & 7) + 1)
+                if pos + 3 * size > n:
+                    return None
+                lct = np.frombuffer(
+                    payload, np.uint8, count=3 * size, offset=pos
+                ).reshape(-1, 3)
+                pos += 3 * size
+            if pos >= n or w <= 0 or h <= 0:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            if not (1 <= mcs <= 11):
+                return None
+            data = bytearray()
+            while pos < n and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            table = lct if lct is not None else gct
+            if table is None:
+                return None
+            pix = _lzw_gif_decode(bytes(data), mcs, w * h)
+            if pix is None or len(pix) < w * h:
+                return None
+            idx = np.frombuffer(pix, np.uint8, count=w * h).astype(np.int64).reshape(h, w)
+            if fl & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                full = np.empty_like(idx)
+                full[order] = idx
+                idx = full
+            rgb = table[np.clip(idx, 0, len(table) - 1)].astype(np.uint32)
+            return (
+                (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+            ).astype(np.uint8)
+        elif b == 0x3B:
+            return None  # trailer before any image frame
+        else:
+            return None
+    return None
+
+
 def make_wav(pcm: np.ndarray, rate: int) -> bytes:
     """Encode int16 samples as a PCM16 mono WAV (stdlib `wave`)."""
     import io
@@ -315,11 +499,13 @@ class ImageDecoder:
             h = int.from_bytes(payload[6:8], "little")
             pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
             return pix.reshape(h, w)
-        img = _parse_bmp(payload)  # REAL formats: BMP, PGM, PNG
+        img = _parse_bmp(payload)  # REAL formats: BMP, PGM, PNG, GIF
         if img is None:
             img = _parse_pgm(payload)
         if img is None:
             img = _parse_png(payload)
+        if img is None:
+            img = _parse_gif(payload)
         if img is None and self._backend == "pil":
             raise NotImplementedError("PIL branch not wired in this sandbox")
         return img
