@@ -4550,6 +4550,26 @@ def _eq_delete_orders(sf_dir: str):
     return versions.scan_version(tdir)
 
 
+def _optimize_incremental_orders(sf_dir: str):
+    """Incremental OPTIMIZE (versions.optimize_incremental): only the
+    small-file tail merges; large files carry by name — the routine
+    post-append maintenance a 100 TB table can actually afford. Rows
+    must survive the rewrite byte-for-byte."""
+    import tempfile
+
+    from mothray import checkpoint, versions
+
+    tdir = tempfile.mkdtemp(prefix="mothray_oinc_")
+    checkpoint.encode_job(
+        f"{sf_dir}/orders.parquet", tdir, target_partition_bytes=96 << 10
+    )
+    versions.adopt(tdir)
+    n_before = len(versions.manifest(tdir)["files"])
+    m = versions.optimize_incremental(tdir, target_bytes=1 << 30)
+    assert n_before < 2 or len(m["files"]) < n_before
+    return versions.scan_version(tdir)
+
+
 def _new_users_events(sf_dir: str):
     """Exact cumulative distinct-user curve (cohort.new_users_cumulative):
     first-activity-day per user (min combiner), tiny day histogram,
@@ -7231,6 +7251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["new_users_events"] = _new_users_events
     q["dv_delete_orders"] = _dv_delete_orders
     q["eq_delete_orders"] = _eq_delete_orders
+    q["optimize_incremental_orders"] = _optimize_incremental_orders
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -9003,6 +9024,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM orders WHERE (o_totalprice IS NULL OR o_totalprice"
         " < 200000.0) AND (o_orderkey IS NULL OR o_orderkey > 100)"
     )
+    o["optimize_incremental_orders"] = "SELECT * FROM orders"
     o["eq_delete_orders"] = (
         # two equality deletes (key = any of list; NULL keys survive)
         # stacked with one positional DV (BETWEEN delete; nulls survive)

@@ -393,6 +393,43 @@ def optimize(table_dir: str, sort_by: str | list[str], opts: dict | None = None)
     )
 
 
+def optimize_incremental(
+    table_dir: str, target_bytes: int = 64 << 20, opts: dict | None = None
+) -> dict:
+    """Incremental OPTIMIZE (small-file compaction): merge only the
+    part files SMALLER than target_bytes into fresh right-sized files;
+    every large file carries forward BY NAME — zero bytes moved for
+    them. This is the routine maintenance op after many appends /
+    upserts, where the full `optimize` (a global sort) would move the
+    whole table just to fix a tail of small files; at 100 TB the
+    difference is the op being runnable at all. Outstanding
+    merge-on-read deletes fold first (the COW rule). Merging fewer
+    than 2 small files is a no-op that returns the current manifest
+    without committing a version."""
+    from . import pipeline
+
+    parent = _fold_outstanding(table_dir)
+    sizes = {f: os.path.getsize(os.path.join(table_dir, f)) for f in parent["files"]}
+    small = [f for f in parent["files"] if sizes[f] < target_bytes]
+    if len(small) < 2:
+        return parent
+    carry = [f for f in parent["files"] if sizes[f] >= target_bytes]
+    stage = os.path.join(table_dir, f"_staging_v{parent['version'] + 1}")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    ds = pipeline.decode_files([os.path.join(table_dir, f) for f in small])
+    pipeline.write_encoded(pipeline.encode_dataset(ds, opts), stage)
+    return _commit_staged(
+        table_dir,
+        stage,
+        parent,
+        f"optimize_incremental(target={target_bytes})",
+        carry,
+        {"files_merged": len(small), "bytes_merged": int(sum(sizes[f] for f in small))},
+    )
+
+
 def with_column(table_dir: str, name: str, fn, input_columns: list[str],
                 opts: dict | None = None) -> dict:
     """Versioned derived-column append: every current file re-writes

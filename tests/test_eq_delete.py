@@ -173,3 +173,33 @@ def test_append_carries_outstanding_deletes(ray_session, table):
     got = {r["k"] for r in versions.scan_version(d).take_all()}
     assert 9001 in got and 0 not in got and 1 not in got
     assert versions.manifest(d).get("eq_deletes")
+
+
+def test_optimize_incremental_merges_small_carries_big(ray_session, table):
+    import ray.data
+
+    from mothray import versions
+
+    d, _ = table
+    # several appends leave a tail of tiny part files
+    for j in range(3):
+        versions.append(
+            d, ray.data.from_items([{"k": 10000 + j, "grp": "gz", "v": 0.5}])
+        )
+    before = versions.manifest(d)["files"]
+    mtimes = {
+        f: os.path.getmtime(os.path.join(d, f)) for f in before
+    }
+    m = versions.optimize_incremental(d, target_bytes=1 << 30)  # all small
+    assert m["op"].startswith("optimize_incremental")
+    assert m["metrics"]["files_merged"] == len(before)
+    assert len(m["files"]) < len(before)
+    got = {r["k"] for r in versions.scan_version(d).take_all()}
+    assert got == set(range(2000)) | {10000, 10001, 10002}
+    # big-file carry: re-run with a tiny threshold -> no-op, no commit
+    v = m["version"]
+    m2 = versions.optimize_incremental(d, target_bytes=16)
+    assert m2["version"] == v
+    # carried (now merged) files untouched on the no-op path
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(d, f))
