@@ -3158,6 +3158,36 @@ def _group_count_pushdown_lineitem(sf_dir: str):
     return pipeline.group_count_encoded(out, "l_returnflag")
 
 
+def _encoded_key_join_lineitem(sf_dir: str):
+    """Join pushdown into the encoded fact side (ops.join.
+    encoded_key_join): the filtered orders dimension contributes its
+    key [min,max] (fact stripes/row groups outside never fetch) and
+    its key bloom (non-matching fact rows drop pre-exchange); the
+    survivors take the partitioned join."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import join
+
+    out = tempfile.mkdtemp(prefix="mothray_ekj_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/lineitem.parquet", out)
+    dim = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).filter(expr="o_totalprice > 280000.0")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "o_totalprice", "o_orderdate"])
+
+    dim = dim.map_batches(rename, batch_format="pyarrow")
+    res = join.encoded_key_join(
+        out, dim, "l_orderkey", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return res
+
+
 def _group_agg_pushdown_lineitem(sf_dir: str):
     """Grouped COUNT/SUM/MIN/MAX answered inside the encoded format
     (pipeline.group_agg_encoded): dictionary key codes + one weighted
@@ -7026,6 +7056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["or_pushdown_lineitem"] = _or_pushdown_lineitem
     q["group_count_pushdown_lineitem"] = _group_count_pushdown_lineitem
     q["group_agg_pushdown_lineitem"] = _group_agg_pushdown_lineitem
+    q["encoded_key_join_lineitem"] = _encoded_key_join_lineitem
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8669,6 +8700,11 @@ def oracle_sql() -> dict[str, str]:
     o["conj_pushdown_lineitem"] = (
         "SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 10.0"
         " AND l_discount > 0.05"
+    )
+    o["encoded_key_join_lineitem"] = (
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice, o_orderdate"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " WHERE o_totalprice > 280000.0"
     )
     o["group_count_pushdown_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"

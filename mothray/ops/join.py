@@ -808,3 +808,39 @@ def dup_pairs_band(
 
     out = pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     return out.sort(key=[key_col, "id1", "id2"])
+
+
+def encoded_key_join(
+    left_path,
+    right,
+    on: str,
+    columns: list[str] | None = None,
+    how: str = "inner",
+    fpp: float = 0.001,
+):
+    """Join PUSHDOWN into the encoded format — the fact side never
+    fully decodes: the dimension side contributes (a) its global key
+    [min, max], so fact stripes and row groups outside the range are
+    never FETCHED (zone maps at both levels), and (b) its distributed
+    key bloom (build_key_bloom), so decoded fact rows that cannot
+    match drop before the exchange. The remaining shuffle is
+    partitioned_join over survivors. Same soundness rule as
+    bloom_filter_join: inner / right_outer / left_semi only (a pruned
+    fact row must never need to surface with nulls). `right` is a
+    Dataset whose join column is already named `on`."""
+    from ray.data.aggregate import Max, Min
+
+    from .. import pipeline
+
+    resolved = _JOIN_TYPES.get(how, how)
+    if resolved in ("left_outer", "full_outer", "left_anti"):
+        raise ValueError(f"key-range prune unsound for {resolved}; use partitioned_join")
+    mm = right.aggregate(Min(on), Max(on))
+    rmin, rmax = mm[f"min({on})"], mm[f"max({on})"]
+    if rmin is None:  # all-null / empty dimension: inner join is empty
+        import ray.data
+
+        return ray.data.from_items([])
+    enc = pipeline.prune_read(left_path, on, rmin, rmax)
+    dec = pipeline.decode_dataset(enc, columns=columns, rg_predicate=(on, rmin, rmax))
+    return bloom_filter_join(dec, right, on, how=how, fpp=fpp)
