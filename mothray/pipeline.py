@@ -1994,6 +1994,46 @@ def write_orc_output(ds: ray.data.Dataset, out_dir: str, stripe_size: int = 64 <
     return int(sum(ray.get(futures)))
 
 
+def write_ipc_output(ds: ray.data.Dataset, out_dir: str) -> int:
+    """Interop sink: write a Dataset as Arrow IPC files, one per block,
+    named `part-{content digest}-{occurrence}.arrow` — the same
+    deterministic multiset-naming contract as write_orc_output (retry
+    re-derives the same names; exists-skip keeps finished parts
+    byte-stable; duplicate blocks survive). Pairs with read_ipc_source
+    for round-trip migration. Returns the file count."""
+    import collections
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def digest(block) -> tuple:
+        batch = pa.table(block) if not isinstance(block, pa.Table) else block
+        return _block_digest(batch), batch.num_rows
+
+    @ray.remote
+    def write(block, name: str) -> int:
+        batch = pa.table(block) if not isinstance(block, pa.Table) else block
+        final = os.path.join(out_dir, name)
+        if not os.path.exists(final):
+            tmp = os.path.join(out_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+            with pa.ipc.new_file(tmp, batch.schema) as w:
+                w.write_table(batch)
+            os.rename(tmp, final)
+        return 1
+
+    refs = ds.to_arrow_refs()
+    digs = ray.get([digest.remote(r) for r in refs])
+    seen: collections.Counter = collections.Counter()
+    futures = []
+    for r, (dg, n_rows) in zip(refs, digs):
+        if n_rows == 0:
+            continue
+        futures.append(write.remote(r, f"part-{dg}-{seen[dg]:03d}.arrow"))
+        seen[dg] += 1
+    return int(sum(ray.get(futures)))
+
+
 def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     """Dry-run the skipping stack for a conjunctive predicate and report
     what each level would prune — file skip index, stripe zone maps

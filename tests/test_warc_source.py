@@ -83,3 +83,25 @@ def test_warc_to_encode_pipeline(ray_session, tmp_path):
     want = {r["url"]: r["body"] for r in _records(17)}
     for r in rows:
         assert bytes(r["html"]) == want[r["url"]]
+
+
+def test_ipc_export_roundtrip_and_retry_idempotent(ray_session, tmp_path):
+    """write_ipc_output: digest names, exists-skip, read_ipc_source
+    round trip."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from mothray import pipeline
+
+    t = pa.table({"a": pa.array(np.arange(500)), "b": pa.array([f"s{i}" for i in range(500)])})
+    out = str(tmp_path / "ipc")
+    n = pipeline.write_ipc_output(ray.data.from_arrow(t).repartition(4), out)
+    assert n == 4 and len(os.listdir(out)) == 4
+    mt = {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    n2 = pipeline.write_ipc_output(ray.data.from_arrow(t).repartition(4), out)
+    assert n2 == 4
+    assert mt == {f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)}
+    back = pipeline.read_ipc_source(out).take_all()
+    assert sorted(r["a"] for r in back) == list(range(500))
