@@ -4580,6 +4580,26 @@ def _eq_delete_orders(sf_dir: str):
     return versions.scan_version(tdir)
 
 
+def _bucket_lookup_orders(sf_dir: str):
+    """Hash-bucketed layout + point lookups (pipeline.encode_bucketed
+    / bucket_lookup): each probe hashes to ONE bucket directory —
+    1/n_buckets of the table opens, then the normal skipping stack
+    runs inside it."""
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_bkt_")
+    pipeline.encode_bucketed(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet"), out, "o_orderkey", 16
+    )
+    parts = [pipeline.bucket_lookup(out, k) for k in (10, 500, 7777)]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts)
+
+
 def _optimize_incremental_orders(sf_dir: str):
     """Incremental OPTIMIZE (versions.optimize_incremental): only the
     small-file tail merges; large files carry by name — the routine
@@ -7283,6 +7303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dv_delete_orders"] = _dv_delete_orders
     q["eq_delete_orders"] = _eq_delete_orders
     q["optimize_incremental_orders"] = _optimize_incremental_orders
+    q["bucket_lookup_orders"] = _bucket_lookup_orders
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -9061,6 +9082,9 @@ def oracle_sql() -> dict[str, str]:
         " < 200000.0) AND (o_orderkey IS NULL OR o_orderkey > 100)"
     )
     o["optimize_incremental_orders"] = "SELECT * FROM orders"
+    o["bucket_lookup_orders"] = (
+        "SELECT * FROM orders WHERE o_orderkey IN (10, 500, 7777)"
+    )
     o["eq_delete_orders"] = (
         # two equality deletes (key = any of list; NULL keys survive)
         # stacked with one positional DV (BETWEEN delete; nulls survive)

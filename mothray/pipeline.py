@@ -3329,6 +3329,74 @@ def encode_partitioned(
     )
 
 
+def encode_bucketed(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_column: str,
+    n_buckets: int,
+    opts: dict | None = None,
+) -> None:
+    """Hash-bucketed encoded layout: bucket = FNV(str(key)) %
+    n_buckets (the repo-wide fingerprint the SQL oracles replay)
+    becomes the hive partition, so a point lookup or key-equality scan
+    opens ONE bucket directory — 1/n_buckets of the table at any
+    corpus size — before the normal skipping stack even starts. Two
+    tables bucketed on their join key with equal n_buckets co-locate
+    matching keys bucket-for-bucket (the shuffle-free bucket-join
+    layout). Bucketing params persist in `_bucketing.json`; the
+    `__bucket` column rides inside the data and is stripped by
+    bucket_lookup."""
+    import json as _json
+
+    from .ops.sample import _key_fingerprints
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _key_fingerprints(batch, key_column, "") % np.uint64(n_buckets)
+        return batch.append_column(
+            "__bucket",
+            pa.array([f"b{int(x):05d}" for x in b], pa.string()),
+        )
+
+    encode_partitioned(
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True),
+        out_dir,
+        "__bucket",
+        opts,
+    )
+    with open(os.path.join(out_dir, "_bucketing.json"), "w") as f:
+        _json.dump({"key_column": key_column, "n_buckets": int(n_buckets)}, f)
+
+
+def bucket_lookup(
+    out_dir: str, value, columns: list[str] | None = None
+) -> pa.Table:
+    """Point lookup on an encode_bucketed layout: hash the probe key
+    with the SAME fingerprint, open that one bucket directory, and run
+    the full predicate-pushdown scan (zone maps, blooms, dictionary
+    domain, late materialization) inside it. Returns the matching rows
+    as a Table (point lookups are small by construction)."""
+    import json as _json
+
+    from .ops.sample import _key_fingerprints
+
+    with open(os.path.join(out_dir, "_bucketing.json")) as f:
+        spec = _json.load(f)
+    key_column, n_buckets = spec["key_column"], spec["n_buckets"]
+    probe = pa.table({key_column: pa.array([value])})
+    b = int(_key_fingerprints(probe, key_column, "")[0] % np.uint64(n_buckets))
+    dirs = encoded_partition_dirs(out_dir)
+    d = dirs.get(f"b{b:05d}")
+    if d is None:  # bucket never materialized: no such key
+        return pa.table({})
+    out = filter_encoded(d, key_column, "eq", value, columns).take_all()
+    if not out:
+        return pa.table({})
+    t = pa.Table.from_pylist(out)
+    if "__bucket" in t.column_names and (columns is None or "__bucket" not in columns):
+        t = t.drop_columns(["__bucket"])
+    return t
+
+
 def encoded_partition_dirs(out_dir: str) -> dict[str, str]:
     """{partition value: directory} for an encode_partitioned dataset.
     Directory names are hive/URL-encoded by the writer ('a/b' →
