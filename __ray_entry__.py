@@ -4580,6 +4580,22 @@ def _eq_delete_orders(sf_dir: str):
     return versions.scan_version(tdir)
 
 
+def _linear_attribution_events(sf_dir: str):
+    """Linear multi-touch attribution (ops.funnel.linear_attribution):
+    each purchase credits every touch since the user's previous
+    purchase equally, in exact integer credit units — one
+    groupby(user) shuffle, vectorized journey math."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return funnel.linear_attribution(ds, "purchase")
+
+
 def _bucket_lookup_orders(sf_dir: str):
     """Hash-bucketed layout + point lookups (pipeline.encode_bucketed
     / bucket_lookup): each probe hashes to ONE bucket directory —
@@ -7304,6 +7320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["eq_delete_orders"] = _eq_delete_orders
     q["optimize_incremental_orders"] = _optimize_incremental_orders
     q["bucket_lookup_orders"] = _bucket_lookup_orders
+    q["linear_attribution_events"] = _linear_attribution_events
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -9691,6 +9708,31 @@ def oracle_sql() -> dict[str, str]:
         "  UNION ALL"
         "  SELECT 'none', (SELECT count(*) FROM p) - (SELECT count(*) FROM t))"
         " SELECT touch_type, n FROM agg WHERE n > 0 ORDER BY touch_type"
+    )
+    o["linear_attribution_events"] = (
+        # journey id = count of STRICTLY-PRIOR purchases per user
+        # ((ts, event_id) order); each purchase credits its journey's
+        # touches round(1e6/n) each, or 'none' with 1e6 if touchless
+        "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL),"
+        " s AS (SELECT *,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j FROM e),"
+        " t AS (SELECT user_id, j,"
+        "  count(*) FILTER (WHERE event_type <> 'purchase') AS n_touch,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') AS n_conv"
+        "  FROM s GROUP BY 1, 2),"
+        " credit AS ("
+        "  SELECT s.event_type AS touch_type,"
+        "   CAST(round(1000000.0 / t.n_touch) AS BIGINT) AS c"
+        "  FROM s JOIN t ON s.user_id = t.user_id AND COALESCE(s.j, 0) = t.j"
+        "  WHERE s.event_type <> 'purchase' AND t.n_conv > 0"
+        "  UNION ALL"
+        "  SELECT 'none', CAST(1000000 AS BIGINT) FROM t"
+        "  WHERE n_conv > 0 AND n_touch = 0)"
+        " SELECT touch_type, CAST(sum(c) AS BIGINT) AS credit_e6"
+        " FROM credit GROUP BY touch_type"
     )
     o["calibration_orders"] = (
         # bin = (rank() - 1) * 10 // n: tied scores share a bin, so the

@@ -215,3 +215,82 @@ def session_paths(ds, path_len: int = 3, gap_minutes: int = 30, top_k: int = 10,
         )
     )
     return counts.sort(key=["n", "path"], descending=[True, False]).limit(top_k)
+
+
+def linear_attribution(ds, conversion_type: str, user_col: str = "user_id",
+                       ts_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id", scale: int = 1_000_000):
+    """Linear multi-touch attribution: every `conversion_type` event
+    credits ALL the user's touches since their previous conversion
+    EQUALLY — each touch earns round(scale / n_touches) integer credit
+    units (the repo's exact-integer convention, so the grouped sums
+    value-match SQL regardless of float order); a conversion whose
+    journey has no touch credits the pseudo-type 'none' with the full
+    `scale`. Output: (touch_type, credit_e6) — total integer credit
+    per touch type.
+
+    Scale shape mirrors last_touch_attribution: 4-column projection,
+    ONE groupby(user) shuffle, vectorized per-user journey math
+    (cumsum journey ids + two bincounts), combiner-shaped grouped sum
+    of (type, credit) partials."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col, id_col})).filter(ok)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        is_conv = types == conversion_type
+        if not is_conv.any():
+            return pa.table(
+                {"touch_type": pa.array([], pa.string()),
+                 "credit_e6": pa.array([], pa.int64())}
+            )
+        n = len(types)
+        # journey id = number of PRIOR conversions (a conversion ends
+        # its own journey)
+        j = np.concatenate([[0], np.cumsum(is_conv)[:-1]]).astype(np.int64)
+        touch = ~is_conv
+        n_j = np.bincount(j[touch], minlength=int(j.max()) + 2)
+        conv_js = j[is_conv]
+        credited_j = np.zeros(len(n_j), dtype=bool)
+        credited_j[conv_js] = True
+        sel = touch & credited_j[j] & (n_j[j] > 0)
+        per_touch = np.zeros(n, dtype=np.int64)
+        with np.errstate(divide="ignore"):
+            per_touch[sel] = np.trunc(scale / n_j[j][sel] + 0.5).astype(np.int64)
+        out_types = list(types[sel])
+        out_credit = list(per_touch[sel])
+        n_none = int((n_j[conv_js] == 0).sum())
+        if n_none:
+            out_types.append("none")
+            out_credit.append(n_none * scale)
+        t = pa.table(
+            {"touch_type": pa.array(out_types, pa.string()),
+             "credit_e6": pa.array(out_credit, pa.int64())}
+        )
+        p = t.group_by("touch_type", use_threads=False).aggregate([("credit_e6", "sum")])
+        return pa.table(
+            {"touch_type": p.column("touch_type"),
+             "credit_e6": p.column("credit_e6_sum")}
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        null_safe_group_map(proj, [user_col], per_user)
+        .groupby("touch_type")
+        .sum("credit_e6")
+        .map_batches(
+            lambda t: pa.table({"touch_type": t.column("touch_type"),
+                                "credit_e6": t.column("sum(credit_e6)")}),
+            batch_format="pyarrow",
+        )
+    )

@@ -109,3 +109,37 @@ def test_zorder_improves_clustering_audit(ray_session, tmp_path):
     for c in ("x", "y"):
         assert after[c]["max_depth"] < before[c]["max_depth"]
         assert after[c]["n_overlap_pairs"] < before[c]["n_overlap_pairs"]
+
+
+def test_linear_attribution_hand_check(ray_session):
+    """Two journeys: J0 has touches a,b then conv (500k each); J1 has
+    touch c then conv (1e6); a touchless conv credits 'none'."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    rows = [
+        {"user_id": 1, "ts": i, "event_type": t, "event_id": i}
+        for i, t in enumerate(["a", "b", "conv", "c", "conv", "conv"])
+    ]
+    # ts must be timestamps? the op only sorts by (ts, id): ints fine
+    out = {r["touch_type"]: r["credit_e6"] for r in funnel.linear_attribution(
+        ray.data.from_items(rows), "conv").take_all()}
+    assert out == {"a": 500000, "b": 500000, "c": 1000000, "none": 1000000}
+
+
+def test_linear_attribution_layout_invariant(ray_session):
+    import ray.data
+
+    from mothray.ops import funnel
+
+    rows = [
+        {"user_id": u, "ts": i, "event_type": ["x", "y", "conv"][i % 3], "event_id": i}
+        for u in range(6)
+        for i in range(12)
+    ]
+    a = {r["touch_type"]: r["credit_e6"] for r in funnel.linear_attribution(
+        ray.data.from_items(rows), "conv").take_all()}
+    b = {r["touch_type"]: r["credit_e6"] for r in funnel.linear_attribution(
+        ray.data.from_items(rows).repartition(5), "conv").take_all()}
+    assert a == b and a
