@@ -2133,6 +2133,76 @@ def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     }
 
 
+def explain_scan_or(path: str | list[str], preds: list[tuple]) -> dict:
+    """explain_scan's disjunctive dual: dry-run the OR skipping stack —
+    union stripe pruning (prune_stripes_or), row-group set UNION inside
+    survivors — and report per-level survivors plus the stream bytes a
+    scan would fetch. Metadata-only. An unprunable disjunct (ne /
+    not_in / bare substring) reports honest full-scan numbers."""
+    from . import stripe as stripe_mod_
+
+    plans = or_pred_plans(preds)
+    meta_cols = [
+        "stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats",
+        "blooms", "schema_ipc",
+    ]
+    meta_full = ray.data.read_parquet(path, columns=meta_cols)
+    total_stripes = meta_full.count()
+    total_bytes = int(meta_full.sum("enc_bytes") or 0)
+    surv = meta_full if plans is None else prune_stripes_or(meta_full, plans)
+
+    rangeable = [
+        (col, op, value)
+        for col, op, value in preds
+        if op not in ("ne", "not_in", "is_null", "not_null", "contains")
+        and not (op == "like" and not stripe_mod_.like_prefix(value))
+    ]
+    all_rangeable = len(rangeable) == len(preds)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        rgs_total = rgs_kept = kept_bytes = 0
+        for i in range(batch.num_rows):
+            m = json.loads(batch.column("meta")[i].as_py())
+            rgc = m["row_groups"]["count"]
+            sch = stripe_mod_._deserialize_schema(batch.column("schema_ipc")[i].as_py())
+            if all_rangeable:
+                keep: set = set()
+                for col, op, value in rangeable:
+                    lo, hi = stripe_mod_.stat_bounds_for(op, value, sch.field(col).type)
+                    sel = stripe_mod_.select_row_groups(m, col, lo, hi)
+                    if sel is None:
+                        keep = set(range(rgc))
+                        break
+                    keep |= set(sel)
+            else:
+                keep = set(range(rgc))  # an unrangeable disjunct keeps all
+            rgs_total += rgc
+            rgs_kept += len(keep)
+            for trees in m["columns"].values():
+                for gi, tree in enumerate(trees["row_groups"]):
+                    if gi in keep:
+                        kept_bytes += sum(s["len"] for s in tree["streams"])
+        return pa.table(
+            {
+                "stripes": pa.array([batch.num_rows], pa.int64()),
+                "rgs_total": pa.array([rgs_total], pa.int64()),
+                "rgs_kept": pa.array([rgs_kept], pa.int64()),
+                "kept_bytes": pa.array([kept_bytes], pa.int64()),
+            }
+        )
+
+    parts = surv.map_batches(totals, batch_format="pyarrow").take_all()
+    return {
+        "prunable": plans is not None,
+        "stripes_total": int(total_stripes),
+        "stripes_after_zonemaps": int(sum(r["stripes"] for r in parts)),
+        "row_groups_in_survivors": int(sum(r["rgs_total"] for r in parts)),
+        "row_groups_after_stats": int(sum(r["rgs_kept"] for r in parts)),
+        "stream_bytes_total": total_bytes,
+        "stream_bytes_fetched": int(sum(r["kept_bytes"] for r in parts)),
+    }
+
+
 def _iter_stripe_rows(batch: pa.Table):
     """Stripe-row dicts with blob/blooms as ZERO-COPY memoryviews over
     the Arrow buffers (same walk as StripeDecoder; .as_py() would copy

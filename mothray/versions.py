@@ -42,13 +42,32 @@ def _vpath(table_dir: str, version: int) -> str:
     return os.path.join(_vdir(table_dir), f"v{version:06d}.json")
 
 
+class VersionConflict(RuntimeError):
+    """Another writer committed this version first. The losing commit's
+    data files are orphans that vacuum() reclaims; retry the operation
+    from the new head."""
+
+
 def _write_manifest(table_dir: str, m: dict) -> None:
+    """Optimistic-concurrency commit: the manifest lands via
+    link(tmp, final), which FAILS IF THE VERSION EXISTS — two writers
+    racing the same parent produce one winner and one VersionConflict
+    instead of a silently overwritten history (the Iceberg/Delta
+    atomic-commit contract, expressed with POSIX semantics)."""
     os.makedirs(_vdir(table_dir), exist_ok=True)
     path = _vpath(table_dir, m["version"])
-    tmp = path + ".tmp"
+    tmp = path + f".{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(m, f, indent=1, sort_keys=True)
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)  # atomic, exclusive: loser raises
+    except FileExistsError:
+        raise VersionConflict(
+            f"version {m['version']} at {table_dir} was committed by another"
+            " writer; re-read the head and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def latest_version(table_dir: str) -> int | None:

@@ -203,3 +203,29 @@ def test_optimize_incremental_merges_small_carries_big(ray_session, table):
     # carried (now merged) files untouched on the no-op path
     for f in m["files"]:
         assert os.path.exists(os.path.join(d, f))
+
+
+def test_commit_is_exclusive_version_conflict(ray_session, table):
+    """Two writers racing the same parent version: one wins, the loser
+    gets VersionConflict — never a silent history overwrite."""
+    import json
+
+    from mothray import versions
+
+    d, _ = table
+    head = versions.manifest(d)
+    # both writers derived version N+1 from the same head; the first
+    # link wins, the second must refuse to overwrite it
+    rogue = {**head, "version": head["version"] + 1, "parent": head["version"],
+             "op": "other_writer"}
+    versions._write_manifest(d, rogue)
+    loser = {**head, "version": head["version"] + 1, "parent": head["version"],
+             "op": "loser"}
+    with pytest.raises(versions.VersionConflict):
+        versions._write_manifest(d, loser)
+    # the head is the first commit, untouched
+    assert versions.manifest(d)["op"] == "other_writer"
+    # an op retried AFTER re-reading the head lands on top of it
+    m = versions.equality_delete(d, "k", [1])
+    assert m["parent"] == rogue["version"]
+    assert json.load(open(versions._vpath(d, m["version"])))["op"] == "equality_delete"

@@ -145,3 +145,18 @@ def test_or_row_group_union(ray_session, encoded_or):
     )
     vals = set(out.column("num").to_pylist())
     assert vals == {v for v in vals if v <= 2}
+
+
+def test_explain_scan_or_reports_pruning(ray_session, encoded_or):
+    from mothray import pipeline
+
+    enc, *_ = encoded_or
+    rep = pipeline.explain_scan_or(enc, [("num", "le", 100), ("num", "ge", 3900)])
+    assert rep["prunable"] is True
+    assert rep["stripes_after_zonemaps"] < rep["stripes_total"]
+    assert rep["row_groups_after_stats"] <= rep["row_groups_in_survivors"]
+    assert 0 < rep["stream_bytes_fetched"] < rep["stream_bytes_total"]
+    # unprunable disjunct: full-scan numbers, honestly reported
+    rep2 = pipeline.explain_scan_or(enc, [("cat", "ne", "aa"), ("num", "le", 5)])
+    assert rep2["prunable"] is False
+    assert rep2["stripes_after_zonemaps"] == rep2["stripes_total"]
