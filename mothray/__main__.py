@@ -153,7 +153,12 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--min", dest="min_value", default=None)
     dv.add_argument("--max", dest="max_value", default=None)
 
-    cdv = sub.add_parser("compactdv", help="fold deletion vectors into a COW rewrite (metadata fast paths exact again)")
+    eqd = sub.add_parser("eqdelete", help="equality delete: O(keys) key-file commit, read-time anti-filter (GDPR delete-by-id shape)")
+    eqd.add_argument("table_dir")
+    eqd.add_argument("--column", required=True)
+    eqd.add_argument("--keys", required=True, help="comma-separated key values")
+
+    cdv = sub.add_parser("compactdv", help="fold deletion vectors AND equality deletes into a COW rewrite (metadata fast paths exact again)")
     cdv.add_argument("table_dir")
 
     vw = sub.add_parser("view", help="materialized aggregate views: create/refresh/read over a versioned table")
@@ -414,6 +419,17 @@ def _dispatch(args) -> int:
         m = versions.delete_vector_where(
             args.table_dir, args.column, num(args.min_value), num(args.max_value)
         )
+        print(json.dumps(m["metrics"] | {"version": m["version"]}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "eqdelete":
+        ray = _ray()
+        from mothray import versions
+
+        versions.adopt(args.table_dir)
+        keys = [_parse_value(k) for k in args.keys.split(",")]
+        m = versions.equality_delete(args.table_dir, args.column, keys)
         print(json.dumps(m["metrics"] | {"version": m["version"]}))
         ray.shutdown()
         return 0
