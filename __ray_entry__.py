@@ -4616,6 +4616,30 @@ def _bucket_lookup_orders(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def _clone_orders(sf_dir: str):
+    """Zero-copy snapshot CLONE (versions.clone_version): hard-linked
+    shallow clone carrying the source's merge-on-read deletes, then a
+    divergent delete on the clone — the SOURCE must still read its own
+    head (isolation), and the returned clone scan reflects both
+    deletes."""
+    import tempfile
+
+    from mothray import pipeline, versions
+
+    tdir = tempfile.mkdtemp(prefix="mothray_clsrc_")
+    pipeline.encode_parquet_to_dir(f"{sf_dir}/orders.parquet", tdir)
+    versions.adopt(tdir)
+    versions.equality_delete(tdir, "o_orderkey", [1, 2, 3])
+    clone = tempfile.mkdtemp(prefix="mothray_clone_") + "/t"
+    versions.clone_version(tdir, clone)
+    versions.equality_delete(clone, "o_orderkey", [4, 5])
+    # isolation: the clone's divergent delete must not touch the source
+    src_rows = versions.scan_version(tdir).count()
+    clone_rows = versions.scan_version(clone).count()
+    assert src_rows == clone_rows + 2, (src_rows, clone_rows)
+    return versions.scan_version(clone)
+
+
 def _optimize_incremental_orders(sf_dir: str):
     """Incremental OPTIMIZE (versions.optimize_incremental): only the
     small-file tail merges; large files carry by name — the routine
@@ -7319,6 +7343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dv_delete_orders"] = _dv_delete_orders
     q["eq_delete_orders"] = _eq_delete_orders
     q["optimize_incremental_orders"] = _optimize_incremental_orders
+    q["clone_orders"] = _clone_orders
     q["bucket_lookup_orders"] = _bucket_lookup_orders
     q["linear_attribution_events"] = _linear_attribution_events
     q["rake_documents"] = _rake_documents
@@ -9099,6 +9124,9 @@ def oracle_sql() -> dict[str, str]:
         " < 200000.0) AND (o_orderkey IS NULL OR o_orderkey > 100)"
     )
     o["optimize_incremental_orders"] = "SELECT * FROM orders"
+    o["clone_orders"] = (
+        "SELECT * FROM orders WHERE o_orderkey NOT IN (1, 2, 3, 4, 5)"
+    )
     o["bucket_lookup_orders"] = (
         "SELECT * FROM orders WHERE o_orderkey IN (10, 500, 7777)"
     )

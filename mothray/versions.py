@@ -469,6 +469,57 @@ def with_column(table_dir: str, name: str, fn, input_columns: list[str],
     )
 
 
+def clone_version(
+    table_dir: str, out_dir: str, version: int | None = None
+) -> dict:
+    """ZERO-COPY CLONE of one snapshot into a standalone table: every
+    referenced part file (and live delete file) HARD-LINKS into
+    out_dir — no data bytes move, the filesystem shares the blocks —
+    and the clone starts its own version log AT THE SOURCE'S VERSION
+    NUMBER — not v0. That continuation is load-bearing: mutation file
+    names embed the committing version (part-v{N}-*, *-dv-v{N},
+    eqdel-v{N}), so a clone restarting at v0 would eventually reuse a
+    carried name and silently replace the shared entry; starting past
+    the source's counter keeps every name in the lineage unique.
+    Writers on either side never interfere: part files are immutable
+    by construction (every mutation writes NEW names), so a shared
+    inode can never be rewritten, and vacuum() unlinks only its own
+    directory's names. The Delta SHALLOW CLONE shape, with POSIX links
+    instead of a catalog. Falls back to copy if out_dir is on another
+    filesystem."""
+    import shutil
+
+    m = manifest(table_dir, version)
+    os.makedirs(out_dir, exist_ok=False)
+
+    def link(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device: degrade to copy
+
+    for f in m["files"]:
+        link(os.path.join(table_dir, f), os.path.join(out_dir, f))
+    dv_names = list((m.get("deletes", {}) or {}).values()) + [
+        e["file"] for e in m.get("eq_deletes", []) or []
+    ]
+    if dv_names:
+        os.makedirs(os.path.join(out_dir, _DV_DIR), exist_ok=True)
+        for f in dv_names:
+            link(_dv_path(table_dir, f), _dv_path(out_dir, f))
+    child = {
+        "version": m["version"],
+        "parent": None,
+        "op": f"clone({table_dir}@v{m['version']})",
+        "files": list(m["files"]),
+        "deletes": dict(m.get("deletes", {}) or {}),
+        "eq_deletes": list(m.get("eq_deletes", []) or []),
+        "metrics": {"files": len(m["files"]), "source_version": m["version"]},
+    }
+    _write_manifest(out_dir, child)
+    return child
+
+
 def vacuum(table_dir: str, keep_versions: list[int] | None = None) -> dict:
     """Delete part files referenced by NO kept manifest (default: keep
     only the latest) and drop the pruned manifests. The irreversible

@@ -229,3 +229,32 @@ def test_commit_is_exclusive_version_conflict(ray_session, table):
     m = versions.equality_delete(d, "k", [1])
     assert m["parent"] == rogue["version"]
     assert json.load(open(versions._vpath(d, m["version"])))["op"] == "equality_delete"
+
+
+def test_clone_version_zero_copy_and_isolated(ray_session, table, tmp_path):
+    """clone_version hard-links a snapshot (same inodes, no bytes
+    moved), carries merge-on-read deletes, and diverges independently."""
+    from mothray import versions
+
+    d, _ = table
+    versions.equality_delete(d, "k", [3])
+    clone = str(tmp_path / "clone")
+    c = versions.clone_version(d, clone)
+    # the clone CONTINUES the source's version counter (name-collision
+    # guard: mutation file names embed the committing version)
+    assert c["version"] == versions.latest_version(d) and c["eq_deletes"]
+    # shared inodes: zero data bytes copied
+    f0 = c["files"][0]
+    assert os.stat(os.path.join(d, f0)).st_ino == os.stat(
+        os.path.join(clone, f0)
+    ).st_ino
+    base = set(range(2000)) - {3}
+    assert {r["k"] for r in versions.scan_version(clone).take_all()} == base
+    # divergence: mutate the clone, the source must not change
+    versions.equality_delete(clone, "k", [10])
+    assert {r["k"] for r in versions.scan_version(clone).take_all()} == base - {10}
+    assert {r["k"] for r in versions.scan_version(d).take_all()} == base
+    # vacuum on the clone must not break the source (immutable inodes)
+    versions.compact_deletes(clone)
+    versions.vacuum(clone)
+    assert {r["k"] for r in versions.scan_version(d).take_all()} == base
