@@ -835,9 +835,19 @@ def encoded_key_join(
     resolved = _JOIN_TYPES.get(how, how)
     if resolved in ("left_outer", "full_outer", "left_anti"):
         raise ValueError(f"key-range prune unsound for {resolved}; use partitioned_join")
-    mm = right.aggregate(Min(on), Max(on))
-    rmin, rmax = mm[f"min({on})"], mm[f"max({on})"]
-    if rmin is None:  # all-null / empty dimension: inner join is empty
+    mm = right.aggregate(Min(on), Max(on))  # None when right is EMPTY
+    rmin = mm[f"min({on})"] if mm else None
+    rmax = mm[f"max({on})"] if mm else None
+    if rmin is None:
+        # empty or all-null-key dimension: no key can ever match. For
+        # inner/semi that means an empty result; right_outer must still
+        # surface every right row with null left columns, so fall back
+        # to the unpruned join rather than silently dropping them
+        if resolved == "right_outer":
+            dec_all = pipeline.decode_dataset(
+                pipeline.read_encoded(left_path), columns=columns
+            )
+            return partitioned_join(dec_all, right, on, how=how)
         import ray.data
 
         return ray.data.from_items([])

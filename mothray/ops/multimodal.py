@@ -215,7 +215,10 @@ def _parse_png(payload) -> np.ndarray | None:
     if ctype == 4:  # gray + alpha: gray channel
         return recon.reshape(h, w, 2)[..., 0].copy()
     if ctype == 3:  # palette -> RGB
-        rgb = palette[recon.reshape(h, w)]
+        idx = recon.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(palette):
+            return None  # corrupt: pixel index beyond the PLTE
+        rgb = palette[idx]
     else:  # 2 = RGB, 6 = RGBA (alpha dropped)
         rgb = recon.reshape(h, w, bpp)[..., :3].astype(np.uint32)
     return ((rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000).astype(

@@ -873,6 +873,41 @@ def predicate_mask(tree: dict, blob, t: pa.DataType, n: int, op: str, value) -> 
     return full
 
 
+def _dict_key_codes(enc, t: pa.DataType, n: int):
+    """Shared dictionary fast path for the aggregate pushdowns: for a
+    dict-encoded string column, (dict_values list, FULL-LENGTH int64
+    code vector with `card` as the null slot, card) — per-row strings
+    never materialize. None when the column is not dict-encoded (the
+    caller decodes values instead). predicate_mask keeps its own
+    valid-only variant (it needs the mask, not full-length codes)."""
+    from .codecs import boolrle, rlev2
+
+    if not (
+        (pa.types.is_string(t) or pa.types.is_large_string(t))
+        and enc.encoding == column_mod.ENC_DICT
+    ):
+        return None
+    s = enc.streams
+    card = enc.extra["dict_size"]
+    dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
+    dict_vals = column_mod._build_string_array(
+        pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
+    ).to_pylist()
+    if column_mod.PRESENT in s:
+        valid, _ = boolrle.decode(s[column_mod.PRESENT], n)
+        valid = np.asarray(valid, dtype=bool)
+        n_eff = int(valid.sum())
+    else:
+        valid, n_eff = None, n
+    idx, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
+    codes = np.full(n, card, dtype=np.int64)
+    if valid is None:
+        codes = idx.astype(np.int64)
+    else:
+        codes[valid] = idx.astype(np.int64)
+    return dict_vals, codes, card
+
+
 def group_count_stripe(row: dict, column: str) -> pa.Table:
     """GROUP BY <column> COUNT(*) partial from ONE stripe without
     materializing per-row values: a dictionary-encoded string row group
@@ -901,6 +936,15 @@ def group_count_stripe(row: dict, column: str) -> pa.Table:
     for i in range(rgc):
         n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
         enc = _rebuild_column(trees[i], blob)
+        dk = _dict_key_codes(enc, t, n)
+        if dk is not None:
+            dict_vals, codes, card = dk
+            bc = np.bincount(codes, minlength=card + 1)
+            null_cnt += int(bc[card])
+            for v, c in zip(dict_vals, bc[:card].tolist()):
+                if c:
+                    counts[v] = counts.get(v, 0) + c
+            continue
         n_eff = n
         if column_mod.PRESENT in enc.streams:
             valid, _ = boolrle.decode(enc.streams[column_mod.PRESENT], n)
@@ -908,23 +952,7 @@ def group_count_stripe(row: dict, column: str) -> pa.Table:
             null_cnt += n - n_eff
         if n_eff == 0:
             continue
-        if (
-            (pa.types.is_string(t) or pa.types.is_large_string(t))
-            and enc.encoding == column_mod.ENC_DICT
-        ):
-            s = enc.streams
-            card = enc.extra["dict_size"]
-            dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
-            dict_arr = column_mod._build_string_array(
-                pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
-            )
-            indices, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
-            bc = np.bincount(indices.astype(np.int64), minlength=card)
-            for v, c in zip(dict_arr.to_pylist(), bc.tolist()):
-                if c:
-                    counts[v] = counts.get(v, 0) + c
-        else:
-            val_parts.append(column_mod._decode_values(enc, t, n_eff))
+        val_parts.append(column_mod._decode_values(enc, t, n_eff))
     if val_parts:
         import pyarrow.compute as pc
 
@@ -1024,14 +1052,15 @@ def group_agg_stripe(
     fast path (full-length code vector per row group — per-row strings
     never materialize), the value side decodes its single column, and
     the aggregates are one weighted np.add.at / minimum.at pass per
-    row group. SUM is EXACT: values scale to int64 by 10^scale
-    (round-half-away, the repo's money convention) so the merged total
-    is order-independent — no float accumulation anywhere. Null keys
+    row group. SUM is EXACT and order-independent: integer value
+    columns at scale=0 accumulate pure int64 (no float anywhere, no
+    2^53 cap); float columns scale to int64 by 10^scale
+    (round-half-away, the repo's money convention) — exact while the
+    scaled magnitude stays below 2^53, the float64 integer limit
+    (min_v/max_v report as float64 with the same caveat). Null keys
     group separately (SQL GROUP BY); null values count into cnt but
     not vcnt/sum/min/max (SQL aggregate semantics). Output rows are
     bounded by local key cardinality."""
-    from .codecs import boolrle, rlev2
-
     schema = _deserialize_schema(row["schema_ipc"])
     meta = json.loads(row["meta"])
     blob = row["blob"]
@@ -1042,32 +1071,14 @@ def group_agg_stripe(
     trees_k = meta["columns"][key_column]["row_groups"]
     acc: dict = {}  # key -> [cnt, vcnt, sum_scaled, min, max]
     mult = float(10**scale)
+    t_v = schema.field(value_column).type
+    int_exact = pa.types.is_integer(t_v) and scale == 0
     for i in range(rgc):
         n = (n_rows - rgr * (rgc - 1)) if i == rgc - 1 else rgr
         enc_k = _rebuild_column(trees_k[i], blob)
-        # full-length key codes, card = null slot
-        if (
-            (pa.types.is_string(t_k) or pa.types.is_large_string(t_k))
-            and enc_k.encoding == column_mod.ENC_DICT
-        ):
-            s = enc_k.streams
-            card = enc_k.extra["dict_size"]
-            dlen, _ = rlev2.decode(s[column_mod.LENGTH], card, signed=False)
-            dict_vals = column_mod._build_string_array(
-                pa.utf8(), dlen.astype(np.int64), s[column_mod.DICTIONARY_DATA], card
-            ).to_pylist()
-            if column_mod.PRESENT in enc_k.streams:
-                valid, _ = boolrle.decode(enc_k.streams[column_mod.PRESENT], n)
-                valid = np.asarray(valid, dtype=bool)
-                n_eff = int(valid.sum())
-            else:
-                valid, n_eff = None, n
-            idx, _ = rlev2.decode(s[column_mod.DATA], n_eff, signed=False)
-            codes = np.full(n, card, dtype=np.int64)
-            if valid is None:
-                codes = idx.astype(np.int64)
-            else:
-                codes[valid] = idx.astype(np.int64)
+        dk = _dict_key_codes(enc_k, t_k, n)
+        if dk is not None:
+            dict_vals, codes, card = dk
         else:
             arr_k = decode_stripe(row, [key_column], [i]).column(key_column)
             import pyarrow.compute as pc
@@ -1085,17 +1096,30 @@ def group_agg_stripe(
         import pyarrow.compute as pc
 
         vmask = np.asarray(pc.is_valid(vals).to_numpy(zero_copy_only=False), dtype=bool)
-        v = np.asarray(
-            pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False), dtype=np.float64
-        )
         nb = card + 1
         cnt = np.bincount(codes, minlength=nb)
-        vcodes, vv = codes[vmask], v[vmask]
+        vcodes = codes[vmask]
         vcnt = np.bincount(vcodes, minlength=nb)
-        # round-half-away-from-zero to int64 (np.round is half-even)
-        ints = np.trunc(np.abs(vv) * mult + 0.5).astype(np.int64) * np.sign(vv).astype(
-            np.int64
-        )
+        if int_exact:
+            # integer column, no scaling: pure-int64 path — no float
+            # cast anywhere (a value past 2^53 would not survive one)
+            ints = np.asarray(
+                pc.fill_null(pc.cast(vals, pa.int64()), 0).to_numpy(
+                    zero_copy_only=False
+                ),
+                dtype=np.int64,
+            )[vmask]
+            vv = ints.astype(np.float64)  # min/max report float64
+        else:
+            v = np.asarray(
+                pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
+            vv = v[vmask]
+            # round-half-away-from-zero to int64 (np.round is half-even)
+            ints = np.trunc(np.abs(vv) * mult + 0.5).astype(np.int64) * np.sign(
+                vv
+            ).astype(np.int64)
         sums = np.zeros(nb, dtype=np.int64)
         np.add.at(sums, vcodes, ints)
         mins = np.full(nb, np.inf)
@@ -1151,6 +1175,7 @@ def sample_stripe(
     rgc = rg["count"]
     threshold = np.uint64(int(rate * _DENOM))
     out_schema = pa.schema([schema.field(nm) for nm in names])
+    rest = [nm for nm in names if nm != key_column]
     parts = []
     for i in range(rgc):
         keys = decode_stripe(row, [key_column], [i])
@@ -1158,7 +1183,17 @@ def sample_stripe(
         mask = u < threshold
         if not mask.any():
             continue
-        parts.append(decode_stripe(row, names, [i]).filter(pa.array(mask)))
+        amask = pa.array(mask)
+        # the key column decoded once for the gate is REUSED in the
+        # output; only the remaining projection decodes for hit groups
+        cols = {key_column: keys.column(key_column).filter(amask)}
+        if rest:
+            dec = decode_stripe(row, rest, [i]).filter(amask)
+            for nm in rest:
+                cols[nm] = dec.column(nm)
+        parts.append(
+            pa.table({nm: cols[nm] for nm in names if nm in cols})
+        )
     if not parts:
         return out_schema.empty_table()
     return pa.concat_tables(parts)

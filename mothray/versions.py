@@ -66,8 +66,25 @@ def _write_manifest(table_dir: str, m: dict) -> None:
             f"version {m['version']} at {table_dir} was committed by another"
             " writer; re-read the head and retry"
         ) from None
+    except OSError:
+        # filesystem without hard links (some network/FUSE mounts):
+        # reserve the name exclusively, then rename the payload over
+        # the placeholder — exclusivity from O_EXCL, atomic content
+        # from rename
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise VersionConflict(
+                f"version {m['version']} at {table_dir} was committed by"
+                " another writer; re-read the head and retry"
+            ) from None
+        os.rename(tmp, path)
+        return
     finally:
-        os.unlink(tmp)
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def latest_version(table_dir: str) -> int | None:
@@ -788,10 +805,26 @@ def equality_delete(table_dir: str, column: str, values) -> dict:
     new_v = parent["version"] + 1
     os.makedirs(os.path.join(table_dir, _DV_DIR), exist_ok=True)
     arr = pa.array(values) if not isinstance(values, (pa.Array, pa.ChunkedArray)) else values
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # SQL '=' semantics: a NULL literal matches nothing — and pyarrow's
+    # is_in treats a null IN the value set as matching null inputs, so
+    # a null left in the key file would DELETE null-keyed rows
+    arr = arr.drop_null()
     name = f"eqdel-v{new_v}.parquet"
-    tmp = _dv_path(table_dir, name + ".tmp")
+    tmp = _dv_path(table_dir, f"{name}.{os.getpid()}.tmp")
     pq.write_table(pa.table({column: arr}), tmp)
-    os.rename(tmp, _dv_path(table_dir, name))
+    try:
+        # exclusive, like the manifest commit: two writers racing the
+        # same parent must not interleave on the version-named key file
+        os.link(tmp, _dv_path(table_dir, name))
+    except FileExistsError:
+        raise VersionConflict(
+            f"equality-delete key file for version {new_v} at {table_dir}"
+            " was committed by another writer; re-read the head and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     m = {
         **parent,
         "version": new_v,
@@ -1056,6 +1089,12 @@ def compact_deletes(table_dir: str, opts: dict | None = None) -> dict:
                     )
             if not keep_rows:
                 out.append((name, "", removed))
+                continue
+            if removed == 0:
+                # eq-range probe was a zone-map false positive: the
+                # keys fell in range but none were present — carry the
+                # file BY NAME, no rewrite
+                out.append((name, name, 0))
                 continue
             new_tbl = pa.concat_tables(keep_rows)
             stem = name[: -len(".parquet")]
