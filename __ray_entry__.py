@@ -3188,6 +3188,26 @@ def _encoded_key_join_lineitem(sf_dir: str):
     return res
 
 
+def _agg_where_pushdown_orders(sf_dir: str):
+    """Predicated COUNT/MIN/MAX with boundary refinement
+    (pipeline.agg_where_encoded): interior stripes answer from stats
+    alone, only the range-boundary stripes decode — on the key-ordered
+    orders layout that is O(1) decode regardless of table size."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_aggw_")
+    # small stripes so the layout has interior/boundary structure even
+    # at sf0.01 (the default single stripe would always straddle)
+    pipeline.encode_parquet_to_dir(
+        f"{sf_dir}/orders.parquet", out, opts={"stripe_rows": 1500}
+    )
+    tbl, rep = pipeline.agg_where_encoded(out, "o_orderkey", 2000, 9000)
+    assert rep["stripes_metadata_only"] > 0, rep  # the pushdown engaged
+    return tbl
+
+
 def _group_agg_pushdown_lineitem(sf_dir: str):
     """Grouped COUNT/SUM/MIN/MAX answered inside the encoded format
     (pipeline.group_agg_encoded): dictionary key codes + one weighted
@@ -7117,6 +7137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["group_count_pushdown_lineitem"] = _group_count_pushdown_lineitem
     q["group_agg_pushdown_lineitem"] = _group_agg_pushdown_lineitem
     q["encoded_key_join_lineitem"] = _encoded_key_join_lineitem
+    q["agg_where_pushdown_orders"] = _agg_where_pushdown_orders
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8771,6 +8792,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["group_count_pushdown_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    )
+    o["agg_where_pushdown_orders"] = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,"
+        " CAST(MAX(o_orderkey) AS DOUBLE) AS max_v"
+        " FROM orders WHERE o_orderkey BETWEEN 2000 AND 9000"
     )
     o["group_agg_pushdown_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_extendedprice) AS vcnt,"

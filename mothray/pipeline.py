@@ -2447,6 +2447,145 @@ def group_agg_encoded(
     return merged.map_batches(fix_types, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def agg_where_encoded(path: str | list[str], column: str, lo, hi):
+    """COUNT(*) / MIN / MAX over rows where `column` BETWEEN lo AND hi
+    with BOUNDARY REFINEMENT: a stripe whose zone map lies FULLY
+    INSIDE the range answers from stats alone (matching rows = count -
+    null_count; min/max are the stats values), a stripe fully outside
+    contributes nothing, and only STRADDLING stripes fetch + decode —
+    the predicate column alone, through the row-group mask machinery.
+    On a clustered layout (OPTIMIZE / naturally ordered ingest) the
+    decode cost is O(boundary stripes) ~ O(1) regardless of table
+    size; the metadata pass is the only full scan and touches no blob
+    bytes. Returns (one-row Table {cnt, min_v, max_v}, report dict
+    {stripes_total, stripes_metadata_only, stripes_decoded}).
+    SQL semantics: nulls never match; empty result -> cnt 0, null
+    min/max. Numeric predicate columns only (min_v/max_v report as
+    float64; use filter_encoded + agg for temporal/string ranges)."""
+    from . import stripe as stripe_mod
+
+    t = encoded_union_schema(path).field(column).type
+    if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        raise ValueError(
+            f"agg_where_encoded needs a numeric column; {column} is {t}"
+        )
+    meta = read_encoded(path, metadata_only=True, include_paths=True)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        kinds = []
+        cnts = []
+        mns, mxs = [], []
+        for sj in batch.column("stats").to_pylist():
+            st = json.loads(sj).get(column, {})
+            smin, smax = st.get("min"), st.get("max")
+            cnt, nc = st.get("count"), st.get("null_count", 0)
+            b_lo = stripe_mod.stat_bound(lo, st.get("unit"))
+            b_hi = stripe_mod.stat_bound(hi, st.get("unit"))
+            if smin is None or smax is None or cnt is None:
+                kind = "b"  # no stats: must decode
+            elif (b_lo is not None and smax < b_lo) or (
+                b_hi is not None and smin > b_hi
+            ):
+                kind = "o"  # fully outside
+            elif (b_lo is None or smin >= b_lo) and (b_hi is None or smax <= b_hi):
+                kind = "m"  # fully inside: metadata answers
+            else:
+                kind = "b"
+            kinds.append(kind)
+            if kind == "m":
+                cnts.append(int(cnt) - int(nc or 0))
+                mns.append(smin)
+                mxs.append(smax)
+        return pa.table(
+            {
+                "stripe_key": batch.column("stripe_key"),
+                "kind": pa.array(kinds, pa.string()),
+                "m_cnt": pa.array(
+                    [cnts.pop(0) if k == "m" else 0 for k in kinds], pa.int64()
+                ),
+                "m_min": pa.array(
+                    [mns.pop(0) if k == "m" else None for k in kinds], pa.float64()
+                ),
+                "m_max": pa.array(
+                    [mxs.pop(0) if k == "m" else None for k in kinds], pa.float64()
+                ),
+            }
+        )
+
+    cls = meta.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    rows = cls.take_all()  # one tiny row per stripe
+    n_total = len(rows)
+    n_meta = sum(1 for r in rows if r["kind"] == "m")
+    boundary_keys = {r["stripe_key"] for r in rows if r["kind"] == "b"}
+    cnt = sum(r["m_cnt"] for r in rows if r["kind"] == "m")
+    mins = [r["m_min"] for r in rows if r["kind"] == "m" and r["m_min"] is not None]
+    maxs = [r["m_max"] for r in rows if r["kind"] == "m" and r["m_max"] is not None]
+    if boundary_keys:
+        import pyarrow.compute as pc
+
+        keyset = pa.array(sorted(boundary_keys), pa.string())
+
+        def keep_boundary(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("stripe_key"), value_set=keyset)
+            )
+
+        enc = meta.map_batches(
+            keep_boundary, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(_FetchStripes(), batch_format="pyarrow")
+
+        preds = [(column, "ge", lo)] if lo is not None else []
+        if hi is not None:
+            preds.append((column, "le", hi))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = 0
+            mn = mx = None
+            for row in _iter_stripe_rows(batch):
+                if preds:
+                    t = stripe_mod.filter_stripe_multi(row, preds, columns=[column])
+                else:  # fully open range: count the non-null values
+                    t = stripe_mod.decode_stripe(row, [column]).drop_null()
+                if t.num_rows:
+                    c += t.num_rows
+                    m = pc.min_max(t.column(column))
+                    vmn, vmx = m["min"].as_py(), m["max"].as_py()
+                    mn = vmn if mn is None else min(mn, vmn)
+                    mx = vmx if mx is None else max(mx, vmx)
+            return pa.table(
+                {
+                    "cnt": pa.array([c], pa.int64()),
+                    "mn": pa.array([mn], pa.float64()),
+                    "mx": pa.array([mx], pa.float64()),
+                }
+            )
+
+        for r in enc.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all():
+            cnt += r["cnt"]
+            if r["mn"] is not None:
+                mins.append(r["mn"])
+            if r["mx"] is not None:
+                maxs.append(r["mx"])
+    out = pa.table(
+        {
+            "cnt": pa.array([cnt], pa.int64()),
+            "min_v": pa.array([min(mins) if mins else None], pa.float64()),
+            "max_v": pa.array([max(maxs) if maxs else None], pa.float64()),
+        }
+    )
+    report = {
+        "stripes_total": n_total,
+        "stripes_metadata_only": n_meta,
+        "stripes_decoded": len(boundary_keys),
+        "stripes_outside": n_total - n_meta - len(boundary_keys),
+    }
+    return out, report
+
+
 def sample_scan_encoded(
     path: str | list[str],
     key_column: str,
