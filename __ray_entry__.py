@@ -1150,6 +1150,40 @@ def _png_image_features(sf_dir: str):
     return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
 
 
+def _jpeg_image_features(sf_dir: str):
+    """Image features over REAL baseline JPEG payloads (ops/jpeg.py —
+    Annex-K Huffman entropy coding, DCT/quantization, byte stuffing,
+    all pure numpy+stdlib; lossy paths pytest-bounded): CONSTANT
+    even-gray images survive the quantizer exactly (DC-only blocks,
+    clean division), so width/height/mean are SQL-constructible and
+    the full decode chain is VALUE-checked. Color/progressive JPEG
+    stays out of scope (decoder returns None, documented)."""
+    import numpy as np
+    import ray.data
+
+    from mothray.ops import jpeg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_image(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        imgs = [
+            jpeg.make_jpeg(
+                np.full((10 + i % 6, 12 + i % 7), (i * 2) % 256, dtype=np.uint8),
+                quality=50,
+            )
+            for i in ids
+        ]
+        return batch.append_column("image", pa.array(imgs, type=pa.binary()))
+
+    from mothray.ops import multimodal
+
+    out = multimodal.decode_images(
+        ds.map_batches(add_image, batch_format="pyarrow"), concurrency=2, batch_size=128
+    )
+    return out.select_columns(["doc_id", "width", "height", "mean_pixel"])
+
+
 def _gif_image_features(sf_dir: str):
     """Image features over REAL GIF payloads (ops/multimodal.py:
     _parse_gif — header, color tables, extension skip, full LZW with
@@ -7203,6 +7237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["multimodal_audio_features"] = _multimodal_audio
     q["png_image_features_documents"] = _png_image_features
     q["gif_image_features_documents"] = _gif_image_features
+    q["jpeg_image_features_documents"] = _jpeg_image_features
     q["argmax_orders"] = _argmax_orders
     q["rolling_orders"] = _rolling_orders
     q["variance_lineitem"] = _variance_lineitem
@@ -8931,6 +8966,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, CAST(11 + doc_id % 5 AS INTEGER) AS width,"
         " CAST(9 + doc_id % 7 AS INTEGER) AS height,"
         " CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_pixel FROM documents"
+    )
+    o["jpeg_image_features_documents"] = (
+        # real baseline-JPEG decode chain; constant EVEN grays quantize
+        # exactly (DC step divides cleanly), so the mean is exact
+        "SELECT doc_id, CAST(12 + doc_id % 7 AS INTEGER) AS width,"
+        " CAST(10 + doc_id % 6 AS INTEGER) AS height,"
+        " CAST((doc_id * 2) % 256 AS DOUBLE) AS mean_pixel FROM documents"
     )
     o["gif_image_features_documents"] = (
         # real GIF decode chain (LZW + palette) over constant-gray

@@ -502,13 +502,17 @@ class ImageDecoder:
             h = int.from_bytes(payload[6:8], "little")
             pix = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
             return pix.reshape(h, w)
-        img = _parse_bmp(payload)  # REAL formats: BMP, PGM, PNG, GIF
+        img = _parse_bmp(payload)  # REAL formats: BMP, PGM, PNG, GIF, JPEG
         if img is None:
             img = _parse_pgm(payload)
         if img is None:
             img = _parse_png(payload)
         if img is None:
             img = _parse_gif(payload)
+        if img is None and bytes(payload[:2]) == b"\xff\xd8":
+            from .jpeg import parse_jpeg  # baseline grayscale (ops/jpeg.py)
+
+            img = parse_jpeg(payload)
         if img is None and self._backend == "pil":
             raise NotImplementedError("PIL branch not wired in this sandbox")
         return img
