@@ -1,14 +1,17 @@
-"""Baseline JPEG (ITU-T T.81) codec for GRAYSCALE images — pure
-numpy + stdlib, no image libraries.
+"""Baseline JPEG (ITU-T T.81) codec — pure numpy + stdlib, no image
+libraries.
 
-Scope (stated, not hidden): baseline sequential DCT, 8-bit, single
-component (luma). That covers the engine's multimodal contract for
-JPEG the same way the PNG/GIF/BMP decoders do for theirs; color
-(multi-component with chroma subsampling) and progressive scans
-return None and fall through to the caller. The encoder exists so
-tests and fixtures can round-trip without external tools; it emits
-the spec's example Huffman tables (Annex K) and the standard
-luminance quantization table scaled by a quality factor.
+Scope (stated, not hidden): baseline sequential DCT, 8-bit, grayscale
+AND interleaved YCbCr color at 4:4:4 or 4:2:0 subsampling. The
+decoder emits the Y PLANE as the image — Y of JFIF YCbCr IS the
+ITU-R 601 luma every other decoder in ops/multimodal.py produces, so
+chroma blocks are entropy-decoded (the bit stream demands it) but
+never reconstructed. Progressive scans, arithmetic coding, 12-bit
+precision, and exotic sampling factors return None and fall through
+to the caller. The encoder exists so tests and fixtures round-trip
+without external tools; it emits the spec's example Huffman tables
+(Annex K) and the standard luminance quantization table scaled by a
+quality factor.
 
 Public-spec anchors: marker layout T.81 §B, Huffman coding §F.2,
 zigzag Fig. A.6, example tables Annex K. The reference engine has no
@@ -136,71 +139,131 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
-def make_jpeg(gray: np.ndarray, quality: int = 75) -> bytes:
-    """Encode (h, w) uint8 grayscale as a baseline JFIF JPEG."""
-    import struct
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate a float plane up to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[-1:, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
 
-    h, w = gray.shape
-    qt = _quant_table(quality)
-    ph = -(-h // 8) * 8
-    pw = -(-w // 8) * 8
-    img = np.empty((ph, pw), dtype=np.float64)
-    img[:h, :w] = gray
-    img[h:, :w] = gray[-1:, :]  # edge-replicate padding
-    img[:, w:] = img[:, w - 1 : w]
-    img -= 128.0
-    bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = img[by : by + 8, bx : bx + 8]
-            coef = _C @ block @ _C.T
-            q = np.round(coef / qt).astype(np.int64)
-            zz = q.ravel()[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            code, ln = _DC_CODES[cat]
+
+def _encode_block(bw: "_BitWriter", block: np.ndarray, qt: np.ndarray, prev_dc: int) -> int:
+    coef = _C @ block @ _C.T
+    q = np.round(coef / qt).astype(np.int64)
+    zz = q.ravel()[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    cat = _category(diff)
+    code, ln = _DC_CODES[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]  # ZRL
             bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _AC_CODES[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = _AC_CODES[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = _AC_CODES[0x00]  # EOB
-                bw.write(code, ln)
-    scan = bw.flush()
+            run -= 16
+        cat = _category(v)
+        code, ln = _AC_CODES[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _headers(h: int, w: int, qt: np.ndarray, comps: list[tuple]) -> bytes:
+    """SOI..SOS marker stream for `comps` = [(id, hv_byte)]."""
+    import struct
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     zz_q = qt.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
-    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes([cid, hv, 0]) for cid, hv in comps
+    )
+    sos = bytes([len(comps)]) + b"".join(bytes([cid, 0x00]) for cid, _ in comps) + bytes(
+        [0, 63, 0]
+    )
     return (
-        b"\xff\xd8"  # SOI
+        b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + seg(0xDB, bytes([0x00]) + zz_q)
-        + seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, dht_dc)
-        + seg(0xC4, dht_ac)
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        + scan
-        + b"\xff\xd9"  # EOI
+        + seg(0xC0, sof)
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, sos)
     )
+
+
+def make_jpeg(gray: np.ndarray, quality: int = 75) -> bytes:
+    """Encode (h, w) uint8 grayscale as a baseline JFIF JPEG."""
+    h, w = gray.shape
+    qt = _quant_table(quality)
+    img = _pad_edge(gray.astype(np.float64), 8, 8) - 128.0
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
+            prev_dc = _encode_block(bw, img[by : by + 8, bx : bx + 8], qt, prev_dc)
+    return _headers(h, w, qt, [(1, 0x11)]) + bw.flush() + b"\xff\xd9"
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF YCbCr (T.871): float64 planes from a (h, w, 3) uint8 RGB."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def make_jpeg_color(rgb: np.ndarray, quality: int = 75, subsample: int = 2) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline interleaved YCbCr JFIF
+    JPEG — 4:4:4 (subsample=1) or 4:2:0 (subsample=2, chroma averaged
+    2x2). One quant/Huffman table set shared by all components (legal,
+    and what this module's decoder exercises)."""
+    if subsample not in (1, 2):
+        raise ValueError("subsample must be 1 (4:4:4) or 2 (4:2:0)")
+    h, w = rgb.shape[:2]
+    qt = _quant_table(quality)
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    s = subsample
+    yp = _pad_edge(y, 8 * s, 8 * s) - 128.0
+    if s == 2:
+        cbs = _pad_edge(cb, 16, 16)
+        crs = _pad_edge(cr, 16, 16)
+        cbp = cbs.reshape(cbs.shape[0] // 2, 2, cbs.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+        crp = crs.reshape(crs.shape[0] // 2, 2, crs.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+    else:
+        cbp = _pad_edge(cb, 8, 8) - 128.0
+        crp = _pad_edge(cr, 8, 8) - 128.0
+    bw = _BitWriter()
+    dc = [0, 0, 0]
+    mcuy, mcux = yp.shape[0] // (8 * s), yp.shape[1] // (8 * s)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for vy in range(s):
+                for vx in range(s):
+                    by, bx = (my * s + vy) * 8, (mx * s + vx) * 8
+                    dc[0] = _encode_block(bw, yp[by : by + 8, bx : bx + 8], qt, dc[0])
+            for ci, plane in ((1, cbp), (2, crp)):
+                by, bx = my * 8, mx * 8
+                dc[ci] = _encode_block(bw, plane[by : by + 8, bx : bx + 8], qt, dc[ci])
+    comps = [(1, (s << 4) | s), (2, 0x11), (3, 0x11)]
+    return _headers(h, w, qt, comps) + bw.flush() + b"\xff\xd9"
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
@@ -294,8 +357,7 @@ def parse_jpeg(payload) -> np.ndarray | None:
     dcs: dict[int, dict] = {}
     acs: dict[int, dict] = {}
     h = w = None
-    qid = None
-    dc_sel = ac_sel = None
+    comps: list[dict] = []  # SOF order: {cid, h, v, qid, dc, ac}
     restart = 0
     n = len(data)
     while pos + 4 <= n:
@@ -328,16 +390,26 @@ def parse_jpeg(payload) -> np.ndarray | None:
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             return None  # progressive / extended / arithmetic
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 9 or body[0] != 8:
+            if len(body) < 6 or body[0] != 8:
                 return None
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if ncomp != 1:
-                return None  # grayscale only (stated scope)
-            if body[7] != 0x11:
-                return None  # no subsampling for 1 component
-            qid = body[8]
+            if ncomp not in (1, 3) or len(body) < 6 + 3 * ncomp:
+                return None  # gray or YCbCr (stated scope)
+            comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                hv = body[7 + 3 * ci]
+                comps.append(
+                    {"cid": cid, "h": hv >> 4, "v": hv & 0x0F, "qid": body[8 + 3 * ci]}
+                )
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+                return None  # exotic sampling factors
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                return None  # Y must be the full-resolution component
         elif marker == 0xC4:  # DHT (possibly several)
             i = 0
             while i < len(body):
@@ -355,45 +427,45 @@ def parse_jpeg(payload) -> np.ndarray | None:
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
-            if h is None or len(body) < 6 or body[0] != 1:
+            if h is None or len(body) < 1 or body[0] != len(comps):
                 return None
-            dc_sel = body[2] >> 4
-            ac_sel = body[2] & 0x0F
+            if len(body) < 1 + 2 * len(comps) + 3:
+                return None
+            for si in range(len(comps)):
+                scid = body[1 + 2 * si]
+                sel = body[2 + 2 * si]
+                match = [c for c in comps if c["cid"] == scid]
+                if not match:
+                    return None
+                match[0]["dc"] = sel >> 4
+                match[0]["ac"] = sel & 0x0F
             pos = pos + 2 + ln
             break
         pos += 2 + ln
     else:
         return None
-    if qid not in qts or dc_sel not in dcs or ac_sel not in acs:
-        return None
-    qt = qts[qid]
-    dct, act = dcs[dc_sel], acs[ac_sel]
-    bh = -(-h // 8)
-    bw_ = -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    for c in comps:
+        if c["qid"] not in qts or c.get("dc") not in dcs or c.get("ac") not in acs:
+            return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    out = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax), dtype=np.float64)
     br = _BitReader(data, pos)
-    prev_dc = 0
-    nblocks = bh * bw_
-    for bi in range(nblocks):
-        if restart and bi and bi % restart == 0:
-            # align to byte, consume RSTn marker
-            br.nbits = 0
-            p = br.pos
-            while p + 1 < n and not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
-                p += 1
-            if p + 1 >= n:
-                return None
-            br.pos = p + 2
-            prev_dc = 0
+    pred = [0] * len(comps)
+    qt0 = qts[comps[0]["qid"]].ravel()[_ZIGZAG]
+
+    def decode_block(dct: dict, act: dict, ci: int, want_pixels: bool):
         sym = _huff_decode(br, dct)
         if sym is None:
             return None
         diff = _receive_extend(br, sym)
         if diff is None:
             return None
-        prev_dc += diff
+        pred[ci] += diff
         zz = np.zeros(64, dtype=np.int64)
-        zz[0] = prev_dc
+        zz[0] = pred[ci]
         k = 1
         while k < 64:
             sym = _huff_decode(br, act)
@@ -413,9 +485,32 @@ def parse_jpeg(payload) -> np.ndarray | None:
                 return None
             zz[k] = v
             k += 1
+        if not want_pixels:
+            return True  # chroma: stream consumed, pixels discarded
         coef = np.zeros(64, dtype=np.float64)
-        coef[_ZIGZAG] = zz * qt.ravel()[_ZIGZAG]
-        block = _C.T @ coef.reshape(8, 8) @ _C
-        by, bx = divmod(bi, bw_)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        coef[_ZIGZAG] = zz * qt0
+        return _C.T @ coef.reshape(8, 8) @ _C
+
+    for mi in range(mcux * mcuy):
+        if restart and mi and mi % restart == 0:
+            br.nbits = 0
+            p = br.pos
+            while p + 1 < n and not (data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7):
+                p += 1
+            if p + 1 >= n:
+                return None
+            br.pos = p + 2
+            pred = [0] * len(comps)
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(comps):
+            dct, act = dcs[c["dc"]], acs[c["ac"]]
+            for vy in range(c["v"]):
+                for vx in range(c["h"]):
+                    blk = decode_block(dct, act, ci, want_pixels=(ci == 0))
+                    if blk is None:
+                        return None
+                    if ci == 0:
+                        by = (my * vmax + vy) * 8
+                        bx = (mx * hmax + vx) * 8
+                        out[by : by + 8, bx : bx + 8] = blk
     return np.clip(np.round(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)

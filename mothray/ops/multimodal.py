@@ -5,11 +5,14 @@ stages.
 REAL decode kernels for the formats stdlib+numpy can handle —
   * audio: PCM16 WAV (RIFF chunk walk, mono-mix, any rate),
   * image: uncompressed BMP (8-bit indexed-as-gray and 24-bit BGR,
-    BI_RGB, top-down or bottom-up), binary PGM (P5), and PNG (stdlib
+    BI_RGB, top-down or bottom-up), binary PGM (P5), PNG (stdlib
     zlib inflate + all five scanline filters, color types
-    gray/RGB/palette/gray+alpha/RGBA at bit depth 8, non-interlaced);
-JPEG/MP3/MP4 remain environment-blocked (no PIL/libsndfile/ffmpeg in
-this container) and fall through to the synthetic container below, so
+    gray/RGB/palette/gray+alpha/RGBA at bit depth 8, non-interlaced),
+    GIF (full LZW, color tables, interlace), and baseline JPEG
+    (ops/jpeg.py: Annex-K Huffman entropy coding, DCT/quantization,
+    grayscale + interleaved YCbCr 4:4:4/4:2:0 via the Y plane);
+progressive JPEG and MP3/MP4 remain out of scope (documented) and
+fall through to the synthetic container below, so
 the Ray-side plumbing — schema, batch sizing, actor signature, output
 layout — is exercised either way. Swapping in PIL later only adds a
 branch to `_decode_payload`.

@@ -78,3 +78,40 @@ def test_jpeg_through_actor_pool(ray_session):
     assert dec.loc[0, "width"] == 30 and dec.loc[0, "height"] == 20
     assert dec.loc[0, "mean_pixel"] == pytest.approx(144.0)
     assert dec.loc[0, "mean_pixel"] == dec.loc[1, "mean_pixel"]
+
+
+def test_jpeg_color_444_and_420_y_plane():
+    """Color decode keeps the Y plane (the 601 luma): both subsampling
+    modes recover it within lossy bounds; constant-color images are
+    exact in Y."""
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (37, 50, 3), dtype=np.int64).astype(np.uint8)
+    y, _, _ = jpeg.rgb_to_ycbcr(rgb)
+    for s in (1, 2):
+        back = jpeg.parse_jpeg(memoryview(jpeg.make_jpeg_color(rgb, 92, subsample=s)))
+        assert back.shape == (37, 50)
+        assert np.abs(back.astype(float) - y).mean() < 4.0
+    # constant color: Y constant too -> integer Y values survive exactly
+    flat = np.zeros((16, 24, 3), np.uint8)
+    flat[...] = (64, 128, 192)  # Y = .299*64+.587*128+.114*192 = 116.18 -> lossy-close
+    back = jpeg.parse_jpeg(memoryview(jpeg.make_jpeg_color(flat, 50, subsample=2)))
+    yv = jpeg.rgb_to_ycbcr(flat)[0][0, 0]
+    assert abs(float(back.mean()) - yv) < 1.5
+    # 4:2:0 is smaller than 4:4:4 on the same content
+    assert len(jpeg.make_jpeg_color(rgb, 92, 2)) < len(jpeg.make_jpeg_color(rgb, 92, 1))
+
+
+def test_jpeg_color_through_actor_pool(ray_session):
+    import ray.data
+
+    rgb = np.zeros((12, 18, 3), np.uint8)
+    rgb[..., 1] = 200  # pure green: Y = 117.4
+    t = pa.table(
+        {"img_id": pa.array([0], pa.int64()),
+         "image": pa.array([jpeg.make_jpeg_color(rgb, 75, 2)], pa.binary())}
+    )
+    dec = multimodal.decode_images(
+        ray.data.from_arrow(t), concurrency=1, batch_size=1
+    ).to_pandas()
+    assert dec.loc[0, "width"] == 18 and dec.loc[0, "height"] == 12
+    assert abs(dec.loc[0, "mean_pixel"] - 0.587 * 200) < 2.0
