@@ -174,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     tt.add_argument("out_dir")
     tt.add_argument("--version", type=int, default=None)
 
+    cl = sub.add_parser("clone", help="zero-copy shallow clone of a snapshot (hard links; clone diverges independently)")
+    cl.add_argument("table_dir")
+    cl.add_argument("out_dir")
+    cl.add_argument("--version", type=int, default=None)
+
     vc = sub.add_parser("vacuum", help="drop part files unreferenced by the kept versions (default: keep latest)")
     vc.add_argument("table_dir")
     vc.add_argument("--keep", default=None, help="comma-separated versions to keep")
@@ -485,10 +490,20 @@ def _dispatch(args) -> int:
         ray = _ray()
         from mothray import versions
 
-        dec = versions.decode_version(args.table_dir, version=args.version)
+        # scan_version, not decode_version: a historical snapshot may
+        # carry merge-on-read deletes (DVs / equality keys) that must
+        # apply to the export
+        dec = versions.scan_version(args.table_dir, version=args.version)
         dec.write_parquet(args.out_dir)
         print(json.dumps({"rows": dec.count(), "out_dir": args.out_dir}))
         ray.shutdown()
+        return 0
+
+    if args.cmd == "clone":
+        from mothray import versions
+
+        m = versions.clone_version(args.table_dir, args.out_dir, args.version)
+        print(json.dumps(m["metrics"] | {"version": m["version"], "op": m["op"]}))
         return 0
 
     if args.cmd == "vacuum":
