@@ -4650,6 +4650,21 @@ def _linear_attribution_events(sf_dir: str):
     return funnel.linear_attribution(ds, "purchase")
 
 
+def _time_decay_attribution_events(sf_dir: str):
+    """Time-decay attribution, one-day half-life, INTEGER-EXACT (ops.
+    funnel.time_decay_attribution): credit = 1e6 >> age_days — a bit
+    shift both engines compute identically, no float pow anywhere."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return funnel.time_decay_attribution(ds, "purchase")
+
+
 def _bucket_lookup_orders(sf_dir: str):
     """Hash-bucketed layout + point lookups (pipeline.encode_bucketed
     / bucket_lookup): each probe hashes to ONE bucket directory —
@@ -7402,6 +7417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["clone_orders"] = _clone_orders
     q["bucket_lookup_orders"] = _bucket_lookup_orders
     q["linear_attribution_events"] = _linear_attribution_events
+    q["time_decay_attribution_events"] = _time_decay_attribution_events
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -9823,6 +9839,33 @@ def oracle_sql() -> dict[str, str]:
         " credit AS ("
         "  SELECT s.event_type AS touch_type,"
         "   CAST(round(1000000.0 / t.n_touch) AS BIGINT) AS c"
+        "  FROM s JOIN t ON s.user_id = t.user_id AND COALESCE(s.j, 0) = t.j"
+        "  WHERE s.event_type <> 'purchase' AND t.n_conv > 0"
+        "  UNION ALL"
+        "  SELECT 'none', CAST(1000000 AS BIGINT) FROM t"
+        "  WHERE n_conv > 0 AND n_touch = 0)"
+        " SELECT touch_type, CAST(sum(c) AS BIGINT) AS credit_e6"
+        " FROM credit GROUP BY touch_type"
+    )
+    o["time_decay_attribution_events"] = (
+        # journey machinery as linear_attribution; credit per touch =
+        # 1e6 >> min(whole days to the journey's conversion, 20)
+        "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL),"
+        " s AS (SELECT *,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j FROM e),"
+        " t AS (SELECT user_id, j,"
+        "  count(*) FILTER (WHERE event_type <> 'purchase') AS n_touch,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') AS n_conv,"
+        "  max(ts) FILTER (WHERE event_type = 'purchase') AS conv_ts"
+        "  FROM s GROUP BY 1, 2),"
+        " credit AS ("
+        "  SELECT s.event_type AS touch_type,"
+        "   1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(GREATEST("
+        "    epoch_us(t.conv_ts) - epoch_us(s.ts), 0) // 86400000000, 20)"
+        "    AS INTEGER)) AS c"
         "  FROM s JOIN t ON s.user_id = t.user_id AND COALESCE(s.j, 0) = t.j"
         "  WHERE s.event_type <> 'purchase' AND t.n_conv > 0"
         "  UNION ALL"

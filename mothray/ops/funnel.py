@@ -294,3 +294,83 @@ def linear_attribution(ds, conversion_type: str, user_col: str = "user_id",
             batch_format="pyarrow",
         )
     )
+
+
+def time_decay_attribution(ds, conversion_type: str, user_col: str = "user_id",
+                           ts_col: str = "ts", type_col: str = "event_type",
+                           id_col: str = "event_id", scale: int = 1_000_000,
+                           max_age_days: int = 20):
+    """Time-decay attribution with a one-day half-life, INTEGER-EXACT:
+    every `conversion_type` event credits each touch since the user's
+    previous conversion with `scale >> age_days` credit units (age =
+    whole days between touch and conversion, capped at max_age_days —
+    a bit shift, so both engines compute identical integers; no float
+    pow anywhere). Touchless conversions credit 'none' with the full
+    scale. Output: (touch_type, credit_e6).
+
+    Same scale shape as linear_attribution: one groupby(user)
+    shuffle, vectorized journey math, combiner-shaped grouped sum."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col, id_col})).filter(ok)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        is_conv = types == conversion_type
+        if not is_conv.any():
+            return pa.table(
+                {"touch_type": pa.array([], pa.string()),
+                 "credit_e6": pa.array([], pa.int64())}
+            )
+        n = len(types)
+        j = np.concatenate([[0], np.cumsum(is_conv)[:-1]]).astype(np.int64)
+        touch = ~is_conv
+        n_j = np.bincount(j[touch], minlength=int(j.max()) + 2)
+        conv_js = j[is_conv]
+        conv_ts_by_j = np.zeros(len(n_j), dtype=np.int64)
+        conv_ts_by_j[conv_js] = ts[is_conv]
+        credited_j = np.zeros(len(n_j), dtype=bool)
+        credited_j[conv_js] = True
+        sel = touch & credited_j[j]
+        age_days = np.minimum(
+            np.maximum(conv_ts_by_j[j[sel]] - ts[sel], 0) // 86_400_000_000,
+            max_age_days,
+        ).astype(np.int64)
+        per_touch = np.int64(scale) >> age_days
+        out_types = list(types[sel])
+        out_credit = list(per_touch)
+        n_none = int((n_j[conv_js] == 0).sum())
+        if n_none:
+            out_types.append("none")
+            out_credit.append(n_none * scale)
+        t = pa.table(
+            {"touch_type": pa.array(out_types, pa.string()),
+             "credit_e6": pa.array(np.asarray(out_credit, np.int64))}
+        )
+        p = t.group_by("touch_type", use_threads=False).aggregate([("credit_e6", "sum")])
+        return pa.table(
+            {"touch_type": p.column("touch_type"),
+             "credit_e6": p.column("credit_e6_sum")}
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        null_safe_group_map(proj, [user_col], per_user)
+        .groupby("touch_type")
+        .sum("credit_e6")
+        .map_batches(
+            lambda t: pa.table({"touch_type": t.column("touch_type"),
+                                "credit_e6": t.column("sum(credit_e6)")}),
+            batch_format="pyarrow",
+        )
+    )

@@ -143,3 +143,24 @@ def test_linear_attribution_layout_invariant(ray_session):
     b = {r["touch_type"]: r["credit_e6"] for r in funnel.linear_attribution(
         ray.data.from_items(rows).repartition(5), "conv").take_all()}
     assert a == b and a
+
+
+def test_time_decay_attribution_hand_check(ray_session):
+    """Touch 2 days before conv gets 1e6>>2; same-day touch full 1e6;
+    touchless conv credits 'none'."""
+    import datetime as dt
+
+    import ray.data
+
+    from mothray.ops import funnel
+
+    base = dt.datetime(2024, 1, 10)
+    rows = [
+        {"user_id": 1, "ts": base - dt.timedelta(days=2), "event_type": "a", "event_id": 1},
+        {"user_id": 1, "ts": base - dt.timedelta(hours=1), "event_type": "b", "event_id": 2},
+        {"user_id": 1, "ts": base, "event_type": "conv", "event_id": 3},
+        {"user_id": 2, "ts": base, "event_type": "conv", "event_id": 4},
+    ]
+    out = {r["touch_type"]: r["credit_e6"] for r in funnel.time_decay_attribution(
+        ray.data.from_items(rows), "conv").take_all()}
+    assert out == {"a": 1000000 >> 2, "b": 1000000, "none": 1000000}
