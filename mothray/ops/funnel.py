@@ -325,7 +325,11 @@ def time_decay_attribution(ds, conversion_type: str, user_col: str = "user_id",
         )
         g = group.take(idx)
         types = g.column(type_col).to_numpy(zero_copy_only=False)
-        ts = pc.cast(g.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to MICROSECONDS whatever the source unit (Ray's
+        # from_items hands back timestamp[s]; parquet sources are us)
+        ts = pc.cast(
+            pc.cast(g.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         is_conv = types == conversion_type
         if not is_conv.any():
             return pa.table(
