@@ -4665,6 +4665,21 @@ def _time_decay_attribution_events(sf_dir: str):
     return funnel.time_decay_attribution(ds, "purchase")
 
 
+def _u_shaped_attribution_events(sf_dir: str):
+    """Position-based (40/20/40) attribution, integer-exact (ops.
+    funnel.u_shaped_attribution): first and last touch of each journey
+    take 400000 each, middles split 200000 equally."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return funnel.u_shaped_attribution(ds, "purchase")
+
+
 def _bucket_lookup_orders(sf_dir: str):
     """Hash-bucketed layout + point lookups (pipeline.encode_bucketed
     / bucket_lookup): each probe hashes to ONE bucket directory —
@@ -7418,6 +7433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bucket_lookup_orders"] = _bucket_lookup_orders
     q["linear_attribution_events"] = _linear_attribution_events
     q["time_decay_attribution_events"] = _time_decay_attribution_events
+    q["u_shaped_attribution_events"] = _u_shaped_attribution_events
     q["rake_documents"] = _rake_documents
     q["ols_lineitem"] = _ols_lineitem
     q["anova_lineitem"] = _anova_lineitem
@@ -9868,6 +9884,34 @@ def oracle_sql() -> dict[str, str]:
         "    AS INTEGER)) AS c"
         "  FROM s JOIN t ON s.user_id = t.user_id AND COALESCE(s.j, 0) = t.j"
         "  WHERE s.event_type <> 'purchase' AND t.n_conv > 0"
+        "  UNION ALL"
+        "  SELECT 'none', CAST(1000000 AS BIGINT) FROM t"
+        "  WHERE n_conv > 0 AND n_touch = 0)"
+        " SELECT touch_type, CAST(sum(c) AS BIGINT) AS credit_e6"
+        " FROM credit GROUP BY touch_type"
+    )
+    o["u_shaped_attribution_events"] = (
+        # same journey machinery; rn ranks touches within the journey
+        "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events"
+        "  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL),"
+        " s AS (SELECT *,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') OVER ("
+        "   PARTITION BY user_id ORDER BY ts, event_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS j FROM e),"
+        " t AS (SELECT user_id, j,"
+        "  count(*) FILTER (WHERE event_type <> 'purchase') AS n_touch,"
+        "  count(*) FILTER (WHERE event_type = 'purchase') AS n_conv"
+        "  FROM s GROUP BY 1, 2),"
+        " tk AS (SELECT user_id, j, ts, event_id, event_type,"
+        "  row_number() OVER (PARTITION BY user_id, j ORDER BY ts, event_id) AS rn"
+        "  FROM s WHERE event_type <> 'purchase'),"
+        " credit AS ("
+        "  SELECT tk.event_type AS touch_type,"
+        "   CASE WHEN t.n_touch = 1 THEN CAST(1000000 AS BIGINT)"
+        "        WHEN tk.rn = 1 OR tk.rn = t.n_touch THEN CAST(400000 AS BIGINT)"
+        "        ELSE CAST(round(200000.0 / (t.n_touch - 2)) AS BIGINT) END AS c"
+        "  FROM tk JOIN t ON tk.user_id = t.user_id AND COALESCE(tk.j, 0) = t.j"
+        "  WHERE t.n_conv > 0"
         "  UNION ALL"
         "  SELECT 'none', CAST(1000000 AS BIGINT) FROM t"
         "  WHERE n_conv > 0 AND n_touch = 0)"

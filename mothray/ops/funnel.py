@@ -378,3 +378,103 @@ def time_decay_attribution(ds, conversion_type: str, user_col: str = "user_id",
             batch_format="pyarrow",
         )
     )
+
+
+def u_shaped_attribution(ds, conversion_type: str, user_col: str = "user_id",
+                         ts_col: str = "ts", type_col: str = "event_type",
+                         id_col: str = "event_id", scale: int = 1_000_000):
+    """Position-based (U-shaped / 40-20-40) attribution, INTEGER-EXACT:
+    within each journey (touches since the user's previous conversion)
+    the FIRST touch earns 40% of `scale`, the LAST 40%, and the middle
+    touches split the remaining 20% equally as round(scale/5/(n-2))
+    each; a single touch takes the full scale, two touches take half
+    each, a touchless conversion credits 'none'. Output:
+    (touch_type, credit_e6). Same one-shuffle scale shape as the other
+    attribution ops."""
+    from .nullkeys import null_safe_group_map
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(ts_col)), pc.is_valid(batch.column(type_col))),
+            pc.is_valid(batch.column(id_col)),
+        )
+        return batch.select(sorted({user_col, ts_col, type_col, id_col})).filter(ok)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        types = g.column(type_col).to_numpy(zero_copy_only=False)
+        is_conv = types == conversion_type
+        if not is_conv.any():
+            return pa.table(
+                {"touch_type": pa.array([], pa.string()),
+                 "credit_e6": pa.array([], pa.int64())}
+            )
+        n = len(types)
+        j = np.concatenate([[0], np.cumsum(is_conv)[:-1]]).astype(np.int64)
+        touch = ~is_conv
+        nj = int(j.max()) + 2
+        n_j = np.bincount(j[touch], minlength=nj)
+        conv_js = j[is_conv]
+        credited_j = np.zeros(nj, dtype=bool)
+        credited_j[conv_js] = True
+        # position of each touch within its journey (0-based),
+        # vectorized: j is non-decreasing over the sorted touches, so
+        # the journey start offsets are a running maximum of change
+        # points
+        pos = np.zeros(n, dtype=np.int64)
+        ti = np.flatnonzero(touch)
+        if len(ti):
+            jj = j[ti]
+            starts = np.zeros(len(ti), dtype=np.int64)
+            ch = np.flatnonzero(np.diff(jj)) + 1
+            starts[ch] = ch
+            starts = np.maximum.accumulate(starts)
+            pos[ti] = np.arange(len(ti)) - starts
+        sel = touch & credited_j[j] & (n_j[j] > 0)
+        nn = n_j[j]
+        first = pos == 0
+        last = pos == nn - 1
+        credit = np.zeros(n, dtype=np.int64)
+        one = (nn == 1) & first
+        credit[one & sel] = scale
+        two_plus = nn >= 2
+        credit[two_plus & first & sel] = (2 * scale) // 5
+        credit[two_plus & last & sel] = (2 * scale) // 5
+        mid = two_plus & ~first & ~last
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mid_credit = np.where(
+                nn > 2,
+                np.trunc(scale / 5 / np.maximum(nn - 2, 1) + 0.5).astype(np.int64),
+                0,
+            )
+        credit[mid & sel] = mid_credit[mid & sel]
+        out_types = list(types[sel])
+        out_credit = list(credit[sel])
+        n_none = int((n_j[conv_js] == 0).sum())
+        if n_none:
+            out_types.append("none")
+            out_credit.append(n_none * scale)
+        t = pa.table(
+            {"touch_type": pa.array(out_types, pa.string()),
+             "credit_e6": pa.array(np.asarray(out_credit, np.int64))}
+        )
+        p = t.group_by("touch_type", use_threads=False).aggregate([("credit_e6", "sum")])
+        return pa.table(
+            {"touch_type": p.column("touch_type"),
+             "credit_e6": p.column("credit_e6_sum")}
+        )
+
+    proj = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        null_safe_group_map(proj, [user_col], per_user)
+        .groupby("touch_type")
+        .sum("credit_e6")
+        .map_batches(
+            lambda t: pa.table({"touch_type": t.column("touch_type"),
+                                "credit_e6": t.column("sum(credit_e6)")}),
+            batch_format="pyarrow",
+        )
+    )

@@ -164,3 +164,25 @@ def test_time_decay_attribution_hand_check(ray_session):
     out = {r["touch_type"]: r["credit_e6"] for r in funnel.time_decay_attribution(
         ray.data.from_items(rows), "conv").take_all()}
     assert out == {"a": 1000000 >> 2, "b": 1000000, "none": 1000000}
+
+
+def test_u_shaped_attribution_hand_check(ray_session):
+    """4 touches then conv: 400k/66667/66667/400k... wait: 40/20/40
+    with two middles -> each middle round(200000/2)=100000."""
+    import ray.data
+
+    from mothray.ops import funnel
+
+    rows = [
+        {"user_id": 1, "ts": i, "event_type": t, "event_id": i}
+        for i, t in enumerate(["a", "b", "c", "d", "conv"])
+    ] + [
+        {"user_id": 2, "ts": i, "event_type": t, "event_id": 100 + i}
+        for i, t in enumerate(["x", "conv", "conv"])
+    ]
+    out = {r["touch_type"]: r["credit_e6"] for r in funnel.u_shaped_attribution(
+        ray.data.from_items(rows), "conv").take_all()}
+    # user 1: a=400k, b=c=100k, d=400k; user 2: x alone = 1e6 for the
+    # first conv; the second conv's journey has no touch -> 'none'
+    assert out == {"a": 400000, "b": 100000, "c": 100000, "d": 400000,
+                   "x": 1000000, "none": 1000000}
