@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
         help="predicate 'column op value' with op in eq/ne/lt/le/gt/ge/like; repeat for AND",
     )
     sc.add_argument("--columns", default=None, help="comma-separated projection")
+    sc.add_argument(
+        "--any",
+        action="store_true",
+        help="OR the --where predicates (disjunctive pushdown) instead of AND",
+    )
 
     ex = sub.add_parser(
         "explain",
@@ -391,6 +396,8 @@ def _dispatch(args) -> int:
                 ds = ds.select_columns(cols)
         elif len(preds) == 1:
             ds = pipeline.filter_encoded(args.enc_dir, *preds[0], columns=cols)
+        elif args.any:
+            ds = pipeline.filter_encoded_or(args.enc_dir, preds, columns=cols)
         else:
             ds = pipeline.filter_encoded_multi(args.enc_dir, preds, columns=cols)
         ds.write_parquet(args.out_dir)
