@@ -3242,6 +3242,41 @@ def _agg_where_pushdown_orders(sf_dir: str):
     return tbl
 
 
+def _quantile_bounds_lineitem(sf_dir: str):
+    """Metadata-only quantile bounds (pipeline.quantile_bounds_encoded)
+    INVARIANT query: for q in {0.1, 0.5, 0.9} the zone-map interval
+    must bracket the exact distributed quantile, upper >= lower, and
+    the interval must be finite — all-ones row when every invariant
+    holds."""
+    import tempfile
+
+    import ray.data
+
+    from mothray import pipeline
+    from mothray.ops import sketch
+
+    out = tempfile.mkdtemp(prefix="mothray_qb_")
+    pipeline.encode_parquet_to_dir(
+        f"{sf_dir}/lineitem.parquet", out, opts={"stripe_rows": 4000}
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.1, 0.5, 0.9]
+    exact = sketch.exact_quantiles(ds, "l_extendedprice", qs)
+    ok_bracket = ok_order = 1
+    for q in qs:
+        b = pipeline.quantile_bounds_encoded(out, "l_extendedprice", q)
+        if not (b["lower"] <= exact[q] <= b["upper"]):
+            ok_bracket = 0
+        if not (b["lower"] <= b["upper"]):
+            ok_order = 0
+    return pa.table(
+        {
+            "ok_bracket": pa.array([ok_bracket], pa.int64()),
+            "ok_order": pa.array([ok_order], pa.int64()),
+        }
+    )
+
+
 def _group_agg_pushdown_lineitem(sf_dir: str):
     """Grouped COUNT/SUM/MIN/MAX answered inside the encoded format
     (pipeline.group_agg_encoded): dictionary key codes + one weighted
@@ -7202,6 +7237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["group_agg_pushdown_lineitem"] = _group_agg_pushdown_lineitem
     q["encoded_key_join_lineitem"] = _encoded_key_join_lineitem
     q["agg_where_pushdown_orders"] = _agg_where_pushdown_orders
+    q["quantile_bounds_lineitem"] = _quantile_bounds_lineitem
     q["like_pushdown_documents"] = _like_pushdown_documents
     q["versioned_delete_orders"] = _versioned_delete_orders
     q["time_travel_orders"] = _time_travel_orders
@@ -8865,6 +8901,9 @@ def oracle_sql() -> dict[str, str]:
         " CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,"
         " CAST(MAX(o_orderkey) AS DOUBLE) AS max_v"
         " FROM orders WHERE o_orderkey BETWEEN 2000 AND 9000"
+    )
+    o["quantile_bounds_lineitem"] = (
+        "SELECT CAST(1 AS BIGINT) AS ok_bracket, CAST(1 AS BIGINT) AS ok_order"
     )
     o["group_agg_pushdown_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_extendedprice) AS vcnt,"

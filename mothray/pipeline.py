@@ -2447,6 +2447,60 @@ def group_agg_encoded(
     return merged.map_batches(fix_types, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quantile_bounds_encoded(path: str | list[str], column: str, q: float) -> dict:
+    """GUARANTEED bounds on the exact q-quantile (quantile_disc
+    semantics: the ceil(q*N)-th smallest non-null value) from stripe
+    zone maps ALONE — no blob byte is read. Over candidate values
+    drawn from the stripe mins/maxes: values GUARANTEED <= c = sum of
+    counts of stripes whose max <= c (so the quantile is <= the first
+    candidate where that reaches the target rank), and values POSSIBLY
+    <= c = sum over stripes whose min <= c (so the quantile is > every
+    candidate where that stays below the rank). The planner's 'roughly
+    where is the median' question answered for the cost of a metadata
+    scan; on a clustered layout (OPTIMIZE) the interval collapses to
+    ~one stripe's range. Driver holds one (min, max, count) row per
+    stripe — a planning diagnostic, not a data path. Returns
+    {lower, upper, n, rank}; None bounds when the column has no
+    non-null stats."""
+    meta = read_encoded(path, metadata_only=True)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        mns, mxs, cnts = [], [], []
+        for sj in batch.column("stats").to_pylist():
+            st = json.loads(sj).get(column, {})
+            c = (st.get("count") or 0) - (st.get("null_count") or 0)
+            if c > 0 and st.get("min") is not None and st.get("max") is not None:
+                mns.append(float(st["min"]))
+                mxs.append(float(st["max"]))
+                cnts.append(int(c))
+        return pa.table(
+            {
+                "mn": pa.array(mns, pa.float64()),
+                "mx": pa.array(mxs, pa.float64()),
+                "c": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    rows = meta.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not rows:
+        return {"lower": None, "upper": None, "n": 0, "rank": 0}
+    mn = np.array([r["mn"] for r in rows])
+    mx = np.array([r["mx"] for r in rows])
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    n_total = int(c.sum())
+    target = max(1, int(-(-q * n_total // 1)))  # ceil(q*N), 1-based rank
+    cands = np.unique(np.concatenate([mn, mx]))
+    # guaranteed <= cand: stripes fully below; possibly <= cand: any overlap
+    gle = (mx[None, :] <= cands[:, None]) @ c
+    ple = (mn[None, :] <= cands[:, None]) @ c
+    upper = float(cands[np.argmax(gle >= target)]) if (gle >= target).any() else float(
+        cands[-1]
+    )
+    below = cands[ple < target]
+    lower = float(below[-1]) if len(below) else float(cands[0])
+    return {"lower": lower, "upper": upper, "n": n_total, "rank": target}
+
+
 def agg_where_encoded(path: str | list[str], column: str, lo, hi):
     """COUNT(*) / MIN / MAX over rows where `column` BETWEEN lo AND hi
     with BOUNDARY REFINEMENT: a stripe whose zone map lies FULLY

@@ -66,3 +66,32 @@ def test_agg_where_rejects_non_numeric(ray_session, tmp_path):
     pipeline.encode_parquet_to_dir(str(src), enc)
     with pytest.raises(ValueError):
         pipeline.agg_where_encoded(enc, "s", "a", "b")
+
+
+def test_quantile_bounds_bracket_exact_quantile(ray_session, tmp_path):
+    import numpy as _np
+
+    from mothray import pipeline
+
+    rng = _np.random.default_rng(3)
+    vals = rng.normal(100, 25, 6000)
+    src = tmp_path / "q.parquet"
+    pq.write_table(pa.table({"x": pa.array(vals, pa.float64())}), src)
+    enc = str(tmp_path / "enc_q")
+    pipeline.encode_parquet_to_dir(str(src), enc, opts={"stripe_rows": 500})
+    s = _np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        b = pipeline.quantile_bounds_encoded(enc, "x", q)
+        exact = s[max(1, int(-(-q * len(s) // 1))) - 1]  # ceil(qN), 1-based
+        assert b["lower"] <= exact <= b["upper"], (q, b, exact)
+    # clustered layout: the interval tightens to ~one stripe's range
+    enc2 = str(tmp_path / "enc_sorted")
+    pq.write_table(pa.table({"x": pa.array(_np.sort(vals), pa.float64())}),
+                   tmp_path / "qs.parquet")
+    pipeline.encode_parquet_to_dir(str(tmp_path / "qs.parquet"), enc2,
+                                   opts={"stripe_rows": 500})
+    loose = pipeline.quantile_bounds_encoded(enc, "x", 0.5)
+    tight = pipeline.quantile_bounds_encoded(enc2, "x", 0.5)
+    assert (tight["upper"] - tight["lower"]) < (loose["upper"] - loose["lower"])
+    exact = s[max(1, int(-(-0.5 * len(s) // 1))) - 1]
+    assert tight["lower"] <= exact <= tight["upper"]
