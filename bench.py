@@ -21,6 +21,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CC_ROWS = int(os.environ.get("MOTHRAY_CC_ROWS", "100000"))
 BENCH_REPS = int(os.environ.get("MOTHRAY_BENCH_REPS", "1"))
+# internal encoded interchange: "ipc" (default, r5 — fused write, mmap
+# read, zero blob memcpys) or "parquet" (the durable layout) for A/B
+INTERCHANGE = os.environ.get("MOTHRAY_INTERCHANGE", "ipc")
 
 
 def _cc_pages_path() -> str:
@@ -135,16 +138,25 @@ def run_bench() -> dict:
                     batch_size=pipeline._encode_batch_size(ds, None),
                     zero_copy_batch=True,
                 )
-            else:
+                enc.write_parquet(out_dir, **pipeline.ENCODED_PARQUET_ARGS)
+            elif INTERCHANGE == "parquet":
                 # read fused INTO the encode task (raw rows never cross the
                 # object store; only 6-7x-smaller stripes do). Unit sizing
                 # lives in encode_files: clamp(total/(8*cpus), 4 MB, 32 MB)
                 # — at scaling-proxy sizes both cpu levels hit the constant
                 # 32 MB cap, so neither level gets an overhead advantage
                 enc = pipeline.encode_files(path, plan_ref=plan_ref)
-            # blob/blooms are codec-compressed already: parquet-level snappy
-            # on them is pure wasted CPU (~10% of the encode leg)
-            enc.write_parquet(out_dir, **pipeline.ENCODED_PARQUET_ARGS)
+                # blob/blooms are codec-compressed already: parquet-level
+                # snappy on them is pure wasted CPU (~10% of the encode leg)
+                enc.write_parquet(out_dir, **pipeline.ENCODED_PARQUET_ARGS)
+            else:
+                # DEFAULT (r5): Arrow-IPC interchange — read+encode+WRITE
+                # fused into one task per unit; only ~1 KB meta rows cross
+                # the object store, and the blob column is written as-is
+                # (no parquet page-assembly memcpy). A/B with
+                # MOTHRAY_INTERCHANGE=parquet.
+                meta = pipeline.encode_files_ipc(path, out_dir, plan_ref=plan_ref)
+                meta.take_all()  # tiny rows; this executes the pipeline
             queries[f"encode_{name}"] = round(time.monotonic() - t0, 3)
 
             t0 = time.monotonic()
@@ -189,11 +201,19 @@ def run_bench() -> dict:
 
     total_raw = total_enc = 0
     for name in inputs:
-        meta = pads.dataset(out_dirs[name], format="parquet").to_table(
-            columns=["raw_bytes", "enc_bytes"]
-        )
-        total_raw += int(pc.sum(meta.column("raw_bytes")).as_py())
-        total_enc += int(pc.sum(meta.column("enc_bytes")).as_py())
+        d = out_dirs[name]
+        arrow_files = [f for f in os.listdir(d) if f.endswith(".arrow")]
+        if arrow_files:
+            for fn in arrow_files:
+                t = _pa.ipc.open_file(_pa.memory_map(os.path.join(d, fn))).read_all()
+                total_raw += int(pc.sum(t.column("raw_bytes")).as_py())
+                total_enc += int(pc.sum(t.column("enc_bytes")).as_py())
+        else:
+            meta = pads.dataset(d, format="parquet").to_table(
+                columns=["raw_bytes", "enc_bytes"]
+            )
+            total_raw += int(pc.sum(meta.column("raw_bytes")).as_py())
+            total_enc += int(pc.sum(meta.column("enc_bytes")).as_py())
 
     result = {
         "metric": "mothray encode+decode wall time (sf bench tables + synthetic cc_pages)",

@@ -290,6 +290,42 @@ class _ReadEncode:
             yield stripe_mod.encode_batch(tbl, self.opts, key_prefix=prefix)
 
 
+class _ReadEncodeIPC(_ReadEncode):
+    """_ReadEncode with the WRITE fused into the task too, targeting
+    the Arrow IPC interchange: each work unit's stripe rows are written
+    as ONE `.arrow` file straight from the encode task, and only tiny
+    metadata rows (stripe_key, byte counts, stats — no blob) leave the
+    task. Object-store traffic on the encode leg drops from
+    one-encoded-copy-per-stripe to ~1 KB/unit, and the parquet page
+    assembly memcpy on the blob column disappears (IPC writes the blob
+    buffer as-is). File names derive from the deterministic work-unit
+    key, so a retried task re-derives the same name and the
+    exists-skip keeps finished units byte-stable (same contract as
+    write_ipc_output / the checkpointed parquet sink)."""
+
+    def __init__(self, out_dir: str, opts: dict | None = None, plan_ref=None,
+                 columns: list[str] | None = None):
+        super().__init__(opts, plan_ref, columns)
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        import uuid
+
+        for stripes in super().__call__(batch):
+            if stripes.num_rows == 0:
+                continue
+            prefix = stripes.column("stripe_key")[0].as_py().rsplit("-", 1)[0]
+            final = os.path.join(self.out_dir, f"enc-{prefix}.arrow")
+            if not os.path.exists(final):
+                tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+                with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, stripes.schema) as w:
+                    w.write_table(stripes)
+                os.rename(tmp, final)
+            yield stripes.drop_columns(["blob", "blooms", "schema_ipc"]).append_column(
+                "path", pa.array([final] * stripes.num_rows)
+            )
+
+
 _HIERARCHICAL_FILES = 64  # above this, plan per-file in fan-out tasks
 
 
@@ -360,6 +396,7 @@ def _encode_files_hierarchical(
     columns: list[str] | None,
     target_bytes: int,
     ncpu: int,
+    ipc_sink: str | None = None,
 ) -> ray.data.Dataset:
     """Fan-out planning for wide inputs: the driver holds O(files)
     paths; each probe TASK opens its files' footers and emits that
@@ -403,8 +440,13 @@ def _encode_files_hierarchical(
     )
     n_units = units.count()
     units = units.repartition(max(1, min(n_units, ncpu * 64)))
+    udf = (
+        _ReadEncodeIPC(ipc_sink, opts, plan_ref=plan_ref, columns=columns)
+        if ipc_sink is not None
+        else _ReadEncode(opts, plan_ref=plan_ref, columns=columns)
+    )
     return units.map_batches(
-        _ReadEncode(opts, plan_ref=plan_ref, columns=columns),
+        udf,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
@@ -418,6 +460,7 @@ def encode_files(
     columns: list[str] | None = None,
     target_bytes: int | None = None,
     hierarchical: bool | None = None,
+    ipc_sink: str | None = None,
 ) -> ray.data.Dataset:
     """Parquet files -> Dataset of encoded stripe rows, with the read
     FUSED into the encode task (see _ReadEncode). The work-unit list is
@@ -446,7 +489,8 @@ def encode_files(
         # footer reads fan out; the 32 MB cap (operative at any corpus
         # scale) is used directly rather than probing total bytes
         return _encode_files_hierarchical(
-            files, opts, plan_ref, columns, target_bytes or (32 << 20), ncpu
+            files, opts, plan_ref, columns, target_bytes or (32 << 20), ncpu,
+            ipc_sink=ipc_sink,
         )
     if target_bytes is None:
         import pyarrow.dataset as pads
@@ -496,8 +540,13 @@ def encode_files(
     if not any_slice:
         items = [{"part_id": it["part_id"], "inputs": it["inputs"]} for it in items]
     units = ray.data.from_items(items, override_num_blocks=max(len(items), 1))
+    udf = (
+        _ReadEncodeIPC(ipc_sink, opts, plan_ref=plan_ref, columns=columns)
+        if ipc_sink is not None
+        else _ReadEncode(opts, plan_ref=plan_ref, columns=columns)
+    )
     return units.map_batches(
-        _ReadEncode(opts, plan_ref=plan_ref, columns=columns),
+        udf,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
@@ -527,6 +576,93 @@ def decode_dataset(
         # regardless of block size
         batch_size=None,
         zero_copy_batch=True,
+    )
+
+
+class _ReadDecodeIPC:
+    """Decode-leg work unit over Arrow-IPC encoded files (the internal
+    interchange): each file is MEMORY-MAPPED and read zero-copy — blob
+    buffers are page-cache references, never copied into the task heap.
+    The parquet interchange pays a page-assembly memcpy on write and a
+    page-read memcpy on read per encoded byte; IPC pays neither, which
+    is what matters at 4N worker lanes sharing one memory bus (the
+    8→32 scaling decomposition in BASELINE.md). The mapped file object
+    is NOT closed explicitly: pyarrow buffers hold a reference to the
+    mapping, so it lives exactly as long as any table derived from it."""
+
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        rg_predicate: tuple | None = None,
+        max_rows: int = 8192,
+        target_schema: pa.Schema | None = None,
+    ):
+        self.dec = StripeDecoder(columns, rg_predicate, max_rows, target_schema)
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        for paths_json in batch.column("paths").to_pylist():
+            for path in json.loads(paths_json):
+                mm = pa.memory_map(path)
+                yield from self.dec(pa.ipc.open_file(mm).read_all())
+
+
+def _discover_ipc_files(input_path: str | list[str]) -> list[str]:
+    """Arrow-IPC encoded files under a path (the `.arrow` suffix is the
+    interchange's signature; parquet and IPC stripes never mix in one
+    directory because the two sinks are distinct calls)."""
+    if isinstance(input_path, str) and os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".arrow")
+        )
+    if isinstance(input_path, list):
+        return sorted(p for p in input_path if p.endswith(".arrow"))
+    return [input_path] if str(input_path).endswith(".arrow") else []
+
+
+def _cluster_by_size(files: list[str], target_bytes: int) -> list[list[str]]:
+    """Deterministic size-bounded clusters (decode work units: one
+    task per cluster; single files above target stay their own unit)."""
+    clusters: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        s = os.path.getsize(f)
+        if cur and cur_bytes + s > target_bytes:
+            clusters.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += s
+    if cur:
+        clusters.append(cur)
+    return clusters
+
+
+def encode_files_ipc(
+    input_path: str | list[str],
+    out_dir: str,
+    opts: dict | None = None,
+    plan_ref=None,
+    columns: list[str] | None = None,
+    target_bytes: int | None = None,
+    hierarchical: bool | None = None,
+) -> ray.data.Dataset:
+    """Parquet files -> Arrow-IPC encoded files, read+encode+write all
+    FUSED into one task per work unit (r4 VERDICT next-round item 1a:
+    parquet as the internal interchange paid an encode/decode memcpy
+    per side on the blob column; IPC writes the codec-framed blob
+    buffer as-is and reads it back via mmap with zero copies).
+
+    Returns the (lazy) dataset of per-stripe METADATA rows — consuming
+    it (take_all / write) executes the pipeline; the rows are ~1 KB
+    each, so driver-side take_all is fine at any corpus scale where
+    stripe count is driver-manageable (the same contract as the
+    checkpoint planner). Stripe payloads land only in `out_dir`."""
+    os.makedirs(out_dir, exist_ok=True)
+    return encode_files(
+        input_path, opts, plan_ref=plan_ref, columns=columns,
+        target_bytes=target_bytes, hierarchical=hierarchical, ipc_sink=out_dir,
     )
 
 
@@ -587,6 +723,22 @@ def decode_files(
         ncpu = int(ray_api.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
+    ipc_files = _discover_ipc_files(input_path)
+    if ipc_files:
+        # IPC interchange: one .arrow file per encode work unit, so one
+        # file is already a decode-sized unit; tiny files cluster by
+        # size. Planning is os.stat only — no footer opens.
+        clusters = _cluster_by_size(ipc_files, target_bytes or (8 << 20))
+        units = ray.data.from_items(
+            [{"paths": json.dumps(c)} for c in clusters],
+            override_num_blocks=max(len(clusters), 1),
+        )
+        return units.map_batches(
+            _ReadDecodeIPC(columns, rg_predicate, max_rows, target_schema),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
     files = _discover_parquet_files(input_path)
     if len(files) > _HIERARCHICAL_FILES:
         tb = target_bytes or (8 << 20)
@@ -3730,6 +3882,25 @@ def verify_roundtrip_streaming(original: ray.data.Dataset, decoded: ray.data.Dat
 
 def read_encoded(path: str | list[str], metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
     cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
+    ipc_files = _discover_ipc_files(path)
+    if ipc_files:
+        # IPC interchange layout: mmap + column select — a metadata read
+        # never faults in a blob page (lazy mapping), matching the
+        # parquet path's column-projected scan
+        def load(batch: pa.Table) -> Iterator[pa.Table]:
+            for p in batch.column("path").to_pylist():
+                t = pa.ipc.open_file(pa.memory_map(p)).read_all()
+                if cols is not None:
+                    t = t.select(cols)
+                if include_paths:
+                    t = t.append_column("path", pa.array([p] * t.num_rows))
+                yield t
+
+        units = ray.data.from_items(
+            [{"path": p} for p in ipc_files],
+            override_num_blocks=max(len(ipc_files), 1),
+        )
+        return units.map_batches(load, batch_format="pyarrow", batch_size=None)
     return ray.data.read_parquet(path, columns=cols, include_paths=include_paths)
 
 

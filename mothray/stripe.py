@@ -393,19 +393,96 @@ def decode_stripe(
     names = columns if columns is not None else schema.names
     arrays = []
     fields = []
-    for name in names:
+    for name, paths in _group_projection(names, meta["columns"]):
         trees = meta["columns"][name]["row_groups"]
         idx = row_groups if row_groups is not None else range(len(trees))
-        t = schema.field(name).type
-        pieces = [
-            column_mod.decode_array(_rebuild_column(trees[i], blob), t) for i in idx
-        ]
+        field = schema.field(name)
+        if paths is not None:
+            # nested-field projection (reference ProjectedLayout,
+            # MothReader.go:184-255): prune the stream tree BEFORE
+            # rebuild, so unselected sibling subfields' streams are
+            # never decompressed, let alone decoded
+            t0 = field.type
+            pruned_type = None
+            pieces = []
+            for i in idx:
+                ptree, pruned_type = _prune_struct_tree(trees[i], t0, paths)
+                pieces.append(
+                    column_mod.decode_array(_rebuild_column(ptree, blob), pruned_type)
+                )
+            if pruned_type is None:  # empty row-group selection
+                _, pruned_type = _prune_struct_tree(trees[0], t0, paths)
+            field = pa.field(field.name, pruned_type, field.nullable)
+        else:
+            t = field.type
+            pieces = [
+                column_mod.decode_array(_rebuild_column(trees[i], blob), t) for i in idx
+            ]
         if not pieces:
-            arrays.append(pa.array([], type=t))
+            arrays.append(pa.array([], type=field.type))
         else:
             arrays.append(pa.concat_arrays(pieces) if len(pieces) != 1 else pieces[0])
-        fields.append(schema.field(name))
+        fields.append(field)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _group_projection(names: list[str], stored_columns: dict) -> list[tuple]:
+    """Parse a projection list into [(top_name, paths_dict | None)].
+
+    `paths_dict` is a nested {child_name: {} | deeper} tree for dotted
+    names ("props.user_id"); None means the whole column. A stored
+    column whose NAME contains a literal dot always wins over the
+    projection parse (compat with pre-existing dotted names). Multiple
+    subfields of one struct group into a single output column, order of
+    first appearance."""
+    order: list[str] = []
+    spec: dict[str, dict | None] = {}
+    for name in names:
+        if name in stored_columns or "." not in name:
+            if name not in spec or spec[name] is not None:
+                if name not in spec:
+                    order.append(name)
+                spec[name] = None
+            continue
+        top, rest = name.split(".", 1)
+        if top not in stored_columns:
+            raise KeyError(f"projection {name!r}: no stored column {top!r}")
+        if top not in spec:
+            order.append(top)
+            spec[top] = {}
+        node = spec[top]
+        if node is None:
+            continue  # whole column already requested; subset is moot
+        for part in rest.split("."):
+            node = node.setdefault(part, {})
+    return [(n, spec[n]) for n in order]
+
+
+def _prune_struct_tree(tree: dict, t: pa.DataType, paths: dict) -> tuple[dict, pa.DataType]:
+    """Pruned (stream-tree meta, arrow type) keeping only `paths`'
+    subfields of a struct column. The struct node's own streams
+    (PRESENT) survive; unselected children vanish from the tree, so
+    _rebuild_column never touches their stream bytes (the pytest
+    contract for nested projection)."""
+    if not pa.types.is_struct(t):
+        raise TypeError(f"nested projection into non-struct type {t}")
+    fields = []
+    children = []
+    for child_name, sub in paths.items():
+        i = t.get_field_index(child_name)
+        if i < 0:
+            raise KeyError(f"projection: struct has no field {child_name!r}")
+        f = t.field(i)
+        child_tree = tree["children"][i]
+        if sub:
+            ctree, ctype = _prune_struct_tree(child_tree, f.type, sub)
+            children.append(ctree)
+            fields.append(pa.field(f.name, ctype, f.nullable))
+        else:
+            children.append(child_tree)
+            fields.append(f)
+    pruned = {**tree, "children": children}
+    return pruned, pa.struct(fields)
 
 
 def decode_batch(stripes: pa.Table, columns: list[str] | None = None) -> pa.Table:
