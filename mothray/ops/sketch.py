@@ -127,7 +127,7 @@ def robust_outliers(ds, column: str, k: float = 3.0):
     stats = mad(ds, column)
     med, d = stats["median"], stats["mad"]
     if med is None:
-        return ds.filter(lambda row: False)
+        return ds.limit(0)  # all-null column: nothing is an outlier
     thresh = k * d
 
     def flag(batch: pa.Table) -> pa.Table:

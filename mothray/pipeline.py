@@ -3247,8 +3247,14 @@ def sample_host_frequencies(
     if total == 0:
         return {}
     cutoff = total * hot_fraction
-    # only the hot hosts (at most 1/hot_fraction rows) reach the driver
-    hot = counts.filter(lambda r: r["count()"] > cutoff).to_pandas()
+    # only the hot hosts (at most 1/hot_fraction rows) reach the driver;
+    # vectorized batch filter (a row-lambda filter deserializes per row)
+    import pyarrow.compute as pc
+
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), cutoff)),
+        batch_format="pyarrow",
+    ).to_pandas()
     return {
         row["host"]: max(2, int(row["count()"] / cutoff)) for _, row in hot.iterrows()
     }
