@@ -151,15 +151,25 @@ def main() -> int:
     def run_stage(name, fn):
         spill0 = _spilled_mb()
         t = time.monotonic()
+        err = None
+        extra = {}
         with MemSampler() as ms:
-            extra = fn() or {}
+            try:
+                extra = fn() or {}
+            except Exception as e:  # noqa: BLE001 — soak records, never aborts
+                err = f"{type(e).__name__}: {e}"[:300]
         rec = {
             "sec": round(time.monotonic() - t, 1),
             "peak_mem_gb": round(ms.peak, 2),
             "spilled_mb": round(_spilled_mb() - spill0, 1),
+            **({"err": err} if err else {}),
             **extra,
         }
         report["stages"][name] = rec
+        # incremental: a stage that dies (OOM/disk) leaves the prior
+        # stages' numbers on disk
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
         print(f"{name}: {json.dumps(rec)}", flush=True)
 
     if "encode" in stages:
@@ -192,12 +202,32 @@ def main() -> int:
 
         run_stage("decode_ipc", decode)
 
+    def _with_int_id(columns):
+        """Read + derive an int64 doc id from the url (FNV). The first
+        soak run used the url STRING itself as id_column — every k-gram
+        row then carried a ~50-byte id through the dedup exchanges,
+        blowing the exchange volume ~3x and spilling the box's disk
+        full: exactly the class of finding this job exists to catch. A
+        corpus-scale pipeline keys sub-document ops by a fixed-width
+        id, always."""
+        import numpy as np
+
+        from mothray.ops.sample import _key_fingerprints
+
+        ds = ray.data.read_parquet(src, columns=columns)
+
+        def add_id(t: pa.Table) -> pa.Table:
+            fp = _key_fingerprints(t, "url", "").astype(np.int64)
+            return t.append_column("doc_id", pa.array(fp, pa.int64()))
+
+        return ds.map_batches(add_id, batch_format="pyarrow")
+
     if "minhash" in stages:
         def minhash():
             from mothray.ops import dedup
 
-            ds = ray.data.read_parquet(src, columns=["url", "text"])
-            kept = dedup.minhash_lsh_dedup(ds, column="text", id_column="url")
+            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
+            kept = dedup.minhash_lsh_dedup(ds, column="text", id_column="doc_id")
             n = kept.count()
             return {"rows_kept": n}
 
@@ -207,11 +237,14 @@ def main() -> int:
         def substring():
             from mothray.ops import dedup
 
-            ds = ray.data.read_parquet(src, columns=["url", "text"])
+            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
             # winnowed scale path (content-defined k-gram sampling):
-            # the exact variant is the sf-scale correctness surface
+            # the exact variant is the sf-scale correctness surface.
+            # winnow=16 keeps the gram exchange ~3% of text bytes —
+            # sized to this single box's spill disk; a cluster spreads
+            # the same exchange across nodes
             dup = dedup.duplicate_spans(
-                ds, column="text", id_column="url", min_len=30, winnow=8
+                ds, column="text", id_column="doc_id", min_len=30, winnow=16
             )
             return {"dup_spans": dup.count()}
 
@@ -221,8 +254,8 @@ def main() -> int:
         def pack():
             from mothray.ops import pack as pack_mod
 
-            ds = ray.data.read_parquet(src, columns=["url", "text"])
-            packed = pack_mod.pack_sequences(ds, 2048, key_col="url", text_col="text")
+            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
+            packed = pack_mod.pack_sequences(ds, 2048, key_col="doc_id", text_col="text")
             return {"sequences": packed.count()}
 
         run_stage("pack_sequences", pack)

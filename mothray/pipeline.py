@@ -834,12 +834,18 @@ def compact_encoded(
 
     import pyarrow.parquet as pq
 
+    ipc = False
     if isinstance(in_dir, str):
         files = sorted(
             os.path.join(in_dir, f) for f in os.listdir(in_dir) if f.endswith(".parquet")
         )
+        ipc_files = _discover_ipc_files(in_dir)
+        if not files and ipc_files:  # IPC interchange layout compacts too
+            files, ipc = ipc_files, True
     else:
         files = sorted(in_dir)
+        if files and all(f.endswith(".arrow") for f in files):
+            ipc = True
     sizes = [os.path.getsize(f) for f in files]
     target = target_mb << 20
     clusters: list[list[str]] = []
@@ -860,13 +866,22 @@ def compact_encoded(
             batch.column("cluster_id").to_pylist(), batch.column("paths").to_pylist()
         ):
             paths = json.loads(paths_json)
-            tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-            dst = os.path.join(out_dir, f"compact-{cid:05d}.parquet")
-            tmp = dst + ".tmp"
-            pq.write_table(
-                tbl, tmp, row_group_size=row_group_size,
-                compression={"blob": "NONE", "blooms": "NONE"},
-            )
+            if ipc:
+                tbl = pa.concat_tables(
+                    [pa.ipc.open_file(pa.memory_map(p)).read_all() for p in paths]
+                )
+                dst = os.path.join(out_dir, f"compact-{cid:05d}.arrow")
+                tmp = dst + ".tmp"
+                with pa.OSFile(tmp, "wb") as f, pa.ipc.new_file(f, tbl.schema) as w:
+                    w.write_table(tbl)
+            else:
+                tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+                dst = os.path.join(out_dir, f"compact-{cid:05d}.parquet")
+                tmp = dst + ".tmp"
+                pq.write_table(
+                    tbl, tmp, row_group_size=row_group_size,
+                    compression={"blob": "NONE", "blooms": "NONE"},
+                )
             os.rename(tmp, dst)
             out.append((cid, len(paths), int(tbl.num_rows)))
         return pa.table(

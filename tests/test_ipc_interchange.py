@@ -92,6 +92,27 @@ def test_decode_projection_over_ipc(ray_session, enc_dir):
     assert got.sort_by("doc_id").equals(orig.sort_by("doc_id"))
 
 
+def test_compact_ipc_layout(ray_session, tmp_path):
+    """compact_encoded merges small .arrow interchange files without
+    re-encoding; decode output is bit-identical."""
+    from mothray.pipeline import compact_encoded
+
+    out = tmp_path / "enc"
+    # tiny units so several files exist
+    pipeline.encode_files_ipc(
+        f"{SF}/documents.parquet", str(out), target_bytes=64 << 10
+    ).take_all()
+    n_in = len([f for f in os.listdir(str(out)) if f.endswith(".arrow")])
+    assert n_in > 1
+    dst = tmp_path / "compact"
+    os.makedirs(dst, exist_ok=True)
+    r = compact_encoded(str(out), str(dst))
+    assert r["files_in"] == n_in and r["files_out"] < n_in
+    a = pa.Table.from_pylist(pipeline.decode_files(str(out)).take_all())
+    b = pa.Table.from_pylist(pipeline.decode_files(str(dst)).take_all())
+    assert a.sort_by("doc_id").equals(b.select(a.column_names).sort_by("doc_id"))
+
+
 def test_crc_still_verified_over_ipc(ray_session, tmp_path):
     """Corrupting a blob byte in the IPC file must fail decode loudly."""
     out = tmp_path / "enc"
