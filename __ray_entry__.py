@@ -7283,6 +7283,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for table in ("documents", "lineitem"):
         q[f"roundtrip_{table}"] = (lambda t: lambda sf_dir: _roundtrip(sf_dir, t))(table)
     q["roundtrip_decimal_lineitem"] = _roundtrip_decimal
+    # -- head: round-5 engine flagships (families with NO prior driver
+    #    row — nested-field projection / ProjectedLayout parity, and the
+    #    Arrow-IPC internal interchange). Registered at the top of the
+    #    head per the rotation policy; the rows this pushes past the
+    #    ~50 window (connected_components_orders, tpch_q10, skew_join,
+    #    perceptual_dedup) all carry CORRECTNESS_r04 green rows and stay
+    #    value-checked below, with their families still head-represented
+    #    (triangles_orders; tpch_q1/q5/q6; bloom_join; multimodal_image). --
+    q["nested_projection_events"] = _nested_projection_events
+    q["ipc_roundtrip_documents"] = _ipc_roundtrip_documents
     # -- head: round-4 final-stretch flagships --
     q["dataset_card_documents"] = _dataset_card_documents
     # -- head: round-3 families with no CORRECTNESS row yet (46) --
@@ -7358,14 +7368,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tpch_q10_encoded"] = _tpch_q10
     q["skew_join_orders"] = _skew_join_orders
     q["perceptual_dedup_documents"] = _perceptual_dedup_documents
-    # r5: the two new engine families take head slots — nested-field
-    # projection (reference ProjectedLayout) and the Arrow-IPC internal
-    # interchange (fused encode→write, mmap zero-copy decode). The
-    # displaced resample_events / weighted_sample_documents keep their
-    # families in the head (window_lag/ranked; train_split) and stay
-    # value-checked past the window
-    q["nested_projection_events"] = _nested_projection_events
-    q["ipc_roundtrip_documents"] = _ipc_roundtrip_documents
     # -- past the typical driver window: still value-checked, descending value --
     q["resample_events"] = _resample_events
     q["weighted_sample_documents"] = _weighted_sample_documents

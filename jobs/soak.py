@@ -62,16 +62,30 @@ class MemSampler:
 
 
 def _spilled_mb() -> float:
-    """Cumulative object-store spill for this Ray session (raylet
-    counter via the memory summary; 0.0 when nothing spilled)."""
+    """Cumulative object-store spill: raylet counter when the memory
+    summary reports one, PLUS the on-disk bytes under the session's
+    spill directory (the counter lags/misses under pressure — the
+    first soak run spilled tens of GB while the counter read 0)."""
+    total = 0.0
     try:
         from ray._private.internal_api import memory_summary
 
         s = memory_summary(stats_only=True)
         m = re.search(r"Spilled (\d+) MiB", s)
-        return float(m.group(1)) if m else 0.0
+        if m:
+            total += float(m.group(1))
     except Exception:
-        return 0.0
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["du", "-sm", "/tmp/ray"], capture_output=True, text=True, check=True
+        ).stdout
+        total = max(total, float(out.split()[0]))
+    except Exception:
+        pass
+    return total
 
 
 def _gen_input(rows: int, out_dir: str, shard_rows: int = 250_000) -> str:
@@ -105,6 +119,76 @@ def _gen_input(rows: int, out_dir: str, shard_rows: int = 250_000) -> str:
         ready, futures = ray.wait(futures, num_returns=min(8, len(futures)))
         done += sum(ray.get(ready))
         print(f"datagen: {done}/{rows} rows", flush=True)
+    return out_dir
+
+
+def _gen_text_input(rows: int, out_dir: str, shard_rows: int = 250_000) -> str:
+    """Realistic-entropy text table (doc_id int64, text) for the
+    CONTENT stages. The cc_pages word-soup draws from a ~100-word
+    vocabulary, which makes EVERY 30-byte window corpus-duplicated at
+    10M docs (8-char shingle sets converge to the full universe, so
+    minhash says everything is near-everything and the substring
+    hits-exchange becomes the whole corpus — measured OutOfDiskError,
+    BASELINE.md soak table). Web text is the opposite: high entropy
+    with a few percent duplication. This generator samples a 65,536-
+    token vocabulary (30-byte windows then collide only by planting)
+    and plants 10% exact duplicates + 5% near duplicates (tail-token
+    edits), so the dedup stages see realistic selectivity AND a known
+    signal to find."""
+    import numpy as np
+
+    import ray
+
+    if os.path.exists(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote(num_cpus=1)
+    def gen(i: int, n: int) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7000 + i)
+        vocab = np.array([f"w{j:05x}" for j in range(1 << 16)])
+        lens = rng.integers(120, 240, n)  # ~150 tokens ≈ 1 KB text
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens
+        ]
+        # plant: 10% exact copies of an earlier doc in this shard,
+        # 5% near copies (last 8 tokens re-rolled)
+        n_exact, n_near = n // 10, n // 20
+        src = rng.integers(0, n, n_exact + n_near)
+        dst = rng.choice(n, n_exact + n_near, replace=False)
+        for d, s in zip(dst[:n_exact], src[:n_exact]):
+            texts[d] = texts[s]
+        for d, s in zip(dst[n_exact:], src[n_exact:]):
+            toks = texts[s].split(" ")
+            toks[-8:] = list(vocab[rng.integers(0, len(vocab), 8)])
+            texts[d] = " ".join(toks)
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(i * shard_rows, i * shard_rows + n, dtype=np.int64)
+                ),
+                "text": pa.array(texts),
+            }
+        )
+        tmp = f"{out_dir}/shard-{i:04d}.parquet.tmp"
+        pq.write_table(t, tmp, row_group_size=8192)
+        os.rename(tmp, f"{out_dir}/shard-{i:04d}.parquet")
+        return n
+
+    futures = [
+        gen.remote(i // shard_rows, min(shard_rows, rows - i))
+        for i in range(0, rows, shard_rows)
+    ]
+    done = 0
+    while futures:
+        ready, futures = ray.wait(futures, num_returns=min(8, len(futures)))
+        done += sum(ray.get(ready))
+        print(f"textgen: {done}/{rows} rows", flush=True)
     return out_dir
 
 
@@ -146,6 +230,14 @@ def main() -> int:
         "input_parquet_gb": round(src_bytes / 1e9, 2),
         "stages": {},
     }
+    if os.path.exists(args.out):  # merge: re-run only the named stages
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("rows") == args.rows:
+                report["stages"].update(prev.get("stages", {}))
+        except Exception:
+            pass
     enc_dir = f"/tmp/mothray_soak/enc_{args.rows}"
 
     def run_stage(name, fn):
@@ -202,31 +294,19 @@ def main() -> int:
 
         run_stage("decode_ipc", decode)
 
-    def _with_int_id(columns):
-        """Read + derive an int64 doc id from the url (FNV). The first
-        soak run used the url STRING itself as id_column — every k-gram
-        row then carried a ~50-byte id through the dedup exchanges,
-        blowing the exchange volume ~3x and spilling the box's disk
-        full: exactly the class of finding this job exists to catch. A
-        corpus-scale pipeline keys sub-document ops by a fixed-width
-        id, always."""
-        import numpy as np
-
-        from mothray.ops.sample import _key_fingerprints
-
-        ds = ray.data.read_parquet(src, columns=columns)
-
-        def add_id(t: pa.Table) -> pa.Table:
-            fp = _key_fingerprints(t, "url", "").astype(np.int64)
-            return t.append_column("doc_id", pa.array(fp, pa.int64()))
-
-        return ds.map_batches(add_id, batch_format="pyarrow")
+    # content stages run over the realistic-entropy text table (see
+    # _gen_text_input; id is already a fixed-width int64 — the first
+    # soak run keyed by the ~50-byte url string and tripled the gram
+    # exchange into a full disk)
+    text_src = None
+    if any(s in stages for s in ("minhash", "substring", "pack")):
+        text_src = _gen_text_input(args.rows, f"/tmp/mothray_soak/text_{args.rows}")
 
     if "minhash" in stages:
         def minhash():
             from mothray.ops import dedup
 
-            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
+            ds = ray.data.read_parquet(text_src)
             kept = dedup.minhash_lsh_dedup(ds, column="text", id_column="doc_id")
             n = kept.count()
             return {"rows_kept": n}
@@ -237,14 +317,18 @@ def main() -> int:
         def substring():
             from mothray.ops import dedup
 
-            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
+            ds = ray.data.read_parquet(text_src)
             # winnowed scale path (content-defined k-gram sampling):
             # the exact variant is the sf-scale correctness surface.
-            # winnow=16 keeps the gram exchange ~3% of text bytes —
-            # sized to this single box's spill disk; a cluster spreads
-            # the same exchange across nodes
+            # winnow sized to ONE box: the gram exchange is
+            # ~2/(w+1) x 32 B per text byte and a sort-shuffle holds
+            # ~2 copies in flight; at w=16 over 11 GB of text that is
+            # ~84 GB against a 37 GB object store + 62 GB spill disk —
+            # measured OutOfDiskError (BASELINE.md soak table). w=32
+            # halves the exchange; a cluster's aggregate store/disk
+            # scales with nodes, the exchange does not.
             dup = dedup.duplicate_spans(
-                ds, column="text", id_column="doc_id", min_len=30, winnow=16
+                ds, column="text", id_column="doc_id", min_len=30, winnow=32
             )
             return {"dup_spans": dup.count()}
 
@@ -254,7 +338,7 @@ def main() -> int:
         def pack():
             from mothray.ops import pack as pack_mod
 
-            ds = _with_int_id(["url", "text"]).drop_columns(["url"])
+            ds = ray.data.read_parquet(text_src)
             packed = pack_mod.pack_sequences(ds, 2048, key_col="doc_id", text_col="text")
             return {"sequences": packed.count()}
 

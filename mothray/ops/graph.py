@@ -31,6 +31,22 @@ def _auto_partitions(ds) -> int:
         return 8
 
 
+def _snapshot(ds):
+    """Materialize AND cut lineage for loop-carried state. A
+    MaterializedDataset retains its logical plan, so a driver loop that
+    feeds each round's output into the next nests every prior round's
+    plan — a dozen ops deeper per iteration until Ray's plan optimizer
+    overruns Python's recursion limit (measured on a 50-round CC run);
+    union-derived states also accumulate block lists the same way.
+    Rebuilding from the materialized block refs keeps plan depth and
+    block count constant across rounds. Lineage-based reconstruction
+    is not the fault-tolerance story for these driver-coordinated
+    loops (the checkpoint layer is)."""
+    import ray.data
+
+    return ray.data.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def connected_components(
     edges,
     src: str,
@@ -46,6 +62,8 @@ def connected_components(
     semantics), self-loops and duplicate edges are harmless. Isolated
     nodes never appear in an edge list, so they are not emitted."""
     import pyarrow.compute as pc
+
+    import ray.data
 
     n_parts = num_partitions or _auto_partitions(edges)
 
@@ -107,13 +125,18 @@ def connected_components(
             )
             .map_batches(_rename({"nbr": "node", "lbl": "lbl"}), batch_format="pyarrow")
         )
-        labels = (
+        mat = (
             offered.union(labels)
             .groupby("node")
             .min("lbl")
             .map_batches(_rename({"node": "node", "min(lbl)": "lbl"}), batch_format="pyarrow")
-            .materialize()
+            # union CONCATENATES block lists and the aggregate inherits
+            # them, so without this the label dataset's block count —
+            # and with it every later round's task count — grows per
+            # round (measured: 2.1 s -> 8 s per round by round 50)
+            .repartition(n_parts)
         )
+        labels = _snapshot(mat)  # constant plan depth across rounds
         cur_sum = labels.sum("lbl")
         if prev_sum is not None and cur_sum == prev_sum:
             break
@@ -221,12 +244,11 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        in_mass = (
+        in_mass = _snapshot(
             contrib.union(zero)
             .groupby("node")
             .sum("mass")
             .map_batches(_rename({"node": "node", "sum(mass)": "mass"}), batch_format="pyarrow")
-            .materialize()
         )
         dangling = 1.0 - (in_mass.sum("mass") or 0.0)
 
@@ -235,7 +257,7 @@ def pagerank(
             r = (1.0 - d) / n + d * (m + _dm / n)
             return pa.table({"node": t.column("node"), "rank": pa.array(r, pa.float64())})
 
-        ranks = in_mass.map_batches(step, batch_format="pyarrow").materialize()
+        ranks = _snapshot(in_mass.map_batches(step, batch_format="pyarrow"))
     return ranks
 
 
@@ -471,7 +493,7 @@ def k_core(edges, src: str, dst: str, k: int, max_rounds: int = 100):
             keep = ~(np.isin(u, rm) | np.isin(v, rm))
             return batch.filter(pa.array(keep))
 
-        cur = cur.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        cur = _snapshot(cur.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True))
     else:
         raise RuntimeError(f"k_core: did not converge in {max_rounds} rounds")
     import ray.data
@@ -754,12 +776,12 @@ def bfs_levels(edges, src: str, dst: str, max_depth: int = 3, source: int | None
             .count()
             .drop_columns(["count()"])
         )
-        nxt = partitioned_join(nxt, known, on="node", how="left_anti").materialize()
+        nxt = _snapshot(partitioned_join(nxt, known, on="node", how="left_anti"))
         n = int(nxt.count())
         if n == 0:
             break
         levels.append(n)
-        known = known.union(nxt).materialize()
+        known = _snapshot(known.union(nxt))
         frontier = nxt
 
     return pa.table(
@@ -975,7 +997,7 @@ def sssp_bounded(edges, src: str, dst: str, max_hops: int = 3,
             ),
             batch_format="pyarrow",
         )
-        best = (
+        best = _snapshot(
             best.union(cand)
             .groupby("node")
             .min("dist")
@@ -985,7 +1007,6 @@ def sssp_bounded(edges, src: str, dst: str, max_hops: int = 3,
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
         )
 
     return best.sort("node")
@@ -1026,7 +1047,7 @@ def tree_rollup(values, edges, node_col: str, parent_col: str,
 
     def distinct(ds):
         return (
-            ds.groupby(["n", "a"]).count().drop_columns(["count()"]).materialize()
+            _snapshot(ds.groupby(["n", "a"]).count().drop_columns(["count()"]))
         )
 
     pairs = distinct(
@@ -1588,7 +1609,7 @@ def k_truss(edges, src: str, dst: str, k: int, max_rounds: int = 30):
     cur_src, cur_dst = src, dst
     prev_count = None
     for _ in range(max_rounds):
-        sup = edge_support(cur, cur_src, cur_dst, min_support=k - 2).materialize()
+        sup = _snapshot(edge_support(cur, cur_src, cur_dst, min_support=k - 2))
         n = sup.count()
         if prev_count is not None and n == prev_count:
             return sup
