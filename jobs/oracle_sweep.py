@@ -38,10 +38,17 @@ def _to_pandas(result):
     import pandas as pd
     import pyarrow as pa
 
+    import ray
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        tbl = pa.Table.from_pylist(result.take_all())
+        # collect as Arrow blocks, not via from_pylist: pylist round-trip
+        # re-infers types, overflowing uint64 cells (checksums) into the
+        # int64 a C long holds
+        tables = [t for t in ray.get(result.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return pd.DataFrame()
+        tbl = pa.concat_tables(tables, promote_options="default")
         return tbl.to_pandas()
     if isinstance(result, pa.Table):
         return result.to_pandas()
@@ -54,8 +61,15 @@ def _cell(v) -> str:
     import datetime
     import decimal
 
+    import numpy as np
+
     if v is None:
         return "\x00"
+    if isinstance(v, (np.floating, np.integer)):
+        # widen through float64/int BEFORE formatting: a float32 cell
+        # (embeddings round trip) never string-matches the float64 the
+        # oracle returns otherwise, though the values are identical
+        v = v.item()
     if isinstance(v, float):
         if v != v:
             return "\x00"
@@ -66,6 +80,8 @@ def _cell(v) -> str:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray, memoryview)):
         return hashlib.sha1(bytes(v)).hexdigest()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(e) for e in v) + "]"
     return str(v)
 
 
