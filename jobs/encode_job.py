@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="encoded dataset directory (shared storage)")
     p.add_argument("--partition-mb", type=int, default=256)
     p.add_argument("--partition-by", default=None, help="optional hive partition column")
+    p.add_argument(
+        "--ipc", action="store_true",
+        help="write the Arrow-IPC interchange layout (fused in-task "
+        "write, mmap decode) instead of the durable parquet layout; "
+        "retry-idempotent via deterministic unit-named files, so a "
+        "resubmitted job skips finished units without manifests",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -50,6 +57,15 @@ def main(argv: list[str] | None = None) -> int:
         ds = pipeline.read_input(args.input)
         pipeline.encode_partitioned(ds, args.output, args.partition_by)
         summary = {"partitions": sorted(pipeline.encoded_partition_dirs(args.output))}
+    elif args.ipc:
+        meta = pipeline.encode_files_ipc(args.input, args.output).take_all()
+        summary = {
+            "stripes": len(meta),
+            "n_rows": sum(r["n_rows"] for r in meta),
+            "raw_bytes": sum(r["raw_bytes"] for r in meta),
+            "enc_bytes": sum(r["enc_bytes"] for r in meta),
+            "out_dir": args.output,
+        }
     else:
         summary = checkpoint.encode_job(
             args.input, args.output, target_partition_bytes=args.partition_mb << 20

@@ -463,7 +463,15 @@ def _prune_struct_tree(tree: dict, t: pa.DataType, paths: dict) -> tuple[dict, p
     subfields of a struct column. The struct node's own streams
     (PRESENT) survive; unselected children vanish from the tree, so
     _rebuild_column never touches their stream bytes (the pytest
-    contract for nested projection)."""
+    contract for nested projection). Projection passes THROUGH list
+    levels transparently ("items.price" on list<struct<...>> keeps the
+    LIST node's LENGTH/PRESENT streams and prunes inside the element
+    struct), matching the reference ProjectedLayout's recursive
+    included-subtree walk (MothReader.go:184-255)."""
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        ctree, ctype = _prune_struct_tree(tree["children"][0], t.value_type, paths)
+        outer = pa.large_list(ctype) if pa.types.is_large_list(t) else pa.list_(ctype)
+        return {**tree, "children": [ctree]}, outer
     if not pa.types.is_struct(t):
         raise TypeError(f"nested projection into non-struct type {t}")
     fields = []

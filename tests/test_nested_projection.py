@@ -122,6 +122,59 @@ def test_projection_errors():
         sm.decode_stripe(row, columns=["id.x"])
 
 
+def test_projection_through_list_of_struct():
+    """Dotted projection passes through list levels: items.price on
+    list<struct> decodes only the price child's streams."""
+    n = 120
+    t = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "items": pa.array(
+                [
+                    [
+                        {"sku": f"s{i}-{j}", "price": i * 10 + j, "qty": j}
+                        for j in range(i % 4)
+                    ]
+                    for i in range(n)
+                ],
+                pa.list_(
+                    pa.struct(
+                        [("sku", pa.string()), ("price", pa.int64()), ("qty", pa.int64())]
+                    )
+                ),
+            ),
+        }
+    )
+    row = _stripe_row(t)
+    full = sm.decode_stripe(row, columns=["items"]).column("items").combine_chunks()
+    out = sm.decode_stripe(row, columns=["id", "items.price"])
+    items = out.column("items").combine_chunks()
+    assert items.type == pa.list_(pa.struct([("price", pa.int64())]))
+    assert items.values.field("price").equals(full.values.field("price"))
+    assert pa.compute.list_value_length(items).equals(
+        pa.compute.list_value_length(full)
+    )
+
+    calls: list[int] = []
+    orig = sm.frames.decompress
+
+    def counting(framed, codec, raw):
+        calls.append(len(framed))
+        return orig(framed, codec, raw)
+
+    sm.frames.decompress = counting
+    try:
+        sm.decode_stripe(row, columns=["items.price"])
+        n_proj = len(calls)
+        calls.clear()
+        sm.decode_stripe(row, columns=["items"])
+        n_full = len(calls)
+    finally:
+        sm.frames.decompress = orig
+    # full: LENGTH + sku(2 streams) + price + qty; projected: LENGTH + price
+    assert n_proj < n_full and n_proj <= 2
+
+
 def test_projection_through_decode_files(ray_session, tmp_path):
     """End-to-end: encode to the IPC interchange, decode with a dotted
     projection through the public decode_files API."""
