@@ -174,7 +174,9 @@ def job_output_files(out_dir: str) -> list[str]:
     (`__part=<value>/` subdirectories from pipeline.encode_partitioned)
     are included recursively."""
     files = [
-        os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith((".parquet", ".arrow"))  # IPC interchange layouts too
     ]
     for sub in os.listdir(out_dir):
         p = os.path.join(out_dir, sub)

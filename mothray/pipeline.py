@@ -269,7 +269,15 @@ class _ReadEncode:
             for path, rg, _size in inputs:
                 by_path.setdefault(path, []).append(rg)
             tables = [
-                pq.ParquetFile(path).read_row_groups(rgs, columns=self.columns)
+                # use_threads=False: parallelism belongs to Ray's task
+                # lanes. Ray workers pin OMP_NUM_THREADS=1 (which
+                # pyarrow's pool honors — measured: no wall change),
+                # but that is an env-dependent accident; the contract
+                # is explicit here so a different launcher can't
+                # silently give every 1-cpu task a socket-wide pool
+                pq.ParquetFile(path).read_row_groups(
+                    rgs, columns=self.columns, use_threads=False
+                )
                 for path, rgs in by_path.items()
             ]
             tbl = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
@@ -697,7 +705,11 @@ class _ReadDecode:
                 # one file's surviving groups at a time: in-task memory
                 # is bounded by the unit target, decoded output by the
                 # decoder's max_rows slicing
-                yield from self.dec(pq.ParquetFile(path).read_row_groups(rgs))
+                # use_threads=False: same single-lane contract as
+                # _ReadEncode — the task IS the unit of parallelism
+                yield from self.dec(
+                    pq.ParquetFile(path).read_row_groups(rgs, use_threads=False)
+                )
 
 
 def decode_files(
