@@ -1846,6 +1846,15 @@ class _FetchStripes:
             by_path[p].append(k)
         for p, ks in by_path.items():
             kset = pa.array(ks)
+            if p.endswith(".arrow"):
+                # IPC interchange layout: the file is memory-mapped, so
+                # selecting surviving stripes faults only their pages —
+                # the mmap is the row-group-targeted fetch
+                t = pa.ipc.open_file(pa.memory_map(p)).read_all()
+                mask = pc.is_in(t.column("stripe_key").combine_chunks(), value_set=kset)
+                if pc.any(mask).as_py():
+                    yield t.filter(mask)
+                continue
             pf = pq.ParquetFile(p)
             for rg in range(pf.num_row_groups):
                 # key column of one group: tiny read, prunes the blob read

@@ -92,6 +92,33 @@ def test_decode_projection_over_ipc(ray_session, enc_dir):
     assert got.sort_by("doc_id").equals(orig.sort_by("doc_id"))
 
 
+def test_pushdown_stack_over_ipc(ray_session, tmp_path):
+    """filter_encoded / _multi / _or run the full skipping stack over
+    the IPC layout (mmap IS the targeted fetch) and value-match DuckDB."""
+    import duckdb
+
+    src = f"{SF}/documents.parquet"
+    out = tmp_path / "enc"
+    pipeline.encode_files_ipc(src, str(out)).take_all()
+    con = duckdb.connect()
+
+    def oracle(sql):
+        return con.execute(sql.replace("SRC", f"read_parquet('{src}')")).fetchone()[0]
+
+    r = pipeline.filter_encoded(str(out), "lang", "eq", "en").take_all()
+    assert len(r) == oracle("SELECT count(*) FROM SRC WHERE lang='en'")
+    r = pipeline.filter_encoded(str(out), "n_chars", "ge", 500).take_all()
+    assert len(r) == oracle("SELECT count(*) FROM SRC WHERE n_chars>=500")
+    r = pipeline.filter_encoded_multi(
+        str(out), [("lang", "eq", "en"), ("n_chars", "ge", 500)]
+    ).take_all()
+    assert len(r) == oracle("SELECT count(*) FROM SRC WHERE lang='en' AND n_chars>=500")
+    r = pipeline.filter_encoded_or(
+        str(out), [("lang", "eq", "en"), ("lang", "eq", "de")]
+    ).take_all()
+    assert len(r) == oracle("SELECT count(*) FROM SRC WHERE lang='en' OR lang='de'")
+
+
 def test_compact_ipc_layout(ray_session, tmp_path):
     """compact_encoded merges small .arrow interchange files without
     re-encoding; decode output is bit-identical."""
