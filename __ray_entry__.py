@@ -7267,6 +7267,20 @@ def _ipc_roundtrip_documents(sf_dir: str):
     return pipeline.decode_files(out)
 
 
+def _ipc_filter_pushdown_documents(sf_dir: str):
+    """Predicate pushdown over the Arrow-IPC interchange layout (r5):
+    the same zone-map + trigram-bloom + dictionary-domain + late-
+    materialization stack as the parquet path, with the mmap standing
+    in for the row-group-targeted fetch."""
+    import tempfile
+
+    from mothray import pipeline
+
+    out = tempfile.mkdtemp(prefix="mothray_ipc_push_")
+    pipeline.encode_files_ipc(f"{sf_dir}/documents.parquet", out).take_all()
+    return pipeline.filter_encoded(out, "lang", "eq", "en")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the round driver oracle-checks
     # the first ~50 registered queries. The head slots therefore carry
@@ -7371,6 +7385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- past the typical driver window: still value-checked, descending value --
     q["resample_events"] = _resample_events
     q["weighted_sample_documents"] = _weighted_sample_documents
+    q["ipc_filter_pushdown_documents"] = _ipc_filter_pushdown_documents
     q["multimodal_audio_features"] = _multimodal_audio
     q["png_image_features_documents"] = _png_image_features
     q["gif_image_features_documents"] = _gif_image_features
@@ -7679,6 +7694,7 @@ def oracle_sql() -> dict[str, str]:
     }
     o["bloom_prune_events"] = "SELECT * FROM events WHERE event_type = 'purchase'"
     o["ipc_roundtrip_documents"] = "SELECT * FROM documents"
+    o["ipc_filter_pushdown_documents"] = "SELECT * FROM documents WHERE lang = 'en'"
     o["nested_projection_events"] = (
         "SELECT event_id, value AS ev_value, event_type AS ev_type FROM events"
     )
