@@ -1,8 +1,8 @@
 """CLI: the Ray-Data analog of the reference's demo driver
 (reference: pkg/main/main.go Write/Read + pkg/store/main chunk scan).
 
-  python -m mothray encode  IN_PARQUET... OUT_DIR   [--partition-mb N] [--partition-by COL]
-  python -m mothray decode  ENC_DIR OUT_DIR [--columns a,b]
+  python -m mothray encode  IN_PARQUET... OUT_DIR   [--partition-mb N] [--partition-by COL] [--ipc]
+  python -m mothray decode  ENC_DIR OUT_DIR [--columns a,b.nested]
   python -m mothray verify  IN_PARQUET ENC_DIR --key COLUMN
   python -m mothray stats   ENC_DIR
   python -m mothray prune   ENC_DIR OUT_DIR --column C [--min X] [--max Y] [--needle S]
@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="hive-partition the encoded output by this column "
         "(one __part=<value>/ directory per value; whole-partition pruned reads)",
+    )
+    e.add_argument(
+        "--ipc",
+        action="store_true",
+        help="write the Arrow-IPC interchange layout (read+encode+write fused "
+        "per task, mmap zero-copy decode); retries/re-runs exists-skip by "
+        "deterministic unit names instead of checkpoint manifests",
     )
 
     d = sub.add_parser("decode")
@@ -267,6 +274,17 @@ def _dispatch(args) -> int:
             pipeline.encode_partitioned(ds, args.out_dir, args.partition_by)
             parts = pipeline.encoded_partition_dirs(args.out_dir)
             print(json.dumps({"partitions": sorted(parts), "out_dir": args.out_dir}))
+        elif getattr(args, "ipc", False):
+            from mothray import pipeline
+
+            meta = pipeline.encode_files_ipc(inputs, args.out_dir).take_all()
+            print(json.dumps({
+                "stripes": len(meta),
+                "n_rows": sum(r["n_rows"] for r in meta),
+                "raw_bytes": sum(r["raw_bytes"] for r in meta),
+                "enc_bytes": sum(r["enc_bytes"] for r in meta),
+                "out_dir": args.out_dir,
+            }))
         else:
             summary = checkpoint.encode_job(
                 inputs, args.out_dir, target_partition_bytes=args.partition_mb << 20
@@ -278,15 +296,24 @@ def _dispatch(args) -> int:
     if args.cmd == "decode":
         cols = args.columns.split(",") if args.columns else None
         if cols:  # validate against the encoded schema before launching
+            import pyarrow as _pa
             import pyarrow.parquet as pq
 
             from mothray import checkpoint as _cp
             from mothray import stripe as stripe_mod
 
             files = _cp.job_output_files(args.enc_dir)  # incl. __part=*/
-            ipc = pq.ParquetFile(files[0]).read_row_group(0, columns=["schema_ipc"])
-            names = stripe_mod._deserialize_schema(ipc.column("schema_ipc")[0].as_py()).names
-            unknown = [c for c in cols if c not in names]
+            if files[0].endswith(".arrow"):
+                t0 = _pa.ipc.open_file(_pa.memory_map(files[0])).read_all()
+                blob = t0.column("schema_ipc")[0].as_py()
+            else:
+                ipc = pq.ParquetFile(files[0]).read_row_group(0, columns=["schema_ipc"])
+                blob = ipc.column("schema_ipc")[0].as_py()
+            names = stripe_mod._deserialize_schema(blob).names
+            # dotted names are nested projections: validate the top level
+            unknown = [
+                c for c in cols if c not in names and c.split(".", 1)[0] not in names
+            ]
             if unknown:
                 print(f"error: unknown column(s) {unknown}; encoded columns: {names}", file=sys.stderr)
                 return 2
