@@ -2238,7 +2238,9 @@ def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
     ]
     files_total = files_kept = None
     if isinstance(path, str) and os.path.isdir(path):
-        files_total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        files_total = len(
+            [f for f in os.listdir(path) if f.endswith((".parquet", ".arrow"))]
+        )
         kept: set[str] | None = None
         for col, op, value in usable:
             lo, hi = stripe_mod_.string_pred_bounds(op, value)
@@ -2290,7 +2292,7 @@ def explain_scan(path: str | list[str], preds: list[tuple]) -> dict:
 
     # schema_ipc rides along for typed bound translation
     meta_cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms", "schema_ipc"]
-    meta_full = ray.data.read_parquet(path, columns=meta_cols)
+    meta_full = read_encoded(path, columns=meta_cols)
     total_stripes = meta_full.count()
     total_bytes = int(meta_full.sum("enc_bytes") or 0)
     surv = pruned  # stripes surviving zone maps (metadata rows)
@@ -2334,7 +2336,7 @@ def explain_scan_or(path: str | list[str], preds: list[tuple]) -> dict:
         "stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats",
         "blooms", "schema_ipc",
     ]
-    meta_full = ray.data.read_parquet(path, columns=meta_cols)
+    meta_full = read_encoded(path, columns=meta_cols)
     total_stripes = meta_full.count()
     total_bytes = int(meta_full.sum("enc_bytes") or 0)
     surv = meta_full if plans is None else prune_stripes_or(meta_full, plans)
@@ -3099,7 +3101,7 @@ def sorted_limit(
         if guaranteed < n:
             survivors.append(r)
     if not survivors:  # only possible when n <= 0 or the dataset is empty
-        rows = ray.data.read_parquet(path, columns=["schema_ipc"]).take(1)
+        rows = read_encoded(path, columns=["schema_ipc"]).take(1)
         if not rows:
             return pa.table({})
         schema = stripe_mod._deserialize_schema(rows[0]["schema_ipc"])
@@ -3922,8 +3924,16 @@ def verify_roundtrip_streaming(original: ray.data.Dataset, decoded: ray.data.Dat
     return dataset_content_hash(original) == dataset_content_hash(decoded)
 
 
-def read_encoded(path: str | list[str], metadata_only: bool = False, include_paths: bool = False) -> ray.data.Dataset:
-    cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
+def read_encoded(
+    path: str | list[str],
+    metadata_only: bool = False,
+    include_paths: bool = False,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    if columns is not None:
+        cols = columns
+    else:
+        cols = ["stripe_key", "n_rows", "raw_bytes", "enc_bytes", "meta", "stats", "blooms"] if metadata_only else None
     ipc_files = _discover_ipc_files(path)
     if ipc_files:
         # IPC interchange layout: mmap + column select — a metadata read
@@ -3961,7 +3971,7 @@ def encoded_union_schema(in_dir: str | list[str]) -> pa.Schema:
 
     seen: dict[str, pa.Field] = {}
     order: list[str] = []
-    rows = ray.data.read_parquet(in_dir, columns=["schema_ipc"]).take_all()
+    rows = read_encoded(in_dir, columns=["schema_ipc"]).take_all()
     for r in rows:
         sch = stripe_mod._deserialize_schema(r["schema_ipc"])
         for f in sch:
