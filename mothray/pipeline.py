@@ -1493,7 +1493,7 @@ def agg_encoded(in_dir: str | list[str], specs: dict[str, tuple]) -> pa.Table:
         )
 
     parts = (
-        ray.data.read_parquet(in_dir, columns=["n_rows", "stats", "schema_ipc"])
+        read_encoded(in_dir, columns=["n_rows", "stats", "schema_ipc"])
         .map_batches(partial, batch_format="pyarrow")
         .take_all()
     )
